@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify
+output against DuckDB oracles and compare values.
+
+Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+    python3 scripts/oracle_check.py <sfDir> <outDir>
+
+Mimics the described driver behavior: per query, load the Spark parquet
+result and the DuckDB oracle result, sort columns by name, sort rows,
+and compare values (floats to 9 significant digits).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort",
+                        na_position="first").reset_index(drop=True)
+    return df
+
+
+def cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+    oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle_sql.items()):
+        try:
+            got = canon(con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).df())
+            want = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL  {name}: {e}")
+            failures += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL  {name}: columns {list(got.columns)} != "
+                  f"{list(want.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL  {name}: rows {len(got)} != {len(want)}")
+            failures += 1
+            continue
+        g = got.map(cell) if hasattr(got, "map") else got.applymap(cell)
+        w = want.map(cell) if hasattr(want, "map") else want.applymap(cell)
+        if not g.equals(w):
+            diff = (g != w).any(axis=1)
+            idx = diff[diff].index[:3]
+            print(f"FAIL  {name}: value mismatch at rows {list(idx)}")
+            for i in idx:
+                print(f"      spark={list(g.loc[i])}")
+                print(f"      duck ={list(w.loc[i])}")
+            failures += 1
+            continue
+        print(f"OK    {name} ({len(got)} rows)")
+    print(f"\n{len(oracle_sql) - failures}/{len(oracle_sql)} oracle queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

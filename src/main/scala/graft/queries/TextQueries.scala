@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NumToWords, TextFunctions => TF}
+import graft.queries.QueryDef.table
+
+/** Text-pipeline contract queries over the `documents` table: the
+  * reference's tokenize / normalize / word-coverage operators
+  * (SURVEY.md §2 P1, P2, P3, P5, A1/W5).
+  */
+object TextQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A1+W5: word-frequency coverage, whitespace tokens lowercased FIRST
+    // (batch_processor.py:28 `text.lower().split()` — NOT the P1 regex),
+    // ordered by (count asc, word asc) (batch_processor.py:34–35).
+    QueryDef(
+      "q_word_coverage",
+      Some("""
+        SELECT word, count(*) AS cnt
+        FROM (
+          SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+          FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+        ORDER BY cnt, word
+      """.trim),
+      "A1/W5 word coverage (batch_processor.py:17–37)")(
+      (spark, dir) => {
+        import spark.implicits._
+        table(spark, dir, "documents")
+          .select(explode(split(lower($"text"), "\\s+")).as("word"))
+          .filter($"word" =!= "")
+          .groupBy($"word").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt", $"word")
+      }),
+
+    // P1: regex tokenizer [A-Za-z0-9'-]+ (claude_research_optimal.py:30,82).
+    QueryDef(
+      "q_tokenize",
+      Some("""
+        SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9''-]+')) AS token
+        FROM documents
+        ORDER BY doc_id, token
+      """.trim),
+      "P1 tokenize_text_to_words (claude_research_optimal.py:82–83)")(
+      (spark, dir) => {
+        import spark.implicits._
+        table(spark, dir, "documents")
+          .select($"doc_id", explode(TF.tokenizeCol($"text")).as("token"))
+          .orderBy($"doc_id", $"token")
+      }),
+
+    // P2 (sans digit branch): normalize_word chain, NULL when empty.
+    QueryDef(
+      "q_normalize",
+      Some("""
+        SELECT doc_id, token,
+               nullif(replace(replace(regexp_replace(lower(trim(token)),
+                 '[^a-z0-9''-]', '', 'g'), '''', ''), '-', ''), '') AS norm
+        FROM (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9''-]+')) AS token
+          FROM documents
+        )
+        ORDER BY doc_id, token
+      """.trim),
+      "P2 normalize_word sans numbers_to_words (claude_research_optimal.py:66–80)")(
+      (spark, dir) => {
+        import spark.implicits._
+        table(spark, dir, "documents")
+          .select($"doc_id", explode(TF.tokenizeCol($"text")).as("token"))
+          .select($"doc_id", $"token", TF.normalizeCol($"token").as("norm"))
+          .orderBy($"doc_id", $"token")
+      }),
+
+    // P3: integer → English words. Not SQL-expressible → no oracle
+    // (rows-only driver check); exact parity is golden-tested in
+    // NumToWordsSpec against the reference value table.
+    QueryDef(
+      "q_num_to_words",
+      None,
+      "P3 _num_to_words (claude_research_optimal.py:37–64)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val toWords = udf((n: Long) => NumToWords.concat(n))
+        table(spark, dir, "part")
+          .select($"p_partkey".as("n")).distinct()
+          .union(table(spark, dir, "orders").select($"o_totalprice".cast("long").as("n")).distinct())
+          .distinct()
+          .select($"n", toWords($"n").as("words"))
+          .orderBy($"n")
+      }),
+
+    // P5: phoneme-aware tail extension over distinct document tokens.
+    QueryDef(
+      "q_phoneme_ext",
+      Some("""
+        SELECT token,
+          CASE
+            WHEN length(token) < 3 THEN 0
+            WHEN right(token, 3) = 'ing' THEN 60
+            WHEN right(token, 1) IN ('s','z','x','f','v') THEN 50
+            WHEN right(token, 1) IN ('t','d','k','p','n','m','g') THEN 40
+            WHEN right(token, 2) IN ('ce','se','ze','ge','ch','sh','th','ng') THEN 50
+            ELSE 0
+          END AS ext_ms
+        FROM (
+          SELECT DISTINCT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9''-]+'))) AS token
+          FROM documents
+        )
+        ORDER BY token
+      """.trim),
+      "P5 phoneme tail extension, live branches (claude_research_optimal.py:557–582)")(
+      (spark, dir) => {
+        import spark.implicits._
+        table(spark, dir, "documents")
+          .select(explode(TF.tokenizeCol($"text")).as("t0"))
+          .select(lower($"t0").as("token")).distinct()
+          .select($"token", TF.phonemeExtensionCol($"token").as("ext_ms"))
+          .orderBy($"token")
+      }),
+
+    // P4: confidence-adaptive guard; synthetic confidence derived
+    // deterministically from event_id so the oracle can reproduce it.
+    QueryDef(
+      "q_adaptive_guard",
+      Some("""
+        SELECT event_id, conf,
+          CASE
+            WHEN conf > 0.75 THEN CAST(floor(35 * 0.7) AS BIGINT)
+            WHEN conf < 0.6  THEN CAST(floor(35 * 1.3) AS BIGINT)
+            ELSE 35
+          END AS guard_ms
+        FROM (
+          SELECT event_id, CAST(event_id % 100 AS DOUBLE) / 100.0 AS conf
+          FROM events
+        )
+        ORDER BY event_id
+      """.trim),
+      "P4 compute_adaptive_guard (claude_research_optimal.py:374–386)")(
+      (spark, dir) => {
+        import spark.implicits._
+        QueryDef.events(spark, dir)
+          .select($"event_id",
+            (($"event_id" % 100).cast("double") / 100.0).as("conf"))
+          .select($"event_id", $"conf",
+            TF.adaptiveGuardCol($"conf", lit(35)).as("guard_ms"))
+          .orderBy($"event_id")
+      }),
+
+    // P6: float-seconds → int-millis with banker's rounding
+    // (Python round ≡ Spark bround ≡ DuckDB round_even).
+    QueryDef(
+      "q_sec_to_ms",
+      Some("""
+        SELECT event_id, CAST(round_even(value * 1000, 0) AS BIGINT) AS ms
+        FROM events
+        ORDER BY event_id
+      """.trim),
+      "P6 int(round(x*1000)) HALF_EVEN (claude_research_optimal.py:318 etc.)")(
+      (spark, dir) => {
+        import spark.implicits._
+        QueryDef.events(spark, dir)
+          .select($"event_id", TF.secToMsCol($"value").as("ms"))
+          .orderBy($"event_id")
+      }),
+  )
+}
