@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All contract queries, in registration order. */
   def allDefs: Seq[QueryDef] =
-    TextQueries.defs ++ EventQueries.defs
+    TextQueries.defs ++ EventQueries.defs ++ DedupQueries.defs ++
+      SimilarityQueries.defs ++ TextAnalysisQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

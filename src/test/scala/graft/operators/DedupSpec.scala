@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkHarness
+
+/** Dedup operator verification (SURVEY.md §2.10 X1): shingling
+  * semantics on literal data, MinHash+LSH and SimHash recall against
+  * exact shingle-Jaccard ground truth on the sf0.001 driver table.
+  * Everything here is deterministic (xxhash64 + fixed data) — these
+  * are exact assertions, not statistical ones.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkHarness.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  import Dedup._
+
+  private def df(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private lazy val shingled = {
+    val s = spark
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", shingles(tokens($"text"), 3).as("shingles"))
+      .cache()
+  }
+
+  private lazy val exactPairs: Set[(Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    jaccardPairs(shingled, "doc_id").filter($"jaccard" >= 0.5)
+      .select($"d1", $"d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("shingles: sequence 3-grams, distinct, separator-joined") {
+    val s = spark
+    import s.implicits._
+    val out = df(Seq((1L, "a b c d"), (2L, "a b"), (3L, "x x x x x")))
+      .select($"doc_id", shingles(tokens($"text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq(s"a${Sep}b${Sep}c", s"b${Sep}c${Sep}d"))
+    assert(out(2L) == Seq.empty) // shorter than k
+    assert(out(3L) == Seq(s"x${Sep}x${Sep}x")) // distinct collapses repeats
+  }
+
+  test("jaccardPairs: identical docs -> 1.0, disjoint docs absent") {
+    val s = spark
+    import s.implicits._
+    val docs = df(Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t")))
+      .select($"doc_id", shingles(tokens($"text"), 3).as("shingles"))
+    val got = jaccardPairs(docs, "doc_id").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == Map((1L, 2L) -> 1.0))
+  }
+
+  test("planted near-dups exist in driver data (sanity of ground truth)") {
+    assert(exactPairs.nonEmpty)
+  }
+
+  test("MinHash+LSH finds every exact near-dup pair (deterministic)") {
+    val s = spark
+    import s.implicits._
+    val exploded = shingled.select($"doc_id", explode($"shingles").as("g"))
+    val sigs = minhashSignature(exploded, "doc_id", "g", 64)
+    val cand = candidatePairs(bandBuckets(sigs, "doc_id", 16, 4), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exactPairs -- cand
+    assert(missed.isEmpty, s"LSH missed planted pairs: $missed")
+  }
+
+  test("SimHash recall >= 0.9 vs exact Jaccard, no false positives") {
+    val s = spark
+    import s.implicits._
+    val exploded = shingled.select($"doc_id", explode($"shingles").as("g"))
+    val sigs = simhash(exploded, "doc_id", "g")
+    val got = simhashPairs(sigs, "doc_id", maxHamming = 7)
+      .select($"d1", $"d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SimHash approximates cosine over shingle vectors, not Jaccard —
+    // a planted pair can land just past the radius; require >=0.9.
+    val recall = (exactPairs & got).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall $recall; missed ${exactPairs -- got}")
+    assert((got -- exactPairs).isEmpty,
+      s"simhash false positives: ${got -- exactPairs}")
+  }
+
+  test("simhash: identical shingle sets -> identical signature") {
+    val s = spark
+    import s.implicits._
+    val exploded = df(Seq((1L, "a b c d e f"), (2L, "a b c d e f")))
+      .select($"doc_id", explode(shingles(tokens($"text"), 3)).as("g"))
+    val sigs = simhash(exploded, "doc_id", "g").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+  }
+}

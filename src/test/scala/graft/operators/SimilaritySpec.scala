@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkHarness
+
+/** Similarity-search verification (SURVEY.md §2.10 X2): exact cosine
+  * math on hand vectors, deterministic LSH recall vs brute force on
+  * the sf0.001 embeddings.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkHarness.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  import Similarity._
+
+  test("bruteForceTopK: known vectors rank by cosine, ties by id") {
+    val s = spark
+    import s.implicits._
+    // q = (1,0); neighbors: id1 (1,0) cos 1, id2 (1,1) cos .707,
+    // id3 (0,1) cos 0, id4 (-1,0) cos -1
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(2f, 0f)), (2L, Array(1f, 1f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    val got = bruteForceTopK(q, vecs, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(got(0)._3 - 1.0) < 1e-12)
+    assert(math.abs(got(1)._3 - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(got(2)._3 - 0.0) < 1e-12)
+  }
+
+  test("bruteForceTopK excludes self-matches") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq((0L, Array(1f, 2f)), (1L, Array(2f, 4f)))
+      .toDF("vec_id", "embedding")
+    val got = bruteForceTopK(vecs, vecs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!got.exists(p => p._1 == p._2))
+    assert(got.toSet == Set((0L, 1L), (1L, 0L)))
+  }
+
+  test("LSH top-k recall >= 0.9 vs brute force on driver embeddings") {
+    val s = spark
+    import s.implicits._
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(bruteForceTopK(queries, emb, "vec_id", "embedding", 5))
+    val lsh = pairs(lshTopK(queries, emb, "vec_id", "embedding", 5,
+      tables = 24, planes = 4))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall < 0.9")
+  }
+}
