@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.asr.AmplitudeRecognizer
+import graft.audio.Pcm
+import graft.AsrPipeline._
+
+/** End-to-end pipeline test (SURVEY.md §5.2 item 4): synthetic docs
+  * whose audio encodes the word sequence (AmplitudeRecognizer), a
+  * transcript with scripted perturbations, and structural + numeric
+  * assertions over segments, rejections, and summary — mirroring the
+  * reference's example-driven validation (README.md:73–91).
+  */
+class AsrPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkHarness.spark
+
+  private val Sr = 16000
+  private val vocab: IndexedSeq[String] =
+    (0 until 30).map(i => s"word$i")
+  private val rec = AmplitudeRecognizer(vocab)
+
+  /** 30 words at 0.5 s spacing, each 0.4 s long. */
+  private def timeline: Seq[(Int, Double, Double)] =
+    (0 until 30).map(i => (i, i * 0.5, i * 0.5 + 0.4))
+
+  /** Transcript: word10 substituted, word20 deleted → three LCS runs
+    * [0,10), [11,20), [21,30) split by 0.6 s time gaps into three
+    * groups.
+    */
+  private def transcript: String = {
+    val ws = (0 until 30).map(i =>
+      if (i == 10) "zzz" else s"word$i").filterNot(_ == "word20")
+    ws.mkString(" ")
+  }
+
+  private lazy val result: Result = {
+    val s = spark
+    import s.implicits._
+    val audio = AmplitudeRecognizer.synthesize(timeline, Sr)
+    val docs = Seq(DocInput(1L, transcript, audio.bytes, Sr)).toDS()
+    AsrPipeline.run(docs, rec, rec, Config())
+  }
+
+  private lazy val segments = result.segments.collect().sortBy(_.segment)
+
+  test("three perturbation-split groups all export") {
+    assert(segments.length == 3)
+    assert(segments.map(_.segment).toSeq ==
+      Seq("segment_0000", "segment_0001", "segment_0002"))
+    assert(result.rejections.count() == 0)
+  }
+
+  test("segment texts are the unperturbed word runs, in order") {
+    val texts = segments.map(_.text).toSeq
+    assert(texts(0) == (0 until 10).map(i => s"word$i").mkString(" "))
+    assert(texts(1) == (11 until 20).map(i => s"word$i").mkString(" "))
+    assert(texts(2) == (21 until 30).map(i => s"word$i").mkString(" "))
+  }
+
+  test("segments respect min duration and carry base-ASR confidence") {
+    segments.foreach { s =>
+      assert(s.duration_s >= 1.5, s"${s.segment} too short")
+      assert(math.abs(s.avg_conf - 0.9) < 1e-9) // J3 maps to base conf
+      assert(s.words > 0 && s.pieces == 1)
+      assert(Seq("clean", "fixed").contains(s.acoustic_quality))
+    }
+  }
+
+  test("adaptive next-word guard clamps the leaked-onset boundary") {
+    // group 1: words 0..9; base clip = [0, w9.end+140ms] — the 140ms
+    // end pad leaks the ONSET of word10 (starts exactly at 5.0s)
+    // into the clip. The validator therefore decodes 11 words; the
+    // kept span is [0,10) with a next word at 5.0s, so the end
+    // boundary clamps to next_start − int(35·0.7) = 5000−24 = 4976ms
+    // (validator confidence is 1.0 → the >0.75 guard branch —
+    // reference quirk, claude_research_optimal.py:543–551). Start
+    // pad clamps at 0. This is the phantom-word scenario the guard
+    // machinery exists for.
+    val s0 = segments(0)
+    assert(math.abs(s0.duration_s - 4.976) < 0.003,
+      s"unexpected duration ${s0.duration_s}")
+  }
+
+  test("summary counts are consistent") {
+    val row = result.summary.collect()(0)
+    assert(row.getAs[Long]("exported") == 3L)
+    assert(row.getAs[Long]("rejected") == 0L)
+    assert(row.getAs[Long]("equal_runs") == 3L)
+    assert(row.getAs[Long]("bridged_groups") == 3L)
+    assert(row.getAs[Double]("rejection_rate_pct") == 0.0)
+  }
+
+  test("short group is rejected as too_short with next-kept id quirk") {
+    val s = spark
+    import s.implicits._
+    // Two LCS runs (word5 substituted in the transcript) separated
+    // by a 0.6s time gap → two groups; the second run's words are
+    // squeezed into a 0.86s span → too_short under min_dur 1.5.
+    val tl = (0 until 6).map(i => (i, i * 0.5, i * 0.5 + 0.4)) ++
+      (6 until 10).map(i => (i, 3.0 + (i - 6) * 0.22, 3.0 + (i - 6) * 0.22 + 0.2))
+    val audio = AmplitudeRecognizer.synthesize(tl, Sr)
+    val text = (0 until 10).map(i =>
+      if (i == 5) "zzz" else s"word$i").mkString(" ")
+    val docs = Seq(DocInput(7L, text, audio.bytes, Sr)).toDS()
+    val r = AsrPipeline.run(docs, rec, rec, Config())
+    val segs = r.segments.collect()
+    val rejs = r.rejections.collect()
+    assert(segs.length == 1 && rejs.length == 1)
+    assert(rejs(0).reason == "too_short")
+    // quirk: rejected group logs the id the NEXT kept segment would
+    // get; group order decides which
+    if (rejs(0).group_id < segs(0).group_id)
+      assert(rejs(0).segment == "segment_0000" &&
+        segs(0).segment == "segment_0000")
+    else assert(rejs(0).segment == "segment_0001")
+  }
+
+  test("sinks write wav/txt/tsv/corpus files") {
+    val out = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    Sinks.writeClips(result.segments, out)
+    Sinks.writeFullCorpus(result.segments, out, 500)
+    Sinks.writeMetadata(result, out)
+    Sinks.writeWordCoverage(result.segments, out)
+    val base = java.nio.file.Paths.get(out, "doc_1")
+    assert(java.nio.file.Files.exists(base.resolve("clips/segment_0000.wav")))
+    assert(java.nio.file.Files.exists(base.resolve("clips/segment_0002.txt")))
+    val wav = java.nio.file.Files.readAllBytes(base.resolve("full.wav"))
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    // corpus = 3 clips + 3 gaps; duration > sum of clip durations
+    val pcmLen = wav.length - 44
+    val expectMin = segments.map(_.duration_s).sum + 3 * 0.5
+    assert(pcmLen / 2.0 / Sr >= expectMin - 0.05)
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(out, "clips_tsv")).count() > 0)
+  }
+}
