@@ -14,7 +14,8 @@ object SparkEntry {
   /** All contract queries, in registration order. */
   def allDefs: Seq[QueryDef] =
     TextQueries.defs ++ EventQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ TextAnalysisQueries.defs
+      SimilarityQueries.defs ++ TextAnalysisQueries.defs ++
+      PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

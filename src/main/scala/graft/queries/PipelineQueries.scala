@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.AsrPipeline
+import graft.asr.AmplitudeRecognizer
+import graft.multimodal.Multimodal
+import graft.operators.Align
+import graft.queries.QueryDef.table
+
+/** Contract queries exercising the non-relational operator kernels —
+  * LCS alignment (J1), the full ASR pipeline, session_window, and
+  * multimodal plumbing — over the driver tables. LCS and the
+  * pipeline are not SQL-expressible (rows-only driver check; parity
+  * is golden-tested in LcsSpec/AsrPipelineSpec); the frame-count and
+  * session_window queries carry exact oracles.
+  */
+object PipelineQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J1: LCS equal-run alignment of each doc's token stream against
+    // a deterministic perturbation of itself (every 7th token
+    // dropped) — the difflib-parity kernel under mapGroups, one
+    // shuffle per side keyed by doc.
+    QueryDef(
+      "q_lcs_align",
+      None,
+      "J1 LCS equal runs, doc tokens vs every-7th-dropped self")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.core.{AsrWord, BookWord}
+        val toks = table(spark, dir, "documents")
+          .select($"doc_id", posexplode(split(lower($"text"), "\\s+")))
+          .filter($"col" =!= "")
+          .select($"doc_id", $"pos", $"col".as("norm"))
+        val book = toks.select($"doc_id", $"pos", $"norm".as("token"), $"norm")
+          .as[BookWord]
+        val asr = toks.filter($"pos" % 7 =!= 6)
+          .withColumn("idx",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy($"doc_id").orderBy($"pos")) - 1)
+          .select($"doc_id", $"idx", $"norm".as("text"), $"norm",
+            ($"pos" * 0.5).as("start"), ($"pos" * 0.5 + 0.4).as("end"),
+            lit(0.9).as("confidence"))
+          .as[AsrWord]
+        Align.lcsEqualRuns(book, asr, minRun = 4).toDF()
+          .orderBy($"doc_id", $"bi0")
+      }),
+
+    // Flagship: the COMPLETE reference dataflow on deterministic
+    // synthetic audio derived from every 20th document — word
+    // timeline at 0.5s spacing with every 13th word missing from the
+    // "recording", amplitude-encoded so the fake recognizer
+    // re-transcribes clips for real. Rows-only (AsrPipelineSpec
+    // golden-checks the math); the driver smoke-checks shape.
+    QueryDef(
+      "q_asr_pipeline",
+      None,
+      "E2E ASR clip pipeline on synthesized audio (SURVEY.md §3.1)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val sr = 8000
+        val docs = table(spark, dir, "documents")
+          .filter($"doc_id" % 20 === 0)
+          .select($"doc_id", $"text")
+        // global vocab: tiny synthetic vocabulary — a dimension-table
+        // collect, broadcast implicitly via the recognizer closure
+        val vocab = docs
+          .select(explode(split(lower($"text"), "\\s+")).as("w"))
+          .filter($"w" =!= "").distinct().orderBy($"w")
+          .as[String].collect().toIndexedSeq
+        val vIdx = vocab.zipWithIndex.toMap
+        val rec = AmplitudeRecognizer(vocab)
+        val inputs = docs.as[(Long, String)].map { case (docId, text) =>
+          val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          val timeline = words.iterator.zipWithIndex
+            .filter { case (_, i) => i % 13 != 12 } // ASR "misses" these
+            .map { case (w, i) => (vIdx(w), i * 0.5, i * 0.5 + 0.4) }
+            .toSeq
+          AsrPipeline.DocInput(docId, text,
+            AmplitudeRecognizer.synthesize(timeline, sr).bytes, sr)
+        }
+        val result = AsrPipeline.run(inputs, rec, rec,
+          AsrPipeline.Config(enableAcousticValidation = false))
+        result.segments.toDF()
+          .select($"doc_id", $"segment", $"text", $"words", $"pieces",
+            round($"duration_s", 3).as("duration_s"),
+            round($"avg_conf", 3).as("avg_conf"))
+          .orderBy($"doc_id", $"segment")
+      }),
+
+    // W2 streaming-analog surface, run in batch: session_window by
+    // 1-hour time gap. Oracle replicates gap-sessionization with
+    // lag + running sum (session_window(gap) ≡ close when
+    // ts − prev_ts > gap).
+    QueryDef(
+      "q_session_window",
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                 THEN 1 ELSE 0 END AS boundary
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, event_id, value,
+            sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        )
+        SELECT user_id, count(*) AS n_events,
+               min(event_id) AS first_event, max(event_id) AS last_event,
+               round(sum(value), 3) AS sum_value
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, first_event
+      """.trim),
+      "W2 session_window (time-gap) in batch mode")(
+      (spark, dir) => {
+        import spark.implicits._
+        QueryDef.events(spark, dir)
+          .groupBy($"user_id", session_window($"ts", "1 hour"))
+          .agg(count(lit(1)).as("n_events"),
+            min($"event_id").as("first_event"),
+            max($"event_id").as("last_event"),
+            round(sum($"value"), 3).as("sum_value"))
+          .select($"user_id", $"n_events", $"first_event", $"last_event",
+            $"sum_value")
+          .orderBy($"user_id", $"first_event")
+      }),
+
+    // Multimodal plumbing with an oracle on the SHAPE: frame counts
+    // and sampling cardinality are pure arithmetic over payload size
+    // (FakeDecoder contract), so DuckDB can verify the batch
+    // plumbing end-to-end even though fingerprints are engine-side.
+    QueryDef(
+      "q_frame_sample",
+      Some("""
+        SELECT doc_id,
+               CAST(strlen(text) / 4096 + 1 AS BIGINT) AS n_frames,
+               CAST(ceil((strlen(text) / 4096 + 1) / 3.0) AS BIGINT) AS n_sampled
+        FROM documents
+        ORDER BY doc_id
+      """.trim),
+      "Multimodal video frame sampling (every 3rd), shape-oracled")(
+      (spark, dir) => {
+        import spark.implicits._
+        val media = table(spark, dir, "documents")
+          .select($"doc_id", lit("video").as("media_type"),
+            encode($"text", "UTF-8").as("content"))
+          .as[Multimodal.MediaRow]
+        Multimodal.sampleFrames(media, Multimodal.FakeDecoder(), everyK = 3)
+          .toDF()
+          .select($"doc_id", $"n_frames".cast("long").as("n_frames"),
+            size($"sampled").cast("long").as("n_sampled"))
+          .orderBy($"doc_id")
+      }),
+
+    // Image-feature extraction: batched decode → resize → features.
+    // Rows-only (fake-codec pixels aren't SQL-reproducible);
+    // MultimodalSpec asserts determinism and geometry.
+    QueryDef(
+      "q_image_features",
+      None,
+      "Multimodal image decode+resize+features, batched")(
+      (spark, dir) => {
+        import spark.implicits._
+        val media = table(spark, dir, "documents")
+          .select($"doc_id", lit("image").as("media_type"),
+            encode($"text", "UTF-8").as("content"))
+          .as[Multimodal.MediaRow]
+        Multimodal.imageFeatures(media, Multimodal.FakeDecoder())
+          .toDF()
+          .select($"doc_id", $"width", $"height", $"channels",
+            round($"mean_luma", 4).as("mean_luma"))
+          .orderBy($"doc_id")
+      }),
+  )
+}
