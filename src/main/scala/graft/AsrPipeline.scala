@@ -335,13 +335,19 @@ object AsrPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val books = bookWords(docs.map(d => (d.doc_id, d.text)),
+    // `docs` (audio + text) and `asr` fan out to several downstream
+    // branches (alignment, sessionization joins, assembly, audio
+    // join) — cache both or the source synthesis/inference re-runs
+    // once per branch. On a cluster these would be persisted
+    // MEMORY_AND_DISK after the (expensive) inference stage.
+    val docsC = docs.cache()
+    val books = bookWords(docsC.map(d => (d.doc_id, d.text)),
       cfg.numbersToWords)
-    val asr = asrWords(docs, base, cfg.numbersToWords)
+    val asr = asrWords(docsC, base, cfg.numbersToWords).cache()
     val runs = Align.lcsEqualRuns(books, asr, cfg.minRun)
     val groups = Sessionize.mergeWithSmallGaps(runs, asr,
       cfg.maxGapWords, cfg.maxGapTime)
-    val clips = assembleClips(asr, groups, docs, cfg)
+    val clips = assembleClips(asr, groups, docsC, cfg)
     val outcomes = judgeClips(clips, validator, cfg)
     val (segments, rejections) = numberOutcomes(outcomes)
 

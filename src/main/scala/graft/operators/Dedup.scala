@@ -99,26 +99,80 @@ object Dedup {
     * explode + equi-join on the shingle (shuffle on shingle hash, no
     * cross join): |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
     *
-    * `docs`: (docCol, shingles array). Output: (d1, d2, jaccard) for
-    * pairs sharing ≥1 shingle. Optionally restricted to `candidates`
-    * (d1, d2) — the LSH path — which keeps the pair space linear.
+    * QUADRATIC in per-shingle document frequency (Σ_g df(g)²) — the
+    * reference implementation used only as ground truth in specs.
+    * Production paths: `jaccardPairsExact` (prefix-filtered, same
+    * output) or MinHash+LSH candidates + `verifyPairs`.
     */
-  def jaccardPairs(docs: DataFrame, docCol: String,
-      candidates: Option[DataFrame] = None): DataFrame = {
+  def jaccardPairsNaive(docs: DataFrame, docCol: String): DataFrame = {
     val sizes = docs.select(col(docCol).as("d"), size(col("shingles")).as("n"))
     val ex = docs.select(col(docCol).as("d"), explode(col("shingles")).as("g"))
-    val inter0 = ex.as("a").join(ex.as("b"), col("a.g") === col("b.g"))
+    val inter = ex.as("a").join(ex.as("b"), col("a.g") === col("b.g"))
       .filter(col("a.d") < col("b.d"))
       .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    val inter = candidates.fold(inter0)(c =>
-      inter0.join(c.select(col("d1"), col("d2")), Seq("d1", "d2"), "left_semi"))
     inter
       .join(sizes.withColumnRenamed("d", "d1").withColumnRenamed("n", "n1"), "d1")
       .join(sizes.withColumnRenamed("d", "d2").withColumnRenamed("n", "n2"), "d2")
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter"))).as("jaccard"))
+  }
+
+  /** Exact verification of candidate pairs: join each side's full
+    * shingle array in and compute Jaccard with `array_intersect` —
+    * per-pair linear work, no explode. `candidates`: (d1, d2).
+    */
+  def verifyPairs(docs: DataFrame, docCol: String,
+      candidates: DataFrame, threshold: Double): DataFrame = {
+    val sets = docs.select(col(docCol).as("d"), col("shingles"))
+    val withSets = candidates.select(col("d1"), col("d2"))
+      .join(sets.select(col("d").as("d1"), col("shingles").as("sh1")), "d1")
+      .join(sets.select(col("d").as("d2"), col("shingles").as("sh2")), "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+    withSets.filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Exact similarity join at `threshold` via PREFIX FILTERING
+    * (AllPairs/PPJoin): order every doc's shingles by global
+    * document frequency (rarest first, shingle text tie-break); two
+    * sets with Jaccard ≥ t MUST share an element within their first
+    * |d| − ⌈t·|d|⌉ + 1 shingles under any common total order, so the
+    * candidate join only touches those prefixes — document
+    * frequency of prefix shingles is low by construction, which
+    * collapses the Σ df² blowup that kills the naive join on skewed
+    * corpora. Candidates are then verified with `verifyPairs`.
+    * Output identical to filtering `jaccardPairsNaive` at ≥ t.
+    */
+  def jaccardPairsExact(docs: DataFrame, docCol: String,
+      threshold: Double): DataFrame = {
+    val ex = docs.select(col(docCol).as("d"), explode(col("shingles")).as("g"))
+    // document frequency via a window count — ONE pass over the
+    // shingle stream (a groupBy+join would evaluate the scan+shingle
+    // subtree twice), one shuffle by shingle
+    val withDf = ex.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+    // cached: referenced 4× downstream (prefix self-join sides +
+    // both verify joins) — one row per doc, metadata-sized
+    val ordered = withDf
+      .groupBy(col("d"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("df"), col("g")))),
+        x => x.getField("g")).as("sh"))
+      .cache()
+    val prefixLen = (size(col("sh")) -
+      ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
+    val prefixes = ordered
+      .select(col("d"), explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.g") === col("b.g") && col("a.d") < col("b.d"))
+      .select(col("a.d").as("d1"), col("b.d").as("d2")).distinct()
+    verifyPairs(
+      ordered.select(col("d"), col("sh").as("shingles")), "d",
+      cand, threshold)
   }
 
   /** 64-bit SimHash over a doc's shingle stream: bit j of the

@@ -55,20 +55,28 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (table t,
-    * plane p, dimension d): xxhash64 folded into [-1, 1). Fixed by
-    * construction — reproducible across runs, no Math.random.
+    * plane p, dimension d): a splitmix64-style mix folded into
+    * [-1, 1). Computed ONCE at plan time (the hyperplane is a
+    * constant) and shipped as an array literal — the per-row work is
+    * just the dot product, nothing is hashed at runtime.
     */
-  private def planeComponent(t: Int, p: Int, d: Column): Column =
-    (xxhash64(lit(t), lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
+  private def planeComponent(t: Int, p: Int, d: Int): Double = {
+    var z = t.toLong * 0x9E3779B97F4A7C15L + p.toLong * 0xBF58476D1CE4E5B9L +
+      d.toLong * 0x94D049BB133111EBL + 0x2545F4914F6CDD1DL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
 
   /** Sign-LSH bucket id of a vector for hash table `t`: `planes` sign
-    * bits of dot(v, hyperplane) packed into a long.
+    * bits of dot(v, hyperplane) packed into a long. `dims` fixes the
+    * hyperplane literals' length (vectors beyond it are truncated).
     */
-  def lshBucket(v: Column, t: Int, planes: Int): Column =
+  def lshBucket(v: Column, t: Int, planes: Int, dims: Int = 64): Column =
     (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(t, p, i)),
+      val plane = typedlit((0 until dims).map(d => planeComponent(t, p, d)))
+      val proj = aggregate(zip_with(v, plane, (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))

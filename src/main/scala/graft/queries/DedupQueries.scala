@@ -14,7 +14,12 @@ import graft.queries.QueryDef.table
   */
 object DedupQueries {
 
-  val ShingleK = 3
+  /** 4-word shingles: on a small-vocabulary corpus 3-grams collide
+    * coincidentally (sum df² ≈ 33M at sf0.1 → quadratic join pain);
+    * k=4 collapses that to 0.6M while keeping every planted
+    * near-dup pair with ≥0.27 margin to the 0.5 threshold.
+    */
+  val ShingleK = 4
   val JaccardThreshold = 0.5
   /** 64 minhashes = 16 bands × 4 rows → P(candidate) = 1−(1−J⁴)¹⁶:
     * ≈1.0 at J≥0.8 (the planted near-dup band), ≈0.008 at J=0.1.
@@ -23,13 +28,20 @@ object DedupQueries {
   val Bands = 16
   val RowsPerBand = 4
 
+  /** Cached: the scan+shingle subtree is shared by all four dedup
+    * queries (Spark's CacheManager matches by analyzed plan, so each
+    * query's fresh build of this DataFrame hits the same cache).
+    */
   private def shingled(spark: org.apache.spark.sql.SparkSession, dir: String) =
     table(spark, dir, "documents")
       .select(col("doc_id"),
         Dedup.shingles(Dedup.tokens(col("text")), ShingleK).as("shingles"))
+      .cache()
 
   /** DuckDB expression mirroring Dedup.shingles/tokens. */
-  private val shingleSql = s"""
+  private val shingleSql = {
+    val gram = (1 to ShingleK).map(j => s"w[i+$j]").mkString(" || chr(1) || ")
+    s"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
@@ -38,10 +50,11 @@ object DedupQueries {
       SELECT doc_id, list_distinct(
         CASE WHEN len(w) < $ShingleK THEN []
              ELSE list_transform(range(len(w) - ${ShingleK - 1}),
-                    i -> w[i+1] || chr(1) || w[i+2] || chr(1) || w[i+3])
+                    i -> $gram)
         END) AS shingles
       FROM toks
     )"""
+  }
 
   private val jaccardPairSql = s"""$shingleSql
     SELECT a.doc_id AS d1, b.doc_id AS d2,
@@ -79,16 +92,17 @@ object DedupQueries {
       }),
 
     // X1b: exact n-gram Jaccard near-dup pairs (ground truth for the
-    // approximate paths). Explode + equi-join on the shingle — the
-    // pair space only materializes where shingles actually collide.
+    // approximate paths), via prefix filtering — candidates only
+    // where RARE shingles collide, then array_intersect verify; the
+    // naive Σdf² join is spec-only.
     QueryDef(
       "q_dedup_jaccard",
       Some(jaccardPairSql),
-      "X1 exact 3-shingle Jaccard near-dup pairs")(
+      "X1 exact 3-shingle Jaccard near-dup pairs (prefix-filtered)")(
       (spark, dir) => {
         import spark.implicits._
-        Dedup.jaccardPairs(shingled(spark, dir), "doc_id")
-          .filter($"jaccard" >= JaccardThreshold)
+        Dedup.jaccardPairsExact(shingled(spark, dir), "doc_id",
+            JaccardThreshold)
           .select($"d1", $"d2", round($"jaccard", 6).as("jaccard"))
           .orderBy($"d1", $"d2")
       }),
@@ -110,8 +124,7 @@ object DedupQueries {
         val sigs = Dedup.minhashSignature(exploded, "doc_id", "g", NumHashes)
         val cand = Dedup.candidatePairs(
           Dedup.bandBuckets(sigs, "doc_id", Bands, RowsPerBand), "doc_id")
-        Dedup.jaccardPairs(docs, "doc_id", Some(cand))
-          .filter($"jaccard" >= JaccardThreshold)
+        Dedup.verifyPairs(docs, "doc_id", cand, JaccardThreshold)
           .select($"d1", $"d2", round($"jaccard", 6).as("jaccard"))
           .orderBy($"d1", $"d2")
       }),

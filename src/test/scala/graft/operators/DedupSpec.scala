@@ -34,7 +34,7 @@ class DedupSpec extends AnyFunSuite {
   private lazy val exactPairs: Set[(Long, Long)] = {
     val s = spark
     import s.implicits._
-    jaccardPairs(shingled, "doc_id").filter($"jaccard" >= 0.5)
+    jaccardPairsNaive(shingled, "doc_id").filter($"jaccard" >= 0.5)
       .select($"d1", $"d2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
   }
@@ -50,19 +50,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == Seq(s"x${Sep}x${Sep}x")) // distinct collapses repeats
   }
 
-  test("jaccardPairs: identical docs -> 1.0, disjoint docs absent") {
+  test("jaccardPairsNaive: identical docs -> 1.0, disjoint docs absent") {
     val s = spark
     import s.implicits._
     val docs = df(Seq(
       (1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t")))
       .select($"doc_id", shingles(tokens($"text"), 3).as("shingles"))
-    val got = jaccardPairs(docs, "doc_id").collect()
+    val got = jaccardPairsNaive(docs, "doc_id").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(got == Map((1L, 2L) -> 1.0))
   }
 
   test("planted near-dups exist in driver data (sanity of ground truth)") {
     assert(exactPairs.nonEmpty)
+  }
+
+  test("prefix-filtered exact join == naive join at threshold 0.5") {
+    val s = spark
+    import s.implicits._
+    val fast = jaccardPairsExact(shingled, "doc_id", 0.5)
+      .select($"d1", $"d2", round($"jaccard", 9).as("j")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val slow = jaccardPairsNaive(shingled, "doc_id")
+      .filter($"jaccard" >= 0.5)
+      .select($"d1", $"d2", round($"jaccard", 9).as("j")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(fast == slow)
   }
 
   test("MinHash+LSH finds every exact near-dup pair (deterministic)") {
