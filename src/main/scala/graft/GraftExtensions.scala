@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.plans.NumToWordsExpression
+
+/** Engine SQL surface: registers graft-native functions so
+  * `spark.sql("SELECT num_to_words(n) ...")` works in any session
+  * configured with
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("num_to_words"),
+      new ExpressionInfo(classOf[NumToWordsExpression].getName,
+        "num_to_words"),
+      (children: Seq[Expression]) => NumToWordsExpression(children.head)))
+  }
+}

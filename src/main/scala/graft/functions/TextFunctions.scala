@@ -60,6 +60,12 @@ object NumToWords {
   /** Concatenated form as used by normalize_word: "".join(words). */
   def concat(n: BigInt): String = words(n).mkString("")
   def concat(n: Long): String = concat(BigInt(n))
+
+  /** Unambiguous entry point for generated Java code
+    * (NumToWordsExpression.doGenCode calls this via the static
+    * forwarder class).
+    */
+  def javaConcat(n: Long): String = concat(BigInt(n))
 }
 
 /** Scalar text kernels of the reference pipeline, exposed both as pure

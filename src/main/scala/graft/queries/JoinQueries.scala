@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.queries.QueryDef.table
+
+/** Join-operator contract queries: the relational join surface the
+  * engine exposes beyond the reference's sequence joins (SURVEY.md
+  * §2.3 "not present in reference") — as-of, broadcast range/theta,
+  * broadcast star joins, and per-group top-k. Every plan is checked
+  * for its intended physical shape in JoinPlanSpec (broadcast dims
+  * broadcast, single window shuffle for as-of).
+  */
+object JoinQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // As-of join: each purchase event ⋈ the user's latest prior-or-
+    // simultaneous click. One window shuffle, no range-candidate
+    // blowup (AsOfJoin scaladoc). Oracle: DuckDB native ASOF JOIN.
+    QueryDef(
+      "q_asof_join",
+      Some("""
+        WITH p AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+                   FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, c.click_id, round(c.click_value, 3) AS click_value
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+      """.trim),
+      "as-of join: purchase ⋈ latest prior click per user")(
+      (spark, dir) => {
+        import spark.implicits._
+        val ev = QueryDef.events(spark, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id".as("click_id"),
+            $"value".as("click_value"))
+        AsOfJoin.asOf(purchases, clicks, "user_id", "ts",
+            Seq("click_id", "click_value"))
+          .select($"event_id", $"user_id", $"click_id",
+            round($"click_value", 3).as("click_value"))
+          .orderBy($"event_id")
+      }),
+
+    // Broadcast theta/range join: events banded into value tiers via
+    // a non-equi join against a tiny broadcast dimension — the plan
+    // must be BroadcastNestedLoopJoin with the 4-row side broadcast,
+    // never a shuffle of the fact table.
+    QueryDef(
+      "q_range_join",
+      Some("""
+        WITH tiers(tier, lo, hi) AS (VALUES
+          ('low', 0.0, 100.0), ('mid', 100.0, 250.0),
+          ('high', 250.0, 400.0), ('top', 400.0, 1e9))
+        SELECT t.tier, count(*) AS n, round(sum(e.value), 2) AS sum_value
+        FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+        GROUP BY t.tier
+        ORDER BY t.tier
+      """.trim),
+      "broadcast range join: events banded into value tiers")(
+      (spark, dir) => {
+        import spark.implicits._
+        val tiers = Seq(
+          ("low", 0.0, 100.0), ("mid", 100.0, 250.0),
+          ("high", 250.0, 400.0), ("top", 400.0, 1e9))
+          .toDF("tier", "lo", "hi")
+        QueryDef.events(spark, dir).as("e")
+          .join(broadcast(tiers).as("t"),
+            $"e.value" >= $"t.lo" && $"e.value" < $"t.hi")
+          .groupBy($"t.tier".as("tier"))
+          .agg(count(lit(1)).as("n"),
+            round(sum($"e.value"), 2).as("sum_value"))
+          .orderBy($"tier")
+      }),
+
+    // Star join: fact orders ⋈ broadcast dims customer/nation/region,
+    // revenue rollup. Catalyst should pick broadcast hash joins for
+    // every dim (they are tiny); the only shuffle is the final agg.
+    QueryDef(
+      "q_star_join",
+      Some("""
+        SELECT r.r_name AS region, o.o_orderstatus AS status,
+               count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, o.o_orderstatus
+        ORDER BY region, status
+      """.trim),
+      "star join: orders ⋈ customer ⋈ nation ⋈ region rollup")(
+      (spark, dir) => {
+        import spark.implicits._
+        table(spark, dir, "orders").as("o")
+          .join(broadcast(table(spark, dir, "customer")).as("c"),
+            $"o.o_custkey" === $"c.c_custkey")
+          .join(broadcast(table(spark, dir, "nation")).as("n"),
+            $"c.c_nationkey" === $"n.n_nationkey")
+          .join(broadcast(table(spark, dir, "region")).as("r"),
+            $"n.n_regionkey" === $"r.r_regionkey")
+          .groupBy($"r.r_name".as("region"), $"o.o_orderstatus".as("status"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum($"o.o_totalprice"), 2).as("revenue"))
+          .orderBy($"region", $"status")
+      }),
+
+    // Per-group top-k: 3 highest-value orders per nation —
+    // rank inside a window partitioned by the group key; only the
+    // dims broadcast, the fact shuffles once for the window.
+    QueryDef(
+      "q_topk_per_group",
+      Some("""
+        SELECT nation, o_orderkey, price
+        FROM (
+          SELECT n.n_name AS nation, o.o_orderkey,
+                 round(o.o_totalprice, 2) AS price,
+                 row_number() OVER (PARTITION BY n.n_name
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+        )
+        WHERE rk <= 3
+        ORDER BY nation, rk
+      """.trim),
+      "top-3 orders by totalprice per nation")(
+      (spark, dir) => {
+        import spark.implicits._
+        val w = Window.partitionBy($"nation")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        table(spark, dir, "orders").as("o")
+          .join(broadcast(table(spark, dir, "customer")).as("c"),
+            $"o.o_custkey" === $"c.c_custkey")
+          .join(broadcast(table(spark, dir, "nation")).as("n"),
+            $"c.c_nationkey" === $"n.n_nationkey")
+          .select($"n.n_name".as("nation"), $"o.o_orderkey",
+            $"o.o_totalprice")
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .orderBy($"nation", $"rk")
+          .select($"nation", $"o_orderkey",
+            round($"o_totalprice", 2).as("price"))
+      }),
+  )
+}

@@ -77,21 +77,23 @@ object TextQueries {
           .orderBy($"doc_id", $"token")
       }),
 
-    // P3: integer → English words. Not SQL-expressible → no oracle
-    // (rows-only driver check); exact parity is golden-tested in
-    // NumToWordsSpec against the reference value table.
+    // P3: integer → English words, as a native codegen Expression
+    // registered through SparkSessionExtensions (beats a Scala UDF:
+    // no serialization, stays in whole-stage codegen, folds
+    // constants). Not SQL-expressible in DuckDB → no oracle
+    // (rows-only driver check); exact parity is golden-tested
+    // against the reference value table.
     QueryDef(
       "q_num_to_words",
       None,
-      "P3 _num_to_words (claude_research_optimal.py:37–64)")(
+      "P3 _num_to_words as codegen Expression (claude_research_optimal.py:37–64)")(
       (spark, dir) => {
         import spark.implicits._
-        val toWords = udf((n: Long) => NumToWords.concat(n))
         table(spark, dir, "part")
           .select($"p_partkey".as("n")).distinct()
           .union(table(spark, dir, "orders").select($"o_totalprice".cast("long").as("n")).distinct())
           .distinct()
-          .select($"n", toWords($"n").as("words"))
+          .select($"n", call_function("num_to_words", $"n").as("words"))
           .orderBy($"n")
       }),
 

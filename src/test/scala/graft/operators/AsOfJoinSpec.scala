@@ -1,0 +1,91 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkHarness
+
+/** As-of join semantics on literal data plus physical-plan shape
+  * checks for the join suite (broadcast where intended).
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkHarness.spark
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("asOf: latest prior-or-simultaneous right row per key") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, ts(10), "l1"), (1L, ts(20), "l2"), (1L, ts(5), "l0"),
+      (2L, ts(10), "l3")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, ts(10), 100L), (1L, ts(15), 150L), (3L, ts(1), 999L))
+      .toDF("k", "ts", "rid")
+    val got = AsOfJoin.asOf(left, right, "k", "ts", Seq("rid"))
+      .select($"lv", $"rid").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got == Map(
+      "l0" -> -1L, // before any right row
+      "l1" -> 100L, // simultaneous right row visible
+      "l2" -> 150L, // latest prior
+      "l3" -> -1L)) // key with no right rows
+  }
+
+  test("asOf plan: single exchange (window), no join node") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, ts(10), "x")).toDF("k", "ts", "lv")
+    val right = Seq((1L, ts(5), 1L)).toDF("k", "ts", "rid")
+    val plan = AsOfJoin.asOf(left, right, "k", "ts", Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    assert(plan.contains("Window"), s"expected window in:\n$plan")
+  }
+
+  test("star join plan broadcasts every dimension") {
+    val plan = graft.SparkEntry.queries("q_star_join")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts == 3, s"expected 3 broadcast joins, got $broadcasts")
+    assert(!plan.contains("SortMergeJoin"), "dims must not sort-merge")
+  }
+
+  test("range join plan broadcasts the tier table") {
+    val plan = graft.SparkEntry.queries("q_range_join")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast NLJ in:\n$plan")
+  }
+
+  test("q_asof_join matches a per-key reference computation") {
+    val s = spark
+    import s.implicits._
+    val got = graft.SparkEntry.queries("q_asof_join")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // reference: per-user sorted scan in plain Scala
+    val ev = QueryDefTestAccess.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    val want = byUser.values.flatMap { rows =>
+      val clicks = rows.filter(_._4 == "click").sortBy(r => (r._2.getTime, r._3))
+      rows.filter(_._4 == "purchase").map { p =>
+        val prior = clicks.filter(c => !c._2.after(p._2))
+        p._3 -> prior.lastOption.map(_._3).getOrElse(-1L)
+      }
+    }.toMap
+    assert(got == want)
+  }
+}
+
+/** Test access to the events reader (nanos → micros handling). */
+object QueryDefTestAccess {
+  def events(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.queries.QueryDef.events(spark, dir)
+}
