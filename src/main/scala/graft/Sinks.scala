@@ -82,6 +82,26 @@ object Sinks {
       .coalesce(1).write.mode("overwrite").json(s"$outDir/summary_json")
   }
 
+  /** K7 — optional debug dumps (claude_research_optimal.py:448–454):
+    * per-doc space-joined raw/norm ASR words and per-word confidence
+    * JSON, written only when requested (the reference's --dump_asr).
+    */
+  def writeDebugDumps(asr: Dataset[graft.core.AsrWord],
+      outDir: String): Unit = {
+    val spark = asr.sparkSession
+    import spark.implicits._
+    asr.toDF()
+      .groupBy($"doc_id")
+      .agg(
+        concat_ws(" ", sort_array(collect_list(struct($"idx", $"text")))
+          .getField("text")).as("asr_full_raw"),
+        concat_ws(" ", sort_array(collect_list(struct($"idx", $"norm")))
+          .getField("norm")).as("asr_full_norm"))
+      .coalesce(1).write.mode("overwrite").json(s"$outDir/asr_dumps")
+    asr.toDF().select($"doc_id", $"text".as("word"), $"confidence")
+      .coalesce(1).write.mode("overwrite").json(s"$outDir/asr_confidence")
+  }
+
   /** K5 — word-coverage CSV (batch_processor.py:39–45): whitespace
     * tokens of exported segment texts, (count asc, word asc).
     */

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits (the "is this the plan you'd want" gate):
+  * column pruning reaches the parquet scans, filters push down, and
+  * hot aggregations are whole-stage-codegen'd with partial
+  * aggregation. Guards against regressions that correctness tests
+  * can't see.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkHarness.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.collect() // finalize AQE so the plan string shows real stages
+    val full = df.queryExecution.executedPlan.toString
+    // keep only the AQE final plan (the initial plan would double-
+    // count operators)
+    full.split("== Initial Plan ==")(0)
+  }
+
+  test("q_token_count prunes documents scan to (doc_id, text)") {
+    val p = plan("q_token_count")
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang") && !read.contains("source") &&
+      !read.contains("n_chars"), s"unpruned scan: $read")
+  }
+
+  test("q_asof_join pushes the event_type filters into the scans") {
+    val p = plan("q_asof_join")
+    assert("PushedFilters: \\[[^\\]]*event_type[^\\]]*\\]".r
+      .findFirstIn(p).isDefined ||
+      p.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"no pushed filter in:\n${p.take(2000)}")
+  }
+
+  test("q_word_coverage aggregates with partial (map-side) agg") {
+    val p = plan("q_word_coverage")
+    assert(p.contains("partial_count"), "no map-side partial agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "no final agg pair")
+    // whole-stage codegen spans render as *(n) prefixes
+    assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, "agg not codegen'd")
+  }
+
+  test("q_star_join: no shuffle before the broadcast joins") {
+    val p = plan("q_star_join")
+    // exactly one exchange for the final groupBy (plus AQE reads),
+    // none feeding the joins
+    val joins = p.split("BroadcastHashJoin")
+    assert(joins.length == 4, s"expected 3 BHJ")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_knn_brute broadcasts the query side, never the corpus") {
+    val p = plan("q_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+  }
+}
