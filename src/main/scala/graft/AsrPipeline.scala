@@ -366,6 +366,10 @@ object AsrPipeline {
         when($"exported" + $"rejected" > 0,
           round($"rejected" * 100.0 / ($"exported" + $"rejected"), 2))
           .otherwise(0.0))
+      // F7 — batch success gating (batch_processor.py:88–98): a doc
+      // "fails" when it exports zero segments
+      .withColumn("status",
+        when($"exported" > 0, "success").otherwise("failed"))
 
     // K2 clips.tsv shape (claude_research_optimal.py:477, 666)
     val clipsTsv = segments.toDF().select(
