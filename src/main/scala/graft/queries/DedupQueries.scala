@@ -129,6 +129,41 @@ object DedupQueries {
           .orderBy($"d1", $"d2")
       }),
 
+    // X1e: embedding-cosine near-dup pairs. Pair generation is a
+    // broadcast non-equi self-join (one side broadcast, the corpus
+    // never shuffles); cosine is the same sequential-fold double
+    // math as the oracle, so membership at the threshold is exact.
+    // The 100 TB path replaces the self-join with sign-LSH buckets
+    // (Similarity.lshTopK) — kept here as the exact baseline.
+    QueryDef(
+      "q_dedup_embedding",
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id AS v1, b.vec_id AS v2,
+               round(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) *
+                  sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e)) *
+               sqrt(list_dot_product(b.e, b.e))) >= 0.4
+        ORDER BY v1, v2
+      """.trim),
+      "X1 embedding-cosine near-dup pairs (exact baseline)")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.Similarity
+        val v = table(spark, dir, "embeddings")
+          .select($"vec_id", Similarity.toDouble($"embedding").as("e"))
+        val a = v.select($"vec_id".as("v1"), $"e".as("e1"))
+        val b = v.select($"vec_id".as("v2"), $"e".as("e2"))
+        broadcast(a).join(b, $"v1" < $"v2")
+          .withColumn("cos0", Similarity.cosine($"e1", $"e2"))
+          .filter($"cos0" >= 0.4)
+          .select($"v1", $"v2", round($"cos0", 6).as("cos"))
+          .orderBy($"v1", $"v2")
+      }),
+
     // X1d: SimHash near-dup — 64-bit signatures, 8×8-bit chunk
     // blocking (complete for hamming ≤ 7, see Dedup.simhashPairs).
     // On this data planted near-dups sit at hamming ≤ 6 while random

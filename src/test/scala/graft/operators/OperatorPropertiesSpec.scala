@@ -1,0 +1,175 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{PropertyHarness, SparkHarness}
+import graft.functions.TextFunctions
+
+/** ScalaCheck properties for the windowed/join/dedup operators
+  * (SURVEY.md §5.2 item 3): session invariants, boundary-math
+  * monotonicity, as-of join vs a per-key reference scan, and
+  * prefix-filtered vs naive Jaccard equivalence on random corpora.
+  */
+class OperatorPropertiesSpec extends AnyFunSuite with PropertyHarness {
+  private lazy val spark = SparkHarness.spark
+
+  // -------- W2 sessionization invariants on random event streams
+
+  private val eventsGen: Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      user <- Gen.choose(0L, 2L)
+      idGap <- Gen.choose(1L, 8L)
+      tGap <- Gen.choose(1L, 2000L) // ms
+    } yield (user, idGap, tGap))
+  } yield rows
+
+  test("property: session ids are contiguous, gaps respect both " +
+      "predicates inside, violate one at boundaries") {
+    val s = spark
+    import s.implicits._
+    forAllSampled(eventsGen, n = 30) { rows =>
+      // build per-user cumulative streams
+      val evs = rows.zipWithIndex
+        .groupBy(_._1._1)
+        .flatMap { case (u, rs) =>
+          var id = 0L; var t = 0L
+          rs.map { case ((_, idGap, tGap), i) =>
+            id += idGap; t += tGap
+            (u, new Timestamp(t), id)
+          }
+        }.toSeq
+      if (evs.nonEmpty) {
+        val df = evs.toDF("user_id", "ts", "event_id")
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val maxIdGap = 5L
+        val maxTGapMs = 700L
+        val boundary = lag($"event_id", 1).over(w).isNull ||
+          $"event_id" - lag($"event_id", 1).over(w) > maxIdGap ||
+          unix_millis($"ts") - unix_millis(lag($"ts", 1).over(w)) > maxTGapMs
+        val got = df.withColumn("sid",
+            Sessionize.sessionId(Seq($"user_id"), Seq($"ts", $"event_id"),
+              boundary))
+          .orderBy($"user_id", $"ts", $"event_id")
+          .collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+            r.getLong(2), r.getLong(3)))
+        got.groupBy(_._1).values.foreach { rows0 =>
+          val rows = rows0.sortBy(r => (r._2, r._3))
+          // contiguous 1-based ids
+          val sids = rows.map(_._4).toSeq
+          assert(sids.head == 1L)
+          sids.sliding(2).foreach {
+            case Seq(a, b) => assert(b == a || b == a + 1)
+            case _ =>
+          }
+          // within-session rows respect BOTH gaps; boundaries violate one
+          rows.toSeq.sliding(2).foreach {
+            case Seq(a, b) =>
+              val within = b._4 == a._4
+              val idOk = b._3 - a._3 <= maxIdGap
+              val tOk = b._2 - a._2 <= maxTGapMs
+              if (within) assert(idOk && tOk)
+              else assert(!idOk || !tOk)
+            case _ =>
+          }
+        }
+      }
+    }
+  }
+
+  // -------- boundary math monotonicity (claude_research_optimal.py:584–585)
+
+  test("property: clip boundaries always satisfy s < e") {
+    val gen = for {
+      start <- Gen.choose(0.0, 100.0)
+      dur <- Gen.choose(-0.5, 3.0) // negative = degenerate input
+      conf <- Gen.choose(0.0, 1.0)
+      nextGap <- Gen.choose(-0.3, 2.0)
+      word <- Gen.alphaLowerStr
+    } yield (start, dur, conf, nextGap, word)
+    forAllSampled(gen, n = 500) { case (start, dur, conf, nextGap, word) =>
+      var sMs = TextFunctions.secToMsScala(start)
+      sMs = math.max(0L, sMs - 150)
+      var eMs = TextFunctions.secToMsScala(start + dur) + 140 + 80
+      val nextStart = TextFunctions.secToMsScala(start + dur + nextGap)
+      eMs = math.min(eMs,
+        nextStart - TextFunctions.adaptiveGuardScala(conf, 35))
+      val ext = TextFunctions.phonemeExtensionScala(word)
+      if (word.length >= 3 && ext > 0) eMs += ext
+      if (eMs <= sMs) eMs = sMs + 1
+      assert(eMs > sMs)
+    }
+  }
+
+  // -------- as-of join vs per-key reference scan on random data
+
+  private val asofGen: Gen[(List[(Long, Long)], List[(Long, Long, Long)])] =
+    for {
+      nl <- Gen.choose(1, 30)
+      nr <- Gen.choose(0, 30)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 500L)))
+      rs <- Gen.listOfN(nr, for {
+        k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 500L)
+        p <- Gen.choose(0L, 999L)
+      } yield (k, t, p))
+    } yield (ls, rs)
+
+  test("property: AsOfJoin matches a naive per-key scan") {
+    val s = spark
+    import s.implicits._
+    forAllSampled(asofGen, n = 20) { case (ls0, rs0) =>
+      // dedupe right (k, ts) so 'latest prior' is unambiguous
+      val ls = ls0.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rs = rs0.groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+      val left = ls.toDF("k", "ts", "lid")
+      val right = rs.toDF("k", "ts", "payload")
+      val got = AsOfJoin.asOf(left, right, "k", "ts", Seq("payload"))
+        .collect().map(r => r.getLong(2) ->
+          (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      val want = ls.map { case (k, t, lid) =>
+        val prior = rs.filter(r => r._1 == k && r._2 <= t)
+        lid -> (if (prior.isEmpty) -1L
+                else prior.maxBy(_._2)._3)
+      }.toMap
+      assert(got == want)
+    }
+  }
+
+  // -------- prefix-filtered Jaccard == naive on random corpora
+
+  private val corpusGen: Gen[List[String]] = {
+    val word = Gen.oneOf((0 until 12).map(i => s"w$i"))
+    for {
+      nDocs <- Gen.choose(2, 20)
+      docs <- Gen.listOfN(nDocs, for {
+        n <- Gen.choose(0, 25)
+        ws <- Gen.listOfN(n, word)
+      } yield ws.mkString(" "))
+    } yield docs
+  }
+
+  test("property: jaccardPairsExact == naive>=t on random corpora") {
+    val s = spark
+    import s.implicits._
+    forAllSampled(corpusGen, n = 15) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select($"doc_id",
+          Dedup.shingles(Dedup.tokens($"text"), 3).as("shingles"))
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          ((r.getLong(0), r.getLong(1)), math.round(r.getDouble(2) * 1e9)))
+          .toMap
+      val fast = pairs(Dedup.jaccardPairsExact(docs, "doc_id", 0.4))
+      val slow = pairs(Dedup.jaccardPairsNaive(docs, "doc_id")
+        .filter($"jaccard" >= 0.4))
+      assert(fast == slow)
+    }
+  }
+}
