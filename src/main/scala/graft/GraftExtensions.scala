@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.NumToWordsExpression
+import graft.plans.{DotProduct, NumToWordsExpression}
 
 /** Engine SQL surface: registers graft-native functions so
   * `spark.sql("SELECT num_to_words(n) ...")` works in any session
@@ -18,5 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NumToWordsExpression].getName,
         "num_to_words"),
       (children: Seq[Expression]) => NumToWordsExpression(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (children: Seq[Expression]) =>
+        DotProduct(children(0), children(1))))
   }
 }

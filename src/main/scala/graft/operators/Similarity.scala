@@ -27,9 +27,12 @@ object Similarity {
   /** Cast a float vector to double element-wise (precision parity). */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential-fold dot product of two double vectors. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product. Resolves to the native codegen
+    * `vec_dot` expression (GraftExtensions) — one static call per
+    * row instead of per-element interpreted HOFs; numerically
+    * identical to the fold (same order of operations).
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -80,6 +83,59 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** IVF (inverted-file) ANN — the other classic scale path: cluster
+    * the corpus with MLlib KMeans (distributed fit, fixed seed),
+    * bucket every vector by nearest centroid, and have each query
+    * probe only its `nprobe` closest centroids' buckets, re-ranking
+    * candidates with exact cosine. The centroid table is tiny and
+    * ships as literals, so probe selection is pure per-row math; the
+    * candidate join is an equi-join on centroid id (shuffle ∝
+    * corpus/nlist per probe, never all-pairs).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val feats = corpus.select(col(idCol),
+      array_to_vector(toDouble(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(feats)
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+
+    def sqDistToCentroid(v: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(v, typedlit(c), (x, w) => (x - w) * (x - w)),
+        lit(0.0), (acc, x) => acc + x)
+
+    def nearest(v: Column): Column = // argmin over centroid literals
+      centroids.zipWithIndex.map { case (c, i) =>
+        struct(sqDistToCentroid(v, c).as("d"), lit(i).as("cid"))
+      }.reduce((a, b) => when(a.getField("d") <= b.getField("d"), a)
+        .otherwise(b)).getField("cid")
+
+    def probes(v: Column): Column = // nprobe closest centroid ids
+      slice(transform(array_sort(array(centroids.zipWithIndex.map {
+        case (c, i) =>
+          struct(sqDistToCentroid(v, c).as("d"), lit(i).as("cid"))
+      }: _*)), s => s.getField("cid")), 1, nprobe)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("neighbor_v"))
+      .withColumn("cid", nearest(col("neighbor_v")))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("query_v"))
+      .select(col("query_id"), col("query_v"),
+        explode(probes(col("query_v"))).as("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("query_v"), col("neighbor_v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
 
   /** Approximate top-k: candidates share an LSH bucket in ≥1 of
     * `tables` hash tables; exact cosine re-rank on candidates only.

@@ -153,12 +153,15 @@ object DedupQueries {
       (spark, dir) => {
         import spark.implicits._
         import graft.operators.Similarity
+        // norms computed once per row (not per pair); pair cos =
+        // dot/(n1·n2) — the oracle's exact arithmetic
         val v = table(spark, dir, "embeddings")
           .select($"vec_id", Similarity.toDouble($"embedding").as("e"))
-        val a = v.select($"vec_id".as("v1"), $"e".as("e1"))
-        val b = v.select($"vec_id".as("v2"), $"e".as("e2"))
+          .withColumn("n", Similarity.l2norm($"e"))
+        val a = v.select($"vec_id".as("v1"), $"e".as("e1"), $"n".as("n1"))
+        val b = v.select($"vec_id".as("v2"), $"e".as("e2"), $"n".as("n2"))
         broadcast(a).join(b, $"v1" < $"v2")
-          .withColumn("cos0", Similarity.cosine($"e1", $"e2"))
+          .withColumn("cos0", Similarity.dot($"e1", $"e2") / ($"n1" * $"n2"))
           .filter($"cos0" >= 0.4)
           .select($"v1", $"v2", round($"cos0", 6).as("cos"))
           .orderBy($"v1", $"v2")

@@ -76,7 +76,26 @@ object SimilarityQueries {
           .orderBy($"query_id", $"rank")
       }),
 
-    // X2c: label-centroid similarity — grouped vector aggregation:
+    // X2c: IVF ANN — KMeans-bucketed inverted file, nprobe=4 of 16
+    // lists probed per query, exact cosine re-rank. Rows-only
+    // (KMeans isn't DuckDB-reproducible); SimilaritySpec bounds
+    // recall vs the brute-force twin.
+    QueryDef(
+      "q_knn_ivf",
+      None,
+      "X2 IVF (KMeans inverted-file) approximate top-k cosine")(
+      (spark, dir) => {
+        import spark.implicits._
+        val emb = table(spark, dir, "embeddings")
+        val queries = emb.filter($"vec_id" % QueryStride === 0)
+        Similarity.ivfTopK(queries, emb, "vec_id", "embedding", K,
+            nlist = 16, nprobe = 4)
+          .select($"query_id", $"neighbor_id", $"rank",
+            round($"cos", 6).as("cos"))
+          .orderBy($"query_id", $"rank")
+      }),
+
+    // X2d: label-centroid similarity — grouped vector aggregation:
     // per-label mean vector (element-wise, via posexplode + groupBy),
     // then each label's centroid norm. Exercises vector agg at scale
     // (the shuffle carries (label, dim) pairs — fully partial-agg'd).

@@ -42,6 +42,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSet == Set((0L, 1L), (1L, 0L)))
   }
 
+  test("IVF top-k recall >= 0.7 vs brute force on driver embeddings") {
+    val s = spark
+    import s.implicits._
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(bruteForceTopK(queries, emb, "vec_id", "embedding", 5))
+    val ivf = pairs(ivfTopK(queries, emb, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 4))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, s"IVF recall $recall < 0.7")
+  }
+
   test("LSH top-k recall >= 0.9 vs brute force on driver embeddings") {
     val s = spark
     import s.implicits._
