@@ -15,7 +15,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     TextQueries.defs ++ EventQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextAnalysisQueries.defs ++
-      PipelineQueries.defs ++ JoinQueries.defs
+      PipelineQueries.defs ++ JoinQueries.defs ++ RelationalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

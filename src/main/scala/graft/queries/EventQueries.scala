@@ -286,8 +286,8 @@ object EventQueries {
       "q_batch_rollup",
       Some("""
         SELECT o_orderstatus AS status, count(*) AS n,
-               round(avg(o_totalprice), 4) AS avg_price,
-               round(sum(o_totalprice), 2) AS total_price
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE), 2) AS total_price
         FROM orders
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
@@ -298,8 +298,10 @@ object EventQueries {
         QueryDef.table(spark, dir, "orders")
           .groupBy($"o_orderstatus".as("status"))
           .agg(count(lit(1)).as("n"),
-            round(avg($"o_totalprice"), 4).as("avg_price"),
-            round(sum($"o_totalprice"), 2).as("total_price"))
+            round(sum($"o_totalprice".cast("decimal(20,6)")).cast("double")
+              / count(lit(1)), 4).as("avg_price"),
+            round(sum($"o_totalprice".cast("decimal(20,6)")).cast("double"), 2)
+              .as("total_price"))
           .orderBy($"status")
       }),
 

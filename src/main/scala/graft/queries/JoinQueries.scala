@@ -86,7 +86,8 @@ object JoinQueries {
       "q_star_join",
       Some("""
         SELECT r.r_name AS region, o.o_orderstatus AS status,
-               count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -106,7 +107,8 @@ object JoinQueries {
             $"n.n_regionkey" === $"r.r_regionkey")
           .groupBy($"r.r_name".as("region"), $"o.o_orderstatus".as("status"))
           .agg(count(lit(1)).as("n_orders"),
-            round(sum($"o.o_totalprice"), 2).as("revenue"))
+            round(sum($"o.o_totalprice".cast("decimal(20,6)")).cast("double"), 2)
+              .as("revenue"))
           .orderBy($"region", $"status")
       }),
 
