@@ -19,14 +19,23 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // drop every cached dataset AND persisted RDD (MLlib leaves
+    // internal RDD caches that catalog.clearCache misses) so queries
+    // neither read stale caches nor accumulate heap across the run
+    def dropCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t = try {
         fn(spark, sfDir).count() // warmup: codegen + JIT
-        spark.catalog.clearCache() // timed run must recompute
+        dropCaches() // timed run must recompute
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
+      dropCaches()
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

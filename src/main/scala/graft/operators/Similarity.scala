@@ -108,17 +108,19 @@ object Similarity {
       aggregate(zip_with(v, typedlit(c), (x, w) => (x - w) * (x - w)),
         lit(0.0), (acc, x) => acc + x)
 
-    def nearest(v: Column): Column = // argmin over centroid literals
-      centroids.zipWithIndex.map { case (c, i) =>
-        struct(sqDistToCentroid(v, c).as("d"), lit(i).as("cid"))
-      }.reduce((a, b) => when(a.getField("d") <= b.getField("d"), a)
-        .otherwise(b)).getField("cid")
-
-    def probes(v: Column): Column = // nprobe closest centroid ids
-      slice(transform(array_sort(array(centroids.zipWithIndex.map {
+    // centroid ids ordered by distance, built from ONE array of
+    // (dist, cid) structs. NB: an argmin via reduce(when(a<=b,a,b))
+    // would duplicate the whole distance subtree at every step —
+    // exponential expression blowup at nlist=16.
+    def rankedCids(v: Column): Column =
+      transform(array_sort(array(centroids.zipWithIndex.map {
         case (c, i) =>
           struct(sqDistToCentroid(v, c).as("d"), lit(i).as("cid"))
-      }: _*)), s => s.getField("cid")), 1, nprobe)
+      }: _*)), s => s.getField("cid"))
+
+    def nearest(v: Column): Column = element_at(rankedCids(v), 1)
+
+    def probes(v: Column): Column = slice(rankedCids(v), 1, nprobe)
 
     val c = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("neighbor_v"))
