@@ -38,13 +38,13 @@ object EventQueries {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
           SELECT user_id, ts, event_id, value,
-            sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           FROM flagged
         )
         SELECT user_id, session_id, count(*) AS n_events,
                min(event_id) AS first_event, max(event_id) AS last_event,
-               round(sum(value), 3) AS sum_value
+               round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 3) AS sum_value
         FROM sessions
         GROUP BY user_id, session_id
         ORDER BY user_id, session_id
@@ -64,7 +64,10 @@ object EventQueries {
           .agg(count(lit(1)).as("n_events"),
             min($"event_id").as("first_event"),
             max($"event_id").as("last_event"),
-            round(sum($"value"), 3).as("sum_value"))
+            // Decimal sum: Spark's unordered partial aggregation and DuckDB
+            // sum doubles in different orders; decimal is order-independent.
+            round(sum($"value".cast("decimal(20,6)")).cast("double"), 3)
+              .as("sum_value"))
           .orderBy($"user_id", $"session_id")
       }),
 
@@ -117,8 +120,12 @@ object EventQueries {
       (spark, dir) => {
         import spark.implicits._
         val startMs0 = (unix_micros($"ts") / 1000L).as("start_ms0")
+        // Duration ms = secToMs(value/100 s), algebraically bround(value*10).
+        // Use the *same* IEEE expression order as the oracle's
+        // round_even(value * 10, 0): (value/100)*1000 differs by an ulp for
+        // some inputs, flipping HALF_EVEN at exact-.5 ties.
         val endMs0 = (unix_micros($"ts") / 1000L +
-          TF.secToMsCol($"value" / 100.0)).as("end_ms0")
+          bround($"value" * 10, 0).cast("long")).as("end_ms0")
         val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
         val withWords = QueryDef.events(spark, dir)
           .select($"event_id", $"user_id", $"ts", $"event_type",
@@ -261,9 +268,10 @@ object EventQueries {
       "q_summary_stats",
       Some("""
         SELECT
-          sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS exported,
-          sum(CASE WHEN value < 100.0 THEN 1 ELSE 0 END) AS rejected,
-          round(sum(CASE WHEN value < 100.0 THEN 1 ELSE 0 END) * 100.0 / count(*), 2)
+          CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS exported,
+          CAST(sum(CASE WHEN value < 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS rejected,
+          round(CAST(CAST(sum(CASE WHEN value < 100.0 THEN 1 ELSE 0 END) AS DECIMAL(20,6))
+                     * 100 / count(*) AS DOUBLE), 2)
             AS rejection_rate_pct,
           count(DISTINCT event_type) AS event_types,
           count(DISTINCT user_id) AS users
@@ -275,7 +283,10 @@ object EventQueries {
         QueryDef.events(spark, dir).agg(
           sum(when($"value" >= 100.0, 1).otherwise(0)).as("exported"),
           sum(when($"value" < 100.0, 1).otherwise(0)).as("rejected"),
-          round(sum(when($"value" < 100.0, 1).otherwise(0)) * 100.0 / count(lit(1)), 2)
+          // Rate computed in decimal on both sides: integer÷integer in double
+          // is not bit-identical across engines at 2-decimal rounding edges.
+          round((sum(when($"value" < 100.0, 1).otherwise(0)).cast("decimal(20,6)")
+            * 100 / count(lit(1))).cast("double"), 2)
             .as("rejection_rate_pct"),
           countDistinct($"event_type").as("event_types"),
           countDistinct($"user_id").as("users"))

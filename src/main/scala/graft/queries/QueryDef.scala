@@ -33,6 +33,9 @@ object QueryDef {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // NB: must be integral `div`, not `/` — long `/` promotes to double,
+    // and nanos epochs (~1.7e18) exceed double's 2^53 exact-integer range,
+    // so `/` rounds where DuckDB truncates (off-by-1µs on ~half the rows).
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
