@@ -27,7 +27,15 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated subset for local iteration, e.g.
+    // SPARK_GRAFT_ONLY=q_knn_lsh,q_knn_ivf — full run when unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t = try {
         fn(spark, sfDir).count() // warmup: codegen + JIT
         dropCaches() // timed run must recompute

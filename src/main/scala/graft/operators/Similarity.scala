@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 /** Approximate/exact nearest-neighbor search over an embedding column
   * (`array<float>`) — north star X2 (SURVEY.md §2.10).
   *
-  * Vector math is pure higher-order-function expressions
-  * (`transform`/`zip_with`/`aggregate`) in DoubleType — codegen'd,
-  * no UDF, and numerically identical to a sequential fold so the
-  * DuckDB oracle can reproduce values bit-for-bit before rounding.
+  * Vector math on every hot path goes through the native codegen
+  * `vec_dot` expression (one static call per row — Spark's
+  * higher-order functions are interpreted per element); its
+  * sequential fold order is identical to DuckDB's
+  * `list_dot_product`, so oracles reproduce values bit-for-bit
+  * before rounding.
   *
   * Scale notes (100 TB):
   *   - Brute-force top-k is O(|Q|·|N|): correct baseline, usable when
@@ -79,8 +81,10 @@ object Similarity {
   def lshBucket(v: Column, t: Int, planes: Int, dims: Int = 64): Column =
     (0 until planes).map { p =>
       val plane = typedlit((0 until dims).map(d => planeComponent(t, p, d)))
-      val proj = aggregate(zip_with(v, plane, (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
+      // Native vec_dot, not aggregate(zip_with(...)): HOFs are
+      // interpreted per element; this is one static call in codegen
+      // with the identical sequential fold order.
+      val proj = dot(v, plane)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
@@ -94,19 +98,38 @@ object Similarity {
     * corpus/nlist per probe, never all-pairs).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      fitFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val feats = corpus.select(col(idCol),
+    // Centroid quality needs only a sample of the corpus: at 100 TB
+    // pass fitFraction ≪ 1 so each Lloyd iteration scans a sliver.
+    // The sample is coalesced to a few partitions — every KMeans
+    // iteration is a separate job, and 10 jobs × hundreds of near-empty
+    // tasks is pure scheduler overhead on a small fit input.
+    val sampled =
+      if (fitFraction >= 1.0) corpus else corpus.sample(fitFraction, 42L)
+    val feats = sampled.select(col(idCol),
       array_to_vector(toDouble(col(vecCol))).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .coalesce(4)
+    // Random init, not kmeans|| — kmeans|| runs ~2·initSteps extra
+    // distributed passes to seed centers; for an ANN inverted file the
+    // partition quality difference is noise against nprobe re-ranking.
+    // 5 Lloyd iterations: inverted-file partition quality plateaus in a
+    // handful of iterations (each is a separate distributed job); the
+    // recall spec vs brute force is the guard on this choice.
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setInitMode("random").setTol(1e-2)
       .fit(feats)
     val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
 
-    def sqDistToCentroid(v: Column, c: Seq[Double]): Column =
-      aggregate(zip_with(v, typedlit(c), (x, w) => (x - w) * (x - w)),
-        lit(0.0), (acc, x) => acc + x)
+    // Centroid-ranking key: ‖v−c‖² = ‖v‖² − 2·v·c + ‖c‖², and ‖v‖² is
+    // constant across centroids, so ranking needs only ‖c‖² − 2·v·c —
+    // with ‖c‖² folded at plan time and v·c a single codegen vec_dot
+    // call (the HOF zip_with/aggregate form is interpreted per element).
+    def centroidRankKey(v: Column, c: Seq[Double]): Column =
+      lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, typedlit(c))
 
     // centroid ids ordered by distance, built from ONE array of
     // (dist, cid) structs. NB: an argmin via reduce(when(a<=b,a,b))
@@ -115,7 +138,7 @@ object Similarity {
     def rankedCids(v: Column): Column =
       transform(array_sort(array(centroids.zipWithIndex.map {
         case (c, i) =>
-          struct(sqDistToCentroid(v, c).as("d"), lit(i).as("cid"))
+          struct(centroidRankKey(v, c).as("d"), lit(i).as("cid"))
       }: _*)), s => s.getField("cid"))
 
     def nearest(v: Column): Column = element_at(rankedCids(v), 1)
@@ -131,7 +154,10 @@ object Similarity {
         explode(probes(col("query_v"))).as("cid"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, Seq("cid"))
+    // Broadcast the exploded probe side (|Q|·nprobe rows): the corpus
+    // stays unshuffled — a broadcast hash join on cid touches each
+    // corpus partition exactly once.
+    broadcast(q).join(c, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("query_v"), col("neighbor_v")))
       .withColumn("rank", row_number().over(w))
@@ -153,14 +179,20 @@ object Similarity {
         .withColumnRenamed("col", "bucket")
     val q = bucketed(queries, "query")
     val c = bucketed(corpus, "neighbor")
-    val cand = q.join(c, Seq("table_id", "bucket"))
+    // Broadcast the (small) query side: the corpus — the side that is
+    // 100 TB in production — is never shuffled. Cosine is computed
+    // BEFORE cross-table dedup so the dedup groupBy shuffles only
+    // (query_id, neighbor_id, cos) triples, not 64-dim vectors; a pair
+    // matching in several tables recomputes a cheap vec_dot and
+    // collapses in the map-side partial aggregate.
+    val cand = broadcast(q).join(c, Seq("table_id", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("query_v"),
-        col("neighbor_id"), col("neighbor_v"))
-      .distinct()
+      .withColumn("cos", cosine(col("query_v"), col("neighbor_v")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("cos", cosine(col("query_v"), col("neighbor_v")))
+    cand
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
