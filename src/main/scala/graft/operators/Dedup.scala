@@ -43,6 +43,17 @@ object Dedup {
     array_distinct(when(n < k, array().cast("array<string>")).otherwise(grams))
   }
 
+  /** Distinct HASHED k-gram shingles straight from text — the
+    * production representation. One native codegen pass
+    * (`shingle_hash64`, GraftExtensions) from raw text to 8-byte
+    * shingles: no intermediate shingle strings, no interpreted HOFs.
+    * Every operator below is hash-invariant (sizes, intersections and
+    * equi-joins only), so this is interchangeable with `shingles` —
+    * `shingles` is kept as the readable spec/ground-truth form.
+    */
+  def hashedShingles(text: Column, k: Int): Column =
+    call_function("shingle_hash64", split(lower(text), "\\s+"), lit(k))
+
   /** MinHash signature: element i = min over shingles of
     * xxhash64(i, shingle). One groupBy produces all `numHashes`
     * signature slots as independent partial-aggregatable `min`s
@@ -52,8 +63,13 @@ object Dedup {
     */
   def minhashSignature(exploded: DataFrame, docCol: String,
       shingleCol: String, numHashes: Int): DataFrame = {
+    // Hash the (variable-width) shingle to 8 bytes ONCE, then derive
+    // the numHashes slots by re-hashing (slot, h0): numHashes long
+    // hashes per row instead of numHashes string hashes — the
+    // signature compute is the map-side hot loop of this operator.
+    val h0 = xxhash64(col(shingleCol))
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col(shingleCol))).as(s"h$i"))
+      min(xxhash64(lit(i), h0)).as(s"h$i"))
     exploded.groupBy(col(docCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(docCol),
@@ -149,12 +165,18 @@ object Dedup {
     */
   def jaccardPairsExact(docs: DataFrame, docCol: String,
       threshold: Double): DataFrame = {
+    // cached: the exploded stream feeds both the df aggregate and the
+    // df join below. Shingle values are opaque here (set semantics
+    // only) — callers at scale pass `hashedShingles` 8-byte longs.
     val ex = docs.select(col(docCol).as("d"), explode(col("shingles")).as("g"))
-    // document frequency via a window count — ONE pass over the
-    // shingle stream (a groupBy+join would evaluate the scan+shingle
-    // subtree twice), one shuffle by shingle
-    val withDf = ex.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .cache()
+    // document frequency via groupBy + join, NOT count(*) over a
+    // Window partitioned by g: the window forces a full sort of the
+    // exploded (doc, shingle) stream, while groupBy is a hash
+    // aggregate with map-side combine and the join's build side is
+    // only |distinct shingles| rows
+    val df = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val withDf = ex.join(df, Seq("g"))
     // cached: referenced 4× downstream (prefix self-join sides +
     // both verify joins) — one row per doc, metadata-sized
     val ordered = withDf

@@ -35,7 +35,7 @@ object DedupQueries {
   private def shingled(spark: org.apache.spark.sql.SparkSession, dir: String) =
     table(spark, dir, "documents")
       .select(col("doc_id"),
-        Dedup.shingles(Dedup.tokens(col("text")), ShingleK).as("shingles"))
+        Dedup.hashedShingles(col("text"), ShingleK).as("shingles"))
       .cache()
 
   /** DuckDB expression mirroring Dedup.shingles/tokens. */
