@@ -35,16 +35,22 @@ final case class FixtureRecognizer(byKey: Map[String, Seq[RecWord]])
     byKey.getOrElse(key, Seq.empty)
 }
 
-/** Content-driven fake used by the E2E pipeline spec: "words" are
-  * constant-amplitude sample blocks whose amplitude encodes the word
-  * id (amplitude = Base + id·Step), separated by silence. The
-  * recognizer scans for non-silent plateaus and decodes id → word —
-  * so it genuinely re-transcribes whatever clip it is handed,
-  * including assembled clips with seams and fades, with correct
-  * clip-relative times.
+/** Content-driven fake used by the E2E pipeline and contract query:
+  * a word is a sequence of constant-amplitude character blocks —
+  * block p of a word carries character code c as amplitude
+  * Base + c·Step with sign (−1)^p, so equal adjacent characters stay
+  * separable (the sign flips) and silence (|v| < Base/2) delimits
+  * words. The recognizer segments non-silent spans into same-sign
+  * runs, reads each run's modal |amplitude| (fades distort edges;
+  * the plateau majority survives) and rebuilds the word text — so it
+  * genuinely re-transcribes whatever clip it is handed, including
+  * assembled clips with seams and fades, with correct clip-relative
+  * times, and needs NO vocabulary table: the audio itself carries
+  * the words, exactly like real speech. (The round-1 design encoded
+  * a global vocab index, which forced a driver-side vocabulary
+  * collect in the contract query.)
   */
-final case class AmplitudeRecognizer(
-    vocab: IndexedSeq[String], confidence: Double = 0.9)
+final case class AmplitudeRecognizer(confidence: Double = 0.9)
     extends WordRecognizer {
   import AmplitudeRecognizer._
 
@@ -56,20 +62,25 @@ final case class AmplitudeRecognizer(
     while (i < s.length) {
       if (math.abs(s(i)) >= Base / 2) {
         val start = i
-        // plateau value = modal abs amplitude of the block (fades
-        // distort edges; the plateau survives)
+        val chars = new StringBuilder
         var j = i
-        val counts = scala.collection.mutable.Map.empty[Int, Int]
         while (j < s.length && math.abs(s(j)) >= Base / 2) {
-          val v = math.abs(s(j))
-          counts(v) = counts.getOrElse(v, 0) + 1
-          j += 1
+          // one same-sign run = one character block
+          val sign = s(j) > 0
+          val counts = scala.collection.mutable.Map.empty[Int, Int]
+          while (j < s.length && math.abs(s(j)) >= Base / 2 &&
+              (s(j) > 0) == sign) {
+            val v = math.abs(s(j))
+            counts(v) = counts.getOrElse(v, 0) + 1
+            j += 1
+          }
+          val plateau = counts.maxBy(c => (c._2, c._1))._1
+          val code = math.round((plateau - Base).toDouble / Step).toInt
+          if (code >= 0 && code < MaxCode) chars += code.toChar
         }
-        val plateau = counts.maxBy(c => (c._2, c._1))._1
-        val id = math.round((plateau - Base).toDouble / Step).toInt
-        if (id >= 0 && id < vocab.length)
-          out += RecWord(vocab(id), start.toDouble / sr, j.toDouble / sr,
-            confidence)
+        if (chars.nonEmpty)
+          out += RecWord(chars.result(), start.toDouble / sr,
+            j.toDouble / sr, confidence)
         i = j
       } else i += 1
     }
@@ -80,19 +91,34 @@ final case class AmplitudeRecognizer(
 object AmplitudeRecognizer {
   val Base = 2000
   val Step = 64
-
-  /** Synthesize doc audio for a word timeline: each word is a
-    * constant block at its encoded amplitude over [start, end).
+  /** Codes ≥ MaxCode would exceed 16-bit amplitude; synthesize clamps
+    * (exotic characters alias deterministically on both sides).
     */
-  def synthesize(words: Seq[(Int, Double, Double)], sr: Int): Pcm = {
+  val MaxCode: Int = (Short.MaxValue - Base) / Step
+
+  /** Synthesize doc audio for a word timeline: each word's span
+    * [start, end) is split into `word.length` equal character blocks,
+    * block p at amplitude Base + code·Step, sign (−1)^p.
+    */
+  def synthesize(words: Seq[(String, Double, Double)], sr: Int): Pcm = {
     val totalS = words.map(_._3).maxOption.getOrElse(0.0) + 0.2
     val n = (totalS * sr).toInt
     val s = new Array[Int](n)
-    words.foreach { case (id, st, en) =>
-      val a = Base + id * Step
-      var i = (st * sr).toInt
-      val e = math.min(n, (en * sr).toInt)
-      while (i < e) { s(i) = a; i += 1 }
+    words.foreach { case (w, st, en) =>
+      if (w.nonEmpty) {
+        val i0 = (st * sr).toInt
+        val i1 = math.min(n, (en * sr).toInt)
+        val len = i1 - i0
+        var p = 0
+        while (p < w.length) {
+          val code = math.min(w.charAt(p).toInt, MaxCode - 1)
+          val a = (Base + code * Step) * (if (p % 2 == 0) 1 else -1)
+          var i = i0 + p * len / w.length
+          val e = i0 + (p + 1) * len / w.length
+          while (i < e) { s(i) = a; i += 1 }
+          p += 1
+        }
+      }
     }
     Pcm.fromSamples(s, sr)
   }

@@ -64,19 +64,15 @@ object PipelineQueries {
         val docs = table(spark, dir, "documents")
           .filter($"doc_id" % 20 === 0)
           .select($"doc_id", $"text")
-        // global vocab: tiny synthetic vocabulary — a dimension-table
-        // collect, broadcast implicitly via the recognizer closure
-        val vocab = docs
-          .select(explode(split(lower($"text"), "\\s+")).as("w"))
-          .filter($"w" =!= "").distinct().orderBy($"w")
-          .as[String].collect().toIndexedSeq
-        val vIdx = vocab.zipWithIndex.toMap
-        val rec = AmplitudeRecognizer(vocab)
+        // The recognizer is content-driven (the waveform itself
+        // encodes each word's characters), so synthesis is a pure
+        // per-doc map — no vocabulary table, no driver-side collect.
+        val rec = AmplitudeRecognizer()
         val inputs = docs.as[(Long, String)].map { case (docId, text) =>
           val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
           val timeline = words.iterator.zipWithIndex
             .filter { case (_, i) => i % 13 != 12 } // ASR "misses" these
-            .map { case (w, i) => (vIdx(w), i * 0.5, i * 0.5 + 0.4) }
+            .map { case (w, i) => (w, i * 0.5, i * 0.5 + 0.4) }
             .toSeq
           AsrPipeline.DocInput(docId, text,
             AmplitudeRecognizer.synthesize(timeline, sr).bytes, sr)

@@ -16,13 +16,11 @@ class AsrPipelineSpec extends AnyFunSuite {
   private lazy val spark = SparkHarness.spark
 
   private val Sr = 16000
-  private val vocab: IndexedSeq[String] =
-    (0 until 30).map(i => s"word$i")
-  private val rec = AmplitudeRecognizer(vocab)
+  private val rec = AmplitudeRecognizer()
 
   /** 30 words at 0.5 s spacing, each 0.4 s long. */
-  private def timeline: Seq[(Int, Double, Double)] =
-    (0 until 30).map(i => (i, i * 0.5, i * 0.5 + 0.4))
+  private def timeline: Seq[(String, Double, Double)] =
+    (0 until 30).map(i => (s"word$i", i * 0.5, i * 0.5 + 0.4))
 
   /** Transcript: word10 substituted, word20 deleted → three LCS runs
     * [0,10), [11,20), [21,30) split by 0.6 s time gaps into three
@@ -97,8 +95,9 @@ class AsrPipelineSpec extends AnyFunSuite {
     // Two LCS runs (word5 substituted in the transcript) separated
     // by a 0.6s time gap → two groups; the second run's words are
     // squeezed into a 0.86s span → too_short under min_dur 1.5.
-    val tl = (0 until 6).map(i => (i, i * 0.5, i * 0.5 + 0.4)) ++
-      (6 until 10).map(i => (i, 3.0 + (i - 6) * 0.22, 3.0 + (i - 6) * 0.22 + 0.2))
+    val tl = (0 until 6).map(i => (s"word$i", i * 0.5, i * 0.5 + 0.4)) ++
+      (6 until 10).map(i =>
+        (s"word$i", 3.0 + (i - 6) * 0.22, 3.0 + (i - 6) * 0.22 + 0.2))
     val audio = AmplitudeRecognizer.synthesize(tl, Sr)
     val text = (0 until 10).map(i =>
       if (i == 5) "zzz" else s"word$i").mkString(" ")
