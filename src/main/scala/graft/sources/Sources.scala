@@ -15,60 +15,155 @@ import graft.audio.Pcm
   */
 object Sources {
 
-  /** S1 — audio scan: `binaryFile` source + RIFF/WAV parse into
-    * (path, pcm, sample_rate). Only 16-bit mono PCM wav is decoded
-    * natively (the container format the engine itself writes);
-    * other codecs are the pluggable-decoder boundary, like model
-    * inference. Non-wav bytes → null pcm (filtered out).
+  /** S1 — audio scan: `binaryFile` source + RIFF/WAV decode into
+    * (path, pcm, sample_rate, reject_reason). PCM 8/16/24/32-bit and
+    * 32-bit float, any channel count (downmixed by averaging),
+    * including WAVE_FORMAT_EXTENSIBLE — everything is normalized to
+    * the engine's internal 16-bit mono representation. Files the
+    * decoder cannot handle (mp3/m4a/…, the reference accepts them via
+    * ffmpeg — gui.py:97-99) keep a per-file `reject_reason` so a batch
+    * fails LOUDLY per file instead of silently shrinking; compressed
+    * codecs are the pluggable-decoder boundary, like model inference.
     */
-  def readWav(spark: SparkSession, glob: String): DataFrame = {
+  def readWavOrReject(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
     val parse = udf { bytes: Array[Byte] =>
-      parseWav(bytes).map(p => (p.bytes, p.sampleRate))
+      decodeWav(bytes) match {
+        case Right(p) => (p.bytes, p.sampleRate, null: String)
+        case Left(reason) => (null: Array[Byte], 0, reason)
+      }
     }
     spark.read.format("binaryFile").load(glob)
       .select($"path", parse($"content").as("wav"))
-      .filter($"wav".isNotNull)
-      .select($"path", $"wav._1".as("pcm"), $"wav._2".as("sample_rate"))
+      .select($"path", $"wav._1".as("pcm"), $"wav._2".as("sample_rate"),
+        $"wav._3".as("reject_reason"))
   }
 
-  /** RIFF/WAV container parse (16-bit mono PCM only). Walks chunks,
-    * so extra chunks (LIST, fact…) are tolerated.
+  /** Decoded rows only (S1 happy path). */
+  def readWav(spark: SparkSession, glob: String): DataFrame =
+    readWavOrReject(spark, glob)
+      .filter(col("reject_reason").isNull)
+      .drop("reject_reason")
+
+  /** The rejection side-output: (path, reject_reason) per bad file. */
+  def rejectedAudio(spark: SparkSession, glob: String): DataFrame =
+    readWavOrReject(spark, glob)
+      .filter(col("reject_reason").isNotNull)
+      .select(col("path"), col("reject_reason"))
+
+  /** Backwards-compatible Option form. */
+  def parseWav(bytes: Array[Byte]): Option[Pcm] =
+    decodeWav(bytes).toOption
+
+  private val WaveFormatPcm = 1
+  private val WaveFormatFloat = 3
+  private val WaveFormatExtensible = 0xFFFE
+
+  /** RIFF/WAV container decode. Walks chunks (LIST, fact… tolerated);
+    * returns 16-bit mono PCM or a machine-readable rejection reason.
     */
-  def parseWav(bytes: Array[Byte]): Option[Pcm] = {
-    if (bytes.length < 44) return None
+  def decodeWav(bytes: Array[Byte]): Either[String, Pcm] = {
+    if (bytes.length >= 3 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3')
+      return Left("unsupported_codec:mp3")
+    if (bytes.length >= 12 && new String(bytes, 4, 4, "US-ASCII") == "ftyp")
+      return Left("unsupported_container:mp4")
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+        (bytes(1) & 0xE0) == 0xE0)
+      return Left("unsupported_codec:mp3")
+    if (bytes.length < 44) return Left("truncated")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val riff = new Array[Byte](4); buf.get(riff)
-    if (new String(riff, "US-ASCII") != "RIFF") return None
+    if (new String(riff, "US-ASCII") != "RIFF") return Left("not_riff")
     buf.getInt // riff size
     val wave = new Array[Byte](4); buf.get(wave)
-    if (new String(wave, "US-ASCII") != "WAVE") return None
+    if (new String(wave, "US-ASCII") != "WAVE") return Left("not_wave")
     var sampleRate = 0
-    var fmtOk = false
+    var channels = 0
+    var bits = 0
+    var codec = -1
+    var haveFmt = false
     while (buf.remaining() >= 8) {
       val id = new Array[Byte](4); buf.get(id)
       val size = buf.getInt
       val name = new String(id, "US-ASCII")
       if (name == "fmt ") {
-        val fmt = buf.getShort // 1 = PCM
-        val channels = buf.getShort
+        if (size < 16 || size > buf.remaining()) return Left("bad_fmt_chunk")
+        val fmtEnd = buf.position() + size
+        codec = buf.getShort & 0xFFFF
+        channels = buf.getShort & 0xFFFF
         sampleRate = buf.getInt
         buf.getInt // byte rate
         buf.getShort // block align
-        val bits = buf.getShort
-        fmtOk = fmt == 1 && channels == 1 && bits == 16
-        buf.position(buf.position() + size - 16)
+        bits = buf.getShort & 0xFFFF
+        if (codec == WaveFormatExtensible && size >= 40) {
+          buf.getShort // cbSize
+          buf.getShort // valid bits
+          buf.getInt // channel mask
+          codec = buf.getShort & 0xFFFF // GUID's leading format code
+        }
+        buf.position(fmtEnd)
+        haveFmt = true
       } else if (name == "data") {
-        if (!fmtOk || size < 0 || size > buf.remaining()) return None
-        val pcm = new Array[Byte](size)
-        buf.get(pcm)
-        return Some(Pcm(pcm, sampleRate))
+        if (!haveFmt) return Left("data_before_fmt")
+        if (size < 0 || size > buf.remaining()) return Left("truncated")
+        if (codec != WaveFormatPcm && codec != WaveFormatFloat)
+          return Left(s"unsupported_codec:wave_fmt_$codec")
+        if (channels < 1 || channels > 32)
+          return Left(s"unsupported_channels:$channels")
+        if (codec == WaveFormatFloat && bits != 32)
+          return Left(s"unsupported_bits:float$bits")
+        if (codec == WaveFormatPcm && bits != 8 && bits != 16 &&
+            bits != 24 && bits != 32)
+          return Left(s"unsupported_bits:$bits")
+        val data = new Array[Byte](size)
+        buf.get(data)
+        return Right(toMono16(data, codec, channels, bits, sampleRate))
       } else {
-        if (size < 0 || size > buf.remaining()) return None
+        if (size < 0 || size > buf.remaining()) return Left("truncated")
         buf.position(buf.position() + size)
       }
     }
-    None
+    Left("no_data_chunk")
+  }
+
+  /** Normalize any supported sample format to 16-bit mono: decode each
+    * frame's channels, average (integer floor), scale to 16 bits.
+    */
+  private def toMono16(data: Array[Byte], codec: Int, channels: Int,
+      bits: Int, sampleRate: Int): Pcm = {
+    val bytesPerSample = bits / 8
+    val frameBytes = bytesPerSample * channels
+    val n = data.length / frameBytes
+    val out = new Array[Int](n)
+    val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var c = 0
+      while (c < channels) {
+        val off = i * frameBytes + c * bytesPerSample
+        val v: Int =
+          if (codec == WaveFormatFloat) {
+            val f = buf.getFloat(off)
+            val clamped = math.max(-1.0f, math.min(1.0f, f))
+            math.round(clamped * 32767.0f)
+          } else bits match {
+            case 8 => ((data(off) & 0xFF) - 128) << 8 // unsigned midpoint
+            case 16 => buf.getShort(off).toInt
+            case 24 =>
+              val raw = (data(off) & 0xFF) | ((data(off + 1) & 0xFF) << 8) |
+                (data(off + 2) << 16) // top byte keeps sign
+              raw >> 8
+            case 32 => buf.getInt(off) >> 16
+          }
+        acc += v
+        c += 1
+      }
+      out(i) = (acc / channels).toInt
+      i += 1
+    }
+    Pcm.fromSamples(out, sampleRate)
   }
 
   /** S2 — transcript scan: one row per file, whole text
