@@ -71,6 +71,81 @@ object EventQueries {
           .orderBy($"user_id", $"session_id")
       }),
 
+    // W2 reference-exact mergeWithSmallGaps over an EqualRun-shaped
+    // derivation of `events`: each user's events are a word stream
+    // (idx = rank by ts, start/end from the timestamp/value); "kept"
+    // events (value >= 50, the reference's aligned words) form
+    // maximal consecutive-index runs, and the operator bridges runs
+    // while BOTH the word gap (<= 3 dropped words) and the time gap
+    // (asr[next.ai0].start - asr[prev.ai1-1].end <= 3 days) are small
+    // — the dual predicate of claude_research_optimal.py:298-301,
+    // with boundary times fetched from the full word stream exactly
+    // like the operator's two equi-joins.
+    QueryDef(
+      "q_run_merge",
+      Some("""
+        WITH indexed AS (
+          SELECT user_id, value,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+            epoch_us(ts) / 1000000.0 AS s
+          FROM events
+        ), kept AS (
+          SELECT user_id, i, s, s + value / 1000.0 AS e,
+            i - (row_number() OVER (PARTITION BY user_id ORDER BY i) - 1) AS island
+          FROM indexed WHERE value >= 50.0
+        ), runs AS (
+          SELECT user_id, min(i) AS ai0, max(i) + 1 AS ai1,
+                 arg_min(s, i) AS start_time, arg_max(e, i) AS end_time
+          FROM kept GROUP BY user_id, island
+        ), flagged AS (
+          SELECT user_id, ai0, ai1, start_time, end_time,
+            CASE WHEN lag(ai1) OVER w IS NULL
+                 OR ai0 - lag(ai1) OVER w > 3
+                 OR start_time - lag(end_time) OVER w > 259200.0
+            THEN 1 ELSE 0 END AS boundary
+          FROM runs
+          WINDOW w AS (PARTITION BY user_id ORDER BY ai0)
+        )
+        SELECT user_id AS doc_id,
+          CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ai0
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+            AS group_id,
+          ai0 AS bi0, ai1 AS bi1, ai0, ai1,
+          round(start_time, 6) AS start_time, round(end_time, 6) AS end_time
+        FROM flagged
+        ORDER BY doc_id, ai0
+      """.trim),
+      "W2 reference-exact run merge w/ boundary-word times (claude_research_optimal.py:291-305)")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.core.{AsrWord, EqualRun}
+        val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val indexed = QueryDef.events(spark, dir)
+          .select($"user_id", $"ts", $"event_id", $"value")
+          .withColumn("i", (row_number().over(wOrd) - 1).cast("long"))
+          .withColumn("s", unix_micros($"ts") / 1000000.0)
+          .withColumn("e", $"s" + $"value" / 1000.0)
+        val asr = indexed.select($"user_id".as("doc_id"), $"i".as("idx"),
+          lit("w").as("text"), lit("w").as("norm"),
+          $"s".as("start"), $"e".as("end"),
+          lit(0.9).as("confidence")).as[AsrWord]
+        val wKept = Window.partitionBy($"user_id").orderBy($"i")
+        val runs = indexed.filter($"value" >= 50.0)
+          .withColumn("island",
+            $"i" - (row_number().over(wKept) - 1).cast("long"))
+          .groupBy($"user_id", $"island")
+          .agg(min($"i").as("ai0"), (max($"i") + 1L).as("ai1"))
+          .select($"user_id".as("doc_id"), $"ai0".as("bi0"),
+            $"ai1".as("bi1"), $"ai0", $"ai1").as[EqualRun]
+        Sessionize.mergeWithSmallGaps(runs, asr,
+            maxGapWords = 3, maxGapTime = 259200.0)
+          .toDF()
+          .select($"doc_id", $"group_id", $"bi0", $"bi1", $"ai0", $"ai1",
+            round($"start_time", 6).as("start_time"),
+            round($"end_time", 6).as("end_time"))
+          .orderBy($"doc_id", $"ai0")
+      }),
+
     // W3+P4+P5+P6+P7 composite: full boundary math over a per-user
     // ordered stream — start pads + prev-word guard, end pads + adaptive
     // next-word clamp + phoneme extension + e<=s clamp, replicating the
