@@ -165,6 +165,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** EXACT all-pairs cosine join at `threshold`, block-partitioned:
+    * each side is hash-assigned to one of `numBlocks` blocks, the
+    * (numBlocks·(numBlocks+1)/2) unordered block pairs are enumerated
+    * as a tiny broadcast dimension, and each task joins one block
+    * against one block. Same output as a naive self-join — provably
+    * complete — but the plan holds ONE block (corpus/numBlocks rows)
+    * per task instead of broadcasting the corpus, and the n² compute
+    * spreads uniformly across the cluster; numBlocks scales with
+    * corpus size to keep per-task memory constant.
+    *
+    * Why not sign-LSH buckets here: bucketed LSH only beats n² when
+    * the threshold is tight. At cos ≥ 0.4 the angle is ~66°, a plane
+    * agrees on a qualifying pair w.p. only 0.63, so completeness-
+    * preserving parameters need ≤3 planes per table — buckets of
+    * n/8 docs whose within-bucket pair count EXCEEDS the all-pairs
+    * join, with completeness still only probabilistic (this corpus's
+    * qualifying pairs all sit at 0.40–0.60). LSH is the right path
+    * for near-dup thresholds (see Dedup.simhashPairs / lshTopK);
+    * an exact low-threshold join is inherently quadratic and the
+    * right engineering is to distribute it memory-bounded.
+    */
+  def cosinePairsBlocked(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numBlocks: Int = 16): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val v = vecs.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+      // hash-blocked, not range-blocked: uniform block sizes no matter
+      // how ids are distributed
+      .withColumn("blk", pmod(xxhash64(col("vid")), lit(numBlocks.toLong))
+        .cast("int"))
+    val a = v.select(col("blk").as("ba"), col("vid").as("v1"),
+      col("e").as("e1"), col("nrm").as("n1"))
+    val b = v.select(col("blk").as("bb"), col("vid").as("v2"),
+      col("e").as("e2"), col("nrm").as("n2"))
+    val blockPairs = (for {
+      i <- 0 until numBlocks
+      j <- i until numBlocks
+    } yield (i, j)).toDF("ba", "bb")
+    // a same-block pair dedups by id order; a cross-block pair occurs
+    // exactly once (ba < bb), in arbitrary id order → normalize ids
+    broadcast(blockPairs).join(a, "ba").join(b, "bb")
+      .filter(col("ba") < col("bb") || col("v1") < col("v2"))
+      .withColumn("cos0", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("cos0") >= threshold)
+      .select(least(col("v1"), col("v2")).as("v1"),
+        greatest(col("v1"), col("v2")).as("v2"), col("cos0"))
+  }
+
   /** Approximate top-k: candidates share an LSH bucket in ≥1 of
     * `tables` hash tables; exact cosine re-rank on candidates only.
     */

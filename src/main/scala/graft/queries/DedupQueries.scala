@@ -129,12 +129,16 @@ object DedupQueries {
           .orderBy($"d1", $"d2")
       }),
 
-    // X1e: embedding-cosine near-dup pairs. Pair generation is a
-    // broadcast non-equi self-join (one side broadcast, the corpus
-    // never shuffles); cosine is the same sequential-fold double
-    // math as the oracle, so membership at the threshold is exact.
-    // The 100 TB path replaces the self-join with sign-LSH buckets
-    // (Similarity.lshTopK) — kept here as the exact baseline.
+    // X1e: embedding-cosine near-dup pairs — EXACT, block-partitioned
+    // (Similarity.cosinePairsBlocked): the n² work distributes across
+    // block-pair tasks with one corpus/numBlocks-sized block per task
+    // and NO full-corpus broadcast, so the same plan shape survives a
+    // corpus that outgrows executor memory. Cosine is the same
+    // sequential-fold double math as the oracle, so membership at the
+    // threshold is exact. (Sign-LSH bucketing is NOT used here: at
+    // threshold 0.4 completeness-preserving LSH generates more
+    // candidates than the all-pairs join itself — see the operator's
+    // scaladoc; LSH remains the path for tight near-dup thresholds.)
     QueryDef(
       "q_dedup_embedding",
       Some("""
@@ -153,16 +157,8 @@ object DedupQueries {
       (spark, dir) => {
         import spark.implicits._
         import graft.operators.Similarity
-        // norms computed once per row (not per pair); pair cos =
-        // dot/(n1·n2) — the oracle's exact arithmetic
-        val v = table(spark, dir, "embeddings")
-          .select($"vec_id", Similarity.toDouble($"embedding").as("e"))
-          .withColumn("n", Similarity.l2norm($"e"))
-        val a = v.select($"vec_id".as("v1"), $"e".as("e1"), $"n".as("n1"))
-        val b = v.select($"vec_id".as("v2"), $"e".as("e2"), $"n".as("n2"))
-        broadcast(a).join(b, $"v1" < $"v2")
-          .withColumn("cos0", Similarity.dot($"e1", $"e2") / ($"n1" * $"n2"))
-          .filter($"cos0" >= 0.4)
+        Similarity.cosinePairsBlocked(table(spark, dir, "embeddings"),
+            "vec_id", "embedding", threshold = 0.4, numBlocks = 16)
           .select($"v1", $"v2", round($"cos0", 6).as("cos"))
           .orderBy($"v1", $"v2")
       }),

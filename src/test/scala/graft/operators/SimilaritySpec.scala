@@ -42,6 +42,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSet == Set((0L, 1L), (1L, 0L)))
   }
 
+  test("cosinePairsBlocked == naive broadcast all-pairs (ground truth)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+    // naive exact baseline: broadcast self-join, same fold math
+    val v = vecs.select($"vec_id", toDouble($"embedding").as("e"))
+      .withColumn("n", l2norm($"e"))
+    val a = v.select($"vec_id".as("v1"), $"e".as("e1"), $"n".as("n1"))
+    val b = v.select($"vec_id".as("v2"), $"e".as("e2"), $"n".as("n2"))
+    val naive = broadcast(a).join(b, $"v1" < $"v2")
+      .withColumn("cos0", dot($"e1", $"e2") / ($"n1" * $"n2"))
+      .filter($"cos0" >= 0.4)
+      .select($"v1", $"v2", $"cos0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    val blocked = cosinePairsBlocked(vecs, "vec_id", "embedding", 0.4, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(blocked.toSeq == naive.toSeq) // exact doubles, no tolerance
+    assert(naive.nonEmpty)
+  }
+
   test("IVF top-k recall >= 0.7 vs brute force on driver embeddings") {
     val s = spark
     import s.implicits._
