@@ -42,7 +42,11 @@ object AsrPipeline {
       silenceThresholdDb: Double = -40.0,
       enableAcousticValidation: Boolean = true,
       numbersToWords: Boolean = false,
-      minValidWords: Int = 2)
+      minValidWords: Int = 2,
+      /** Cap on the O(n·m) per-doc LCS: longer streams align via
+        * anchor-chunked stitching (ChunkedMatcher). MaxValue = direct.
+        */
+      lcsMaxChunk: Int = Int.MaxValue)
 
   /** One input document: transcript text + decoded PCM audio. */
   final case class DocInput(doc_id: Long, text: String,
@@ -344,7 +348,7 @@ object AsrPipeline {
     val books = bookWords(docsC.map(d => (d.doc_id, d.text)),
       cfg.numbersToWords)
     val asr = asrWords(docsC, base, cfg.numbersToWords).cache()
-    val runs = Align.lcsEqualRuns(books, asr, cfg.minRun)
+    val runs = Align.lcsEqualRuns(books, asr, cfg.minRun, cfg.lcsMaxChunk)
     val groups = Sessionize.mergeWithSmallGaps(runs, asr,
       cfg.maxGapWords, cfg.maxGapTime)
     val clips = assembleClips(asr, groups, docsC, cfg)

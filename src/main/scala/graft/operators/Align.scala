@@ -15,11 +15,17 @@ object Align {
 
   /** J1: `lcs_equal_runs(book_norm, asr_norm, min_run)`
     * (claude_research_optimal.py:283–289, invoked at :457).
+    *
+    * `maxChunk` bounds the O(n·m) kernel per document: streams longer
+    * than it align via anchor-chunked stitching (ChunkedMatcher) so a
+    * single 1M-word document cannot become a straggler task. The
+    * default keeps the exact direct kernel.
     */
   def lcsEqualRuns(
       book: Dataset[BookWord],
       asr: Dataset[AsrWord],
-      minRun: Int): Dataset[EqualRun] = {
+      minRun: Int,
+      maxChunk: Int = Int.MaxValue): Dataset[EqualRun] = {
     val spark = book.sparkSession
     import spark.implicits._
     book.groupByKey(_.doc_id)
@@ -27,10 +33,11 @@ object Align {
         val bn = bs.toArray.sortBy(_.pos).map(_.norm).toIndexedSeq
         val an = as.toArray.sortBy(_.idx).map(_.norm).toIndexedSeq
         if (bn.isEmpty || an.isEmpty) Iterator.empty
-        else new SequenceMatcher(bn, an).equalRuns(minRun).iterator.map {
-          case (bi0, bi1, ai0, ai1) =>
-            EqualRun(docId, bi0.toLong, bi1.toLong, ai0.toLong, ai1.toLong)
-        }
+        else ChunkedMatcher.equalRuns(bn, an, minRun, maxChunk)
+          .iterator.map {
+            case (bi0, bi1, ai0, ai1) =>
+              EqualRun(docId, bi0.toLong, bi1.toLong, ai0.toLong, ai1.toLong)
+          }
       }
   }
 
