@@ -58,6 +58,10 @@ final case class AmplitudeRecognizer(confidence: Double = 0.9)
     val s = audio.samples
     val sr = audio.sampleRate
     val out = Seq.newBuilder[RecWord]
+    // per-code plateau votes, reused across runs (fade-distorted
+    // samples land between grid points and round to a neighbor code,
+    // but the undistorted plateau majority always wins)
+    val votes = new Array[Int](MaxCode)
     var i = 0
     while (i < s.length) {
       if (math.abs(s(i)) >= Base / 2) {
@@ -67,16 +71,23 @@ final case class AmplitudeRecognizer(confidence: Double = 0.9)
         while (j < s.length && math.abs(s(j)) >= Base / 2) {
           // one same-sign run = one character block
           val sign = s(j) > 0
-          val counts = scala.collection.mutable.Map.empty[Int, Int]
+          var bestCode = -1
+          var bestVotes = 0
           while (j < s.length && math.abs(s(j)) >= Base / 2 &&
               (s(j) > 0) == sign) {
-            val v = math.abs(s(j))
-            counts(v) = counts.getOrElse(v, 0) + 1
+            val code = (math.abs(s(j)) - Base + Step / 2) / Step
+            if (code >= 0 && code < MaxCode) {
+              val v = votes(code) + 1
+              votes(code) = v
+              // ties → higher code, matching exact-plateau preference
+              if (v > bestVotes || (v == bestVotes && code > bestCode)) {
+                bestVotes = v; bestCode = code
+              }
+            }
             j += 1
           }
-          val plateau = counts.maxBy(c => (c._2, c._1))._1
-          val code = math.round((plateau - Base).toDouble / Step).toInt
-          if (code >= 0 && code < MaxCode) chars += code.toChar
+          java.util.Arrays.fill(votes, 0) // reset (small, vectorized)
+          if (bestCode >= 0) chars += bestCode.toChar
         }
         if (chars.nonEmpty)
           out += RecWord(chars.result(), start.toDouble / sr,
