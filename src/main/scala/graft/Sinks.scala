@@ -32,6 +32,19 @@ object Sinks {
     buf.array()
   }
 
+  /** P9 — timestamped batch output directory, `base/batch_<ts>`
+    * (gui.py:12–17 create_output_dir). The instant is a parameter so
+    * runs are reproducible/testable; callers pass
+    * `java.time.Instant.now()` (with the system zone) at the edge.
+    */
+  def timestampedDir(base: String, at: java.time.ZonedDateTime): String = {
+    val ts = at.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+    val dir = Paths.get(base, s"batch_$ts")
+    Files.createDirectories(dir)
+    dir.toString
+  }
+
   /** K1 — per-clip wav + txt under `outDir/doc_<id>/clips/`. */
   def writeClips(segments: Dataset[SegmentRow], outDir: String): Unit =
     segments.foreachPartition { (it: Iterator[SegmentRow]) =>

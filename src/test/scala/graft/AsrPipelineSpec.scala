@@ -115,6 +115,15 @@ class AsrPipelineSpec extends AnyFunSuite {
     else assert(rejs(0).segment == "segment_0001")
   }
 
+  test("timestamped batch dir matches the reference pattern (P9)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_p9").toString
+    val at = java.time.ZonedDateTime.of(2024, 3, 7, 14, 5, 9, 0,
+      java.time.ZoneOffset.UTC)
+    val dir = Sinks.timestampedDir(base, at)
+    assert(dir.endsWith("batch_20240307_140509"))
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+  }
+
   test("sinks write wav/txt/tsv/corpus files") {
     val out = java.nio.file.Files.createTempDirectory("graft_e2e").toString
     Sinks.writeClips(result.segments, out)
