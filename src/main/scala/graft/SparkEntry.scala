@@ -15,7 +15,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     TextQueries.defs ++ EventQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextAnalysisQueries.defs ++
-      PipelineQueries.defs ++ JoinQueries.defs ++ RelationalQueries.defs
+      PipelineQueries.defs ++ JoinQueries.defs ++ RelationalQueries.defs ++
+      CorpusQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -97,11 +97,14 @@ object Dedup {
     */
   def candidatePairs(buckets: DataFrame, docCol: String,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sized = buckets
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_id"), col("band_hash"))))
+    // bucket sizes via groupBy+join (map-side combinable), not a
+    // count-over-window, which would sort the whole bucket stream;
+    // cached because the size aggregate and the join both read it
+    val cachedBuckets = buckets.cache()
+    val sizes = cachedBuckets.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize)
+    val sized = cachedBuckets.join(sizes, Seq("band_id", "band_hash"))
     val a = sized.select(col("band_id"), col("band_hash"),
       col(docCol).as("d1"))
     val b = sized.select(col("band_id"), col("band_hash"),
@@ -195,6 +198,59 @@ object Dedup {
     verifyPairs(
       ordered.select(col("d"), col("sh").as("shingles")), "d",
       cand, threshold)
+  }
+
+  /** X1f — near-dup CLUSTER resolution: dup pairs → connected
+    * components → one canonical keeper per component (the minimum
+    * doc id, the reference-wide convention). Iterative min-label
+    * propagation with pointer jumping: each round every node takes
+    * min(own, neighbors' labels), then compresses one hop
+    * (label := label(label)) — O(log diameter) rounds, so even a
+    * pathological million-node chain converges within `maxIters`;
+    * typical near-dup components (tiny dup clusters) finish in 2–3.
+    * Per-round state is one skinny (id, label) table; the loop exits
+    * early on convergence (an isEmpty action per round —
+    * aggregate-only, nothing is collected).
+    *
+    * Output: (doc_id, cluster_id) for every doc that appears in a
+    * pair; cluster_id = min doc id reachable. Singletons are
+    * implicitly kept (they never enter `pairs`).
+    */
+  def resolveClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nmin"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+      // pointer jump: label := min(label, label(label)) — halves the
+      // remaining propagation distance every round
+      val updated = stepped.as("x")
+        .join(stepped.select(col("id").as("label"),
+          col("label").as("parent")), Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("parent"), col("label")))
+            .as("label"))
+        .cache()
+      converged = updated.as("u")
+        .join(labels.as("l"), Seq("id"))
+        .filter(col("u.label") =!= col("l.label"))
+        .isEmpty
+      labels.unpersist(blocking = false)
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** 64-bit SimHash over a doc's shingle stream: bit j of the

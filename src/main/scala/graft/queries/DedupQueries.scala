@@ -129,6 +129,47 @@ object DedupQueries {
           .orderBy($"d1", $"d2")
       }),
 
+    // X1f: near-dup cluster resolution — pairs (X1b's exact Jaccard
+    // join) → connected components → canonical keeper (min doc id).
+    // Spark side is iterative min-label propagation (Dedup.
+    // resolveClusters, O(component diameter) rounds of joins); the
+    // oracle computes the same components with a recursive
+    // reachability CTE — tractable because dup components are tiny.
+    QueryDef(
+      "q_dedup_clusters",
+      Some(s"""${shingleSql.replaceFirst("WITH", "WITH RECURSIVE")},
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)))
+                >= $JaccardThreshold
+        ), edges AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION SELECT d2, d1 FROM pairs
+        ), reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id,
+               least(src, min(dst)) AS cluster_id,
+               least(src, min(dst)) = src AS is_kept
+        FROM reach GROUP BY src
+        ORDER BY doc_id
+      """.trim),
+      "X1 near-dup cluster resolution: components + canonical keeper")(
+      (spark, dir) => {
+        import spark.implicits._
+        val pairs = Dedup.jaccardPairsExact(shingled(spark, dir), "doc_id",
+          JaccardThreshold)
+        Dedup.resolveClusters(pairs)
+          .select($"doc_id", $"cluster_id",
+            ($"cluster_id" === $"doc_id").as("is_kept"))
+          .orderBy($"doc_id")
+      }),
+
     // X1e: embedding-cosine near-dup pairs — EXACT, block-partitioned
     // (Similarity.cosinePairsBlocked): the n² work distributes across
     // block-pair tasks with one corpus/numBlocks-sized block per task

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkHarness
+
+/** CorpusOps invariants: content-stable nested sampling, exact
+  * shard-packing arithmetic; Dedup.resolveClusters on hand graphs.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkHarness.spark
+
+  test("hashSample: nested fractions, content-stable, ~unbiased") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 2000).map(i => (i.toLong, s"content number $i"))
+      .toDF("id", "text")
+    val at10 = CorpusOps.hashSample(docs, "text", 0.1, "salt")
+      .select($"id").as[Long].collect().toSet
+    val at30 = CorpusOps.hashSample(docs, "text", 0.3, "salt")
+      .select($"id").as[Long].collect().toSet
+    assert(at10.subsetOf(at30)) // nested
+    assert(math.abs(at10.size - 200) < 60) // ~10% ± noise
+    assert(math.abs(at30.size - 600) < 100)
+    // content-stable: dropping other rows never changes a row's fate
+    val subset = docs.filter($"id" < 1000)
+    val at10sub = CorpusOps.hashSample(subset, "text", 0.1, "salt")
+      .select($"id").as[Long].collect().toSet
+    assert(at10sub == at10.filter(_ < 1000))
+    // salt changes the sample
+    val other = CorpusOps.hashSample(docs, "text", 0.1, "tlas")
+      .select($"id").as[Long].collect().toSet
+    assert(other != at10)
+  }
+
+  test("tokenShards packs by exact cumulative budget per partition") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("en", 1L, 800L), ("en", 2L, 900L), ("en", 3L, 500L),
+      ("en", 4L, 2500L), ("en", 5L, 10L),
+      ("de", 1L, 1999L), ("de", 2L, 1L), ("de", 3L, 5L))
+      .toDF("lang", "doc_id", "n")
+    val got = CorpusOps.tokenShards(docs, "lang", "doc_id", "n", 2000L)
+      .select($"lang", $"doc_id", $"tokens_before", $"shard_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("en", 1L)) == (0L, 0L))
+    assert(got(("en", 2L)) == (800L, 0L))
+    assert(got(("en", 3L)) == (1700L, 0L)) // crosses budget mid-doc: stays
+    assert(got(("en", 4L)) == (2200L, 1L))
+    assert(got(("en", 5L)) == (4700L, 2L)) // oversized doc owns shard 2's start
+    assert(got(("de", 1L)) == (0L, 0L))
+    assert(got(("de", 2L)) == (1999L, 0L))
+    assert(got(("de", 3L)) == (2000L, 1L))
+  }
+
+  test("resolveClusters: chains, triangles, isolated pairs") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (11L, 12L), (10L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val got = Dedup.resolveClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("resolveClusters converges on a long chain within maxIters") {
+    val s = spark
+    import s.implicits._
+    // a 24-node path: worst-case diameter for min-propagation
+    val pairs = (0L until 23L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Dedup.resolveClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 24 && got.values.forall(_ == 0L))
+  }
+}
