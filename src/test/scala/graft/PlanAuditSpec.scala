@@ -59,4 +59,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("q_dedup_embedding: no corpus broadcast, no nested-loop join") {
+    val p = plan("q_dedup_embedding")
+    // the only broadcast allowed is the tiny block-pair dimension;
+    // the vectors join through equi (hash/sort-merge) joins
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs NLJ crept back:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_hash_sample prunes the scan and stays fully codegen'd") {
+    val p = plan("q_hash_sample")
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("n_chars"), s"unpruned scan: $read")
+    assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined,
+      "sample predicate not codegen'd")
+  }
+
+  test("q_token_shards: single exchange for the per-lang window") {
+    val p = plan("q_token_shards")
+    // one hashpartitioning exchange by lang feeds the window; the
+    // final orderBy adds a range exchange — nothing else
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges")
+    assert(p.contains("Window"), "window missing")
+  }
+
+  test("q_dedup_minhash: signature agg is partial (map-side combine)") {
+    val p = plan("q_dedup_minhash")
+    assert(p.contains("partial_min") || p.contains("partial_first") ||
+      p.contains("partial_"), "no map-side partial agg in minhash")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
