@@ -176,19 +176,36 @@ object Sources {
       .select($"path", $"value".as("text"))
   }
 
+  /** Global 1-based rank by `path` WITHOUT a global window: a global
+    * window (`Window.orderBy` with no partition) would pull every row
+    * into one task. Instead: distributed range-partitioned sort, then
+    * `zipWithIndex` (one lightweight extra job to count partition
+    * sizes, indices assigned partition-locally) — scales to millions
+    * of files.
+    */
+  private def withGlobalPos(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(col("path"))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "pos", org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** J4 — positional pairing of audio and transcript files by sorted
-    * order (gui.py:27–38): deterministic row_number on each side
+    * order (gui.py:27–38): deterministic global rank on each side
     * (path order), inner join on position; count mismatch surfaces
     * as dropped rows exactly like the reference's zip.
     */
   def pairByPosition(audio: DataFrame, transcripts: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wa = Window.orderBy(col("path"))
-    val a = audio.withColumn("pos", row_number().over(wa))
-    val t = transcripts.withColumn("pos", row_number().over(wa))
+    val a = withGlobalPos(audio)
+    val t = withGlobalPos(transcripts)
       .withColumnRenamed("path", "text_path")
     a.join(t, "pos")
-      .select(col("pos").cast("long").as("doc_id"), col("path"),
+      .select(col("pos").as("doc_id"), col("path"),
         col("text_path"), col("pcm"), col("sample_rate"), col("text"))
   }
 }
