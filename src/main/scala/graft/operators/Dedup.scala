@@ -217,11 +217,16 @@ object Dedup {
     * implicitly kept (they never enter `pairs`).
     */
   def resolveClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // localCheckpoint, not cache: each round's frame is built on the
+    // previous round's, so caching alone leaves a plan that GROWS per
+    // iteration — analysis/optimization time compounds (the classic
+    // iterative-lineage blowup). Checkpointing materializes AND cuts
+    // lineage, keeping every round's plan constant-size.
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
@@ -241,7 +246,7 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("parent"), col("label")))
             .as("label"))
-        .cache()
+        .localCheckpoint()
       converged = updated.as("u")
         .join(labels.as("l"), Seq("id"))
         .filter(col("u.label") =!= col("l.label"))
