@@ -61,9 +61,13 @@ object PipelineQueries {
       (spark, dir) => {
         import spark.implicits._
         val sr = 8000
+        // a sub-MB parquet scans as ONE partition; repartition so the
+        // heavy per-doc work (audio synthesis + two inference passes)
+        // uses every core — documents are the unit of parallelism
         val docs = table(spark, dir, "documents")
           .filter($"doc_id" % 20 === 0)
           .select($"doc_id", $"text")
+          .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
         // The recognizer is content-driven (the waveform itself
         // encodes each word's characters), so synthesis is a pure
         // per-doc map — no vocabulary table, no driver-side collect.
