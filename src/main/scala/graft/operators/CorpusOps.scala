@@ -29,6 +29,27 @@ object CorpusOps {
       salt: String = ""): DataFrame =
     df.filter(hashSampleCol(col(keyCol), fraction, salt))
 
+  /** Stratified deterministic sampling: per-stratum fractions (e.g.
+    * downsample English, keep all of a low-resource language), same
+    * md5 determinism as `hashSample` — the sample for a stratum at
+    * fraction f equals `hashSample(f)` restricted to that stratum,
+    * so cross-run/nested properties carry over. Strata absent from
+    * `fractions` default to 0 (dropped) — explicit allowlisting, the
+    * safe default for corpus mixing. The fractions ship as a map
+    * literal: no join, the predicate stays codegen'd in the scan
+    * stage.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      fractions: Map[String, Double], salt: String = ""): DataFrame = {
+    val thresholds = map(fractions.toSeq.flatMap { case (k, f) =>
+      Seq(lit(k), lit(math.round(f * 4294967296.0)))
+    }: _*)
+    val hash = conv(substring(md5(concat(lit(salt), col(keyCol))), 1, 8),
+      16, 10).cast("long")
+    df.filter(hash <
+      coalesce(element_at(thresholds, col(stratumCol)), lit(0L)))
+  }
+
   /** Token-budget sharding: pack an ordered document stream into
     * training shards of ≈`budgetTokens` each — shard id = ⌊cumulative
     * tokens before the doc / budget⌋, per `partitionCol` (e.g.

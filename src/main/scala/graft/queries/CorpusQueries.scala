@@ -38,6 +38,33 @@ object CorpusQueries {
           .orderBy($"doc_id")
       }),
 
+    // Stratified sampling — per-language keep fractions (downsample
+    // high-resource, keep all low-resource, drop unlisted), same md5
+    // determinism; the oracle evaluates the identical per-stratum
+    // predicate.
+    QueryDef(
+      "q_stratified_sample",
+      Some(s"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE CAST(('0x' || substr(md5('$SampleSalt' || text), 1, 8)) AS BIGINT)
+              < CASE lang
+                  WHEN 'en' THEN ${math.round(0.1 * 4294967296.0)}
+                  WHEN 'de' THEN ${math.round(0.5 * 4294967296.0)}
+                  WHEN 'zh' THEN ${math.round(1.0 * 4294967296.0)}
+                  ELSE 0 END
+        ORDER BY doc_id
+      """.trim),
+      "Stratified deterministic sampling with per-language fractions")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.stratifiedSample(table(spark, dir, "documents"),
+            "text", "lang",
+            Map("en" -> 0.1, "de" -> 0.5, "zh" -> 1.0), SampleSalt)
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      }),
+
     // Token-budget sharding: pack each language's documents (doc_id
     // order) into ~2000-token training shards — one window pass.
     QueryDef(

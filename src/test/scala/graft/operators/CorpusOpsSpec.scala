@@ -34,6 +34,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(other != at10)
   }
 
+  test("stratifiedSample: per-stratum fractions, unlisted strata drop") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 3000).map(i =>
+      (i.toLong, s"doc body $i", Seq("en", "de", "xx")(i % 3)))
+      .toDF("id", "text", "lang")
+    val got = CorpusOps.stratifiedSample(docs, "text", "lang",
+        Map("en" -> 0.2, "de" -> 1.0), "s")
+      .groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("xx")) // unlisted stratum fully dropped
+    assert(got("de") == 1000L) // fraction 1.0 keeps everything
+    assert(math.abs(got("en") - 200L) < 70) // ~20%
+    // consistency with the flat sampler at the same salt+fraction
+    val flat = CorpusOps.hashSample(docs.filter($"lang" === "en"),
+      "text", 0.2, "s").count()
+    assert(flat == got("en"))
+  }
+
   test("tokenShards packs by exact cumulative budget per partition") {
     val s = spark
     import s.implicits._
