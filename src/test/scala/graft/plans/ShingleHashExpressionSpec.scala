@@ -76,4 +76,28 @@ class ShingleHashExpressionSpec extends AnyFunSuite {
       .collect()(0).getInt(0)
     assert(n == 2)
   }
+
+  test("property: cardinality == string pipeline on random texts") {
+    val s = spark
+    import org.scalacheck.Gen
+    import s.implicits._
+    val word = Gen.chooseNum(0, 40).map(i => s"t$i")
+    val text = for {
+      n <- Gen.chooseNum(0, 60)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val harness = new graft.PropertyHarness {}
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    harness.forAllSampled(text, 120)(t => texts += t)
+    for (k <- Seq(2, 4)) {
+      val got = texts.toSeq.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .select($"id",
+          size(Dedup.hashedShingles($"text", k)).as("nh"),
+          size(Dedup.shingles(Dedup.tokens($"text"), k)).as("ns"))
+        .collect()
+      got.foreach(r =>
+        assert(r.getInt(1) == r.getInt(2), s"k=$k id=${r.getLong(0)}"))
+    }
+  }
 }
