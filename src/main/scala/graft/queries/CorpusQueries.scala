@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.CorpusOps
 import graft.queries.QueryDef.table
+import graft.sources.Sources
 
 /** Corpus-preparation contract queries (training-data pipeline
   * operators beyond the reference surface): deterministic content
@@ -16,6 +17,76 @@ object CorpusQueries {
   val ShardBudget = 2000L
 
   val defs: Seq[QueryDef] = Seq(
+
+    // Multimodal audio path with an EXACT oracle: per doc, synthesize
+    // a 24-bit STEREO wav container holding the deterministic signal
+    // v(i) = (i·31+7) mod 201 − 100 (n_chars samples, both channels
+    // equal), push it through the production decoder
+    // (Sources.decodeWav: 24-bit → >>8, stereo → average downmix ⇒
+    // v(i) back exactly), and aggregate sum-of-squares — an INTEGER,
+    // so the engine's container round-trip is value-exact against a
+    // DuckDB oracle that never sees a byte of audio. rms derives in
+    // one double op chain from exact ints on both sides.
+    QueryDef(
+      "q_audio_rms",
+      Some("""
+        WITH s AS (
+          SELECT doc_id, greatest(n_chars, 1) AS n FROM documents
+        ), e AS (
+          SELECT doc_id, n, unnest(range(n)) AS i FROM s
+        )
+        SELECT doc_id, n AS n_samples,
+               CAST(sum(CAST(((i * 31 + 7) % 201 - 100)
+                 * ((i * 31 + 7) % 201 - 100) AS BIGINT)) AS BIGINT)
+                 AS sum_sq,
+               round(sqrt(CAST(sum(CAST(((i * 31 + 7) % 201 - 100)
+                 * ((i * 31 + 7) % 201 - 100) AS BIGINT)) AS DOUBLE)
+                 / n), 6) AS rms
+        FROM e GROUP BY doc_id, n
+        ORDER BY doc_id
+      """.trim),
+      "Audio decode round-trip (24-bit stereo wav) + exact RMS oracle")(
+      (spark, dir) => {
+        import spark.implicits._
+        import java.nio.{ByteBuffer, ByteOrder}
+        val roundTrip = udf { nChars: Long =>
+          val n = math.max(nChars, 1L).toInt
+          // 24-bit stereo container: sample v in both channels,
+          // stored as v<<8 (decoder: >>8 then channel average)
+          val data = ByteBuffer.allocate(n * 6).order(ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < n) {
+            val v = (i * 31 + 7) % 201 - 100
+            val s24 = v << 8
+            var c = 0
+            while (c < 2) {
+              data.put((s24 & 0xFF).toByte)
+                .put(((s24 >> 8) & 0xFF).toByte)
+                .put(((s24 >> 16) & 0xFF).toByte)
+              c += 1
+            }
+            i += 1
+          }
+          val header = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+          header.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 6)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(2).putInt(8000).putInt(8000 * 6)
+            .putShort(6).putShort(24)
+            .put("data".getBytes("US-ASCII")).putInt(n * 6)
+          val wav = header.array() ++ data.array()
+          val pcm = Sources.decodeWav(wav).toOption.get
+          var ss = 0L
+          pcm.samples.foreach(v => ss += v.toLong * v)
+          (pcm.nSamples.toLong, ss)
+        }
+        table(spark, dir, "documents")
+          .select($"doc_id", roundTrip(greatest($"n_chars", lit(1L))).as("r"))
+          .select($"doc_id", $"r._1".as("n_samples"), $"r._2".as("sum_sq"))
+          .withColumn("rms",
+            round(sqrt($"sum_sq".cast("double") / $"n_samples"), 6))
+          .orderBy($"doc_id")
+      }),
 
     // Deterministic md5 content sampling — reproducible, content-
     // stable, nested across fractions; the DuckDB oracle evaluates
