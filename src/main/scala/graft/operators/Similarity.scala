@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cast a float vector to double element-wise (precision parity). */
-  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+  /** Cast a float vector to double element-wise (precision parity —
+    * float→double widening is exact). Native array Cast, not
+    * `transform(_, _.cast(...))`: Cast is one codegen'd expression,
+    * the HOF is an interpreted per-element loop.
+    */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Sequential-fold dot product. Resolves to the native codegen
     * `vec_dot` expression (GraftExtensions) — one static call per
