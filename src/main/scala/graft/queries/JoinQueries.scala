@@ -48,6 +48,45 @@ object JoinQueries {
           .orderBy($"event_id")
       }),
 
+    // Forward as-of with tolerance: each purchase joins the EARLIEST
+    // following click within 7 days (pandas merge_asof(direction=
+    // 'forward', tolerance=...) semantics); same one-shuffle window
+    // plan, matched-ts distance checked from the carried right ts.
+    QueryDef(
+      "q_asof_forward",
+      Some("""
+        WITH p AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+                   FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id,
+          CASE WHEN c.ts IS NOT NULL
+                AND epoch_us(c.ts) - epoch_us(p.ts) <= 604800000000
+               THEN c.click_id END AS click_id,
+          CASE WHEN c.ts IS NOT NULL
+                AND epoch_us(c.ts) - epoch_us(p.ts) <= 604800000000
+               THEN round(c.click_value, 3) END AS click_value
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+        ORDER BY p.event_id
+      """.trim),
+      "forward as-of join w/ 7-day tolerance: purchase ⋈ next click")(
+      (spark, dir) => {
+        import spark.implicits._
+        val ev = QueryDef.events(spark, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id".as("click_id"),
+            $"value".as("click_value"))
+        AsOfJoin.asOf(purchases, clicks, "user_id", "ts",
+            Seq("click_id", "click_value"),
+            direction = "forward", tolerance = Some(604800000000L))
+          .select($"event_id", $"user_id", $"click_id",
+            round($"click_value", 3).as("click_value"))
+          .orderBy($"event_id")
+      }),
+
     // Broadcast theta/range join: events banded into value tiers via
     // a non-equi join against a tiny broadcast dimension — the plan
     // must be BroadcastNestedLoopJoin with the 4-row side broadcast,

@@ -34,6 +34,45 @@ class AsOfJoinSpec extends AnyFunSuite {
       "l3" -> -1L)) // key with no right rows
   }
 
+  test("asOf forward: earliest following-or-simultaneous right row") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, ts(10), "l1"), (1L, ts(16), "l2"), (1L, ts(99), "l3"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1L, ts(10), 100L), (1L, ts(15), 150L),
+      (1L, ts(20), 200L)).toDF("k", "ts", "rid")
+    val got = AsOfJoin.asOf(left, right, "k", "ts", Seq("rid"),
+        direction = "forward")
+      .select($"lv", $"rid").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got == Map(
+      "l1" -> 100L, // simultaneous right row visible
+      "l2" -> 200L, // earliest following
+      "l3" -> -1L)) // nothing after
+  }
+
+  test("asOf tolerance: distant matches become nulls (both directions)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, ts(100), "a"), (1L, ts(500), "b"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1L, ts(95), 1L), (1L, ts(505), 2L))
+      .toDF("k", "ts", "rid")
+    def run(dir: String, tolMicros: Long) =
+      AsOfJoin.asOf(left, right, "k", "ts", Seq("rid"), dir,
+          Some(tolMicros))
+        .select($"lv", $"rid").collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // backward: a←95 (5s away), b←95 (405s away)
+    assert(run("backward", 10_000_000L) == Map("a" -> 1L, "b" -> -1L))
+    assert(run("backward", 500_000_000L) == Map("a" -> 1L, "b" -> 1L))
+    // forward: a→505 (405s away), b→505 (5s away)
+    assert(run("forward", 10_000_000L) == Map("a" -> -1L, "b" -> 2L))
+  }
+
   test("asOf plan: single exchange (window), no join node") {
     val s = spark
     import s.implicits._
