@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Table-stakes OLAP operators beyond the reference surface — pivot,
+  * multi-level rollup, exact quantiles — so a user migrating any
+  * analytics workload onto this engine finds them first-class and
+  * oracle-verified.
+  */
+object OlapQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Pivot: per-user event counts, event types as columns. The plan
+    // is ONE aggregation (Spark pivots in a single groupBy with
+    // pivot-value partial aggregates — no per-column scans); pivot
+    // values are declared, which at scale is mandatory (an undeclared
+    // pivot needs a distinct-values pre-query).
+    QueryDef(
+      "q_pivot_event_counts",
+      Some("""
+        SELECT user_id,
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+          CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+          CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+      """.trim),
+      "pivot: per-user event-type count matrix")(
+      (spark, dir) => {
+        import spark.implicits._
+        QueryDef.events(spark, dir)
+          .groupBy($"user_id")
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(coalesce(count(lit(1)), lit(0L)))
+          .na.fill(0L)
+          .orderBy($"user_id")
+      }),
+
+    // Rollup: order totals at (status, priority), (status), and grand
+    // -total levels in one pass — Spark expands grouping sets inside
+    // a single shuffle with partial aggregation per set.
+    QueryDef(
+      "q_order_rollup",
+      Some("""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               count(*) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE), 2)
+                 AS total_price
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY status NULLS FIRST, priority NULLS FIRST
+      """.trim),
+      "rollup: order totals at three grouping levels in one pass")(
+      (spark, dir) => {
+        import spark.implicits._
+        QueryDef.table(spark, dir, "orders")
+          .rollup($"o_orderstatus".as("status"),
+            $"o_orderpriority".as("priority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum($"o_totalprice".cast("decimal(20,6)")).cast("double"), 2)
+              .as("total_price"))
+          .orderBy($"status".asc_nulls_first, $"priority".asc_nulls_first)
+      }),
+
+    // Exact quantiles per event type: Spark `percentile` and DuckDB
+    // `quantile_cont` both use linear interpolation over the sorted
+    // values — identical doubles, rounded for belt-and-braces. The
+    // scale path swaps in approx_percentile (t-digest, no full sort);
+    // the exact form is the oracle-able twin, same pairing as
+    // HLL/countDistinct.
+    QueryDef(
+      "q_value_quantiles",
+      Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 6) AS p25,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.75), 6) AS p75,
+               round(quantile_cont(value, 0.95), 6) AS p95
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+      """.trim),
+      "exact per-group quantiles (linear interpolation)")(
+      (spark, dir) => {
+        import spark.implicits._
+        QueryDef.events(spark, dir)
+          .groupBy($"event_type")
+          .agg(
+            round(percentile($"value", lit(0.25)), 6).as("p25"),
+            round(percentile($"value", lit(0.5)), 6).as("p50"),
+            round(percentile($"value", lit(0.75)), 6).as("p75"),
+            round(percentile($"value", lit(0.95)), 6).as("p95"))
+          .orderBy($"event_type")
+      }),
+  )
+}
