@@ -97,5 +97,23 @@ object OlapQueries {
             round(percentile($"value", lit(0.95)), 6).as("p95"))
           .orderBy($"event_type")
       }),
+
+    // The 100 TB quantile path: approx_percentile (t-digest-style
+    // sketch, partial-aggregatable, no per-group sort). Rows-only for
+    // the driver (sketch values aren't SQL-reproducible); OlapSpec
+    // bounds its error against the exact twin, the same pairing as
+    // HLL vs countDistinct.
+    QueryDef(
+      "q_approx_quantiles",
+      None,
+      "approximate per-group quantiles (sketch; exact twin above)")(
+      (spark, dir) => {
+        import spark.implicits._
+        QueryDef.events(spark, dir)
+          .groupBy($"event_type")
+          .agg(approx_percentile($"value", lit(0.5), lit(1000)).as("p50"),
+            approx_percentile($"value", lit(0.95), lit(1000)).as("p95"))
+          .orderBy($"event_type")
+      }),
   )
 }
