@@ -67,6 +67,54 @@ object OlapQueries {
           .orderBy($"status".asc_nulls_first, $"priority".asc_nulls_first)
       }),
 
+    // Cube: all four grouping combinations of (status, priority) in
+    // one pass — same grouping-sets machinery as rollup, 2ⁿ sets.
+    QueryDef(
+      "q_order_cube",
+      Some("""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY status NULLS FIRST, priority NULLS FIRST
+      """.trim),
+      "cube: order counts across every grouping combination")(
+      (spark, dir) => {
+        import spark.implicits._
+        QueryDef.table(spark, dir, "orders")
+          .cube($"o_orderstatus".as("status"),
+            $"o_orderpriority".as("priority"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"status".asc_nulls_first, $"priority".asc_nulls_first)
+      }),
+
+    // Set difference over NESTED deterministic samples: the 20% md5
+    // sample minus the 10% sample must be exactly the hash band
+    // [10%, 20%) — EXCEPT on one side, a closed-form predicate on the
+    // oracle side. Verifies both the set operator and the sampler's
+    // nesting guarantee in one query.
+    QueryDef(
+      "q_sample_band_except",
+      Some(s"""
+        SELECT doc_id
+        FROM documents
+        WHERE CAST(('0x' || substr(md5('s1' || text), 1, 8)) AS BIGINT)
+              >= ${math.round(0.1 * 4294967296.0)}
+          AND CAST(('0x' || substr(md5('s1' || text), 1, 8)) AS BIGINT)
+              < ${math.round(0.2 * 4294967296.0)}
+        ORDER BY doc_id
+      """.trim),
+      "EXCEPT of nested samples == the closed-form hash band")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.CorpusOps
+        val docs = QueryDef.table(spark, dir, "documents")
+        CorpusOps.hashSample(docs, "text", 0.2, "s1").select($"doc_id")
+          .except(
+            CorpusOps.hashSample(docs, "text", 0.1, "s1").select($"doc_id"))
+          .orderBy($"doc_id")
+      }),
+
     // Exact quantiles per event type: Spark `percentile` and DuckDB
     // `quantile_cont` both use linear interpolation over the sorted
     // values — identical doubles, rounded for belt-and-braces. The
