@@ -319,8 +319,13 @@ object EventQueries {
       "q_avg_conf",
       Some(s"""
         SELECT user_id,
-          round(coalesce(avg(CASE WHEN value > 300 THEN $confSql END), 1.0), 6) AS span_conf,
-          round(avg($confSql), 6) AS corpus_conf
+          round(coalesce(
+            CAST(sum(CASE WHEN value > 300
+                     THEN CAST($confSql AS DECIMAL(20,6)) END) AS DOUBLE)
+              / count(CASE WHEN value > 300 THEN 1 END), 1.0), 6)
+            AS span_conf,
+          round(CAST(sum(CAST($confSql AS DECIMAL(20,6))) AS DOUBLE)
+              / count(*), 6) AS corpus_conf
         FROM events
         GROUP BY user_id
         ORDER BY user_id
@@ -328,12 +333,20 @@ object EventQueries {
       "A2/A3 mean confidence with empty->1.0 (claude_research_optimal.py:446,524)")(
       (spark, dir) => {
         import spark.implicits._
+        // Mean as decimal-sum / count, not avg(double): partial
+        // aggregation sums doubles in a different order than DuckDB
+        // and the ulp drift flips round-to-6 on large groups (first
+        // seen at sf0.1 — sf0.01 passed by luck).
+        val confDec = confCol.cast("decimal(20,6)")
         QueryDef.events(spark, dir)
           .groupBy($"user_id")
           .agg(
-            round(coalesce(avg(when($"value" > 300, confCol)), lit(1.0)), 6)
+            round(coalesce(
+              sum(when($"value" > 300, confDec)).cast("double")
+                / count(when($"value" > 300, lit(1))), lit(1.0)), 6)
               .as("span_conf"),
-            round(avg(confCol), 6).as("corpus_conf"))
+            round(sum(confDec).cast("double") / count(lit(1)), 6)
+              .as("corpus_conf"))
           .orderBy($"user_id")
       }),
 

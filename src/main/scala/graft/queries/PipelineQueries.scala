@@ -112,7 +112,8 @@ object PipelineQueries {
         )
         SELECT user_id, count(*) AS n_events,
                min(event_id) AS first_event, max(event_id) AS last_event,
-               round(sum(value), 3) AS sum_value
+               round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 3)
+                 AS sum_value
         FROM sess GROUP BY user_id, sid
         ORDER BY user_id, first_event
       """.trim),
@@ -124,7 +125,10 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_events"),
             min($"event_id").as("first_event"),
             max($"event_id").as("last_event"),
-            round(sum($"value"), 3).as("sum_value"))
+            // decimal sum: order-independent across engines (same
+            // hardening as q_session_merge — double sums round-flip)
+            round(sum($"value".cast("decimal(20,6)")).cast("double"), 3)
+              .as("sum_value"))
           .select($"user_id", $"n_events", $"first_event", $"last_event",
             $"sum_value")
           .orderBy($"user_id", $"first_event")
