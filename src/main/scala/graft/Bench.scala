@@ -2,10 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-query wall-time bench over SPARK_GRAFT_SF_DIR. Each query runs
-  * twice: a warmup pass (Janino codegen compilation + JIT dominate a
-  * cold first run and amortize to zero at production scale), then —
-  * with the catalog cache cleared so operator-internal caches don't
-  * turn the measurement into a cache read — a timed pass.
+  * once as warmup (Janino codegen compilation + JIT dominate a cold
+  * first run and amortize to zero at production scale), then — with
+  * the catalog cache cleared before every pass so operator-internal
+  * caches don't turn the measurement into a cache read — several timed
+  * passes, reporting the minimum. The host VM shows bimodal
+  * CPU-steal-like noise (the same query has measured 13s and 55s in
+  * adjacent runs); for a deterministic workload the minimum over
+  * repeated runs is the unbiased estimate of true warm cost, while a
+  * single sample can land entirely inside a noise window.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,13 +40,16 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val results = selected.map { case (name, fn) =>
       val t = try {
         fn(spark, sfDir).count() // warmup: codegen + JIT
-        dropCaches() // timed run must recompute
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        (1 to timedRuns).map { _ =>
+          dropCaches() // each timed run must recompute
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
       } catch { case _: Throwable => -1.0 }
       dropCaches()
       name -> t

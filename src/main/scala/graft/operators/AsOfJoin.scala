@@ -3,13 +3,14 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
 
 /** As-of join — for each left row, the latest right row with
   * right.ts <= left.ts within the same key (SURVEY.md §2.3 "not
   * present in reference; engine exposes it"). Spark has no built-in
   * as-of join; the scalable formulation is union + one window pass:
   * tag both sides, sort by (key, ts, side), and carry the last seen
-  * right payload forward with `last(_, ignoreNulls)`.
+  * right row forward with `last(_, ignoreNulls)`.
   *
   * One shuffle total (the window partitioning) regardless of input
   * sizes — compare a naive range join (quadratic candidate space) or
@@ -17,6 +18,13 @@ import org.apache.spark.sql.functions._
   * sorts BEFORE the left row (side flag), so an exactly-simultaneous
   * right row IS visible to the left row, matching DuckDB
   * `ASOF JOIN ... ON l.ts >= r.ts` semantics.
+  *
+  * The entire matched right row (all payloads plus its ts) rides the
+  * window as ONE struct, so every output payload comes from the same
+  * right row even when individual payload values are null — the
+  * pandas `merge_asof` contract (whole matched row, nulls preserved).
+  * Filling each payload with its own `last(ignoreNulls)` would
+  * instead backfill a null payload from an older right row.
   */
 object AsOfJoin {
 
@@ -30,10 +38,17 @@ object AsOfJoin {
     * `l.ts >= r.ts` / `l.ts <= r.ts` respectively, including the
     * equal-ts case. `tolerance`: maximum |left.ts − right.ts| for a
     * match — in MICROSECONDS for timestamp columns, in the column's
-    * own units otherwise; farther matches become nulls (pandas
-    * `merge_asof(tolerance=...)` semantics). Still one shuffle: the
-    * tolerance check reuses the matched ts carried through the same
-    * window.
+    * own units otherwise; the WHOLE matched row is nulled when it
+    * falls outside tolerance (pandas `merge_asof(tolerance=...)`
+    * semantics). Still one shuffle: the tolerance check reuses the
+    * matched ts carried inside the struct.
+    *
+    * Duplicate right rows at the same (key, ts) are resolved by a
+    * deterministic tiebreaker (hash of the full right payload struct,
+    * largest wins) so repeated runs agree; which duplicate a given
+    * engine "should" pick is undefined in both pandas and DuckDB, so
+    * callers needing oracle-exact parity should keep (key, ts) unique
+    * on the right.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, payloadCols: Seq[String],
@@ -42,51 +57,48 @@ object AsOfJoin {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val leftCols = left.columns
-    val rts = "__p___rts" // matched right ts rides along as a payload
+    val otherLeft = leftCols.filterNot(c => c == keyCol || c == tsCol)
+    // the matched right row travels as one struct: payloads + its ts
+    val ptype = StructType(
+      payloadCols.map(c => StructField(c, right.schema(c).dataType)) :+
+        StructField("__rts", right.schema(tsCol).dataType))
     val l = left
       .withColumn("__side", lit(1))
       .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
-        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"__p_$c")) :+
-        lit(null).cast(right.schema(tsCol).dataType).as(rts): _*)
+        otherLeft.map(col) :+
+        lit(null).cast(ptype).as("__p"): _*)
     val r = right
       .withColumn("__side", lit(0))
       .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
-        leftCols.filterNot(c => c == keyCol || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(c => col(c).as(s"__p_$c")) :+
-        col(tsCol).as(rts): _*)
+        otherLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map(col) :+ col(tsCol).as("__rts"): _*)
+          .as("__p"): _*)
     // right rows sort before left rows at equal ts in TRAVERSAL order
     // (asc for backward, desc for forward), so a simultaneous right
-    // row is visible in both directions
+    // row is visible in both directions; the payload hash makes the
+    // order total among duplicate-(key, ts) right rows
     val w = Window.partitionBy(col(keyCol))
       .orderBy(
         (if (direction == "backward") col(tsCol).asc else col(tsCol).desc),
-        col("__side").asc)
+        col("__side").asc,
+        xxhash64(col("__p")).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = l.unionByName(r)
-      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
-        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
-        (payloadCols :+ rts).map(c =>
-          last(col(s"__p_${c.stripPrefix("__p_")}"), ignoreNulls = true)
-            .over(w).as(c.stripPrefix("__p_"))): _*)
+    val withMatch = l.unionByName(r)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
-    val matched = col(rts.stripPrefix("__p_"))
-    val result = tolerance match {
-      case None => joined
+    val gated = tolerance match {
+      case None => withMatch
       case Some(t) =>
-        val isTs = right.schema(tsCol).dataType
-          .isInstanceOf[org.apache.spark.sql.types.TimestampType]
+        val isTs = right.schema(tsCol).dataType.isInstanceOf[TimestampType]
         def micros(c: Column) = if (isTs) unix_micros(c) else c
+        val rts = col("__m").getField("__rts")
         val dist =
-          if (direction == "backward") micros(col(tsCol)) - micros(matched)
-          else micros(matched) - micros(col(tsCol))
-        payloadCols.foldLeft(joined) { (df, c) =>
-          df.withColumn(c, when(matched.isNotNull && dist <= t, col(c)))
-        }
+          if (direction == "backward") micros(col(tsCol)) - micros(rts)
+          else micros(rts) - micros(col(tsCol))
+        withMatch.withColumn("__m",
+          when(rts.isNotNull && dist <= t, col("__m")))
     }
-    result.drop(rts.stripPrefix("__p_"))
+    gated.select(leftCols.map(col) ++
+      payloadCols.map(c => col("__m").getField(c).as(c)): _*)
   }
 }

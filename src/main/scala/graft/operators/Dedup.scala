@@ -109,9 +109,27 @@ object Dedup {
       col(docCol).as("d1"))
     val b = sized.select(col("band_id"), col("band_hash"),
       col(docCol).as("d2"))
-    a.join(b, Seq("band_id", "band_hash"))
+    val pairs = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
+    materializeThenRelease(pairs, cachedBuckets)
+  }
+
+  /** Eagerly materialize `result` (a localCheckpoint — one pass, then
+    * downstream reads hit the checkpoint blocks), then release the
+    * operator-internal caches. Without this, every invocation in a
+    * long-lived session would pin its intermediates in executor
+    * storage forever — the caches exist only to share work BETWEEN
+    * stages of one invocation, and the materialized result (a skinny
+    * pair list, orders of magnitude smaller than the exploded
+    * intermediates) is the only state worth keeping. Callers may
+    * `unpersist` the returned frame when done with it.
+    */
+  private def materializeThenRelease(result: DataFrame,
+      intermediates: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Exact pairwise Jaccard over distinct shingle sets, computed by
@@ -195,9 +213,10 @@ object Dedup {
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.g") === col("b.g") && col("a.d") < col("b.d"))
       .select(col("a.d").as("d1"), col("b.d").as("d2")).distinct()
-    verifyPairs(
+    val verified = verifyPairs(
       ordered.select(col("d"), col("sh").as("shingles")), "d",
       cand, threshold)
+    materializeThenRelease(verified, ex, ordered)
   }
 
   /** X1f — near-dup CLUSTER resolution: dup pairs → connected
@@ -255,6 +274,19 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // partially-propagated labels LOOK valid downstream (every doc
+    // still has a cluster id — just not the component minimum), so
+    // non-convergence must be loud, not a silent wrong answer. With
+    // pointer jumping, maxIters=20 covers component diameters up to
+    // ~2^20; hitting this means the input is pathological.
+    if (!converged) {
+      edges.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"resolveClusters did not converge within $maxIters rounds — " +
+        "component diameter exceeds the pointer-jumping budget; " +
+        "raise maxIters")
+    }
+    edges.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

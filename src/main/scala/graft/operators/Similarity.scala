@@ -170,14 +170,18 @@ object Similarity {
   }
 
   /** EXACT all-pairs cosine join at `threshold`, block-partitioned:
-    * each side is hash-assigned to one of `numBlocks` blocks, the
-    * (numBlocks·(numBlocks+1)/2) unordered block pairs are enumerated
-    * as a tiny broadcast dimension, and each task joins one block
-    * against one block. Same output as a naive self-join — provably
-    * complete — but the plan holds ONE block (corpus/numBlocks rows)
-    * per task instead of broadcasting the corpus, and the n² compute
-    * spreads uniformly across the cluster; numBlocks scales with
-    * corpus size to keep per-task memory constant.
+    * each side is hash-assigned to one of `numBlocks` blocks, both
+    * sides are replicated to every block pair they participate in
+    * (a broadcast join against the tiny block-pair dimension — each
+    * row fans out ~(numBlocks+1)/2×), and the candidate join is an
+    * equi-join on the COMBINED (ba, bb) key — numBlocks·(numBlocks+1)/2
+    * distinct composite keys, so each block pair is an independent
+    * task and the n² compute spreads across the cluster instead of
+    * funneling into numBlocks join partitions. Same output as a naive
+    * self-join — provably complete — and per-task memory is one block
+    * per side (corpus/numBlocks rows); numBlocks scales with corpus
+    * size to keep per-task memory constant and with cluster size to
+    * keep block-pair count ≥ total cores.
     *
     * Why not sign-LSH buckets here: bucketed LSH only beats n² when
     * the threshold is tight. At cos ≥ 0.4 the angle is ~66°, a plane
@@ -208,9 +212,14 @@ object Similarity {
       i <- 0 until numBlocks
       j <- i until numBlocks
     } yield (i, j)).toDF("ba", "bb")
+    // replicate each side to its block pairs with a broadcast join
+    // (no shuffle), then equi-join on the composite (ba, bb) key —
+    // one shuffle per side, partitioned across all block pairs
+    val aExp = broadcast(blockPairs).join(a, "ba")
+    val bExp = broadcast(blockPairs).join(b, "bb")
     // a same-block pair dedups by id order; a cross-block pair occurs
     // exactly once (ba < bb), in arbitrary id order → normalize ids
-    broadcast(blockPairs).join(a, "ba").join(b, "bb")
+    aExp.join(bExp, Seq("ba", "bb"))
       .filter(col("ba") < col("bb") || col("v1") < col("v2"))
       .withColumn("cos0", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .filter(col("cos0") >= threshold)

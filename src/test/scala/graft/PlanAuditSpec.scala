@@ -87,10 +87,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Window"), "window missing")
   }
 
-  test("q_dedup_minhash: signature agg is partial (map-side combine)") {
-    val p = plan("q_dedup_minhash")
+  test("minhash signature agg is partial (map-side combine)") {
+    // audited on the operator directly: the full q_dedup_minhash
+    // query eagerly checkpoints the candidate-pair stage (so its
+    // internal caches can be released — Dedup.materializeThenRelease),
+    // which hides the upstream stages behind a Scan ExistingRDD in
+    // the final plan string
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.hashedShingles(col("text"), 4))
+          .as("g"))
+    val sigs = graft.operators.Dedup
+      .minhashSignature(docs, "doc_id", "g", 16)
+    sigs.collect()
+    val p = sigs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
     assert(p.contains("partial_min") || p.contains("partial_first") ||
       p.contains("partial_"), "no map-side partial agg in minhash")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_dedup_minhash has no cartesian product end to end") {
+    val p = plan("q_dedup_minhash")
     assert(!p.contains("CartesianProduct"))
   }
 }

@@ -73,6 +73,39 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(run("forward", 10_000_000L) == Map("a" -> -1L, "b" -> 2L))
   }
 
+  test("asOf: null payload in matched row stays null (whole-row semantics)") {
+    val s = spark
+    import s.implicits._
+    // nearest right row at ts=15 has a NULL price; pandas merge_asof
+    // keeps that null — it must NOT backfill from the older ts=10 row,
+    // and the other payload must come from the same ts=15 row
+    val left = Seq((1L, ts(20), "l")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, ts(10), Some(99L), "old"),
+      (1L, ts(15), None: Option[Long], "new"))
+      .toDF("k", "ts", "price", "tag")
+    val row = AsOfJoin.asOf(left, right, "k", "ts", Seq("price", "tag"))
+      .select($"price", $"tag").collect().head
+    assert(row.isNullAt(0), "null payload was backfilled from an older row")
+    assert(row.getString(1) == "new")
+  }
+
+  test("asOf tolerance: whole matched row nulls together") {
+    val s = spark
+    import s.implicits._
+    // the nearest row is out of tolerance; no payload may survive
+    // individually (the old per-column fill could keep a farther row's
+    // value alive past the gate)
+    val left = Seq((1L, ts(100), "l")).toDF("k", "ts", "lv")
+    val right = Seq((1L, ts(10), 1L, "far"), (1L, ts(90), 2L, "near"))
+      .toDF("k", "ts", "rid", "tag")
+    val row = AsOfJoin.asOf(left, right, "k", "ts", Seq("rid", "tag"),
+        "backward", Some(5_000_000L)) // 5s tolerance, nearest is 10s away
+      .select($"rid", $"tag").collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1),
+      "out-of-tolerance payloads must all null together")
+  }
+
   test("asOf plan: single exchange (window), no join node") {
     val s = spark
     import s.implicits._
