@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inverted-index text statistics: term/document frequencies, tf-idf
+  * weighting, sparse cosine similarity join, and distinctive-term
+  * extraction — the retrieval-side text operators of a training-data
+  * pipeline (corpus search, near-topic grouping, keyword surfacing)
+  * complementing the set-based dedup family in [[Dedup]].
+  *
+  * All stages are Column expression trees over built-in functions —
+  * no UDFs, whole-stage codegen throughout.
+  *
+  * Scale notes (100 TB):
+  *   - The index is one explode + hash aggregate: the shuffle carries
+  *     (doc, term, tf) triples, map-side combined.
+  *   - The sparse cosine join is the textbook inverted-index
+  *     similarity join: pairs meet through shared terms (equi-join on
+  *     term), so cost is Σ_term df², NOT |docs|². The `dfCap` prune
+  *     drops ubiquitous terms — the standard guard, since a stopword
+  *     appearing in every doc alone recreates the all-pairs join; its
+  *     semantic effect is computing cosine over the pruned vocabulary
+  *     (both sides of the driver oracle apply the same cap).
+  *   - Distinctive terms is one window over the per-doc term list —
+  *     partitioned by doc, no global sort.
+  */
+object InvertedIndex {
+
+  /** Sequence n-grams of a token array, space-joined, NON-distinct
+    * (term frequency needs multiplicity, unlike [[Dedup.shingles]]'
+    * set semantics). n = 1 degenerates to the tokens themselves.
+    */
+  def ngrams(toks: Column, n: Int): Column = {
+    val sz = size(toks)
+    when(sz < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), sz - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** (docCol, term, tf): whitespace-tokenized lower-cased n-gram term
+    * counts per document. One explode + one map-side-combined
+    * aggregate. Word n-grams (n ≥ 2) are the right index terms when
+    * the unigram vocabulary is small relative to the corpus — every
+    * term is then near-ubiquitous and carries no signal.
+    */
+  def termCounts(docs: DataFrame, docCol: String, textCol: String,
+      n: Int = 1): DataFrame =
+    docs.select(col(docCol),
+        explode(ngrams(Dedup.tokens(col(textCol)), n)).as("term"))
+      .groupBy(col(docCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (term, df): number of documents containing each term. */
+  def docFrequencies(tc: DataFrame): DataFrame =
+    tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** (docCol, term, tf, df, weight): smoothed tf-idf,
+    * weight = tf · ln((N+1)/(df+1)). `nDocs` is passed in (a corpus
+    * constant the caller knows or computes once) so the weighting
+    * stays a pure per-row expression.
+    */
+  def tfidf(tc: DataFrame, docCol: String, nDocs: Long): DataFrame =
+    tc.join(docFrequencies(tc), "term")
+      .withColumn("weight",
+        col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)))
+      .select(col(docCol), col("term"), col("tf"), col("df"), col("weight"))
+
+  /** Document pairs with bag-of-words cosine ≥ `threshold`, computed
+    * over the vocabulary pruned to df ≤ `dfCap`. All sums are
+    * integer (term counts), so the cosine doubles are bit-identical
+    * across engines — sqrt and division are IEEE-exact operations on
+    * exactly-representable integers.
+    *
+    * Output: (d1, d2, cos) with d1 < d2.
+    */
+  def tfCosinePairs(tc: DataFrame, docCol: String, threshold: Double,
+      dfCap: Int): DataFrame = {
+    val kept = tc
+      .join(docFrequencies(tc).filter(col("df") <= dfCap).select(col("term")),
+        "term")
+    val norms = kept.groupBy(col(docCol))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = kept.as("a")
+      .join(kept.as("b"),
+        col("a.term") === col("b.term") &&
+          col(s"a.$docCol") < col(s"b.$docCol"))
+      .groupBy(col(s"a.$docCol").as("d1"), col(s"b.$docCol").as("d2"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dots
+      .join(norms.select(col(docCol).as("d1"), col("n2").as("na")), "d1")
+      .join(norms.select(col(docCol).as("d2"), col("n2").as("nb")), "d2")
+      .withColumn("cos",
+        col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), col("cos"))
+  }
+
+  /** Top-`k` most distinctive terms per document, scored by the
+    * integer ratio score = ⌊tf · 1e6 / df⌋ — monotone in tf/df (a
+    * term used often HERE but rarely anywhere else), and exact in
+    * 64-bit integer arithmetic so rankings and values reproduce
+    * across engines with no floating point at all. Ties break on the
+    * term's lexicographic order.
+    *
+    * Output: (docCol, term, tf, df, score, rk) with rk in 1..k.
+    */
+  def distinctiveTerms(tc: DataFrame, docCol: String, k: Int): DataFrame = {
+    val scored = tc.join(docFrequencies(tc), "term")
+      .withColumn("score", expr("tf * 1000000 div df"))
+    val w = Window.partitionBy(col(docCol))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(docCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.InvertedIndex
+import graft.queries.QueryDef.table
+
+/** Corpus-statistics contract queries: per-column data profiling,
+  * exact heavy hitters, and the inverted-index text-similarity
+  * family (sparse tf cosine join, distinctive terms) — the
+  * retrieval/QA-side operators of a training-data pipeline
+  * (SURVEY.md §2.10 north stars, extended).
+  */
+object CorpusStatsQueries {
+
+  /** Shared bigram term-count subtree — cached so the CacheManager
+    * unifies it across the queries below when they run in one session
+    * (same analyzed plan ⇒ same cache entry, as with the dedup
+    * shingle subtree).
+    */
+  private def bigramCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    InvertedIndex.termCounts(
+      table(spark, dir, "documents"), "doc_id", "text", n = 2).cache()
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Per-column data profiling — the standard first query against an
+    // unknown 100 TB table: one scan computes count/distinct/min/max
+    // for every column (the multi-distinct agg expands the input
+    // internally, still one pass over storage), then pivots to one
+    // row per column. Strings compare bytewise in both engines, so
+    // min/max oracle exactly.
+    QueryDef(
+      "q_profile",
+      Some("""
+        SELECT 'doc_id' AS col_name, count(doc_id) AS n_nonnull,
+               count(DISTINCT doc_id) AS n_distinct,
+               CAST(min(doc_id) AS VARCHAR) AS min_value,
+               CAST(max(doc_id) AS VARCHAR) AS max_value
+        FROM documents
+        UNION ALL
+        SELECT 'lang', count(lang), count(DISTINCT lang),
+               CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars),
+               CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'source', count(source), count(DISTINCT source),
+               CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'text', count(text), count(DISTINCT text),
+               CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+        FROM documents
+        ORDER BY col_name
+      """.trim),
+      "per-column profile (count/distinct/min/max) of documents")(
+      (spark, dir) => {
+        import spark.implicits._
+        val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"cnt_$c"),
+          count_distinct(col(c)).as(s"dst_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c")))
+        table(spark, dir, "documents")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(cols.map(c => struct(
+            lit(c).as("col_name"),
+            col(s"cnt_$c").as("n_nonnull"),
+            col(s"dst_$c").as("n_distinct"),
+            col(s"min_$c").as("min_value"),
+            col(s"max_$c").as("max_value"))): _*)).as("p"))
+          .select($"p.*")
+          .orderBy($"col_name")
+      }),
+
+    // Exact heavy hitters: global top-20 tokens by corpus frequency.
+    // orderBy+limit compiles to TakeOrderedAndProject — a per-
+    // partition top-k then a driver-side merge of 20-row heaps, no
+    // global sort of the vocabulary (plan-audited).
+    QueryDef(
+      "q_heavy_hitters",
+      Some("""
+        SELECT t AS token, count(*) AS n
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS t
+              FROM documents)
+        GROUP BY t
+        ORDER BY n DESC, token
+        LIMIT 20
+      """.trim),
+      "exact top-20 corpus tokens (TakeOrderedAndProject top-k)")(
+      (spark, dir) => {
+        import spark.implicits._
+        table(spark, dir, "documents")
+          .select(explode(graft.operators.Dedup.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token")
+          .limit(20)
+      }),
+
+    // Sparse cosine similarity join over the bigram inverted index:
+    // pairs meet through shared terms (equi-join on term, cost
+    // Σ_term df² with df capped), never all-pairs. All sums are
+    // integer term counts, so the cosine doubles are bit-identical
+    // across engines (sqrt/division on exact integers).
+    QueryDef(
+      "q_tf_cosine",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), tc AS (
+          SELECT doc_id, ts[i] || ' ' || ts[i+1] AS term, count(*) AS tf
+          FROM toks, unnest(range(1, len(ts))) AS r(i)
+          GROUP BY 1, 2
+        ), kept AS (
+          SELECT tc.* FROM tc
+          JOIN (SELECT term FROM tc GROUP BY term HAVING count(*) <= 100)
+            USING (term)
+        ), norms AS (
+          SELECT doc_id, sum(tf*tf) AS n2 FROM kept GROUP BY doc_id
+        ), dots AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.tf*b.tf) AS dot
+          FROM kept a JOIN kept b
+            ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+        FROM dots
+        JOIN norms na ON dots.d1 = na.doc_id
+        JOIN norms nb ON dots.d2 = nb.doc_id
+        WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.5
+        ORDER BY d1, d2
+      """.trim),
+      "inverted-index bigram tf-cosine pairs at >= 0.5, df cap 100")(
+      (spark, dir) => {
+        import spark.implicits._
+        InvertedIndex.tfCosinePairs(bigramCounts(spark, dir), "doc_id",
+            threshold = 0.5, dfCap = 100)
+          .select($"d1", $"d2", round($"cos", 6).as("cos"))
+          .orderBy($"d1", $"d2")
+      }),
+
+    // Distinctive terms: top-3 bigrams per doc by the integer ratio
+    // score ⌊tf·1e6/df⌋ — high where a term is frequent in THIS doc
+    // but rare corpus-wide; 64-bit integer arithmetic end to end, so
+    // ranking and value reproduce exactly in any engine.
+    QueryDef(
+      "q_distinctive_terms",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), tc AS (
+          SELECT doc_id, ts[i] || ' ' || ts[i+1] AS term, count(*) AS tf
+          FROM toks, unnest(range(1, len(ts))) AS r(i)
+          GROUP BY 1, 2
+        ), dfv AS (
+          SELECT term, count(*) AS df FROM tc GROUP BY term
+        ), scored AS (
+          SELECT tc.doc_id, tc.term, tc.tf, dfv.df,
+                 tc.tf * 1000000 // dfv.df AS score,
+                 row_number() OVER (PARTITION BY tc.doc_id
+                   ORDER BY tc.tf * 1000000 // dfv.df DESC, tc.term) AS rk
+          FROM tc JOIN dfv USING (term)
+        )
+        SELECT doc_id, term, tf, df, score, rk
+        FROM scored WHERE rk <= 3
+        ORDER BY doc_id, rk
+      """.trim),
+      "top-3 distinctive bigrams per doc, integer tf/df ratio score")(
+      (spark, dir) => {
+        import spark.implicits._
+        InvertedIndex.distinctiveTerms(bigramCounts(spark, dir), "doc_id",
+            k = 3)
+          .orderBy($"doc_id", $"rk")
+      }),
+  )
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, SaltedJoin}
 import graft.queries.QueryDef.table
 
 /** Join-operator contract queries: the relational join surface the
@@ -187,6 +187,81 @@ object JoinQueries {
           .orderBy($"nation", $"rk")
           .select($"nation", $"o_orderkey",
             round($"o_totalprice", 2).as("price"))
+      }),
+
+    // Left SEMI join: orders having at least one max-quantity line.
+    // The probe side streams once against the filtered build side —
+    // no row multiplication, no payload from the right (the physical
+    // shape EXISTS compiles to).
+    QueryDef(
+      "q_semi_join",
+      Some("""
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity >= 49)
+        ORDER BY o_orderkey
+      """.trim),
+      "left semi join: orders with any line of quantity >= 49")(
+      (spark, dir) => {
+        import spark.implicits._
+        table(spark, dir, "orders")
+          .join(table(spark, dir, "lineitem").filter($"l_quantity" >= 49),
+            $"o_orderkey" === $"l_orderkey", "left_semi")
+          .select($"o_orderkey", $"o_orderstatus",
+            round($"o_totalprice", 2).as("price"))
+          .orderBy($"o_orderkey")
+      }),
+
+    // Left ANTI join: orders with no lineitems at all — the NOT
+    // EXISTS physical shape (null-safe, no row multiplication).
+    QueryDef(
+      "q_anti_join",
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_orderpriority
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey)
+        ORDER BY o_orderkey
+      """.trim),
+      "left anti join: orders with no lineitems")(
+      (spark, dir) => {
+        import spark.implicits._
+        table(spark, dir, "orders")
+          .join(table(spark, dir, "lineitem"),
+            $"o_orderkey" === $"l_orderkey", "left_anti")
+          .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+          .orderBy($"o_orderkey")
+      }),
+
+    // Salted skew join: events (every row of a hot user lands on the
+    // same reducer in a plain shuffled join) ⋈ customer with the
+    // probe side salted 8 ways and the build side replicated 8× —
+    // output provably equal to the plain join (the oracle IS the
+    // plain join). Decimal sum: order-independent across engines.
+    QueryDef(
+      "q_salted_join",
+      Some("""
+        SELECT c.c_mktsegment AS segment, count(*) AS n,
+               round(CAST(sum(CAST(e.value AS DECIMAL(20,6))) AS DOUBLE), 2)
+                 AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY segment
+      """.trim),
+      "salted (8-way) skew join events ⋈ customer, plain-join oracle")(
+      (spark, dir) => {
+        import spark.implicits._
+        SaltedJoin.join(
+            QueryDef.events(spark, dir),
+            table(spark, dir, "customer"),
+            "user_id", "c_custkey", $"event_id", numSalts = 8)
+          .groupBy($"c_mktsegment".as("segment"))
+          .agg(count(lit(1)).as("n"),
+            round(sum($"value".cast("decimal(20,6)")).cast("double"), 2)
+              .as("sum_value"))
+          .orderBy($"segment")
       }),
   )
 }

@@ -163,5 +163,37 @@ object OlapQueries {
             approx_percentile($"value", lit(0.95), lit(1000)).as("p95"))
           .orderBy($"event_type")
       }),
+
+    // Analytic window-function suite over the per-user event stream:
+    // lag delta, ntile quartile, percent_rank, cume_dist — one
+    // window shuffle (partition by user), total order via (ts,
+    // event_id). percent_rank/cume_dist are rationals of row counts,
+    // identical doubles in any engine; the lag delta subtracts two
+    // stored doubles — also engine-invariant.
+    QueryDef(
+      "q_window_funcs",
+      Some("""
+        SELECT event_id, user_id,
+               round(value - lag(value) OVER w, 3) AS delta,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+      """.trim),
+      "window suite: lag delta, ntile, percent_rank, cume_dist")(
+      (spark, dir) => {
+        import spark.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        QueryDef.events(spark, dir)
+          .select($"event_id", $"user_id",
+            round($"value" - lag($"value", 1).over(w), 3).as("delta"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy($"event_id")
+      }),
   )
 }

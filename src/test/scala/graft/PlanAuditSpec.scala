@@ -112,4 +112,21 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_heavy_hitters: top-k via TakeOrderedAndProject, no global sort") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected top-k operator in:\n${p.take(1500)}")
+  }
+
+  test("q_semi_join and q_anti_join use semi/anti physical joins") {
+    assert(plan("q_semi_join").contains("LeftSemi"), "no semi join")
+    assert(plan("q_anti_join").contains("LeftAnti"), "no anti join")
+  }
+
+  test("q_profile reads the table once (single file scan)") {
+    val p = plan("q_profile")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans")
+  }
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkHarness
+
+/** Inverted-index operator semantics on literal corpora: n-gram
+  * counting, tf-idf values against plain-Scala math, cosine pairs
+  * against a dense brute-force computation, distinctive-term ranking.
+  */
+class InvertedIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkHarness.spark
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the hat"),
+      (3L, "dogs bark loudly at night"),
+      (4L, "the cat sat on the mat again and again"))
+      .toDF("doc_id", "text")
+  }
+
+  test("ngrams: counts, multiplicity, short-doc edge") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("a b a b", "a", "").toDF("text")
+      .select(InvertedIndex.ngrams(Dedup.tokens($"text"), 2).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b", "b a", "a b")) // non-distinct
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
+  test("termCounts: tf multiplicity per doc") {
+    val tc = InvertedIndex.termCounts(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(tc((1L, "the")) == 2L)
+    assert(tc((1L, "cat")) == 1L)
+    assert(tc((4L, "again")) == 2L)
+  }
+
+  test("tfidf matches plain-Scala smoothed weighting") {
+    val tc = InvertedIndex.termCounts(corpus, "doc_id", "text")
+    val got = InvertedIndex.tfidf(tc, "doc_id", nDocs = 4L)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => r.getString(1) -> r.getDouble(4)).toMap
+    // 'the' appears in docs 1,2,4 → df=3; tf=2 in doc 1
+    assert(math.abs(got("the") - 2.0 * math.log(5.0 / 4.0)) < 1e-12)
+    // 'mat' in docs 1,4 → df=2
+    assert(math.abs(got("mat") - 1.0 * math.log(5.0 / 3.0)) < 1e-12)
+  }
+
+  test("tfCosinePairs equals dense brute force (no cap binding)") {
+    val tc = InvertedIndex.termCounts(corpus, "doc_id", "text")
+    val got = InvertedIndex.tfCosinePairs(tc, "doc_id",
+        threshold = 0.0, dfCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // dense reference in plain Scala
+    val docs = corpus.collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .groupBy(identity).map { case (t, a) => t -> a.length.toLong })
+      .toMap
+    def cos(a: Map[String, Long], b: Map[String, Long]): Double = {
+      // iterator, not Set.map — a Set of products would collapse
+      // duplicate values before summing
+      val dot = a.keys.iterator.filter(b.contains).map(t => a(t) * b(t)).sum
+      dot / (math.sqrt(a.values.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.values.map(x => x * x).sum.toDouble))
+    }
+    for {
+      i <- docs.keys; j <- docs.keys if i < j
+      expect = cos(docs(i), docs(j)) if expect > 0
+    } assert(math.abs(got((i, j)) - expect) < 1e-12,
+      s"pair ($i,$j): got ${got.get((i, j))}, want $expect")
+    // threshold filters: everything with cos 0 is absent
+    assert(!got.contains((3L, 4L)) || got((3L, 4L)) > 0)
+  }
+
+  test("dfCap prunes ubiquitous terms from the index") {
+    val tc = InvertedIndex.termCounts(corpus, "doc_id", "text")
+    // cap 2 drops 'the'/'cat'/'sat'/'on' (df=3) — docs 1,2 still meet
+    // through 'mat'-free overlap? they only share capped terms → the
+    // pair must disappear entirely
+    val got = InvertedIndex.tfCosinePairs(tc, "doc_id",
+        threshold = 0.01, dfCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.contains((1L, 2L)),
+      "pair meeting only through df>cap terms must vanish")
+    // docs 1,4 share 'mat' (df=2 ≤ cap) → pair survives
+    assert(got.contains((1L, 4L)))
+  }
+
+  test("distinctiveTerms: integer score ranking with term tie-break") {
+    val tc = InvertedIndex.termCounts(corpus, "doc_id", "text")
+    val got = InvertedIndex.distinctiveTerms(tc, "doc_id", k = 2)
+      .filter(col("doc_id") === 3L)
+      .collect().map(r => (r.getString(1), r.getLong(4), r.getInt(5)))
+    // doc 3's terms are all df=1, tf=1 → score ties at 1e6; ranking
+    // falls back to lexicographic term order
+    assert(got.map(_._1).toSeq == Seq("at", "bark"))
+    assert(got.forall(_._2 == 1000000L))
+  }
+}
