@@ -40,17 +40,41 @@ object InvertedIndex {
   }
 
   /** (docCol, term, tf): whitespace-tokenized lower-cased n-gram term
-    * counts per document. One explode + one map-side-combined
-    * aggregate. Word n-grams (n ≥ 2) are the right index terms when
-    * the unigram vocabulary is small relative to the corpus — every
-    * term is then near-ubiquitous and carries no signal.
+    * counts per document. Word n-grams (n ≥ 2) are the right index
+    * terms when the unigram vocabulary is small relative to the
+    * corpus — every term is then near-ubiquitous and carries no
+    * signal.
+    *
+    * n-gram assembly for n ≥ 2 runs as `lead` window steps over the
+    * exploded token stream + a codegen `concat_ws`, NOT the
+    * [[ngrams]] HOF form: `transform`/`slice`/`array_join` are
+    * interpreted per element, and on a multi-consumer plan the
+    * interpreted pass dominated the whole query (measured ~5 s → ~1 s
+    * at sf0.1). Cost: one window shuffle on the doc key, then the
+    * map-side-combined count aggregate.
     */
   def termCounts(docs: DataFrame, docCol: String, textCol: String,
-      n: Int = 1): DataFrame =
-    docs.select(col(docCol),
-        explode(ngrams(Dedup.tokens(col(textCol)), n)).as("term"))
-      .groupBy(col(docCol), col("term"))
+      n: Int = 1): DataFrame = {
+    val terms =
+      if (n == 1)
+        docs.select(col(docCol),
+          explode(Dedup.tokens(col(textCol))).as("term"))
+      else {
+        val toks = docs.select(col(docCol),
+          posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "t0")))
+        val w = Window.partitionBy(col(docCol)).orderBy(col("pos"))
+        val withNext = (1 until n).foldLeft(toks) { (df, i) =>
+          df.withColumn(s"t$i", lead(col("t0"), i).over(w))
+        }
+        withNext
+          .filter(col(s"t${n - 1}").isNotNull) // drop incomplete tails
+          .select(col(docCol),
+            concat_ws(" ", (0 until n).map(i => col(s"t$i")): _*)
+              .as("term"))
+      }
+    terms.groupBy(col(docCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+  }
 
   /** (term, df): number of documents containing each term. */
   def docFrequencies(tc: DataFrame): DataFrame =

@@ -33,6 +33,23 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(got(1).isEmpty && got(2).isEmpty)
   }
 
+  test("termCounts window form == ngrams HOF form (n=2,3)") {
+    val s = spark
+    import s.implicits._
+    for (n <- Seq(2, 3)) {
+      val fast = InvertedIndex.termCounts(corpus, "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val ref = corpus
+        .select($"doc_id",
+          explode(InvertedIndex.ngrams(Dedup.tokens($"text"), n)).as("term"))
+        .groupBy($"doc_id", $"term").count()
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(fast == ref, s"n=$n mismatch")
+    }
+  }
+
   test("termCounts: tf multiplicity per doc") {
     val tc = InvertedIndex.termCounts(corpus, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
