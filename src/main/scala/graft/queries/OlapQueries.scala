@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.queries.QueryDef.table
+
 /** Table-stakes OLAP operators beyond the reference surface — pivot,
   * multi-level rollup, exact quantiles — so a user migrating any
   * analytics workload onto this engine finds them first-class and
@@ -162,6 +164,111 @@ object OlapQueries {
           .agg(approx_percentile($"value", lit(0.5), lit(1000)).as("p50"),
             approx_percentile($"value", lit(0.95), lit(1000)).as("p95"))
           .orderBy($"event_type")
+      }),
+
+    // Time-series resample: hourly buckets per user with event count
+    // and forward-filled last value — empty buckets materialized
+    // between each user's first and last active hour. (user, µs-ts)
+    // is unique in the data, so arg_max/max_by last-value picks are
+    // deterministic and identical across engines.
+    QueryDef(
+      "q_resample",
+      Some("""
+        WITH b AS (
+          SELECT user_id, date_trunc('hour', ts) AS bucket,
+                 count(*) AS n_events, arg_max(value, ts) AS last_value
+          FROM events GROUP BY 1, 2
+        ), grid AS (
+          SELECT user_id,
+                 unnest(generate_series(min(bucket), max(bucket),
+                                        INTERVAL 1 HOUR)) AS bucket
+          FROM b GROUP BY user_id
+        )
+        SELECT g.user_id, CAST(epoch_us(g.bucket) AS BIGINT) AS bucket_us,
+               coalesce(b.n_events, 0) AS n_events,
+               round(last_value(b.last_value IGNORE NULLS)
+                 OVER (PARTITION BY g.user_id ORDER BY g.bucket), 3)
+                 AS filled
+        FROM grid g LEFT JOIN b USING (user_id, bucket)
+        ORDER BY user_id, bucket_us
+      """.trim),
+      "hourly resample per user: counts + forward-filled last value")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.TimeSeries.resampleFfill(
+            QueryDef.events(spark, dir), "user_id", "ts", "value", "hour")
+          .select($"user_id", unix_micros($"bucket").as("bucket_us"),
+            $"n_events", round($"filled", 3).as("filled"))
+          .orderBy($"user_id", $"bucket_us")
+      }),
+
+    // Correlation + least-squares regression from DECIMAL moments:
+    // n, Σx, Σy, Σxy, Σx², Σy² accumulate exactly (order-independent
+    // decimal sums), then the corr/slope/intercept formulas run in
+    // double over those exact sums — the same IEEE expression on both
+    // engines, so results match bit-for-bit before rounding. The
+    // built-in `corr()` (double running accumulation) is the noisy
+    // twin this replaces for oracle-exact work.
+    QueryDef(
+      "q_corr_regression",
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+                 sum(CAST(l_quantity AS DECIMAL(19,6)) *
+                     CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy,
+                 sum(CAST(l_quantity AS DECIMAL(19,6)) *
+                     CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+                 sum(CAST(l_extendedprice AS DECIMAL(19,6)) *
+                     CAST(l_extendedprice AS DECIMAL(19,6))) AS syy
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                 AS corr_qty_price,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 AS slope,
+               round((CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                 AS intercept
+        FROM m ORDER BY l_returnflag
+      """.trim),
+      "exact corr + regression of quantity vs price per returnflag")(
+      (spark, dir) => {
+        import spark.implicits._
+        val qd = $"l_quantity".cast("decimal(18,6)")
+        val pd = $"l_extendedprice".cast("decimal(18,6)")
+        val m = table(spark, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(qd).as("sx"), sum(pd).as("sy"),
+            sum(qd * pd).as("sxy"), sum(qd * qd).as("sxx"),
+            sum(pd * pd).as("syy"))
+        val (n, sx, sy) =
+          ($"n".cast("double"), $"sx".cast("double"), $"sy".cast("double"))
+        val (sxy, sxx, syy) =
+          ($"sxy".cast("double"), $"sxx".cast("double"), $"syy".cast("double"))
+        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        m.select($"l_returnflag", $"n",
+            round((n * sxy - sx * sy) /
+              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+              .as("corr_qty_price"),
+            round(slope, 6).as("slope"),
+            round((sy - slope * sx) / n, 6).as("intercept"))
+          .orderBy($"l_returnflag")
       }),
 
     // Analytic window-function suite over the per-user event stream:
