@@ -87,6 +87,40 @@ object JoinQueries {
           .orderBy($"event_id")
       }),
 
+    // Hot-key as-of: the same purchase ⋈ latest-prior-click join
+    // through the BUCKETED implementation (window partitioned by
+    // (user, 6-hour bucket) + skinny cross-bucket carry) — the form
+    // for keys whose event count exceeds one sort task. Same oracle
+    // as q_asof_join: output must be identical.
+    QueryDef(
+      "q_asof_bucketed",
+      Some("""
+        WITH p AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+                   FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, c.click_id, round(c.click_value, 3) AS click_value
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+      """.trim),
+      "bucketed hot-key as-of join, identical output to q_asof_join")(
+      (spark, dir) => {
+        import spark.implicits._
+        val ev = QueryDef.events(spark, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id".as("click_id"),
+            $"value".as("click_value"))
+        AsOfJoin.asOfBucketed(purchases, clicks, "user_id", "ts",
+            Seq("click_id", "click_value"),
+            bucketWidth = 6L * 3600 * 1000000) // 6-hour buckets
+          .select($"event_id", $"user_id", $"click_id",
+            round($"click_value", 3).as("click_value"))
+          .orderBy($"event_id")
+      }),
+
     // Broadcast theta/range join: events banded into value tiers via
     // a non-equi join against a tiny broadcast dimension — the plan
     // must be BroadcastNestedLoopJoin with the 4-row side broadcast,

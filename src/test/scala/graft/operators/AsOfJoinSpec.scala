@@ -106,6 +106,40 @@ class AsOfJoinSpec extends AnyFunSuite {
       "out-of-tolerance payloads must all null together")
   }
 
+  test("asOfBucketed == asOf across widths, directions, tolerance") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // dense single hot key plus sparse keys; right rows with nulls
+    val left = (1 to 400).map { i =>
+      val k = if (i % 4 == 0) rnd.nextInt(3).toLong + 10 else 1L
+      (k, ts(rnd.nextInt(5000).toLong), i.toLong)
+    }.toDF("k", "ts", "lid")
+    val right = (1 to 150).map { i =>
+      val k = if (i % 5 == 0) rnd.nextInt(3).toLong + 10 else 1L
+      (k, ts(rnd.nextInt(5000).toLong), i.toLong,
+        if (i % 7 == 0) None else Some(s"p$i"))
+    }.toDF("k", "ts", "rid", "tag")
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"lid", $"rid", $"tag").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) "" else r.getString(2))).toSet
+    for {
+      dir <- Seq("backward", "forward")
+      tol <- Seq(None, Some(600_000_000L)) // 600 s
+      width <- Seq(1_000_000L, 250_000_000L, 60_000_000_000L)
+    } {
+      val plain = collectSet(AsOfJoin.asOf(left, right, "k", "ts",
+        Seq("rid", "tag"), dir, tol))
+      val bucketed = collectSet(AsOfJoin.asOfBucketed(left, right, "k",
+        "ts", Seq("rid", "tag"), width, dir, tol))
+      assert(bucketed == plain,
+        s"dir=$dir tol=$tol width=$width\n" +
+          s"bucketed-only: ${bucketed -- plain}\nplain-only: ${plain -- bucketed}")
+    }
+  }
+
   test("asOf plan: single exchange (window), no join node") {
     val s = spark
     import s.implicits._
