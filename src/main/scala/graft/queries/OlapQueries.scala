@@ -166,6 +166,62 @@ object OlapQueries {
           .orderBy($"event_type")
       }),
 
+    // Fixed-width histogram — the one-pass binning staple: bin id is
+    // a pure scan-stage expression, the aggregate is map-side
+    // combined, output is ∝ bins regardless of input size.
+    QueryDef(
+      "q_histogram",
+      Some("""
+        SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2)
+                 AS sum_value
+        FROM events
+        GROUP BY 1
+        ORDER BY bin
+      """.trim),
+      "fixed-width value histogram (50-unit bins)")(
+      (spark, dir) => {
+        import spark.implicits._
+        QueryDef.events(spark, dir)
+          .groupBy(floor($"value" / 50).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"),
+            round(sum($"value".cast("decimal(20,6)")).cast("double"), 2)
+              .as("sum_value"))
+          .orderBy($"bin")
+      }),
+
+    // Winsorization (outlier clipping at per-group p05/p95) — the
+    // data-cleaning staple. Plan shape is the 100 TB one: percentile
+    // boundaries per group (small), broadcast-joined back onto the
+    // stream; the oracle computes the identical boundaries with a
+    // window form (same linear-interpolation values).
+    QueryDef(
+      "q_winsorize",
+      Some("""
+        SELECT event_id,
+               round(least(greatest(value,
+                 quantile_cont(value, 0.05)
+                   OVER (PARTITION BY event_type)),
+                 quantile_cont(value, 0.95)
+                   OVER (PARTITION BY event_type)), 3) AS clipped
+        FROM events
+        ORDER BY event_id
+      """.trim),
+      "winsorize values at per-type p05/p95 (broadcast boundaries)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val ev = QueryDef.events(spark, dir)
+        val bounds = ev.groupBy($"event_type")
+          .agg(percentile($"value", lit(0.05)).as("p05"),
+            percentile($"value", lit(0.95)).as("p95"))
+        ev.join(broadcast(bounds), "event_type")
+          .select($"event_id",
+            round(least(greatest($"value", $"p05"), $"p95"), 3)
+              .as("clipped"))
+          .orderBy($"event_id")
+      }),
+
     // Time-series resample: hourly buckets per user with event count
     // and forward-filled last value — empty buckets materialized
     // between each user's first and last active hour. (user, µs-ts)
