@@ -166,6 +166,37 @@ object OlapQueries {
           .orderBy($"event_type")
       }),
 
+    // Semi-structured extraction: parse the JSON props column with a
+    // declared schema (from_json — codegen'd Jackson parse, no UDF)
+    // and aggregate the extracted field. Declared schemas are the
+    // 100 TB rule: schema inference would need a pre-pass over the
+    // data.
+    QueryDef(
+      "q_json_props",
+      Some("""
+        SELECT event_type, count(*) AS n,
+               min(CAST(props->>'k' AS BIGINT)) AS min_k,
+               max(CAST(props->>'k' AS BIGINT)) AS max_k,
+               sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+               count(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+      """.trim),
+      "JSON field extraction from props + integer aggregates")(
+      (spark, dir) => {
+        import spark.implicits._
+        QueryDef.events(spark, dir)
+          .withColumn("k", from_json($"props",
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), min($"k").as("min_k"),
+            max($"k").as("max_k"), sum($"k").as("sum_k"),
+            count_distinct($"k").as("n_k"))
+          .orderBy($"event_type")
+      }),
+
     // Fixed-width histogram — the one-pass binning staple: bin id is
     // a pure scan-stage expression, the aggregate is map-side
     // combined, output is ∝ bins regardless of input size.
