@@ -149,6 +149,60 @@ object CorpusStatsQueries {
           .orderBy($"d1", $"d2")
       }),
 
+    // PII redaction: emails/cards/IPs/phones scrubbed by an ordered
+    // regexp_replace chain (scan-stage, codegen'd — no shuffle), with
+    // per-pattern hit counts. The PII is synthesized deterministically
+    // from doc_id so both engines construct, match, and replace the
+    // identical strings — oracling the full regex dialect parity.
+    QueryDef(
+      "q_redact",
+      Some("""
+        WITH synth AS (
+          SELECT doc_id,
+                 'user' || CAST(doc_id AS VARCHAR) ||
+                 '@example.com call +1 (555) 010-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                 ' card 4111111111111111 from 10.0.0.' ||
+                 CAST(doc_id % 256 AS VARCHAR) || ' ' ||
+                 substr(text, 1, 40) AS raw
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{13,19}\b', '<CARD>', 'g'),
+                 '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+                 '\+?\d[\d() .-]{6,}\d', '<PHONE>', 'g') AS redacted,
+               len(regexp_extract_all(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+               len(regexp_extract_all(raw, '\b\d{13,19}\b')) AS n_card,
+               len(regexp_extract_all(raw,
+                 '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ipv4
+        FROM synth
+        ORDER BY doc_id
+      """.trim),
+      "PII redaction chain + hit counts over synthesized PII")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.functions.Redact
+        val raw = concat(
+          lit("user"), $"doc_id".cast("string"),
+          lit("@example.com call +1 (555) 010-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+          lit(" card 4111111111111111 from 10.0.0."),
+          ($"doc_id" % 256).cast("string"), lit(" "),
+          substring($"text", 1, 40))
+        val counts = Redact.hitCounts(raw)
+          .filter(c => c._1 != "phone") // phone overlaps card/ip runs;
+                                        // counted patterns are disjoint
+          .map { case (n, c) => c.cast("long").as(s"n_$n") }
+        table(spark, dir, "documents")
+          .select(Seq($"doc_id", Redact.redact(raw).as("redacted")) ++
+            counts: _*)
+          .orderBy($"doc_id")
+      }),
+
     // Distinctive terms: top-3 bigrams per doc by the integer ratio
     // score ⌊tf·1e6/df⌋ — high where a term is frequent in THIS doc
     // but rare corpus-wide; 64-bit integer arithmetic end to end, so
