@@ -290,6 +290,52 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** X1g — INCREMENTAL near-dup: which new docs duplicate the
+    * existing corpus. The asymmetric form every production pipeline
+    * actually runs ("dedup tonight's crawl against the 100 TB
+    * corpus"): band buckets of the NEW batch equi-join band buckets
+    * of the corpus — the corpus is never self-paired, so the work is
+    * ∝ |new| × bucket density, not |corpus|². At scale the corpus
+    * bucket table is a precomputed, bucketed-by-(band_id, band_hash)
+    * artifact refreshed as batches are admitted.
+    *
+    * `newDocs`/`corpus`: (docCol, shingles). Output: (d1 = new doc,
+    * d2 = corpus doc, jaccard ≥ threshold). The bucket-size guard
+    * applies to the CORPUS side (the side big enough to have
+    * degenerate buckets).
+    */
+  def incrementalNearDupes(newDocs: DataFrame, corpus: DataFrame,
+      docCol: String, numHashes: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double, maxBucketSize: Int = 1000): DataFrame = {
+    def buckets(df: DataFrame) = bandBuckets(
+      minhashSignature(
+        df.select(col(docCol), explode(col("shingles")).as("g")),
+        docCol, "g", numHashes),
+      docCol, bands, rowsPerBand)
+    val nb = buckets(newDocs)
+    val cb = buckets(corpus).cache()
+    val sizes = cb.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val cand = nb.select(col("band_id"), col("band_hash"),
+        col(docCol).as("d1"))
+      .join(cb.join(sizes, Seq("band_id", "band_hash"))
+        .select(col("band_id"), col("band_hash"), col(docCol).as("d2")),
+        Seq("band_id", "band_hash"))
+      .select(col("d1"), col("d2")).distinct()
+    val verified = cand
+      .join(newDocs.select(col(docCol).as("d1"), col("shingles").as("sh1")),
+        "d1")
+      .join(corpus.select(col(docCol).as("d2"), col("shingles").as("sh2")),
+        "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    materializeThenRelease(verified, cb)
+  }
+
   /** 64-bit SimHash over a doc's shingle stream: bit j of the
     * signature is set iff Σ_shingles sign(bit j of xxhash64(shingle))
     * is ≥ 0. Pure aggregate expressions: 64 conditional sums fold into

@@ -129,6 +129,39 @@ object DedupQueries {
           .orderBy($"d1", $"d2")
       }),
 
+    // X1g: incremental near-dup — odd doc_ids play the "new batch",
+    // even doc_ids the existing corpus: new-side band buckets join
+    // corpus-side band buckets (the corpus is never self-paired).
+    // Oracle: the exact asymmetric Jaccard join. Equality holds for
+    // the same reason as q_dedup_minhash (banding recall ≈1 at the
+    // planted J≥0.8 band, verified deterministic).
+    QueryDef(
+      "q_dedup_incremental",
+      Some(s"""$shingleSql
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                     (len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles))), 6)
+                 AS jaccard
+        FROM sh a JOIN sh b
+          ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+              (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)))
+              >= $JaccardThreshold
+        ORDER BY d1, d2"""),
+      "X1g incremental near-dup: new batch vs existing corpus")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = shingled(spark, dir).cache()
+        Dedup.incrementalNearDupes(
+            docs.filter($"doc_id" % 2 === 1),
+            docs.filter($"doc_id" % 2 === 0),
+            "doc_id", NumHashes, Bands, RowsPerBand, JaccardThreshold)
+          .select($"d1", $"d2", round($"jaccard", 6).as("jaccard"))
+          .orderBy($"d1", $"d2")
+      }),
+
     // X1f: near-dup cluster resolution — pairs (X1b's exact Jaccard
     // join) → connected components → canonical keeper (min doc id).
     // Spark side is iterative min-label propagation (Dedup.

@@ -105,6 +105,29 @@ class DedupSpec extends AnyFunSuite {
       s"simhash false positives: ${got -- exactPairs}")
   }
 
+  test("incrementalNearDupes: asymmetric — new×corpus only") {
+    val s = spark
+    import s.implicits._
+    val mk = (rows: Seq[(Long, String)]) => df(rows)
+      .select($"doc_id", shingles(tokens($"text"), 3).as("shingles"))
+    // two identical NEW docs (1, 3) and their corpus twin (2) plus an
+    // unrelated corpus doc (4)
+    val newDocs = mk(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "completely different content with no overlap at all here")))
+    val corpus = mk(Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "unrelated corpus document about other things entirely now")))
+    val got = incrementalNearDupes(newDocs, corpus, "doc_id",
+        numHashes = 64, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select($"d1", $"d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both new duplicates pair with the corpus twin; the new-new
+    // identical pair (1,3) must NOT appear, nor corpus-corpus
+    assert(got == Set((1L, 2L), (3L, 2L)), got.toString)
+  }
+
   test("simhash: identical shingle sets -> identical signature") {
     val s = spark
     import s.implicits._
