@@ -41,6 +41,8 @@ object Bench {
       case None => SparkEntry.queries
     }
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    require(timedRuns >= 1,
+      s"SPARK_GRAFT_RUNS must be >= 1, got $timedRuns")
     val results = selected.map { case (name, fn) =>
       val t = try {
         fn(spark, sfDir).count() // warmup: codegen + JIT

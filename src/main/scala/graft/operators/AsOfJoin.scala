@@ -156,11 +156,15 @@ object AsOfJoin {
     val isTs = right.schema(tsCol).dataType.isInstanceOf[TimestampType]
     def micros(c: Column) = if (isTs) unix_micros(c) else c
     val m = micros(col(tsCol))
-    // floor division via pmod (long `/` would promote to double and
-    // lose integer exactness at epoch-micros magnitudes)
+    // true integral floor division: subtract the (always non-negative)
+    // pmod remainder, then integer `div`. Column `/` would promote to
+    // double — exact for epoch micros but NOT for a raw long ts in
+    // e.g. nanoseconds (~1.7e18 > 2^53), the precise rounding-vs-
+    // truncation parity bug this repo hit in round 1 with `ts/1000L`.
     val u = unionTagged(left, right, keyCol, tsCol, payloadCols)
-      .withColumn("__b",
-        ((m - pmod(m, lit(bucketWidth))) / lit(bucketWidth)).cast("long"))
+      .withColumn("__exact_mult", m - pmod(m, lit(bucketWidth)))
+      .withColumn("__b", expr(s"__exact_mult div ${bucketWidth}L"))
+      .drop("__exact_mult")
     val wIn = Window.partitionBy(col(keyCol), col("__b"))
       .orderBy(
         (if (backward) col(tsCol).asc else col(tsCol).desc),

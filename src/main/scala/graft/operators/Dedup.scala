@@ -323,16 +323,13 @@ object Dedup {
         .select(col("band_id"), col("band_hash"), col(docCol).as("d2")),
         Seq("band_id", "band_hash"))
       .select(col("d1"), col("d2")).distinct()
-    val verified = cand
-      .join(newDocs.select(col(docCol).as("d1"), col("shingles").as("sh1")),
-        "d1")
-      .join(corpus.select(col(docCol).as("d2"), col("shingles").as("sh2")),
-        "d2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh1")) + size(col("sh2")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("jaccard"))
+    // ids are disjoint across sides (operator contract), so one
+    // unioned set table serves verifyPairs for both pair ends —
+    // keeping a single copy of the Jaccard-verify formula
+    val verified = verifyPairs(
+      newDocs.select(col(docCol), col("shingles"))
+        .unionByName(corpus.select(col(docCol), col("shingles"))),
+      docCol, cand, threshold)
     materializeThenRelease(verified, cb)
   }
 
