@@ -109,5 +109,67 @@ object RelationalQueries {
             .cast("decimal(20,6)")).cast("double"), 2).as("revenue"))
           .orderBy($"revenue".desc, $"nation")
       }),
+
+    // TPC-H Q6 shape (forecasting revenue change): tight scan-stage
+    // predicate conjunction over one table, single global aggregate —
+    // the plan must push every filter into the parquet scan and keep
+    // the whole pipeline in one codegen stage.
+    QueryDef(
+      "q_forecast_revenue",
+      Some("""
+        SELECT count(*) AS n,
+               round(CAST(sum(CAST(l_extendedprice * l_discount
+                 AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.04 AND 0.08
+          AND l_quantity < 24
+      """.trim),
+      "TPC-H Q6 scan-heavy predicate + single aggregate")(
+      (spark, dir) => {
+        import spark.implicits._
+        table(spark, dir, "lineitem")
+          .filter($"l_shipdate" >= "1996-01-01" &&
+            $"l_shipdate" < "1997-01-01" &&
+            $"l_discount".between(0.04, 0.08) && $"l_quantity" < 24)
+          .agg(count(lit(1)).as("n"),
+            round(sum(($"l_extendedprice" * $"l_discount")
+              .cast("decimal(20,6)")).cast("double"), 2).as("revenue"))
+      }),
+
+    // TPC-H Q18 shape (large-volume orders): HAVING over a grouped
+    // sum seeds a semi-join back onto the fact tables. Quantities are
+    // integral doubles, so their sums are exact in both engines with
+    // no decimal detour.
+    QueryDef(
+      "q_large_orders",
+      Some("""
+        SELECT c.c_name, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               big.total_qty
+        FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 300) big
+        JOIN orders o ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY big.total_qty DESC, o.o_orderkey
+      """.trim),
+      "TPC-H Q18 large-volume orders (HAVING-seeded join)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val big = table(spark, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(sum($"l_quantity").as("total_qty"))
+          .filter($"total_qty" > 300)
+        big.join(table(spark, dir, "orders").as("o"),
+            $"l_orderkey" === $"o.o_orderkey")
+          .join(broadcast(table(spark, dir, "customer")).as("c"),
+            $"o.o_custkey" === $"c.c_custkey")
+          .select($"c.c_name", $"o.o_orderkey",
+            date_format($"o.o_orderdate", "yyyy-MM-dd").as("order_date"),
+            $"total_qty")
+          .orderBy($"total_qty".desc, $"o_orderkey")
+      }),
   )
 }
