@@ -121,6 +121,37 @@ object InvertedIndex {
       .select(col("d1"), col("d2"), col("cos"))
   }
 
+  /** Top-`k` documents most similar to ONE probe document by
+    * tf-cosine over the df-capped index — "more like this" search.
+    * The probe's term vector is just the index rows with
+    * docCol == probeId (no separate query-vector plumbing), the
+    * candidate set is every doc sharing ≥1 kept term with the probe
+    * (equi-join on term — never a corpus scan), and ranking is
+    * deterministic (cos desc, doc id asc). Integer sums throughout,
+    * same engine-exactness argument as [[tfCosinePairs]].
+    */
+  def searchSimilar(tc: DataFrame, docCol: String, probeId: Long,
+      k: Int, dfCap: Int): DataFrame = {
+    val kept = tc
+      .join(docFrequencies(tc).filter(col("df") <= dfCap).select(col("term")),
+        "term")
+    val probe = kept.filter(col(docCol) === probeId)
+      .select(col("term"), col("tf").as("qtf"))
+    val norms = kept.groupBy(col(docCol))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val probeNorm = norms.filter(col(docCol) === probeId)
+      .select(col("n2").as("qn2"))
+    val dots = kept.filter(col(docCol) =!= probeId)
+      .join(broadcast(probe), "term")
+      .groupBy(col(docCol))
+      .agg(sum(col("tf") * col("qtf")).as("dot"))
+    dots.join(norms, docCol).crossJoin(broadcast(probeNorm))
+      .withColumn("cos", col("dot") / (sqrt(col("n2")) * sqrt(col("qn2"))))
+      .orderBy(col("cos").desc, col(docCol))
+      .limit(k)
+      .select(col(docCol), col("cos"))
+  }
+
   /** Top-`k` most distinctive terms per document, scored by the
     * integer ratio score = ⌊tf · 1e6 / df⌋ — monotone in tf/df (a
     * term used often HERE but rarely anywhere else), and exact in

@@ -149,6 +149,51 @@ object CorpusStatsQueries {
           .orderBy($"d1", $"d2")
       }),
 
+    // "More like this" search: top-10 docs by bigram tf-cosine to
+    // doc 0 — the probe vector is the index's own rows for doc 0, so
+    // the whole query (including the probe) reproduces in SQL.
+    QueryDef(
+      "q_search_similar",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), tc AS (
+          SELECT doc_id, ts[i] || ' ' || ts[i+1] AS term, count(*) AS tf
+          FROM toks, unnest(range(1, len(ts))) AS r(i)
+          GROUP BY 1, 2
+        ), kept AS (
+          SELECT tc.* FROM tc
+          JOIN (SELECT term FROM tc GROUP BY term HAVING count(*) <= 100)
+            USING (term)
+        ), norms AS (
+          SELECT doc_id, sum(tf*tf) AS n2 FROM kept GROUP BY doc_id
+        ), probe AS (
+          SELECT term, tf AS qtf FROM kept WHERE doc_id = 0
+        ), dots AS (
+          SELECT kept.doc_id, sum(kept.tf * probe.qtf) AS dot
+          FROM kept JOIN probe USING (term)
+          WHERE kept.doc_id <> 0
+          GROUP BY kept.doc_id
+        )
+        SELECT d.doc_id,
+               round(d.dot / (sqrt(n.n2) *
+                 (SELECT sqrt(n2) FROM norms WHERE doc_id = 0)), 6) AS cos
+        FROM dots d JOIN norms n ON d.doc_id = n.doc_id
+        ORDER BY d.dot / (sqrt(n.n2) *
+          (SELECT sqrt(n2) FROM norms WHERE doc_id = 0)) DESC, d.doc_id
+        LIMIT 10
+      """.trim),
+      "top-10 docs by bigram tf-cosine to doc 0 (inverted-index probe)")(
+      (spark, dir) => {
+        import spark.implicits._
+        InvertedIndex.searchSimilar(bigramCounts(spark, dir), "doc_id",
+            probeId = 0L, k = 10, dfCap = 100)
+          .select($"doc_id", round($"cos", 6).as("cos"))
+      }),
+
     // PII redaction: emails/cards/IPs/phones scrubbed by an ordered
     // regexp_replace chain (scan-stage, codegen'd — no shuffle), with
     // per-pattern hit counts. The PII is synthesized deterministically

@@ -112,6 +112,18 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(got.contains((1L, 4L)))
   }
 
+  test("searchSimilar: nearest doc is the near-identical twin") {
+    val tc = InvertedIndex.termCounts(corpus, "doc_id", "text")
+    val got = InvertedIndex.searchSimilar(tc, "doc_id", probeId = 1L,
+        k = 3, dfCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 2 ("...the hat") is closest to doc 1 ("...the mat"); doc 3
+    // (disjoint vocabulary) must be absent
+    assert(got.head._1 == 2L, got.mkString(","))
+    assert(!got.map(_._1).contains(3L))
+    assert(got.head._2 > got.last._2 || got.length == 1)
+  }
+
   test("distinctiveTerms: integer score ranking with term tie-break") {
     val tc = InvertedIndex.termCounts(corpus, "doc_id", "text")
     val got = InvertedIndex.distinctiveTerms(tc, "doc_id", k = 2)
