@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Funnel analysis — the event-analytics staple: which keys (users)
+  * progress through an ORDERED sequence of step predicates, where
+  * step i counts only if it happens at-or-after the key's step i−1
+  * time (first-touch semantics: each step's time is the EARLIEST
+  * qualifying event).
+  *
+  * Scale shape: one filtered aggregate per step, each an equi-shuffle
+  * on the key with map-side combine; step i's frame holds only keys
+  * that reached step i (monotonically shrinking). No window over the
+  * full event stream, no per-key state.
+  */
+object Funnel {
+
+  /** Per-key step times. `steps` = (name, predicate) in funnel order.
+    * `maxGapMicros`: optional conversion window — step i then counts
+    * only within `[t_{i-1}, t_{i-1} + gap]` (the "purchase within an
+    * hour of the click" form every funnel report actually uses).
+    * Output: one row per key that completed step 1, with columns
+    * `t_<name>` (timestamp of first qualifying event, null once the
+    * key drops out of the funnel).
+    */
+  def stepTimes(events: DataFrame, keyCol: String, tsCol: String,
+      steps: Seq[(String, Column)],
+      maxGapMicros: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // step frames: keys that reached step i, with that step's time
+    val frames = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, ((name, pred), i)) =>
+        val base = events.filter(pred)
+        val qualified = prev match {
+          case None => base
+          case Some(p) =>
+            val prevName = steps(i - 1)._1
+            val inWindow = maxGapMicros match {
+              case None => col(tsCol) >= col(s"t_$prevName")
+              case Some(g) =>
+                col(tsCol) >= col(s"t_$prevName") &&
+                  unix_micros(col(tsCol)) <=
+                    unix_micros(col(s"t_$prevName")) + g
+            }
+            base.join(p.select(col(keyCol), col(s"t_$prevName")), keyCol)
+              .filter(inWindow)
+        }
+        Some(qualified.groupBy(col(keyCol))
+          .agg(min(col(tsCol)).as(s"t_$name")))
+    }.flatten
+    // left-join chain: keys keep their deepest-reached step times
+    frames.reduceLeft { (acc, next) =>
+      acc.join(next, Seq(keyCol), "left")
+    }
+  }
+
+  /** Step-completion counts: one row, `n_<name>` per step. */
+  def counts(events: DataFrame, keyCol: String, tsCol: String,
+      steps: Seq[(String, Column)],
+      maxGapMicros: Option[Long] = None): DataFrame = {
+    val times = stepTimes(events, keyCol, tsCol, steps, maxGapMicros)
+    times.agg(
+      count(col(s"t_${steps.head._1}")).as(s"n_${steps.head._1}"),
+      steps.tail.map { case (n, _) => count(col(s"t_$n")).as(s"n_$n") }: _*)
+  }
+}

@@ -166,6 +166,45 @@ object OlapQueries {
           .orderBy($"event_type")
       }),
 
+    // Funnel: users progressing view → click → purchase with
+    // first-touch ordering (each step at-or-after the previous
+    // step's first time). One filtered aggregate per step, frames
+    // shrink monotonically — no full-stream window.
+    QueryDef(
+      "q_funnel",
+      Some("""
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts >= s1.t1
+            AND e.ts <= s1.t1 + INTERVAL 12 HOUR
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+            AND e.ts <= s2.t2 + INTERVAL 12 HOUR
+          GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM s1) AS n_view,
+               (SELECT count(*) FROM s2) AS n_click,
+               (SELECT count(*) FROM s3) AS n_purchase
+      """.trim),
+      "funnel: view -> click -> purchase within 12h conversion windows")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Funnel.counts(
+          QueryDef.events(spark, dir), "user_id", "ts",
+          Seq(
+            ("view", $"event_type" === "view"),
+            ("click", $"event_type" === "click"),
+            ("purchase", $"event_type" === "purchase")),
+          maxGapMicros = Some(12L * 3600 * 1000000))
+      }),
+
     // Semi-structured extraction: parse the JSON props column with a
     // declared schema (from_json — codegen'd Jackson parse, no UDF)
     // and aggregate the extracted field. Declared schemas are the
