@@ -54,12 +54,26 @@ object Bench {
         }.min
       } catch { case _: Throwable => -1.0 }
       dropCaches()
+      // per-query progress on stderr: even if the driver's stdout tail
+      // truncates the summary line, every timing already exists here
+      System.err.println(f"[bench] $name%-28s $t%.4f s")
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4 decimals (0.1 ms) keeps the summary line ~3× shorter than raw
+    // double repr — the r3 driver tail truncated the full-width line
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // belt and braces vs stdout-tail truncation: persist the line too
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-training-data north star
@@ -41,6 +42,29 @@ object Dedup {
       sequence(lit(0), greatest(n - k, lit(-1))),
       i => array_join(slice(toks, i + 1, lit(k)), Sep))
     array_distinct(when(n < k, array().cast("array<string>")).otherwise(grams))
+  }
+
+  /** Distinct k-word STRING shingles as exploded rows (docCol, `g`),
+    * assembled with `lead` window steps + codegen `concat_ws` rather
+    * than the interpreted `transform`/`slice`/`array_join` HOF pass
+    * (the measured ~5× scan-stage tax — see InvertedIndex.termCounts).
+    * Use when a downstream stage needs the shingle STRING itself
+    * (e.g. an engine-portable md5-based hash); [[hashedShingles]]
+    * remains the production representation everywhere else.
+    */
+  def explodedShingles(docs: DataFrame, docCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(docCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t0")))
+    val w = Window.partitionBy(col(docCol)).orderBy(col("pos"))
+    val withNext = (1 until k).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"t$i", lead(col("t0"), i).over(w))
+    }
+    withNext
+      .filter(col(s"t${k - 1}").isNotNull) // drop incomplete tails
+      .select(col(docCol),
+        concat_ws(Sep, (0 until k).map(i => col(s"t$i")): _*).as("g"))
+      .distinct()
   }
 
   /** Distinct HASHED k-gram shingles straight from text — the
@@ -341,8 +365,18 @@ object Dedup {
     * Input: one row per (doc, shingle); output (docCol, simhash).
     */
   def simhash(exploded: DataFrame, docCol: String,
-      shingleCol: String): DataFrame = {
-    val h = xxhash64(col(shingleCol))
+      shingleCol: String): DataFrame =
+    simhashWith(exploded, docCol, xxhash64(col(shingleCol)))
+
+  /** [[simhash]] with a caller-supplied 64-bit hash expression over
+    * the shingle — e.g. an md5-derived hash both Spark and an external
+    * SQL oracle can compute identically (xxhash64 exists only in
+    * Spark). The hash only needs uniform independent bits; the
+    * signature math is hash-agnostic.
+    */
+  def simhashWith(exploded: DataFrame, docCol: String,
+      hash: Column): DataFrame = {
+    val h = hash
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(1L) === 1L, 1).otherwise(-1))
         .as(s"b$j")

@@ -216,7 +216,7 @@ object OlapQueries {
         SELECT event_type, count(*) AS n,
                min(CAST(props->>'k' AS BIGINT)) AS min_k,
                max(CAST(props->>'k' AS BIGINT)) AS max_k,
-               sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
                count(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_k
         FROM events
         GROUP BY event_type
