@@ -368,9 +368,29 @@ object Dedup {
       shingleCol: String): DataFrame =
     simhashWith(exploded, docCol, xxhash64(col(shingleCol)))
 
+  /** Engine-portable 64-bit hash: the first 16 hex chars of md5(s),
+    * assembled from four 16-bit limbs so no intermediate leaves
+    * signed-long range in either engine. Bit j of the result is bit
+    * j%16 of limb j/16, where limb 3 is hex chars 1–4 (most
+    * significant) … limb 0 is chars 13–16 — the exact layout an ANSI
+    * oracle reproduces with `('0x' || substr(md5(s), ·, 4))::BIGINT`
+    * and shift/mask arithmetic (DuckDB's BIGINT `<<` overflow-checks,
+    * so the oracle never assembles the full value; it reads bits from
+    * the limbs directly). Used where a SQL oracle must replay the
+    * hash (xxhash64 exists only in Spark); see q_dedup_simhash.
+    */
+  def md5Hash64(s: Column): Column = {
+    val hex = md5(s)
+    (0 until 4).map { limb =>
+      shiftleft(
+        conv(substring(hex, (3 - limb) * 4 + 1, 4), 16, 10).cast("long"),
+        limb * 16)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** [[simhash]] with a caller-supplied 64-bit hash expression over
-    * the shingle — e.g. an md5-derived hash both Spark and an external
-    * SQL oracle can compute identically (xxhash64 exists only in
+    * the shingle — e.g. [[md5Hash64]], which both Spark and an
+    * external SQL oracle compute identically (xxhash64 exists only in
     * Spark). The hash only needs uniform independent bits; the
     * signature math is hash-agnostic.
     */

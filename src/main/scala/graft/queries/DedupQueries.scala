@@ -56,6 +56,49 @@ object DedupQueries {
     )"""
   }
 
+  /** DuckDB twin of md5Hash64 + simhashWith + simhashPairs. The hash
+    * is read as four 16-bit limbs (c3 = hex chars 1–4, most
+    * significant) because DuckDB's BIGINT `<<` overflow-checks — bits
+    * are tested per-limb with `>>`/`&`, and the packed signature is
+    * assembled in HUGEINT then wrapped to signed 64-bit to match
+    * Spark's LongType two's-complement value, so the final pair check
+    * is the same `bit_count(xor(...))` both engines run.
+    */
+  private val simhashPairSql = {
+    val bitSums = (0 until 64).map { j =>
+      s"sum(CASE WHEN (c${j / 16} >> ${j % 16}) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n             ")
+    val packed = (0 until 64).map { j =>
+      s"CASE WHEN b$j >= 0 THEN ${BigInt(1) << j}::HUGEINT ELSE 0::HUGEINT END"
+    }.mkString(" +\n             ")
+    s"""$shingleSql, ex AS (
+      SELECT doc_id, unnest(shingles) AS g FROM sh
+    ), limbs AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 4))::BIGINT AS c3,
+             ('0x' || substr(md5(g), 5, 4))::BIGINT AS c2,
+             ('0x' || substr(md5(g), 9, 4))::BIGINT AS c1,
+             ('0x' || substr(md5(g), 13, 4))::BIGINT AS c0
+      FROM ex
+    ), bits AS (
+      SELECT doc_id,
+             $bitSums
+      FROM limbs GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id,
+             (hv - CASE WHEN hv >= 9223372036854775808::HUGEINT
+                        THEN 18446744073709551616::HUGEINT
+                        ELSE 0::HUGEINT END)::BIGINT AS simhash
+      FROM (SELECT doc_id,
+             ($packed) AS hv FROM bits)
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+    ORDER BY d1, d2"""
+  }
+
   private val jaccardPairSql = s"""$shingleSql
     SELECT a.doc_id AS d1, b.doc_id AS d2,
            round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
@@ -238,20 +281,27 @@ object DedupQueries {
       }),
 
     // X1d: SimHash near-dup — 64-bit signatures, 8×8-bit chunk
-    // blocking (complete for hamming ≤ 7, see Dedup.simhashPairs).
-    // On this data planted near-dups sit at hamming ≤ 6 while random
-    // pairs concentrate near 32, so ≤7 separates cleanly. Not
-    // SQL-reproducible → rows-only driver check; recall vs exact
-    // Jaccard asserted in DedupSpec.
+    // blocking (complete for hamming ≤ 7, see Dedup.simhashPairs), so
+    // the chunk-join output is EXACTLY {pairs : hamming ≤ 7} and an
+    // oracle that computes all such pairs directly must hash-match.
+    // On this data planted near-dups sit at low hamming while random
+    // pairs concentrate near 32, so ≤7 separates cleanly. The shingle
+    // hash here is md5Hash64 (not the production xxhash64 — see
+    // Dedup.simhash) precisely so DuckDB can replay signature
+    // construction bit-for-bit: string shingles via the lead-window
+    // explodedShingles pass, four md5 limbs per shingle, 64 bit-sums,
+    // bit_count(xor) pair check. Recall vs exact Jaccard additionally
+    // asserted in DedupSpec for both hash choices.
     QueryDef(
       "q_dedup_simhash",
-      None,
-      "X1 SimHash(64) near-dup pairs, chunk-blocked")(
+      Some(simhashPairSql),
+      "X1 SimHash(64) near-dup pairs, chunk-blocked, md5-portable hash")(
       (spark, dir) => {
         import spark.implicits._
-        val exploded = shingled(spark, dir)
-          .select($"doc_id", explode($"shingles").as("g"))
-        val sigs = Dedup.simhash(exploded, "doc_id", "g")
+        val exploded = Dedup.explodedShingles(
+          table(spark, dir, "documents"), "doc_id", "text", ShingleK)
+        val sigs = Dedup.simhashWith(exploded, "doc_id",
+          Dedup.md5Hash64($"g"))
         Dedup.simhashPairs(sigs, "doc_id", maxHamming = 7)
           .select($"d1", $"d2", $"hamming")
           .orderBy($"d1", $"d2")
