@@ -40,7 +40,11 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
-    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // 5 timed passes by default: the host VM's bimodal noise windows
+    // (see scaladoc) produced phantom >=2x per-query excursions in
+    // min-of-3 driver snapshots; min-of-5 makes a clean sample near
+    // certain while adding ~25% wall to the recorded run.
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
     require(timedRuns >= 1,
       s"SPARK_GRAFT_RUNS must be >= 1, got $timedRuns")
     val results = selected.map { case (name, fn) =>

@@ -105,6 +105,23 @@ class DedupSpec extends AnyFunSuite {
       s"simhash false positives: ${got -- exactPairs}")
   }
 
+  test("SimHash recall with md5Hash64 (oracle-portable hash choice)") {
+    val s = spark
+    import s.implicits._
+    // same assertion as the xxhash64 case above: the signature math is
+    // hash-agnostic, so the engine-portable md5 hash used by
+    // q_dedup_simhash must deliver the same recall/precision contract
+    val exploded = shingled.select($"doc_id", explode($"shingles").as("g"))
+    val sigs = simhashWith(exploded, "doc_id", md5Hash64($"g"))
+    val got = simhashPairs(sigs, "doc_id", maxHamming = 7)
+      .select($"d1", $"d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactPairs & got).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall $recall; missed ${exactPairs -- got}")
+    assert((got -- exactPairs).isEmpty,
+      s"md5 simhash false positives: ${got -- exactPairs}")
+  }
+
   test("incrementalNearDupes: asymmetric — new×corpus only") {
     val s = spark
     import s.implicits._
