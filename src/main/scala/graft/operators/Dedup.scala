@@ -210,6 +210,20 @@ object Dedup {
     */
   def jaccardPairsExact(docs: DataFrame, docCol: String,
       threshold: Double): DataFrame = {
+    val (verified, intermediates) =
+      jaccardPairsExactRaw(docs, docCol, threshold)
+    materializeThenRelease(verified, intermediates: _*)
+  }
+
+  /** The un-checkpointed plan behind [[jaccardPairsExact]], exposed so
+    * PlanAuditSpec can assert on the physical plan the operator
+    * actually executes (the public method's eager localCheckpoint
+    * replaces the upstream stages with a Scan ExistingRDD in the final
+    * plan string). Returns the result frame plus the operator-internal
+    * caches the caller must release.
+    */
+  private[graft] def jaccardPairsExactRaw(docs: DataFrame, docCol: String,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
     // cached: the exploded stream feeds both the df aggregate and the
     // df join below. Shingle values are opaque here (set semantics
     // only) — callers at scale pass `hashedShingles` 8-byte longs.
@@ -240,7 +254,7 @@ object Dedup {
     val verified = verifyPairs(
       ordered.select(col("d"), col("sh").as("shingles")), "d",
       cand, threshold)
-    materializeThenRelease(verified, ex, ordered)
+    (verified, Seq(ex, ordered))
   }
 
   /** X1f — near-dup CLUSTER resolution: dup pairs → connected
@@ -428,6 +442,17 @@ object Dedup {
     */
   def simhashPairs(sigs: DataFrame, docCol: String,
       maxHamming: Int = 7, numChunks: Int = 8): DataFrame = {
+    val (pairs, cachedSigs) = simhashPairsRaw(sigs, docCol, maxHamming,
+      numChunks)
+    materializeThenRelease(pairs, cachedSigs)
+  }
+
+  /** Un-checkpointed plan behind [[simhashPairs]] for PlanAuditSpec —
+    * same rationale as [[jaccardPairsExactRaw]]. Returns the pair
+    * frame plus the signature cache the caller must release.
+    */
+  private[graft] def simhashPairsRaw(sigs: DataFrame, docCol: String,
+      maxHamming: Int = 7, numChunks: Int = 8): (DataFrame, DataFrame) = {
     val bits = 64 / numChunks
     val mask = (1L << bits) - 1
     // Cache the signatures before the chunk self-join: both join
@@ -451,6 +476,6 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    materializeThenRelease(pairs, cachedSigs)
+    (pairs, cachedSigs)
   }
 }

@@ -124,6 +124,61 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q_anti_join").contains("LeftAnti"), "no anti join")
   }
 
+  test("q_tf_cosine: term equi-join with partial aggs, no all-pairs") {
+    val p = plan("q_tf_cosine")
+    assert(!p.contains("CartesianProduct"),
+      s"all-pairs crept into tf-cosine:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_"), "no map-side partial agg in tf-idf")
+  }
+
+  test("q_knn_lsh: bucket equi-join, never an all-pairs scan") {
+    val p = plan("q_knn_lsh")
+    assert(!p.contains("CartesianProduct"),
+      s"all-pairs crept into LSH knn:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("jaccardPairsExact: equi joins + partial aggs (pre-checkpoint)") {
+    // audited on the raw (un-checkpointed) frame: the public operator
+    // eagerly checkpoints, which replaces every upstream stage with a
+    // Scan ExistingRDD in the final plan string
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.Dedup.hashedShingles(col("text"), 4).as("shingles"))
+    val (pairs, caches) = graft.operators.Dedup
+      .jaccardPairsExactRaw(docs, "doc_id", 0.5)
+    pairs.collect()
+    val p = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    caches.foreach(_.unpersist(blocking = false))
+    assert(!p.contains("CartesianProduct"),
+      s"all-pairs crept into prefix join:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_"), "no map-side partial agg (df count)")
+  }
+
+  test("simhashPairs: chunk equi-join + partial signature agg (pre-checkpoint)") {
+    import org.apache.spark.sql.functions._
+    val exploded = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.hashedShingles(col("text"), 4))
+          .as("g"))
+    val sigs = graft.operators.Dedup.simhash(exploded, "doc_id", "g")
+    val (pairs, cachedSigs) = graft.operators.Dedup
+      .simhashPairsRaw(sigs, "doc_id", maxHamming = 7)
+    pairs.collect()
+    val p = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    cachedSigs.unpersist(blocking = false)
+    assert(!p.contains("CartesianProduct"),
+      s"all-pairs crept into chunk join:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_sum"),
+      "signature bit-sums lost map-side combine")
+  }
+
   test("q_profile reads the table once (single file scan)") {
     val p = plan("q_profile")
     val scans = "FileScan parquet".r.findAllIn(p).length

@@ -106,6 +106,49 @@ class AsOfJoinSpec extends AnyFunSuite {
       "out-of-tolerance payloads must all null together")
   }
 
+  test("asOf: duplicate-(key,ts) right rows tiebreak deterministically") {
+    val s = spark
+    import s.implicits._
+    // three right rows at the identical (key, ts): the documented
+    // tiebreaker (xxhash64 of the full payload struct, largest wins)
+    // must pick the same one regardless of input row order or
+    // partitioning, and both directions must agree with a rerun
+    val left = Seq((1L, ts(20), "l1"), (1L, ts(5), "l0"))
+      .toDF("k", "ts", "lv")
+    val dups = Seq((1L, ts(10), 100L, "x"), (1L, ts(10), 200L, "y"),
+      (1L, ts(10), 300L, "z"))
+    def pick(right: Seq[(Long, Timestamp, Long, String)],
+        parts: Int, direction: String): Map[String, Long] =
+      AsOfJoin.asOf(left,
+          right.toDF("k", "ts", "rid", "tag").repartition(parts),
+          "k", "ts", Seq("rid", "tag"), direction)
+        .select($"lv", $"rid").collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val expectBackward = pick(dups, 1, "backward")
+    assert(expectBackward("l0") == -1L) // before the dup cluster
+    assert(expectBackward("l1") != -1L) // matched one of the dups
+    // every permutation and partitioning picks the same duplicate
+    for (perm <- dups.permutations; parts <- Seq(1, 3)) {
+      assert(pick(perm, parts, "backward") == expectBackward,
+        s"backward tiebreak unstable for $perm/$parts")
+    }
+    val expectForward = pick(dups, 1, "forward")
+    for (perm <- dups.permutations; parts <- Seq(1, 3)) {
+      assert(pick(perm, parts, "forward") == expectForward,
+        s"forward tiebreak unstable for $perm/$parts")
+    }
+    // bucketed form agrees on the same duplicate pick
+    val bucketed = AsOfJoin.asOfBucketed(left,
+        dups.toDF("k", "ts", "rid", "tag"), "k", "ts",
+        Seq("rid", "tag"), bucketWidth = 8L)
+      .select($"lv", $"rid").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(bucketed == expectBackward,
+      s"bucketed pick $bucketed != asOf pick $expectBackward")
+  }
+
   test("asOfBucketed == asOf across widths, directions, tolerance") {
     val s = spark
     import s.implicits._
