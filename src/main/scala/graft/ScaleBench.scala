@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve bench: times the engine-heavy queries at one SF dir
+  * so runs at increasing scale (sf0.1 → the synthetic sf1 from
+  * `scripts/gen_sf1.py`) yield measured wall-time exponents for
+  * SCALING.md, instead of plan-reading arguments alone.
+  *
+  * Two query groups:
+  *  - contract queries from [[SparkEntry.queries]] — their probe sets
+  *    (e.g. `vec_id % stride = 0`) GROW with the corpus, so the knn
+  *    entries measure workload×corpus growth together;
+  *  - `fixed_*` ANN variants with the probe set pinned to the 80
+  *    replica-0 vectors present at every scale — the production shape
+  *    (a constant query batch against a growing corpus), isolating the
+  *    corpus-growth exponent.
+  *
+  * Output: one JSON line per run, same shape as [[Bench]].
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def dropCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    val contract = Seq("q_session_merge", "q_run_merge", "q_lcs_align",
+      "q_asr_pipeline", "q_dedup_exact", "q_dedup_jaccard",
+      "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
+      "q_dedup_incremental", "q_dedup_embedding", "q_tf_cosine",
+      "q_search_similar", "q_distinctive_terms", "q_knn_brute",
+      "q_knn_lsh", "q_knn_ivf")
+
+    import graft.operators.Similarity
+    // probe set pinned to replica-0 ids (< 2000 at every scale)
+    def fixedProbes(emb: DataFrame): DataFrame =
+      emb.filter(col("vec_id") < 2000 &&
+        col("vec_id") % graft.queries.SimilarityQueries.QueryStride === 0)
+    val fixed: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "fixed_knn_brute" -> ((s: SparkSession, dir: String) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.bruteForceTopK(fixedProbes(emb), emb, "vec_id",
+          "embedding", 5)
+      }),
+      "fixed_knn_lsh" -> ((s: SparkSession, dir: String) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.lshTopK(fixedProbes(emb), emb, "vec_id", "embedding",
+          5, tables = 24, planes = 4)
+      }),
+      "fixed_knn_ivf" -> ((s: SparkSession, dir: String) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.ivfTopK(fixedProbes(emb), emb, "vec_id", "embedding",
+          5, nlist = 16, nprobe = 4)
+      }))
+
+    val queries = contract.map(n => n -> SparkEntry.queries(n)) ++ fixed
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val results = queries.map { case (name, fn) =>
+      val t = try {
+        fn(spark, sfDir).count() // warmup: codegen + JIT
+        (1 to timedRuns).map { _ =>
+          dropCaches()
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      } catch { case _: Throwable => -1.0 }
+      dropCaches()
+      System.err.println(f"[scale] $name%-28s $t%.4f s")
+      name -> t
+    }
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"scale_total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -152,6 +152,41 @@ object InvertedIndex {
       .select(col(docCol), col("cos"))
   }
 
+  /** [[searchSimilar]] generalized to a BATCH of probe documents —
+    * the production shape (a query batch against a growing corpus).
+    * The probes' term vectors are broadcast (a probe batch is
+    * metadata-sized next to the corpus index), candidates arrive by
+    * the same term equi-join — one shuffle of (probe, doc, partial
+    * dot) triples with map-side combine, never a corpus scan per
+    * probe — and each probe ranks independently in a window over its
+    * own candidate set (cos desc, doc id asc; deterministic).
+    * Output: (probe_id, docCol, rk, cos) with rk in 1..k.
+    */
+  def searchSimilarMany(tc: DataFrame, docCol: String,
+      probeIds: Seq[Long], k: Int, dfCap: Int): DataFrame = {
+    val kept = tc
+      .join(docFrequencies(tc).filter(col("df") <= dfCap).select(col("term")),
+        "term")
+    val probes = kept.filter(col(docCol).isin(probeIds: _*))
+      .select(col(docCol).as("probe_id"), col("term"), col("tf").as("qtf"))
+    val norms = kept.groupBy(col(docCol))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val probeNorms = norms.filter(col(docCol).isin(probeIds: _*))
+      .select(col(docCol).as("probe_id"), col("n2").as("qn2"))
+    val dots = kept.join(broadcast(probes), "term")
+      .filter(col(docCol) =!= col("probe_id"))
+      .groupBy(col("probe_id"), col(docCol))
+      .agg(sum(col("tf") * col("qtf")).as("dot"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col(docCol))
+    dots.join(norms, docCol)
+      .join(broadcast(probeNorms), "probe_id")
+      .withColumn("cos", col("dot") / (sqrt(col("n2")) * sqrt(col("qn2"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col(docCol), col("rk"), col("cos"))
+  }
+
   /** Top-`k` most distinctive terms per document, scored by the
     * integer ratio score = ⌊tf · 1e6 / df⌋ — monotone in tf/df (a
     * term used often HERE but rarely anywhere else), and exact in

@@ -194,6 +194,63 @@ object CorpusStatsQueries {
           .select($"doc_id", round($"cos", 6).as("cos"))
       }),
 
+    // Multi-probe "more like this": the same index search for a BATCH
+    // of probes — candidates still arrive via the term equi-join (one
+    // shuffle of (probe, doc, dot) triples), each probe ranks in its
+    // own window partition. Proves the single-probe shape generalizes
+    // without a per-probe corpus pass.
+    QueryDef(
+      "q_search_similar_multi",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), tc AS (
+          SELECT doc_id, ts[i] || ' ' || ts[i+1] AS term, count(*) AS tf
+          FROM toks, unnest(range(1, len(ts))) AS r(i)
+          GROUP BY 1, 2
+        ), kept AS (
+          SELECT tc.* FROM tc
+          JOIN (SELECT term FROM tc GROUP BY term HAVING count(*) <= 100)
+            USING (term)
+        ), norms AS (
+          SELECT doc_id, sum(tf*tf) AS n2 FROM kept GROUP BY doc_id
+        ), probes AS (
+          SELECT doc_id AS probe_id, term, tf AS qtf FROM kept
+          WHERE doc_id IN (0, 7, 19)
+        ), dots AS (
+          SELECT probes.probe_id, kept.doc_id, sum(kept.tf * probes.qtf) AS dot
+          FROM kept JOIN probes USING (term)
+          WHERE kept.doc_id <> probes.probe_id
+          GROUP BY 1, 2
+        ), ranked AS (
+          SELECT d.probe_id, d.doc_id,
+                 d.dot / (sqrt(n.n2) * sqrt(pn.n2)) AS cosr,
+                 row_number() OVER (
+                   PARTITION BY d.probe_id
+                   ORDER BY d.dot / (sqrt(n.n2) * sqrt(pn.n2)) DESC,
+                            d.doc_id) AS rk
+          FROM dots d
+          JOIN norms n ON d.doc_id = n.doc_id
+          JOIN norms pn ON d.probe_id = pn.doc_id
+        )
+        SELECT probe_id, doc_id, CAST(rk AS BIGINT) AS rk,
+               round(cosr, 6) AS cos
+        FROM ranked WHERE rk <= 10
+        ORDER BY probe_id, rk
+      """.trim),
+      "top-10 docs by bigram tf-cosine per probe batch {0,7,19}")(
+      (spark, dir) => {
+        import spark.implicits._
+        InvertedIndex.searchSimilarMany(bigramCounts(spark, dir), "doc_id",
+            probeIds = Seq(0L, 7L, 19L), k = 10, dfCap = 100)
+          .select($"probe_id", $"doc_id", $"rk".cast("long").as("rk"),
+            round($"cos", 6).as("cos"))
+          .orderBy($"probe_id", $"rk")
+      }),
+
     // PII redaction: emails/cards/IPs/phones scrubbed by an ordered
     // regexp_replace chain (scan-stage, codegen'd — no shuffle), with
     // per-pattern hit counts. The PII is synthesized deterministically

@@ -124,6 +124,26 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(got.head._2 > got.last._2 || got.length == 1)
   }
 
+  test("searchSimilarMany: per-probe results == single-probe searches") {
+    val s = spark
+    import s.implicits._
+    val tc = InvertedIndex.termCounts(corpus, "doc_id", "text")
+    val many = InvertedIndex.searchSimilarMany(tc, "doc_id",
+        probeIds = Seq(1L, 3L), k = 3, dfCap = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        math.rint(r.getDouble(3) * 1e9)))
+      .toSet
+    val singles = Seq(1L, 3L).flatMap { p =>
+      InvertedIndex.searchSimilar(tc, "doc_id", probeId = p,
+          k = 3, dfCap = 1000)
+        .collect().zipWithIndex
+        .map { case (r, i) =>
+          (p, r.getLong(0), i + 1, math.rint(r.getDouble(1) * 1e9)) }
+    }.toSet
+    assert(many == singles, s"many=$many singles=$singles")
+  }
+
   test("distinctiveTerms: integer score ranking with term tie-break") {
     val tc = InvertedIndex.termCounts(corpus, "doc_id", "text")
     val got = InvertedIndex.distinctiveTerms(tc, "doc_id", k = 2)
