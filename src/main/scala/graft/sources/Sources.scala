@@ -45,6 +45,37 @@ object Sources {
       .filter(col("reject_reason").isNull)
       .drop("reject_reason")
 
+  /** [[readWavOrReject]] with the compressed-codec gate open: files
+    * the WAV decoder rejects are retried through `fallback` (e.g.
+    * [[FfmpegDecoder.ifAvailable]]) before keeping their rejection.
+    * With `fallback = None` this is exactly [[readWavOrReject]] — the
+    * closed-gate form this sandbox runs; a deployment with ffmpeg
+    * installed passes `FfmpegDecoder.ifAvailable()` and mp3/m4a rows
+    * flow down the same (path, pcm, sample_rate) contract. The
+    * decoder instance rides the task closure: decode happens on the
+    * executor holding the file bytes, one process per file like the
+    * reference's pydub call — never a driver-side loop.
+    */
+  def readAudioOrReject(spark: SparkSession, glob: String,
+      fallback: Option[CompressedAudioDecoder]): DataFrame = {
+    import spark.implicits._
+    val parse = udf { bytes: Array[Byte] =>
+      (decodeWav(bytes), fallback) match {
+        case (Right(p), _) => (p.bytes, p.sampleRate, null: String)
+        case (Left(reason), Some(dec)) => dec.decode(bytes) match {
+          case Right(p) => (p.bytes, p.sampleRate, null: String)
+          case Left(fbReason) =>
+            (null: Array[Byte], 0, s"$reason;${dec.name}:$fbReason")
+        }
+        case (Left(reason), None) => (null: Array[Byte], 0, reason)
+      }
+    }
+    spark.read.format("binaryFile").load(glob)
+      .select($"path", parse($"content").as("wav"))
+      .select($"path", $"wav._1".as("pcm"), $"wav._2".as("sample_rate"),
+        $"wav._3".as("reject_reason"))
+  }
+
   /** The rejection side-output: (path, reject_reason) per bad file. */
   def rejectedAudio(spark: SparkSession, glob: String): DataFrame =
     readWavOrReject(spark, glob)
