@@ -66,7 +66,14 @@ object ScaleBench {
           5, nlist = 16, nprobe = 4)
       }))
 
-    val queries = contract.map(n => n -> SparkEntry.queries(n)) ++ fixed
+    val all = contract.map(n => n -> SparkEntry.queries(n)) ++ fixed
+    // same local-iteration filter as Bench
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = only match {
+      case Some(names) => all.filter(q => names(q._1))
+      case None => all
+    }
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val results = queries.map { case (name, fn) =>
       val t = try {
