@@ -74,4 +74,66 @@ object CorpusOps {
       // exactness past 2^53 cumulative tokens (reachable at 100 TB)
       .withColumn("shard_id", expr(s"tokens_before div $budgetTokens"))
   }
+
+  /** The composed corpus-cleaning stage — what a C4-style pipeline
+    * runs as its first pass over raw documents: exact-dup
+    * canonicalization, length gate, composite quality gate, and
+    * language allowlist, annotated per doc with the FIRST failing
+    * rule (fixed priority: duplicate → too_short → low_quality →
+    * language) so rejection stats aggregate cleanly. Everything is
+    * Column expressions plus ONE window (the content-hash duplicate
+    * group — an 8-byte shuffle key, never raw text); quality and
+    * lang-ID formulas are exactly the contracted `q_quality_score` /
+    * `q_lang_id` math, so the whole stage reproduces in an external
+    * SQL engine.
+    *
+    * `stopwords` drives both the quality stopword ratio (head list)
+    * and lang-ID (argmax of per-list hit counts, ties to the earlier
+    * list). Output: doc rows + (n_tokens, quality, predicted,
+    * is_canonical, reject_reason, kept).
+    */
+  def cleanCorpus(docs: DataFrame, docCol: String, textCol: String,
+      stopwords: Seq[(String, Seq[String])], keepLangs: Seq[String],
+      minTokens: Int, minQuality: Double): DataFrame = {
+    require(stopwords.nonEmpty, "need at least one stopword list")
+    val toksCol = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    def hitsOf(ws: Seq[String]) =
+      size(filter(toksCol, t => t.isin(ws.map(lit): _*)))
+    val langs = stopwords.map(_._1)
+    val scored = docs.select(
+      Seq(col(docCol), col(textCol)) ++
+        stopwords.map { case (l, ws) => hitsOf(ws).as(s"__s_$l") } ++ Seq(
+          size(toksCol).as("n_tokens"),
+          length(regexp_replace(col(textCol), "[^A-Za-z0-9]", ""))
+            .as("__n_alnum"),
+          length(col(textCol)).as("__n_chars")): _*)
+    // argmax with ties to the earlier list — same cascade as q_lang_id
+    val predicted = langs.init.foldLeft(Option.empty[Column]) { (acc, l) =>
+      val later = langs.drop(langs.indexOf(l) + 1)
+      val cond = later.map(o => col(s"__s_$l") >= col(s"__s_$o"))
+        .reduce(_ && _)
+      Some(acc.fold(when(cond, l))(_.when(cond, l)))
+    }.get.otherwise(langs.last)
+    val quality =
+      lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0)) +
+      lit(0.3) * (col("__n_alnum").cast("double") / col("__n_chars")) +
+      lit(0.3) * least(
+        lit(3) * col(s"__s_${langs.head}").cast("double") / col("n_tokens"),
+        lit(1.0))
+    val dupW = Window.partitionBy(xxhash64(lower(col(textCol))))
+    val annotated = scored
+      .withColumn("predicted", predicted)
+      .withColumn("quality", quality)
+      .withColumn("is_canonical", col(docCol) === min(col(docCol)).over(dupW))
+    val reason =
+      when(!col("is_canonical"), "duplicate")
+        .when(col("n_tokens") < minTokens, "too_short")
+        .when(col("quality") < minQuality, "low_quality")
+        .when(!col("predicted").isin(keepLangs.map(lit): _*), "language")
+    annotated
+      .withColumn("reject_reason", reason)
+      .withColumn("kept", col("reject_reason").isNull)
+      .drop(annotated.columns.filter(_.startsWith("__s_")).toSeq ++
+        Seq("__n_alnum", "__n_chars"): _*)
+  }
 }

@@ -199,6 +199,76 @@ object TextAnalysisQueries {
           .orderBy($"doc_id")
       }),
 
+    // X3e: the composed cleaning stage (CorpusOps.cleanCorpus) —
+    // exact-dup canonicalization + length gate + quality gate +
+    // language allowlist in one pass, each doc annotated with its
+    // first failing rule. Quality and lang-ID math is identical to
+    // q_quality_score / q_lang_id (already hash-green), the dup
+    // window groups by a content hash on both sides (different hash
+    // functions, same partition of docs — output only consumes group
+    // membership), so the whole stage oracles exactly.
+    QueryDef(
+      "q_corpus_clean", {
+        val scores = Stopwords.map { case (l, ws) =>
+          s"${hitsSql(ws)} AS s_$l"
+        }.mkString(",\n            ")
+        Some(s"""
+        WITH t AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w,
+            length(text) AS n_chars,
+            length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+            $scores
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+            len(w) AS n_tokens,
+            0.4 * least(len(w) / 100.0, 1.0)
+              + 0.3 * (n_alnum * 1.0 / n_chars)
+              + 0.3 * least(3 * s_en * 1.0 / len(w), 1.0) AS quality,
+            CASE
+              WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+              WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+              WHEN s_es >= s_zh THEN 'es'
+              ELSE 'zh'
+            END AS predicted,
+            doc_id = min(doc_id) OVER (PARTITION BY md5(lower(text)))
+              AS is_canonical
+          FROM t
+        ), r AS (
+          SELECT *,
+            CASE WHEN NOT is_canonical THEN 'duplicate'
+                 WHEN n_tokens < 25 THEN 'too_short'
+                 WHEN quality < 0.5 THEN 'low_quality'
+                 WHEN predicted NOT IN ('en', 'de', 'fr', 'es')
+                   THEN 'language'
+            END AS reject_reason
+          FROM m
+        )
+        SELECT doc_id, n_tokens, round(quality, 6) AS quality, predicted,
+          CAST(is_canonical AS INTEGER) AS is_canonical,
+          coalesce(reject_reason, 'kept') AS verdict,
+          CAST(reject_reason IS NULL AS INTEGER) AS kept
+        FROM r
+        ORDER BY doc_id
+      """.trim)
+      },
+      "X3 composed corpus cleaning: dedup + length + quality + language")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.CorpusOps
+        CorpusOps.cleanCorpus(table(spark, dir, "documents"), "doc_id",
+            "text", Stopwords, keepLangs = Seq("en", "de", "fr", "es"),
+            minTokens = 25, minQuality = 0.5)
+          .select($"doc_id", $"n_tokens",
+            round($"quality", 6).as("quality"), $"predicted",
+            $"is_canonical".cast("int").as("is_canonical"),
+            coalesce($"reject_reason", lit("kept")).as("verdict"),
+            $"kept".cast("int").as("kept"))
+          .orderBy($"doc_id")
+      }),
+
     // X4a: exact distinct users per event type (oracle-checked twin
     // of the HLL query below).
     QueryDef(

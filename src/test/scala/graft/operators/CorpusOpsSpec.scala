@@ -75,6 +75,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(("de", 3L)) == (2000L, 1L))
   }
 
+  test("cleanCorpus: reject priority and per-rule verdicts") {
+    val s = spark
+    import s.implicits._
+    val en10 = ("the and of to in is that it for a " * 12).trim // ~120 toks
+    val docs = Seq(
+      (1L, en10), // canonical, long, high quality, en -> kept
+      (2L, en10), // exact dup of 1 -> duplicate (beats every other rule)
+      (3L, "the cat"), // en but 2 tokens -> too_short
+      (4L, "der die das und ist nicht mit ein zu den " * 12) // de -> language
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.cleanCorpus(docs, "doc_id", "text",
+        graft.queries.TextAnalysisQueries.Stopwords,
+        keepLangs = Seq("en"), minTokens = 5, minQuality = 0.1)
+      .select($"doc_id", coalesce($"reject_reason", lit("kept")), $"kept")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(got(1L) == ("kept", true))
+    assert(got(2L) == ("duplicate", false))
+    assert(got(3L) == ("too_short", false))
+    assert(got(4L) == ("language", false))
+    // low_quality outranks language: gibberish with no stopword hits
+    // and all-punctuation chars scores ~0 quality
+    val lowQ = Seq((9L, "@#$% ^&*( )!@# $%^& *()! @#$% ^&*( )!@#"))
+      .toDF("doc_id", "text")
+    val gotQ = CorpusOps.cleanCorpus(lowQ, "doc_id", "text",
+        graft.queries.TextAnalysisQueries.Stopwords,
+        keepLangs = Seq("en"), minTokens = 5, minQuality = 0.5)
+      .select($"reject_reason").collect().head.getString(0)
+    assert(gotQ == "low_quality")
+  }
+
   test("resolveClusters: chains, triangles, isolated pairs") {
     val s = spark
     import s.implicits._
