@@ -246,6 +246,52 @@ object DedupQueries {
           .orderBy($"doc_id")
       }),
 
+    // X1f over X1e: connected components of the exact cosine pair
+    // graph — the "which embeddings are the same content" rollup a
+    // near-dup pass feeds into canonicalization. Same Spark operator
+    // (Dedup.resolveClusters — pair source is an input, the component
+    // math is pair-agnostic) and same recursive-CTE oracle shape as
+    // q_dedup_clusters, composed over the q_dedup_embedding pair
+    // predicate.
+    QueryDef(
+      "q_embedding_clusters",
+      Some("""
+        WITH RECURSIVE v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), pairs AS (
+          SELECT a.vec_id AS d1, b.vec_id AS d2
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e)) *
+                 sqrt(list_dot_product(b.e, b.e))) >= 0.4
+        ), edges AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION SELECT d2, d1 FROM pairs
+        ), reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS vec_id,
+               least(src, min(dst)) AS cluster_id,
+               least(src, min(dst)) = src AS is_kept
+        FROM reach GROUP BY src
+        ORDER BY vec_id
+      """.trim),
+      "X1 embedding near-dup components + canonical keeper")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.Similarity
+        val pairs = Similarity.cosinePairsBlocked(
+            table(spark, dir, "embeddings"), "vec_id", "embedding",
+            threshold = 0.4, numBlocks = 16)
+          .select($"v1".as("d1"), $"v2".as("d2"))
+        Dedup.resolveClusters(pairs)
+          .select($"doc_id".as("vec_id"), $"cluster_id",
+            ($"cluster_id" === $"doc_id").as("is_kept"))
+          .orderBy($"vec_id")
+      }),
+
     // X1e: embedding-cosine near-dup pairs — EXACT, block-partitioned
     // (Similarity.cosinePairsBlocked): the n² work distributes across
     // block-pair tasks with one corpus/numBlocks-sized block per task
