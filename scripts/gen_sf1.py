@@ -19,7 +19,9 @@ toolchain as oracle_check.py) replicates the three engine-heavy tables
 - embeddings: vec_id offset; vectors unchanged (exact-cosine work is
   inherently quadratic in corpus size - the point of measuring it).
 
-Usage: python3 scripts/gen_sf1.py [OUT_DIR]   (default /tmp/sf1)
+Usage: python3 scripts/gen_sf1.py [OUT_DIR] [REPLICAS]
+       (defaults /tmp/sf1, 10 — REPLICAS=3 gives an sf0.3 midpoint
+       for 3-point exponent fits)
 """
 import os
 import string
@@ -31,7 +33,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 ID_STRIDE = 1_000_000
 EVENT_ID_STRIDE = 10_000_000
 TS_STRIDE_DAYS = 40
