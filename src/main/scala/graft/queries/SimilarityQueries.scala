@@ -56,6 +56,100 @@ object SimilarityQueries {
           .orderBy($"query_id", $"rank")
       }),
 
+    // X31: hybrid retrieval — RRF fusion of the lexical (bigram
+    // tf-cosine index, X26 shape) and vector (exact cosine, X2a
+    // shape) top-20 lists for probe item 0, on the shared
+    // doc_id==vec_id id space of the fixture. Integer ranks make the
+    // fused scores exact rationals; the two-list sum is
+    // order-insensitive, so the whole fusion hash-matches.
+    QueryDef(
+      "q_hybrid_search",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), tc AS (
+          SELECT doc_id, ts[i] || ' ' || ts[i+1] AS term, count(*) AS tf
+          FROM toks, unnest(range(1, len(ts))) AS r(i)
+          GROUP BY 1, 2
+        ), kept AS (
+          SELECT tc.* FROM tc
+          JOIN (SELECT term FROM tc GROUP BY term HAVING count(*) <= 100)
+            USING (term)
+        ), norms AS (
+          SELECT doc_id, sum(tf*tf) AS n2 FROM kept GROUP BY doc_id
+        ), probe AS (
+          SELECT term, tf AS qtf FROM kept WHERE doc_id = 0
+        ), dots AS (
+          SELECT kept.doc_id, sum(kept.tf * probe.qtf) AS dot
+          FROM kept JOIN probe USING (term)
+          WHERE kept.doc_id <> 0
+          GROUP BY kept.doc_id
+        ), lex AS (
+          SELECT doc_id AS id,
+                 row_number() OVER (ORDER BY cosv DESC, doc_id) AS rank
+          FROM (
+            SELECT d.doc_id,
+                   d.dot / (sqrt(n.n2) *
+                     (SELECT sqrt(n2) FROM norms WHERE doc_id = 0)) AS cosv
+            FROM dots d JOIN norms n ON d.doc_id = n.doc_id
+          ) QUALIFY rank <= 20
+        ), v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), vec AS (
+          SELECT neighbor_id AS id,
+                 row_number() OVER (ORDER BY cosv DESC, neighbor_id) AS rank
+          FROM (
+            SELECT c.vec_id AS neighbor_id,
+                   list_dot_product(q.e, c.e) /
+                   (sqrt(list_dot_product(q.e, q.e)) *
+                    sqrt(list_dot_product(c.e, c.e))) AS cosv
+            FROM (SELECT * FROM v WHERE vec_id = 0) q
+            JOIN v c ON c.vec_id <> 0
+          ) QUALIFY rank <= 20
+        ), contrib AS (
+          SELECT id, 1.0 / (60 + rank) AS c FROM lex
+          UNION ALL
+          SELECT id, 1.0 / (60 + rank) AS c FROM vec
+        ), fused AS (
+          SELECT id, sum(c) AS rrf_score FROM contrib GROUP BY id
+        )
+        SELECT id, CAST(rank AS BIGINT) AS rank,
+               round(rrf_score, 9) AS rrf_score
+        FROM (
+          SELECT id, rrf_score,
+                 row_number() OVER (ORDER BY rrf_score DESC, id) AS rank
+          FROM fused
+        )
+        WHERE rank <= 10
+        ORDER BY rank
+      """.trim),
+      "X31 hybrid lexical+vector retrieval via reciprocal-rank fusion")(
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.{HybridSearch, InvertedIndex}
+        // same analyzed plan as the CorpusStats bigram subtree, so the
+        // CacheManager shares the cache entry when suites run together
+        val tc = InvertedIndex.termCounts(
+          table(spark, dir, "documents"), "doc_id", "text", n = 2).cache()
+        val lex = InvertedIndex.searchSimilar(tc, "doc_id", probeId = 0L,
+            k = 20, dfCap = 100)
+          .withColumn("rank",
+            row_number().over(Window.orderBy($"cos".desc, $"doc_id")))
+          .select($"doc_id".as("id"), $"rank")
+        val emb = table(spark, dir, "embeddings")
+        val vec = Similarity.bruteForceTopK(emb.filter($"vec_id" === 0),
+            emb, "vec_id", "embedding", k = 20)
+          .select($"neighbor_id".as("id"), $"rank")
+        HybridSearch.rrf(Seq(lex, vec), "id", k = 10)
+          .select($"id", $"rank".cast("long").as("rank"),
+            round($"rrf_score", 9).as("rrf_score"))
+          .orderBy($"rank")
+      }),
+
     // X2b: sign-LSH bucketed ANN — the scale path. Candidates come
     // from an equi-join on (table_id, bucket); exact cosine re-ranks
     // candidates only. Hyperplanes are deterministic (xxhash64) but
