@@ -16,7 +16,8 @@ object SparkEntry {
     TextQueries.defs ++ EventQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextAnalysisQueries.defs ++
       PipelineQueries.defs ++ JoinQueries.defs ++ RelationalQueries.defs ++
-      CorpusQueries.defs ++ OlapQueries.defs ++ CorpusStatsQueries.defs
+      CorpusQueries.defs ++ OlapQueries.defs ++ CorpusStatsQueries.defs ++
+      CorpusPrepQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

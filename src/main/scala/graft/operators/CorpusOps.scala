@@ -75,6 +75,73 @@ object CorpusOps {
       .withColumn("shard_id", expr(s"tokens_before div $budgetTokens"))
   }
 
+  /** Deterministic training-order shuffle + shard assignment: every
+    * row gets a shard (`pmod` of the md5 top-32-bits over `numShards`
+    * — uniform regardless of key distribution) and a position within
+    * its shard (rank by the full md5 digest, key as tiebreaker for
+    * the astronomically-unlikely digest tie). The "global shuffle"
+    * every training run needs, without a global sort: one hash
+    * shuffle into shards + an in-shard sort, each shard independent —
+    * the only scalable way to materialize a randomized epoch order
+    * over 100 TB. Same md5 determinism as [[hashSample]]: the order
+    * is reproducible across runs, engines, and corpus growth (a new
+    * doc lands in its hash slot; existing relative orders are
+    * preserved within a shard).
+    *
+    * Output: input columns + (shard, pos). Downstream writes
+    * `partitionBy("shard")` sorted by pos — readers stream shards
+    * round-robin for a well-mixed epoch.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String,
+      numShards: Int, salt: String = ""): DataFrame = {
+    val digest = md5(concat(lit(salt), col(keyCol)))
+    val shard = pmod(
+      conv(substring(digest, 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong)).cast("int")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__digest"), col(keyCol))
+    df.withColumn("__digest", digest)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .drop("__digest")
+  }
+
+  /** Gopher-style repetition quality signals, one row per doc:
+    *   - `ttr`: type-token ratio (distinct / total tokens — low =
+    *     repetitive vocabulary),
+    *   - `top_frac`: most-frequent-token share (high = degenerate
+    *     repetition),
+    *   - `dup_bigram_frac`: 1 − distinct/total bigrams (high =
+    *     repeated phrasing — the strongest boilerplate signal).
+    * The standard filters alongside [[cleanCorpus]]'s gates for
+    * catching machine-generated or template text that passes
+    * length/language checks.
+    *
+    * Two exploded aggregates (tokens, bigrams) joined on the doc key
+    * — both map-side combinable, shuffle carries (doc, term) counts.
+    * Docs with < 2 tokens report dup_bigram_frac = 0.0. All ratios
+    * are IEEE-exact divisions of exact integers, so results reproduce
+    * bit-identically in an external SQL engine.
+    */
+  def repetitionStats(docs: DataFrame, docCol: String,
+      textCol: String): DataFrame = {
+    val uni = InvertedIndex.termCounts(docs, docCol, textCol, n = 1)
+      .groupBy(col(docCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("__top"))
+    val bi = InvertedIndex.termCounts(docs, docCol, textCol, n = 2)
+      .groupBy(col(docCol))
+      .agg(sum(col("tf")).as("__n_bi"), count(lit(1)).as("__n_bi_d"))
+    uni.join(bi, Seq(docCol), "left")
+      .select(col(docCol), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
+        (col("__top").cast("double") / col("n_tokens")).as("top_frac"),
+        coalesce(
+          lit(1.0) - col("__n_bi_d").cast("double") / col("__n_bi"),
+          lit(0.0)).as("dup_bigram_frac"))
+  }
+
   /** The composed corpus-cleaning stage — what a C4-style pipeline
     * runs as its first pass over raw documents: exact-dup
     * canonicalization, length gate, composite quality gate, and

@@ -184,4 +184,32 @@ class PlanAuditSpec extends AnyFunSuite {
     val scans = "FileScan parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected 1 scan, got $scans")
   }
+
+  test("q_decontaminate: gram equi-join, bench side broadcast-able") {
+    val p = plan("q_decontaminate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs crept into contamination join:\n${p.take(1500)}")
+    // the benchmark gram set is aggregate output ≪ broadcast
+    // threshold; AQE should pick a broadcast join for the probe
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench grams not broadcast:\n${p.take(1500)}")
+    assert(p.contains("partial_count"), "per-doc counts lost map-side agg")
+  }
+
+  test("q_dup_span_coverage: df equi-join with partial aggs") {
+    val p = plan("q_dup_span_coverage")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs crept into span join:\n${p.take(1500)}")
+    assert(p.contains("partial_count"), "df/coverage lost map-side agg")
+  }
+
+  test("q_shuffle_shards: no global sort, shards sort independently") {
+    val p = plan("q_shuffle_shards")
+    // the ORDER BY doc_id of the contract query is the only global
+    // sort; the shard ranking itself must partition by shard
+    assert(p.contains("hashpartitioning(shard"),
+      s"shard window not hash-partitioned:\n${p.take(1500)}")
+  }
 }

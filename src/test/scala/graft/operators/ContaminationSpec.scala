@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkHarness
+
+/** Contamination semantics on hand-built corpora: exact overlap
+  * fractions, slot-vs-vocabulary denominators, short-doc totals.
+  */
+class ContaminationSpec extends AnyFunSuite {
+  private lazy val spark = SparkHarness.spark
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("flagContaminated: exact fractions, short docs report zero") {
+    val s = spark
+    import s.implicits._
+    val bench = docs(100L -> "a b c d e f")        // grams: abc bcd cde def
+    val corpus = docs(
+      1L -> "a b c d x y z",   // 5 grams, 2 hits (abc bcd) → 0.4
+      2L -> "p q r s t u",     // 4 grams, 0 hits
+      3L -> "a b")             // < 3 tokens → 0 grams, total row kept
+    val got = Contamination
+      .flagContaminated(corpus, bench, "doc_id", "text", 3, 0.3)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_grams", $"n_hit", $"contamination", $"flagged")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 2L, 0.4, true),
+      (2L, 4L, 0L, 0.0, false),
+      (3L, 0L, 0L, 0.0, false)))
+  }
+
+  test("flagContaminated: denominator is the doc's DISTINCT grams") {
+    val s = spark
+    import s.implicits._
+    // "a b a b a b": tokens ababab → 3-grams aba bab aba bab → 2 distinct
+    val corpus = docs(1L -> "a b a b a b")
+    val bench = docs(100L -> "a b a")
+    val got = Contamination
+      .flagContaminated(corpus, bench, "doc_id", "text", 3, 0.5)
+      .select($"n_grams", $"n_hit").as[(Long, Long)].head()
+    assert(got == ((2L, 1L))) // {aba, bab}; aba hits
+  }
+
+  test("duplicateSpanCoverage: slots counted with multiplicity") {
+    val s = spark
+    import s.implicits._
+    val corpus = docs(
+      1L -> "a b c d e",   // grams abc bcd cde (3 slots)
+      2L -> "a b c x y",   // grams abc bcx cxy
+      3L -> "a b c a b c") // grams abc bca cab abc — abc twice
+    val got = Contamination
+      .duplicateSpanCoverage(corpus, "doc_id", "text", 3)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_pos", $"n_dup").as[(Long, Long, Long)]
+      .collect().toSeq
+    // only "abc" crosses docs (df=3); doc 3 has it in 2 of 4 slots
+    assert(got == Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 4L, 2L)))
+  }
+
+  test("duplicateSpanCoverage: doc repeating a gram only internally") {
+    val s = spark
+    import s.implicits._
+    // "x y x y x y" repeats gram xyx/yxy internally, but no other doc
+    // shares them → df=1, coverage 0 (cross-doc semantics, not
+    // intra-doc repetition — that's repetitionStats' job)
+    val corpus = docs(1L -> "x y x y x y", 2L -> "p q r s t")
+    val cov = Contamination
+      .duplicateSpanCoverage(corpus, "doc_id", "text", 3)
+      .filter($"doc_id" === 1).select($"coverage").as[Double].head()
+    assert(cov == 0.0)
+  }
+
+  test("repetitionStats: exact ratios on a hand doc") {
+    val s = spark
+    import s.implicits._
+    // tokens: a a a b (4 tokens, 2 distinct, top=3)
+    // bigrams: "a a","a a","a b" (3 total, 2 distinct)
+    val got = CorpusOps
+      .repetitionStats(docs(1L -> "A a a b"), "doc_id", "text")
+      .select($"n_tokens", $"n_distinct", $"ttr", $"top_frac",
+        $"dup_bigram_frac")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got == ((4L, 2L, 0.5, 0.75, 1.0 - 2.0 / 3.0)))
+  }
+
+  test("repetitionStats: single-token doc has zero dup_bigram_frac") {
+    val s = spark
+    import s.implicits._
+    val got = CorpusOps.repetitionStats(docs(1L -> "only"), "doc_id", "text")
+      .select($"n_tokens", $"ttr", $"dup_bigram_frac")
+      .as[(Long, Double, Double)].head()
+    assert(got == ((1L, 1.0, 0.0)))
+  }
+
+  test("deterministicShuffle: total, reproducible, positions dense") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 500).map(i => (i.toLong, i.toString))
+      .toDF("id", "k")
+    val a = CorpusOps.deterministicShuffle(df, "k", 8, "s")
+      .select($"id", $"shard", $"pos")
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    val b = CorpusOps.deterministicShuffle(df, "k", 8, "s")
+      .select($"id", $"shard", $"pos")
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(a == b) // reproducible
+    assert(a.map(_._1).toSet.size == 500) // total, no row lost
+    // per-shard positions are 1..n dense
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1 to rows.size).toList)
+    }
+    // roughly uniform shards (8 shards × ~62)
+    val sizes = a.groupBy(_._2).values.map(_.size)
+    assert(sizes.size == 8 && sizes.min > 30 && sizes.max < 100)
+    // different salt ⇒ different order
+    val c = CorpusOps.deterministicShuffle(df, "k", 8, "t")
+      .select($"id", $"shard", $"pos")
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(a != c)
+  }
+
+  test("deterministicShuffle: order stable under corpus growth") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 300).map(i => (i.toLong, i.toString)).toDF("id", "k")
+    val grown = (0 until 400).map(i => (i.toLong, i.toString)).toDF("id", "k")
+    def order(res: org.apache.spark.sql.DataFrame, ids: Set[Long]) =
+      res.select($"id", $"shard", $"pos").as[(Long, Int, Int)]
+        .collect().filter(r => ids(r._1))
+        .groupBy(_._2).view.mapValues(_.sortBy(_._3).map(_._1).toSeq).toMap
+    val base = order(CorpusOps.deterministicShuffle(df, "k", 4, "s"),
+      (0L until 300L).toSet)
+    val after = order(CorpusOps.deterministicShuffle(grown, "k", 4, "s"),
+      (0L until 300L).toSet)
+    // within every shard, the relative order of surviving docs is
+    // unchanged by adding new docs (hash-stable shuffle)
+    assert(base == after)
+  }
+}
