@@ -75,6 +75,121 @@ object CorpusOps {
       .withColumn("shard_id", expr(s"tokens_before div $budgetTokens"))
   }
 
+  /** Context-window chunking: split each doc's token stream into
+    * fixed-size overlapping windows — the sequence-assembly step
+    * between cleaning and tokenizer-side packing in an LLM pipeline.
+    * Chunk j covers tokens [j·stride, j·stride + chunkSize); the last
+    * chunk may be shorter; chunk starts run to the first start
+    * covering the tail (so every token lands in ≥1 chunk); docs with
+    * zero tokens produce zero chunks.
+    *
+    * Output: (docCol, chunk_id, n_chunk_tokens, chunk_text).
+    *
+    * Per-doc array work then explode — embarrassingly parallel, no
+    * shuffle; output cardinality ≈ n_tokens/stride per doc. The
+    * slice/join HOFs are interpreted, but chunking is inherently
+    * array assembly — there is no cheaper representation to hand a
+    * tokenizer.
+    */
+  def chunkDocs(docs: DataFrame, docCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val n = size(col("__w"))
+    val nChunks = lit(1) + when(n <= chunkSize, 0)
+      .otherwise(expr(s"(size(__w) - $chunkSize + $stride - 1) div $stride"))
+    // sequence(0, -1) yields a DESCENDING sequence, not an empty one —
+    // the zero-token case must produce an explicit empty array so
+    // explode drops the doc
+    val chunkIds = when(n === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), (nChunks - 1).cast("int")))
+    docs.select(col(docCol), Dedup.tokens(col(textCol)).as("__w"))
+      .withColumn("chunk_id", explode(chunkIds))
+      .select(col(docCol), col("chunk_id"),
+        slice(col("__w"), col("chunk_id") * stride + 1, lit(chunkSize))
+          .as("__c"))
+      .select(col(docCol), col("chunk_id"),
+        size(col("__c")).as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /** Length-bucketed batch assembly: group rows into `numBuckets`
+    * quantile buckets of `countCol` (equal-population boundaries),
+    * then pack each bucket into batches of `batchSize` in
+    * (countCol, docCol) order — the padding-efficiency batching every
+    * sequence-model trainer runs (batch members have similar lengths,
+    * so pad-to-longest waste is bounded by the bucket width).
+    *
+    * Output: input row + (bucket 1..numBuckets, batch_id 0-based
+    * within bucket, pos_in_batch 0-based).
+    *
+    * Scale shape: boundaries are ONE tiny agg row broadcast to the
+    * scan (swap `percentile` for `approx_percentile` at 100 TB — the
+    * established exact/sketch twin); the packing window partitions by
+    * bucket, so buckets sort independently. A global ntile would need
+    * a single-partition window — this is the distributed form.
+    */
+  def assembleBatches(docs: DataFrame, docCol: String, countCol: String,
+      numBuckets: Int, batchSize: Int): DataFrame = {
+    require(numBuckets >= 2 && batchSize > 0)
+    val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val boundAggs = probs.zipWithIndex.map { case (p, i) =>
+      percentile(col(countCol), lit(p)).as(s"__b$i")
+    }
+    val bounds = docs.agg(boundAggs.head, boundAggs.tail: _*)
+    val bucket = (0 until numBuckets - 1)
+      .map(i => when(col(countCol) > col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    val win = Window.partitionBy(col("bucket"))
+      .orderBy(col(countCol), col(docCol))
+    docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket", bucket)
+      .drop((0 until numBuckets - 1).map(i => s"__b$i"): _*)
+      .withColumn("__rn", row_number().over(win))
+      .withColumn("batch_id", expr(s"(__rn - 1) div $batchSize"))
+      .withColumn("pos_in_batch", expr(s"(__rn - 1) % $batchSize"))
+      .drop("__rn")
+  }
+
+  /** Token-budget corpus mixing: down-sample each source to its
+    * target token share. `targetTokens(source)` is the token budget
+    * a source may contribute (caller computes budget × weight);
+    * sources absent from the map drop (allowlist semantics, as in
+    * [[stratifiedSample]]). The keep fraction is
+    * min(1, target / source_total_tokens) and rows are kept by the
+    * same content-stable md5 predicate as [[hashSample]] — so the
+    * realized token count concentrates on target · (1 ± O(1/√n)),
+    * and re-running on a grown corpus keeps prior decisions for
+    * unchanged rows.
+    *
+    * Output: kept rows + (source_tokens, keep_frac).
+    *
+    * Scale shape: per-source totals are one tiny agg broadcast back;
+    * the keep predicate is scan-stage codegen. The fraction→threshold
+    * arithmetic (floor(frac · 2³²)) is reproducible in any engine
+    * computing IEEE doubles.
+    */
+  def mixCorpus(docs: DataFrame, keyCol: String, sourceCol: String,
+      tokenCountCol: String, targetTokens: Map[String, Double],
+      salt: String = ""): DataFrame = {
+    val targets = map(targetTokens.toSeq.flatMap { case (s, t) =>
+      Seq(lit(s), lit(t))
+    }: _*)
+    val totals = docs.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCountCol)).as("source_tokens"))
+    // NB: least() IGNORES null operands in Spark and DuckDB alike —
+    // least(1.0, null) is 1.0, which would KEEP unlisted sources.
+    // The null check must come first.
+    val tgt = element_at(targets, col(sourceCol))
+    val frac = when(tgt.isNull, lit(0.0))
+      .otherwise(least(lit(1.0), tgt / col("source_tokens")))
+    val hash = conv(substring(md5(concat(lit(salt), col(keyCol))), 1, 8),
+      16, 10).cast("long")
+    docs.join(broadcast(totals), sourceCol)
+      .withColumn("keep_frac", frac)
+      .filter(hash < floor(col("keep_frac") * 4294967296.0).cast("long"))
+  }
+
   /** Deterministic training-order shuffle + shard assignment: every
     * row gets a shard (`pmod` of the md5 top-32-bits over `numShards`
     * — uniform regardless of key distribution) and a position within

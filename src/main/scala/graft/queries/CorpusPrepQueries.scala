@@ -39,7 +39,136 @@ object CorpusPrepQueries {
       FROM documents
     )"""
 
+  val ChunkSize = 40
+  val ChunkStride = 30
+  val BatchBuckets = 4
+  val BatchSize = 16
+  /** Per-source token budgets (budget × mix weight, precomputed so
+    * both engines evaluate one division); unlisted sources drop.
+    */
+  val MixTargets: Seq[(String, Double)] = Seq(
+    "src0" -> 1200.0, "src1" -> 900.0, "src2" -> 600.0, "src3" -> 300.0)
+  val MixSalt = "mix"
+
   val defs: Seq[QueryDef] = Seq(
+
+    // X37: context-window chunking — overlapping token windows per
+    // doc, the sequence-assembly step before tokenizer packing.
+    QueryDef(
+      "q_chunk_docs",
+      Some(s"""
+        WITH $toksCte, c AS (
+          SELECT doc_id, w, len(w) AS n FROM toks
+        ), idx AS (
+          SELECT doc_id, w, unnest(range(
+            CASE WHEN n = 0 THEN 0
+                 ELSE 1 + CASE WHEN n <= $ChunkSize THEN 0
+                          ELSE (n - $ChunkSize + $ChunkStride - 1) // $ChunkStride END
+            END)) AS chunk_id
+          FROM c
+        )
+        SELECT doc_id, chunk_id,
+          len(w[chunk_id*$ChunkStride+1 : chunk_id*$ChunkStride+$ChunkSize])
+            AS n_chunk_tokens,
+          array_to_string(
+            w[chunk_id*$ChunkStride+1 : chunk_id*$ChunkStride+$ChunkSize], ' ')
+            AS chunk_text
+        FROM idx
+        ORDER BY doc_id, chunk_id
+      """.trim),
+      "X37 overlapping context-window chunking")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.chunkDocs(table(spark, dir, "documents"),
+            "doc_id", "text", ChunkSize, ChunkStride)
+          .orderBy($"doc_id", $"chunk_id")
+      }),
+
+    // X38: length-bucketed batch assembly — quantile buckets +
+    // per-bucket packing for padding-efficient training batches.
+    QueryDef(
+      "q_length_batches",
+      Some(s"""
+        WITH $toksCte, t AS (
+          SELECT doc_id, len(w) AS n_tokens FROM toks
+        ), b AS (
+          SELECT quantile_cont(n_tokens, 0.25) AS b0,
+                 quantile_cont(n_tokens, 0.5) AS b1,
+                 quantile_cont(n_tokens, 0.75) AS b2
+          FROM t
+        ), r AS (
+          SELECT doc_id, n_tokens,
+            1 + (n_tokens > b0)::INT + (n_tokens > b1)::INT
+              + (n_tokens > b2)::INT AS bucket
+          FROM t, b
+        ), rn AS (
+          SELECT doc_id, n_tokens, bucket,
+            row_number() OVER (PARTITION BY bucket
+                               ORDER BY n_tokens, doc_id) AS k
+          FROM r
+        )
+        SELECT doc_id, n_tokens, bucket,
+          (k - 1) // $BatchSize AS batch_id,
+          (k - 1) % $BatchSize AS pos_in_batch
+        FROM rn
+        ORDER BY doc_id
+      """.trim),
+      "X38 length-bucketed padding-efficient batch packing")(
+      (spark, dir) => {
+        import spark.implicits._
+        val counted = table(spark, dir, "documents")
+          .select($"doc_id",
+            size(graft.operators.Dedup.tokens($"text")).as("n_tokens"))
+        CorpusOps.assembleBatches(counted, "doc_id", "n_tokens",
+            BatchBuckets, BatchSize)
+          .select($"doc_id", $"n_tokens", $"bucket", $"batch_id",
+            $"pos_in_batch")
+          .orderBy($"doc_id")
+      }),
+
+    // X39: token-budget corpus mixing — per-source deterministic
+    // down-sampling to target token shares.
+    QueryDef(
+      "q_mix_corpus", {
+        val caseArms = MixTargets.map { case (s, t) =>
+          s"WHEN '$s' THEN $t"
+        }.mkString(" ")
+        Some(s"""
+        WITH t AS (
+          SELECT doc_id, text, source,
+            len(list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x <> '')) AS n_tokens
+          FROM documents
+        ), totals AS (
+          SELECT source, sum(n_tokens) AS source_tokens FROM t GROUP BY 1
+        ), f AS (
+          -- least() ignores NULLs in DuckDB too: the IS NULL branch
+          -- must come first or unlisted sources would keep frac 1.0
+          SELECT t.doc_id, t.text, t.source, source_tokens,
+            CASE WHEN (CASE t.source $caseArms END) IS NULL THEN 0.0
+                 ELSE least(1.0,
+                   CASE t.source $caseArms END / source_tokens) END
+              AS keep_frac
+          FROM t JOIN totals USING (source)
+        )
+        SELECT doc_id, source, source_tokens, keep_frac
+        FROM f
+        WHERE CAST(('0x' || substr(md5('$MixSalt' || text), 1, 8)) AS BIGINT)
+              < CAST(floor(keep_frac * 4294967296.0) AS BIGINT)
+        ORDER BY doc_id
+      """.trim)
+      },
+      "X39 token-budget corpus mixing (per-source deterministic sample)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val counted = table(spark, dir, "documents")
+          .select($"doc_id", $"text", $"source",
+            size(graft.operators.Dedup.tokens($"text")).as("n_tokens"))
+        CorpusOps.mixCorpus(counted, "text", "source", "n_tokens",
+            MixTargets.toMap, MixSalt)
+          .select($"doc_id", $"source", $"source_tokens", $"keep_frac")
+          .orderBy($"doc_id")
+      }),
 
     // X33: benchmark decontamination — which corpus docs leak the
     // "benchmark" (every 29th doc) via shared 5-grams.
