@@ -42,7 +42,13 @@ object ScaleBench {
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
       "q_dedup_incremental", "q_dedup_embedding", "q_tf_cosine",
       "q_search_similar", "q_distinctive_terms", "q_knn_brute",
-      "q_knn_lsh", "q_knn_ivf")
+      "q_knn_lsh", "q_knn_ivf",
+      // corpus-prep / training-assembly family (r6): all claimed
+      // linear except decontaminate/dup-span, whose gram-join cost is
+      // Σ_gram df² — the same watch item as q_tf_cosine
+      "q_decontaminate", "q_dup_span_coverage", "q_repetition_stats",
+      "q_shuffle_shards", "q_chunk_docs", "q_length_batches",
+      "q_mix_corpus", "q_corpus_clean")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

@@ -25,9 +25,11 @@ trait CompressedAudioDecoder extends Serializable {
 }
 
 /** ffmpeg-backed [[CompressedAudioDecoder]]: pipes the file through
-  * `ffmpeg -i pipe:0 -f s16le -ac 1 -ar <rate> pipe:1` — the same
-  * downmix+resample normalization the WAV path applies, one process
-  * per file like the reference's pydub call. Only constructed when an
+  * `ffmpeg -i pipe:0 -f s16le -ac 1 -ar <rate> pipe:1` — downmix like
+  * the WAV path's `toMono16`, plus rate normalization (the WAV path
+  * keeps the native rate; callers normalize with
+  * `Augment.resampleLinear` when a uniform rate is required). One
+  * process per file like the reference's pydub call. Only constructed when an
   * ffmpeg binary is actually present ([[FfmpegDecoder.ifAvailable]]);
   * in environments without one (like this build sandbox) the gate
   * stays closed and rejected files keep their `reject_reason`.
