@@ -88,6 +88,60 @@ object CorpusQueries {
           .orderBy($"doc_id")
       }),
 
+    // The resampler under an EXACT oracle: same deterministic signal
+    // v(i) as q_audio_rms at 8 kHz, resampled 8k→12k through the
+    // production kernel (Augment.resampleLinear), integer
+    // sum-of-squares after. The 3/2 ratio exercises frac ∈ {0, ⅓, ⅔}
+    // — exact copies AND both interpolation weights. The oracle
+    // replays the kernel arithmetic in SQL: identical int→double ops
+    // give identical doubles, and floor(x+0.5) is EXACTLY Java
+    // math.round (DuckDB's round() half-away-from-zero would diverge
+    // on negative .5 midpoints).
+    QueryDef(
+      "q_resample_rms",
+      Some("""
+        WITH s AS (
+          SELECT doc_id, greatest(n_chars, 1) AS n FROM documents
+        ), e AS (
+          SELECT doc_id, n, (n * 12000) // 8000 AS n_out,
+                 unnest(range((n * 12000) // 8000)) AS j
+          FROM s
+        ), r AS (
+          SELECT doc_id, n_out,
+            CAST(floor(
+              ((j*8000 // 12000) * 31 + 7) % 201 - 100
+              + ((((least(j*8000 // 12000 + 1, n - 1)) * 31 + 7) % 201 - 100)
+                 - (((j*8000 // 12000) * 31 + 7) % 201 - 100))
+                * (((j*8000) % 12000) * 1.0 / 12000)
+              + 0.5) AS BIGINT) AS v
+          FROM e
+        )
+        SELECT doc_id, n_out,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq,
+               round(sqrt(CAST(sum(v * v) AS DOUBLE) / n_out), 6) AS rms
+        FROM r GROUP BY doc_id, n_out
+        ORDER BY doc_id
+      """.trim),
+      "Linear resampler (8k→12k) round-trip + exact RMS oracle")(
+      (spark, dir) => {
+        import spark.implicits._
+        val resampled = udf { nChars: Long =>
+          val n = math.max(nChars, 1L).toInt
+          val pcm = graft.audio.Pcm.fromSamples(
+            Array.tabulate(n)(i => (i * 31 + 7) % 201 - 100), 8000)
+          val out = graft.audio.Augment.resampleLinear(pcm, 12000)
+          var ss = 0L
+          out.samples.foreach(v => ss += v.toLong * v)
+          (out.nSamples.toLong, ss)
+        }
+        table(spark, dir, "documents")
+          .select($"doc_id", resampled(greatest($"n_chars", lit(1L))).as("r"))
+          .select($"doc_id", $"r._1".as("n_out"), $"r._2".as("sum_sq"))
+          .withColumn("rms",
+            round(sqrt($"sum_sq".cast("double") / $"n_out"), 6))
+          .orderBy($"doc_id")
+      }),
+
     // Deterministic md5 content sampling — reproducible, content-
     // stable, nested across fractions; the DuckDB oracle evaluates
     // the IDENTICAL predicate, proving cross-engine determinism.
