@@ -207,4 +207,54 @@ object InvertedIndex {
       .select(col(docCol), col("term"), col("tf"), col("df"),
         col("score"), col("rk"))
   }
+
+  /** Corpus-relative token typicality: mean corpus frequency of the
+    * doc's tokens, Σᵢ cnt(tᵢ) / n — the frequency-based quality
+    * signal behind CCNet-style head/middle/tail corpus splits
+    * (low = rare/garbled vocabulary, high = stopword soup; training
+    * mixes keep the middle). ALL aggregation is 64-bit integer
+    * (Σ tf·cnt and Σ tf), so the final division is one exact double
+    * op and values reproduce bit-identically across engines.
+    *
+    * Output: (docCol, n_tokens, mass, typicality = round(mass/n, 6)).
+    *
+    * Shape: global term counts are a map-side-combined aggregate of
+    * the (doc, term, tf) index; the join back is the standard
+    * inverted-index equi-join on term (Σdf cost, not Σdf²: each index
+    * row joins ONE global row).
+    */
+  def tokenTypicality(tc: DataFrame, docCol: String): DataFrame = {
+    val global = tc.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    tc.join(global, "term")
+      .groupBy(col(docCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("cnt")).as("mass"))
+      .withColumn("typicality",
+        round(col("mass").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Add-one-smoothed unigram LM score: mean negative log-likelihood
+    * of the doc under the corpus unigram distribution,
+    * −Σᵢ ln((cnt(tᵢ)+1)/(N+V)) / n — the deterministic stand-in for
+    * the KenLM perplexity filter (CCNet) with the same plan shape as
+    * [[tokenTypicality]]. Scores are floating point (ln), so this is
+    * the SPEC-verified twin: cross-engine hash parity belongs to the
+    * integer `typicality` form, and rankings from the two agree on
+    * everything but near-ties.
+    *
+    * Output: (docCol, n_tokens, nll).
+    */
+  def unigramNll(tc: DataFrame, docCol: String): DataFrame = {
+    val global = tc.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val consts = global.agg(sum(col("cnt")).as("N"),
+      count(lit(1)).as("V"))
+    tc.join(global, "term")
+      .crossJoin(broadcast(consts))
+      .groupBy(col(docCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(-col("tf") * log((col("cnt") + 1.0) / (col("N") + col("V"))))
+          .as("__s"))
+      .withColumn("nll", col("__s") / col("n_tokens"))
+      .drop("__s")
+  }
 }

@@ -290,6 +290,37 @@ object CorpusPrepQueries {
           .orderBy($"doc_id")
       }),
 
+    // X41: corpus-relative token typicality — the frequency-based
+    // CCNet-style quality signal; integer mass/count aggregates make
+    // it hash-exact (the ln-based unigramNll twin is spec-verified).
+    QueryDef(
+      "q_typicality",
+      Some(s"""
+        WITH $toksCte, tc AS (
+          SELECT doc_id, t, count(*) AS tf
+          FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+          GROUP BY 1, 2
+        ), g AS (
+          SELECT t, CAST(sum(tf) AS BIGINT) AS cnt FROM tc GROUP BY 1
+        )
+        SELECT doc_id,
+          CAST(sum(tf) AS BIGINT) AS n_tokens,
+          CAST(sum(tf * cnt) AS BIGINT) AS mass,
+          round(CAST(sum(tf * cnt) AS DOUBLE) / CAST(sum(tf) AS BIGINT), 6)
+            AS typicality
+        FROM tc JOIN g USING (t)
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """.trim),
+      "X41 corpus-relative token typicality (integer-exact CCNet proxy)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val tc = graft.operators.InvertedIndex.termCounts(
+          table(spark, dir, "documents"), "doc_id", "text")
+        graft.operators.InvertedIndex.tokenTypicality(tc, "doc_id")
+          .orderBy($"doc_id")
+      }),
+
     // X36: deterministic training-order shuffle — md5 shard + in-
     // shard rank, reproduced verbatim by the oracle.
     QueryDef(

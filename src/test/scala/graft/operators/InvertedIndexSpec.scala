@@ -154,4 +154,35 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq("at", "bark"))
     assert(got.forall(_._2 == 1000000L))
   }
+
+  test("tokenTypicality: exact hand-computed mass and mean") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // global counts: a=3, b=1, c=1
+    val got = InvertedIndex.tokenTypicality(
+        InvertedIndex.termCounts(docs, "doc_id", "text"), "doc_id")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens", $"mass", $"typicality")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc1: 2·3 (a) + 1·1 (b) = 7 over 3; doc2: 3 + 1 = 4 over 2
+    assert(got == Seq((1L, 3L, 7L, math.rint(7.0 / 3 * 1e6) / 1e6),
+      (2L, 2L, 4L, 2.0)))
+  }
+
+  test("unigramNll: hand-computed smoothed logprob; rare docs score high") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "z q")).toDF("doc_id", "text")
+    // counts: a=4, z=1, q=1 → N=6, V=3; p(a)=5/9, p(z)=p(q)=2/9
+    val got = InvertedIndex.unigramNll(
+        InvertedIndex.termCounts(docs, "doc_id", "text"), "doc_id")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens", $"nll")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(math.abs(got(0)._3 - (-math.log(5.0 / 9))) < 1e-12)
+    assert(math.abs(got(1)._3 - (-math.log(2.0 / 9))) < 1e-12)
+    assert(got(1)._3 > got(0)._3) // rare vocabulary scores higher NLL
+  }
 }
