@@ -341,5 +341,38 @@ object CorpusStatsQueries {
             k = 3)
           .orderBy($"doc_id", $"rk")
       }),
+
+    // Exact heavy hitters WITHOUT the full-vocabulary shuffle
+    // q_heavy_hitters pays: per-partition Misra-Gries summaries (≤ k
+    // counters, narrow) give a provably complete candidate superset;
+    // an exact recount of candidates only (isin literal, scan-stage)
+    // yields {token : freq ≥ ⌈0.002·n⌉} with exact counts — the
+    // sketch choices never leak into the result, so a plain GROUP
+    // BY/HAVING oracle hash-matches. k=1023 satisfies the 1/(k+1) <
+    // 0.002 completeness floor with ~8× headroom.
+    QueryDef(
+      "q_heavy_hitters_sketch",
+      Some("""
+        WITH t AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> x <> '')) AS token
+          FROM documents
+        ), total AS (SELECT count(*) AS n FROM t)
+        SELECT token, count(*) AS n
+        FROM t
+        GROUP BY token
+        HAVING count(*) >= (SELECT CAST(ceil(0.002 * n) AS BIGINT) FROM total)
+        ORDER BY token
+      """.trim),
+      "exact ≥0.2% tokens via two-pass Misra-Gries candidates")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.{Dedup, HeavyHitters}
+        val toks = table(spark, dir, "documents")
+          .select(explode(Dedup.tokens($"text")).as("token"))
+        HeavyHitters.exactByFraction(toks, "token",
+            minFraction = 0.002, k = 1023)
+          .orderBy($"token")
+      }),
   )
 }
