@@ -297,5 +297,36 @@ object JoinQueries {
               .as("sum_value"))
           .orderBy($"segment")
       }),
+
+    // Bloom-pruned semi join: probe (orders) pre-filtered in its scan
+    // stage against a Bloom sketch of the build keys, exact semi join
+    // on survivors — false positives never reach the output, so the
+    // oracle is the plain EXISTS. The pruning is the point at 100 TB
+    // (shuffle ∝ selectivity+fpp, not probe size); the RESULT is
+    // identical at any fpp.
+    QueryDef(
+      "q_bloom_prune",
+      Some("""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey
+                        AND c.c_mktsegment = 'BUILDING')
+        ORDER BY o_orderkey
+      """.trim),
+      "bloom-pruned semi join: orders of BUILDING-segment customers")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.BloomPrune
+        BloomPrune.semiJoin(
+            table(spark, dir, "orders"),
+            table(spark, dir, "customer")
+              .filter($"c_mktsegment" === "BUILDING"),
+            "o_custkey", "c_custkey",
+            expectedItems = 10000L, fpp = 0.01)
+          .select($"o_orderkey", $"o_custkey",
+            round($"o_totalprice", 2).as("price"))
+          .orderBy($"o_orderkey")
+      }),
   )
 }
