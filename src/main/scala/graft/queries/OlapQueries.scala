@@ -428,5 +428,51 @@ object OlapQueries {
             round(cume_dist().over(w), 6).as("cd"))
           .orderBy($"event_id")
       }),
+
+    // Z-order (Morton) clustering key: bit-interleave two dimension
+    // keys so one sort column preserves locality in both — the
+    // multi-dimensional file-skipping layout (ZOrder.cluster writes
+    // it; ZOrderSpec measures the pruning win on real file spans).
+    // Pure shift/mask integer arithmetic, so the oracle replays the
+    // identical five spread steps and the key hash-matches bit for
+    // bit. 16-bit bins keep every intermediate below DuckDB's
+    // overflow-checked bit 63.
+    QueryDef(
+      "q_zorder_key",
+      Some("""
+        WITH src AS (
+          SELECT l_orderkey, l_linenumber,
+                 l_partkey % 65536 AS a, l_suppkey % 65536 AS b
+          FROM lineitem
+        ), t1 AS (
+          SELECT * REPLACE ((a | (a << 16)) & 281470681808895 AS a,
+                            (b | (b << 16)) & 281470681808895 AS b) FROM src
+        ), t2 AS (
+          SELECT * REPLACE ((a | (a << 8)) & 71777214294589695 AS a,
+                            (b | (b << 8)) & 71777214294589695 AS b) FROM t1
+        ), t3 AS (
+          SELECT * REPLACE ((a | (a << 4)) & 1085102592571150095 AS a,
+                            (b | (b << 4)) & 1085102592571150095 AS b) FROM t2
+        ), t4 AS (
+          SELECT * REPLACE ((a | (a << 2)) & 3689348814741910323 AS a,
+                            (b | (b << 2)) & 3689348814741910323 AS b) FROM t3
+        ), t5 AS (
+          SELECT * REPLACE ((a | (a << 1)) & 6148914691236517205 AS a,
+                            (b | (b << 1)) & 6148914691236517205 AS b) FROM t4
+        )
+        SELECT l_orderkey, l_linenumber, a | (b << 1) AS zkey
+        FROM t5
+        ORDER BY zkey, l_orderkey, l_linenumber
+      """.trim),
+      "Morton key of (l_partkey, l_suppkey) 16-bit bins per lineitem")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.ZOrder
+        table(spark, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber",
+            ZOrder.interleave2($"l_partkey" % 65536L, $"l_suppkey" % 65536L)
+              .as("zkey"))
+          .orderBy($"zkey", $"l_orderkey", $"l_linenumber")
+      }),
   )
 }

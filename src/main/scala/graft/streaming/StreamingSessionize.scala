@@ -81,4 +81,66 @@ object StreamingSessionize {
           out.result().iterator
         })
   }
+
+  /** [[dualPredicateSessions]] plus idle-session flushing: a session
+    * with no closing successor still emits once the event-time
+    * watermark passes its last event by `maxGapMicros` — without
+    * this, the last session of every key sits in the state store
+    * forever, which at 100 TB/billions of keys means unbounded state
+    * AND results that never arrive. Requires a watermark on `ts`
+    * upstream (asserted); state per key is one small struct, evicted
+    * on timeout, so store size is O(open sessions), not O(events).
+    */
+  def dualPredicateSessionsFlushed(events: Dataset[Event],
+      maxGapEvents: Long, maxGapMicros: Long,
+      watermarkDelay: String): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+
+    events.withWatermark("ts", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, it: Iterator[Event],
+            state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, st.firstEvent,
+              st.lastEventId, st.nEvents, st.sumValue))
+          } else {
+            val out = Seq.newBuilder[SessionOut]
+            var st = state.getOption.orNull
+            it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val m = micros(e.ts)
+              if (st == null) {
+                st = SessionState(m, e.event_id, m, 1L, e.value, e.event_id)
+              } else {
+                val boundary = (e.event_id - st.lastEventId) > maxGapEvents ||
+                  (m - st.lastTsMicros) > maxGapMicros
+                if (boundary) {
+                  out += SessionOut(userId, st.firstEvent, st.lastEventId,
+                    st.nEvents, st.sumValue)
+                  st = SessionState(m, e.event_id, m, 1L, e.value, e.event_id)
+                } else {
+                  st = st.copy(lastEventId = e.event_id, lastTsMicros = m,
+                    nEvents = st.nEvents + 1, sumValue = st.sumValue + e.value)
+                }
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              // close the open session when the watermark passes its
+              // last event by the session gap
+              state.setTimeoutTimestamp(
+                st.lastTsMicros / 1000L + maxGapMicros / 1000L)
+            }
+            out.result().iterator
+          }
+        })
+  }
 }

@@ -111,4 +111,36 @@ class StreamingSessionizeSpec extends AnyFunSuite {
       .toSet
     assert(streamed == batch, s"\nstreamed: $streamed\nbatch: $batch")
   }
+
+  test("flushed variant: idle session emits on watermark timeout, " +
+      "no closing event needed") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dualPredicateSessionsFlushed(mem.toDS().toDF().as[Event],
+        maxGapEvents = 5, maxGapMicros = 60L * 1000000,
+        watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("fsess")
+      .outputMode(OutputMode.Append).start()
+    // user 1's only session: 2 events, then user 1 goes silent forever.
+    // (ts=0 exactly would hit the initial-watermark late-row boundary)
+    mem.addData(Event(1L, ts(100), 1L, 2.0), Event(1L, ts(105), 2L, 3.0))
+    q.processAllAvailable()
+    // unrelated user-2 traffic advances the watermark well past
+    // user 1's last event + gap (105 + 60 + delay 10 < 1000)
+    mem.addData(Event(2L, ts(1000), 50L, 0.0))
+    q.processAllAvailable()
+    // one more batch so the timeout (evaluated against the new
+    // watermark) actually fires
+    mem.addData(Event(2L, ts(1001), 51L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql(
+      "SELECT user_id, first_event, last_event, n_events, sum_value " +
+        "FROM fsess WHERE user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(rows == Set((1L, 1L, 2L, 2L, 5.0)), s"got $rows")
+  }
 }
