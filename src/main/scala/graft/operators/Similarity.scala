@@ -259,4 +259,98 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
+
+  /** Product-quantized ANN (IVF's memory-side companion): the vector
+    * splits into `m` subspaces, each quantized to one of `ksub`
+    * KMeans codewords, so a 64-dim float vector (256 B) becomes `m`
+    * small codes (+ one stored norm for cosine) — at m=8/ksub=16
+    * that is ~64× less state to scan, the difference between
+    * spilling and RAM-resident at 10⁹+ vectors. Search is ADC
+    * (asymmetric distance): each query precomputes an m×ksub lookup
+    * table of subspace dot products ONCE (plan literals ⋅ query
+    * subvectors, before the join), so scoring a corpus row is `m`
+    * array lookups — no vector math per pair. The ADC top
+    * `k·refine` then re-rank EXACTLY by fetching only those rows'
+    * full vectors (an equi-join on id — at scale this touches
+    * k·refine·|Q| vectors, not the corpus). Codebooks fit on a
+    * corpus sample like [[ivfTopK]]; approximate like it, so the
+    * contract is rows-only + the recall spec.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+      refine: Int = 4, fitFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    def subvec(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
+
+    val sampled =
+      if (fitFraction >= 1.0) corpus else corpus.sample(fitFraction, 42L)
+    val feats = sampled.select(toDouble(col(vecCol)).as("v"))
+      .coalesce(4).cache()
+    // m independent sub-dim codebooks; same fit rationale as ivfTopK
+    // (random init, few iterations, recall spec as the guard)
+    val codebooks: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(5)
+        .setInitMode("random").setTol(1e-2)
+        .fit(feats.select(
+          array_to_vector(subvec(col("v"), j)).as("features")))
+        .clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+    feats.unpersist(blocking = false)
+
+    // nearest codeword per subspace: ‖c‖² − 2·v_j·c rank key, same
+    // single-array argmin as ivfTopK (no duplicated subtrees)
+    def code(v: Column, j: Int): Column =
+      element_at(transform(array_sort(array(
+        codebooks(j).zipWithIndex.map { case (c, i) =>
+          struct((lit(c.map(x => x * x).sum) -
+            lit(2.0) * dot(subvec(v, j), typedlit(c))).as("d"),
+            lit(i).as("cid"))
+        }: _*)), s => s.getField("cid")), 1)
+
+    // the compressed corpus: codes + norm — all a 100 TB ADC scan reads
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"),
+        array((0 until m).map(j => code(col("cv"), j)): _*).as("codes"),
+        l2norm(col("cv")).as("nrm"))
+
+    // per-query LUT: lut[j][i] = q_j · codebook_j[i], computed once
+    // per query row BEFORE the join — per-pair cost is m lookups
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"), l2norm(col("qv")).as("qnrm"),
+        array((0 until m).map { j =>
+          array(codebooks(j).map(c =>
+            dot(subvec(col("qv"), j), typedlit(c))): _*)
+        }: _*).as("lut"))
+
+    val adc = (0 until m).map(j =>
+        element_at(element_at(col("lut"), j + 1),
+          element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _) / (col("qnrm") * col("nrm"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cand = broadcast(q).join(codes,
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+
+    // exact re-rank: fetch full vectors for the shortlist only
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(full, Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
 }

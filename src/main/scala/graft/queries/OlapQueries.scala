@@ -474,5 +474,35 @@ object OlapQueries {
               .as("zkey"))
           .orderBy($"zkey", $"l_orderkey", $"l_linenumber")
       }),
+
+    // Manifest-pruned range read (SkippingIndex): plan the scan from
+    // a per-file min/max manifest, open only intersecting files,
+    // re-apply the exact predicate — result equals the plain WHERE
+    // for any layout (the spec proves the file-skipping win on a
+    // z-clustered multi-file table; the driver table may be one file,
+    // where pruning is a no-op and equality still must hold).
+    QueryDef(
+      "q_manifest_prune",
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        FROM lineitem
+        WHERE l_partkey BETWEEN 500 AND 700
+          AND l_suppkey BETWEEN 10 AND 60
+        ORDER BY l_orderkey, l_linenumber
+      """.trim),
+      "range read planned via the per-file min/max skipping manifest")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.sources.SkippingIndex
+        val path = s"$dir/lineitem.parquet"
+        val manifest = SkippingIndex.build(spark, path,
+          Seq("l_partkey", "l_suppkey"))
+        SkippingIndex.prunedRead(spark, path, manifest,
+            Map("l_partkey" -> (lit(500L), lit(700L)),
+              "l_suppkey" -> (lit(10L), lit(60L))))
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+            $"l_suppkey")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      }),
   )
 }

@@ -189,6 +189,26 @@ object SimilarityQueries {
           .orderBy($"query_id", $"rank")
       }),
 
+    // X2e: product-quantized ANN — the compressed-corpus scale path
+    // (codes + norm instead of full vectors; ADC lookup scoring;
+    // exact re-rank of the shortlist). Approximate + KMeans-seeded,
+    // so rows-only; SimilaritySpec bounds recall vs brute force and
+    // asserts reported cosines are exact.
+    QueryDef(
+      "q_knn_pq",
+      None,
+      "X2 product-quantized (ADC + exact refine) approximate top-k")(
+      (spark, dir) => {
+        import spark.implicits._
+        val emb = table(spark, dir, "embeddings")
+        val queries = emb.filter($"vec_id" % QueryStride === 0)
+        Similarity.pqTopK(queries, emb, "vec_id", "embedding", K,
+            m = 16, ksub = 16, refine = 8)
+          .select($"query_id", $"neighbor_id", $"rank",
+            round($"cos", 6).as("cos"))
+          .orderBy($"query_id", $"rank")
+      }),
+
     // X2d: label-centroid similarity — grouped vector aggregation:
     // per-label mean vector (element-wise, via posexplode + groupBy),
     // then each label's centroid norm. Exercises vector agg at scale

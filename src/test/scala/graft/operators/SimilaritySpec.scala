@@ -94,4 +94,33 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.9, s"recall $recall < 0.9")
   }
+
+  test("PQ top-k recall >= 0.7 vs brute force on driver embeddings") {
+    val s = spark
+    import s.implicits._
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(bruteForceTopK(queries, emb, "vec_id", "embedding", 5))
+    val pq = pairs(pqTopK(queries, emb, "vec_id", "embedding", 5,
+      m = 16, ksub = 16, refine = 8))
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.7, s"PQ recall $recall < 0.7")
+    // the exact re-rank means every reported cos equals the true
+    // cosine — check one against the brute result
+    val bruteCos = bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pqTopK(queries, emb, "vec_id", "embedding", 5, m = 16, ksub = 16,
+        refine = 8)
+      .select($"query_id", $"neighbor_id", $"cos").collect()
+      .foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        bruteCos.get(key).foreach { c =>
+          assert(math.abs(c - r.getDouble(2)) < 1e-12, s"$key")
+        }
+      }
+  }
 }
