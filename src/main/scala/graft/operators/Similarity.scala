@@ -276,31 +276,65 @@ object Similarity {
     * corpus sample like [[ivfTopK]]; approximate like it, so the
     * contract is rows-only + the recall spec.
     */
+  /** Plain Lloyd iterations on an in-memory point set — codebook
+    * training for [[pqTopK]]. Empty clusters keep their previous
+    * center (standard small-k fallback). Deterministic for a seed.
+    */
+  private def lloydFit(points: Array[Array[Double]], k: Int,
+      iters: Int, seed: Long): Seq[Seq[Double]] = {
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    val centers = rnd.shuffle(points.indices.toList).take(k)
+      .map(i => points(i).clone()).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < centers.length) {
+          var d = 0.0; var t = 0
+          while (t < dim) {
+            val diff = p(t) - centers(j)(t); d += diff * diff; t += 1
+          }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        var t = 0
+        while (t < dim) { sums(best)(t) += p(t); t += 1 }
+        counts(best) += 1
+      }
+      for (j <- centers.indices if counts(j) > 0; t <- 0 until dim)
+        centers(j)(t) = sums(j)(t) / counts(j)
+    }
+    centers.map(_.toSeq).toSeq
+  }
+
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
-      refine: Int = 4, fitFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
+      refine: Int = 4, maxFitSample: Int = 16384): DataFrame = {
     val dims = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val sub = dims / m
     def subvec(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
 
-    val sampled =
-      if (fitFraction >= 1.0) corpus else corpus.sample(fitFraction, 42L)
-    val feats = sampled.select(toDouble(col(vecCol)).as("v"))
-      .coalesce(4).cache()
-    // m independent sub-dim codebooks; same fit rationale as ivfTopK
-    // (random init, few iterations, recall spec as the guard)
+    // Codebooks train on a BOUNDED driver-side sample (the FAISS
+    // recipe — quantizer quality needs ~1e4–1e5 points, not the
+    // corpus): one narrow job collects ≤ maxFitSample vectors, then
+    // all m sub-quantizers fit locally — versus m distributed KMeans
+    // runs (~6 jobs each) whose scheduling would dominate. Encode
+    // and search remain fully distributed; the codebooks ship as
+    // plan literals like the IVF centroids.
+    val sample: Array[Array[Double]] = corpus
+      .select(toDouble(col(vecCol)).as("v"))
+      .limit(maxFitSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= ksub,
+      s"need >= ksub=$ksub vectors to train codebooks, got ${sample.length}")
     val codebooks: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(5)
-        .setInitMode("random").setTol(1e-2)
-        .fit(feats.select(
-          array_to_vector(subvec(col("v"), j)).as("features")))
-        .clusterCenters.map(_.toArray.toSeq).toSeq
+      lloydFit(sample.map(_.slice(j * sub, (j + 1) * sub)), ksub,
+        iters = 8, seed = 42L + j)
     }
-    feats.unpersist(blocking = false)
 
     // nearest codeword per subspace: ‖c‖² − 2·v_j·c rank key, same
     // single-array argmin as ivfTopK (no duplicated subtrees)
