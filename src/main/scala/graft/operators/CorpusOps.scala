@@ -318,4 +318,47 @@ object CorpusOps {
       .drop(annotated.columns.filter(_.startsWith("__s_")).toSeq ++
         Seq("__n_alnum", "__n_chars"): _*)
   }
+
+  /** Deterministic fixed-COUNT per-stratum sample ("n docs per
+    * language"), the companion to [[stratifiedSample]]'s fixed
+    * FRACTIONS: rank rows inside each stratum by md5(salt ‖ key) and
+    * keep the first `n` — reproducible across runs/engines, no RNG
+    * state. Unlike fraction sampling, membership is not
+    * content-stable under corpus growth (a new row can displace the
+    * rank-n row — inherent to any exact-count contract).
+    *
+    * One window (shuffle by stratum + sort). For 100 TB strata,
+    * pre-filter with [[hashSample]] at a few×n/|stratum| to shrink
+    * the sorted set, or feed (hash-rank, id) through
+    * [[graft.functions.TopKAgg]] for a map-side-bounded exchange —
+    * this exact-SQL form is the oracle-matching reference.
+    */
+  def sampleNPerGroup(df: DataFrame, keyCol: String, stratumCol: String,
+      n: Int, salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat(lit(salt), col(keyCol))), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Corpus snapshot diff: per key, `added` / `removed` / `changed` /
+    * `unchanged` between two corpus versions — the audit step before
+    * promoting a new training snapshot. Content comparison is by
+    * md5 of the content column, so the full outer join carries
+    * (key, 32-char hash), never the documents themselves; at 100 TB
+    * both sides shuffle once on the key. (md5, not xxhash64, so an
+    * external SQL engine reproduces the verdicts bit-for-bit.)
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCol: String,
+      contentCol: String): DataFrame = {
+    val a = before.select(col(keyCol), md5(col(contentCol)).as("__ha"))
+    val b = after.select(col(keyCol), md5(col(contentCol)).as("__hb"))
+    a.join(b, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") =!= col("__hb"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

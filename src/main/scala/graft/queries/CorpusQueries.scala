@@ -224,5 +224,70 @@ object CorpusQueries {
             $"shard_id")
           .orderBy($"doc_id")
       }),
+
+    // Fixed-count per-stratum sample: exactly 20 docs per language
+    // (or the whole stratum if smaller), membership decided by md5
+    // rank — reproducible in any engine, no RNG.
+    QueryDef(
+      "q_sample_n_per_group",
+      Some(s"""
+        SELECT doc_id, lang
+        FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5('$SampleSalt' || text), text) AS rk
+          FROM documents
+        )
+        WHERE rk <= 20
+        ORDER BY doc_id
+      """.trim),
+      "exactly 20 docs per language by deterministic md5 rank")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.sampleNPerGroup(table(spark, dir, "documents"),
+            "text", "lang", n = 20, SampleSalt)
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      }),
+
+    // Snapshot diff: audit verdicts between corpus v1 (documents) and
+    // a deterministically derived v2 (every 7th doc dropped, every
+    // 5th doc's text revised, every 11th doc re-added under a new
+    // id) — the promote/rollback check before a training snapshot
+    // ships. Hashes, not texts, cross the join.
+    QueryDef(
+      "q_snapshot_diff",
+      Some("""
+        WITH v2 AS (
+          SELECT doc_id, text || ' (rev 2)' AS text
+          FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id, text
+          FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text
+          FROM documents WHERE doc_id % 11 = 0
+        )
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM documents a
+        FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+        ORDER BY doc_id
+      """.trim),
+      "corpus snapshot diff: added/removed/changed/unchanged per doc")(
+      (spark, dir) => {
+        import spark.implicits._
+        val v1 = table(spark, dir, "documents")
+        val v2 = v1.filter($"doc_id" % 7 =!= 0)
+          .withColumn("text", when($"doc_id" % 5 === 0,
+            concat($"text", lit(" (rev 2)"))).otherwise($"text"))
+          .unionByName(v1.filter($"doc_id" % 11 === 0)
+            .withColumn("doc_id", $"doc_id" + 1000000L))
+        CorpusOps.snapshotDiff(v1, v2, "doc_id", "text")
+          .orderBy($"doc_id")
+      }),
   )
 }

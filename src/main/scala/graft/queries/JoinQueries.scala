@@ -298,6 +298,48 @@ object JoinQueries {
           .orderBy($"segment")
       }),
 
+    // Per-group top-k via the bounded TopKAgg Aggregator — same
+    // result contract as q_topk_per_group's window, but map-side
+    // combinable: each map task forwards <= k pairs per group, so the
+    // exchange never carries whole groups and nothing sorts them.
+    // Identical (value desc, id asc) order => window-SQL oracle
+    // hash-matches.
+    QueryDef(
+      "q_topk_agg",
+      Some("""
+        SELECT nation, rk, o_orderkey, price
+        FROM (
+          SELECT n.n_name AS nation, o.o_orderkey,
+                 round(o.o_totalprice, 2) AS price,
+                 row_number() OVER (PARTITION BY n.n_name
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+        )
+        WHERE rk <= 3
+        ORDER BY nation, rk
+      """.trim),
+      "top-3 orders per nation via partial-aggregating TopKAgg")(
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.Encoders
+        import graft.functions.TopKAgg
+        val topk = udaf(new TopKAgg(3),
+          Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+        table(spark, dir, "orders").as("o")
+          .join(broadcast(table(spark, dir, "customer")).as("c"),
+            $"o.o_custkey" === $"c.c_custkey")
+          .join(broadcast(table(spark, dir, "nation")).as("n"),
+            $"c.c_nationkey" === $"n.n_nationkey")
+          .groupBy($"n.n_name".as("nation"))
+          .agg(topk($"o.o_totalprice", $"o.o_orderkey").as("tk"))
+          .select($"nation", posexplode($"tk"))
+          .select($"nation", ($"pos" + 1).cast("long").as("rk"),
+            $"col._2".as("o_orderkey"), round($"col._1", 2).as("price"))
+          .orderBy($"nation", $"rk")
+      }),
+
     // Bloom-pruned semi join: probe (orders) pre-filtered in its scan
     // stage against a Bloom sketch of the build keys, exact semi join
     // on survivors — false positives never reach the output, so the

@@ -127,4 +127,39 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 24 && got.values.forall(_ == 0L))
   }
+
+  test("sampleNPerGroup: exact counts, deterministic, salt-sensitive") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 900).map(i =>
+      (i.toLong, s"text body $i", Seq("en", "de", "xx")(i % 3)))
+      .toDF("id", "text", "lang")
+    val got = CorpusOps.sampleNPerGroup(docs, "text", "lang", 25, "s1")
+    val counts = got.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 25L, "de" -> 25L, "xx" -> 25L))
+    // stratum smaller than n → whole stratum
+    val tiny = CorpusOps.sampleNPerGroup(docs.filter($"id" < 9),
+      "text", "lang", 25, "s1")
+    assert(tiny.count() == 9)
+    // deterministic across runs; different under another salt
+    def ids(salt: String) =
+      CorpusOps.sampleNPerGroup(docs, "text", "lang", 25, salt)
+        .select($"id").as[Long].collect().toSet
+    assert(ids("s1") == ids("s1"))
+    assert(ids("s1") != ids("s2"))
+  }
+
+  test("snapshotDiff: verdicts on a hand-built pair of versions") {
+    val s = spark
+    import s.implicits._
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("id", "text")
+    val v2 = Seq((2L, "beta"), (3L, "gamma prime"), (4L, "delta"))
+      .toDF("id", "text")
+    val got = CorpusOps.snapshotDiff(v1, v2, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
 }
