@@ -48,7 +48,13 @@ object ScaleBench {
       // Σ_gram df² — the same watch item as q_tf_cosine
       "q_decontaminate", "q_dup_span_coverage", "q_repetition_stats",
       "q_shuffle_shards", "q_chunk_docs", "q_length_batches",
-      "q_mix_corpus", "q_corpus_clean")
+      "q_mix_corpus", "q_corpus_clean",
+      // r6 second wave: sketch/layout/topk family — all claimed
+      // ~linear (bloom build+prune, MG summaries+recount, zkey map,
+      // manifest agg, partial-agg topk, version-diff join)
+      "q_bloom_prune", "q_heavy_hitters_sketch", "q_zorder_key",
+      "q_manifest_prune", "q_topk_agg", "q_sample_n_per_group",
+      "q_snapshot_diff", "q_knn_pq")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
@@ -70,6 +76,11 @@ object ScaleBench {
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         Similarity.ivfTopK(fixedProbes(emb), emb, "vec_id", "embedding",
           5, nlist = 16, nprobe = 4)
+      }),
+      "fixed_knn_pq" -> ((s: SparkSession, dir: String) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.pqTopK(fixedProbes(emb), emb, "vec_id", "embedding",
+          5, m = 16, ksub = 16, refine = 8)
       }))
 
     val all = contract.map(n => n -> SparkEntry.queries(n)) ++ fixed
