@@ -37,4 +37,29 @@ object SaltedJoin {
         p(probeKey) === b(buildKey))
       .drop("__salt")
   }
+
+  /** Key-skew diagnosis for [[join]]'s sizing decision (and for
+    * reading AQE skew-split stats): one row with the key-count
+    * distribution's tails and the salt count that would level the
+    * hottest key to the mean — `ceil(max_count · n_keys / n_rows)`.
+    * Cost: one groupBy over the key (8-byte rows, map-side combined)
+    * + an agg over the per-key counts (n_keys rows) — the profile of
+    * a 100 TB table is a two-stage job over skinny data. The hot key
+    * reports deterministically (ties → largest key).
+    */
+  def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val agg = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("max_count"))
+    val hot = counts.orderBy(col("cnt").desc, col("k").desc).limit(1)
+      .select(col("k").as("hot_key"))
+    agg.crossJoin(hot)
+      .select(col("n_rows"), col("n_keys"), col("max_count"),
+        col("hot_key"),
+        round(col("max_count").cast("double") / col("n_rows"), 6)
+          .as("top_share"),
+        ceil(col("max_count") * col("n_keys") / col("n_rows").cast("double"))
+          .cast("long").as("suggested_salts"))
+  }
 }

@@ -298,6 +298,35 @@ object JoinQueries {
           .orderBy($"segment")
       }),
 
+    // Key-skew profile: the sizing query you run BEFORE choosing
+    // between plain, salted (q_salted_join), and broadcast joins —
+    // per-key counts, hot-key share, and the salt count that levels
+    // the hottest key to the mean. Two skinny aggregation stages.
+    QueryDef(
+      "q_skew_profile",
+      Some("""
+        WITH c AS (
+          SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
+        ), a AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 count(*) AS n_keys,
+                 max(cnt) AS max_count
+          FROM c
+        ), h AS (
+          SELECT k AS hot_key FROM c ORDER BY cnt DESC, k DESC LIMIT 1
+        )
+        SELECT n_rows, n_keys, max_count, hot_key,
+               round(max_count * 1.0 / n_rows, 6) AS top_share,
+               CAST(ceil(max_count * n_keys * 1.0 / n_rows) AS BIGINT)
+                 AS suggested_salts
+        FROM a, h
+      """.trim),
+      "join-key skew profile of lineitem.l_suppkey")(
+      (spark, dir) => {
+        import graft.operators.SaltedJoin
+        SaltedJoin.skewProfile(table(spark, dir, "lineitem"), "l_suppkey")
+      }),
+
     // Per-group top-k via the bounded TopKAgg Aggregator — same
     // result contract as q_topk_per_group's window, but map-side
     // combinable: each map task forwards <= k pairs per group, so the

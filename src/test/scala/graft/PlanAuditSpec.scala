@@ -212,4 +212,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(shard"),
       s"shard window not hash-partitioned:\n${p.take(1500)}")
   }
+
+  test("q_bloom_prune: sketch filter sits in the scan stage, " +
+      "before the join exchange") {
+    val p = plan("q_bloom_prune")
+    // the UDF filter must appear (probe prune) and the join must be
+    // an equi semi join, never a cartesian fallback
+    assert(p.contains("LeftSemi"), s"no semi join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+    // filter is below (printed after) the first exchange: the pruned
+    // scan side contains both the parquet scan and the UDF filter
+    val scanSide = p.substring(p.indexOf("Scan parquet"))
+    assert(scanSide.contains("Filter"),
+      s"no scan-side filter:\n${p.take(1500)}")
+  }
+
+  test("q_heavy_hitters_sketch: recount filter is scan-stage, " +
+      "no vocabulary-wide exchange of raw tokens") {
+    val df = SparkEntry.queries("q_heavy_hitters_sketch")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the recount path: isin literal filter + partial/final count agg
+    assert(p.contains("partial_count"), "recount not partially agg'd")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_topk_agg: typed aggregator runs partial+final, dims broadcast") {
+    val p = plan("q_topk_agg")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial+final object agg:\n${p.take(1500)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "dims not broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_zorder_key: pure map over a pruned scan (no joins, " +
+      "one sort for the output order)") {
+    val p = plan("q_zorder_key")
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("l_partkey") && read.contains("l_suppkey") &&
+      !read.contains("l_quantity"), s"unpruned scan: $read")
+    assert(!p.contains("Join"), "zkey must not join")
+  }
 }

@@ -46,4 +46,21 @@ class SaltedJoinSpec extends AnyFunSuite {
       .select(countDistinct($"s")).collect()(0).getLong(0)
     assert(salts == n.toLong, s"expected all $n salts used, got $salts")
   }
+
+  test("skewProfile: exact stats and salt suggestion on a known skew") {
+    val s = spark
+    import s.implicits._
+    // key 1: 60 rows, key 2: 30, key 3: 10 → n=100, keys=3, max=60
+    val df = (Seq.fill(60)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(10)(3L))
+      .toDF("k")
+    val r = SaltedJoin.skewProfile(df, "k").collect()(0)
+    assert(r.getLong(0) == 100L && r.getLong(1) == 3L &&
+      r.getLong(2) == 60L)
+    assert(r.getLong(3) == 1L) // hot key
+    assert(math.abs(r.getDouble(4) - 0.6) < 1e-9)
+    assert(r.getLong(5) == 2L) // ceil(60*3/100) = 2 salts level it
+    // tie on counts reports the LARGEST key deterministically
+    val tied = (Seq.fill(5)(7L) ++ Seq.fill(5)(9L)).toDF("k")
+    assert(SaltedJoin.skewProfile(tied, "k").collect()(0).getLong(3) == 9L)
+  }
 }
