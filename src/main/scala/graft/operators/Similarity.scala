@@ -310,73 +310,61 @@ object Similarity {
     centers.map(_.toSeq).toSeq
   }
 
-  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
-      refine: Int = 4, maxFitSample: Int = 16384): DataFrame = {
-    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
-    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
-    val sub = dims / m
-    def subvec(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
-
-    // Codebooks train on a BOUNDED driver-side sample (the FAISS
-    // recipe — quantizer quality needs ~1e4–1e5 points, not the
-    // corpus): one narrow job collects ≤ maxFitSample vectors, then
-    // all m sub-quantizers fit locally — versus m distributed KMeans
-    // runs (~6 jobs each) whose scheduling would dominate. Encode
-    // and search remain fully distributed; the codebooks ship as
-    // plan literals like the IVF centroids.
-    val sample: Array[Array[Double]] = corpus
-      .select(toDouble(col(vecCol)).as("v"))
+  /** Bounded driver-side fit sample (the FAISS recipe — quantizer
+    * quality needs ~1e4–1e5 points, not the corpus): one narrow job
+    * collects ≤ maxFitSample vectors; all quantizers then train
+    * locally — versus per-quantizer distributed KMeans runs whose
+    * job scheduling would dominate. Encode and search remain fully
+    * distributed; trained codebooks ship as plan literals.
+    */
+  private def fitSample(corpus: DataFrame, vecCol: String,
+      maxFitSample: Int): Array[Array[Double]] =
+    corpus.select(toDouble(col(vecCol)).as("v"))
       .limit(maxFitSample)
       .collect().map(_.getSeq[Double](0).toArray)
-    require(sample.length >= ksub,
-      s"need >= ksub=$ksub vectors to train codebooks, got ${sample.length}")
-    val codebooks: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      lloydFit(sample.map(_.slice(j * sub, (j + 1) * sub)), ksub,
-        iters = 8, seed = 42L + j)
-    }
 
-    // nearest codeword per subspace: ‖c‖² − 2·v_j·c rank key, same
-    // single-array argmin as ivfTopK (no duplicated subtrees)
-    def code(v: Column, j: Int): Column =
-      element_at(transform(array_sort(array(
-        codebooks(j).zipWithIndex.map { case (c, i) =>
-          struct((lit(c.map(x => x * x).sum) -
-            lit(2.0) * dot(subvec(v, j), typedlit(c))).as("d"),
-            lit(i).as("cid"))
-        }: _*)), s => s.getField("cid")), 1)
+  /** Nearest entry of a literal codebook by the ‖c‖² − 2·v·c rank
+    * key — single-array argmin, no duplicated subtrees (see
+    * [[ivfTopK]]'s rankedCids note).
+    */
+  private def argminCode(v: Column, book: Seq[Seq[Double]]): Column =
+    element_at(transform(array_sort(array(
+      book.zipWithIndex.map { case (c, i) =>
+        struct((lit(c.map(x => x * x).sum) -
+          lit(2.0) * dot(v, typedlit(c))).as("d"),
+          lit(i).as("cid"))
+      }: _*)), s => s.getField("cid")), 1)
 
-    // the compressed corpus: codes + norm — all a 100 TB ADC scan reads
-    val codes = corpus.select(col(idCol).as("neighbor_id"),
-      toDouble(col(vecCol)).as("cv"))
-      .select(col("neighbor_id"),
-        array((0 until m).map(j => code(col("cv"), j)): _*).as("codes"),
-        l2norm(col("cv")).as("nrm"))
+  /** (codes, lut) column builders over `m` sub-space codebooks:
+    * codes is the per-row array of nearest codeword ids; lut is the
+    * per-query m×ksub table of sub-space dot products, computed once
+    * per query row BEFORE any join so per-pair ADC cost is m array
+    * lookups.
+    */
+  private def pqColumns(codebooks: IndexedSeq[Seq[Seq[Double]]],
+      sub: Int): (Column => Column, Column => Column) = {
+    def subvec(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
+    val codes = (v: Column) => array(codebooks.indices.map(j =>
+      argminCode(subvec(v, j), codebooks(j))): _*)
+    val lut = (v: Column) => array(codebooks.indices.map { j =>
+      array(codebooks(j).map(c =>
+        dot(subvec(v, j), typedlit(c))): _*)
+    }: _*)
+    (codes, lut)
+  }
 
-    // per-query LUT: lut[j][i] = q_j · codebook_j[i], computed once
-    // per query row BEFORE the join — per-pair cost is m lookups
-    val q = queries.select(col(idCol).as("query_id"),
-      toDouble(col(vecCol)).as("qv"))
-      .select(col("query_id"), col("qv"), l2norm(col("qv")).as("qnrm"),
-        array((0 until m).map { j =>
-          array(codebooks(j).map(c =>
-            dot(subvec(col("qv"), j), typedlit(c))): _*)
-        }: _*).as("lut"))
-
-    val adc = (0 until m).map(j =>
+  private def adcScore(m: Int): Column =
+    (0 until m).map(j =>
         element_at(element_at(col("lut"), j + 1),
           element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _) / (col("qnrm") * col("nrm"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    val cand = broadcast(q).join(codes,
-        col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", adc)
-      .withColumn("arank", row_number().over(wAdc))
-      .filter(col("arank") <= k * refine)
-      .select(col("query_id"), col("qv"), col("neighbor_id"))
 
-    // exact re-rank: fetch full vectors for the shortlist only
+  /** Exact re-rank of an ADC shortlist: fetch full vectors for the
+    * (query, neighbor) candidates only — an equi-join on id touching
+    * k·refine·|Q| vectors, never the corpus.
+    */
+  private def exactRerank(cand: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val full = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("nv"))
     val w = Window.partitionBy(col("query_id"))
@@ -386,5 +374,102 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+      refine: Int = 4, maxFitSample: Int = 16384): DataFrame = {
+    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    val sample = fitSample(corpus, vecCol, maxFitSample)
+    require(sample.length >= ksub,
+      s"need >= ksub=$ksub vectors to train codebooks, got ${sample.length}")
+    val codebooks: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      lloydFit(sample.map(_.slice(j * sub, (j + 1) * sub)), ksub,
+        iters = 8, seed = 42L + j)
+    }
+    val (codesOf, lutOf) = pqColumns(codebooks, sub)
+
+    // the compressed corpus: codes + norm — all a 100 TB ADC scan reads
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"), codesOf(col("cv")).as("codes"),
+        l2norm(col("cv")).as("nrm"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"), l2norm(col("qv")).as("qnrm"),
+        lutOf(col("qv")).as("lut"))
+
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cand = broadcast(q).join(codes,
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adcScore(m))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    exactRerank(cand, corpus, idCol, vecCol, k)
+  }
+
+  /** IVF-PQ — the standard 10⁹-vector layout, composing [[ivfTopK]]'s
+    * list pruning with [[pqTopK]]'s compressed scan: the corpus is
+    * bucketed by nearest coarse centroid AND stored as PQ codes, each
+    * query probes its `nprobe` closest lists, and ADC scores only the
+    * probed lists' codes (equi-join on list id — per-query work is
+    * `nprobe/nlist` of a scan that is itself ~64× smaller than raw
+    * vectors). Exact re-rank as in [[pqTopK]]. Codes quantize raw
+    * vectors (IVFFlat-PQ hybrid), not per-list residuals — residual
+    * encoding buys accuracy at the same code budget but couples the
+    * codebooks to the coarse quantizer; the recall spec bounds what
+    * this variant gives up.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 8, nprobe: Int = 4,
+      m: Int = 16, ksub: Int = 16, refine: Int = 8,
+      maxFitSample: Int = 16384): DataFrame = {
+    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    val sample = fitSample(corpus, vecCol, maxFitSample)
+    require(sample.length >= math.max(ksub, nlist),
+      s"need >= ${math.max(ksub, nlist)} vectors to train, " +
+        s"got ${sample.length}")
+    val coarse = lloydFit(sample, nlist, iters = 8, seed = 7L)
+    val codebooks: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      lloydFit(sample.map(_.slice(j * sub, (j + 1) * sub)), ksub,
+        iters = 8, seed = 42L + j)
+    }
+    val (codesOf, lutOf) = pqColumns(codebooks, sub)
+
+    def rankedLists(v: Column): Column =
+      transform(array_sort(array(coarse.zipWithIndex.map {
+        case (c, i) =>
+          struct((lit(c.map(x => x * x).sum) -
+            lit(2.0) * dot(v, typedlit(c))).as("d"), lit(i).as("cid"))
+      }: _*)), s => s.getField("cid"))
+
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"),
+        element_at(rankedLists(col("cv")), 1).as("list_id"),
+        codesOf(col("cv")).as("codes"), l2norm(col("cv")).as("nrm"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"), l2norm(col("qv")).as("qnrm"),
+        lutOf(col("qv")).as("lut"),
+        explode(slice(rankedLists(col("qv")), 1, nprobe)).as("list_id"))
+
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    // equi-join on list id: the corpus side stays unshuffled under a
+    // broadcast of |Q|·nprobe probe rows, like ivfTopK
+    val cand = broadcast(q).join(codes, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adcScore(m))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    exactRerank(cand, corpus, idCol, vecCol, k)
   }
 }

@@ -209,6 +209,24 @@ object SimilarityQueries {
           .orderBy($"query_id", $"rank")
       }),
 
+    // X2f: IVF-PQ — coarse-list pruning over the compressed scan,
+    // the standard 1e9-vector serving layout. Rows-only (approximate
+    // + trained quantizers); SimilaritySpec bounds composed recall.
+    QueryDef(
+      "q_knn_ivfpq",
+      None,
+      "X2 IVF-PQ (probed lists + ADC + exact refine) top-k")(
+      (spark, dir) => {
+        import spark.implicits._
+        val emb = table(spark, dir, "embeddings")
+        val queries = emb.filter($"vec_id" % QueryStride === 0)
+        Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding", K,
+            nlist = 8, nprobe = 4, m = 16, ksub = 16, refine = 8)
+          .select($"query_id", $"neighbor_id", $"rank",
+            round($"cos", 6).as("cos"))
+          .orderBy($"query_id", $"rank")
+      }),
+
     // X2d: label-centroid similarity — grouped vector aggregation:
     // per-label mean vector (element-wise, via posexplode + groupBy),
     // then each label's centroid norm. Exercises vector agg at scale

@@ -108,6 +108,12 @@ class SimilaritySpec extends AnyFunSuite {
       m = 16, ksub = 16, refine = 8))
     val recall = (brute & pq).size.toDouble / brute.size
     assert(recall >= 0.7, s"PQ recall $recall < 0.7")
+    // IVF-PQ composition: list pruning on top of the compressed scan
+    // costs some recall vs plain PQ but must stay useful
+    val ivfpq = pairs(ivfPqTopK(queries, emb, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 4, m = 16, ksub = 16, refine = 8))
+    val recallIvfPq = (brute & ivfpq).size.toDouble / brute.size
+    assert(recallIvfPq >= 0.5, s"IVF-PQ recall $recallIvfPq < 0.5")
     // the exact re-rank means every reported cos equals the true
     // cosine — check one against the brute result
     val bruteCos = bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
