@@ -328,6 +328,24 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Score-based canonical keeper per cluster — production dedup
+    * keeps the BEST member (longest, highest quality, freshest),
+    * not the smallest id: rank [[resolveClusters]] members within
+    * their cluster by `scoreCol` desc (ties → smaller doc id) and
+    * flag rank 1. One window by cluster_id over the skinny
+    * (doc, cluster, score) table — clusters are tiny, so no
+    * skew concern; the scores join is by doc id.
+    *
+    * Output: (docCol, cluster_id, score, is_kept).
+    */
+  def selectKeepers(clustered: DataFrame, scores: DataFrame,
+      docCol: String, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(docCol))
+    clustered.join(scores.select(col(docCol), col(scoreCol)), Seq(docCol))
+      .withColumn("is_kept", row_number().over(w) === 1)
+  }
+
   /** X1g — INCREMENTAL near-dup: which new docs duplicate the
     * existing corpus. The asymmetric form every production pipeline
     * actually runs ("dedup tonight's crawl against the 100 TB

@@ -246,6 +246,49 @@ object DedupQueries {
           .orderBy($"doc_id")
       }),
 
+    // Score-based canonical keeper: same components as
+    // q_dedup_clusters, but production policy — keep the LONGEST
+    // member (n_chars desc, ties → min doc_id) instead of min-id.
+    // The keeper choice is one window over the skinny cluster table.
+    QueryDef(
+      "q_dedup_keeper_policy",
+      Some(s"""${shingleSql.replaceFirst("WITH", "WITH RECURSIVE")},
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)))
+                >= $JaccardThreshold
+        ), edges AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION SELECT d2, d1 FROM pairs
+        ), reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), clustered AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src
+        )
+        SELECT c.doc_id, c.cluster_id, d.n_chars AS score,
+               row_number() OVER (PARTITION BY c.cluster_id
+                 ORDER BY d.n_chars DESC, c.doc_id) = 1 AS is_kept
+        FROM clustered c JOIN documents d USING (doc_id)
+        ORDER BY doc_id
+      """.trim),
+      "X1 keeper policy: longest member survives each dup cluster")(
+      (spark, dir) => {
+        import spark.implicits._
+        val pairs = Dedup.jaccardPairsExact(shingled(spark, dir), "doc_id",
+          JaccardThreshold)
+        Dedup.selectKeepers(Dedup.resolveClusters(pairs),
+            table(spark, dir, "documents")
+              .select($"doc_id", $"n_chars".as("score")),
+            "doc_id", "score")
+          .orderBy($"doc_id")
+      }),
+
     // X1f over X1e: connected components of the exact cosine pair
     // graph — the "which embeddings are the same content" rollup a
     // near-dup pass feeds into canonicalization. Same Spark operator

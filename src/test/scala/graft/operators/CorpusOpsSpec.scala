@@ -128,6 +128,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.size == 24 && got.values.forall(_ == 0L))
   }
 
+  test("selectKeepers: best score survives, ties break to smaller id") {
+    val s = spark
+    import s.implicits._
+    // components {0,1,2} and {5,6}; scores: 1 wins first (tie 0/1
+    // on score 9 → smaller id 0? no: 1 has 9, 0 has 9 → id 0 wins);
+    // 6 wins second outright
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("d1", "d2")
+    val scores = Seq((0L, 9L), (1L, 9L), (2L, 3L), (5L, 1L), (6L, 4L))
+      .toDF("doc_id", "score")
+    val got = Dedup.selectKeepers(Dedup.resolveClusters(pairs), scores,
+        "doc_id", "score")
+      .select($"doc_id", $"is_kept").as[(Long, Boolean)]
+      .collect().toMap
+    assert(got == Map(0L -> true, 1L -> false, 2L -> false,
+      5L -> false, 6L -> true))
+  }
+
   test("sampleNPerGroup: exact counts, deterministic, salt-sensitive") {
     val s = spark
     import s.implicits._
