@@ -25,8 +25,15 @@ class TopKAgg(k: Int)
       Seq[(Double, Long)]] {
   require(k >= 1, s"k must be >= 1, got $k")
 
-  private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // Double.compare (on -0.0-normalized values) rather than >/==: a
+  // strict total order, so sortWith never violates its contract, and
+  // NaN ranks above every value — matching Spark's window ORDER BY v
+  // DESC, which the oracle contract requires
+  private def lt(a: (Double, Long), b: (Double, Long)): Boolean = {
+    def z(x: Double): Double = if (x == 0.0) 0.0 else x
+    val c = java.lang.Double.compare(z(a._1), z(b._1))
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   def zero: List[(Double, Long)] = Nil
 

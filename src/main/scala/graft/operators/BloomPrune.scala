@@ -59,8 +59,12 @@ object BloomPrune {
       case dt => throw new IllegalArgumentException(
         s"bloom prune needs an integral or string key, got $dt")
     }
-    probe.filter(might)
-      .join(build.select(col(buildKey)).distinct(),
-        col(probeKey) === col(buildKey), "left_semi")
+    // fresh build-side name: keeps the join condition unambiguous
+    // when probeKey == buildKey (the natural same-name call). No
+    // distinct() — a semi join's output is unchanged by duplicate
+    // build keys, and deduping 1e8+ keys is a full wasted exchange.
+    val pruned = probe.filter(might)
+    val b = build.select(col(buildKey).as("__bloom_bk"))
+    pruned.join(b, pruned(probeKey) === b("__bloom_bk"), "left_semi")
   }
 }

@@ -334,9 +334,14 @@ object CorpusOps {
     * this exact-SQL form is the oracle-matching reference.
     */
   def sampleNPerGroup(df: DataFrame, keyCol: String, stratumCol: String,
-      n: Int, salt: String = ""): DataFrame = {
+      n: Int, salt: String = "",
+      tiebreak: Seq[Column] = Nil): DataFrame = {
+    // duplicate keyCol values tie on (md5, key) — pass a unique
+    // `tiebreak` (e.g. the id column) to keep the rank-n boundary
+    // deterministic when keys can repeat
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(concat(lit(salt), col(keyCol))), col(keyCol))
+      .orderBy(md5(concat(lit(salt), col(keyCol))) +: col(keyCol) +:
+        tiebreak: _*)
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= n)
       .drop("__rk")
@@ -352,13 +357,18 @@ object CorpusOps {
     */
   def snapshotDiff(before: DataFrame, after: DataFrame, keyCol: String,
       contentCol: String): DataFrame = {
-    val a = before.select(col(keyCol), md5(col(contentCol)).as("__ha"))
-    val b = after.select(col(keyCol), md5(col(contentCol)).as("__hb"))
+    // presence flags, not hash nullness, decide added/removed:
+    // md5(NULL content) is null, and a null-content doc present in
+    // both versions is 'unchanged', not 'added'
+    val a = before.select(col(keyCol), md5(col(contentCol)).as("__ha"),
+      lit(true).as("__ina"))
+    val b = after.select(col(keyCol), md5(col(contentCol)).as("__hb"),
+      lit(true).as("__inb"))
     a.join(b, Seq(keyCol), "full_outer")
       .select(col(keyCol),
-        when(col("__ha").isNull, "added")
-          .when(col("__hb").isNull, "removed")
-          .when(col("__ha") =!= col("__hb"), "changed")
+        when(col("__ina").isNull, "added")
+          .when(col("__inb").isNull, "removed")
+          .when(!(col("__ha") <=> col("__hb")), "changed")
           .otherwise("unchanged").as("status"))
   }
 }

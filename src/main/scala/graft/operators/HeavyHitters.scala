@@ -107,8 +107,10 @@ object HeavyHitters {
       .filter($"lb" >= minCount - slack)
       .select($"item").as[String].collect().toSeq
     sums.unpersist(blocking = false)
+    // compare as string on both passes (pass 1 casts into the
+    // sketch), so non-string item columns recount consistently
     items
-      .filter(col(itemCol).isin(candidates: _*))
+      .filter(col(itemCol).cast("string").isin(candidates: _*))
       .groupBy(col(itemCol)).agg(count(lit(1)).as("n"))
       .filter($"n" >= minCount)
   }

@@ -59,7 +59,10 @@ object SaltedJoin {
         col("hot_key"),
         round(col("max_count").cast("double") / col("n_rows"), 6)
           .as("top_share"),
-        ceil(col("max_count") * col("n_keys") / col("n_rows").cast("double"))
+        // double math before the multiply: max_count · n_keys can
+        // pass Long.MaxValue on the table sizes this is for
+        ceil(col("max_count").cast("double") * col("n_keys") /
+            col("n_rows"))
           .cast("long").as("suggested_salts"))
   }
 }

@@ -319,6 +319,10 @@ object Similarity {
     */
   private def fitSample(corpus: DataFrame, vecCol: String,
       maxFitSample: Int): Array[Array[Double]] =
+    // limit(), not sample(): deterministic without a count pass. For
+    // a corpus whose leading partitions are unrepresentative (e.g.
+    // z-clustered by topic), pre-shuffle the fit input or pass a
+    // hashSample'd frame in — the recall specs are the guard.
     corpus.select(toDouble(col(vecCol)).as("v"))
       .limit(maxFitSample)
       .collect().map(_.getSeq[Double](0).toArray)

@@ -235,7 +235,7 @@ object CorpusQueries {
         FROM (
           SELECT doc_id, lang,
                  row_number() OVER (PARTITION BY lang
-                   ORDER BY md5('$SampleSalt' || text), text) AS rk
+                   ORDER BY md5('$SampleSalt' || text), text, doc_id) AS rk
           FROM documents
         )
         WHERE rk <= 20
@@ -244,8 +244,11 @@ object CorpusQueries {
       "exactly 20 docs per language by deterministic md5 rank")(
       (spark, dir) => {
         import spark.implicits._
+        // doc_id tiebreak: the corpus contains exact duplicate texts,
+        // which tie on (md5, text) — the unique id keeps the rank-20
+        // boundary engine-deterministic
         CorpusOps.sampleNPerGroup(table(spark, dir, "documents"),
-            "text", "lang", n = 20, SampleSalt)
+            "text", "lang", n = 20, SampleSalt, tiebreak = Seq($"doc_id"))
           .select($"doc_id", $"lang")
           .orderBy($"doc_id")
       }),

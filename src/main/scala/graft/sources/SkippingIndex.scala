@@ -40,22 +40,34 @@ object SkippingIndex {
   /** Inclusive-range predicate per column, e.g.
     * `Map("x" -> (lit(10), lit(20)))`. Returns the same rows as
     * `spark.read.parquet(path).filter(every col between lo and hi)`,
-    * reading only files whose manifest span intersects every range.
+    * reading only files whose manifest span intersects every range —
+    * PLUS any file the manifest has never seen (the file listing is
+    * metadata-only via `inputFiles`): a stale manifest can only fail
+    * to skip, never lose rows, which is what makes the soundness
+    * claim hold for ANY manifest state.
     */
   def prunedRead(spark: SparkSession, path: String, manifest: DataFrame,
       ranges: Map[String, (Column, Column)]): DataFrame = {
     require(ranges.nonEmpty, "prunedRead needs at least one range")
+    // normalize URI spellings (file:///x vs file:/x) before comparing
+    // the listing against manifest entries
+    def norm(s: String): String = new java.net.URI(s).getPath
     val intersects = ranges.map { case (c, (lo, hi)) =>
       col(s"max_$c") >= lo && col(s"min_$c") <= hi
     }.reduce(_ && _)
-    val files = manifest.filter(intersects)
+    val manifested = manifest.select(col("file"))
+      .collect().map(r => norm(r.getString(0))).toSet
+    val surviving = manifest.filter(intersects)
       .select(col("file")).collect().map(_.getString(0))
+    val unknown = spark.read.parquet(path).inputFiles
+      .filter(f => !manifested.contains(norm(f)))
+    val files = (surviving ++ unknown).toIndexedSeq
     val exact = ranges.map { case (c, (lo, hi)) =>
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _)
     if (files.isEmpty)
       spark.read.parquet(path).filter(lit(false))
     else
-      spark.read.parquet(files.toIndexedSeq: _*).filter(exact)
+      spark.read.parquet(files: _*).filter(exact)
   }
 }

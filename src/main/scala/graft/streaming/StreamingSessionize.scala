@@ -135,9 +135,13 @@ object StreamingSessionize {
             if (st != null) {
               state.update(st)
               // close the open session when the watermark passes its
-              // last event by the session gap
+              // last event by the session gap. Millis round UP: per-
+              // term truncation could fire the timeout up to ~2 ms
+              // early, emitting a session an exactly-on-boundary
+              // event should still join (late flush is always safe,
+              // early flush breaks batch parity)
               state.setTimeoutTimestamp(
-                st.lastTsMicros / 1000L + maxGapMicros / 1000L)
+                (st.lastTsMicros + maxGapMicros) / 1000L + 1L)
             }
             out.result().iterator
           }

@@ -40,6 +40,23 @@ class TopKAggSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN ranks above every value, like the window's ORDER BY desc") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1.0, 1L), ("a", Double.NaN, 2L), ("a", 5.0, 3L),
+      ("a", Double.NaN, 4L)).toDF("g", "v", "id").repartition(3)
+    val got = df.groupBy($"g").agg(topk(3)($"v", $"id").as("tk"))
+      .select(F.posexplode($"tk"))
+      .select($"col._2").as[Long].collect().toSeq
+    // NaN rows first (id tiebreak), then the largest finite value
+    assert(got == Seq(2L, 4L, 3L), got.toString)
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+    val want = df.withColumn("rk", F.row_number().over(w))
+      .filter($"rk" <= 3).orderBy($"rk")
+      .select($"id").as[Long].collect().toSeq
+    assert(got == want, s"agg $got vs window $want")
+  }
+
   test("groups smaller than k yield all their rows") {
     val s = spark
     import s.implicits._

@@ -42,6 +42,16 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(got == want && !got.contains(None))
   }
 
+  test("same key name on both sides resolves without ambiguity") {
+    val s = spark
+    import s.implicits._
+    val probe = (0L until 100L).toDF("k")
+    val build = (0L until 100L by 9L).toDF("k")
+    val got = BloomPrune.semiJoin(probe, build, "k", "k", 50L)
+      .as[Long].collect().toSet
+    assert(got == (0L until 100L by 9L).toSet)
+  }
+
   test("unsupported key type is rejected loudly") {
     val s = spark
     import s.implicits._

@@ -178,5 +178,15 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "removed", 2L -> "unchanged",
       3L -> "changed", 4L -> "added"))
+    // null content: presence decides added/removed, null-safe hash
+    // compare decides changed/unchanged
+    val n1 = Seq((1L, Option.empty[String]), (2L, Some("x")),
+      (3L, Option.empty[String])).toDF("id", "text")
+    val n2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (4L, Option.empty[String])).toDF("id", "text")
+    val gotN = CorpusOps.snapshotDiff(n1, n2, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotN == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
   }
 }

@@ -41,6 +41,24 @@ class SkippingIndexSpec extends AnyFunSuite {
     assert(opened <= 6, s"opened $opened/64 files")
   }
 
+  test("stale manifest: files appended after build are still read") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("skipidx3").toString
+    Seq((1L, "old")).toDF("x", "tag")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val manifest = SkippingIndex.build(s, s"$dir/t", Seq("x"))
+    // ingest one more file AFTER the manifest was built
+    Seq((2L, "new")).toDF("x", "tag")
+      .write.mode("append").parquet(s"$dir/t")
+    val got = SkippingIndex.prunedRead(s, s"$dir/t", manifest,
+        Map("x" -> (lit(0L), lit(10L))))
+      .select($"x", $"tag").as[(Long, String)].collect().toSet
+    // the unknown file cannot be skipped — staleness must never lose
+    // rows (the soundness contract)
+    assert(got == Set((1L, "old"), (2L, "new")), got.toString)
+  }
+
   test("empty survivor set and all-null spans are sound") {
     val s = spark
     import s.implicits._
