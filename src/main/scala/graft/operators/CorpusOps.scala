@@ -29,6 +29,26 @@ object CorpusOps {
       salt: String = ""): DataFrame =
     df.filter(hashSampleCol(col(keyCol), fraction, salt))
 
+  /** Weighted deterministic sampling: each row keeps with its OWN
+    * probability `weightCol` (a [0,1] column — e.g. a quality score,
+    * or a per-source rate joined on), decided by the same md5
+    * threshold trick as [[hashSample]]: keep iff
+    * hash(salt ‖ key) < weight · 2³². Same guarantees — content-
+    * stable, reproducible cross-engine, still a pure scan-stage
+    * predicate (the weight is just another column in the comparison,
+    * no join, no RNG) — upgraded from one global fraction to
+    * per-row rates: quality-proportional corpus thinning in one
+    * filter. Weights outside [0,1] clamp (≥1 always keeps).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      salt: String = ""): DataFrame = {
+    val hash = conv(substring(md5(concat(lit(salt), col(keyCol))), 1, 8),
+      16, 10).cast("long")
+    df.filter(hash <
+      round(least(greatest(col(weightCol), lit(0.0)), lit(1.0)) *
+        4294967296.0))
+  }
+
   /** Stratified deterministic sampling: per-stratum fractions (e.g.
     * downsample English, keep all of a low-resource language), same
     * md5 determinism as `hashSample` — the sample for a stratum at

@@ -225,6 +225,31 @@ object CorpusQueries {
           .orderBy($"doc_id")
       }),
 
+    // Quality-weighted deterministic sampling: keep probability ∝
+    // a per-row weight (here a length-based quality proxy) — the
+    // CCNet-style "sample better data harder" knob, still one
+    // scan-stage md5 predicate, no RNG, engine-reproducible.
+    QueryDef(
+      "q_weighted_sample",
+      Some(s"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE CAST(('0x' || substr(md5('$SampleSalt' || text), 1, 8)) AS BIGINT)
+              < round(least(greatest(n_chars / 2000.0, 0.0), 1.0)
+                      * 4294967296.0)
+        ORDER BY doc_id
+      """.trim),
+      "md5 sampling with per-doc keep probability n_chars/2000")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.weightedSample(
+            table(spark, dir, "documents")
+              .withColumn("w", $"n_chars" / 2000.0),
+            "text", "w", SampleSalt)
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      }),
+
     // Fixed-count per-stratum sample: exactly 20 docs per language
     // (or the whole stratum if smaller), membership decided by md5
     // rank — reproducible in any engine, no RNG.

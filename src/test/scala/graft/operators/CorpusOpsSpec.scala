@@ -128,6 +128,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.size == 24 && got.values.forall(_ == 0L))
   }
 
+  test("weightedSample: per-row keep rates, weight-1 keeps all, " +
+      "weight-0 drops all, consistent with flat sampler") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 3000).map(i =>
+      (i.toLong, s"payload $i", Seq(0.0, 0.2, 1.0)(i % 3)))
+      .toDF("id", "text", "w")
+    val kept = CorpusOps.weightedSample(docs, "text", "w", "ws")
+      .groupBy($"w").count()
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(!kept.contains(0.0))
+    assert(kept(1.0) == 1000L)
+    assert(math.abs(kept(0.2) - 200L) < 70)
+    // equals hashSample at a uniform weight (same salt, same keys)
+    val uni = docs.withColumn("w", lit(0.3))
+    val viaWeighted = CorpusOps.weightedSample(uni, "text", "w", "ws")
+      .select($"id").as[Long].collect().toSet
+    val viaFlat = CorpusOps.hashSample(docs, "text", 0.3, "ws")
+      .select($"id").as[Long].collect().toSet
+    assert(viaWeighted == viaFlat)
+    // out-of-range weights clamp instead of misbehaving
+    val wild = docs.withColumn("w",
+      when($"id" % 2 === 0, 7.5).otherwise(-3.0))
+    val gotWild = CorpusOps.weightedSample(wild, "text", "w", "ws")
+      .select($"id").as[Long].collect().toSet
+    assert(gotWild == (0L until 3000L by 2L).toSet)
+  }
+
   test("selectKeepers: best score survives, ties break to smaller id") {
     val s = spark
     import s.implicits._
