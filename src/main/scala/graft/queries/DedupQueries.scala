@@ -246,6 +246,34 @@ object DedupQueries {
           .orderBy($"doc_id")
       }),
 
+    // Containment near-dup: |A∩B| / min(|A|,|B|) — catches a doc
+    // embedded whole in a longer one, which symmetric Jaccard
+    // structurally misses (J → 0 as the host grows). Prefix filter
+    // on the smaller side's rarest shingles, exact verify; docs with
+    // no shingles can't be candidates (explode drops them), mirrored
+    // by the oracle's len > 0 guard.
+    QueryDef(
+      "q_dedup_containment",
+      Some(s"""$shingleSql
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                     least(len(a.shingles), len(b.shingles)), 6)
+                 AS containment
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+          AND len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+              least(len(a.shingles), len(b.shingles)) >= $JaccardThreshold
+        ORDER BY d1, d2
+      """.trim),
+      "X1 containment (asymmetric) near-dup pairs, prefix-filtered")(
+      (spark, dir) => {
+        import spark.implicits._
+        Dedup.containmentPairs(shingled(spark, dir), "doc_id",
+            JaccardThreshold)
+          .select($"d1", $"d2", round($"containment", 6).as("containment"))
+          .orderBy($"d1", $"d2")
+      }),
+
     // Score-based canonical keeper: same components as
     // q_dedup_clusters, but production policy — keep the LONGEST
     // member (n_chars desc, ties → min doc_id) instead of min-id.

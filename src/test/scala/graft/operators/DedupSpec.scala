@@ -78,6 +78,39 @@ class DedupSpec extends AnyFunSuite {
     assert(fast == slow)
   }
 
+  test("containmentPairs: embedded doc found where Jaccard misses it; " +
+      "matches the naive ground truth") {
+    val s = spark
+    import s.implicits._
+    // doc 1 quoted whole inside the much longer doc 2: containment
+    // 1.0, Jaccard small
+    val host = "a b c d e " + (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = df(Seq((1L, "a b c d e"), (2L, host), (3L, "p q r s t")))
+      .select($"doc_id", shingles(tokens($"text"), 3).as("shingles"))
+    val got = containmentPairs(docs, "doc_id", 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == Map((1L, 2L) -> 1.0), got.toString)
+    assert(jaccardPairsNaive(docs, "doc_id")
+      .filter($"jaccard" >= 0.5).count() == 0) // Jaccard blind to it
+    // ground-truth equality on the driver corpus: prefix-filtered ==
+    // naive containment at the contract threshold
+    val fast = containmentPairs(shingled, "doc_id", 0.5)
+      .select($"d1", $"d2", round($"containment", 9).as("c")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val slow = {
+      val sets = shingled.select($"doc_id".as("d"), $"shingles")
+      sets.as("a").join(sets.as("b"), $"a.d" < $"b.d")
+        .select($"a.d".as("d1"), $"b.d".as("d2"),
+          (size(array_intersect($"a.shingles", $"b.shingles"))
+            .cast("double") /
+            least(size($"a.shingles"), size($"b.shingles"))).as("c"))
+        .filter($"c" >= 0.5)
+        .select($"d1", $"d2", round($"c", 9).as("c")).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    }
+    assert(fast == slow)
+  }
+
   test("MinHash+LSH finds every exact near-dup pair (deterministic)") {
     val s = spark
     import s.implicits._
