@@ -225,6 +225,61 @@ object CorpusQueries {
           .orderBy($"doc_id")
       }),
 
+    // VAD segmentation under an EXACT oracle: a deterministic signal
+    // (frame j of doc d alternates ±a, a = (13j+7d) mod 10, so frame
+    // RMS is exactly the integer a) runs through the production
+    // energy-VAD kernel (audio/Vad.segments: RMS ≥ 3 gate, ≥2-frame
+    // min duration); the oracle replays the gate per frame and
+    // rebuilds segments with gaps-and-islands SQL. This is the
+    // "split audio at silence boundaries" primitive, decision-exact
+    // across engines.
+    QueryDef(
+      "q_vad_segments",
+      Some("""
+        WITH d AS (
+          SELECT doc_id, (greatest(n_chars, 1) % 50) + 10 AS nf
+          FROM documents
+        ), f AS (
+          SELECT doc_id, unnest(range(nf)) AS j FROM d
+        ), act AS (
+          SELECT doc_id, j FROM f WHERE (j*13 + doc_id*7) % 10 >= 3
+        ), g AS (
+          SELECT doc_id, j,
+                 j - row_number() OVER (PARTITION BY doc_id ORDER BY j)
+                   AS grp
+          FROM act
+        ), seg AS (
+          SELECT doc_id, min(j) AS start_frame, max(j) + 1 AS end_frame
+          FROM g GROUP BY doc_id, grp HAVING count(*) >= 2
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY start_frame) - 1 AS BIGINT) AS seg,
+               start_frame, end_frame
+        FROM seg
+        ORDER BY doc_id, seg
+      """.trim),
+      "energy-VAD voice segments through the production kernel")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.audio.Vad
+        val frame = 160
+        val vad = udf { (docId: Long, nChars: Long) =>
+          val nf = ((math.max(nChars, 1L) % 50) + 10).toInt
+          val samples = Array.tabulate(nf * frame) { i =>
+            val a = (((i / frame) * 13 + docId * 7) % 10).toInt
+            if (i % 2 == 0) a else -a
+          }
+          Vad.segments(samples, frame, rmsThreshold = 3.0, minFrames = 2)
+        }
+        table(spark, dir, "documents")
+          .select($"doc_id", posexplode(vad($"doc_id", $"n_chars")))
+          .select($"doc_id", $"pos".cast("long").as("seg"),
+            $"col._1".cast("long").as("start_frame"),
+            $"col._2".cast("long").as("end_frame"))
+          .orderBy($"doc_id", $"seg")
+      }),
+
     // Quality-weighted deterministic sampling: keep probability ∝
     // a per-row weight (here a length-based quality proxy) — the
     // CCNet-style "sample better data harder" knob, still one
