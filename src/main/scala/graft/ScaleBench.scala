@@ -54,7 +54,12 @@ object ScaleBench {
       // manifest agg, partial-agg topk, version-diff join)
       "q_bloom_prune", "q_heavy_hitters_sketch", "q_zorder_key",
       "q_manifest_prune", "q_topk_agg", "q_sample_n_per_group",
-      "q_snapshot_diff", "q_knn_pq")
+      "q_snapshot_diff", "q_knn_pq",
+      // r6 third wave: containment prefix join (the Σ df·pdf watch
+      // item, like jaccard), keeper window, VAD map, weighted-sample
+      // scan predicate, ivfpq probed lists
+      "q_dedup_containment", "q_dedup_keeper_policy", "q_vad_segments",
+      "q_weighted_sample", "q_knn_ivfpq")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

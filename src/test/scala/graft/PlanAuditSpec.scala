@@ -255,4 +255,18 @@ class PlanAuditSpec extends AnyFunSuite {
       !read.contains("l_quantity"), s"unpruned scan: $read")
     assert(!p.contains("Join"), "zkey must not join")
   }
+
+  test("q_knn_ivfpq: list-id equi-join (broadcast probe side), " +
+      "never a cartesian — unlike the full-scan ADC of plain PQ") {
+    val p = plan("q_knn_ivfpq")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probed-list join must be an equi join:\n${p.take(1500)}")
+  }
+
+  test("q_dedup_containment: prefix equi-join, no cartesian") {
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
 }
