@@ -111,6 +111,36 @@ class DedupSpec extends AnyFunSuite {
     assert(fast == slow)
   }
 
+  test("containmentPairs == naive on random corpora (prefix-filter " +
+      "completeness property)") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    // small vocab forces heavy shingle sharing — the adversarial
+    // regime for a prefix filter
+    val docGen = Gen.listOfN(12,
+      Gen.chooseNum(0, 7).map(i => s"t$i")).map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(14, docGen)
+    new graft.PropertyHarness {}.forAllSampled(corpusGen, n = 12) { texts =>
+      val docs = df(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+        .select($"doc_id", shingles(tokens($"text"), 3).as("shingles"))
+      for (t <- Seq(0.4, 0.7)) {
+        val fast = containmentPairs(docs, "doc_id", t)
+          .select($"d1", $"d2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sets = docs.select($"doc_id".as("d"), $"shingles")
+        val slow = sets.as("a").join(sets.as("b"), $"a.d" < $"b.d")
+          .select($"a.d", $"b.d",
+            (size(array_intersect($"a.shingles", $"b.shingles"))
+              .cast("double") /
+              least(size($"a.shingles"), size($"b.shingles"))).as("c"))
+          .filter($"c" >= t)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(fast == slow, s"t=$t corpus=$texts")
+      }
+    }
+  }
+
   test("MinHash+LSH finds every exact near-dup pair (deterministic)") {
     val s = spark
     import s.implicits._
