@@ -317,6 +317,83 @@ object DedupQueries {
           .orderBy($"doc_id")
       }),
 
+    // Composed prep pipeline — the canonical "dedup, then chunk"
+    // sequence as ONE DAG under ONE oracle: jaccard near-dup
+    // clusters → longest-member keeper (X54) → survivors →
+    // overlapping context-window chunking (X37). Each stage is
+    // independently oracled elsewhere; this query proves the
+    // composition (anti-join wiring, stage boundaries) is exact too.
+    QueryDef(
+      "q_prep_pipeline",
+      Some {
+        val cs = CorpusPrepQueries.ChunkSize
+        val st = CorpusPrepQueries.ChunkStride
+        s"""${shingleSql.replaceFirst("WITH", "WITH RECURSIVE")},
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)))
+                >= $JaccardThreshold
+        ), edges AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION SELECT d2, d1 FROM pairs
+        ), reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), clustered AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src
+        ), keeper AS (
+          SELECT c.doc_id,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, c.doc_id) = 1 AS is_kept
+          FROM clustered c JOIN documents d USING (doc_id)
+        ), surv AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM keeper WHERE NOT is_kept)
+        ), toks2 AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS w
+          FROM surv
+        ), c2 AS (
+          SELECT doc_id, w, len(w) AS n FROM toks2
+        ), idx AS (
+          SELECT doc_id, w, unnest(range(
+            CASE WHEN n = 0 THEN 0
+                 ELSE 1 + CASE WHEN n <= $cs THEN 0
+                          ELSE (n - $cs + $st - 1) // $st END
+            END)) AS chunk_id
+          FROM c2
+        )
+        SELECT doc_id, chunk_id,
+          len(w[chunk_id*$st+1 : chunk_id*$st+$cs]) AS n_chunk_tokens,
+          array_to_string(w[chunk_id*$st+1 : chunk_id*$st+$cs], ' ')
+            AS chunk_text
+        FROM idx
+        ORDER BY doc_id, chunk_id
+      """.trim
+      },
+      "composed pipeline: keeper-dedup survivors -> context chunks")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.CorpusOps
+        val docs = table(spark, dir, "documents")
+        val pairs = Dedup.jaccardPairsExact(shingled(spark, dir),
+          "doc_id", JaccardThreshold)
+        val dropped = Dedup.selectKeepers(Dedup.resolveClusters(pairs),
+            docs.select($"doc_id", $"n_chars".as("score")),
+            "doc_id", "score")
+          .filter(!$"is_kept").select($"doc_id")
+        val survivors = docs.join(dropped, Seq("doc_id"), "left_anti")
+        CorpusOps.chunkDocs(survivors, "doc_id", "text",
+            CorpusPrepQueries.ChunkSize, CorpusPrepQueries.ChunkStride)
+          .orderBy($"doc_id", $"chunk_id")
+      }),
+
     // X1f over X1e: connected components of the exact cosine pair
     // graph — the "which embeddings are the same content" rollup a
     // near-dup pass feeds into canonicalization. Same Spark operator
