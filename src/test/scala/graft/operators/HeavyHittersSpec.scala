@@ -56,6 +56,32 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("random streams: exact == naive across k and fraction (property)") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    // heavy skew + uniform tail mixed: some items above threshold,
+    // many near it — the boundary regime
+    val streamGen = for {
+      nHeavy <- Gen.chooseNum(0, 3)
+      heavy <- Gen.listOfN(nHeavy, Gen.chooseNum(0, 4))
+      tail <- Gen.listOfN(300, Gen.chooseNum(0, 40))
+    } yield (heavy.flatMap(h => List.fill(60)(s"h$h")) ++
+      tail.map(t => s"t$t"))
+    new graft.PropertyHarness {}.forAllSampled(streamGen, n = 10) { items =>
+      for ((frac, k) <- Seq((0.05, 63), (0.1, 31))) {
+        val minCount = math.ceil(frac * items.size).toLong
+        val naive = items.groupBy(identity).collect {
+          case (x, xs) if xs.size >= minCount => x -> xs.size.toLong
+        }.toMap
+        val got = HeavyHitters.exactByFraction(
+            items.toDF("tok").repartition(5), "tok", frac, k)
+          .as[(String, Long)].collect().toMap
+        assert(got == naive, s"frac=$frac k=$k n=${items.size}")
+      }
+    }
+  }
+
   test("completeness floor is enforced loudly") {
     val s = spark
     import s.implicits._
