@@ -475,6 +475,47 @@ object OlapQueries {
           .orderBy($"zkey", $"l_orderkey", $"l_linenumber")
       }),
 
+    // Exact quantiles WITHOUT a sort: binary search on the value
+    // domain, one pushed-down count per step (Quantiles.exactQuantile)
+    // — the contract-grade exact path where approx_percentile's rank
+    // error is unacceptable and `percentile`'s per-group sort is
+    // unpayable. Oracle replays the rank definition with one
+    // cumulative-count window.
+    QueryDef(
+      "q_exact_quantile_scan",
+      Some("""
+        WITH t AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+        ), tot AS (SELECT count(*) AS total FROM t),
+        o AS (
+          SELECT v, sum(cnt) OVER (ORDER BY v) AS cum
+          FROM (SELECT v, count(*) AS cnt FROM t GROUP BY v)
+        )
+        SELECT (SELECT total FROM tot) AS n,
+               (SELECT min(v) FROM o
+                WHERE cum >= ceil(0.5 * (SELECT total FROM tot)))
+                 AS median_cents,
+               (SELECT min(v) FROM o
+                WHERE cum >= ceil(0.9 * (SELECT total FROM tot)))
+                 AS p90_cents
+      """.trim),
+      "exact median/p90 of order totals by domain bisection")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.Quantiles
+        // cache the skinny value column: every bisection pass counts
+        // it (at 100 TB this persist is the same one the production
+        // pattern uses — the search never re-reads storage)
+        val vals = table(spark, dir, "orders")
+          .select(round($"o_totalprice" * 100).cast("long").as("v"))
+          .cache()
+        val n = vals.count()
+        val median = Quantiles.exactQuantile(vals, "v", 0.5)
+        val p90 = Quantiles.exactQuantile(vals, "v", 0.9)
+        vals.unpersist(blocking = false)
+        Seq((n, median, p90)).toDF("n", "median_cents", "p90_cents")
+      }),
+
     // Manifest-pruned range read (SkippingIndex): plan the scan from
     // a per-file min/max manifest, open only intersecting files,
     // re-apply the exact predicate — result equals the plain WHERE

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkHarness
+
+/** Quantiles.exactQuantile: rank-definition equality against a local
+  * sort across random multisets, boundary quantiles, and degenerate
+  * inputs.
+  */
+class QuantilesSpec extends AnyFunSuite with graft.PropertyHarness {
+  private lazy val spark = SparkHarness.spark
+
+  private def lowerQuantile(sorted: Seq[Long], q: Double): Long =
+    sorted(math.max(math.ceil(q * sorted.size).toInt, 1) - 1)
+
+  test("matches the local sorted definition on random multisets") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L))
+    forAllSampled(gen, n = 15) { vals =>
+      val df = vals.toDF("v").repartition(4)
+      val sorted = vals.sorted
+      for (q <- Seq(0.01, 0.5, 0.9, 1.0)) {
+        val got = Quantiles.exactQuantile(df, "v", q)
+        assert(got == lowerQuantile(sorted, q),
+          s"q=$q vals=${sorted.take(20)}...")
+      }
+    }
+  }
+
+  test("single value, duplicates, and full-range extremes") {
+    val s = spark
+    import s.implicits._
+    assert(Quantiles.exactQuantile(Seq(7L).toDF("v"), "v", 0.5) == 7L)
+    val dup = Seq.fill(100)(5L) ++ Seq.fill(1)(9L)
+    assert(Quantiles.exactQuantile(dup.toDF("v"), "v", 0.5) == 5L)
+    assert(Quantiles.exactQuantile(dup.toDF("v"), "v", 1.0) == 9L)
+    val wide = Seq(Long.MinValue / 2, 0L, Long.MaxValue / 2)
+    assert(Quantiles.exactQuantile(wide.toDF("v"), "v", 0.5) == 0L)
+  }
+
+  test("empty input rejected loudly") {
+    val s = spark
+    import s.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.exactQuantile(Seq.empty[Long].toDF("v"), "v", 0.5)
+    }
+    assert(e.getMessage.contains("non-null"))
+  }
+}
