@@ -59,7 +59,8 @@ object ScaleBench {
       // item, like jaccard), keeper window, VAD map, weighted-sample
       // scan predicate, ivfpq probed lists
       "q_dedup_containment", "q_dedup_keeper_policy", "q_vad_segments",
-      "q_weighted_sample", "q_knn_ivfpq", "q_prep_pipeline")
+      "q_weighted_sample", "q_knn_ivfpq", "q_prep_pipeline",
+      "q_exact_quantile_scan")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

@@ -66,4 +66,87 @@ object Quantiles {
     }
     lo
   }
+
+  /** Per-group exact lower q-quantile — ALL groups refine in the
+    * same histogram passes: each pass joins the rows against a tiny
+    * broadcast bounds table (one (lo, width) per unconverged group),
+    * buckets per group, and narrows every group's window at once.
+    * Pass count = that of the WIDEST group (⌈log_fanout(range)⌉),
+    * not Σ groups — per-language/per-source percentiles over 100 TB
+    * in a handful of scans. Driver state is three longs per group
+    * (the per-group bounds map), so group cardinality should be
+    * "dimension-sized" (languages, sources), not "key-sized".
+    *
+    * Output: (groupCol, quantile) one row per group with ≥1
+    * non-null value.
+    */
+  def exactQuantileByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, q: Double, fanout: Int = 256): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"q must be in (0, 1], got $q")
+    require(fanout >= 2, s"fanout must be >= 2, got $fanout")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val init = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.get(0) -> (r.getLong(1), r.getLong(2),
+        math.max(math.ceil(q * r.getLong(3)).toLong, 1L)))
+      .toMap
+    // state: group -> (lo, hi, remaining target rank inside [lo, hi])
+    var state = init
+    while (state.exists { case (_, (lo, hi, _)) => lo < hi }) {
+      val open = state.filter { case (_, (lo, hi, _)) => lo < hi }
+      val bounds = open.toSeq.map { case (g, (lo, hi, _)) =>
+        val width = math.max(
+          (BigInt(hi - lo) + 1 + fanout - 1).toLong / fanout, 1L)
+        (g, lo, hi, width)
+      }
+      val boundsDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(bounds.map { case (g, lo, hi, w) =>
+          org.apache.spark.sql.Row(g, lo, hi, w) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          df.schema(groupCol).copy(name = "__qg"),
+          org.apache.spark.sql.types.StructField("__lo",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__hi",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__w",
+            org.apache.spark.sql.types.LongType))))
+      val counts = df
+        .join(broadcast(boundsDf), col(groupCol) === col("__qg"))
+        .filter(col(valueCol) >= col("__lo") &&
+          col(valueCol) <= col("__hi"))
+        .groupBy(col("__qg"),
+          expr(s"CAST((`$valueCol` - __lo) div __w AS BIGINT)").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.get(0))
+        .map { case (g, rows) =>
+          g -> rows.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)
+        }
+      val widths = bounds.map { case (g, _, _, w) => g -> w }.toMap
+      state = state.map {
+        case (g, st @ (lo, hi, _)) if lo >= hi => g -> st
+        case (g, (lo, hi, target)) =>
+          val width = widths(g)
+          var acc = 0L; var chosen = -1L; var newTarget = target
+          for ((b, c) <- counts(g) if chosen < 0) {
+            if (acc + c >= target) { chosen = b; newTarget = target - acc }
+            else acc += c
+          }
+          val newLo = lo + chosen * width
+          g -> (newLo, math.min(hi, newLo + width - 1), newTarget)
+      }
+    }
+    val out = state.toSeq.map { case (g, (lo, _, _)) => (g, lo) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.map { case (g, v) =>
+        org.apache.spark.sql.Row(g, v) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(groupCol),
+        org.apache.spark.sql.types.StructField("quantile",
+          org.apache.spark.sql.types.LongType))))
+  }
 }

@@ -516,6 +516,37 @@ object OlapQueries {
         Seq((n, median, p90)).toDF("n", "median_cents", "p90_cents")
       }),
 
+    // Grouped exact quantiles, same sort-free refinement: every group
+    // narrows in the SAME histogram passes (broadcast bounds join),
+    // so per-language medians cost the widest group's pass count,
+    // not a per-group sort or Σ-groups passes.
+    QueryDef(
+      "q_exact_quantile_by_group",
+      Some("""
+        WITH t AS (SELECT lang, n_chars AS v FROM documents),
+        tot AS (SELECT lang, count(*) AS total FROM t GROUP BY lang),
+        o AS (
+          SELECT lang, v, sum(cnt) OVER (PARTITION BY lang ORDER BY v)
+                 AS cum
+          FROM (SELECT lang, v, count(*) AS cnt FROM t GROUP BY lang, v)
+        )
+        SELECT o.lang, min(v) AS quantile
+        FROM o JOIN tot USING (lang)
+        WHERE cum >= ceil(0.5 * total)
+        GROUP BY o.lang
+        ORDER BY lang
+      """.trim),
+      "per-language exact median doc length, sort-free refinement")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.Quantiles
+        Quantiles.exactQuantileByGroup(
+            table(spark, dir, "documents")
+              .select($"lang", $"n_chars".as("v")),
+            "lang", "v", q = 0.5)
+          .orderBy($"lang")
+      }),
+
     // Manifest-pruned range read (SkippingIndex): plan the scan from
     // a per-file min/max manifest, open only intersecting files,
     // re-apply the exact predicate — result equals the plain WHERE

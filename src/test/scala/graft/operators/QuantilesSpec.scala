@@ -41,6 +41,31 @@ class QuantilesSpec extends AnyFunSuite with graft.PropertyHarness {
     assert(Quantiles.exactQuantile(wide.toDF("v"), "v", 0.5) == 0L)
   }
 
+  test("grouped: every group matches its own local sorted definition") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    val gen = Gen.listOfN(200, Gen.zip(
+      Gen.oneOf("a", "b", "c"), Gen.chooseNum(-500L, 500L)))
+    forAllSampled(gen, n = 8) { rows =>
+      val df = rows.toDF("g", "v").repartition(4)
+      for (q <- Seq(0.25, 0.5, 0.95)) {
+        val got = Quantiles.exactQuantileByGroup(df, "g", "v", q)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val want = rows.groupBy(_._1).map { case (g, xs) =>
+          g -> lowerQuantile(xs.map(_._2).sorted, q)
+        }
+        assert(got == want, s"q=$q")
+      }
+    }
+    // groups of very different ranges converge independently
+    val mixed = (Seq.fill(50)(("narrow", 5L)) ++
+      (0 until 50).map(i => ("wide", i * 1000000L))).toDF("g", "v")
+    val m = Quantiles.exactQuantileByGroup(mixed, "g", "v", 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("narrow") == 5L && m("wide") == 24000000L, m.toString)
+  }
+
   test("empty input rejected loudly") {
     val s = spark
     import s.implicits._
