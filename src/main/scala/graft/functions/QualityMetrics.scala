@@ -43,16 +43,26 @@ object QualityMetrics {
   def observe(df: DataFrame, name: String,
       cols: Seq[String]): (DataFrame, () => Map[String, Long]) = {
     require(cols.nonEmpty, "observe needs at least one column")
+    // coalesce: sum() over ZERO rows is null, and the empty-input
+    // case (everything filtered upstream) is exactly when a quality
+    // readout must report n_rows=0, not NPE
     val aggs = count(lit(1)).as("n_rows") +: cols.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"))
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"null_$c"))
     val observed = df.observe(name, aggs.head, aggs.tail: _*)
 
     val spark = df.sparkSession
     val captured = new AtomicReference[Option[Row]](None)
-    val listener = new QueryExecutionListener {
+    // self-unregisters on first capture so a caller that acts but
+    // never read()s doesn't leak a per-query listener; a caller that
+    // neither acts nor reads still leaks one — read() is the contract
+    val listener: QueryExecutionListener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit =
-        qe.observedMetrics.get(name).foreach(r => captured.set(Some(r)))
+        qe.observedMetrics.get(name).foreach { r =>
+          captured.set(Some(r))
+          spark.listenerManager.unregister(this)
+        }
       override def onFailure(funcName: String, qe: QueryExecution,
           exception: Exception): Unit = ()
     }

@@ -222,23 +222,29 @@ object Dedup {
     * plan string). Returns the result frame plus the operator-internal
     * caches the caller must release.
     */
-  private[graft] def jaccardPairsExactRaw(docs: DataFrame, docCol: String,
-      threshold: Double): (DataFrame, Seq[DataFrame]) = {
-    // cached: the exploded stream feeds both the df aggregate and the
-    // df join below. Shingle values are opaque here (set semantics
-    // only) — callers at scale pass `hashedShingles` 8-byte longs.
-    val ex = docs.select(col(docCol).as("d"), explode(col("shingles")).as("g"))
+  /** Shared prefix-filter machinery for [[jaccardPairsExactRaw]] and
+    * [[containmentPairs]]: the exploded (d, n, g) shingle stream, the
+    * per-doc df-rarest-first ordered shingle arrays, and each doc's
+    * first |d| − ⌈t·|d|⌉ + 1 prefix shingles (the bound is the same
+    * for the Jaccard and containment forms). `ex` and `ordered` come
+    * back cached — callers release them via
+    * [[materializeThenRelease]].
+    *
+    * Document frequency via groupBy + join, NOT count(*) over a
+    * Window partitioned by g: the window forces a full sort of the
+    * exploded stream, while groupBy is a hash aggregate with
+    * map-side combine and the join's build side is only
+    * |distinct shingles| rows. Shingle values are opaque (set
+    * semantics only) — callers at scale pass `hashedShingles` 8-byte
+    * longs.
+    */
+  private def orderedPrefixes(docs: DataFrame, docCol: String,
+      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+    val ex = docs.select(col(docCol).as("d"),
+      size(col("shingles")).as("n"), explode(col("shingles")).as("g"))
       .cache()
-    // document frequency via groupBy + join, NOT count(*) over a
-    // Window partitioned by g: the window forces a full sort of the
-    // exploded (doc, shingle) stream, while groupBy is a hash
-    // aggregate with map-side combine and the join's build side is
-    // only |distinct shingles| rows
     val df = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val withDf = ex.join(df, Seq("g"))
-    // cached: referenced 4× downstream (prefix self-join sides +
-    // both verify joins) — one row per doc, metadata-sized
-    val ordered = withDf
+    val ordered = ex.join(df, Seq("g"))
       .groupBy(col("d"))
       .agg(transform(
         array_sort(collect_list(struct(col("df"), col("g")))),
@@ -246,8 +252,14 @@ object Dedup {
       .cache()
     val prefixLen = (size(col("sh")) -
       ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
-    val prefixes = ordered
-      .select(col("d"), explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
+    val prefixes = ordered.select(col("d"), size(col("sh")).as("n"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
+    (ex, ordered, prefixes)
+  }
+
+  private[graft] def jaccardPairsExactRaw(docs: DataFrame, docCol: String,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+    val (ex, ordered, prefixes) = orderedPrefixes(docs, docCol, threshold)
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.g") === col("b.g") && col("a.d") < col("b.d"))
       .select(col("a.d").as("d1"), col("b.d").as("d2")).distinct()
@@ -276,24 +288,15 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, docCol: String,
       threshold: Double): DataFrame = {
-    val ex = docs.select(col(docCol).as("d"), explode(col("shingles")).as("g"))
-      .cache()
-    val df = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val ordered = ex.join(df, Seq("g"))
-      .groupBy(col("d"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("df"), col("g")))),
-        x => x.getField("g")).as("sh"))
-      .cache()
-    val prefixLen = (size(col("sh")) -
-      ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
-    val prefixes = ordered
-      .select(col("d"), explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
-    // prefix(potentially-contained side) ⋈ full stream: either doc of
-    // a qualifying pair may be the smaller one, and d-ordering is
-    // arbitrary, so join prefixes against ALL exploded shingles
+    val (ex, ordered, prefixes) = orderedPrefixes(docs, docCol, threshold)
+    // prefix of the SMALLER side only (sizes tie → smaller id) ⋈ the
+    // full stream: wlog |A| ≤ |B| in the completeness argument, so
+    // restricting the prefix side halves candidate generation and
+    // keeps the join off the larger doc's longer, less-rare prefix
     val cand = prefixes.as("a").join(ex.as("b"),
-        col("a.g") === col("b.g") && col("a.d") =!= col("b.d"))
+        col("a.g") === col("b.g") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.d") < col("b.d"))))
       .select(least(col("a.d"), col("b.d")).as("d1"),
         greatest(col("a.d"), col("b.d")).as("d2")).distinct()
     val sets = ordered.select(col("d"), col("sh"))

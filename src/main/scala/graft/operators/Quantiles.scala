@@ -37,11 +37,17 @@ object Quantiles {
     var target = math.max(math.ceil(q * n).toLong, 1L)
     var lo = mn
     var hi = mx
+    // (v − lo) in the bucket key needs the domain span inside a
+    // signed long; a column genuinely spanning ≥ 2⁶³ must be
+    // shifted/scaled first — fail loudly, never bucket wrapped
+    require(BigInt(mx) - BigInt(mn) <= Long.MaxValue,
+      s"value domain [$mn, $mx] spans more than 2^63 — rescale first")
     while (lo < hi) {
-      // ceil((hi-lo+1)/fanout) as BigInt-free long math; width >= 1
-      val span = hi - lo // >= 1; full-long ranges handled by BigInt
+      // ceil((span+1)/fanout) with the division IN BigInt — narrowing
+      // before dividing wraps negative for spans near Long.MaxValue
+      // and silently degrades to width=1 (per-distinct-value buckets)
       val width = math.max(
-        (BigInt(span) + 1 + fanout - 1).toLong / fanout, 1L)
+        ((BigInt(hi) - BigInt(lo) + fanout) / fanout).toLong, 1L)
       // integral `div`, not `/`: Column `/` is double division and
       // loses exactness past 2^53. (v − lo) needs the domain span to
       // fit a signed long — true unless the column spans all 2⁶⁴.
@@ -94,13 +100,17 @@ object Quantiles {
       .map(r => r.get(0) -> (r.getLong(1), r.getLong(2),
         math.max(math.ceil(q * r.getLong(3)).toLong, 1L)))
       .toMap
+    init.foreach { case (g, (lo, hi, _)) =>
+      require(BigInt(hi) - BigInt(lo) <= Long.MaxValue,
+        s"group $g spans more than 2^63 — rescale first")
+    }
     // state: group -> (lo, hi, remaining target rank inside [lo, hi])
     var state = init
     while (state.exists { case (_, (lo, hi, _)) => lo < hi }) {
       val open = state.filter { case (_, (lo, hi, _)) => lo < hi }
       val bounds = open.toSeq.map { case (g, (lo, hi, _)) =>
         val width = math.max(
-          (BigInt(hi - lo) + 1 + fanout - 1).toLong / fanout, 1L)
+          ((BigInt(hi) - BigInt(lo) + fanout) / fanout).toLong, 1L)
         (g, lo, hi, width)
       }
       val boundsDf = spark.createDataFrame(
@@ -114,8 +124,10 @@ object Quantiles {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("__w",
             org.apache.spark.sql.types.LongType))))
+      // null-safe join: a null GROUP key is legal (init keeps it), and
+      // === would starve it of count rows → NoSuchElementException
       val counts = df
-        .join(broadcast(boundsDf), col(groupCol) === col("__qg"))
+        .join(broadcast(boundsDf), col(groupCol) <=> col("__qg"))
         .filter(col(valueCol) >= col("__lo") &&
           col(valueCol) <= col("__hi"))
         .groupBy(col("__qg"),
