@@ -130,4 +130,58 @@ object Contamination {
         when(col("n_pos") === 0, lit(0.0))
           .otherwise(col("n_dup").cast("double") / col("n_pos")))
   }
+
+  /** Cross-document duplicate-span REMOVAL — the cleaning step that
+    * [[duplicateSpanCoverage]] only measures: cut every `spanLen`-token
+    * slot whose text also occurs (as the same aligned slot) in another
+    * document, and reassemble what's left. The C4/RefinedWeb-style
+    * "exact substring dedup" in its scalable slot-aligned form: a doc
+    * quoting another doc's boilerplate keeps its own prose and loses
+    * the shared spans.
+    *
+    * Slots are NON-overlapping (slot i = tokens [i·spanLen,
+    * (i+1)·spanLen)), the final short tail is its own slot, and a slot
+    * is cut iff its exact text occurs in ≥ 2 DISTINCT documents (both
+    * copies go — canonicalization of which copy survives belongs to
+    * the keeper policy, not here).
+    *
+    * Output: (docCol, n_slots, n_dropped, clean_md5) where clean_md5 =
+    * md5 of the kept slots re-joined by single spaces in slot order
+    * (md5 instead of the full text keeps the contract row skinny; the
+    * production variant returns the text column itself).
+    *
+    * Scale shape: slot assembly is one window cumsum-free pass (slot =
+    * pos div spanLen, then a per-(doc, slot) ordered string agg — the
+    * shuffle carries the token stream once); the repeated-span table
+    * is distinct (doc, span) → span df > 1, tiny relative to the
+    * corpus; the cut is the standard inverted-index equi-join back on
+    * the span text. Nothing is quadratic; at n ≥ 8-token spans real
+    * corpora have near-unique spans and the join is effectively
+    * linear.
+    */
+  def removeDuplicateSpans(docs: DataFrame, docCol: String,
+      textCol: String, spanLen: Int): DataFrame = {
+    val spans = docs
+      .select(col(docCol),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "t")))
+      .withColumn("slot", expr(s"pos div $spanLen"))
+      .groupBy(col(docCol), col("slot"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("t")))),
+        s => s("t")), " ").as("span"))
+    val repeated = spans.select(col(docCol), col("span")).distinct()
+      .groupBy(col("span")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > 1)
+      .select(col("span"), lit(1).as("__dup"))
+    spans
+      .join(repeated, Seq("span"), "left")
+      .groupBy(col(docCol))
+      .agg(
+        count(lit(1)).as("n_slots"),
+        count(col("__dup")).as("n_dropped"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("__dup").isNull,
+            struct(col("slot"), col("span"))))),
+          s => s("span")), " ")).as("clean_md5"))
+  }
 }

@@ -391,4 +391,67 @@ object CorpusOps {
           .when(!(col("__ha") <=> col("__hb")), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** Per-group coverage of a fixed top-`vocabSize` token vocabulary —
+    * the sizing query behind every tokenizer decision: "if the vocab
+    * is the corpus's V most frequent tokens, what fraction of each
+    * language's (or source's) token OCCURRENCES does it cover, and
+    * what is the OOV rate?" Skewed per-group OOV is the standard
+    * signal that a corpus slice needs its own tokenizer or more
+    * vocab budget.
+    *
+    * Vocabulary selection is deterministic: rank by (count desc,
+    * token asc) and keep the first `vocabSize` — the tie at the
+    * boundary resolves identically in any engine.
+    *
+    * Output: (groupCol, n_tokens, n_covered, oov_rate) with oov_rate
+    * = round(1 − covered/total, 6).
+    *
+    * Scale shape: token counts are one map-side-combined aggregate;
+    * the top-V cut is TakeOrderedAndProject (per-partition heaps of
+    * V, no vocabulary sort); the vocab is broadcast back against the
+    * exploded token stream (V entries — metadata-sized), so the
+    * coverage pass is scan + broadcast probe + per-group agg. No
+    * quadratic stage, one corpus-wide shuffle (the count agg).
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, groupCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(groupCol),
+      explode(Dedup.tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__in_vocab")).as("n_covered"))
+      .withColumn("oov_rate",
+        round(lit(1.0) - col("n_covered").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Within-word adjacent character-pair counts — the statistic that
+    * seeds byte-pair encoding: BPE's first merge is exactly the
+    * most frequent adjacent pair, and the full pair histogram is the
+    * standard corpus diagnostic for vocabulary fit (which merges a
+    * tokenizer trained HERE would learn first). Words are whitespace
+    * tokens; pairs never cross word boundaries (the BPE convention).
+    *
+    * Output: (pair, n) — the `k` most frequent 2-character pairs,
+    * ties on pair text.
+    *
+    * Scale shape: explode tokens → explode per-word pair lists → one
+    * map-side-combined count + TakeOrderedAndProject top-k. The pair
+    * alphabet is bounded (|charset|²), so the final aggregate is
+    * tiny no matter the corpus size.
+    */
+  def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
 }

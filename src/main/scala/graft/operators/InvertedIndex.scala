@@ -257,4 +257,57 @@ object InvertedIndex {
       .withColumn("nll", col("__s") / col("n_tokens"))
       .drop("__s")
   }
+
+  /** Top-`k` documents for ONE probe document ranked by Okapi BM25 —
+    * the standard lexical relevance function (Robertson/Spärck Jones;
+    * the Lucene default), completing the retrieval family next to the
+    * tf-cosine forms: cosine rewards vector-angle similarity, BM25
+    * rewards query-term coverage with tf saturation (`k1`) and
+    * length normalization (`b`).
+    *
+    *   score(q,d) = Σ_{t∈q} ln(1 + (N−df+0.5)/(df+0.5))
+    *                · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *
+    * Determinism/oracle notes: N, dl, avgdl and every tf/df are
+    * 64-bit integers; only the final ln/division arithmetic is
+    * floating point, and each (term, doc) contribution is computed by
+    * the identical expression in both engines, so scores agree to
+    * ~1 ulp and the contract query ranks by the ROUNDED score (6 dp,
+    * ties on doc id) — stable on both sides.
+    *
+    * Scale shape: identical to [[searchSimilar]] — the probe's terms
+    * broadcast, candidates arrive by the term equi-join (cost
+    * Σ_{t∈q} df_t, never a corpus scan), one map-side-combined
+    * aggregate per candidate. `dfCap` skips near-ubiquitous probe
+    * terms — BM25's idf already sends their weight to ~0, so the cap
+    * cheaply removes the hot keys that would dominate the join.
+    * Doc lengths (`dl`) come from the UNCAPPED index — length
+    * normalization is a property of the document, not the pruned
+    * vocabulary.
+    */
+  def bm25Rank(tc: DataFrame, docCol: String, probeId: Long, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, dfCap: Int = 1000): DataFrame = {
+    val df = docFrequencies(tc)
+    val dl = tc.groupBy(col(docCol)).agg(sum(col("tf")).as("dl"))
+    // N and avgdl in one tiny broadcast row; avgdl as exact-integer
+    // division Σdl/N done once in double (identical both engines).
+    val consts = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val probe = tc.filter(col(docCol) === probeId)
+      .join(df.filter(col("df") <= dfCap), "term")
+      .select(col("term"), col("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) +
+        lit(b) * col("dl") * col("n_docs") / col("tot")))
+    tc.filter(col(docCol) =!= probeId)
+      .join(broadcast(probe), "term")
+      .join(dl, docCol)
+      .crossJoin(broadcast(consts))
+      .groupBy(col(docCol))
+      .agg(sum(idf * tfNorm).as("score"))
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("score").desc, col(docCol))
+      .limit(k)
+  }
 }

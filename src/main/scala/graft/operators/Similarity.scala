@@ -476,4 +476,38 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("neighbor_id"))
     exactRerank(cand, corpus, idCol, vecCol, k)
   }
+
+  /** Top-`k` embedding outliers per the labeled-centroid model: the
+    * vectors FARTHEST (euclidean) from their own label's mean vector —
+    * the standard mislabel/contamination screen over an embedded
+    * corpus (a "cat" embedding sitting far from the cat centroid is a
+    * labeling error, an OOD document, or a poisoned example).
+    *
+    * Output: (idCol, labelCol, dist, rk), rk in 1..k globally by
+    * (dist desc, id) on the 6-dp-rounded distance — rounding before
+    * ranking keeps the order identical across engines despite
+    * sum-order ulp drift in the centroid means.
+    *
+    * Scale shape: centroids are one posexplode + (label, dim) mean —
+    * map-side combinable, output |labels|·dims rows (metadata-sized,
+    * broadcast back); distances are one more exploded join + per-id
+    * sum; the global top-k is TakeOrderedAndProject. Two corpus-wide
+    * passes, no shuffle wider than (id, dim partial sums).
+    */
+  def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val exploded = vecs.select(col(idCol), col(labelCol),
+      posexplode(toDouble(col(vecCol))).as(Seq("dim", "x")))
+    val centroids = exploded.groupBy(col(labelCol), col("dim"))
+      .agg(avg(col("x")).as("m"))
+    exploded.join(broadcast(centroids), Seq(labelCol, "dim"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(round(sqrt(sum((col("x") - col("m")) * (col("x") - col("m")))), 6)
+        .as("dist"))
+      .orderBy(col("dist").desc, col(idCol))
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("dist").desc, col(idCol))))
+  }
 }

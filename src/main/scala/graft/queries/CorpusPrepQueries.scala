@@ -26,6 +26,9 @@ object CorpusPrepQueries {
   val ShuffleShards = 8
   val ShuffleSalt = "epoch0"
 
+  /** Aligned slot width for duplicate-span removal (X62). */
+  val SpanLen = 8
+
   /** Shared DuckDB prelude: tokens per doc (identical to
     * `Dedup.tokens`), k-gram assembly as in DedupQueries.shingleSql.
     */
@@ -140,7 +143,8 @@ object CorpusPrepQueries {
                 x -> x <> '')) AS n_tokens
           FROM documents
         ), totals AS (
-          SELECT source, sum(n_tokens) AS source_tokens FROM t GROUP BY 1
+          SELECT source, CAST(sum(n_tokens) AS BIGINT) AS source_tokens
+          FROM t GROUP BY 1
         ), f AS (
           -- least() ignores NULLs in DuckDB too: the IS NULL branch
           -- must come first or unlisted sources would keep frac 1.0
@@ -259,7 +263,8 @@ object CorpusPrepQueries {
         WITH $toksCte, tc AS (
           SELECT doc_id, unnest(w) AS t FROM toks
         ), uni AS (
-          SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct,
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                 count(*) AS n_distinct,
                  max(cnt) AS top_cnt
           FROM (SELECT doc_id, t, count(*) AS cnt FROM tc GROUP BY 1, 2)
           GROUP BY 1
@@ -347,6 +352,110 @@ object CorpusPrepQueries {
         CorpusOps.deterministicShuffle(keyed, "k", ShuffleShards, ShuffleSalt)
           .select($"doc_id", $"shard", $"pos")
           .orderBy($"doc_id")
+      }),
+
+    // X62: duplicate-span REMOVAL (the cleaning step q_dup_span_coverage
+    // only measures): cut every 8-token aligned slot whose exact text
+    // occurs in ≥ 2 distinct docs, reassemble the survivors, report
+    // the md5 of the cleaned text. Slot assembly, the repeated-span
+    // table, and the cut are all equi-joins on exact strings —
+    // verbatim reproducible in SQL.
+    QueryDef(
+      "q_span_clean",
+      Some(s"""
+        WITH $toksCte, spans AS (
+          SELECT doc_id, (i - 1) // $SpanLen AS slot,
+                 string_agg(w[i], ' ' ORDER BY i) AS span
+          FROM toks, unnest(range(1, len(w) + 1)) AS r(i)
+          GROUP BY doc_id, (i - 1) // $SpanLen
+        ), rep AS (
+          SELECT span FROM (SELECT DISTINCT doc_id, span FROM spans)
+          GROUP BY span HAVING count(*) > 1
+        ), flagged AS (
+          SELECT s.doc_id, s.slot, s.span, r.span IS NOT NULL AS dup
+          FROM spans s LEFT JOIN rep r ON s.span = r.span
+        )
+        SELECT doc_id, count(*) AS n_slots,
+               count(*) FILTER (WHERE dup) AS n_dropped,
+               md5(coalesce(string_agg(span, ' ' ORDER BY slot)
+                              FILTER (WHERE NOT dup), '')) AS clean_md5
+        FROM flagged
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """.trim),
+      "X62 cross-doc duplicate-span removal, md5 of cleaned text")(
+      (spark, dir) => {
+        import spark.implicits._
+        Contamination.removeDuplicateSpans(
+            table(spark, dir, "documents"), "doc_id", "text", SpanLen)
+          .orderBy($"doc_id")
+      }),
+
+    // X63: top-V vocabulary coverage per language — the tokenizer
+    // sizing query. Vocabulary = the corpus's 10 most frequent tokens
+    // (count desc, token asc: the boundary tie resolves identically
+    // in both engines); per-language token totals, covered counts,
+    // and OOV rate (exact-integer division, one rounded double).
+    QueryDef(
+      "q_vocab_coverage",
+      Some("""
+        WITH t AS (
+          SELECT lang,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> x <> '')) AS token
+          FROM documents
+        ), vocab AS (
+          SELECT token FROM (
+            SELECT token, count(*) AS n FROM t GROUP BY token
+            ORDER BY n DESC, token LIMIT 10)
+        ), probe AS (
+          SELECT t.lang, t.token, v.token IS NOT NULL AS hit
+          FROM t LEFT JOIN vocab v ON t.token = v.token
+        )
+        SELECT lang, count(*) AS n_tokens,
+               count(*) FILTER (WHERE hit) AS n_covered,
+               round(1.0 - CAST(count(*) FILTER (WHERE hit) AS DOUBLE)
+                       / count(*), 6) AS oov_rate
+        FROM probe
+        GROUP BY lang
+        ORDER BY lang
+      """.trim),
+      "X63 top-10 vocab coverage and OOV rate per language")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.vocabCoverage(
+            table(spark, dir, "documents"), "text", "lang", vocabSize = 10)
+          .orderBy($"lang")
+      }),
+
+    // X64: within-word adjacent character-pair counts — the BPE seed
+    // statistic (the tokenizer's first merge is the top pair). Pure
+    // integer counts over exact substrings; top-30 with ties on the
+    // pair text.
+    QueryDef(
+      "q_bpe_pairs",
+      Some("""
+        WITH words AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> x <> '')) AS w
+          FROM documents
+        ), pairs AS (
+          SELECT substring(w, i, 2) AS pair
+          FROM words, unnest(range(1, length(w))) AS r(i)
+          WHERE length(w) >= 2
+        )
+        SELECT pair, count(*) AS n
+        FROM pairs
+        GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT 30
+      """.trim),
+      "X64 top-30 within-word character pairs (BPE seed statistic)")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.charPairCounts(
+            table(spark, dir, "documents"), "text", k = 30)
+          .orderBy($"n".desc, $"pair")
       }),
   )
 }

@@ -374,5 +374,65 @@ object CorpusStatsQueries {
             minFraction = 0.002, k = 1023)
           .orderBy($"token")
       }),
+
+    // Okapi BM25 "more like this": top-10 docs for probe doc 0 under
+    // the standard lexical relevance function (tf saturation k1=1.2,
+    // length normalization b=0.75) over the unigram index — the
+    // retrieval-grade twin of q_search_similar's tf-cosine. Every
+    // count (N, df, tf, dl) is a 64-bit integer; each (term, doc)
+    // contribution evaluates the identical ln/division expression in
+    // both engines, and ranking is on the 6-dp-rounded score (ties on
+    // doc id) so sum-order ulp drift cannot reorder. No df cap here:
+    // this corpus's 31-token vocabulary makes every term ubiquitous,
+    // and BM25's idf (not a prune) is the weighting — the operator's
+    // dfCap knob stays for real corpora where stopword skipping pays.
+    QueryDef(
+      "q_bm25",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), tc AS (
+          SELECT doc_id, t AS term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+          GROUP BY 1, 2
+        ), dfv AS (
+          SELECT term, count(*) AS df FROM tc GROUP BY term
+        ), dl AS (
+          SELECT doc_id, sum(tf) AS dl FROM tc GROUP BY doc_id
+        ), consts AS (
+          SELECT count(*) AS n_docs, sum(dl) AS tot FROM dl
+        ), probe AS (
+          SELECT tc.term, dfv.df FROM tc JOIN dfv USING (term)
+          WHERE tc.doc_id = 0
+        ), scored AS (
+          SELECT tc.doc_id,
+                 sum(ln(1.0 + (c.n_docs - p.df + 0.5) / (p.df + 0.5)) *
+                     (tc.tf * 2.2 /
+                      (tc.tf + 1.2 * (0.25 +
+                        0.75 * dl.dl * c.n_docs / c.tot)))) AS s
+          FROM tc
+          JOIN probe p USING (term)
+          JOIN dl USING (doc_id)
+          CROSS JOIN consts c
+          WHERE tc.doc_id <> 0
+          GROUP BY tc.doc_id
+        )
+        SELECT doc_id, round(s, 6) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+      """.trim),
+      "top-10 docs for probe 0 by Okapi BM25 over the unigram index")(
+      (spark, dir) => {
+        import spark.implicits._
+        val tc = InvertedIndex.termCounts(
+          table(spark, dir, "documents"), "doc_id", "text", n = 1)
+        InvertedIndex.bm25Rank(tc, "doc_id", probeId = 0L, k = 10,
+            k1 = 1.2, b = 0.75, dfCap = Int.MaxValue)
+          .orderBy($"score".desc, $"doc_id")
+      }),
   )
 }

@@ -171,5 +171,77 @@ object RelationalQueries {
             $"total_qty")
           .orderBy($"total_qty".desc, $"o_orderkey")
       }),
+
+    // TPC-H Q8 shape (national market share): the 7-table snowflake —
+    // lineitem against orders (fact-fact) with customer→nation→region
+    // on the demand side and supplier→nation on the supply side, part
+    // filtered by type. Every dimension broadcasts; lineitem shuffles
+    // once (the orders join), then one conditional aggregate per
+    // year. Money stays decimal until the final share division
+    // (double, rounded) — the same exactness discipline as Q1/Q3/Q5.
+    QueryDef(
+      "q_market_share",
+      Some("""
+        WITH vol AS (
+          SELECT year(o.o_orderdate) AS o_year,
+                 CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(20,6)) AS volume,
+                 sn.n_name AS supp_nation
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+          JOIN region r ON cn.n_regionkey = r.r_regionkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+          JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+            AND o.o_orderdate >= DATE '1995-01-01'
+            AND o.o_orderdate < DATE '1997-01-01'
+        )
+        SELECT CAST(o_year AS BIGINT) AS o_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                                   THEN volume ELSE CAST(0 AS DECIMAL(20,6))
+                              END) AS DOUBLE) /
+                     CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+               round(CAST(sum(volume) AS DOUBLE), 2) AS total_volume
+        FROM vol
+        GROUP BY o_year
+        ORDER BY o_year
+      """.trim),
+      "TPC-H Q8 market share of NATION_2 in ASIA for PROMO parts")(
+      (spark, dir) => {
+        import spark.implicits._
+        val vol = table(spark, dir, "lineitem").as("l")
+          .join(table(spark, dir, "orders")
+            .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit("1997-01-01").cast("timestamp")).as("o"),
+            $"l.l_orderkey" === $"o.o_orderkey")
+          .join(broadcast(table(spark, dir, "customer")).as("c"),
+            $"o.o_custkey" === $"c.c_custkey")
+          .join(broadcast(table(spark, dir, "nation")).as("cn"),
+            $"c.c_nationkey" === $"cn.n_nationkey")
+          .join(broadcast(table(spark, dir, "region")
+              .filter($"r_name" === "ASIA")).as("r"),
+            $"cn.n_regionkey" === $"r.r_regionkey")
+          .join(broadcast(table(spark, dir, "supplier")).as("s"),
+            $"l.l_suppkey" === $"s.s_suppkey")
+          .join(broadcast(table(spark, dir, "nation")).as("sn"),
+            $"s.s_nationkey" === $"sn.n_nationkey")
+          .join(broadcast(table(spark, dir, "part")
+              .filter($"p_type" === "PROMO")).as("p"),
+            $"l.l_partkey" === $"p.p_partkey")
+          .select(year($"o.o_orderdate").cast("long").as("o_year"),
+            ($"l.l_extendedprice" * (lit(1) - $"l.l_discount"))
+              .cast("decimal(20,6)").as("volume"),
+            $"sn.n_name".as("supp_nation"))
+        vol.groupBy($"o_year")
+          .agg(
+            round((sum(when($"supp_nation" === "NATION_2", $"volume")
+                .otherwise(lit(0).cast("decimal(20,6)"))).cast("double") /
+              sum($"volume").cast("double")), 6).as("mkt_share"),
+            round(sum($"volume").cast("double"), 2).as("total_volume"))
+          .orderBy($"o_year")
+      }),
   )
 }

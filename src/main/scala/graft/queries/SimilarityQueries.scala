@@ -258,5 +258,43 @@ object SimilarityQueries {
             count(lit(1)).as("dims"))
           .orderBy($"label")
       }),
+
+    // X65: embedding outliers — top-20 vectors farthest (euclidean)
+    // from their own label's centroid, the standard mislabel / OOD /
+    // poisoning screen over an embedded corpus. Ranking is on the
+    // 6-dp-rounded distance (ties on vec_id) so centroid sum-order
+    // ulp drift cannot reorder the cut.
+    QueryDef(
+      "q_embedding_outliers",
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM embeddings
+        ), c AS (
+          SELECT label, dim, avg(x) AS m
+          FROM e GROUP BY label, dim
+        ), d AS (
+          SELECT e.vec_id, e.label,
+                 round(sqrt(sum((e.x - c.m) * (e.x - c.m))), 6) AS dist
+          FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+          GROUP BY e.vec_id, e.label
+        )
+        SELECT vec_id, label, dist,
+               CAST(row_number() OVER (ORDER BY dist DESC, vec_id)
+                    AS BIGINT) AS rk
+        FROM d
+        ORDER BY dist DESC, vec_id
+        LIMIT 20
+      """.trim),
+      "X65 top-20 centroid-distance embedding outliers (mislabel screen)")(
+      (spark, dir) => {
+        import spark.implicits._
+        Similarity.centroidOutliers(
+            table(spark, dir, "embeddings"), "vec_id", "embedding",
+            "label", k = 20)
+          .select($"vec_id", $"label", $"dist", $"rk".cast("long").as("rk"))
+      }),
   )
 }

@@ -143,4 +143,46 @@ class ContaminationSpec extends AnyFunSuite {
     // unchanged by adding new docs (hash-stable shuffle)
     assert(base == after)
   }
+
+  test("removeDuplicateSpans: cross-doc slots cut, within-doc repeats kept") {
+    val s = spark
+    import s.implicits._
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val corpus = docs(
+      1L -> "a b c d",   // slots "a b" | "c d"; "a b" shared with 2, 4
+      2L -> "a b x y",   // slots "a b" | "x y"
+      3L -> "z z",       // unique slot survives whole
+      4L -> "a b",       // single slot shared → cleaned to empty
+      5L -> "q r q r")   // same span TWICE in ONE doc → not cross-doc → kept
+    val got = Contamination
+      .removeDuplicateSpans(corpus, "doc_id", "text", spanLen = 2)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_slots", $"n_dropped", $"clean_md5")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, md5hex("c d")),
+      (2L, 2L, 1L, md5hex("x y")),
+      (3L, 1L, 0L, md5hex("z z")),
+      (4L, 1L, 1L, md5hex("")),
+      (5L, 2L, 0L, md5hex("q r q r"))))
+  }
+
+  test("removeDuplicateSpans: tail slot is its own span, alignment matters") {
+    val s = spark
+    import s.implicits._
+    // doc 1 tail "e" and doc 2 slot "e f" differ → no cut despite the
+    // shared token; doc 2/3 share the aligned slot "e f" → cut.
+    val corpus = docs(
+      1L -> "p q r s e",
+      2L -> "e f m n",
+      3L -> "e f w w")
+    val got = Contamination
+      .removeDuplicateSpans(corpus, "doc_id", "text", spanLen = 2)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_slots", $"n_dropped")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 0L), (2L, 2L, 1L), (3L, 2L, 1L)))
+  }
 }

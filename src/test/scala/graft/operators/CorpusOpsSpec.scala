@@ -217,4 +217,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(gotN == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
   }
+
+  test("vocabCoverage: boundary tie resolves by token, exact OOV rates") {
+    val s = spark
+    import s.implicits._
+    // counts: a=3, c=3, b=1 → top-2 vocab (n desc, token asc) = {a, c}
+    val docs = Seq(("g1", "a a b"), ("g2", "a c c c"))
+      .toDF("lang", "text")
+    val got = CorpusOps.vocabCoverage(docs, "text", "lang", vocabSize = 2)
+      .orderBy($"lang")
+      .select($"lang", $"n_tokens", $"n_covered", $"oov_rate")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("g1", 3L, 2L, 0.333333), ("g2", 4L, 4L, 0.0)))
+  }
+
+  test("charPairCounts: within-word pairs only, multiplicity counted") {
+    val s = spark
+    import s.implicits._
+    // words: "ab" → [ab]; "abc" → [ab, bc]; "a" → none (length 1)
+    val docs = Seq((1L, "ab abc a")).toDF("doc_id", "text")
+    val got = CorpusOps.charPairCounts(docs, "text", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 2L), ("bc", 1L)))
+  }
 }

@@ -185,4 +185,42 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(math.abs(got(1)._3 - (-math.log(2.0 / 9))) < 1e-12)
     assert(got(1)._3 > got(0)._3) // rare vocabulary scores higher NLL
   }
+
+  test("bm25Rank: hand-computed scores, term coverage beats repetition") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "x y"),      // probe
+      (1L, "x x z"),    // one probe term, repeated
+      (2L, "z z z"),    // no probe terms → absent
+      (3L, "x y y")     // both probe terms
+    ).toDF("doc_id", "text")
+    val tc = InvertedIndex.termCounts(docs, "doc_id", "text")
+    val got = InvertedIndex.bm25Rank(tc, "doc_id", probeId = 0L, k = 10)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(3L, 1L)) // doc 2 shares no terms
+    assert(got.forall(_._2 > 0))
+    // hand BM25: N=4, dl=(2,3,3,3), avgdl=11/4; df(x)=3, df(y)=2
+    def idf(df: Int) = math.log(1 + (4 - df + 0.5) / (df + 0.5))
+    def tfn(tf: Int, dl: Int) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * 4.0 / 11.0))
+    val d3 = idf(3) * tfn(1, 3) + idf(2) * tfn(2, 3)
+    val d1 = idf(3) * tfn(2, 3)
+    // result is 6-dp rounded → within 5e-7 of the exact value
+    assert(math.abs(got(0)._2 - d3) < 1e-6)
+    assert(math.abs(got(1)._2 - d1) < 1e-6)
+  }
+
+  test("bm25Rank: dfCap skips ubiquitous probe terms") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "x y"), (1L, "x q"), (2L, "x w"), (3L, "y v")
+    ).toDF("doc_id", "text")
+    val tc = InvertedIndex.termCounts(docs, "doc_id", "text")
+    // x has df=3 > cap=2 → only y survives as a probe term → doc 3 only
+    val got = InvertedIndex.bm25Rank(tc, "doc_id", 0L, k = 10, dfCap = 2)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(got == Seq(3L))
+  }
 }

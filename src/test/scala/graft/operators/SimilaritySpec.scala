@@ -129,4 +129,24 @@ class SimilaritySpec extends AnyFunSuite {
         }
       }
   }
+
+  test("centroidOutliers: planted outlier ranks first, distances exact") {
+    val s = spark
+    import s.implicits._
+    // label 0: (0,0), (0,0), (9,0) → centroid (3,0); dists 3, 3, 6
+    // label 1: (1,1), (1,1)        → centroid (1,1); dists 0, 0
+    val vecs = Seq(
+      (0L, Array(0f, 0f), 0), (1L, Array(0f, 0f), 0),
+      (2L, Array(9f, 0f), 0),
+      (3L, Array(1f, 1f), 1), (4L, Array(1f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .centroidOutliers(vecs, "vec_id", "embedding", "label", k = 3)
+      .select($"vec_id", $"label", $"dist", $"rk")
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3))).toSeq
+    // top-3 by (dist desc, vec_id): the planted outlier, then the two
+    // equidistant label-0 vectors in id order
+    assert(got == Seq((2L, 0, 6.0, 1), (0L, 0, 3.0, 2), (1L, 0, 3.0, 3)))
+  }
 }
