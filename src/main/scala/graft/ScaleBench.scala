@@ -60,7 +60,12 @@ object ScaleBench {
       // scan predicate, ivfpq probed lists
       "q_dedup_containment", "q_dedup_keeper_policy", "q_vad_segments",
       "q_weighted_sample", "q_knn_ivfpq", "q_prep_pipeline",
-      "q_exact_quantile_scan")
+      "q_exact_quantile_scan",
+      // fourth wave (X62–X65 + outliers); q_market_share is omitted —
+      // gen_sf1.py replicates documents/events/embeddings only, the
+      // TPC-H tables are copied unscaled
+      "q_bm25", "q_span_clean", "q_vocab_coverage", "q_bpe_pairs",
+      "q_embedding_outliers")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

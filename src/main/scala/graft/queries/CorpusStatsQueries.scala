@@ -375,7 +375,7 @@ object CorpusStatsQueries {
           .orderBy($"token")
       }),
 
-    // Okapi BM25 "more like this": top-10 docs for probe doc 0 under
+    // X66: Okapi BM25 "more like this": top-10 docs for probe doc 0 under
     // the standard lexical relevance function (tf saturation k1=1.2,
     // length normalization b=0.75) over the unigram index — the
     // retrieval-grade twin of q_search_similar's tf-cosine. Every

@@ -269,4 +269,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
+
+  test("q_bm25: probe-term equi-join (broadcast probe), partial aggs, " +
+    "no cartesian") {
+    val p = plan("q_bm25")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // candidates arrive via the term equi-join with the broadcast
+    // probe; the only nested-loop is the 1-row consts cross join
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "index aggregation lost map-side combine")
+  }
+
+  test("q_span_clean: span equi-join, no cartesian, partial aggs") {
+    val p = plan("q_span_clean")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("partial_count"),
+      "span df aggregation lost map-side combine")
+  }
+
+  test("q_vocab_coverage: vocab via TakeOrderedAndProject, broadcast " +
+    "probe join") {
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cut does a global sort:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "vocab probe fell back to a shuffle join")
+  }
+
+  test("q_market_share: all dimensions broadcast, fact shuffles once") {
+    val p = plan("q_market_share")
+    // lineitem⋈orders may sort-merge (fact-fact); every dimension
+    // (customer, nation×2, region, supplier, part) must broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 6,
+      s"a dimension join lost its broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_embedding_outliers: centroids broadcast back, partial aggs, " +
+    "top-k has no global sort") {
+    val p = plan("q_embedding_outliers")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "centroid table stopped broadcasting")
+    assert(p.contains("partial_avg") || p.contains("partial_sum"),
+      "centroid mean lost map-side combine")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"outlier cut does a global sort:\n${p.take(1500)}")
+  }
 }
