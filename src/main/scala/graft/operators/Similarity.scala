@@ -494,6 +494,68 @@ object Similarity {
     * sum; the global top-k is TakeOrderedAndProject. Two corpus-wide
     * passes, no shuffle wider than (id, dim partial sums).
     */
+  /** SemDeDup-style cluster-scoped embedding dedup (Abbas et al.
+    * 2023): generate cosine near-dup pairs ONLY within each cluster,
+    * resolve connected components, and keep one canonical vector
+    * (min id) per component — semantic dedup at corpus scale without
+    * the global n² pair join.
+    *
+    * `clusterCol` is the cluster assignment — a KMeans id in the
+    * paper, any partitioning column here (the operator is
+    * assignment-agnostic; with the driver data's `label` column the
+    * whole pipeline is deterministic and SQL-reproducible).
+    *
+    * Output: one row per input vector — (idCol, clusterCol,
+    * component_id, is_kept); vectors in no pair form their own
+    * singleton component and are kept.
+    *
+    * Scale shape: THE point of SemDeDup — pairs meet through the
+    * cluster equi-join, so the quadratic term is Σ_c n_c², bounded by
+    * the largest cluster, not the corpus (k is chosen to keep
+    * clusters small; the paper uses k≈10⁵ for 10⁸ docs). The join key
+    * is (cluster, block-pair), NOT the bare cluster: with few (or
+    * skewed) clusters a cluster-only key caps parallelism at
+    * |clusters| tasks, so each cluster's vectors are additionally
+    * hash-blocked and expanded to block pairs exactly as in
+    * [[cosinePairsBlocked]] — |clusters|·numBlocks·(numBlocks+1)/2
+    * independent tasks, per-task memory one block per side. Norms
+    * are computed once per side before the join; component resolution
+    * is [[Dedup.resolveClusters]]' O(log diameter) pointer jumping.
+    */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, tau: Double, numBlocks: Int = 8): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val v = vecs.select(col(idCol).as("vid"), col(clusterCol).as("__c"),
+      toDouble(col(vecCol)).as("__e"))
+      .withColumn("__n", l2norm(col("__e")))
+      .withColumn("blk", pmod(xxhash64(col("vid")), lit(numBlocks.toLong))
+        .cast("int"))
+    val a = v.select(col("__c"), col("blk").as("ba"), col("vid").as("v1"),
+      col("__e").as("e1"), col("__n").as("n1"))
+    val b = v.select(col("__c"), col("blk").as("bb"), col("vid").as("v2"),
+      col("__e").as("e2"), col("__n").as("n2"))
+    val blockPairs = (for {
+      i <- 0 until numBlocks
+      j <- i until numBlocks
+    } yield (i, j)).toDF("ba", "bb")
+    val pairs = broadcast(blockPairs).join(a, "ba")
+      .join(broadcast(blockPairs).join(b, "bb"), Seq("__c", "ba", "bb"))
+      .filter(col("ba") < col("bb") || col("v1") < col("v2"))
+      .filter(dot(col("e1"), col("e2")) / (col("n1") * col("n2")) >= tau)
+      .select(least(col("v1"), col("v2")).as("d1"),
+        greatest(col("v1"), col("v2")).as("d2"))
+    val comps = Dedup.resolveClusters(pairs)
+      .withColumnRenamed("doc_id", idCol)
+      .withColumnRenamed("cluster_id", "__comp")
+    vecs.select(col(idCol), col(clusterCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol), col(clusterCol),
+        coalesce(col("__comp"), col(idCol)).as("component_id"),
+        (coalesce(col("__comp"), col(idCol)) === col(idCol))
+          .as("is_kept"))
+  }
+
   def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int): DataFrame = {
     val exploded = vecs.select(col(idCol), col(labelCol),

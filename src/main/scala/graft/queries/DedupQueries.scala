@@ -440,6 +440,53 @@ object DedupQueries {
           .orderBy($"vec_id")
       }),
 
+    // X67: SemDeDup — cluster-scoped embedding dedup (pairs only
+    // WITHIN each cluster, components, min-id keeper). The cluster
+    // equi-join caps the quadratic term at Σ_c n_c² (the paper's
+    // point); with the deterministic `label` column as the cluster
+    // assignment the whole pipeline — pair predicate (same vec_dot
+    // fold as the oracle's list_dot_product), components, keeper —
+    // reproduces in SQL. τ=0.3 yields a non-trivial same-label pair
+    // graph on this data (111 pairs at sf0.01).
+    QueryDef(
+      "q_semdedup",
+      Some("""
+        WITH RECURSIVE v AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+        ), pairs AS (
+          SELECT a.vec_id AS d1, b.vec_id AS d2
+          FROM v a JOIN v b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e)) *
+                 sqrt(list_dot_product(b.e, b.e))) >= 0.3
+        ), edges AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION SELECT d2, d1 FROM pairs
+        ), reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), comp AS (
+          SELECT src AS vec_id, least(src, min(dst)) AS component_id
+          FROM reach GROUP BY src
+        )
+        SELECT v.vec_id, v.label,
+               coalesce(c.component_id, v.vec_id) AS component_id,
+               coalesce(c.component_id, v.vec_id) = v.vec_id AS is_kept
+        FROM v LEFT JOIN comp c USING (vec_id)
+        ORDER BY vec_id
+      """.trim),
+      "X67 SemDeDup: within-cluster cosine components + min-id keeper")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.Similarity
+        Similarity.semDedup(table(spark, dir, "embeddings"),
+            "vec_id", "embedding", "label", tau = 0.3)
+          .orderBy($"vec_id")
+      }),
+
     // X1e: embedding-cosine near-dup pairs — EXACT, block-partitioned
     // (Similarity.cosinePairsBlocked): the n² work distributes across
     // block-pair tasks with one corpus/numBlocks-sized block per task

@@ -308,6 +308,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_semdedup: pair join on the composite (cluster, block-pair) " +
+    "key, no cartesian") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the candidate join must be a real equi-join (hash or sort-merge)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("q_embedding_outliers: centroids broadcast back, partial aggs, " +
     "top-k has no global sort") {
     val p = plan("q_embedding_outliers")

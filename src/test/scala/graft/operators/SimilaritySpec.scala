@@ -149,4 +149,31 @@ class SimilaritySpec extends AnyFunSuite {
     // equidistant label-0 vectors in id order
     assert(got == Seq((2L, 0, 6.0, 1), (0L, 0, 3.0, 2), (1L, 0, 3.0, 3)))
   }
+
+  test("semDedup: pairs stay within clusters, components roll up, " +
+    "singletons kept") {
+    val s = spark
+    import s.implicits._
+    // cluster 0: ids 0,1 parallel (cos 1) and 2 orthogonal;
+    // cluster 1: id 3 parallel to 0/1 but in ANOTHER cluster → no
+    // pair despite cos 1 (the SemDeDup scoping); 4,5 parallel pair
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(2f, 0f), 0),
+      (2L, Array(0f, 1f), 0),
+      (3L, Array(3f, 0f), 1), (4L, Array(1f, 1f), 1),
+      (5L, Array(2f, 2f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .semDedup(vecs, "vec_id", "embedding", "label", tau = 0.9)
+      .orderBy($"vec_id")
+      .select($"vec_id", $"component_id", $"is_kept")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, true),  // component root
+      (1L, 0L, false), // deduped into 0
+      (2L, 2L, true),  // orthogonal singleton
+      (3L, 3L, true),  // cross-cluster twin of 0/1 NOT paired
+      (4L, 4L, true),  // component root
+      (5L, 4L, false)))
+  }
 }
