@@ -392,6 +392,46 @@ object CorpusOps {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Leak-proof train/val/test splitting: assign every document to a
+    * split by hashing its near-dup CLUSTER id, not its own id — all
+    * members of a component land in the same split, so a near-dup of
+    * a training doc can never sit in the eval split (the train/test
+    * leak every benchmark audit hunts for; splitting by doc hash
+    * alone re-creates it at exactly the near-dup rate).
+    *
+    * `clusters` is (docCol, cluster_id) from [[Dedup.resolveClusters]]
+    * over whatever pair predicate the pipeline trusts; docs absent
+    * from it are singleton components (their own id). `fractions`
+    * are (name, fraction) in band order, summing to 1.0; assignment
+    * is the [[hashSampleCol]] md5-threshold band — deterministic,
+    * content-stable, engine-reproducible.
+    *
+    * Output: (docCol, cluster_id, split).
+    *
+    * Scale shape: one left join against the skinny cluster table +
+    * a scan-stage hash expression — no shuffle beyond the join; the
+    * cluster table is the already-computed dedup artifact.
+    */
+  def leakProofSplit(docs: DataFrame, docCol: String, clusters: DataFrame,
+      fractions: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must be positive and sum to 1.0: $fractions")
+    val key = coalesce(col("cluster_id"), col(docCol)).cast("long")
+    val h = conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val cums = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(c => math.round(c * 4294967296.0))
+    val split = fractions.init.zip(cums.init)
+      .foldRight(lit(fractions.last._1): Column) {
+        case (((name, _), cum), rest) => when(h < cum, name).otherwise(rest)
+      }
+    docs.select(col(docCol))
+      .join(clusters.select(col(docCol), col("cluster_id")), Seq(docCol),
+        "left")
+      .select(col(docCol), key.as("cluster_id"), split.as("split"))
+  }
+
   /** Per-group coverage of a fixed top-`vocabSize` token vocabulary —
     * the sizing query behind every tokenizer decision: "if the vocab
     * is the corpus's V most frequent tokens, what fraction of each

@@ -69,7 +69,7 @@ object HeavyHitters {
     * partition (`item` null) carries that partition's element count so
     * n needs no second scan.
     */
-  private[operators] def summaries(items: DataFrame, itemCol: String,
+  private[graft] def summaries(items: DataFrame, itemCol: String,
       k: Int): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._

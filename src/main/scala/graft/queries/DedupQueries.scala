@@ -440,6 +440,65 @@ object DedupQueries {
           .orderBy($"vec_id")
       }),
 
+    // X69: leak-proof train/val/test split — split assignment hashes
+    // the near-dup CLUSTER id (jaccard components), so no component
+    // ever straddles splits: the near-dup-of-train-doc-in-test leak
+    // is structurally impossible. Bands are the md5-threshold
+    // predicate of X5 over the cluster key; thresholds are computed
+    // by the same Scala rounding as the operator so the oracle
+    // replays assignment bit-for-bit.
+    QueryDef(
+      "q_split_leakproof",
+      Some {
+        val t1 = math.round(0.8 * 4294967296.0)
+        val t2 = math.round(0.9 * 4294967296.0)
+        s"""${shingleSql.replaceFirst("WITH", "WITH RECURSIVE")},
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)))
+                >= $JaccardThreshold
+        ), edges AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION SELECT d2, d1 FROM pairs
+        ), reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), comp AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src
+        ), m AS (
+          SELECT d.doc_id,
+                 coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp c USING (doc_id)
+        ), h AS (
+          SELECT doc_id, cluster_id,
+                 ('0x' || substr(md5('split0' ||
+                    CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+          FROM m
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN hv < $t1 THEN 'train'
+                    WHEN hv < $t2 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+        ORDER BY doc_id""".stripMargin.trim
+      },
+      "X69 leak-proof 80/10/10 split keyed on near-dup cluster ids")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents")
+        val clusters = Dedup.resolveClusters(
+          Dedup.jaccardPairsExact(shingled(spark, dir), "doc_id",
+            JaccardThreshold))
+        graft.operators.CorpusOps.leakProofSplit(docs, "doc_id", clusters,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "split0")
+          .orderBy($"doc_id")
+      }),
+
     // X67: SemDeDup — cluster-scoped embedding dedup (pairs only
     // WITHIN each cluster, components, min-id keeper). The cluster
     // equi-join caps the quadratic term at Σ_c n_c² (the paper's

@@ -318,6 +318,17 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("q_split_leakproof: band assignment is a scan-stage expression " +
+    "after one skinny cluster join") {
+    val p = plan("q_split_leakproof")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the md5-band CASE must not introduce any exchange of its own:
+    // exactly the joins of the cluster pipeline, no extra aggregate
+    // after the final projection
+    assert(p.contains("md5") || p.contains("conv"),
+      s"band hash not visible in the final stage:\n${p.take(1500)}")
+  }
+
   test("q_embedding_outliers: centroids broadcast back, partial aggs, " +
     "top-k has no global sort") {
     val p = plan("q_embedding_outliers")

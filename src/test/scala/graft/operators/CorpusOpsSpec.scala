@@ -218,6 +218,39 @@ class CorpusOpsSpec extends AnyFunSuite {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("leakProofSplit: whole clusters share a split, singletons " +
+    "default, fractions sane") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "t")
+    // components: {0..9} rooted at 0, {10,11} rooted at 10; rest singleton
+    val clusters = ((0L until 10L).map(i => (i, 0L)) ++
+      Seq((10L, 10L), (11L, 10L))).toDF("doc_id", "cluster_id")
+    val got = CorpusOps.leakProofSplit(docs, "doc_id", clusters,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = got.map(g => g._1 -> g._3).toMap
+    // every member of a component carries the component's split
+    assert((0L until 10L).map(byDoc).toSet.size == 1, "cluster 0 straddles")
+    assert(byDoc(10L) == byDoc(11L), "cluster 10 straddles")
+    // singletons keyed by their own id
+    assert(got.filter(_._1 >= 12L).forall(g => g._2 == g._1))
+    // all three bands populated at ~reasonable rates on 390 clusters
+    val sizes = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set("train", "val", "test"), sizes.toString)
+    assert(sizes("train") > 250 && sizes("val") > 5 && sizes("test") > 5,
+      sizes.toString)
+    // deterministic: same inputs, same assignment
+    val again = CorpusOps.leakProofSplit(docs, "doc_id", clusters,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "s")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(again == byDoc)
+    intercept[IllegalArgumentException] {
+      CorpusOps.leakProofSplit(docs, "doc_id", clusters,
+        Seq("train" -> 0.8, "val" -> 0.1), "s") // sums to 0.9
+    }
+  }
+
   test("vocabCoverage: boundary tie resolves by token, exact OOV rates") {
     val s = spark
     import s.implicits._
