@@ -161,4 +161,41 @@ object Quantiles {
         org.apache.spark.sql.types.StructField("quantile",
           org.apache.spark.sql.types.LongType))))
   }
+
+  /** Robust per-group outlier detection via median absolute deviation
+    * — the quantile family's consumer: flag rows whose value sits more
+    * than `c`·MAD from their group's median. Unlike mean/stddev
+    * gating (X19 winsorize's cousin), median/MAD don't move when the
+    * outliers themselves get bigger — the standard robust filter for
+    * corrupt document lengths, runaway token counts, duplicated-blob
+    * sizes.
+    *
+    * Both statistics are [[exactQuantileByGroup]] lower exact medians
+    * (sort-free histogram refinement); value, median, MAD, and the
+    * `dev > c·mad` comparison are all 64-bit integers, so the flags
+    * reproduce bit-for-bit in any engine — no distribution
+    * assumptions, no floating point anywhere.
+    *
+    * Output: (idCol, groupCol, valueCol, med, mad, is_outlier).
+    *
+    * Scale shape: 2×⌈log_fanout(range)⌉ full scans (the two grouped
+    * refinements) + two broadcast joins of |groups|-row tables; no
+    * shuffle wider than fanout rows per task. Degenerate groups
+    * (≥ half the values identical → MAD 0) flag exactly the
+    * non-median values when c·0 < dev — the conventional MAD=0
+    * behavior, callers gate on group size if that bites.
+    */
+  def madOutliers(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, c: Long = 3L): DataFrame = {
+    val med = exactQuantileByGroup(df, groupCol, valueCol, q = 0.5)
+      .withColumnRenamed("quantile", "med")
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mad = exactQuantileByGroup(dev, groupCol, "__dev", q = 0.5)
+      .withColumnRenamed("quantile", "mad")
+    dev.join(broadcast(mad), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        col("med"), col("mad"),
+        (col("__dev") > lit(c) * col("mad")).as("is_outlier"))
+  }
 }

@@ -547,6 +547,54 @@ object OlapQueries {
           .orderBy($"lang")
       }),
 
+    // X70: robust MAD outlier flags per language — median and MAD by
+    // sort-free grouped refinement, the comparison in pure 64-bit
+    // integers end to end (no distribution assumptions, no floats) —
+    // the quantile machinery's production consumer.
+    QueryDef(
+      "q_mad_outliers",
+      Some("""
+        WITH t AS (SELECT doc_id, lang, n_chars FROM documents),
+        tot AS (SELECT lang, count(*) AS total FROM t GROUP BY lang),
+        o AS (
+          SELECT lang, n_chars,
+                 sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+          FROM (SELECT lang, n_chars, count(*) AS cnt
+                FROM t GROUP BY lang, n_chars)
+        ), med AS (
+          SELECT o.lang, min(n_chars) AS med
+          FROM o JOIN tot USING (lang)
+          WHERE cum >= ceil(0.5 * total) GROUP BY o.lang
+        ), d AS (
+          SELECT t.doc_id, t.lang, t.n_chars, med.med,
+                 abs(t.n_chars - med.med) AS dev
+          FROM t JOIN med USING (lang)
+        ), dtot AS (SELECT lang, count(*) AS total FROM d GROUP BY lang),
+        do_ AS (
+          SELECT lang, dev,
+                 sum(cnt) OVER (PARTITION BY lang ORDER BY dev) AS cum
+          FROM (SELECT lang, dev, count(*) AS cnt FROM d GROUP BY lang, dev)
+        ), mad AS (
+          SELECT do_.lang, min(dev) AS mad
+          FROM do_ JOIN dtot USING (lang)
+          WHERE cum >= ceil(0.5 * total) GROUP BY do_.lang
+        )
+        SELECT d.doc_id, d.lang, d.n_chars, d.med, mad.mad,
+               d.dev > 3 * mad.mad AS is_outlier
+        FROM d JOIN mad USING (lang)
+        ORDER BY doc_id
+      """.trim),
+      "X70 per-language MAD outlier flags, integer-exact")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.Quantiles
+        Quantiles.madOutliers(
+            table(spark, dir, "documents")
+              .select($"doc_id", $"lang", $"n_chars"),
+            "doc_id", "lang", "n_chars", c = 3L)
+          .orderBy($"doc_id")
+      }),
+
     // Manifest-pruned range read (SkippingIndex): plan the scan from
     // a per-file min/max manifest, open only intersecting files,
     // re-apply the exact predicate — result equals the plain WHERE

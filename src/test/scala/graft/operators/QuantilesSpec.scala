@@ -74,4 +74,25 @@ class QuantilesSpec extends AnyFunSuite with graft.PropertyHarness {
     }
     assert(e.getMessage.contains("non-null"))
   }
+
+  test("madOutliers: hand medians/MADs, MAD-0 group flags any deviation") {
+    val s = spark
+    import s.implicits._
+    // a: values 1,2,3,100 → med 2 (lower median), devs {1,0,1,98} →
+    //    mad 1 → only 100 (98 > 3·1) flags
+    // b: 5,5,9 → med 5, devs {0,0,4} → mad 0 → 9 flags (4 > 0), the
+    //    documented MAD-0 convention
+    val df = Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 100L),
+      (5L, "b", 5L), (6L, "b", 5L), (7L, "b", 9L)
+    ).toDF("id", "g", "v")
+    val got = Quantiles.madOutliers(df, "id", "g", "v", c = 3L)
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, false), (2L, 2L, 1L, false), (3L, 2L, 1L, false),
+      (4L, 2L, 1L, true),
+      (5L, 5L, 0L, false), (6L, 5L, 0L, false), (7L, 5L, 0L, true)))
+  }
 }
