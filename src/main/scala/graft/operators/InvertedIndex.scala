@@ -285,6 +285,42 @@ object InvertedIndex {
     * normalization is a property of the document, not the pruned
     * vocabulary.
     */
+  /** Corpus bigram LM statistics: for every token, its `k` most
+    * frequent successors with conditional probability — the
+    * next-token distribution a count-based LM (and every
+    * perplexity-style corpus diagnostic) is built from. Pure integer
+    * counts; the probability is one exact division rounded at 6 dp,
+    * ranking is integer (cnt desc, successor asc) — engine-exact.
+    *
+    * Output: (prev, next, cnt, total, p, rk) with rk in 1..k.
+    *
+    * Scale shape: one token-stream window pass (the shared lead
+    * n-gram assembly) + two map-side-combined aggregates + one
+    * per-prev window over the DISTINCT bigram table (|V|² worst
+    * case, vocabulary-sized — not corpus-sized — rows).
+    */
+  def nextTokenStats(docs: DataFrame, docCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(docCol),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "prev")))
+    val w = Window.partitionBy(col(docCol)).orderBy(col("pos"))
+    val pairs = toks
+      .withColumn("next", lead(col("prev"), 1).over(w))
+      .filter(col("next").isNotNull)
+    val counts = pairs.groupBy(col("prev"), col("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("prev"))
+      .agg(sum(col("cnt")).as("total"))
+    val rkW = Window.partitionBy(col("prev"))
+      .orderBy(col("cnt").desc, col("next"))
+    counts.join(totals, "prev")
+      .withColumn("rk", row_number().over(rkW))
+      .filter(col("rk") <= k)
+      .withColumn("p", round(col("cnt").cast("double") / col("total"), 6))
+      .select(col("prev"), col("next"), col("cnt"), col("total"),
+        col("p"), col("rk"))
+  }
+
   def bm25Rank(tc: DataFrame, docCol: String, probeId: Long, k: Int,
       k1: Double = 1.2, b: Double = 0.75, dfCap: Int = 1000): DataFrame = {
     val df = docFrequencies(tc)

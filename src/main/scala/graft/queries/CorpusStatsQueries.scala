@@ -375,6 +375,48 @@ object CorpusStatsQueries {
           .orderBy($"token")
       }),
 
+    // X71: corpus bigram LM statistics — top-3 successors per token
+    // with conditional probability; integer counts, exact division,
+    // integer ranking. The count-based next-token table every
+    // perplexity-style corpus diagnostic starts from.
+    QueryDef(
+      "q_next_token",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), pairs AS (
+          SELECT ts[i] AS prev, ts[i+1] AS next
+          FROM toks, unnest(range(1, len(ts))) AS r(i)
+        ), counts AS (
+          SELECT prev, next, count(*) AS cnt FROM pairs GROUP BY 1, 2
+        ), totals AS (
+          SELECT prev, CAST(sum(cnt) AS BIGINT) AS total
+          FROM counts GROUP BY prev
+        ), ranked AS (
+          SELECT c.prev, c.next, c.cnt, t.total,
+                 row_number() OVER (PARTITION BY c.prev
+                   ORDER BY c.cnt DESC, c.next) AS rk
+          FROM counts c JOIN totals t USING (prev)
+        )
+        SELECT prev, next, cnt, total,
+               round(CAST(cnt AS DOUBLE) / total, 6) AS p,
+               CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 3
+        ORDER BY prev, rk
+      """.trim),
+      "X71 top-3 next-token conditional probabilities per token")(
+      (spark, dir) => {
+        import spark.implicits._
+        InvertedIndex.nextTokenStats(
+            table(spark, dir, "documents"), "doc_id", "text", k = 3)
+          .select($"prev", $"next", $"cnt", $"total", $"p",
+            $"rk".cast("long").as("rk"))
+          .orderBy($"prev", $"rk")
+      }),
+
     // X66: Okapi BM25 "more like this": top-10 docs for probe doc 0 under
     // the standard lexical relevance function (tf saturation k1=1.2,
     // length normalization b=0.75) over the unigram index — the

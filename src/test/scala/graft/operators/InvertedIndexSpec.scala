@@ -211,6 +211,22 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(math.abs(got(1)._2 - d1) < 1e-6)
   }
 
+  test("nextTokenStats: counts never cross docs, ties break on token") {
+    val s = spark
+    import s.implicits._
+    // doc 1 pairs: (a,b),(b,a),(a,b),(b,c); doc 2: (a,b),(b,x) — and
+    // NO (c,a) pair across the doc boundary
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val got = InvertedIndex.nextTokenStats(docs, "doc_id", "text", k = 2)
+      .orderBy($"prev", $"rk")
+      .select($"prev", $"next", $"cnt", $"total", $"p", $"rk")
+      .as[(String, String, Long, Long, Double, Int)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 3L, 3L, 1.0, 1),
+      ("b", "a", 1L, 3L, 0.333333, 1),
+      ("b", "c", 1L, 3L, 0.333333, 2))) // x cut at k=2 by the next tie
+  }
+
   test("bm25Rank: dfCap skips ubiquitous probe terms") {
     val s = spark
     import s.implicits._
