@@ -161,6 +161,11 @@ object Contamination {
     */
   def removeDuplicateSpans(docs: DataFrame, docCol: String,
       textCol: String, spanLen: Int): DataFrame = {
+    // cached: the slot-assembly pass (token explode + per-(doc, slot)
+    // ordered agg — the operator's one corpus-wide shuffle) feeds both
+    // the repeated-span table and the final join; without the cache
+    // Spark recomputes it per consumer. Eagerly materialized into the
+    // result and released, per the Dedup operator-cache convention.
     val spans = docs
       .select(col(docCol),
         posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "t")))
@@ -169,11 +174,12 @@ object Contamination {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("t")))),
         s => s("t")), " ").as("span"))
+      .cache()
     val repeated = spans.select(col(docCol), col("span")).distinct()
       .groupBy(col("span")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > 1)
       .select(col("span"), lit(1).as("__dup"))
-    spans
+    val result = spans
       .join(repeated, Seq("span"), "left")
       .groupBy(col(docCol))
       .agg(
@@ -183,5 +189,8 @@ object Contamination {
           array_sort(collect_list(when(col("__dup").isNull,
             struct(col("slot"), col("span"))))),
           s => s("span")), " ")).as("clean_md5"))
+      .localCheckpoint(true)
+    spans.unpersist(blocking = false)
+    result
   }
 }

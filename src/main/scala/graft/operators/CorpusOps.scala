@@ -20,10 +20,23 @@ object CorpusOps {
     *     row's fate (unlike reservoir/Bernoulli on row position),
     *   - nested samples: fraction 0.1 ⊂ fraction 0.2 for equal salt.
     */
+  /** Top 32 bits of md5(salt ‖ key) as a long in [0, 2³²) — the ONE
+    * definition of the deterministic band hash behind every
+    * sampling/splitting operator here, so the cross-engine contract
+    * (DuckDB: `('0x' || substr(md5(...), 1, 8))::BIGINT`) cannot
+    * diverge per caller.
+    */
+  private[graft] def md5Band(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key)), 1, 8), 16, 10)
+      .cast("long")
+
+  /** A fraction's band boundary on the md5Band scale. */
+  private[graft] def bandThreshold(fraction: Double): Long =
+    math.round(fraction * 4294967296.0)
+
   def hashSampleCol(key: Column, fraction: Double,
       salt: String = ""): Column =
-    conv(substring(md5(concat(lit(salt), key)), 1, 8), 16, 10)
-      .cast("long") < math.round(fraction * 4294967296.0)
+    md5Band(key, salt) < bandThreshold(fraction)
 
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,
       salt: String = ""): DataFrame =
@@ -41,13 +54,10 @@ object CorpusOps {
     * filter. Weights outside [0,1] clamp (≥1 always keeps).
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
-      salt: String = ""): DataFrame = {
-    val hash = conv(substring(md5(concat(lit(salt), col(keyCol))), 1, 8),
-      16, 10).cast("long")
-    df.filter(hash <
+      salt: String = ""): DataFrame =
+    df.filter(md5Band(col(keyCol), salt) <
       round(least(greatest(col(weightCol), lit(0.0)), lit(1.0)) *
         4294967296.0))
-  }
 
   /** Stratified deterministic sampling: per-stratum fractions (e.g.
     * downsample English, keep all of a low-resource language), same
@@ -62,11 +72,9 @@ object CorpusOps {
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
       fractions: Map[String, Double], salt: String = ""): DataFrame = {
     val thresholds = map(fractions.toSeq.flatMap { case (k, f) =>
-      Seq(lit(k), lit(math.round(f * 4294967296.0)))
+      Seq(lit(k), lit(bandThreshold(f)))
     }: _*)
-    val hash = conv(substring(md5(concat(lit(salt), col(keyCol))), 1, 8),
-      16, 10).cast("long")
-    df.filter(hash <
+    df.filter(md5Band(col(keyCol), salt) <
       coalesce(element_at(thresholds, col(stratumCol)), lit(0L)))
   }
 
@@ -417,11 +425,14 @@ object CorpusOps {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0) &&
       math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must be positive and sum to 1.0: $fractions")
-    val key = coalesce(col("cluster_id"), col(docCol)).cast("long")
-    val h = conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8),
-      16, 10).cast("long")
+    // the key stays in its OWN type (coalesce analysis-errors loudly
+    // on mismatched doc/cluster id types) and hashes via its string
+    // form — never a numeric cast, which would null out non-numeric
+    // ids and silently dump every doc into the last band
+    val key = coalesce(col("cluster_id"), col(docCol))
+    val h = md5Band(key.cast("string"), salt)
     val cums = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
-      .tail.map(c => math.round(c * 4294967296.0))
+      .tail.map(bandThreshold)
     val split = fractions.init.zip(cums.init)
       .foldRight(lit(fractions.last._1): Column) {
         case (((name, _), cum), rest) => when(h < cum, name).otherwise(rest)
@@ -456,6 +467,11 @@ object CorpusOps {
     */
   def vocabCoverage(docs: DataFrame, textCol: String, groupCol: String,
       vocabSize: Int): DataFrame = {
+    // `toks` is consumed twice (vocab aggregate + probe join) and
+    // deliberately NOT cached: it is the widest stream in the plan (the
+    // fully exploded token column), while its recompute is a codegen'd
+    // scan-stage explode with no shuffle — re-scanning is cheaper than
+    // pinning corpus-sized rows in executor storage
     val toks = docs.select(col(groupCol),
       explode(Dedup.tokens(col(textCol))).as("token"))
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))

@@ -285,6 +285,32 @@ object InvertedIndex {
     * normalization is a property of the document, not the pruned
     * vocabulary.
     */
+  def bm25Rank(tc: DataFrame, docCol: String, probeId: Long, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, dfCap: Int = 1000): DataFrame = {
+    val df = docFrequencies(tc)
+    val dl = tc.groupBy(col(docCol)).agg(sum(col("tf")).as("dl"))
+    // N and avgdl in one tiny broadcast row; avgdl as exact-integer
+    // division Σdl/N done once in double (identical both engines).
+    val consts = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val probe = tc.filter(col(docCol) === probeId)
+      .join(df.filter(col("df") <= dfCap), "term")
+      .select(col("term"), col("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) +
+        lit(b) * col("dl") * col("n_docs") / col("tot")))
+    tc.filter(col(docCol) =!= probeId)
+      .join(broadcast(probe), "term")
+      .join(dl, docCol)
+      .crossJoin(broadcast(consts))
+      .groupBy(col(docCol))
+      .agg(sum(idf * tfNorm).as("score"))
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("score").desc, col(docCol))
+      .limit(k)
+  }
+
   /** Corpus bigram LM statistics: for every token, its `k` most
     * frequent successors with conditional probability — the
     * next-token distribution a count-based LM (and every
@@ -319,31 +345,5 @@ object InvertedIndex {
       .withColumn("p", round(col("cnt").cast("double") / col("total"), 6))
       .select(col("prev"), col("next"), col("cnt"), col("total"),
         col("p"), col("rk"))
-  }
-
-  def bm25Rank(tc: DataFrame, docCol: String, probeId: Long, k: Int,
-      k1: Double = 1.2, b: Double = 0.75, dfCap: Int = 1000): DataFrame = {
-    val df = docFrequencies(tc)
-    val dl = tc.groupBy(col(docCol)).agg(sum(col("tf")).as("dl"))
-    // N and avgdl in one tiny broadcast row; avgdl as exact-integer
-    // division Σdl/N done once in double (identical both engines).
-    val consts = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-    val probe = tc.filter(col(docCol) === probeId)
-      .join(df.filter(col("df") <= dfCap), "term")
-      .select(col("term"), col("df"))
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-    val tfNorm = col("tf") * (k1 + 1) /
-      (col("tf") + lit(k1) * (lit(1 - b) +
-        lit(b) * col("dl") * col("n_docs") / col("tot")))
-    tc.filter(col(docCol) =!= probeId)
-      .join(broadcast(probe), "term")
-      .join(dl, docCol)
-      .crossJoin(broadcast(consts))
-      .groupBy(col(docCol))
-      .agg(sum(idf * tfNorm).as("score"))
-      .withColumn("score", round(col("score"), 6))
-      .orderBy(col("score").desc, col(docCol))
-      .limit(k)
   }
 }

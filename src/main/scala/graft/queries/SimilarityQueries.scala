@@ -295,6 +295,7 @@ object SimilarityQueries {
             table(spark, dir, "embeddings"), "vec_id", "embedding",
             "label", k = 20)
           .select($"vec_id", $"label", $"dist", $"rk".cast("long").as("rk"))
+          .orderBy($"dist".desc, $"vec_id")
       }),
   )
 }

@@ -48,6 +48,9 @@ object StreamingHeavyHitters {
     def size: Int = counts.size
 
     private[streaming] def merge(rows: Iterator[(String, Long)]): Unit = {
+      // the null key can only be the per-partition count sentinel:
+      // misraGries drops null ITEMS before they reach the sketch (and
+      // excludes them from n), so no counter row ever carries null
       rows.foreach {
         case (null, np) => total += np
         case (item, est) =>
@@ -91,6 +94,11 @@ object StreamingHeavyHitters {
       minFraction: Double)(
       sink: (Long, Long, Seq[(String, Long)]) => Unit)
       : DataStreamWriter[Row] = {
+    // fail at wiring time, not asynchronously inside batch 0 (the
+    // same up-front check as the batch twin exactByFraction)
+    require(minFraction > 1.0 / (tracker.k + 1),
+      s"minFraction=$minFraction must exceed " +
+        s"1/(k+1)=${1.0 / (tracker.k + 1)}")
     items.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val rows = HeavyHitters.summaries(batch, itemCol, tracker.k)
         .collect()
