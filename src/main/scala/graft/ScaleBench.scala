@@ -65,7 +65,8 @@ object ScaleBench {
       // gen_sf1.py replicates documents/events/embeddings only, the
       // TPC-H tables are copied unscaled
       "q_bm25", "q_span_clean", "q_vocab_coverage", "q_bpe_pairs",
-      "q_embedding_outliers", "q_semdedup", "q_split_leakproof")
+      "q_embedding_outliers", "q_semdedup", "q_split_leakproof",
+      "q_mad_outliers", "q_next_token")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

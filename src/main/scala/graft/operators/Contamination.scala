@@ -161,11 +161,12 @@ object Contamination {
     */
   def removeDuplicateSpans(docs: DataFrame, docCol: String,
       textCol: String, spanLen: Int): DataFrame = {
-    // cached: the slot-assembly pass (token explode + per-(doc, slot)
-    // ordered agg — the operator's one corpus-wide shuffle) feeds both
-    // the repeated-span table and the final join; without the cache
-    // Spark recomputes it per consumer. Eagerly materialized into the
-    // result and released, per the Dedup operator-cache convention.
+    // `spans` (the slot-assembly shuffle) feeds two consumers and is
+    // deliberately left LAZY: both branches contain the identical
+    // exchange+aggregate subtree, which AQE stage reuse / the
+    // ReuseExchange rule dedups at execution — measured 0.37 s at
+    // sf0.1 lazy vs 1.25 s with an explicit cache + eager checkpoint
+    // (the materialization write costs more than the share saves)
     val spans = docs
       .select(col(docCol),
         posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "t")))
@@ -174,12 +175,11 @@ object Contamination {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("t")))),
         s => s("t")), " ").as("span"))
-      .cache()
     val repeated = spans.select(col(docCol), col("span")).distinct()
       .groupBy(col("span")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > 1)
       .select(col("span"), lit(1).as("__dup"))
-    val result = spans
+    spans
       .join(repeated, Seq("span"), "left")
       .groupBy(col(docCol))
       .agg(
@@ -189,8 +189,5 @@ object Contamination {
           array_sort(collect_list(when(col("__dup").isNull,
             struct(col("slot"), col("span"))))),
           s => s("span")), " ")).as("clean_md5"))
-      .localCheckpoint(true)
-    spans.unpersist(blocking = false)
-    result
   }
 }
