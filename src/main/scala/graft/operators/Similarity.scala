@@ -477,6 +477,56 @@ object Similarity {
     exactRerank(cand, corpus, idCol, vecCol, k)
   }
 
+  /** Incremental [[semDedup]]: a NEW batch of embeddings checked for
+    * near-dups against the EXISTING corpus only — the embedding face
+    * of [[Dedup.incrementalNearDupes]] (X23), and the per-ingest form
+    * of SemDeDup: corpus vectors are never paired with each other,
+    * so per-batch cost is |batch|·(corpus cluster sizes), not a
+    * corpus self-join.
+    *
+    * Output: one row per new vector — (new_id, clusterCol, is_dup,
+    * dup_of, cos): dup_of = the best-matching corpus vector (highest
+    * cosine ≥ `tau` within the same cluster, ties to the smaller
+    * corpus id), null when the vector is novel.
+    *
+    * Scale shape: the corpus side hash-blocks `numBlocks` ways per
+    * cluster and the (small) batch replicates to every block —
+    * |clusters|·numBlocks join keys, so parallelism never caps at
+    * the cluster count; per-task memory is one corpus block. The
+    * best-match window partitions by new id (batch-sized).
+    */
+  def incrementalSemDedup(newVecs: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, clusterCol: String, tau: Double,
+      numBlocks: Int = 8): DataFrame = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val n = newVecs.select(col(idCol).as("new_id"),
+      col(clusterCol).as("__c"), toDouble(col(vecCol)).as("__ne"))
+      .withColumn("__nn", l2norm(col("__ne")))
+    val c = corpus.select(col(idCol).as("dup_of"),
+      col(clusterCol).as("__c"), toDouble(col(vecCol)).as("__ce"))
+      .withColumn("__cn", l2norm(col("__ce")))
+      .withColumn("blk", pmod(xxhash64(col("dup_of")),
+        lit(numBlocks.toLong)).cast("int"))
+    val blocks = (0 until numBlocks).toDF("blk")
+    val matches = n.crossJoin(broadcast(blocks))
+      .join(c, Seq("__c", "blk"))
+      .withColumn("__cos",
+        dot(col("__ne"), col("__ce")) / (col("__nn") * col("__cn")))
+      .filter(col("__cos") >= tau)
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("__cos").desc, col("dup_of"))
+    val best = matches
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("new_id"), col("dup_of"),
+        round(col("__cos"), 6).as("cos"))
+    newVecs.select(col(idCol).as("new_id"), col(clusterCol))
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id"), col(clusterCol),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"), col("cos"))
+  }
+
   /** Top-`k` embedding outliers per the labeled-centroid model: the
     * vectors FARTHEST (euclidean) from their own label's mean vector —
     * the standard mislabel/contamination screen over an embedded

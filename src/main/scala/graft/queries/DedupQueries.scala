@@ -499,6 +499,54 @@ object DedupQueries {
           .orderBy($"doc_id")
       }),
 
+    // X72: incremental SemDeDup — the vec_id % 25 == 0 slice plays the
+    // incoming batch, the rest the existing corpus; each new vector
+    // reports its best same-label corpus match at cos ≥ 0.3 (ties to
+    // the smaller corpus id) or comes back novel. Corpus vectors are
+    // never paired with each other (the X23 semantics on embeddings).
+    QueryDef(
+      "q_semdedup_incr",
+      Some("""
+        WITH v AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+        ), nw AS (SELECT * FROM v WHERE vec_id % 25 = 0),
+        corp AS (SELECT * FROM v WHERE vec_id % 25 <> 0),
+        m AS (
+          SELECT nw.vec_id AS new_id, corp.vec_id AS dup_of,
+                 list_dot_product(nw.e, corp.e) /
+                 (sqrt(list_dot_product(nw.e, nw.e)) *
+                  sqrt(list_dot_product(corp.e, corp.e))) AS cosr,
+                 row_number() OVER (PARTITION BY nw.vec_id
+                   ORDER BY list_dot_product(nw.e, corp.e) /
+                     (sqrt(list_dot_product(nw.e, nw.e)) *
+                      sqrt(list_dot_product(corp.e, corp.e))) DESC,
+                     corp.vec_id) AS rk
+          FROM nw JOIN corp ON nw.label = corp.label
+          WHERE list_dot_product(nw.e, corp.e) /
+                (sqrt(list_dot_product(nw.e, nw.e)) *
+                 sqrt(list_dot_product(corp.e, corp.e))) >= 0.3
+        ), best AS (
+          SELECT new_id, dup_of, round(cosr, 6) AS cos
+          FROM m WHERE rk = 1
+        )
+        SELECT nw.vec_id AS new_id, nw.label,
+               best.dup_of IS NOT NULL AS is_dup, best.dup_of, best.cos
+        FROM nw LEFT JOIN best ON nw.vec_id = best.new_id
+        ORDER BY new_id
+      """.trim),
+      "X72 incremental SemDeDup: new batch vs corpus, best match or novel")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.Similarity
+        val emb = table(spark, dir, "embeddings")
+        Similarity.incrementalSemDedup(
+            emb.filter($"vec_id" % 25 === 0),
+            emb.filter($"vec_id" % 25 =!= 0),
+            "vec_id", "embedding", "label", tau = 0.3)
+          .orderBy($"new_id")
+      }),
+
     // X67: SemDeDup — cluster-scoped embedding dedup (pairs only
     // WITHIN each cluster, components, min-id keeper). The cluster
     // equi-join caps the quadratic term at Σ_c n_c² (the paper's

@@ -150,6 +150,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Seq((2L, 0, 6.0, 1), (0L, 0, 3.0, 2), (1L, 0, 3.0, 3)))
   }
 
+  test("incrementalSemDedup: best corpus match per new vector, " +
+    "cluster-scoped, corpus never self-paired") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (10L, Array(1f, 0f), 0), (11L, Array(2f, 0f), 0), // parallel pair
+      (12L, Array(0f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val batch = Seq(
+      (1L, Array(3f, 0f), 0),  // cos 1 with BOTH 10 and 11 → tie → 10
+      (2L, Array(1f, 0f), 1),  // parallel to 10/11 but cluster 1 → novel
+      (3L, Array(0f, 2f), 1)   // matches 12
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.incrementalSemDedup(batch, corpus,
+        "vec_id", "embedding", "label", tau = 0.9)
+      .orderBy($"new_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    // corpus pair (10, 11) never appears — only new-vs-corpus rows
+    assert(got == Seq((1L, true, 10L), (2L, false, -1L), (3L, true, 12L)))
+  }
+
   test("semDedup: pairs stay within clusters, components roll up, " +
     "singletons kept") {
     val s = spark
