@@ -329,6 +329,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"band hash not visible in the final stage:\n${p.take(1500)}")
   }
 
+  test("q_semdedup_incr: cluster+block equi-join; the only nested loop " +
+    "is the tiny block dimension") {
+    val p = plan("q_semdedup_incr")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // new×blocks replication is a broadcast NLJ against an 8-row
+    // frame (allowed, like the probe-norm cross joins); the corpus
+    // join must be a real equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("q_embedding_outliers: centroids broadcast back, partial aggs, " +
     "top-k has no global sort") {
     val p = plan("q_embedding_outliers")
