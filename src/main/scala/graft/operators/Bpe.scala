@@ -1,0 +1,123 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training (Sennrich et al. 2016) over a
+  * distributed corpus — the step after [[CorpusOps.charPairCounts]]'
+  * diagnostic: actually LEARN the merge table a tokenizer would use.
+  *
+  * Architecture (the standard production shape, as in the HuggingFace
+  * trainers): the corpus collapses to its WORD-FREQUENCY table with
+  * one distributed aggregate — vocabulary-sized, not corpus-sized —
+  * and the inherently sequential merge loop (each merge changes the
+  * tokenization the next merge counts) runs driver-side over that
+  * compacted table. 100 TB of text with a 10M-word vocabulary is a
+  * 10M-row driver table; the corpus itself is touched exactly once.
+  * `maxVocab` guards the collect loudly.
+  *
+  * Merge selection is deterministic: highest weighted pair count,
+  * ties by the (left, right) symbol pair lexicographically — so the
+  * learned table reproduces bit-for-bit across runs and engines.
+  *
+  * Words are whitespace tokens tokenized to characters; merges never
+  * cross word boundaries (the BPE convention, matching
+  * [[CorpusOps.charPairCounts]]).
+  */
+object Bpe {
+
+  /** One learned merge: rank (0-based), the two symbols joined, and
+    * the weighted occurrence count that won the rank.
+    */
+  final case class Merge(rank: Int, left: String, right: String,
+      count: Long)
+
+  /** Learn `numMerges` BPE merges from the corpus. Returns the merge
+    * table in rank order (possibly shorter than `numMerges` when the
+    * corpus runs out of repeated pairs).
+    */
+  def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Int = 10000000): Seq[Merge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordCounts = docs
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+    val total = wordCounts.limit(maxVocab + 1).count()
+    require(total <= maxVocab,
+      s"word vocabulary exceeds maxVocab=$maxVocab — raise the cap " +
+        "or pre-filter the corpus")
+    val words: Array[(Array[String], Long)] = wordCounts
+      .as[(String, Long)].collect()
+      .map { case (w, n) => (w.map(_.toString).toArray, n) }
+    trainOnWordTable(words, numMerges)
+  }
+
+  /** The sequential merge loop over an in-memory word table —
+    * factored out so specs can drive hand-built tables directly.
+    */
+  private[operators] def trainOnWordTable(
+      table: Array[(Array[String], Long)], numMerges: Int): Seq[Merge] = {
+    var words = table
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    while (rank < numMerges) {
+      val pairCounts = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) return merges.toSeq
+      val ((l, r), c) = pairCounts.minBy { case ((a, b), n) =>
+        (-n, a, b) // count desc, then pair lexicographic — deterministic
+      }
+      if (c < 2) return merges.toSeq // nothing repeats; stop learning
+      merges += Merge(rank, l, r, c)
+      val joined = l + r
+      words = words.map { case (syms, n) =>
+        if (syms.length < 2) (syms, n)
+        else {
+          val out = mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += joined; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, n)
+        }
+      }
+      rank += 1
+    }
+    merges.toSeq
+  }
+
+  /** Tokenize a word with a learned merge table: start from
+    * characters, apply merges in rank order (each exhaustively,
+    * left-to-right — the same scan as training, so training's own
+    * words round-trip to their trained segmentation).
+    */
+  def encodeWord(word: String, merges: Seq[Merge]): Seq[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    merges.foreach { m =>
+      if (syms.length >= 2) {
+        val out = mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == m.left &&
+              syms(i + 1) == m.right) {
+            out += m.left + m.right; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+    }
+    syms.toSeq
+  }
+}

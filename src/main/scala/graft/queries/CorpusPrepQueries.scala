@@ -428,6 +428,25 @@ object CorpusPrepQueries {
           .orderBy($"lang")
       }),
 
+    // X73: learned BPE merge table — the corpus collapses to its
+    // word-frequency table (one distributed aggregate), the
+    // inherently sequential merge loop runs driver-side over that
+    // vocabulary-sized table (the standard trainer shape). The loop
+    // is not SQL-expressible → rows-only driver check; the merge
+    // math is spec-verified against hand-computed sequences (BpeSpec).
+    QueryDef(
+      "q_bpe_merges",
+      None,
+      "X73 first 20 learned BPE merges over the corpus word table")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Bpe.trainMerges(
+            table(spark, dir, "documents"), "text", numMerges = 20)
+          .toDF()
+          .select($"rank", $"left", $"right", $"count")
+          .orderBy($"rank")
+      }),
+
     // X64: within-word adjacent character-pair counts — the BPE seed
     // statistic (the tokenizer's first merge is the top pair). Pure
     // integer counts over exact substrings; top-30 with ties on the
