@@ -208,4 +208,85 @@ class OperatorPropertiesSpec extends AnyFunSuite with PropertyHarness {
           s"\nnaive-only: ${naive.keySet -- inc.keySet}")
     }
   }
+
+  // -------- X69 leak-proof split: bands partition, clusters cohere
+
+  private val splitGen: Gen[(Int, Double, Double)] = for {
+    nDocs <- Gen.choose(20, 120)
+    f1 <- Gen.choose(0.2, 0.7)
+    f2 <- Gen.choose(0.1, (1.0 - 0.7) / 2 + 0.1)
+  } yield (nDocs, f1, f2)
+
+  test("property: leakProofSplit bands partition every doc; " +
+      "components always co-assign") {
+    val s = spark
+    import s.implicits._
+    forAllSampled(splitGen, n = 12) { case (nDocs, f1, f2) =>
+      val f3 = 1.0 - f1 - f2
+      val docs = (0L until nDocs.toLong).map(i => (i, s"d$i"))
+        .toDF("doc_id", "t")
+      // components: consecutive triples share a cluster root
+      val clusters = (0L until nDocs.toLong).map(i => (i, i / 3 * 3))
+        .toDF("doc_id", "cluster_id")
+      val got = CorpusOps.leakProofSplit(docs, "doc_id", clusters,
+          Seq("a" -> f1, "b" -> f2, "c" -> f3), salt = "p")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(got.length == nDocs) // total: every doc exactly once
+      assert(got.forall(g => Set("a", "b", "c")(g._3)))
+      // co-assignment: one split per cluster root
+      got.groupBy(_._2).foreach { case (root, members) =>
+        assert(members.map(_._3).toSet.size == 1,
+          s"cluster $root straddles: $members")
+      }
+    }
+  }
+
+  // -------- X70 MAD: translation invariance on random groups
+
+  private val madGen: Gen[List[(String, Long)]] = for {
+    n <- Gen.choose(4, 60)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("x", "y")
+      v <- Gen.choose(-1000L, 1000L)
+    } yield (g, v))
+  } yield rows
+
+  test("property: madOutliers flags are translation-invariant") {
+    val s = spark
+    import s.implicits._
+    forAllSampled(madGen, n = 12) { rows =>
+      val base = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v) }
+        .toDF("id", "g", "v")
+      val shifted = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v + 5000L) }
+        .toDF("id", "g", "v")
+      def flags(df: org.apache.spark.sql.DataFrame) =
+        Quantiles.madOutliers(df, "id", "g", "v", c = 3L)
+          .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+      assert(flags(base) == flags(shifted))
+    }
+  }
+
+  // -------- X71 next-token: probabilities partition each prev's mass
+
+  test("property: nextTokenStats at k=infinity sums each prev to total") {
+    val s = spark
+    import s.implicits._
+    forAllSampled(Gen.listOfN(6,
+        Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d"))), n = 8) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = InvertedIndex.nextTokenStats(df, "doc_id", "text",
+          k = Int.MaxValue)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      got.groupBy(_._1).foreach { case (prev, rows) =>
+        val total = rows.head._3
+        assert(rows.map(_._2).sum == total,
+          s"$prev: successor counts don't partition $total")
+        assert(rows.forall(_._3 == total))
+      }
+    }
+  }
 }
