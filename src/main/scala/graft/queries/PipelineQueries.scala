@@ -19,6 +19,77 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // X74: word error rate — the reference domain's evaluation
+    // metric. The hypothesis is synthesized deterministically from
+    // the reference text (drop every 7th word, substitute every 11th
+    // with 'zzz' — both engines build the identical pair), the Spark
+    // side runs the GENERAL word-level Levenshtein DP kernel, and the
+    // oracle reproduces the distance declaratively: each distinct
+    // word maps to one character by dense rank (identical ORDER BY
+    // in both engines), utterances collapse to strings, DuckDB's
+    // built-in levenshtein equals word-level edit distance. The
+    // DP == char-mapped equivalence is additionally spec-asserted
+    // on random corpora (WerSpec).
+    QueryDef(
+      "q_wer",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), refx AS (
+          SELECT doc_id, i AS pos, w[i] AS word
+          FROM toks, unnest(range(1, len(w) + 1)) AS r(i)
+        ), hypx AS (
+          SELECT doc_id, i AS pos,
+                 CASE WHEN i % 11 = 0 THEN 'zzz' ELSE w[i] END AS word
+          FROM toks, unnest(range(1, len(w) + 1)) AS r(i)
+          WHERE i % 7 <> 0
+        ), vocab AS (
+          SELECT word, row_number() OVER (ORDER BY word) + 32 AS code
+          FROM (SELECT word FROM refx UNION SELECT word FROM hypx)
+        ), rs AS (
+          SELECT r.doc_id, string_agg(chr(CAST(v.code AS INTEGER)), '' ORDER BY r.pos) AS s,
+                 count(*) AS n
+          FROM refx r JOIN vocab v USING (word) GROUP BY r.doc_id
+        ), hs AS (
+          SELECT h.doc_id, string_agg(chr(CAST(v.code AS INTEGER)), '' ORDER BY h.pos) AS s
+          FROM hypx h JOIN vocab v USING (word) GROUP BY h.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(coalesce(rs.n, 0) AS BIGINT) AS n_ref,
+               CAST(levenshtein(coalesce(rs.s, ''), coalesce(hs.s, ''))
+                    AS BIGINT) AS dist,
+               round(CAST(levenshtein(coalesce(rs.s, ''), coalesce(hs.s, ''))
+                     AS DOUBLE) / greatest(coalesce(rs.n, 0), 1), 6) AS wer
+        FROM toks t
+        LEFT JOIN rs ON t.doc_id = rs.doc_id
+        LEFT JOIN hs ON t.doc_id = hs.doc_id
+        ORDER BY t.doc_id
+      """.trim),
+      "X74 per-doc WER vs a deterministic corruption (drop 7th, sub 11th)")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.{Dedup, Wer}
+        val docs = table(spark, dir, "documents")
+        val toks = docs.select($"doc_id", Dedup.tokens($"text").as("w"))
+        val hyp = toks
+          .select($"doc_id", posexplode($"w").as(Seq("pos", "word")))
+          .filter(($"pos" + 1) % 7 =!= 0)
+          .select($"doc_id", $"pos",
+            when(($"pos" + 1) % 11 === 0, "zzz").otherwise($"word")
+              .as("word"))
+          .groupBy($"doc_id")
+          .agg(concat_ws(" ", array_sort(collect_list(
+            struct($"pos", $"word"))).getField("word")).as("hyp"))
+        val pairs = docs.select($"doc_id", $"text".as("ref"))
+          .join(hyp, Seq("doc_id"), "left")
+          .select($"doc_id", $"ref", coalesce($"hyp", lit("")).as("hyp"))
+        Wer.wordErrorRate(pairs, "doc_id", "ref", "hyp")
+          .orderBy($"doc_id")
+      }),
+
     // J1: LCS equal-run alignment of each doc's token stream against
     // a deterministic perturbation of itself (every 7th token
     // dropped) — the difflib-parity kernel under mapGroups, one
