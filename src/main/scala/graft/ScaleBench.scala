@@ -66,7 +66,8 @@ object ScaleBench {
       // TPC-H tables are copied unscaled
       "q_bm25", "q_span_clean", "q_vocab_coverage", "q_bpe_pairs",
       "q_embedding_outliers", "q_semdedup", "q_split_leakproof",
-      "q_mad_outliers", "q_next_token", "q_semdedup_incr")
+      "q_mad_outliers", "q_next_token", "q_semdedup_incr",
+      "q_bpe_merges", "q_wer")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

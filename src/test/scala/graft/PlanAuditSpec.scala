@@ -340,6 +340,12 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("q_wer: per-pair map after one window pass, no cartesian") {
+    val p = plan("q_wer")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("q_embedding_outliers: centroids broadcast back, partial aggs, " +
     "top-k has no global sort") {
     val p = plan("q_embedding_outliers")
