@@ -326,6 +326,51 @@ object CorpusPrepQueries {
           .orderBy($"doc_id")
       }),
 
+    // X75: CCNet-style corpus banding — every doc lands in a
+    // low/mid/high typicality tercile (ntile over the exact integer
+    // typicality ratio, ties on doc_id), the split CCNet makes on LM
+    // perplexity before choosing which band trains. Pure composition
+    // of X41's integer-exact signal + one deterministic window.
+    QueryDef(
+      "q_typicality_bands",
+      Some(s"""
+        WITH $toksCte, tc AS (
+          SELECT doc_id, t, count(*) AS tf
+          FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+          GROUP BY 1, 2
+        ), g AS (
+          SELECT t, CAST(sum(tf) AS BIGINT) AS cnt FROM tc GROUP BY 1
+        ), ty AS (
+          SELECT doc_id,
+            CAST(sum(tf) AS BIGINT) AS n_tokens,
+            CAST(sum(tf * cnt) AS BIGINT) AS mass
+          FROM tc JOIN g USING (t)
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, mass,
+               CASE ntile(3) OVER (ORDER BY CAST(mass AS DOUBLE) / n_tokens,
+                                   doc_id)
+                    WHEN 1 THEN 'low' WHEN 2 THEN 'mid'
+                    ELSE 'high' END AS band
+        FROM ty
+        ORDER BY doc_id
+      """.trim),
+      "X75 typicality terciles (the CCNet head/middle/tail split)")(
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val tc = graft.operators.InvertedIndex.termCounts(
+          table(spark, dir, "documents"), "doc_id", "text")
+        val w = Window.orderBy(
+          $"mass".cast("double") / $"n_tokens", $"doc_id")
+        graft.operators.InvertedIndex.tokenTypicality(tc, "doc_id")
+          .withColumn("band",
+            when(ntile(3).over(w) === 1, "low")
+              .when(ntile(3).over(w) === 2, "mid").otherwise("high"))
+          .select($"doc_id", $"n_tokens", $"mass", $"band")
+          .orderBy($"doc_id")
+      }),
+
     // X36: deterministic training-order shuffle — md5 shard + in-
     // shard rank, reproduced verbatim by the oracle.
     QueryDef(
