@@ -443,6 +443,51 @@ object CorpusOps {
       .select(col(docCol), key.as("cluster_id"), split.as("split"))
   }
 
+  /** Deterministic negative sampling for contrastive training: for
+    * every anchor, up to `k` pseudo-random negatives (rows with a
+    * DIFFERENT label), chosen with no RNG state — the md5 rank makes
+    * the sample reproducible across runs, engines, and resumed jobs
+    * (the property hashSample gives flat sampling, extended to
+    * per-anchor draws).
+    *
+    * Candidate generation is bucket-probed, never all-pairs: each row
+    * hashes into one of `buckets` buckets, each anchor probes
+    * `probes` pseudo-random buckets (md5 of anchor ‖ probe index), so
+    * the candidate join is an equi-join on the bucket id with
+    * ~probes/buckets of the corpus per anchor — the knobs trade
+    * negative-pool diversity against join width. An anchor receives
+    * fewer than `k` rows when its probed buckets run dry (raise
+    * `probes`).
+    *
+    * Output: (anchor_id, neg_id, rk), rk in 1..k by the md5 draw.
+    */
+  def negativeSample(vecs: DataFrame, idCol: String, labelCol: String,
+      k: Int, probes: Int = 4, buckets: Int = 64,
+      salt: String = ""): DataFrame = {
+    require(probes >= 1 && buckets >= probes,
+      s"need 1 <= probes <= buckets, got probes=$probes buckets=$buckets")
+    val cand = vecs.select(col(idCol).as("neg_id"),
+      col(labelCol).as("__nl"))
+      .withColumn("__b",
+        pmod(md5Band(col("neg_id").cast("string"), salt),
+          lit(buckets.toLong)))
+    val anchors = vecs.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("__al"))
+      .withColumn("__p", explode(array((0 until probes).map(i =>
+        pmod(md5Band(concat(col("anchor_id").cast("string"), lit("#"),
+          lit(i.toString)), salt), lit(buckets.toLong))): _*)))
+      .dropDuplicates("anchor_id", "__p") // two probes, same bucket
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(md5(concat(lit(salt), col("anchor_id").cast("string"),
+        lit("|"), col("neg_id").cast("string"))), col("neg_id"))
+    anchors.join(cand, col("__p") === col("__b"))
+      .filter(col("__nl") =!= col("__al") &&
+        col("anchor_id") =!= col("neg_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("anchor_id"), col("neg_id"), col("rk"))
+  }
+
   /** Per-group coverage of a fixed top-`vocabSize` token vocabulary —
     * the sizing query behind every tokenizer decision: "if the vocab
     * is the corpus's V most frequent tokens, what fraction of each

@@ -259,6 +259,51 @@ object SimilarityQueries {
           .orderBy($"label")
       }),
 
+    // X76: deterministic negative sampling — 5 different-label
+    // negatives per anchor from 4 probed buckets of 64, ranked by the
+    // md5 draw; RNG-free so the contrastive pairs reproduce across
+    // engines, runs, and resumed jobs.
+    QueryDef(
+      "q_negative_sample",
+      Some("""
+        WITH v AS (SELECT vec_id, label FROM embeddings),
+        cand AS (
+          SELECT vec_id AS neg_id, label AS nl,
+                 CAST(('0x' || substr(md5('neg' ||
+                   CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS b
+          FROM v
+        ), probes AS (
+          SELECT DISTINCT anchor_id, al, p FROM (
+            SELECT v.vec_id AS anchor_id, v.label AS al,
+                   CAST(('0x' || substr(md5('neg' ||
+                     CAST(v.vec_id AS VARCHAR) || '#' ||
+                     CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS p
+            FROM v, unnest(range(0, 4)) AS r(i))
+        ), j AS (
+          SELECT anchor_id, neg_id
+          FROM probes JOIN cand ON p = b
+          WHERE nl <> al AND anchor_id <> neg_id
+        ), ranked AS (
+          SELECT anchor_id, neg_id,
+                 row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY md5('neg' || CAST(anchor_id AS VARCHAR) ||
+                     '|' || CAST(neg_id AS VARCHAR)), neg_id) AS rk
+          FROM j
+        )
+        SELECT anchor_id, neg_id, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5
+        ORDER BY anchor_id, rk
+      """.trim),
+      "X76 5 deterministic different-label negatives per anchor")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.CorpusOps.negativeSample(
+            table(spark, dir, "embeddings"), "vec_id", "label",
+            k = 5, probes = 4, buckets = 64, salt = "neg")
+          .select($"anchor_id", $"neg_id", $"rk".cast("long").as("rk"))
+          .orderBy($"anchor_id", $"rk")
+      }),
+
     // X65: embedding outliers — top-20 vectors farthest (euclidean)
     // from their own label's centroid, the standard mislabel / OOD /
     // poisoning screen over an embedded corpus. Ranking is on the

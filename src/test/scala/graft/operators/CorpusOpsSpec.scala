@@ -251,6 +251,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("negativeSample: different labels only, deterministic, " +
+    "rank-contiguous, salt-sensitive") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 200L).map(i => (i, (i % 4).toInt))
+      .toDF("vec_id", "label")
+    def run(salt: String) =
+      CorpusOps.negativeSample(vecs, "vec_id", "label", k = 3,
+          probes = 8, buckets = 16, salt = salt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val got = run("s1")
+    val labels = vecs.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // negatives always carry a different label, never the anchor itself
+    got.foreach { case (a, n, _) =>
+      assert(a != n && labels(a) != labels(n), s"($a, $n)")
+    }
+    // ranks contiguous from 1 per anchor, at most k
+    got.groupBy(_._1).foreach { case (a, rows) =>
+      val rks = rows.map(_._3).sorted.toSeq
+      assert(rks == (1 to rks.length), s"anchor $a ranks $rks")
+      assert(rks.length <= 3)
+    }
+    // 8 probes of 16 buckets reach ~half the corpus — every anchor
+    // finds a full k here
+    assert(got.groupBy(_._1).size == 200)
+    // deterministic; different salt draws a different sample
+    assert(run("s1").toSeq == got.toSeq)
+    assert(run("s2").toSeq != got.toSeq)
+  }
+
   test("vocabCoverage: boundary tie resolves by token, exact OOV rates") {
     val s = spark
     import s.implicits._
