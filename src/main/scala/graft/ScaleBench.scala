@@ -67,7 +67,7 @@ object ScaleBench {
       "q_bm25", "q_span_clean", "q_vocab_coverage", "q_bpe_pairs",
       "q_embedding_outliers", "q_semdedup", "q_split_leakproof",
       "q_mad_outliers", "q_next_token", "q_semdedup_incr",
-      "q_bpe_merges", "q_wer")
+      "q_bpe_merges", "q_wer", "q_typicality_bands", "q_negative_sample")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
@@ -94,6 +94,17 @@ object ScaleBench {
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         Similarity.pqTopK(fixedProbes(emb), emb, "vec_id", "embedding",
           5, m = 16, ksub = 16, refine = 8)
+      }),
+      // negativeSample with buckets ∝ corpus (pool held at ~80 rows
+      // per probed bucket) — the operator's documented sizing rule;
+      // the contract query pins buckets=64 for the static oracle and
+      // therefore measures the n²·probes/buckets conflation instead
+      "scaled_negative_sample" -> ((s: SparkSession, dir: String) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val n = emb.count()
+        val buckets = math.max(64L, n / 78L).toInt
+        graft.operators.CorpusOps.negativeSample(emb, "vec_id", "label",
+          k = 5, probes = 4, buckets = buckets, salt = "neg")
       }))
 
     val all = contract.map(n => n -> SparkEntry.queries(n)) ++ fixed

@@ -454,10 +454,14 @@ object CorpusOps {
     * hashes into one of `buckets` buckets, each anchor probes
     * `probes` pseudo-random buckets (md5 of anchor ‖ probe index), so
     * the candidate join is an equi-join on the bucket id with
-    * ~probes/buckets of the corpus per anchor — the knobs trade
-    * negative-pool diversity against join width. An anchor receives
-    * fewer than `k` rows when its probed buckets run dry (raise
-    * `probes`).
+    * ~probes·n/buckets candidates per anchor. SIZE `buckets` WITH THE
+    * CORPUS: at fixed `buckets` total join width is Θ(n²·probes/
+    * buckets) — choose buckets ≈ n·probes/poolSize to hold the
+    * per-anchor pool (and total cost, Θ(n·poolSize)) constant as the
+    * corpus grows (measured: 10× corpus at fixed buckets=64 ran
+    * ~80× slower; buckets scaled 10× restored the linear trend —
+    * SCALING.md). An anchor receives fewer than `k` rows when its
+    * probed buckets run dry (raise `probes`).
     *
     * Output: (anchor_id, neg_id, rk), rk in 1..k by the md5 draw.
     */

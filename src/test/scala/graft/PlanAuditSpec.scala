@@ -340,6 +340,21 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("q_negative_sample: bucket equi-join, no cartesian, one window") {
+    val p = plan("q_negative_sample")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q_typicality_bands: map-side-combined index aggs feed the window") {
+    val p = plan("q_typicality_bands")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "term aggregation lost map-side combine")
+  }
+
   test("q_wer: per-pair map after one window pass, no cartesian") {
     val p = plan("q_wer")
     assert(!p.contains("CartesianProduct"), p.take(1500))
