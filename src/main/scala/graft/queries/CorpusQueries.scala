@@ -18,6 +18,56 @@ object CorpusQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // X77: declarative data-quality constraint suite (the Deequ
+    // shape) — uniqueness/completeness/range/allowlist expectations
+    // in one shared scan, verdicts on the rounded metric so both
+    // engines agree bit-for-bit.
+    QueryDef(
+      "q_constraints",
+      Some("""
+        WITH s AS (
+          SELECT count(*) AS n,
+                 count(DISTINCT doc_id) AS u_doc,
+                 count(text) AS c_text,
+                 count(CASE WHEN n_chars BETWEEN 10 AND 5000
+                            THEN 1 END) AS c_range,
+                 count(CASE WHEN lang IN ('en','de','es','fr','zh')
+                            THEN 1 END) AS c_lang
+          FROM documents
+        )
+        SELECT * FROM (
+          SELECT 'doc_id_unique' AS check_name,
+                 round(CAST(u_doc AS DOUBLE) / n, 6) AS metric,
+                 1.0 AS threshold,
+                 round(CAST(u_doc AS DOUBLE) / n, 6) >= 1.0 AS passed
+          FROM s
+          UNION ALL
+          SELECT 'text_complete', round(CAST(c_text AS DOUBLE) / n, 6),
+                 1.0, round(CAST(c_text AS DOUBLE) / n, 6) >= 1.0 FROM s
+          UNION ALL
+          SELECT 'n_chars_range', round(CAST(c_range AS DOUBLE) / n, 6),
+                 0.99, round(CAST(c_range AS DOUBLE) / n, 6) >= 0.99 FROM s
+          UNION ALL
+          SELECT 'lang_allowed', round(CAST(c_lang AS DOUBLE) / n, 6),
+                 1.0, round(CAST(c_lang AS DOUBLE) / n, 6) >= 1.0 FROM s
+        )
+        ORDER BY check_name
+      """.trim),
+      "X77 Deequ-style constraint suite over documents, one scan")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.Constraints
+        import graft.operators.Constraints.{Complete, Satisfies, Unique}
+        Constraints.check(table(spark, dir, "documents"), Seq(
+            Unique("doc_id_unique", "doc_id"),
+            Complete("text_complete", "text"),
+            Satisfies("n_chars_range",
+              $"n_chars".between(10, 5000), 0.99),
+            Satisfies("lang_allowed",
+              $"lang".isin("en", "de", "es", "fr", "zh"), 1.0)))
+          .orderBy($"check_name")
+      }),
+
     // Multimodal audio path with an EXACT oracle: per doc, synthesize
     // a 24-bit STEREO wav container holding the deterministic signal
     // v(i) = (i·31+7) mod 201 − 100 (n_chars samples, both channels
