@@ -67,7 +67,8 @@ object ScaleBench {
       "q_bm25", "q_span_clean", "q_vocab_coverage", "q_bpe_pairs",
       "q_embedding_outliers", "q_semdedup", "q_split_leakproof",
       "q_mad_outliers", "q_next_token", "q_semdedup_incr",
-      "q_bpe_merges", "q_wer", "q_typicality_bands", "q_negative_sample")
+      "q_bpe_merges", "q_wer", "q_typicality_bands", "q_negative_sample",
+      "q_constraints")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
