@@ -45,13 +45,15 @@ object Bpe {
     val wordCounts = docs
       .select(explode(Dedup.tokens(col(textCol))).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("n"))
-    val total = wordCounts.limit(maxVocab + 1).count()
-    require(total <= maxVocab,
+    // guard and collect in ONE corpus pass: pulling maxVocab+1 rows
+    // bounds driver memory exactly like a separate count would, and
+    // an over-cap vocabulary still fails loudly before training
+    val rows = wordCounts.limit(maxVocab + 1).as[(String, Long)].collect()
+    require(rows.length <= maxVocab,
       s"word vocabulary exceeds maxVocab=$maxVocab — raise the cap " +
         "or pre-filter the corpus")
-    val words: Array[(Array[String], Long)] = wordCounts
-      .as[(String, Long)].collect()
-      .map { case (w, n) => (w.map(_.toString).toArray, n) }
+    val words: Array[(Array[String], Long)] =
+      rows.map { case (w, n) => (w.map(_.toString).toArray, n) }
     trainOnWordTable(words, numMerges)
   }
 

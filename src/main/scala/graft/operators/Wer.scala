@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Word error rate — THE evaluation metric of the reference's domain
@@ -65,9 +64,13 @@ object Wer {
     val dist = udf { (ref: Seq[String], hyp: Seq[String]) =>
       editDistance(ref.toIndexedSeq, hyp.toIndexedSeq)
     }
+    // null text tokenizes to an EMPTY sequence (same convention as
+    // charMappedWer's left joins) rather than a null that NPEs the
+    // kernel
+    val empty = array().cast("array<string>")
     pairs.select(col(idCol),
-      Dedup.tokens(col(refCol)).as("__r"),
-      Dedup.tokens(col(hypCol)).as("__h"))
+      coalesce(Dedup.tokens(col(refCol)), empty).as("__r"),
+      coalesce(Dedup.tokens(col(hypCol)), empty).as("__h"))
       .withColumn("n_ref", size(col("__r")).cast("long"))
       .withColumn("dist", dist(col("__r"), col("__h")).cast("long"))
       .select(col(idCol), col("n_ref"), col("dist"),
@@ -80,24 +83,37 @@ object Wer {
     * one character by dense rank, collapse utterances to strings,
     * apply the built-in `levenshtein`. Distance-equal to
     * [[wordErrorRate]] whenever the combined vocabulary fits
-    * `maxVocab` characters (guarded loudly). Characters start at 33
-    * (past controls/space); the ceiling is ~200 because Spark's
-    * `chr` wraps at 256 — this is the small-vocabulary twin that
-    * powers the exact cross-engine oracle, NOT the general path
-    * (that's the DP kernel above).
+    * `maxVocab` characters (guarded loudly). Characters are the
+    * single-byte printable ASCII range 33..126 — a HARD ceiling of
+    * 94: several SQL engines (DuckDB included) implement levenshtein
+    * over BYTES, so any symbol past 127 becomes 2-byte UTF-8 and the
+    * byte distance silently diverges from the character distance
+    * (measured: DuckDB levenshtein(chr(65), chr(201)) = 2). This is
+    * the small-vocabulary twin that powers the exact cross-engine
+    * oracle, NOT the general path (that's the DP kernel above).
     */
   def charMappedWer(pairs: DataFrame, idCol: String, refCol: String,
-      hypCol: String, maxVocab: Int = 200): DataFrame = {
+      hypCol: String, maxVocab: Int = 94): DataFrame = {
+    require(maxVocab >= 1 && maxVocab <= 94,
+      s"maxVocab=$maxVocab outside 1..94 — codes must stay single-byte " +
+        "ASCII or byte-based SQL levenshtein implementations diverge")
     val both = pairs.select(col(idCol), Dedup.tokens(col(refCol)).as("__r"),
       Dedup.tokens(col(hypCol)).as("__h"))
-    val vocab = both
+    // one pass for guard AND mapping: the distinct vocabulary is
+    // <= maxVocab+1 rows, so collect it once instead of running the
+    // corpus-wide distinct aggregate twice (count + join)
+    val spark = pairs.sparkSession
+    val words = both
       .select(explode(concat(col("__r"), col("__h"))).as("w")).distinct()
-      .withColumn("code",
-        row_number().over(Window.orderBy(col("w"))) + lit(32))
-    val n = vocab.limit(maxVocab + 1).count()
-    require(n <= maxVocab,
+      .orderBy(col("w"))
+      .limit(maxVocab + 1)
+      .collect().map(_.getString(0))
+    require(words.length <= maxVocab,
       s"combined vocabulary exceeds maxVocab=$maxVocab characters — " +
         "use wordErrorRate (the DP path) instead")
+    import spark.implicits._
+    val vocab = words.zipWithIndex
+      .map { case (w, i) => (w, i + 33) }.toSeq.toDF("w", "code")
     def mapped(side: String) = both
       .select(col(idCol), posexplode(col(s"__$side")).as(Seq("pos", "w")))
       .join(broadcast(vocab), "w")

@@ -27,7 +27,11 @@ object PipelineQueries {
     // oracle reproduces the distance declaratively: each distinct
     // word maps to one character by dense rank (identical ORDER BY
     // in both engines), utterances collapse to strings, DuckDB's
-    // built-in levenshtein equals word-level edit distance. The
+    // built-in levenshtein equals word-level edit distance. VALID
+    // because this corpus's vocabulary (31 words + 'zzz') keeps every
+    // code inside single-byte ASCII (33..126) — DuckDB's levenshtein
+    // counts BYTES, so a vocabulary past 94 words would need the DP
+    // path on both sides (see Wer.charMappedWer's hard cap). The
     // DP == char-mapped equivalence is additionally spec-asserted
     // on random corpora (WerSpec).
     QueryDef(

@@ -65,7 +65,7 @@ class WerSpec extends AnyFunSuite with PropertyHarness {
     }
   }
 
-  test("charMappedWer: vocabulary cap trips loudly") {
+  test("charMappedWer: vocabulary cap trips loudly, ASCII bound enforced") {
     val s = spark
     import s.implicits._
     val pairs = Seq((1L, "u v w x", "y z")).toDF("id", "ref", "hyp")
@@ -73,5 +73,26 @@ class WerSpec extends AnyFunSuite with PropertyHarness {
       Wer.charMappedWer(pairs, "id", "ref", "hyp", maxVocab = 3)
     }
     assert(e.getMessage.contains("maxVocab"))
+    // codes past single-byte ASCII would silently diverge on
+    // byte-based SQL levenshtein implementations — hard-capped
+    val e2 = intercept[IllegalArgumentException] {
+      Wer.charMappedWer(pairs, "id", "ref", "hyp", maxVocab = 200)
+    }
+    assert(e2.getMessage.contains("single-byte"))
+  }
+
+  test("wordErrorRate: null text behaves as empty (charMapped parity)") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(
+      (1L, Option("a b"), Option.empty[String]),
+      (2L, Option.empty[String], Option("x")),
+      (3L, Option.empty[String], Option.empty[String])
+    ).toDF("id", "ref", "hyp")
+    val got = Wer.wordErrorRate(pairs, "id", "ref", "hyp")
+      .orderBy($"id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 1.0), (2L, 0L, 1L, 1.0),
+      (3L, 0L, 0L, 0.0)))
   }
 }
