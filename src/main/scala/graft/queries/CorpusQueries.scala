@@ -8,7 +8,8 @@ import graft.sources.Sources
 
 /** Corpus-preparation contract queries (training-data pipeline
   * operators beyond the reference surface): deterministic content
-  * sampling and token-budget sharding over `documents`.
+  * sampling, token-budget sharding, and the declarative data-quality
+  * constraint suite over `documents`.
   */
 object CorpusQueries {
 

@@ -94,6 +94,66 @@ object PipelineQueries {
           .orderBy($"doc_id")
       }),
 
+    // X74b: character error rate — WER's sibling metric (ASR reports
+    // both). Ref vs the SAME deterministic corruption as q_wer,
+    // scored by the built-in levenshtein on the raw strings. VALID
+    // cross-engine because this corpus is pure ASCII (byte distance
+    // == character distance in DuckDB's byte-based levenshtein); a
+    // non-ASCII corpus needs a codepoint-consistent kernel on both
+    // sides, as with Wer.charMappedWer's cap.
+    QueryDef(
+      "q_cer",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), hyp AS (
+          SELECT doc_id,
+                 coalesce(string_agg(
+                   CASE WHEN i % 11 = 0 THEN 'zzz' ELSE w[i] END,
+                   ' ' ORDER BY i) FILTER (WHERE i % 7 <> 0), '') AS h
+          FROM toks, unnest(range(1, len(w) + 1)) AS r(i)
+          GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(length(array_to_string(t.w, ' ')) AS BIGINT)
+                 AS n_ref_chars,
+               CAST(levenshtein(array_to_string(t.w, ' '),
+                                coalesce(h.h, '')) AS BIGINT) AS dist,
+               round(CAST(levenshtein(array_to_string(t.w, ' '),
+                     coalesce(h.h, '')) AS DOUBLE) /
+                     greatest(length(array_to_string(t.w, ' ')), 1), 6)
+                 AS cer
+        FROM toks t LEFT JOIN hyp h ON t.doc_id = h.doc_id
+        ORDER BY t.doc_id
+      """.trim),
+      "X74b per-doc CER vs the q_wer corruption (built-in levenshtein)")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.Dedup
+        val docs = table(spark, dir, "documents")
+        val toks = docs.select($"doc_id", Dedup.tokens($"text").as("w"))
+        val hyp = toks
+          .select($"doc_id", posexplode($"w").as(Seq("pos", "word")))
+          .filter(($"pos" + 1) % 7 =!= 0)
+          .select($"doc_id", $"pos",
+            when(($"pos" + 1) % 11 === 0, "zzz").otherwise($"word")
+              .as("word"))
+          .groupBy($"doc_id")
+          .agg(concat_ws(" ", array_sort(collect_list(
+            struct($"pos", $"word"))).getField("word")).as("h"))
+        toks.join(hyp, Seq("doc_id"), "left")
+          .select($"doc_id",
+            length(array_join($"w", " ")).cast("long").as("n_ref_chars"),
+            levenshtein(array_join($"w", " "), coalesce($"h", lit("")))
+              .cast("long").as("dist"))
+          .withColumn("cer",
+            round($"dist" / greatest($"n_ref_chars", lit(1L)), 6))
+          .orderBy($"doc_id")
+      }),
+
     // J1: LCS equal-run alignment of each doc's token stream against
     // a deterministic perturbation of itself (every 7th token
     // dropped) — the difflib-parity kernel under mapGroups, one
