@@ -68,7 +68,7 @@ object ScaleBench {
       "q_embedding_outliers", "q_semdedup", "q_split_leakproof",
       "q_mad_outliers", "q_next_token", "q_semdedup_incr",
       "q_bpe_merges", "q_wer", "q_typicality_bands", "q_negative_sample",
-      "q_constraints")
+      "q_constraints", "q_cer")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
