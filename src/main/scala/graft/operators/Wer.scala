@@ -97,8 +97,15 @@ object Wer {
     require(maxVocab >= 1 && maxVocab <= 94,
       s"maxVocab=$maxVocab outside 1..94 — codes must stay single-byte " +
         "ASCII or byte-based SQL levenshtein implementations diverge")
-    val both = pairs.select(col(idCol), Dedup.tokens(col(refCol)).as("__r"),
-      Dedup.tokens(col(hypCol)).as("__h"))
+    // null text tokenizes to an EMPTY sequence, exactly as in
+    // wordErrorRate — otherwise concat(__r, __h) is null for the row
+    // and the non-null side's words never reach the vocabulary, so
+    // mapped()'s inner join drops them and dist collapses to 0 where
+    // the DP path reports the insertion count
+    val emptyArr = array().cast("array<string>")
+    val both = pairs.select(col(idCol),
+      coalesce(Dedup.tokens(col(refCol)), emptyArr).as("__r"),
+      coalesce(Dedup.tokens(col(hypCol)), emptyArr).as("__h"))
     // one pass for guard AND mapping: the distinct vocabulary is
     // <= maxVocab+1 rows, so collect it once instead of running the
     // corpus-wide distinct aggregate twice (count + join)

@@ -81,7 +81,7 @@ class WerSpec extends AnyFunSuite with PropertyHarness {
     assert(e2.getMessage.contains("single-byte"))
   }
 
-  test("wordErrorRate: null text behaves as empty (charMapped parity)") {
+  test("null text behaves as empty on BOTH paths (DP == charMapped)") {
     val s = spark
     import s.implicits._
     val pairs = Seq(
@@ -89,10 +89,18 @@ class WerSpec extends AnyFunSuite with PropertyHarness {
       (2L, Option.empty[String], Option("x")),
       (3L, Option.empty[String], Option.empty[String])
     ).toDF("id", "ref", "hyp")
-    val got = Wer.wordErrorRate(pairs, "id", "ref", "hyp")
+    val expected = Seq((1L, 2L, 2L, 1.0), (2L, 0L, 1L, 1.0),
+      (3L, 0L, 0L, 0.0))
+    val dp = Wer.wordErrorRate(pairs, "id", "ref", "hyp")
       .orderBy($"id")
       .as[(Long, Long, Long, Double)].collect().toSeq
-    assert(got == Seq((1L, 2L, 2L, 1.0), (2L, 0L, 1L, 1.0),
-      (3L, 0L, 0L, 0.0)))
+    assert(dp == expected)
+    // the mapped path must not drop the non-null side's words: a null
+    // concat(__r, __h) would keep them out of the vocabulary and the
+    // inner join would collapse dist to 0 where DP reports insertions
+    val cm = Wer.charMappedWer(pairs, "id", "ref", "hyp")
+      .orderBy($"id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(cm == expected)
   }
 }
