@@ -39,7 +39,7 @@ object Bpe {
     * corpus runs out of repeated pairs).
     */
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
-      maxVocab: Int = 10000000): Seq[Merge] = {
+      maxVocab: Int = 1000000): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val wordCounts = docs

@@ -68,7 +68,10 @@ object Quantiles {
       }
       // target rank is guaranteed inside [lo, hi], so a bucket matched
       lo = lo + chosen * width
-      hi = math.min(hi, lo + width - 1)
+      // clamp IN BigInt: lo + width − 1 wraps negative when lo sits
+      // near Long.MaxValue (width can overshoot the window span by up
+      // to fanout−1), making hi < lo and exiting unconverged
+      hi = (BigInt(lo) + width - 1).min(BigInt(hi)).toLong
     }
     lo
   }
@@ -149,7 +152,10 @@ object Quantiles {
             else acc += c
           }
           val newLo = lo + chosen * width
-          g -> (newLo, math.min(hi, newLo + width - 1), newTarget)
+          // same BigInt clamp as exactQuantile: newLo + width − 1 can
+          // wrap for windows ending near Long.MaxValue
+          g -> (newLo, (BigInt(newLo) + width - 1).min(BigInt(hi)).toLong,
+            newTarget)
       }
     }
     val out = state.toSeq.map { case (g, (lo, _, _)) => (g, lo) }
@@ -187,13 +193,19 @@ object Quantiles {
     */
   def madOutliers(df: DataFrame, idCol: String, groupCol: String,
       valueCol: String, c: Long = 3L): DataFrame = {
+    // join back with <=> — exactQuantileByGroup deliberately supports
+    // a null group key, so the stat joins must not silently drop it
+    // the way a Seq(groupCol) equi-join would
     val med = exactQuantileByGroup(df, groupCol, valueCol, q = 0.5)
       .withColumnRenamed("quantile", "med")
-    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__qg")
+    val dev = df.join(broadcast(med), col(groupCol) <=> col("__qg"))
+      .drop("__qg")
       .withColumn("__dev", abs(col(valueCol) - col("med")))
     val mad = exactQuantileByGroup(dev, groupCol, "__dev", q = 0.5)
       .withColumnRenamed("quantile", "mad")
-    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__qg")
+    dev.join(broadcast(mad), col(groupCol) <=> col("__qg"))
       .select(col(idCol), col(groupCol), col(valueCol),
         col("med"), col("mad"),
         (col("__dev") > lit(c) * col("mad")).as("is_outlier"))

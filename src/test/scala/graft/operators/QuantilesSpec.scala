@@ -39,6 +39,17 @@ class QuantilesSpec extends AnyFunSuite with graft.PropertyHarness {
     assert(Quantiles.exactQuantile(dup.toDF("v"), "v", 1.0) == 9L)
     val wide = Seq(Long.MinValue / 2, 0L, Long.MaxValue / 2)
     assert(Quantiles.exactQuantile(wide.toDF("v"), "v", 0.5) == 0L)
+    // windows ending at Long.MaxValue: lo + width − 1 used to wrap
+    // negative (hi < lo), exiting the loop unconverged with a wrong
+    // answer — the BigInt clamp keeps hi pinned at the true window end
+    val top = Seq(10L, Long.MaxValue - 1, Long.MaxValue)
+    assert(Quantiles.exactQuantile(top.toDF("v"), "v", 1.0)
+      == Long.MaxValue)
+    assert(Quantiles.exactQuantile(top.toDF("v"), "v", 0.6)
+      == Long.MaxValue - 1)
+    val gTop = Seq(("g", 10L), ("g", Long.MaxValue)).toDF("g", "v")
+    assert(Quantiles.exactQuantileByGroup(gTop, "g", "v", 1.0)
+      .collect().head.getLong(1) == Long.MaxValue)
   }
 
   test("grouped: every group matches its own local sorted definition") {
@@ -94,5 +105,24 @@ class QuantilesSpec extends AnyFunSuite with graft.PropertyHarness {
       (1L, 2L, 1L, false), (2L, 2L, 1L, false), (3L, 2L, 1L, false),
       (4L, 2L, 1L, true),
       (5L, 5L, 0L, false), (6L, 5L, 0L, false), (7L, 5L, 0L, true)))
+  }
+
+  test("madOutliers: null group key kept (null-safe stat joins)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Option("a"), 1L), (2L, Option("a"), 2L),
+      (3L, Option.empty[String], 10L), (4L, Option.empty[String], 10L),
+      (5L, Option.empty[String], 500L)
+    ).toDF("id", "g", "v")
+    val got = Quantiles.madOutliers(df, "id", "g", "v", c = 3L)
+      .orderBy($"id").collect()
+    assert(got.length == 5, "null-group rows must survive the joins")
+    // null group: med 10, devs {0,0,490} → mad 0 → 500 flags
+    val nullRows = got.filter(_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toSeq
+    assert(nullRows == Seq(
+      (3L, 10L, 0L, false), (4L, 10L, 0L, false), (5L, 10L, 0L, true)))
   }
 }
