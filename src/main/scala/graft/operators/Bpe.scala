@@ -100,6 +100,45 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Corpus-scale encode — the tokenize-the-corpus step after
+    * [[trainMerges]]: apply the learned merge table to every document.
+    *
+    * Pure scan shape: the merge table rides the task closure
+    * (merge-count-sized), every row encodes independently — no
+    * shuffle, no join, embarrassingly parallel at any corpus size. A
+    * bounded per-executor memo caches distinct-word encodings, so in
+    * the common Zipfian corpus each vocabulary word pays the merge
+    * scan once per executor, not once per occurrence.
+    *
+    * Output: (idCol, n_tokens, enc_text) — n_tokens counts BPE
+    * symbols after merging, enc_text is every symbol space-joined in
+    * word order (null/empty text → 0, "").
+    */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val tableBc = merges.toIndexedSeq
+    val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    val enc = udf { toks: Seq[String] =>
+      val words = if (toks == null) Seq.empty[String] else toks
+      val parts = words.map { w =>
+        var got = memo.get(w)
+        if (got == null) {
+          got = encodeWord(w, tableBc).toArray
+          // cap the memo at ~1M entries: adversarial unique-word
+          // streams must not grow executor memory unboundedly
+          if (memo.size < (1 << 20)) memo.put(w, got)
+        }
+        got
+      }
+      (parts.iterator.map(_.length.toLong).sum,
+        parts.iterator.map(_.mkString(" ")).mkString(" "))
+    }
+    docs
+      .select(col(idCol), enc(Dedup.tokens(col(textCol))).as("__e"))
+      .select(col(idCol), col("__e._1").as("n_tokens"),
+        col("__e._2").as("enc_text"))
+  }
+
   /** Tokenize a word with a learned merge table: start from
     * characters, apply merges in rank order (each exhaustively,
     * left-to-right — the same scan as training, so training's own

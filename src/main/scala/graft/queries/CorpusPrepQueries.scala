@@ -46,6 +46,56 @@ object CorpusPrepQueries {
   val ChunkStride = 30
   val BatchBuckets = 4
   val BatchSize = 16
+
+  /** Shared DuckDB BPE trainer (X73/X78): a recursive CTE carries the
+    * word-frequency symbol table across merge ranks. Each recursive
+    * step (a) picks the best pair — weighted count desc, then (left,
+    * right) lexicographic, exactly `Bpe.trainMerges`' tie-break, with
+    * the same count>=2 stop — via an aggregate + ORDER BY/LIMIT in
+    * the recursive term, and (b) applies it to every word with a
+    * nested recursive left-to-right scan (leftmost occurrence,
+    * skip-after-merge), the same single-pass semantics as
+    * `Bpe.trainOnWordTable` (no new (l,r) pair can be created by a
+    * merge, so single-pass == exhaustive).
+    */
+  private val bpeStateCte = """
+        WITH RECURSIVE
+        vocab AS (
+          SELECT w, count(*) AS n FROM (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '')) AS w
+            FROM documents
+          ) GROUP BY w
+        ),
+        state(rank, w, n, syms) AS (
+          SELECT 0, w, n, string_split(w, '') FROM vocab
+          UNION ALL
+          (
+            WITH cur AS (SELECT * FROM state WHERE rank < 20),
+            best AS (
+              SELECT syms[i] AS bl, syms[i+1] AS br
+              FROM cur, unnest(range(1, len(syms))) AS u(i)
+              GROUP BY 1, 2
+              HAVING sum(n) >= 2
+              ORDER BY sum(n) DESC, 1, 2
+              LIMIT 1
+            )
+            SELECT cur.rank + 1, cur.w, cur.n,
+              (WITH RECURSIVE m(s, i) AS (
+                 SELECT CAST([] AS VARCHAR[]), 1
+                 UNION ALL
+                 SELECT CASE WHEN i < len(cur.syms) AND cur.syms[i] = b.bl
+                                  AND cur.syms[i+1] = b.br
+                             THEN list_append(s, b.bl || b.br)
+                             ELSE list_append(s, cur.syms[i]) END,
+                        CASE WHEN i < len(cur.syms) AND cur.syms[i] = b.bl
+                                  AND cur.syms[i+1] = b.br
+                             THEN i + 2 ELSE i + 1 END
+                 FROM m WHERE i <= len(cur.syms)
+               ) SELECT s FROM m ORDER BY i DESC LIMIT 1)
+            FROM cur, best b
+          )
+        )"""
   /** Per-source token budgets (budget × mix weight, precomputed so
     * both engines evaluate one division); unlisted sources drop.
     */
@@ -476,12 +526,25 @@ object CorpusPrepQueries {
     // X73: learned BPE merge table — the corpus collapses to its
     // word-frequency table (one distributed aggregate), the
     // inherently sequential merge loop runs driver-side over that
-    // vocabulary-sized table (the standard trainer shape). The loop
-    // is not SQL-expressible → rows-only driver check; the merge
-    // math is spec-verified against hand-computed sequences (BpeSpec).
+    // vocabulary-sized table (the standard trainer shape). The
+    // oracle replays the trainer EXACTLY in DuckDB: a recursive CTE
+    // carries the per-word symbol table across ranks, an aggregate +
+    // argmax in the recursive term picks each rank's pair (count
+    // desc, pair lexicographic — the Scala tie-break), and a nested
+    // recursive scan applies the merge left-to-right per word.
     QueryDef(
       "q_bpe_merges",
-      None,
+      Some(bpeStateCte + """
+        SELECT rank, bl AS "left", br AS "right", c AS "count" FROM (
+          SELECT rank, syms[i] AS bl, syms[i+1] AS br, sum(n) AS c,
+                 row_number() OVER (PARTITION BY rank
+                   ORDER BY sum(n) DESC, syms[i], syms[i+1]) AS rn
+          FROM state, unnest(range(1, len(syms))) AS u(i)
+          WHERE rank < 20
+          GROUP BY rank, 2, 3
+        ) WHERE rn = 1 AND c >= 2
+        ORDER BY rank
+      """.trim),
       "X73 first 20 learned BPE merges over the corpus word table")(
       (spark, dir) => {
         import spark.implicits._
@@ -490,6 +553,55 @@ object CorpusPrepQueries {
           .toDF()
           .select($"rank", $"left", $"right", $"count")
           .orderBy($"rank")
+      }),
+
+    // X78: corpus-scale BPE ENCODE — apply the trained merge table to
+    // every document (the actual tokenize-the-corpus step after X73).
+    // Spark side is a pure scan: the merge table rides the closure,
+    // no shuffle anywhere. The oracle trains the same table via the
+    // recursive-CTE trainer, takes each word's FINAL symbol split,
+    // and reassembles documents by token position.
+    QueryDef(
+      "q_bpe_encode",
+      Some(bpeStateCte + """,
+        final AS (
+          SELECT w, syms FROM (
+            SELECT w, syms,
+                   row_number() OVER (PARTITION BY w ORDER BY rank DESC) AS rn
+            FROM state
+          ) WHERE rn = 1
+        ),
+        toks AS (
+          SELECT doc_id, i, w[i] AS w
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS w
+                FROM documents),
+               unnest(range(1, len(w) + 1)) AS u(i)
+        ),
+        enc AS (
+          SELECT t.doc_id, t.i, array_to_string(f.syms, ' ') AS e,
+                 len(f.syms) AS k
+          FROM toks t JOIN final f ON t.w = f.w
+        ),
+        agg AS (
+          SELECT doc_id, sum(k) AS n_tokens,
+                 string_agg(e, ' ' ORDER BY i) AS enc_text
+          FROM enc GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.enc_text, '') AS enc_text
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
+      """.trim),
+      "X78 corpus BPE encode with the X73-trained merge table")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents")
+        val merges = graft.operators.Bpe.trainMerges(
+          docs, "text", numMerges = 20)
+        graft.operators.Bpe.encodeDocs(docs, "doc_id", "text", merges)
+          .orderBy($"doc_id")
       }),
 
     // X64: within-word adjacent character-pair counts — the BPE seed

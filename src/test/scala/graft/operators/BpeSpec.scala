@@ -43,6 +43,37 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.encodeWord("ba", merges) == Seq("b", "a"))
   }
 
+  test("encodeDocs: per-doc symbols match encodeWord; null/empty text; " +
+    "decode identity") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, Option("ab ab aaab")),
+      (2L, Option("AAB ba")),   // case-folds like Dedup.tokens
+      (3L, Option.empty[String]),
+      (4L, Option(""))
+    ).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 5)
+    val got = Bpe.encodeDocs(docs, "doc_id", "text", merges)
+      .orderBy($"doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    def enc(ws: String*) = {
+      val parts = ws.map(w => Bpe.encodeWord(w, merges))
+      (parts.map(_.size.toLong).sum, parts.map(_.mkString(" ")).mkString(" "))
+    }
+    val d1 = enc("ab", "ab", "aaab")
+    val d2 = enc("aab", "ba")
+    assert(got == Seq(
+      (1L, d1._1, d1._2),
+      (2L, d2._1, d2._2),
+      (3L, 0L, ""),
+      (4L, 0L, "")))
+    // decode identity: stripping the symbol separators reproduces the
+    // normalized text (merges only ever join adjacent symbols)
+    assert(got(0)._3.replace(" ", "") == "ababaaab")
+    assert(got(1)._3.replace(" ", "") == "aabba")
+  }
+
   test("trainMerges: maxVocab guard trips loudly") {
     val s = spark
     import s.implicits._
