@@ -97,9 +97,10 @@ object ScaleBench {
           5, m = 16, ksub = 16, refine = 8)
       }),
       // negativeSample with buckets ∝ corpus (pool held at ~80 rows
-      // per probed bucket) — the operator's documented sizing rule;
-      // the contract query pins buckets=64 for the static oracle and
-      // therefore measures the n²·probes/buckets conflation instead
+      // per probed bucket) — the operator's documented sizing rule.
+      // Since round 7 the contract query derives buckets the same way
+      // (from a corpus count), so the two regimes should now agree;
+      // this fixture stays as the direct-operator cross-check
       "scaled_negative_sample" -> ((s: SparkSession, dir: String) => {
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         val n = emb.count()

@@ -260,24 +260,32 @@ object SimilarityQueries {
       }),
 
     // X76: deterministic negative sampling — 5 different-label
-    // negatives per anchor from 4 probed buckets of 64, ranked by the
-    // md5 draw; RNG-free so the contrastive pairs reproduce across
-    // engines, runs, and resumed jobs.
+    // negatives per anchor from 4 probed buckets, ranked by the md5
+    // draw; RNG-free so the contrastive pairs reproduce across
+    // engines, runs, and resumed jobs. `buckets` derives from the
+    // corpus count by the operator's own sizing rule (max(64, n/78):
+    // ~80-row pool per probed bucket) — still deterministic (one
+    // count job), and the candidate-join cost stays Θ(n·pool) as the
+    // corpus grows instead of the Θ(n²·probes/buckets) a pinned
+    // bucket count degrades to.
     QueryDef(
       "q_negative_sample",
       Some("""
         WITH v AS (SELECT vec_id, label FROM embeddings),
+        nb AS (SELECT greatest(64, count(*) // 78) AS nbuck FROM v),
         cand AS (
           SELECT vec_id AS neg_id, label AS nl,
                  CAST(('0x' || substr(md5('neg' ||
-                   CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS b
+                   CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % (SELECT nbuck FROM nb) AS b
           FROM v
         ), probes AS (
           SELECT DISTINCT anchor_id, al, p FROM (
             SELECT v.vec_id AS anchor_id, v.label AS al,
                    CAST(('0x' || substr(md5('neg' ||
                      CAST(v.vec_id AS VARCHAR) || '#' ||
-                     CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS p
+                     CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % (SELECT nbuck FROM nb) AS p
             FROM v, unnest(range(0, 4)) AS r(i))
         ), j AS (
           SELECT anchor_id, neg_id
@@ -297,9 +305,13 @@ object SimilarityQueries {
       "X76 5 deterministic different-label negatives per anchor")(
       (spark, dir) => {
         import spark.implicits._
+        val emb = table(spark, dir, "embeddings")
+        // the operator's documented sizing rule: buckets ∝ corpus so
+        // each probed bucket holds a ~constant candidate pool
+        val buckets = math.max(64L, emb.count() / 78L).toInt
         graft.operators.CorpusOps.negativeSample(
-            table(spark, dir, "embeddings"), "vec_id", "label",
-            k = 5, probes = 4, buckets = 64, salt = "neg")
+            emb, "vec_id", "label",
+            k = 5, probes = 4, buckets = buckets, salt = "neg")
           .select($"anchor_id", $"neg_id", $"rk".cast("long").as("rk"))
           .orderBy($"anchor_id", $"rk")
       }),
