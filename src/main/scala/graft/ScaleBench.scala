@@ -68,7 +68,10 @@ object ScaleBench {
       "q_embedding_outliers", "q_semdedup", "q_split_leakproof",
       "q_mad_outliers", "q_next_token", "q_semdedup_incr",
       "q_bpe_merges", "q_wer", "q_typicality_bands", "q_negative_sample",
-      "q_constraints", "q_cer")
+      "q_constraints", "q_cer",
+      // r7 wave: any-offset substring dedup (gram-df join, Σ df²
+      // bound), corpus BPE encode (pure scan + driver-side trainer)
+      "q_span_clean_anyoffset", "q_bpe_encode")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

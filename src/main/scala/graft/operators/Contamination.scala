@@ -159,6 +159,67 @@ object Contamination {
     * corpora have near-unique spans and the join is effectively
     * linear.
     */
+  /** ARBITRARY-OFFSET exact-substring removal — the true form of the
+    * C4/RefinedWeb exact dedup step (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"), upgrading
+    * [[removeDuplicateSpans]]' slot-aligned approximation: a
+    * duplicated passage is cut wherever it starts, not only when the
+    * two copies happen to share slot alignment.
+    *
+    * Method (suffix-array semantics, inverted-index machinery): every
+    * OVERLAPPING k-gram with its start position; grams occurring in
+    * ≥ 2 distinct documents mark duplicated starts; a token is
+    * removed iff some duplicated gram covers it (∃ dup start in
+    * [pos−k+1, pos] — a per-doc range window, no explode). Any
+    * cross-doc duplicated run of length ≥ k has every internal gram
+    * duplicated, so exactly the maximal duplicated ranges (plus the
+    * standard ≤ k−1 gram-collision fringe) disappear, at any offset.
+    *
+    * Output: (docCol, n_tokens, n_removed, clean_md5) — clean_md5 =
+    * md5 of surviving tokens joined by single spaces in order
+    * (md5("") for empty/fully-cut docs).
+    *
+    * Scale shape: gram df is the inverted-index aggregate (Σ tokens,
+    * map-side combined, by-gram shuffle); duplicated starts are a
+    * SMALL table (duplicated coverage only) that AQE broadcast-joins
+    * back to the token stream, so the corpus-wide token shuffle
+    * happens ONCE — the coverage window and the per-doc reassembly
+    * share the same hash-by-doc exchange. Nothing is quadratic; the
+    * by-gram shuffle is the same Σ df² bound as [[flagContaminated]],
+    * near-linear at k ≥ 8 on natural text.
+    */
+  def removeDuplicateSpansAnyOffset(docs: DataFrame, docCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toks = docs.select(col(docCol),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "t")))
+    val grams = positionalNgrams(docs, docCol, textCol, k)
+    val dupg = grams.select(col(docCol), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > 1)
+      .select(col("g"))
+    val dupStarts = grams.join(dupg, Seq("g"))
+      .select(col(docCol), col("pos"), lit(1).as("__ds"))
+    val w = Window.partitionBy(col(docCol)).orderBy(col("pos"))
+      .rangeBetween(-(k - 1), 0)
+    val counted = toks
+      .join(dupStarts, Seq(docCol, "pos"), "left")
+      .withColumn("__cov", max(col("__ds")).over(w))
+      .groupBy(col(docCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__cov")).as("n_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("__cov").isNull,
+            struct(col("pos"), col("t"))))),
+          s => s("t")), " ")).as("clean_md5"))
+    docs.select(col(docCol)).distinct()
+      .join(counted, Seq(docCol), "left")
+      .select(col(docCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
   def removeDuplicateSpans(docs: DataFrame, docCol: String,
       textCol: String, spanLen: Int): DataFrame = {
     // `spans` (the slot-assembly shuffle) feeds two consumers and is

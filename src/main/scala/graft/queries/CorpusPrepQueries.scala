@@ -29,6 +29,9 @@ object CorpusPrepQueries {
   /** Aligned slot width for duplicate-span removal (X62). */
   val SpanLen = 8
 
+  /** Gram width for arbitrary-offset exact-substring removal (X79). */
+  val AnyOffsetK = 8
+
   /** Shared DuckDB prelude: tokens per doc (identical to
     * `Dedup.tokens`), k-gram assembly as in DedupQueries.shingleSql.
     */
@@ -483,6 +486,58 @@ object CorpusPrepQueries {
         import spark.implicits._
         Contamination.removeDuplicateSpans(
             table(spark, dir, "documents"), "doc_id", "text", SpanLen)
+          .orderBy($"doc_id")
+      }),
+
+    // X79: ARBITRARY-OFFSET exact-substring removal (Lee et al. 2021
+    // semantics) — the true form of the dedup X62 approximates with
+    // aligned slots: every overlapping 8-gram with its start
+    // position; grams in ≥ 2 distinct docs mark duplicated starts; a
+    // token is cut iff a duplicated gram covers it (range window, no
+    // explode); survivors reassemble. A passage duplicated mid-slot
+    // — invisible to X62 — disappears here at any offset.
+    QueryDef(
+      "q_span_clean_anyoffset",
+      Some(s"""
+        WITH $toksCte, grams AS (
+          SELECT doc_id, i - 1 AS s,
+                 array_to_string(w[i:i+${AnyOffsetK - 1}], ' ') AS g
+          FROM toks, unnest(range(1, len(w) - $AnyOffsetK + 2)) AS r(i)
+          WHERE len(w) >= $AnyOffsetK
+        ), dupg AS (
+          SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams)
+          GROUP BY g HAVING count(*) > 1
+        ), ds AS (
+          SELECT grams.doc_id, grams.s FROM grams JOIN dupg USING (g)
+        ), pos AS (
+          SELECT doc_id, i - 1 AS p, w[i] AS t
+          FROM toks, unnest(range(1, len(w) + 1)) AS r(i)
+        ), cov AS (
+          SELECT pos.doc_id, pos.p, pos.t,
+                 max(CASE WHEN ds.s IS NOT NULL THEN 1 END)
+                   OVER (PARTITION BY pos.doc_id ORDER BY pos.p
+                         RANGE BETWEEN ${AnyOffsetK - 1} PRECEDING
+                           AND CURRENT ROW) AS c
+          FROM pos LEFT JOIN ds
+            ON pos.doc_id = ds.doc_id AND pos.p = ds.s
+        ), agg AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 count(c) AS n_removed,
+                 md5(coalesce(string_agg(t, ' ' ORDER BY p)
+                                FILTER (WHERE c IS NULL), '')) AS clean_md5
+          FROM cov GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.n_removed, 0) AS n_removed,
+               coalesce(a.clean_md5, md5('')) AS clean_md5
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
+      """.trim),
+      "X79 arbitrary-offset exact-substring removal, md5 of cleaned text")(
+      (spark, dir) => {
+        import spark.implicits._
+        Contamination.removeDuplicateSpansAnyOffset(
+            table(spark, dir, "documents"), "doc_id", "text", AnyOffsetK)
           .orderBy($"doc_id")
       }),
 

@@ -361,6 +361,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("q_span_clean_anyoffset: gram equi-joins + partial df agg, " +
+    "no all-pairs, coverage window and reassembly share one exchange") {
+    val p = plan("q_span_clean_anyoffset")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("partial_count"), "gram df lost map-side combine")
+    // shuffle budget: ≤ 5 hash exchanges end to end — gram window ×2
+    // (symmetric subtrees; reused once AQE stops broadcasting the
+    // grams side at real scale), gram-df agg, the ONE coverage-window
+    // exchange that also feeds the per-doc reassembly aggregate, and
+    // the skinny docs.distinct reattach. A naive plan (repartition
+    // between window and reassembly, or a shuffled dupStarts join)
+    // exceeds this.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 5,
+      s"$exchanges doc/gram exchanges (expected <= 5):\n${p.take(2000)}")
+  }
+
   test("q_embedding_outliers: centroids broadcast back, partial aggs, " +
     "top-k has no global sort") {
     val p = plan("q_embedding_outliers")

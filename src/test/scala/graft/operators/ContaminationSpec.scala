@@ -185,4 +185,58 @@ class ContaminationSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 3L, 0L), (2L, 2L, 1L), (3L, 2L, 1L)))
   }
+
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("anyOffset: planted MID-SLOT duplicate removed (the X62 miss), " +
+    "exact survivors") {
+    val s = spark
+    import s.implicits._
+    // the duplicated 3-token passage "d1 d2 d3" starts at offset 2 in
+    // doc 1 and offset 0 in doc 2 — slot-aligned dedup at spanLen=3
+    // sees different slot texts and keeps both; any-offset cuts both
+    val corpus = docs(
+      1L -> "u1 u2 d1 d2 d3 u3",
+      2L -> "d1 d2 d3 v1 v2 v3")
+    val aligned = Contamination
+      .removeDuplicateSpans(corpus, "doc_id", "text", spanLen = 3)
+      .orderBy($"doc_id")
+      .select($"n_dropped").as[Long].collect().toSeq
+    assert(aligned == Seq(0L, 0L), "slot-aligned form misses the plant")
+    val got = Contamination
+      .removeDuplicateSpansAnyOffset(corpus, "doc_id", "text", k = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6L, 3L, md5hex("u1 u2 u3")),
+      (2L, 6L, 3L, md5hex("v1 v2 v3"))))
+  }
+
+  test("anyOffset: maximal run wider than k fully cut; within-doc " +
+    "repeats kept; short/empty docs total") {
+    val s = spark
+    import s.implicits._
+    val corpus = docs(
+      1L -> "a b c d e x1",     // run a..e (5 tokens) duplicated in 2
+      2L -> "y1 a b c d e",     // → every token of the run covered
+      3L -> "p q p q",          // within-doc repeat only → kept
+      4L -> "s t")              // shorter than k → no grams → kept
+    val got = Contamination
+      .removeDuplicateSpansAnyOffset(corpus, "doc_id", "text", k = 2)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6L, 5L, md5hex("x1")),
+      (2L, 6L, 5L, md5hex("y1")),
+      (3L, 4L, 0L, md5hex("p q p q")),
+      (4L, 2L, 0L, md5hex("s t"))))
+    // a doc with k=3 and only 2 tokens has zero grams at k=3 too
+    val short = Contamination
+      .removeDuplicateSpansAnyOffset(corpus, "doc_id", "text", k = 3)
+      .filter($"doc_id" === 4L)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(short == ((4L, 2L, 0L, md5hex("s t"))))
+  }
 }
