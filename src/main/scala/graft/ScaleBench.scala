@@ -70,8 +70,9 @@ object ScaleBench {
       "q_bpe_merges", "q_wer", "q_typicality_bands", "q_negative_sample",
       "q_constraints", "q_cer",
       // r7 wave: any-offset substring dedup (gram-df join, Σ df²
-      // bound), corpus BPE encode (pure scan + driver-side trainer)
-      "q_span_clean_anyoffset", "q_bpe_encode")
+      // bound), corpus BPE encode (pure scan + driver-side trainer),
+      // self-clustered SemDeDup (scan-stage assignment + pair join)
+      "q_span_clean_anyoffset", "q_bpe_encode", "q_semdedup_auto")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

@@ -572,6 +572,47 @@ object Similarity {
     * are computed once per side before the join; component resolution
     * is [[Dedup.resolveClusters]]' O(log diameter) pointer jumping.
     */
+  /** Distributed KMeans ASSIGNMENT — the step that makes [[semDedup]]
+    * (and IVF-style indexing) self-contained when no cluster column
+    * exists: centroids train on the bounded driver-side fit sample
+    * (the FAISS recipe — quantizer quality needs ~1e4–1e5 points, not
+    * the corpus), then ship as PLAN LITERALS into a scan-stage argmin
+    * projection. Assignment is therefore a pure map over the corpus:
+    * no shuffle, no join, no broadcast variable — the same
+    * ‖c‖²−2·v·c single-array argmin as the PQ/IVF encoders
+    * ([[argminCode]]), whole-stage-codegen'd.
+    *
+    * Deterministic for a (seed, corpus-prefix) pair; ties in the
+    * argmin resolve to the lowest center id. k caps at the sample
+    * size (degenerate corpora).
+    */
+  def assignClusters(vecs: DataFrame, vecCol: String, k: Int,
+      iters: Int = 10, seed: Long = 42L, maxFitSample: Int = 10000,
+      outCol: String = "cluster_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pts = fitSample(vecs, vecCol, maxFitSample)
+    require(pts.nonEmpty, "empty corpus — nothing to cluster")
+    val centers = lloydFit(pts, math.min(k, pts.length), iters, seed)
+    vecs.withColumn(outCol, argminCode(toDouble(col(vecCol)), centers))
+  }
+
+  /** [[semDedup]] with its OWN cluster assignment ([[assignClusters]])
+    * — the full Abbas et al. 2023 pipeline for a corpus that arrives
+    * without labels: KMeans on a bounded sample, scan-stage argmin
+    * assignment, then cluster-scoped near-dup components. Near-
+    * identical vectors land in the same cluster by construction
+    * (argmin of near-equal points agrees except exactly at Voronoi
+    * boundaries), so recall vs an oracle clustering degrades only at
+    * boundary-straddling pairs — the paper's own approximation.
+    */
+  def semDedupAuto(vecs: DataFrame, idCol: String, vecCol: String,
+      tau: Double, k: Int, iters: Int = 10, seed: Long = 42L,
+      maxFitSample: Int = 10000, numBlocks: Int = 8): DataFrame =
+    semDedup(
+      assignClusters(vecs, vecCol, k, iters, seed, maxFitSample,
+        "cluster_id"),
+      idCol, vecCol, "cluster_id", tau, numBlocks)
+
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, tau: Double, numBlocks: Int = 8): DataFrame = {
     val spark = vecs.sparkSession

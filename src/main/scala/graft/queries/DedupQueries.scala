@@ -594,6 +594,25 @@ object DedupQueries {
           .orderBy($"vec_id")
       }),
 
+    // X80: SemDeDup with its OWN distributed KMeans assignment — the
+    // full pipeline for an unlabeled corpus: bounded-sample Lloyd
+    // fit, centroids as plan literals, scan-stage argmin assignment
+    // (zero shuffles before the pair join — plan-audited), then X67's
+    // cluster-scoped components. Rows-only: trained centroids are
+    // seed-dependent; SimilaritySpec bounds pair recall vs the
+    // label-clustered oracle run.
+    QueryDef(
+      "q_semdedup_auto",
+      None,
+      "X80 SemDeDup over self-computed KMeans clusters (k=10)")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.Similarity
+        Similarity.semDedupAuto(table(spark, dir, "embeddings"),
+            "vec_id", "embedding", tau = 0.3, k = 10)
+          .orderBy($"vec_id")
+      }),
+
     // X1e: embedding-cosine near-dup pairs — EXACT, block-partitioned
     // (Similarity.cosinePairsBlocked): the n² work distributes across
     // block-pair tasks with one corpus/numBlocks-sized block per task

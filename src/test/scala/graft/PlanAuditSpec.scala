@@ -379,6 +379,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"$exchanges doc/gram exchanges (expected <= 5):\n${p.take(2000)}")
   }
 
+  test("assignClusters is a pure scan: centroids are plan literals, " +
+    "zero exchanges before assignment") {
+    val df = operators.Similarity.assignClusters(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "embedding", k = 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"),
+      s"KMeans assignment shuffled — centroids must ride the plan:\n" +
+        p.take(1500))
+    assert(!p.contains("BroadcastExchange"), p.take(1500))
+  }
+
   test("q_embedding_outliers: centroids broadcast back, partial aggs, " +
     "top-k has no global sort") {
     val p = plan("q_embedding_outliers")

@@ -198,4 +198,63 @@ class SimilaritySpec extends AnyFunSuite {
       (4L, 4L, true),  // component root
       (5L, 4L, false)))
   }
+
+  test("assignClusters: well-separated blobs get one cluster each, " +
+    "deterministic for a seed") {
+    val s = spark
+    import s.implicits._
+    // three tight, far-apart blobs — any non-degenerate Lloyd run at
+    // k=3 separates them exactly
+    val vecs = (0 until 30).map { i =>
+      val blob = i % 3
+      val base = Array(blob * 100f, blob * -50f)
+      (i.toLong, Array(base(0) + (i / 3) * 0.01f,
+        base(1) + (i / 3) * 0.01f), blob)
+    }.toDF("vec_id", "embedding", "blob")
+    val got = Similarity
+      .assignClusters(vecs, "embedding", k = 3, seed = 7L)
+      .select($"vec_id", $"blob", $"cluster_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // same blob → same cluster, different blobs → different clusters
+    val byBlob = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byBlob.values.forall(_.size == 1), byBlob.toMap.toString)
+    assert(byBlob.values.flatten.toSet.size == 3, byBlob.toMap.toString)
+    // deterministic: a second run reproduces the assignment exactly
+    val again = Similarity
+      .assignClusters(vecs, "embedding", k = 3, seed = 7L)
+      .select($"vec_id", $"cluster_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(again == got.map(t => (t._1, t._3)).toSeq)
+  }
+
+  test("semDedupAuto: recall vs label-clustered pairs on driver " +
+    "embeddings; near-identical vectors always co-cluster") {
+    val s = spark
+    import s.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def keptSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter($"is_kept").select($"vec_id").as[Long].collect().toSet
+    def dupCount(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(!$"is_kept").count()
+    val labeled = Similarity.semDedup(emb, "vec_id", "embedding",
+      "label", tau = 0.3)
+    val auto = Similarity.semDedupAuto(emb, "vec_id", "embedding",
+      tau = 0.3, k = 10)
+    val (nl, na) = (dupCount(labeled), dupCount(auto))
+    // the label partition is NOT a geometric clustering, so the two
+    // runs need not agree pair-for-pair; the guard is that the auto
+    // pipeline finds a comparable amount of semantic duplication
+    // (cluster-scoped recall), not ~zero
+    assert(nl > 0, "fixture lost its planted near-dups")
+    assert(na >= nl / 2,
+      s"auto clustering found $na dups vs $nl with labels — recall collapsed")
+    // and the keeper invariant holds: every component keeps min id
+    val bad = auto.groupBy($"component_id")
+      .agg(org.apache.spark.sql.functions.min($"vec_id").as("mn"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when($"is_kept", 1)
+            .otherwise(0)).as("nk"))
+      .filter($"mn" =!= $"component_id" || $"nk" =!= 1)
+    assert(bad.count() == 0)
+  }
 }
