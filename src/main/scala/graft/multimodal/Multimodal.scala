@@ -74,6 +74,180 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM image codec — BMP (24-bit uncompressed,
+    * BITMAPINFOHEADER, bottom-up rows, BGR, 4-byte row padding) and
+    * binary PPM (P6, maxval 255). No external libraries: ~80 lines of
+    * byte parsing, enough to make the multimodal path a genuine
+    * container round-trip (the same upgrade [[graft.sources.Sources]]
+    * decodeWav gave audio) instead of a fabricated-pixel stub.
+    */
+  object ImageCodec {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+    /** Magic-sniffing decode: BM → BMP, P6 → PPM; anything else is a
+      * loud failure (mirrors decodeWav's reject philosophy).
+      */
+    def decode(bytes: Array[Byte]): RawImage = {
+      require(bytes.length >= 2, "image payload too short")
+      if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+      else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+      else throw new IllegalArgumentException(
+        s"unsupported image container (magic ${bytes(0)},${bytes(1)})")
+    }
+
+    /** 24-bit uncompressed BMP → top-down RGB raster. */
+    def decodeBmp(bytes: Array[Byte]): RawImage = {
+      require(bytes.length >= 54, "BMP truncated before headers")
+      val dataOffset = i32(bytes, 10)
+      val w = i32(bytes, 18)
+      val h = i32(bytes, 22)
+      val bpp = u16(bytes, 28)
+      val compression = i32(bytes, 30)
+      require(w > 0 && h != 0, s"bad BMP dims ${w}x$h")
+      require(bpp == 24, s"only 24-bit BMP supported, got $bpp bpp")
+      require(compression == 0, s"compressed BMP ($compression) unsupported")
+      val bottomUp = h > 0
+      val height = math.abs(h)
+      val rowBytes = (w * 3 + 3) / 4 * 4 // rows pad to 4-byte multiples
+      require(bytes.length >= dataOffset + rowBytes * height,
+        "BMP pixel data truncated")
+      val px = new Array[Byte](w * height * 3)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (bottomUp) height - 1 - y else y
+        val src = dataOffset + srcRow * rowBytes
+        var x = 0
+        while (x < w) {
+          val o = (y * w + x) * 3
+          px(o) = bytes(src + x * 3 + 2)     // R (stored BGR)
+          px(o + 1) = bytes(src + x * 3 + 1) // G
+          px(o + 2) = bytes(src + x * 3)     // B
+          x += 1
+        }
+        y += 1
+      }
+      RawImage(w, height, 3, px)
+    }
+
+    /** Binary PPM (P6): ASCII header (whitespace + '#' comments),
+      * maxval 255, then top-down RGB rows.
+      */
+    def decodePpm(bytes: Array[Byte]): RawImage = {
+      var pos = 2 // past "P6"
+      def nextInt(): Int = {
+        while (pos < bytes.length &&
+          (bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+          if (bytes(pos) == '#')
+            while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        var v = 0
+        require(pos < bytes.length && bytes(pos).toChar.isDigit,
+          "malformed PPM header")
+        while (pos < bytes.length && bytes(pos).toChar.isDigit) {
+          v = v * 10 + (bytes(pos) - '0'); pos += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      require(w > 0 && h > 0, s"bad PPM dims ${w}x$h")
+      require(maxval == 255, s"only maxval 255 PPM supported, got $maxval")
+      pos += 1 // the single whitespace after maxval
+      require(bytes.length >= pos + w * h * 3, "PPM pixel data truncated")
+      RawImage(w, h, 3, java.util.Arrays.copyOfRange(bytes, pos,
+        pos + w * h * 3))
+    }
+
+    /** RGB raster → 24-bit bottom-up BMP (the inverse of
+      * [[decodeBmp]]); spec round-trips both directions.
+      */
+    def encodeBmp(img: RawImage): Array[Byte] = {
+      require(img.channels == 3, "encodeBmp wants RGB")
+      val rowBytes = (img.width * 3 + 3) / 4 * 4
+      val size = 54 + rowBytes * img.height
+      val out = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+      out.putInt(40).putInt(img.width).putInt(img.height)
+        .putShort(1).putShort(24).putInt(0).putInt(rowBytes * img.height)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = img.height - 1
+      while (y >= 0) {
+        var x = 0
+        while (x < img.width) {
+          val o = (y * img.width + x) * 3
+          out.put(img.pixels(o + 2)).put(img.pixels(o + 1))
+            .put(img.pixels(o))
+          x += 1
+        }
+        var p = img.width * 3
+        while (p < rowBytes) { out.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      out.array()
+    }
+
+    /** RGB raster → binary PPM (P6). */
+    def encodePpm(img: RawImage): Array[Byte] = {
+      require(img.channels == 3, "encodePpm wants RGB")
+      val header = s"P6\n${img.width} ${img.height}\n255\n"
+        .getBytes("US-ASCII")
+      header ++ img.pixels
+    }
+  }
+
+  /** The real codec behind [[MediaDecoder]]: BMP/PPM stills; a
+    * "video" is its single frame (neither container carries frames).
+    */
+  final case class BinaryImageDecoder() extends MediaDecoder {
+    def decodeImage(bytes: Array[Byte]): RawImage =
+      ImageCodec.decode(bytes)
+    def videoFrameCount(bytes: Array[Byte]): Int = 1
+    def decodeFrame(bytes: Array[Byte], idx: Int): RawImage = {
+      require(idx == 0, s"still container has one frame, asked for $idx")
+      ImageCodec.decode(bytes)
+    }
+  }
+
+  final case class ImageStats(doc_id: Long, width: Int, height: Int,
+      channels: Int, sum_r: Long, sum_g: Long, sum_b: Long,
+      mean_luma: Double)
+
+  /** Batched decode → exact integer channel sums (+ mean luma derived
+    * from them in one double op chain, so any engine reproduces it
+    * bit-for-bit from the sums). Same per-partition decoder-handle
+    * shape as [[imageFeatures]]; this is the oracle-exact stats path.
+    */
+  def imageStats(media: Dataset[MediaRow],
+      decoder: MediaDecoder): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val d = decoder
+      it.filter(_.media_type == "image").map { m =>
+        val img = d.decodeImage(m.content)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val n = img.width * img.height
+        var i = 0
+        while (i < n) {
+          sr += img.pixels(i * img.channels) & 0xFF
+          sg += img.pixels(i * img.channels + 1) & 0xFF
+          sb += img.pixels(i * img.channels + 2) & 0xFF
+          i += 1
+        }
+        val luma = BigDecimal(
+          (0.299 * sr + 0.587 * sg + 0.114 * sb) / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        ImageStats(m.doc_id, img.width, img.height, img.channels,
+          sr, sg, sb, luma)
+      }
+    }
+  }
+
   /** Nearest-neighbor resize — real geometry code over the decoded
     * pixel buffer (no stub here).
     */

@@ -296,23 +296,83 @@ object PipelineQueries {
           .orderBy($"doc_id")
       }),
 
-    // Image-feature extraction: batched decode → resize → features.
-    // Rows-only (fake-codec pixels aren't SQL-reproducible);
-    // MultimodalSpec asserts determinism and geometry.
+    // Image path with an EXACT oracle (r7 upgrade from the fake-codec
+    // rows-only check, mirroring q_audio_rms): per doc, hand-assemble
+    // a REAL 24-bit BMP container (bottom-up rows, BGR, 4-byte row
+    // padding — widths 4..16 exercise every padding residue) holding
+    // the deterministic pixel pattern v(i) = (i·17+3) mod 256 in RGB
+    // raster order, push it through the production decoder
+    // (Multimodal.ImageCodec.decodeBmp — a channel swap, row-order or
+    // padding bug breaks the integer sums), and aggregate exact
+    // per-channel sums; mean_luma derives from the sums in one double
+    // op chain on both sides.
     QueryDef(
       "q_image_features",
-      None,
-      "Multimodal image decode+resize+features, batched")(
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 (coalesce(n_chars, 0) % 13) + 4 AS w,
+                 (coalesce(n_chars, 0) % 7) + 3 AS h
+          FROM documents
+        ), px AS (
+          SELECT doc_id, w, h, unnest(range(w * h * 3)) AS i FROM d
+        ), s AS (
+          SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+                 sum((i * 17 + 3) % 256) FILTER (WHERE i % 3 = 0) AS sum_r,
+                 sum((i * 17 + 3) % 256) FILTER (WHERE i % 3 = 1) AS sum_g,
+                 sum((i * 17 + 3) % 256) FILTER (WHERE i % 3 = 2) AS sum_b
+          FROM px GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               CAST(sum_r AS BIGINT) AS sum_r,
+               CAST(sum_g AS BIGINT) AS sum_g,
+               CAST(sum_b AS BIGINT) AS sum_b,
+               round((0.299 * sum_r + 0.587 * sum_g + 0.114 * sum_b)
+                 / (w * h), 6) AS mean_luma
+        FROM s
+        ORDER BY doc_id
+      """.trim),
+      "Real BMP container round-trip + exact channel-sum oracle")(
       (spark, dir) => {
         import spark.implicits._
+        val bmp = udf { (docId: Long, nChars: Long) =>
+          val w = (nChars % 13).toInt + 4
+          val h = (nChars % 7).toInt + 3
+          // hand-assembled container (NOT encodeBmp — a symmetric
+          // codec bug must not cancel out): bottom-up BGR rows padded
+          // to 4 bytes, pattern indexed in top-down RGB raster order
+          val rowBytes = (w * 3 + 3) / 4 * 4
+          val out = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          out.put('B'.toByte).put('M'.toByte)
+            .putInt(54 + rowBytes * h).putInt(0).putInt(54)
+          out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+            .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+            .putInt(0).putInt(0)
+          def v(i: Int): Byte = ((i * 17 + 3) % 256).toByte
+          var y = h - 1
+          while (y >= 0) {
+            var x = 0
+            while (x < w) {
+              val o = (y * w + x) * 3
+              out.put(v(o + 2)).put(v(o + 1)).put(v(o))
+              x += 1
+            }
+            var p = w * 3
+            while (p < rowBytes) { out.put(0.toByte); p += 1 }
+            y -= 1
+          }
+          out.array()
+        }
         val media = table(spark, dir, "documents")
           .select($"doc_id", lit("image").as("media_type"),
-            encode($"text", "UTF-8").as("content"))
+            bmp($"doc_id", coalesce($"n_chars", lit(0L))).as("content"))
           .as[Multimodal.MediaRow]
-        Multimodal.imageFeatures(media, Multimodal.FakeDecoder())
+        Multimodal.imageStats(media, Multimodal.BinaryImageDecoder())
           .toDF()
           .select($"doc_id", $"width", $"height", $"channels",
-            round($"mean_luma", 4).as("mean_luma"))
+            $"sum_r", $"sum_g", $"sum_b", $"mean_luma")
           .orderBy($"doc_id")
       }),
   )
