@@ -72,6 +72,16 @@ object AsrPipeline {
       duration_s: Double, words: Int, pieces: Int, avg_conf: Double,
       acoustic_quality: String, duration_ms: Long)
 
+  /** ClipOutcome + its W6 segment label, as produced by the fused
+    * assemble→judge→number pass (numbering needs only within-doc
+    * group order, so it never costs a shuffle).
+    */
+  final case class NumberedOutcome(doc_id: Long, group_id: Long,
+      kept: Boolean, reason: String, segment: String,
+      text: String, pcm: Array[Byte], sample_rate: Int,
+      duration_s: Double, words: Int, pieces: Int, avg_conf: Double,
+      acoustic_quality: String, duration_ms: Long)
+
   final case class SegmentRow(doc_id: Long, group_id: Long,
       segment: String, text: String, pcm: Array[Byte], sample_rate: Int,
       duration_s: Double, words: Int, pieces: Int, avg_conf: Double,
@@ -138,8 +148,19 @@ object AsrPipeline {
       audio: Dataset[DocInput], cfg: Config): Dataset[AssembledClip] = {
     val spark = asr.sparkSession
     import spark.implicits._
+    val plans = planClips(asr, groups)
+    plans.joinWith(audio, plans("doc_id") === audio("doc_id"))
+      .flatMap { case (plan, doc) => clipsForDoc(plan, doc, cfg) }
+  }
 
-    val plans: Dataset[DocPlan] = asr.groupByKey(_.doc_id)
+  /** The metadata half of W4: cogroup(asr, runs) into per-doc slice
+    * plans (tiny rows — no audio bytes).
+    */
+  private[graft] def planClips(asr: Dataset[AsrWord],
+      groups: Dataset[GroupedRun]): Dataset[DocPlan] = {
+    val spark = asr.sparkSession
+    import spark.implicits._
+    asr.groupByKey(_.doc_id)
       .cogroup(groups.groupByKey(_.doc_id)) { (docId, ws, gs) =>
         val words = ws.toArray.sortBy(_.idx)
         val byGroup = gs.toArray.sortBy(r => (r.group_id, r.ai0))
@@ -150,41 +171,45 @@ object AsrPipeline {
           words.map(w => UsedWord(w.text, w.norm, w.start, w.end,
             w.confidence)).toSeq))
       }
+  }
 
-    plans.joinWith(audio, plans("doc_id") === audio("doc_id"))
-      .flatMap { case (plan, doc) =>
-        val pcm = Pcm(doc.pcm, doc.sample_rate)
-        val words = plan.words.toIndexedSeq
-        plan.groups.iterator.map { case (gid, runs) =>
-          val pieces = Seq.newBuilder[Pcm]
-          val used = Seq.newBuilder[UsedWord]
-          runs.zipWithIndex.foreach { case ((ai0, ai1), k) =>
-            val w0 = words(ai0.toInt); val w1 = words(ai1.toInt - 1)
-            var sMs = TextFunctions.secToMsScala(w0.start)
-            if (k == 0 && cfg.startPadMs > 0)
-              sMs = math.max(0L, sMs - cfg.startPadMs)
-            var eMs = TextFunctions.secToMsScala(w1.end)
-            if (k == runs.length - 1 && cfg.endPadMs > 0)
-              eMs += cfg.endPadMs
-            if (eMs <= sMs) eMs = sMs + 1
-            var seg = Pcm.sliceMs(pcm, sMs, eMs)
-            if (cfg.fadeMs > 0) {
-              val len = seg.lengthMs
-              val fIn = math.min(math.max(5, cfg.fadeMs / 3), len / 4)
-              val fOut = math.min(cfg.fadeMs.toLong, len / 4)
-              if (fIn > 0) seg = Pcm.fadeIn(seg, fIn)
-              if (fOut > 0) seg = Pcm.fadeOut(seg, fOut)
-            }
-            pieces += seg
-            used ++= (ai0.toInt until ai1.toInt).map(words)
-            if (k != runs.length - 1 && cfg.seamSilenceMs > 0)
-              pieces += Pcm.silence(cfg.seamSilenceMs, doc.sample_rate)
-          }
-          val clip = Pcm.concat(pieces.result(), doc.sample_rate)
-          AssembledClip(plan.doc_id, gid, clip.bytes, doc.sample_rate,
-            runs.length, used.result())
+  /** The byte half of W4: execute one doc's slice plan against its
+    * audio. Groups come out in ascending group_id order (the plan is
+    * built sorted), which the fused numbering pass relies on.
+    */
+  private[graft] def clipsForDoc(plan: DocPlan, doc: DocInput,
+      cfg: Config): Iterator[AssembledClip] = {
+    val pcm = Pcm(doc.pcm, doc.sample_rate)
+    val words = plan.words.toIndexedSeq
+    plan.groups.iterator.map { case (gid, runs) =>
+      val pieces = Seq.newBuilder[Pcm]
+      val used = Seq.newBuilder[UsedWord]
+      runs.zipWithIndex.foreach { case ((ai0, ai1), k) =>
+        val w0 = words(ai0.toInt); val w1 = words(ai1.toInt - 1)
+        var sMs = TextFunctions.secToMsScala(w0.start)
+        if (k == 0 && cfg.startPadMs > 0)
+          sMs = math.max(0L, sMs - cfg.startPadMs)
+        var eMs = TextFunctions.secToMsScala(w1.end)
+        if (k == runs.length - 1 && cfg.endPadMs > 0)
+          eMs += cfg.endPadMs
+        if (eMs <= sMs) eMs = sMs + 1
+        var seg = Pcm.sliceMs(pcm, sMs, eMs)
+        if (cfg.fadeMs > 0) {
+          val len = seg.lengthMs
+          val fIn = math.min(math.max(5, cfg.fadeMs / 3), len / 4)
+          val fOut = math.min(cfg.fadeMs.toLong, len / 4)
+          if (fIn > 0) seg = Pcm.fadeIn(seg, fIn)
+          if (fOut > 0) seg = Pcm.fadeOut(seg, fOut)
         }
+        pieces += seg
+        used ++= (ai0.toInt until ai1.toInt).map(words)
+        if (k != runs.length - 1 && cfg.seamSilenceMs > 0)
+          pieces += Pcm.silence(cfg.seamSilenceMs, doc.sample_rate)
       }
+      val clip = Pcm.concat(pieces.result(), doc.sample_rate)
+      AssembledClip(plan.doc_id, gid, clip.bytes, doc.sample_rate,
+        runs.length, used.result())
+    }
   }
 
   /** Stages 7–14 of the reference loop, per assembled clip (narrow
@@ -351,16 +376,48 @@ object AsrPipeline {
     val runs = Align.lcsEqualRuns(books, asr, cfg.minRun, cfg.lcsMaxChunk)
     val groups = Sessionize.mergeWithSmallGaps(runs, asr,
       cfg.maxGapWords, cfg.maxGapTime)
-    val clips = assembleClips(asr, groups, docsC, cfg)
-    val outcomes = judgeClips(clips, validator, cfg)
-    val (segments, rejections) = numberOutcomes(outcomes)
+    // Fused W4→F6→W6: assemble, judge, and number each doc's clips in
+    // ONE narrow pass after the single audio join. The staged
+    // equivalents (assembleClips → judgeClips → numberOutcomes) remain
+    // the inspectable public API and are spec-checked equal; fusing
+    // keeps clip bytes out of the numbering window's exchange — audio
+    // crosses the network exactly once (the plan⋈audio join).
+    val plans = planClips(asr, groups)
+    val numbered: Dataset[NumberedOutcome] =
+      plans.joinWith(docsC, plans("doc_id") === docsC("doc_id"))
+        .flatMap { case (plan, doc) =>
+          // clipsForDoc emits ascending group_id, so the W6 window
+          // (count of kept rows strictly before, in group order) is a
+          // running counter; a rejected group labels the NEXT kept
+          // segment's id — same formula, reference quirk preserved.
+          var keptBefore = 0L
+          clipsForDoc(plan, doc, cfg)
+            .flatMap(c => judgeOne(c, validator, cfg))
+            .map { o =>
+              val seg = "segment_%04d".format(keptBefore)
+              if (o.kept) keptBefore += 1
+              NumberedOutcome(o.doc_id, o.group_id, o.kept, o.reason,
+                seg, o.text, o.pcm, o.sample_rate, o.duration_s,
+                o.words, o.pieces, o.avg_conf, o.acoustic_quality,
+                o.duration_ms)
+            }
+        }
+    val segments = numbered.filter($"kept")
+      .select($"doc_id", $"group_id", $"segment", $"text", $"pcm",
+        $"sample_rate", $"duration_s", $"words", $"pieces", $"avg_conf",
+        $"acoustic_quality")
+      .as[SegmentRow]
+    val rejections = numbered.filter(!$"kept")
+      .select($"doc_id", $"group_id", $"segment",
+        $"reason", $"duration_ms", $"avg_conf".as("confidence"))
+      .as[RejectionRow]
 
     // A5 summary (claude_research_optimal.py:684–694) + run counts
     val runCounts = runs.groupBy($"doc_id")
       .agg(count(lit(1)).as("equal_runs"))
     val groupCounts = groups.select($"doc_id", $"group_id").distinct()
       .groupBy($"doc_id").agg(count(lit(1)).as("bridged_groups"))
-    val outcomeCounts = outcomes.groupBy($"doc_id").agg(
+    val outcomeCounts = numbered.groupBy($"doc_id").agg(
       sum(when($"kept", 1L).otherwise(0L)).as("exported"),
       sum(when($"kept", 0L).otherwise(1L)).as("rejected"))
     val summary = outcomeCounts

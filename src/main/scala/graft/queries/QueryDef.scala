@@ -24,18 +24,28 @@ object QueryDef {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The `events` table's `ts` is parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. Read nanos as long and convert
-    * to a micros timestamp — integer floor-division matches DuckDB's
-    * nanos→micros truncation, so oracle comparisons stay exact.
+  /** The `events` table's `ts` has shipped as two physical types
+    * across testdata generations: parquet TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects — read nanos as long, convert
+    * to micros) and naive TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ).
+    * Both normalize to a session-tz TIMESTAMP; the host runs UTC, so
+    * the instants are identical either way and DuckDB's view of the
+    * same file matches exactly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    // NB: must be integral `div`, not `/` — long `/` promotes to double,
-    // and nanos epochs (~1.7e18) exceed double's 2^53 exact-integer range,
-    // so `/` rounds where DuckDB truncates (off-by-1µs on ~half the rows).
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      // NB: must be integral `div`, not `/` — long `/` promotes to double,
+      // and nanos epochs (~1.7e18) exceed double's 2^53 exact-integer range,
+      // so `/` rounds where DuckDB truncates (off-by-1µs on ~half the rows).
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -142,4 +142,51 @@ class AsrPipelineSpec extends AnyFunSuite {
     assert(java.nio.file.Files.list(
       java.nio.file.Paths.get(out, "clips_tsv")).count() > 0)
   }
+
+  test("fused run() equals the staged assemble->judge->number path") {
+    val s = spark
+    import s.implicits._
+    // two docs so the per-doc numbering reset is exercised; doc 2
+    // includes a too-short group (words 0-2 only) to get a rejection
+    val audio1 = AmplitudeRecognizer.synthesize(timeline, Sr)
+    // doc 2 = the too_short construction from the quirk test above:
+    // two groups, the second squeezed under min_dur -> one rejection
+    val shortTl = (0 until 6).map(i =>
+      (s"word$i", i * 0.5, i * 0.5 + 0.4)) ++
+      (6 until 10).map(i =>
+        (s"word$i", 3.0 + (i - 6) * 0.22, 3.0 + (i - 6) * 0.22 + 0.2))
+    val audio2 = AmplitudeRecognizer.synthesize(shortTl, Sr)
+    val text2 = (0 until 10).map(i =>
+      if (i == 5) "zzz" else s"word$i").mkString(" ")
+    val docs = Seq(
+      DocInput(1L, transcript, audio1.bytes, Sr),
+      DocInput(2L, text2, audio2.bytes, Sr)
+    ).toDS().cache()
+    val cfg = Config()
+    val fused = AsrPipeline.run(docs, rec, rec, cfg)
+
+    val books = AsrPipeline.bookWords(
+      docs.map(d => (d.doc_id, d.text)), cfg.numbersToWords)
+    val asr = AsrPipeline.asrWords(docs, rec, cfg.numbersToWords).cache()
+    val runs = graft.operators.Align.lcsEqualRuns(
+      books, asr, cfg.minRun, cfg.lcsMaxChunk)
+    val groups = graft.operators.Sessionize.mergeWithSmallGaps(
+      runs, asr, cfg.maxGapWords, cfg.maxGapTime)
+    val clips = AsrPipeline.assembleClips(asr, groups, docs, cfg)
+    val outcomes = AsrPipeline.judgeClips(clips, rec, cfg)
+    val (segStaged, rejStaged) = AsrPipeline.numberOutcomes(outcomes)
+
+    def segKey(r: SegmentRow) = (r.doc_id, r.group_id, r.segment, r.text,
+      r.pcm.toSeq, r.sample_rate, r.duration_s, r.words, r.pieces,
+      r.avg_conf, r.acoustic_quality)
+    def rejKey(r: RejectionRow) = (r.doc_id, r.group_id, r.segment,
+      r.reason, r.duration_ms, r.confidence)
+    assert(fused.segments.collect().map(segKey).sortBy(k => (k._1, k._2))
+      .toSeq == segStaged.collect().map(segKey).sortBy(k => (k._1, k._2))
+      .toSeq)
+    assert(fused.rejections.collect().map(rejKey).sortBy(k => (k._1, k._2))
+      .toSeq == rejStaged.collect().map(rejKey).sortBy(k => (k._1, k._2))
+      .toSeq)
+    assert(fused.rejections.count() >= 1)
+  }
 }
