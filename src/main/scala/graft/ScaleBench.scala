@@ -72,7 +72,12 @@ object ScaleBench {
       // r7 wave: any-offset substring dedup (gram-df join, Σ df²
       // bound), corpus BPE encode (pure scan + driver-side trainer),
       // self-clustered SemDeDup (scan-stage assignment + pair join)
-      "q_span_clean_anyoffset", "q_bpe_encode", "q_semdedup_auto")
+      "q_span_clean_anyoffset", "q_bpe_encode", "q_semdedup_auto",
+      // r7 second wave: packing (skinny prefix sum + seq_id group),
+      // bigram-LM perplexity (vocab²-bounded prob join), Gopher rules
+      // (pure scan), BPE fertility (encode scan + source agg)
+      "q_pack_sequences", "q_doc_perplexity", "q_gopher_rules",
+      "q_bpe_fertility")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

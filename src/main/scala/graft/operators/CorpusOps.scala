@@ -141,6 +141,46 @@ object CorpusOps {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  /** X81 — concat-and-split sequence packing (the GPT-style packing
+    * step between chunking and the trainer): all docs' token streams
+    * concatenate in `docCol` order into one virtual stream, and
+    * training sequence s owns tokens [s·seqLen, (s+1)·seqLen). No
+    * padding waste, deterministic, every token lands in exactly one
+    * sequence; the final sequence may be short.
+    *
+    * Output: (seq_id, n_tokens, seq_text), one row per sequence.
+    *
+    * Scale shape, three exchanges: (1) the prefix-sum window runs on
+    * a SKINNY (docCol, n) projection — never on token arrays; at
+    * 100 TB swap the single-partition window for the classic
+    * two-phase prefix sum (range-partition by docCol, per-partition
+    * subtotals — one tiny row each — broadcast back as offsets; same
+    * trade documented on `tokenShards`). (2) offsets join back to the
+    * token arrays by docCol. (3) reassembly groups each token once by
+    * its owning seq_id — a doc's tokens spread over ≤ n/seqLen + 1
+    * sequences, so no hot key regardless of doc-length skew.
+    */
+  def packSequences(docs: DataFrame, docCol: String, textCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"need seqLen > 0, got $seqLen")
+    val toks = docs.select(col(docCol), Dedup.tokens(col(textCol)).as("__w"))
+    val skinny = toks.select(col(docCol), size(col("__w")).cast("long").as("__n"))
+    val w = Window.orderBy(col(docCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = skinny
+      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col(docCol), col("__start"))
+    toks.join(offs, Seq(docCol))
+      .select(col("__start"), posexplode(col("__w")).as(Seq("__i", "__t")))
+      .withColumn("__gpos", col("__start") + col("__i"))
+      .groupBy(expr(s"__gpos div $seqLen").as("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__gpos"), col("__t")))),
+            p => p.getField("__t")), " ").as("seq_text"))
+      .select(col("seq_id"), col("n_tokens"), col("seq_text"))
+  }
+
   /** Length-bucketed batch assembly: group rows into `numBuckets`
     * quantile buckets of `countCol` (equal-population boundaries),
     * then pack each bucket into batches of `batchSize` in
@@ -550,6 +590,80 @@ object CorpusOps {
     * alphabet is bounded (|charset|²), so the final aggregate is
     * tiny no matter the corpus size.
     */
+  /** X83 — the Gopher/MassiveText hard-threshold quality rules (Rae
+    * et al. 2021, appendix A1.1), as one declarative pass: word-count
+    * bounds, mean-word-length band, symbol-to-word ratio (# and …),
+    * bullet-start / ellipsis-end line ratios, alphabetic-word ratio,
+    * and a minimum distinct-stopword count. Unlike `q_quality_score`'s
+    * soft 0–1 blend, every rule is a hard boolean and `keep` is their
+    * conjunction — the form the published web-corpus filters actually
+    * run.
+    *
+    * Output: per-doc metrics + one boolean per rule + `keep`.
+    *
+    * Scale shape: pure per-row Column math over the scan — no
+    * shuffle, no UDF, whole-stage codegen; ratios divide exact ints
+    * so the oracle reproduces bit-identically.
+    */
+  def gopherRules(docs: DataFrame, docCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
+      minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Int = 2,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with",
+          "a", "in")): DataFrame = {
+    val w = Dedup.tokens(col(textCol))
+    val lines = split(col(textCol), "\n")
+    val t = docs.select(col(docCol), col(textCol),
+      w.as("__w"), lines.as("__l"))
+      .select(col(docCol),
+        size(col("__w")).as("n_words"),
+        aggregate(col("__w"), lit(0L), (acc, x) => acc + length(x))
+          .as("__wchars"),
+        length(regexp_replace(col(textCol), "[^#…]", ""))
+          .as("__symbols"),
+        size(filter(col("__l"), l =>
+          trim(l).startsWith("•") || trim(l).startsWith("- ") ||
+            trim(l).startsWith("* "))).as("__bullets"),
+        size(filter(col("__l"), l =>
+          l.endsWith("...") || l.endsWith("…"))).as("__ellipses"),
+        size(col("__l")).as("__nlines"),
+        size(filter(col("__w"), x => x.rlike("[a-z]"))).as("__alpha"),
+        size(array_intersect(array_distinct(col("__w")),
+          array(stopwords.map(lit): _*))).as("stop_hits"))
+    t.select(col(docCol), col("n_words"),
+        round(col("__wchars").cast("double") / col("n_words"), 6)
+          .as("mean_word_len"),
+        round(col("__symbols").cast("double") / col("n_words"), 6)
+          .as("symbol_ratio"),
+        round(col("__bullets").cast("double") / col("__nlines"), 6)
+          .as("bullet_ratio"),
+        round(col("__ellipses").cast("double") / col("__nlines"), 6)
+          .as("ellipsis_ratio"),
+        round(col("__alpha").cast("double") / col("n_words"), 6)
+          .as("alpha_word_ratio"),
+        col("stop_hits"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("pass_words"),
+        (col("__wchars") >= col("n_words") * minMeanWordLen &&
+          col("__wchars") <= col("n_words") * maxMeanWordLen)
+          .as("pass_word_len"),
+        (col("__symbols") <= col("n_words") * maxSymbolRatio)
+          .as("pass_symbols"),
+        (col("__bullets") <= col("__nlines") * maxBulletRatio &&
+          col("__ellipses") <= col("__nlines") * maxEllipsisRatio)
+          .as("pass_lines"),
+        (col("__alpha") >= col("n_words") * minAlphaWordRatio)
+          .as("pass_alpha"),
+        (col("stop_hits") >= minStopwordHits).as("pass_stopwords"))
+      .withColumn("keep",
+        col("pass_words") && col("pass_word_len") && col("pass_symbols") &&
+          col("pass_lines") && col("pass_alpha") && col("pass_stopwords"))
+  }
+
   def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)

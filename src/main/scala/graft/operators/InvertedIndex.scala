@@ -346,4 +346,47 @@ object InvertedIndex {
       .select(col("prev"), col("next"), col("cnt"), col("total"),
         col("p"), col("rk"))
   }
+
+  /** X82 — per-doc perplexity under the corpus's own bigram LM (the
+    * CCNet/Wikipedia-LM quality signal, with the corpus standing in
+    * for the external KenLM): P(next|prev) = corpus bigram count /
+    * prev-token count, per-doc mean negative log₂ probability over
+    * its bigrams, perplexity = 2^mean_nll. No smoothing is needed —
+    * every scored bigram occurs in the corpus by construction (the LM
+    * is fit on the corpus being scored, exactly how typicality
+    * filters bootstrap before an external LM exists). Docs with < 2
+    * tokens have no bigrams and are excluded (explicit contract).
+    *
+    * Output: (docCol, n_bigrams, mean_nll, ppl), rounded to 6.
+    *
+    * Scale shape: the token-stream window is per-doc (one shuffle by
+    * doc); bigram/unigram count aggs are map-side combinable and
+    * vocabulary²-bounded — corpus-sized input, vocab-sized output;
+    * the probability join keys on (prev, next) against that
+    * vocab-sized table (AQE broadcasts it when small); the final
+    * per-doc agg is one more map-side-combinable pass. Nothing is
+    * ever quadratic in documents.
+    */
+  def docPerplexity(docs: DataFrame, docCol: String, textCol: String)
+      : DataFrame = {
+    val toks = docs.select(col(docCol),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "prev")))
+    val w = Window.partitionBy(col(docCol)).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("next", lead(col("prev"), 1).over(w))
+      .filter(col("next").isNotNull)
+    val counts = bigrams.groupBy(col("prev"), col("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("prev"))
+      .agg(sum(col("cnt")).as("total"))
+    val probs = counts.join(totals, "prev")
+      .withColumn("__nll", -log(2.0, col("cnt").cast("double") / col("total")))
+      .select(col("prev"), col("next"), col("__nll"))
+    bigrams.join(probs, Seq("prev", "next"))
+      .groupBy(col(docCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("__s"))
+      .select(col(docCol), col("n_bigrams"),
+        round(col("__s") / col("n_bigrams"), 6).as("mean_nll"),
+        round(pow(lit(2.0), col("__s") / col("n_bigrams")), 6).as("ppl"))
+  }
 }

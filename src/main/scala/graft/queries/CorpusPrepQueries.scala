@@ -47,6 +47,9 @@ object CorpusPrepQueries {
 
   val ChunkSize = 40
   val ChunkStride = 30
+
+  /** Packed training-sequence length for X81. */
+  val PackSeqLen = 64
   val BatchBuckets = 4
   val BatchSize = 16
 
@@ -687,6 +690,106 @@ object CorpusPrepQueries {
         CorpusOps.charPairCounts(
             table(spark, dir, "documents"), "text", k = 30)
           .orderBy($"n".desc, $"pair")
+      }),
+
+    // X81: concat-and-split sequence packing — all docs' tokens in
+    // doc_id order form one stream; sequence s owns tokens
+    // [s·L, (s+1)·L). Pure integer positions; the oracle replays the
+    // identical global prefix sum.
+    QueryDef(
+      "q_pack_sequences",
+      Some(s"""
+        WITH $toksCte, offs AS (
+          SELECT doc_id, w, len(w) AS n,
+            coalesce(sum(len(w)) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+          FROM toks
+        ), tok AS (
+          SELECT st + i - 1 AS gpos, w[i] AS t
+          FROM offs, unnest(range(1, n + 1)) AS u(i)
+        )
+        SELECT CAST(gpos // $PackSeqLen AS BIGINT) AS seq_id,
+               count(*) AS n_tokens,
+               string_agg(t, ' ' ORDER BY gpos) AS seq_text
+        FROM tok
+        GROUP BY 1
+        ORDER BY seq_id
+      """.trim),
+      "X81 GPT-style concat-and-split packing into fixed-length sequences")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.packSequences(
+            table(spark, dir, "documents"), "doc_id", "text", PackSeqLen)
+          .orderBy($"seq_id")
+      }),
+
+    // X84: tokenizer fertility — tokens-per-word and chars-per-token
+    // of the X73-trained BPE, by source. THE go/no-go diagnostic for
+    // a tokenizer over a new corpus mix; integer sums, exact ratios.
+    QueryDef(
+      "q_bpe_fertility",
+      Some(bpeStateCte + s""",
+        final AS (
+          SELECT w, syms FROM (
+            SELECT w, syms,
+                   row_number() OVER (PARTITION BY w ORDER BY rank DESC) AS rn
+            FROM state
+          ) WHERE rn = 1
+        ),
+        toks AS (
+          SELECT doc_id, i, w[i] AS w
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '') AS w
+                FROM documents),
+               unnest(range(1, len(w) + 1)) AS u(i)
+        ),
+        per_doc AS (
+          SELECT t.doc_id,
+                 CAST(sum(len(f.syms)) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(length(t.w)) AS BIGINT) AS n_chars
+          FROM toks t JOIN final f ON t.w = f.w
+          GROUP BY t.doc_id
+        )
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(coalesce(sum(p.n_tokens), 0) AS BIGINT) AS total_tokens,
+               CAST(coalesce(sum(p.n_words), 0) AS BIGINT) AS total_words,
+               CAST(coalesce(sum(p.n_chars), 0) AS BIGINT) AS total_chars,
+               round(CAST(sum(p.n_tokens) AS DOUBLE) / sum(p.n_words), 6)
+                 AS fertility,
+               round(CAST(sum(p.n_chars) AS DOUBLE) / sum(p.n_tokens), 6)
+                 AS chars_per_token
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        GROUP BY d.source
+        ORDER BY d.source
+      """.trim),
+      "X84 BPE tokenizer fertility and compression by source")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.{Bpe, Dedup}
+        val docs = table(spark, dir, "documents")
+        val merges = Bpe.trainMerges(docs, "text", numMerges = 20)
+        val enc = Bpe.encodeDocs(docs, "doc_id", "text", merges)
+        val stats = docs
+          .select($"doc_id", $"source", Dedup.tokens($"text").as("__w"))
+          .select($"doc_id", $"source",
+            size($"__w").cast("long").as("__nw"),
+            aggregate($"__w", lit(0L), (a, x) => a + length(x)).as("__nc"))
+        enc.join(stats, Seq("doc_id"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("total_tokens"),
+            sum($"__nw").as("total_words"),
+            sum($"__nc").as("total_chars"))
+          .select($"source", $"n_docs", $"total_tokens", $"total_words",
+            $"total_chars",
+            round($"total_tokens".cast("double") / $"total_words", 6)
+              .as("fertility"),
+            round($"total_chars".cast("double") / $"total_tokens", 6)
+              .as("chars_per_token"))
+          .orderBy($"source")
       }),
   )
 }

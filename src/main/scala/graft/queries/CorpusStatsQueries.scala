@@ -417,6 +417,47 @@ object CorpusStatsQueries {
           .orderBy($"prev", $"rk")
       }),
 
+    // X82: per-doc perplexity under the corpus's own bigram LM — the
+    // CCNet-style LM quality signal with the corpus as its own LM.
+    // Probabilities are exact integer ratios; per-bigram -log2 values
+    // are identical doubles in both engines; only the per-doc SUM
+    // order differs (ulp-level), absorbed by round(6).
+    QueryDef(
+      "q_doc_perplexity",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), pairs AS (
+          SELECT doc_id, ts[i] AS prev, ts[i+1] AS next
+          FROM toks, unnest(range(1, len(ts))) AS r(i)
+        ), counts AS (
+          SELECT prev, next, count(*) AS cnt FROM pairs GROUP BY 1, 2
+        ), totals AS (
+          SELECT prev, CAST(sum(cnt) AS BIGINT) AS total
+          FROM counts GROUP BY prev
+        ), nll AS (
+          SELECT c.prev, c.next,
+                 -log2(CAST(c.cnt AS DOUBLE) / t.total) AS v
+          FROM counts c JOIN totals t USING (prev)
+        )
+        SELECT p.doc_id, count(*) AS n_bigrams,
+               round(sum(n.v) / count(*), 6) AS mean_nll,
+               round(pow(2.0, sum(n.v) / count(*)), 6) AS ppl
+        FROM pairs p JOIN nll n USING (prev, next)
+        GROUP BY p.doc_id
+        ORDER BY p.doc_id
+      """.trim),
+      "X82 per-doc perplexity under the corpus bigram LM")(
+      (spark, dir) => {
+        import spark.implicits._
+        InvertedIndex.docPerplexity(
+            table(spark, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      }),
+
     // X66: Okapi BM25 "more like this": top-10 docs for probe doc 0 under
     // the standard lexical relevance function (tf saturation k1=1.2,
     // length normalization b=0.75) over the unigram index — the

@@ -306,5 +306,68 @@ object TextAnalysisQueries {
             count(lit(1)).as("n_events"))
           .orderBy($"event_type")
       }),
+
+    // X83: the Gopher/MassiveText hard-threshold quality rules as one
+    // codegen'd pass — hard booleans + conjunction `keep`, vs
+    // q_quality_score's soft blend. Every metric is a ratio of exact
+    // integers and every threshold comparison is in multiplied-out
+    // integer×double form, identical in both engines.
+    QueryDef(
+      "q_gopher_rules",
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w,
+            length(regexp_replace(text, '[^#…]', '', 'g')) AS symbols,
+            string_split(text, chr(10)) AS l
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+            len(w) AS n_words,
+            list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS wchars,
+            symbols,
+            len(list_filter(l, x -> starts_with(trim(x), '•')
+              OR starts_with(trim(x), '- ')
+              OR starts_with(trim(x), '* '))) AS bullets,
+            len(list_filter(l, x -> ends_with(x, '...')
+              OR ends_with(x, '…'))) AS ellipses,
+            len(l) AS nlines,
+            len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+            len(list_intersect(list_distinct(w),
+              ['the','be','to','of','and','that','have','with','a','in']))
+              AS stop_hits
+          FROM t
+        )
+        SELECT doc_id, n_words,
+          round(CAST(wchars AS DOUBLE) / n_words, 6) AS mean_word_len,
+          round(CAST(symbols AS DOUBLE) / n_words, 6) AS symbol_ratio,
+          round(CAST(bullets AS DOUBLE) / nlines, 6) AS bullet_ratio,
+          round(CAST(ellipses AS DOUBLE) / nlines, 6) AS ellipsis_ratio,
+          round(CAST(alpha AS DOUBLE) / n_words, 6) AS alpha_word_ratio,
+          stop_hits,
+          (n_words >= 50 AND n_words <= 100000) AS pass_words,
+          (wchars >= n_words * 3.0 AND wchars <= n_words * 10.0)
+            AS pass_word_len,
+          (symbols <= n_words * 0.1) AS pass_symbols,
+          (bullets <= nlines * 0.9 AND ellipses <= nlines * 0.3)
+            AS pass_lines,
+          (alpha >= n_words * 0.8) AS pass_alpha,
+          (stop_hits >= 2) AS pass_stopwords,
+          ((n_words >= 50 AND n_words <= 100000)
+           AND (wchars >= n_words * 3.0 AND wchars <= n_words * 10.0)
+           AND (symbols <= n_words * 0.1)
+           AND (bullets <= nlines * 0.9 AND ellipses <= nlines * 0.3)
+           AND (alpha >= n_words * 0.8)
+           AND (stop_hits >= 2)) AS keep
+        FROM m
+        ORDER BY doc_id
+      """.trim),
+      "X83 Gopher hard-threshold quality rule suite")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.CorpusOps.gopherRules(
+            table(spark, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      }),
   )
 }

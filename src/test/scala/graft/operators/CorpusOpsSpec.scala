@@ -303,4 +303,54 @@ class CorpusOpsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("ab", 2L), ("bc", 1L)))
   }
+
+  test("packSequences: exact hand-computed packing, tail short, " +
+      "empty docs vanish") {
+    val s = spark
+    import s.implicits._
+    // doc order matters: 1:[a b c], 2:[] , 3:[d e], 4:[f]
+    // stream = a b c d e f ; L=4 -> seq0 = a b c d, seq1 = e f
+    val docs = Seq((1L, "a b  c"), (2L, "   "), (3L, "d e"), (4L, "f"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.packSequences(docs, "doc_id", "text", 4)
+      .orderBy($"seq_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((0L, 4L, "a b c d"), (1L, 2L, "e f")))
+    // every token in exactly one sequence, all full except the last
+    val big = (0 until 50).map(i => (i.toLong, s"w${i}a w${i}b w${i}c"))
+      .toDF("doc_id", "text")
+    val packed = CorpusOps.packSequences(big, "doc_id", "text", 7)
+      .orderBy($"seq_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(packed.map(_._2).sum == 150)
+    assert(packed.dropRight(1).forall(_._2 == 7))
+    assert(packed.map(_._1) == packed.indices.map(_.toLong))
+    assert(packed.flatMap(_._3.split(" ")).toSeq ==
+      (0 until 50).flatMap(i => Seq(s"w${i}a", s"w${i}b", s"w${i}c")))
+  }
+
+  test("gopherRules: each rule trips on its crafted violator") {
+    val s = spark
+    import s.implicits._
+    val good = (("the quick brown fox jumps over a lazy dog and " +
+      "then runs far away with great speed ") * 5).trim // 95 words, clean
+    val docs = Seq(
+      (1L, good),
+      (2L, "the a short doc"), // < 50 words
+      (3L, good.split(" ").map(_ => "ab").mkString(" ")), // mean len 2 < 3
+      (4L, good + " " + Array.fill(20)("#").mkString(" ")), // symbols
+      (5L, (0 until 60).map(i => f"xyzq$i%02d").mkString(" ")), // no stopwords
+      (6L, good.split(" ").map(w => "123").mkString(" ")) // no alpha words
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.gopherRules(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(byId(1L).getAs[Boolean]("keep"))
+    assert(!byId(2L).getAs[Boolean]("pass_words"))
+    assert(!byId(3L).getAs[Boolean]("pass_word_len"))
+    assert(!byId(4L).getAs[Boolean]("pass_symbols"))
+    assert(!byId(5L).getAs[Boolean]("pass_stopwords"))
+    assert(!byId(6L).getAs[Boolean]("pass_alpha"))
+    assert(Seq(2L, 3L, 4L, 5L, 6L).forall(i => !byId(i).getAs[Boolean]("keep")))
+  }
 }

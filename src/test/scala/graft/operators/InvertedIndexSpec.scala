@@ -239,4 +239,35 @@ class InvertedIndexSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().toSeq
     assert(got == Seq(3L))
   }
+
+  test("docPerplexity: hand-computed bigram LM, short docs excluded") {
+    val s = spark
+    import s.implicits._
+    // corpus bigrams: (a,b)x2 from docs 1,2; (b,a)x1 from doc 1;
+    // totals: a->2, b->1. doc 1 = a b a: nll = -log2(2/2) + ... wait
+    // p(b|a)=2/2=1 -> 0 bits; p(a|b)=1/1=1 -> 0 bits. Make it
+    // non-trivial: add (a,c).
+    val docs = Seq(
+      (1L, "a b a"), // bigrams (a,b), (b,a)
+      (2L, "a b"),   // (a,b)
+      (3L, "a c"),   // (a,c)
+      (4L, "solo"),  // 1 token -> excluded
+      (5L, "")       // 0 tokens -> excluded
+    ).toDF("doc_id", "text")
+    // counts: (a,b)=2, (b,a)=1, (a,c)=1; totals: a=3, b=1
+    // p(b|a)=2/3, p(a|b)=1, p(c|a)=1/3
+    val r = InvertedIndex.docPerplexity(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val nllAB = -math.log(2.0 / 3.0) / math.log(2.0)
+    val nllAC = -math.log(1.0 / 3.0) / math.log(2.0)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(r.map(_._1) == Seq(1L, 2L, 3L))
+    assert(r(0) == ((1L, 2L, r6(nllAB / 2), r6(math.pow(2, nllAB / 2)))))
+    assert(r(1) == ((2L, 1L, r6(nllAB), r6(math.pow(2, nllAB)))))
+    assert(r(2) == ((3L, 1L, r6(nllAC), r6(math.pow(2, nllAC)))))
+    // a doc repeating the corpus's most typical bigram scores lower
+    // ppl than one made of rare bigrams
+    assert(r(1)._4 < r(2)._4)
+  }
 }
