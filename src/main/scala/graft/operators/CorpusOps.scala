@@ -78,6 +78,60 @@ object CorpusOps {
       coalesce(element_at(thresholds, col(stratumCol)), lit(0L)))
   }
 
+  /** X85 — temperature-based corpus mixing (the mT5/Pile sampling
+    * rule): stratum s is sampled at a rate ∝ n_s^(α-1), i.e. its
+    * share of the output is n_s^α / Σ n^α — α=1 keeps natural
+    * proportions, α→0 equalizes sources, α=0.5 is the common
+    * up-weight-the-tail setting. Rates derive from the corpus's OWN
+    * counts (one skinny agg) and rows keep via the shared md5 band,
+    * so the mix is deterministic and content-stable like every other
+    * sampler here.
+    *
+    * Cross-engine exactness: w_s = round(n_s^α · 10⁶) is quantized to
+    * an INTEGER before summing — float Σ order across strata would
+    * otherwise drift a ulp between engines and flip band-boundary
+    * rows. Every later product/division is a fixed-shape expression
+    * over exact integers, so both engines compute identical doubles.
+    *
+    * `targetFraction` is the desired overall keep rate; per-stratum
+    * rates cap at 1 (a tail source smaller than its allocation keeps
+    * everything — the capped mass is NOT redistributed, matching the
+    * published samplers, which renormalize offline).
+    *
+    * Scale shape: one map-side-combinable count agg (|strata| rows) →
+    * one single-row total → rates broadcast-join back to the scan;
+    * the keep predicate stays codegen'd. No driver-side state.
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+      alpha: Double, targetFraction: Double, salt: String = "")
+      : DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"need 0 < targetFraction <= 1, got $targetFraction")
+    // α=0.5 goes through sqrt, which IEEE 754 requires to be
+    // correctly rounded — bit-identical across engines. pow carries
+    // no such guarantee (a 1-ulp drift could flip the quantization),
+    // so the exact-oracle contract pins α=0.5.
+    val weight =
+      if (alpha == 0.5) sqrt(col("__n").cast("double"))
+      else pow(col("__n").cast("double"), lit(alpha))
+    val sizes = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", round(weight * 1e6, 0).cast("long"))
+    val tot = sizes.agg(sum(col("__n")).as("__tn"), sum(col("__w")).as("__tw"))
+    val rates = sizes.crossJoin(broadcast(tot))
+      .withColumn("__rate",
+        least(lit(1.0),
+          lit(targetFraction) * col("__tn").cast("double") * col("__w") /
+            (col("__tw").cast("double") * col("__n"))))
+      .withColumn("__thr",
+        round(col("__rate") * 4294967296.0, 0).cast("long"))
+      .select(col(stratumCol), col("__rate").as("mix_rate"), col("__thr"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(md5Band(col(keyCol).cast("string"), salt) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Token-budget sharding: pack an ordered document stream into
     * training shards of ≈`budgetTokens` each — shard id = ⌊cumulative
     * tokens before the doc / budget⌋, per `partitionCol` (e.g.

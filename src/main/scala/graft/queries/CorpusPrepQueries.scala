@@ -109,6 +109,9 @@ object CorpusPrepQueries {
     "src0" -> 1200.0, "src1" -> 900.0, "src2" -> 600.0, "src3" -> 300.0)
   val MixSalt = "mix"
 
+  /** Overall keep rate for X85 temperature mixing (α pinned at 0.5). */
+  val TempTargetFraction = 0.25
+
   val defs: Seq[QueryDef] = Seq(
 
     // X37: context-window chunking — overlapping token windows per
@@ -227,6 +230,47 @@ object CorpusPrepQueries {
         CorpusOps.mixCorpus(counted, "text", "source", "n_tokens",
             MixTargets.toMap, MixSalt)
           .select($"doc_id", $"source", $"source_tokens", $"keep_frac")
+          .orderBy($"doc_id")
+      }),
+
+    // X85: temperature-based mixing (mT5/Pile rule) — stratum share
+    // of the output ∝ n^α, rates DERIVED from the corpus's own counts
+    // (vs X39's externally given token targets). α pinned to 0.5 in
+    // the contract: sqrt is IEEE-correctly-rounded in both engines,
+    // and the weight quantization (×10⁶ → BIGINT) makes the Σ exact,
+    // so thresholds agree bit-for-bit.
+    QueryDef(
+      "q_temperature_mix",
+      Some(s"""
+        WITH sizes AS (
+          SELECT source, count(*) AS n,
+                 CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1e6)
+                      AS BIGINT) AS w
+          FROM documents GROUP BY source
+        ), tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS tn,
+                 CAST(sum(w) AS BIGINT) AS tw
+          FROM sizes
+        ), rates AS (
+          SELECT s.source,
+                 least(1.0, $TempTargetFraction * CAST(t.tn AS DOUBLE)
+                       * s.w / (CAST(t.tw AS DOUBLE) * s.n)) AS rate
+          FROM sizes s, tot t
+        )
+        SELECT d.doc_id, d.source, round(r.rate, 6) AS mix_rate
+        FROM documents d JOIN rates r USING (source)
+        WHERE CAST(('0x' || substr(md5('$MixSalt'
+                || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              < CAST(round(r.rate * 4294967296.0) AS BIGINT)
+        ORDER BY d.doc_id
+      """.trim),
+      "X85 temperature-based corpus mixing (rates from corpus counts)")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.temperatureMix(table(spark, dir, "documents"),
+            "doc_id", "source", alpha = 0.5,
+            targetFraction = TempTargetFraction, salt = MixSalt)
+          .select($"doc_id", $"source", round($"mix_rate", 6).as("mix_rate"))
           .orderBy($"doc_id")
       }),
 

@@ -403,4 +403,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"outlier cut does a global sort:\n${p.take(1500)}")
   }
+
+  test("q_gopher_rules: single pruned scan, zero exchanges before " +
+    "the final sort, fully codegen'd") {
+    val p = plan("q_gopher_rules")
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("source"),
+      s"unpruned scan: $read")
+    // the only exchange allowed is the ORDER BY's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"rule pass shuffled:\n${p.take(1500)}")
+    assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, "not codegen'd")
+  }
+
+  test("q_pack_sequences: prefix-sum window runs on a skinny " +
+    "projection, token arrays join in after") {
+    val p = plan("q_pack_sequences")
+    // the Window node must not consume the token array column
+    val winSection = p.split("\n").filter(_.contains("Window"))
+    assert(winSection.nonEmpty, "no window node")
+    assert(!winSection.exists(_.contains("__w")),
+      s"prefix sum window carries token arrays:\n${winSection.mkString("\n")}")
+    // reassembly aggregates with partial (map-side) combine
+    assert(p.contains("partial_count"), "seq agg lost map-side combine")
+  }
+
+  test("q_doc_perplexity: vocab-sized probability table broadcasts, " +
+    "per-doc agg map-side combined") {
+    val p = plan("q_doc_perplexity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probability join stopped broadcasting:\n${p.take(1500)}")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-doc agg lost map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_bpe_fertility: encode stays a scan-side map (no exchange " +
+    "between the documents scan and the encode projection)") {
+    val p = plan("q_bpe_fertility")
+    // encode itself is a closure map; the only exchanges allowed are
+    // the doc-stats join and the source agg (+ final sort)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 4,
+      s"$exchanges exchanges (expected <= 4):\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

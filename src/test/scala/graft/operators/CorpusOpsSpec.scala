@@ -329,6 +329,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       (0 until 50).flatMap(i => Seq(s"w${i}a", s"w${i}b", s"w${i}c")))
   }
 
+  test("temperatureMix: hand-computed rates, small-source upweight, " +
+      "cap at 1, deterministic") {
+    val s = spark
+    import s.implicits._
+    // strata: big=1600 rows, mid=400, tiny=4
+    val docs = ((0 until 1600).map(i => (i.toLong, "big")) ++
+      (0 until 400).map(i => (2000L + i, "mid")) ++
+      (0 until 4).map(i => (3000L + i, "tiny")))
+      .toDF("id", "src")
+    val r = CorpusOps.temperatureMix(docs, "id", "src",
+      alpha = 0.5, targetFraction = 0.25, salt = "t")
+    val rates = r.select($"src", $"mix_rate").distinct()
+      .as[(String, Double)].collect().toMap
+    // w = sqrt(n)*1e6: big=40e6, mid=20e6, tiny=2e6; tw=62e6; tn=2004
+    def expect(n: Long, w: Double) =
+      math.min(1.0, 0.25 * 2004.0 * w / (6.2e7 * n))
+    assert(math.abs(rates("big") - expect(1600, 4.0e7)) < 1e-12)
+    assert(math.abs(rates("mid") - expect(400, 2.0e7)) < 1e-12)
+    // tiny: 0.25*2004*2e6/(6.2e7*4) = 4.04... -> capped at 1,
+    // so ALL tiny rows survive
+    assert(rates("tiny") == 1.0)
+    assert(r.filter($"src" === "tiny").count() == 4)
+    // smaller sources keep a larger fraction (the point of α<1)
+    assert(rates("tiny") > rates("mid") && rates("mid") > rates("big"))
+    // deterministic
+    val again = CorpusOps.temperatureMix(docs, "id", "src",
+      alpha = 0.5, targetFraction = 0.25, salt = "t")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(again == r.select($"id").as[Long].collect().sorted.toSeq)
+    // realized keep rates track the computed rates (md5 band ~ U[0,1))
+    val keptMid = r.filter($"src" === "mid").count().toDouble / 400
+    assert(math.abs(keptMid - rates("mid")) < 0.12)
+  }
+
   test("gopherRules: each rule trips on its crafted violator") {
     val s = spark
     import s.implicits._
