@@ -77,7 +77,10 @@ object ScaleBench {
       // bigram-LM perplexity (vocab²-bounded prob join), Gopher rules
       // (pure scan), BPE fertility (encode scan + source agg)
       "q_pack_sequences", "q_doc_perplexity", "q_gopher_rules",
-      "q_bpe_fertility", "q_temperature_mix")
+      "q_bpe_fertility", "q_temperature_mix",
+      // r7 third wave: BLEU (clip join keyed by (doc, n, gram)),
+      // memorization probe (gram-df witness join)
+      "q_bleu", "q_memorization")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

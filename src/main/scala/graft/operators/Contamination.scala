@@ -110,6 +110,54 @@ object Contamination {
     * grams only); the join back to the positional stream is the
     * inverted-index equi-join, map-side combinable on both ends.
     */
+  /** X87 — verbatim-memorization scan: per CANDIDATE doc, the
+    * fraction of its positional k-gram slots occurring verbatim in
+    * some OTHER corpus doc — the extraction-style regurgitation check
+    * (Carlini et al. 2021) run over model outputs (or held-out docs)
+    * against the training corpus before release. Differs from
+    * `duplicateSpanCoverage` in that candidates are an arbitrary
+    * subset scored against the WHOLE corpus with self-matches
+    * excluded, not the corpus against itself.
+    *
+    * Output: (docCol, n_slots, n_memorized, memorization), one row
+    * per candidate doc; docs shorter than k grams score 0 over 0
+    * slots.
+    *
+    * Self-exclusion without a doc×doc join: the corpus gram table
+    * keeps only (distinct-doc count, one witness doc id) per gram —
+    * a slot is memorized iff its gram occurs in ≥2 docs, or in
+    * exactly one doc that is not the candidate itself. The witness
+    * pair is enough; no gram ever carries its full doc list.
+    *
+    * Scale shape: corpus side is one distinct + one count agg over
+    * the gram stream (map-side combinable, output ≤ \|distinct
+    * grams\|); the candidate probe is a gram equi-join whose cost is
+    * Σ candidate-gram df — linear in candidate text, never all-pairs.
+    */
+  def memorizationScan(corpus: DataFrame, candidates: DataFrame,
+      docCol: String, textCol: String, k: Int): DataFrame = {
+    val gramDocs = positionalNgrams(corpus, docCol, textCol, k)
+      .select(col(docCol), col("g")).distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("__nd"), min(col(docCol)).as("__d0"))
+    val probe = positionalNgrams(candidates, docCol, textCol, k)
+      .join(gramDocs, Seq("g"), "left")
+      .groupBy(col(docCol))
+      .agg(count(lit(1)).as("n_slots"),
+        sum(when(col("__nd") > 1 ||
+          (col("__nd") === 1 && col("__d0") =!= col(docCol)), 1L)
+          .otherwise(0L)).as("n_memorized"))
+    candidates.select(col(docCol)).distinct()
+      .join(probe, Seq(docCol), "left")
+      .select(col(docCol),
+        coalesce(col("n_slots"), lit(0L)).as("n_slots"),
+        coalesce(col("n_memorized"), lit(0L)).as("n_memorized"))
+      .withColumn("memorization",
+        when(col("n_slots") === 0, lit(0.0))
+          .otherwise(round(
+            col("n_memorized").cast("double") / col("n_slots"), 6)))
+  }
+
   def duplicateSpanCoverage(docs: DataFrame, docCol: String,
       textCol: String, n: Int): DataFrame = {
     val pg = positionalNgrams(docs, docCol, textCol, n)

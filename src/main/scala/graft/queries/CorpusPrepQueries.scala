@@ -112,6 +112,10 @@ object CorpusPrepQueries {
   /** Overall keep rate for X85 temperature mixing (α pinned at 0.5). */
   val TempTargetFraction = 0.25
 
+  /** X87 memorization scan: gram width + candidate modulus. */
+  val MemK = 8
+  val MemMod = 17
+
   val defs: Seq[QueryDef] = Seq(
 
     // X37: context-window chunking — overlapping token windows per
@@ -230,6 +234,51 @@ object CorpusPrepQueries {
         CorpusOps.mixCorpus(counted, "text", "source", "n_tokens",
             MixTargets.toMap, MixSalt)
           .select($"doc_id", $"source", $"source_tokens", $"keep_frac")
+          .orderBy($"doc_id")
+      }),
+
+    // X87: verbatim-memorization scan — per candidate doc (every
+    // 17th), the fraction of its positional 8-gram slots occurring in
+    // some OTHER corpus doc. Self-exclusion via the (distinct-doc
+    // count, witness doc) pair per gram; exact integer ratios.
+    QueryDef(
+      "q_memorization",
+      Some(s"""
+        WITH $toksCte, pg AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(w) < $MemK THEN []
+                 ELSE list_transform(range(len(w) - ${MemK - 1}),
+                        i -> ${gramExpr(MemK, "chr(1)")})
+            END) AS g
+          FROM toks
+        ), gd AS (
+          SELECT g, count(DISTINCT doc_id) AS nd, min(doc_id) AS d0
+          FROM pg GROUP BY g
+        ), probe AS (
+          SELECT c.doc_id, count(*) AS n_slots,
+                 CAST(sum(CASE WHEN gd.nd > 1
+                           OR (gd.nd = 1 AND gd.d0 <> c.doc_id)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_memorized
+          FROM (SELECT * FROM pg WHERE doc_id % $MemMod = 0) c
+          JOIN gd USING (g)
+          GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+          coalesce(n_slots, 0) AS n_slots,
+          coalesce(n_memorized, 0) AS n_memorized,
+          CASE WHEN coalesce(n_slots, 0) = 0 THEN 0.0
+               ELSE round(CAST(n_memorized AS DOUBLE) / n_slots, 6)
+          END AS memorization
+        FROM (SELECT doc_id FROM documents WHERE doc_id % $MemMod = 0) d
+        LEFT JOIN probe USING (doc_id)
+        ORDER BY d.doc_id
+      """.trim),
+      "X87 verbatim 8-gram memorization of candidates vs rest of corpus")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents")
+        Contamination.memorizationScan(docs,
+            docs.filter($"doc_id" % MemMod === 0), "doc_id", "text", MemK)
           .orderBy($"doc_id")
       }),
 

@@ -154,6 +154,111 @@ object PipelineQueries {
           .orderBy($"doc_id")
       }),
 
+    // X86: sentence BLEU-4 vs the SAME corruption as q_wer/q_cer —
+    // the n-gram-overlap eval metric completing the WER/CER family.
+    // Clipped counts are exact integers; ln/exp evaluate the same
+    // fixed-shape expression on identical doubles; round(6) absorbs
+    // libm ulp drift, the q_doc_perplexity convention.
+    QueryDef(
+      "q_bleu",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), hypx AS (
+          SELECT doc_id,
+                 list(CASE WHEN i % 11 = 0 THEN 'zzz' ELSE w[i] END
+                      ORDER BY i) FILTER (WHERE i % 7 <> 0) AS h
+          FROM toks, unnest(range(1, len(w) + 1)) AS r(i)
+          GROUP BY doc_id
+        ), sides AS (
+          SELECT t.doc_id, t.w AS r, coalesce(h.h, []) AS h
+          FROM toks t LEFT JOIN hypx h USING (doc_id)
+        ), ns AS (
+          SELECT unnest([1, 2, 3, 4]) AS n
+        ), hg AS (
+          SELECT s.doc_id, ns.n,
+                 array_to_string(s.h[i : i + ns.n - 1], chr(1)) AS g,
+                 count(*) AS c
+          FROM sides s, ns, unnest(range(1, len(s.h) - ns.n + 2)) AS u(i)
+          GROUP BY 1, 2, 3
+        ), rg AS (
+          SELECT s.doc_id, ns.n,
+                 array_to_string(s.r[i : i + ns.n - 1], chr(1)) AS g,
+                 count(*) AS c
+          FROM sides s, ns, unnest(range(1, len(s.r) - ns.n + 2)) AS u(i)
+          GROUP BY 1, 2, 3
+        ), m AS (
+          SELECT hg.doc_id, hg.n,
+                 CAST(sum(least(hg.c, rg.c)) AS BIGINT) AS m
+          FROM hg JOIN rg ON hg.doc_id = rg.doc_id AND hg.n = rg.n
+                         AND hg.g = rg.g
+          GROUP BY 1, 2
+        ), wide AS (
+          SELECT s.doc_id,
+                 CAST(len(s.r) AS BIGINT) AS ref_len,
+                 CAST(len(s.h) AS BIGINT) AS hyp_len,
+                 coalesce(max(CASE WHEN m.n = 1 THEN m.m END), 0) AS m1,
+                 coalesce(max(CASE WHEN m.n = 2 THEN m.m END), 0) AS m2,
+                 coalesce(max(CASE WHEN m.n = 3 THEN m.m END), 0) AS m3,
+                 coalesce(max(CASE WHEN m.n = 4 THEN m.m END), 0) AS m4
+          FROM sides s LEFT JOIN m ON s.doc_id = m.doc_id
+          GROUP BY 1, 2, 3
+        ), scored AS (
+          SELECT doc_id, ref_len, hyp_len,
+            CASE WHEN greatest(hyp_len, 0) > 0
+                 THEN CAST(m1 AS DOUBLE) / greatest(hyp_len, 0)
+                 ELSE 0.0 END AS p1,
+            CASE WHEN greatest(hyp_len - 1, 0) > 0
+                 THEN CAST(m2 AS DOUBLE) / greatest(hyp_len - 1, 0)
+                 ELSE 0.0 END AS p2,
+            CASE WHEN greatest(hyp_len - 2, 0) > 0
+                 THEN CAST(m3 AS DOUBLE) / greatest(hyp_len - 2, 0)
+                 ELSE 0.0 END AS p3,
+            CASE WHEN greatest(hyp_len - 3, 0) > 0
+                 THEN CAST(m4 AS DOUBLE) / greatest(hyp_len - 3, 0)
+                 ELSE 0.0 END AS p4,
+            CASE WHEN hyp_len >= ref_len THEN 1.0
+                 WHEN hyp_len = 0 THEN 0.0
+                 ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / hyp_len)
+            END AS bp
+          FROM wide
+        )
+        SELECT doc_id, ref_len, hyp_len,
+               round(p1, 6) AS p_1, round(p2, 6) AS p_2,
+               round(p3, 6) AS p_3, round(p4, 6) AS p_4,
+               round(bp, 6) AS bp,
+               round(CASE WHEN p1 > 0 AND p2 > 0 AND p3 > 0 AND p4 > 0
+                     THEN bp * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4)
+                     ELSE 0.0 END, 6) AS bleu
+        FROM scored
+        ORDER BY doc_id
+      """.trim),
+      "X86 sentence BLEU-4 vs the q_wer corruption")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.Dedup
+        val docs = table(spark, dir, "documents")
+        val toks = docs.select($"doc_id", Dedup.tokens($"text").as("w"))
+        val hyp = toks
+          .select($"doc_id", posexplode($"w").as(Seq("pos", "word")))
+          .filter(($"pos" + 1) % 7 =!= 0)
+          .select($"doc_id", $"pos",
+            when(($"pos" + 1) % 11 === 0, "zzz").otherwise($"word")
+              .as("word"))
+          .groupBy($"doc_id")
+          .agg(concat_ws(" ", array_sort(collect_list(
+            struct($"pos", $"word"))).getField("word")).as("h"))
+        val pairs = toks.join(hyp, Seq("doc_id"), "left")
+          .select($"doc_id", array_join($"w", " ").as("ref_text"),
+            coalesce($"h", lit("")).as("hyp_text"))
+        graft.operators.Bleu.sentenceBleu(pairs, "doc_id",
+            "ref_text", "hyp_text", maxN = 4)
+          .orderBy($"doc_id")
+      }),
+
     // J1: LCS equal-run alignment of each doc's token stream against
     // a deterministic perturbation of itself (every 7th token
     // dropped) — the difflib-parity kernel under mapGroups, one

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkHarness
+
+/** BLEU invariants on the textbook clipping example plus brevity,
+  * degenerate, and corpus-pooling cases.
+  */
+class BleuSpec extends AnyFunSuite {
+  private lazy val spark = SparkHarness.spark
+
+  private def r6(x: Double) = math.rint(x * 1e6) / 1e6
+
+  // ref "the cat is on the mat", hyp "the cat the cat on the mat":
+  // p1 = 5/7 (clip: the->2, cat->1, on, mat), p2 = 3/6, p3 = 1/5,
+  // p4 = 0/4
+  private val Ref = "the cat is on the mat"
+  private val Hyp = "the cat the cat on the mat"
+
+  test("sentenceBleu: textbook clipped precisions; p4=0 zeroes BLEU-4") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, Ref, Hyp)).toDF("id", "ref", "hyp")
+    val r = Bleu.sentenceBleu(pairs, "id", "ref", "hyp", maxN = 4)
+      .collect().head
+    assert(r.getAs[Long]("ref_len") == 6 && r.getAs[Long]("hyp_len") == 7)
+    assert(r.getAs[Double]("p_1") == r6(5.0 / 7))
+    assert(r.getAs[Double]("p_2") == r6(3.0 / 6))
+    assert(r.getAs[Double]("p_3") == r6(1.0 / 5))
+    assert(r.getAs[Double]("p_4") == 0.0)
+    assert(r.getAs[Double]("bp") == 1.0) // hyp longer than ref
+    assert(r.getAs[Double]("bleu") == 0.0) // unsmoothed: any p_n=0
+  }
+
+  test("sentenceBleu maxN=2: hand-computed geometric mean") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, Ref, Hyp)).toDF("id", "ref", "hyp")
+    val r = Bleu.sentenceBleu(pairs, "id", "ref", "hyp", maxN = 2)
+      .collect().head
+    val expect = math.exp((math.log(5.0 / 7) + math.log(3.0 / 6)) / 2)
+    assert(r.getAs[Double]("bleu") == r6(expect))
+  }
+
+  test("brevity penalty: short hyp penalized, identical pair scores 1") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(
+      (1L, "a b c d e f g h", "a b c d"), // perfect sub-match, half len
+      (2L, Ref, Ref), // identity
+      (3L, Ref, ""), // empty hyp
+      (4L, "", "") // both empty
+    ).toDF("id", "ref", "hyp")
+    val rs = Bleu.sentenceBleu(pairs, "id", "ref", "hyp", maxN = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val bp1 = math.exp(1.0 - 8.0 / 4.0)
+    assert(rs(1L).getAs[Double]("bp") == r6(bp1))
+    assert(rs(1L).getAs[Double]("p_1") == 1.0 &&
+      rs(1L).getAs[Double]("p_2") == 1.0)
+    assert(rs(1L).getAs[Double]("bleu") == r6(bp1))
+    assert(rs(2L).getAs[Double]("bleu") == 1.0)
+    assert(rs(3L).getAs[Double]("bleu") == 0.0 &&
+      rs(3L).getAs[Double]("bp") == 0.0)
+    assert(rs(4L).getAs[Double]("bleu") == 0.0) // bp=1 but p_n=0
+  }
+
+  test("corpusBleu pools counts before ratios (not a mean of scores)") {
+    val s = spark
+    import s.implicits._
+    // pair A matches 1 of 5 unigrams, pair B 3 of 3: pooled
+    // p1 = (1+3)/(5+3) = 0.5, whereas a mean of sentence scores
+    // would give (0.2 + 1.0)/2 = 0.6 — pooling is observable
+    val pairs = Seq(
+      (1L, "q r s t u", "a b c d u"), // 1 of 5
+      (2L, "x y z", "x y z") // 3 of 3
+    ).toDF("id", "ref", "hyp")
+    val r = Bleu.corpusBleu(pairs, "id", "ref", "hyp", maxN = 1)
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == 2)
+    assert(r.getAs[Long]("ref_len") == 8 && r.getAs[Long]("hyp_len") == 8)
+    assert(r.getAs[Double]("p_1") == 0.5) // (1+3)/(5+3)
+    assert(r.getAs[Double]("bp") == 1.0)
+    assert(r.getAs[Double]("bleu") == 0.5)
+  }
+}

@@ -239,4 +239,34 @@ class ContaminationSpec extends AnyFunSuite {
       .as[(Long, Long, Long, String)].collect().head
     assert(short == ((4L, 2L, 0L, md5hex("s t"))))
   }
+
+  test("memorizationScan: self-matches excluded, cross-doc verbatim " +
+      "counted, short candidates score 0/0") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      1L -> "a b c d e f",   // candidate: "a b c" also in doc 3
+      2L -> "u v w x y z",   // candidate: fully unique
+      3L -> "q a b c r s",   // plants doc 1's prefix
+      4L -> "m n"            // candidate shorter than k=3
+    ).toDF("doc_id", "text")
+    val cands = corpus.filter($"doc_id" isin (1L, 2L, 4L))
+    val got = Contamination
+      .memorizationScan(corpus, cands, "doc_id", "text", k = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1 grams: [a b c][b c d][c d e][d e f] -> only "a b c" is in
+    // doc 3 -> 1/4; doc 2: 0/4; doc 4: no grams
+    assert(got == Seq(
+      (1L, 4L, 1L, 0.25),
+      (2L, 4L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0)))
+    // a doc duplicated verbatim elsewhere scores 1.0
+    val corpus2 = corpus.union(Seq(5L -> "a b c d e f").toDF("d", "t"))
+    val full = Contamination
+      .memorizationScan(corpus2, corpus2.filter($"doc_id" === 1L),
+        "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(full == ((1L, 4L, 4L, 1.0)))
+  }
 }
