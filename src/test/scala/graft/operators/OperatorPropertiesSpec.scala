@@ -289,4 +289,79 @@ class OperatorPropertiesSpec extends AnyFunSuite with PropertyHarness {
       }
     }
   }
+
+  // -------- X81 packing conservation on random corpora
+
+  private val packCorpusGen: Gen[List[String]] = for {
+    n <- Gen.choose(0, 25)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(len, Gen.choose('a', 'f').map(_.toString))
+    } yield ws.mkString(" "))
+  } yield docs
+
+  test("property: packSequences conserves the token stream exactly " +
+      "and only the last sequence is short") {
+    val s = spark
+    import s.implicits._
+    forAllSampled2(packCorpusGen, Gen.choose(1, 9), n = 25) { (docs, len) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val packed = CorpusOps.packSequences(df, "doc_id", "text", len)
+        .orderBy($"seq_id")
+        .as[(Long, Long, String)].collect().toSeq
+      val stream = docs.flatMap(_.split("\\s+").filter(_.nonEmpty))
+      assert(packed.flatMap(_._3.split(" ").filter(_.nonEmpty)) == stream)
+      assert(packed.map(_._2).sum == stream.length)
+      if (packed.nonEmpty) {
+        assert(packed.dropRight(1).forall(_._2 == len))
+        assert(packed.map(_._1) == packed.indices.map(_.toLong))
+      }
+    }
+  }
+
+  // -------- X86 BLEU identities on random pairs
+
+  test("property: BLEU(x, x) = 1 on non-empty docs; dropping tokens " +
+      "never raises clipped match counts above hyp totals") {
+    val s = spark
+    import s.implicits._
+    forAllSampled(packCorpusGen.suchThat(_.nonEmpty), n = 20) { docs =>
+      val pairs = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, t) }
+        .toDF("id", "ref", "hyp")
+      val rs = Bleu.sentenceBleu(pairs, "id", "ref", "hyp", maxN = 2)
+        .collect()
+      rs.foreach { r =>
+        val n = r.getAs[Long]("ref_len")
+        val b = r.getAs[Double]("bleu")
+        if (n >= 2) assert(b == 1.0, s"identity pair scored $b")
+        else if (n == 1) assert(b == 0.0) // no bigrams -> p_2 = 0
+        // precisions are probabilities
+        assert(r.getAs[Double]("p_1") <= 1.0 &&
+          r.getAs[Double]("p_2") <= 1.0)
+      }
+    }
+  }
+
+  // -------- X85 α=1 recovers uniform sampling
+
+  test("property: temperatureMix at alpha=1 gives every stratum the " +
+      "same rate = targetFraction") {
+    val s = spark
+    import s.implicits._
+    forAllSampled(Gen.listOfN(3, Gen.choose(5, 400)), n = 10) { sizes =>
+      val df = sizes.zipWithIndex.flatMap { case (n, si) =>
+        (0 until n).map(i => (si * 10000L + i, s"src$si"))
+      }.toDF("id", "src")
+      val rates = CorpusOps
+        .temperatureMix(df, "id", "src", alpha = 1.0,
+          targetFraction = 0.4, salt = "p")
+        .select($"src", $"mix_rate").distinct()
+        .as[(String, Double)].collect().toMap
+      // n^1 / sum(n) * sum(n) / n = 1, so rate = targetFraction for
+      // every stratum (up to the 1e6 weight quantization)
+      rates.values.foreach(r => assert(math.abs(r - 0.4) < 1e-4, rates))
+    }
+  }
 }
