@@ -204,12 +204,10 @@ object CorpusOps {
     *
     * Output: (seq_id, n_tokens, seq_text), one row per sequence.
     *
-    * Scale shape, three exchanges: (1) the prefix-sum window runs on
-    * a SKINNY (docCol, n) projection — never on token arrays; at
-    * 100 TB swap the single-partition window for the classic
-    * two-phase prefix sum (range-partition by docCol, per-partition
-    * subtotals — one tiny row each — broadcast back as offsets; same
-    * trade documented on `tokenShards`). (2) offsets join back to the
+    * Scale shape, three exchanges: (1) the prefix sum runs on a
+    * SKINNY (docCol, n) projection — never on token arrays — as a
+    * TRUE two-phase distributed scan (see [[prefixStarts]]): no
+    * single-partition stage anywhere. (2) offsets join back to the
     * token arrays by docCol. (3) reassembly groups each token once by
     * its owning seq_id — a doc's tokens spread over ≤ n/seqLen + 1
     * sequences, so no hot key regardless of doc-length skew.
@@ -219,11 +217,7 @@ object CorpusOps {
     require(seqLen > 0, s"need seqLen > 0, got $seqLen")
     val toks = docs.select(col(docCol), Dedup.tokens(col(textCol)).as("__w"))
     val skinny = toks.select(col(docCol), size(col("__w")).cast("long").as("__n"))
-    val w = Window.orderBy(col(docCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = skinny
-      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
-      .select(col(docCol), col("__start"))
+    val offs = prefixStarts(skinny, docCol)
     toks.join(offs, Seq(docCol))
       .select(col("__start"), posexplode(col("__w")).as(Seq("__i", "__t")))
       .withColumn("__gpos", col("__start") + col("__i"))
@@ -233,6 +227,46 @@ object CorpusOps {
           transform(array_sort(collect_list(struct(col("__gpos"), col("__t")))),
             p => p.getField("__t")), " ").as("seq_text"))
       .select(col("seq_id"), col("n_tokens"), col("seq_text"))
+  }
+
+  /** Distributed exclusive prefix sum of `__n` in `docCol` order —
+    * the textbook two-phase scan, with NO single-partition stage:
+    * range-partition + in-partition sort by docCol (deterministic for
+    * a given input), phase 1 reduces each partition to ONE subtotal
+    * row (collected: ≤ numShufflePartitions rows, driver-bounded by
+    * config, not data), phase 2 re-reads the SAME shuffle output (the
+    * stage is reused across the two jobs — the exchange runs once)
+    * adding the broadcast partition offset to a narrow running sum.
+    * Compare the windowed form (`Window.orderBy(docCol)`), which
+    * funnels the whole table through one task at 100 TB.
+    *
+    * Input must be (docCol, __n: long); output is (docCol, __start).
+    */
+  private[graft] def prefixStarts(skinny: DataFrame, docCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = skinny.sparkSession
+    val ranged = skinny
+      .repartitionByRange(col(docCol)).sortWithinPartitions(col(docCol))
+    val rdd = ranged.rdd // one RDD object -> the shuffle is reused below
+    val subtotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(1))
+      Iterator.single((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(
+      subtotals.scanLeft(0L)(_ + _))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = offsets.value(pid)
+      it.map { r =>
+        val start = s
+        s += r.getLong(1)
+        Row(r.get(0), start)
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      skinny.schema.head, StructField("__start", LongType, nullable = false))))
   }
 
   /** Length-bucketed batch assembly: group rows into `numBuckets`

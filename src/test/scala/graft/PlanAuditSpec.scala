@@ -417,14 +417,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, "not codegen'd")
   }
 
-  test("q_pack_sequences: prefix-sum window runs on a skinny " +
-    "projection, token arrays join in after") {
+  test("q_pack_sequences: two-phase prefix sum — no window, no " +
+    "single-partition exchange anywhere") {
     val p = plan("q_pack_sequences")
-    // the Window node must not consume the token array column
-    val winSection = p.split("\n").filter(_.contains("Window"))
-    assert(winSection.nonEmpty, "no window node")
-    assert(!winSection.exists(_.contains("__w")),
-      s"prefix sum window carries token arrays:\n${winSection.mkString("\n")}")
+    // the r7 two-phase scan replaced the global-order window; a
+    // Window node reappearing means the 100 TB bottleneck is back
+    assert(!p.contains("Window"),
+      s"single-task prefix-sum window crept back:\n${p.take(1500)}")
+    assert(!p.contains("SinglePartition"),
+      s"single-partition exchange:\n${p.take(1500)}")
     // reassembly aggregates with partial (map-side) combine
     assert(p.contains("partial_count"), "seq agg lost map-side combine")
   }
