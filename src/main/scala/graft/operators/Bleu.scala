@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** X86 — BLEU (Papineni et al. 2002): modified n-gram precision with
@@ -104,6 +105,78 @@ object Bleu {
       Seq(col("n_pairs"), col("ref_len"), col("hyp_len")),
       col("ref_len"), col("hyp_len"), maxN,
       n => col(s"__t$n"))
+  }
+
+  /** X88 — Self-BLEU (Zhu et al. 2018, Texygen): each doc scored as
+    * the hypothesis against ALL OTHER docs as references — the
+    * standard corpus-diversity diagnostic (high Self-BLEU = the
+    * corpus repeats itself; generation pipelines track it next to
+    * quality). Multi-reference clipping per gram needs only
+    * max_{r≠self} cnt_r(g), computed from a per-gram TOP-2 (count,
+    * witness) table — the [[Contamination.memorizationScan]] witness
+    * trick lifted from presence to counts, so no doc ever joins the
+    * full reference list. Brevity penalty uses the NLTK
+    * closest-ref-length rule: the OTHER doc length nearest hyp_len,
+    * ties to the shorter.
+    *
+    * Scale shape: gram top-2 is one window over the (n, gram) count
+    * table (per-gram partitions — parallel, vocabulary-bounded); the
+    * clip join keys on (n, gram); closest-length is a lag/lead pass
+    * over the SKINNY doc-length table (global order over \|docs\|
+    * rows — the same documented trade as the typicality terciles; in
+    * a sorted-by-value list the nearest other value is adjacent).
+    */
+  def selfBleu(docs: DataFrame, idCol: String, textCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 9, s"need 1 <= maxN <= 9, got $maxN")
+    val toks = docs.select(col(idCol),
+      coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
+        .as("__w"))
+    val lens = toks.select(col(idCol), size(col("__w")).cast("long").as("hyp_len"))
+    // closest OTHER length: in (len, id) order the nearest other value
+    // is an immediate neighbor; ties to the smaller length (NLTK rule)
+    val lw = Window.orderBy(col("hyp_len"), col(idCol))
+    val closest = lens
+      .withColumn("__prev", lag(col("hyp_len"), 1).over(lw))
+      .withColumn("__next", lead(col("hyp_len"), 1).over(lw))
+      .withColumn("ref_len",
+        when(col("__prev").isNull, col("__next"))
+          .when(col("__next").isNull, col("__prev"))
+          .when(abs(col("__prev") - col("hyp_len")) <=
+            abs(col("__next") - col("hyp_len")), col("__prev"))
+          .otherwise(col("__next")))
+      .select(col(idCol), col("hyp_len"), col("ref_len"))
+    val gramCnt = (1 to maxN).map { n =>
+      toks.select(col(idCol), explode(grams(col("__w"), n)).as("__g"))
+        .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+        .select(col(idCol), lit(n).as("__n"), col("__g"), col("__c"))
+    }.reduce(_ union _)
+    val tw = Window.partitionBy(col("__n"), col("__g"))
+      .orderBy(col("__c").desc, col(idCol))
+    val top2 = gramCnt.withColumn("__rk", row_number().over(tw))
+      .filter(col("__rk") <= 2)
+      .groupBy(col("__n"), col("__g"))
+      .agg(max(when(col("__rk") === 1, col("__c"))).as("__c1"),
+        max(when(col("__rk") === 1, col(idCol))).as("__d1"),
+        max(when(col("__rk") === 2, col("__c"))).as("__c2"))
+    val matches = gramCnt.join(top2, Seq("__n", "__g"))
+      .withColumn("__other",
+        when(col("__d1") =!= col(idCol), col("__c1"))
+          .otherwise(coalesce(col("__c2"), lit(0L))))
+      .groupBy(col(idCol), col("__n"))
+      .agg(sum(least(col("__c"), col("__other"))).as("__m"))
+    val mCols = (1 to maxN).map(n =>
+      coalesce(sum(when(col("__n") === n, col("__m"))), lit(0L))
+        .as(s"__m$n"))
+    val joined = closest.join(
+      matches.groupBy(col(idCol)).agg(mCols.head, mCols.tail: _*),
+      Seq(idCol), "left")
+    // a 1-doc corpus has no other reference: score 0 via ref_len null
+    val withRef = joined.withColumn("ref_len",
+      coalesce(col("ref_len"), lit(Long.MaxValue)))
+    assemble(withRef, Seq(col(idCol), col("hyp_len"), col("ref_len")),
+      col("ref_len"), col("hyp_len"), maxN)
+      .withColumnRenamed("bleu", "self_bleu")
   }
 
   private def assemble(df: DataFrame, keep: Seq[Column],

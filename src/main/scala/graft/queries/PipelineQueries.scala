@@ -259,6 +259,94 @@ object PipelineQueries {
           .orderBy($"doc_id")
       }),
 
+    // X88: Self-BLEU-2 — each doc as hypothesis vs ALL OTHER docs as
+    // references (corpus diversity). Multi-ref clipping via the
+    // per-gram top-2 (count, witness) table; brevity penalty via the
+    // NLTK closest-other-length rule (adjacent in value order).
+    QueryDef(
+      "q_self_bleu",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), lens AS (
+          SELECT doc_id, CAST(len(w) AS BIGINT) AS hyp_len FROM toks
+        ), closest AS (
+          SELECT doc_id, hyp_len,
+            CASE WHEN prv IS NULL THEN nxt
+                 WHEN nxt IS NULL THEN prv
+                 WHEN abs(prv - hyp_len) <= abs(nxt - hyp_len) THEN prv
+                 ELSE nxt END AS ref_len
+          FROM (SELECT doc_id, hyp_len,
+                  lag(hyp_len) OVER (ORDER BY hyp_len, doc_id) AS prv,
+                  lead(hyp_len) OVER (ORDER BY hyp_len, doc_id) AS nxt
+                FROM lens)
+        ), gc AS (
+          SELECT doc_id, n, g, count(*) AS c FROM (
+            SELECT doc_id, 1 AS n, unnest(
+              CASE WHEN len(w) < 1 THEN []
+                   ELSE list_transform(range(len(w)), i -> w[i+1]) END) AS g
+            FROM toks
+            UNION ALL
+            SELECT doc_id, 2 AS n, unnest(
+              CASE WHEN len(w) < 2 THEN []
+                   ELSE list_transform(range(len(w) - 1),
+                          i -> w[i+1] || chr(1) || w[i+2]) END) AS g
+            FROM toks
+          ) GROUP BY 1, 2, 3
+        ), top2 AS (
+          SELECT n, g,
+            max(CASE WHEN rk = 1 THEN c END) AS c1,
+            max(CASE WHEN rk = 1 THEN doc_id END) AS d1,
+            max(CASE WHEN rk = 2 THEN c END) AS c2
+          FROM (SELECT gc.*, row_number() OVER (PARTITION BY n, g
+                  ORDER BY c DESC, doc_id) AS rk FROM gc)
+          WHERE rk <= 2
+          GROUP BY 1, 2
+        ), m AS (
+          SELECT gc.doc_id, gc.n,
+            CAST(sum(least(gc.c,
+              CASE WHEN t.d1 <> gc.doc_id THEN t.c1
+                   ELSE coalesce(t.c2, 0) END)) AS BIGINT) AS m
+          FROM gc JOIN top2 t USING (n, g)
+          GROUP BY 1, 2
+        ), wide AS (
+          SELECT c.doc_id, c.hyp_len, c.ref_len,
+            coalesce(max(CASE WHEN m.n = 1 THEN m.m END), 0) AS m1,
+            coalesce(max(CASE WHEN m.n = 2 THEN m.m END), 0) AS m2
+          FROM closest c LEFT JOIN m ON c.doc_id = m.doc_id
+          GROUP BY 1, 2, 3
+        ), scored AS (
+          SELECT doc_id, hyp_len, ref_len,
+            CASE WHEN hyp_len > 0
+                 THEN CAST(m1 AS DOUBLE) / hyp_len ELSE 0.0 END AS p1,
+            CASE WHEN hyp_len - 1 > 0
+                 THEN CAST(m2 AS DOUBLE) / (hyp_len - 1) ELSE 0.0 END AS p2,
+            CASE WHEN hyp_len >= ref_len THEN 1.0
+                 WHEN hyp_len = 0 THEN 0.0
+                 ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / hyp_len)
+            END AS bp
+          FROM wide
+        )
+        SELECT doc_id, hyp_len, ref_len,
+               round(p1, 6) AS p_1, round(p2, 6) AS p_2,
+               round(bp, 6) AS bp,
+               round(CASE WHEN p1 > 0 AND p2 > 0
+                     THEN bp * exp((ln(p1) + ln(p2)) / 2)
+                     ELSE 0.0 END, 6) AS self_bleu
+        FROM scored
+        ORDER BY doc_id
+      """.trim),
+      "X88 Self-BLEU-2 corpus diversity (each doc vs all others)")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Bleu.selfBleu(
+            table(spark, dir, "documents"), "doc_id", "text", maxN = 2)
+          .orderBy($"doc_id")
+      }),
+
     // J1: LCS equal-run alignment of each doc's token stream against
     // a deterministic perturbation of itself (every 7th token
     // dropped) — the difflib-parity kernel under mapGroups, one

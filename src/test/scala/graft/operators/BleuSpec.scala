@@ -65,6 +65,37 @@ class BleuSpec extends AnyFunSuite {
     assert(rs(4L).getAs[Double]("bleu") == 0.0) // bp=1 but p_n=0
   }
 
+  test("selfBleu: hand-computed multi-ref clipping, closest-length " +
+      "BP, unique doc scores 0") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y"))
+      .toDF("id", "text")
+    val rs = Bleu.selfBleu(docs, "id", "text", maxN = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // doc 1 vs {2,3}: p1 = 2/3 (a, b live in doc 2; c nowhere else),
+    // p2 = 1/2 ("a b" in doc 2); closest other length to 3 is 3 -> bp 1
+    assert(rs(1L).getAs[Long]("ref_len") == 3)
+    assert(rs(1L).getAs[Double]("p_1") == r6(2.0 / 3))
+    assert(rs(1L).getAs[Double]("p_2") == 0.5)
+    assert(rs(1L).getAs[Double]("bp") == 1.0)
+    assert(rs(1L).getAs[Double]("self_bleu") ==
+      r6(math.exp((math.log(2.0 / 3) + math.log(0.5)) / 2)))
+    // doc 2 is symmetric
+    assert(rs(2L).getAs[Double]("self_bleu") ==
+      rs(1L).getAs[Double]("self_bleu"))
+    // doc 3 shares nothing -> 0, and its closest other length is 3
+    assert(rs(3L).getAs[Double]("self_bleu") == 0.0)
+    assert(rs(3L).getAs[Long]("ref_len") == 3)
+    assert(rs(3L).getAs[Double]("bp") == r6(math.exp(1.0 - 3.0 / 2)))
+    // a corpus of identical docs maxes out: self-BLEU 1 everywhere
+    val same = Seq((1L, "p q r s"), (2L, "p q r s"), (3L, "p q r s"))
+      .toDF("id", "text")
+    val all1 = Bleu.selfBleu(same, "id", "text", maxN = 2)
+      .select($"self_bleu").as[Double].collect().toSeq
+    assert(all1 == Seq(1.0, 1.0, 1.0))
+  }
+
   test("corpusBleu pools counts before ratios (not a mean of scores)") {
     val s = spark
     import s.implicits._
