@@ -229,6 +229,70 @@ object CorpusOps {
       .select(col("seq_id"), col("n_tokens"), col("seq_text"))
   }
 
+  /** X89 — vocabulary growth curve (the Heaps-law diagnostic a
+    * tokenizer budget is planned against): after each doc in docCol
+    * order, the cumulative token count and cumulative DISTINCT
+    * vocabulary size. The sequential-looking "distinct so far" is
+    * fully distributed: a type's first occurrence is min(docCol) per
+    * token (one agg), so vocab after doc d = # types whose first doc
+    * ≤ d — two [[prefixStarts]] scans over skinny per-doc counts, no
+    * single-partition stage.
+    *
+    * Output: (docCol, n_tokens, new_types, cum_tokens, vocab_size).
+    */
+  def vocabGrowth(docs: DataFrame, docCol: String, textCol: String)
+      : DataFrame = {
+    val tok = docs.select(col(docCol),
+      explode(Dedup.tokens(col(textCol))).as("__t"))
+    val cnts = tok.groupBy(col(docCol)).agg(count(lit(1)).as("__n"))
+    val news = tok.groupBy(col("__t")).agg(min(col(docCol)).as("__d0"))
+      .groupBy(col("__d0").as(docCol)).agg(count(lit(1)).as("__nv"))
+    val base = docs.select(col(docCol)).distinct()
+      .join(cnts, Seq(docCol), "left")
+      .join(news, Seq(docCol), "left")
+      .select(col(docCol), coalesce(col("__n"), lit(0L)).as("__n"),
+        coalesce(col("__nv"), lit(0L)).as("__nv"))
+    val pn = prefixStarts(base.select(col(docCol), col("__n")), docCol)
+      .withColumnRenamed("__start", "__sn")
+    val pv = prefixStarts(
+      base.select(col(docCol), col("__nv").as("__n")), docCol)
+      .withColumnRenamed("__start", "__sv")
+    base.join(pn, Seq(docCol)).join(pv, Seq(docCol))
+      .select(col(docCol), col("__n").as("n_tokens"),
+        col("__nv").as("new_types"),
+        (col("__sn") + col("__n")).as("cum_tokens"),
+        (col("__sv") + col("__nv")).as("vocab_size"))
+  }
+
+  /** X89b — Heaps-law fit V = k·nᵝ by exact least squares on the
+    * log-log growth curve. Cross-engine exactness: ln values are
+    * QUANTIZED to integer nano-units (round(ln·10⁹) — a 1-ulp libm
+    * log discrepancy is ~10⁻⁶ quanta, far under the rounding
+    * boundary) and every Σ runs in exact decimal arithmetic, so both
+    * engines feed identical integers into the closed form; the final
+    * doubles round to 6 dp. Output: one row (n_points, beta, k).
+    */
+  def heapsFit(growth: DataFrame): DataFrame = {
+    val dec = "decimal(20,0)"
+    val pts = growth
+      .filter(col("cum_tokens") > 0 && col("vocab_size") > 0)
+      .select(
+        round(log(col("cum_tokens").cast("double")) * 1e9, 0)
+          .cast(dec).as("__x"),
+        round(log(col("vocab_size").cast("double")) * 1e9, 0)
+          .cast(dec).as("__y"))
+    val m = pts.agg(count(lit(1)).as("n_points"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    val n = col("n_points").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double"); val sxx = col("__sxx").cast("double")
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    m.select(col("n_points"), round(beta, 6).as("beta"),
+      round(exp((sy - beta * sx) / (n * lit(1e9))), 6).as("k"))
+  }
+
   /** Distributed exclusive prefix sum of `__n` in `docCol` order —
     * the textbook two-phase scan, with NO single-partition stage:
     * range-partition + in-partition sort by docCol (deterministic for

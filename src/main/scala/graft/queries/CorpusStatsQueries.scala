@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.InvertedIndex
+import graft.operators.{CorpusOps, InvertedIndex}
 import graft.queries.QueryDef.table
 
 /** Corpus-statistics contract queries: per-column data profiling,
@@ -415,6 +415,103 @@ object CorpusStatsQueries {
           .select($"prev", $"next", $"cnt", $"total", $"p",
             $"rk".cast("long").as("rk"))
           .orderBy($"prev", $"rk")
+      }),
+
+    // X89: vocabulary growth curve — cumulative tokens and cumulative
+    // DISTINCT vocabulary after each doc; "distinct so far" becomes a
+    // min-first-doc agg + prefix sums (fully distributed, oracle
+    // replays the same arithmetic with a window). Pure integers.
+    QueryDef(
+      "q_vocab_growth",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(w) AS t FROM toks
+        ), cnts AS (
+          SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+        ), news AS (
+          SELECT d0 AS doc_id, count(*) AS nv FROM
+            (SELECT t, min(doc_id) AS d0 FROM tok GROUP BY t)
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+          CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens,
+          CAST(coalesce(v.nv, 0) AS BIGINT) AS new_types,
+          CAST(sum(coalesce(c.n, 0)) OVER w AS BIGINT) AS cum_tokens,
+          CAST(sum(coalesce(v.nv, 0)) OVER w AS BIGINT) AS vocab_size
+        FROM documents d
+        LEFT JOIN cnts c USING (doc_id)
+        LEFT JOIN news v USING (doc_id)
+        WINDOW w AS (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING)
+        ORDER BY d.doc_id
+      """.trim),
+      "X89 cumulative token/vocabulary growth per doc (Heaps curve)")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.vocabGrowth(
+            table(spark, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      }),
+
+    // X89b: Heaps-law exponent by exact least squares on the log-log
+    // curve — ln values quantized to integer nano-units so both
+    // engines sum identical integers (libm 1-ulp log drift is ~1e-6
+    // quanta); closed form evaluated in the same expression shape.
+    QueryDef(
+      "q_heaps_fit",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(w) AS t FROM toks
+        ), cnts AS (
+          SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+        ), news AS (
+          SELECT d0 AS doc_id, count(*) AS nv FROM
+            (SELECT t, min(doc_id) AS d0 FROM tok GROUP BY t)
+          GROUP BY 1
+        ), growth AS (
+          SELECT sum(coalesce(c.n, 0)) OVER w AS cum_tokens,
+                 sum(coalesce(v.nv, 0)) OVER w AS vocab_size
+          FROM documents d
+          LEFT JOIN cnts c USING (doc_id)
+          LEFT JOIN news v USING (doc_id)
+          WINDOW w AS (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING)
+        ), pts AS (
+          SELECT
+            CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1e9) AS HUGEINT) AS x,
+            CAST(round(ln(CAST(vocab_size AS DOUBLE)) * 1e9) AS HUGEINT) AS y
+          FROM growth WHERE cum_tokens > 0 AND vocab_size > 0
+        ), m AS (
+          SELECT count(*) AS np, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM pts
+        )
+        SELECT n_points, round(beta_raw, 6) AS beta,
+               round(exp((sy_d - beta_raw * sx_d) / (np_d * 1e9)), 6) AS k
+        FROM (
+          SELECT CAST(np AS BIGINT) AS n_points,
+            CAST(np AS DOUBLE) AS np_d,
+            CAST(sx AS DOUBLE) AS sx_d, CAST(sy AS DOUBLE) AS sy_d,
+            (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta_raw
+          FROM m
+        )
+      """.trim),
+      "X89b Heaps-law V=k*n^beta exact least-squares fit")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.heapsFit(CorpusOps.vocabGrowth(
+            table(spark, dir, "documents"), "doc_id", "text"))
       }),
 
     // X82: per-doc perplexity under the corpus's own bigram LM — the

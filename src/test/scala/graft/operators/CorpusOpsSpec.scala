@@ -363,6 +363,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(keptMid - rates("mid")) < 0.12)
   }
 
+  test("vocabGrowth: hand-computed cumulative curve; heapsFit " +
+      "recovers an exact power law") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b a"),     // 3 tokens, 2 new types
+      (2L, "b c"),       // 2 tokens, 1 new type (c)
+      (3L, ""),          // empty
+      (4L, "a d e")      // 3 tokens, 2 new types (d, e)
+    ).toDF("doc_id", "text")
+    val g = CorpusOps.vocabGrowth(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g == Seq(
+      (1L, 3L, 2L, 3L, 2L),
+      (2L, 2L, 1L, 5L, 3L),
+      (3L, 0L, 0L, 5L, 3L),
+      (4L, 3L, 2L, 8L, 5L)))
+    // a synthetic exact power law V = 2 * n^0.5 fits with beta ~ 0.5
+    val curve = Seq.tabulate(50) { i =>
+      val n = (i + 1L) * (i + 1L) * 25L // n = 25, 100, ...
+      (i.toLong, 0L, 0L, n, 2L * (i + 1) * 5L) // V = 2*sqrt(n)
+    }.toDF("doc_id", "n_tokens", "new_types", "cum_tokens", "vocab_size")
+    val fit = CorpusOps.heapsFit(curve).collect().head
+    assert(fit.getAs[Long]("n_points") == 50)
+    assert(math.abs(fit.getAs[Double]("beta") - 0.5) < 1e-6)
+    assert(math.abs(fit.getAs[Double]("k") - 2.0) < 1e-4)
+  }
+
   test("gopherRules: each rule trips on its crafted violator") {
     val s = spark
     import s.implicits._
