@@ -272,15 +272,40 @@ object CorpusOps {
     * engines feed identical integers into the closed form; the final
     * doubles round to 6 dp. Output: one row (n_points, beta, k).
     */
-  def heapsFit(growth: DataFrame): DataFrame = {
+  def heapsFit(growth: DataFrame): DataFrame =
+    quantizedLogFit(growth
+        .filter(col("cum_tokens") > 0 && col("vocab_size") > 0),
+      col("cum_tokens"), col("vocab_size"))
+
+  /** X90 — Zipf rank-frequency fit f(r) = c·r^(−s) over the corpus
+    * unigram table: rank by (count desc, token), exact least squares
+    * on the quantized log-log points (same cross-engine arithmetic as
+    * [[heapsFit]]). Output: (n_points, beta, k) with s = −beta. The
+    * ranking window is global over the VOCABULARY table (types, not
+    * tokens) — bounded like every vocab-sized stage here.
+    */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(Dedup.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val ranked = counts.withColumn("__r",
+      row_number().over(Window.orderBy(col("__c").desc, col("__t")))
+        .cast("long"))
+    quantizedLogFit(ranked, col("__r"), col("__c"))
+  }
+
+  /** Exact least squares of ln(y) on ln(x): ln values quantized to
+    * integer nano-units (1-ulp libm log drift ≈ 10⁻⁶ quanta — both
+    * engines round to the same integer) and summed in exact decimal
+    * arithmetic, so the closed form sees identical inputs everywhere.
+    * Output: (n_points, beta, k) for y = k·x^beta, rounded to 6 dp.
+    */
+  private def quantizedLogFit(df: DataFrame, x: Column, y: Column)
+      : DataFrame = {
     val dec = "decimal(20,0)"
-    val pts = growth
-      .filter(col("cum_tokens") > 0 && col("vocab_size") > 0)
-      .select(
-        round(log(col("cum_tokens").cast("double")) * 1e9, 0)
-          .cast(dec).as("__x"),
-        round(log(col("vocab_size").cast("double")) * 1e9, 0)
-          .cast(dec).as("__y"))
+    val pts = df.select(
+      round(log(x.cast("double")) * 1e9, 0).cast(dec).as("__x"),
+      round(log(y.cast("double")) * 1e9, 0).cast(dec).as("__y"))
     val m = pts.agg(count(lit(1)).as("n_points"),
       sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
       sum(col("__x") * col("__y")).as("__sxy"),

@@ -514,6 +514,48 @@ object CorpusStatsQueries {
             table(spark, dir, "documents"), "doc_id", "text"))
       }),
 
+    // X90: Zipf rank-frequency exponent — same quantized-log exact
+    // least squares as q_heaps_fit, over the ranked unigram table.
+    QueryDef(
+      "q_zipf_fit",
+      Some("""
+        WITH counts AS (
+          SELECT t, count(*) AS c FROM (
+            SELECT unnest(list_filter(
+              string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+            FROM documents)
+          GROUP BY t
+        ), ranked AS (
+          SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r
+          FROM counts
+        ), pts AS (
+          SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e9) AS HUGEINT) AS x,
+                 CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS HUGEINT) AS y
+          FROM ranked
+        ), m AS (
+          SELECT count(*) AS np, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM pts
+        )
+        SELECT n_points, round(beta_raw, 6) AS beta,
+               round(exp((sy_d - beta_raw * sx_d) / (np_d * 1e9)), 6) AS k
+        FROM (
+          SELECT CAST(np AS BIGINT) AS n_points,
+            CAST(np AS DOUBLE) AS np_d,
+            CAST(sx AS DOUBLE) AS sx_d, CAST(sy AS DOUBLE) AS sy_d,
+            (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta_raw
+          FROM m
+        )
+      """.trim),
+      "X90 Zipf rank-frequency exponent (quantized-log exact fit)")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.zipfFit(table(spark, dir, "documents"), "text")
+      }),
+
     // X82: per-doc perplexity under the corpus's own bigram LM — the
     // CCNet-style LM quality signal with the corpus as its own LM.
     // Probabilities are exact integer ratios; per-bigram -log2 values

@@ -392,6 +392,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(fit.getAs[Double]("k") - 2.0) < 1e-4)
   }
 
+  test("zipfFit recovers the exponent of an exact power-law corpus") {
+    val s = spark
+    import s.implicits._
+    // token w_r appears floor(1000 / r^2) times -> s = 2, c = 1000
+    val docs = Seq.tabulate(8) { r =>
+      (r.toLong, Seq.fill(1000 / ((r + 1) * (r + 1)))(f"w$r%02d")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val fit = CorpusOps.zipfFit(docs, "text").collect().head
+    assert(fit.getAs[Long]("n_points") == 8)
+    // floor() distorts the tail slightly; the fit stays near -2
+    assert(math.abs(fit.getAs[Double]("beta") + 2.0) < 0.02,
+      fit.toString)
+    assert(math.abs(fit.getAs[Double]("k") - 1000.0) < 30.0)
+  }
+
   test("gopherRules: each rule trips on its crafted violator") {
     val s = spark
     import s.implicits._
