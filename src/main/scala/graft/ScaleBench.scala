@@ -81,7 +81,7 @@ object ScaleBench {
       // r7 third wave: BLEU (clip join keyed by (doc, n, gram)),
       // memorization probe (gram-df witness join)
       "q_bleu", "q_memorization", "q_self_bleu",
-      "q_vocab_growth", "q_heaps_fit", "q_zipf_fit")
+      "q_vocab_growth", "q_heaps_fit", "q_zipf_fit", "q_silhouette")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

@@ -647,6 +647,42 @@ object Similarity {
           .as("is_kept"))
   }
 
+  /** X91 — simplified (centroid-form) silhouette per label: for each
+    * vector, a = distance to its own label's centroid, b = distance
+    * to the nearest OTHER centroid, s = (b−a)/max(a,b); reported as
+    * the per-label mean. The O(n²) pairwise silhouette collapses to
+    * the centroid form every large-scale clustering report actually
+    * uses — cost is \|vectors\|·dim·\|labels\| through a broadcast
+    * centroid join, never vector×vector. s → 1 means tight,
+    * well-separated labels; s ≤ 0 means the label's vectors sit
+    * closer to a foreign centroid (mislabeled or overlapping).
+    *
+    * Scale shape: one (label, dim) centroid agg (map-side combined,
+    * vocab-of-labels-sized output, broadcast back), one per-(vector,
+    * candidate-label) distance agg, one per-label mean.
+    */
+  def centroidSilhouette(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val exploded = vecs.select(col(idCol), col(labelCol).as("__lab"),
+      posexplode(toDouble(col(vecCol))).as(Seq("dim", "x")))
+    val centroids = exploded.groupBy(col("__lab").as("__lab2"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+    val dists = exploded.join(broadcast(centroids), Seq("dim"))
+      .groupBy(col(idCol), col("__lab"), col("__lab2"))
+      .agg(sqrt(sum((col("x") - col("m")) * (col("x") - col("m"))))
+        .as("__d"))
+    val ab = dists.groupBy(col(idCol), col("__lab"))
+      .agg(max(when(col("__lab") === col("__lab2"), col("__d"))).as("__a"),
+        min(when(col("__lab") =!= col("__lab2"), col("__d"))).as("__b"))
+    ab.withColumn("__s",
+        when(greatest(col("__a"), col("__b")) > 0,
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0)))
+      .groupBy(col("__lab").as(labelCol))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("__s")), 6).as("mean_silhouette"))
+  }
+
   def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int): DataFrame = {
     val exploded = vecs.select(col(idCol), col(labelCol),

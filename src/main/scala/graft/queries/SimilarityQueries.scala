@@ -259,6 +259,47 @@ object SimilarityQueries {
           .orderBy($"label")
       }),
 
+    // X91: centroid-form silhouette per label — the clustering-quality
+    // report for the embedding space; exact same float expressions in
+    // both engines, round(6) absorbing sum-order ulp as with the
+    // centroid/outlier family.
+    QueryDef(
+      "q_silhouette",
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM embeddings
+        ), c AS (
+          SELECT label AS lab2, dim, avg(x) AS m FROM e GROUP BY 1, 2
+        ), d AS (
+          SELECT e.vec_id, e.label, c.lab2,
+                 sqrt(sum((e.x - c.m) * (e.x - c.m))) AS d
+          FROM e JOIN c USING (dim)
+          GROUP BY 1, 2, 3
+        ), ab AS (
+          SELECT vec_id, label,
+                 max(CASE WHEN label = lab2 THEN d END) AS a,
+                 min(CASE WHEN label <> lab2 THEN d END) AS b
+          FROM d GROUP BY 1, 2
+        ), s AS (
+          SELECT label,
+            CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+                 ELSE 0.0 END AS s
+          FROM ab
+        )
+        SELECT label, count(*) AS n_vectors,
+               round(avg(s), 6) AS mean_silhouette
+        FROM s GROUP BY label ORDER BY label
+      """.trim),
+      "X91 per-label centroid silhouette of the embedding space")(
+      (spark, dir) => {
+        import spark.implicits._
+        Similarity.centroidSilhouette(table(spark, dir, "embeddings"),
+            "vec_id", "embedding", "label")
+          .orderBy($"label")
+      }),
+
     // X76: deterministic negative sampling — 5 different-label
     // negatives per anchor from 4 probed buckets, ranked by the md5
     // draw; RNG-free so the contrastive pairs reproduce across

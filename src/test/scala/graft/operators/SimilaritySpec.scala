@@ -257,4 +257,33 @@ class SimilaritySpec extends AnyFunSuite {
       .filter($"mn" =!= $"component_id" || $"nk" =!= 1)
     assert(bad.count() == 0)
   }
+
+  test("centroidSilhouette: hand-computed two-cluster value; " +
+      "separation drives s toward 1; coincident clusters score 0") {
+    val s = spark
+    import s.implicits._
+    def vecs(sep: Float) = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(0f, 2f), 0),
+      (3L, Array(sep, 0f), 1), (4L, Array(sep, 2f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    // centroids (0,1) and (10,1); every vector: a = 1, b = sqrt(101)
+    val r10 = Similarity.centroidSilhouette(vecs(10f), "vec_id",
+        "embedding", "label")
+      .orderBy($"label").collect()
+    val expect = (math.sqrt(101.0) - 1) / math.sqrt(101.0)
+    r10.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") == 2)
+      assert(math.abs(r.getAs[Double]("mean_silhouette") - expect) < 1e-6)
+    }
+    // wider separation -> larger s
+    val r100 = Similarity.centroidSilhouette(vecs(100f), "vec_id",
+      "embedding", "label").select($"mean_silhouette")
+      .as[Double].collect().head
+    assert(r100 > expect)
+    // coincident clusters: a == b -> s = 0
+    val r0 = Similarity.centroidSilhouette(vecs(0f), "vec_id",
+      "embedding", "label").select($"mean_silhouette")
+      .as[Double].collect().toSeq
+    assert(r0 == Seq(0.0, 0.0))
+  }
 }
