@@ -440,6 +440,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_temperature_mix: rate table broadcasts back, band " +
+    "predicate codegen'd, no sort-merge join") {
+    val p = plan("q_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate join stopped broadcasting:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("partial_count"), "count agg lost map-side combine")
+    assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, "not codegen'd")
+  }
+
+  test("q_memorization: gram equi-joins only — no cartesian, " +
+    "df agg map-side combined") {
+    val p = plan("q_memorization")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join crept in:\n${p.take(1500)}")
+    assert(p.contains("partial_count"), "gram df agg lost map-side combine")
+  }
+
+  test("q_self_bleu: clip join is equi on (n, gram); top-2 window " +
+    "partitions per gram (never a global sort of the gram table)") {
+    val p = plan("q_self_bleu")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the only RangePartitioning allowed is the final ORDER BY doc_id
+    val ranges = "rangepartitioning\\(\\[?([a-z_]+)".r
+      .findAllMatchIn(p.toLowerCase).map(_.group(1)).toSet
+    assert(ranges.subsetOf(Set("doc_id")),
+      s"unexpected global sort keys $ranges:\n${p.take(1500)}")
+  }
+
+  test("q_silhouette: centroid table broadcasts, no vector-x-vector " +
+    "join") {
+    val p = plan("q_silhouette")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid join stopped broadcasting:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("partial_avg") || p.contains("partial_sum"),
+      "centroid agg lost map-side combine")
+  }
+
   test("q_bpe_fertility: encode stays a scan-side map (no exchange " +
     "between the documents scan and the encode projection)") {
     val p = plan("q_bpe_fertility")
