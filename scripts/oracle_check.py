@@ -58,6 +58,23 @@ def main(sf_dir, out_dir):
                   f"{list(want.columns)}")
             failures += 1
             continue
+        # Type-kind lint (the r7 q_bpe_merges failure class): DuckDB
+        # HUGEINT (bare sum over BIGINT) reaches pandas as float64 and
+        # formats as 1.23e+10 while Spark's int formats as the digits —
+        # a value-hash mismatch invisible to name-level schema checks.
+        # Fail on any int-vs-float kind divergence so the oracle SQL
+        # gets its CAST before the driver ever sees the drift.
+        kind_bad = [c for c in got.columns
+                    if got[c].dtype.kind != want[c].dtype.kind
+                    and {got[c].dtype.kind, want[c].dtype.kind} <= {"i", "u", "f"}
+                    and "f" in {got[c].dtype.kind, want[c].dtype.kind}]
+        if kind_bad:
+            print(f"FAIL  {name}: type-kind mismatch on {kind_bad} "
+                  f"(spark {[str(got[c].dtype) for c in kind_bad]} vs "
+                  f"duck {[str(want[c].dtype) for c in kind_bad]}) — "
+                  f"likely a missing CAST in the oracle SQL")
+            failures += 1
+            continue
         if len(got) != len(want):
             print(f"FAIL  {name}: rows {len(got)} != {len(want)}")
             failures += 1

@@ -171,10 +171,10 @@ object Bleu {
     val joined = closest.join(
       matches.groupBy(col(idCol)).agg(mCols.head, mCols.tail: _*),
       Seq(idCol), "left")
-    // a 1-doc corpus has no other reference: score 0 via ref_len null
-    val withRef = joined.withColumn("ref_len",
-      coalesce(col("ref_len"), lit(Long.MaxValue)))
-    assemble(withRef, Seq(col(idCol), col("hyp_len"), col("ref_len")),
+    // a 1-doc corpus has no other reference: ref_len stays NULL, bp
+    // evaluates NULL through the same CASE shape in both engines, and
+    // self_bleu is 0.0 via allPos=false (p_n = 0 with no other doc)
+    assemble(joined, Seq(col(idCol), col("hyp_len"), col("ref_len")),
       col("ref_len"), col("hyp_len"), maxN)
       .withColumnRenamed("bleu", "self_bleu")
   }

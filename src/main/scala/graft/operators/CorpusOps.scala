@@ -215,7 +215,11 @@ object CorpusOps {
   def packSequences(docs: DataFrame, docCol: String, textCol: String,
       seqLen: Int): DataFrame = {
     require(seqLen > 0, s"need seqLen > 0, got $seqLen")
-    val toks = docs.select(col(docCol), Dedup.tokens(col(textCol)).as("__w"))
+    // coalesce: legacy size(NULL) = -1 would silently shift every later
+    // sequence's global offset (DuckDB treats a NULL doc as 0 tokens).
+    val toks = docs.select(col(docCol),
+      coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
+        .as("__w"))
     val skinny = toks.select(col(docCol), size(col("__w")).cast("long").as("__n"))
     val offs = prefixStarts(skinny, docCol)
     toks.join(offs, Seq(docCol))
@@ -243,7 +247,8 @@ object CorpusOps {
   def vocabGrowth(docs: DataFrame, docCol: String, textCol: String)
       : DataFrame = {
     val tok = docs.select(col(docCol),
-      explode(Dedup.tokens(col(textCol))).as("__t"))
+      explode(coalesce(Dedup.tokens(col(textCol)),
+        array().cast("array<string>"))).as("__t"))
     val cnts = tok.groupBy(col(docCol)).agg(count(lit(1)).as("__n"))
     val news = tok.groupBy(col("__t")).agg(min(col(docCol)).as("__d0"))
       .groupBy(col("__d0").as(docCol)).agg(count(lit(1)).as("__nv"))
@@ -769,7 +774,8 @@ object CorpusOps {
     */
   /** X83 — the Gopher/MassiveText hard-threshold quality rules (Rae
     * et al. 2021, appendix A1.1), as one declarative pass: word-count
-    * bounds, mean-word-length band, symbol-to-word ratio (# and …),
+    * bounds, mean-word-length band, symbol-to-word ratio (counting
+    * '#' chars plus both ellipsis forms, '…' and ASCII '...'),
     * bullet-start / ellipsis-end line ratios, alphabetic-word ratio,
     * and a minimum distinct-stopword count. Unlike `q_quality_score`'s
     * soft 0–1 blend, every rule is a hard boolean and `keep` is their
@@ -800,7 +806,8 @@ object CorpusOps {
         size(col("__w")).as("n_words"),
         aggregate(col("__w"), lit(0L), (acc, x) => acc + length(x))
           .as("__wchars"),
-        length(regexp_replace(col(textCol), "[^#…]", ""))
+        (length(regexp_replace(col(textCol), "[^#]", "")) +
+          regexp_count(col(textCol), lit("\\.\\.\\.|…")))
           .as("__symbols"),
         size(filter(col("__l"), l =>
           trim(l).startsWith("•") || trim(l).startsWith("- ") ||

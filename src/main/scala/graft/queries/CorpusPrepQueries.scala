@@ -687,7 +687,8 @@ object CorpusPrepQueries {
       "q_bpe_merges",
       Some(bpeStateCte + """
         SELECT rank, bl AS "left", br AS "right", c AS "count" FROM (
-          SELECT rank, syms[i] AS bl, syms[i+1] AS br, sum(n) AS c,
+          SELECT rank, syms[i] AS bl, syms[i+1] AS br,
+                 CAST(sum(n) AS BIGINT) AS c,
                  row_number() OVER (PARTITION BY rank
                    ORDER BY sum(n) DESC, syms[i], syms[i+1]) AS rn
           FROM state, unnest(range(1, len(syms))) AS u(i)
@@ -736,7 +737,7 @@ object CorpusPrepQueries {
           FROM toks t JOIN final f ON t.w = f.w
         ),
         agg AS (
-          SELECT doc_id, sum(k) AS n_tokens,
+          SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
                  string_agg(e, ' ' ORDER BY i) AS enc_text
           FROM enc GROUP BY doc_id
         )
@@ -850,10 +851,14 @@ object CorpusPrepQueries {
                CAST(coalesce(sum(p.n_tokens), 0) AS BIGINT) AS total_tokens,
                CAST(coalesce(sum(p.n_words), 0) AS BIGINT) AS total_words,
                CAST(coalesce(sum(p.n_chars), 0) AS BIGINT) AS total_chars,
-               round(CAST(sum(p.n_tokens) AS DOUBLE) / sum(p.n_words), 6)
-                 AS fertility,
-               round(CAST(sum(p.n_chars) AS DOUBLE) / sum(p.n_tokens), 6)
-                 AS chars_per_token
+               -- NULL (not NaN/div-by-zero) for a source with no words
+               -- at all, matching the Spark side's when() guard
+               round(CASE WHEN coalesce(sum(p.n_words), 0) = 0 THEN NULL
+                     ELSE CAST(sum(p.n_tokens) AS DOUBLE) / sum(p.n_words)
+                     END, 6) AS fertility,
+               round(CASE WHEN coalesce(sum(p.n_tokens), 0) = 0 THEN NULL
+                     ELSE CAST(sum(p.n_chars) AS DOUBLE) / sum(p.n_tokens)
+                     END, 6) AS chars_per_token
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         GROUP BY d.source
         ORDER BY d.source
@@ -878,9 +883,11 @@ object CorpusPrepQueries {
             sum($"__nc").as("total_chars"))
           .select($"source", $"n_docs", $"total_tokens", $"total_words",
             $"total_chars",
-            round($"total_tokens".cast("double") / $"total_words", 6)
+            round(when($"total_words" === 0, lit(null))
+              .otherwise($"total_tokens".cast("double") / $"total_words"), 6)
               .as("fertility"),
-            round($"total_chars".cast("double") / $"total_tokens", 6)
+            round(when($"total_tokens" === 0, lit(null))
+              .otherwise($"total_chars".cast("double") / $"total_tokens"), 6)
               .as("chars_per_token"))
           .orderBy($"source")
       }),

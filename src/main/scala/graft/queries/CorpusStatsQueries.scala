@@ -579,7 +579,9 @@ object CorpusStatsQueries {
           FROM counts GROUP BY prev
         ), nll AS (
           SELECT c.prev, c.next,
-                 -log2(CAST(c.cnt AS DOUBLE) / t.total) AS v
+                 -- same expression shape as Spark's log(2.0, p) =
+                 -- ln(p)/ln(2), so per-bigram doubles match bit-exactly
+                 -(ln(CAST(c.cnt AS DOUBLE) / t.total) / ln(2)) AS v
           FROM counts c JOIN totals t USING (prev)
         )
         SELECT p.doc_id, count(*) AS n_bigrams,

@@ -318,7 +318,8 @@ object TextAnalysisQueries {
         WITH t AS (
           SELECT doc_id,
             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w,
-            length(regexp_replace(text, '[^#…]', '', 'g')) AS symbols,
+            length(regexp_replace(text, '[^#]', '', 'g'))
+              + len(regexp_extract_all(text, '\.\.\.|…')) AS symbols,
             string_split(text, chr(10)) AS l
           FROM documents
         ), m AS (
