@@ -9,12 +9,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * batched pandas UDF: one decoder handle per partition, iterator in
   * / iterator out, no per-row setup).
   *
-  * The actual codec is STUBBED behind `MediaDecoder` — real image
-  * and audio libraries are unavailable in this environment — but the
-  * Spark-side contract (schemas, partition batching, deterministic
-  * output) is real and tested. `FakeDecoder` derives pixels
-  * deterministically from the bytes, so downstream geometry/feature
-  * code paths execute for real.
+  * The codec boundary is the pluggable `MediaDecoder` trait. The
+  * production implementation ([[Multimodal.BinaryImageDecoder]]) is a
+  * REAL pure-JVM codec: BMP/PPM stills ([[Multimodal.ImageCodec]])
+  * and Y4M raw-video streams ([[Multimodal.Y4mCodec]]). `FakeDecoder`
+  * remains as a deterministic stand-in for specs that only exercise
+  * the Spark-side plumbing (schemas, partition batching).
   */
 object Multimodal {
 
@@ -200,17 +200,197 @@ object Multimodal {
     }
   }
 
-  /** The real codec behind [[MediaDecoder]]: BMP/PPM stills; a
-    * "video" is its single frame (neither container carries frames).
+  /** REAL pure-JVM video container — Y4M (YUV4MPEG2), the raw-video
+    * interchange format every ffmpeg pipeline can emit: one ASCII
+    * header line (`YUV4MPEG2 W.. H.. F..:.. [Ip] [A..] [C444|C420*|
+    * Cmono] [X..]`), then per frame an ASCII `FRAME[ params]` marker
+    * line followed by the raw planar pixel data. Same upgrade the BMP/
+    * PPM work gave stills: the multimodal video path is a genuine
+    * container walk (header grammar, frame stride, plane layout)
+    * instead of a fabricated frame count.
+    */
+  object Y4mCodec {
+    final case class Header(width: Int, height: Int, colorspace: String,
+        dataStart: Int) {
+      /** Raw bytes per frame for the declared plane layout. */
+      def frameBytes: Int = colorspace match {
+        case c if c.startsWith("C444") => width * height * 3
+        case c if c.startsWith("C420") =>
+          width * height + chromaW * chromaH * 2
+        case "Cmono" => width * height
+        case c => throw new IllegalArgumentException(
+          s"unsupported Y4M colorspace $c")
+      }
+      def channels: Int = if (colorspace == "Cmono") 1 else 3
+      // ceil halves: the 4:2:0 chroma planes (odd dims round up, the
+      // mapping below is plain nearest-neighbor x/2, y/2)
+      def chromaW: Int = (width + 1) / 2
+      def chromaH: Int = (height + 1) / 2
+    }
+
+    def isY4m(bytes: Array[Byte]): Boolean =
+      bytes.length >= 9 &&
+        new String(bytes, 0, 9, "US-ASCII") == "YUV4MPEG2"
+
+    /** Parse the stream header line. Loud on anything malformed —
+      * same reject philosophy as decodeWav/decodeBmp.
+      */
+    def parseHeader(bytes: Array[Byte]): Header = {
+      require(isY4m(bytes), "not a YUV4MPEG2 stream")
+      var eol = 9
+      while (eol < bytes.length && bytes(eol) != '\n') eol += 1
+      require(eol < bytes.length, "Y4M header line unterminated")
+      val params = new String(bytes, 9, eol - 9, "US-ASCII")
+        .split(' ').filter(_.nonEmpty)
+      var w = -1; var h = -1; var cs = "C420" // C420 is the spec default
+      params.foreach { p =>
+        p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'C' => cs = p
+          case _ => // F (rate), I (interlace), A (aspect), X (extension)
+        }
+      }
+      require(w > 0 && h > 0, s"bad Y4M dims ${w}x$h")
+      Header(w, h, cs, eol + 1)
+    }
+
+    /** Byte offsets of each frame's pixel data (after its FRAME
+      * marker line, which may carry parameters).
+      */
+    def frameOffsets(bytes: Array[Byte]): Seq[Int] = {
+      val hdr = parseHeader(bytes)
+      val offs = Seq.newBuilder[Int]
+      var pos = hdr.dataStart
+      while (pos < bytes.length) {
+        require(pos + 5 <= bytes.length &&
+          new String(bytes, pos, 5, "US-ASCII") == "FRAME",
+          s"expected FRAME marker at byte $pos")
+        var eol = pos + 5
+        while (eol < bytes.length && bytes(eol) != '\n') eol += 1
+        require(eol < bytes.length, "FRAME marker line unterminated")
+        require(eol + 1 + hdr.frameBytes <= bytes.length,
+          s"Y4M frame at byte $pos truncated")
+        offs += eol + 1
+        pos = eol + 1 + hdr.frameBytes
+      }
+      offs.result()
+    }
+
+    def frameCount(bytes: Array[Byte]): Int = frameOffsets(bytes).size
+
+    /** Decode frame `idx` to an interleaved raster: 3-channel Y,U,V
+      * per pixel (C444 direct; C420 nearest-neighbor chroma upsample)
+      * or 1-channel luma for Cmono. No RGB conversion — that's a
+      * lossy colorimetry choice downstream feature code can make; the
+      * container's own planes stay exact.
+      */
+    def decodeFrame(bytes: Array[Byte], idx: Int): RawImage = {
+      val hdr = parseHeader(bytes)
+      val offs = frameOffsets(bytes)
+      require(idx >= 0 && idx < offs.size,
+        s"frame $idx out of range (${offs.size} frames)")
+      val o = offs(idx)
+      val w = hdr.width; val h = hdr.height; val n = w * h
+      hdr.colorspace match {
+        case "Cmono" =>
+          RawImage(w, h, 1, java.util.Arrays.copyOfRange(bytes, o, o + n))
+        case c if c.startsWith("C444") =>
+          val px = new Array[Byte](n * 3)
+          var p = 0
+          while (p < n) {
+            px(p * 3) = bytes(o + p)             // Y plane
+            px(p * 3 + 1) = bytes(o + n + p)     // U plane
+            px(p * 3 + 2) = bytes(o + 2 * n + p) // V plane
+            p += 1
+          }
+          RawImage(w, h, 3, px)
+        case _ => // C420 family (jpeg/mpeg2/paldv share the layout)
+          val cw = hdr.chromaW; val ch = hdr.chromaH
+          val px = new Array[Byte](n * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = y * w + x
+              val cp = (y / 2) * cw + (x / 2)
+              px(p * 3) = bytes(o + p)
+              px(p * 3 + 1) = bytes(o + n + cp)
+              px(p * 3 + 2) = bytes(o + n + cw * ch + cp)
+              x += 1
+            }
+            y += 1
+          }
+          RawImage(w, h, 3, px)
+      }
+    }
+
+    /** Planar frames → Y4M stream (inverse of [[decodeFrame]] up to
+      * chroma subsampling); specs round-trip both directions.
+      */
+    def encode(frames: Seq[RawImage], colorspace: String = "C444")
+        : Array[Byte] = {
+      require(frames.nonEmpty, "encode wants at least one frame")
+      val w = frames.head.width; val h = frames.head.height
+      require(frames.forall(f => f.width == w && f.height == h),
+        "all frames must share dimensions")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 $colorspace\n"
+        .getBytes("US-ASCII"))
+      frames.foreach { f =>
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        colorspace match {
+          case "Cmono" =>
+            require(f.channels == 1, "Cmono wants 1-channel frames")
+            out.write(f.pixels)
+          case "C444" =>
+            require(f.channels == 3, "C444 wants 3-channel frames")
+            var c = 0
+            while (c < 3) {
+              var p = 0
+              while (p < w * h) { out.write(f.pixels(p * 3 + c)); p += 1 }
+              c += 1
+            }
+          case _ => // C420: subsample chroma at the even grid points
+            require(f.channels == 3, "C420 wants 3-channel frames")
+            var p = 0
+            while (p < w * h) { out.write(f.pixels(p * 3)); p += 1 }
+            val cw = (w + 1) / 2; val chh = (h + 1) / 2
+            var c = 1
+            while (c < 3) {
+              var cy = 0
+              while (cy < chh) {
+                var cx = 0
+                while (cx < cw) {
+                  out.write(f.pixels(((cy * 2) * w + cx * 2) * 3 + c))
+                  cx += 1
+                }
+                cy += 1
+              }
+              c += 1
+            }
+        }
+      }
+      out.toByteArray
+    }
+  }
+
+  /** The real codec behind [[MediaDecoder]]: BMP/PPM stills and Y4M
+    * video streams (magic-sniffed); a non-Y4M payload on the video
+    * path is treated as a single still frame.
     */
   final case class BinaryImageDecoder() extends MediaDecoder {
     def decodeImage(bytes: Array[Byte]): RawImage =
-      ImageCodec.decode(bytes)
-    def videoFrameCount(bytes: Array[Byte]): Int = 1
-    def decodeFrame(bytes: Array[Byte], idx: Int): RawImage = {
-      require(idx == 0, s"still container has one frame, asked for $idx")
-      ImageCodec.decode(bytes)
-    }
+      if (Y4mCodec.isY4m(bytes)) Y4mCodec.decodeFrame(bytes, 0)
+      else ImageCodec.decode(bytes)
+    def videoFrameCount(bytes: Array[Byte]): Int =
+      if (Y4mCodec.isY4m(bytes)) Y4mCodec.frameCount(bytes) else 1
+    def decodeFrame(bytes: Array[Byte], idx: Int): RawImage =
+      if (Y4mCodec.isY4m(bytes)) Y4mCodec.decodeFrame(bytes, idx)
+      else {
+        require(idx == 0, s"still container has one frame, asked for $idx")
+        ImageCodec.decode(bytes)
+      }
   }
 
   final case class ImageStats(doc_id: Long, width: Int, height: Int,
@@ -312,6 +492,46 @@ object Multimodal {
         val (luma, emb) = features(img)
         ImageFeatures(m.doc_id, img.width, img.height, img.channels,
           luma, emb)
+      }
+    }
+  }
+
+  final case class FrameStats(doc_id: Long, n_frames: Int,
+      n_sampled: Int, sum_y: Long, sum_u: Long, sum_v: Long)
+
+  /** Every-k-th frame sampling with EXACT per-plane integer sums over
+    * the sampled frames — the oracle-exact video twin of
+    * [[imageStats]]: a header-grammar, frame-stride or plane-order
+    * bug in the codec breaks the sums. Single-channel frames
+    * contribute to sum_y only.
+    */
+  def frameStats(media: Dataset[MediaRow], decoder: MediaDecoder,
+      everyK: Int): Dataset[FrameStats] = {
+    require(everyK > 0, s"need everyK > 0, got $everyK")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val d = decoder
+      it.filter(_.media_type == "video").map { m =>
+        val n = d.videoFrameCount(m.content)
+        var sy = 0L; var su = 0L; var sv = 0L; var sampled = 0
+        var f = 0
+        while (f < n) {
+          val img = d.decodeFrame(m.content, f)
+          val np = img.width * img.height
+          var p = 0
+          while (p < np) {
+            sy += img.pixels(p * img.channels) & 0xFF
+            if (img.channels >= 3) {
+              su += img.pixels(p * img.channels + 1) & 0xFF
+              sv += img.pixels(p * img.channels + 2) & 0xFF
+            }
+            p += 1
+          }
+          sampled += 1
+          f += everyK
+        }
+        FrameStats(m.doc_id, n, sampled, sy, su, sv)
       }
     }
   }

@@ -462,30 +462,84 @@ object PipelineQueries {
           .orderBy($"user_id", $"first_event")
       }),
 
-    // Multimodal plumbing with an oracle on the SHAPE: frame counts
-    // and sampling cardinality are pure arithmetic over payload size
-    // (FakeDecoder contract), so DuckDB can verify the batch
-    // plumbing end-to-end even though fingerprints are engine-side.
+    // Video path with an EXACT oracle (r8 upgrade from the fake-codec
+    // shape check, mirroring r7's q_image_features BMP work): per doc,
+    // hand-assemble a REAL Y4M (YUV4MPEG2) stream — ASCII header,
+    // per-frame FRAME marker lines, planar C444 data, frame f's byte i
+    // holding (i*7 + f*11 + 3) mod 256 — push it through the
+    // production container walk (Multimodal.Y4mCodec via
+    // BinaryImageDecoder: a header-grammar, frame-stride or
+    // plane-order bug breaks the sums), sample every 3rd frame, and
+    // aggregate exact per-plane integer sums that DuckDB reproduces
+    // from the same closed-form pattern.
     QueryDef(
       "q_frame_sample",
       Some("""
-        SELECT doc_id,
-               CAST(strlen(text) / 4096 + 1 AS BIGINT) AS n_frames,
-               CAST(ceil((strlen(text) / 4096 + 1) / 3.0) AS BIGINT) AS n_sampled
-        FROM documents
+        WITH d AS (
+          SELECT doc_id,
+                 (coalesce(n_chars, 0) % 13) + 4 AS w,
+                 (coalesce(n_chars, 0) % 7) + 3 AS h,
+                 (coalesce(n_chars, 0) % 5) + 2 AS nf
+          FROM documents
+        ), f AS (
+          SELECT doc_id, w, h, nf, unnest(range(0, nf, 3)) AS fr FROM d
+        ), px AS (
+          SELECT doc_id, nf, fr, w * h AS n,
+                 unnest(range(w * h * 3)) AS i FROM f
+        ), s AS (
+          SELECT doc_id, any_value(nf) AS nf,
+                 count(DISTINCT fr) AS n_sampled,
+                 sum((i * 7 + fr * 11 + 3) % 256)
+                   FILTER (WHERE i < n) AS sum_y,
+                 sum((i * 7 + fr * 11 + 3) % 256)
+                   FILTER (WHERE i >= n AND i < 2 * n) AS sum_u,
+                 sum((i * 7 + fr * 11 + 3) % 256)
+                   FILTER (WHERE i >= 2 * n) AS sum_v
+          FROM px GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(nf AS INT) AS n_frames,
+               CAST(n_sampled AS INT) AS n_sampled,
+               CAST(sum_y AS BIGINT) AS sum_y,
+               CAST(sum_u AS BIGINT) AS sum_u,
+               CAST(sum_v AS BIGINT) AS sum_v
+        FROM s
         ORDER BY doc_id
       """.trim),
-      "Multimodal video frame sampling (every 3rd), shape-oracled")(
+      "Real Y4M container walk + exact per-plane frame-sum oracle")(
       (spark, dir) => {
         import spark.implicits._
+        val y4m = udf { (nChars: Long) =>
+          val w = (nChars % 13).toInt + 4
+          val h = (nChars % 7).toInt + 3
+          val nf = (nChars % 5).toInt + 2
+          // hand-assembled stream (NOT Y4mCodec.encode — a symmetric
+          // codec bug must not cancel out): header with rate/interlace/
+          // aspect params the parser must skip, planar C444 frames
+          val fb = w * h * 3
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n"
+            .getBytes("US-ASCII"))
+          var f = 0
+          while (f < nf) {
+            out.write("FRAME\n".getBytes("US-ASCII"))
+            var i = 0
+            while (i < fb) {
+              out.write((i * 7 + f * 11 + 3) % 256)
+              i += 1
+            }
+            f += 1
+          }
+          out.toByteArray
+        }
         val media = table(spark, dir, "documents")
           .select($"doc_id", lit("video").as("media_type"),
-            encode($"text", "UTF-8").as("content"))
+            y4m(coalesce($"n_chars", lit(0L))).as("content"))
           .as[Multimodal.MediaRow]
-        Multimodal.sampleFrames(media, Multimodal.FakeDecoder(), everyK = 3)
+        Multimodal.frameStats(media, Multimodal.BinaryImageDecoder(),
+            everyK = 3)
           .toDF()
-          .select($"doc_id", $"n_frames".cast("long").as("n_frames"),
-            size($"sampled").cast("long").as("n_sampled"))
+          .select($"doc_id", $"n_frames", $"n_sampled",
+            $"sum_y", $"sum_u", $"sum_v")
           .orderBy($"doc_id")
       }),
 

@@ -127,6 +127,94 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ImageCodec.decodeBmp(truncated))
   }
 
+  test("Y4mCodec: C444 and Cmono round-trip exactly; C420 chroma at even grid") {
+    val frames = Seq(patternImage(5, 4),
+      RawImage(5, 4, 3, Array.tabulate(60)(i => ((i * 13 + 5) % 256).toByte)))
+    val c444 = Y4mCodec.encode(frames, "C444")
+    assert(Y4mCodec.frameCount(c444) == 2)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val back = Y4mCodec.decodeFrame(c444, i)
+      assert(back.width == 5 && back.height == 4 && back.channels == 3)
+      assert(back.pixels.toSeq == f.pixels.toSeq, s"frame $i")
+    }
+    // Cmono: single plane, exact
+    val mono = Seq(RawImage(3, 3, 1,
+      Array.tabulate(9)(i => (i * 29 % 256).toByte)))
+    val m = Y4mCodec.encode(mono, "Cmono")
+    val mb = Y4mCodec.decodeFrame(m, 0)
+    assert(mb.channels == 1 && mb.pixels.toSeq == mono.head.pixels.toSeq)
+    // C420 (odd dims exercise the ceil-half chroma planes): luma is
+    // exact; chroma of every pixel equals its 2x2 block's even-grid
+    // sample (nearest-neighbor upsample contract)
+    val img = patternImage(5, 3)
+    val c420 = Y4mCodec.encode(Seq(img), "C420")
+    val back = Y4mCodec.decodeFrame(c420, 0)
+    for (y <- 0 until 3; x <- 0 until 5) {
+      assert(back.pixel(x, y, 0) == img.pixel(x, y, 0), s"luma $x,$y")
+      assert(back.pixel(x, y, 1) == img.pixel(x / 2 * 2, y / 2 * 2, 1))
+      assert(back.pixel(x, y, 2) == img.pixel(x / 2 * 2, y / 2 * 2, 2))
+    }
+  }
+
+  test("Y4mCodec: golden hand-built stream, params on header and FRAME lines") {
+    // 2x1 C444, 2 frames; header carries rate/interlace/aspect and an
+    // X extension; the second FRAME marker carries a parameter — the
+    // walker must skip both. Y plane (10,20), U (30,40), V (50,60).
+    val golden =
+      "YUV4MPEG2 W2 H1 F30000:1001 It A4:3 C444 XYSCSS=444\n".getBytes("US-ASCII") ++
+        "FRAME\n".getBytes("US-ASCII") ++
+        Array[Byte](10, 20, 30, 40, 50, 60) ++
+        "FRAME Xtimecode\n".getBytes("US-ASCII") ++
+        Array[Byte](11, 21, 31, 41, 51, 61)
+    assert(Y4mCodec.frameCount(golden) == 2)
+    val f0 = Y4mCodec.decodeFrame(golden, 0)
+    assert(f0.pixels.toSeq == Seq[Byte](10, 30, 50, 20, 40, 60)) // interleaved
+    val f1 = Y4mCodec.decodeFrame(golden, 1)
+    assert(f1.pixels.toSeq == Seq[Byte](11, 31, 51, 21, 41, 61))
+    // C420 is the spec default when no C param is present
+    val noC = "YUV4MPEG2 W2 H2 F25:1\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4, 9, 7)
+    val d = Y4mCodec.decodeFrame(noC, 0)
+    assert(d.pixel(1, 1, 0) == 4 && d.pixel(1, 1, 1) == 9 &&
+      d.pixel(1, 1, 2) == 7)
+  }
+
+  test("Y4mCodec: malformed streams fail loudly") {
+    val ok = Y4mCodec.encode(Seq(patternImage(2, 2)), "C444")
+    intercept[IllegalArgumentException](
+      Y4mCodec.parseHeader("RIFFnotYUV4MPEG2".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException]( // truncated frame payload
+      Y4mCodec.frameCount(ok.dropRight(3)))
+    intercept[IllegalArgumentException]( // garbage where FRAME expected
+      Y4mCodec.frameCount(ok ++ "JUNK\n".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException]( // frame index out of range
+      Y4mCodec.decodeFrame(ok, 1))
+    intercept[IllegalArgumentException]( // missing dims
+      Y4mCodec.parseHeader("YUV4MPEG2 W4\nFRAME\n".getBytes("US-ASCII")))
+  }
+
+  test("frameStats: real Y4M walk, exact per-plane sums, every-k sampling") {
+    val s = spark
+    import s.implicits._
+    def frame(f: Int) = RawImage(4, 3, 3,
+      Array.tabulate(36)(i => ((i * 7 + f * 11 + 3) % 256).toByte))
+    val vid = Y4mCodec.encode((0 until 5).map(frame), "C444")
+    val rows = Seq(MediaRow(1L, "video", vid),
+      MediaRow(2L, "image", ImageCodec.encodeBmp(patternImage(2, 2))))
+    val got = frameStats(rows.toDS(), BinaryImageDecoder(), everyK = 3)
+      .collect()
+    assert(got.length == 1 && got(0).doc_id == 1L) // image filtered
+    assert(got(0).n_frames == 5 && got(0).n_sampled == 2) // frames 0, 3
+    // plane c of frame f holds pixels(p*3+c) = pattern(p*3+c), so the
+    // expected per-plane sum recomputes the pattern in that order
+    def interleavedPlaneSum(f: Int, c: Int): Long =
+      (0 until 12).map(p => ((p * 3 + c) * 7 + f * 11 + 3) % 256).sum.toLong
+    val ey = interleavedPlaneSum(0, 0) + interleavedPlaneSum(3, 0)
+    val eu = interleavedPlaneSum(0, 1) + interleavedPlaneSum(3, 1)
+    val ev = interleavedPlaneSum(0, 2) + interleavedPlaneSum(3, 2)
+    assert((got(0).sum_y, got(0).sum_u, got(0).sum_v) == ((ey, eu, ev)))
+  }
+
   test("imageStats: real decoder, exact channel sums over a batch") {
     val s = spark
     import s.implicits._
