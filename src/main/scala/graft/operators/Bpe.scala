@@ -37,21 +37,36 @@ object Bpe {
   /** Learn `numMerges` BPE merges from the corpus. Returns the merge
     * table in rank order (possibly shorter than `numMerges` when the
     * corpus runs out of repeated pairs).
+    *
+    * `minCount` is the 100 TB escape hatch for `maxVocab`: a
+    * multilingual web corpus's word vocabulary (typos, URLs, numbers)
+    * can exceed any driver-side cap, but its COUNT distribution is
+    * Zipfian — `minCount = 2` alone typically drops the majority of
+    * types (hapax legomena) while leaving pair statistics essentially
+    * unchanged, and the filter runs distributed BEFORE the collect.
+    * This is the standard trainer knob (HuggingFace `min_frequency`);
+    * singleton words contribute nothing to any pair that could win a
+    * rank in a large corpus, so learned merges are unaffected in
+    * practice (exactly unaffected whenever every winning pair's count
+    * from sub-threshold words is 0 — the Zipf-tail regime).
     */
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
-      maxVocab: Int = 1000000): Seq[Merge] = {
+      maxVocab: Int = 1000000, minCount: Long = 1L): Seq[Merge] = {
+    require(minCount >= 1, s"need minCount >= 1, got $minCount")
     val spark = docs.sparkSession
     import spark.implicits._
     val wordCounts = docs
       .select(explode(Dedup.tokens(col(textCol))).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("n"))
+      .filter($"n" >= minCount)
     // guard and collect in ONE corpus pass: pulling maxVocab+1 rows
     // bounds driver memory exactly like a separate count would, and
     // an over-cap vocabulary still fails loudly before training
     val rows = wordCounts.limit(maxVocab + 1).as[(String, Long)].collect()
     require(rows.length <= maxVocab,
-      s"word vocabulary exceeds maxVocab=$maxVocab — raise the cap " +
-        "or pre-filter the corpus")
+      s"word vocabulary exceeds maxVocab=$maxVocab — raise the cap, " +
+        "or set minCount (>= 2 prunes the Zipf tail distributed-side " +
+        "before the collect)")
     val words: Array[(Array[String], Long)] =
       rows.map { case (w, n) => (w.map(_.toString).toArray, n) }
     trainOnWordTable(words, numMerges)

@@ -43,6 +43,27 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.encodeWord("ba", merges) == Seq("b", "a"))
   }
 
+  test("minCount prunes the Zipf tail before the collect, under a " +
+    "vocabulary cap the raw corpus exceeds") {
+    val s = spark
+    import s.implicits._
+    // 20 hapax words (the "web-corpus tail") + 2 repeated words: the
+    // raw vocabulary (22 types) exceeds maxVocab=10 and must fail
+    // loudly; minCount=2 drops the tail distributed-side and trains
+    // on the 2 surviving types
+    val tail = (0 until 20).map(i => f"tail$i%02d").mkString(" ")
+    val docs = Seq((1L, s"ab ab aaab $tail"), (2L, "ab aaab"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Bpe.trainMerges(docs, "text", numMerges = 5, maxVocab = 10))
+    assert(e.getMessage.contains("minCount"))
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 5,
+      maxVocab = 10, minCount = 2)
+    // same word table as the unfiltered small corpus: ab=3, aaab=2
+    assert(merges.map(m => (m.left, m.right, m.count)) == Seq(
+      ("a", "b", 5L), ("a", "a", 2L), ("aa", "ab", 2L)))
+  }
+
   test("encodeDocs: per-doc symbols match encodeWord; null/empty text; " +
     "decode identity") {
     val s = spark

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkHarness
+import graft.operators.CorpusOps
+
+/** Streaming parity for the scan-stage corpus filters: gopherRules
+  * and temperatureMix are pure functions of a batch (per-row
+  * predicates; temperatureMix additionally of the batch's own stratum
+  * counts), so running them per micro-batch under foreachBatch (the
+  * X42 pattern) must reproduce the batch operator applied to the same
+  * rows — no cross-batch state, nothing to drift.
+  */
+class StreamingCorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkHarness.spark
+
+  private def canon(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("gopherRules under foreachBatch == batch form per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def rules(df: DataFrame): DataFrame =
+      CorpusOps.gopherRules(df, "doc_id", "text",
+        minWords = 3, minMeanWordLen = 1.0, maxMeanWordLen = 12.0,
+        minStopwordHits = 1)
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Set[String]]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = canon(rules(batch))
+        got.synchronized { got(batchId) = out }
+        ()
+      }.start()
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "### ... ### ... symbols everywhere in this one ..."),
+      (3L, "a b"))
+    val b1 = Seq(
+      (4L, "another perfectly ordinary document with the usual words"),
+      (5L, "zz"))
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    assert(got(0L) == canon(rules(b0.toDF("doc_id", "text"))))
+    assert(got(1L) == canon(rules(b1.toDF("doc_id", "text"))))
+    // the rules discriminate inside a batch: doc 1 passes, doc 2
+    // trips the symbol ratio (6 '#' + 4 '...' over 10 words), doc 3
+    // the word-count floor
+    val keeps = rules(b0.toDF("doc_id", "text"))
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keeps == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("temperatureMix under foreachBatch == batch form per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def mix(df: DataFrame): DataFrame =
+      CorpusOps.temperatureMix(df, "doc_id", "source",
+        alpha = 0.5, targetFraction = 0.6, salt = "parity")
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Set[String]]()
+    val q = mem.toDF().toDF("doc_id", "source").writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = canon(mix(batch))
+        got.synchronized { got(batchId) = out }
+        ()
+      }.start()
+    // skewed strata: "web" dominates, "tail" is tiny (its α=0.5 rate
+    // caps at 1.0 and every tail row must survive)
+    val b0 = (0L until 40L).map(i => (i, "web")) ++
+      Seq((100L, "tail"), (101L, "tail"))
+    val b1 = (200L until 230L).map(i => (i, "web")) ++
+      Seq((300L, "tail"))
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    assert(got(0L) == canon(mix(b0.toDF("doc_id", "source"))))
+    assert(got(1L) == canon(mix(b1.toDF("doc_id", "source"))))
+    // capped tail stratum: rate 1.0, all rows kept, in both batches
+    val tailRows = got(0L).filter(_.contains("tail"))
+    assert(tailRows.size == 2 && tailRows.forall(_.contains("1.0")))
+    assert(got(1L).count(_.contains("tail")) == 1)
+  }
+}
