@@ -389,4 +389,62 @@ object InvertedIndex {
         round(col("__s") / col("n_bigrams"), 6).as("mean_nll"),
         round(pow(lit(2.0), col("__s") / col("n_bigrams")), 6).as("ppl"))
   }
+
+  /** X92 — per-doc perplexity under an interpolated KNESER-NEY
+    * smoothed bigram LM fit on the corpus itself (Kneser & Ney 1995;
+    * the Chen & Goodman 1998 interpolated form with one fixed
+    * discount D — the model KenLM builds and the CCNet quality filter
+    * actually scores with, vs [[docPerplexity]]'s unsmoothed MLE):
+    *
+    *   P(v|u) = max(c(u,v) − D, 0)/c(u·)
+    *            + (D·N1+(u·)/c(u·)) · (N1+(·v)/N1+(··))
+    *
+    * where N1+(u·)/N1+(·v) count distinct continuations/histories and
+    * N1+(··) the distinct bigram types — the continuation-probability
+    * backoff that makes "francisco" unlikely after anything but "san".
+    *
+    * Cross-engine exactness: every count is an exact integer; each
+    * per-bigram probability evaluates the identical fixed-shape
+    * double expression in both engines; only per-doc sum order
+    * differs (ulp), absorbed by round(6) — the [[docPerplexity]]
+    * convention.
+    *
+    * Scale shape: identical to [[docPerplexity]] — one per-doc window,
+    * three vocab-sized count aggs (all map-side combinable), one
+    * single-row type total crossed in, probability join on
+    * (prev, next). Nothing quadratic in documents.
+    */
+  def knPerplexity(docs: DataFrame, docCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"need 0 < discount < 1, got $discount")
+    val toks = docs.select(col(docCol),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "prev")))
+    val w = Window.partitionBy(col(docCol)).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("next", lead(col("prev"), 1).over(w))
+      .filter(col("next").isNotNull)
+    val counts = bigrams.groupBy(col("prev"), col("next"))
+      .agg(count(lit(1)).as("cnt"))
+    // c(u·) and N1+(u·) in one pass over the bigram-type table
+    val ctx = counts.groupBy(col("prev"))
+      .agg(sum(col("cnt")).as("ctx"), count(lit(1)).as("n1fw"))
+    val bw = counts.groupBy(col("next")).agg(count(lit(1)).as("n1bw"))
+    val btypes = counts.agg(count(lit(1)).as("btypes"))
+    val probs = counts.join(ctx, "prev").join(bw, "next")
+      .crossJoin(broadcast(btypes))
+      .withColumn("__p",
+        greatest(col("cnt").cast("double") - discount, lit(0.0)) /
+          col("ctx") +
+          (lit(discount) * col("n1fw") / col("ctx")) *
+          (col("n1bw").cast("double") / col("btypes")))
+      .withColumn("__nll", -(log(col("__p")) / log(lit(2.0))))
+      .select(col("prev"), col("next"), col("__nll"))
+    bigrams.join(probs, Seq("prev", "next"))
+      .groupBy(col(docCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("__s"))
+      .select(col(docCol), col("n_bigrams"),
+        round(col("__s") / col("n_bigrams"), 6).as("mean_nll"),
+        round(pow(lit(2.0), col("__s") / col("n_bigrams")), 6).as("ppl"))
+  }
 }

@@ -683,6 +683,51 @@ object Similarity {
         round(avg(col("__s")), 6).as("mean_silhouette"))
   }
 
+  /** X96 — Davies-Bouldin clustering-quality index in the centroid
+    * form (Davies & Bouldin 1979), the companion report to
+    * [[centroidSilhouette]]: per label l, scatter s_l = mean distance
+    * to own centroid; similarity to label m, R_lm = (s_l+s_m)/d(c_l,c_m);
+    * the per-label score is max_{m≠l} R_lm (lower = better separated;
+    * the corpus-level index is the mean of these — derivable from the
+    * output). Catches the failure silhouette under-reports: two tight
+    * clusters sitting on top of each other.
+    *
+    * Scale shape: one posexplode scan → per-label centroid agg
+    * (\|labels\|·dim rows), scatters via one broadcast join back, and
+    * the R matrix lives on the \|labels\|² centroid pair table —
+    * vectors are touched exactly twice, never pairwise.
+    */
+  def daviesBouldin(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val exploded = vecs.select(col(idCol), col(labelCol).as("__lab"),
+      posexplode(toDouble(col(vecCol))).as(Seq("dim", "x")))
+    val centroids = exploded.groupBy(col("__lab"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+    val scatter = exploded.join(broadcast(centroids), Seq("__lab", "dim"))
+      .groupBy(col(idCol), col("__lab"))
+      .agg(sqrt(sum((col("x") - col("m")) * (col("x") - col("m"))))
+        .as("__d"))
+      .groupBy(col("__lab"))
+      .agg(count(lit(1)).as("n_vectors"), avg(col("__d")).as("__s"))
+    val a = centroids.select(col("__lab").as("__la"), col("dim"),
+      col("m").as("__ma"))
+    val b = centroids.select(col("__lab").as("__lb"), col("dim"),
+      col("m").as("__mb"))
+    val cdist = a.join(b, Seq("dim")).filter(col("__la") =!= col("__lb"))
+      .groupBy(col("__la"), col("__lb"))
+      .agg(sqrt(sum((col("__ma") - col("__mb")) * (col("__ma") - col("__mb"))))
+        .as("__cd"))
+    val sa = scatter.select(col("__lab").as("__la"), col("__s").as("__sa"))
+    val sb = scatter.select(col("__lab").as("__lb"), col("__s").as("__sb"))
+    cdist.join(sa, Seq("__la")).join(sb, Seq("__lb"))
+      .groupBy(col("__la"))
+      .agg(max((col("__sa") + col("__sb")) / col("__cd")).as("__r"))
+      .join(scatter.withColumnRenamed("__lab", "__la"), Seq("__la"))
+      .select(col("__la").as(labelCol), col("n_vectors"),
+        round(col("__s"), 6).as("scatter"),
+        round(col("__r"), 6).as("db_score"))
+  }
+
   def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int): DataFrame = {
     val exploded = vecs.select(col(idCol), col(labelCol),

@@ -891,5 +891,115 @@ object CorpusPrepQueries {
               .as("chars_per_token"))
           .orderBy($"source")
       }),
+
+    // X93: DSIR importance weights (hashed unigram+bigram bag models,
+    // add-one smoothing) — "how Wikipedia-like is each raw doc",
+    // with src0-src2 standing in as the target corpus. Bucket hash is
+    // the repo's one md5 band (mod 1024); every count exact; each
+    // bucket log-ratio a fixed-shape double expression; per-doc sums
+    // round(6).
+    QueryDef(
+      "q_dsir_weights",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, source, w[i] AS g
+          FROM toks, unnest(range(1, len(w) + 1)) AS r(i)
+          UNION ALL
+          SELECT doc_id, source, w[i] || chr(1) || w[i+1] AS g
+          FROM toks, unnest(range(1, len(w))) AS r(i)
+        ), b AS (
+          SELECT doc_id, source IN ('src0', 'src1', 'src2') AS t,
+                 CAST(('0x' || substr(md5('dsir' || g), 1, 8)) AS BIGINT)
+                   % 1024 AS b
+          FROM grams
+        ), bc AS (
+          SELECT b, count(*) AS cr,
+                 CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+          FROM b GROUP BY b
+        ), tot AS (
+          SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                 CAST(sum(ct) AS BIGINT) AS tt
+          FROM bc
+        ), lr AS (
+          SELECT b, ln(CAST(ct + 1 AS DOUBLE) / (tt + 1024))
+                    - ln(CAST(cr + 1 AS DOUBLE) / (tr + 1024)) AS lr
+          FROM bc, tot
+        )
+        SELECT x.doc_id, count(*) AS n_grams,
+               round(sum(l.lr), 6) AS log_weight
+        FROM b x JOIN lr l USING (b)
+        GROUP BY x.doc_id
+        ORDER BY x.doc_id
+      """.trim),
+      "X93 DSIR hashed-ngram importance weights vs a target slice")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.dsirWeights(table(spark, dir, "documents"),
+            "doc_id", "text",
+            isTarget = $"source".isin("src0", "src1", "src2"))
+          .orderBy($"doc_id")
+      }),
+
+    // X95: UniMax budget allocation — waterfill a 95%-of-corpus token
+    // budget across sources with a 1-epoch cap (sources under the
+    // waterline keep everything, big sources subsample toward the
+    // common level). The entire waterfill runs on the |sources|-row
+    // table; prefix sums accumulate in the SAME sorted order in both
+    // engines, so the level is bit-identical before round(6).
+    QueryDef(
+      "q_unimax_alloc",
+      Some("""
+        WITH t AS (
+          SELECT source,
+                 CAST(sum(len(list_filter(
+                   string_split_regex(lower(text), '\s+'),
+                   x -> x <> ''))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ), r AS (
+          SELECT source, n_tokens,
+                 CAST(n_tokens AS DOUBLE) * CAST(1.0 AS DOUBLE) AS capacity,
+                 row_number() OVER (
+                   ORDER BY CAST(n_tokens AS DOUBLE) * CAST(1.0 AS DOUBLE),
+                            source) AS i,
+                 count(*) OVER () AS k,
+                 CAST(sum(n_tokens) OVER () AS BIGINT) AS tot,
+                 coalesce(sum(CAST(n_tokens AS DOUBLE) * CAST(1.0 AS DOUBLE))
+                   OVER (ORDER BY CAST(n_tokens AS DOUBLE) * CAST(1.0 AS DOUBLE),
+                         source
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0.0 AS DOUBLE)) AS pre
+          FROM t
+        ), tent AS (
+          SELECT *, (CAST(tot AS DOUBLE) * CAST(0.95 AS DOUBLE) - pre)
+                      / CAST(k - i + 1 AS DOUBLE) AS tentv
+          FROM r
+        ), lvl AS (
+          SELECT min_by(tentv, i) AS level FROM tent WHERE tentv <= capacity
+        )
+        SELECT source, n_tokens,
+               round(capacity, 6) AS capacity,
+               round(CASE WHEN level IS NULL THEN capacity
+                     ELSE least(capacity, level) END, 6) AS allocation,
+               round(CASE WHEN level IS NULL THEN capacity
+                     ELSE least(capacity, level) END
+                     / CAST(n_tokens AS DOUBLE), 6) AS epochs
+        FROM tent, lvl
+        ORDER BY source
+      """.trim),
+      "X95 UniMax waterfill allocation (95% budget, 1-epoch cap)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val counted = table(spark, dir, "documents")
+          .select($"source",
+            size(graft.operators.Dedup.tokens($"text")).as("n_tokens"))
+        CorpusOps.unimaxAllocation(counted, "source", "n_tokens",
+            budgetFraction = 0.95, maxEpochs = 1.0)
+          .orderBy($"source")
+      }),
   )
 }

@@ -599,6 +599,96 @@ object CorpusStatsQueries {
           .orderBy($"doc_id")
       }),
 
+    // X92: per-doc perplexity under an interpolated KNESER-NEY
+    // smoothed bigram LM (Chen & Goodman's fixed-discount form, the
+    // KenLM/CCNet scoring model) — absolute discounting plus the
+    // continuation-probability backoff, vs q_doc_perplexity's
+    // unsmoothed MLE. All counts exact integers; each per-bigram
+    // probability is one fixed-shape double expression in both
+    // engines; per-doc sum order absorbed by round(6).
+    QueryDef(
+      "q_kn_perplexity",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), pairs AS (
+          SELECT doc_id, ts[i] AS prev, ts[i+1] AS next
+          FROM toks, unnest(range(1, len(ts))) AS r(i)
+        ), counts AS (
+          SELECT prev, next, count(*) AS cnt FROM pairs GROUP BY 1, 2
+        ), ctx AS (
+          SELECT prev, CAST(sum(cnt) AS BIGINT) AS ctx,
+                 count(*) AS n1fw
+          FROM counts GROUP BY prev
+        ), bw AS (
+          SELECT next, count(*) AS n1bw FROM counts GROUP BY next
+        ), bt AS (SELECT count(*) AS btypes FROM counts),
+        nll AS (
+          SELECT c.prev, c.next,
+            -(ln(greatest(CAST(c.cnt AS DOUBLE) - 0.75, 0.0) / t.ctx
+                 + (0.75 * t.n1fw / t.ctx)
+                   * (CAST(b.n1bw AS DOUBLE) / bt.btypes))
+              / ln(2)) AS v
+          FROM counts c JOIN ctx t USING (prev) JOIN bw b USING (next), bt
+        )
+        SELECT p.doc_id, count(*) AS n_bigrams,
+               round(sum(n.v) / count(*), 6) AS mean_nll,
+               round(pow(2.0, sum(n.v) / count(*)), 6) AS ppl
+        FROM pairs p JOIN nll n USING (prev, next)
+        GROUP BY p.doc_id
+        ORDER BY p.doc_id
+      """.trim),
+      "X92 per-doc perplexity under an interpolated Kneser-Ney bigram LM")(
+      (spark, dir) => {
+        import spark.implicits._
+        InvertedIndex.knPerplexity(
+            table(spark, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      }),
+
+    // X94: pairwise source-overlap matrix — exact Jaccard of distinct
+    // 3-word shingle sets per source pair, the corpus-composition
+    // diagnostic before mixing. Spark never self-joins the gram
+    // table (per-shingle source SETS pair-explode in the scan); the
+    // oracle's self-join is the |sources|-bounded DuckDB shorthand.
+    QueryDef(
+      "q_source_overlap",
+      Some("""
+        WITH toks AS (
+          SELECT source,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), g AS (
+          SELECT DISTINCT source AS s,
+                 w[i] || chr(1) || w[i+1] || chr(1) || w[i+2] AS g
+          FROM toks, unnest(range(1, len(w) - 1)) AS r(i)
+        ), sizes AS (SELECT s, count(*) AS n FROM g GROUP BY s),
+        common AS (
+          SELECT a.s AS source_a, b.s AS source_b, count(*) AS n_common
+          FROM g a JOIN g b ON a.g = b.g AND a.s < b.s
+          GROUP BY 1, 2
+        )
+        SELECT sa.s AS source_a, sb.s AS source_b,
+               sa.n AS n_a, sb.n AS n_b,
+               CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+               round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(c.n_common, 0)), 6) AS jaccard
+        FROM sizes sa JOIN sizes sb ON sa.s < sb.s
+        LEFT JOIN common c ON c.source_a = sa.s AND c.source_b = sb.s
+        ORDER BY source_a, source_b
+      """.trim),
+      "X94 exact pairwise source-overlap (3-shingle Jaccard matrix)")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.sourceOverlap(
+            table(spark, dir, "documents"), "source", "text", k = 3)
+          .orderBy($"source_a", $"source_b")
+      }),
+
     // X66: Okapi BM25 "more like this": top-10 docs for probe doc 0 under
     // the standard lexical relevance function (tf saturation k1=1.2,
     // length normalization b=0.75) over the unigram index — the

@@ -300,6 +300,53 @@ object SimilarityQueries {
           .orderBy($"label")
       }),
 
+    // X96: Davies-Bouldin index (centroid form) per label — scatter
+    // s_l and worst-separated-neighbor ratio max_m (s_l+s_m)/d(c_l,c_m);
+    // the companion clustering-quality report to q_silhouette that
+    // catches overlapping-but-tight clusters. Same float conventions
+    // as the centroid family (identical expression shapes, round(6)
+    // absorbing sum-order ulp).
+    QueryDef(
+      "q_davies_bouldin",
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM embeddings
+        ), c AS (
+          SELECT label, dim, avg(x) AS m FROM e GROUP BY 1, 2
+        ), d AS (
+          SELECT e.vec_id, e.label,
+                 sqrt(sum((e.x - c.m) * (e.x - c.m))) AS d
+          FROM e JOIN c USING (label, dim)
+          GROUP BY 1, 2
+        ), s AS (
+          SELECT label, count(*) AS n_vectors, avg(d) AS s
+          FROM d GROUP BY label
+        ), cd AS (
+          SELECT a.label AS la, b.label AS lb,
+                 sqrt(sum((a.m - b.m) * (a.m - b.m))) AS cd
+          FROM c a JOIN c b ON a.dim = b.dim AND a.label <> b.label
+          GROUP BY 1, 2
+        ), r AS (
+          SELECT cd.la AS label, max((sa.s + sb.s) / cd.cd) AS r
+          FROM cd JOIN s sa ON sa.label = cd.la
+                  JOIN s sb ON sb.label = cd.lb
+          GROUP BY 1
+        )
+        SELECT s.label, s.n_vectors, round(s.s, 6) AS scatter,
+               round(r.r, 6) AS db_score
+        FROM s JOIN r USING (label)
+        ORDER BY label
+      """.trim),
+      "X96 per-label Davies-Bouldin clustering-quality score")(
+      (spark, dir) => {
+        import spark.implicits._
+        Similarity.daviesBouldin(table(spark, dir, "embeddings"),
+            "vec_id", "embedding", "label")
+          .orderBy($"label")
+      }),
+
     // X76: deterministic negative sampling — 5 different-label
     // negatives per anchor from 4 probed buckets, ranked by the md5
     // draw; RNG-free so the contrastive pairs reproduce across

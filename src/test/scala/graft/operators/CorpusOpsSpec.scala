@@ -432,4 +432,72 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!byId(6L).getAs[Boolean]("pass_alpha"))
     assert(Seq(2L, 3L, 4L, 5L, 6L).forall(i => !byId(i).getAs[Boolean]("keep")))
   }
+
+  test("dsirWeights: target-like docs score above off-target docs; " +
+      "gram count is 2n-1; deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha"), (2L, "alpha beta"),
+      (3L, "gamma delta gamma"), (4L, "gamma delta")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.dsirWeights(docs, "doc_id", "text",
+        isTarget = $"doc_id" <= 2)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(r.map(_._2) == Seq(5L, 3L, 5L, 3L)) // unigrams + bigrams
+    // target vocabulary dominates the target model → positive ratios;
+    // off-target grams never occur in the target slice → negative
+    assert(r(0)._3 > 0 && r(1)._3 > 0, r.toString)
+    assert(r(2)._3 < 0 && r(3)._3 < 0, r.toString)
+    assert(r(0)._3 > r(2)._3 && r(1)._3 > r(3)._3)
+    val again = CorpusOps.dsirWeights(docs, "doc_id", "text",
+        isTarget = $"doc_id" <= 2)
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(r == again)
+  }
+
+  test("sourceOverlap: hand-computed shingle Jaccard matrix, " +
+      "zero-overlap pairs included") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("A", "w1 w2 w3 w4"), // shingles {w1w2w3, w2w3w4}
+      ("B", "w1 w2 w3 w5"), // shingles {w1w2w3, w2w3w5}
+      ("C", "x y z")        // {xyz}
+    ).toDF("source", "text")
+    val r = CorpusOps.sourceOverlap(docs, "source", "text", k = 3)
+      .orderBy($"source_a", $"source_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      ("A", "B", 2L, 2L, 1L, 1.0 / 3), // round(0.333333..., 6)
+      ("A", "C", 2L, 1L, 0L, 0.0),
+      ("B", "C", 2L, 1L, 0L, 0.0)
+    ).map { case (a, b, na, nb, nc, j) =>
+      (a, b, na, nb, nc, math.rint(j * 1e6) / 1e6) })
+  }
+
+  test("unimaxAllocation: hand waterfill — uncapped, mixed, all-capped") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(("a", 10L), ("b", 20L), ("c", 70L))
+      .toDF("source", "n_tokens")
+    def run(frac: Double, epochs: Double) =
+      CorpusOps.unimaxAllocation(docs, "source", "n_tokens", frac, epochs)
+        .orderBy($"source")
+        .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // T = 50, caps (20, 40, 140): level 50/3 fits under every cap
+    val uncapped = run(0.5, 2.0)
+    assert(uncapped.map(_._4) == Seq(16.666667, 16.666667, 16.666667))
+    assert(uncapped.map(_._5) == Seq(1.666667, 0.833333, 0.238095))
+    // T = 90: a caps at 20, remaining 70 levels at 35 across b and c
+    val mixed = run(0.9, 2.0)
+    assert(mixed.map(_._4) == Seq(20.0, 35.0, 35.0))
+    assert(mixed.map(_._5) == Seq(2.0, 1.75, 0.5))
+    // budget beyond total capacity: everyone capped at maxEpochs
+    val capped = run(3.0, 2.0)
+    assert(capped.map(_._4) == Seq(20.0, 40.0, 140.0))
+    assert(capped.map(_._5) == Seq(2.0, 2.0, 2.0))
+  }
 }

@@ -270,4 +270,37 @@ class InvertedIndexSpec extends AnyFunSuite {
     // ppl than one made of rare bigrams
     assert(r(1)._4 < r(2)._4)
   }
+
+  test("knPerplexity: hand-computed interpolated Kneser-Ney values") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams (a,b)x2... wait: (a,b),(b,a),(a,b)
+      (2L, "a c")      // (a,c)
+    ).toDF("doc_id", "text")
+    // counts: (a,b)=2, (b,a)=1, (a,c)=1
+    // ctx(a)=3 n1fw(a)=2; ctx(b)=1 n1fw(b)=1
+    // n1bw: b=1, a=1, c=1; btypes=3; D=0.75
+    // P(b|a) = 1.25/3 + (0.75*2/3)*(1/3) = 0.41666.. + 0.16666..
+    // P(a|b) = 0.25/1 + (0.75*1/1)*(1/3) = 0.5
+    // P(c|a) = 0.25/3 + (0.75*2/3)*(1/3) = 0.25
+    val pBA = 1.25 / 3 + (0.75 * 2 / 3) * (1.0 / 3)
+    val pAB = 0.5
+    val pCA = 0.25
+    def nll(p: Double) = -math.log(p) / math.log(2.0)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val r = InvertedIndex.knPerplexity(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val m1 = (2 * nll(pBA) + nll(pAB)) / 3
+    assert(r(0)._1 == 1L && r(0)._2 == 3L)
+    assert(math.abs(r(0)._3 - r6(m1)) < 2e-6)
+    assert(math.abs(r(0)._4 - r6(math.pow(2, m1))) < 2e-6)
+    assert(r(1) == ((2L, 1L, r6(nll(pCA)), r6(math.pow(2, nll(pCA)))))) // = 2 bits, ppl 4
+    // smoothing redistributes mass: every KN probability sits strictly
+    // below the MLE one, so KN perplexity is strictly higher
+    val mle = InvertedIndex.docPerplexity(docs, "doc_id", "text")
+      .orderBy($"doc_id").select($"ppl").as[Double].collect()
+    assert(r(0)._4 > mle(0) && r(1)._4 > mle(1))
+  }
 }

@@ -286,4 +286,38 @@ class SimilaritySpec extends AnyFunSuite {
       .as[Double].collect().toSeq
     assert(r0 == Seq(0.0, 0.0))
   }
+
+  test("daviesBouldin: hand-computed two-cluster score; worse when " +
+      "clusters approach; max picks the worst neighbor") {
+    val s = spark
+    import s.implicits._
+    def vecs(sep: Float) = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(0f, 2f), 0),
+      (3L, Array(sep, 0f), 1), (4L, Array(sep, 2f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    // centroids (0,1), (10,1); scatter = 1 each; d = 10 → R = 0.2
+    val r10 = Similarity.daviesBouldin(vecs(10f), "vec_id",
+        "embedding", "label")
+      .orderBy($"label").collect()
+    r10.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") == 2)
+      assert(r.getAs[Double]("scatter") == 1.0)
+      assert(r.getAs[Double]("db_score") == 0.2)
+    }
+    // closer clusters → higher (worse) score: d = 2 → R = 1.0
+    val r2 = Similarity.daviesBouldin(vecs(2f), "vec_id",
+      "embedding", "label").select($"db_score").as[Double].collect()
+    assert(r2.toSeq == Seq(1.0, 1.0))
+    // three clusters: the max ratio comes from the NEAREST/worst
+    // neighbor (label 0 vs 1 at distance 2, not vs 2 at distance 100)
+    val tri = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(0f, 2f), 0),
+      (3L, Array(2f, 0f), 1), (4L, Array(2f, 2f), 1),
+      (5L, Array(100f, 0f), 2), (6L, Array(100f, 2f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val r3 = Similarity.daviesBouldin(tri, "vec_id", "embedding", "label")
+      .orderBy($"label").select($"db_score").as[Double].collect()
+    assert(r3(0) == 1.0 && r3(1) == 1.0) // worst neighbor is the close one
+    assert(r3(2) < 0.03) // far cluster: (1+1)/98 ≈ 0.0204
+  }
 }
