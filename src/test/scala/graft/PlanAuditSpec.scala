@@ -492,4 +492,61 @@ class PlanAuditSpec extends AnyFunSuite {
       s"$exchanges exchanges (expected <= 4):\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_kn_perplexity: vocab-sized probability table joins equi, " +
+    "count aggs map-side combined, no cartesian beyond the 1-row total") {
+    val p = plan("q_kn_perplexity")
+    // the only nested-loop join allowed is the single-row btypes cross
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 1, s"$nlj NLJs (only the 1-row btypes cross allowed)")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "count aggs lost map-side combine")
+  }
+
+  test("q_dsir_weights: bucket ratio table broadcasts back to the " +
+    "gram scan; no gram-table self-join") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket table stopped broadcasting:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "constant-sized ratio table fell into a sort-merge join")
+  }
+
+  test("q_source_overlap: engine never self-joins the gram table — " +
+    "pairs explode from per-shingle source sets") {
+    val p = plan("q_source_overlap")
+    // collect_set agg + pair explode + tiny sizes joins: the sizes
+    // pair table is |sources|^2, joined broadcast; nothing sort-merges
+    // the big distinct-gram table against itself
+    assert(p.contains("collect_set"), "source-set agg disappeared")
+    assert(!p.contains("CartesianProduct") ||
+      "CartesianProduct".r.findAllIn(p).size <= 1,
+      "unexpected cartesian beyond the sources-squared pair frame")
+    assert(p.contains("partial_count"), "distinct/size aggs not partial")
+  }
+
+  test("q_unimax_alloc: waterfill windows run on the sources-only " +
+    "table after one map-side-combined token agg") {
+    val p = plan("q_unimax_alloc")
+    assert(p.contains("partial_sum"), "token count agg lost partial")
+    // windows over |sources| rows: SinglePartition exchanges are fine
+    // there, but the documents scan itself must shuffle at most once
+    val docScans = "ReadSchema: [^\\n]+text".r.findAllIn(p).size
+    assert(docScans == 1, s"documents scanned $docScans times")
+    assert(!p.contains("CartesianProduct") ||
+      "CartesianProduct".r.findAllIn(p).size <= 1, // 1-row level cross
+      p.take(1500))
+  }
+
+  test("q_davies_bouldin: centroids broadcast; R matrix lives on the " +
+    "labels-squared table, never vector-x-vector") {
+    val p = plan("q_davies_bouldin")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid join stopped broadcasting:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("partial_avg") || p.contains("partial_sum"),
+      "centroid agg lost map-side combine")
+  }
 }
