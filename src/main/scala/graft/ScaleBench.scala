@@ -81,7 +81,15 @@ object ScaleBench {
       // r7 third wave: BLEU (clip join keyed by (doc, n, gram)),
       // memorization probe (gram-df witness join)
       "q_bleu", "q_memorization", "q_self_bleu",
-      "q_vocab_growth", "q_heaps_fit", "q_zipf_fit", "q_silhouette")
+      "q_vocab_growth", "q_heaps_fit", "q_zipf_fit", "q_silhouette",
+      // r8 wave: KN perplexity (vocab²-bounded prob join, cf.
+      // q_doc_perplexity), DSIR (constant bucket table broadcast),
+      // source overlap (per-gram source-set agg, Σ_g |sources(g)|²),
+      // UniMax (one token agg + sources-only window), Davies-Bouldin
+      // (centroid family), Y4M frame walk (pure scan over synthetic
+      // containers)
+      "q_kn_perplexity", "q_dsir_weights", "q_source_overlap",
+      "q_unimax_alloc", "q_davies_bouldin", "q_frame_sample")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

