@@ -922,13 +922,30 @@ object CorpusOps {
     */
   def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
       k: Int): DataFrame = {
+    // shingle assembly via the lead-window + codegen concat_ws path
+    // (the explodedShingles idiom — the HOF transform/slice/array_join
+    // pass pays the measured ~5× scan tax); the window key is a
+    // synthetic per-row id (shingle SETS don't depend on its values),
+    // carrying source alongside so no join-back is needed.
     // distinct() FIRST, deliberately: the codegen'd hash-distinct
     // shrinks the raw gram stream before anything touches the
     // object-hash collect_set agg (measured: folding the dedup into
     // collect_set itself is ~1.4× slower at sf1 — partial set state
     // over the full stream costs more than the extra exchange saves)
-    val grams = docs.select(col(sourceCol).as("__s"),
-      explode(Dedup.shingles(Dedup.tokens(col(textCol)), k)).as("__g"))
+    val toks = docs
+      .select(col(sourceCol).as("__s"), col(textCol).as("__txt"))
+      .withColumn("__rid", monotonically_increasing_id())
+      .select(col("__rid"), col("__s"),
+        posexplode(Dedup.tokens(col("__txt"))).as(Seq("__pos", "t0")))
+    val w = Window.partitionBy(col("__rid")).orderBy(col("__pos"))
+    val withNext = (1 until k).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"t$i", lead(col("t0"), i).over(w))
+    }
+    val grams = withNext
+      .filter(col(s"t${k - 1}").isNotNull)
+      .select(col("__s"),
+        concat_ws(Dedup.Sep, (0 until k).map(i => col(s"t$i")): _*)
+          .as("__g"))
       .distinct()
     val sizes = grams.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
     // per-shingle sorted source set → all (a < b) pairs, in the scan
