@@ -89,7 +89,10 @@ object ScaleBench {
       // (centroid family), Y4M frame walk (pure scan over synthetic
       // containers)
       "q_kn_perplexity", "q_dsir_weights", "q_source_overlap",
-      "q_unimax_alloc", "q_davies_bouldin", "q_frame_sample")
+      "q_unimax_alloc", "q_davies_bouldin", "q_frame_sample",
+      // r8 second wave: ROUGE-L (per-row LCS DP, no shuffle),
+      // novelty curve (one windowed gram pass + presence agg)
+      "q_rouge_l", "q_ngram_novelty")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -298,5 +298,49 @@ object Contamination {
           array_sort(collect_list(when(col("__dup").isNull,
             struct(col("slot"), col("span"))))),
           s => s("span")), " ")).as("clean_md5"))
+  }
+
+  /** X98 — n-gram novelty curve: for each n ≤ maxN, the fraction of
+    * the holdout slice's DISTINCT n-grams that never occur in the
+    * train slice — novelty@n, the generalization-vs-memorization
+    * health curve run alongside [[flagContaminated]] (that one asks
+    * "does train leak INTO eval"; this asks "how much of eval is
+    * genuinely unseen", the quantity train/test splits exist to keep
+    * high, and the WebText/GPT-2 style overlap report).
+    *
+    * Output: (n, n_holdout_grams, n_novel, novelty_rate), one row per
+    * n.
+    *
+    * Scale shape: ONE windowed token pass assembles all gram orders
+    * (lead chains + codegen concat_ws — no interpreted HOFs), one
+    * (n, gram) presence agg (map-side combined, two bool flags — no
+    * gram set ever materializes per side, no anti-join), one maxN-row
+    * final agg. Linear in token volume.
+    */
+  def ngramNovelty(docs: DataFrame, docCol: String, textCol: String,
+      isHoldout: Column, maxN: Int): DataFrame = {
+    require(maxN >= 1 && maxN <= 9, s"need 1 <= maxN <= 9, got $maxN")
+    val toks = docs.select(col(docCol), isHoldout.as("__hold"),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("__pos", "t0")))
+    val w = Window.partitionBy(col(docCol)).orderBy(col("__pos"))
+    val withNext = (1 until maxN).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"t$i", lead(col("t0"), i).over(w))
+    }
+    val grams = (1 to maxN).map { n =>
+      withNext.filter(col(s"t${n - 1}").isNotNull)
+        .select(lit(n).as("n"), col("__hold"),
+          concat_ws(Dedup.Sep, (0 until n).map(i => col(s"t$i")): _*)
+            .as("__g"))
+    }.reduce(_ unionAll _)
+    grams.groupBy(col("n"), col("__g"))
+      .agg(max(when(col("__hold"), 1).otherwise(0)).as("__inh"),
+        max(when(!col("__hold"), 1).otherwise(0)).as("__int"))
+      .filter(col("__inh") === 1)
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_holdout_grams"),
+        sum(when(col("__int") === 0, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("n"), col("n_holdout_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_holdout_grams"), 6)
+          .as("novelty_rate"))
   }
 }

@@ -689,6 +689,56 @@ object CorpusStatsQueries {
           .orderBy($"source_a", $"source_b")
       }),
 
+    // X98: n-gram novelty curve — for n ≤ 4, the fraction of the
+    // holdout slice's (src19) distinct n-grams never seen in the
+    // train slice: novelty@n, the generalization-health companion to
+    // q_decontaminate. One windowed pass assembles all orders; one
+    // (n, gram) presence agg; pure integer counts.
+    QueryDef(
+      "q_ngram_novelty",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source = 'src19' AS hold,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), g AS (
+          SELECT 1 AS n, hold, w[i] AS g
+          FROM toks, unnest(range(1, len(w) + 1)) AS r(i)
+          UNION ALL
+          SELECT 2, hold, w[i] || chr(1) || w[i+1]
+          FROM toks, unnest(range(1, len(w))) AS r(i)
+          UNION ALL
+          SELECT 3, hold, w[i] || chr(1) || w[i+1] || chr(1) || w[i+2]
+          FROM toks, unnest(range(1, len(w) - 1)) AS r(i)
+          UNION ALL
+          SELECT 4, hold,
+                 w[i] || chr(1) || w[i+1] || chr(1) || w[i+2]
+                   || chr(1) || w[i+3]
+          FROM toks, unnest(range(1, len(w) - 2)) AS r(i)
+        ), f AS (
+          SELECT n, g,
+                 max(CASE WHEN hold THEN 1 ELSE 0 END) AS inh,
+                 max(CASE WHEN NOT hold THEN 1 ELSE 0 END) AS intr
+          FROM g GROUP BY 1, 2
+        )
+        SELECT n, count(*) AS n_holdout_grams,
+               CAST(sum(CASE WHEN intr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel,
+               round(CAST(sum(CASE WHEN intr = 0 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS novelty_rate
+        FROM f WHERE inh = 1
+        GROUP BY n ORDER BY n
+      """.trim),
+      "X98 novelty@n of the src19 holdout vs the train slice")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Contamination.ngramNovelty(
+            table(spark, dir, "documents"), "doc_id", "text",
+            isHoldout = $"source" === "src19", maxN = 4)
+          .orderBy($"n")
+      }),
+
     // X66: Okapi BM25 "more like this": top-10 docs for probe doc 0 under
     // the standard lexical relevance function (tf saturation k1=1.2,
     // length normalization b=0.75) over the unigram index — the

@@ -154,6 +154,73 @@ object PipelineQueries {
           .orderBy($"doc_id")
       }),
 
+    // X97: ROUGE-L vs the SAME corruption as q_wer/q_cer — the
+    // LCS-based eval metric completing the WER/CER/BLEU family. The
+    // engine runs the TRUE two-row LCS DP (Rouge.lcsLength); the
+    // oracle knows the answer in closed form BY CONSTRUCTION of the
+    // corruption: the hyp is ref with every 7th token dropped and
+    // every 11th survivor replaced by 'zzz' (out-of-vocabulary — the
+    // corpus's 31-token vocabulary never contains it, asserted by the
+    // WER family's fixtures), so the kept unsubstituted tokens are a
+    // common subsequence and nothing longer exists:
+    // LCS = n_hyp − n_substituted. A DP bug (off-by-one, crossing
+    // matches, boundary rows) breaks the per-doc integers.
+    QueryDef(
+      "q_rouge_l",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), kept AS (
+          SELECT doc_id, count(*) AS n_hyp,
+                 CAST(count(*) FILTER (WHERE i % 11 = 0) AS BIGINT) AS n_sub
+          FROM toks, unnest(range(1, len(w) + 1)) AS r(i)
+          WHERE i % 7 <> 0
+          GROUP BY doc_id
+        ), m AS (
+          SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_ref,
+                 CAST(coalesce(k.n_hyp, 0) AS BIGINT) AS n_hyp,
+                 CAST(coalesce(k.n_hyp, 0) - coalesce(k.n_sub, 0)
+                   AS BIGINT) AS lcs
+          FROM toks t LEFT JOIN kept k USING (doc_id)
+        ), pr AS (
+          SELECT doc_id, n_ref, n_hyp, lcs,
+                 CASE WHEN n_hyp > 0 THEN CAST(lcs AS DOUBLE) / n_hyp
+                      ELSE 0.0 END AS p,
+                 CASE WHEN n_ref > 0 THEN CAST(lcs AS DOUBLE) / n_ref
+                      ELSE 0.0 END AS rc
+          FROM m
+        )
+        SELECT doc_id, n_ref, n_hyp, lcs,
+               round(p, 6) AS "precision", round(rc, 6) AS recall,
+               round(CASE WHEN p + rc > 0
+                     THEN 2.0 * p * rc / (p + rc) ELSE 0.0 END, 6) AS f1
+        FROM pr ORDER BY doc_id
+      """.trim),
+      "X97 ROUGE-L (true LCS DP) vs the q_wer corruption")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.{Dedup, Rouge}
+        val docs = table(spark, dir, "documents")
+        val toks = docs.select($"doc_id", Dedup.tokens($"text").as("w"))
+        val hyp = toks
+          .select($"doc_id", posexplode($"w").as(Seq("pos", "word")))
+          .filter(($"pos" + 1) % 7 =!= 0)
+          .select($"doc_id", $"pos",
+            when(($"pos" + 1) % 11 === 0, "zzz").otherwise($"word")
+              .as("word"))
+          .groupBy($"doc_id")
+          .agg(concat_ws(" ", array_sort(collect_list(
+            struct($"pos", $"word"))).getField("word")).as("h"))
+        val pairs = toks.join(hyp, Seq("doc_id"), "left")
+          .select($"doc_id", array_join($"w", " ").as("ref_text"),
+            coalesce($"h", lit("")).as("hyp_text"))
+        Rouge.rougeL(pairs, "doc_id", "ref_text", "hyp_text")
+          .orderBy($"doc_id")
+      }),
+
     // X86: sentence BLEU-4 vs the SAME corruption as q_wer/q_cer —
     // the n-gram-overlap eval metric completing the WER/CER family.
     // Clipped counts are exact integers; ln/exp evaluate the same

@@ -539,6 +539,29 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(1500))
   }
 
+  test("q_rouge_l: the LCS DP is a per-pair map — one doc-keyed " +
+    "exchange for the hyp assembly, nothing pairwise") {
+    val p = plan("q_rouge_l")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // hyp build: one window + one agg, both keyed by doc_id
+    val ranges = "rangepartitioning\\(\\[?([a-z_]+)".r
+      .findAllMatchIn(p.toLowerCase).map(_.group(1)).toSet
+    assert(ranges.subsetOf(Set("doc_id")),
+      s"unexpected global sort keys $ranges")
+  }
+
+  test("q_ngram_novelty: one windowed gram pass, presence agg " +
+    "map-side combined, no per-side gram-set join") {
+    val p = plan("q_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("partial_max") || p.contains("partial_count"),
+      "presence agg lost map-side combine")
+    assert(!p.contains("SortMergeJoin"),
+      "gram sets fell into a per-side join")
+  }
+
   test("q_davies_bouldin: centroids broadcast; R matrix lives on the " +
     "labels-squared table, never vector-x-vector") {
     val p = plan("q_davies_bouldin")

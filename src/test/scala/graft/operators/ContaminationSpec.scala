@@ -269,4 +269,26 @@ class ContaminationSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().head
     assert(full == ((1L, 4L, 4L, 1.0)))
   }
+
+  test("ngramNovelty: hand-computed novelty@n, holdout-only grams") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "train", "a b c"),
+      (2L, "train", "a b"),
+      (3L, "hold", "a b d")
+    ).toDF("doc_id", "split", "text")
+    val r = Contamination.ngramNovelty(docs, "doc_id", "text",
+        isHoldout = $"split" === "hold", maxN = 2)
+      .orderBy($"n")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    // unigrams in holdout: {a, b, d}; d unseen in train → 1/3
+    // bigrams in holdout: {a·b, b·d}; b·d unseen → 1/2
+    assert(r == Seq((1, 3L, 1L, 0.333333), (2, 2L, 1L, 0.5)))
+    // fully novel holdout
+    val r2 = Contamination.ngramNovelty(docs, "doc_id", "text",
+        isHoldout = $"doc_id" === 99L, maxN = 2) // empty holdout
+      .collect()
+    assert(r2.isEmpty)
+  }
 }
