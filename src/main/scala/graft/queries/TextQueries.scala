@@ -80,12 +80,62 @@ object TextQueries {
     // P3: integer → English words, as a native codegen Expression
     // registered through SparkSessionExtensions (beats a Scala UDF:
     // no serialization, stays in whole-stage codegen, folds
-    // constants). Not SQL-expressible in DuckDB → no oracle
-    // (rows-only driver check); exact parity is golden-tested
-    // against the reference value table.
+    // constants). r8: upgraded from rows-only to a FULL hash oracle —
+    // the DuckDB twin reconstructs the reference algorithm
+    // independently (chunk decomposition + word-list lookups +
+    // separator-free concatenation, the normalize_word quirk), so the
+    // codegen Expression verifies end-to-end. trunc() before the
+    // BIGINT cast mirrors Spark's truncate-toward-zero double→long.
     QueryDef(
       "q_num_to_words",
-      None,
+      Some("""
+        WITH nums AS (
+          SELECT DISTINCT n FROM (
+            SELECT p_partkey AS n FROM part
+            UNION ALL
+            SELECT CAST(trunc(o_totalprice) AS BIGINT) FROM orders
+          )
+        ), chunks AS (
+          SELECT n, i, CAST((abs(n) // p) % 1000 AS INTEGER) AS c
+          FROM nums, (VALUES (0, CAST(1 AS BIGINT)),
+                             (1, CAST(1000 AS BIGINT)),
+                             (2, CAST(1000000 AS BIGINT)),
+                             (3, CAST(1000000000 AS BIGINT))) AS u(i, p)
+        ), segs AS (
+          SELECT n, i,
+            (CASE WHEN c >= 100 THEN
+              ['zero','one','two','three','four','five','six','seven',
+               'eight','nine','ten','eleven','twelve','thirteen',
+               'fourteen','fifteen','sixteen','seventeen','eighteen',
+               'nineteen'][c // 100 + 1] || 'hundred' ELSE '' END)
+            || (CASE WHEN c % 100 >= 20 THEN
+                  ['','','twenty','thirty','forty','fifty','sixty',
+                   'seventy','eighty','ninety'][(c % 100) // 10 + 1] ||
+                  (CASE WHEN c % 10 > 0 THEN
+                    ['zero','one','two','three','four','five','six',
+                     'seven','eight','nine','ten','eleven','twelve',
+                     'thirteen','fourteen','fifteen','sixteen',
+                     'seventeen','eighteen','nineteen'][c % 10 + 1]
+                   ELSE '' END)
+                 WHEN c % 100 > 0 THEN
+                  ['zero','one','two','three','four','five','six',
+                   'seven','eight','nine','ten','eleven','twelve',
+                   'thirteen','fourteen','fifteen','sixteen',
+                   'seventeen','eighteen','nineteen'][c % 100 + 1]
+                 ELSE '' END)
+            || (['','thousand','million','billion'][i + 1]) AS seg
+          FROM chunks WHERE c <> 0
+        ), agg AS (
+          SELECT n, string_agg(seg, '' ORDER BY i DESC) AS w
+          FROM segs GROUP BY n
+        )
+        SELECT nums.n AS n,
+               CASE WHEN nums.n = 0 THEN 'zero'
+                    WHEN nums.n < 0 THEN 'minus' || coalesce(a.w, '')
+                    ELSE coalesce(a.w, '') END AS words
+        FROM nums LEFT JOIN agg a ON nums.n = a.n
+        ORDER BY nums.n
+      """.trim),
       "P3 _num_to_words as codegen Expression (claude_research_optimal.py:37–64)")(
       (spark, dir) => {
         import spark.implicits._
