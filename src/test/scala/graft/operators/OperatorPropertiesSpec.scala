@@ -364,4 +364,144 @@ class OperatorPropertiesSpec extends AnyFunSuite with PropertyHarness {
       rates.values.foreach(r => assert(math.abs(r - 0.4) < 1e-4, rates))
     }
   }
+
+  // -------- X95 UniMax waterfill conservation on random source tables
+
+  private val sourcesGen: Gen[List[(String, Long)]] = for {
+    k <- Gen.choose(1, 8)
+    sizes <- Gen.listOfN(k, Gen.choose(1L, 500L))
+  } yield sizes.zipWithIndex.map { case (n, i) => (s"s$i", n) }
+
+  test("property: unimax allocations conserve the budget, respect " +
+      "caps, and are budget-monotone") {
+    val s = spark
+    import s.implicits._
+    forAllSampled2(sourcesGen, Gen.choose(1, 19), n = 25) { (srcs, f10) =>
+      val frac = f10 / 10.0 // 0.1 .. 1.9 of total tokens
+      val epochs = 1.5
+      val df = srcs.toDF("source", "n_tokens")
+      def run(b: Double) = CorpusOps
+        .unimaxAllocation(df, "source", "n_tokens", b, epochs)
+        .select($"source", $"n_tokens", $"capacity", $"allocation")
+        .as[(String, Long, Double, Double)].collect()
+      val total = srcs.map(_._2).sum.toDouble
+      val got = run(frac)
+      // every allocation respects its cap
+      got.foreach { case (src, _, cap, a) =>
+        assert(a <= cap + 1e-6, s"$src alloc $a over cap $cap")
+        assert(a >= -1e-9)
+      }
+      // conservation: Σ alloc = min(budget, Σ capacity)
+      val want = math.min(frac * total, epochs * total)
+      assert(math.abs(got.map(_._4).sum - want) < 1e-4,
+        s"sum ${got.map(_._4).sum} != $want for frac=$frac srcs=$srcs")
+      // monotone: a bigger budget never shrinks any source's share
+      val bigger = run(math.min(frac + 0.2, epochs))
+        .map(r => r._1 -> r._4).toMap
+      got.foreach { case (src, _, _, a) =>
+        assert(bigger(src) >= a - 1e-6, s"$src shrank under a bigger budget")
+      }
+    }
+  }
+
+  // -------- X92 Kneser-Ney: smoothed mass stays a sub-distribution
+
+  test("property: KN probabilities per context sum to <= 1 over SEEN " +
+      "continuations, and every scored p is in (0, 1]") {
+    val s = spark
+    import s.implicits._
+    val corpusGen: Gen[List[String]] = for {
+      n <- Gen.choose(2, 12)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(2, 20)
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))
+      } yield ws.mkString(" "))
+    } yield docs
+    forAllSampled(corpusGen, n = 15) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // reconstruct per-bigram p from the per-doc output is lossy, so
+      // recompute p directly with the operator's own building blocks:
+      // mean_nll of a doc that IS one bigram equals -log2 p(bigram)
+      val r = InvertedIndex.knPerplexity(df, "doc_id", "text")
+        .as[(Long, Long, Double, Double)].collect()
+      r.foreach { case (_, nb, nll, ppl) =>
+        assert(nb >= 1)
+        assert(nll > 0, s"nll $nll: some p >= 1") // p<1 always under KN
+        assert(ppl > 1)
+      }
+      // seen-continuation mass check on the corpus bigram table
+      val toks = docs.flatMap(_.split(" ").sliding(2).toSeq
+        .filter(_.length == 2).map(p => (p(0), p(1))))
+      if (toks.nonEmpty) {
+        val counts = toks.groupBy(identity).map { case (k, v) =>
+          (k._1, k._2, v.size.toLong) }.toSeq
+        val ctx = counts.groupBy(_._1).map { case (u, rs) =>
+          u -> (rs.map(_._3).sum, rs.size) }
+        val bw = counts.groupBy(_._2).map { case (v, rs) => v -> rs.size }
+        val btypes = counts.size.toDouble
+        val d = 0.75
+        ctx.foreach { case (u, (cu, n1fw)) =>
+          val mass = counts.filter(_._1 == u).map { case (_, v, c) =>
+            math.max(c - d, 0.0) / cu +
+              (d * n1fw / cu) * (bw(v) / btypes)
+          }.sum
+          assert(mass <= 1.0 + 1e-9, s"context $u mass $mass > 1")
+          assert(mass > 0)
+        }
+      }
+    }
+  }
+
+  // -------- X97 ROUGE-L bounds and identity
+
+  test("property: rougeL respects LCS bounds; identity pairs score 1") {
+    val s = spark
+    import s.implicits._
+    val pairGen: Gen[(List[String], List[String])] = for {
+      na <- Gen.choose(0, 15); nb <- Gen.choose(0, 15)
+      a <- Gen.listOfN(na, Gen.oneOf("x", "y", "z", "w"))
+      b <- Gen.listOfN(nb, Gen.oneOf("x", "y", "z", "w"))
+    } yield (a, b)
+    forAllSampled(pairGen, n = 40) { case (a, b) =>
+      val df = Seq((1L, a.mkString(" "), b.mkString(" ")),
+        (2L, a.mkString(" "), a.mkString(" ")))
+        .toDF("id", "r", "h")
+      val rows = Rouge.rougeL(df, "id", "r", "h").orderBy($"id")
+        .as[(Long, Long, Long, Long, Double, Double, Double)]
+        .collect()
+      val (_, nr, nh, lcs, p, rc, f1) = rows(0)
+      assert(lcs <= math.min(nr, nh))
+      assert(p >= 0 && p <= 1 && rc >= 0 && rc <= 1 && f1 >= 0 && f1 <= 1)
+      assert(f1 <= math.max(p, rc) + 1e-9) // harmonic mean bound
+      if (a.nonEmpty) // identity: perfect scores
+        assert(rows(1)._5 == 1.0 && rows(1)._6 == 1.0 && rows(1)._7 == 1.0)
+    }
+  }
+
+  // -------- X94 source-overlap bounds and symmetry of the inputs
+
+  test("property: sourceOverlap jaccard in [0,1], n_common <= min sizes") {
+    val s = spark
+    import s.implicits._
+    val corpusGen: Gen[List[(String, String)]] = for {
+      n <- Gen.choose(2, 10)
+      rows <- Gen.listOfN(n, for {
+        src <- Gen.oneOf("A", "B", "C")
+        len <- Gen.choose(0, 12)
+        ws <- Gen.listOfN(len, Gen.oneOf("p", "q", "r", "s"))
+      } yield (src, ws.mkString(" ")))
+    } yield rows
+    forAllSampled(corpusGen, n = 20) { rows =>
+      val df = rows.toDF("source", "text")
+      val r = CorpusOps.sourceOverlap(df, "source", "text", k = 2)
+        .as[(String, String, Long, Long, Long, Double)].collect()
+      r.foreach { case (a, b, na, nb, nc, j) =>
+        assert(a < b) // canonical pair order
+        assert(nc <= math.min(na, nb), s"common $nc over min($na,$nb)")
+        assert(j >= 0.0 && j <= 1.0)
+        if (na + nb > 0 && nc == 0) assert(j == 0.0)
+      }
+    }
+  }
 }
