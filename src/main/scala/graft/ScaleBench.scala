@@ -91,8 +91,9 @@ object ScaleBench {
       "q_kn_perplexity", "q_dsir_weights", "q_source_overlap",
       "q_unimax_alloc", "q_davies_bouldin", "q_frame_sample",
       // r8 second wave: ROUGE-L (per-row LCS DP, no shuffle),
-      // novelty curve (one windowed gram pass + presence agg)
-      "q_rouge_l", "q_ngram_novelty")
+      // novelty curve (one windowed gram pass + presence agg),
+      // span corruption (per-doc window + skinny rank + reassembly)
+      "q_rouge_l", "q_ngram_novelty", "q_span_corruption")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

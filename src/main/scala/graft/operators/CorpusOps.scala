@@ -1026,6 +1026,81 @@ object CorpusOps {
           .as("epochs"))
   }
 
+  /** X99 — T5-style span corruption (Raffel et al. 2020 §3.1.4) with
+    * DETERMINISTIC span placement: the denoising-objective prep step
+    * that turns a document into an (input with sentinel gaps, target
+    * of masked spans) pair. The token stream splits into fixed blocks
+    * of `blockSize`; block b of doc d masks the `spanLen` tokens
+    * starting at offset md5(salt‖d‖b) mod (blockSize−spanLen+1) —
+    * giving exactly T5's noise density spanLen/blockSize and mean
+    * span length with the repo's reproducible-everywhere hashing
+    * instead of an RNG (content-stable, cross-engine, resumable — the
+    * property every sampler here shares). Masked span k reads
+    * `<extra_id_k>` in the input; the target lists each sentinel with
+    * its span and closes with the final sentinel, the T5 convention.
+    *
+    * Defaults give T5's published 15% density / mean span 3.
+    *
+    * Output: (docCol, n_tokens, n_corrupted, input_text, target_text).
+    *
+    * Scale shape: one per-doc token window for the block/offset math
+    * (all scan-stage Column arithmetic), a skinny per-(doc, block)
+    * rank for sentinel numbering, one per-doc reassembly agg — linear
+    * in tokens, nothing quadratic, no RNG state.
+    */
+  def spanCorruption(docs: DataFrame, docCol: String, textCol: String,
+      blockSize: Int = 20, spanLen: Int = 3, salt: String = "span")
+      : DataFrame = {
+    require(spanLen >= 1, s"need spanLen >= 1, got $spanLen")
+    require(blockSize > spanLen,
+      s"need blockSize > spanLen, got $blockSize <= $spanLen")
+    val nOff = blockSize - spanLen + 1
+    val toks = docs.select(col(docCol),
+      posexplode(coalesce(Dedup.tokens(col(textCol)),
+        array().cast("array<string>"))).as(Seq("__pos", "__t")))
+      .withColumn("__blk", expr(s"__pos div $blockSize"))
+      .withColumn("__off",
+        md5Band(concat(col(docCol).cast("string"), lit("#"),
+          col("__blk")), salt) % nOff)
+      .withColumn("__corr",
+        col("__pos") % blockSize >= col("__off") &&
+          col("__pos") % blockSize < col("__off") + spanLen)
+    val bw = Window.partitionBy(col(docCol), col("__blk"))
+    val marked = toks.withColumn("__fc",
+      min(when(col("__corr"), col("__pos"))).over(bw))
+    val kw = Window.partitionBy(col(docCol)).orderBy(col("__blk"))
+    val ks = marked.filter(col("__corr"))
+      .select(col(docCol), col("__blk")).distinct()
+      .withColumn("__k", row_number().over(kw) - 1)
+    val joined = marked.join(ks, Seq(docCol, "__blk"), "left")
+    def sentinel(k: Column) = concat(lit("<extra_id_"), k, lit(">"))
+    def reassemble(tok: Column) = array_join(
+      transform(array_sort(collect_list(struct(col("__pos"),
+        tok.as("o")))), x => x.getField("o")), " ")
+    val agg = joined.groupBy(col(docCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__corr"), 1L).otherwise(0L)).as("n_corrupted"),
+        (max(col("__k")) + 1).as("__nspans"),
+        reassemble(
+          when(!col("__corr"), col("__t"))
+            .when(col("__pos") === col("__fc"), sentinel(col("__k")))
+            .otherwise(lit(null))).as("input_text"),
+        reassemble(
+          when(col("__corr") && col("__pos") === col("__fc"),
+            concat(sentinel(col("__k")), lit(" "), col("__t")))
+            .when(col("__corr"), col("__t"))
+            .otherwise(lit(null))).as("__tgt"))
+    docs.select(col(docCol)).distinct()
+      .join(agg, Seq(docCol), "left")
+      .select(col(docCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_corrupted"), lit(0L)).as("n_corrupted"),
+        coalesce(col("input_text"), lit("")).as("input_text"),
+        when(col("__nspans").isNull, lit(""))
+          .otherwise(concat(col("__tgt"), lit(" "),
+            sentinel(col("__nspans")))).as("target_text"))
+  }
+
   def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)

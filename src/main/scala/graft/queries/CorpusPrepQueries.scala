@@ -1001,5 +1001,77 @@ object CorpusPrepQueries {
             budgetFraction = 0.95, maxEpochs = 1.0)
           .orderBy($"source")
       }),
+
+    // X99: T5 span corruption (15% density, mean span 3 — the
+    // published defaults via blockSize=20, spanLen=3) with
+    // deterministic md5 span placement. The oracle replays block
+    // arithmetic, offsets, sentinel numbering, and both reassemblies
+    // independently; string_agg and array_join both skip the
+    // non-emitted (NULL) slots.
+    QueryDef(
+      "q_span_corruption",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), tk AS (
+          SELECT doc_id, i - 1 AS pos, w[i] AS t, (i - 1) // 20 AS blk
+          FROM toks, unnest(range(1, len(w) + 1)) AS r(i)
+        ), o AS (
+          SELECT DISTINCT doc_id, blk,
+            CAST(('0x' || substr(md5('span' || CAST(doc_id AS VARCHAR)
+              || '#' || CAST(blk AS VARCHAR)), 1, 8)) AS BIGINT) % 18 AS o
+          FROM tk
+        ), m AS (
+          SELECT tk.doc_id, tk.pos, tk.t, tk.blk,
+                 (tk.pos % 20 >= o.o AND tk.pos % 20 < o.o + 3) AS corr
+          FROM tk JOIN o USING (doc_id, blk)
+        ), fc AS (
+          SELECT doc_id, blk, min(CASE WHEN corr THEN pos END) AS fcpos
+          FROM m GROUP BY 1, 2
+        ), ks AS (
+          SELECT doc_id, blk,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY blk) - 1
+                   AS k
+          FROM (SELECT DISTINCT doc_id, blk FROM m WHERE corr)
+        ), agg AS (
+          SELECT m.doc_id,
+            count(*) AS n_tokens,
+            CAST(sum(CASE WHEN corr THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_corrupted,
+            max(k.k) + 1 AS nspans,
+            string_agg(CASE WHEN NOT corr THEN t
+                            WHEN pos = f.fcpos
+                              THEN '<extra_id_' || k.k || '>'
+                       END, ' ' ORDER BY pos) AS input_text,
+            string_agg(CASE WHEN corr AND pos = f.fcpos
+                              THEN '<extra_id_' || k.k || '>' || ' ' || t
+                            WHEN corr THEN t
+                       END, ' ' ORDER BY pos) AS tgt
+          FROM m
+          LEFT JOIN fc f USING (doc_id, blk)
+          LEFT JOIN ks k USING (doc_id, blk)
+          GROUP BY m.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(a.n_corrupted, 0) AS BIGINT) AS n_corrupted,
+               coalesce(a.input_text, '') AS input_text,
+               CASE WHEN a.nspans IS NULL THEN ''
+                    ELSE a.tgt || ' <extra_id_' || a.nspans || '>'
+               END AS target_text
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
+      """.trim),
+      "X99 T5 span corruption (deterministic md5 placement, 15%/3)")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.spanCorruption(
+            table(spark, dir, "documents"), "doc_id", "text",
+            blockSize = 20, spanLen = 3, salt = "span")
+          .orderBy($"doc_id")
+      }),
   )
 }

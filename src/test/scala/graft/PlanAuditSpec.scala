@@ -562,6 +562,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "gram sets fell into a per-side join")
   }
 
+  test("q_span_corruption: block math is scan-stage, exchanges stay " +
+    "doc-keyed, no cartesian") {
+    val p = plan("q_span_corruption")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    val ranges = "rangepartitioning\\(\\[?([a-z_]+)".r
+      .findAllMatchIn(p.toLowerCase).map(_.group(1)).toSet
+    assert(ranges.subsetOf(Set("doc_id")),
+      s"unexpected global sort keys $ranges")
+  }
+
   test("q_davies_bouldin: centroids broadcast; R matrix lives on the " +
     "labels-squared table, never vector-x-vector") {
     val p = plan("q_davies_bouldin")

@@ -478,6 +478,65 @@ class CorpusOpsSpec extends AnyFunSuite {
       (a, b, na, nb, nc, math.rint(j * 1e6) / 1e6) })
   }
 
+  test("spanCorruption: independent replay of the md5 placement rule; " +
+      "conservation; degenerate docs") {
+    val s = spark
+    import s.implicits._
+    val d1 = (0 until 23).map(i => s"w$i").mkString(" ") // 4 blocks + tail
+    val docs = Seq((1L, d1), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val B = 5; val L = 2
+    val got = CorpusOps.spanCorruption(docs, "doc_id", "text",
+        blockSize = B, spanLen = L, salt = "t")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String, String)].collect()
+
+    // independent replay: same md5-band arithmetic, plain Scala
+    def md5Int(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString,
+      16)
+    def replay(id: Long, text: String): (Long, Long, String, String) = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val corr = toks.indices.map { p =>
+        val off = md5Int(s"t$id#${p / B}") % (B - L + 1)
+        p % B >= off && p % B < off + L
+      }
+      val firstOf = toks.indices.filter(corr)
+        .groupBy(_ / B).map { case (b, ps) => b -> ps.min }
+      val inp = scala.collection.mutable.ArrayBuffer.empty[String]
+      val tgt = scala.collection.mutable.ArrayBuffer.empty[String]
+      var k = -1
+      toks.indices.foreach { p =>
+        if (!corr(p)) inp += toks(p)
+        else {
+          if (p == firstOf(p / B)) { k += 1; inp += s"<extra_id_$k>"
+            tgt += s"<extra_id_$k>" }
+          tgt += toks(p)
+        }
+      }
+      if (k >= 0) tgt += s"<extra_id_${k + 1}>"
+      (toks.size.toLong, corr.count(identity).toLong,
+        inp.mkString(" "), tgt.mkString(" "))
+    }
+    Seq((1L, d1), (2L, "a b"), (3L, "")).zip(got).foreach {
+      case ((id, text), (gid, nt, nc, gi, gt)) =>
+        val (en, ec, ei, et) = replay(id, text)
+        assert(gid == id)
+        assert((nt, nc) == ((en, ec)), s"doc $id counts")
+        assert(gi == ei, s"doc $id input")
+        assert(gt == et, s"doc $id target")
+        // conservation: non-sentinel input tokens + corrupted = total
+        val plain = gi.split(" ").filter(_.nonEmpty)
+          .count(!_.startsWith("<extra_id_"))
+        assert(plain + nc == nt, s"doc $id conservation")
+    }
+    assert(got(2) == ((3L, 0L, 0L, "", "")))
+    // density lands near spanLen/blockSize on the long doc
+    assert(got(0)._3.toDouble / got(0)._2 >= 0.3 &&
+      got(0)._3.toDouble / got(0)._2 <= 0.5)
+  }
+
   test("unimaxAllocation: hand waterfill — uncapped, mixed, all-capped") {
     val s = spark
     import s.implicits._
