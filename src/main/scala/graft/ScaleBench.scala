@@ -93,7 +93,9 @@ object ScaleBench {
       // r8 second wave: ROUGE-L (per-row LCS DP, no shuffle),
       // novelty curve (one windowed gram pass + presence agg),
       // span corruption (per-doc window + skinny rank + reassembly)
-      "q_rouge_l", "q_ngram_novelty", "q_span_corruption")
+      "q_rouge_l", "q_ngram_novelty", "q_span_corruption",
+      // skinny-table interval math only (no token arrays)
+      "q_pack_boundaries")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

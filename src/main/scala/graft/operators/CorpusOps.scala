@@ -233,6 +233,44 @@ object CorpusOps {
       .select(col("seq_id"), col("n_tokens"), col("seq_text"))
   }
 
+  /** X100 — packed-sequence attention boundaries: the per-sequence
+    * document-span map [[packSequences]]' output needs before a
+    * trainer can mask cross-document attention (block-diagonal
+    * attention inside packed sequences — the Llama-3/T5 packing
+    * hygiene that stops doc B's tokens attending into doc A). For
+    * every (sequence, document) intersection: where the doc's slice
+    * sits in the sequence AND where it sits in the doc, so both the
+    * mask and exact slice reconstruction derive from this one table.
+    *
+    * Output: (seq_id, docCol, start_in_seq, start_in_doc, len).
+    *
+    * Scale shape: STRICTLY SKINNIER than packing itself — the whole
+    * computation runs on the (doc, token-count) table via the same
+    * two-phase prefix sum, then a bounded explode (a doc spans
+    * ≤ n/seqLen + 1 sequences); token arrays are never touched, so
+    * the operator is metadata-sized at any corpus scale.
+    */
+  def packBoundaries(docs: DataFrame, docCol: String, textCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"need seqLen > 0, got $seqLen")
+    val skinny = docs.select(col(docCol),
+      size(coalesce(Dedup.tokens(col(textCol)),
+        array().cast("array<string>"))).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+    val offs = prefixStarts(skinny, docCol)
+    skinny.join(offs, Seq(docCol))
+      .select(col(docCol), col("__n"), col("__start"),
+        explode(sequence(expr(s"__start div $seqLen"),
+          expr(s"(__start + __n - 1) div $seqLen"))).as("seq_id"))
+      .select(col("seq_id"), col(docCol),
+        greatest(col("__start") - col("seq_id") * seqLen, lit(0L))
+          .as("start_in_seq"),
+        greatest(col("seq_id") * seqLen - col("__start"), lit(0L))
+          .as("start_in_doc"),
+        (least(col("__start") + col("__n"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("__start"), col("seq_id") * seqLen)).as("len"))
+  }
+
   /** X89 — vocabulary growth curve (the Heaps-law diagnostic a
     * tokenizer budget is planned against): after each doc in docCol
     * order, the cumulative token count and cumulative DISTINCT

@@ -817,6 +817,44 @@ object CorpusPrepQueries {
           .orderBy($"seq_id")
       }),
 
+    // X100: packed-sequence attention boundaries — the (sequence,
+    // document) span map block-diagonal attention masking needs after
+    // X81 packing. Pure integer interval arithmetic on the skinny
+    // prefix-summed table; the oracle replays it from the same
+    // window prefix as q_pack_sequences.
+    QueryDef(
+      "q_pack_boundaries",
+      Some(s"""
+        WITH $toksCte, offs AS (
+          SELECT doc_id, len(w) AS n,
+            coalesce(sum(len(w)) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+          FROM toks
+        ), spans AS (
+          SELECT doc_id, n, st,
+                 unnest(range(CAST(st // $PackSeqLen AS BIGINT),
+                              CAST((st + n - 1) // $PackSeqLen + 1
+                                   AS BIGINT))) AS s
+          FROM offs WHERE n > 0
+        )
+        SELECT CAST(s AS BIGINT) AS seq_id, doc_id,
+               CAST(greatest(st - s * $PackSeqLen, 0) AS BIGINT)
+                 AS start_in_seq,
+               CAST(greatest(s * $PackSeqLen - st, 0) AS BIGINT)
+                 AS start_in_doc,
+               CAST(least(st + n, (s + 1) * $PackSeqLen)
+                 - greatest(st, s * $PackSeqLen) AS BIGINT) AS len
+        FROM spans
+        ORDER BY seq_id, start_in_seq
+      """.trim),
+      "X100 packed-sequence doc-span map for block-diagonal attention")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.packBoundaries(
+            table(spark, dir, "documents"), "doc_id", "text", PackSeqLen)
+          .orderBy($"seq_id", $"start_in_seq")
+      }),
+
     // X84: tokenizer fertility — tokens-per-word and chars-per-token
     // of the X73-trained BPE, by source. THE go/no-go diagnostic for
     // a tokenizer over a new corpus mix; integer sums, exact ratios.

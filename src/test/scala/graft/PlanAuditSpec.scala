@@ -573,6 +573,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected global sort keys $ranges")
   }
 
+  test("q_pack_boundaries: skinny-table interval math — no Window, no " +
+    "single-partition exchange, token arrays never explode") {
+    val p = plan("q_pack_boundaries")
+    assert(!p.contains("Window"), "prefix sum regressed to a window")
+    assert(!p.contains("SinglePartition"),
+      "single-partition exchange crept in")
+    assert(!p.contains("CartesianProduct"))
+    // the only explode is the bounded per-doc sequence-range one;
+    // no posexplode of token arrays anywhere
+    assert(!p.toLowerCase.contains("posexplode"),
+      "token arrays exploded in a metadata-only operator")
+  }
+
   test("q_davies_bouldin: centroids broadcast; R matrix lives on the " +
     "labels-squared table, never vector-x-vector") {
     val p = plan("q_davies_bouldin")

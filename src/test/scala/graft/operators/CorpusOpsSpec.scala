@@ -329,6 +329,49 @@ class CorpusOpsSpec extends AnyFunSuite {
       (0 until 50).flatMap(i => Seq(s"w${i}a", s"w${i}b", s"w${i}c")))
   }
 
+  test("packBoundaries: hand-computed span map; tiles every sequence; " +
+      "reconstructs packSequences exactly") {
+    val s = spark
+    import s.implicits._
+    // stream = a b c | d e | f with L=4: seq0 = [1:(0..2), 3:(3, d)],
+    // seq1 = [3:(0, e), 4:(1, f)]
+    val docs = Seq((1L, "a b  c"), (2L, "   "), (3L, "d e"), (4L, "f"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.packBoundaries(docs, "doc_id", "text", 4)
+      .orderBy($"seq_id", $"start_in_seq")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 0L, 0L, 3L), (0L, 3L, 3L, 0L, 1L),
+      (1L, 3L, 0L, 1L, 1L), (1L, 4L, 1L, 0L, 1L)))
+    // cross-operator invariant: slicing each doc's tokens by
+    // (start_in_doc, len) in start_in_seq order rebuilds every packed
+    // sequence's text bit-for-bit
+    val big = (0 until 40).map(i => (i.toLong, s"w${i}a w${i}b w${i}c"))
+      .toDF("doc_id", "text")
+    val packed = CorpusOps.packSequences(big, "doc_id", "text", 7)
+      .orderBy($"seq_id").as[(Long, Long, String)].collect()
+    val spans = CorpusOps.packBoundaries(big, "doc_id", "text", 7)
+      .orderBy($"seq_id", $"start_in_seq")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val toks = (0 until 40).map(i =>
+      i.toLong -> Seq(s"w${i}a", s"w${i}b", s"w${i}c")).toMap
+    val rebuilt = spans.groupBy(_._1).map { case (seq, ss) =>
+      seq -> ss.sortBy(_._3).flatMap { case (_, d, _, sd, len) =>
+        toks(d).slice(sd.toInt, (sd + len).toInt) }.mkString(" ")
+    }
+    packed.foreach { case (seq, n, text) =>
+      assert(rebuilt(seq) == text, s"seq $seq")
+      // spans tile [0, n): contiguous, non-overlapping, full cover
+      val ss = spans.filter(_._1 == seq).sortBy(_._3)
+      assert(ss.head._3 == 0L)
+      assert(ss.map(_._5).sum == n)
+      ss.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._5 == b._3, s"gap in seq $seq")
+        case _ =>
+      }
+    }
+  }
+
   test("temperatureMix: hand-computed rates, small-source upweight, " +
       "cap at 1, deterministic") {
     val s = spark
