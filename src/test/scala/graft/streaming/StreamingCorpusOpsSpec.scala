@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkHarness
 import graft.operators.CorpusOps
+import org.apache.spark.sql.functions.col
 
 /** Streaming parity for the scan-stage corpus filters: gopherRules
   * and temperatureMix are pure functions of a batch (per-row
@@ -87,5 +88,61 @@ class StreamingCorpusOpsSpec extends AnyFunSuite {
     val tailRows = got(0L).filter(_.contains("tail"))
     assert(tailRows.size == 2 && tailRows.forall(_.contains("1.0")))
     assert(got(1L).count(_.contains("tail")) == 1)
+  }
+
+  test("spanCorruption under foreachBatch == batch form (and is " +
+      "content-stable across batch splits)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def corrupt(df: DataFrame): DataFrame =
+      CorpusOps.spanCorruption(df, "doc_id", "text",
+        blockSize = 5, spanLen = 2, salt = "st")
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Set[String]]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = canon(corrupt(batch))
+        got.synchronized { got(batchId) = out }
+        ()
+      }.start()
+    val b0 = Seq((1L, (0 until 12).map(i => s"a$i").mkString(" ")),
+      (2L, "b0 b1 b2"))
+    val b1 = Seq((3L, (0 until 7).map(i => s"c$i").mkString(" ")))
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    assert(got(0L) == canon(corrupt(b0.toDF("doc_id", "text"))))
+    assert(got(1L) == canon(corrupt(b1.toDF("doc_id", "text"))))
+    // content stability: the md5 placement depends only on (doc,
+    // block), so a doc's corruption is identical no matter which
+    // batch (or corpus) it arrives in
+    val all = canon(corrupt((b0 ++ b1).toDF("doc_id", "text")))
+    assert(got(0L) ++ got(1L) == all)
+  }
+
+  test("dsirWeights under foreachBatch == batch form per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def dsir(df: DataFrame): DataFrame =
+      CorpusOps.dsirWeights(df, "doc_id", "text",
+        isTarget = col("doc_id") % 2 === 0)
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Set[String]]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = canon(dsir(batch))
+        got.synchronized { got(batchId) = out }
+        ()
+      }.start()
+    val b0 = Seq((1L, "alpha beta alpha"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon"))
+    val b1 = Seq((4L, "alpha delta"), (5L, "zeta eta theta"))
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    assert(got(0L) == canon(dsir(b0.toDF("doc_id", "text"))))
+    assert(got(1L) == canon(dsir(b1.toDF("doc_id", "text"))))
   }
 }
