@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min Sketch (Cormode & Muthukrishnan 2005) as a relational
+  * operator — the mergeable frequency sketch next to X44's
+  * Misra-Gries (which answers "who is heavy"; CMS answers "how often
+  * is THIS key", for any key, after one pass).
+  *
+  * The sketch is a (depth × width) grid of counters; each of the
+  * `depth` hash rows maps a key to one bucket, and the estimate is
+  * the MIN over rows of the key's bucket counts — always an
+  * overestimate (collisions only add), within εN with probability
+  * 1−δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.
+  *
+  * Everything is deterministic: row j's hash is the top-32-bits of
+  * md5("cms<j>:" ‖ key) mod width — content-stable, engine-agnostic
+  * (the repo-wide md5Band convention), so the sketch, and therefore
+  * every estimate, is bit-identical across engines and cluster
+  * topologies. No RNG, no seed plumbing.
+  *
+  * Scale shape: building the sketch is ONE map-side-combinable
+  * aggregation of depth·|rows| skinny (row, bucket) pairs into a
+  * depth×width table (constant-sized: 4×64 default = 256 counters) —
+  * the classic sketch contract: accumulate anywhere, merge by
+  * elementwise addition ([[merge]]), estimate from the tiny table
+  * with a broadcast join. Nothing is ever key-cardinality-sized.
+  */
+object Cms {
+
+  private[graft] def bucket(key: Column, j: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"cms$j:"), key)), 1, 8), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** One (hash_row, bucket, cnt) row per non-empty counter; counts
+    * each row of `df` once (pre-aggregate upstream for weighted
+    * inserts).
+    */
+  def sketch(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 64): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth=$depth out of [1,16]")
+    require(width >= 2, s"width=$width must be >= 2")
+    val key = col(keyCol).cast("string")
+    df.select(posexplode(array((0 until depth).map(j =>
+        bucket(key, j, width)): _*)).as(Seq("hash_row", "bucket")))
+      .groupBy(col("hash_row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Elementwise sum of sketches built with the same (depth, width). */
+  def merge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ union _)
+      .groupBy(col("hash_row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for `keys.keyCol`: min over hash rows of the
+    * key's bucket count. The sketch table is constant-sized, so this
+    * is a broadcast join against the (usually much larger) key set.
+    * Keys never inserted estimate >= 0 (missing buckets count 0).
+    */
+  def estimate(sketchDf: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    val key = col(keyCol).cast("string")
+    val probes = keys.select(col(keyCol),
+      posexplode(array((0 until depth).map(j =>
+        bucket(key, j, width)): _*)).as(Seq("hash_row", "bucket")))
+    probes
+      .join(broadcast(sketchDf), Seq("hash_row", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+}

@@ -1139,6 +1139,120 @@ object CorpusOps {
             sentinel(col("__nspans")))).as("target_text"))
   }
 
+  /** X103 — BERT-style whole-word masking (Devlin et al. 2019 §3.1)
+    * with DETERMINISTIC choices: the MLM-objective prep companion to
+    * [[spanCorruption]]'s T5 form. Each token position draws three
+    * independent 32-bit values from ONE md5 digest of
+    * (salt ‖ doc ‖ pos ‖ word): select the position iff
+    * h1 mod 100 < maskPercent (BERT's 15%), then act by h2 mod 10 —
+    * 0-7 replace with `[MASK]`, 8 replace with a corpus word, 9 keep
+    * the original (the published 80/10/10 split). No RNG: the same
+    * content masks the same way on any engine, any cluster, any rerun
+    * — the property every sampler in this repo shares.
+    *
+    * The "random" replacement word never touches a vocabulary-sized
+    * index: the corpus vocabulary folds into `vocabBuckets` constant
+    * buckets (md5 of the word), each represented by its
+    * digest-minimal member, and h3 picks a bucket. An empty bucket
+    * (tiny vocab) falls back to keeping the original word —
+    * deterministic and documented.
+    *
+    * Output: (docCol, n_tokens, n_masked, masked_text, targets) where
+    * `targets` lists `pos:original` for each selected position in
+    * order — the label stream an MLM trainer consumes.
+    *
+    * Scale shape: one scan-stage pass for the per-token hash math, a
+    * vocabulary agg folded to `vocabBuckets` rows broadcast back, one
+    * per-doc reassembly agg. Linear in tokens; driver state is nil.
+    */
+  def mlmMask(docs: DataFrame, docCol: String, textCol: String,
+      maskPercent: Int = 15, vocabBuckets: Int = 64,
+      salt: String = "mlm"): DataFrame = {
+    require(maskPercent >= 1 && maskPercent <= 100,
+      s"maskPercent=$maskPercent out of [1,100]")
+    require(vocabBuckets >= 1, s"vocabBuckets=$vocabBuckets must be >= 1")
+    val toks = docs.select(col(docCol),
+      posexplode(coalesce(Dedup.tokens(col(textCol)),
+        array().cast("array<string>"))).as(Seq("__pos", "__t")))
+      .withColumn("__dig", md5(concat(lit(s"$salt:"),
+        col(docCol).cast("string"), lit("#"), col("__pos"), lit("#"),
+        col("__t"))))
+      .withColumn("__h1",
+        conv(substring(col("__dig"), 1, 8), 16, 10).cast("long"))
+      .withColumn("__h2",
+        conv(substring(col("__dig"), 9, 8), 16, 10).cast("long"))
+      .withColumn("__h3",
+        conv(substring(col("__dig"), 17, 8), 16, 10).cast("long"))
+      .withColumn("__sel", col("__h1") % 100 < maskPercent)
+      .withColumn("__act", col("__h2") % 10)
+    // vocabulary folded to constant buckets; representative = the
+    // digest-minimal word, recovered from the min over digest‖word
+    val reps = toks.select(col("__t").as("__w")).distinct()
+      .withColumn("__vdig", md5(concat(lit(s"$salt-v:"), col("__w"))))
+      .groupBy((conv(substring(col("__vdig"), 1, 8), 16, 10).cast("long")
+        % vocabBuckets).as("__bkt"))
+      .agg(substring(min(concat(col("__vdig"), lit(":"), col("__w"))),
+        34, 1000000).as("__rep"))
+    val joined = toks.join(broadcast(reps),
+      toks("__h3") % vocabBuckets === reps("__bkt"), "left")
+    def reassemble(tok: Column) = array_join(
+      transform(array_sort(collect_list(struct(col("__pos"),
+        tok.as("o")))), x => x.getField("o")), " ")
+    val agg = joined.groupBy(col(docCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__sel"), 1L).otherwise(0L)).as("n_masked"),
+        reassemble(
+          when(!col("__sel"), col("__t"))
+            .when(col("__act") < 8, lit("[MASK]"))
+            .when(col("__act") === 8, coalesce(col("__rep"), col("__t")))
+            .otherwise(col("__t"))).as("masked_text"),
+        reassemble(
+          when(col("__sel"),
+            concat(col("__pos"), lit(":"), col("__t")))
+            .otherwise(lit(null))).as("targets"))
+    docs.select(col(docCol)).distinct()
+      .join(agg, Seq(docCol), "left")
+      .select(col(docCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("masked_text"), lit("")).as("masked_text"),
+        coalesce(col("targets"), lit("")).as("targets"))
+  }
+
+  /** X105 — reproducible release manifest (the Dolma/RedPajama data
+    * card's integrity table): token-budget shard assignment via
+    * [[tokenShards]] plus, per (partition, shard), the counts and an
+    * ORDER-INDEPENDENT content checksum any consumer can re-derive
+    * with one SQL query — sum over member docs of the top-32-bits of
+    * md5(text). 32-bit summands keep 2⁶³ headroom to ~10⁹ docs per
+    * shard; commutative integer addition makes the checksum
+    * partitioning- and engine-agnostic, the repo determinism
+    * contract.
+    *
+    * Output: (partitionCol, shard_id, n_docs, n_tokens, first_id,
+    * last_id, checksum), one row per shard.
+    *
+    * Scale shape: the [[tokenShards]] two-phase prefix sum plus one
+    * skinny agg to manifest rows (shard-count-sized output); document
+    * text is read once in the scan for (count, md5) and never
+    * shuffled.
+    */
+  def exportManifest(docs: DataFrame, partitionCol: String,
+      idCol: String, textCol: String, shardBudget: Long): DataFrame = {
+    val counted = docs.select(col(partitionCol), col(idCol),
+      size(coalesce(Dedup.tokens(col(textCol)),
+        array().cast("array<string>"))).cast("long").as("__nt"),
+      conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long")
+        .as("__h"))
+    tokenShards(counted, partitionCol, idCol, "__nt", shardBudget)
+      .groupBy(col(partitionCol), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        min(col(idCol)).as("first_id"),
+        max(col(idCol)).as("last_id"),
+        sum(col("__h")).as("checksum"))
+  }
+
   def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)

@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cms, CorpusOps, PageRank, Privacy}
+import QueryDef.table
+
+/** Corpus-curation wave (SURVEY §2.10 X101–X105): graph-prior
+  * ranking, privacy profiling, MLM masking prep, CMS frequency
+  * estimation, and the reproducible release manifest. Every query
+  * follows the repo determinism contract — integer or md5-derived
+  * arithmetic only on the hashed path, so the DuckDB oracle replays
+  * the exact computation.
+  */
+object CurationQueries {
+
+  /** PageRank iterations — few enough to keep the bench query lean,
+    * enough that ranks order by connectivity, not initialization.
+    */
+  private val PrIters = 10
+
+  private val AnonK = 5
+
+  private val ManifestBudget = 300L
+
+  /** Unrolled integer-PageRank oracle: pr0..prN CTE chain, one per
+    * iteration — DuckDB recursive CTEs disallow the aggregate in the
+    * recursive term, so the fixed iteration count is spelled out.
+    */
+  private def pagerankSql(iters: Int): String = {
+    val head = s"""
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      ), edges AS (
+        SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+      ), deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY 1
+      ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+      ), params AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+      ), pr0 AS (
+        SELECT node,
+               CAST(1000000000 // (SELECT n FROM params) AS BIGINT) AS r
+        FROM nodes
+      )"""
+    val steps = (1 to iters).map { i =>
+      s""", pr$i AS (
+        SELECT n.node,
+          CAST((SELECT CAST(3000000000 AS BIGINT) // (20 * n) FROM params)
+            + ((17 * coalesce(c.s, 0)) // 20) AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, sum(p.r // d.deg) AS s
+          FROM pr${i - 1} p
+          JOIN edges e ON e.src = p.node
+          JOIN deg d ON d.node = p.node
+          GROUP BY e.dst) c ON n.node = c.node
+      )"""
+    }.mkString
+    val tail = s"""
+      SELECT node, r AS "rank" FROM pr$iters
+      ORDER BY "rank" DESC, node"""
+    (head + steps + tail).trim
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // X101: integer PageRank over the customer↔supplier graph
+    // (orders⋈lineitem distinct pairs, symmetrized) — the web-graph
+    // curation prior, with damping 17/20 and ranks on the 1e9 grid so
+    // both engines iterate in exact integer arithmetic.
+    QueryDef(
+      "q_pagerank",
+      Some(pagerankSql(PrIters)),
+      "X101 deterministic integer PageRank, 10 iterations")(
+      (spark, dir) => {
+        import spark.implicits._
+        val o = table(spark, dir, "orders")
+          .select($"o_orderkey", $"o_custkey")
+        val l = table(spark, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey")
+        val e = o.join(l, $"o_orderkey" === $"l_orderkey")
+          .select(concat(lit("c"), $"o_custkey").as("src"),
+            concat(lit("s"), $"l_suppkey").as("dst"))
+          .distinct()
+        val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+        PageRank.run(sym, "src", "dst", iters = PrIters)
+          .orderBy($"rank".desc, $"node")
+      }),
+
+    // X102: k-anonymity generalization ladder over the documents'
+    // quasi-identifiers (lang, source, 100-char length band) — each
+    // doc settles at the first QI level whose anonymity set reaches
+    // k=5; the catch-all level reports sub-k sizes for suppression.
+    QueryDef(
+      "q_k_anonymity",
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang, source, n_chars // 100 AS band
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+                 count(*) OVER (PARTITION BY lang, source, band) AS k0,
+                 count(*) OVER (PARTITION BY lang, source) AS k1,
+                 count(*) OVER (PARTITION BY lang) AS k2
+          FROM d
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN k0 >= $AnonK THEN 0
+                         WHEN k1 >= $AnonK THEN 1
+                         ELSE 2 END AS INTEGER) AS level,
+               CAST(CASE WHEN k0 >= $AnonK THEN k0
+                         WHEN k1 >= $AnonK THEN k1
+                         ELSE k2 END AS BIGINT) AS k
+        FROM c
+        ORDER BY doc_id
+      """.trim),
+      "X102 k-anonymity ladder: (lang,source,band) -> (lang,source) -> (lang)")(
+      (spark, dir) => {
+        import spark.implicits._
+        Privacy.anonymityLadder(
+            table(spark, dir, "documents"),
+            keyCols = Seq("doc_id"),
+            levels = Seq(
+              Seq($"lang", $"source", expr("n_chars div 100")),
+              Seq($"lang", $"source"),
+              Seq($"lang")),
+            k = AnonK)
+          .orderBy($"doc_id")
+      }),
+
+    // X103: deterministic whole-word MLM masking — BERT's 15% /
+    // 80-10-10 policy with every choice drawn from md5(doc‖pos‖word),
+    // replacement words from a 64-bucket vocabulary fold. The oracle
+    // replays the full hash math, so any drift in selection, action
+    // split, or bucket pick breaks the reassembled strings.
+    QueryDef(
+      "q_mlm_mask",
+      Some(s"""
+        WITH toks0 AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                   t -> t <> '') AS w
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, i - 1 AS pos, w[i] AS t
+          FROM toks0, unnest(range(1, len(w) + 1)) AS u(i)
+        ), hh AS (
+          SELECT doc_id, pos, t,
+                 ('0x' || substr(dig, 1, 8))::BIGINT AS h1,
+                 ('0x' || substr(dig, 9, 8))::BIGINT AS h2,
+                 ('0x' || substr(dig, 17, 8))::BIGINT AS h3
+          FROM (SELECT *,
+                  md5('mlm:' || doc_id || '#' || pos || '#' || t) AS dig
+                FROM tok)
+        ), vrep AS (
+          SELECT ('0x' || substr(md5('mlm-v:' || w), 1, 8))::BIGINT % 64
+                   AS bkt,
+                 substr(min(md5('mlm-v:' || w) || ':' || w), 34) AS rep
+          FROM (SELECT DISTINCT t AS w FROM tok) GROUP BY 1
+        ), dec AS (
+          SELECT hh.doc_id, hh.pos, hh.t,
+                 hh.h1 % 100 < 15 AS sel, hh.h2 % 10 AS act, v.rep
+          FROM hh LEFT JOIN vrep v ON v.bkt = hh.h3 % 64
+        ), agg AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_masked,
+                 string_agg(CASE WHEN NOT sel THEN t
+                                 WHEN act < 8 THEN '[MASK]'
+                                 WHEN act = 8 THEN coalesce(rep, t)
+                                 ELSE t END, ' ' ORDER BY pos)
+                   AS masked_text,
+                 string_agg(CASE WHEN sel THEN pos || ':' || t END,
+                   ' ' ORDER BY pos) AS targets
+          FROM dec GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.n_masked, 0) AS n_masked,
+               coalesce(a.masked_text, '') AS masked_text,
+               coalesce(a.targets, '') AS targets
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+      """.trim),
+      "X103 deterministic BERT whole-word masking (15%, 80/10/10)")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.mlmMask(table(spark, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      }),
+
+    // X104: Count-Min Sketch frequency estimates for the 20 heaviest
+    // users vs their exact counts — 4×64 grid forces collisions at
+    // 150 keys, so the overestimate column exercises the min-over-
+    // rows bound. Deterministic hashes make the sketch itself
+    // oracle-replayable, unusual for a sketch.
+    QueryDef(
+      "q_cms_counts",
+      Some("""
+        WITH keys AS (
+          SELECT user_id, CAST(user_id AS VARCHAR) AS k,
+                 count(*) AS exact_cnt
+          FROM events GROUP BY 1, 2
+        ), cells AS (
+          SELECT j,
+                 ('0x' || substr(md5('cms' || j || ':'
+                    || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64
+                   AS bucket,
+                 count(*) AS cnt
+          FROM events, unnest([0, 1, 2, 3]) AS u(j)
+          GROUP BY 1, 2
+        ), probes AS (
+          SELECT keys.user_id, keys.exact_cnt, u.j AS j,
+                 ('0x' || substr(md5('cms' || u.j || ':'
+                    || keys.k), 1, 8))::BIGINT % 64 AS bucket
+          FROM keys, unnest([0, 1, 2, 3]) AS u(j)
+        ), est AS (
+          SELECT p.user_id, p.exact_cnt,
+                 min(coalesce(c.cnt, 0)) AS cms_est
+          FROM probes p
+          LEFT JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+          GROUP BY 1, 2
+        )
+        SELECT user_id, exact_cnt, cms_est,
+               cms_est - exact_cnt AS overestimate
+        FROM est
+        ORDER BY exact_cnt DESC, user_id
+        LIMIT 20
+      """.trim),
+      "X104 Count-Min Sketch estimates vs exact for the top-20 users")(
+      (spark, dir) => {
+        import spark.implicits._
+        val ev = QueryDef.events(spark, dir)
+        val sk = Cms.sketch(ev, "user_id")
+        val top = ev.groupBy($"user_id")
+          .agg(count(lit(1)).as("exact_cnt"))
+          .orderBy($"exact_cnt".desc, $"user_id")
+          .limit(20)
+        Cms.estimate(sk, top.select($"user_id"), "user_id")
+          .join(broadcast(top), Seq("user_id"))
+          .select($"user_id", $"exact_cnt", $"cms_est",
+            ($"cms_est" - $"exact_cnt").as("overestimate"))
+          .orderBy($"exact_cnt".desc, $"user_id")
+      }),
+
+    // X105: reproducible release manifest — per-source token-budget
+    // shards with counts, id ranges, and the order-independent
+    // md5-sum checksum a consumer re-derives in one SQL query.
+    QueryDef(
+      "q_export_manifest",
+      Some(s"""
+        WITH counted AS (
+          SELECT source, doc_id,
+                 len(list_filter(string_split_regex(lower(text), '\\s+'),
+                   t -> t <> '')) AS nt,
+                 ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+          FROM documents
+        ), sh AS (
+          SELECT source, doc_id, nt, h,
+                 CAST(coalesce(sum(nt) OVER (PARTITION BY source
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) // $ManifestBudget AS BIGINT)
+                   AS shard_id
+          FROM counted
+        )
+        SELECT source, shard_id,
+               count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_id,
+               max(doc_id) AS last_id,
+               CAST(sum(h) AS BIGINT) AS checksum
+        FROM sh
+        GROUP BY 1, 2
+        ORDER BY source, shard_id
+      """.trim),
+      "X105 reproducible shard manifest with order-independent checksums")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.exportManifest(table(spark, dir, "documents"),
+            "source", "doc_id", "text", ManifestBudget)
+          .orderBy($"source", $"shard_id")
+      })
+  )
+}

@@ -596,4 +596,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_avg") || p.contains("partial_sum"),
       "centroid agg lost map-side combine")
   }
+
+  test("q_pagerank: lineage is truncated — the output reads the " +
+    "iteration checkpoint, not a 10-join-deep plan") {
+    val p = plan("q_pagerank")
+    assert(p.contains("ExistingRDD"),
+      s"localCheckpoint gone — plan rebuilds the iterations:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+    // the post-checkpoint work is just the ordering of a skinny table
+    assert("Join".r.findAllIn(p).isEmpty,
+      "joins leaked past the checkpoint boundary")
+  }
+
+  test("q_k_anonymity: level count tables broadcast back — document " +
+    "rows never shuffle") {
+    val p = plan("q_k_anonymity")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"expected 3 broadcast level joins:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      "a QI level join regressed to a wide shuffle")
+    assert(p.contains("partial_count"), "level counts lost map-side agg")
+  }
+
+  test("q_mlm_mask: the 64-bucket vocab fold broadcasts; nothing " +
+    "cartesian") {
+    val p = plan("q_mlm_mask")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab representative join stopped broadcasting:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q_cms_counts: sketch builds with map-side combine and " +
+    "estimates via broadcast of the constant-sized grid") {
+    val p = plan("q_cms_counts")
+    assert(p.contains("partial_count"), "sketch agg lost map-side combine")
+    assert(p.contains("BroadcastHashJoin"),
+      s"sketch probe join stopped broadcasting:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_export_manifest: shard windows stay per-source — no " +
+    "single-partition stage; manifest agg is partial") {
+    val p = plan("q_export_manifest")
+    assert(!p.contains("SinglePartition"),
+      "global window crept into the manifest path")
+    assert(p.contains("partial_sum"), "manifest agg lost map-side combine")
+  }
 }
