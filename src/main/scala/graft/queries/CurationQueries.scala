@@ -81,12 +81,21 @@ object CurationQueries {
           .select($"o_orderkey", $"o_custkey")
         val l = table(spark, dir, "lineitem")
           .select($"l_orderkey", $"l_suppkey")
+        // iterate on packed LONG node ids (customer 2k, supplier
+        // 2k+1) — long hash joins beat string joins in the 10× hot
+        // loop; the rank result is isomorphic, so mapping back to the
+        // oracle's 'c…'/'s…' labels at the end is a pure projection
         val e = o.join(l, $"o_orderkey" === $"l_orderkey")
-          .select(concat(lit("c"), $"o_custkey").as("src"),
-            concat(lit("s"), $"l_suppkey").as("dst"))
+          .select(($"o_custkey" * 2).as("src"),
+            ($"l_suppkey" * 2 + 1).as("dst"))
           .distinct()
         val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
-        PageRank.run(sym, "src", "dst", iters = PrIters)
+        PageRank.run(sym, "src", "dst", iters = PrIters, symmetric = true)
+          .select(
+            when($"node" % 2 === 0, concat(lit("c"), expr("node div 2")))
+              .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+              .as("node"),
+            $"rank")
           .orderBy($"rank".desc, $"node")
       }),
 
