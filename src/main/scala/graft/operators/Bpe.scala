@@ -130,8 +130,9 @@ object Bpe {
     * word order (null/empty text → 0, "").
     */
   def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge], marker: Option[String] = None): DataFrame = {
     val tableBc = merges.toIndexedSeq
+    val mark = marker // stable local so the closure doesn't drag `this`
     val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
     val enc = udf { toks: Seq[String] =>
       val words = if (toks == null) Seq.empty[String] else toks
@@ -143,7 +144,10 @@ object Bpe {
           // streams must not grow executor memory unboundedly
           if (memo.size < (1 << 20)) memo.put(w, got)
         }
-        got
+        mark match {
+          case Some(m) => got :+ m
+          case None => got
+        }
       }
       (parts.iterator.map(_.length.toLong).sum,
         parts.iterator.map(_.mkString(" ")).mkString(" "))
@@ -153,6 +157,23 @@ object Bpe {
       .select(col(idCol), col("__e._1").as("n_tokens"),
         col("__e._2").as("enc_text"))
   }
+
+  /** X110 — decode a `marker`-terminated BPE stream back to its
+    * whitespace-normalized text: merges never produce spaces and the
+    * end-of-word marker is always its own symbol (it never enters
+    * [[trainMerges]]' alphabet), so decoding is PURE COLUMN MATH —
+    * drop the symbol-separator spaces, turn each marker into a word
+    * boundary, trim the trailing one. No UDF, no per-row loop; stays
+    * inside whole-stage codegen at any corpus size. With
+    * [[encodeDocs]](marker = Some(m)) this is the exact inverse of
+    * encode on whitespace-normalized text (the Sennrich 2016 `</w>`
+    * convention).
+    */
+  def decodeBpe(encText: org.apache.spark.sql.Column, marker: String)
+      : org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      regexp_replace(encText, " ", ""),
+      java.util.regex.Pattern.quote(marker), " "))
 
   /** Tokenize a word with a learned merge table: start from
     * characters, apply merges in rank order (each exhaustively,

@@ -401,6 +401,99 @@ object CorpusOps {
       skinny.schema.head, StructField("__start", LongType, nullable = false))))
   }
 
+  /** X108 — competence-based curriculum schedule (Platanios et al.
+    * 2019): each document gets a RARITY difficulty — the corpus
+    * negative log-likelihood of its unigrams, Σ_w (ln N − ln c_w) —
+    * then the corpus is cut into `nStages` equal-population
+    * competence stages (easy → hard) and deterministically shuffled
+    * WITHIN each stage (md5 draw — content-stable like every sampler
+    * here), yielding the (stage, pos_in_stage) feed order a
+    * curriculum trainer consumes.
+    *
+    * Exactness: difficulty lives in integer nano-log units (the
+    * [[quantizedLogFit]] convention — both engines round 1-ulp libm
+    * drift to the same integer), so stage comparisons against the
+    * interpolated percentile boundaries and the reported
+    * `difficulty = dq/1e9` are bit-identical cross-engine.
+    *
+    * Scale shape: one token explode → vocab-sized word-count agg →
+    * token⋈counts equi-join (shuffle by word, then by doc — never a
+    * broadcast of the vocabulary), ONE tiny boundary agg broadcast
+    * back, and the stage positions via the two-phase distributed rank
+    * (range-partition on the full (stage, draw, doc) sort key + one
+    * subtotal collect ≤ numShufflePartitions rows) — a global
+    * `Window.orderBy` or per-stage ntile would funnel a stage through
+    * one task at 100 TB; this never does.
+    */
+  def curriculumSchedule(docs: DataFrame, docCol: String, textCol: String,
+      nStages: Int, salt: String = "curriculum"): DataFrame = {
+    require(nStages >= 2, s"need nStages >= 2, got $nStages")
+    def lnq(v: Column): Column =
+      round(log(v.cast("double")) * 1e9, 0).cast("long")
+    val toks = docs.select(col(docCol),
+      explode(Dedup.tokens(col(textCol))).as("__w"))
+    val wf = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val total = wf.agg(sum(col("__c")).as("__n"))
+    val perDoc = toks.join(wf, "__w")
+      .groupBy(col(docCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(lnq(col("__c"))).as("__slc"))
+    val diffs = docs.select(col(docCol))
+      .join(perDoc, Seq(docCol), "left")
+      .crossJoin(broadcast(total))
+      .select(col(docCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) * lnq(col("__n")) -
+          coalesce(col("__slc"), lit(0L))).as("__dq"))
+    val probs = (1 until nStages).map(_.toDouble / nStages)
+    val boundAggs = probs.zipWithIndex.map { case (p, i) =>
+      percentile(col("__dq"), lit(p)).as(s"__b$i")
+    }
+    val bounds = diffs.agg(boundAggs.head, boundAggs.tail: _*)
+    val stage = (0 until nStages - 1)
+      .map(i => when(col("__dq") > col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    val staged = diffs.crossJoin(broadcast(bounds))
+      .withColumn("stage", stage)
+      .drop((0 until nStages - 1).map(i => s"__b$i"): _*)
+      .withColumn("__k", md5Band(col(docCol).cast("string"), salt))
+    val ranked = globalRank(staged,
+      Seq(col("stage"), col("__k"), col(docCol)))
+    val stageStarts = ranked.groupBy(col("stage"))
+      .agg(min(col("__rank")).as("__s0"))
+    ranked.join(broadcast(stageStarts), Seq("stage"))
+      .select(col(docCol), col("n_tokens"),
+        round(col("__dq") / 1e9, 6).as("difficulty"), col("stage"),
+        (col("__rank") - col("__s0")).as("pos_in_stage"))
+  }
+
+  /** Distributed 0-based dense row rank over `sortCols` — the
+    * [[prefixStarts]] two-phase scan with a unit count and a
+    * composite sort key: range-partition + in-partition sort, one
+    * per-partition subtotal collect (≤ numShufflePartitions rows),
+    * re-read of the SAME shuffle output with broadcast offsets. No
+    * single-partition stage; appends `__rank`.
+    */
+  private[graft] def globalRank(df: DataFrame, sortCols: Seq[Column])
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val rdd = ranged.rdd // one RDD object -> the shuffle is reused below
+    val subtotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single((pid, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(
+      subtotals.scanLeft(0L)(_ + _))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = offsets.value(pid)
+      it.map { r => val rk = s; s += 1L; Row.fromSeq(r.toSeq :+ rk) }
+    }
+    spark.createDataFrame(out, StructType(
+      df.schema.fields :+ StructField("__rank", LongType, nullable = false)))
+  }
+
   /** Length-bucketed batch assembly: group rows into `numBuckets`
     * quantile buckets of `countCol` (equal-population boundaries),
     * then pack each bucket into batches of `batchSize` in
@@ -941,6 +1034,50 @@ object CorpusOps {
       .groupBy(col(docCol))
       .agg(count(lit(1)).as("n_grams"),
         round(sum(col("__lr")), 6).as("log_weight"))
+  }
+
+  /** X109 — hashed linear quality classifier (the fastText-style
+    * filter inference of the LLaMA/CCNet recipe — Joulin et al. 2017
+    * model shape): score = mean over the doc's hashed unigram+bigram
+    * features of a per-bucket weight, keep = sign. Weights here are
+    * the md5-derived fixed vector `w_b = band(b) − 2³¹` (a stand-in
+    * for trained weights — the INFERENCE plumbing is the operator;
+    * swap the weight expression for a broadcast trained table in
+    * production), so the whole scorer is integer arithmetic until the
+    * final reported ratio and is bit-identical cross-engine. The
+    * probability form is monotone in `score` (sigmoid), so keep/rank
+    * decisions need no float.
+    *
+    * Scale shape: ZERO joins — the weight is a pure function of the
+    * bucket, evaluated inline in the gram scan (codegen md5), so the
+    * plan is one windowed token pass → one map-side-combinable
+    * per-doc agg. Model size is `buckets`, independent of vocabulary;
+    * nothing driver-side at all.
+    */
+  def qualityClassifier(docs: DataFrame, docCol: String, textCol: String,
+      buckets: Int = 1024, salt: String = "qclf"): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    val toks = docs.select(col(docCol),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val w = Window.partitionBy(col(docCol)).orderBy(col("__pos"))
+    val withNext = toks.withColumn("__nx", lead(col("__w"), 1).over(w))
+    val grams = withNext
+      .select(col(docCol), col("__w").as("__g"))
+      .unionAll(withNext.filter(col("__nx").isNotNull)
+        .select(col(docCol),
+          concat(col("__w"), lit(Dedup.Sep), col("__nx")).as("__g")))
+    val wq = md5Band((md5Band(col("__g"), salt) % buckets).cast("string"),
+      s"${salt}w") - 2147483648L
+    val scored = grams
+      .groupBy(col(docCol))
+      .agg(count(lit(1)).as("n_grams"), sum(wq).as("__sq"))
+    docs.select(col(docCol))
+      .join(scored, Seq(docCol), "left")
+      .select(col(docCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round(col("__sq").cast("double") /
+          (col("n_grams") * 2147483648.0d), 6).as("score"),
+        coalesce(col("__sq") >= 0L, lit(false)).as("keep"))
   }
 
   /** X94 — pairwise source-overlap matrix: exact Jaccard similarity

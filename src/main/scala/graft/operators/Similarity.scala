@@ -728,6 +728,130 @@ object Similarity {
         round(col("__r"), 6).as("db_score"))
   }
 
+  /** X107 — margin-based candidate mining (Artetxe & Schwenk 2019,
+    * the LASER/CCMatrix bitext-mining scorer): a raw cosine threshold
+    * over-selects in dense "hubness" regions, so each candidate pair
+    * (x, y) is rescored by the RATIO margin
+    * `cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2)` — cosine relative
+    * to each side's average top-k neighborhood — and each left vector
+    * keeps its best-margin right match, with `is_mutual` marking the
+    * pairs that are also the right vector's best (the
+    * intersection-strategy output mined corpora actually ship).
+    *
+    * Exactness: the neighborhood mean is a LEFT FOLD over the top-k
+    * cosines in rank order (`aggregate` over a rank-sorted array ≡
+    * DuckDB `list_reduce`), not an unordered SUM agg — double
+    * addition doesn't commute, and a 1-ulp neighborhood difference
+    * would flip which pair wins the argmax. With the fold, margins
+    * are bit-identical cross-engine and the picks are stable.
+    *
+    * Scale shape: `pairs` is the bipartite candidate table — here the
+    * exact hash-blocked cross form (one broadcast block-pair
+    * replication + one equi-join, the [[cosinePairsBlocked]] layout);
+    * at 10⁹ vectors feed it from [[ivfTopK]]/[[lshTopK]] candidates
+    * instead, the published recipe (margin only ever rescores a
+    * candidate set). Downstream of pairs: two windowed top-k passes
+    * (shuffle by left / by right id — skinny triples, never vectors),
+    * two skinny per-id fold aggs joined back, one argmax window per
+    * side. Nothing is ever all-pairs-materialized-to-driver.
+    */
+  def marginMining(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, k: Int, numBlocks: Int = 8): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val l = left.select(col(idCol).as("left_id"),
+      toDouble(col(vecCol)).as("el"))
+      .withColumn("nl", l2norm(col("el")))
+      .withColumn("bl", pmod(xxhash64(col("left_id")), lit(numBlocks.toLong))
+        .cast("int"))
+    val r = right.select(col(idCol).as("right_id"),
+      toDouble(col(vecCol)).as("er"))
+      .withColumn("nr", l2norm(col("er")))
+      .withColumn("br", pmod(xxhash64(col("right_id")), lit(numBlocks.toLong))
+        .cast("int"))
+    val bp = left.sparkSession.createDataFrame(
+      for { i <- 0 until numBlocks; j <- 0 until numBlocks } yield (i, j))
+      .toDF("bl", "br")
+    // replicate each side across the other side's blocks with a
+    // broadcast join (no shuffle), then equi-join on the composite
+    // (bl, br) key — every (left, right) pair meets exactly once,
+    // spread over numBlocks² partitions (the cosinePairsBlocked
+    // layout, bipartite so no self-pair or orientation dedup needed)
+    val pairs = broadcast(bp).join(l, "bl")
+      .join(broadcast(bp).join(r, "br"), Seq("bl", "br"))
+      .select(col("left_id"), col("right_id"),
+        (dot(col("el"), col("er")) / (col("nl") * col("nr"))).as("cos"))
+    def foldAvg(partCol: String, otherCol: String): DataFrame = {
+      val w = Window.partitionBy(col(partCol))
+        .orderBy(col("cos").desc, col(otherCol))
+      pairs.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .groupBy(col(partCol))
+        .agg(sort_array(collect_list(struct(col("__rk"), col("cos"))))
+          .as("__topk"))
+        .select(col(partCol),
+          (aggregate(col("__topk"), lit(0.0d),
+            (acc, s) => acc + s.getField("cos")) / size(col("__topk")))
+            .as(s"__avg_$partCol"))
+    }
+    val scored = pairs
+      .join(foldAvg("left_id", "right_id"), Seq("left_id"))
+      .join(foldAvg("right_id", "left_id"), Seq("right_id"))
+      .withColumn("margin", col("cos") /
+        ((col("__avg_left_id") + col("__avg_right_id")) / 2.0d))
+    val wf = Window.partitionBy(col("left_id"))
+      .orderBy(col("margin").desc, col("right_id"))
+    val wb = Window.partitionBy(col("right_id"))
+      .orderBy(col("margin").desc, col("left_id"))
+    val forward = scored.withColumn("__rf", row_number().over(wf))
+      .filter(col("__rf") === 1)
+    val backward = scored.withColumn("__rb", row_number().over(wb))
+      .filter(col("__rb") === 1)
+      .select(col("left_id"), col("right_id"), lit(true).as("__mut"))
+    forward.join(backward, Seq("left_id", "right_id"), "left")
+      .select(col("left_id"), col("right_id"),
+        round(col("cos"), 6).as("cos"),
+        round(col("margin"), 6).as("margin"),
+        coalesce(col("__mut"), lit(false)).as("is_mutual"))
+  }
+
+  /** X106 — Calinski-Harabasz (variance-ratio) index (Caliński &
+    * Harabasz 1974): CH = (BCSS/(k−1)) / (WCSS/(n−k)), the third leg
+    * of the cluster-validity family next to [[centroidSilhouette]]
+    * (per-vector margins) and [[daviesBouldin]] (worst-neighbor
+    * overlap) — CH is the one that rewards global variance explained,
+    * the scree-style score used to pick k. Output is ONE row
+    * (n_vectors, n_labels, wcss, bcss, ch_index) plus the per-label
+    * decomposition is derivable from the two sums.
+    *
+    * Scale shape: identical to the siblings — one posexplode scan,
+    * a (label, dim) centroid agg and a (dim) grand-centroid agg (both
+    * map-side combined, label/dim-sized outputs), WCSS via one
+    * broadcast centroid join back over the scan, BCSS entirely on the
+    * \|labels\|·dim centroid table. Vectors are touched twice, never
+    * pairwise; no global sort, no single-partition stage.
+    */
+  def calinskiHarabasz(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val exploded = vecs.select(col(idCol), col(labelCol).as("__lab"),
+      posexplode(toDouble(col(vecCol))).as(Seq("dim", "x")))
+    val centroids = exploded.groupBy(col("__lab"), col("dim"))
+      .agg(avg(col("x")).as("m"), count(lit(1)).as("__nl"))
+    val grand = exploded.groupBy(col("dim")).agg(avg(col("x")).as("g"))
+    val wcss = exploded.join(broadcast(centroids), Seq("__lab", "dim"))
+      .agg(sum((col("x") - col("m")) * (col("x") - col("m"))).as("wcss"))
+    val bcss = centroids.join(broadcast(grand), Seq("dim"))
+      .agg(sum(col("__nl") * (col("m") - col("g")) * (col("m") - col("g")))
+        .as("bcss"))
+    val counts = vecs.agg(count(lit(1)).as("n_vectors"),
+      count_distinct(col(labelCol)).as("n_labels"))
+    counts.crossJoin(wcss).crossJoin(bcss)
+      .select(col("n_vectors"), col("n_labels"),
+        round(col("wcss"), 6).as("wcss"), round(col("bcss"), 6).as("bcss"),
+        round((col("bcss") / (col("n_labels") - 1)) /
+          (col("wcss") / (col("n_vectors") - col("n_labels"))), 6)
+          .as("ch_index"))
+  }
+
   def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int): DataFrame = {
     val exploded = vecs.select(col(idCol), col(labelCol),

@@ -756,6 +756,71 @@ object CorpusPrepQueries {
           .orderBy($"doc_id")
       }),
 
+    // X110: BPE decode round-trip — encode with the Sennrich `</w>`
+    // end-of-word marker, decode with pure column math, and check the
+    // decode reproduces the whitespace-normalized text. The oracle
+    // replays the marked token count and the decoded length
+    // independently (normalized text from `documents`), and asserts
+    // `round_trip_ok` — the engine side only matches if its
+    // encode∘decode really is the identity on every document.
+    QueryDef(
+      "q_bpe_roundtrip",
+      Some(bpeStateCte + """,
+        final AS (
+          SELECT w, syms FROM (
+            SELECT w, syms,
+                   row_number() OVER (PARTITION BY w ORDER BY rank DESC) AS rn
+            FROM state
+          ) WHERE rn = 1
+        ),
+        toks AS (
+          SELECT doc_id, w[i] AS w
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS w
+                FROM documents),
+               unnest(range(1, len(w) + 1)) AS u(i)
+        ),
+        wc AS (
+          SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(len(f.syms)) AS BIGINT) AS n_syms
+          FROM toks t JOIN final f ON t.w = f.w
+          GROUP BY t.doc_id
+        ),
+        norm AS (
+          SELECT doc_id,
+                 array_to_string(list_filter(
+                   string_split_regex(lower(text), '\s+'),
+                   x -> x <> ''), ' ') AS nt
+          FROM documents
+        )
+        SELECT d.doc_id,
+               coalesce(wc.n_syms + wc.n_words, 0) AS n_tokens,
+               CAST(length(n.nt) AS BIGINT) AS n_dec_chars,
+               true AS round_trip_ok
+        FROM documents d
+        JOIN norm n USING (doc_id)
+        LEFT JOIN wc USING (doc_id)
+        ORDER BY d.doc_id
+      """.trim),
+      "X110 BPE </w>-marked encode→decode round-trip check")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents")
+        val merges = graft.operators.Bpe.trainMerges(
+          docs, "text", numMerges = 20)
+        val enc = graft.operators.Bpe.encodeDocs(
+          docs, "doc_id", "text", merges, marker = Some("</w>"))
+        val dec = graft.operators.Bpe.decodeBpe($"enc_text", "</w>")
+        enc.join(docs.select($"doc_id",
+            concat_ws(" ", graft.operators.Dedup.tokens($"text")).as("__nt")),
+            Seq("doc_id"))
+          .select($"doc_id", $"n_tokens",
+            length(dec).cast("long").as("n_dec_chars"),
+            (dec === $"__nt").as("round_trip_ok"))
+          .orderBy($"doc_id")
+      }),
+
     // X64: within-word adjacent character-pair counts — the BPE seed
     // statistic (the tokenizer's first merge is the top pair). Pure
     // integer counts over exact substrings; top-30 with ties on the
@@ -1109,6 +1174,107 @@ object CorpusPrepQueries {
         CorpusOps.spanCorruption(
             table(spark, dir, "documents"), "doc_id", "text",
             blockSize = 20, spanLen = 3, salt = "span")
+          .orderBy($"doc_id")
+      }),
+
+    // X109: hashed linear quality classifier — fastText-shape
+    // inference with md5-derived fixed weights; integer scorer, so
+    // per-doc score/keep replay exactly.
+    QueryDef(
+      "q_quality_classifier",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, w[i] AS g
+          FROM toks, unnest(range(1, len(w) + 1)) AS r(i)
+          UNION ALL
+          SELECT doc_id, w[i] || chr(1) || w[i+1] AS g
+          FROM toks, unnest(range(1, len(w))) AS r(i)
+        ), wq AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('qclfw' || CAST(
+                     CAST(('0x' || substr(md5('qclf' || g), 1, 8)) AS BIGINT)
+                       % 1024 AS VARCHAR)), 1, 8)) AS BIGINT)
+                   - 2147483648 AS q
+          FROM grams
+        ), s AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(q) AS BIGINT) AS sq
+          FROM wq GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,
+               round(CAST(s.sq AS DOUBLE) / (s.n_grams * 2147483648.0), 6)
+                 AS score,
+               coalesce(s.sq >= 0, false) AS keep
+        FROM documents d LEFT JOIN s USING (doc_id)
+        ORDER BY d.doc_id
+      """.trim),
+      "X109 hashed linear (fastText-shape) quality classifier")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.qualityClassifier(
+            table(spark, dir, "documents"), "doc_id", "text",
+            buckets = 1024, salt = "qclf")
+          .orderBy($"doc_id")
+      }),
+
+    // X108: competence-based curriculum schedule — rarity difficulty
+    // in integer nano-log units, 4 equal-population stages, md5
+    // within-stage shuffle. The oracle replays the full integer
+    // pipeline, so a drift anywhere (word counts, quantized logs,
+    // boundary comparisons, the two-phase rank) breaks doc-level
+    // integers.
+    QueryDef(
+      "q_curriculum",
+      Some(s"""
+        WITH $toksCte, tok AS (
+          SELECT doc_id, unnest(w) AS t FROM toks
+        ), wf AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+        ), total AS (
+          SELECT CAST(round(ln(CAST(sum(c) AS BIGINT)) * 1e9, 0) AS BIGINT)
+            AS lnn
+          FROM wf
+        ), per AS (
+          SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CAST(round(ln(c) * 1e9, 0) AS BIGINT)) AS BIGINT)
+                   AS slc
+          FROM tok JOIN wf USING (t) GROUP BY 1
+        ), d AS (
+          SELECT doc_id,
+                 coalesce(n_tokens, 0) AS n_tokens,
+                 coalesce(n_tokens, 0) * (SELECT lnn FROM total)
+                   - coalesce(slc, 0) AS dq
+          FROM documents LEFT JOIN per USING (doc_id)
+        ), b AS (
+          SELECT quantile_cont(dq, 0.25) AS b0,
+                 quantile_cont(dq, 0.5) AS b1,
+                 quantile_cont(dq, 0.75) AS b2
+          FROM d
+        ), st AS (
+          SELECT doc_id, n_tokens, dq,
+                 1 + (dq > b0)::INT + (dq > b1)::INT + (dq > b2)::INT
+                   AS stage,
+                 CAST(('0x' || substr(md5('curriculum'
+                   || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS k
+          FROM d, b
+        )
+        SELECT doc_id, n_tokens, round(dq / 1e9, 6) AS difficulty, stage,
+               CAST(row_number() OVER (PARTITION BY stage
+                 ORDER BY k, doc_id) - 1 AS BIGINT) AS pos_in_stage
+        FROM st
+        ORDER BY doc_id
+      """.trim),
+      "X108 competence-based curriculum schedule (rarity, 4 stages)")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.curriculumSchedule(
+            table(spark, dir, "documents"), "doc_id", "text",
+            nStages = 4)
           .orderBy($"doc_id")
       }),
   )

@@ -442,5 +442,116 @@ object SimilarityQueries {
           .select($"vec_id", $"label", $"dist", $"rk".cast("long").as("rk"))
           .orderBy($"dist".desc, $"vec_id")
       }),
+
+    // X106: Calinski-Harabasz variance-ratio index — the third
+    // cluster-validity score next to q_silhouette / q_davies_bouldin;
+    // one row, so a sum drift anywhere in the BCSS/WCSS plumbing
+    // breaks the hash.
+    QueryDef(
+      "q_calinski_harabasz",
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM embeddings
+        ), c AS (
+          SELECT label, dim, avg(x) AS m, count(*) AS nl
+          FROM e GROUP BY 1, 2
+        ), g AS (
+          SELECT dim, avg(x) AS gm FROM e GROUP BY 1
+        ), w AS (
+          SELECT sum((e.x - c.m) * (e.x - c.m)) AS wcss
+          FROM e JOIN c USING (label, dim)
+        ), b AS (
+          SELECT sum(c.nl * (c.m - g.gm) * (c.m - g.gm)) AS bcss
+          FROM c JOIN g USING (dim)
+        ), t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                 CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+          FROM embeddings
+        )
+        SELECT t.n_vectors, t.n_labels,
+               round(w.wcss, 6) AS wcss, round(b.bcss, 6) AS bcss,
+               round((b.bcss / (t.n_labels - 1)) /
+                     (w.wcss / (t.n_vectors - t.n_labels)), 6) AS ch_index
+        FROM t, w, b
+      """.trim),
+      "X106 Calinski-Harabasz variance-ratio cluster-validity index")(
+      (spark, dir) =>
+        Similarity.calinskiHarabasz(table(spark, dir, "embeddings"),
+          "vec_id", "embedding", "label")),
+
+    // X107: margin-based candidate mining (ratio margin, k=4) between
+    // the even-id and odd-id halves of the embeddings table — the
+    // bitext-mining scorer. Neighborhood means are rank-ordered left
+    // folds on both sides, so margins (and therefore the argmax picks
+    // and the mutual-best flags) are bit-identical cross-engine.
+    QueryDef(
+      "q_margin_pairs",
+      Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+        ), n AS (
+          SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+        ), pairs AS (
+          SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+                 list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+          FROM n a, n b
+          WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        ), lr AS (
+          SELECT left_id, right_id, cos,
+                 row_number() OVER (PARTITION BY left_id
+                   ORDER BY cos DESC, right_id) AS rk
+          FROM pairs
+        ), la AS (
+          SELECT left_id,
+                 list_reduce(list(cos ORDER BY rk), (a, b) -> a + b)
+                   / count(*) AS avgl
+          FROM lr WHERE rk <= 4 GROUP BY left_id
+        ), rr AS (
+          SELECT left_id, right_id, cos,
+                 row_number() OVER (PARTITION BY right_id
+                   ORDER BY cos DESC, left_id) AS rk
+          FROM pairs
+        ), ra AS (
+          SELECT right_id,
+                 list_reduce(list(cos ORDER BY rk), (a, b) -> a + b)
+                   / count(*) AS avgr
+          FROM rr WHERE rk <= 4 GROUP BY right_id
+        ), scored AS (
+          SELECT p.left_id, p.right_id, p.cos,
+                 p.cos / ((la.avgl + ra.avgr) / 2) AS margin
+          FROM pairs p JOIN la USING (left_id) JOIN ra USING (right_id)
+        ), fwd AS (
+          SELECT *, row_number() OVER (PARTITION BY left_id
+                   ORDER BY margin DESC, right_id) AS rf
+          FROM scored
+        ), bwd AS (
+          SELECT left_id, right_id
+          FROM (SELECT left_id, right_id,
+                       row_number() OVER (PARTITION BY right_id
+                         ORDER BY margin DESC, left_id) AS rb
+                FROM scored)
+          WHERE rb = 1
+        )
+        SELECT f.left_id, f.right_id, round(f.cos, 6) AS cos,
+               round(f.margin, 6) AS margin,
+               (b.left_id IS NOT NULL) AS is_mutual
+        FROM fwd f LEFT JOIN bwd b
+          ON b.left_id = f.left_id AND b.right_id = f.right_id
+        WHERE f.rf = 1
+        ORDER BY f.left_id
+      """.trim),
+      "X107 ratio-margin candidate mining with mutual-best flags")(
+      (spark, dir) => {
+        import spark.implicits._
+        val emb = table(spark, dir, "embeddings")
+        Similarity.marginMining(
+            emb.filter($"vec_id" % 2 === 0),
+            emb.filter($"vec_id" % 2 === 1),
+            "vec_id", "embedding", k = 4)
+          .orderBy($"left_id")
+      }),
   )
 }

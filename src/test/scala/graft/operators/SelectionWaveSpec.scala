@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkHarness
+
+/** Hand-computed checks for the X106–X110 selection/scheduling wave:
+  * Calinski-Harabasz, margin-based mining, the curriculum schedule,
+  * the hashed linear quality classifier, and the BPE decode
+  * round-trip.
+  */
+class SelectionWaveSpec extends AnyFunSuite {
+  private lazy val spark = SparkHarness.spark
+
+  private def vecs(rows: (Long, Seq[Float], Int)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  // ---- X106 Calinski-Harabasz ---------------------------------------
+
+  test("calinskiHarabasz: two 1-D clusters give the closed-form value") {
+    // A: {0, 2} centroid 1; B: {10, 12} centroid 11; grand mean 6.
+    // WCSS = 4, BCSS = 2·25 + 2·25 = 100, CH = (100/1)/(4/2) = 50.
+    val df = vecs((1L, Seq(0f), 0), (2L, Seq(2f), 0),
+      (3L, Seq(10f), 1), (4L, Seq(12f), 1))
+    val r = Similarity.calinskiHarabasz(df, "vec_id", "embedding", "label")
+      .collect().head
+    assert(r.getAs[Long]("n_vectors") == 4L)
+    assert(r.getAs[Long]("n_labels") == 2L)
+    assert(r.getAs[Double]("wcss") == 4.0)
+    assert(r.getAs[Double]("bcss") == 100.0)
+    assert(r.getAs[Double]("ch_index") == 50.0)
+  }
+
+  test("calinskiHarabasz: separating clusters raises the index") {
+    val near = vecs((1L, Seq(0f, 0f), 0), (2L, Seq(1f, 0f), 0),
+      (3L, Seq(2f, 0f), 1), (4L, Seq(3f, 0f), 1))
+    val far = vecs((1L, Seq(0f, 0f), 0), (2L, Seq(1f, 0f), 0),
+      (3L, Seq(20f, 0f), 1), (4L, Seq(21f, 0f), 1))
+    def ch(df: org.apache.spark.sql.DataFrame) =
+      Similarity.calinskiHarabasz(df, "vec_id", "embedding", "label")
+        .collect().head.getAs[Double]("ch_index")
+    assert(ch(far) > ch(near))
+  }
+
+  // ---- X107 margin mining -------------------------------------------
+
+  test("marginMining: hub discounting picks the specialized match") {
+    // Lefts L0..L3 near (1,0); right H (hub) is ~0.95-cosine to ALL
+    // of them, right S is ~0.999 to L0 only, right F is far. Raw
+    // cosine and margin agree L0→S here, but H's inflated
+    // neighborhood mean must push every OTHER left's H-margin BELOW
+    // the margin it gets from the far-but-unpopular F... no — other
+    // lefts still pick H (it's their only close match); the hub
+    // effect to assert is quantitative: margin(L0,S) > margin(L0,H)
+    // even though both cosines are high, and L0↔S is mutual.
+    val left = vecs((0L, Seq(1f, 0f), 0), (2L, Seq(0.99f, 0.14f), 0),
+      (4L, Seq(0.99f, -0.14f), 0), (6L, Seq(0.97f, 0.24f), 0))
+    val right = vecs((1L, Seq(0.95f, 0.31f), 0), // H: close to all lefts
+      (3L, Seq(0.9999f, 0.0141f), 0), // S: essentially L0
+      (5L, Seq(-0.2f, 0.98f), 0)) // F: far from everything
+    val out = Similarity.marginMining(left, right, "vec_id", "embedding",
+      k = 2).collect()
+    assert(out.length == 4) // one pick per left
+    val l0 = out.find(_.getAs[Long]("left_id") == 0L).get
+    assert(l0.getAs[Long]("right_id") == 3L)
+    // S's own backward best is L4, the left with the WEAKEST
+    // neighborhood (margin divides by it) — that pair is the mutual
+    // one, and exactly the hub-discounting asymmetry the scorer is
+    // for: raw cosine would have said S↔L0.
+    val l4 = out.find(_.getAs[Long]("left_id") == 4L).get
+    assert(l4.getAs[Long]("right_id") == 3L)
+    assert(l4.getAs[Boolean]("is_mutual"))
+    assert(!l0.getAs[Boolean]("is_mutual"))
+  }
+
+  test("marginMining: deterministic across runs and repartitionings") {
+    val s = spark
+    import s.implicits._
+    val base = (0L until 40L).map { i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat), 0)
+    }
+    val df = base.toDF("vec_id", "embedding", "label")
+    val l = df.filter($"vec_id" % 2 === 0)
+    val r = df.filter($"vec_id" % 2 === 1)
+    val a = Similarity.marginMining(l, r, "vec_id", "embedding", k = 4)
+      .orderBy($"left_id").collect().toSeq
+    val b = Similarity.marginMining(l.repartition(7), r.repartition(3),
+      "vec_id", "embedding", k = 4).orderBy($"left_id").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- X108 curriculum schedule -------------------------------------
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("curriculum: stages are monotone in difficulty, positions dense") {
+    // 12 docs: common-word docs are easy, rare-word docs are hard.
+    val d = docs((1L to 12L).map { i =>
+      val rare = if (i > 8) s" zzz$i qqq$i" else ""
+      (i, ("the cat sat " * (i % 3 + 1).toInt).trim + rare)
+    }: _*)
+    val out = CorpusOps.curriculumSchedule(d, "doc_id", "text", nStages = 4)
+      .collect()
+    assert(out.length == 12)
+    // monotone: sort by difficulty → stage never decreases
+    val byDiff = out.sortBy(_.getAs[Double]("difficulty"))
+      .map(_.getAs[Int]("stage"))
+    assert(byDiff.zip(byDiff.tail).forall { case (a, b) => a <= b })
+    // dense 0-based positions within each stage
+    out.groupBy(_.getAs[Int]("stage")).foreach { case (_, rows) =>
+      val pos = rows.map(_.getAs[Long]("pos_in_stage")).sorted
+      assert(pos.toSeq == (0L until rows.length).toSeq)
+    }
+    // rare-vocabulary docs rank harder than the pure common-word docs
+    val diff = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("difficulty")).toMap
+    assert(diff(12L) > diff(1L))
+  }
+
+  test("curriculum: empty doc lands in stage 1 with difficulty 0") {
+    val d = docs((1L, ""), (2L, "a a a"), (3L, "b c d e f g h"))
+    val out = CorpusOps.curriculumSchedule(d, "doc_id", "text", nStages = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("difficulty") == 0.0)
+    assert(out(1L).getAs[Int]("stage") == 1)
+    assert(out(1L).getAs[Long]("n_tokens") == 0L)
+  }
+
+  test("globalRank: matches a single-partition row_number") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 57).map(i => (i.toLong, (i * 37 % 19).toLong))
+      .toDF("id", "k").repartition(5)
+    val got = CorpusOps.globalRank(df, Seq(col("k"), col("id")))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("__rank")))
+      .toMap
+    val want = df.collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sortBy(identity).map(_._2).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(got == want)
+  }
+
+  // ---- X109 quality classifier --------------------------------------
+
+  test("qualityClassifier: gram count, score range, empty-doc nulls") {
+    val d = docs((1L, "alpha beta gamma"), (2L, ""), (3L, "x"))
+    val out = CorpusOps.qualityClassifier(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // 3 unigrams + 2 bigrams
+    assert(out(1L).getAs[Long]("n_grams") == 5L)
+    val sc = out(1L).getAs[Double]("score")
+    assert(sc >= -1.0 && sc <= 1.0)
+    assert(out(2L).getAs[Long]("n_grams") == 0L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("score")))
+    assert(!out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Long]("n_grams") == 1L)
+  }
+
+  test("qualityClassifier: content-determined, partitioning-agnostic") {
+    val d = docs((1L to 30L).map(i => (i, s"w$i common tokens here")): _*)
+    val a = CorpusOps.qualityClassifier(d, "doc_id", "text")
+      .orderBy(col("doc_id")).collect().toSeq
+    val b = CorpusOps.qualityClassifier(d.repartition(11), "doc_id", "text")
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- X110 BPE decode round-trip -----------------------------------
+
+  test("bpe decode: exact inverse of marked encode on normalized text") {
+    val d = docs((1L, "low lower lowest low low"),
+      (2L, "  Mixed   CASE   spacing  "), (3L, ""),
+      (4L, "newest widest newest"))
+    val merges = Bpe.trainMerges(d, "text", numMerges = 10)
+    val enc = Bpe.encodeDocs(d, "doc_id", "text", merges,
+      marker = Some("</w>"))
+    val joined = enc.join(d, "doc_id")
+      .select(col("doc_id"),
+        Bpe.decodeBpe(col("enc_text"), "</w>").as("dec"),
+        concat_ws(" ", Dedup.tokens(col("text"))).as("want"),
+        col("n_tokens"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (1L to 4L).foreach { i =>
+      assert(joined(i).getAs[String]("dec") == joined(i).getAs[String]("want"),
+        s"doc $i")
+    }
+    // the marker adds exactly one token per word
+    val plain = Bpe.encodeDocs(d, "doc_id", "text", merges)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens"))
+      .toMap
+    assert(joined(1L).getAs[Long]("n_tokens") == plain(1L) + 5)
+    assert(joined(3L).getAs[Long]("n_tokens") == 0L)
+  }
+}
