@@ -1048,11 +1048,12 @@ object CorpusOps {
     * probability form is monotone in `score` (sigmoid), so keep/rank
     * decisions need no float.
     *
-    * Scale shape: ZERO joins — the weight is a pure function of the
-    * bucket, evaluated inline in the gram scan (codegen md5), so the
-    * plan is one windowed token pass → one map-side-combinable
-    * per-doc agg. Model size is `buckets`, independent of vocabulary;
-    * nothing driver-side at all.
+    * Scale shape: no weight-table or vocabulary join — the weight is
+    * a pure function of the bucket, evaluated inline in the gram scan
+    * (codegen md5), so scoring is one windowed token pass → one
+    * map-side-combinable per-doc agg; the only join is the skinny
+    * per-doc score reattach (empty docs). Model size is `buckets`,
+    * independent of vocabulary; nothing driver-side at all.
     */
   def qualityClassifier(docs: DataFrame, docCol: String, textCol: String,
       buckets: Int = 1024, salt: String = "qclf"): DataFrame = {

@@ -776,6 +776,11 @@ object Similarity {
     // (bl, br) key — every (left, right) pair meets exactly once,
     // spread over numBlocks² partitions (the cosinePairsBlocked
     // layout, bipartite so no self-pair or orientation dedup needed)
+    // one skinny (left, right, cos) triple per pair; three consumers
+    // read it (two neighborhood passes + the rescore join) but the
+    // pair exchange is computed once — Spark's ReusedExchange dedupes
+    // the identical subtree (verified: an explicit localCheckpoint
+    // here measured no faster)
     val pairs = broadcast(bp).join(l, "bl")
       .join(broadcast(bp).join(r, "br"), Seq("bl", "br"))
       .select(col("left_id"), col("right_id"),

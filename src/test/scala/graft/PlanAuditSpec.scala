@@ -643,4 +643,54 @@ class PlanAuditSpec extends AnyFunSuite {
       "global window crept into the manifest path")
     assert(p.contains("partial_sum"), "manifest agg lost map-side combine")
   }
+
+  test("q_calinski_harabasz: centroid joins broadcast; vectors never " +
+    "pairwise") {
+    val p = plan("q_calinski_harabasz")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid join stopped broadcasting:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_avg") || p.contains("partial_sum"),
+      "centroid/WCSS aggs lost map-side combine")
+  }
+
+  test("q_margin_pairs: bipartite block join is an equi-join — no " +
+    "cartesian, no nested-loop; block replication broadcasts") {
+    val p = plan("q_margin_pairs")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation went cartesian:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation went nested-loop:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "block-pair replication stopped broadcasting")
+  }
+
+  test("q_curriculum: rank is the two-phase RDD scan — no Window " +
+    "operator anywhere; word-frequency join shuffles, never collects") {
+    val p = plan("q_curriculum")
+    assert(!p.contains("Window"),
+      s"a window crept into the curriculum path:\n${p.take(1500)}")
+    assert(p.contains("ExistingRDD"),
+      "two-phase rank gone — positions no longer come from the RDD scan")
+  }
+
+  test("q_quality_classifier: no weight-table join — scoring is scan " +
+    "+ one partial agg; only the skinny reattach joins") {
+    val p = plan("q_quality_classifier")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "score agg lost map-side combine")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // exactly the doc-reattach join: one join operator in the plan
+    assert("HashJoin".r.findAllIn(p).length <= 2,
+      s"unexpected extra joins:\n${p.take(1500)}")
+  }
+
+  test("q_bpe_roundtrip: decode is column math — no extra exchange " +
+    "past the encode scan; round-trip check joins once") {
+    val p = plan("q_bpe_roundtrip")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"),
+      s"a window crept into the decode path:\n${p.take(1500)}")
+  }
 }
