@@ -95,7 +95,15 @@ object ScaleBench {
       // span corruption (per-doc window + skinny rank + reassembly)
       "q_rouge_l", "q_ngram_novelty", "q_span_corruption",
       // skinny-table interval math only (no token arrays)
-      "q_pack_boundaries")
+      "q_pack_boundaries",
+      // X106–X110 selection wave: CH (centroid family), margin mining
+      // (bipartite exact pair join — inherently quadratic like
+      // q_knn_brute; see fixed_margin_mining for the constant-batch
+      // form), curriculum (token⋈vocab join + two-phase rank),
+      // quality classifier (gram window + one agg), BPE round-trip
+      // (driver trainer + encode/decode scan)
+      "q_calinski_harabasz", "q_margin_pairs", "q_curriculum",
+      "q_quality_classifier", "q_bpe_roundtrip")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
@@ -134,6 +142,17 @@ object ScaleBench {
         val buckets = math.max(64L, n / 78L).toInt
         graft.operators.CorpusOps.negativeSample(emb, "vec_id", "label",
           k = 5, probes = 4, buckets = buckets, salt = "neg")
+      }),
+      // margin mining with the LEFT batch pinned to replica-0 evens
+      // (~1000 at every scale) against the growing odd-id corpus —
+      // the production shape (constant mining batch, growing index),
+      // isolating the corpus-growth exponent the way fixed_knn_* do
+      "fixed_margin_mining" -> ((s: SparkSession, dir: String) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.marginMining(
+          emb.filter(col("vec_id") < 2000 && col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4)
       }))
 
     val all = contract.map(n => n -> SparkEntry.queries(n)) ++ fixed
