@@ -1036,6 +1036,110 @@ object CorpusOps {
         round(sum(col("__lr")), 6).as("log_weight"))
   }
 
+  /** X113 — contrastive span-pair prep (the DeCLUTR recipe, Giorgi
+    * et al. 2021): two overlapping-or-adjacent token crops of the
+    * same document form a positive pair for contrastive pretraining
+    * (in-batch negatives come free at training time). Crop length is
+    * `ceil(n·cropFraction)`; the two start offsets are independent
+    * md5 draws over the slack `n − L + 1` — content-stable like every
+    * sampler here (RNG-free: the same doc yields the same pair in any
+    * run, batch, or engine), which also makes resumed jobs and
+    * train/eval reproductions exact. `overlap_tokens` (interval
+    * intersection) is reported because the contrastive signal
+    * weakens as views converge — trainers bucket or reweight by it.
+    * Docs under `minTokens` are dropped (no meaningful second view).
+    *
+    * Scale shape: pure scan — tokens, draws, slices, and the overlap
+    * are per-row column math; zero shuffles, embarrassingly parallel.
+    */
+  def contrastivePairs(docs: DataFrame, docCol: String, textCol: String,
+      cropFraction: Double = 0.6, minTokens: Int = 4,
+      salt: String = "contrast"): DataFrame = {
+    require(cropFraction > 0 && cropFraction <= 1,
+      s"need 0 < cropFraction <= 1, got $cropFraction")
+    def start(side: String): Column =
+      (md5Band(concat(col(docCol).cast("string"), lit(side)), salt)
+        % (col("n_tokens") - col("__l") + 1L)).cast("int")
+    docs.select(col(docCol), Dedup.tokens(col(textCol)).as("__w"))
+      .withColumn("n_tokens", size(col("__w")).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
+      .withColumn("__l", ceil(col("n_tokens") * cropFraction).cast("int"))
+      .withColumn("__sa", start("a")).withColumn("__sb", start("b"))
+      .select(col(docCol), col("n_tokens"),
+        col("__sa").cast("long").as("start_a"),
+        col("__sb").cast("long").as("start_b"),
+        col("__l").cast("long").as("crop_len"),
+        concat_ws(" ", slice(col("__w"), col("__sa") + 1, col("__l")))
+          .as("view_a"),
+        concat_ws(" ", slice(col("__w"), col("__sb") + 1, col("__l")))
+          .as("view_b"),
+        greatest(lit(0L),
+          least(col("__sa") + col("__l"), col("__sb") + col("__l"))
+            .cast("long") -
+            greatest(col("__sa"), col("__sb")).cast("long"))
+          .as("overlap_tokens"))
+  }
+
+  /** X111 — content-defined chunking (the FastCDC/LBFS family,
+    * Muthitacharoen et al. 2001): cut each document where a rolling
+    * hash of the trailing `window` characters hits `h % mask == 0`,
+    * so chunk boundaries are CONTENT-anchored — an insertion early in
+    * a document shifts byte offsets but re-synchronizes at the next
+    * content boundary, which is why storage/transfer dedup uses CDC
+    * instead of fixed-size blocks. Output is the chunk table
+    * (doc, idx, start, len, md5) plus each chunk's corpus-wide copy
+    * count — the dedup-ratio primitive.
+    *
+    * The hash is the plain polynomial Σ code(c_{p−j})·31^j mod 2³¹
+    * over the trailing window — pure integer math (integer sums
+    * commute, so no fold-order concerns), identical in both engines.
+    * Docs shorter than `window` form one whole-doc chunk; empty docs
+    * emit no rows.
+    *
+    * Scale shape: boundary detection and segment assembly are
+    * per-document column math inside the scan (no explode of the
+    * character stream — positions live in per-doc arrays, segments
+    * substring the original text); the only shuffle is the skinny
+    * (hash → copies) window. Linear in corpus bytes, embarrassingly
+    * parallel.
+    */
+  def cdcChunks(docs: DataFrame, docCol: String, textCol: String,
+      window: Int = 8, mask: Int = 64): DataFrame = {
+    require(window >= 2 && mask >= 2, s"bad window=$window mask=$mask")
+    val P = Array.iterate(1L, window)(_ * 31L)
+    val M = 2147483648L
+    val codes = transform(filter(split(col(textCol), ""), c => c =!= ""),
+      c => ascii(c).cast("long"))
+    def h(p: Column): Column =
+      (0 until window).map(j => element_at(col("__c"), p - j) * P(j))
+        .reduce(_ + _) % M
+    val prepared = docs
+      .select(col(docCol), col(textCol).as("__t"), codes.as("__c"))
+      .withColumn("__n", size(col("__c")))
+      .filter(col("__n") > 0)
+      // sequence(a, b) runs DESCENDING when b < a — guard short docs
+      .withColumn("__b",
+        when(col("__n") >= window,
+          filter(sequence(lit(window), col("__n")),
+            p => h(p) % mask === 0 && p < col("__n")))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("__cuts",
+        concat(array(lit(0)), col("__b"), array(col("__n"))))
+    prepared
+      .select(col(docCol), col("__t"),
+        posexplode(transform(sequence(lit(1), size(col("__cuts")) - 1),
+          i => struct(element_at(col("__cuts"), i).as("s"),
+            (element_at(col("__cuts"), i + 1) -
+              element_at(col("__cuts"), i)).as("l")))))
+      .select(col(docCol), col("pos").cast("long").as("chunk_idx"),
+        col("col.s").cast("long").as("start_pos"),
+        col("col.l").cast("long").as("chunk_len"),
+        md5(col("__t").substr(col("col.s") + 1, col("col.l")))
+          .as("chunk_hash"))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
+  }
+
   /** X109 — hashed linear quality classifier (the fastText-style
     * filter inference of the LLaMA/CCNet recipe — Joulin et al. 2017
     * model shape): score = mean over the doc's hashed unigram+bigram

@@ -48,4 +48,48 @@ object TimeSeries {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("last_value"), ignoreNulls = true).over(w).as("filled"))
   }
+
+  /** X112 — rolling z-score anomaly flags: each event's `valueCol`
+    * against the mean/std of its own key's trailing `lookback`
+    * events (the current row excluded — the reference window must
+    * not contain the candidate), flagged when |z| > `threshold` with
+    * at least `minN` reference rows and positive variance. The
+    * standard streaming-metrics outlier gate (value spike per user /
+    * host / sensor).
+    *
+    * Exactness: values are quantized to integer centi-units
+    * (`round(value·100)` — identical doubles round identically), so
+    * the windowed Σv and Σv² are exact integers in ANY accumulation
+    * order (Spark's running frames vs DuckDB's segment trees), and
+    * mean/var/z derive from identical integers — bit-exact flags,
+    * not just rounded-digit agreement.
+    *
+    * Scale shape: one window per key (shuffle by key, per-key
+    * sequential scan) — the sessionize/window-suite shape; work per
+    * key bounded by its event count, skew mitigated upstream like
+    * every per-key window here.
+    */
+  def rollingZScore(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, lookback: Int = 20,
+      minN: Int = 10, threshold: Double = 3.0): DataFrame = {
+    require(lookback >= minN && minN >= 2,
+      s"need lookback >= minN >= 2, got $lookback/$minN")
+    val qv = round(col(valueCol) * 100, 0).cast("long")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-lookback, -1)
+    val base = events.select(col(idCol), col(keyCol), col(tsCol),
+        col(valueCol), qv.as("__q"))
+      .select(col(idCol), col(keyCol), col(valueCol), col("__q"),
+        count(col("__q")).over(w).as("n_ref"),
+        sum(col("__q")).over(w).as("__s1"),
+        sum(col("__q") * col("__q")).over(w).as("__s2"))
+    val varNum = col("__s2") - col("__s1") * col("__s1") / col("n_ref")
+    val z = (col("__q") - col("__s1") / col("n_ref")) /
+      sqrt(varNum / col("n_ref"))
+    base.select(col(idCol), col(keyCol), col(valueCol), col("n_ref"),
+      when(col("n_ref") >= minN && varNum > 0, round(z, 6)).as("z"),
+      coalesce(when(col("n_ref") >= minN && varNum > 0,
+        abs(z) > threshold), lit(false)).as("is_anomaly"))
+  }
 }

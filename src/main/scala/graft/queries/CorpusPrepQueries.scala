@@ -1177,6 +1177,97 @@ object CorpusPrepQueries {
           .orderBy($"doc_id")
       }),
 
+    // X113: contrastive span-pair prep — two deterministic md5 crops
+    // per doc (DeCLUTR views) with the interval-overlap report. Fully
+    // integer/slice arithmetic, so views, offsets, and overlaps
+    // replay exactly.
+    QueryDef(
+      "q_contrastive_pairs",
+      Some(s"""
+        WITH $toksCte, t AS (
+          SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens
+          FROM toks WHERE len(w) >= 4
+        ), p AS (
+          SELECT doc_id, w, n_tokens,
+                 CAST(ceil(n_tokens * 0.6) AS BIGINT) AS l,
+                 CAST(('0x' || substr(md5('contrast'
+                     || CAST(doc_id AS VARCHAR) || 'a'), 1, 8)) AS BIGINT)
+                   % (n_tokens - CAST(ceil(n_tokens * 0.6) AS BIGINT) + 1)
+                   AS sa,
+                 CAST(('0x' || substr(md5('contrast'
+                     || CAST(doc_id AS VARCHAR) || 'b'), 1, 8)) AS BIGINT)
+                   % (n_tokens - CAST(ceil(n_tokens * 0.6) AS BIGINT) + 1)
+                   AS sb
+          FROM t
+        )
+        SELECT doc_id, n_tokens, sa AS start_a, sb AS start_b,
+               l AS crop_len,
+               array_to_string(w[sa+1 : sa+l], ' ') AS view_a,
+               array_to_string(w[sb+1 : sb+l], ' ') AS view_b,
+               greatest(CAST(0 AS BIGINT),
+                 least(sa + l, sb + l) - greatest(sa, sb))
+                 AS overlap_tokens
+        FROM p
+        ORDER BY doc_id
+      """.trim),
+      "X113 contrastive span-pair views (DeCLUTR crops, md5 placement)")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.contrastivePairs(table(spark, dir, "documents"),
+            "doc_id", "text", cropFraction = 0.6, minTokens = 4,
+            salt = "contrast")
+          .orderBy($"doc_id")
+      }),
+
+    // X111: content-defined chunking — FastCDC-style boundaries from
+    // a trailing-window polynomial hash; per-chunk md5 + corpus-wide
+    // copy counts. Pure integer boundary math, so every chunk offset,
+    // length, hash, and copy count replays exactly.
+    QueryDef(
+      "q_cdc_chunks",
+      Some("""
+        WITH c AS (
+          SELECT doc_id, text,
+                 list_transform(regexp_extract_all(text, '.'),
+                   ch -> CAST(unicode(ch) AS BIGINT)) AS codes
+          FROM documents
+        ), b AS (
+          SELECT doc_id, text, codes, len(codes) AS n
+          FROM c WHERE len(codes) > 0
+        ), k AS (
+          SELECT doc_id, text, n,
+            list_concat(list_concat([CAST(0 AS BIGINT)],
+              list_filter(range(8, n + 1), p ->
+                (codes[p] + codes[p-1]*31 + codes[p-2]*961
+                 + codes[p-3]*29791 + codes[p-4]*923521
+                 + codes[p-5]*28629151 + codes[p-6]*887503681
+                 + codes[p-7]*27512614111) % 2147483648 % 64 = 0
+                AND p < n)),
+              [CAST(n AS BIGINT)]) AS cuts
+          FROM b
+        ), seg AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+                 CAST(cuts[i] AS BIGINT) AS start_pos,
+                 CAST(cuts[i+1] - cuts[i] AS BIGINT) AS chunk_len,
+                 md5(substring(text, CAST(cuts[i] + 1 AS INT),
+                               CAST(cuts[i+1] - cuts[i] AS INT)))
+                   AS chunk_hash
+          FROM k, unnest(range(1, len(cuts))) AS u(i)
+        )
+        SELECT doc_id, chunk_idx, start_pos, chunk_len, chunk_hash,
+               CAST(count(*) OVER (PARTITION BY chunk_hash) AS BIGINT)
+                 AS n_copies
+        FROM seg
+        ORDER BY doc_id, chunk_idx
+      """.trim),
+      "X111 content-defined chunking with corpus-wide copy counts")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.cdcChunks(table(spark, dir, "documents"),
+            "doc_id", "text", window = 8, mask = 64)
+          .orderBy($"doc_id", $"chunk_idx")
+      }),
+
     // X109: hashed linear quality classifier — fastText-shape
     // inference with md5-derived fixed weights; integer scorer, so
     // per-doc score/keep replay exactly.

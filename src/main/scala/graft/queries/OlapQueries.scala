@@ -429,6 +429,48 @@ object OlapQueries {
           .orderBy($"event_id")
       }),
 
+    // X112: rolling z-score anomaly flags — each event vs its user's
+    // trailing-20 window. Values quantize to integer centi-units
+    // before the windowed sums, so mean/var/z — and therefore the
+    // anomaly FLAGS, which a 1-ulp drift could flip at the threshold
+    // — are bit-identical cross-engine in any accumulation order.
+    QueryDef(
+      "q_anomaly",
+      Some("""
+        WITH q AS (
+          SELECT event_id, user_id, ts, value,
+                 CAST(round(value * 100, 0) AS BIGINT) AS qv
+          FROM events
+        ), w AS (
+          SELECT event_id, user_id, value, qv,
+                 CAST(count(qv) OVER win AS BIGINT) AS n_ref,
+                 CAST(sum(qv) OVER win AS BIGINT) AS s1,
+                 CAST(sum(qv * qv) OVER win AS BIGINT) AS s2
+          FROM q
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, value, n_ref,
+               CASE WHEN n_ref >= 10 AND s2 - s1 * s1 / n_ref > 0
+                    THEN round((qv - s1 / n_ref)
+                      / sqrt((s2 - s1 * s1 / n_ref) / n_ref), 6)
+               END AS z,
+               coalesce(CASE WHEN n_ref >= 10 AND s2 - s1 * s1 / n_ref > 0
+                    THEN abs((qv - s1 / n_ref)
+                      / sqrt((s2 - s1 * s1 / n_ref) / n_ref)) > 3.0
+               END, false) AS is_anomaly
+        FROM w
+        ORDER BY event_id
+      """.trim),
+      "X112 rolling z-score anomaly flags (trailing-20 per user)")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.TimeSeries.rollingZScore(
+            QueryDef.events(spark, dir), "user_id", "ts", "event_id",
+            "value", lookback = 20, minN = 10, threshold = 3.0)
+          .orderBy($"event_id")
+      }),
+
     // Z-order (Morton) clustering key: bit-interleave two dimension
     // keys so one sort column preserves locality in both — the
     // multi-dimensional file-skipping layout (ZOrder.cluster writes

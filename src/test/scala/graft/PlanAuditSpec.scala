@@ -693,4 +693,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       s"a window crept into the decode path:\n${p.take(1500)}")
   }
+
+  test("q_cdc_chunks: boundary/segment math is scan-stage — no joins; " +
+    "only the skinny copy-count window shuffles") {
+    val p = plan("q_cdc_chunks")
+    assert("HashJoin|SortMergeJoin|CartesianProduct".r.findFirstIn(p).isEmpty,
+      s"a join crept into the chunking path:\n${p.take(1500)}")
+    assert(p.contains("Window"), "copy-count window missing")
+  }
+
+  test("q_anomaly: one per-user window, no join, no single-partition " +
+    "stage") {
+    val p = plan("q_anomaly")
+    assert("HashJoin|SortMergeJoin|CartesianProduct".r.findFirstIn(p).isEmpty,
+      s"a join crept into the anomaly path:\n${p.take(1500)}")
+    assert(!p.contains("SinglePartition"),
+      "anomaly window collapsed to a global sort")
+  }
+
+  test("q_contrastive_pairs: pure scan — no joins, no windows, no " +
+    "exchanges before the output sort") {
+    val p = plan("q_contrastive_pairs")
+    assert("HashJoin|SortMergeJoin|CartesianProduct".r.findFirstIn(p).isEmpty)
+    assert(!p.contains("Window"), s"unexpected window:\n${p.take(1500)}")
+    // the only exchange is the rangepartitioning for the final ORDER BY
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-sort exchange in a pure scan:\n$exchanges")
+  }
 }

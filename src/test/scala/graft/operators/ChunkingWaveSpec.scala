@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkHarness
+
+/** Hand-computed checks for X111–X113: content-defined chunking,
+  * rolling z-score anomaly flags, and contrastive span pairs.
+  */
+class ChunkingWaveSpec extends AnyFunSuite {
+  private lazy val spark = SparkHarness.spark
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Deterministic pseudo-text long enough to contain several CDC
+    * boundaries at mask=64 (expected chunk ≈ 64 chars).
+    */
+  private def pseudo(seed: Int, n: Int): String =
+    (0 until n).map(i => ('a' + ((i * 31 + seed * 17 + i * i % 97) % 26))
+      .toChar).mkString
+
+  test("cdc: chunks tile each document exactly") {
+    val t1 = pseudo(1, 500); val t2 = pseudo(2, 300)
+    val out = CorpusOps.cdcChunks(docs((1L, t1), (2L, t2)), "doc_id", "text")
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    for ((id, text) <- Seq(1L -> t1, 2L -> t2)) {
+      val chunks = out(id).sortBy(_.getAs[Long]("chunk_idx"))
+      assert(chunks.head.getAs[Long]("start_pos") == 0L)
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("start_pos") + a.getAs[Long]("chunk_len") ==
+            b.getAs[Long]("start_pos"))
+        case _ =>
+      }
+      assert(chunks.map(_.getAs[Long]("chunk_len")).sum == text.length)
+    }
+  }
+
+  test("cdc: boundaries are content-anchored — a prefix insertion " +
+    "re-synchronizes and identical docs dedup fully") {
+    val base = pseudo(3, 800)
+    val shifted = "XYZQ" + base // 4-char insertion at the front
+    val out = CorpusOps.cdcChunks(
+        docs((1L, base), (2L, shifted), (3L, base)), "doc_id", "text")
+      .collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, v) => k -> v.map(_.getAs[String]("chunk_hash")).toSet }
+    // identical docs 1 and 3: same chunk set, and every copy count >= 2
+    assert(byDoc(1L) == byDoc(3L))
+    assert(out.filter(_.getAs[Long]("doc_id") == 1L)
+      .forall(_.getAs[Long]("n_copies") >= 2L))
+    // the insertion shifts every byte offset, yet chunking re-syncs at
+    // the first content boundary: docs 1 and 2 still share chunks
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "no shared chunks after a 4-char insertion — boundaries are not " +
+        "content-defined")
+    // sanity: the doc actually split (mask 64 over 800 chars)
+    assert(byDoc(1L).size >= 3)
+  }
+
+  test("cdc: short doc is one whole-doc chunk; empty doc emits none") {
+    val out = CorpusOps.cdcChunks(docs((1L, "abc"), (2L, "")), "doc_id",
+      "text").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+    assert(out.head.getAs[Long]("chunk_len") == 3L)
+    assert(out.head.getAs[Long]("start_pos") == 0L)
+  }
+
+  // ---- X112 rolling z-score -----------------------------------------
+
+  private def events(rows: (Long, Long, Double)*) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, u, v) =>
+      (id, u, new java.sql.Timestamp(1700000000000L + id * 60000), v)
+    }.toDF("event_id", "user_id", "ts", "value")
+  }
+
+  test("rollingZScore: spike flags, steady state does not, minN gates") {
+    // user 7: 14 alternating 10/12 readings, then a 100.0 spike
+    val base = (0L until 14L).map(i =>
+      (i, 7L, if (i % 2 == 0) 10.0 else 12.0))
+    val rows = base :+ (14L, 7L, 100.0)
+    val out = TimeSeries.rollingZScore(events(rows: _*), "user_id", "ts",
+        "event_id", "value", lookback = 20, minN = 10, threshold = 3.0)
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    // replicate the integer math for the spike row
+    val q = base.map { case (_, _, v) => math.round(v * 100) }
+    val n = q.length.toLong
+    val s1 = q.sum; val s2 = q.map(x => x * x).sum
+    val mean = s1.toDouble / n
+    val sd = math.sqrt((s2 - s1.toDouble * s1 / n) / n)
+    val wantZ = math.rint((10000L - mean) / sd * 1e6) / 1e6
+    assert(out(14L).getAs[Boolean]("is_anomaly"))
+    assert(out(14L).getAs[Double]("z") == wantZ)
+    assert(out(14L).getAs[Long]("n_ref") == 14L)
+    // steady rows with a full reference window are not anomalous
+    assert(!out(13L).getAs[Boolean]("is_anomaly"))
+    // early rows fail the minN gate: z null, flag false
+    assert(out(5L).isNullAt(out(5L).fieldIndex("z")))
+    assert(!out(5L).getAs[Boolean]("is_anomaly"))
+  }
+
+  test("rollingZScore: zero-variance reference yields null z, no flag") {
+    val rows = (0L until 12L).map(i => (i, 1L, 5.0)) :+ (12L, 1L, 9.0)
+    val out = TimeSeries.rollingZScore(events(rows: _*), "user_id", "ts",
+        "event_id", "value").collect()
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(out(12L).isNullAt(out(12L).fieldIndex("z")))
+    assert(!out(12L).getAs[Boolean]("is_anomaly"))
+  }
+
+  // ---- X113 contrastive pairs ---------------------------------------
+
+  test("contrastivePairs: views are real in-bounds crops with the " +
+    "declared overlap; short docs drop; deterministic") {
+    val d = docs(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c"), // 3 tokens < minTokens — dropped
+      (3L, (1 to 7).map(i => s"t$i").mkString(" ")))
+    val out = CorpusOps.contrastivePairs(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(2L))
+    for (id <- Seq(1L, 3L)) {
+      val r = out(id)
+      val toks = d.filter(col("doc_id") === id).collect().head
+        .getString(1).split(" ").toSeq
+      val n = r.getAs[Long]("n_tokens"); val l = r.getAs[Long]("crop_len")
+      val sa = r.getAs[Long]("start_a"); val sb = r.getAs[Long]("start_b")
+      assert(n == toks.length)
+      assert(l == math.ceil(n * 0.6).toLong)
+      assert(sa >= 0 && sa + l <= n && sb >= 0 && sb + l <= n)
+      assert(r.getAs[String]("view_a") ==
+        toks.slice(sa.toInt, (sa + l).toInt).mkString(" "))
+      assert(r.getAs[String]("view_b") ==
+        toks.slice(sb.toInt, (sb + l).toInt).mkString(" "))
+      val want = math.max(0L, math.min(sa + l, sb + l) - math.max(sa, sb))
+      assert(r.getAs[Long]("overlap_tokens") == want)
+    }
+    // determinism across repartitioning
+    val again = CorpusOps.contrastivePairs(d.repartition(5), "doc_id",
+      "text").collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    assert(again == out.map { case (k, v) => k -> v.toSeq })
+  }
+}

@@ -121,6 +121,36 @@ class StreamingCorpusOpsSpec extends AnyFunSuite {
     assert(got(0L) ++ got(1L) == all)
   }
 
+  test("qualityClassifier under foreachBatch == batch form (and is " +
+      "content-stable across batch splits)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def clf(df: DataFrame): DataFrame =
+      CorpusOps.qualityClassifier(df, "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Set[String]]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = canon(clf(batch))
+        got.synchronized { got(batchId) = out }
+        ()
+      }.start()
+    val b0 = Seq((1L, "alpha beta gamma delta"), (2L, ""), (3L, "solo"))
+    val b1 = Seq((4L, "alpha beta gamma delta"), (5L, "epsilon zeta"))
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    assert(got(0L) == canon(clf(b0.toDF("doc_id", "text"))))
+    assert(got(1L) == canon(clf(b1.toDF("doc_id", "text"))))
+    // the score is a pure per-doc function (fixed hashed weights, no
+    // corpus statistics), so identical text scores identically in any
+    // batch — doc 4 repeats doc 1's text and must repeat its score
+    val score = (got(0L) ++ got(1L)).map(_.split("\\|"))
+      .map(a => a(0).toLong -> a.drop(1).mkString("|")).toMap
+    assert(score(1L) == score(4L))
+  }
+
   test("dsirWeights under foreachBatch == batch form per micro-batch") {
     val s = spark
     import s.implicits._
