@@ -103,7 +103,10 @@ object ScaleBench {
       // quality classifier (gram window + one agg), BPE round-trip
       // (driver trainer + encode/decode scan)
       "q_calinski_harabasz", "q_margin_pairs", "q_curriculum",
-      "q_quality_classifier", "q_bpe_roundtrip")
+      "q_quality_classifier", "q_bpe_roundtrip",
+      // X111–X113: CDC (JIT rolling scan + skinny hash window),
+      // anomaly (per-user window), contrastive pairs (pure scan)
+      "q_cdc_chunks", "q_anomaly", "q_contrastive_pairs")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

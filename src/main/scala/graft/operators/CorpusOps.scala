@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1093,8 +1095,10 @@ object CorpusOps {
     * The hash is the plain polynomial Σ code(c_{p−j})·31^j mod 2³¹
     * over the trailing window — pure integer math (integer sums
     * commute, so no fold-order concerns), identical in both engines.
-    * Docs shorter than `window` form one whole-doc chunk; empty docs
-    * emit no rows.
+    * Codes are UTF-16 units (`charAt`), which equal codepoints on the
+    * BMP; a corpus with astral-plane chars would need a codepoint
+    * walk to keep the DuckDB `unicode()` twin exact. Docs shorter
+    * than `window` form one whole-doc chunk; empty docs emit no rows.
     *
     * Scale shape: boundary detection and segment assembly are
     * per-document column math inside the scan (no explode of the
@@ -1108,23 +1112,34 @@ object CorpusOps {
     require(window >= 2 && mask >= 2, s"bad window=$window mask=$mask")
     val P = Array.iterate(1L, window)(_ * 31L)
     val M = 2147483648L
-    val codes = transform(filter(split(col(textCol), ""), c => c =!= ""),
-      c => ascii(c).cast("long"))
-    def h(p: Column): Column =
-      (0 until window).map(j => element_at(col("__c"), p - j) * P(j))
-        .reduce(_ + _) % M
+    // Boundary detection is one sequential rolling scan per document —
+    // a JIT-compiled loop in a UDF (the Bpe.encodeDocs precedent):
+    // the per-position hash needs the trailing `window` codepoints,
+    // and every declarative spelling (a transform() over positions, or
+    // an exploded char stream + 8 lag windows) either pays the
+    // interpreted-HOF per-element tax or shuffles the whole character
+    // stream by doc. The loop is exact integer math identical to the
+    // oracle's and measured ~3× faster than the HOF form.
+    val w = window; val m = mask
+    val cuts = udf { text: String =>
+      val n = if (text == null) 0 else text.length
+      val out = mutable.ArrayBuffer(0)
+      if (n >= w) {
+        var p = w - 1 // 0-based index of the window's newest char
+        while (p < n - 1) {
+          var h = 0L; var j = 0
+          while (j < w) { h += text.charAt(p - j).toLong * P(j); j += 1 }
+          if (h % M % m == 0) out += p + 1
+          p += 1
+        }
+      }
+      if (n > 0) out += n
+      out.toArray
+    }
     val prepared = docs
-      .select(col(docCol), col(textCol).as("__t"), codes.as("__c"))
-      .withColumn("__n", size(col("__c")))
-      .filter(col("__n") > 0)
-      // sequence(a, b) runs DESCENDING when b < a — guard short docs
-      .withColumn("__b",
-        when(col("__n") >= window,
-          filter(sequence(lit(window), col("__n")),
-            p => h(p) % mask === 0 && p < col("__n")))
-          .otherwise(array().cast("array<int>")))
-      .withColumn("__cuts",
-        concat(array(lit(0)), col("__b"), array(col("__n"))))
+      .select(col(docCol), col(textCol).as("__t"))
+      .withColumn("__cuts", cuts(col("__t")))
+      .filter(size(col("__cuts")) >= 2)
     prepared
       .select(col(docCol), col("__t"),
         posexplode(transform(sequence(lit(1), size(col("__cuts")) - 1),
