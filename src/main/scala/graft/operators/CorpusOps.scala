@@ -1200,6 +1200,47 @@ object CorpusOps {
         coalesce(col("__sq") >= 0L, lit(false)).as("keep"))
   }
 
+  /** X115 — per-group score calibration: z-score and percentile of a
+    * quality score WITHIN its group (source / language), the
+    * calibration step before any global keep-threshold — raw scores
+    * are not comparable across sources (CCNet thresholds perplexity
+    * per language for exactly this reason), so the gate runs on the
+    * calibrated values. Rows with a null score are dropped (they
+    * carry no rank; callers route them to the suppression path).
+    *
+    * Exactness: scores quantize to integer micro-units before the
+    * group Σ/Σ² (identical doubles round identically), so mean/var/z
+    * are bit-exact in any accumulation order; the percentile is
+    * rank-based ((r−1)/(n−1), ties by key) — pure integers.
+    *
+    * Scale shape: one skinny per-group moment agg broadcast back
+    * (groups ≪ rows), one per-group rank window — the window
+    * partitions by group; a group hot enough to bottleneck one task
+    * gets the same mitigation as every per-key window here.
+    */
+  def calibrateScores(scored: DataFrame, groupCol: String, keyCol: String,
+      scoreCol: String): DataFrame = {
+    val q = round(col(scoreCol) * 1e6, 0).cast("long")
+    val base = scored.filter(col(scoreCol).isNotNull)
+      .select(col(keyCol), col(groupCol), col(scoreCol), q.as("__q"))
+    val moments = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__s1"),
+        sum(col("__q") * col("__q")).as("__s2"))
+    val n = col("__n").cast("double")
+    val s1 = col("__s1").cast("double")
+    val varNum = col("__s2").cast("double") - s1 * s1 / n
+    val z = (col("__q") - s1 / n) / sqrt(varNum / n)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__q"), col(keyCol))
+    base.join(broadcast(moments), Seq(groupCol))
+      .withColumn("__r", row_number().over(w))
+      .select(col(keyCol), col(groupCol), col(scoreCol),
+        when(col("__n") >= 2 && varNum > 0, round(z, 6)).as("z_in_group"),
+        round(when(col("__n") > 1,
+          (col("__r") - 1).cast("double") / (col("__n") - 1).cast("double"))
+          .otherwise(lit(0.0)), 6).as("pct_in_group"))
+  }
+
   /** X94 — pairwise source-overlap matrix: exact Jaccard similarity
     * of the distinct k-word shingle sets of every source pair — the
     * corpus-composition diagnostic run before mixing (two "different"

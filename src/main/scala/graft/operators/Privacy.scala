@@ -66,4 +66,42 @@ object Privacy {
     counted.select(
       keyCols.map(col) :+ levelExpr.as("level") :+ kExpr.as("k"): _*)
   }
+
+  /** X114 — l-diversity profile (Machanavajjhala et al. 2007), the
+    * companion gate to [[anonymityLadder]]: k-anonymity bounds
+    * re-identification but a k-sized class whose SENSITIVE attribute
+    * is constant still leaks it (the homogeneity attack); a class is
+    * distinct-l-diverse when its sensitive column takes ≥ l values.
+    * Reports, per QI equivalence class: size, distinct-l, the
+    * entropy-l (exp of the sensitive distribution's entropy — the
+    * paper's stricter form, ≤ distinct-l, sensitive to skew), and
+    * the distinct-l ≥ l verdict.
+    *
+    * Entropy uses the integer nano-log convention (quantizedLogFit):
+    * H = lnq(n)/1e9 − (Σ c·lnq(c))/(n·1e9) from exact integer sums,
+    * so per-class values replay bit-for-bit cross-engine.
+    *
+    * Scale shape: one (QI, value) count agg (map-side combined) and
+    * one per-class agg over it — both QI-cardinality-sized; rows
+    * never shuffle wide.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitive: Column,
+      l: Long): DataFrame = {
+    require(qiCols.nonEmpty && l >= 1, s"need QI cols and l >= 1, got $l")
+    def lnq(v: Column): Column =
+      round(log(v.cast("double")) * 1e9, 0).cast("long")
+    val perValue = df.groupBy(
+        (qiCols.map(col) :+ sensitive.as("__s")): _*)
+      .agg(count(lit(1)).as("__c"))
+    perValue.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("distinct_l"),
+        sum(col("__c") * lnq(col("__c"))).as("__slc"))
+      .select(qiCols.map(col) ++ Seq(
+        col("n_rows"), col("distinct_l"),
+        round(exp(lnq(col("n_rows")) / 1e9 -
+          col("__slc").cast("double") / (col("n_rows") * 1e9)), 6)
+          .as("entropy_l"),
+        (col("distinct_l") >= l).as("meets_l")): _*)
+  }
 }

@@ -728,6 +728,129 @@ object Similarity {
         round(col("__r"), 6).as("db_score"))
   }
 
+  /** Cyclic Jacobi eigendecomposition of a small symmetric matrix —
+    * deterministic (fixed sweep order, fixed sweep count, convergence
+    * on off-diagonal mass), driver-side: the input here is a dim×dim
+    * covariance (dim ≤ a few hundred), never data-sized.
+    */
+  private[operators] def jacobiEigen(aIn: Array[Array[Double]],
+      maxSweeps: Int = 50): (Array[Double], Array[Array[Double]]) = {
+    val n = aIn.length
+    val a = aIn.map(_.clone)
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > 1e-14) {
+      off = 0.0
+      for (p <- 0 until n; q <- p + 1 until n) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-18) {
+          val theta = 0.5 * (a(q)(q) - a(p)(p)) / a(p)(q)
+          val t = (if (theta >= 0) 1.0 else -1.0) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until n) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (i <- 0 until n) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+          }
+          for (i <- 0 until n) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)),
+      Array.tabulate(n)(j => Array.tabulate(n)(i => v(i)(j)))) // rows = eigvecs
+  }
+
+  /** X116 — PCA whitening of an embedding column (Jung et al. 2021
+    * "Whitening Sentence Representations"; the standard pre-step
+    * before cosine dedup/ANN when embeddings have anisotropic
+    * variance): project onto the top-`k` covariance eigenvectors and
+    * rescale each to unit variance, so downstream cosine/L2 treats
+    * every retained direction equally.
+    *
+    * Architecture — the [[semDedupAuto]] layout: the distributed part
+    * computes the (dim, dim) covariance moments (one posexplode
+    * self-join on the row id, map-side combined to dim² sums — the
+    * irreducible covariance work), the dim²-bounded moment table
+    * collects to the driver where cyclic Jacobi (deterministic) takes
+    * eigenpairs, and the whitening matrix returns to the plan as
+    * LITERAL coefficients — projection is a zero-exchange scan.
+    * Eigenvectors sort by eigenvalue desc (ties by index) and fix
+    * sign (first max-|coeff| component positive), so output is
+    * deterministic across runs and partitionings; the query contract
+    * is rows-only (no closed-form oracle for eigenvectors), with the
+    * whitening guarantees spec-asserted instead.
+    */
+  def pcaWhiten(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      eps: Double = 1e-9): DataFrame = {
+    val dims = vecs.select(size(col(vecCol))).head.getInt(0)
+    require(k >= 1 && k <= dims, s"need 1 <= k <= $dims, got $k")
+    val exploded = vecs.select(col(idCol).as("__id"),
+      posexplode(toDouble(col(vecCol))).as(Seq("i", "x")))
+    val a = exploded.select(col("__id"), col("i"), col("x"))
+    val b = exploded.select(col("__id"), col("i").as("j"),
+      col("x").as("y"))
+    // upper-triangle second moments + first moments in ONE pass over
+    // the join (dim² output rows — bounded, collected). Per-term
+    // nano-unit quantization before the sums: integer sums commute,
+    // so the covariance — and therefore the eigenbasis and every
+    // whitened output — is identical under any partitioning (a raw
+    // double sum's order-dependent ulps would leak through Jacobi
+    // into round(6)-visible differences; spec-asserted).
+    val momRows = a.join(b, Seq("__id")).filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(round(col("x") * col("y") * 1e9, 0).cast("long")).as("sxy"),
+        count(lit(1)).as("n"),
+        sum(round(col("x") * 1e9, 0).cast("long")).as("sx"))
+      .collect()
+    val n = momRows.find(r => r.getAs[Int]("i") == 0 &&
+      r.getAs[Int]("j") == 0).map(_.getAs[Long]("n").toDouble)
+      .getOrElse(throw new IllegalArgumentException("empty input"))
+    val mean = new Array[Double](dims)
+    momRows.foreach { r =>
+      if (r.getAs[Int]("i") == r.getAs[Int]("j"))
+        mean(r.getAs[Int]("i")) = r.getAs[Long]("sx") / 1e9 / n
+    }
+    val cov = Array.ofDim[Double](dims, dims)
+    momRows.foreach { r =>
+      val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
+      val c = r.getAs[Long]("sxy") / 1e9 / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (eig, vecRows) = jacobiEigen(cov)
+    val order = eig.indices.sortBy(i => (-eig(i), i)).take(k)
+    val w = order.map { r =>
+      val ev = vecRows(r)
+      // sign convention: the largest-|coeff| component is positive
+      val piv = ev.indices.maxBy(i => (math.abs(ev(i)), -i))
+      val sgn = if (ev(piv) < 0) -1.0 else 1.0
+      val scale = sgn / math.sqrt(math.max(eig(r), 0.0) + eps)
+      ev.map(_ * scale)
+    }
+    val vArr = toDouble(col(vecCol))
+    val comps = w.zipWithIndex.map { case (row, r) =>
+      (0 until dims).map(d =>
+        (element_at(vArr, d + 1) - lit(mean(d))) * lit(row(d)))
+        .reduce(_ + _).as(s"__w$r")
+    }
+    vecs.select(col(idCol) +: comps: _*)
+      .select(col(idCol),
+        array((0 until k).map(r => round(col(s"__w$r"), 6)): _*)
+          .as("whitened"))
+  }
+
   /** X107 — margin-based candidate mining (Artetxe & Schwenk 2019,
     * the LASER/CCMatrix bitext-mining scorer): a raw cosine threshold
     * over-selects in dense "hubness" regions, so each candidate pair

@@ -1313,6 +1313,80 @@ object CorpusPrepQueries {
           .orderBy($"doc_id")
       }),
 
+    // X115: per-source score calibration — X109's classifier scores
+    // z-normalized and rank-percentiled WITHIN each source (the CCNet
+    // per-group thresholding shape). Micro-unit integer moments, so
+    // z and pct replay exactly.
+    QueryDef(
+      "q_score_calibration",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, source, w[i] AS g
+          FROM toks, unnest(range(1, len(w) + 1)) AS r(i)
+          UNION ALL
+          SELECT doc_id, source, w[i] || chr(1) || w[i+1] AS g
+          FROM toks, unnest(range(1, len(w))) AS r(i)
+        ), wq AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5('qclfw' || CAST(
+                     CAST(('0x' || substr(md5('qclf' || g), 1, 8)) AS BIGINT)
+                       % 1024 AS VARCHAR)), 1, 8)) AS BIGINT)
+                   - 2147483648 AS q
+          FROM grams
+        ), s AS (
+          SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(q) AS BIGINT) AS sq
+          FROM wq GROUP BY doc_id, source
+        ), sc AS (
+          SELECT doc_id, source,
+                 round(CAST(sq AS DOUBLE) / (n_grams * 2147483648.0), 6)
+                   AS score
+          FROM s
+        ), qz AS (
+          SELECT doc_id, source, score,
+                 CAST(round(score * 1e6, 0) AS BIGINT) AS qv
+          FROM sc
+        ), m AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(qv) AS BIGINT) AS s1,
+                 CAST(sum(qv * qv) AS BIGINT) AS s2
+          FROM qz GROUP BY source
+        ), r AS (
+          SELECT qz.doc_id, qz.source, qz.score, qz.qv, m.n, m.s1, m.s2,
+                 row_number() OVER (PARTITION BY qz.source
+                   ORDER BY qv, doc_id) AS rk
+          FROM qz JOIN m USING (source)
+        )
+        SELECT doc_id, source, score,
+               CASE WHEN n >= 2 AND
+                         CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n > 0
+                    THEN round((qv - CAST(s1 AS DOUBLE) / n)
+                      / sqrt((CAST(s2 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * s1 / n) / n), 6)
+               END AS z_in_group,
+               round(CASE WHEN n > 1
+                          THEN CAST(rk - 1 AS DOUBLE) / (n - 1)
+                          ELSE 0.0 END, 6) AS pct_in_group
+        FROM r
+        ORDER BY doc_id
+      """.trim),
+      "X115 per-source calibration (z + percentile) of X109 scores")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents")
+        val scored = CorpusOps.qualityClassifier(docs, "doc_id", "text")
+          .join(docs.select($"doc_id", $"source"), "doc_id")
+        CorpusOps.calibrateScores(scored, "source", "doc_id", "score")
+          .select($"doc_id", $"source", $"score", $"z_in_group",
+            $"pct_in_group")
+          .orderBy($"doc_id")
+      }),
+
     // X108: competence-based curriculum schedule — rarity difficulty
     // in integer nano-log units, 4 equal-population stages, md5
     // within-stage shuffle. The oracle replays the full integer

@@ -140,6 +140,42 @@ object CurationQueries {
           .orderBy($"doc_id")
       }),
 
+    // X114: l-diversity profile — the homogeneity-attack companion to
+    // X102: per (lang, source) class, how many distinct length bands
+    // the class's docs take, plus entropy-l from exact integer
+    // nano-log sums.
+    QueryDef(
+      "q_l_diversity",
+      Some("""
+        WITH d AS (
+          SELECT lang, source, n_chars // 100 AS band FROM documents
+        ), cv AS (
+          SELECT lang, source, band, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2, 3
+        ), cls AS (
+          SELECT lang, source, CAST(sum(c) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS distinct_l,
+                 CAST(sum(c * CAST(round(ln(c) * 1e9, 0) AS BIGINT))
+                      AS BIGINT) AS slc
+          FROM cv GROUP BY 1, 2
+        )
+        SELECT lang, source, n_rows, distinct_l,
+               round(exp(CAST(round(ln(n_rows) * 1e9, 0) AS BIGINT) / 1e9
+                         - CAST(slc AS DOUBLE) / (n_rows * 1e9)), 6)
+                 AS entropy_l,
+               distinct_l >= 3 AS meets_l
+        FROM cls
+        ORDER BY lang, source
+      """.trim),
+      "X114 l-diversity profile per (lang, source) class, l=3")(
+      (spark, dir) => {
+        import spark.implicits._
+        Privacy.lDiversity(table(spark, dir, "documents"),
+            qiCols = Seq("lang", "source"),
+            sensitive = expr("n_chars div 100"), l = 3L)
+          .orderBy($"lang", $"source")
+      }),
+
     // X103: deterministic whole-word MLM masking — BERT's 15% /
     // 80-10-10 policy with every choice drawn from md5(doc‖pos‖word),
     // replacement words from a 64-bucket vocabulary fold. The oracle

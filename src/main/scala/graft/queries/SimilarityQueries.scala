@@ -443,6 +443,22 @@ object SimilarityQueries {
           .orderBy($"dist".desc, $"vec_id")
       }),
 
+    // X116: PCA whitening — rows-only (eigenvectors have no
+    // closed-form SQL oracle); the whitening guarantees (unit
+    // variance, zero cross-covariance, max-variance leading axis,
+    // partitioning determinism) are spec-asserted in
+    // SelectionWaveSpec.
+    QueryDef(
+      "q_pca_whiten",
+      None,
+      "X116 PCA whitening of embeddings (top-8 axes, unit variance)")(
+      (spark, dir) => {
+        import spark.implicits._
+        Similarity.pcaWhiten(table(spark, dir, "embeddings"),
+            "vec_id", "embedding", k = 8)
+          .orderBy($"vec_id")
+      }),
+
     // X106: Calinski-Harabasz variance-ratio index — the third
     // cluster-validity score next to q_silhouette / q_davies_bouldin;
     // one row, so a sum drift anywhere in the BCSS/WCSS plumbing

@@ -711,6 +711,33 @@ class PlanAuditSpec extends AnyFunSuite {
       "anomaly window collapsed to a global sort")
   }
 
+  test("q_l_diversity: two skinny aggs, no join, map-side combine") {
+    val p = plan("q_l_diversity")
+    assert("HashJoin|SortMergeJoin|CartesianProduct".r.findFirstIn(p).isEmpty,
+      s"a join crept into the l-diversity path:\n${p.take(1500)}")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "class aggs lost map-side combine")
+  }
+
+  test("q_score_calibration: moment table broadcasts back; the rank " +
+    "window partitions by group (no global sort)") {
+    val p = plan("q_score_calibration")
+    assert(p.contains("BroadcastHashJoin"),
+      s"moment join stopped broadcasting:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_pca_whiten: projection is a zero-exchange scan — whitening " +
+    "matrix rides as literals, no join in the output plan") {
+    val p = plan("q_pca_whiten")
+    assert("HashJoin|SortMergeJoin|CartesianProduct".r.findFirstIn(p).isEmpty,
+      s"projection gained a join — literals regressed to a table:\n${p.take(1500)}")
+    // only the final ORDER BY exchanges
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-sort exchange in the projection scan:\n$exchanges")
+  }
+
   test("q_contrastive_pairs: pure scan — no joins, no windows, no " +
     "exchanges before the output sort") {
     val p = plan("q_contrastive_pairs")

@@ -184,4 +184,50 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(reparted == rows.map(_.toSeq).toSet)
   }
+
+  // ---- X114 l-diversity ---------------------------------------------
+
+  test("lDiversity: distinct and entropy forms on a hand example") {
+    val s = spark
+    import s.implicits._
+    // class A: sensitive [x, x, x, y]; class B: all the same value
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "z"), ("B", "z"), ("B", "z"))
+      .toDF("grp", "sens")
+    val out = Privacy.lDiversity(df, Seq("grp"), col("sens"), l = 2L)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("A").getAs[Long]("n_rows") == 4L)
+    assert(out("A").getAs[Long]("distinct_l") == 2L)
+    // H = ln4 − 3·ln3/4 → e^H ≈ 1.754765
+    assert(math.abs(out("A").getAs[Double]("entropy_l") - 1.754765) < 1e-6)
+    assert(out("A").getAs[Boolean]("meets_l"))
+    assert(out("B").getAs[Long]("distinct_l") == 1L)
+    assert(out("B").getAs[Double]("entropy_l") == 1.0)
+    assert(!out("B").getAs[Boolean]("meets_l"))
+  }
+
+  // ---- X115 score calibration ---------------------------------------
+
+  test("calibrateScores: z and percentile within group; singleton " +
+    "group yields null z, pct 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "g1", Some(1.0)), (2L, "g1", Some(2.0)),
+      (3L, "g1", Some(3.0)), (4L, "solo", Some(0.7)),
+      (5L, "g1", Option.empty[Double]))
+      .toDF("id", "grp", "score")
+    val out = CorpusOps.calibrateScores(df, "grp", "id", "score")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(!out.contains(5L)) // null score dropped
+    // population std of {1,2,3} = sqrt(2/3); z = ±1/std, 0
+    val z3 = math.rint(1.0 / math.sqrt(2.0 / 3.0) * 1e6) / 1e6
+    assert(math.abs(out(1L).getAs[Double]("z_in_group") + z3) < 1e-6)
+    assert(out(2L).getAs[Double]("z_in_group") == 0.0)
+    assert(math.abs(out(3L).getAs[Double]("z_in_group") - z3) < 1e-6)
+    assert(out(1L).getAs[Double]("pct_in_group") == 0.0)
+    assert(out(2L).getAs[Double]("pct_in_group") == 0.5)
+    assert(out(3L).getAs[Double]("pct_in_group") == 1.0)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("z_in_group")))
+    assert(out(4L).getAs[Double]("pct_in_group") == 0.0)
+  }
 }
