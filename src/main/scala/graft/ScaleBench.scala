@@ -106,7 +106,11 @@ object ScaleBench {
       "q_quality_classifier", "q_bpe_roundtrip",
       // X111–X113: CDC (JIT rolling scan + skinny hash window),
       // anomaly (per-user window), contrastive pairs (pure scan)
-      "q_cdc_chunks", "q_anomaly", "q_contrastive_pairs")
+      "q_cdc_chunks", "q_anomaly", "q_contrastive_pairs",
+      // X114–X116: l-diversity (two skinny aggs), calibration (moment
+      // broadcast + group rank window), PCA whitening (mapPartitions
+      // covariance + literal projection scan)
+      "q_l_diversity", "q_score_calibration", "q_pca_whiten")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)

@@ -797,37 +797,61 @@ object Similarity {
       eps: Double = 1e-9): DataFrame = {
     val dims = vecs.select(size(col(vecCol))).head.getInt(0)
     require(k >= 1 && k <= dims, s"need 1 <= k <= $dims, got $k")
-    val exploded = vecs.select(col(idCol).as("__id"),
-      posexplode(toDouble(col(vecCol))).as(Seq("i", "x")))
-    val a = exploded.select(col("__id"), col("i"), col("x"))
-    val b = exploded.select(col("__id"), col("i").as("j"),
-      col("x").as("y"))
-    // upper-triangle second moments + first moments in ONE pass over
-    // the join (dim² output rows — bounded, collected). Per-term
-    // nano-unit quantization before the sums: integer sums commute,
-    // so the covariance — and therefore the eigenbasis and every
-    // whitened output — is identical under any partitioning (a raw
-    // double sum's order-dependent ulps would leak through Jacobi
-    // into round(6)-visible differences; spec-asserted).
-    val momRows = a.join(b, Seq("__id")).filter(col("i") <= col("j"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(round(col("x") * col("y") * 1e9, 0).cast("long")).as("sxy"),
-        count(lit(1)).as("n"),
-        sum(round(col("x") * 1e9, 0).cast("long")).as("sx"))
-      .collect()
-    val n = momRows.find(r => r.getAs[Int]("i") == 0 &&
-      r.getAs[Int]("j") == 0).map(_.getAs[Long]("n").toDouble)
-      .getOrElse(throw new IllegalArgumentException("empty input"))
-    val mean = new Array[Double](dims)
-    momRows.foreach { r =>
-      if (r.getAs[Int]("i") == r.getAs[Int]("j"))
-        mean(r.getAs[Int]("i")) = r.getAs[Long]("sx") / 1e9 / n
+    // Upper-triangle second moments + first moments via ONE
+    // mapPartitions accumulator pass — a per-partition dim²/2 long
+    // array, one skinny row per partition to the driver (the
+    // treeAggregate-covariance shape; a posexplode self-join measured
+    // ~10× the wall time for the same sums). Per-term nano-unit
+    // quantization before the sums: integer sums commute, so the
+    // covariance — and therefore the eigenbasis and every whitened
+    // output — is identical under any partitioning (a raw double
+    // sum's order-dependent ulps would leak through Jacobi into
+    // round(6)-visible differences; spec-asserted).
+    val d = dims
+    val tri = d * (d + 1) / 2
+    val parts = vecs.select(toDouble(col(vecCol)).as("__v"))
+      .rdd.mapPartitions { it =>
+        val sxy = new Array[Long](tri)
+        val sx = new Array[Long](d)
+        var n = 0L
+        it.foreach { row =>
+          val v = row.getSeq[Double](0)
+          n += 1
+          var i = 0; var t = 0
+          while (i < d) {
+            val xi = v(i)
+            sx(i) += math.rint(xi * 1e9).toLong
+            var j = i
+            while (j < d) {
+              sxy(t) += math.rint(xi * v(j) * 1e9).toLong
+              j += 1; t += 1
+            }
+            i += 1
+          }
+        }
+        Iterator.single((n, sx, sxy))
+      }.collect()
+    require(parts.exists(_._1 > 0), "empty input")
+    val n = parts.map(_._1).sum.toDouble
+    val sx = new Array[Long](d)
+    val sxy = new Array[Long](tri)
+    parts.foreach { case (_, px, pxy) =>
+      var i = 0
+      while (i < d) { sx(i) += px(i); i += 1 }
+      var t = 0
+      while (t < tri) { sxy(t) += pxy(t); t += 1 }
     }
+    val mean = Array.tabulate(d)(i => sx(i) / 1e9 / n)
     val cov = Array.ofDim[Double](dims, dims)
-    momRows.foreach { r =>
-      val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
-      val c = r.getAs[Long]("sxy") / 1e9 / n - mean(i) * mean(j)
-      cov(i)(j) = c; cov(j)(i) = c
+    var ci = 0; var ct = 0
+    while (ci < d) {
+      var cj = ci
+      while (cj < d) {
+        val c = sxy(ct) / 1e9 / n - mean(ci) * mean(cj)
+        cov(ci)(cj) = c; cov(cj)(ci) = c
+        cj += 1; ct += 1
+      }
+      ci += 1
     }
     val (eig, vecRows) = jacobiEigen(cov)
     val order = eig.indices.sortBy(i => (-eig(i), i)).take(k)
