@@ -107,6 +107,69 @@ object Bleu {
       n => col(s"__t$n"))
   }
 
+  /** X117 — chrF (Popović 2015): character n-gram F-score, the
+    * tokenization-free eval metric next to BLEU/ROUGE-L/WER — robust
+    * to morphology and tokenizer mismatches because it never
+    * word-segments (the WMT-standard chrF2: β = 2, n = 1..6,
+    * whitespace stripped). Per pair: clipped char n-gram overlap per
+    * order, P = m/(len_h−n+1), R = m/(len_r−n+1),
+    * F_β = (1+β²)PR/(β²P+R), chrF = mean over orders.
+    *
+    * Exactness: counts and totals are exact integers (totals are the
+    * CLOSED FORM max(len−n+1, 0) — only the overlap needs the gram
+    * join); ratios/F evaluate the same fixed-shape expression on
+    * identical doubles; round(6) absorbs the 6-term mean's ulp drift.
+    *
+    * Scale shape: the [[sentenceBleu]] layout on characters — gram
+    * assembly is per-row array math in the scan, per-(doc, n, gram)
+    * counts map-side combine, the clip join keys on (doc, n, gram),
+    * and the n-spine is a bounded explode. Linear in corpus chars.
+    */
+  def chrF(pairs: DataFrame, idCol: String, refCol: String,
+      hypCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 9, s"need 1 <= maxN <= 9, got $maxN")
+    def strip(c: Column): Column =
+      regexp_replace(lower(coalesce(c, lit(""))), "\\s+", "")
+    val stripped = pairs.select(col(idCol), strip(col(refCol)).as("__r"),
+      strip(col(hypCol)).as("__h"))
+    def cgrams(c: Column, n: Int): Column =
+      when(length(c) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(c) - n + 1),
+          i => c.substr(i, lit(n))))
+    def counts(side: String, n: Int) = stripped
+      .select(col(idCol), explode(cgrams(col(side), n)).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as(s"__c$side"))
+    val overlaps = (1 to maxN).map { n =>
+      counts("__h", n).join(counts("__r", n), Seq(idCol, "__g"))
+        .groupBy(col(idCol))
+        .agg(sum(least(col("__c__h"), col("__c__r"))).as("__m"))
+        .select(col(idCol), lit(n).as("__n"), col("__m"))
+    }.reduce(_ union _)
+    val spine = stripped.select(col(idCol),
+        length(col("__r")).cast("long").as("ref_chars"),
+        length(col("__h")).cast("long").as("hyp_chars"),
+        explode(sequence(lit(1), lit(maxN))).as("__n"))
+    val joined = spine.join(overlaps, Seq(idCol, "__n"), "left")
+      .withColumn("__m", coalesce(col("__m"), lit(0L)))
+      .withColumn("__th",
+        greatest(col("hyp_chars") - col("__n") + 1, lit(0L)))
+      .withColumn("__tr",
+        greatest(col("ref_chars") - col("__n") + 1, lit(0L)))
+    val p = when(col("__th") > 0,
+      col("__m").cast("double") / col("__th")).otherwise(lit(0.0))
+    val r = when(col("__tr") > 0,
+      col("__m").cast("double") / col("__tr")).otherwise(lit(0.0))
+    val b2 = beta * beta
+    val f = when(p + r > lit(0.0),
+      lit(1.0 + b2) * p * r / (lit(b2) * p + r)).otherwise(lit(0.0))
+    joined.withColumn("__f", f)
+      .groupBy(col(idCol))
+      .agg(max(col("ref_chars")).as("ref_chars"),
+        max(col("hyp_chars")).as("hyp_chars"),
+        round(sum(col("__f")) / maxN, 6).as("chrf"))
+  }
+
   /** X88 — Self-BLEU (Zhu et al. 2018, Texygen): each doc scored as
     * the hypothesis against ALL OTHER docs as references — the
     * standard corpus-diversity diagnostic (high Self-BLEU = the

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Contamination, CorpusOps}
+import graft.operators.{Contamination, CorpusOps, Unigram}
 import graft.queries.QueryDef.table
 
 /** Corpus-preparation contract queries (north star X33–X36): benchmark
@@ -818,6 +818,37 @@ object CorpusPrepQueries {
           .select($"doc_id", $"n_tokens",
             length(dec).cast("long").as("n_dec_chars"),
             (dec === $"__nt").as("round_trip_ok"))
+          .orderBy($"doc_id")
+      }),
+
+    // X118: unigram-LM tokenizer (SentencePiece model). Rows-only by
+    // contract — EM is doubles, so there is no cross-engine float
+    // replay (the ANN convention); the algorithmic guarantees
+    // (char completeness, EM concentration, Viterbi round-trip,
+    // determinism) are spec-asserted in UnigramSpec.
+    QueryDef(
+      "q_unigram_vocab",
+      None,
+      "X118 unigram-LM (SentencePiece) fitted piece vocabulary")(
+      (spark, dir) => {
+        import spark.implicits._
+        Unigram.train(table(spark, dir, "documents"), "text",
+            vocabSize = 64, seedSize = 1024, maxPieceLen = 4)
+          .toDF()
+          .select($"piece", round($"logProb", 6).as("log_prob"))
+          .orderBy($"piece")
+      }),
+
+    QueryDef(
+      "q_unigram_encode",
+      None,
+      "X118 corpus Viterbi encode under the fitted unigram vocabulary")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents")
+        val vocab = Unigram.train(docs, "text", vocabSize = 64,
+          seedSize = 1024, maxPieceLen = 4)
+        Unigram.encodeDocs(docs, "doc_id", "text", vocab, 4)
           .orderBy($"doc_id")
       }),
 

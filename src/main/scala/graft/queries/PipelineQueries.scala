@@ -221,6 +221,92 @@ object PipelineQueries {
           .orderBy($"doc_id")
       }),
 
+    // X117: chrF2 vs the SAME corruption as q_wer/q_rouge_l/q_bleu —
+    // the tokenization-free character n-gram F completing the eval
+    // family. Integer clipped counts + closed-form totals; the
+    // 6-order mean rounds at 6 dp.
+    QueryDef(
+      "q_chrf",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), hypx AS (
+          SELECT doc_id,
+                 array_to_string(list(CASE WHEN i % 11 = 0 THEN 'zzz'
+                                           ELSE w[i] END
+                      ORDER BY i) FILTER (WHERE i % 7 <> 0), '') AS h
+          FROM toks, unnest(range(1, len(w) + 1)) AS r(i)
+          GROUP BY doc_id
+        ), p AS (
+          SELECT t.doc_id, array_to_string(t.w, '') AS r,
+                 coalesce(h.h, '') AS h
+          FROM toks t LEFT JOIN hypx h USING (doc_id)
+        ), grams AS (
+          SELECT doc_id, n, substring(r, i, n) AS g, 'r' AS side
+          FROM p, unnest([1,2,3,4,5,6]) AS nn(n),
+               unnest(range(1, length(r) - n + 2)) AS u(i)
+          UNION ALL
+          SELECT doc_id, n, substring(h, i, n) AS g, 'h' AS side
+          FROM p, unnest([1,2,3,4,5,6]) AS nn(n),
+               unnest(range(1, length(h) - n + 2)) AS u(i)
+        ), cnt AS (
+          SELECT doc_id, n, g,
+                 CAST(count(*) FILTER (WHERE side = 'h') AS BIGINT) AS ch,
+                 CAST(count(*) FILTER (WHERE side = 'r') AS BIGINT) AS cr
+          FROM grams GROUP BY 1, 2, 3
+        ), ov AS (
+          SELECT doc_id, n, CAST(sum(least(ch, cr)) AS BIGINT) AS m
+          FROM cnt WHERE ch > 0 AND cr > 0 GROUP BY 1, 2
+        ), spine AS (
+          SELECT doc_id, CAST(length(r) AS BIGINT) AS ref_chars,
+                 CAST(length(h) AS BIGINT) AS hyp_chars, n
+          FROM p, unnest([1,2,3,4,5,6]) AS nn(n)
+        ), ff AS (
+          SELECT s.doc_id, s.ref_chars, s.hyp_chars,
+                 CASE WHEN s.hyp_chars - s.n + 1 > 0
+                      THEN CAST(coalesce(o.m, 0) AS DOUBLE)
+                           / (s.hyp_chars - s.n + 1)
+                      ELSE 0.0 END AS pp,
+                 CASE WHEN s.ref_chars - s.n + 1 > 0
+                      THEN CAST(coalesce(o.m, 0) AS DOUBLE)
+                           / (s.ref_chars - s.n + 1)
+                      ELSE 0.0 END AS rr
+          FROM spine s LEFT JOIN ov o
+            ON o.doc_id = s.doc_id AND o.n = s.n
+        )
+        SELECT doc_id, ref_chars, hyp_chars,
+               round(sum(CASE WHEN pp + rr > 0.0
+                              THEN 5.0 * pp * rr / (4.0 * pp + rr)
+                              ELSE 0.0 END) / 6, 6) AS chrf
+        FROM ff
+        GROUP BY 1, 2, 3
+        ORDER BY doc_id
+      """.trim),
+      "X117 chrF2 character n-gram F vs the q_wer corruption")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.{Bleu, Dedup}
+        val docs = table(spark, dir, "documents")
+        val toks = docs.select($"doc_id", Dedup.tokens($"text").as("w"))
+        val hyp = toks
+          .select($"doc_id", posexplode($"w").as(Seq("pos", "word")))
+          .filter(($"pos" + 1) % 7 =!= 0)
+          .select($"doc_id", $"pos",
+            when(($"pos" + 1) % 11 === 0, "zzz").otherwise($"word")
+              .as("word"))
+          .groupBy($"doc_id")
+          .agg(concat_ws(" ", array_sort(collect_list(
+            struct($"pos", $"word"))).getField("word")).as("h"))
+        val pairs = toks.join(hyp, Seq("doc_id"), "left")
+          .select($"doc_id", array_join($"w", " ").as("ref_text"),
+            coalesce($"h", lit("")).as("hyp_text"))
+        Bleu.chrF(pairs, "doc_id", "ref_text", "hyp_text")
+          .orderBy($"doc_id")
+      }),
+
     // X86: sentence BLEU-4 vs the SAME corruption as q_wer/q_cer —
     // the n-gram-overlap eval metric completing the WER/CER family.
     // Clipped counts are exact integers; ln/exp evaluate the same

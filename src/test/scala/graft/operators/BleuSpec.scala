@@ -114,4 +114,36 @@ class BleuSpec extends AnyFunSuite {
     assert(r.getAs[Double]("bp") == 1.0)
     assert(r.getAs[Double]("bleu") == 0.5)
   }
+
+  // ---- X117 chrF ----------------------------------------------------
+
+  test("chrF: identical pair scores 1, disjoint pair 0, hand partial") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(
+      (1L, "the same text here", "the same text here"), // identical
+      (2L, "aaaaaa", "zzzzzz"), // fully disjoint
+      (3L, "a ab", "ab")) // hand case at maxN=1 below
+      .toDF("id", "ref", "hyp")
+    val out6 = Bleu.chrF(pairs, "id", "ref", "hyp")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out6(1L).getAs[Double]("chrf") == 1.0)
+    assert(out6(1L).getAs[Long]("ref_chars") == 15L) // whitespace stripped
+    assert(out6(2L).getAs[Double]("chrf") == 0.0)
+    // maxN=1: ref "aab" vs hyp "ab" — m = 2, P = 1, R = 2/3,
+    // F2 = 5·1·(2/3)/(4·1 + 2/3) = 5/7
+    val out1 = Bleu.chrF(pairs, "id", "ref", "hyp", maxN = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out1(3L).getAs[Double]("chrf") == r6(5.0 / 7.0))
+  }
+
+  test("chrF: empty hypothesis scores 0 with zero hyp_chars") {
+    val s = spark
+    import s.implicits._
+    val out = Bleu.chrF(Seq((1L, "some reference", "")).toDF("id", "ref",
+        "hyp"), "id", "ref", "hyp")
+      .collect().head
+    assert(out.getAs[Long]("hyp_chars") == 0L)
+    assert(out.getAs[Double]("chrf") == 0.0)
+  }
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkHarness
+
+/** X118 unigram-LM tokenizer: EM fitting, pruning, Viterbi encode. */
+class UnigramSpec extends AnyFunSuite {
+  private lazy val spark = SparkHarness.spark
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val corpus = docs(
+    (1L, "abab abab ababab cd cd"),
+    (2L, "abab cdcd abab xy"),
+    (3L, "ababab abab cd"))
+
+  test("train: frequent substrings survive pruning with high probability") {
+    val vocab = Unigram.train(corpus, "text", vocabSize = 12,
+      seedSize = 64, maxPieceLen = 4)
+    val m = vocab.map(p => p.piece -> p.logProb).toMap
+    // every character is present (never pruned)
+    Seq("a", "b", "c", "d", "x", "y").foreach(c =>
+      assert(m.contains(c), s"char $c pruned"))
+    // the dominant repeated unit is in the vocabulary and beats its
+    // characters: P(ab) > P(a), P(b) after EM mass concentrates
+    assert(m.contains("ab"), s"vocab: ${vocab.map(_.piece)}")
+    assert(m("ab") > m("a") && m("ab") > m("b"))
+    // vocabulary respects the size budget (chars are mandatory)
+    assert(vocab.size <= 12)
+    // log-probs normalize to <= 1 total mass (smoothing floors aside)
+    assert(vocab.map(p => math.exp(p.logProb)).sum <= 1.0 + 1e-6)
+  }
+
+  test("train: deterministic across runs and repartitionings") {
+    val a = Unigram.train(corpus, "text", vocabSize = 10, seedSize = 64,
+      maxPieceLen = 4)
+    val b = Unigram.train(
+      docs((1L, "abab abab ababab cd cd"), (2L, "abab cdcd abab xy"),
+        (3L, "ababab abab cd")).repartition(5),
+      "text", vocabSize = 10, seedSize = 64, maxPieceLen = 4)
+    assert(a == b)
+  }
+
+  test("encodeWord: Viterbi segments concatenate back to the word " +
+    "and prefer frequent long pieces") {
+    val vocab = Unigram.train(corpus, "text", vocabSize = 12,
+      seedSize = 64, maxPieceLen = 4)
+    val table = vocab.map(p => p.piece -> p.logProb).toMap
+    Seq("abab", "ababab", "cd", "xy", "cdcd").foreach { w =>
+      val segs = Unigram.encodeWord(w, table, maxPieceLen = 4)
+      assert(segs.mkString("") == w, s"round trip of $w: $segs")
+      assert(segs.forall(table.contains))
+    }
+    // compression: "ababab" segments into < 6 pieces given "ab"
+    assert(Unigram.encodeWord("ababab", table, 4).length < 6)
+  }
+
+  test("encodeWord: unseen word falls back to characters") {
+    val vocab = Unigram.train(corpus, "text", vocabSize = 12,
+      seedSize = 64, maxPieceLen = 4)
+    val table = vocab.map(p => p.piece -> p.logProb).toMap
+    // "xyxy" never appears as a substring pair; chars x,y exist
+    val segs = Unigram.encodeWord("yx", table, 4)
+    assert(segs == Seq("y", "x"))
+  }
+
+  test("encodeDocs: per-doc counts and text; empty doc -> (0, '')") {
+    val s = spark
+    import s.implicits._
+    val vocab = Unigram.train(corpus, "text", vocabSize = 12,
+      seedSize = 64, maxPieceLen = 4)
+    val d = docs((1L, "abab cd"), (2L, ""))
+    val out = Unigram.encodeDocs(d, "doc_id", "text", vocab, 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val enc = out(1L).getAs[String]("enc_text")
+    assert(enc.split(" ").mkString("") == "ababcd")
+    assert(out(1L).getAs[Long]("n_pieces") == enc.split(" ").length.toLong)
+    assert(out(2L).getAs[Long]("n_pieces") == 0L)
+    assert(out(2L).getAs[String]("enc_text") == "")
+  }
+}
