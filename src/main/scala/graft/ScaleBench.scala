@@ -110,7 +110,10 @@ object ScaleBench {
       // X114–X116: l-diversity (two skinny aggs), calibration (moment
       // broadcast + group rank window), PCA whitening (mapPartitions
       // covariance + literal projection scan)
-      "q_l_diversity", "q_score_calibration", "q_pca_whiten")
+      "q_l_diversity", "q_score_calibration", "q_pca_whiten",
+      // X117-X118: chrF (char-gram clip join), unigram tokenizer
+      // (driver EM on the vocab-sized word table + Viterbi scan)
+      "q_chrf", "q_unigram_vocab", "q_unigram_encode")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
