@@ -1038,6 +1038,54 @@ object CorpusOps {
         round(sum(col("__lr")), 6).as("log_weight"))
   }
 
+  /** X119 — Poisson-bootstrap confidence interval for a per-row
+    * statistic's mean (Chamandy et al. 2012, "Estimating Uncertainty
+    * for Massive Data Streams" — THE bootstrap that works distributed:
+    * each row draws an independent Poisson(1) replication weight per
+    * replicate, so no replicate ever needs a global resample pass).
+    * Weights come from the md5 inverse-CDF (fixed integer thresholds
+    * on the 2³² band grid — deterministic, content-stable,
+    * cross-engine exact like every sampler here). Output is one row:
+    * the full-sample mean plus the [2.5%, 97.5%] band of the
+    * replicate means.
+    *
+    * Scale shape: one bounded explode (rows × `replicates`) feeding a
+    * map-side-combinable (replicate) agg — `replicates` rows out —
+    * then a one-row percentile agg. No shuffle wider than the
+    * replicate table.
+    */
+  def bootstrapCI(df: DataFrame, keyCol: String, valueCol: String,
+      replicates: Int = 64, salt: String = "boot"): DataFrame = {
+    require(replicates >= 4, s"need replicates >= 4, got $replicates")
+    // P(X<=k) for Poisson(1), k=0..6, scaled to the 2^32 band grid
+    val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+      4213413783L, 4279248373L, 4292415291L, 4294609777L)
+    val spine = df.select(col(keyCol), col(valueCol).cast("long").as("__v"),
+      explode(sequence(lit(0), lit(replicates - 1))).as("__r"))
+    val u = md5Band(concat(col(keyCol).cast("string"), lit(":"),
+      col("__r").cast("string")), salt)
+    val w = thresholds.zipWithIndex
+      .foldRight(lit(thresholds.size): Column) { case ((t, k), rest) =>
+        when(u < t, lit(k)).otherwise(rest)
+      }.cast("long")
+    val perRep = spine.withColumn("__w", w)
+      .groupBy(col("__r"))
+      .agg(sum(col("__w") * col("__v")).as("__sv"),
+        sum(col("__w")).as("__sw"))
+      .select(col("__r"),
+        (col("__sv").cast("double") / col("__sw")).as("__m"))
+    val full = df.agg(count(lit(1)).as("n_rows"),
+      sum(col(valueCol).cast("long")).as("__s"))
+    full.crossJoin(perRep.agg(
+        count(lit(1)).as("n_replicates"),
+        percentile(col("__m"), lit(0.025)).as("__lo"),
+        percentile(col("__m"), lit(0.975)).as("__hi")))
+      .select(col("n_rows"), col("n_replicates"),
+        round(col("__s").cast("double") / col("n_rows"), 6)
+          .as("point_mean"),
+        round(col("__lo"), 6).as("ci_lo"), round(col("__hi"), 6).as("ci_hi"))
+  }
+
   /** X113 — contrastive span-pair prep (the DeCLUTR recipe, Giorgi
     * et al. 2021): two overlapping-or-adjacent token crops of the
     * same document form a positive pair for contrastive pretraining

@@ -1344,6 +1344,58 @@ object CorpusPrepQueries {
           .orderBy($"doc_id")
       }),
 
+    // X119: Poisson-bootstrap CI for mean tokens/doc — md5 inverse-CDF
+    // Poisson(1) weights on fixed integer thresholds, so replicate
+    // means (and the percentile band over them) replay exactly.
+    QueryDef(
+      "q_bootstrap_ci",
+      Some(s"""
+        WITH $toksCte, t AS (
+          SELECT doc_id, CAST(len(w) AS BIGINT) AS v FROM toks
+        ), sp AS (
+          SELECT doc_id, v, r,
+                 CAST(('0x' || substr(md5('boot'
+                   || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+          FROM t, unnest(range(0, 64)) AS u(r)
+        ), wts AS (
+          SELECT v, r,
+                 CAST(CASE WHEN b < 1580030168 THEN 0
+                      WHEN b < 3160060337 THEN 1
+                      WHEN b < 3950075421 THEN 2
+                      WHEN b < 4213413783 THEN 3
+                      WHEN b < 4279248373 THEN 4
+                      WHEN b < 4292415291 THEN 5
+                      WHEN b < 4294609777 THEN 6
+                      ELSE 7 END AS BIGINT) AS w
+          FROM sp
+        ), rep AS (
+          SELECT r,
+                 CAST(CAST(sum(w * v) AS BIGINT) AS DOUBLE)
+                   / CAST(sum(w) AS BIGINT) AS m
+          FROM wts GROUP BY r
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(v) AS BIGINT) AS s
+          FROM t
+        )
+        SELECT f.n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM rep) AS n_replicates,
+               round(CAST(f.s AS DOUBLE) / f.n_rows, 6) AS point_mean,
+               round((SELECT quantile_cont(m, 0.025) FROM rep), 6) AS ci_lo,
+               round((SELECT quantile_cont(m, 0.975) FROM rep), 6) AS ci_hi
+        FROM tot f
+      """.trim),
+      "X119 Poisson-bootstrap CI for mean tokens per document")(
+      (spark, dir) => {
+        import spark.implicits._
+        val counted = table(spark, dir, "documents")
+          .select($"doc_id",
+            size(graft.operators.Dedup.tokens($"text")).as("n_tokens"))
+        CorpusOps.bootstrapCI(counted, "doc_id", "n_tokens",
+          replicates = 64, salt = "boot")
+      }),
+
     // X115: per-source score calibration — X109's classifier scores
     // z-normalized and rank-percentiled WITHIN each source (the CCNet
     // per-group thresholding shape). Micro-unit integer moments, so

@@ -443,6 +443,30 @@ object SimilarityQueries {
           .orderBy($"dist".desc, $"vec_id")
       }),
 
+    // X120: persisted IVF index — build-once/serve-many (the FAISS
+    // write_index lifecycle); the serve join rides dynamic partition
+    // pruning over the cid-partitioned list store. Rows-only (KMeans
+    // centroids aren't DuckDB-reproducible, the q_knn_ivf contract);
+    // recall + DPP plan are spec-asserted in IvfIndexSpec.
+    QueryDef(
+      "q_ann_index",
+      None,
+      "X120 persisted IVF index: build + DPP-pruned top-k serve")(
+      (spark, dir) => {
+        import spark.implicits._
+        val emb = table(spark, dir, "embeddings")
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ivfidx").toString
+        graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+          nlist = 16, dir = idx)
+        graft.operators.IvfIndex.search(spark, idx,
+            emb.filter($"vec_id" % QueryStride === 0),
+            "vec_id", "embedding", k = K, nprobe = 4)
+          .select($"query_id", $"neighbor_id", $"rank",
+            round($"cos", 6).as("cos"))
+          .orderBy($"query_id", $"rank")
+      }),
+
     // X116: PCA whitening — rows-only (eigenvectors have no
     // closed-form SQL oracle); the whitening guarantees (unit
     // variance, zero cross-covariance, max-variance leading axis,
