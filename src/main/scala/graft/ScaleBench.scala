@@ -113,7 +113,10 @@ object ScaleBench {
       "q_l_diversity", "q_score_calibration", "q_pca_whiten",
       // X117-X118: chrF (char-gram clip join), unigram tokenizer
       // (driver EM on the vocab-sized word table + Viterbi scan)
-      "q_chrf", "q_unigram_vocab", "q_unigram_encode")
+      "q_chrf", "q_unigram_vocab", "q_unigram_encode",
+      // X119-X120: bootstrap (bounded explode + replicate agg),
+      // persisted IVF (build fit + partitioned write + DPP serve)
+      "q_bootstrap_ci", "q_ann_index")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
