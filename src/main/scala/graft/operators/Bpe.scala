@@ -175,6 +175,72 @@ object Bpe {
       regexp_replace(encText, " ", ""),
       java.util.regex.Pattern.quote(marker), " "))
 
+  /** X121 — WordPiece greedy encode (Wu et al. 2016; the BERT
+    * tokenizer's matching rule) over the vocabulary the X73 merges
+    * induce: the vocab is every symbol appearing in any corpus
+    * word's final BPE split, and each word segments by repeatedly
+    * taking the LONGEST vocab piece prefixing the remainder —
+    * continuation pieces carry the `##` marker, and a word the greedy
+    * walk cannot finish becomes `unk` whole (the BERT [UNK] rule;
+    * greedy-longest can dead-end where BPE's merge replay cannot,
+    * e.g. vocab {ab, bc} on "abc").
+    *
+    * Same scan shape as [[encodeDocs]]: vocabulary rides the closure,
+    * rows encode independently, memoized per executor. The oracle
+    * replays vocab derivation AND the greedy walk (longest-prefix
+    * table + recursive position walk) in SQL, so the contract is
+    * hash-exact — unusual for a tokenizer family.
+    */
+  def wordpieceEncodeDocs(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], maxVocab: Int = 1000000,
+      unk: String = "[UNK]"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .distinct().limit(maxVocab + 1).as[String].collect()
+    require(words.length <= maxVocab,
+      s"word vocabulary exceeds maxVocab=$maxVocab")
+    val vocab: Set[String] =
+      words.iterator.flatMap(w => encodeWord(w, merges)).toSet
+    val maxLen = if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).max
+    val vb = vocab; val ml = maxLen; val u = unk
+    val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    def greedy(w: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < w.length) {
+        var len = math.min(ml, w.length - pos)
+        var hit: String = null
+        while (len >= 1 && hit == null) {
+          val cand = w.substring(pos, pos + len)
+          if (vb(cand)) hit = cand else len -= 1
+        }
+        if (hit == null) return Array(u) // dead end -> whole-word UNK
+        out += (if (pos == 0) hit else "##" + hit)
+        pos += hit.length
+      }
+      out.toArray
+    }
+    val enc = udf { toks: Seq[String] =>
+      val ws = if (toks == null) Seq.empty[String] else toks
+      val parts = ws.map { w =>
+        var got = memo.get(w)
+        if (got == null) {
+          got = greedy(w)
+          if (memo.size < (1 << 20)) memo.put(w, got)
+        }
+        got
+      }
+      (parts.iterator.map(_.length.toLong).sum,
+        parts.iterator.map(_.mkString(" ")).mkString(" "))
+    }
+    docs
+      .select(col(idCol), enc(Dedup.tokens(col(textCol))).as("__e"))
+      .select(col(idCol), col("__e._1").as("n_pieces"),
+        col("__e._2").as("enc_text"))
+  }
+
   /** Tokenize a word with a learned merge table: start from
     * characters, apply merges in rank order (each exhaustively,
     * left-to-right — the same scan as training, so training's own

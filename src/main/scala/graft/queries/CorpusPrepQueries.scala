@@ -821,6 +821,84 @@ object CorpusPrepQueries {
           .orderBy($"doc_id")
       }),
 
+    // X121: WordPiece greedy encode over the X73-induced vocabulary —
+    // the BERT matching rule with ## continuations and whole-word
+    // [UNK] on greedy dead-ends. The oracle replays vocab derivation
+    // AND the greedy walk (longest-prefix table + recursive position
+    // walk), so the third tokenizer family is hash-exact.
+    QueryDef(
+      "q_wordpiece_encode",
+      Some(bpeStateCte + """,
+        final AS (
+          SELECT w, syms FROM (
+            SELECT w, syms,
+                   row_number() OVER (PARTITION BY w ORDER BY rank DESC) AS rn
+            FROM state
+          ) WHERE rn = 1
+        ),
+        wpvocab AS (
+          SELECT DISTINCT unnest(syms) AS p FROM final
+        ),
+        wpwords AS (SELECT w FROM final),
+        lp AS (
+          SELECT wd.w, u.pos,
+                 (array_agg(v.p ORDER BY length(v.p) DESC, v.p))[1] AS p
+          FROM wpwords wd
+          CROSS JOIN unnest(range(1, length(wd.w) + 1)) AS u(pos)
+          JOIN wpvocab v ON substring(wd.w, CAST(u.pos AS INT),
+                                    length(v.p)) = v.p
+          GROUP BY wd.w, u.pos
+        ),
+        seg AS (
+          SELECT w, CAST(1 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS acc,
+                 CAST(0 AS BIGINT) AS np
+          FROM wpwords
+          UNION ALL
+          SELECT s.w, s.pos + length(l.p),
+                 CASE WHEN s.pos = 1 THEN l.p
+                      ELSE s.acc || ' ##' || l.p END,
+                 s.np + 1
+          FROM seg s JOIN lp l ON l.w = s.w AND l.pos = s.pos
+          WHERE s.pos <= length(s.w)
+        ),
+        done AS (
+          SELECT w, acc, np FROM seg WHERE pos = length(w) + 1
+        ),
+        wenc AS (
+          SELECT wd.w, coalesce(d.acc, '[UNK]') AS enc,
+                 coalesce(d.np, 1) AS np
+          FROM wpwords wd LEFT JOIN done d USING (w)
+        ),
+        toks2 AS (
+          SELECT doc_id, i, w[i] AS w
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS w
+                FROM documents),
+               unnest(range(1, len(w) + 1)) AS u(i)
+        ),
+        agg AS (
+          SELECT t.doc_id, CAST(sum(e.np) AS BIGINT) AS n_pieces,
+                 string_agg(e.enc, ' ' ORDER BY i) AS enc_text
+          FROM toks2 t JOIN wenc e USING (w)
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id, coalesce(a.n_pieces, 0) AS n_pieces,
+               coalesce(a.enc_text, '') AS enc_text
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
+      """.trim),
+      "X121 WordPiece greedy encode (## continuations, [UNK] dead-ends)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents")
+        val merges = graft.operators.Bpe.trainMerges(
+          docs, "text", numMerges = 20)
+        graft.operators.Bpe.wordpieceEncodeDocs(docs, "doc_id", "text",
+            merges)
+          .orderBy($"doc_id")
+      }),
+
     // X118: unigram-LM tokenizer (SentencePiece model). Rows-only by
     // contract — EM is doubles, so there is no cross-engine float
     // replay (the ANN convention); the algorithmic guarantees

@@ -104,4 +104,39 @@ class BpeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxVocab"))
   }
+
+  // ---- X121 WordPiece greedy encode ---------------------------------
+
+  test("wordpiece: greedy longest-match with ## continuations") {
+    val s = SparkHarness.spark
+    import s.implicits._
+    // corpus: (a,b) wins the single merge -> vocab {a, b, ab}
+    val docs = Seq((1L, "aba ab a b"), (2L, "ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 1)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b")))
+    val out = Bpe.wordpieceEncodeDocs(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // "aba" -> ab + ##a, "ab" -> ab, "a" -> a, "b" -> b
+    assert(out(1L).getAs[String]("enc_text") == "ab ##a ab a b")
+    assert(out(1L).getAs[Long]("n_pieces") == 5L)
+    assert(out(2L).getAs[String]("enc_text") == "ab ab")
+    // piece count always equals the space-split length of enc_text
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_pieces") ==
+        r.getAs[String]("enc_text").split(" ").count(_.nonEmpty).toLong)
+    }
+  }
+
+  test("wordpiece: deterministic across repartitionings") {
+    val s = SparkHarness.spark
+    import s.implicits._
+    val docs = (1L to 30L).map(i => (i, s"low lower lowest w$i low"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 8)
+    val a = Bpe.wordpieceEncodeDocs(docs, "doc_id", "text", merges)
+      .orderBy($"doc_id").collect().toSeq
+    val b = Bpe.wordpieceEncodeDocs(docs.repartition(7), "doc_id", "text",
+      merges).orderBy($"doc_id").collect().toSeq
+    assert(a == b)
+  }
 }
