@@ -116,7 +116,9 @@ object ScaleBench {
       "q_chrf", "q_unigram_vocab", "q_unigram_encode",
       // X119-X120: bootstrap (bounded explode + replicate agg),
       // persisted IVF (build fit + partitioned write + DPP serve)
-      "q_bootstrap_ci", "q_ann_index")
+      "q_bootstrap_ci", "q_ann_index",
+      // X121: WordPiece (driver vocab + memoized greedy scan)
+      "q_wordpiece_encode")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
