@@ -129,4 +129,41 @@ object Sinks {
       .coalesce(1).write.mode("overwrite")
       .option("header", true).csv(s"$outDir/word_coverage")
   }
+
+  /** X122 — the PHYSICAL release writer behind X105's manifest: docs
+    * land under `dir/data/` PARTITIONED BY (source, shard) with the
+    * same token-budget shard rule as [[graft.operators.CorpusOps
+    * .exportManifest]], sorted by id within each shard file, and the
+    * manifest itself lands at `dir/manifest/` — so a consumer gets
+    * the Dolma-style layout (one directory per shard, reproducible
+    * bytes, a checksum table any engine re-derives in one query) and
+    * a trainer's per-shard readers stream disjoint directories.
+    *
+    * Scale shape: shard assignment is the per-source running-sum
+    * window (skinny — id + count only), the write is one
+    * `repartition(source, shard)` exchange (each shard lands as one
+    * task's sorted file), and the manifest agg is the X105 query.
+    * Returns the manifest DataFrame (also persisted) for chaining.
+    */
+  def writeShardedCorpus(docs: org.apache.spark.sql.DataFrame,
+      partitionCol: String, idCol: String, textCol: String,
+      shardBudget: Long, dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.{CorpusOps, Dedup}
+    val counted = docs.select(col(partitionCol), col(idCol), col(textCol),
+      size(coalesce(Dedup.tokens(col(textCol)),
+        array().cast("array<string>"))).cast("long").as("n_tokens"))
+    CorpusOps.tokenShards(counted, partitionCol, idCol, "n_tokens",
+        shardBudget)
+      .select(col(partitionCol), col("shard_id"), col(idCol),
+        col(textCol), col("n_tokens"))
+      .repartition(col(partitionCol), col("shard_id"))
+      .sortWithinPartitions(col(idCol))
+      .write.mode("overwrite").partitionBy(partitionCol, "shard_id")
+      .parquet(s"$dir/data")
+    val manifest = CorpusOps.exportManifest(docs, partitionCol, idCol,
+      textCol, shardBudget)
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/manifest")
+    manifest
+  }
 }

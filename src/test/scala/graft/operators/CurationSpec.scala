@@ -185,6 +185,49 @@ class CurationSpec extends AnyFunSuite {
     assert(reparted == rows.map(_.toSeq).toSet)
   }
 
+  // ---- X122 sharded release writer ----------------------------------
+
+  test("writeShardedCorpus: physical layout matches the manifest and " +
+    "a consumer re-derives the checksums from the written data") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 30).map { i =>
+      (s"src${i % 3}", i.toLong, (0 until 10).map(j => s"t$i$j").mkString(" "))
+    }.toDF("source", "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shardout").toString
+    val manifest = graft.Sinks.writeShardedCorpus(docs, "source",
+      "doc_id", "text", 25L, dir)
+
+    // layout: source=/shard_id= partition directories exist
+    val srcDirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("source="))
+    assert(srcDirs.length == 3)
+    assert(srcDirs.forall(_.listFiles()
+      .exists(_.getName.startsWith("shard_id="))))
+
+    // round trip: every (doc_id, text) row survives exactly once
+    val back = s.read.parquet(s"$dir/data")
+    assert(back.count() == 30)
+    assert(back.select("doc_id", "text").collect().map(_.toSeq).toSet ==
+      docs.select("doc_id", "text").collect().map(_.toSeq).toSet)
+
+    // the persisted manifest equals the returned one, and a consumer
+    // recomputing per-(source, shard) stats from the DATA files gets
+    // the same counts and checksums
+    val persisted = s.read.parquet(s"$dir/manifest")
+    assert(persisted.collect().map(_.toSeq).toSet ==
+      manifest.collect().map(_.toSeq).toSet)
+    val rederived = back
+      .groupBy($"source", $"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        min($"doc_id").as("first_id"), max($"doc_id").as("last_id"),
+        sum(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long"))
+          .as("checksum"))
+      .collect().map(_.toSeq).toSet
+    assert(rederived == manifest.collect().map(_.toSeq).toSet)
+  }
+
   // ---- X114 l-diversity ---------------------------------------------
 
   test("lDiversity: distinct and entropy forms on a hand example") {
