@@ -121,6 +121,62 @@ class StreamingCorpusOpsSpec extends AnyFunSuite {
     assert(got(0L) ++ got(1L) == all)
   }
 
+  test("cdcChunks under foreachBatch == batch form except corpus-wide " +
+      "copy counts (per-doc cuts are content-stable)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def chunks(df: DataFrame): DataFrame =
+      CorpusOps.cdcChunks(df, "doc_id", "text")
+        .drop("n_copies") // corpus-wide by definition; batch-scoped here
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Set[String]]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = canon(chunks(batch))
+        got.synchronized { got(batchId) = out }
+        ()
+      }.start()
+    def pseudo(seed: Int, n: Int): String =
+      (0 until n).map(i => ('a' + ((i * 31 + seed * 17 + i * i % 97) % 26))
+        .toChar).mkString
+    val b0 = Seq((1L, pseudo(1, 400)), (2L, pseudo(2, 300)))
+    val b1 = Seq((3L, pseudo(1, 400))) // same content as doc 1
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    assert(got(0L) == canon(chunks(b0.toDF("doc_id", "text"))))
+    assert(got(1L) == canon(chunks(b1.toDF("doc_id", "text"))))
+    // content stability across batches: doc 3 repeats doc 1's text —
+    // identical cut offsets and hashes, only the doc id differs
+    val strip = (x: Set[String]) => x.map(_.split("\\|").drop(1).mkString("|"))
+    assert(strip(got(1L)).subsetOf(strip(got(0L))))
+  }
+
+  test("contrastivePairs under foreachBatch == batch form per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def pairs(df: DataFrame): DataFrame =
+      CorpusOps.contrastivePairs(df, "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Set[String]]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = canon(pairs(batch))
+        got.synchronized { got(batchId) = out }
+        ()
+      }.start()
+    val b0 = Seq((1L, (1 to 12).map(i => s"a$i").mkString(" ")),
+      (2L, "too short"))
+    val b1 = Seq((3L, (1 to 9).map(i => s"b$i").mkString(" ")))
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    assert(got(0L) == canon(pairs(b0.toDF("doc_id", "text"))))
+    assert(got(1L) == canon(pairs(b1.toDF("doc_id", "text"))))
+  }
+
   test("qualityClassifier under foreachBatch == batch form (and is " +
       "content-stable across batch splits)") {
     val s = spark
