@@ -820,6 +820,29 @@ object CorpusOps {
     *
     * Output: (anchor_id, neg_id, rk), rk in 1..k by the md5 draw.
     */
+  /** X123 — grouped k-fold assignment (scikit-learn's GroupKFold
+    * hygiene on [[leakProofSplit]]'s foundation): every doc in the
+    * same near-dup cluster lands in the same fold, so no CV fold ever
+    * trains on a near-copy of its own validation data — the
+    * cross-validation form of the X69 leak-proof split. Fold =
+    * md5(cluster) % k: content-stable, no fold-size bookkeeping, and
+    * folds are ~balanced by the hash (exactly the sampler
+    * convention). Singleton docs key on their own id.
+    *
+    * Scale shape: one left join onto the (skinny) cluster table +
+    * scan-stage hash — nothing else moves.
+    */
+  def groupedKFold(docs: DataFrame, docCol: String, clusters: DataFrame,
+      k: Int, salt: String = "fold"): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    val key = coalesce(col("cluster_id"), col(docCol))
+    docs.select(col(docCol))
+      .join(clusters.select(col(docCol), col("cluster_id")), Seq(docCol),
+        "left")
+      .select(col(docCol), key.as("cluster_id"),
+        (md5Band(key.cast("string"), salt) % k).cast("int").as("fold"))
+  }
+
   def negativeSample(vecs: DataFrame, idCol: String, labelCol: String,
       k: Int, probes: Int = 4, buckets: Int = 64,
       salt: String = ""): DataFrame = {

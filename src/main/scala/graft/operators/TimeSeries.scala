@@ -49,6 +49,38 @@ object TimeSeries {
         last(col("last_value"), ignoreNulls = true).over(w).as("filled"))
   }
 
+  /** X124 — SCD2 interval compaction (the warehouse slowly-changing-
+    * dimension type-2 materialization, via the gaps-and-islands
+    * pattern): per key, consecutive runs of the same `valueCol`
+    * collapse into validity intervals — (value, valid_from,
+    * valid_to, n_events), `valid_to` = the next run's start, NULL on
+    * the current (open) run. Null values compare with null-safe
+    * equality, so a null-valued run compacts like any other.
+    *
+    * Scale shape: one per-key ordered window (lag flag + running run
+    * id — the sessionize lag→flag→cumsum shape), one map-side-
+    * combinable run agg, and the `valid_to` lead runs on the SKINNY
+    * run table. Pure integer/timestamp arithmetic — hash-exact.
+    */
+  def compactIntervals(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val runs = events.select(col(keyCol), col(tsCol), col(idCol),
+        col(valueCol))
+      .withColumn("__new",
+        when(!(lag(col(valueCol), 1).over(w) <=> col(valueCol)), 1)
+          .otherwise(0))
+      .withColumn("__run", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__run"), col(valueCol))
+      .agg(min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wr = Window.partitionBy(col(keyCol)).orderBy(col("__run"))
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
+      .select(col(keyCol), col(valueCol), col("valid_from"),
+        col("valid_to"), col("n_events"))
+  }
+
   /** X112 — rolling z-score anomaly flags: each event's `valueCol`
     * against the mean/std of its own key's trailing `lookback`
     * events (the current row excluded — the reference window must

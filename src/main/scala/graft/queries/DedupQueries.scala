@@ -499,6 +499,52 @@ object DedupQueries {
           .orderBy($"doc_id")
       }),
 
+    // X123: grouped k-fold CV assignment — same cluster derivation as
+    // q_split_leakproof, fold = md5(cluster) % 5; near-dup docs can
+    // never straddle a fold boundary.
+    QueryDef(
+      "q_grouped_kfold",
+      Some(s"""${shingleSql.replaceFirst("WITH", "WITH RECURSIVE")},
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)))
+                >= $JaccardThreshold
+        ), edges AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION SELECT d2, d1 FROM pairs
+        ), reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), comp AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src
+        ), m AS (
+          SELECT d.doc_id,
+                 coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp c USING (doc_id)
+        )
+        SELECT doc_id, cluster_id,
+               CAST(('0x' || substr(md5('fold' ||
+                  CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 5
+                 AS INTEGER) AS fold
+        FROM m
+        ORDER BY doc_id""".stripMargin.trim),
+      "X123 grouped 5-fold CV assignment keyed on near-dup clusters")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents")
+        val clusters = Dedup.resolveClusters(
+          Dedup.jaccardPairsExact(shingled(spark, dir), "doc_id",
+            JaccardThreshold))
+        graft.operators.CorpusOps.groupedKFold(docs, "doc_id", clusters,
+            k = 5, salt = "fold")
+          .orderBy($"doc_id")
+      }),
+
     // X72: incremental SemDeDup — the vec_id % 25 == 0 slice plays the
     // incoming batch, the rest the existing corpus; each new vector
     // reports its best same-label corpus match at cos ≥ 0.3 (ties to

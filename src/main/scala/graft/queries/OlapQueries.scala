@@ -471,6 +471,46 @@ object OlapQueries {
           .orderBy($"event_id")
       }),
 
+    // X124: SCD2 interval compaction — per user, consecutive
+    // same-event_type runs collapse to validity intervals (the
+    // gaps-and-islands warehouse materialization). Pure
+    // integer/timestamp arithmetic, hash-exact.
+    QueryDef(
+      "q_scd2_intervals",
+      Some("""
+        WITH f AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(event_type) OVER w
+                           IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END AS nw
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), r AS (
+          SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS run
+          FROM f
+        ), g AS (
+          SELECT user_id, run, event_type, min(ts) AS valid_from,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM r GROUP BY 1, 2, 3
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                 ORDER BY run) AS valid_to,
+               n_events
+        FROM g
+        ORDER BY user_id, valid_from
+      """.trim),
+      "X124 SCD2 interval compaction per user (gaps-and-islands)")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.TimeSeries.compactIntervals(
+            QueryDef.events(spark, dir), "user_id", "ts", "event_id",
+            "event_type")
+          .orderBy($"user_id", $"valid_from")
+      }),
+
     // Z-order (Morton) clustering key: bit-interleave two dimension
     // keys so one sort column preserves locality in both — the
     // multi-dimensional file-skipping layout (ZOrder.cluster writes

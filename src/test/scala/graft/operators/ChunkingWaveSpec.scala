@@ -116,6 +116,58 @@ class ChunkingWaveSpec extends AnyFunSuite {
     assert(!out(12L).getAs[Boolean]("is_anomaly"))
   }
 
+  // ---- X123 grouped k-fold ------------------------------------------
+
+  test("groupedKFold: cluster-mates share a fold; singletons key on " +
+    "their own id; folds stay in range") {
+    val s = spark
+    import s.implicits._
+    val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val out = CorpusOps.groupedKFold(d, "doc_id", clusters, k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("fold") == out(2L).getAs[Int]("fold"))
+    assert(out(3L).getAs[Int]("fold") == out(4L).getAs[Int]("fold"))
+    assert(out.values.forall { r =>
+      val f = r.getAs[Int]("fold"); f >= 0 && f < 3
+    })
+    assert(out(5L).getAs[Long]("cluster_id") == 5L)
+  }
+
+  // ---- X124 SCD2 interval compaction --------------------------------
+
+  test("compactIntervals: runs collapse, valid_to chains, open run " +
+    "is null; null values compact like any other") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (0L, 1L, Some("A")), (1L, 1L, Some("A")), (2L, 1L, Some("B")),
+      (3L, 1L, Option.empty[String]), (4L, 1L, Option.empty[String]),
+      (5L, 1L, Some("A")),
+      (10L, 2L, Some("X")))
+      .map { case (id, u, v) =>
+        (id, u, new java.sql.Timestamp(1700000000000L + id * 1000), v)
+      }.toDF("event_id", "user_id", "ts", "event_type")
+    val out = TimeSeries.compactIntervals(rows, "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy(col("user_id"), col("valid_from")).collect()
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.map(r => Option(r.getAs[String]("event_type"))).toSeq ==
+      Seq(Some("A"), Some("B"), None, Some("A")))
+    assert(u1.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L, 2L, 1L))
+    // valid_to of each interval == valid_from of the next; last open
+    u1.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+          b.getAs[java.sql.Timestamp]("valid_from"))
+      case _ =>
+    }
+    assert(u1.last.isNullAt(u1.last.fieldIndex("valid_to")))
+    val u2 = out.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length == 1 && u2.head.isNullAt(u2.head.fieldIndex("valid_to")))
+  }
+
   // ---- X113 contrastive pairs ---------------------------------------
 
   test("contrastivePairs: views are real in-bounds crops with the " +
