@@ -118,7 +118,10 @@ object ScaleBench {
       // persisted IVF (build fit + partitioned write + DPP serve)
       "q_bootstrap_ci", "q_ann_index",
       // X121: WordPiece (driver vocab + memoized greedy scan)
-      "q_wordpiece_encode")
+      "q_wordpiece_encode",
+      // X123-X124: grouped k-fold (cluster join + scan hash), SCD2
+      // compaction (per-key lag-flag-cumsum + skinny run lead)
+      "q_grouped_kfold", "q_scd2_intervals")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
