@@ -1061,6 +1061,53 @@ object CorpusOps {
         round(sum(col("__lr")), 6).as("log_weight"))
   }
 
+  /** X126 — χ² test of independence between two categorical columns
+    * (Pearson 1900), the corpus-composition DRIFT alarm: if language
+    * (or length band, or quality verdict) is not independent of
+    * source, the mixture changed — the monitoring statistic a corpus
+    * pipeline tracks between snapshots. Reports χ², degrees of
+    * freedom, and Cramér's V (the [0,1] effect size that stays
+    * comparable as the corpus grows).
+    *
+    * The sum runs over ALL r×c cells including zero-observed ones
+    * (the standard definition — skipping empty cells understates
+    * χ²): the full grid is the ROW-TOTALS × COL-TOTALS cross join —
+    * category-cardinality-sized, never data-sized — left-joined to
+    * observed counts. Integer counts → identical expected values and
+    * χ² terms cross-engine; round(6) absorbs the cell-sum order.
+    *
+    * Scale shape: one (r, c) count agg (map-side combined), two
+    * marginal aggs over it, and everything downstream lives on
+    * category-sized tables.
+    */
+  def contingencyChi2(df: DataFrame, rowCol: String, colCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).as("__o"))
+    val rowT = cells.groupBy(col("__r")).agg(sum(col("__o")).as("__rt"))
+    val colT = cells.groupBy(col("__c")).agg(sum(col("__o")).as("__ct"))
+    val tot = cells.agg(sum(col("__o")).as("__n"),
+      count_distinct(col("__r")).as("__nr"),
+      count_distinct(col("__c")).as("__nc"))
+    val grid = rowT.crossJoin(colT)
+      .join(cells, Seq("__r", "__c"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__e",
+        col("__rt").cast("double") * col("__ct") / col("__n"))
+    grid.agg(
+        max(col("__n")).as("n"), max(col("__nr")).as("n_rows_cat"),
+        max(col("__nc")).as("n_cols_cat"),
+        sum((col("__o") - col("__e")) * (col("__o") - col("__e")) /
+          col("__e")).as("__chi2"))
+      .select(col("n"), col("n_rows_cat"), col("n_cols_cat"),
+        ((col("n_rows_cat") - 1) * (col("n_cols_cat") - 1)).as("dof"),
+        round(col("__chi2"), 6).as("chi2"),
+        round(sqrt(col("__chi2") / (col("n") *
+          least(col("n_rows_cat") - 1, col("n_cols_cat") - 1))), 6)
+          .as("cramers_v"))
+  }
+
   /** X119 — Poisson-bootstrap confidence interval for a per-row
     * statistic's mean (Chamandy et al. 2012, "Estimating Uncertainty
     * for Massive Data Streams" — THE bootstrap that works distributed:

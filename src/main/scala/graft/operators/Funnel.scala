@@ -64,4 +64,48 @@ object Funnel {
       count(col(s"t_${steps.head._1}")).as(s"n_${steps.head._1}"),
       steps.tail.map { case (n, _) => count(col(s"t_$n")).as(s"n_$n") }: _*)
   }
+
+  /** X125 — retention cohort matrix (the product-analytics staple
+    * next to [[counts]]' funnel): users cohort by FIRST-SEEN bucket
+    * (`date_trunc(grain)` of their earliest event) and each
+    * (cohort, offset) cell counts the distinct cohort members active
+    * `offset` buckets later, with the retention rate against the
+    * cohort's size. Offsets are exact integer epoch-bucket
+    * differences; rates round at 6 dp — hash-exact.
+    *
+    * Scale shape: one per-user min agg (map-side combined), one
+    * distinct (user, bucket) activity table, an equi-join back on
+    * user (shuffle by user — the natural key), one (cohort, offset)
+    * count-distinct agg, and the cohort-size join is vocabulary-sized
+    * and broadcast. Nothing wider than the activity table moves.
+    */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
+      grain: String = "day"): DataFrame = {
+    val firstSeen = events.groupBy(col(keyCol))
+      .agg(date_trunc(grain, min(col(tsCol))).as("cohort"))
+    val active = events
+      .select(col(keyCol), date_trunc(grain, col(tsCol)).as("__b"))
+      .distinct()
+    val cells = active.join(firstSeen, Seq(keyCol))
+      .withColumn("offset",
+        ((unix_timestamp(col("__b")) - unix_timestamp(col("cohort"))) /
+          lit(grainSeconds(grain))).cast("long"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count_distinct(col(keyCol)).as("n_active"))
+    val sizes = firstSeen.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("cohort_size"),
+        col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+
+  private def grainSeconds(grain: String): Long = grain match {
+    case "day" => 86400L
+    case "hour" => 3600L
+    case "week" => 604800L
+    case other =>
+      throw new IllegalArgumentException(s"unsupported grain: $other")
+  }
 }

@@ -25,6 +25,47 @@ object CorpusStatsQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // X126: χ² independence of (source, lang) — the corpus-mixture
+    // drift alarm, over the full r×c grid including zero-observed
+    // cells. Integer counts, fixed-shape arithmetic → hash-exact at
+    // round(6).
+    QueryDef(
+      "q_chi2_drift",
+      Some("""
+        WITH cells AS (
+          SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS o
+          FROM documents GROUP BY 1, 2
+        ), rt AS (
+          SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY r
+        ), ct AS (
+          SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY c
+        ), tot AS (
+          SELECT CAST(sum(o) AS BIGINT) AS n,
+                 CAST(count(DISTINCT r) AS BIGINT) AS nr,
+                 CAST(count(DISTINCT c) AS BIGINT) AS nc
+          FROM cells
+        ), grid AS (
+          SELECT rt.r, ct.c, rt.rt, ct.ct,
+                 coalesce(cells.o, 0) AS o,
+                 CAST(rt.rt AS DOUBLE) * ct.ct / tot.n AS e,
+                 tot.n, tot.nr, tot.nc
+          FROM rt CROSS JOIN ct
+          LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+          CROSS JOIN tot
+        )
+        SELECT max(n) AS n, max(nr) AS n_rows_cat, max(nc) AS n_cols_cat,
+               (max(nr) - 1) * (max(nc) - 1) AS dof,
+               round(sum((o - e) * (o - e) / e), 6) AS chi2,
+               round(sqrt(sum((o - e) * (o - e) / e)
+                 / (max(n) * least(max(nr) - 1, max(nc) - 1))), 6)
+                 AS cramers_v
+        FROM grid
+      """.trim),
+      "X126 chi-square source-language independence (drift alarm)")(
+      (spark, dir) =>
+        CorpusOps.contingencyChi2(table(spark, dir, "documents"),
+          "source", "lang")),
+
     // Per-column data profiling — the standard first query against an
     // unknown 100 TB table: one scan computes count/distinct/min/max
     // for every column (the multi-distinct agg expands the input

@@ -471,6 +471,42 @@ object OlapQueries {
           .orderBy($"event_id")
       }),
 
+    // X125: retention cohort matrix — users cohort by first-seen day;
+    // each (cohort, offset) cell counts distinct members active that
+    // many days later. Integer counts + day arithmetic → hash-exact.
+    QueryDef(
+      "q_retention_cohorts",
+      Some("""
+        WITH fs AS (
+          SELECT user_id, date_trunc('day', min(ts)) AS cohort
+          FROM events GROUP BY 1
+        ), act AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS b FROM events
+        ), cells AS (
+          SELECT f.cohort,
+                 CAST(date_diff('day', f.cohort, a.b) AS BIGINT)
+                   AS "offset",
+                 CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+          FROM act a JOIN fs f USING (user_id)
+          GROUP BY 1, 2
+        ), sizes AS (
+          SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+          FROM fs GROUP BY 1
+        )
+        SELECT c.cohort, c."offset", s.cohort_size, c.n_active,
+               round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6)
+                 AS retention
+        FROM cells c JOIN sizes s USING (cohort)
+        ORDER BY c.cohort, c."offset"
+      """.trim),
+      "X125 daily retention cohort matrix with rates")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Funnel.retentionCohorts(
+            QueryDef.events(spark, dir), "user_id", "ts", grain = "day")
+          .orderBy($"cohort", $"offset")
+      }),
+
     // X124: SCD2 interval compaction — per user, consecutive
     // same-event_type runs collapse to validity intervals (the
     // gaps-and-islands warehouse materialization). Pure

@@ -168,6 +168,49 @@ class ChunkingWaveSpec extends AnyFunSuite {
     assert(u2.length == 1 && u2.head.isNullAt(u2.head.fieldIndex("valid_to")))
   }
 
+  // ---- X125 retention cohorts ---------------------------------------
+
+  test("retentionCohorts: hand matrix — day-0 full, day-2 half") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000L
+    val rows = Seq((1L, 0L), (1L, 2 * day), (2L, day / 2))
+      .zipWithIndex.map { case ((u, off), i) =>
+        (i.toLong, u, new java.sql.Timestamp(1700000000000L -
+          1700000000000L % day + off))
+      }.toDF("event_id", "user_id", "ts")
+    val out = Funnel.retentionCohorts(rows, "user_id", "ts")
+      .collect().map(r => r.getAs[Long]("offset") -> r).toMap
+    // both users first-seen on the same UTC day -> one cohort
+    assert(out(0L).getAs[Long]("cohort_size") == 2L)
+    assert(out(0L).getAs[Long]("n_active") == 2L)
+    assert(out(0L).getAs[Double]("retention") == 1.0)
+    assert(out(2L).getAs[Long]("n_active") == 1L)
+    assert(out(2L).getAs[Double]("retention") == 0.5)
+  }
+
+  // ---- X126 chi-square drift ----------------------------------------
+
+  test("contingencyChi2: perfect association and perfect independence") {
+    val s = spark
+    import s.implicits._
+    val assoc = (Seq.fill(10)(("s1", "en")) ++ Seq.fill(10)(("s2", "fr")))
+      .toDF("source", "lang")
+    val a = CorpusOps.contingencyChi2(assoc, "source", "lang")
+      .collect().head
+    // 2x2 with e = 5 everywhere: chi2 = 4·25/5 = 20; V = 1
+    assert(a.getAs[Double]("chi2") == 20.0)
+    assert(a.getAs[Long]("dof") == 1L)
+    assert(a.getAs[Double]("cramers_v") == 1.0)
+    val indep = (Seq.fill(5)(("s1", "en")) ++ Seq.fill(5)(("s1", "fr")) ++
+      Seq.fill(5)(("s2", "en")) ++ Seq.fill(5)(("s2", "fr")))
+      .toDF("source", "lang")
+    val b = CorpusOps.contingencyChi2(indep, "source", "lang")
+      .collect().head
+    assert(b.getAs[Double]("chi2") == 0.0)
+    assert(b.getAs[Double]("cramers_v") == 0.0)
+  }
+
   // ---- X113 contrastive pairs ---------------------------------------
 
   test("contrastivePairs: views are real in-bounds crops with the " +
