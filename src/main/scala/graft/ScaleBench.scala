@@ -121,7 +121,10 @@ object ScaleBench {
       "q_wordpiece_encode",
       // X123-X124: grouped k-fold (cluster join + scan hash), SCD2
       // compaction (per-key lag-flag-cumsum + skinny run lead)
-      "q_grouped_kfold", "q_scd2_intervals")
+      "q_grouped_kfold", "q_scd2_intervals",
+      // X125-X126: retention cohorts (distinct activity + cohort agg),
+      // chi-square drift (category-sized grid)
+      "q_retention_cohorts", "q_chi2_drift")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
