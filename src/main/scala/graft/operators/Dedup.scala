@@ -550,4 +550,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
     (pairs, cachedSigs)
   }
+
+  /** X127 — edit-distance-1 similarity join over the corpus
+    * vocabulary (typo mining — the spell-variant detector a cleaning
+    * pipeline runs before frequency-based normalization), via
+    * SymSpell DELETION NEIGHBORHOODS (Garbe): two words within one
+    * edit ALWAYS share a member of {word} ∪ {its length−1
+    * deletions}, so candidate generation is an equi-join on deletion
+    * keys — len+1 keys per word, PROVABLY COMPLETE for k=1, no
+    * length/q-gram special cases — with exact `levenshtein ≤ 1`
+    * verification on candidates (the key join admits e.g.
+    * transpositions at distance 2; verify prunes them).
+    *
+    * Scale shape: vocabulary-sized everywhere — one distinct-word
+    * count agg, a len+1-fold key explode, the key equi-join
+    * (candidate work ∝ Σ_key |words(key)|², bounded by near-identical
+    * word families, never vocab²), and codegen `levenshtein` on
+    * candidates only.
+    */
+  def typoPairs(docs: DataFrame, textCol: String): DataFrame = {
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    def keys(w: Column): Column = array_union(
+      array(w),
+      transform(sequence(lit(1), length(w)),
+        i => concat(w.substr(lit(1), i - 1),
+          w.substr(i + 1, length(w)))))
+    val keyed = words.select(col("w"), col("n"),
+      explode(keys(col("w"))).as("__k"))
+    val a = keyed.select(col("__k"), col("w").as("w1"), col("n").as("c1"))
+    val b = keyed.select(col("__k"), col("w").as("w2"), col("n").as("c2"))
+    a.join(b, Seq("__k"))
+      .filter(col("w1") < col("w2"))
+      .select(col("w1"), col("w2"), col("c1"), col("c2")).distinct()
+      .withColumn("dist", levenshtein(col("w1"), col("w2")))
+      .filter(col("dist") <= 1)
+  }
 }

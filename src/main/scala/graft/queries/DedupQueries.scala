@@ -499,6 +499,33 @@ object DedupQueries {
           .orderBy($"doc_id")
       }),
 
+    // X127: edit-distance-1 typo pairs over the vocabulary — SymSpell
+    // deletion-key candidates + exact levenshtein verify; the oracle
+    // is the naive all-pairs form, so the candidate generation's
+    // COMPLETENESS (not just precision) is what the hash checks.
+    QueryDef(
+      "q_typo_pairs",
+      Some("""
+        WITH words AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(list_filter(
+              string_split_regex(lower(text), '\s+'),
+              x -> x <> '')) AS w
+            FROM documents) GROUP BY w
+        )
+        SELECT a.w AS w1, b.w AS w2, a.n AS c1, b.n AS c2,
+               CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
+        FROM words a JOIN words b ON a.w < b.w
+        WHERE levenshtein(a.w, b.w) <= 1
+        ORDER BY w1, w2
+      """.trim),
+      "X127 edit-distance-1 typo pairs (SymSpell deletion keys)")(
+      (spark, dir) => {
+        import spark.implicits._
+        Dedup.typoPairs(table(spark, dir, "documents"), "text")
+          .orderBy($"w1", $"w2")
+      }),
+
     // X123: grouped k-fold CV assignment — same cluster derivation as
     // q_split_leakproof, fold = md5(cluster) % 5; near-dup docs can
     // never straddle a fold boundary.

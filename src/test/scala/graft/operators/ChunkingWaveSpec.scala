@@ -211,6 +211,49 @@ class ChunkingWaveSpec extends AnyFunSuite {
     assert(b.getAs[Double]("cramers_v") == 0.0)
   }
 
+  // ---- X127 typo pairs ----------------------------------------------
+
+  test("typoPairs: substitutions, deletions, insertions found; " +
+    "transpositions and distance-2 pairs excluded; counts carried") {
+    // NB the driver corpus vocabulary has no distance-1 pairs (the
+    // contract query legitimately returns 0 rows there) — this hand
+    // corpus is where the completeness claim is actually exercised.
+    val d = docs(
+      (1L, "color color colour"), // insertion pair (dist 1)
+      (2L, "cat bat cat"), // substitution pair
+      (3L, "cart cat"), // deletion pair (cart/cat dist 1? c-a-r-t vs c-a-t = 1 deletion)
+      (4L, "ab ba"), // transposition = distance 2 -> excluded
+      (5L, "alpha omega")) // distance > 1 -> excluded
+    val out = Dedup.typoPairs(d, "text")
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        r).toMap
+    assert(out.contains(("color", "colour")))
+    assert(out.contains(("bat", "cat")))
+    assert(out.contains(("cart", "cat")))
+    assert(!out.keys.exists(p => p == ("ab", "ba")))
+    assert(!out.keys.exists { case (a, b) =>
+      Set(a, b).intersect(Set("alpha", "omega")).size == 2 })
+    // corpus frequencies ride along: "color" appears twice
+    assert(out(("color", "colour")).getAs[Long]("c1") == 2L)
+    assert(out(("color", "colour")).getAs[Long]("c2") == 1L)
+    assert(out.values.forall(_.getAs[Int]("dist") == 1))
+    // completeness vs the naive form on this corpus
+    val words = Seq("color", "colour", "cat", "bat", "cart", "ab", "ba",
+      "alpha", "omega")
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val naive = (for {
+      a <- words; b <- words if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(out.keySet == naive)
+  }
+
   // ---- X113 contrastive pairs ---------------------------------------
 
   test("contrastivePairs: views are real in-bounds crops with the " +
