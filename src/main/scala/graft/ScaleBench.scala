@@ -124,7 +124,9 @@ object ScaleBench {
       "q_grouped_kfold", "q_scd2_intervals",
       // X125-X126: retention cohorts (distinct activity + cohort agg),
       // chi-square drift (category-sized grid)
-      "q_retention_cohorts", "q_chi2_drift")
+      "q_retention_cohorts", "q_chi2_drift",
+      // X127: typo pairs (deletion-key equi-join, vocab-sized)
+      "q_typo_pairs")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
