@@ -1061,6 +1061,55 @@ object CorpusOps {
         round(sum(col("__lr")), 6).as("log_weight"))
   }
 
+  /** X128 — per-source corpus quality dashboard: the one-query
+    * composition report a curation run publishes per mixture
+    * component — size (docs, tokens, mean length), exact-duplicate
+    * ratio (distinct content hashes / docs), the X109 classifier's
+    * keep rate, and language entropy (nano-log integer form) — so
+    * mixture decisions (X85/X95) read one table instead of five
+    * queries. Every column is integer-derived → hash-exact.
+    *
+    * Scale shape: the X109 gram pass (the dominant linear cost) plus
+    * one per-doc and one per-(source, lang) agg — all map-side
+    * combined; the final table is \|sources\|-sized.
+    */
+  def qualityDashboard(docs: DataFrame, docCol: String, textCol: String,
+      sourceCol: String, langCol: String, buckets: Int = 1024,
+      salt: String = "qclf"): DataFrame = {
+    def lnq(v: Column): Column =
+      round(log(v.cast("double")) * 1e9, 0).cast("long")
+    val base = docs.select(col(docCol), col(sourceCol), col(langCol),
+      size(coalesce(Dedup.tokens(col(textCol)),
+        array().cast("array<string>"))).cast("long").as("__nt"),
+      md5(col(textCol)).as("__h"))
+    val keep = qualityClassifier(docs, docCol, textCol, buckets, salt)
+      .select(col(docCol), col("keep"))
+    val perSource = base.join(keep, Seq(docCol))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("total_tokens"),
+        count_distinct(col("__h")).as("__uniq"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("__kept"))
+    val langCounts = base.groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(sourceCol))
+      .agg(sum(col("__c") * lnq(col("__c"))).as("__slc"),
+        sum(col("__c")).as("__n"))
+      .select(col(sourceCol),
+        round(lnq(col("__n")) / 1e9 -
+          col("__slc").cast("double") / (col("__n") * 1e9), 6)
+          .as("lang_entropy"))
+    perSource.join(langCounts, Seq(sourceCol))
+      .select(col(sourceCol), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 6)
+          .as("mean_tokens"),
+        round(col("__uniq").cast("double") / col("n_docs"), 6)
+          .as("uniq_ratio"),
+        round(col("__kept").cast("double") / col("n_docs"), 6)
+          .as("keep_rate"),
+        col("lang_entropy"))
+  }
+
   /** X126 — χ² test of independence between two categorical columns
     * (Pearson 1900), the corpus-composition DRIFT alarm: if language
     * (or length band, or quality verdict) is not independent of

@@ -25,6 +25,68 @@ object CorpusStatsQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // X128: per-source quality dashboard — size, exact-dup ratio,
+    // X109 keep rate, and language entropy in one |sources|-row
+    // report. All integer-derived ratios → hash-exact.
+    QueryDef(
+      "q_quality_dashboard",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, lang,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w,
+                 md5(text) AS h
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, w[i] AS g
+          FROM toks, unnest(range(1, len(w) + 1)) AS r(i)
+          UNION ALL
+          SELECT doc_id, w[i] || chr(1) || w[i+1] AS g
+          FROM toks, unnest(range(1, len(w))) AS r(i)
+        ), sc AS (
+          SELECT doc_id,
+                 CAST(sum(CAST(('0x' || substr(md5('qclfw' || CAST(
+                     CAST(('0x' || substr(md5('qclf' || g), 1, 8)) AS BIGINT)
+                       % 1024 AS VARCHAR)), 1, 8)) AS BIGINT)
+                   - 2147483648) AS BIGINT) AS sq
+          FROM grams GROUP BY doc_id
+        ), per AS (
+          SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(t.w)) AS BIGINT) AS total_tokens,
+                 CAST(count(DISTINCT t.h) AS BIGINT) AS uniq,
+                 CAST(sum(CASE WHEN coalesce(sc.sq >= 0, false)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS kept
+          FROM toks t LEFT JOIN sc USING (doc_id)
+          GROUP BY t.source
+        ), lc AS (
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2
+        ), le AS (
+          SELECT source,
+                 round(CAST(round(ln(CAST(sum(c) AS BIGINT)) * 1e9, 0)
+                         AS BIGINT) / 1e9
+                   - CAST(CAST(sum(c * CAST(round(ln(c) * 1e9, 0)
+                         AS BIGINT)) AS BIGINT) AS DOUBLE)
+                     / (CAST(sum(c) AS BIGINT) * 1e9), 6) AS lang_entropy
+          FROM lc GROUP BY source
+        )
+        SELECT p.source, p.n_docs, p.total_tokens,
+               round(CAST(p.total_tokens AS DOUBLE) / p.n_docs, 6)
+                 AS mean_tokens,
+               round(CAST(p.uniq AS DOUBLE) / p.n_docs, 6) AS uniq_ratio,
+               round(CAST(p.kept AS DOUBLE) / p.n_docs, 6) AS keep_rate,
+               le.lang_entropy
+        FROM per p JOIN le USING (source)
+        ORDER BY p.source
+      """.trim),
+      "X128 per-source quality dashboard (size, dup, keep, entropy)")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.qualityDashboard(table(spark, dir, "documents"),
+            "doc_id", "text", "source", "lang")
+          .orderBy($"source")
+      }),
+
     // X126: χ² independence of (source, lang) — the corpus-mixture
     // drift alarm, over the full r×c grid including zero-observed
     // cells. Integer counts, fixed-shape arithmetic → hash-exact at

@@ -254,6 +254,32 @@ class ChunkingWaveSpec extends AnyFunSuite {
     assert(out.keySet == naive)
   }
 
+  // ---- X128 quality dashboard ---------------------------------------
+
+  test("qualityDashboard: sizes, dup ratio, and entropy on a hand corpus") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "alpha beta", "en", "s1"), (2L, "alpha beta", "en", "s1"),
+      (3L, "gamma delta epsilon", "fr", "s1"),
+      (4L, "zeta", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusOps.qualityDashboard(d, "doc_id", "text", "source",
+        "lang").collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("n_docs") == 3L)
+    assert(out("s1").getAs[Long]("total_tokens") == 7L)
+    // docs 1 and 2 are identical -> 2 distinct hashes over 3 docs
+    assert(out("s1").getAs[Double]("uniq_ratio") ==
+      math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    // s1 langs: en 2, fr 1 -> H = ln3 − 2·ln2/3
+    val h = math.rint((math.log(3) - 2 * math.log(2) / 3) * 1e6) / 1e6
+    assert(math.abs(out("s1").getAs[Double]("lang_entropy") - h) < 2e-6)
+    // single-language source: entropy exactly 0
+    assert(out("s2").getAs[Double]("lang_entropy") == 0.0)
+    assert(out("s2").getAs[Double]("uniq_ratio") == 1.0)
+  }
+
   // ---- X113 contrastive pairs ---------------------------------------
 
   test("contrastivePairs: views are real in-bounds crops with the " +
