@@ -126,7 +126,9 @@ object ScaleBench {
       // chi-square drift (category-sized grid)
       "q_retention_cohorts", "q_chi2_drift",
       // X127: typo pairs (deletion-key equi-join, vocab-sized)
-      "q_typo_pairs")
+      "q_typo_pairs",
+      // X128: dashboard (X109 gram pass + skinny aggs)
+      "q_quality_dashboard")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
