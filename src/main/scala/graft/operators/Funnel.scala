@@ -101,6 +101,38 @@ object Funnel {
           .as("retention"))
   }
 
+  /** X130 — active-user trend: per activity day, DAU (distinct users
+    * that day), trailing-7-day WAU, and the DAU/WAU stickiness ratio
+    * — the daily engagement report next to [[retentionCohorts]]'
+    * cohort view. A windowed `count_distinct` doesn't exist in any
+    * engine, so WAU comes from the COVERAGE trick: each (user, day)
+    * activity row covers the next 7 report days (a bounded 7-way
+    * explode of the SKINNY distinct-activity table), and WAU(d) is a
+    * plain distinct count over cover rows — exact, not a sketch.
+    * Integer counts + ratio at 6 dp → hash-exact.
+    *
+    * Scale shape: distinct (user, day) agg → ×7 bounded explode →
+    * one (day) distinct-count agg; nothing wider than activity moves.
+    */
+  def activeUserTrend(events: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame = {
+    val act = events
+      .select(col(keyCol), to_date(date_trunc("day", col(tsCol)))
+        .as("__d"))
+      .distinct()
+    val dau = act.groupBy(col("__d").as("day"))
+      .agg(count_distinct(col(keyCol)).as("dau"))
+    val wau = act
+      .select(col(keyCol), explode(sequence(lit(0), lit(6))).as("__o"),
+        col("__d"))
+      .select(col(keyCol), date_add(col("__d"), col("__o")).as("day"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col(keyCol)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
   private def grainSeconds(grain: String): Long = grain match {
     case "day" => 86400L
     case "hour" => 3600L

@@ -471,6 +471,55 @@ object OlapQueries {
           .orderBy($"event_id")
       }),
 
+    // X130: DAU/WAU active-user trend — exact trailing-7-day distinct
+    // via the bounded coverage explode (no windowed count_distinct
+    // exists in any engine). Integer counts → hash-exact.
+    QueryDef(
+      "q_active_trend",
+      Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('day', ts) AS DATE) AS d
+          FROM events
+        ), dau AS (
+          SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+          FROM act GROUP BY 1
+        ), cover AS (
+          SELECT user_id, CAST(d + o * INTERVAL 1 DAY AS DATE) AS day
+          FROM act, unnest(range(0, 7)) AS u(o)
+        ), wau AS (
+          SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+          FROM cover GROUP BY 1
+        )
+        SELECT dau.day, dau.dau, wau.wau,
+               round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        FROM dau JOIN wau USING (day)
+        ORDER BY day
+      """.trim),
+      "X130 DAU / trailing-7-day WAU / stickiness per activity day")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Funnel.activeUserTrend(
+            QueryDef.events(spark, dir), "user_id", "ts")
+          .orderBy($"day")
+      }),
+
+    // X129: persistable mergeable HLL sketch table — rows-only
+    // (DataSketches estimates have no DuckDB twin); the error bound
+    // and part-vs-whole merge equality are spec-asserted in
+    // ChunkingWaveSpec.
+    QueryDef(
+      "q_hll_snapshots",
+      None,
+      "X129 per-event-type HLL sketch estimates (mergeable snapshots)")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Hll.groupSketches(
+            QueryDef.events(spark, dir), "event_type", "user_id")
+          .select($"event_type", $"estimate")
+          .orderBy($"event_type")
+      }),
+
     // X125: retention cohort matrix — users cohort by first-seen day;
     // each (cohort, offset) cell counts distinct members active that
     // many days later. Integer counts + day arithmetic → hash-exact.

@@ -280,6 +280,60 @@ class ChunkingWaveSpec extends AnyFunSuite {
     assert(out("s2").getAs[Double]("uniq_ratio") == 1.0)
   }
 
+  // ---- X129 HLL sketch snapshots ------------------------------------
+
+  test("hll: estimates track exact counts; union of persisted part " +
+    "sketches equals the whole-corpus sketch") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 3000).map(i => (s"g${i % 3}", s"user${i % 700}"))
+      .toDF("grp", "uid")
+    val parts = Hll.groupSketches(df, "grp", "uid")
+    val exact = df.groupBy("grp").agg(count_distinct(col("uid")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    parts.collect().foreach { r =>
+      val est = r.getAs[Long]("estimate").toDouble
+      val ex = exact(r.getAs[String]("grp")).toDouble
+      assert(math.abs(est - ex) / ex < 0.05, s"estimate $est vs $ex")
+    }
+    // persist the sketch table, reload, union — must equal the
+    // single-pass whole-corpus sketch estimate exactly (register
+    // merge is associative at fixed lgK)
+    val dir = java.nio.file.Files.createTempDirectory("hll").toString
+    parts.select("grp", "sketch").write.mode("overwrite").parquet(dir)
+    val mergedFromDisk = Hll.mergedEstimate(s.read.parquet(dir))
+      .collect().head.getAs[Long]("estimate")
+    val whole = Hll.groupSketches(df.withColumn("grp", lit("all")),
+      "grp", "uid").collect().head.getAs[Long]("estimate")
+    assert(mergedFromDisk == whole)
+  }
+
+  // ---- X130 active-user trend ---------------------------------------
+
+  test("activeUserTrend: hand DAU/WAU — coverage window is exactly 7 " +
+    "days and stickiness divides correctly") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000L
+    val base = 1700000000000L - 1700000000000L % day
+    // u1 active day0 and day8; u2 active day0 only
+    val rows = Seq((0L, 1L, 0L), (1L, 2L, 0L), (2L, 1L, 8 * day))
+      .map { case (id, u, off) =>
+        (id, u, new java.sql.Timestamp(base + off))
+      }.toDF("event_id", "user_id", "ts")
+    val out = Funnel.activeUserTrend(rows, "user_id", "ts")
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r)
+      .toMap
+    assert(out.size == 2) // only days with activity are reported
+    val d0 = out.values.find(_.getAs[Long]("dau") == 2L).get
+    assert(d0.getAs[Long]("wau") == 2L)
+    assert(d0.getAs[Double]("stickiness") == 1.0)
+    // day 8: u1 active; day-0 activity is 8 days old — outside the
+    // trailing window, so WAU is 1, not 2
+    val d8 = out.values.find(_.getAs[Long]("dau") == 1L).get
+    assert(d8.getAs[Long]("wau") == 1L)
+  }
+
   // ---- X113 contrastive pairs ---------------------------------------
 
   test("contrastivePairs: views are real in-bounds crops with the " +
