@@ -128,7 +128,10 @@ object ScaleBench {
       // X127: typo pairs (deletion-key equi-join, vocab-sized)
       "q_typo_pairs",
       // X128: dashboard (X109 gram pass + skinny aggs)
-      "q_quality_dashboard")
+      "q_quality_dashboard",
+      // X129-X130: HLL snapshots (constant sketch agg), DAU/WAU
+      // (skinny coverage explode)
+      "q_hll_snapshots", "q_active_trend")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
