@@ -1061,6 +1061,60 @@ object CorpusOps {
         round(sum(col("__lr")), 6).as("log_weight"))
   }
 
+  /** X131 — Population Stability Index between a BASELINE slice and
+    * a CURRENT slice of a numeric column (the standard model/data
+    * monitoring drift score next to X126's χ²: banded
+    * Σ (p−q)·ln(p/q), with the conventional <0.1 stable / <0.25
+    * moderate / else major reading): bands are the baseline's
+    * equal-population quantile cuts, so PSI measures how far the
+    * current distribution drifted from where the baseline put its
+    * mass. Counts take add-one smoothing (an empty band would
+    * otherwise 0-divide / ln(0) — the standard PSI practice), so
+    * every term derives from exact integers; ln on identical doubles
+    * + round(6) is the established convention.
+    *
+    * Scale shape: one tiny boundary agg over the baseline broadcast
+    * back (the assembleBatches shape; swap percentile for
+    * approx_percentile at 100 TB), one (band, side) count agg —
+    * buckets-sized output — and a one-row fold.
+    */
+  def psi(df: DataFrame, valueCol: String, isBaseline: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val sided = df.select(col(valueCol).cast("double").as("__v"),
+      isBaseline.as("__b"))
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val boundAggs = probs.zipWithIndex.map { case (p, i) =>
+      percentile(col("__v"), lit(p)).as(s"__c$i")
+    }
+    val bounds = sided.filter(col("__b")).agg(boundAggs.head,
+      boundAggs.tail: _*)
+    val band = (0 until buckets - 1)
+      .map(i => when(col("__v") > col(s"__c$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val counts = sided.crossJoin(broadcast(bounds))
+      .withColumn("__band", band)
+      .groupBy(col("__band"))
+      .agg(sum(when(col("__b"), 1L).otherwise(0L)).as("__cb"),
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("__cc"))
+    val tot = counts.agg(sum(col("__cb")).as("__nb"),
+      sum(col("__cc")).as("__nc"))
+    val withP = counts.crossJoin(broadcast(tot))
+      .withColumn("__p", (col("__cb") + 1L).cast("double") /
+        (col("__nb") + buckets))
+      .withColumn("__q", (col("__cc") + 1L).cast("double") /
+        (col("__nc") + buckets))
+    withP.agg(max(col("__nb")).as("n_baseline"),
+        max(col("__nc")).as("n_current"),
+        sum((col("__p") - col("__q")) * log(col("__p") / col("__q")))
+          .as("__psi"))
+      .select(col("n_baseline"), col("n_current"),
+        round(col("__psi"), 6).as("psi"),
+        when(col("__psi") < 0.1, "stable")
+          .when(col("__psi") < 0.25, "moderate")
+          .otherwise("major").as("verdict"))
+  }
+
   /** X128 — per-source corpus quality dashboard: the one-query
     * composition report a curation run publishes per mixture
     * component — size (docs, tokens, mean length), exact-duplicate

@@ -25,6 +25,54 @@ object CorpusStatsQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // X131: PSI drift between the even-id (baseline) and odd-id
+    // (current) snapshot halves over n_chars deciles — banded on the
+    // BASELINE's quantile cuts with add-one smoothing; integer counts
+    // → hash-exact at round(6).
+    QueryDef(
+      "q_psi_drift",
+      Some {
+        val cuts = (0 until 9).map(i =>
+          s"quantile_cont(v, 0.${i + 1}) AS c$i").mkString(", ")
+        val band = (0 until 9).map(i => s"(v > c$i)::INT").mkString(" + ")
+        s"""
+        WITH s AS (
+          SELECT CAST(n_chars AS DOUBLE) AS v, doc_id % 2 = 0 AS b
+          FROM documents
+        ), bounds AS (
+          SELECT $cuts FROM s WHERE b
+        ), banded AS (
+          SELECT $band AS band, b FROM s, bounds
+        ), counts AS (
+          SELECT band,
+                 CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+                 CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cc
+          FROM banded GROUP BY band
+        ), tot AS (
+          SELECT CAST(sum(cb) AS BIGINT) AS nb,
+                 CAST(sum(cc) AS BIGINT) AS nc
+          FROM counts
+        ), p AS (
+          SELECT CAST(cb + 1 AS DOUBLE) / (nb + 10) AS p,
+                 CAST(cc + 1 AS DOUBLE) / (nc + 10) AS q, nb, nc
+          FROM counts, tot
+        )
+        SELECT max(nb) AS n_baseline, max(nc) AS n_current,
+               round(sum((p - q) * ln(p / q)), 6) AS psi,
+               CASE WHEN sum((p - q) * ln(p / q)) < 0.1 THEN 'stable'
+                    WHEN sum((p - q) * ln(p / q)) < 0.25 THEN 'moderate'
+                    ELSE 'major' END AS verdict
+        FROM p
+        """.trim
+      },
+      "X131 PSI drift (n_chars deciles, even vs odd snapshot halves)")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.psi(table(spark, dir, "documents"), "n_chars",
+          isBaseline = $"doc_id" % 2 === 0, buckets = 10)
+      }),
+
     // X128: per-source quality dashboard — size, exact-dup ratio,
     // X109 keep rate, and language entropy in one |sources|-row
     // report. All integer-derived ratios → hash-exact.

@@ -334,6 +334,32 @@ class ChunkingWaveSpec extends AnyFunSuite {
     assert(d8.getAs[Long]("wau") == 1L)
   }
 
+  // ---- X131 PSI drift -----------------------------------------------
+
+  test("psi: identical halves are stable; a shifted distribution is " +
+    "major drift; smoothing keeps empty bands finite") {
+    val s = spark
+    import s.implicits._
+    val same = (1 to 400).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("id", "v")
+    val a = CorpusOps.psi(same, "v", col("id") % 2 === 0)
+      .collect().head
+    assert(a.getAs[String]("verdict") == "stable", a.toString)
+    assert(a.getAs[Long]("n_baseline") == 200L)
+    // current slice shifted far outside the baseline's bands: every
+    // current value lands in the top band -> major drift, and the
+    // empty current-side bands stay finite through the +1 smoothing
+    val shifted = ((1 to 200).map(i => (i.toLong * 2, (i % 100).toDouble))
+      ++ (1 to 200).map(i => (i.toLong * 2 + 1, 1000.0 + i)))
+      .toDF("id", "v")
+    val b = CorpusOps.psi(shifted, "v", col("id") % 2 === 0)
+      .collect().head
+    assert(b.getAs[String]("verdict") == "major", b.toString)
+    assert(!b.getAs[Double]("psi").isNaN &&
+      !b.getAs[Double]("psi").isInfinite)
+    assert(b.getAs[Double]("psi") > a.getAs[Double]("psi"))
+  }
+
   // ---- X113 contrastive pairs ---------------------------------------
 
   test("contrastivePairs: views are real in-bounds crops with the " +
