@@ -131,7 +131,9 @@ object ScaleBench {
       "q_quality_dashboard",
       // X129-X130: HLL snapshots (constant sketch agg), DAU/WAU
       // (skinny coverage explode)
-      "q_hll_snapshots", "q_active_trend")
+      "q_hll_snapshots", "q_active_trend",
+      // X131: PSI (tiny boundary agg + buckets-sized counts)
+      "q_psi_drift")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
