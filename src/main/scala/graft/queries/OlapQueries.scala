@@ -471,6 +471,52 @@ object OlapQueries {
           .orderBy($"event_id")
       }),
 
+    // X132: Hilbert clustering key over the same (partkey, suppkey)
+    // grid as q_zorder_key — the oracle unrolls the 16-level quadrant
+    // walk as a CTE chain, so every rotation/flip replays exactly.
+    QueryDef(
+      "q_hilbert_key",
+      Some {
+        val steps = (0 until 16).map { i =>
+          val sb = 1L << (15 - i)
+          val s2 = sb * sb
+          s""", h${i + 1} AS (
+          SELECT l_orderkey, l_linenumber,
+            CASE WHEN (y & $sb) > 0 THEN x
+                 WHEN (x & $sb) > 0 THEN $sb - 1 - y
+                 ELSE y END AS x,
+            CASE WHEN (y & $sb) > 0 THEN y
+                 WHEN (x & $sb) > 0 THEN $sb - 1 - x
+                 ELSE x END AS y,
+            d + $s2 * (CASE WHEN (x & $sb) = 0 AND (y & $sb) = 0 THEN 0
+                            WHEN (x & $sb) = 0 THEN 1
+                            WHEN (y & $sb) > 0 THEN 2
+                            ELSE 3 END) AS d
+          FROM h$i)"""
+        }.mkString
+        s"""
+        WITH h0 AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(l_partkey % 65536 AS BIGINT) AS x,
+                 CAST(l_suppkey % 65536 AS BIGINT) AS y,
+                 CAST(0 AS BIGINT) AS d
+          FROM lineitem
+        )$steps
+        SELECT l_orderkey, l_linenumber, d AS hkey
+        FROM h16
+        ORDER BY hkey, l_orderkey, l_linenumber
+        """.trim
+      },
+      "X132 Hilbert clustering key (16-level quadrant walk)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val hk = graft.operators.ZOrder.hilbertKeyUdf(16)
+        table(spark, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber",
+            hk($"l_partkey" % 65536, $"l_suppkey" % 65536).as("hkey"))
+          .orderBy($"hkey", $"l_orderkey", $"l_linenumber")
+      }),
+
     // X130: DAU/WAU active-user trend — exact trailing-7-day distinct
     // via the bounded coverage explode (no windowed count_distinct
     // exists in any engine). Integer counts → hash-exact.

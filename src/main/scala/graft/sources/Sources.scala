@@ -197,6 +197,42 @@ object Sources {
     Pcm.fromSamples(out, sampleRate)
   }
 
+  /** S2b — JSONL corpus ingest with a corrupt-record side channel:
+    * line-delimited JSON is the de-facto interchange format for LLM
+    * corpora (Dolma, RedPajama, The Pile all ship it), and at 100 TB
+    * a malformed line is a certainty — so the reader runs PERMISSIVE
+    * with `_corrupt_record` captured, splitting into (clean rows
+    * matching `schema`, reject rows carrying the raw line) exactly
+    * like [[readWavOrReject]]'s reject_reason channel: a bad byte
+    * never kills the batch and never silently disappears.
+    *
+    * Scale shape: JSONL is splittable (newline-framed), so the scan
+    * parallelizes per block; both outputs are projections of the one
+    * scan.
+    */
+  def readJsonlOrReject(spark: SparkSession, glob: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      schema.fields :+ StructField("_corrupt_record", StringType,
+        nullable = true))
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(glob)
+      // Spark requires caching/materialization before referencing the
+      // corrupt column alone; selecting it alongside data columns in
+      // one pass keeps the contract
+      .cache()
+    val clean = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val rejects = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, rejects)
+  }
+
   /** S2 — transcript scan: one row per file, whole text
     * (reference `Path.read_text`, claude_research_optimal.py:434).
     */

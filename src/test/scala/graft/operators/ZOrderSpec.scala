@@ -68,4 +68,50 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zHit < lHit, s"z=$zHit linear=$lHit")
     assert(zHit <= 6, s"z-curve touched $zHit/64 files")
   }
+
+  // ---- X132 Hilbert key ---------------------------------------------
+
+  test("hilbert: first-order curve visits the 2x2 grid in U order") {
+    val s = graft.SparkHarness.spark
+    import s.implicits._
+    val hk = ZOrder.hilbertKeyUdf(1)
+    val got = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L))
+      .toDF("x", "y").select($"x", $"y", hk($"x", $"y").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((0L, 0L) -> 0L, (0L, 1L) -> 1L, (1L, 1L) -> 2L,
+      (1L, 0L) -> 3L))
+  }
+
+  test("hilbert: bijective over the 16x16 grid and every consecutive " +
+    "key pair is grid-ADJACENT (the locality Morton lacks)") {
+    val s = graft.SparkHarness.spark
+    import s.implicits._
+    val cells = for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y)
+    val hk = ZOrder.hilbertKeyUdf(4)
+    val d2xy = cells.toDF("x", "y")
+      .select($"x", $"y", hk($"x", $"y").as("d"))
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1))))
+      .toMap
+    assert(d2xy.size == 256 && d2xy.keySet == (0L until 256L).toSet)
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = d2xy(d); val (x2, y2) = d2xy(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // contrast: the Morton order HAS seams (so this property is not
+    // vacuous) — at least one consecutive zkey pair is non-adjacent
+    val z = cells.map { case (x, y) =>
+      var zi = 0L
+      (0 until 4).foreach { b =>
+        zi |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+      }
+      zi -> ((x, y))
+    }.toMap
+    val seams = (0L until 255L).count { d =>
+      val (x1, y1) = z(d); val (x2, y2) = z(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(seams > 0)
+  }
 }
