@@ -133,7 +133,9 @@ object ScaleBench {
       // (skinny coverage explode)
       "q_hll_snapshots", "q_active_trend",
       // X131: PSI (tiny boundary agg + buckets-sized counts)
-      "q_psi_drift")
+      "q_psi_drift",
+      // X132: Hilbert key (pure scan UDF + output sort)
+      "q_hilbert_key")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
