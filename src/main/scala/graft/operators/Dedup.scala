@@ -551,6 +551,50 @@ object Dedup {
     (pairs, cachedSigs)
   }
 
+  /** X133 — sorted-neighborhood near-dup candidates (Hernández &
+    * Stolfo 1995), the THIRD blocking family next to LSH bands (X1)
+    * and deletion keys (X127): sort docs by a blocking key (here the
+    * first `prefixTokens` tokens — near-dups share prefixes), slide a
+    * window of `windowSize` over the sorted order, verify candidate
+    * pairs with exact Jaccard. Complete for duplicates whose keys
+    * sort within the window (the method's documented trade —
+    * multi-pass with different keys in production); candidate count
+    * is EXACTLY (n − w/2…)·(w−1)/… bounded by n·(w−1)/2 regardless
+    * of skew, which is the property that makes it predictable where
+    * hash blocking can hot-spot.
+    *
+    * Scale shape: the global order comes from the two-phase
+    * [[CorpusOps.globalRank]] (no single-partition window); the
+    * window self-join is an equi-join on the rank BUCKET (each rank
+    * pairs with ≤ w−1 neighbors via a bounded offset explode), and
+    * Jaccard verification runs only on candidates.
+    */
+  def sortedNeighborPairs(docs: DataFrame, docCol: String,
+      textCol: String, shingleK: Int, windowSize: Int,
+      prefixTokens: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(windowSize >= 2, s"need windowSize >= 2, got $windowSize")
+    val keyed = docs.select(col(docCol),
+      concat_ws(" ", slice(tokens(col(textCol)), 1, prefixTokens))
+        .as("__key"),
+      shingles(tokens(col(textCol)), shingleK).as("__sh"))
+    val ranked = CorpusOps.globalRank(keyed,
+      Seq(col("__key"), col(docCol)))
+    val a = ranked.select(col(docCol).as("d1"), col("__sh").as("s1"),
+      col("__rank").as("__r1"),
+      explode(sequence(lit(1), lit(windowSize - 1))).as("__o"))
+      .withColumn("__r2", col("__r1") + col("__o"))
+    val b = ranked.select(col(docCol).as("d2"), col("__sh").as("s2"),
+      col("__rank").as("__r2"))
+    a.join(b, Seq("__r2"))
+      .withColumn("__inter",
+        size(array_intersect(col("s1"), col("s2"))).cast("double"))
+      .withColumn("jaccard", round(col("__inter") /
+        (size(col("s1")) + size(col("s2")) - col("__inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"), col("jaccard"))
+  }
+
   /** X127 — edit-distance-1 similarity join over the corpus
     * vocabulary (typo mining — the spell-variant detector a cleaning
     * pipeline runs before frequency-based normalization), via

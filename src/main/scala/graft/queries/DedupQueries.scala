@@ -499,6 +499,47 @@ object DedupQueries {
           .orderBy($"doc_id")
       }),
 
+    // X133: sorted-neighborhood near-dup candidates — the third
+    // blocking family (prefix-key sort + bounded window + exact
+    // Jaccard verify). The oracle replays the identical rank, window
+    // pairing, and verification.
+    QueryDef(
+      "q_sorted_neighbors",
+      Some(s"""$shingleSql,
+        keyed AS (
+          SELECT t.doc_id, array_to_string(t.w[1:3], ' ') AS key,
+                 s.shingles
+          FROM toks t JOIN sh s USING (doc_id)
+        ), ranked AS (
+          SELECT doc_id, shingles,
+                 row_number() OVER (ORDER BY key, doc_id) - 1 AS r
+          FROM keyed
+        ), cand AS (
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 a.shingles AS s1, b.shingles AS s2
+          FROM ranked a JOIN ranked b
+            ON b.r > a.r AND b.r <= a.r + 4
+        ), j AS (
+          SELECT da, db,
+                 round(CAST(len(list_intersect(s1, s2)) AS DOUBLE) /
+                   (len(s1) + len(s2) - len(list_intersect(s1, s2))), 6)
+                   AS jaccard
+          FROM cand
+          WHERE len(s1) + len(s2) - len(list_intersect(s1, s2)) > 0
+        )
+        SELECT least(da, db) AS d1, greatest(da, db) AS d2, jaccard
+        FROM j WHERE jaccard >= $JaccardThreshold
+        ORDER BY d1, d2
+      """.trim),
+      "X133 sorted-neighborhood blocking (window 5) + Jaccard verify")(
+      (spark, dir) => {
+        import spark.implicits._
+        Dedup.sortedNeighborPairs(table(spark, dir, "documents"),
+            "doc_id", "text", shingleK = ShingleK, windowSize = 5,
+            prefixTokens = 3, threshold = JaccardThreshold)
+          .orderBy($"d1", $"d2")
+      }),
+
     // X127: edit-distance-1 typo pairs over the vocabulary — SymSpell
     // deletion-key candidates + exact levenshtein verify; the oracle
     // is the naive all-pairs form, so the candidate generation's
