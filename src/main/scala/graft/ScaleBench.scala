@@ -135,7 +135,9 @@ object ScaleBench {
       // X131: PSI (tiny boundary agg + buckets-sized counts)
       "q_psi_drift",
       // X132: Hilbert key (pure scan UDF + output sort)
-      "q_hilbert_key")
+      "q_hilbert_key",
+      // X133: sorted-neighborhood (two-phase rank + bounded window join)
+      "q_sorted_neighbors")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
