@@ -738,6 +738,55 @@ class PlanAuditSpec extends AnyFunSuite {
       s"non-sort exchange in the projection scan:\n$exchanges")
   }
 
+  test("q_scd2_intervals: lag-flag-cumsum runs per user — no join, " +
+    "no single-partition stage") {
+    val p = plan("q_scd2_intervals")
+    assert("HashJoin|SortMergeJoin|CartesianProduct".r.findFirstIn(p).isEmpty,
+      s"a join crept into the SCD2 path:\n${p.take(1500)}")
+    assert(!p.contains("SinglePartition"),
+      "compaction window collapsed to a global sort")
+  }
+
+  test("q_chi2_drift and q_psi_drift: cell/band tables are " +
+    "category-sized — partial aggs, no cartesian on the data path") {
+    Seq("q_chi2_drift", "q_psi_drift").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q lost map-side combine")
+      // the tiny marginal/boundary crosses are broadcast joins on
+      // one-row / category-sized tables; the aggregates must sit
+      // directly on the scans (no join below the first aggregate)
+      assert(p.contains("Scan") && p.contains("HashAggregate"), q)
+    }
+  }
+
+  test("q_typo_pairs: candidates come from the deletion-key equi-join " +
+    "— no cartesian, vocabulary-sized distinct") {
+    val p = plan("q_typo_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"typo candidates went all-pairs:\n${p.take(1500)}")
+  }
+
+  test("q_hilbert_key: pure scan — only the output range sort " +
+    "exchanges") {
+    val p = plan("q_hilbert_key")
+    assert("HashJoin|SortMergeJoin|CartesianProduct|Window".r
+      .findFirstIn(p).isEmpty, s"non-scan work:\n${p.take(1500)}")
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges)
+  }
+
+  test("q_sorted_neighbors: the rank round-trip is skinny and the " +
+    "window join is an equi-join — no cartesian anywhere") {
+    val p = plan("q_sorted_neighbors")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"window pairing went all-pairs:\n${p.take(1500)}")
+    assert(p.contains("ExistingRDD"),
+      "two-phase rank gone from the sorted-neighborhood path")
+  }
+
   test("q_contrastive_pairs: pure scan — no joins, no windows, no " +
     "exchanges before the output sort") {
     val p = plan("q_contrastive_pairs")
