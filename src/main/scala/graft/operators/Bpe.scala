@@ -175,6 +175,44 @@ object Bpe {
       regexp_replace(encText, " ", ""),
       java.util.regex.Pattern.quote(marker), " "))
 
+  /** X134 — tokenizer vocab-size sweep: corpus tokens-per-word under
+    * the FIRST k merges for several k — the diagnostic that picks a
+    * merge budget (compression plateaus; the knee is the budget).
+    * Trains once at the largest k; each smaller vocabulary is a
+    * PREFIX of the merge table (the defining property of BPE — a
+    * smaller vocab is literally the same table truncated), so the
+    * sweep re-encodes the word table k times driver-side — word-
+    * table-sized work, corpus touched once (the X73 architecture).
+    */
+  def vocabSweep(docs: DataFrame, textCol: String, sizes: Seq[Int],
+      maxVocab: Int = 1000000, minCount: Long = 1L): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1), s"bad sizes $sizes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordCounts = docs
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .filter($"n" >= minCount)
+    val rows = wordCounts.limit(maxVocab + 1).as[(String, Long)].collect()
+    require(rows.length <= maxVocab,
+      s"word vocabulary exceeds maxVocab=$maxVocab")
+    val merges = trainOnWordTable(
+      rows.map { case (w, n) => (w.map(_.toString).toArray, n) },
+      sizes.max)
+    val out = sizes.sorted.map { k =>
+      val table = merges.take(k)
+      var totalTokens = 0L; var totalWords = 0L
+      rows.foreach { case (w, n) =>
+        totalTokens += n * encodeWord(w, table).length
+        totalWords += n
+      }
+      (k, totalWords, totalTokens,
+        math.rint(totalTokens.toDouble / totalWords * 1e6) / 1e6)
+    }
+    spark.createDataFrame(out)
+      .toDF("n_merges", "total_words", "total_tokens", "tokens_per_word")
+  }
+
   /** X121 — WordPiece greedy encode (Wu et al. 2016; the BERT
     * tokenizer's matching rule) over the vocabulary the X73 merges
     * induce: the vocab is every symbol appearing in any corpus

@@ -821,6 +821,41 @@ object CorpusPrepQueries {
           .orderBy($"doc_id")
       }),
 
+    // X134: tokenizer vocab-size sweep — tokens/word under the first
+    // {5, 10, 20} merges. The oracle reads the per-rank state table
+    // directly (a k-merge vocabulary is the rank-k state), so all
+    // three sweep points replay exactly.
+    QueryDef(
+      "q_vocab_sweep",
+      Some(bpeStateCte + """,
+        picked AS (
+          SELECT k, n, syms FROM (
+            SELECT s.n, s.syms, u.k,
+                   row_number() OVER (PARTITION BY u.k, s.w
+                     ORDER BY s.rank DESC) AS rn
+            FROM state s, unnest([5, 10, 20]) AS u(k)
+            WHERE s.rank <= u.k
+          ) WHERE rn = 1
+        ),
+        sweep AS (
+          SELECT k, CAST(sum(n) AS BIGINT) AS total_words,
+                 CAST(sum(n * len(syms)) AS BIGINT) AS total_tokens
+          FROM picked GROUP BY k
+        )
+        SELECT CAST(k AS INTEGER) AS n_merges, total_words, total_tokens,
+               round(CAST(total_tokens AS DOUBLE) / total_words, 6)
+                 AS tokens_per_word
+        FROM sweep
+        ORDER BY n_merges
+      """.trim),
+      "X134 tokenizer vocab-size sweep (tokens/word at 5/10/20 merges)")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Bpe.vocabSweep(
+            table(spark, dir, "documents"), "text", Seq(5, 10, 20))
+          .orderBy($"n_merges")
+      }),
+
     // X121: WordPiece greedy encode over the X73-induced vocabulary —
     // the BERT matching rule with ## continuations and whole-word
     // [UNK] on greedy dead-ends. The oracle replays vocab derivation

@@ -127,6 +127,27 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabSweep: compression is monotone in merge count and the " +
+    "largest point matches a direct encode") {
+    val s = SparkHarness.spark
+    import s.implicits._
+    val docs = Seq((1L, "low lower lowest low low low"),
+      (2L, "newest widest lowest low")).toDF("doc_id", "text")
+    val sweep = Bpe.vocabSweep(docs, "text", Seq(1, 4, 8))
+      .orderBy($"n_merges").collect()
+    assert(sweep.map(_.getAs[Int]("n_merges")).toSeq == Seq(1, 4, 8))
+    val tpw = sweep.map(_.getAs[Double]("tokens_per_word"))
+    assert(tpw.zip(tpw.tail).forall { case (a, b) => a >= b },
+      s"not monotone: ${tpw.toSeq}")
+    // prefix property: the k=8 sweep point equals encoding the corpus
+    // with the full 8-merge table
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 8)
+    val direct = Bpe.encodeDocs(docs, "doc_id", "text", merges)
+      .agg(org.apache.spark.sql.functions.sum($"n_tokens")).collect()
+      .head.getLong(0)
+    assert(sweep.last.getAs[Long]("total_tokens") == direct)
+  }
+
   test("wordpiece: deterministic across repartitionings") {
     val s = SparkHarness.spark
     import s.implicits._
