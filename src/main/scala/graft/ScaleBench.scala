@@ -137,7 +137,9 @@ object ScaleBench {
       // X132: Hilbert key (pure scan UDF + output sort)
       "q_hilbert_key",
       // X133: sorted-neighborhood (two-phase rank + bounded window join)
-      "q_sorted_neighbors")
+      "q_sorted_neighbors",
+      // X134: vocab sweep (driver trainer + word-table re-encodes)
+      "q_vocab_sweep")
 
     import graft.operators.Similarity
     // probe set pinned to replica-0 ids (< 2000 at every scale)
