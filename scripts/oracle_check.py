@@ -91,6 +91,35 @@ def main(sf_dir, out_dir):
             failures += 1
             continue
         print(f"OK    {name} ({len(got)} rows)")
+    # Shape lint for rows-only queries (the r8 q_pca_whiten failure
+    # class): the driver's pandas comparator sorts every column, and
+    # array/map/struct cells make lexsort_indexer throw — so even the
+    # rows-only count comes back null. Fail here, before the driver
+    # ever sees a non-scalar column on a query with no oracle SQL.
+    import os
+    declared = set(oracle_sql)
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path) or name in declared:
+            continue
+        try:
+            desc = con.sql(
+                f"DESCRIBE SELECT * FROM read_parquet('{path}/*.parquet')"
+            ).df()
+        except Exception as e:
+            print(f"FAIL  {name}: rows-only output unreadable: {e}")
+            failures += 1
+            continue
+        bad = [(r["column_name"], r["column_type"])
+               for _, r in desc.iterrows()
+               if "[]" in r["column_type"]
+               or r["column_type"].startswith(("STRUCT", "MAP", "LIST"))]
+        if bad:
+            print(f"FAIL  {name}: rows-only query emits non-scalar "
+                  f"columns {bad} — the driver comparator cannot sort them")
+            failures += 1
+        else:
+            print(f"OK    {name} (rows-only shape: all scalar)")
     print(f"\n{len(oracle_sql) - failures}/{len(oracle_sql)} oracle queries match")
     return 1 if failures else 0
 

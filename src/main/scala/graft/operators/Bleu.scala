@@ -163,11 +163,19 @@ object Bleu {
     val b2 = beta * beta
     val f = when(p + r > lit(0.0),
       lit(1.0 + b2) * p * r / (lit(b2) * p + r)).otherwise(lit(0.0))
+    // sacrebleu's effective-order rule: F averages only over orders
+    // where the hypothesis OR reference has at least one gram (an
+    // identical pair shorter than maxN chars scores 1.0, not
+    // len/maxN); both sides empty at every order → 0.
     joined.withColumn("__f", f)
       .groupBy(col(idCol))
       .agg(max(col("ref_chars")).as("ref_chars"),
         max(col("hyp_chars")).as("hyp_chars"),
-        round(sum(col("__f")) / maxN, 6).as("chrf"))
+        sum(col("__f")).as("__sf"),
+        sum(when(col("__th") > 0 || col("__tr") > 0, 1L).otherwise(0L))
+          .as("__eff"))
+      .select(col(idCol), col("ref_chars"), col("hyp_chars"),
+        round(col("__sf") / greatest(col("__eff"), lit(1L)), 6).as("chrf"))
   }
 
   /** X88 — Self-BLEU (Zhu et al. 2018, Texygen): each doc scored as
@@ -185,9 +193,10 @@ object Bleu {
     * Scale shape: gram top-2 is one window over the (n, gram) count
     * table (per-gram partitions — parallel, vocabulary-bounded); the
     * clip join keys on (n, gram); closest-length is a lag/lead pass
-    * over the SKINNY doc-length table (global order over \|docs\|
-    * rows — the same documented trade as the typicality terciles; in
-    * a sorted-by-value list the nearest other value is adjacent).
+    * over the DISTINCT-length table (bounded by max doc length — a
+    * doc sharing its length with another doc is its own closest
+    * match, so only unique lengths need neighbors) broadcast back to
+    * the doc table. No stage is wider than the gram tables.
     */
   def selfBleu(docs: DataFrame, idCol: String, textCol: String,
       maxN: Int = 4): DataFrame = {
@@ -196,18 +205,28 @@ object Bleu {
       coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
         .as("__w"))
     val lens = toks.select(col(idCol), size(col("__w")).cast("long").as("hyp_len"))
-    // closest OTHER length: in (len, id) order the nearest other value
-    // is an immediate neighbor; ties to the smaller length (NLTK rule)
-    val lw = Window.orderBy(col("hyp_len"), col(idCol))
-    val closest = lens
+    // closest OTHER length, ties to the smaller (NLTK rule) — WITHOUT
+    // a global window over the doc table: a doc sharing its length
+    // with any other doc has ref_len = hyp_len (distance 0), so only
+    // UNIQUE lengths need neighbors, and those come from lag/lead
+    // over the DISTINCT-length table — bounded by max doc length
+    // (thousands of rows at any corpus size, the same bounded-window
+    // class as UniMax's |sources| pass), then broadcast back.
+    val lenCnt = lens.groupBy(col("hyp_len"))
+      .agg(count(lit(1)).as("__c"))
+    val lw = Window.orderBy(col("hyp_len"))
+    val lenInfo = lenCnt
       .withColumn("__prev", lag(col("hyp_len"), 1).over(lw))
       .withColumn("__next", lead(col("hyp_len"), 1).over(lw))
       .withColumn("ref_len",
-        when(col("__prev").isNull, col("__next"))
+        when(col("__c") >= 2, col("hyp_len"))
+          .when(col("__prev").isNull, col("__next"))
           .when(col("__next").isNull, col("__prev"))
           .when(abs(col("__prev") - col("hyp_len")) <=
             abs(col("__next") - col("hyp_len")), col("__prev"))
           .otherwise(col("__next")))
+      .select(col("hyp_len"), col("ref_len"))
+    val closest = lens.join(broadcast(lenInfo), Seq("hyp_len"))
       .select(col(idCol), col("hyp_len"), col("ref_len"))
     val gramCnt = (1 to maxN).map { n =>
       toks.select(col(idCol), explode(grams(col("__w"), n)).as("__g"))

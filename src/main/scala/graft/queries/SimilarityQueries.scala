@@ -471,16 +471,23 @@ object SimilarityQueries {
     // closed-form SQL oracle); the whitening guarantees (unit
     // variance, zero cross-covariance, max-variance leading axis,
     // partitioning determinism) are spec-asserted in
-    // SelectionWaveSpec.
+    // SelectionWaveSpec. Contract shape: the whitened array is
+    // posexploded to scalar (vec_id, dim, value) rows — the driver
+    // comparator sorts columns and cannot order array cells (SURVEY
+    // §8: rows-only outputs must be scalar-typed).
     QueryDef(
       "q_pca_whiten",
       None,
       "X116 PCA whitening of embeddings (top-8 axes, unit variance)")(
       (spark, dir) => {
         import spark.implicits._
+        // no final orderBy: the driver comparator sorts rows itself,
+        // and a range sort here would recompute the 8×64-term
+        // whitening projection in the sampling pass
         Similarity.pcaWhiten(table(spark, dir, "embeddings"),
             "vec_id", "embedding", k = 8)
-          .orderBy($"vec_id")
+          .select($"vec_id", posexplode($"whitened").as(Seq("dim", "__v")))
+          .select($"vec_id", $"dim", round($"__v", 6).as("value"))
       }),
 
     // X106: Calinski-Harabasz variance-ratio index — the third

@@ -217,19 +217,27 @@ object Sources {
     val withCorrupt = org.apache.spark.sql.types.StructType(
       schema.fields :+ StructField("_corrupt_record", StringType,
         nullable = true))
-    val raw = spark.read
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(glob)
-      // Spark requires caching/materialization before referencing the
-      // corrupt column alone; selecting it alongside data columns in
-      // one pass keeps the contract
-      .cache()
-    val clean = raw.filter(col("_corrupt_record").isNull)
-      .drop("_corrupt_record")
-    val rejects = raw.filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw_line"))
+    // text scan + from_json (not DataFrameReader.json + cache): the
+    // json reader forbids referencing its internal corrupt column
+    // without materializing, and a .cache() here would pin the whole
+    // corpus in cluster storage memory with no one to unpersist it.
+    // from_json's corrupt field is a plain struct field, so both
+    // outputs are independent lazy projections of a splittable text
+    // scan — no cached state, each side column-pruned. Blank lines
+    // are skipped like the json reader does.
+    val parsed = spark.read.text(glob)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value").as("raw_line"),
+        from_json(col("raw_line"), withCorrupt, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("__p"))
+    val clean = parsed
+      .filter(col("__p._corrupt_record").isNull && col("__p").isNotNull)
+      .select(schema.fieldNames.toSeq
+        .map(f => col(s"__p.`$f`").as(f)): _*)
+    val rejects = parsed
+      .filter(col("__p._corrupt_record").isNotNull || col("__p").isNull)
+      .select(col("raw_line"))
     (clean, rejects)
   }
 

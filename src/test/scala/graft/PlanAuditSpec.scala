@@ -738,6 +738,41 @@ class PlanAuditSpec extends AnyFunSuite {
       s"non-sort exchange in the projection scan:\n$exchanges")
   }
 
+  // a SinglePartition exchange is legitimate only when it feeds a
+  // one-/few-row final HashAggregate; under a Sort or Window it means
+  // the whole table funnels through one task — the 100 TB killer the
+  // two-phase globalRank exists to avoid
+  private def assertNoGlobalSort(q: String): Unit = {
+    val lines = plan(q).linesIterator.toVector
+    lines.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val above = lines.slice(math.max(0, i - 3), i).mkString("\n")
+        assert(!above.contains("Sort ") && !above.contains("Window"),
+          s"$q: global sort/window over SinglePartition:\n$above")
+      }
+  }
+
+  test("q_typicality_bands: tercile bands via distributed rank — " +
+    "no single-partition sort/window anywhere in the plan") {
+    assertNoGlobalSort("q_typicality_bands")
+  }
+
+  test("q_zipf_fit: vocab rank via distributed rank — no " +
+    "single-partition sort/window") {
+    assertNoGlobalSort("q_zipf_fit")
+  }
+
+  test("q_self_bleu: closest-length neighbors come from the bounded " +
+    "distinct-length table, broadcast back to docs") {
+    val p = plan("q_self_bleu")
+    // the only window ordered without a partition must sit above the
+    // distinct-length AGGREGATE (max-doc-length-bounded), never above
+    // the raw doc table; its result rejoins docs via broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"closest-length lost its broadcast join:\n${p.take(1500)}")
+  }
+
   test("q_scd2_intervals: lag-flag-cumsum runs per user — no join, " +
     "no single-partition stage") {
     val p = plan("q_scd2_intervals")

@@ -137,6 +137,18 @@ class BleuSpec extends AnyFunSuite {
     assert(out1(3L).getAs[Double]("chrf") == r6(5.0 / 7.0))
   }
 
+  test("chrF: effective order — identical pair shorter than maxN " +
+    "scores 1.0 (sacrebleu rule), not len/maxN") {
+    val s = spark
+    import s.implicits._
+    val out = Bleu.chrF(Seq((1L, "abc", "abc")).toDF("id", "ref", "hyp"),
+        "id", "ref", "hyp")
+      .collect().head
+    // orders 1..3 have grams on both sides (F=1 each); orders 4..6
+    // have none on either side and are excluded from the average
+    assert(out.getAs[Double]("chrf") == 1.0)
+  }
+
   test("chrF: empty hypothesis scores 0 with zero hyp_chars") {
     val s = spark
     import s.implicits._

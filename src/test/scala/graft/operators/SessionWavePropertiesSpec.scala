@@ -104,6 +104,15 @@ class SessionWavePropertiesSpec extends AnyFunSuite with PropertyHarness {
         replicates = 16).collect().head
       assert(ci.getAs[Double]("ci_lo") <= ci.getAs[Double]("ci_hi"))
       assert(ci.getAs[Long]("n_replicates") == 16L)
+      // fractional statistics survive the micro-unit quantization:
+      // scores in [0,1) must NOT truncate to an all-zero band
+      val frac = vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, 0.25 + (v % 5) * 0.1) }.toDF("doc_id", "score")
+      val fci = CorpusOps.bootstrapCI(frac, "doc_id", "score",
+        replicates = 16).collect().head
+      assert(fci.getAs[Double]("point_mean") >= 0.25)
+      assert(fci.getAs[Double]("ci_hi") >= fci.getAs[Double]("ci_lo"))
+      assert(fci.getAs[Double]("ci_lo") > 0.0)
       val texts = vals.zipWithIndex.map { case (v, i) =>
         (i.toLong, s"w$v t${v % 7} u${v % 3}") }.toDF("doc_id", "text")
       CorpusOps.qualityClassifier(texts, "doc_id", "text")
