@@ -139,6 +139,83 @@ object CorpusQueries {
           .orderBy($"doc_id")
       }),
 
+    // X135: the pure-JVM COMPRESSED-audio leg under an exact oracle —
+    // G.711 mu-law and A-law (wave fmt 7/6, telephony 2:1 log
+    // compression) decode with no external binary, and the ITU bit
+    // arithmetic replays verbatim in SQL: u-law u=255-b,
+    // t=((u%16)*8+132)<<seg, sign from bit 7; A-law a=b^0x55 with the
+    // seg-0/1/n piecewise form. Same synthesized-container pattern as
+    // q_audio_rms: deterministic byte stream per doc, wrapped in a
+    // real RIFF container, decoded through the production decodeWav.
+    QueryDef(
+      "q_audio_g711",
+      Some("""
+        WITH s AS (
+          SELECT doc_id, greatest(n_chars, 1) AS n FROM documents
+        ), e AS (
+          SELECT doc_id, n, (unnest(range(n)) * 37 + 11) % 256 AS b
+          FROM s
+        ), d AS (
+          SELECT doc_id, n, b,
+                 255 - b AS u,
+                 xor(b, 85) AS a
+          FROM e
+        ), v AS (
+          SELECT doc_id, n,
+                 CASE WHEN u >= 128
+                      THEN 132 - (((u % 16) * 8 + 132) << ((u // 16) % 8))
+                      ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+                 END AS vu,
+                 CASE WHEN a >= 128 THEN 1 ELSE -1 END *
+                 CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                      WHEN (a // 16) % 8 = 1 THEN (a % 16) * 16 + 264
+                      ELSE ((a % 16) * 16 + 264) << ((a // 16) % 8 - 1)
+                 END AS va
+          FROM d
+        )
+        SELECT doc_id, n AS n_samples,
+               CAST(sum(CAST(vu * vu AS BIGINT)) AS BIGINT) AS sum_sq_ulaw,
+               CAST(sum(CAST(va * va AS BIGINT)) AS BIGINT) AS sum_sq_alaw,
+               round(sqrt(CAST(sum(CAST(vu * vu AS BIGINT)) AS DOUBLE)
+                 / n), 6) AS rms_ulaw
+        FROM v GROUP BY doc_id, n
+        ORDER BY doc_id
+      """.trim),
+      "X135 G.711 mu/A-law compressed-audio decode + exact RMS oracle")(
+      (spark, dir) => {
+        import spark.implicits._
+        import java.nio.{ByteBuffer, ByteOrder}
+        val roundTrip = udf { nChars: Long =>
+          val n = math.max(nChars, 1L).toInt
+          val payload = Array.tabulate(n)(i => ((i * 37 + 11) % 256).toByte)
+          def wav(fmt: Int): Array[Byte] = {
+            val header = ByteBuffer.allocate(44)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            header.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+              .put("WAVE".getBytes("US-ASCII"))
+              .put("fmt ".getBytes("US-ASCII")).putInt(16)
+              .putShort(fmt.toShort).putShort(1).putInt(8000).putInt(8000)
+              .putShort(1).putShort(8)
+              .put("data".getBytes("US-ASCII")).putInt(n)
+            header.array() ++ payload
+          }
+          def sumSq(fmt: Int): Long = {
+            val pcm = Sources.decodeWav(wav(fmt)).toOption.get
+            var ss = 0L
+            pcm.samples.foreach(v => ss += v.toLong * v)
+            ss
+          }
+          (n.toLong, sumSq(7), sumSq(6))
+        }
+        table(spark, dir, "documents")
+          .select($"doc_id", roundTrip(greatest($"n_chars", lit(1L))).as("r"))
+          .select($"doc_id", $"r._1".as("n_samples"),
+            $"r._2".as("sum_sq_ulaw"), $"r._3".as("sum_sq_alaw"))
+          .withColumn("rms_ulaw",
+            round(sqrt($"sum_sq_ulaw".cast("double") / $"n_samples"), 6))
+          .orderBy($"doc_id")
+      }),
+
     // The resampler under an EXACT oracle: same deterministic signal
     // v(i) as q_audio_rms at 8 kHz, resampled 8k→12k through the
     // production kernel (Augment.resampleLinear), integer

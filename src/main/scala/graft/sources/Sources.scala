@@ -88,7 +88,51 @@ object Sources {
 
   private val WaveFormatPcm = 1
   private val WaveFormatFloat = 3
+  private val WaveFormatAlaw = 6
+  private val WaveFormatUlaw = 7
+  private val WaveFormatImaAdpcm = 0x11
   private val WaveFormatExtensible = 0xFFFE
+
+  /** G.711 μ-law decode table (ITU-T G.711, the CCITT ulaw2linear
+    * form): u = ~b; t = ((u & 0xF) << 3) + 0x84 shifted by the 3-bit
+    * segment; sign from bit 7. Compressed telephony audio is the one
+    * codec family decodable EXACTLY in pure JVM — the engine's
+    * no-ffmpeg compressed-audio leg (reference accepts such files via
+    * pydub, claude_research_optimal.py:474).
+    */
+  private[sources] val UlawTable: Array[Int] = Array.tabulate(256) { b =>
+    val u = ~b & 0xFF
+    val t = (((u & 0xF) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law decode table (alaw2linear): a = b ^ 0x55; segment 0
+    * → (mant<<4)+8, else ((mant<<4)+0x108) << (seg−1); bit 7 SET is
+    * positive (A-law convention, opposite of μ-law).
+    */
+  private[sources] val AlawTable: Array[Int] = Array.tabulate(256) { b =>
+    val a = b ^ 0x55
+    val seg = (a & 0x70) >> 4
+    val t0 = (a & 0xF) << 4
+    val t = seg match {
+      case 0 => t0 + 8
+      case 1 => t0 + 0x108
+      case s => (t0 + 0x108) << (s - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  private val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+  private val AdpcmIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 
   /** RIFF/WAV container decode. Walks chunks (LIST, fact… tolerated);
     * returns 16-bit mono PCM or a machine-readable rejection reason.
@@ -113,6 +157,7 @@ object Sources {
     var channels = 0
     var bits = 0
     var codec = -1
+    var blockAlign = 0
     var haveFmt = false
     while (buf.remaining() >= 8) {
       val id = new Array[Byte](4); buf.get(id)
@@ -125,7 +170,7 @@ object Sources {
         channels = buf.getShort & 0xFFFF
         sampleRate = buf.getInt
         buf.getInt // byte rate
-        buf.getShort // block align
+        blockAlign = buf.getShort & 0xFFFF
         bits = buf.getShort & 0xFFFF
         if (codec == WaveFormatExtensible && size >= 40) {
           buf.getShort // cbSize
@@ -138,7 +183,9 @@ object Sources {
       } else if (name == "data") {
         if (!haveFmt) return Left("data_before_fmt")
         if (size < 0 || size > buf.remaining()) return Left("truncated")
-        if (codec != WaveFormatPcm && codec != WaveFormatFloat)
+        if (codec != WaveFormatPcm && codec != WaveFormatFloat &&
+            codec != WaveFormatAlaw && codec != WaveFormatUlaw &&
+            codec != WaveFormatImaAdpcm)
           return Left(s"unsupported_codec:wave_fmt_$codec")
         if (channels < 1 || channels > 32)
           return Left(s"unsupported_channels:$channels")
@@ -147,8 +194,23 @@ object Sources {
         if (codec == WaveFormatPcm && bits != 8 && bits != 16 &&
             bits != 24 && bits != 32)
           return Left(s"unsupported_bits:$bits")
+        if ((codec == WaveFormatAlaw || codec == WaveFormatUlaw) &&
+            bits != 8)
+          return Left(s"unsupported_bits:g711_$bits")
+        if (codec == WaveFormatImaAdpcm && bits != 4)
+          return Left(s"unsupported_bits:ima_$bits")
         val data = new Array[Byte](size)
         buf.get(data)
+        if (codec == WaveFormatAlaw || codec == WaveFormatUlaw)
+          return Right(g711ToMono16(data,
+            if (codec == WaveFormatUlaw) UlawTable else AlawTable,
+            channels, sampleRate))
+        if (codec == WaveFormatImaAdpcm) {
+          if (blockAlign < 4 * channels + 4)
+            return Left(s"bad_block_align:$blockAlign")
+          return Right(adpcmToMono16(data, channels, blockAlign,
+            sampleRate))
+        }
         return Right(toMono16(data, codec, channels, bits, sampleRate))
       } else {
         if (size < 0 || size > buf.remaining()) return Left("truncated")
@@ -156,6 +218,96 @@ object Sources {
       }
     }
     Left("no_data_chunk")
+  }
+
+  /** G.711 (μ-law/A-law) to 16-bit mono: one table lookup per byte,
+    * channel-averaged like every other path. 2:1 logarithmic
+    * compression decoded bit-exactly — no external binary.
+    */
+  private def g711ToMono16(data: Array[Byte], tab: Array[Int],
+      channels: Int, sampleRate: Int): Pcm = {
+    val n = data.length / channels
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var c = 0
+      while (c < channels) {
+        acc += tab(data(i * channels + c) & 0xFF)
+        c += 1
+      }
+      out(i) = (acc / channels).toInt
+      i += 1
+    }
+    Pcm.fromSamples(out, sampleRate)
+  }
+
+  /** IMA/DVI ADPCM (wave format 0x11) to 16-bit mono: 4:1-compressed
+    * blocks — per channel a 4-byte header (int16 predictor = the
+    * block's first sample, step index), then nibbles in 4-byte
+    * channel-interleaved groups; the standard step/index state
+    * machine (IMA ADPCM spec, 1992) reconstructs samples exactly.
+    */
+  private def adpcmToMono16(data: Array[Byte], channels: Int,
+      blockAlign: Int, sampleRate: Int): Pcm = {
+    val spb = (blockAlign - 4 * channels) * 2 / channels + 1
+    val nBlocks = data.length / blockAlign
+    val out = new Array[Int](nBlocks * spb)
+    var outN = 0
+    val pred = new Array[Int](channels)
+    val idx = new Array[Int](channels)
+    val chanSamples = Array.ofDim[Int](channels, spb)
+    var b = 0
+    while (b < nBlocks) {
+      val base = b * blockAlign
+      var c = 0
+      while (c < channels) {
+        val off = base + 4 * c
+        pred(c) = ((data(off) & 0xFF) | (data(off + 1) << 8)).toShort.toInt
+        idx(c) = math.max(0, math.min(88, data(off + 2) & 0xFF))
+        chanSamples(c)(0) = pred(c)
+        c += 1
+      }
+      // nibble payload: groups of 4 bytes (8 samples) per channel,
+      // channels interleaved group-wise; low nibble first
+      var s = 1
+      var payload = base + 4 * channels
+      while (s < spb) {
+        var cc = 0
+        while (cc < channels) {
+          var k = 0
+          while (k < 8 && s + k < spb) {
+            val byte = data(payload + (k >> 1)) & 0xFF
+            val nib = if ((k & 1) == 0) byte & 0xF else (byte >> 4) & 0xF
+            val step = AdpcmStepTable(idx(cc))
+            var diff = step >> 3
+            if ((nib & 1) != 0) diff += step >> 2
+            if ((nib & 2) != 0) diff += step >> 1
+            if ((nib & 4) != 0) diff += step
+            val p = if ((nib & 8) != 0) pred(cc) - diff else pred(cc) + diff
+            pred(cc) = math.max(-32768, math.min(32767, p))
+            idx(cc) = math.max(0,
+              math.min(88, idx(cc) + AdpcmIndexTable(nib)))
+            chanSamples(cc)(s + k) = pred(cc)
+            k += 1
+          }
+          payload += 4
+          cc += 1
+        }
+        s += 8
+      }
+      var i = 0
+      while (i < spb) {
+        var acc = 0L
+        var c2 = 0
+        while (c2 < channels) { acc += chanSamples(c2)(i); c2 += 1 }
+        out(outN) = (acc / channels).toInt
+        outN += 1
+        i += 1
+      }
+      b += 1
+    }
+    Pcm.fromSamples(out, sampleRate)
   }
 
   /** Normalize any supported sample format to 16-bit mono: decode each
