@@ -1791,6 +1791,137 @@ object CorpusOps {
         sum(col("__h")).as("checksum"))
   }
 
+
+  /** X136 — CCNet-style line-level boilerplate removal (Wenzek et
+    * al. 2019): a line whose NORMALIZED form (lowercase, trimmed,
+    * digits stripped — so "© 2021 Acme" and "© 2024 Acme" collide)
+    * appears in at least `minDocs` distinct documents is boilerplate
+    * (nav bars, cookie banners, license footers) and is cut from
+    * every document; blank lines are structural and always kept.
+    * Line-LEVEL dedup is the web-corpus complement to the span/slot
+    * family ([[Contamination.removeDuplicateSpans]]): spans catch
+    * copied prose at any offset, lines catch template furniture that
+    * repeats verbatim across a site.
+    *
+    * Input: `linesCol` is the document's ordered `array<string>` of
+    * lines (split upstream — newline docs via `split(text, "\n")`,
+    * or any segmenter). Output per doc: (n_lines, n_kept,
+    * removed_ratio, clean_md5 of the surviving lines joined by \n).
+    *
+    * Scale shape: one posexplode -> distinct (key, doc) -> map-side
+    * combined key count; the boilerplate key table (keys in >=
+    * minDocs docs) is far smaller than the corpus and joins back by
+    * equi-key; reassembly is one per-doc sorted-struct fold. Nothing
+    * wider than the line table moves.
+    */
+  def lineDedup(docs: DataFrame, docCol: String, linesCol: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    val lines = docs.select(col(docCol),
+      posexplode_outer(col(linesCol)).as(Seq("__pos", "__line")))
+    val keyed = lines.withColumn("__k",
+      md5(regexp_replace(lower(trim(col("__line"))), "[0-9]", "")))
+    val boiler = keyed
+      .filter(trim(col("__line")) =!= "")
+      .select(col(docCol), col("__k")).distinct()
+      .groupBy(col("__k")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__k"), lit(1).as("__b"))
+    val marked = keyed.join(boiler, Seq("__k"), "left")
+      .withColumn("__keep",
+        col("__line").isNotNull &&
+          (col("__b").isNull || trim(col("__line")) === ""))
+    marked.groupBy(col(docCol)).agg(
+        count(col("__line")).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(array_sort(collect_list(
+          when(col("__keep"), struct(col("__pos"), col("__line"))))),
+          s => s("__line")), "\n")).as("clean_md5"))
+      .select(col(docCol), col("n_lines"), col("n_kept"),
+        round(when(col("n_lines") === 0, 0.0)
+          .otherwise((col("n_lines") - col("n_kept")).cast("double") /
+            col("n_lines")), 6).as("removed_ratio"),
+        col("clean_md5"))
+  }
+
+  /** X137 — fill-in-the-middle transform (Bavarian et al. 2022, the
+    * OpenAI FIM recipe): with probability `fimRate` a document's
+    * token stream is cut at two md5-drawn positions into
+    * (prefix, middle, suffix) and re-emitted in PSM order —
+    * <PRE> prefix <SUF> suffix <MID> middle — teaching an
+    * autoregressive model to infill. Content-stable like every
+    * sampler here: the apply decision AND both cut points are md5
+    * draws keyed by doc id, so the same corpus yields the same
+    * transformed stream in any run or engine (and the oracle replays
+    * it verbatim).
+    *
+    * Output: (doc, n_tokens, fim_applied, cut_lo, cut_hi, out_md5)
+    * where out_md5 hashes the emitted token stream (sentinels
+    * included when applied, the untouched stream otherwise).
+    *
+    * Scale shape: pure per-row array arithmetic over the scan — no
+    * shuffle, no UDF, whole-stage codegen.
+    */
+  def fimTransform(docs: DataFrame, docCol: String, textCol: String,
+      fimRate: Double = 0.9, salt: String = "fim"): DataFrame = {
+    require(fimRate >= 0.0 && fimRate <= 1.0, s"bad fimRate $fimRate")
+    val w = coalesce(Dedup.tokens(col(textCol)),
+      array().cast("array<string>"))
+    val key = col(docCol).cast("string")
+    val n = size(w).cast("long")
+    val applied = md5Band(key, salt) < bandThreshold(fimRate) && n > 0
+    val d1 = pmod(md5Band(key, salt + ":1"), n + 1)
+    val d2 = pmod(md5Band(key, salt + ":2"), n + 1)
+    val lo = least(d1, d2)
+    val hi = greatest(d1, d2)
+    val pre = slice(w, lit(1), lo.cast("int"))
+    val mid = slice(w, (lo + 1).cast("int"), (hi - lo).cast("int"))
+    val suf = slice(w, (hi + 1).cast("int"), (n - hi).cast("int"))
+    val psm = concat(array(lit("<PRE>")), pre, array(lit("<SUF>")), suf,
+      array(lit("<MID>")), mid)
+    docs.select(col(docCol), n.as("n_tokens"),
+      applied.as("fim_applied"),
+      when(applied, lo).otherwise(lit(null)).as("cut_lo"),
+      when(applied, hi).otherwise(lit(null)).as("cut_hi"),
+      md5(array_join(when(applied, psm).otherwise(w), " ")).as("out_md5"))
+  }
+
+  /** X141 — temporal embargo split (the backtest-hygiene partition
+    * every time-series trainer needs): train takes events strictly
+    * before the `trainFrac` time quantile t0, an `embargoMicros` gap
+    * after t0 is DISCARDED (it leaks label horizon into features —
+    * the de Prado "purged" split), and test takes everything at or
+    * after t0+gap. Complements [[leakProofSplit]] (X69), which
+    * partitions by GROUP; this partitions by TIME.
+    *
+    * Output: one row per split (train/embargo/test) with event and
+    * distinct-key counts and the time range actually covered.
+    *
+    * Scale shape: ONE tiny percentile agg broadcast to the scan
+    * (swap percentile for approx_percentile at 100 TB — the
+    * established exact/sketch twin), then a map-side-combined
+    * three-way classify agg. Nothing shuffles but the 3-row result.
+    */
+  def temporalSplit(events: DataFrame, keyCol: String, tsCol: String,
+      trainFrac: Double = 0.8, embargoMicros: Long = 86400000000L)
+      : DataFrame = {
+    require(trainFrac > 0.0 && trainFrac < 1.0, s"bad trainFrac $trainFrac")
+    require(embargoMicros >= 0L, s"bad embargo $embargoMicros")
+    val us = unix_micros(col(tsCol))
+    val t0 = events.agg(
+      floor(percentile(unix_micros(col(tsCol)), lit(trainFrac)))
+        .cast("long").as("__t0"))
+    val split = when(us < col("__t0"), "train")
+      .when(us < col("__t0") + lit(embargoMicros), "embargo")
+      .otherwise("test")
+    events.crossJoin(broadcast(t0))
+      .withColumn("split", split)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col(keyCol)).as("n_keys"),
+        min(col(tsCol)).as("min_ts"), max(col(tsCol)).as("max_ts"))
+  }
+
   def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)

@@ -447,4 +447,139 @@ object InvertedIndex {
         round(col("__s") / col("n_bigrams"), 6).as("mean_nll"),
         round(pow(lit(2.0), col("__s") / col("n_bigrams")), 6).as("ppl"))
   }
+
+  /** X139 — windowed PMI co-occurrence (the Church & Hanks 1990
+    * association score over a ±`window` skip-gram context — the
+    * distributional statistic under word2vec/GloVe-era vector
+    * models): for ordered pairs (x, y) with y at distance 1..window
+    * after x, PMI(x,y) = ln( c(x,y)·N / (cL(x)·cR(y)) ), reported
+    * for the `k` strongest pairs with support >= `minCount`.
+    *
+    * Exactness: counts are exact ints; each ln quantizes to
+    * nano-units (the quantizedLogFit convention — both engines round
+    * 1-ulp libm drift to the same integer), so the PMI ordering and
+    * the reported round(6) values replay verbatim in SQL.
+    *
+    * Scale shape: the pair stream comes from `window` lead() columns
+    * in ONE pass over the per-doc-sorted token table (no self-join);
+    * pair/marginal counts are vocabulary²-bounded map-side-combined
+    * aggs; top-k is TakeOrderedAndProject. Nothing quadratic in
+    * corpus size.
+    */
+  def windowedPmi(docs: DataFrame, docCol: String, textCol: String,
+      window: Int = 3, minCount: Int = 5, k: Int = 50): DataFrame = {
+    require(window >= 1 && window <= 8, s"bad window $window")
+    def lnq(v: Column): Column =
+      round(log(v.cast("double")) * 1e9, 0).cast("long")
+    val toks = docs.select(col(docCol),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "__w")))
+    val tw = Window.partitionBy(col(docCol)).orderBy(col("pos"))
+    val led = (1 to window).foldLeft(toks) { (df, d) =>
+      df.withColumn(s"__r$d", lead(col("__w"), d).over(tw))
+    }
+    val pairs = led.select(col("__w").as("left"),
+        explode(array((1 to window).map(d => col(s"__r$d")): _*))
+          .as("right"))
+      .filter(col("right").isNotNull)
+    val pc = pairs.groupBy(col("left"), col("right"))
+      .agg(count(lit(1)).as("n_pair"))
+    val cl = pc.groupBy(col("left")).agg(sum(col("n_pair")).as("__cl"))
+    val cr = pc.groupBy(col("right")).agg(sum(col("n_pair")).as("__cr"))
+    val n = pc.agg(sum(col("n_pair")).as("__n"))
+    pc.filter(col("n_pair") >= minCount)
+      .join(cl, "left").join(cr, "right")
+      .crossJoin(broadcast(n))
+      .withColumn("__pmi",
+        lnq(col("n_pair")) + lnq(col("__n")) - lnq(col("__cl")) -
+          lnq(col("__cr")))
+      .orderBy(col("__pmi").desc, col("left"), col("right"))
+      .limit(k)
+      .select(col("left"), col("right"), col("n_pair"),
+        round(col("__pmi") / 1e9, 6).as("pmi"))
+  }
+
+  /** X140 — Stupid Backoff document scoring (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — THE
+    * distributed-count LM: no discounting, no normalization, just
+    * relative frequencies with a fixed backoff factor, built to run
+    * on web-scale counts in MapReduce — i.e. exactly this engine's
+    * shape). The model fits on the md5-selected HALF of the corpus
+    * (a frozen LM scoring unseen data, the production use), and
+    * every doc scores
+    *
+    *   S(w_i|w_{i-1}) = c(w_{i-1} w_i)/c(w_{i-1})   if bigram seen
+    *                  = alpha · c(w_i)/N            else if w_i seen
+    *                  = alpha² / N                  else (OOV)
+    *
+    * with the first token scored by its unigram (alpha/N when OOV).
+    * Backoff/OOV paths genuinely fire on the held-out half.
+    *
+    * Exactness: counts are ints; each position evaluates one
+    * fixed-shape double log expression; per-doc sum order ulps are
+    * absorbed by round(6) — the [[docPerplexity]] convention.
+    *
+    * Scale shape: vocab-sized count tables from the training half,
+    * probability lookups as equi-joins on (prev, next) / next;
+    * nothing wider than the token stream moves.
+    */
+  def stupidBackoff(docs: DataFrame, docCol: String, textCol: String,
+      alpha: Double = 0.4, salt: String = "sb"): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"bad alpha $alpha")
+    val toks = docs.select(col(docCol),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "__w")))
+    val train = toks.filter(
+      CorpusOps.md5Band(col(docCol).cast("string"), salt) <
+        CorpusOps.bandThreshold(0.5))
+    val tw = Window.partitionBy(col(docCol)).orderBy(col("pos"))
+    def bigramsOf(t: DataFrame): DataFrame = t
+      .withColumn("__next", lead(col("__w"), 1).over(tw))
+      .filter(col("__next").isNotNull)
+      .select(col(docCol), col("pos"), col("__w").as("__prev"),
+        col("__next"))
+    val bc = bigramsOf(train).groupBy(col("__prev"), col("__next"))
+      .agg(count(lit(1)).as("__bc"))
+    val uc = train.groupBy(col("__w")).agg(count(lit(1)).as("__uc"))
+    val nTotal = train.agg(sum(lit(1L)).as("__ntr"))
+    val lnN = log(col("__ntr").cast("double"))
+    // positions >= 1: bigram -> unigram -> OOV ladder
+    val rest = bigramsOf(toks)
+      .join(bc, Seq("__prev", "__next"), "left")
+      .join(uc.select(col("__w").as("__prev"), col("__uc").as("__ucp")),
+        Seq("__prev"), "left")
+      .join(uc.select(col("__w").as("__next"), col("__uc").as("__ucn")),
+        Seq("__next"), "left")
+      .crossJoin(broadcast(nTotal))
+      .select(col(docCol),
+        when(col("__bc").isNotNull,
+            log(col("__bc").cast("double")) -
+              log(col("__ucp").cast("double")))
+          .when(col("__ucn").isNotNull,
+            lit(math.log(alpha)) + log(col("__ucn").cast("double")) - lnN)
+          .otherwise(lit(2.0 * math.log(alpha)) - lnN).as("__lp"),
+        when(col("__bc").isNull, 1L).otherwise(0L).as("__back"),
+        when(col("__ucn").isNull, 1L).otherwise(0L).as("__oov"))
+    // position 0: unigram (alpha/N when OOV)
+    val first = toks.filter(col("pos") === 0)
+      .join(uc, Seq("__w"), "left")
+      .crossJoin(broadcast(nTotal))
+      .select(col(docCol),
+        when(col("__uc").isNotNull,
+            log(col("__uc").cast("double")) - lnN)
+          .otherwise(lit(math.log(alpha)) - lnN).as("__lp"),
+        lit(0L).as("__back"),
+        when(col("__uc").isNull, 1L).otherwise(0L).as("__oov"))
+    val scored = rest.unionByName(first)
+      .groupBy(col(docCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__back")).as("n_backoff"),
+        sum(col("__oov")).as("n_oov"),
+        round(sum(col("__lp")), 6).as("sb_logprob"))
+    docs.select(col(docCol)).distinct()
+      .join(scored, Seq(docCol), "left")
+      .select(col(docCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("sb_logprob"), lit(0.0)).as("sb_logprob"))
+  }
 }

@@ -1053,4 +1053,59 @@ object Similarity {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("dist").desc, col(idCol))))
   }
+
+  /** X138 — embedding centroid drift monitor: per label, the cosine
+    * between the REFERENCE slice's centroid and the CURRENT slice's
+    * centroid (plus the centroid L2 gap) — the production check that
+    * an embedding model upgrade or a data-mix shift hasn't moved a
+    * class's semantic center. Slices come from any boolean
+    * `refCol` (deploy A/B, time window, snapshot id).
+    *
+    * Exactness: coordinates quantize to nano-unit integers
+    * (round(x*1e9), the covariance-pass convention) and all sums run
+    * in exact decimal arithmetic — dot products and squared norms of
+    * the integer centroid-sum vectors, so cosine and the gap see
+    * IDENTICAL doubles in any engine and under any partitioning
+    * (cosine is scale-invariant, so the integer sums stand in for
+    * the centroids directly; the L2 gap clears denominators with
+    * (sA*nB - sB*nA) before squaring).
+    *
+    * Scale shape: one (label, slice, dim) map-side-combined sum agg
+    * over the posexploded scan -> a |labels|*2*d table; everything
+    * after is arithmetic on that tiny table. Nothing else moves.
+    */
+  def embeddingDrift(vecs: DataFrame, vecCol: String, labelCol: String,
+      refCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = round(col("x") * 1e9, 0).cast("decimal(18,0)")
+    val sums = vecs
+      .select(col(labelCol), col(refCol).as("__ref"),
+        posexplode(toDouble(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy(col(labelCol), col("__ref"), col("dim"))
+      .agg(sum(q).cast("decimal(18,0)").as("s"),
+        count(lit(1)).as("n"))
+    val a = sums.filter(col("__ref"))
+      .select(col(labelCol), col("dim"), col("s").as("sa"), col("n").as("na"))
+    val b = sums.filter(!col("__ref"))
+      .select(col(labelCol), col("dim"), col("s").as("sb"), col("n").as("nb"))
+    val joined = a.join(b, Seq(labelCol, "dim"))
+    joined.groupBy(col(labelCol))
+      .agg(max(col("na")).as("n_ref"), max(col("nb")).as("n_cur"),
+        sum((col("sa") * col("sb")).cast(dec)).as("__ab"),
+        sum((col("sa") * col("sa")).cast(dec)).as("__aa"),
+        sum((col("sb") * col("sb")).cast(dec)).as("__bb"),
+        sum(((col("sa") * col("nb") - col("sb") * col("na")) *
+          (col("sa") * col("nb") - col("sb") * col("na"))).cast(dec))
+          .as("__g2"))
+      .select(col(labelCol), col("n_ref"), col("n_cur"),
+        // a slice whose centroid cancels to the zero vector has no
+        // direction — cosine is undefined, reported as NULL
+        when(col("__aa") > 0 && col("__bb") > 0,
+          round(col("__ab").cast("double") /
+            (sqrt(col("__aa").cast("double")) *
+              sqrt(col("__bb").cast("double"))), 6)).as("centroid_cos"),
+        round(sqrt(col("__g2").cast("double")) /
+          (col("n_ref").cast("double") * col("n_cur").cast("double") * 1e9),
+          6).as("centroid_l2_gap"))
+  }
 }

@@ -1654,5 +1654,110 @@ object CorpusPrepQueries {
             nStages = 4)
           .orderBy($"doc_id")
       }),
+
+    // X136: CCNet line-level boilerplate dedup — the corpus has no
+    // newlines, so both sides build deterministic 6-token "lines"
+    // from the token array in pure array arithmetic, then run the
+    // real operator: normalized line keys (lower/trim/digit-strip),
+    // keys in >= 2 distinct docs cut everywhere, per-doc md5 of the
+    // surviving text. Hash-exact.
+    QueryDef(
+      "q_line_dedup",
+      Some(s"""
+        WITH $toksCte, ln AS (
+          SELECT doc_id, i AS li,
+                 array_to_string(w[(i*6+1):(i*6+6)], ' ') AS line
+          FROM toks, unnest(range(0, greatest((len(w)+5)//6, 0))) AS r(i)
+          WHERE len(w) > 0
+        ), keyed AS (
+          SELECT doc_id, li, line,
+                 md5(regexp_replace(lower(trim(line)), '[0-9]', '', 'g'))
+                   AS k
+          FROM ln
+        ), boiler AS (
+          SELECT k FROM (
+            SELECT DISTINCT doc_id, k FROM keyed WHERE trim(line) <> '')
+          GROUP BY k HAVING count(*) >= 2
+        ), marked AS (
+          SELECT doc_id, li, line,
+                 (k NOT IN (SELECT k FROM boiler) OR trim(line) = '')
+                   AS keep
+          FROM keyed
+        ), agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 md5(array_to_string(
+                   list(line ORDER BY li) FILTER (WHERE keep), chr(10)))
+                   AS clean_md5
+          FROM marked GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(a.n_lines, 0) AS n_lines,
+               coalesce(a.n_kept, 0) AS n_kept,
+               round(CASE WHEN coalesce(a.n_lines, 0) = 0 THEN 0.0
+                     ELSE CAST(a.n_lines - a.n_kept AS DOUBLE) / a.n_lines
+                     END, 6) AS removed_ratio,
+               coalesce(a.clean_md5, md5('')) AS clean_md5
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+      """.trim),
+      "X136 CCNet line-level boilerplate removal (6-token lines)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val lined = table(spark, dir, "documents")
+          .select($"doc_id",
+            graft.operators.Dedup.tokens($"text").as("__w"))
+          .select($"doc_id",
+            when(size($"__w") === 0, array().cast("array<string>"))
+              .otherwise(transform(
+                sequence(lit(0), floor((size($"__w") - 1) / 6).cast("int")),
+                i => array_join(slice($"__w", i * 6 + 1, lit(6)), " ")))
+              .as("lines"))
+        CorpusOps.lineDedup(lined, "doc_id", "lines", minDocs = 2)
+          .orderBy($"doc_id")
+      }),
+
+    // X137: fill-in-the-middle transform — apply decision and both
+    // cut points are md5 draws, so the PSM re-ordering replays
+    // verbatim: the oracle rebuilds <PRE> prefix <SUF> suffix <MID>
+    // middle per doc and hashes it. Hash-exact.
+    QueryDef(
+      "q_fim_transform",
+      Some(s"""
+        WITH $toksCte, d AS (
+          SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+                 CAST(('0x' || substr(md5('fim' ||
+                   CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   < 3865470566 AND len(w) > 0 AS applied,
+                 CAST(('0x' || substr(md5('fim:1' ||
+                   CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % (len(w) + 1) AS d1,
+                 CAST(('0x' || substr(md5('fim:2' ||
+                   CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % (len(w) + 1) AS d2
+          FROM toks
+        ), c AS (
+          SELECT doc_id, w, n, applied,
+                 least(d1, d2) AS lo, greatest(d1, d2) AS hi
+          FROM d
+        )
+        SELECT doc_id, n AS n_tokens, applied AS fim_applied,
+               CASE WHEN applied THEN lo END AS cut_lo,
+               CASE WHEN applied THEN hi END AS cut_hi,
+               md5(CASE WHEN applied THEN
+                 array_to_string(
+                   ['<PRE>'] || w[1:lo] || ['<SUF>'] || w[(hi+1):n]
+                     || ['<MID>'] || w[(lo+1):hi], ' ')
+                 ELSE array_to_string(w, ' ') END) AS out_md5
+        FROM c
+        ORDER BY doc_id
+      """.trim),
+      "X137 fill-in-the-middle PSM transform (md5-deterministic)")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.fimTransform(table(spark, dir, "documents"),
+            "doc_id", "text", fimRate = 0.9)
+          .orderBy($"doc_id")
+      }),
   )
 }

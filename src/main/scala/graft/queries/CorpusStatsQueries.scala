@@ -949,5 +949,132 @@ object CorpusStatsQueries {
             k1 = 1.2, b = 0.75, dfCap = Int.MaxValue)
           .orderBy($"score".desc, $"doc_id")
       }),
+
+    // X139: windowed PMI pairs — ±3 skip-gram co-occurrence with
+    // nano-quantized logs (the quantizedLogFit convention), top-50 by
+    // association. Hash-exact: counts are ints, PMI ordering and
+    // round(6) values replay from the same quantized integers.
+    QueryDef(
+      "q_pmi_pairs",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS w
+          FROM documents
+        ), pairs AS (
+          SELECT w[i] AS "left", w[i+d] AS "right"
+          FROM toks, unnest([1,2,3]) AS dd(d),
+               unnest(range(1, len(w) + 1)) AS r(i)
+          WHERE i + d <= len(w)
+        ), pc AS (
+          SELECT "left", "right", CAST(count(*) AS BIGINT) AS n_pair
+          FROM pairs GROUP BY 1, 2
+        ), cl AS (
+          SELECT "left", CAST(sum(n_pair) AS BIGINT) AS c FROM pc GROUP BY 1
+        ), cr AS (
+          SELECT "right", CAST(sum(n_pair) AS BIGINT) AS c FROM pc GROUP BY 1
+        ), tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n FROM pc),
+        scored AS (
+          SELECT pc."left", pc."right", pc.n_pair,
+                 CAST(round(ln(CAST(pc.n_pair AS DOUBLE)) * 1e9) AS BIGINT)
+                 + CAST(round(ln(CAST(tot.n AS DOUBLE)) * 1e9) AS BIGINT)
+                 - CAST(round(ln(CAST(cl.c AS DOUBLE)) * 1e9) AS BIGINT)
+                 - CAST(round(ln(CAST(cr.c AS DOUBLE)) * 1e9) AS BIGINT)
+                   AS pmi_nano
+          FROM pc
+          JOIN cl USING ("left") JOIN cr USING ("right") CROSS JOIN tot
+          WHERE pc.n_pair >= 5
+        )
+        SELECT "left", "right", n_pair,
+               round(pmi_nano / 1e9, 6) AS pmi
+        FROM scored
+        ORDER BY pmi_nano DESC, "left", "right"
+        LIMIT 50
+      """.trim),
+      "X139 windowed PMI co-occurrence, top-50 pairs (support >= 5)")(
+      (spark, dir) => {
+        import spark.implicits._
+        InvertedIndex.windowedPmi(table(spark, dir, "documents"),
+          "doc_id", "text", window = 3, minCount = 5, k = 50)
+      }),
+
+    // X140: Stupid Backoff scoring — LM counts from the md5-selected
+    // half, every doc scored with the bigram->unigram->OOV ladder.
+    // Fixed-shape double logs per position, round(6) per doc.
+    QueryDef(
+      "q_stupid_backoff",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS w
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, i - 1 AS p, w[i] AS t, len(w) AS n
+          FROM toks, unnest(range(1, len(w) + 1)) AS r(i)
+        ), tr AS (
+          SELECT * FROM pos
+          WHERE CAST(('0x' || substr(md5('sb' || CAST(doc_id AS VARCHAR)),
+                1, 8)) AS BIGINT) < 2147483648
+        ), bc AS (
+          SELECT a.t AS prev, b.t AS next, CAST(count(*) AS BIGINT) AS c
+          FROM tr a JOIN tr b
+            ON a.doc_id = b.doc_id AND b.p = a.p + 1
+          GROUP BY 1, 2
+        ), uc AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1
+        ), ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+        rest AS (
+          SELECT a.doc_id,
+                 CASE WHEN bc.c IS NOT NULL
+                      THEN ln(CAST(bc.c AS DOUBLE))
+                           - ln(CAST(up.c AS DOUBLE))
+                      WHEN un.c IS NOT NULL
+                      THEN ln(0.4) + ln(CAST(un.c AS DOUBLE))
+                           - ln(CAST(ntr.n AS DOUBLE))
+                      ELSE 2.0 * ln(0.4) - ln(CAST(ntr.n AS DOUBLE))
+                 END AS lp,
+                 CASE WHEN bc.c IS NULL THEN 1 ELSE 0 END AS back,
+                 CASE WHEN un.c IS NULL THEN 1 ELSE 0 END AS oov
+          FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+          LEFT JOIN bc ON bc.prev = a.t AND bc.next = b.t
+          LEFT JOIN uc up ON up.t = a.t
+          LEFT JOIN uc un ON un.t = b.t
+          CROSS JOIN ntr
+        ), first AS (
+          SELECT pos.doc_id,
+                 CASE WHEN uc.c IS NOT NULL
+                      THEN ln(CAST(uc.c AS DOUBLE))
+                           - ln(CAST(ntr.n AS DOUBLE))
+                      ELSE ln(0.4) - ln(CAST(ntr.n AS DOUBLE))
+                 END AS lp,
+                 0 AS back,
+                 CASE WHEN uc.c IS NULL THEN 1 ELSE 0 END AS oov
+          FROM pos LEFT JOIN uc ON uc.t = pos.t CROSS JOIN ntr
+          WHERE pos.p = 0
+        ), allp AS (
+          SELECT * FROM rest UNION ALL SELECT * FROM first
+        ), agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(back) AS BIGINT) AS n_backoff,
+                 CAST(sum(oov) AS BIGINT) AS n_oov,
+                 round(sum(lp), 6) AS sb_logprob
+          FROM allp GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.n_backoff, 0) AS n_backoff,
+               coalesce(a.n_oov, 0) AS n_oov,
+               coalesce(a.sb_logprob, 0.0) AS sb_logprob
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+      """.trim),
+      "X140 Stupid Backoff doc scoring (fit on md5 half, score all)")(
+      (spark, dir) => {
+        import spark.implicits._
+        InvertedIndex.stupidBackoff(table(spark, dir, "documents"),
+            "doc_id", "text", alpha = 0.4, salt = "sb")
+          .orderBy($"doc_id")
+      }),
   )
 }

@@ -837,5 +837,42 @@ object OlapQueries {
             $"l_suppkey")
           .orderBy($"l_orderkey", $"l_linenumber")
       }),
+
+    // X141: temporal embargo split — train strictly before the 0.8
+    // time quantile, a one-day purged gap, test after. Timestamps
+    // and counts are exact; the quantile is the proven
+    // percentile/quantile_cont parity on epoch micros.
+    QueryDef(
+      "q_temporal_split",
+      Some("""
+        WITH t0 AS (
+          SELECT CAST(floor(quantile_cont(epoch_us(ts), 0.8)) AS BIGINT)
+            AS t0
+          FROM events
+        ), tagged AS (
+          SELECT CASE WHEN epoch_us(ts) < t0 THEN 'train'
+                      WHEN epoch_us(ts) < t0 + 86400000000 THEN 'embargo'
+                      ELSE 'test' END AS split,
+                 user_id, epoch_us(ts) AS us
+          FROM events CROSS JOIN t0
+        )
+        SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+               CAST(min(us) AS BIGINT) AS min_us,
+               CAST(max(us) AS BIGINT) AS max_us
+        FROM tagged GROUP BY split
+        ORDER BY split
+      """.trim),
+      "X141 temporal embargo (purged) train/test split over events")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.CorpusOps.temporalSplit(
+            QueryDef.events(spark, dir), "user_id", "ts",
+            trainFrac = 0.8, embargoMicros = 86400000000L)
+          .select($"split", $"n_events", $"n_keys",
+            unix_micros($"min_ts").as("min_us"),
+            unix_micros($"max_ts").as("max_us"))
+          .orderBy($"split")
+      }),
   )
 }

@@ -600,5 +600,60 @@ object SimilarityQueries {
             "vec_id", "embedding", k = 4)
           .orderBy($"left_id")
       }),
+
+    // X138: embedding centroid drift — per label, cosine and L2 gap
+    // between the even-id (reference) and odd-id (current) centroid.
+    // Nano-quantized integer sums + exact decimal/HUGEINT cross
+    // products, so both engines evaluate the same final doubles.
+    QueryDef(
+      "q_embedding_drift",
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, vec_id % 2 = 0 AS ref,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x
+          FROM embeddings
+        ), q AS (
+          SELECT label, ref, dim,
+                 CAST(sum(CAST(round(x * 1000000000.0) AS BIGINT))
+                   AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2, 3
+        ), j AS (
+          SELECT a.label, a.dim, a.s AS sa, a.n AS na, b.s AS sb,
+                 b.n AS nb
+          FROM q a JOIN q b USING (label, dim)
+          WHERE a.ref AND NOT b.ref
+        ), g AS (
+          SELECT label,
+                 CAST(max(na) AS BIGINT) AS n_ref,
+                 CAST(max(nb) AS BIGINT) AS n_cur,
+                 sum(CAST(sa AS HUGEINT) * sb) AS ab,
+                 sum(CAST(sa AS HUGEINT) * sa) AS aa,
+                 sum(CAST(sb AS HUGEINT) * sb) AS bb,
+                 sum((CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)
+                   * (CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na))
+                   AS g2
+          FROM j GROUP BY label
+        )
+        SELECT label, n_ref, n_cur,
+               CASE WHEN aa > 0 AND bb > 0 THEN
+                 round(CAST(ab AS DOUBLE) /
+                       (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))),
+                       6) END AS centroid_cos,
+               round(sqrt(CAST(g2 AS DOUBLE)) /
+                     (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
+                      * 1000000000.0), 6) AS centroid_l2_gap
+        FROM g ORDER BY label
+      """.trim),
+      "X138 per-label embedding centroid drift (ref vs current slice)")(
+      (spark, dir) => {
+        import spark.implicits._
+        Similarity.embeddingDrift(
+            table(spark, dir, "embeddings")
+              .withColumn("__even", ($"vec_id" % 2) === 0),
+            "embedding", "label", "__even")
+          .orderBy($"label")
+      }),
   )
 }
