@@ -1922,6 +1922,51 @@ object CorpusOps {
         min(col(tsCol)).as("min_ts"), max(col(tsCol)).as("max_ts"))
   }
 
+
+  /** X142 — blocklist phrase filter (the C4/"badwords" gate every web
+    * pipeline runs before training): counts every occurrence of every
+    * blocklist phrase (1..3 tokens, matched on the normalized token
+    * stream) per document and keeps docs whose match density stays
+    * under `maxRatio`. Counts ALL occurrences (overlaps included) —
+    * the density semantics the published filters use; a
+    * leftmost-longest automaton changes keep/flag decisions only at
+    * pathological overlap densities far past any threshold.
+    *
+    * Scale shape: phrases ship as plan LITERALS — per doc the n-gram
+    * membership test is a pure array expression in the scan (no join,
+    * no shuffle, whole-stage codegen); one output row per doc.
+    */
+  def blocklistFilter(docs: DataFrame, docCol: String, textCol: String,
+      phrases: Seq[String], maxRatio: Double = 0.1): DataFrame = {
+    val parsed = phrases.map(_.trim.toLowerCase.split("\\s+").toSeq)
+      .filter(_.nonEmpty)
+    require(parsed.nonEmpty, "empty blocklist")
+    require(parsed.forall(_.length <= 8), "phrases longer than 8 tokens")
+    val w = coalesce(Dedup.tokens(col(textCol)),
+      array().cast("array<string>"))
+    val byLen = parsed.groupBy(_.length)
+    def gramsOf(n: Int): Column =
+      if (n == 1) w
+      else when(size(w) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(w) - n),
+          i => array_join(slice(w, i + 1, lit(n)), " ")))
+    val matchCounts = byLen.toSeq.sortBy(_._1).map { case (n, ps) =>
+      val lits = ps.map(p => p.mkString(" "))
+      size(filter(gramsOf(n), g => g.isin(lits.map(lit): _*)))
+        .cast("long")
+    }
+    val total = matchCounts.reduce(_ + _)
+    docs.select(col(docCol), size(w).cast("long").as("n_tokens"),
+        total.as("n_matches"))
+      .select(col(docCol), col("n_tokens"), col("n_matches"),
+        round(when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_matches").cast("double") / col("n_tokens")),
+          6).as("match_ratio"),
+        (when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_matches").cast("double") / col("n_tokens"))
+          <= maxRatio).as("keep"))
+  }
+
   def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)

@@ -125,4 +125,61 @@ object PageRank {
     deg.unpersist()
     ranks
   }
+
+  /** X143 — semi-supervised label propagation (Zhu & Ghahramani 2002,
+    * synchronous majority vote): seeds carry fixed labels; each
+    * iteration every node adopts the most frequent label among its
+    * in-neighbors' current labels (ties to the SMALLEST label id —
+    * total order, so the whole fixpoint is deterministic and
+    * oracle-replayable), with seed labels clamped. Unlabeled
+    * neighbors don't vote; nodes no vote reaches stay unlabeled. The
+    * weak-supervision expansion step next to [[run]]'s quality prior:
+    * a handful of hand-labeled domains/docs propagates over a
+    * similarity or citation graph.
+    *
+    * Labels must be non-negative ints. Votes aggregate by
+    * groupBy(node, label) count with an argmax via max(struct(count,
+    * -label)) — per-node aggregation, never a global window.
+    *
+    * Scale shape: [[run]]'s Pregel layout — per iteration one
+    * broadcast-or-shuffle join of the |V|-row label table into the
+    * persisted narrow edge list plus one (node, label) partial agg;
+    * localCheckpoint truncates lineage. Driver state is nothing.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
+      iters: Int, broadcastNodeLimit: Long = 10000000L): DataFrame = {
+    require(iters >= 0 && iters <= 100, s"iters=$iters out of [0,100]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .persist()
+    val nodes = e.select($"__src".as("node"))
+      .union(e.select($"__dst".as("node"))).distinct().persist()
+    val sd = seeds.select(col(seedNodeCol).as("node"),
+      col(seedLabelCol).cast("long").as("__seed")).persist()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val bcast = n <= broadcastNodeLimit
+    var labels = nodes.join(sd, Seq("node"), "left")
+      .select($"node", $"__seed".as("lab")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val labeled = labels.filter($"lab".isNotNull)
+        .select($"node".as("__vn"), $"lab".as("__vl"))
+      val voteSide = if (bcast) broadcast(labeled) else labeled
+      val votes = e.join(voteSide, $"__src" === $"__vn")
+        .groupBy($"__dst".as("node"), $"__vl")
+        .agg(count(lit(1)).as("__c"))
+        .groupBy($"node")
+        .agg(max(struct($"__c", (-$"__vl").as("__nl"))).as("__best"))
+        .select($"node", (-$"__best.__nl").as("__vote"))
+      val next = nodes
+        .join(if (bcast) broadcast(sd) else sd, Seq("node"), "left")
+        .join(votes, Seq("node"), "left")
+        .select($"node", coalesce($"__seed", $"__vote").as("lab"))
+      labels = next.localCheckpoint(true)
+    }
+    e.unpersist(); nodes.unpersist(); sd.unpersist()
+    labels.select($"node", $"lab".as("label"))
+  }
 }

@@ -65,6 +65,51 @@ object CurationQueries {
     (head + steps + tail).trim
   }
 
+
+  /** Unrolled label-propagation oracle (X143): lp0..lpN CTE chain —
+    * same reason as [[pagerankSql]], the vote argmax can't live in a
+    * recursive term. Tie-break: count desc, then smallest label.
+    */
+  private def labelPropSql(iters: Int): String = {
+    val head = s"""
+      WITH e0 AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      ), edges AS (
+        SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+      ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+      ), seeds AS (
+        SELECT DISTINCT src AS node,
+               CAST(CAST(substr(src, 2) AS BIGINT) % 4 AS BIGINT) AS seed
+        FROM e0
+        WHERE CAST(substr(src, 2) AS BIGINT) % 7 = 0
+      ), lp0 AS (
+        SELECT n.node, s.seed AS lab
+        FROM nodes n LEFT JOIN seeds s USING (node)
+      )"""
+    val steps = (1 to iters).map { i =>
+      s""", lp$i AS (
+        SELECT n.node, coalesce(s.seed, v.vl) AS lab
+        FROM nodes n
+        LEFT JOIN seeds s USING (node)
+        LEFT JOIN (
+          SELECT node, vl FROM (
+            SELECT e.dst AS node, p.lab AS vl, count(*) AS c,
+                   row_number() OVER (PARTITION BY e.dst
+                     ORDER BY count(*) DESC, p.lab) AS rk
+            FROM lp${i - 1} p JOIN edges e ON e.src = p.node
+            WHERE p.lab IS NOT NULL
+            GROUP BY e.dst, p.lab)
+          WHERE rk = 1) v USING (node)
+      )"""
+    }.mkString
+    val tail = s"""
+      SELECT node, lab AS label FROM lp$iters
+      ORDER BY node"""
+    (head + steps + tail).trim
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // X101: integer PageRank over the customer↔supplier graph
@@ -328,6 +373,84 @@ object CurationQueries {
         CorpusOps.exportManifest(table(spark, dir, "documents"),
             "source", "doc_id", "text", ManifestBudget)
           .orderBy($"source", $"shard_id")
+      }),
+
+    // X142: blocklist phrase filter — phrases ship as plan literals,
+    // the n-gram membership test is a pure array expression in the
+    // scan; counts all occurrences, density-gated keep. Hash-exact.
+    QueryDef(
+      "q_blocklist_filter",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS w
+          FROM documents
+        ), m AS (
+          SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                 CAST(
+                   len(list_filter(w, t -> t = 'spark')) +
+                   len(list_filter(
+                     [w[i] || ' ' || w[i+1] for i in range(1, len(w))],
+                     g -> g IN ('hash join', 'order sort'))) +
+                   len(list_filter(
+                     [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                      for i in range(1, len(w) - 1)],
+                     g -> g = 'table scan merge'))
+                 AS BIGINT) AS n_matches
+          FROM toks
+        )
+        SELECT doc_id, n_tokens, n_matches,
+               round(CASE WHEN n_tokens = 0 THEN 0.0
+                     ELSE CAST(n_matches AS DOUBLE) / n_tokens END, 6)
+                 AS match_ratio,
+               (CASE WHEN n_tokens = 0 THEN 0.0
+                     ELSE CAST(n_matches AS DOUBLE) / n_tokens END)
+                 <= 0.05 AS keep
+        FROM m
+        ORDER BY doc_id
+      """.trim),
+      "X142 blocklist phrase filter (1-3 token phrases, density gate)")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.blocklistFilter(table(spark, dir, "documents"),
+            "doc_id", "text",
+            phrases = Seq("spark", "hash join", "order sort",
+              "table scan merge"),
+            maxRatio = 0.05)
+          .orderBy($"doc_id")
+      }),
+
+    // X143: label propagation over the same customer-supplier graph
+    // as q_pagerank — custkey%7 seeds carry custkey%4 labels, 5
+    // synchronous majority-vote iterations with smallest-label ties,
+    // replayed verbatim by the unrolled CTE chain. Hash-exact.
+    QueryDef(
+      "q_label_prop",
+      Some(labelPropSql(5)),
+      "X143 semi-supervised label propagation, 5 iterations")(
+      (spark, dir) => {
+        import spark.implicits._
+        val o = table(spark, dir, "orders")
+          .select($"o_orderkey", $"o_custkey")
+        val l = table(spark, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey")
+        val e = o.join(l, $"o_orderkey" === $"l_orderkey")
+          .select(($"o_custkey" * 2).as("src"),
+            ($"l_suppkey" * 2 + 1).as("dst"))
+          .distinct()
+        val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+        val seeds = e.select($"src".as("node")).distinct()
+          .filter(expr("(node div 2) % 7") === 0)
+          .select($"node", (expr("node div 2") % 4).as("seed"))
+        graft.operators.PageRank.labelPropagation(sym, "src", "dst",
+            seeds, "node", "seed", iters = 5)
+          .select(
+            when($"node" % 2 === 0, concat(lit("c"), expr("node div 2")))
+              .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+              .as("node"),
+            $"label")
+          .orderBy($"node")
       })
   )
 }

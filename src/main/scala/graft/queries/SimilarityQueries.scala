@@ -601,6 +601,69 @@ object SimilarityQueries {
           .orderBy($"left_id")
       }),
 
+    // X144: NDCG@5 of the brute-force cosine ranking against
+    // label-agreement relevance — the retrieval-eval metric over the
+    // q_knn_brute ranking, replayed end-to-end in SQL. Binary gains,
+    // IDCG over the ideally-reordered retrieved list.
+    QueryDef(
+      "q_ndcg",
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+        ), q AS (SELECT * FROM v WHERE vec_id % $QueryStride = 0),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 q.label AS ql, c.label AS nl,
+                 list_dot_product(q.e, c.e) /
+                 (sqrt(list_dot_product(q.e, q.e)) *
+                  sqrt(list_dot_product(c.e, c.e))) AS cos
+          FROM q JOIN v c ON q.vec_id <> c.vec_id
+        ), topk AS (
+          SELECT query_id, rank,
+                 CASE WHEN ql = nl THEN 1 ELSE 0 END AS rel
+          FROM (
+            SELECT query_id, ql, nl, cos,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+          )
+          WHERE rank <= $K
+        ), perq AS (
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_ranked,
+                 CAST(sum(rel) AS BIGINT) AS n_relevant,
+                 sum(CAST(rel AS DOUBLE)
+                   / log2(CAST(rank AS DOUBLE) + 1.0)) AS dcg
+          FROM topk GROUP BY query_id
+        )
+        SELECT query_id, n_ranked, n_relevant,
+               CASE WHEN n_relevant > 0 THEN
+                 round(dcg / list_sum(
+                   [1.0 / log2(CAST(i AS DOUBLE) + 1.0)
+                    for i in range(1, n_relevant + 1)]), 6)
+               END AS ndcg
+        FROM perq
+        ORDER BY query_id
+      """.trim),
+      "X144 NDCG@5 of cosine retrieval vs label-agreement relevance")(
+      (spark, dir) => {
+        import spark.implicits._
+        val emb = table(spark, dir, "embeddings")
+        val lab = emb.select($"vec_id", $"label")
+        val ranked = Similarity.bruteForceTopK(
+          emb.filter($"vec_id" % QueryStride === 0), emb,
+          "vec_id", "embedding", K)
+        val withRel = ranked
+          .join(lab.select($"vec_id".as("query_id"), $"label".as("__ql")),
+            "query_id")
+          .join(lab.select($"vec_id".as("neighbor_id"),
+            $"label".as("__nl")), "neighbor_id")
+          .withColumn("rel", when($"__ql" === $"__nl", 1L).otherwise(0L))
+        graft.operators.RankEval.ndcgAtK(withRel, "query_id", "rank",
+            "rel", K)
+          .orderBy($"query_id")
+      }),
+
     // X138: embedding centroid drift — per label, cosine and L2 gap
     // between the even-id (reference) and odd-id (current) centroid.
     // Nano-quantized integer sums + exact decimal/HUGEINT cross
