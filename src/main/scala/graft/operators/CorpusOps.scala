@@ -1967,6 +1967,38 @@ object CorpusOps {
           <= maxRatio).as("keep"))
   }
 
+
+  /** X146 — readability metrics (Flesch Reading Ease + Flesch-Kincaid
+    * grade, the corpus-QA staples): sentences from punctuation runs
+    * ([.!?]+, floor 1), syllables from vowel-group runs per word
+    * ([aeiouy]+, floor 1/word — the standard closed-vocabulary
+    * heuristic). All three inputs are exact integers, the two scores
+    * one fixed-shape double formula each — hash-exact at 6 dp.
+    *
+    * Scale shape: pure per-row expression over the scan (the token
+    * fold runs inside the row) — no shuffle, no UDF.
+    */
+  def readability(docs: DataFrame, docCol: String, textCol: String)
+      : DataFrame = {
+    val w = coalesce(Dedup.tokens(col(textCol)),
+      array().cast("array<string>"))
+    val nWords = size(w).cast("long")
+    val nSent = greatest(lit(1L),
+      regexp_count(col(textCol), lit("[.!?]+")).cast("long"))
+    val nSyll = coalesce(aggregate(w, lit(0L), (acc, t) =>
+      acc + greatest(lit(1L),
+        regexp_count(t, lit("[aeiouy]+")).cast("long"))), lit(0L))
+    val wps = nWords.cast("double") / nSent.cast("double")
+    val spw = when(nWords > 0,
+      nSyll.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    docs.select(col(docCol), nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyll.as("n_syllables"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+          .as("flesch"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)
+          .as("fk_grade"))
+  }
+
   def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)

@@ -645,4 +645,67 @@ object Dedup {
       .withColumn("dist", levenshtein(col("w1"), col("w2")))
       .filter(col("dist") <= 1)
   }
+
+  /** X145 — persistable, MERGEABLE MinHash signature store: per key
+    * (source, snapshot, shard …) a `slots`-slot signature, slot s =
+    * min over the key's distinct shingles of an md5 slot hash — the
+    * Jaccard counterpart of the X129 HLL snapshot store. Slot-wise
+    * min is associative/commutative, so part signatures union into
+    * whole signatures EXACTLY (spec-asserted), and two keys' overlap
+    * estimates from signatures alone: est J = matching slots / slots
+    * — the scale path beside [[CorpusOps.sourceOverlap]]'s exact
+    * shingle intersection (constant-size state per key vs a full
+    * shingle-set join).
+    *
+    * md5 slot hashes (not xxhash) so the whole store replays verbatim
+    * in SQL — the established md5Band convention.
+    *
+    * Scale shape: distinct (key, shingle) → ×slots bounded explode →
+    * map-side-combined min agg; |keys|·slots rows out. Estimates join
+    * signature tables (tiny) on slot.
+    */
+  def minhashSketch(docs: DataFrame, keyCol: String, textCol: String,
+      slots: Int = 32, shingleK: Int = 3, salt: String = "mhs")
+      : DataFrame = {
+    require(slots >= 1 && slots <= 512, s"bad slots $slots")
+    val sh = docs.select(col(keyCol).as("key"),
+        explode(shingles(tokens(col(textCol)), shingleK)).as("__g"))
+      .distinct()
+    // per-(row, slot) md5 through codegen'd primitives — two denser
+    // layouts measured SLOWER at sf0.1: a 32-column min aggregate
+    // recomputes its digest per lane (aggregate inputs don't share
+    // subexpressions), and an array-HOF lane build pays the
+    // documented interpreted-scan tax
+    sh.select(col("key"), col("__g"),
+        explode(sequence(lit(0), lit(slots - 1))).as("slot"))
+      .withColumn("__h", CorpusOps.md5Band(
+        concat(col("slot").cast("string"), lit(":"), col("__g")), salt))
+      .groupBy(col("key"), col("slot").cast("long").as("slot"))
+      .agg(min(col("__h")).as("min_hash"))
+  }
+
+  /** Pairwise Jaccard estimates from [[minhashSketch]] signatures:
+    * (key_a < key_b, n_slots, n_match, est_jaccard).
+    */
+  def minhashJaccard(sigs: DataFrame): DataFrame = {
+    val a = sigs.select(col("key").as("key_a"), col("slot"),
+      col("min_hash").as("__ha"))
+    val b = sigs.select(col("key").as("key_b"), col("slot"),
+      col("min_hash").as("__hb"))
+    a.join(b, Seq("slot"))
+      .filter(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("n_slots"),
+        sum(when(col("__ha") === col("__hb"), 1L).otherwise(0L))
+          .as("n_match"))
+      .select(col("key_a"), col("key_b"), col("n_slots"), col("n_match"),
+        round(col("n_match").cast("double") / col("n_slots"), 6)
+          .as("est_jaccard"))
+  }
+
+  /** Slot-wise union of two signature stores (the merge law). */
+  def mergeMinhash(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("key"), col("slot"))
+      .agg(min(col("min_hash")).as("min_hash"))
 }

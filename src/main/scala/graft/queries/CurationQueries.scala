@@ -451,6 +451,53 @@ object CurationQueries {
               .as("node"),
             $"label")
           .orderBy($"node")
+      }),
+
+    // X146: readability metrics — vowel-group syllables, punctuation
+    // sentences, Flesch + FK grade; exact int inputs, fixed-shape
+    // double formulas, hash-exact at 6 dp.
+    QueryDef(
+      "q_readability",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS w
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                   AS BIGINT) AS n_sentences,
+                 CAST(coalesce(list_sum(
+                   [greatest(1, len(regexp_extract_all(t, '[aeiouy]+')))
+                    for t in w]), 0) AS BIGINT) AS n_syllables
+          FROM toks
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CASE WHEN n_words > 0
+                           THEN CAST(n_syllables AS DOUBLE)
+                                / CAST(n_words AS DOUBLE)
+                           ELSE 0.0 END), 6) AS flesch,
+               round(0.39 * (CAST(n_words AS DOUBLE)
+                             / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (CASE WHEN n_words > 0
+                           THEN CAST(n_syllables AS DOUBLE)
+                                / CAST(n_words AS DOUBLE)
+                           ELSE 0.0 END)
+                 - 15.59, 6) AS fk_grade
+        FROM m
+        ORDER BY doc_id
+      """.trim),
+      "X146 Flesch / Flesch-Kincaid readability metrics per doc")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.readability(table(spark, dir, "documents"),
+            "doc_id", "text")
+          .orderBy($"doc_id")
       })
   )
 }

@@ -787,5 +787,50 @@ object DedupQueries {
           .select($"d1", $"d2", $"hamming")
           .orderBy($"d1", $"d2")
       }),
+
+    // X145: mergeable MinHash signature store — per-source 32-slot
+    // md5 signatures and pairwise Jaccard estimates from signatures
+    // alone (the constant-state scale path beside q_source_overlap's
+    // exact intersection). md5 slot hashes replay verbatim in SQL.
+    QueryDef(
+      "q_minhash_sketch",
+      Some("""
+        WITH toks AS (
+          SELECT source,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT source AS key,
+                 array_to_string(w[i:i+2], chr(1)) AS g
+          FROM toks, unnest(range(1, len(w) - 1)) AS r(i)
+          WHERE len(w) >= 3
+        ), mh AS (
+          SELECT key, slot,
+                 min(CAST(('0x' || substr(md5('mhs'
+                   || CAST(slot AS VARCHAR) || ':' || g), 1, 8))
+                   AS BIGINT)) AS min_hash
+          FROM sh, unnest(range(0, 32)) AS u(slot)
+          GROUP BY 1, 2
+        )
+        SELECT a.key AS key_a, b.key AS key_b,
+               CAST(count(*) AS BIGINT) AS n_slots,
+               CAST(sum(CASE WHEN a.min_hash = b.min_hash
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+               round(CAST(sum(CASE WHEN a.min_hash = b.min_hash
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS est_jaccard
+        FROM mh a JOIN mh b ON a.slot = b.slot AND a.key < b.key
+        GROUP BY 1, 2
+        ORDER BY key_a, key_b
+      """.trim),
+      "X145 mergeable MinHash signature store + pairwise estimates")(
+      (spark, dir) => {
+        import spark.implicits._
+        val sigs = Dedup.minhashSketch(table(spark, dir, "documents"),
+          "source", "text", slots = 32, shingleK = 3)
+        Dedup.minhashJaccard(sigs)
+          .orderBy($"key_a", $"key_b")
+      }),
   )
 }

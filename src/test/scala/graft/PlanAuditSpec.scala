@@ -773,6 +773,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"closest-length lost its broadcast join:\n${p.take(1500)}")
   }
 
+  test("r9 scan-only trio (blocklist/fim/readability): pure per-row " +
+    "expressions — no join, no aggregate-exchange on the data path") {
+    Seq("q_blocklist_filter", "q_fim_transform", "q_readability")
+      .foreach { q =>
+        val p = plan(q)
+        assert("HashJoin|SortMergeJoin|CartesianProduct".r
+          .findFirstIn(p).isEmpty,
+          s"$q: a join crept into a scan-only op:\n${p.take(1500)}")
+        // the only exchange allowed is the final contract ORDER BY
+        val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+        assert(exchanges.forall(_.contains("rangepartitioning")),
+          s"$q: non-sort exchange in a scan-only op:\n$exchanges")
+      }
+  }
+
   test("q_scd2_intervals: lag-flag-cumsum runs per user — no join, " +
     "no single-partition stage") {
     val p = plan("q_scd2_intervals")

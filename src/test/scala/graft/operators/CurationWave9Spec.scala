@@ -121,4 +121,75 @@ class CurationWave9Spec extends AnyFunSuite {
     assert(math.abs(out.getAs[Double]("ndcg") -
       math.rint(dcg / idcg * 1e6) / 1e6) < 1e-9)
   }
+
+  // ---- X145 minhashSketch --------------------------------------------
+
+  test("minhashSketch: part-union equals the whole-corpus signature " +
+    "exactly (slot-wise min merge law)") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 60).map { i =>
+      (i.toLong, "s" + (i % 3),
+        (0 until 20).map(j => s"w${(i * 7 + j) % 25}").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val whole = Dedup.minhashSketch(docs, "source", "text", slots = 16)
+    val partA = Dedup.minhashSketch(docs.filter($"doc_id" % 2 === 0),
+      "source", "text", slots = 16)
+    val partB = Dedup.minhashSketch(docs.filter($"doc_id" % 2 === 1),
+      "source", "text", slots = 16)
+    val merged = Dedup.mergeMinhash(partA, partB)
+    val w = whole.orderBy($"key", $"slot").collect().map(_.toSeq).toSeq
+    val m = merged.orderBy($"key", $"slot").collect().map(_.toSeq).toSeq
+    assert(w == m)
+  }
+
+  test("minhashSketch estimates track exact Jaccard within sketch " +
+    "error; identical keys estimate 1.0") {
+    val s = spark
+    import s.implicits._
+    // two sources with identical text -> J = 1; one disjoint
+    val docs = Seq(
+      (1L, "a", "tok1 tok2 tok3 tok4 tok5 tok6"),
+      (2L, "b", "tok1 tok2 tok3 tok4 tok5 tok6"),
+      (3L, "c", "zed1 zed2 zed3 zed4 zed5 zed6"))
+      .toDF("doc_id", "source", "text")
+    val est = Dedup.minhashJaccard(
+      Dedup.minhashSketch(docs, "source", "text", slots = 32))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(est(("a", "b")).getAs[Double]("est_jaccard") == 1.0)
+    assert(est(("a", "c")).getAs[Double]("est_jaccard") == 0.0)
+  }
+
+  // ---- X146 readability ----------------------------------------------
+
+  test("readability: hand-computed Flesch on a known sentence") {
+    val s = spark
+    import s.implicits._
+    // "the cat sat. it sat there!" -> 6 words, 2 sentences,
+    // syllables: the(1) cat(1) sat.(1) it(1) sat(1) there!(2... 'e','e'
+    //   -> groups in "there!": 'e','e' = 2) = 7
+    val docs = Seq((1L, "the cat sat. it sat there!"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.readability(docs, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(r.getAs[Long]("n_syllables") == 7L)
+    val wps = 6.0 / 2.0; val spw = 7.0 / 6.0
+    val flesch = 206.835 - 1.015 * wps - 84.6 * spw
+    assert(math.abs(r.getAs[Double]("flesch") - flesch) < 1e-5)
+    val fk = 0.39 * wps + 11.8 * spw - 15.59
+    assert(math.abs(r.getAs[Double]("fk_grade") - fk) < 1e-5)
+  }
+
+  test("readability: empty doc floors sentences at 1 and zeroes the " +
+    "syllable ratio") {
+    val s = spark
+    import s.implicits._
+    val r = CorpusOps.readability(Seq((1L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    assert(r.getAs[Long]("n_words") == 0L)
+    assert(r.getAs[Long]("n_sentences") == 1L)
+    assert(r.getAs[Long]("n_syllables") == 0L)
+    assert(r.getAs[Double]("flesch") == 206.835)
+  }
 }
