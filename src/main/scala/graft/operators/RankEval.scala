@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** X144 — ranking-quality evaluation (NDCG@k): the offline metric a
@@ -52,5 +53,68 @@ object RankEval {
       .select(col(queryCol), col("n_ranked"), col("n_relevant"),
         when(col("__idcg") > 0.0, round(col("__dcg") / col("__idcg"), 6))
           .as("ndcg"))
+  }
+
+  /** X147 — exact ROC-AUC via the Mann-Whitney rank identity:
+    * AUC = U/(n₁·n₀) with U = Σ_s c₁(s)·(cum₀(<s) + c₀(s)/2) —
+    * i.e. the probability a positive outscores a negative, ties at
+    * half credit. Computed from per-SCORE counts, so the only ordered
+    * pass runs over the DISTINCT-score table (value-bounded, the
+    * UniMax/selfBleu bounded-window class — never over rows), and the
+    * half-credit term stays integral by doubling: AUC =
+    * U₂/(2·n₁·n₀), an exact rational both engines reproduce.
+    *
+    * The offline eval every quality-classifier/reranker release
+    * gates on, next to [[ndcgAtK]]'s ordering metric.
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    val perScore = df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__c1"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__c0"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val u2 = perScore
+      .withColumn("__cum0", coalesce(sum(col("__c0")).over(w), lit(0L)))
+      .agg(sum(col("__c1")).as("n_pos"), sum(col("__c0")).as("n_neg"),
+        sum(col("__c1") * (lit(2L) * col("__cum0") + col("__c0")))
+          .as("__u2"))
+    u2.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round(col("__u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
+  /** X148 — Cohen's kappa: chance-corrected agreement between two
+    * categorical raters, κ = (p_o − p_e)/(1 − p_e) from the exact
+    * contingency table. The annotator-QA staple for label audits
+    * (two labeling runs, a classifier vs a rubric, model vs human).
+    * All counts exact ints; κ is one fixed-shape double expression —
+    * hash-exact at 6 dp. Perfectly-agreeing-by-chance tables
+    * (p_e = 1) report NULL.
+    *
+    * Scale shape: one (a, b) cell count (map-side combined,
+    * \|A\|·\|B\|-bounded), marginals from the cell table; one row out.
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val n = cells.agg(sum(col("__c")).as("__n"))
+    val agree = cells.filter(col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__agree"))
+    val ma = cells.groupBy(col("__a")).agg(sum(col("__c")).as("__ca"))
+    val mb = cells.groupBy(col("__b")).agg(sum(col("__c")).as("__cb"))
+    val chance = ma.join(mb, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("__e"))
+    val po = col("__agree").cast("double") / col("__n")
+    val pe = col("__e").cast("double") / (col("__n") * col("__n"))
+    n.crossJoin(agree).crossJoin(chance)
+      .select(col("__n").as("n_items"),
+        round(po, 6).as("observed_agreement"),
+        round(pe, 6).as("expected_agreement"),
+        when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6))
+          .as("kappa"))
   }
 }

@@ -498,6 +498,90 @@ object CurationQueries {
         CorpusOps.readability(table(spark, dir, "documents"),
             "doc_id", "text")
           .orderBy($"doc_id")
+      }),
+
+    // X147: exact ROC-AUC (Mann-Whitney with half-credit ties) of the
+    // doc-length score separating lang='en' — the operator contract;
+    // U2 doubling keeps the tie credit integral, one exact rational.
+    QueryDef(
+      "q_roc_auc",
+      Some("""
+        WITH ps AS (
+          SELECT n_chars AS s,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                   AS BIGINT) AS c0
+          FROM documents GROUP BY 1
+        ), cum AS (
+          SELECT s, c1, c0,
+                 coalesce(sum(c0) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum0
+          FROM ps
+        ), agg AS (
+          SELECT CAST(sum(c1) AS BIGINT) AS n_pos,
+                 CAST(sum(c0) AS BIGINT) AS n_neg,
+                 CAST(sum(c1 * (2 * cum0 + c0)) AS BIGINT) AS u2
+          FROM cum
+        )
+        SELECT n_pos, n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                 round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+               END AS auc
+        FROM agg
+      """.trim),
+      "X147 exact ROC-AUC (rank identity, tie-aware) of length vs en")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.RankEval.rocAuc(
+          table(spark, dir, "documents")
+            .select($"n_chars", ($"lang" === "en").as("is_en")),
+          "n_chars", "is_en")
+      }),
+
+    // X148: Cohen's kappa between two deterministic raters on a
+    // shared 3-label space — exact contingency counts, fixed-shape
+    // double formula.
+    QueryDef(
+      "q_cohens_kappa",
+      Some("""
+        WITH r AS (
+          SELECT CAST(n_chars % 3 AS VARCHAR) AS a,
+                 CAST((n_chars + doc_id) % 3 AS VARCHAR) AS b
+          FROM documents
+        ), cells AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+        ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        ag AS (
+          SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS agree
+          FROM cells WHERE a = b
+        ), ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY 1),
+        mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        ch AS (
+          SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS e
+          FROM ma JOIN mb ON ma.a = mb.b
+        )
+        SELECT t.n AS n_items,
+               round(CAST(ag.agree AS DOUBLE) / t.n, 6)
+                 AS observed_agreement,
+               round(CAST(ch.e AS DOUBLE) / (t.n * t.n), 6)
+                 AS expected_agreement,
+               CASE WHEN CAST(ch.e AS DOUBLE) / (t.n * t.n) < 1.0 THEN
+                 round((CAST(ag.agree AS DOUBLE) / t.n
+                        - CAST(ch.e AS DOUBLE) / (t.n * t.n))
+                       / (1.0 - CAST(ch.e AS DOUBLE) / (t.n * t.n)), 6)
+               END AS kappa
+        FROM tot t, ag, ch
+      """.trim),
+      "X148 Cohen's kappa between two deterministic raters")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.RankEval.cohensKappa(
+          table(spark, dir, "documents")
+            .select(($"n_chars" % 3).as("ra"),
+              (($"n_chars" + $"doc_id") % 3).as("rb")),
+          "ra", "rb")
       })
   )
 }

@@ -192,4 +192,51 @@ class CurationWave9Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n_syllables") == 0L)
     assert(r.getAs[Double]("flesch") == 206.835)
   }
+
+  // ---- X147 rocAuc ---------------------------------------------------
+
+  test("rocAuc: separation 1.0, reversal 0.0, all-tied 0.5, hand case") {
+    val s = spark
+    import s.implicits._
+    def auc(rows: Seq[(Long, Boolean)]): Option[Double] = {
+      val r = RankEval.rocAuc(rows.toDF("score", "label"),
+        "score", "label").head()
+      if (r.isNullAt(r.fieldIndex("auc"))) None
+      else Some(r.getAs[Double]("auc"))
+    }
+    assert(auc(Seq((1L, false), (2L, false), (3L, true), (4L, true)))
+      .contains(1.0))
+    assert(auc(Seq((1L, true), (2L, true), (3L, false), (4L, false)))
+      .contains(0.0))
+    assert(auc(Seq((5L, true), (5L, false), (5L, true), (5L, false)))
+      .contains(0.5))
+    // hand: pos scores {2, 3}, neg {1, 3}: pairs (2>1)=1, (2,3)=0,
+    // (3>1)=1, (3,3)=.5 -> U=2.5 / 4 = 0.625
+    assert(auc(Seq((2L, true), (3L, true), (1L, false), (3L, false)))
+      .contains(0.625))
+    // degenerate: one class only -> NULL
+    assert(auc(Seq((1L, true), (2L, true))).isEmpty)
+  }
+
+  // ---- X148 cohensKappa ----------------------------------------------
+
+  test("cohensKappa: perfect agreement is 1, hand-computed 2x2 case " +
+    "matches the textbook value") {
+    val s = spark
+    import s.implicits._
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x"))
+      .toDF("a", "b")
+    val rp = RankEval.cohensKappa(perfect, "a", "b").head()
+    assert(rp.getAs[Double]("kappa") == 1.0)
+    // textbook 2x2: cells (yes,yes)=20, (yes,no)=5, (no,yes)=10,
+    // (no,no)=15 -> po=35/50=0.7, pe=(25*30 + 25*20)/2500=0.5,
+    // kappa = 0.2/0.5 = 0.4
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val r = RankEval.cohensKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getAs[Long]("n_items") == 50L)
+    assert(math.abs(r.getAs[Double]("observed_agreement") - 0.7) < 1e-9)
+    assert(math.abs(r.getAs[Double]("expected_agreement") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-9)
+  }
 }
