@@ -1999,6 +1999,73 @@ object CorpusOps {
           .as("fk_grade"))
   }
 
+  /** X150 — Jensen-Shannon divergence between a baseline and a
+    * current CATEGORICAL distribution (the smooth, symmetric, bounded
+    * companion to [[psi]]'s banded-numeric drift and the χ² test's
+    * significance readout): JSD = ½KL(p‖m) + ½KL(q‖m), m = ½(p+q).
+    * No smoothing needed — a side's zero-count category contributes 0
+    * to its KL term and m > 0 wherever either side has mass. Reported
+    * in nats and bits (bits ∈ [0, 1], the mixture-monitoring scale).
+    *
+    * Determinism: category counts are exact integers; the fold is ln
+    * on identical doubles + round(6) — the psi/chi2 convention. Scale
+    * shape: one (category, side) count agg (map-side combined,
+    * category-bounded), one-row fold.
+    */
+  def jsDivergence(df: DataFrame, categoryCol: String,
+      isBaseline: Column): DataFrame = {
+    val counts = df.groupBy(col(categoryCol).cast("string").as("__cat"))
+      .agg(sum(when(isBaseline, 1L).otherwise(0L)).as("__cb"),
+        sum(when(isBaseline, 0L).otherwise(1L)).as("__cc"))
+    val tot = counts.agg(sum(col("__cb")).as("__nb"),
+      sum(col("__cc")).as("__nc"))
+    val p = col("__cb").cast("double") / col("__nb")
+    val q = col("__cc").cast("double") / col("__nc")
+    val m = (p + q) / 2.0
+    val term = coalesce(when(col("__cb") > 0L, p * log(p / m)), lit(0.0)) +
+      coalesce(when(col("__cc") > 0L, q * log(q / m)), lit(0.0))
+    counts.crossJoin(broadcast(tot))
+      .agg(max(col("__nb")).cast("long").as("n_baseline"),
+        max(col("__nc")).cast("long").as("n_current"),
+        count(lit(1)).as("n_categories"),
+        (sum(term) / 2.0).as("__jsd"))
+      .select(col("n_baseline"), col("n_current"),
+        col("n_categories").cast("long").as("n_categories"),
+        round(col("__jsd"), 6).as("jsd_nats"),
+        round(col("__jsd") / math.log(2.0), 6).as("jsd_bits"))
+  }
+
+  /** X151 — per-document character-distribution entropy: Shannon
+    * entropy (bits/char) of the character unigram histogram plus the
+    * distinct-character count — the cheap gibberish/boilerplate
+    * signal that catches base64 blobs (high entropy, large alphabet)
+    * and repeated-padding spam (near-zero entropy) that word-level
+    * quality scores miss.
+    *
+    * Scale shape: pure per-row expression — the histogram is a
+    * sorted-distinct-char fold inside the row (alphabet-bounded,
+    * O(|Σ|·len) per doc), so the operator rides the scan with no
+    * shuffle and no UDF. Both engines fold in the same sorted-char
+    * order, so the double sum is order-identical; round(6).
+    */
+  def charEntropy(docs: DataFrame, docCol: String, textCol: String)
+      : DataFrame = {
+    val d = docs
+      .withColumn("__chars", split(col(textCol), ""))
+      .withColumn("__n", length(col(textCol)))
+      .withColumn("__uniq", array_sort(array_distinct(col("__chars"))))
+    val ent = expr(
+      """aggregate(__uniq, cast(0 as double), (acc, ch) ->
+         acc - (cast(size(filter(__chars, x -> x = ch)) as double) / __n)
+             * log2(cast(size(filter(__chars, x -> x = ch)) as double) / __n)
+       )""")
+    d.select(col(docCol), col("__n").cast("long").as("text_len"),
+      when(col("__n") > 0, size(col("__uniq")).cast("long"))
+        .otherwise(lit(0L)).as("n_distinct_chars"),
+      when(col("__n") > 0, round(ent, 6)).otherwise(lit(0.0))
+        .as("char_entropy_bits"))
+  }
+
   def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)

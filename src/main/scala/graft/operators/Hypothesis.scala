@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X149/X152 — two-sample hypothesis tests and inter-rater
+  * reliability: the release-gate statistics a data pipeline runs
+  * before swapping a corpus, filter, or labeling run (did the new
+  * filter change mean doc length? did the re-label agree with the
+  * old one beyond chance?). Complements [[graft.operators.CorpusOps]]
+  * bootstrapCI (X119 — resampled interval) with the closed-form
+  * frequentist pair, and [[RankEval.cohensKappa]] (X148) with
+  * Krippendorff's coincidence-matrix alpha.
+  *
+  * Determinism contract: every statistic derives from exact integer
+  * aggregates — counts, Σx and Σx² accumulated in wide decimals
+  * (per-row squares in DECIMAL(37,0), sums in DECIMAL(38,0), so
+  * 10¹² rows of 10⁸-scale values cannot wrap the way a Long Σx²
+  * would; DuckDB's BIGINT sums promote to HUGEINT, mirroring the
+  * exactness) — then one fixed-shape double expression, round(6).
+  */
+object Hypothesis {
+
+  /** X149a — Welch's unequal-variance t-test on an integral value
+    * column between two groups (`isA` true/false). Emits group sizes,
+    * means, the t statistic, and the Welch–Satterthwaite degrees of
+    * freedom. Scale shape: one map-side-combined two-row aggregate
+    * over the scan; one row out.
+    */
+  def welchTTest(df: DataFrame, valueCol: String, isA: Column)
+      : DataFrame = {
+    val d = col(valueCol).cast("decimal(18,0)")
+    val per = df.groupBy(isA.as("__a"))
+      .agg(count(lit(1)).as("__n"), sum(d).as("__s"),
+        sum(d * d).as("__ss"))
+    // one row per side -> pivot the two rows into one via conditional agg
+    val w = per.agg(
+      sum(when(col("__a"), col("__n"))).cast("long").as("n_a"),
+      sum(when(!col("__a"), col("__n"))).cast("long").as("n_b"),
+      sum(when(col("__a"), col("__s"))).as("__sa"),
+      sum(when(!col("__a"), col("__s"))).as("__sb"),
+      sum(when(col("__a"), col("__ss"))).as("__ssa"),
+      sum(when(!col("__a"), col("__ss"))).as("__ssb"))
+    val ma = col("__sa").cast("double") / col("n_a")
+    val mb = col("__sb").cast("double") / col("n_b")
+    // unbiased variance from exact sums: (ss - s^2/n) / (n-1)
+    val va = (col("__ssa").cast("double") -
+      col("__sa").cast("double") * col("__sa").cast("double") / col("n_a")) /
+      (col("n_a") - 1)
+    val vb = (col("__ssb").cast("double") -
+      col("__sb").cast("double") * col("__sb").cast("double") / col("n_b")) /
+      (col("n_b") - 1)
+    val sea = va / col("n_a")
+    val seb = vb / col("n_b")
+    val se2 = sea + seb
+    val t = (ma - mb) / sqrt(se2)
+    val dof = (se2 * se2) /
+      (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1))
+    val ok = col("n_a") > 1 && col("n_b") > 1
+    w.select(col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      when(ok && se2 > 0.0, round(t, 6)).as("t_stat"),
+      when(ok && se2 > 0.0, round(dof, 6)).as("dof"))
+  }
+
+  /** X149b — two-proportion z-test (pooled standard error): compares
+    * a boolean rate between two groups — the A/B readout for keep
+    * rates, dedup hit rates, filter pass rates. One two-row
+    * conditional aggregate; one row out. Degenerate pools (rate 0 or
+    * 1 on both sides, or an empty group) report NULL z.
+    */
+  def twoProportionZ(df: DataFrame, successCol: Column, isA: Column)
+      : DataFrame = {
+    val w = df.agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+      sum(when(isA && successCol, 1L).otherwise(0L)).as("x_a"),
+      sum(when(!isA && successCol, 1L).otherwise(0L)).as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a")
+    val pb = col("x_b").cast("double") / col("n_b")
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val ok = col("n_a") > 0 && col("n_b") > 0 && pp > 0.0 && pp < 1.0
+    w.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0, round(pa, 6)).as("rate_a"),
+      when(col("n_b") > 0, round(pb, 6)).as("rate_b"),
+      when(ok, round((pa - pb) / se, 6)).as("z_stat"))
+  }
+
+  /** X152 — Krippendorff's alpha (nominal scale, two raters, no
+    * missing values): α = 1 − (n−1)·ΣoffDiag(o)/De with the
+    * coincidence matrix o folded down to three exact integers —
+    * disagreeing items D, total items N (n = 2N pairable values),
+    * and De = n² − Σ_c n_c² from the symmetric marginals
+    * n_c = rowMargin(c) + colMargin(c). The |A∪B|-bounded contingency
+    * table is the only shuffled state (map-side combined); one row
+    * out. All-one-value data (De = 0) reports NULL.
+    */
+  def krippendorffAlpha(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val base = cells.agg(
+      sum(col("__c")).cast("long").as("n_items"),
+      coalesce(sum(when(col("__a") =!= col("__b"), col("__c"))), lit(0L))
+        .cast("long").as("__dis"))
+    // symmetric marginals: value v seen by either rater
+    val marg = cells.select(col("__a").as("__v"), col("__c"))
+      .unionAll(cells.select(col("__b").as("__v"), col("__c")))
+      .groupBy(col("__v")).agg(sum(col("__c")).as("__nc"))
+      .agg(coalesce(sum(col("__nc") * col("__nc")), lit(0L)).as("__sq"),
+        count(lit(1)).as("n_values"))
+    val n = lit(2L) * col("n_items")
+    val de = n * n - col("__sq")
+    base.crossJoin(marg)
+      .select(col("n_items"), col("n_values").cast("long").as("n_values"),
+        round(col("__dis").cast("double") / col("n_items"), 6)
+          .as("disagree_rate"),
+        when(de > 0L,
+          round(lit(1.0) - (n - 1L).cast("double") *
+            (lit(2L) * col("__dis")).cast("double") / de.cast("double"), 6))
+          .as("alpha"))
+  }
+}

@@ -582,6 +582,189 @@ object CurationQueries {
             .select(($"n_chars" % 3).as("ra"),
               (($"n_chars" + $"doc_id") % 3).as("rb")),
           "ra", "rb")
-      })
+      }),
+
+    // X149a: Welch's t-test on doc length between lang='en' and the
+    // rest — exact decimal Σx/Σx² sums, fixed-shape t/dof formula.
+    QueryDef(
+      "q_welch_ttest",
+      Some("""
+        WITH s AS (
+          SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS sa,
+                 CAST(sum(CASE WHEN lang <> 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS sb,
+                 CAST(sum(CASE WHEN lang = 'en' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS ssa,
+                 CAST(sum(CASE WHEN lang <> 'en' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS ssb
+          FROM documents
+        ), f AS (
+          SELECT n_a, n_b,
+                 CAST(sa AS DOUBLE) / n_a AS ma,
+                 CAST(sb AS DOUBLE) / n_b AS mb,
+                 (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / n_a) / (n_a - 1) / n_a AS sea,
+                 (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / n_b) / (n_b - 1) / n_b AS seb
+          FROM s
+        )
+        SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+               CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0.0 THEN
+                 round((ma - mb) / sqrt(sea + seb), 6) END AS t_stat,
+               CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0.0 THEN
+                 round((sea + seb) * (sea + seb)
+                       / (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)), 6)
+               END AS dof
+        FROM f
+      """.trim),
+      "X149a Welch t-test of doc length, lang=en vs rest")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Hypothesis.welchTTest(
+          table(spark, dir, "documents"), "n_chars", $"lang" === "en")
+      }),
+
+    // X149b: two-proportion z-test of the long-doc rate (n_chars >
+    // 500) between lang='en' and the rest — pooled standard error.
+    QueryDef(
+      "q_two_prop_z",
+      Some("""
+        WITH s AS (
+          SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN lang = 'en' AND n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+                 CAST(sum(CASE WHEN lang <> 'en' AND n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+          FROM documents
+        ), f AS (
+          SELECT n_a, n_b, x_a, x_b,
+                 CAST(x_a AS DOUBLE) / n_a AS pa,
+                 CAST(x_b AS DOUBLE) / n_b AS pb,
+                 CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pp
+          FROM s
+        )
+        SELECT n_a, n_b,
+               CASE WHEN n_a > 0 THEN round(pa, 6) END AS rate_a,
+               CASE WHEN n_b > 0 THEN round(pb, 6) END AS rate_b,
+               CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0.0 AND pp < 1.0 THEN
+                 round((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)), 6)
+               END AS z_stat
+        FROM f
+      """.trim),
+      "X149b two-proportion z-test of long-doc rate, lang=en vs rest")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Hypothesis.twoProportionZ(
+          table(spark, dir, "documents"),
+          $"n_chars" > 500, $"lang" === "en")
+      }),
+
+    // X152: Krippendorff's alpha (nominal, two raters) on the X148
+    // deterministic rater pair — coincidence-matrix arithmetic from
+    // the same exact contingency cells.
+    QueryDef(
+      "q_krippendorff",
+      Some("""
+        WITH r AS (
+          SELECT CAST(n_chars % 3 AS VARCHAR) AS a,
+                 CAST((n_chars + doc_id) % 3 AS VARCHAR) AS b
+          FROM documents
+        ), cells AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+        ), base AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_items,
+                 CAST(coalesce(sum(CASE WHEN a <> b THEN c END), 0) AS BIGINT) AS dis
+          FROM cells
+        ), m AS (
+          SELECT v, CAST(sum(c) AS BIGINT) AS nc FROM (
+            SELECT a AS v, c FROM cells
+            UNION ALL SELECT b AS v, c FROM cells)
+          GROUP BY 1
+        ), mm AS (
+          SELECT CAST(coalesce(sum(nc * nc), 0) AS BIGINT) AS sq,
+                 CAST(count(*) AS BIGINT) AS n_values
+          FROM m
+        )
+        SELECT b.n_items, mm.n_values,
+               round(CAST(b.dis AS DOUBLE) / b.n_items, 6) AS disagree_rate,
+               CASE WHEN 4 * b.n_items * b.n_items - mm.sq > 0 THEN
+                 round(1.0 - CAST(2 * b.n_items - 1 AS DOUBLE)
+                       * CAST(2 * b.dis AS DOUBLE)
+                       / CAST(4 * b.n_items * b.n_items - mm.sq AS DOUBLE), 6)
+               END AS alpha
+        FROM base b, mm
+      """.trim),
+      "X152 Krippendorff's alpha (nominal) on the deterministic raters")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Hypothesis.krippendorffAlpha(
+          table(spark, dir, "documents")
+            .select(($"n_chars" % 3).as("ra"),
+              (($"n_chars" + $"doc_id") % 3).as("rb")),
+          "ra", "rb")
+      }),
+
+    // X150: Jensen-Shannon drift of the lang distribution, src0 as
+    // baseline vs the rest of the corpus — exact category counts,
+    // ln-on-identical-doubles fold.
+    QueryDef(
+      "q_js_drift",
+      Some("""
+        WITH counts AS (
+          SELECT lang AS cat,
+                 CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+                 CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS cc
+          FROM documents GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(cb) AS BIGINT) AS nb, CAST(sum(cc) AS BIGINT) AS nc
+          FROM counts
+        ), terms AS (
+          SELECT nb, nc,
+            coalesce(CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / nb)
+              * ln((CAST(cb AS DOUBLE) / nb)
+                   / ((CAST(cb AS DOUBLE) / nb + CAST(cc AS DOUBLE) / nc) / 2.0)) END, 0.0)
+            + coalesce(CASE WHEN cc > 0 THEN (CAST(cc AS DOUBLE) / nc)
+              * ln((CAST(cc AS DOUBLE) / nc)
+                   / ((CAST(cb AS DOUBLE) / nb + CAST(cc AS DOUBLE) / nc) / 2.0)) END, 0.0) AS term
+          FROM counts, tot
+        ), agg AS (
+          SELECT CAST(max(nb) AS BIGINT) AS n_baseline,
+                 CAST(max(nc) AS BIGINT) AS n_current,
+                 CAST(count(*) AS BIGINT) AS n_categories,
+                 sum(term) / 2.0 AS jsd
+          FROM terms
+        )
+        SELECT n_baseline, n_current, n_categories,
+               round(jsd, 6) AS jsd_nats,
+               round(jsd / ln(2.0), 6) AS jsd_bits
+        FROM agg
+      """.trim),
+      "X150 Jensen-Shannon lang-distribution drift, src0 vs rest")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.jsDivergence(
+          table(spark, dir, "documents"), "lang", $"source" === "src0")
+      }),
+
+    // X151: per-doc character entropy — sorted-distinct-char fold,
+    // order-identical double summation in both engines.
+    QueryDef(
+      "q_char_entropy",
+      Some("""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS text_len,
+               CASE WHEN length(text) > 0 THEN
+                 CAST(len(list_distinct(regexp_split_to_array(text, ''))) AS BIGINT)
+                 ELSE 0 END AS n_distinct_chars,
+               CASE WHEN length(text) > 0 THEN
+                 round(list_sum(list_transform(
+                   list_sort(list_distinct(regexp_split_to_array(text, ''))),
+                   ch -> -(CAST(len(list_filter(regexp_split_to_array(text, ''), x -> x = ch)) AS DOUBLE) / length(text))
+                         * log2(CAST(len(list_filter(regexp_split_to_array(text, ''), x -> x = ch)) AS DOUBLE) / length(text))
+                 )), 6)
+                 ELSE 0.0 END AS char_entropy_bits
+        FROM documents ORDER BY doc_id
+      """.trim),
+      "X151 per-doc character-distribution entropy (bits/char)")(
+      (spark, dir) =>
+        CorpusOps.charEntropy(table(spark, dir, "documents"),
+            "doc_id", "text")
+          .orderBy("doc_id"))
   )
 }
