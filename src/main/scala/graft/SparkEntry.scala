@@ -17,7 +17,8 @@ object SparkEntry {
       SimilarityQueries.defs ++ TextAnalysisQueries.defs ++
       PipelineQueries.defs ++ JoinQueries.defs ++ RelationalQueries.defs ++
       CorpusQueries.defs ++ OlapQueries.defs ++ CorpusStatsQueries.defs ++
-      CorpusPrepQueries.defs ++ CurationQueries.defs
+      CorpusPrepQueries.defs ++ CurationQueries.defs ++
+      ReliabilityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -2066,6 +2066,70 @@ object CorpusOps {
         .as("char_entropy_bits"))
   }
 
+  /** X153 — per-group percentile gate: keep the top `keepFrac` of
+    * each group by score (exact, ties broken by id — a total order,
+    * so the kept set is content-stable), the "top 30% per source by
+    * quality" curation step between scoring (X109) and mixing (X39).
+    *
+    * Scale shape: NO per-group window — the rank comes from the
+    * two-phase [[globalRank]] over (group, score desc, id), which
+    * range-partitions the composite key and so splits a hot group
+    * across partitions instead of funneling it through one task (the
+    * X108/X133 pattern); per-group bases/sizes are a group-bounded
+    * agg broadcast back. keep iff rank_in_group ≤ ceil(f·n_group).
+    */
+  def percentileGate(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"bad keepFrac $keepFrac")
+    val ranked = globalRank(df,
+      Seq(col(groupCol), col(scoreCol).desc, col(idCol)))
+    val base = ranked.groupBy(col(groupCol))
+      .agg(min(col("__rank")).as("__base"),
+        count(lit(1)).as("group_size"))
+    ranked.join(broadcast(base), Seq(groupCol))
+      .withColumn("group_rank", col("__rank") - col("__base") + 1L)
+      .filter(col("group_rank") <=
+        ceil(lit(keepFrac) * col("group_size")).cast("long"))
+      .drop("__rank", "__base")
+  }
+
+  /** X155 — per-group diversity indices over a categorical column:
+    * Shannon entropy (bits), Simpson concentration Σp² (exact
+    * rational Σc²/n² from integer counts), Gini-Simpson 1−Σp², and
+    * Pielou evenness H/log₂(k) — the one-table corpus-composition
+    * readout (is a source one language in a trench coat?) beside the
+    * X128 dashboard. Category counts are exact; the entropy fold is
+    * the psi/chi2 ln-on-identical-doubles + round(6) convention.
+    * Scale shape: one (group, category) count agg (map-side
+    * combined), one group-level fold — both bounded by
+    * |groups|·|categories|.
+    */
+  def diversityIndices(df: DataFrame, groupCol: String,
+      categoryCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol).as("grp"),
+        col(categoryCol).as("__cat"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = counts.groupBy(col("grp"))
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("n_categories"),
+        sum(col("__c") * col("__c")).as("__sq"))
+    val p = col("__c").cast("double") / col("__n")
+    counts.join(broadcast(tot), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(max(col("__n")).cast("long").as("n"),
+        max(col("n_categories")).cast("long").as("n_categories"),
+        (-sum(p * log2(p))).as("__h"),
+        max(col("__sq").cast("double") /
+          (col("__n").cast("double") * col("__n").cast("double")))
+          .as("__simpson"))
+      .select(col("grp").as(groupCol), col("n"), col("n_categories"),
+        round(col("__h"), 6).as("shannon_bits"),
+        round(col("__simpson"), 6).as("simpson"),
+        round(lit(1.0) - col("__simpson"), 6).as("gini_simpson"),
+        when(col("n_categories") > 1L,
+          round(col("__h") / log2(col("n_categories").cast("double")), 6))
+          .as("evenness"))
+  }
+
   def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)
