@@ -536,6 +536,84 @@ object Multimodal {
     }
   }
 
+  /** X157 — DCT perceptual hash (pHash): luma → 32×32 resample →
+    * separable 2D DCT-II → 8×8 low-frequency block → 64-bit signature
+    * (bit i set iff coefficient i exceeds the median of the 63 non-DC
+    * coefficients — 63 is odd, so the median is an exact element, no
+    * averaging). Near-identical images — recompressed, lightly
+    * cropped, brightness-tweaked — land within a few Hamming bits;
+    * content-different images land ~32 apart. Pure deterministic JVM
+    * double math; the double→bit threshold makes the HASH stable even
+    * though intermediates are doubles.
+    */
+  def phash(img: RawImage): Long = {
+    val n = 32
+    val small = resize(img, n, n)
+    val g = new Array[Double](n * n)
+    var i = 0
+    while (i < n * n) {
+      g(i) = 0.299 * (small.pixels(i * small.channels) & 0xFF) +
+        0.587 * (small.pixels(i * small.channels +
+          math.min(1, small.channels - 1)) & 0xFF) +
+        0.114 * (small.pixels(i * small.channels +
+          math.min(2, small.channels - 1)) & 0xFF)
+      i += 1
+    }
+    // separable DCT-II, only the first 8 output frequencies per axis
+    val k = 8
+    val cosTab = Array.tabulate(k, n)((u, x) =>
+      math.cos(math.Pi * (2 * x + 1) * u / (2.0 * n)))
+    val rows = Array.ofDim[Double](n, k) // DCT along x, per row y
+    var y = 0
+    while (y < n) {
+      var u = 0
+      while (u < k) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += g(y * n + x) * cosTab(u)(x); x += 1 }
+        rows(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](k * k) // then DCT along y
+    var v = 0
+    while (v < k) {
+      var u = 0
+      while (u < k) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) { s += rows(yy)(u) * cosTab(v)(yy); yy += 1 }
+        coef(v * k + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val med = coef.drop(1).sorted.apply(31) // median of 63 non-DC
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (coef(i) > med) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** Batched decode → (doc_id, phash) — the image analog of the X1
+    * content-hash pass, feeding [[graft.operators.Dedup.hammingPairs]]
+    * banded near-dup candidate generation.
+    */
+  def phashes(media: Dataset[MediaRow], decoder: MediaDecoder)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val d = decoder
+      it.filter(_.media_type == "image")
+        .map(m => (m.doc_id, phash(d.decodeImage(m.content))))
+    }.toDF("doc_id", "phash")
+  }
+
   /** Every-k-th frame sampling with per-frame fingerprints. */
   def sampleFrames(media: Dataset[MediaRow], decoder: MediaDecoder,
       everyK: Int): Dataset[VideoFrames] = {

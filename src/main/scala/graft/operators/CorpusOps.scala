@@ -2130,6 +2130,52 @@ object CorpusOps {
           .as("evenness"))
   }
 
+  /** X158 — snapshot profile drift: the column-level companion to
+    * X51's row-level snapshot diff and the X126/X131/X150 value-drift
+    * family — profile (non-null count, distinct count, min, max, null
+    * rate) of every watched column on BOTH snapshots in one scan
+    * each, joined into a per-column drift report with changed-bounds
+    * flags. The schema-health gate a pipeline runs before promoting a
+    * new snapshot: a column whose null rate jumped or whose distinct
+    * count collapsed fails promotion before any value-level test
+    * runs.
+    *
+    * Scale shape: two single-pass multi-aggregate scans (the
+    * q_profile shape — Spark expands multi-distinct internally but
+    * storage is read once), one |cols|-row struct explode each, and a
+    * |cols|-row join. No shuffle proportional to data.
+    */
+  def profileDrift(base: DataFrame, cur: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    def profile(df: DataFrame, side: String): DataFrame = {
+      val aggs = count(lit(1)).as(s"rows_$side") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"cnt_$c"),
+        count_distinct(col(c)).as(s"dst_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c")))
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(col(s"rows_$side"),
+          explode(array(cols.map(c => struct(
+            lit(c).as("col_name"),
+            col(s"cnt_$c").as(s"nonnull_$side"),
+            col(s"dst_$c").as(s"distinct_$side"),
+            col(s"min_$c").as(s"__min_$side"),
+            col(s"max_$c").as(s"__max_$side"))): _*)).as("p"))
+        .select(col(s"rows_$side"), col("p.*"))
+    }
+    profile(base, "base").join(profile(cur, "cur"), Seq("col_name"))
+      .select(col("col_name"),
+        col("nonnull_base"), col("nonnull_cur"),
+        col("distinct_base"), col("distinct_cur"),
+        round(lit(1.0) - col("nonnull_base").cast("double") /
+          col("rows_base"), 6).as("null_rate_base"),
+        round(lit(1.0) - col("nonnull_cur").cast("double") /
+          col("rows_cur"), 6).as("null_rate_cur"),
+        (col("__min_base") =!= col("__min_cur")).as("min_changed"),
+        (col("__max_base") =!= col("__max_cur")).as("max_changed"))
+  }
+
   def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)

@@ -708,4 +708,45 @@ object Dedup {
     a.unionByName(b)
       .groupBy(col("key"), col("slot"))
       .agg(min(col("min_hash")).as("min_hash"))
+
+  /** X157 — Hamming near-dup join over 64-bit signatures (pHash,
+    * SimHash, any fingerprint): pigeonhole banding — split the word
+    * into `maxDist + 1` bands, and any pair within `maxDist` bits
+    * MUST agree on at least one whole band (maxDist flipped bits
+    * cannot touch maxDist+1 bands) — so candidate generation is an
+    * exact-recall equi-join on (band_idx, band_bits), verified by
+    * `bit_count(xor) <= maxDist` on candidates only. The X1-SimHash
+    * banding generalized to any signed-64 signature column.
+    *
+    * Scale shape: |ids|·(maxDist+1) banded rows, candidate work
+    * Σ_band |bucket|² (bounded by signature diversity — identical
+    * images collapse to one bucket, which is the answer, not a hot
+    * spot: emit their pairs), popcount verify codegen'd per
+    * candidate. No all-pairs anywhere.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7, s"bad maxDist $maxDist")
+    val nBands = maxDist + 1
+    val width = 64 / nBands // last band absorbs the remainder bits
+    val banded = hashes.select(col(idCol).as("__id"),
+        col(hashCol).cast("long").as("__h"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("__b"))
+      .withColumn("__band", expr(
+        s"""case when __b < ${nBands - 1}
+            then shiftrightunsigned(__h, cast(__b * $width as int))
+                 & ${(1L << width) - 1}L
+            else shiftrightunsigned(__h, ${(nBands - 1) * width})
+            end"""))
+    val a = banded.select(col("__b"), col("__band"),
+      col("__id").as("d1"), col("__h").as("__h1"))
+    val b = banded.select(col("__b"), col("__band"),
+      col("__id").as("d2"), col("__h").as("__h2"))
+    a.join(b, Seq("__b", "__band"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        expr("cast(bit_count(__h1 ^ __h2) as bigint)").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -245,6 +245,150 @@ object ReliabilityQueries {
               .as("n_definitely_new"),
             sum(when(!$"might_contain" && $"__shared".isNotNull, 1L)
               .otherwise(0L)).as("missed_shared"))
+      }),
+
+    // X157: perceptual-hash image near-dup pairs — REAL BMP
+    // containers through the production decoder (the q_image_features
+    // assembly), planted near-dup pairs (docs 2k / 2k+1 share a base
+    // pattern, the odd twin perturbs one pixel), pHash + pigeonhole-
+    // banded Hamming join. DCT doubles are not SQL-expressible →
+    // rows-only by SURVEY §8 contract (scalar columns only); the
+    // operator pair is spec-verified (golden invariants + exact-
+    // recall banding proof).
+    QueryDef(
+      "q_phash_pairs",
+      None,
+      "X157 pHash near-dup image pairs (banded Hamming join)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val bmp = udf { (docId: Long, _nChars: Long) =>
+          val base = docId - docId % 2
+          val odd = docId % 2 == 1
+          val w = (base % 13).toInt + 4
+          val h = (base % 7).toInt + 3
+          val rowBytes = (w * 3 + 3) / 4 * 4
+          val out = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          out.put('B'.toByte).put('M'.toByte)
+            .putInt(54 + rowBytes * h).putInt(0).putInt(54)
+          out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+            .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+            .putInt(0).putInt(0)
+          def v(i: Int): Byte = {
+            val b = (i * 17 + base * 31 + 3) % 256
+            (if (odd && i == 0) (b + 1) % 256 else b).toByte
+          }
+          var y = h - 1
+          while (y >= 0) {
+            var x = 0
+            while (x < w) {
+              val o = (y * w + x) * 3
+              out.put(v(o + 2)).put(v(o + 1)).put(v(o))
+              x += 1
+            }
+            var p = w * 3
+            while (p < rowBytes) { out.put(0.toByte); p += 1 }
+            y -= 1
+          }
+          out.array()
+        }
+        val media = table(spark, dir, "documents")
+          .select($"doc_id", lit("image").as("media_type"),
+            bmp($"doc_id", coalesce($"n_chars", lit(0L))).as("content"))
+          .as[graft.multimodal.Multimodal.MediaRow]
+        val hashes = graft.multimodal.Multimodal.phashes(media,
+          graft.multimodal.Multimodal.BinaryImageDecoder())
+        Dedup.hammingPairs(hashes, "doc_id", "phash", maxDist = 3)
+          .orderBy($"d1", $"d2")
+      }),
+
+    // X158: column-level snapshot drift on orders, pre-2000 baseline
+    // vs the 2000+ snapshot — null rates, distincts, changed bounds.
+    QueryDef(
+      "q_profile_drift",
+      Some("""
+        WITH base AS (
+          SELECT o_custkey, o_orderstatus, o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+        ), cur AS (
+          SELECT o_custkey, o_orderstatus, o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        ), pb AS (
+          SELECT * FROM (
+            SELECT 'cents' AS col_name,
+                   CAST((SELECT count(*) FROM base) AS BIGINT) AS rows_base,
+                   CAST(count(cents) AS BIGINT) AS nonnull_base,
+                   CAST(count(DISTINCT cents) AS BIGINT) AS distinct_base,
+                   CAST(min(cents) AS VARCHAR) AS min_base,
+                   CAST(max(cents) AS VARCHAR) AS max_base
+            FROM base
+            UNION ALL
+            SELECT 'o_custkey', (SELECT count(*) FROM base),
+                   count(o_custkey), count(DISTINCT o_custkey),
+                   CAST(min(o_custkey) AS VARCHAR),
+                   CAST(max(o_custkey) AS VARCHAR) FROM base
+            UNION ALL
+            SELECT 'o_orderpriority', (SELECT count(*) FROM base),
+                   count(o_orderpriority), count(DISTINCT o_orderpriority),
+                   CAST(min(o_orderpriority) AS VARCHAR),
+                   CAST(max(o_orderpriority) AS VARCHAR) FROM base
+            UNION ALL
+            SELECT 'o_orderstatus', (SELECT count(*) FROM base),
+                   count(o_orderstatus), count(DISTINCT o_orderstatus),
+                   CAST(min(o_orderstatus) AS VARCHAR),
+                   CAST(max(o_orderstatus) AS VARCHAR) FROM base
+          )
+        ), pc AS (
+          SELECT * FROM (
+            SELECT 'cents' AS col_name,
+                   CAST((SELECT count(*) FROM cur) AS BIGINT) AS rows_cur,
+                   CAST(count(cents) AS BIGINT) AS nonnull_cur,
+                   CAST(count(DISTINCT cents) AS BIGINT) AS distinct_cur,
+                   CAST(min(cents) AS VARCHAR) AS min_cur,
+                   CAST(max(cents) AS VARCHAR) AS max_cur
+            FROM cur
+            UNION ALL
+            SELECT 'o_custkey', (SELECT count(*) FROM cur),
+                   count(o_custkey), count(DISTINCT o_custkey),
+                   CAST(min(o_custkey) AS VARCHAR),
+                   CAST(max(o_custkey) AS VARCHAR) FROM cur
+            UNION ALL
+            SELECT 'o_orderpriority', (SELECT count(*) FROM cur),
+                   count(o_orderpriority), count(DISTINCT o_orderpriority),
+                   CAST(min(o_orderpriority) AS VARCHAR),
+                   CAST(max(o_orderpriority) AS VARCHAR) FROM cur
+            UNION ALL
+            SELECT 'o_orderstatus', (SELECT count(*) FROM cur),
+                   count(o_orderstatus), count(DISTINCT o_orderstatus),
+                   CAST(min(o_orderstatus) AS VARCHAR),
+                   CAST(max(o_orderstatus) AS VARCHAR) FROM cur
+          )
+        )
+        SELECT pb.col_name, nonnull_base, nonnull_cur,
+               distinct_base, distinct_cur,
+               round(1.0 - CAST(nonnull_base AS DOUBLE) / rows_base, 6)
+                 AS null_rate_base,
+               round(1.0 - CAST(nonnull_cur AS DOUBLE) / rows_cur, 6)
+                 AS null_rate_cur,
+               min_base <> min_cur AS min_changed,
+               max_base <> max_cur AS max_changed
+        FROM pb JOIN pc USING (col_name)
+        ORDER BY col_name
+      """.trim),
+      "X158 column-profile drift, orders pre-2000 vs 2000+")(
+      (spark, dir) => {
+        import spark.implicits._
+        val o = table(spark, dir, "orders")
+          .select($"o_custkey", $"o_orderstatus", $"o_orderpriority",
+            round($"o_totalprice" * 100).cast("long").as("cents"),
+            $"o_orderdate")
+        CorpusOps.profileDrift(
+            o.filter($"o_orderdate" < lit("2000-01-01").cast("timestamp")),
+            o.filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp")),
+            Seq("cents", "o_custkey", "o_orderpriority", "o_orderstatus"))
+          .orderBy($"col_name")
       })
   )
 }
