@@ -1108,4 +1108,87 @@ object Similarity {
           (col("n_ref").cast("double") * col("n_cur").cast("double") * 1e9),
           6).as("centroid_l2_gap"))
   }
+  /** X159 — deterministic stochastic-greedy facility-location coreset
+    * selection (Mirzasoleiman et al. 2015 shape): pick k exemplars
+    * maximizing Σ_docs max-cosine-to-a-pick — the diversity-aware
+    * data-selection step between scoring and mixing (choose the k
+    * docs/templates that best COVER the corpus, not the k best
+    * scores). Exact greedy is O(k·n²); stochastic-greedy draws a
+    * bounded candidate set per round (md5-deterministic, so the whole
+    * selection is content-stable and replayable) and keeps the
+    * (1−1/e−ε) guarantee.
+    *
+    * Per round: one bounded candidate draw (TakeOrdered on the md5
+    * key — no global sort), one single-pass aggregate computing EVERY
+    * candidate's marginal gain Σ max(cos−cov, 0) simultaneously
+    * (candidate vectors ride the plan as literals — the semDedupAuto
+    * zero-exchange trick, no join), one coverage-column update +
+    * localCheckpoint (the PageRank lineage-truncation shape). Driver
+    * state is candidatesPerRound·dim doubles + the k picks — bounded
+    * and loud. Total cost O(k·c·n) dots, embarrassingly parallel.
+    */
+  def coresetSelect(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, candidatesPerRound: Int = 32, salt: String = "coreset")
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(candidatesPerRound >= 1, s"bad candidatesPerRound")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var state = vecs.select(col(idCol).cast("long").as("id"),
+        toDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", l2norm(col("__v")))
+      .filter(col("__n") > 0.0)
+      .withColumn("__cov", lit(0.0))
+      .localCheckpoint(true)
+    def cosTo(vec: Array[Double], norm: Double): Column =
+      dot(col("__v"), typedlit(vec)) / (col("__n") * norm)
+    val picks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double)]
+    var rnd = 1
+    while (rnd <= k) {
+      val chosen = picks.map(_._2)
+      val notPicked = if (chosen.isEmpty) state
+        else state.filter(!col("id").isin(chosen.toSeq: _*))
+      val candIds = notPicked
+        .select(col("id"), CorpusOps.md5Band(
+          concat(lit(rnd.toString), lit(":"), col("id").cast("string")),
+          salt).as("__r"))
+        .orderBy(col("__r"), col("id"))
+        .limit(candidatesPerRound)
+        .collect().map(_.getLong(0))
+      if (candIds.isEmpty) { rnd = k + 1 } // corpus exhausted
+      else {
+        val candVecs = state
+          .filter(col("id").isin(candIds.toSeq: _*))
+          .select(col("id"), col("__v"), col("__n"))
+          .collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Double](1).toArray, r.getDouble(2)))
+          .sortBy(_._1)
+        val gainAggs = candVecs.map { case (cid, vec, norm) =>
+          sum(greatest(cosTo(vec, norm) - col("__cov"), lit(0.0)))
+            .as(s"g_$cid")
+        }
+        val extras = Seq(sum(col("__cov")).as("__covsum"),
+          count(lit(1)).as("__cnt"))
+        val row = state.agg((gainAggs ++ extras).head,
+          (gainAggs ++ extras).tail: _*).head()
+        val (bestId, bestGain) = candVecs.map { case (cid, _, _) =>
+          cid -> row.getAs[Double](s"g_$cid")
+        }.maxBy { case (cid, g) => (g, -cid) } // tie -> smaller id
+        val n = row.getAs[Long]("__cnt").toDouble
+        val covAfter = (row.getAs[Double]("__covsum") + bestGain) / n
+        picks += ((rnd.toLong, bestId, bestGain, covAfter))
+        val (_, bv, bn) = candVecs.find(_._1 == bestId).get
+        state = state.withColumn("__cov",
+            greatest(col("__cov"), cosTo(bv, bn)))
+          .localCheckpoint(true)
+        rnd += 1
+      }
+    }
+    picks.toSeq.toDF("selection_rank", "vec_id", "__g", "__c")
+      .select(col("selection_rank"), col("vec_id"),
+        round(col("__g"), 6).as("marginal_gain"),
+        round(col("__c"), 6).as("mean_coverage"))
+  }
 }

@@ -389,6 +389,21 @@ object ReliabilityQueries {
             o.filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp")),
             Seq("cents", "o_custkey", "o_orderpriority", "o_orderstatus"))
           .orderBy($"col_name")
-      })
+      }),
+
+    // X159: stochastic-greedy facility-location coreset — pick the 8
+    // embeddings that best cover the corpus by max-cosine. Greedy
+    // over cosine doubles is not SQL-expressible → rows-only by
+    // SURVEY §8 contract (scalar columns); exact-greedy parity and
+    // coverage monotonicity are spec-asserted (CoresetSpec).
+    QueryDef(
+      "q_coreset_select",
+      None,
+      "X159 facility-location coreset selection (k=8, md5-candidates)")(
+      (spark, dir) =>
+        graft.operators.Similarity.coresetSelect(
+            table(spark, dir, "embeddings"), "vec_id", "embedding",
+            k = 8, candidatesPerRound = 16)
+          .orderBy("selection_rank"))
   )
 }
