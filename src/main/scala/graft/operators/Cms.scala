@@ -70,4 +70,26 @@ object Cms {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
+
+  /** X161 — equi-join cardinality estimate from two sketches built
+    * with the SAME (depth, width): |A ⋈ B| = Σ_key f_A(k)·f_B(k),
+    * estimated per hash row as Σ_buckets cntA[b]·cntB[b], min over
+    * rows (Cormode-Muthukrishnan inner-product bound — always an
+    * OVERestimate, within ε·|A|·|B| w.p. 1−δ). The one-row planner
+    * statistic that decides broadcast-vs-shuffle-vs-salt BEFORE
+    * paying for the join — two constant-sized sketch tables joined
+    * on (row, bucket), never the data.
+    */
+  def innerProduct(a: DataFrame, b: DataFrame, depth: Int = 4)
+      : DataFrame =
+    a.select(col("hash_row"), col("bucket"), col("cnt").as("__ca"))
+      .join(b.select(col("hash_row"), col("bucket"),
+        col("cnt").as("__cb")), Seq("hash_row", "bucket"))
+      .groupBy(col("hash_row"))
+      .agg(sum(col("__ca") * col("__cb")).as("__p"))
+      // a hash row with NO overlapping cells has product 0, and it
+      // wins the min — if any of the `depth` rows is missing from the
+      // join, the estimate is 0 (the empty/disjoint-sketch case)
+      .agg(coalesce(when(count(lit(1)) === depth, min(col("__p"))),
+        lit(0L)).cast("long").as("est_join_size"))
 }

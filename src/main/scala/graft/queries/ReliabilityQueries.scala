@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomStore, CorpusOps, Dedup, Linkage}
+import graft.operators.{BloomStore, Cms, CorpusOps, Dedup, Linkage, LogHistogram}
 import QueryDef.table
 
 /** r9 wave 6 (SURVEY §2.10 X153–X156): percentile gating, record
@@ -389,6 +389,136 @@ object ReliabilityQueries {
             o.filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp")),
             Seq("cents", "o_custkey", "o_orderpriority", "o_orderstatus"))
           .orderBy($"col_name")
+      }),
+
+    // X160a: per-source log2-linear quantile store over doc lengths —
+    // integer-only bucket arithmetic (no ln/pow), replayed verbatim.
+    QueryDef(
+      "q_loghist_store",
+      Some("""
+        WITH v AS (
+          SELECT source AS key, n_chars AS val
+          FROM documents WHERE n_chars >= 0
+        )
+        SELECT key,
+               CASE WHEN val < 16 THEN val
+                    ELSE (CAST(length(bin(val)) AS BIGINT) - 1 - 4 + 1) * 16
+                         + ((val >> (length(bin(val)) - 1 - 4)) - 16)
+               END AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM v GROUP BY 1, 2
+        ORDER BY key, bucket
+      """.trim),
+      "X160a per-source log2-linear quantile store (integer buckets)")(
+      (spark, dir) => {
+        import spark.implicits._
+        LogHistogram.build(table(spark, dir, "documents"),
+            "source", "n_chars", subBits = 4)
+          .orderBy($"key", $"bucket")
+      }),
+
+    // X160b: p50/p90/p99 per source AND for the count-sum-merged
+    // whole corpus (the merge law in the oracle: the ALL rows replay
+    // as a fresh build over the unioned values).
+    QueryDef(
+      "q_loghist_quantiles",
+      Some("""
+        WITH v0 AS (
+          SELECT source AS key, n_chars AS val
+          FROM documents WHERE n_chars >= 0
+        ), v AS (
+          SELECT key, val FROM v0
+          UNION ALL SELECT 'ALL', val FROM v0
+        ), b AS (
+          SELECT key,
+                 CASE WHEN val < 16 THEN val
+                      ELSE (CAST(length(bin(val)) AS BIGINT) - 1 - 4 + 1) * 16
+                           + ((val >> (length(bin(val)) - 1 - 4)) - 16)
+                 END AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM v GROUP BY 1, 2
+        ), tot AS (
+          SELECT key, CAST(sum(cnt) AS BIGINT) AS n FROM b GROUP BY 1
+        ), cum AS (
+          SELECT key, bucket, cnt,
+                 sum(cnt) OVER (PARTITION BY key ORDER BY bucket) AS cum
+          FROM b
+        ), probes AS (
+          SELECT c.key, qq.q, t.n, c.bucket, c.cum,
+                 CAST(floor(qq.q * CAST(t.n - 1 AS DOUBLE)) AS BIGINT) + 1
+                   AS target
+          FROM cum c JOIN tot t USING (key),
+               (SELECT unnest([0.5, 0.9, 0.99]) AS q) qq
+        ), picked AS (
+          SELECT key, q, n, min(bucket) AS pb
+          FROM probes WHERE cum >= target GROUP BY 1, 2, 3
+        ), fin AS (
+          SELECT key, q, n, pb,
+                 CASE WHEN pb < 16 THEN pb
+                      ELSE (16 + pb % 16) << CAST(pb // 16 - 1 AS INT)
+                 END AS lo,
+                 CASE WHEN pb < 16 THEN CAST(1 AS BIGINT)
+                      ELSE 1::BIGINT << CAST(pb // 16 - 1 AS INT)
+                 END AS width
+          FROM picked
+        )
+        SELECT key, q, n,
+               round((CAST(lo AS DOUBLE) + CAST(lo + width - 1 AS DOUBLE))
+                 / 2.0, 6) AS estimate
+        FROM fin ORDER BY key, q
+      """.trim),
+      "X160b store quantiles per source + merged ALL (merge law)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val store = LogHistogram.build(table(spark, dir, "documents"),
+          "source", "n_chars", subBits = 4)
+        val withAll = store.unionByName(
+          LogHistogram.merge(store, lit("ALL")))
+        LogHistogram.quantiles(withAll, Seq(0.5, 0.9, 0.99), subBits = 4)
+          .orderBy($"key", $"q")
+      }),
+
+    // X161: CMS inner-product join-size estimate for the events
+    // user_id self-join, vs the exact sum-of-squares — the planner
+    // statistic that picks broadcast/shuffle/salt before the join.
+    QueryDef(
+      "q_join_size_est",
+      Some("""
+        WITH cells AS (
+          SELECT j,
+                 ('0x' || substr(md5('cms' || j || ':'
+                    || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64
+                   AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events, unnest([0, 1, 2, 3]) AS u(j)
+          GROUP BY 1, 2
+        ), per AS (
+          SELECT j, CAST(sum(cnt * cnt) AS BIGINT) AS p
+          FROM cells GROUP BY 1
+        ), est AS (
+          SELECT CAST(min(p) AS BIGINT) AS est_join_size FROM per
+        ), ex AS (
+          SELECT CAST(sum(c * c) AS BIGINT) AS exact_size
+          FROM (SELECT CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id)
+        )
+        SELECT exact_size, est_join_size,
+               round(CAST(est_join_size - exact_size AS DOUBLE)
+                 / exact_size, 6) AS overestimate_frac
+        FROM ex, est
+      """.trim),
+      "X161 CMS inner-product self-join size estimate vs exact")(
+      (spark, dir) => {
+        import spark.implicits._
+        val ev = QueryDef.events(spark, dir).select($"user_id")
+        val sk = Cms.sketch(ev, "user_id")
+        val exact = ev.groupBy($"user_id")
+          .agg(count(lit(1)).as("__c"))
+          .agg(sum($"__c" * $"__c").cast("long").as("exact_size"))
+        exact.crossJoin(Cms.innerProduct(sk, sk))
+          .select($"exact_size", $"est_join_size",
+            round(($"est_join_size" - $"exact_size").cast("double") /
+              $"exact_size", 6).as("overestimate_frac"))
       }),
 
     // X159: stochastic-greedy facility-location coreset — pick the 8
