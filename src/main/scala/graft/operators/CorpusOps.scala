@@ -2176,6 +2176,72 @@ object CorpusOps {
         (col("__max_base") =!= col("__max_cur")).as("max_changed"))
   }
 
+  /** X162 — per-line language segmentation: the multilingual-document
+    * splitter (a crawl page with an English header and a German body
+    * should ship as TWO training docs, not one mislabeled one). Per
+    * line: stopword-hit scores per language (the X3 heuristic, exact
+    * integers); predicted = first declared language attaining the max
+    * (deterministic ties); then adjacent same-language lines merge
+    * into runs (lag/cumsum inside a PER-DOC window — doc-bounded,
+    * never global) and each run reports (start, end, n_lines).
+    *
+    * Scale shape: one scan scoring lines (codegen'd token filters),
+    * one per-doc window pass, one (doc, segment) agg. Everything
+    * partitions by doc.
+    */
+  def langSegments(lines: DataFrame, docCol: String, idxCol: String,
+      lineCol: String, langs: Seq[(String, Seq[String])]): DataFrame = {
+    require(langs.size >= 2, "need at least two languages")
+    import org.apache.spark.sql.expressions.Window
+    val toks = Dedup.tokens(col(lineCol))
+    val scored = lines.select(
+      col(docCol) +: col(idxCol).cast("long").as("__idx") +:
+        langs.map { case (l, ws) =>
+          size(filter(toks, t => t.isin(ws.map(lit): _*))).as(s"__s_$l")
+        }: _*)
+    val mx = greatest(langs.map(l => col(s"__s_${l._1}")): _*)
+    val pred = coalesce(langs.map { case (l, _) =>
+      when(col(s"__s_$l") === mx, lit(l))
+    }: _*)
+    val w = Window.partitionBy(col(docCol)).orderBy(col("__idx"))
+    scored.withColumn("__lang", pred)
+      .withColumn("__chg",
+        when(lag(col("__lang"), 1).over(w).isNull ||
+          col("__lang") =!= lag(col("__lang"), 1).over(w), 1L)
+          .otherwise(0L))
+      .withColumn("segment_idx", sum(col("__chg")).over(w))
+      .groupBy(col(docCol), col("segment_idx"),
+        col("__lang").as("lang_pred"))
+      .agg(min(col("__idx")).as("start_line"),
+        max(col("__idx")).as("end_line"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** X163 — robust per-group score normalization: (x − median)/IQR
+    * with EXACT grouped order statistics from [[Quantiles]]'
+    * multi-pass bisection (no per-group sort, no approx sketch, skew-
+    * proof) broadcast back to the scan — the outlier-resistant
+    * standardization a mixing step applies before comparing quality
+    * scores ACROSS sources whose score scales differ. Degenerate
+    * groups (IQR 0) report NULL rather than a division blow-up.
+    */
+  def robustScale(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    def qt(q: Double, name: String): DataFrame =
+      Quantiles.exactQuantileByGroup(
+        df.select(col(groupCol), col(valueCol)), groupCol, valueCol, q)
+        .withColumnRenamed("quantile", name)
+    df.join(broadcast(qt(0.5, "median")), Seq(groupCol))
+      .join(broadcast(qt(0.25, "__q1")), Seq(groupCol))
+      .join(broadcast(qt(0.75, "__q3")), Seq(groupCol))
+      .withColumn("iqr", col("__q3") - col("__q1"))
+      .withColumn("robust_z",
+        when(col("iqr") > 0L,
+          round((col(valueCol) - col("median")).cast("double") /
+            col("iqr"), 6)))
+      .drop("__q1", "__q3")
+  }
+
   def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)

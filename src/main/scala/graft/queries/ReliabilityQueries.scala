@@ -521,6 +521,129 @@ object ReliabilityQueries {
               $"exact_size", 6).as("overestimate_frac"))
       }),
 
+    // X162: per-line language segmentation over a constructed
+    // multilingual corpus — 5 deterministic lines per doc (en en
+    // de|fr de|fr es), stopword scoring + run merging replayed
+    // verbatim.
+    QueryDef(
+      "q_lang_segments",
+      Some("""
+        WITH lines AS (
+          SELECT doc_id, u.i AS line_idx,
+                 CASE u.i
+                   WHEN 0 THEN 'the of and to'
+                   WHEN 1 THEN 'the to in is it'
+                   WHEN 2 THEN CASE WHEN doc_id % 2 = 0
+                     THEN 'der die und ist nicht'
+                     ELSE 'le la et un est' END
+                   WHEN 3 THEN CASE WHEN doc_id % 2 = 0
+                     THEN 'das und nicht mit ein'
+                     ELSE 'les et une est que' END
+                   ELSE 'el los y una es'
+                 END AS line
+          FROM documents, unnest([0, 1, 2, 3, 4]) AS u(i)
+        ), toks AS (
+          SELECT doc_id, line_idx,
+                 list_filter(string_split_regex(lower(line), '\s+'),
+                   t -> t <> '') AS w
+          FROM lines
+        ), scored AS (
+          SELECT doc_id, line_idx,
+                 len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for'))) AS s_en,
+                 len(list_filter(w, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'mit', 'ein', 'zu', 'den'))) AS s_de,
+                 len(list_filter(w, t -> t IN ('le', 'la', 'les', 'et', 'un', 'une', 'est', 'que', 'pour', 'dans'))) AS s_fr,
+                 len(list_filter(w, t -> t IN ('el', 'los', 'las', 'y', 'una', 'es', 'por', 'con', 'del', 'para'))) AS s_es
+          FROM toks
+        ), pred AS (
+          SELECT doc_id, line_idx,
+                 CASE
+                   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                   WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                   WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                   ELSE 'es'
+                 END AS lang
+          FROM scored
+        ), runs AS (
+          SELECT doc_id, line_idx, lang,
+                 CASE WHEN lag(lang) OVER (PARTITION BY doc_id
+                        ORDER BY line_idx) IS DISTINCT FROM lang
+                      THEN 1 ELSE 0 END AS chg
+          FROM pred
+        ), seg AS (
+          SELECT doc_id, line_idx, lang,
+                 CAST(sum(chg) OVER (PARTITION BY doc_id
+                   ORDER BY line_idx) AS BIGINT) AS segment_idx
+          FROM runs
+        )
+        SELECT doc_id, segment_idx, lang AS lang_pred,
+               CAST(min(line_idx) AS BIGINT) AS start_line,
+               CAST(max(line_idx) AS BIGINT) AS end_line,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM seg GROUP BY doc_id, segment_idx, lang
+        ORDER BY doc_id, segment_idx
+      """.trim),
+      "X162 per-line language segmentation with run merging")(
+      (spark, dir) => {
+        import spark.implicits._
+        val langs = TextAnalysisQueries.Stopwords.filter(_._1 != "zh")
+        val lines = table(spark, dir, "documents")
+          .select($"doc_id", posexplode(array(
+            lit("the of and to"),
+            lit("the to in is it"),
+            when($"doc_id" % 2 === 0, "der die und ist nicht")
+              .otherwise("le la et un est"),
+            when($"doc_id" % 2 === 0, "das und nicht mit ein")
+              .otherwise("les et une est que"),
+            lit("el los y una es"))).as(Seq("line_idx", "line")))
+        CorpusOps.langSegments(lines, "doc_id", "line_idx", "line",
+            langs)
+          .orderBy($"doc_id", $"segment_idx")
+      }),
+
+    // X163: robust per-source score normalization of doc lengths —
+    // exact grouped median/IQR broadcast back, (x-med)/IQR at 6 dp.
+    QueryDef(
+      "q_robust_scale",
+      Some("""
+        WITH t AS (SELECT source, doc_id, n_chars AS v FROM documents),
+        tot AS (SELECT source, count(*) AS total FROM t GROUP BY source),
+        o AS (
+          SELECT source, v, sum(cnt) OVER (PARTITION BY source ORDER BY v)
+                 AS cum
+          FROM (SELECT source, v, count(*) AS cnt FROM t
+                GROUP BY source, v)
+        ), med AS (
+          SELECT o.source, CAST(min(v) AS BIGINT) AS median
+          FROM o JOIN tot USING (source)
+          WHERE cum >= ceil(0.5 * total) GROUP BY o.source
+        ), q1 AS (
+          SELECT o.source, CAST(min(v) AS BIGINT) AS q1
+          FROM o JOIN tot USING (source)
+          WHERE cum >= ceil(0.25 * total) GROUP BY o.source
+        ), q3 AS (
+          SELECT o.source, CAST(min(v) AS BIGINT) AS q3
+          FROM o JOIN tot USING (source)
+          WHERE cum >= ceil(0.75 * total) GROUP BY o.source
+        )
+        SELECT t.source, t.doc_id, t.v AS n_chars, med.median,
+               q3.q3 - q1.q1 AS iqr,
+               CASE WHEN q3.q3 - q1.q1 > 0 THEN
+                 round(CAST(t.v - med.median AS DOUBLE) / (q3.q3 - q1.q1), 6)
+               END AS robust_z
+        FROM t JOIN med USING (source) JOIN q1 USING (source)
+             JOIN q3 USING (source)
+        ORDER BY t.doc_id
+      """.trim),
+      "X163 robust per-source normalization (exact median/IQR)")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.robustScale(
+            table(spark, dir, "documents")
+              .select($"source", $"doc_id", $"n_chars"),
+            "source", "n_chars")
+          .orderBy($"doc_id")
+      }),
+
     // X159: stochastic-greedy facility-location coreset — pick the 8
     // embeddings that best cover the corpus by max-cosine. Greedy
     // over cosine doubles is not SQL-expressible → rows-only by
