@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.operators.{BloomStore, Cms, CorpusOps, Dedup, Linkage, LogHistogram}
 import QueryDef.table
 
-/** r9 wave 6 (SURVEY §2.10 X153–X156): percentile gating, record
-  * linkage, composition diversity, and the persisted Bloom membership
-  * store. Same determinism contract as every other query file:
-  * exact-integer or md5-derived arithmetic on the hashed path, fixed-
-  * shape double formulas, round(6).
+/** r9 waves 6–11 (SURVEY §2.10 X153–X163): percentile gating, record
+  * linkage, composition diversity, the persisted Bloom membership
+  * store, perceptual-hash image dedup, profile drift, coreset
+  * selection, the log-linear quantile store, CMS join-size
+  * estimation, language segmentation, and robust scaling. Same
+  * determinism contract as every other query file: exact-integer or
+  * md5-derived arithmetic on the hashed path, fixed-shape double
+  * formulas, round(6).
   */
 object ReliabilityQueries {
 
