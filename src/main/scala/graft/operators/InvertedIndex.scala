@@ -582,4 +582,38 @@ object InvertedIndex {
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         coalesce(col("sb_logprob"), lit(0.0)).as("sb_logprob"))
   }
+
+  /** X164 — positional phrase search: exact multi-word phrase lookup
+    * over a positional postings list — the classic inverted-index
+    * operator a decontamination or blocklist pass needs when the
+    * target is a PHRASE, not a bag of words (X142's blocklist counts
+    * occurrences per doc; this finds exact positions via index
+    * joins, the shape that serves interactive lookups at corpus
+    * scale).
+    *
+    * Plan shape: postings are pruned to the phrase's terms IN THE
+    * SCAN (an `isin` filter — pushed down, so the exploded stream is
+    * tiny), then each phrase term equi-joins on (doc, pos − offset):
+    * k−1 selective joins, no windows, no all-positions state. Output
+    * one row per matching doc with the occurrence count and first
+    * position.
+    */
+  def phraseSearch(docs: DataFrame, docCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, s"need a multi-word phrase, got $phrase")
+    val postings = docs.select(col(docCol),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("__pos", "__t")))
+      .filter(col("__t").isin(phrase.map(lit): _*))
+    val base = postings.filter(col("__t") === phrase.head)
+      .select(col(docCol), col("__pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(base) {
+      case (acc, (term, i)) =>
+        acc.join(postings.filter(col("__t") === term)
+          .select(col(docCol), (col("__pos") - i).as("__pos")),
+          Seq(docCol, "__pos"))
+    }
+    matched.groupBy(col(docCol))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("__pos")).cast("long").as("first_pos"))
+  }
 }

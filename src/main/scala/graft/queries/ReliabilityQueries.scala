@@ -647,6 +647,59 @@ object ReliabilityQueries {
           .orderBy($"doc_id")
       }),
 
+    // X164: positional phrase search for an exact 3-word phrase —
+    // postings pruned to the phrase terms in the scan, two selective
+    // (doc, pos-offset) equi-joins, replayed verbatim.
+    QueryDef(
+      "q_phrase_search",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                   t -> t <> '') AS w
+          FROM documents
+        ), p AS (
+          SELECT doc_id, u.i AS pos, w[u.i + 1] AS t
+          FROM toks, unnest(range(len(w))) AS u(i)
+        ), m AS (
+          SELECT a.doc_id, a.pos
+          FROM p a
+          JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+          WHERE a.t = 'part' AND b.t = 'filter' AND c.t = 'scan'
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(pos) AS BIGINT) AS first_pos
+        FROM m GROUP BY doc_id
+        ORDER BY doc_id
+      """.trim),
+      "X164 positional phrase search ('part filter scan')")(
+      (spark, dir) =>
+        graft.operators.InvertedIndex.phraseSearch(
+            table(spark, dir, "documents"), "doc_id", "text",
+            Seq("part", "filter", "scan"))
+          .orderBy("doc_id")),
+
+    // X165: perceptual near-dup image CLUSTERS — the X157 banded
+    // Hamming pairs resolved into connected components with the X1f
+    // pointer-jumping machinery (composition contract; rows-only by
+    // SURVEY §8, DCT doubles upstream).
+    QueryDef(
+      "q_phash_clusters",
+      None,
+      "X165 pHash near-dup image clusters (pairs -> components)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val pairs = defs.find(_.name == "q_phash_pairs").get
+          .build(spark, dir)
+        Dedup.resolveClusters(pairs.select($"d1", $"d2"))
+          .groupBy($"cluster_id")
+          .agg(count(lit(1)).as("n_members"),
+            min($"doc_id").as("min_doc_id"))
+          .filter($"n_members" >= 2)
+          .orderBy($"cluster_id")
+      }),
+
     // X159: stochastic-greedy facility-location coreset — pick the 8
     // embeddings that best cover the corpus by max-cosine. Greedy
     // over cosine doubles is not SQL-expressible → rows-only by
