@@ -2242,6 +2242,43 @@ object CorpusOps {
       .drop("__q1", "__q3")
   }
 
+  /** X166 — TABLE-driven blocklist phrase matching: the scale path
+    * past X142's literal-phrase filter (whose regex/array literals
+    * live in the plan — fine for dozens of phrases, unusable for the
+    * 100k-entry blocklists a production safety pass carries). Here
+    * the blocklist is DATA: a (phrase_id, phrase) table, matched via
+    * a first-token equi-join on the positional postings (the X164
+    * pruning idea — only positions whose token starts some phrase
+    * survive), then verified by one exact token-slice comparison
+    * against the candidate doc's token array.
+    *
+    * Scale shape: postings stay SKINNY through the explode; the
+    * phrase table broadcasts; only candidate (doc, pos, phrase) rows
+    * rejoin the token arrays (semi-pruned — docs with no candidate
+    * never ship their arrays). Output one row per (doc, phrase) with
+    * occurrence count and first position.
+    */
+  def blocklistJoin(docs: DataFrame, docCol: String, textCol: String,
+      phrases: DataFrame): DataFrame = {
+    val pt = phrases.select(col("phrase_id"),
+        Dedup.tokens(col("phrase")).as("__pt"))
+      .withColumn("__first", element_at(col("__pt"), 1))
+      .withColumn("__len", size(col("__pt")))
+      .filter(col("__len") >= 1)
+    val toks = docs.select(col(docCol),
+      Dedup.tokens(col(textCol)).as("__w"))
+    val cands = toks
+      .select(col(docCol), posexplode(col("__w")).as(Seq("__pos", "__t")))
+      .join(broadcast(pt), col("__t") === col("__first"))
+      .select(col(docCol), col("__pos"), col("phrase_id"),
+        col("__pt"), col("__len"))
+    cands.join(toks, Seq(docCol))
+      .filter(expr("slice(__w, __pos + 1, __len)") === col("__pt"))
+      .groupBy(col(docCol), col("phrase_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("__pos")).cast("long").as("first_pos"))
+  }
+
   def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)

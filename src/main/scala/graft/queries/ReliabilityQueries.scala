@@ -700,6 +700,135 @@ object ReliabilityQueries {
           .orderBy($"cluster_id")
       }),
 
+    // X166: TABLE-driven blocklist matching — phrases as data
+    // (broadcast join + token-slice verify), the 100k-entry scale
+    // path past X142's plan-literal filter.
+    QueryDef(
+      "q_blocklist_join",
+      Some("""
+        WITH phrases AS (
+          SELECT * FROM (VALUES
+            (1, ['part', 'filter', 'scan']),
+            (2, ['slow', 'hash', 'batch']),
+            (3, ['row', 'column'])) AS t(phrase_id, pt)
+        ), toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                   t -> t <> '') AS w
+          FROM documents
+        ), p AS (
+          SELECT doc_id, u.i AS pos, w[u.i + 1] AS t, w
+          FROM toks, unnest(range(len(w))) AS u(i)
+        ), cands AS (
+          SELECT p.doc_id, p.pos, ph.phrase_id, ph.pt, len(ph.pt) AS l,
+                 p.w
+          FROM p JOIN phrases ph ON p.t = ph.pt[1]
+        )
+        SELECT doc_id, CAST(phrase_id AS BIGINT) AS phrase_id,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(pos) AS BIGINT) AS first_pos
+        FROM cands
+        WHERE w[pos + 1 : pos + l] = pt
+        GROUP BY doc_id, phrase_id
+        ORDER BY doc_id, phrase_id
+      """.trim),
+      "X166 table-driven blocklist phrase matching (broadcast+slice)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val phrases = Seq((1L, "part filter scan"),
+          (2L, "slow hash batch"), (3L, "row column"))
+          .toDF("phrase_id", "phrase")
+        CorpusOps.blocklistJoin(table(spark, dir, "documents"),
+            "doc_id", "text", phrases)
+          .orderBy($"doc_id", $"phrase_id")
+      }),
+
+    // X167a: mergeable centroid store per (label, shard), shards
+    // merged back into labels — the oracle replays build(union), so
+    // the row equality IS the merge law on real data.
+    QueryDef(
+      "q_centroid_store",
+      Some("""
+        WITH e AS (
+          SELECT CAST(label AS VARCHAR) AS key,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x
+          FROM embeddings
+        )
+        SELECT key, CAST(dim AS BIGINT) AS dim,
+               CAST(sum(CAST(round(x * 1000000000.0) AS BIGINT))
+                 AS BIGINT) AS sum_nano,
+               CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2
+        ORDER BY key, dim
+      """.trim),
+      "X167a mergeable centroid store (shards merged into labels)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val sharded = graft.operators.CentroidStore.build(
+          table(spark, dir, "embeddings")
+            .select(concat($"label".cast("string"), lit("#"),
+              ($"vec_id" % 4).cast("string")).as("k"), $"embedding"),
+          "k", "embedding")
+        graft.operators.CentroidStore.merge(sharded,
+            split($"key", "#").getItem(0))
+          .select($"key", $"dim", $"sum_nano".cast("long").as("sum_nano"),
+            $"n".cast("long").as("n"))
+          .orderBy($"key", $"dim")
+      }),
+
+    // X167b: centroid geometry between two labels read from the
+    // store alone (no re-scan of the vectors).
+    QueryDef(
+      "q_centroid_compare",
+      Some("""
+        WITH e AS (
+          SELECT CAST(label AS VARCHAR) AS key,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x
+          FROM embeddings WHERE label IN (0, 1)
+        ), q AS (
+          SELECT key, dim,
+                 CAST(sum(CAST(round(x * 1000000000.0) AS BIGINT))
+                   AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2
+        ), j AS (
+          SELECT a.dim, a.s AS sa, a.n AS na, b.s AS sb, b.n AS nb
+          FROM q a JOIN q b USING (dim)
+          WHERE a.key = '0' AND b.key = '1'
+        ), g AS (
+          SELECT CAST(max(na) AS BIGINT) AS n_a,
+                 CAST(max(nb) AS BIGINT) AS n_b,
+                 sum(CAST(sa AS HUGEINT) * sb) AS ab,
+                 sum(CAST(sa AS HUGEINT) * sa) AS aa,
+                 sum(CAST(sb AS HUGEINT) * sb) AS bb,
+                 sum((CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)
+                   * (CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na))
+                   AS g2
+          FROM j
+        )
+        SELECT n_a, n_b,
+               CASE WHEN aa > 0 AND bb > 0 THEN
+                 round(CAST(ab AS DOUBLE) /
+                       (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))),
+                       6) END AS centroid_cos,
+               round(sqrt(CAST(g2 AS DOUBLE)) /
+                     (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      * 1000000000.0), 6) AS centroid_l2_gap
+        FROM g
+      """.trim),
+      "X167b label-0 vs label-1 centroid geometry from the store")(
+      (spark, dir) => {
+        import spark.implicits._
+        val store = graft.operators.CentroidStore.build(
+          table(spark, dir, "embeddings")
+            .filter($"label".isin(0, 1))
+            .select($"label".cast("string").as("k"), $"embedding"),
+          "k", "embedding")
+        graft.operators.CentroidStore.compare(store, "0", "1")
+      }),
+
     // X159: stochastic-greedy facility-location coreset — pick the 8
     // embeddings that best cover the corpus by max-cosine. Greedy
     // over cosine doubles is not SQL-expressible → rows-only by
