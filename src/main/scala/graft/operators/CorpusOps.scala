@@ -2279,6 +2279,49 @@ object CorpusOps {
         min(col("__pos")).cast("long").as("first_pos"))
   }
 
+  /** X169 — mojibake repair: the curated UTF-8-read-as-Latin-1 table
+    * (the ftfy core case — 'Ã©' for 'é', 'â€™' for a right quote …)
+    * applied as a fixed `replace` chain. DETERMINISTIC and engine-
+    * replayable (same literal chain, same order — order matters and
+    * is part of the contract); repairs only known-safe sequences, so
+    * clean text passes through byte-identical. The crawl-cleaning
+    * step between decode and tokenization.
+    */
+  def repairMojibake(text: Column): Column =
+    MojibakePairs.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
+  /** (broken, repaired) in application order — shared with the SQL
+    * twin builders.
+    */
+  val MojibakePairs: Seq[(String, String)] = Seq(
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó", "Ãº" -> "ú",
+    "Ã±" -> "ñ", "Ã§" -> "ç", "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü",
+    "ÃŸ" -> "ß", "â€™" -> "'", "â€œ" -> "“", "â€“" -> "–",
+    "â€”" -> "—", "â€¦" -> "…", "â‚¬" -> "€", "Â·" -> "·",
+    "Â " -> " ")
+
+  /** X170 — HTML strip + entity decode: script/style blocks out
+    * first (lazy, case-insensitive, dot-all — NO backreferences, so
+    * the same pattern runs under java.util.regex AND RE2), then all
+    * tags, then the five core entities with `&amp;` decoded LAST
+    * (decoding it first would re-expose `&lt;` etc. to a second
+    * decode), then whitespace collapse. The boilerplate-removal
+    * front door of every crawl pipeline.
+    */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)

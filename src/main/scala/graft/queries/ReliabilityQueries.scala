@@ -829,6 +829,103 @@ object ReliabilityQueries {
         graft.operators.CentroidStore.compare(store, "0", "1")
       }),
 
+    // X169: mojibake repair — deterministic damage injection (UTF-8-
+    // as-Latin-1 sequences) then the fixed replace-chain repair; the
+    // chain is generated from the SAME pair table on both sides.
+    QueryDef(
+      "q_mojibake_repair", {
+        val chain = CorpusOps.MojibakePairs.foldLeft("broken") {
+          case (acc, (bad, good)) =>
+            s"replace($acc, '${bad.replace("'", "''")}', " +
+              s"'${good.replace("'", "''")}')"
+        }
+        Some(s"""
+        WITH damaged AS (
+          SELECT doc_id,
+                 CASE doc_id % 3
+                   WHEN 0 THEN replace(text, 'e', 'Ã©')
+                   WHEN 1 THEN replace(text, 'a', 'â€™')
+                   ELSE text
+                 END AS broken
+          FROM documents
+        ), fixed AS (
+          SELECT doc_id, broken, $chain AS repaired FROM damaged
+        )
+        SELECT doc_id, broken <> repaired AS was_repaired,
+               CAST(length(broken) AS BIGINT) AS n_before,
+               CAST(length(repaired) AS BIGINT) AS n_after,
+               md5(repaired) AS repaired_hash
+        FROM fixed ORDER BY doc_id
+      """.trim)
+      },
+      "X169 mojibake repair round-trip (fixed replace chain)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val damaged = table(spark, dir, "documents")
+          .select($"doc_id",
+            when($"doc_id" % 3 === 0, replace($"text", lit("e"), lit("Ã©")))
+              .when($"doc_id" % 3 === 1,
+                replace($"text", lit("a"), lit("â€™")))
+              .otherwise($"text").as("broken"))
+        damaged
+          .withColumn("repaired", CorpusOps.repairMojibake($"broken"))
+          .select($"doc_id", ($"broken" =!= $"repaired").as("was_repaired"),
+            length($"broken").cast("long").as("n_before"),
+            length($"repaired").cast("long").as("n_after"),
+            md5($"repaired".cast("binary")).as("repaired_hash"))
+          .orderBy($"doc_id")
+      }),
+
+    // X170: HTML strip + entity decode over a constructed page —
+    // script/style removal, tag strip, ordered entity decode,
+    // whitespace collapse; RE2-safe patterns replay in DuckDB.
+    QueryDef(
+      "q_html_strip",
+      Some("""
+        WITH pages AS (
+          SELECT doc_id,
+                 '<html><head><style>p {color: red}</style></head>'
+                 || '<body><h1>Title &amp; ' || lang || '</h1><p>'
+                 || text
+                 || '</p><script>var x = 1 &lt; 2;</script></body></html>'
+                   AS html
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(html,
+                           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<[^>]+>', ' ', 'g'),
+                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                     '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                   '\s+', ' ', 'g')) AS clean
+          FROM pages
+        )
+        SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+               md5(clean) AS clean_hash
+        FROM c ORDER BY doc_id
+      """.trim),
+      "X170 HTML strip + entity decode (boilerplate removal)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val pages = table(spark, dir, "documents")
+          .select($"doc_id", concat(
+            lit("<html><head><style>p {color: red}</style></head>" +
+              "<body><h1>Title &amp; "), $"lang", lit("</h1><p>"),
+            $"text",
+            lit("</p><script>var x = 1 &lt; 2;</script></body></html>"))
+            .as("html"))
+        pages.select($"doc_id",
+            CorpusOps.stripHtml($"html").as("clean"))
+          .select($"doc_id", length($"clean").cast("long").as("clean_len"),
+            md5($"clean".cast("binary")).as("clean_hash"))
+          .orderBy($"doc_id")
+      }),
+
     // X159: stochastic-greedy facility-location coreset — pick the 8
     // embeddings that best cover the corpus by max-cosine. Greedy
     // over cosine doubles is not SQL-expressible → rows-only by
