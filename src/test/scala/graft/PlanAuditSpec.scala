@@ -847,4 +847,59 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges.forall(_.contains("rangepartitioning")),
       s"non-sort exchange in a pure scan:\n$exchanges")
   }
+
+  // ---- r9 wave ---------------------------------------------------------
+
+  test("q_phash_pairs: banded Hamming join is an equi-join — no " +
+    "cartesian, no nested loop") {
+    val p = plan("q_phash_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"hamming pairing went all-pairs:\n${p.take(1500)}")
+  }
+
+  test("q_blocklist_join: phrase table broadcasts; no cartesian") {
+    val p = plan("q_blocklist_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"phrase table not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_phrase_search: postings pruned by the phrase terms in the " +
+    "scan stage; position joins are equi-joins") {
+    val p = plan("q_phrase_search")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the isin prune must run before the joins, i.e. appear as a
+    // filter on the exploded token stream
+    assert(p.contains("Filter"), "no term prune in the plan")
+  }
+
+  test("q_loghist_quantiles: window partitions by key (bucket-" +
+    "bounded) — no empty-partition global window") {
+    val p = plan("q_loghist_quantiles")
+    assert(!p.toLowerCase.contains("window [") ||
+      p.contains("windowspecdefinition(key"),
+      s"quantile walk lost its key partition:\n${p.take(1500)}")
+  }
+
+  test("q_percentile_gate: two-phase rank (ExistingRDD) + broadcast " +
+    "base join — no per-group window") {
+    val p = plan("q_percentile_gate")
+    assert(p.contains("ExistingRDD"),
+      "two-phase globalRank gone from percentileGate")
+    assert(!p.contains("Window"),
+      s"per-group window crept back:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), "group bases not broadcast")
+  }
+
+  test("q_centroid_store and q_bloom_store: map-side partial aggs") {
+    Seq("q_centroid_store", "q_bloom_store").foreach { q =>
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q: no partial+final agg pair")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
 }
