@@ -2322,6 +2322,52 @@ object CorpusOps {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** X171 — URL decomposition + per-domain rollup: host, registrable
+    * domain (last two labels), TLD, and path via RE2-SAFE
+    * regexp_extract (no lookaround, no backrefs in patterns — the
+    * same expressions run identically under java.util.regex and
+    * RE2/DuckDB), then the crawl-triage rollup: docs, distinct
+    * hosts, and mean quality per registrable domain — the table a
+    * crawl pipeline joins as its domain-reputation prior.
+    */
+  def urlParts(url: Column): (Column, Column, Column, Column) = {
+    val host = regexp_extract(url, "^[a-z]+://([^/]+)", 1)
+    val domain = regexp_extract(host, "([^.]+\\.[a-z]+)$", 1)
+    val tld = regexp_extract(host, "(\\.[a-z]+)$", 1)
+    val path = regexp_extract(url, "^[a-z]+://[^/]+(/.*)$", 1)
+    (host, domain, tld, path)
+  }
+
+  def domainRollup(docs: DataFrame, urlCol: String, scoreCol: String)
+      : DataFrame = {
+    val (host, domain, tld, _) = urlParts(col(urlCol))
+    docs.select(domain.as("domain"), tld.as("tld"), host.as("__host"),
+        col(scoreCol).cast("long").as("__score"))
+      .groupBy(col("domain"), col("tld"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("__host")).as("n_hosts"),
+        round(sum(col("__score")).cast("double") / count(lit(1)), 6)
+          .as("mean_score"))
+  }
+
+  /** X172 — sentence segmentation without lookbehind: terminal
+    * punctuation runs get a U+0001 marker appended (capture-group
+    * rewrite — RE2-safe), then one split materializes (doc,
+    * sent_idx, sentence) rows — the unit the per-sentence ops
+    * (chunking, quality, alignment) consume, where [[readability]]
+    * only COUNTS sentences. Pure scan work, no shuffle.
+    */
+  def sentenceSplit(docs: DataFrame, docCol: String, textCol: String)
+      : DataFrame = {
+    val marked = regexp_replace(col(textCol),
+      "([.!?]+)\\s+", "$1\u0001")
+    docs.select(col(docCol),
+        posexplode(filter(split(marked, "\u0001"), s => trim(s) =!= ""))
+          .as(Seq("sent_idx", "sentence")))
+      .select(col(docCol), col("sent_idx").cast("long").as("sent_idx"),
+        trim(col("sentence")).as("sentence"))
+  }
+
   def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)

@@ -926,6 +926,89 @@ object ReliabilityQueries {
           .orderBy($"doc_id")
       }),
 
+    // X171: URL decomposition + per-domain reputation rollup over
+    // deterministically constructed crawl URLs — RE2-safe extraction
+    // replayed verbatim.
+    QueryDef(
+      "q_url_rollup",
+      Some("""
+        WITH urls AS (
+          SELECT doc_id, n_chars,
+                 'https://www.' || source || CAST(doc_id % 7 AS VARCHAR)
+                 || CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                    ELSE '.net' END
+                 || '/p/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents
+        ), parts AS (
+          SELECT doc_id, n_chars,
+                 regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+          FROM urls
+        )
+        SELECT regexp_extract(host, '([^.]+\.[a-z]+)$', 1) AS domain,
+               regexp_extract(host, '(\.[a-z]+)$', 1) AS tld,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+               round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6)
+                 AS mean_score
+        FROM parts
+        GROUP BY 1, 2
+        ORDER BY domain
+      """.trim),
+      "X171 per-domain crawl rollup (host/domain/TLD extraction)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val urls = table(spark, dir, "documents")
+          .select($"doc_id", $"n_chars", concat(
+            lit("https://www."), $"source",
+            ($"doc_id" % 7).cast("string"),
+            when($"doc_id" % 3 === 0, ".com")
+              .when($"doc_id" % 3 === 1, ".org").otherwise(".net"),
+            lit("/p/"), $"doc_id".cast("string")).as("url"))
+        CorpusOps.domainRollup(urls, "url", "n_chars")
+          .orderBy($"domain")
+      }),
+
+    // X172: sentence segmentation — marker-rewrite split (RE2-safe,
+    // no lookbehind), compact (len, md5) per sentence.
+    QueryDef(
+      "q_sentence_split",
+      Some("""
+        WITH pages AS (
+          SELECT doc_id,
+                 'First part. ' || text || '! Tail one? Yes.' AS t
+          FROM documents
+        ), marked AS (
+          SELECT doc_id,
+                 regexp_replace(t, '([.!?]+)\s+', '\1' || chr(1), 'g')
+                   AS m
+          FROM pages
+        ), sents AS (
+          SELECT doc_id, u.i AS sent_idx,
+                 trim(parts[u.i + 1]) AS sentence
+          FROM (SELECT doc_id, string_split(m, chr(1)) AS parts
+                FROM marked),
+               unnest(range(len(parts))) AS u(i)
+          WHERE trim(parts[u.i + 1]) <> ''
+        )
+        SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+               CAST(length(sentence) AS BIGINT) AS sent_len,
+               md5(sentence) AS sent_hash
+        FROM sents
+        ORDER BY doc_id, sent_idx
+      """.trim),
+      "X172 sentence segmentation (marker-rewrite split)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val pages = table(spark, dir, "documents")
+          .select($"doc_id", concat(lit("First part. "), $"text",
+            lit("! Tail one? Yes.")).as("t"))
+        CorpusOps.sentenceSplit(pages, "doc_id", "t")
+          .select($"doc_id", $"sent_idx",
+            length($"sentence").cast("long").as("sent_len"),
+            md5($"sentence".cast("binary")).as("sent_hash"))
+          .orderBy($"doc_id", $"sent_idx")
+      }),
+
     // X159: stochastic-greedy facility-location coreset — pick the 8
     // embeddings that best cover the corpus by max-cosine. Greedy
     // over cosine doubles is not SQL-expressible → rows-only by
