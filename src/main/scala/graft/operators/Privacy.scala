@@ -104,4 +104,54 @@ object Privacy {
           .as("entropy_l"),
         (col("distinct_l") >= l).as("meets_l")): _*)
   }
+
+  /** X173 — deterministic pseudonymization: replace identifier
+    * columns with salted md5 tokens — REFERENTIALLY STABLE (the same
+    * id maps to the same token in every table, every run, every
+    * engine: joins keep working across the pseudonymized release)
+    * and one-way for consumers without the salt. The release-prep
+    * step beside [[anonymityLadder]] (which measures) and
+    * [[graft.functions.Redact]] (which scrubs free text).
+    *
+    * Not encryption: a salt holder can re-identify by brute-forcing
+    * the id space — rotate salts per release and keep them out of
+    * the release, which is the standard pseudonymization contract.
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String],
+      salt: String): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(salt.nonEmpty, "empty salt defeats the purpose")
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        md5(concat(lit(salt), lit(":"), col(c).cast("string"))))
+    }
+  }
+
+  /** X174 — Laplace-calibrated noisy counts (scale Δ/ε, Δ=1 for
+    * counting queries): per-category counts released with additive
+    * noise drawn by inverse-CDF from an md5-derived uniform —
+    * REPRODUCIBLE noise (same salt → same release, engine-
+    * replayable), calibrated exactly as ε-DP Laplace would be.
+    * Honest caveat, documented loudly: a DETERMINISTIC seed means
+    * repeated releases with the same salt reveal nothing new but
+    * also add no fresh randomness — rotate the salt per release to
+    * get the fresh-draw semantics the ε budget accounting assumes.
+    *
+    * u = (md5Band + 0.5)/2³² ∈ (0,1); noise = −(1/ε)·sgn(u−½)·
+    * ln(1−2|u−½|). Counts are exact ints; the noise is one fixed-
+    * shape double expression; round(6).
+    */
+  def noisyCounts(df: DataFrame, categoryCol: String, epsilon: Double,
+      salt: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    val counts = df.groupBy(col(categoryCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("__n"))
+    val u = (CorpusOps.md5Band(col("category"), salt).cast("double") +
+      0.5) / 4294967296.0
+    val centered = u - 0.5
+    val noise = -(lit(1.0) / epsilon) *
+      signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered))
+    counts.select(col("category"),
+      round(col("__n") + noise, 6).as("noisy_count"))
+  }
 }

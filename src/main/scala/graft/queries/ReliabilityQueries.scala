@@ -1009,6 +1009,57 @@ object ReliabilityQueries {
           .orderBy($"doc_id", $"sent_idx")
       }),
 
+    // X173: deterministic pseudonymization — salted md5 tokens over
+    // events.user_id; per-token activity proves referential
+    // stability (token counts == id counts).
+    QueryDef(
+      "q_pseudonymize",
+      Some("""
+        SELECT md5('rel2026:' || CAST(user_id AS VARCHAR)) AS user_token,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1
+        ORDER BY user_token
+      """.trim),
+      "X173 salted-md5 pseudonymization of the event actor column")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Privacy.pseudonymize(
+            QueryDef.events(spark, dir).select($"user_id"),
+            Seq("user_id"), salt = "rel2026")
+          .groupBy($"user_id".as("user_token"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy($"user_token")
+      }),
+
+    // X174: Laplace-calibrated reproducible noisy counts of the lang
+    // distribution (epsilon 0.5, md5 inverse-CDF noise) — the
+    // release table beside the k-anonymity/l-diversity audits.
+    QueryDef(
+      "q_noisy_counts",
+      Some("""
+        WITH c AS (
+          SELECT lang AS category, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1
+        ), u AS (
+          SELECT category, n,
+                 (CAST(('0x' || substr(md5('dp1' || category), 1, 8))::BIGINT
+                    AS DOUBLE) + 0.5) / 4294967296.0 - 0.5 AS ctr
+          FROM c
+        )
+        SELECT category,
+               round(n + (-(1.0 / 0.5) * sign(ctr)
+                 * ln(1.0 - 2.0 * abs(ctr))), 6) AS noisy_count
+        FROM u
+        ORDER BY category
+      """.trim),
+      "X174 reproducible Laplace-calibrated noisy lang counts")(
+      (spark, dir) =>
+        graft.operators.Privacy.noisyCounts(
+            table(spark, dir, "documents"), "lang",
+            epsilon = 0.5, salt = "dp1")
+          .orderBy("category")),
+
     // X159: stochastic-greedy facility-location coreset — pick the 8
     // embeddings that best cover the corpus by max-cosine. Greedy
     // over cosine doubles is not SQL-expressible → rows-only by
