@@ -5,14 +5,17 @@ import org.apache.spark.sql.functions._
 import graft.operators.{BloomStore, Cms, CorpusOps, Dedup, Linkage, LogHistogram}
 import QueryDef.table
 
-/** r9 waves 6–11 (SURVEY §2.10 X153–X163): percentile gating, record
+/** r9 waves 6–16 (SURVEY §2.10 X153–X174): percentile gating, record
   * linkage, composition diversity, the persisted Bloom membership
   * store, perceptual-hash image dedup, profile drift, coreset
   * selection, the log-linear quantile store, CMS join-size
-  * estimation, language segmentation, and robust scaling. Same
-  * determinism contract as every other query file: exact-integer or
-  * md5-derived arithmetic on the hashed path, fixed-shape double
-  * formulas, round(6).
+  * estimation, language segmentation, robust scaling, phrase search,
+  * near-dup image clusters, table-driven blocklists, the centroid
+  * store, mojibake repair, HTML stripping, URL analytics, sentence
+  * segmentation, and the pseudonymization/noisy-count release pair.
+  * Same determinism contract as every other query file:
+  * exact-integer or md5-derived arithmetic on the hashed path,
+  * fixed-shape double formulas, round(6).
   */
 object ReliabilityQueries {
 
