@@ -2368,6 +2368,44 @@ object CorpusOps {
         trim(col("sentence")).as("sentence"))
   }
 
+  /** X176 — mutual information between two categorical columns:
+    * MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) from the exact contingency
+    * cells, plus entropies and the sqrt-normalized NMI ∈ [0,1] — the
+    * dependence STRENGTH readout beside X126's χ² significance and
+    * X150's distribution distance (χ² asks "is source independent of
+    * lang", MI answers "how many bits does knowing source give you
+    * about lang"). Exact integer cells; ln-on-identical-doubles +
+    * round(6). Scale shape: one \|X\|·\|Y\|-bounded cell agg, margins
+    * re-aggregated from cells, one-row fold.
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(xCol).cast("string").as("__x"),
+        col(yCol).cast("string").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val mx = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__cx"))
+    val my = cells.groupBy(col("__y")).agg(sum(col("__c")).as("__cy"))
+    val tot = cells.agg(sum(col("__c")).as("__n"))
+    val joined = cells.join(broadcast(mx), Seq("__x"))
+      .join(broadcast(my), Seq("__y"))
+      .crossJoin(broadcast(tot))
+    val p = col("__c").cast("double") / col("__n")
+    val term = p * log(col("__c").cast("double") * col("__n") /
+      (col("__cx").cast("double") * col("__cy")))
+    val hx = col("__c").cast("double") / col("__n") *
+      log(col("__cx").cast("double") / col("__n"))
+    val hy = col("__c").cast("double") / col("__n") *
+      log(col("__cy").cast("double") / col("__n"))
+    joined.agg(max(col("__n")).cast("long").as("n"),
+        sum(term).as("__mi"), (-sum(hx)).as("__hx"),
+        (-sum(hy)).as("__hy"))
+      .select(col("n"), round(col("__mi"), 6).as("mi_nats"),
+        round(col("__mi") / math.log(2.0), 6).as("mi_bits"),
+        when(col("__hx") > 0.0 && col("__hy") > 0.0,
+          round(col("__mi") / sqrt(col("__hx") * col("__hy")), 6))
+          .as("nmi"))
+  }
+
   def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)

@@ -96,6 +96,41 @@ object RankEval {
     * Scale shape: one (a, b) cell count (map-side combined,
     * \|A\|·\|B\|-bounded), marginals from the cell table; one row out.
     */
+  /** X177 — candidate-pair set evaluation: precision/recall/F1 of a
+    * PREDICTED pair table against a TRUTH pair table (both (d1, d2))
+    * — the harness that closes the dedup loop: did the banded/
+    * blocked/windowed candidate generator actually find the pairs
+    * the exact method finds, and at what cost in false candidates?
+    * Pairs canonicalize to (min, max) and dedupe, so orientation and
+    * duplicates in either input don't skew the counts. One-row
+    * output from three set-sized aggregates; the joins are
+    * (d1, d2) equi-joins.
+    */
+  def pairSetEval(predicted: DataFrame, truth: DataFrame): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2")).distinct()
+    val p = canon(predicted)
+    val t = canon(truth)
+    val tp = p.join(t, Seq("d1", "d2")).count()
+    val np = p.count()
+    val nt = t.count()
+    val spark = predicted.sparkSession
+    import spark.implicits._
+    Seq((np, nt, tp)).toDF("n_predicted", "n_truth", "n_correct")
+      .select(col("n_predicted"), col("n_truth"), col("n_correct"),
+        when(col("n_predicted") > 0,
+          round(col("n_correct").cast("double") / col("n_predicted"), 6))
+          .as("precision"),
+        when(col("n_truth") > 0,
+          round(col("n_correct").cast("double") / col("n_truth"), 6))
+          .as("recall"),
+        when(col("n_predicted") > 0 && col("n_truth") > 0 &&
+          col("n_correct") > 0,
+          round(lit(2.0) * col("n_correct").cast("double") /
+            (col("n_predicted") + col("n_truth")), 6)).as("f1"))
+  }
+
   def cohensKappa(df: DataFrame, aCol: String, bCol: String)
       : DataFrame = {
     val cells = df.groupBy(col(aCol).cast("string").as("__a"),

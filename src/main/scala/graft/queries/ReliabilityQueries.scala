@@ -1063,6 +1063,99 @@ object ReliabilityQueries {
             epsilon = 0.5, salt = "dp1")
           .orderBy("category")),
 
+    // X176: mutual information source↔lang — dependence strength in
+    // bits beside X126's chi2 significance; exact cells, ln fold.
+    QueryDef(
+      "q_mutual_info",
+      Some("""
+        WITH cells AS (
+          SELECT source AS x, lang AS y, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2
+        ), mx AS (
+          SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1
+        ), my AS (
+          SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n FROM cells
+        ), j AS (
+          SELECT c.c, mx.cx, my.cy, tot.n
+          FROM cells c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+        ), f AS (
+          SELECT CAST(max(n) AS BIGINT) AS n,
+                 sum((CAST(c AS DOUBLE) / n)
+                   * ln(CAST(c AS DOUBLE) * n
+                        / (CAST(cx AS DOUBLE) * cy))) AS mi,
+                 -sum((CAST(c AS DOUBLE) / n)
+                   * ln(CAST(cx AS DOUBLE) / n)) AS hx,
+                 -sum((CAST(c AS DOUBLE) / n)
+                   * ln(CAST(cy AS DOUBLE) / n)) AS hy
+          FROM j
+        )
+        SELECT n, round(mi, 6) AS mi_nats,
+               round(mi / ln(2.0), 6) AS mi_bits,
+               CASE WHEN hx > 0.0 AND hy > 0.0 THEN
+                 round(mi / sqrt(hx * hy), 6) END AS nmi
+        FROM f
+      """.trim),
+      "X176 mutual information between source and lang")(
+      (spark, dir) =>
+        CorpusOps.mutualInformation(table(spark, dir, "documents"),
+          "source", "lang")),
+
+    // X177: candidate-pair precision/recall — blocked-key candidates
+    // (same source, n_chars mod 64) scored against the exact truth
+    // pairs (same source, n_chars); truth ⊆ predicted here, so
+    // recall is 1 and precision measures the blocking's selectivity.
+    QueryDef(
+      "q_pair_eval",
+      Some("""
+        WITH t AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM documents a JOIN documents b
+            ON a.source = b.source AND a.n_chars = b.n_chars
+           AND a.doc_id < b.doc_id
+        ), p AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM documents a JOIN documents b
+            ON a.source = b.source AND a.n_chars % 64 = b.n_chars % 64
+           AND a.doc_id < b.doc_id
+        ), c AS (
+          SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_predicted,
+                 CAST((SELECT count(*) FROM t) AS BIGINT) AS n_truth,
+                 CAST((SELECT count(*) FROM p JOIN t USING (d1, d2))
+                   AS BIGINT) AS n_correct
+        )
+        SELECT n_predicted, n_truth, n_correct,
+               CASE WHEN n_predicted > 0 THEN
+                 round(CAST(n_correct AS DOUBLE) / n_predicted, 6)
+               END AS precision,
+               CASE WHEN n_truth > 0 THEN
+                 round(CAST(n_correct AS DOUBLE) / n_truth, 6)
+               END AS recall,
+               CASE WHEN n_predicted > 0 AND n_truth > 0
+                     AND n_correct > 0 THEN
+                 round(2.0 * CAST(n_correct AS DOUBLE)
+                       / (n_predicted + n_truth), 6)
+               END AS f1
+        FROM c
+      """.trim),
+      "X177 blocked-candidate precision/recall vs exact truth pairs")(
+      (spark, dir) => {
+        import spark.implicits._
+        val d = table(spark, dir, "documents")
+          .select($"doc_id", $"source", $"n_chars")
+        def pairs(keyExpr: org.apache.spark.sql.Column) = {
+          val a = d.select($"doc_id".as("d1"), $"source".as("__s"),
+            keyExpr.as("__k"))
+          val b = d.select($"doc_id".as("d2"), $"source".as("__s"),
+            keyExpr.as("__k"))
+          a.join(b, Seq("__s", "__k")).filter($"d1" < $"d2")
+            .select($"d1", $"d2")
+        }
+        graft.operators.RankEval.pairSetEval(
+          pairs($"n_chars" % 64), pairs($"n_chars"))
+      }),
+
     // X159: stochastic-greedy facility-location coreset — pick the 8
     // embeddings that best cover the corpus by max-cosine. Greedy
     // over cosine doubles is not SQL-expressible → rows-only by
