@@ -98,4 +98,40 @@ object ZOrder {
       d
     }
   }
+
+  /** X178 — jump consistent hashing (Lamping & Veach 2014): the
+    * MINIMAL-MOVEMENT shard assigner — growing n → n+1 shards moves
+    * EXACTLY the keys that land on the new shard (≈ 1/(n+1) of them)
+    * and moves them ONLY there; every other key keeps its shard.
+    * The resharding property the X6/X36 contiguous-budget shards
+    * deliberately don't have (they optimize packing, this optimizes
+    * churn): growing a 1000-file layout by one file rewrites ~0.1%
+    * of rows instead of reshuffling everything.
+    *
+    * The paper's algorithm verbatim — LCG step + float jump — as a
+    * JIT-compiled UDF on exact longs (data-dependent trip count ≈
+    * ln(n) forbids a fixed expression tree, the hilbertKeyUdf
+    * precedent). Deterministic but not SQL-expressible → rows-only
+    * contracts; the movement law is spec-ASSERTED, not assumed.
+    */
+  def jumpHash(key: Long, numBuckets: Int): Int = {
+    require(numBuckets >= 1, s"need numBuckets >= 1, got $numBuckets")
+    var b = -1L
+    var j = 0L
+    var k = key
+    while (j < numBuckets) {
+      b = j
+      k = k * 2862933555777941757L + 1
+      j = ((b + 1) * (1L << 31).toDouble / ((k >>> 33) + 1).toDouble)
+        .toLong
+    }
+    b.toInt
+  }
+
+  def jumpHashUdf(numBuckets: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(numBuckets >= 1, s"need numBuckets >= 1, got $numBuckets")
+    val n = numBuckets
+    udf { (key: Long) => jumpHash(key, n) }
+  }
 }

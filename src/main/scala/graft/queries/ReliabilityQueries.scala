@@ -1156,6 +1156,31 @@ object ReliabilityQueries {
           pairs($"n_chars" % 64), pairs($"n_chars"))
       }),
 
+    // X178: jump-consistent-hash sharding — per-shard population at
+    // 32 shards plus the 32→33 growth movement; moved_elsewhere is 0
+    // BY THE ALGORITHM (minimal movement: leavers go only to the new
+    // shard), so the column doubles as an in-output cross-check.
+    // Data-dependent loop → rows-only by SURVEY §8 (scalar columns).
+    QueryDef(
+      "q_jump_shards",
+      None,
+      "X178 jump-hash shard census + minimal-movement growth check")(
+      (spark, dir) => {
+        import spark.implicits._
+        val j32 = graft.operators.ZOrder.jumpHashUdf(32)
+        val j33 = graft.operators.ZOrder.jumpHashUdf(33)
+        QueryDef.events(spark, dir).select($"user_id").distinct()
+          .select($"user_id", j32($"user_id").as("s32"),
+            j33($"user_id").as("s33"))
+          .groupBy($"s32".as("shard"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(when($"s33" =!= $"s32", 1L).otherwise(0L))
+              .as("n_moved_to_new"),
+            sum(when($"s33" =!= $"s32" && $"s33" =!= 32, 1L)
+              .otherwise(0L)).as("n_moved_elsewhere"))
+          .orderBy($"shard")
+      }),
+
     // X159: stochastic-greedy facility-location coreset — pick the 8
     // embeddings that best cover the corpus by max-cosine. Greedy
     // over cosine doubles is not SQL-expressible → rows-only by
