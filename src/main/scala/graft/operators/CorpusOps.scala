@@ -2406,6 +2406,32 @@ object CorpusOps {
           .as("nmi"))
   }
 
+  /** X179 — exact per-group trimmed mean: drop each group's values
+    * outside its own exact [q_lo, q_hi] order statistics (the X61
+    * multi-pass bisection — skew-proof, no per-group sort) and
+    * average what remains — the outlier-resistant central tendency a
+    * dashboard reports where a raw mean would chase one spam blob;
+    * the aggregate companion to [[robustScale]]'s per-row transform.
+    * Trim bounds, kept counts, and sums are exact integers; the mean
+    * is one division, round(6).
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      loQ: Double = 0.1, hiQ: Double = 0.9): DataFrame = {
+    require(loQ > 0 && hiQ <= 1 && loQ < hiQ, s"bad trim ($loQ, $hiQ)")
+    def qt(q: Double, name: String): DataFrame =
+      Quantiles.exactQuantileByGroup(
+        df.select(col(groupCol), col(valueCol)), groupCol, valueCol, q)
+        .withColumnRenamed("quantile", name)
+    df.join(broadcast(qt(loQ, "trim_lo")), Seq(groupCol))
+      .join(broadcast(qt(hiQ, "trim_hi")), Seq(groupCol))
+      .filter(col(valueCol) >= col("trim_lo") &&
+        col(valueCol) <= col("trim_hi"))
+      .groupBy(col(groupCol), col("trim_lo"), col("trim_hi"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum(col(valueCol)).cast("double") / count(lit(1)), 6)
+          .as("trimmed_mean"))
+  }
+
   def charPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)

@@ -89,6 +89,38 @@ object Hypothesis {
       when(ok, round((pa - pb) / se, 6)).as("z_stat"))
   }
 
+  /** X180 — two-sample Kolmogorov-Smirnov statistic: D = max over
+    * values of \|F_A − F_B\| between two groups' empirical CDFs — the
+    * distribution-SHAPE companion to [[welchTTest]] (which only sees
+    * means): a filter change that preserves the mean but hollows the
+    * middle of the length distribution trips KS and nothing else.
+    *
+    * Exact, not binned: CDF steps live on the DISTINCT-value table,
+    * so the one ordered pass is value-bounded (the rocAuc window
+    * class — never a row sort); counts are exact ints, F ratios and
+    * the max of \|diff\| are order-independent doubles, round(6).
+    */
+  def ksTest(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+    val tot = per.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("__na")).cast("long").as("n_a"),
+        max(col("__nb")).cast("long").as("n_b"),
+        max(abs(col("__cuma").cast("double") / col("__na") -
+          col("__cumb").cast("double") / col("__nb"))).as("__d"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, round(col("__d"), 6))
+          .as("ks_d"))
+  }
+
   /** X152 — Krippendorff's alpha (nominal scale, two raters, no
     * missing values): α = 1 − (n−1)·ΣoffDiag(o)/De with the
     * coincidence matrix o folded down to three exact integers —

@@ -1181,6 +1181,78 @@ object ReliabilityQueries {
           .orderBy($"shard")
       }),
 
+    // X179: exact per-source 10-90% trimmed mean of doc lengths.
+    QueryDef(
+      "q_trimmed_mean",
+      Some("""
+        WITH t AS (SELECT source, n_chars AS v FROM documents),
+        tot AS (SELECT source, count(*) AS total FROM t GROUP BY source),
+        o AS (
+          SELECT source, v, sum(cnt) OVER (PARTITION BY source ORDER BY v)
+                 AS cum
+          FROM (SELECT source, v, count(*) AS cnt FROM t
+                GROUP BY source, v)
+        ), lo AS (
+          SELECT o.source, CAST(min(v) AS BIGINT) AS trim_lo
+          FROM o JOIN tot USING (source)
+          WHERE cum >= ceil(0.1 * total) GROUP BY o.source
+        ), hi AS (
+          SELECT o.source, CAST(min(v) AS BIGINT) AS trim_hi
+          FROM o JOIN tot USING (source)
+          WHERE cum >= ceil(0.9 * total) GROUP BY o.source
+        )
+        SELECT t.source, lo.trim_lo, hi.trim_hi,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               round(CAST(sum(t.v) AS DOUBLE) / count(*), 6)
+                 AS trimmed_mean
+        FROM t JOIN lo USING (source) JOIN hi USING (source)
+        WHERE t.v >= lo.trim_lo AND t.v <= hi.trim_hi
+        GROUP BY t.source, lo.trim_lo, hi.trim_hi
+        ORDER BY t.source
+      """.trim),
+      "X179 exact per-source trimmed mean (10-90% order statistics)")(
+      (spark, dir) =>
+        CorpusOps.trimmedMean(
+            table(spark, dir, "documents")
+              .selectExpr("source", "n_chars"),
+            "source", "n_chars")
+          .orderBy("source")),
+
+    // X180: two-sample KS statistic of doc length, lang='en' vs the
+    // rest — exact CDF steps on the distinct-value table.
+    QueryDef(
+      "q_ks_test",
+      Some("""
+        WITH per AS (
+          SELECT n_chars AS v,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                   AS BIGINT) AS cb
+          FROM documents GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb
+          FROM per
+        ), cum AS (
+          SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+                 sum(cb) OVER (ORDER BY v) AS cumb
+          FROM per
+        )
+        SELECT tot.na AS n_a, tot.nb AS n_b,
+               CASE WHEN tot.na > 0 AND tot.nb > 0 THEN
+                 round(max(abs(CAST(cuma AS DOUBLE) / tot.na
+                   - CAST(cumb AS DOUBLE) / tot.nb)), 6) END AS ks_d
+        FROM cum, tot
+        GROUP BY tot.na, tot.nb
+      """.trim),
+      "X180 two-sample KS distance of doc length, lang=en vs rest")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Hypothesis.ksTest(
+          table(spark, dir, "documents"), "n_chars", $"lang" === "en")
+      }),
+
     // X159: stochastic-greedy facility-location coreset — pick the 8
     // embeddings that best cover the corpus by max-cosine. Greedy
     // over cosine doubles is not SQL-expressible → rows-only by
