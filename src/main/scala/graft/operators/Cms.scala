@@ -79,9 +79,25 @@ object Cms {
     * statistic that decides broadcast-vs-shuffle-vs-salt BEFORE
     * paying for the join — two constant-sized sketch tables joined
     * on (row, bucket), never the data.
+    *
+    * Depth is DERIVED from the sketches themselves (max hash_row +
+    * 1 — build emits every hash row for every key, so the max is the
+    * depth) and the two sides must agree; a depth-4 assumption
+    * against depth-8 sketches used to silently return 0.
     */
-  def innerProduct(a: DataFrame, b: DataFrame, depth: Int = 4)
-      : DataFrame =
+  def innerProduct(a: DataFrame, b: DataFrame): DataFrame = {
+    def depthOf(s: DataFrame): Long = {
+      val r = s.agg(max(col("hash_row"))).head()
+      if (r.isNullAt(0)) 0L else r.getAs[Number](0).longValue + 1L
+    }
+    val da = depthOf(a)
+    val db = depthOf(b)
+    if (da == 0L || db == 0L)
+      // an empty sketch joins nothing: the exact inner product is 0
+      return a.sparkSession.range(1)
+        .select(lit(0L).as("est_join_size"))
+    require(da == db, s"sketch depth mismatch: left=$da right=$db")
+    val depth = da
     a.select(col("hash_row"), col("bucket"), col("cnt").as("__ca"))
       .join(b.select(col("hash_row"), col("bucket"),
         col("cnt").as("__cb")), Seq("hash_row", "bucket"))
@@ -92,4 +108,5 @@ object Cms {
       // join, the estimate is 0 (the empty/disjoint-sketch case)
       .agg(coalesce(when(count(lit(1)) === depth, min(col("__p"))),
         lit(0L)).cast("long").as("est_join_size"))
+  }
 }

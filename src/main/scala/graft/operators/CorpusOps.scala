@@ -2330,18 +2330,35 @@ object CorpusOps {
     * hosts, and mean quality per registrable domain — the table a
     * crawl pipeline joins as its domain-reputation prior.
     */
+  /** Scheme accepts any RFC-3986 scheme case-insensitively; the host
+    * is LOWERCASED (hosts are case-insensitive, paths are not — the
+    * path keeps the original case) and a `:port` suffix is stripped
+    * before domain/TLD extraction. The registrable domain is the
+    * LAST-TWO-LABELS heuristic — multi-part public suffixes (co.uk,
+    * com.au) roll up under the suffix pair, and IP-literal hosts
+    * (numeric last label) extract an empty domain; [[domainRollup]]
+    * surfaces both classes in a visible `(unparsed)` bucket rather
+    * than a silent '' row.
+    */
   def urlParts(url: Column): (Column, Column, Column, Column) = {
-    val host = regexp_extract(url, "^[a-z]+://([^/]+)", 1)
+    val rawHost =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    val host = regexp_replace(lower(rawHost), ":[0-9]+$", "")
     val domain = regexp_extract(host, "([^.]+\\.[a-z]+)$", 1)
     val tld = regexp_extract(host, "(\\.[a-z]+)$", 1)
-    val path = regexp_extract(url, "^[a-z]+://[^/]+(/.*)$", 1)
+    val path =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/.*)$", 1)
     (host, domain, tld, path)
   }
 
   def domainRollup(docs: DataFrame, urlCol: String, scoreCol: String)
       : DataFrame = {
     val (host, domain, tld, _) = urlParts(col(urlCol))
-    docs.select(domain.as("domain"), tld.as("tld"), host.as("__host"),
+    docs.select(
+        when(domain === "", lit("(unparsed)")).otherwise(domain)
+          .as("domain"),
+        when(domain === "", lit("")).otherwise(tld).as("tld"),
+        host.as("__host"),
         col(scoreCol).cast("long").as("__score"))
       .groupBy(col("domain"), col("tld"))
       .agg(count(lit(1)).as("n_docs"),

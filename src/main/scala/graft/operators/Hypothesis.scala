@@ -14,22 +14,30 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract: every statistic derives from exact integer
   * aggregates — counts, Σx and Σx² accumulated in wide decimals
-  * (per-row squares in DECIMAL(37,0), sums in DECIMAL(38,0), so
-  * 10¹² rows of 10⁸-scale values cannot wrap the way a Long Σx²
-  * would; DuckDB's BIGINT sums promote to HUGEINT, mirroring the
+  * (DuckDB's BIGINT sums promote to HUGEINT, mirroring the
   * exactness) — then one fixed-shape double expression, round(6).
+  *
+  * Value columns are quantized to MICRO-UNIT integers
+  * (round(v·1e6), the bootstrapCI convention): exact for any input
+  * with ≤6 decimal places — a [0,1] score column survives intact
+  * instead of truncating to all-zeros the way a bare long cast
+  * would. Headroom after quantization: |v| ≤ ~1e6 keeps the Σx²
+  * decimal(38,0) accumulator exact out to ~10¹² rows.
   */
 object Hypothesis {
 
-  /** X149a — Welch's unequal-variance t-test on an integral value
-    * column between two groups (`isA` true/false). Emits group sizes,
-    * means, the t statistic, and the Welch–Satterthwaite degrees of
-    * freedom. Scale shape: one map-side-combined two-row aggregate
+  /** X149a — Welch's unequal-variance t-test on a value column
+    * between two groups (`isA` true/false). Emits group sizes, means,
+    * the t statistic, and the Welch–Satterthwaite degrees of freedom.
+    * The value column quantizes to micro-units (exact for ≤6-dp
+    * inputs); t and dof are scale-invariant so they are computed in
+    * micro space directly, and the reported means divide the 1e6
+    * back out. Scale shape: one map-side-combined two-row aggregate
     * over the scan; one row out.
     */
   def welchTTest(df: DataFrame, valueCol: String, isA: Column)
       : DataFrame = {
-    val d = col(valueCol).cast("decimal(18,0)")
+    val d = round(col(valueCol) * 1e6, 0).cast("decimal(19,0)")
     val per = df.groupBy(isA.as("__a"))
       .agg(count(lit(1)).as("__n"), sum(d).as("__s"),
         sum(d * d).as("__ss"))
@@ -58,7 +66,7 @@ object Hypothesis {
       (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1))
     val ok = col("n_a") > 1 && col("n_b") > 1
     w.select(col("n_a"), col("n_b"),
-      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round(ma / 1e6, 6).as("mean_a"), round(mb / 1e6, 6).as("mean_b"),
       when(ok && se2 > 0.0, round(t, 6)).as("t_stat"),
       when(ok && se2 > 0.0, round(dof, 6)).as("dof"))
   }
@@ -99,10 +107,14 @@ object Hypothesis {
     * so the one ordered pass is value-bounded (the rocAuc window
     * class — never a row sort); counts are exact ints, F ratios and
     * the max of \|diff\| are order-independent doubles, round(6).
+    * Values quantize to micro-units — D is invariant under the
+    * 1e6 rescale (it only reads the value ORDER), so ≤6-dp inputs
+    * see the exact unbinned statistic; a bare long cast would have
+    * collapsed a [0,1] score column to a single step.
     */
   def ksTest(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val per = df.groupBy(col(valueCol).cast("long").as("__v"))
+    val per = df.groupBy(round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
       .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
         sum(when(isA, 0L).otherwise(1L)).as("__cb"))
     val tot = per.agg(sum(col("__ca")).as("__na"),

@@ -58,7 +58,10 @@ object LogHistogram {
   }
 
   /** Build one store per key over non-negative integral values:
-    * (key, bucket, cnt) rows.
+    * (key, bucket, cnt, sub_bits) rows. The bucket geometry travels
+    * WITH the store — [[quantiles]] reads it back instead of trusting
+    * a caller-supplied parameter, so a store built at depth 8 can
+    * never be silently decoded with depth-4 bounds.
     */
   def build(df: DataFrame, keyCol: String, valueCol: String,
       subBits: Int = 4): DataFrame = {
@@ -69,23 +72,34 @@ object LogHistogram {
       .withColumn("bucket", bucketIdx("__lh_v", subBits))
       .groupBy(col("key"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("sub_bits", lit(subBits))
   }
 
   /** Count-sum merge, relabeling keys (shards → source, days →
     * month). Exact law: merge(build(A), build(B)) == build(A ∪ B).
+    * `sub_bits` stays a grouping key: merging stores of different
+    * geometries produces duplicate (key, bucket) rows that the
+    * [[quantiles]] geometry check then rejects loudly.
     */
   def merge(store: DataFrame, mergedKey: Column): DataFrame =
-    store.groupBy(mergedKey.as("key"), col("bucket"))
+    store.groupBy(mergedKey.as("key"), col("bucket"), col("sub_bits"))
       .agg(sum(col("cnt")).as("cnt"))
+      .select(col("key"), col("bucket"), col("cnt"), col("sub_bits"))
 
   /** Per-key quantile estimates at `qs`: rank floor(q·(n−1))+1 in
     * the cumulative bucket walk, estimate = bucket midpoint — within
     * 2^−subBits relative error of the exact order statistic (exact
-    * below 2^subBits).
+    * below 2^subBits). Bucket geometry is read from the store's own
+    * `sub_bits` column (one distinct value required — a mixed or
+    * mis-merged store fails here instead of decoding garbage bounds).
     */
-  def quantiles(store: DataFrame, qs: Seq[Double], subBits: Int = 4)
-      : DataFrame = {
+  def quantiles(store: DataFrame, qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad qs $qs")
+    val sbs = store.select(col("sub_bits")).distinct().collect()
+    require(sbs.length <= 1,
+      s"store mixes sub_bits geometries: ${sbs.map(_.get(0)).mkString(",")}")
+    val subBits =
+      if (sbs.isEmpty) 4 else sbs(0).getAs[Number](0).intValue()
     import org.apache.spark.sql.expressions.Window
     val tot = store.groupBy(col("key")).agg(sum(col("cnt")).as("__n"))
     val w = Window.partitionBy(col("key")).orderBy(col("bucket"))

@@ -1082,31 +1082,51 @@ object Similarity {
       .select(col(labelCol), col(refCol).as("__ref"),
         posexplode(toDouble(col(vecCol))).as(Seq("dim", "x")))
       .groupBy(col(labelCol), col("__ref"), col("dim"))
-      .agg(sum(q).cast("decimal(18,0)").as("s"),
+      // decimal(28,0) per-dim sum (the CentroidStore width): unit-
+      // scale nano coordinates stay exact out to ~10¹⁸ rows per
+      // slice, where the old decimal(18,0) wrapped to NULL at ~10⁹
+      .agg(sum(q).cast("decimal(28,0)").as("s"),
         count(lit(1)).as("n"))
     val a = sums.filter(col("__ref"))
       .select(col(labelCol), col("dim"), col("s").as("sa"), col("n").as("na"))
     val b = sums.filter(!col("__ref"))
       .select(col(labelCol), col("dim"), col("s").as("sb"), col("n").as("nb"))
     val joined = a.join(b, Seq(labelCol, "dim"))
-    joined.groupBy(col(labelCol))
+    // Magnitude bounds against decimal(38,0): with |coord| ≤ c and n
+    // rows/slice, |s| ≤ c·1e9·n, so s·s needs (c·1e9·n)² ≤ 1e38
+    // (n ≲ 3e9 at c=1) and the cleared-denominator g2 term
+    // (sa·nb − sb·na)² needs (2c·1e9·n²)² ≤ 1e38 (n ≲ 5e4 at c=1).
+    // Products are materialized per-dim so an out-of-range slice is
+    // COUNTED (__ovf) and reported as NULL — never a silently
+    // dim-dropped cosine.
+    val prods = joined.select(col(labelCol), col("na"), col("nb"),
+      (col("sa") * col("sb")).cast(dec).as("__pab"),
+      (col("sa") * col("sa")).cast(dec).as("__paa"),
+      (col("sb") * col("sb")).cast(dec).as("__pbb"),
+      ((col("sa") * col("nb") - col("sb") * col("na")) *
+        (col("sa") * col("nb") - col("sb") * col("na"))).cast(dec)
+        .as("__pg2"))
+    prods.groupBy(col(labelCol))
       .agg(max(col("na")).as("n_ref"), max(col("nb")).as("n_cur"),
-        sum((col("sa") * col("sb")).cast(dec)).as("__ab"),
-        sum((col("sa") * col("sa")).cast(dec)).as("__aa"),
-        sum((col("sb") * col("sb")).cast(dec)).as("__bb"),
-        sum(((col("sa") * col("nb") - col("sb") * col("na")) *
-          (col("sa") * col("nb") - col("sb") * col("na"))).cast(dec))
-          .as("__g2"))
+        sum(col("__pab")).as("__ab"),
+        sum(col("__paa")).as("__aa"),
+        sum(col("__pbb")).as("__bb"),
+        sum(col("__pg2")).as("__g2"),
+        sum(when(col("__pab").isNull || col("__paa").isNull ||
+          col("__pbb").isNull || col("__pg2").isNull, 1L).otherwise(0L))
+          .as("__ovf"))
       .select(col(labelCol), col("n_ref"), col("n_cur"),
         // a slice whose centroid cancels to the zero vector has no
-        // direction — cosine is undefined, reported as NULL
-        when(col("__aa") > 0 && col("__bb") > 0,
+        // direction — cosine is undefined, reported as NULL (as is
+        // any label whose products overflowed decimal(38,0))
+        when(col("__ovf") === 0L && col("__aa") > 0 && col("__bb") > 0,
           round(col("__ab").cast("double") /
             (sqrt(col("__aa").cast("double")) *
               sqrt(col("__bb").cast("double"))), 6)).as("centroid_cos"),
-        round(sqrt(col("__g2").cast("double")) /
-          (col("n_ref").cast("double") * col("n_cur").cast("double") * 1e9),
-          6).as("centroid_l2_gap"))
+        when(col("__ovf") === 0L,
+          round(sqrt(col("__g2").cast("double")) /
+            (col("n_ref").cast("double") * col("n_cur").cast("double") *
+              1e9), 6)).as("centroid_l2_gap"))
   }
   /** X159 — deterministic stochastic-greedy facility-location coreset
     * selection (Mirzasoleiman et al. 2015 shape): pick k exemplars

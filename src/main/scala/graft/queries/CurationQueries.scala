@@ -589,14 +589,17 @@ object CurationQueries {
     QueryDef(
       "q_welch_ttest",
       Some("""
-        WITH s AS (
+        WITH q AS (
+          SELECT lang, CAST(round(n_chars * 1e6) AS HUGEINT) AS v
+          FROM documents
+        ), s AS (
           SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
                  CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-                 CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS sa,
-                 CAST(sum(CASE WHEN lang <> 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS sb,
-                 CAST(sum(CASE WHEN lang = 'en' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS ssa,
-                 CAST(sum(CASE WHEN lang <> 'en' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS ssb
-          FROM documents
+                 CAST(sum(CASE WHEN lang = 'en' THEN v ELSE 0 END) AS HUGEINT) AS sa,
+                 CAST(sum(CASE WHEN lang <> 'en' THEN v ELSE 0 END) AS HUGEINT) AS sb,
+                 CAST(sum(CASE WHEN lang = 'en' THEN v * v ELSE 0 END) AS HUGEINT) AS ssa,
+                 CAST(sum(CASE WHEN lang <> 'en' THEN v * v ELSE 0 END) AS HUGEINT) AS ssb
+          FROM q
         ), f AS (
           SELECT n_a, n_b,
                  CAST(sa AS DOUBLE) / n_a AS ma,
@@ -605,7 +608,8 @@ object CurationQueries {
                  (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / n_b) / (n_b - 1) / n_b AS seb
           FROM s
         )
-        SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        SELECT n_a, n_b,
+               round(ma / 1e6, 6) AS mean_a, round(mb / 1e6, 6) AS mean_b,
                CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0.0 THEN
                  round((ma - mb) / sqrt(sea + seb), 6) END AS t_stat,
                CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0.0 THEN

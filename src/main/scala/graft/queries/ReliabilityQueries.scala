@@ -411,7 +411,8 @@ object ReliabilityQueries {
                     ELSE (CAST(length(bin(val)) AS BIGINT) - 1 - 4 + 1) * 16
                          + ((val >> (length(bin(val)) - 1 - 4)) - 16)
                END AS bucket,
-               CAST(count(*) AS BIGINT) AS cnt
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(4 AS INTEGER) AS sub_bits
         FROM v GROUP BY 1, 2
         ORDER BY key, bucket
       """.trim),
@@ -480,7 +481,7 @@ object ReliabilityQueries {
           "source", "n_chars", subBits = 4)
         val withAll = store.unionByName(
           LogHistogram.merge(store, lit("ALL")))
-        LogHistogram.quantiles(withAll, Seq(0.5, 0.9, 0.99), subBits = 4)
+        LogHistogram.quantiles(withAll, Seq(0.5, 0.9, 0.99))
           .orderBy($"key", $"q")
       }),
 
@@ -944,16 +945,23 @@ object ReliabilityQueries {
           FROM documents
         ), parts AS (
           SELECT doc_id, n_chars,
-                 regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+                 regexp_replace(lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                   ':[0-9]+$', '') AS host
           FROM urls
+        ), named AS (
+          SELECT n_chars, host,
+                 regexp_extract(host, '([^.]+\.[a-z]+)$', 1) AS d0,
+                 regexp_extract(host, '(\.[a-z]+)$', 1) AS t0
+          FROM parts
         )
-        SELECT regexp_extract(host, '([^.]+\.[a-z]+)$', 1) AS domain,
-               regexp_extract(host, '(\.[a-z]+)$', 1) AS tld,
+        SELECT CASE WHEN d0 = '' THEN '(unparsed)' ELSE d0 END AS domain,
+               CASE WHEN d0 = '' THEN '' ELSE t0 END AS tld,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
                round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6)
                  AS mean_score
-        FROM parts
+        FROM named
         GROUP BY 1, 2
         ORDER BY domain
       """.trim),
@@ -1224,7 +1232,7 @@ object ReliabilityQueries {
       "q_ks_test",
       Some("""
         WITH per AS (
-          SELECT n_chars AS v,
+          SELECT CAST(round(n_chars * 1e6) AS BIGINT) AS v,
                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
                    AS BIGINT) AS ca,
                  CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)

@@ -39,6 +39,21 @@ class HypothesisSpec extends AnyFunSuite {
     assert(r0.isNullAt(r0.fieldIndex("t_stat")))
   }
 
+  test("welchTTest sees fractional scores exactly (micro-unit " +
+    "quantization; t/dof are scale-invariant)") {
+    val s = spark
+    import s.implicits._
+    // the integer hand case scaled by 1/10: a = [.1,.2,.3,.4],
+    // b = [.2,.4,.6,.8] -> same t and dof, means scale down with it
+    val df = (Seq(0.1, 0.2, 0.3, 0.4).map((_, true)) ++
+      Seq(0.2, 0.4, 0.6, 0.8).map((_, false))).toDF("v", "g")
+    val r = Hypothesis.welchTTest(df, "v", $"g").head()
+    assert(r.getAs[Double]("mean_a") == 0.25)
+    assert(r.getAs[Double]("mean_b") == 0.5)
+    assert(math.abs(r.getAs[Double]("t_stat") - -1.732051) < 1e-6)
+    assert(math.abs(r.getAs[Double]("dof") - 4.411765) < 1e-6)
+  }
+
   // ---- X149b twoProportionZ ------------------------------------------
 
   test("twoProportionZ matches the pooled-SE hand case and NULLs " +

@@ -29,6 +29,26 @@ class KsTrimSpec extends AnyFunSuite {
     assert(ks(a ++ b) == 0.5)
   }
 
+  test("ksTest sees fractional [0,1] scores exactly (micro-unit " +
+    "quantization — a bare long cast would collapse them to one step)") {
+    val s = spark
+    import s.implicits._
+    // A = {0.1, 0.3}, B = {0.2, 0.4}: same shape as the integer
+    // interleaved case above -> D = 0.5, not the 0.0 a truncating
+    // cast-to-long would report
+    val d = Hypothesis.ksTest(
+      Seq((0.1, true), (0.3, true), (0.2, false), (0.4, false))
+        .toDF("v", "g"), "v", $"g")
+      .head().getAs[Double]("ks_d")
+    assert(d == 0.5)
+    // disjoint score ranges -> D = 1
+    val d1 = Hypothesis.ksTest(
+      Seq((0.01, true), (0.02, true), (0.9, false), (0.95, false))
+        .toDF("v", "g"), "v", $"g")
+      .head().getAs[Double]("ks_d")
+    assert(d1 == 1.0)
+  }
+
   test("trimmedMean drops exactly the outside-order-statistic " +
     "values; outliers stop moving the mean") {
     val s = spark

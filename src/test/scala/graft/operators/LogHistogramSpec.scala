@@ -98,4 +98,40 @@ class LogHistogramSpec extends AnyFunSuite {
     val cross = Cms.innerProduct(sk, other).head().getLong(0)
     assert(cross <= 20L, s"disjoint estimate $cross not near zero")
   }
+
+  test("innerProduct derives depth from the sketches (depth-8 works " +
+    "without a parameter) and errors loudly on a depth mismatch") {
+    val s = spark
+    import s.implicits._
+    val rows = (Seq.fill(10)("a") ++ Seq.fill(5)("b")).toDF("k")
+    val sk8 = Cms.sketch(rows, "k", depth = 8)
+    val est = Cms.innerProduct(sk8, sk8).head().getLong(0)
+    assert(est >= 10L * 10 + 5L * 5) // used to silently return 0
+    val sk4 = Cms.sketch(rows, "k", depth = 4)
+    val e = intercept[IllegalArgumentException] {
+      Cms.innerProduct(sk8, sk4)
+    }
+    assert(e.getMessage.contains("depth mismatch"))
+  }
+
+  test("quantiles reads sub_bits from the store and rejects a " +
+    "mixed-geometry merge") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).map(v => ("k", v)).toDF("key", "v")
+    // depth-8 store decoded without any caller-supplied parameter:
+    // tighter 2^-8 error bound must hold
+    val st8 = LogHistogram.build(df, "key", "v", subBits = 8)
+    LogHistogram.quantiles(st8, Seq(0.5)).collect().foreach { r =>
+      val est = r.getAs[Double]("estimate")
+      assert(math.abs(est - 50.0) <= 50.0 / 256 + 1.0, s"est $est")
+    }
+    val st4 = LogHistogram.build(df, "key", "v", subBits = 4)
+    val mixed = LogHistogram.merge(
+      st8.unionByName(st4), org.apache.spark.sql.functions.lit("all"))
+    val e = intercept[IllegalArgumentException] {
+      LogHistogram.quantiles(mixed, Seq(0.5))
+    }
+    assert(e.getMessage.contains("sub_bits"))
+  }
 }

@@ -34,6 +34,31 @@ class UrlSentenceSpec extends AnyFunSuite {
     assert(roll("other.org") == (1L, 1L, 60.0))
   }
 
+  test("urlParts handles uppercase schemes/hosts and ports; " +
+    "IP-literal hosts land in the visible (unparsed) bucket") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "HTTPS://WWW.Example.COM:8443/CaseKept/Path", 10L),
+      (2L, "http://192.168.0.1/admin", 20L),
+      (3L, "https://example.com/x", 30L)).toDF("id", "url", "score")
+    val (host, domain, tld, path) = CorpusOps.urlParts($"url")
+    val p = docs.orderBy($"id")
+      .select(host.as("h"), domain.as("d"), tld.as("t"), path.as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3)))
+    // host lowercased + port stripped; path keeps its original case
+    assert(p(0) == ("www.example.com", "example.com", ".com",
+      "/CaseKept/Path"))
+    // IP host: no alphabetic TLD -> empty domain at the parts level
+    assert(p(1)._1 == "192.168.0.1" && p(1)._2 == "")
+    val roll = CorpusOps.domainRollup(docs, "url", "score")
+      .collect().map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_hosts"))).toMap
+    assert(roll("example.com") == (2L, 2L))
+    assert(roll("(unparsed)") == (1L, 1L))
+  }
+
   test("sentenceSplit cuts on terminal punctuation runs, keeps " +
     "punctuation, trims, and drops empty fragments") {
     val s = spark
