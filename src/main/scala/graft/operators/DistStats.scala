@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X184–X187 — distribution-shape diagnostics over count/value
+  * columns: Gini concentration + top-p coverage (how head-heavy is
+  * the token distribution), Benford first-digit conformance (the
+  * fabricated-numbers smell test), Otsu's auto-threshold (pick a
+  * filter cut from the histogram itself), and simple Good-Turing
+  * count re-estimation (the unseen-mass correction every n-gram LM
+  * applies).
+  *
+  * Determinism contract: every statistic reduces to exact integer
+  * cumulative/marginal sums on VALUE-BOUNDED tables (distinct values,
+  * digits, frequency-of-frequencies — never a row sort), then one
+  * fixed-shape double expression, round(6).
+  */
+object DistStats {
+
+  private val dec = "decimal(38,0)"
+
+  /** X184 — Gini coefficient and top-p coverage of a weight
+    * distribution (item, weight): G = Σᵢ(2i−n−1)·wᵢ / (n·ΣW) over
+    * ascending-sorted weights, computed GROUPED on the distinct-
+    * weight table — a group of m items sharing weight v at cumulative
+    * offset F contributes v·m·(2F+m−n) exactly, so no row-level sort
+    * ever happens. top-p = the fewest items (from the top) covering
+    * ⌈p·ΣW⌉ of the mass, exact integer arithmetic throughout.
+    * Output one row: n_items, total_weight, gini, top_p_items.
+    */
+  def giniConcentration(counts: DataFrame, weightCol: String,
+      p: Double = 0.9): DataFrame = {
+    require(p > 0 && p < 1, s"bad p $p")
+    val g = counts.select(col(weightCol).cast("long").as("__v"))
+      .filter(col("__v") >= 0L)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__m"))
+    // total weight stays a LONG (bound: ΣW < 2⁶³ — 9e18 tokens);
+    // only the gini numerator, whose terms reach v·m·n, needs decimal
+    val tot = g.agg(sum(col("__m")).cast("long").as("__n"),
+      sum(col("__v") * col("__m")).cast("long").as("__w"))
+    val wUp = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDn = Window.orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("__cumUp", sum(col("__m")).over(wUp))
+      .withColumn("__cumDnM", sum(col("__m")).over(wDn))
+      .withColumn("__cumDnW", sum(col("__v") * col("__m")).over(wDn))
+      .crossJoin(broadcast(tot))
+    // ascending group at offset F = cumUp − m: Σ(2i−n−1)·v over the
+    // group = v·m·(2F + m − n)
+    val giniNum = cum.agg(coalesce(sum(
+      ((col("__v").cast(dec) * col("__m")) *
+        (lit(2L) * (col("__cumUp") - col("__m")) + col("__m") -
+          col("__n"))).cast(dec)), lit(0).cast(dec)).as("__gn"))
+    // top-p from the descending walk: first group whose cumulative
+    // mass reaches target = ⌈p·W⌉ (p as an exact rational over 1e6,
+    // the product widened through decimal before the integer div)
+    val pm = math.round(p * 1e6)
+    val target = expr(
+      s"cast((cast(__w as decimal(38,0)) * $pm + 999999) div 1000000" +
+        " as bigint)")
+    val covered = cum
+      .withColumn("__target", target)
+      .filter(col("__cumDnW") >= col("__target"))
+      .agg(min(col("__cumDnW")).as("__pick"))
+    val pickRow = cum.withColumn("__target", target)
+      .join(broadcast(covered), col("__cumDnW") === col("__pick"))
+      .select(((col("__cumDnM") - col("__m")) +
+        expr("(__target - (__cumDnW - __v * __m) + __v - 1) div __v"))
+        .as("top_p_items"))
+    tot.crossJoin(giniNum).crossJoin(pickRow)
+      .select(col("__n").as("n_items"),
+        col("__w").as("total_weight"),
+        when(col("__n") > 0L && col("__w") > 0L,
+          round(col("__gn").cast("double") /
+            (col("__n").cast("double") * col("__w").cast("double")), 6))
+          .as("gini"),
+        col("top_p_items"))
+  }
+
+  /** X185 — Benford first-digit test on a positive value column:
+    * per digit d ∈ 1..9, the observed count vs n·log₁₀(1+1/d) and
+    * the χ² contribution. Values quantize to integer cents (first
+    * significant digit is what Benford predicts; the ×100 rescale
+    * does not move it) and the digit comes from the integer's
+    * decimal string — identical formatting in any engine. One
+    * digit-bounded aggregate; ≤ 9 rows out.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100, 0).cast("long")
+    val obs = df.select(cents.as("__c")).filter(col("__c") > 0L)
+      .select(substring(col("__c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+    val tot = obs.agg(sum(col("observed")).cast("long").as("__n"))
+    val pd = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    val e = col("__n").cast("double") * pd
+    obs.crossJoin(broadcast(tot))
+      .select(col("digit"), col("observed").cast("long").as("observed"),
+        round(e, 6).as("expected"),
+        round((col("observed").cast("double") - e) *
+          (col("observed").cast("double") - e) / e, 6).as("chi2_term"))
+  }
+
+  /** X186 — Otsu's threshold over an integral value column: the cut
+    * t maximizing between-class variance σ_b²(t) = (s₀N − Sn₀)² /
+    * (N²·n₀·n₁), evaluated at EVERY distinct value from one
+    * cumulative pass over the distinct-value table (value-bounded
+    * window — the histogram IS the state). Ties on σ_b² break to the
+    * smallest threshold. The data-driven filter-cut picker: feed it
+    * a quality-score histogram, get the two-class split.
+    * Output one row: threshold, sigma_b (both in micro-quantized
+    * units: exact for ≤6-dp inputs), n_below (≤ t), n_above.
+    */
+  def otsuThreshold(df: DataFrame, valueCol: String): DataFrame = {
+    val g = df.select(round(col(valueCol) * 1e6, 0).cast("long")
+        .as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("__n0", sum(col("__c")).over(w))
+      .withColumn("__s0",
+        sum(col("__v").cast(dec) * col("__c")).over(w).cast(dec))
+    val tot = g.agg(sum(col("__c")).cast("long").as("__nn"),
+      sum(col("__v").cast(dec) * col("__c")).cast(dec).as("__ss"))
+    val cand = cum.crossJoin(broadcast(tot))
+      .filter(col("__n0") > 0L && col("__n0") < col("__nn"))
+    val num = (col("__s0") * col("__nn") - col("__ss") * col("__n0"))
+      .cast(dec).cast("double")
+    // σ_b must be TOTAL, not merely filtered-safe: the downstream
+    // argmax join infers isnotnull(__sb) and ANSI-mode predicate
+    // reordering can evaluate it before the n0 range filter — a bare
+    // division would then hit 0 on the boundary rows and throw
+    val den = col("__n0").cast("double") *
+      (col("__nn") - col("__n0")).cast("double") *
+      col("__nn").cast("double") * col("__nn").cast("double")
+    val sb = when(den > 0.0, num * num / den)
+    val scored = cand.select(col("__v"), col("__n0"), col("__nn"),
+      sb.as("__sb"))
+    val best = scored.agg(max(col("__sb")).as("__best"))
+    scored.join(broadcast(best), col("__sb") === col("__best"))
+      .agg(min(col("__v")).as("__t"), max(col("__best")).as("__sbv"),
+        max(col("__nn")).as("__nn2"))
+      .join(scored.select(col("__v").as("__t2"), col("__n0")),
+        col("__t") === col("__t2"))
+      .select(round(col("__t").cast("double") / 1e6, 6).as("threshold"),
+        round(col("__sbv") / 1e12, 6).as("sigma_b"),
+        col("__n0").cast("long").as("n_below"),
+        (col("__nn2") - col("__n0")).cast("long").as("n_above"))
+  }
+
+  /** X187 — simple Good-Turing re-estimation over an (item, count)
+    * table: from the frequency-of-frequencies N_r, the adjusted
+    * count r* = (r+1)·N_{r+1}/N_r and the discounted probability
+    * r*÷T for r = 1..maxR, plus the Turing unseen-mass estimate
+    * N₁/T as the r=0 row. The LM-smoothing companion to the X92 KN
+    * pipeline; state is bounded by the count SUPPORT, never the
+    * vocabulary.
+    */
+  def goodTuring(counts: DataFrame, countCol: String, maxR: Int = 10)
+      : DataFrame = {
+    require(maxR >= 1, s"bad maxR $maxR")
+    val fof = counts.select(col(countCol).cast("long").as("__r"))
+      .filter(col("__r") > 0L)
+      .groupBy(col("__r")).agg(count(lit(1)).as("__nr"))
+    val tot = fof.agg(sum(col("__r").cast(dec) * col("__nr")).cast(dec)
+      .as("__t"))
+    val nxt = fof.select((col("__r") - 1L).as("__rp"),
+      col("__nr").as("__nrNext"))
+    val rows = fof.filter(col("__r") <= maxR)
+      .join(broadcast(nxt), col("__r") === col("__rp"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__r").as("r"), col("__nr").cast("long").as("n_r"),
+        round((col("__r") + 1L).cast("double") *
+          col("__nrNext").cast("double") / col("__nr").cast("double"), 6)
+          .as("r_star"),
+        round((col("__r") + 1L).cast("double") *
+          col("__nrNext").cast("double") / col("__nr").cast("double") /
+          col("__t").cast("double"), 6).as("p_gt"))
+    val unseen = fof.filter(col("__r") === 1L)
+      .crossJoin(broadcast(tot))
+      .select(lit(0L).as("r"), col("__nr").cast("long").as("n_r"),
+        lit(null).cast("double").as("r_star"),
+        round(col("__nr").cast("double") / col("__t").cast("double"), 6)
+          .as("p_gt"))
+    unseen.unionByName(rows)
+  }
+}

@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, DistStats, RankStats}
+import QueryDef.table
+
+/** r10 wave 1 (SURVEY §2.10 X181–X187): rank statistics (Spearman,
+  * binned Kendall tau-b, Borda aggregation) and distribution-shape
+  * diagnostics (token Gini + top-p coverage, Benford first-digit QA,
+  * Otsu auto-threshold, simple Good-Turing re-estimation). Same
+  * determinism contract as every other query file: micro/exact
+  * integer arithmetic on the hashed path, fixed-shape double
+  * formulas, round(6).
+  */
+object StatsQueries {
+
+  /** DuckDB twin of Dedup.tokens — whitespace split, empties out. */
+  private val SqlToks =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // X181: Spearman rank correlation between doc length and token
+    // count — average-tie ranks from the distinct-value tables.
+    QueryDef(
+      "q_spearman",
+      Some(s"""
+        WITH b AS (
+          SELECT CAST(round(n_chars * 1e6) AS BIGINT) AS x,
+                 CAST(round(len($SqlToks) * 1e6) AS BIGINT) AS y
+          FROM documents
+        ), rx AS (
+          SELECT x AS v, 2 * (cum - c) + c + 1 AS r FROM (
+            SELECT x, CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(count(*)) OVER (ORDER BY x) AS BIGINT) AS cum
+            FROM b GROUP BY x)
+        ), ry AS (
+          SELECT y AS v, 2 * (cum - c) + c + 1 AS r FROM (
+            SELECT y, CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(count(*)) OVER (ORDER BY y) AS BIGINT) AS cum
+            FROM b GROUP BY y)
+        ), j AS (
+          SELECT rx.r AS xr, ry.r AS yr
+          FROM b JOIN rx ON b.x = rx.v JOIN ry ON b.y = ry.v
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(xr AS HUGEINT)) AS sx,
+                 sum(CAST(yr AS HUGEINT)) AS sy,
+                 sum(CAST(xr AS HUGEINT) * yr) AS sxy,
+                 sum(CAST(xr AS HUGEINT) * xr) AS sxx,
+                 sum(CAST(yr AS HUGEINT) * yr) AS syy
+          FROM j
+        )
+        SELECT n,
+               CASE WHEN n > 1
+                 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+               THEN
+                 round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               END AS spearman_rho
+        FROM m
+      """.trim),
+      "X181 Spearman rank correlation of doc length vs token count")(
+      (spark, dir) => {
+        import spark.implicits._
+        val d = table(spark, dir, "documents")
+          .select($"n_chars", size(Dedup.tokens($"text")).as("n_tokens"))
+        RankStats.spearman(d, "n_chars", "n_tokens")
+      }),
+
+    // X182: Kendall tau-b of the same pair on the 64-bin grid —
+    // concordant/discordant mass from the bounded contingency table.
+    QueryDef(
+      "q_kendall_tau",
+      Some(s"""
+        WITH b AS (
+          SELECT CAST(round(n_chars * 1e6) AS BIGINT) AS x,
+                 CAST(round(len($SqlToks) * 1e6) AS BIGINT) AS y
+          FROM documents
+        ), ext AS (
+          SELECT min(x) AS xlo, max(x) AS xhi,
+                 min(y) AS ylo, max(y) AS yhi
+          FROM b
+        ), cells AS (
+          SELECT ((x - xlo) * 64) // (xhi - xlo + 1) AS bx,
+                 ((y - ylo) * 64) // (yhi - ylo + 1) AS by_,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM b, ext GROUP BY 1, 2
+        ), cc AS (
+          SELECT coalesce(sum(CAST(a.c AS HUGEINT) * b2.c), 0) AS m
+          FROM cells a JOIN cells b2
+            ON b2.bx > a.bx AND b2.by_ > a.by_
+        ), dd AS (
+          SELECT coalesce(sum(CAST(a.c AS HUGEINT) * b2.c), 0) AS m
+          FROM cells a JOIN cells b2
+            ON b2.bx > a.bx AND b2.by_ < a.by_
+        ), t1 AS (
+          SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0) AS v
+          FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY bx)
+        ), t2 AS (
+          SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0) AS v
+          FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY by_)
+        ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+        SELECT n,
+               CASE WHEN n > 1 THEN
+                 round(CAST(cc.m AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0),
+                   6) END AS frac_concordant,
+               CASE WHEN n > 1 THEN
+                 round(CAST(dd.m AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0),
+                   6) END AS frac_discordant,
+               CASE WHEN n > 1
+                 AND CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                     - CAST(t1.v AS DOUBLE) / 2.0 > 0.0
+                 AND CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                     - CAST(t2.v AS DOUBLE) / 2.0 > 0.0
+               THEN
+                 round((CAST(cc.m AS DOUBLE) - CAST(dd.m AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                             / 2.0 - CAST(t1.v AS DOUBLE) / 2.0)
+                        * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                             / 2.0 - CAST(t2.v AS DOUBLE) / 2.0)), 6)
+               END AS tau_b
+        FROM nn, cc, dd, t1, t2
+      """.trim),
+      "X182 Kendall tau-b of doc length vs token count (64-bin grid)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val d = table(spark, dir, "documents")
+          .select($"n_chars", size(Dedup.tokens($"text")).as("n_tokens"))
+        RankStats.kendallTauB(d, "n_chars", "n_tokens", bins = 64)
+      }),
+
+    // X183: Borda rank aggregation over three length/richness
+    // signals — top 100 consensus docs, exact two-phase ranks.
+    QueryDef(
+      "q_borda",
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, n_chars,
+                 CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct($SqlToks)) AS BIGINT) AS n_types
+          FROM documents
+        ), r AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                   AS BIGINT) AS rank_n_chars,
+                 CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+                   AS BIGINT) AS rank_n_tokens,
+                 CAST(row_number() OVER (ORDER BY n_types DESC, doc_id)
+                   AS BIGINT) AS rank_n_types,
+                 CAST(count(*) OVER () AS BIGINT) AS n
+          FROM t
+        ), s AS (
+          SELECT doc_id, rank_n_chars, rank_n_tokens, rank_n_types,
+                 (n - rank_n_chars) + (n - rank_n_tokens)
+                   + (n - rank_n_types) AS borda_score
+          FROM r
+        )
+        SELECT doc_id, rank_n_chars, rank_n_tokens, rank_n_types,
+               borda_score,
+               CAST(row_number() OVER (ORDER BY borda_score DESC, doc_id)
+                 AS INTEGER) AS borda_rank
+        FROM s
+        ORDER BY borda_score DESC, doc_id
+        LIMIT 100
+      """.trim),
+      "X183 Borda consensus top-100 over length/richness signals")(
+      (spark, dir) => {
+        import spark.implicits._
+        val toks = Dedup.tokens($"text")
+        val d = table(spark, dir, "documents")
+          .select($"doc_id", $"n_chars",
+            size(toks).cast("long").as("n_tokens"),
+            size(array_distinct(toks)).cast("long").as("n_types"))
+        RankStats.bordaTopK(d, "doc_id",
+            Seq("n_chars", "n_tokens", "n_types"), k = 100)
+          .orderBy($"borda_rank")
+      }),
+
+    // X184: token-frequency concentration — Gini coefficient of the
+    // unigram distribution plus the type count covering 90% of the
+    // token mass.
+    QueryDef(
+      "q_token_gini",
+      Some(s"""
+        WITH toks AS (SELECT unnest($SqlToks) AS t FROM documents),
+        c AS (SELECT t, CAST(count(*) AS BIGINT) AS v FROM toks GROUP BY t),
+        g AS (SELECT v, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY v),
+        tot AS (
+          SELECT CAST(sum(m) AS BIGINT) AS n,
+                 CAST(sum(v * m) AS BIGINT) AS w
+          FROM g
+        ), cum AS (
+          SELECT v, m,
+                 CAST(sum(m) OVER (ORDER BY v) AS BIGINT) AS cumup,
+                 CAST(sum(m) OVER (ORDER BY v DESC) AS BIGINT) AS cumdnm,
+                 CAST(sum(v * m) OVER (ORDER BY v DESC) AS BIGINT)
+                   AS cumdnw
+          FROM g
+        ), gn AS (
+          SELECT coalesce(sum(CAST(v AS HUGEINT) * m
+                   * (2 * (cumup - m) + m - (SELECT n FROM tot))), 0)
+                 AS gn
+          FROM cum
+        ), tgt AS (
+          SELECT CAST((CAST(w AS HUGEINT) * 900000 + 999999) // 1000000
+                   AS BIGINT) AS target
+          FROM tot
+        ), pick AS (
+          SELECT min(cumdnw) AS pickw FROM cum, tgt WHERE cumdnw >= target
+        ), sel AS (
+          SELECT (cumdnm - m)
+                   + (target - (cumdnw - v * m) + v - 1) // v
+                 AS top_p_items
+          FROM cum, tgt, pick WHERE cumdnw = pickw
+        )
+        SELECT n AS n_items, w AS total_weight,
+               CASE WHEN n > 0 AND w > 0 THEN
+                 round(CAST(gn AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(w AS DOUBLE)), 6)
+               END AS gini,
+               top_p_items
+        FROM tot, gn, sel
+      """.trim),
+      "X184 unigram Gini concentration + types covering 90% of mass")(
+      (spark, dir) => {
+        import spark.implicits._
+        val counts = table(spark, dir, "documents")
+          .select(explode(Dedup.tokens($"text")).as("t"))
+          .groupBy($"t").agg(count(lit(1)).as("cnt"))
+        DistStats.giniConcentration(counts, "cnt", p = 0.9)
+      }),
+
+    // X185: Benford first-digit conformance of order totals — the
+    // fabricated-numbers QA check, exact digit counts + χ² terms.
+    QueryDef(
+      "q_benford",
+      Some("""
+        WITH c AS (
+          SELECT v FROM (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders) WHERE v > 0
+        ), obs AS (
+          SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+                   AS digit,
+                 CAST(count(*) AS BIGINT) AS observed
+          FROM c GROUP BY 1
+        ), tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs)
+        SELECT digit, observed,
+               round(CAST(n AS DOUBLE)
+                 * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)), 6)
+                 AS expected,
+               round((CAST(observed AS DOUBLE)
+                      - CAST(n AS DOUBLE)
+                        * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                           / ln(10.0)))
+                     * (CAST(observed AS DOUBLE)
+                        - CAST(n AS DOUBLE)
+                          * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                             / ln(10.0)))
+                     / (CAST(n AS DOUBLE)
+                        * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                           / ln(10.0))), 6) AS chi2_term
+        FROM obs, tot
+        ORDER BY digit
+      """.trim),
+      "X185 Benford first-digit test over order totals")(
+      (spark, dir) =>
+        DistStats.benford(table(spark, dir, "orders"), "o_totalprice")
+          .orderBy("digit")),
+
+    // X186: Otsu auto-threshold on the doc-length histogram — the
+    // argmax of between-class variance over every distinct cut.
+    QueryDef(
+      "q_otsu_threshold",
+      Some("""
+        WITH g AS (
+          SELECT CAST(round(n_chars * 1e6) AS BIGINT) AS v,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1
+        ), cum AS (
+          SELECT v, c,
+                 CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS n0,
+                 CAST(sum(CAST(v AS HUGEINT) * c) OVER (ORDER BY v)
+                   AS HUGEINT) AS s0
+          FROM g
+        ), tot AS (
+          SELECT CAST(sum(c) AS BIGINT) AS nn,
+                 CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS ss
+          FROM g
+        ), sc AS (
+          SELECT v, n0, nn,
+                 CAST(s0 * nn - ss * n0 AS DOUBLE)
+                   * CAST(s0 * nn - ss * n0 AS DOUBLE)
+                 / (CAST(n0 AS DOUBLE) * CAST(nn - n0 AS DOUBLE)
+                    * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS sb
+          FROM cum, tot WHERE n0 > 0 AND n0 < nn
+        ), best AS (SELECT max(sb) AS b FROM sc),
+        pick AS (
+          SELECT min(v) AS t, max(b) AS sbv, max(nn) AS nn2
+          FROM sc, best WHERE sb = b
+        )
+        SELECT round(CAST(pick.t AS DOUBLE) / 1e6, 6) AS threshold,
+               round(sbv / 1e12, 6) AS sigma_b,
+               sc.n0 AS n_below,
+               nn2 - sc.n0 AS n_above
+        FROM pick JOIN sc ON sc.v = pick.t
+      """.trim),
+      "X186 Otsu between-class-variance threshold on doc length")(
+      (spark, dir) =>
+        DistStats.otsuThreshold(
+          table(spark, dir, "documents"), "n_chars")),
+
+    // X187: simple Good-Turing re-estimated counts r* for r ≤ 10
+    // plus the unseen-mass r=0 row. Counts are trigram DOCUMENT
+    // frequencies — the sparse end of this corpus (the templated
+    // unigram vocabulary has no low-r support at all, which would
+    // make the estimator vacuous).
+    QueryDef(
+      "q_good_turing",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $SqlToks AS w FROM documents
+        ), tri AS (
+          SELECT DISTINCT doc_id,
+                 w[i] || chr(1) || w[i+1] || chr(1) || w[i+2] AS g
+          FROM toks, unnest(range(1, len(w) - 1)) AS r(i)
+        ), c AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS v FROM tri GROUP BY g
+        ), fof AS (
+          SELECT v AS r, CAST(count(*) AS BIGINT) AS nr FROM c GROUP BY v
+        ), tot AS (
+          SELECT CAST(sum(CAST(r AS HUGEINT) * nr) AS HUGEINT) AS t
+          FROM fof
+        ), rws AS (
+          SELECT f.r AS r, f.nr AS n_r,
+                 round(CAST(f.r + 1 AS DOUBLE) * CAST(n2.nr AS DOUBLE)
+                   / CAST(f.nr AS DOUBLE), 6) AS r_star,
+                 round(CAST(f.r + 1 AS DOUBLE) * CAST(n2.nr AS DOUBLE)
+                   / CAST(f.nr AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+                   AS p_gt
+          FROM fof f LEFT JOIN fof n2 ON n2.r = f.r + 1, tot
+          WHERE f.r <= 10
+        ), unseen AS (
+          SELECT CAST(0 AS BIGINT) AS r, nr AS n_r,
+                 CAST(NULL AS DOUBLE) AS r_star,
+                 round(CAST(nr AS DOUBLE) / CAST(t AS DOUBLE), 6) AS p_gt
+          FROM fof, tot WHERE r = 1
+        )
+        SELECT * FROM unseen
+        UNION ALL SELECT * FROM rws
+        ORDER BY r
+      """.trim),
+      "X187 simple Good-Turing adjusted counts + unseen mass " +
+        "(trigram document frequencies)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val counts = Dedup.explodedShingles(
+            table(spark, dir, "documents"), "doc_id", "text", k = 3)
+          .groupBy($"g").agg(count(lit(1)).as("v"))
+        DistStats.goodTuring(counts, "v", maxR = 10).orderBy($"r")
+      })
+  )
+}
