@@ -133,6 +133,65 @@ object Hypothesis {
           .as("ks_d"))
   }
 
+  /** X189 — Wald's sequential probability ratio test (SPRT) replay:
+    * per group, walk the trials in `orderCol` order accumulating the
+    * log-likelihood ratio for H1: p=p1 vs H0: p=p0, and report the
+    * FIRST crossing of the Wald boundaries A = ln((1−β)/α) (accept
+    * H1) or B = ln(β/(1−α)) (accept H0) — the early-stopping answer
+    * to "how soon could this A/B test have been called". Groups that
+    * never cross report 'continue' with their final state.
+    *
+    * Determinism: the walk state is two INTEGERS (trials n,
+    * successes s); llr = s·ln(p1/p0) + (n−s)·ln((1−p1)/(1−p0)) is a
+    * fixed-shape double from them, so the crossing index is
+    * engine-exact. Scale shape: per-group ordered windows
+    * (partitioned — never global); one row out per group.
+    */
+  def sprt(df: DataFrame, groupCol: String, successCol: Column,
+      orderCols: Seq[Column], p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"bad p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"bad alpha=$alpha beta=$beta")
+    import org.apache.spark.sql.expressions.Window
+    val c1 = math.log(p1 / p0)
+    val c0 = math.log((1 - p1) / (1 - p0))
+    val aBound = math.log((1 - beta) / alpha)
+    val bBound = math.log(beta / (1 - alpha))
+    val walked = df.select(Seq(col(groupCol),
+      when(successCol, 1L).otherwise(0L).as("__x")) ++
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+    val ord = orderCols.indices.map(i => col(s"__o$i"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = walked
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__x")).over(w))
+      .withColumn("__llr", col("__s").cast("double") * c1 +
+        (col("__n") - col("__s")).cast("double") * c0)
+    val crossings = walk
+      .filter(col("__llr") >= aBound || col("__llr") <= bBound)
+      .groupBy(col(groupCol)).agg(min(col("__n")).as("__nc"))
+    val atCross = crossings.join(walk,
+        Seq(groupCol)).filter(col("__n") === col("__nc"))
+      .select(col(groupCol), col("__n"), col("__s"), col("__llr"))
+    val totals = walk.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("__nt"))
+    val finals = totals.join(walk, Seq(groupCol))
+      .filter(col("__n") === col("__nt"))
+      .select(col(groupCol), col("__n").as("__fn"),
+        col("__s").as("__fs"), col("__llr").as("__fllr"))
+    finals.join(atCross, Seq(groupCol), "left")
+      .select(col(groupCol),
+        when(col("__n").isNull, "continue")
+          .when(col("__llr") >= aBound, "accept_h1")
+          .otherwise("accept_h0").as("decision"),
+        coalesce(col("__n"), col("__fn")).cast("long").as("n_trials"),
+        coalesce(col("__s"), col("__fs")).cast("long").as("successes"),
+        round(coalesce(col("__llr"), col("__fllr")), 6).as("llr"))
+  }
+
   /** X152 — Krippendorff's alpha (nominal scale, two raters, no
     * missing values): α = 1 − (n−1)·ΣoffDiag(o)/De with the
     * coincidence matrix o folded down to three exact integers —

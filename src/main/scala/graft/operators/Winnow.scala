@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X188 — winnowing document fingerprints (the MOSS local
+  * fingerprinting algorithm, Schleimer-Wilkerson-Aiken 2003 shape):
+  * normalize → character k-grams → md5 hashes → per window of w
+  * consecutive k-grams keep the MINIMUM hash (rightmost occurrence
+  * on ties) → the deduplicated (hash, position) set is the doc's
+  * fingerprint. Guarantees: any shared substring of length ≥ w+k−1
+  * yields at least one shared fingerprint, and the selected density
+  * is ~2/(w+1) — position-local, unlike X1's MinHash (whole-doc
+  * bag) or X111's CDC cuts (content-defined but not match-
+  * guaranteed).
+  *
+  * Determinism: hashes are 32-bit md5 prefixes (the repo-wide
+  * engine-replayable idiom); the rightmost-min tie rule is folded
+  * into ONE integer key h·2²⁰ + (2²⁰−1−pos), so a plain window min
+  * picks it — no argmin, no engine-specific tie semantics. Positions
+  * therefore cap at 2²⁰−1 chars (~1 MB of normalized text; longer
+  * docs are clipped by the key guard, stated loudly here).
+  *
+  * Scale shape: per-doc ordered windows (partitioned by doc — never
+  * global), one distinct, one grouped digest. Output per doc:
+  * (n_fp, fp_md5 of the position-ordered "h:pos" list).
+  */
+object Winnow {
+
+  /** Row-level fingerprint selection: (idCol, h, pos) — the form a
+    * near-dup candidate generator joins on h. [[fingerprints]] folds
+    * this to the per-doc digest contract.
+    */
+  def fingerprintRows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 2 && k <= 64, s"bad k $k")
+    require(w >= 2 && w <= 64, s"bad w $w")
+    val cap = 1L << 20
+    val base = docs.select(col(idCol),
+        regexp_replace(lower(col(textCol)), "[^a-z0-9]", "").as("__s"))
+      .select(col(idCol), col("__s"), length(col("__s")).as("__len"))
+      .filter(col("__len") >= k + w - 1 && col("__len") <= cap)
+    val kg = base
+      .select(col(idCol), col("__len"),
+        explode(sequence(lit(0), col("__len") - k)).as("p"), col("__s"))
+      .select(col(idCol), col("__len"), col("p"),
+        conv(substring(md5(expr(s"substring(__s, p + 1, $k)")), 1, 8),
+          16, 10).cast("long").as("h"))
+    val keyed = kg.withColumn("kk",
+      col("h") * cap + (lit(cap - 1) - col("p")))
+    val wdw = Window.partitionBy(col(idCol)).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    keyed
+      .withColumn("__wmin", min(col("kk")).over(wdw))
+      .filter(col("p") <= col("__len") - k - (w - 1))
+      .select(col(idCol), col("__wmin")).distinct()
+      .select(col(idCol),
+        expr(s"__wmin div ${cap}L").as("h"),
+        (lit(cap - 1) - pmod(col("__wmin"), lit(cap))).as("pos"))
+  }
+
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame =
+    fingerprintRows(docs, idCol, textCol, k, w)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"),
+        md5(concat_ws(",", transform(
+          sort_array(collect_list(struct(col("pos").as("p"),
+            concat_ws(":", col("h"), col("pos")).as("s")))),
+          x => x.getField("s")))).as("fp_md5"))
+}

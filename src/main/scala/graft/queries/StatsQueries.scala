@@ -2,8 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, DistStats, RankStats}
-import QueryDef.table
+import graft.operators.{Dedup, DistStats, GraphStats, Hypothesis,
+  RankStats, Winnow}
+import QueryDef.{events, table}
 
 /** r10 wave 1 (SURVEY §2.10 X181–X187): rank statistics (Spearman,
   * binned Kendall tau-b, Borda aggregation) and distribution-shape
@@ -369,6 +370,158 @@ object StatsQueries {
             table(spark, dir, "documents"), "doc_id", "text", k = 3)
           .groupBy($"g").agg(count(lit(1)).as("v"))
         DistStats.goodTuring(counts, "v", maxR = 10).orderBy($"r")
+      }),
+
+    // X188: MOSS winnowing fingerprints (k=5 char-grams, window
+    // w=4) — per doc the fingerprint count and an md5 digest of the
+    // position-ordered (hash, pos) selection.
+    QueryDef(
+      "q_winnow",
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+          FROM documents
+        ), base AS (
+          SELECT doc_id, s, len(s) AS l FROM d
+          WHERE len(s) >= 8 AND len(s) <= 1048576
+        ), kg AS (
+          SELECT doc_id, l, i AS p,
+                 ('0x' || substr(md5(substr(s, i + 1, 5)), 1, 8))::BIGINT
+                   AS h
+          FROM base, unnest(range(0, l - 5 + 1)) AS r(i)
+        ), keyed AS (
+          SELECT doc_id, l, p, h * 1048576 + (1048575 - p) AS kk
+          FROM kg
+        ), wm AS (
+          SELECT doc_id, l, p,
+                 min(kk) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+          FROM keyed
+        ), sel AS (
+          SELECT DISTINCT doc_id, wmin FROM wm WHERE p <= l - 5 - 3
+        ), fp AS (
+          SELECT doc_id, wmin // 1048576 AS h,
+                 1048575 - (wmin % 1048576) AS pos
+          FROM sel
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+               md5(string_agg(h::VARCHAR || ':' || pos::VARCHAR, ','
+                 ORDER BY pos)) AS fp_md5
+        FROM fp GROUP BY doc_id
+        ORDER BY doc_id
+      """.trim),
+      "X188 winnowing fingerprint digests per doc (k=5, w=4)")(
+      (spark, dir) =>
+        Winnow.fingerprints(table(spark, dir, "documents"),
+            "doc_id", "text", k = 5, w = 4)
+          .orderBy("doc_id")),
+
+    // X189: SPRT early-stopping replay per event_type — when could
+    // the "values run high" hypothesis (p1=0.5 vs p0=0.3 of
+    // value>50) have been decided, walking events in time order.
+    QueryDef(
+      "q_sprt",
+      Some {
+        val c1 = math.log(0.5 / 0.3)
+        val c0 = math.log(0.5 / 0.7)
+        val aB = math.log((1 - 0.2) / 0.05)
+        val bB = math.log(0.2 / (1 - 0.05))
+        s"""
+        WITH tr AS (
+          SELECT event_type, ts, event_id,
+                 CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS x
+          FROM events
+        ), wk AS (
+          SELECT event_type,
+                 CAST(count(*) OVER win AS BIGINT) AS n,
+                 CAST(sum(x) OVER win AS BIGINT) AS s
+          FROM tr WINDOW win AS (PARTITION BY event_type
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), ll AS (
+          SELECT event_type, n, s,
+                 CAST(s AS DOUBLE) * ($c1)
+                   + CAST(n - s AS DOUBLE) * ($c0) AS llr
+          FROM wk
+        ), cr AS (
+          SELECT event_type, min(n) AS nc FROM ll
+          WHERE llr >= $aB OR llr <= $bB GROUP BY 1
+        ), at_ AS (
+          SELECT l.event_type, l.n, l.s, l.llr
+          FROM cr JOIN ll l
+            ON l.event_type = cr.event_type AND l.n = cr.nc
+        ), fin AS (
+          SELECT l.event_type, l.n AS fn, l.s AS fs, l.llr AS fllr
+          FROM (SELECT event_type, max(n) AS nt FROM ll GROUP BY 1) t
+          JOIN ll l ON l.event_type = t.event_type AND l.n = t.nt
+        )
+        SELECT f.event_type,
+               CASE WHEN a.n IS NULL THEN 'continue'
+                    WHEN a.llr >= $aB THEN 'accept_h1'
+                    ELSE 'accept_h0' END AS decision,
+               coalesce(a.n, f.fn) AS n_trials,
+               coalesce(a.s, f.fs) AS successes,
+               round(coalesce(a.llr, f.fllr), 6) AS llr
+        FROM fin f LEFT JOIN at_ a ON a.event_type = f.event_type
+        ORDER BY f.event_type
+        """.trim
+      },
+      "X189 SPRT first-crossing replay per event type")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.sprt(events(spark, dir), "event_type",
+            $"value" > 50.0, Seq($"ts", $"event_id"),
+            p0 = 0.3, p1 = 0.5, alpha = 0.05, beta = 0.2)
+          .orderBy($"event_type")
+      }),
+
+    // X190: triangle count + clustering coefficient of the part
+    // co-purchase graph (parts sharing an order, first 3 lines).
+    QueryDef(
+      "q_triangles",
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey
+            AND x.l_partkey < y.l_partkey
+          WHERE x.l_linenumber <= 3 AND y.l_linenumber <= 3
+        ), ends AS (
+          SELECT a AS v FROM e UNION ALL SELECT b FROM e
+        ), nodes AS (
+          SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_nodes FROM ends
+        ), ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+        deg AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS d FROM ends GROUP BY v
+        ), w2 AS (
+          SELECT coalesce(sum(CAST(d AS HUGEINT) * (d - 1)), 0) AS w2
+          FROM deg
+        ), tri AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          FROM e e1 JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT n_nodes, n_edges, n_triangles,
+               CAST(w2 // 2 AS BIGINT) AS n_wedges,
+               CASE WHEN w2 > 0 THEN
+                 round(6.0 * CAST(n_triangles AS DOUBLE)
+                   / CAST(w2 AS DOUBLE), 6) END AS clustering_coeff
+        FROM nodes, ne, tri, w2
+      """.trim),
+      "X190 triangles + transitivity of the part co-purchase graph")(
+      (spark, dir) => {
+        import spark.implicits._
+        val l = table(spark, dir, "lineitem")
+          .filter($"l_linenumber" <= 3)
+          .select($"l_orderkey", $"l_partkey")
+        val e = l.as("x").join(l.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("s1"),
+            col("y.l_partkey").as("s2"))
+          .distinct()
+        GraphStats.triangleStats(e, "s1", "s2")
       })
   )
 }
