@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X191–X192 — score calibration across sources: quantile
+  * normalization (map every source's score distribution onto the
+  * POOLED distribution, so "top 10% within its source" means the
+  * same number everywhere — the cross-source comparability step
+  * before any global threshold like X186's Otsu cut) and isotonic
+  * regression (the monotone-nonparametric calibrator that turns a
+  * ranked score into an honest probability, PAV's exact solution via
+  * the minimax closed form — no sequential pooling loop).
+  *
+  * Determinism: micro-unit quantization, exact integer ranks/counts,
+  * and double ratios of exact integers — identical in any engine.
+  */
+object Calibrate {
+
+  /** X191 — grid quantile normalization: per group, a row at
+    * average-position fraction (2r−1)/2n maps to grid point
+    * ⌈frac·G⌉, and each grid point t carries the POOLED order
+    * statistic at rank ⌈t·N/G⌉ — all ceilings exact integer
+    * arithmetic. G=1024 bounds the lookup table no matter the data
+    * size (the standard grid approximation; exact when n ≤ G).
+    *
+    * Scale shape: one per-group rank window (partitioned), one
+    * value-bounded global cumulative pass, a G×\|V\| bounded
+    * grid-build join, and a broadcast G-row lookup join back to the
+    * scan. No global row window anywhere.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+      valueCol: String, idCol: String, gridSize: Int = 1024)
+      : DataFrame = {
+    require(gridSize >= 2 && gridSize <= 65536, s"bad grid $gridSize")
+    val g = gridSize
+    val base = df.select(col(groupCol), col(idCol),
+      round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
+    val wr = Window.partitionBy(col(groupCol))
+      .orderBy(col("__v"), col(idCol))
+    val ranked = base
+      .withColumn("__r", row_number().over(wr).cast("long"))
+      .withColumn("__ng",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__t",
+        expr(s"((2 * __r - 1) * $g + 2 * __ng - 1) div (2 * __ng)"))
+    // pooled CDF on the distinct-value table (value-bounded window)
+    val wv = Window.orderBy(col("__gv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = base.groupBy(col("__v").as("__gv"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wv))
+    val tot = cdf.agg(max(col("__cum")).cast("long").as("__nn"))
+    val grid = df.sparkSession.range(1, g + 1)
+      .select(col("id").as("__t"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__target", expr(s"(__t * __nn + $g - 1) div $g"))
+    val stats = grid.join(cdf, col("__cum") >= col("__target"))
+      .groupBy(col("__t")).agg(min(col("__gv")).as("__stat"))
+    ranked.join(broadcast(stats), Seq("__t"))
+      .select(col(groupCol), col(idCol),
+        round(col("__v").cast("double") / 1e6, 6).as("value"),
+        round(col("__stat").cast("double") / 1e6, 6).as("norm_value"))
+  }
+
+  /** X192 — isotonic calibration on a bounded bin grid: scores bin
+    * equal-width to ≤ `bins` cells, each cell carries exact
+    * (n, positives), and the monotone fit is PAV's exact solution by
+    * the minimax identity ŷᵢ = max_{j≤i} min_{k≥i} avg(j..k) —
+    * interval averages come from cumulative sums, the triple
+    * (i,j,k) constraint join is bins³-bounded, so NOTHING here
+    * scales with the row count. Output per present bin:
+    * (bin, n, pos, raw_rate, fitted) with fitted non-decreasing.
+    */
+  def isotonicFit(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 32): DataFrame = {
+    require(bins >= 2 && bins <= 256, s"bad bins $bins")
+    val base = df.select(
+      round(col(scoreCol) * 1e6, 0).cast("long").as("__v"),
+      when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val ext = base.agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi"))
+    val binned = base.crossJoin(broadcast(ext))
+      .select(expr(s"((__v - __lo) * $bins) div (__hi - __lo + 1)")
+        .as("bin"), col("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+    val wb = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("__cn", sum(col("n")).over(wb))
+      .withColumn("__ck", sum(col("pos")).over(wb))
+    // interval [j..k] averages from the two cumulative rows
+    val j = cum.select(col("bin").as("__jb"), col("n").as("__jn"),
+      col("pos").as("__jk"), col("__cn").as("__jcn"),
+      col("__ck").as("__jck"))
+    val kk = cum.select(col("bin").as("__kb"), col("__cn").as("__kcn"),
+      col("__ck").as("__kck"))
+    val iv = j.join(kk, col("__jb") <= col("__kb"))
+      .select(col("__jb"), col("__kb"),
+        ((col("__kck") - col("__jck") + col("__jk")).cast("double") /
+          (col("__kcn") - col("__jcn") + col("__jn")).cast("double"))
+          .as("__avg"))
+    val tri = binned.select(col("bin"), col("n"), col("pos"))
+      .join(iv, col("__jb") <= col("bin") && col("__kb") >= col("bin"))
+    val inner = tri.groupBy(col("bin"), col("n"), col("pos"),
+        col("__jb"))
+      .agg(min(col("__avg")).as("__mn"))
+    inner.groupBy(col("bin"), col("n"), col("pos"))
+      .agg(max(col("__mn")).as("__fit"))
+      .select(col("bin"), col("n").cast("long").as("n"),
+        col("pos").cast("long").as("pos"),
+        round(col("pos").cast("double") / col("n").cast("double"), 6)
+          .as("raw_rate"),
+        round(col("__fit"), 6).as("fitted"))
+  }
+}

@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, DistStats, GraphStats, Hypothesis,
-  RankStats, Winnow}
+import graft.operators.{Calibrate, Dedup, DistStats, GraphStats,
+  Hypothesis, RankStats, Winnow}
 import QueryDef.{events, table}
 
 /** r10 wave 1 (SURVEY §2.10 X181–X187): rank statistics (Spearman,
@@ -522,6 +522,103 @@ object StatsQueries {
             col("y.l_partkey").as("s2"))
           .distinct()
         GraphStats.triangleStats(e, "s1", "s2")
+      }),
+
+    // X191: quantile-normalize doc length across sources onto the
+    // pooled distribution (1024-point grid) — "long for its source"
+    // becomes comparable between sources.
+    QueryDef(
+      "q_quantile_norm",
+      Some("""
+        WITH base AS (
+          SELECT source, doc_id,
+                 CAST(round(n_chars * 1e6) AS BIGINT) AS v
+          FROM documents
+        ), ranked AS (
+          SELECT source, doc_id, v,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY v, doc_id) AS BIGINT) AS r,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+                   AS ng
+          FROM base
+        ), tg AS (
+          SELECT source, doc_id, v,
+                 ((2 * r - 1) * 1024 + 2 * ng - 1) // (2 * ng) AS t
+          FROM ranked
+        ), cdf AS (
+          SELECT v AS gv,
+                 CAST(sum(count(*)) OVER (ORDER BY v) AS BIGINT) AS cum
+          FROM base GROUP BY v
+        ), tot AS (SELECT CAST(max(cum) AS BIGINT) AS nn FROM cdf),
+        grid AS (
+          SELECT i AS t, (i * nn + 1023) // 1024 AS target
+          FROM tot, unnest(range(1, 1025)) AS r(i)
+        ), stats AS (
+          SELECT t, min(gv) AS stat
+          FROM grid JOIN cdf ON cum >= target GROUP BY t
+        )
+        SELECT b.source, b.doc_id,
+               round(CAST(b.v AS DOUBLE) / 1e6, 6) AS value,
+               round(CAST(s.stat AS DOUBLE) / 1e6, 6) AS norm_value
+        FROM tg b JOIN stats s ON s.t = b.t
+        ORDER BY b.source, b.doc_id
+      """.trim),
+      "X191 cross-source quantile normalization of doc length")(
+      (spark, dir) => {
+        import spark.implicits._
+        Calibrate.quantileNormalize(
+            table(spark, dir, "documents"), "source", "n_chars",
+            "doc_id", gridSize = 1024)
+          .orderBy($"source", $"doc_id")
+      }),
+
+    // X192: isotonic calibration of the "lang = en" rate against
+    // doc length on a 32-bin grid — PAV's exact minimax solution.
+    QueryDef(
+      "q_isotonic",
+      Some("""
+        WITH base AS (
+          SELECT CAST(round(n_chars * 1e6) AS BIGINT) AS v,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents
+        ), ext AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+        b AS (
+          SELECT ((v - lo) * 32) // (hi - lo + 1) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos
+          FROM base, ext GROUP BY 1
+        ), cum AS (
+          SELECT bin, n, pos,
+                 CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+                 CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS ck
+          FROM b
+        ), iv AS (
+          SELECT j.bin AS jb, k.bin AS kb,
+                 CAST(k.ck - j.ck + j.pos AS DOUBLE)
+                   / CAST(k.cn - j.cn + j.n AS DOUBLE) AS avg_
+          FROM cum j JOIN cum k ON j.bin <= k.bin
+        ), tri AS (
+          SELECT b.bin, b.n, b.pos, iv.jb, iv.avg_
+          FROM b JOIN iv ON iv.jb <= b.bin AND iv.kb >= b.bin
+        ), inner_ AS (
+          SELECT bin, n, pos, jb, min(avg_) AS mn
+          FROM tri GROUP BY 1, 2, 3, 4
+        )
+        SELECT bin, n, pos,
+               round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS raw_rate,
+               round(max(mn), 6) AS fitted
+        FROM inner_ GROUP BY bin, n, pos
+        ORDER BY bin
+      """.trim),
+      "X192 isotonic calibration of en-rate vs doc length (32 bins)")(
+      (spark, dir) => {
+        import spark.implicits._
+        Calibrate.isotonicFit(
+            table(spark, dir, "documents")
+              .select($"n_chars", ($"lang" === "en").as("is_en")),
+            "n_chars", "is_en", bins = 32)
+          .orderBy($"bin")
       })
   )
 }
