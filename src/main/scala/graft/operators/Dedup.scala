@@ -749,4 +749,43 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** X197 — MinHash-LSH parameter planner: the (bands b, rows r)
+    * S-curve table P(candidate | Jaccard s) = 1 − (1 − sʳ)ᵇ plus the
+    * threshold (1/b)^(1/r) where the curve steepens — the table you
+    * read BEFORE committing a banding to a 100 TB dedup run (X1's
+    * minhash family consumes the chosen (b, r)).
+    *
+    * Engine parity: sʳ by repeated multiplication (r ≤ 8) and
+    * (1−sʳ)ᵇ by repeated squaring (b ∈ {4,8,16,32,64}) — pure IEEE
+    * multiply chains, bit-identical anywhere, no libm pow in the
+    * collision column; only the threshold uses exp/ln (the
+    * ln-on-identical-doubles convention). s walks the exact-double
+    * grid i/10.
+    */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val rGrid = spark.range(1, 9).select(col("id").cast("int").as("r"))
+    val bGrid = Seq(4, 8, 16, 32, 64).toDF("b")
+    val sGrid = spark.range(1, 10)
+      .select((col("id").cast("double") / 10.0).as("s"))
+    val powR = expr("""CASE r WHEN 1 THEN s WHEN 2 THEN s*s
+      WHEN 3 THEN s*s*s WHEN 4 THEN s*s*s*s WHEN 5 THEN s*s*s*s*s
+      WHEN 6 THEN s*s*s*s*s*s WHEN 7 THEN s*s*s*s*s*s*s
+      ELSE s*s*s*s*s*s*s*s END""")
+    rGrid.crossJoin(bGrid).crossJoin(sGrid)
+      .withColumn("__q", lit(1.0) - powR)
+      .withColumn("__q4", col("__q") * col("__q") * col("__q") *
+        col("__q"))
+      .withColumn("__q8", col("__q4") * col("__q4"))
+      .withColumn("__q16", col("__q8") * col("__q8"))
+      .withColumn("__q32", col("__q16") * col("__q16"))
+      .withColumn("__q64", col("__q32") * col("__q32"))
+      .select(col("r"), col("b"), col("s"),
+        round(lit(1.0) - expr("""CASE b WHEN 4 THEN __q4
+          WHEN 8 THEN __q8 WHEN 16 THEN __q16 WHEN 32 THEN __q32
+          ELSE __q64 END"""), 6).as("p_collision"),
+        round(exp(log(lit(1.0) / col("b").cast("double")) /
+          col("r").cast("double")), 6).as("s_threshold"))
+  }
 }

@@ -153,4 +153,48 @@ object Funnel {
     case other =>
       throw new IllegalArgumentException(s"unsupported grain: $other")
   }
+
+  /** X195 — RFM segmentation: per key the classic
+    * recency/frequency/monetary triple, each scored 1..5 by EXACT
+    * quintile q = ⌊5·rank₀/n⌋+1 over the two-phase distributed rank
+    * (desc for F/M, asc for R — rank 0 is always the BEST key, so
+    * score = 6 − q reads naturally: 555 = recent, frequent, big).
+    * No ntile window (single-partition at scale) and no
+    * approximate percentiles — ranks are exact and id-tie-broken,
+    * so the same customer lands in the same cell in every engine.
+    * Output: key, the three raw metrics, three scores, and the
+    * 3-digit rfm_code.
+    */
+  def rfm(orders: DataFrame, keyCol: String, dateCol: String,
+      amountCol: String): DataFrame = {
+    val per = orders.groupBy(col(keyCol))
+      .agg(max(to_date(col(dateCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(round(col(amountCol) * 100, 0).cast("long"))
+          .as("monetary_cents"))
+    val mx = per.agg(max(col("__last")).as("__mx"))
+    val base = per.crossJoin(broadcast(mx))
+      .withColumn("recency_days",
+        datediff(col("__mx"), col("__last")).cast("long"))
+      .drop("__last", "__mx")
+    val cnt = base.agg(count(lit(1)).as("__n"))
+    def score(metric: org.apache.spark.sql.Column, out: String)
+        (df: DataFrame): DataFrame =
+      CorpusOps.globalRank(df, Seq(metric, col(keyCol)))
+        .crossJoin(broadcast(cnt))
+        .withColumn(out,
+          lit(6L) - (expr("(5 * __rank) div __n") + 1L))
+        .drop("__rank", "__n")
+    val scored = Seq(
+      score(col("recency_days").asc, "r_score") _,
+      score(col("frequency").desc, "f_score") _,
+      score(col("monetary_cents").desc, "m_score") _)
+      .foldLeft(base) { (df, f) => f(df) }
+    scored.select(col(keyCol), col("recency_days"),
+      col("frequency").cast("long").as("frequency"),
+      col("monetary_cents"),
+      col("r_score"), col("f_score"), col("m_score"),
+      (col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+        .as("rfm_code"))
+  }
 }

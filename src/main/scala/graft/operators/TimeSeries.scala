@@ -124,4 +124,49 @@ object TimeSeries {
       coalesce(when(col("n_ref") >= minN && varNum > 0,
         abs(z) > threshold), lit(false)).as("is_anomaly"))
   }
+
+  /** X196 — one-sided CUSUM changepoint detection per key: the
+    * classic recurrence S_n = max(0, S_{n−1} + x_n − μ − k) rewritten
+    * as the WINDOW-EXPRESSIBLE identity S_n = P_n − min(0, min_{j≤n}
+    * P_j) with P the plain cumulative sum of (x − μ − k) — no
+    * sequential loop, just two per-key ordered windows. Alarms fire
+    * at the first S_n > h; the sustained-small-shift detector beside
+    * [[rollingZScore]]'s single-point spikes (X112).
+    *
+    * Exactness: x quantizes to micro-units, P and S are integer
+    * cumsums, the alarm index is an integer compare — engine-exact.
+    * Output per key: (n_obs, s_max, alarm_n, s_at_alarm); keys that
+    * never cross report NULL alarm columns.
+    */
+  def cusum(df: DataFrame, keyCol: String, valueCol: String,
+      orderCols: Seq[org.apache.spark.sql.Column], target: Double,
+      slack: Double, threshold: Double): DataFrame = {
+    require(threshold > 0, s"bad threshold $threshold")
+    val mu = math.round((target + slack) * 1e6)
+    val h = math.round(threshold * 1e6)
+    val base = df.select(Seq(col(keyCol),
+      (round(col(valueCol) * 1e6, 0).cast("long") - mu).as("__z")) ++
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+    val ord = orderCols.indices.map(i => col(s"__o$i"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = base
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__p", sum(col("__z")).over(w))
+      .withColumn("__s",
+        col("__p") - least(lit(0L), min(col("__p")).over(w)))
+    val alarms = walk.filter(col("__s") > h)
+      .groupBy(col(keyCol)).agg(min(col("__n")).as("__na"))
+    val atAlarm = alarms.join(walk, Seq(keyCol))
+      .filter(col("__n") === col("__na"))
+      .select(col(keyCol), col("__n").as("__an"),
+        col("__s").as("__as"))
+    walk.groupBy(col(keyCol))
+      .agg(max(col("__n")).cast("long").as("n_obs"),
+        round(max(col("__s")).cast("double") / 1e6, 6).as("s_max"))
+      .join(atAlarm, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_obs"), col("s_max"),
+        col("__an").cast("long").as("alarm_n"),
+        round(col("__as").cast("double") / 1e6, 6).as("s_at_alarm"))
+  }
 }

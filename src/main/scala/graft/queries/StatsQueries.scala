@@ -20,6 +20,53 @@ object StatsQueries {
   private val SqlToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
+  /** Unrolled integer-PageRank oracle over the word co-occurrence
+    * graph — the X101 iteration body verbatim (pr on the 1e9 grid,
+    * damping 17/20) with a word-bigram edge head. Same reason as
+    * CurationQueries.pagerankSql: the rank fold can't live in a
+    * recursive CTE term.
+    */
+  private def textrankSql(iters: Int): String = {
+    val head = s"""
+      WITH toks AS (
+        SELECT doc_id, $SqlToks AS w FROM documents
+      ), e0 AS (
+        SELECT DISTINCT w[i] AS src, w[i+1] AS dst
+        FROM toks, unnest(range(1, len(w))) AS r(i)
+        WHERE w[i] <> w[i+1]
+      ), edges AS (
+        SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+      ), deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY 1
+      ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+      ), params AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+      ), pr0 AS (
+        SELECT node,
+               CAST(1000000000 // (SELECT n FROM params) AS BIGINT) AS r
+        FROM nodes
+      )"""
+    val steps = (1 to iters).map { i =>
+      s""", pr$i AS (
+        SELECT n.node,
+          CAST((SELECT CAST(3000000000 AS BIGINT) // (20 * n) FROM params)
+            + ((17 * coalesce(c.s, 0)) // 20) AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, sum(p.r // d.deg) AS s
+          FROM pr${i - 1} p
+          JOIN edges e ON e.src = p.node
+          JOIN deg d ON d.node = p.node
+          GROUP BY e.dst) c ON n.node = c.node
+      )"""
+    }.mkString
+    val tail = s"""
+      SELECT node AS word, r AS "rank" FROM pr$iters
+      ORDER BY "rank" DESC, word"""
+    (head + steps + tail).trim
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // X181: Spearman rank correlation between doc length and token
@@ -619,6 +666,203 @@ object StatsQueries {
               .select($"n_chars", ($"lang" === "en").as("is_en")),
             "n_chars", "is_en", bins = 32)
           .orderBy($"bin")
-      })
+      }),
+
+    // X193: TextRank keyword scores — integer PageRank (X101
+    // machinery) over the symmetrized word-bigram co-occurrence
+    // graph; bit-exact 10-iteration CTE replay.
+    QueryDef(
+      "q_textrank",
+      Some(textrankSql(10)),
+      "X193 TextRank keyword scores over the word bigram graph")(
+      (spark, dir) => {
+        import spark.implicits._
+        val pairs = Dedup.explodedShingles(
+            table(spark, dir, "documents"), "doc_id", "text", k = 2)
+          .select(split($"g", Dedup.Sep).as("__p"))
+          .select($"__p".getItem(0).as("src"),
+            $"__p".getItem(1).as("dst"))
+          .filter($"src" =!= $"dst")
+          .distinct()
+        val sym = pairs.union(
+          pairs.select($"dst".as("src"), $"src".as("dst")))
+        graft.operators.PageRank
+          .run(sym, "src", "dst", iters = 10, symmetric = true)
+          .select($"node".as("word"), $"rank")
+          .orderBy($"rank".desc, $"word")
+      }),
+
+    // X194: session path mining — top 20 three-step event-type
+    // journeys across per-user time-ordered streams.
+    QueryDef(
+      "q_session_paths",
+      Some("""
+        WITH w AS (
+          SELECT event_type AS e1,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS e2,
+                 lead(event_type, 2) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS e3
+          FROM events
+        ), p AS (
+          SELECT e1 || '>' || e2 || '>' || e3 AS path,
+                 CAST(count(*) AS BIGINT) AS n_paths
+          FROM w WHERE e3 IS NOT NULL GROUP BY 1
+        )
+        SELECT path, n_paths FROM p
+        ORDER BY n_paths DESC, path
+        LIMIT 20
+      """.trim),
+      "X194 top-20 three-step user journeys")(
+      (spark, dir) => {
+        import spark.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        events(spark, dir)
+          .select($"user_id", $"event_type", $"ts", $"event_id")
+          .withColumn("e2", lead($"event_type", 1).over(w))
+          .withColumn("e3", lead($"event_type", 2).over(w))
+          .filter($"e3".isNotNull)
+          .select(concat_ws(">", $"event_type", $"e2", $"e3")
+            .as("path"))
+          .groupBy($"path").agg(count(lit(1)).as("n_paths"))
+          .orderBy($"n_paths".desc, $"path")
+          .limit(20)
+      }),
+
+    // X195: RFM segmentation of customers from orders — exact
+    // quintile scores, no ntile window.
+    QueryDef(
+      "q_rfm",
+      Some("""
+        WITH per AS (
+          SELECT o_custkey,
+                 max(CAST(o_orderdate AS DATE)) AS last_d,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS monetary_cents
+          FROM orders GROUP BY 1
+        ), mx AS (SELECT max(last_d) AS mxd FROM per),
+        base AS (
+          SELECT o_custkey,
+                 CAST(date_diff('day', last_d, mxd) AS BIGINT)
+                   AS recency_days,
+                 frequency, monetary_cents
+          FROM per, mx
+        ), n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM base),
+        r AS (
+          SELECT base.*,
+                 CAST(row_number() OVER (ORDER BY recency_days,
+                   o_custkey) AS BIGINT) - 1 AS rr,
+                 CAST(row_number() OVER (ORDER BY frequency DESC,
+                   o_custkey) AS BIGINT) - 1 AS rf,
+                 CAST(row_number() OVER (ORDER BY monetary_cents DESC,
+                   o_custkey) AS BIGINT) - 1 AS rm
+          FROM base
+        )
+        SELECT o_custkey, recency_days, frequency, monetary_cents,
+               6 - ((5 * rr) // nn + 1) AS r_score,
+               6 - ((5 * rf) // nn + 1) AS f_score,
+               6 - ((5 * rm) // nn + 1) AS m_score,
+               (6 - ((5 * rr) // nn + 1)) * 100
+                 + (6 - ((5 * rf) // nn + 1)) * 10
+                 + (6 - ((5 * rm) // nn + 1)) AS rfm_code
+        FROM r, n
+        ORDER BY o_custkey
+      """.trim),
+      "X195 RFM quintile segmentation of customers")(
+      (spark, dir) =>
+        graft.operators.Funnel.rfm(table(spark, dir, "orders"),
+            "o_custkey", "o_orderdate", "o_totalprice")
+          .orderBy("o_custkey")),
+
+    // X196: CUSUM changepoint per event type — reference 50, slack
+    // 5, alarm at cumulative excess 800.
+    QueryDef(
+      "q_cusum",
+      Some("""
+        WITH base AS (
+          SELECT event_type, ts, event_id,
+                 CAST(round(value * 1e6) AS BIGINT) - 55000000 AS z
+          FROM events
+        ), walk AS (
+          SELECT event_type,
+                 CAST(count(*) OVER win AS BIGINT) AS n,
+                 CAST(sum(z) OVER win AS BIGINT) AS p
+          FROM base WINDOW win AS (PARTITION BY event_type
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), s AS (
+          SELECT event_type, n,
+                 p - least(0, min(p) OVER (PARTITION BY event_type
+                   ORDER BY n
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 AS sn
+          FROM walk
+        ), al AS (
+          SELECT event_type, min(n) AS an FROM s
+          WHERE sn > 800000000 GROUP BY 1
+        ), at_ AS (
+          SELECT s.event_type, s.n, s.sn
+          FROM al JOIN s ON s.event_type = al.event_type
+            AND s.n = al.an
+        ), tot AS (
+          SELECT event_type, CAST(max(n) AS BIGINT) AS n_obs,
+                 round(CAST(max(sn) AS DOUBLE) / 1e6, 6) AS s_max
+          FROM s GROUP BY 1
+        )
+        SELECT t.event_type, t.n_obs, t.s_max,
+               a.n AS alarm_n,
+               round(CAST(a.sn AS DOUBLE) / 1e6, 6) AS s_at_alarm
+        FROM tot t LEFT JOIN at_ a ON a.event_type = t.event_type
+        ORDER BY t.event_type
+      """.trim),
+      "X196 CUSUM changepoint alarm per event type")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.TimeSeries.cusum(events(spark, dir),
+            "event_type", "value", Seq($"ts", $"event_id"),
+            target = 50.0, slack = 5.0, threshold = 800.0)
+          .orderBy($"event_type")
+      }),
+
+    // X197: MinHash-LSH parameter planner S-curve — pure closed-form
+    // grid, multiply-chain exact.
+    QueryDef(
+      "q_lsh_plan",
+      Some("""
+        WITH rg AS (SELECT i AS r FROM unnest(range(1, 9)) AS t(i)),
+        bg AS (SELECT unnest([4, 8, 16, 32, 64]) AS b),
+        sg AS (SELECT CAST(i AS DOUBLE) / 10.0 AS s
+               FROM unnest(range(1, 10)) AS t(i)),
+        g AS (
+          SELECT CAST(r AS INTEGER) AS r, CAST(b AS INTEGER) AS b, s,
+                 1.0 - (CASE r WHEN 1 THEN s WHEN 2 THEN s*s
+                   WHEN 3 THEN s*s*s WHEN 4 THEN s*s*s*s
+                   WHEN 5 THEN s*s*s*s*s WHEN 6 THEN s*s*s*s*s*s
+                   WHEN 7 THEN s*s*s*s*s*s*s
+                   ELSE s*s*s*s*s*s*s*s END) AS q
+          FROM rg, bg, sg
+        ), pw AS (
+          SELECT r, b, s, q, q * q * q * q AS q4 FROM g
+        ), pw2 AS (
+          SELECT r, b, s, q4, q4 * q4 AS q8, (q4 * q4) * (q4 * q4)
+                   AS q16,
+                 ((q4 * q4) * (q4 * q4)) * ((q4 * q4) * (q4 * q4))
+                   AS q32
+          FROM pw
+        )
+        SELECT r, b, s,
+               round(1.0 - (CASE b WHEN 4 THEN q4 WHEN 8 THEN q8
+                 WHEN 16 THEN q16 WHEN 32 THEN q32
+                 ELSE q32 * q32 END), 6) AS p_collision,
+               round(exp(ln(1.0 / CAST(b AS DOUBLE))
+                 / CAST(r AS DOUBLE)), 6) AS s_threshold
+        FROM pw2
+        ORDER BY r, b, s
+      """.trim),
+      "X197 LSH banding S-curve planner grid")(
+      (spark, dir) =>
+        Dedup.lshPlan(spark).orderBy("r", "b", "s"))
   )
 }
