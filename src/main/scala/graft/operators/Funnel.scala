@@ -154,6 +154,41 @@ object Funnel {
       throw new IllegalArgumentException(s"unsupported grain: $other")
   }
 
+  /** X200 — transition (conditional) entropy of an event stream:
+    * per current state, H(next | cur) = −Σ_n p(n|cur)·ln p(n|cur)
+    * from the exact bigram transition counts of each key's
+    * time-ordered walk — how PREDICTABLE the next step is from here,
+    * the information companion to X194's raw top-paths. Exact
+    * integer cells (\|states\|²-bounded), ln-on-identical-doubles,
+    * round(6); transitions come from partitioned lead windows.
+    */
+  def transitionEntropy(events: DataFrame, keyCol: String,
+      stateCol: String, orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = events.select(Seq(col(keyCol),
+      col(stateCol).as("__cur")) ++
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+    val ord = orderCols.indices.map(i => col(s"__o$i"))
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val trans = cells
+      .withColumn("__nxt", lead(col("__cur"), 1).over(w2))
+      .filter(col("__nxt").isNotNull)
+      .groupBy(col("__cur"), col("__nxt"))
+      .agg(count(lit(1)).as("__c"))
+    val rows = trans.groupBy(col("__cur"))
+      .agg(sum(col("__c")).as("__row"),
+        count(lit(1)).as("n_next_states"),
+        (-sum(col("__c").cast("double") *
+          log(col("__c").cast("double")))).as("__sclogc"))
+    rows.select(col("__cur").as("cur_state"),
+      col("__row").cast("long").as("n_trans"),
+      col("n_next_states").cast("long").as("n_next_states"),
+      // −Σ(c/R)ln(c/R) = ln R − (Σ c·ln c)/R
+      round(log(col("__row").cast("double")) +
+        col("__sclogc") / col("__row").cast("double"), 6)
+        .as("h_next"))
+  }
+
   /** X195 — RFM segmentation: per key the classic
     * recency/frequency/monetary triple, each scored 1..5 by EXACT
     * quintile q = ⌊5·rank₀/n⌋+1 over the two-phase distributed rank

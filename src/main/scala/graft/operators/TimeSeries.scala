@@ -169,4 +169,50 @@ object TimeSeries {
         col("__an").cast("long").as("alarm_n"),
         round(col("__as").cast("double") / 1e6, 6).as("s_at_alarm"))
   }
+
+  /** X201 — PAA + SAX symbolization: each key's time-ordered series
+    * splits into `segments` equal-population segments (rank-range
+    * assignment, no timestamps math), each segment reduces to its
+    * mean, and the mean quantizes to an `alphabet`-letter symbol by
+    * equal-width bins over the KEY's own [min, max] — the dimension-
+    * reduced shape signature that lets series compare/join by string
+    * ops (two keys with the same sax word trend alike). Classic SAX
+    * uses Gaussian breakpoints on z-normalized data; the equal-width
+    * variant keeps every boundary an exact integer comparison
+    * (symbol = ⌊alphabet·(Σv − n·lo) / (n·(hi−lo+1))⌋ in micro
+    * units — no libm in the symbol path), which is what makes the
+    * word engine-replayable.
+    *
+    * Scale shape: one partitioned rank window per key, then
+    * keys×segments-bounded aggregates. Output per (key, segment):
+    * (n, seg_mean, symbol).
+    */
+  def saxSymbols(df: DataFrame, keyCol: String, valueCol: String,
+      orderCols: Seq[org.apache.spark.sql.Column], segments: Int = 8,
+      alphabet: Int = 4): DataFrame = {
+    require(segments >= 2 && segments <= 64, s"bad segments $segments")
+    require(alphabet >= 2 && alphabet <= 26, s"bad alphabet $alphabet")
+    val base = df.select(Seq(col(keyCol),
+      round(col(valueCol) * 1e6, 0).cast("long").as("__v")) ++
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+    val ord = orderCols.indices.map(i => col(s"__o$i"))
+    val wr = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val ranked = base
+      .withColumn("__r", row_number().over(wr).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("segment",
+        expr(s"((__r - 1) * $segments) div __n"))
+    val ext = base.groupBy(col(keyCol))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val segs = ranked.groupBy(col(keyCol), col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__s"))
+      .join(ext, Seq(keyCol))
+    segs.select(col(keyCol), col("segment"),
+        col("n").cast("long").as("n"),
+        round(col("__s").cast("double") / col("n").cast("double") / 1e6,
+          6).as("seg_mean"),
+        expr(s"char(97 + ($alphabet * (__s - n * __lo))" +
+          s" div (n * (__hi - __lo + 1)))").as("symbol"))
+  }
 }

@@ -60,6 +60,35 @@ object Winnow {
         (lit(cap - 1) - pmod(col("__wmin"), lit(cap))).as("pos"))
   }
 
+  /** X199 — near-dup candidate pairs from shared fingerprints: the
+    * h-equijoin over [[fingerprintRows]] (position-dropped, doc-
+    * distinct), with two scale valves: hashes in more than `maxDf`
+    * docs are dropped BEFORE the join (stop-fingerprints — template
+    * boilerplate shared by hundreds of docs would contribute df²
+    * pairs each and find nothing but the template), and pairs below
+    * `minShared` shared fingerprints are cut after it. Join mass is
+    * then bounded by Σ_h df(h)² over kept hashes ≤ maxDf·Σdf —
+    * linear in corpus size at fixed maxDf.
+    */
+  def matches(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, maxDf: Int = 20, minShared: Int = 3)
+      : DataFrame = {
+    require(maxDf >= 2, s"bad maxDf $maxDf")
+    require(minShared >= 1, s"bad minShared $minShared")
+    val fp = fingerprintRows(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("h")).distinct()
+    val df = fp.groupBy(col("h")).agg(count(lit(1)).as("__m"))
+      .filter(col("__m") <= maxDf)
+    val keep = fp.join(df.select(col("h")), Seq("h"))
+    val a = keep.select(col("h"), col(idCol).as("d1"))
+    val b = keep.select(col("h"), col(idCol).as("d2"))
+    a.join(b, Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame =
     fingerprintRows(docs, idCol, textCol, k, w)

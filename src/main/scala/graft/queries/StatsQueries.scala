@@ -863,6 +863,129 @@ object StatsQueries {
       """.trim),
       "X197 LSH banding S-curve planner grid")(
       (spark, dir) =>
-        Dedup.lshPlan(spark).orderBy("r", "b", "s"))
+        Dedup.lshPlan(spark).orderBy("r", "b", "s")),
+
+    // X199: winnowing near-dup candidate pairs — shared-fingerprint
+    // join with the stop-fingerprint (maxDf) and minShared valves.
+    QueryDef(
+      "q_winnow_matches",
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+          FROM documents
+        ), base AS (
+          SELECT doc_id, s, len(s) AS l FROM d
+          WHERE len(s) >= 8 AND len(s) <= 1048576
+        ), kg AS (
+          SELECT doc_id, l, i AS p,
+                 ('0x' || substr(md5(substr(s, i + 1, 5)), 1, 8))::BIGINT
+                   AS h
+          FROM base, unnest(range(0, l - 5 + 1)) AS r(i)
+        ), keyed AS (
+          SELECT doc_id, l, p, h * 1048576 + (1048575 - p) AS kk
+          FROM kg
+        ), wm AS (
+          SELECT doc_id, l, p,
+                 min(kk) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+          FROM keyed
+        ), sel AS (
+          SELECT DISTINCT doc_id, wmin FROM wm WHERE p <= l - 5 - 3
+        ), fp AS (
+          SELECT DISTINCT doc_id, wmin // 1048576 AS h FROM sel
+        ), hdf AS (
+          SELECT h FROM (SELECT h, count(*) AS m FROM fp GROUP BY h)
+          WHERE m <= 20
+        ), keep AS (
+          SELECT fp.doc_id, fp.h FROM fp JOIN hdf USING (h)
+        )
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM keep a JOIN keep b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+        ORDER BY d1, d2
+      """.trim),
+      "X199 winnowing shared-fingerprint candidate pairs")(
+      (spark, dir) =>
+        Winnow.matches(table(spark, dir, "documents"), "doc_id",
+            "text", k = 5, w = 4, maxDf = 20, minShared = 3)
+          .orderBy("d1", "d2")),
+
+    // X200: transition entropy — how predictable the next event is
+    // from each state, over per-user time-ordered walks.
+    QueryDef(
+      "q_transition_entropy",
+      Some("""
+        WITH tr AS (
+          SELECT event_type AS cur,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS nxt
+          FROM events
+        ), cells AS (
+          SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+          FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ), rws AS (
+          SELECT cur, CAST(sum(c) AS BIGINT) AS rt,
+                 CAST(count(*) AS BIGINT) AS nn,
+                 -sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sc
+          FROM cells GROUP BY 1
+        )
+        SELECT cur AS cur_state, rt AS n_trans, nn AS n_next_states,
+               round(ln(CAST(rt AS DOUBLE)) + sc / CAST(rt AS DOUBLE),
+                 6) AS h_next
+        FROM rws ORDER BY cur_state
+      """.trim),
+      "X200 per-state transition entropy of user event walks")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Funnel.transitionEntropy(events(spark, dir),
+            "user_id", "event_type", Seq($"ts", $"event_id"))
+          .orderBy($"cur_state")
+      }),
+
+    // X201: PAA + equal-width SAX symbols of each event type's value
+    // series (8 segments, 4-letter alphabet).
+    QueryDef(
+      "q_sax",
+      Some("""
+        WITH base AS (
+          SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS v,
+                 ts, event_id
+          FROM events
+        ), ranked AS (
+          SELECT event_type, v,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY ts, event_id) AS BIGINT) AS r,
+                 CAST(count(*) OVER (PARTITION BY event_type)
+                   AS BIGINT) AS n
+          FROM base
+        ), seg AS (
+          SELECT event_type, ((r - 1) * 8) // n AS segment,
+                 CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(v) AS BIGINT) AS s
+          FROM ranked GROUP BY 1, 2
+        ), ext AS (
+          SELECT event_type, min(v) AS lo, max(v) AS hi
+          FROM base GROUP BY 1
+        )
+        SELECT g.event_type, g.segment, g.cnt AS n,
+               round(CAST(g.s AS DOUBLE) / CAST(g.cnt AS DOUBLE) / 1e6,
+                 6) AS seg_mean,
+               chr(CAST(97 + (4 * (g.s - g.cnt * e.lo))
+                 // (g.cnt * (e.hi - e.lo + 1)) AS INTEGER)) AS symbol
+        FROM seg g JOIN ext e USING (event_type)
+        ORDER BY g.event_type, g.segment
+      """.trim),
+      "X201 PAA + SAX word per event type (8 segments, abcd)")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.TimeSeries.saxSymbols(events(spark, dir),
+            "event_type", "value", Seq($"ts", $"event_id"),
+            segments = 8, alphabet = 4)
+          .orderBy($"event_type", $"segment")
+      })
   )
 }
