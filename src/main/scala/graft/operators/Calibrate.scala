@@ -73,6 +73,51 @@ object Calibrate {
     * scales with the row count. Output per present bin:
     * (bin, n, pos, raw_rate, fitted) with fitted non-decreasing.
     */
+  /** X204 — calibration metrics for a [0,1] probability column
+    * against a boolean label: the Brier score (mean squared error of
+    * the probability) and the expected calibration error (ECE —
+    * bin-weighted \|confidence − accuracy\| over `bins` equal-width
+    * probability bins). The honest-probability report card that X192
+    * isotonic fitting is trying to improve.
+    *
+    * Exactness: p quantizes to micro-units; Brier's Σ(p−y)² is an
+    * exact decimal in micro² (y scaled to 1e6), ECE's per-bin
+    * confidence and accuracy are ratios of exact integers — one
+    * fixed-shape double each at the end.
+    */
+  def calibrationMetrics(df: DataFrame, probCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bad bins $bins")
+    val base = df.select(
+      round(col(probCol) * 1e6, 0).cast("long").as("__p"),
+      when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    // Brier: Σ(p_micro − y·1e6)² exact, / (n·1e12) at the end
+    val dec = "decimal(38,0)"
+    val brier = base.agg(count(lit(1)).cast("long").as("n"),
+      sum((((col("__p") - col("__y") * 1000000L).cast(dec)) *
+        ((col("__p") - col("__y") * 1000000L).cast(dec))).cast(dec))
+        .as("__se"))
+    // ECE over equal-width bins of [0, 1e6]; p = 1 clamps into the
+    // top bin
+    val binned = base
+      .withColumn("__b",
+        least(expr(s"(__p * $bins) div 1000000"), lit(bins - 1L)))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nb"), sum(col("__p")).as("__sp"),
+        sum(col("__y")).as("__k"))
+    val ece = binned.agg(coalesce(sum(
+      col("__nb").cast("double") *
+        abs(col("__sp").cast("double") /
+          (col("__nb").cast("double") * 1e6) -
+          col("__k").cast("double") / col("__nb").cast("double"))),
+      lit(0.0)).as("__eceNum"))
+    brier.crossJoin(ece)
+      .select(col("n"),
+        round(col("__se").cast("double") /
+          (col("n").cast("double") * 1e12), 6).as("brier"),
+        round(col("__eceNum") / col("n").cast("double"), 6).as("ece"))
+  }
+
   def isotonicFit(df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 32): DataFrame = {
     require(bins >= 2 && bins <= 256, s"bad bins $bins")

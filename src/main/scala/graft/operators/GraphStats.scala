@@ -55,4 +55,54 @@ object GraphStats {
           round(lit(6.0) * col("n_triangles").cast("double") /
             col("__w2").cast("double"), 6)).as("clustering_coeff"))
   }
+
+  /** X206 — k-core extraction by bounded peeling: `iters` rounds of
+    * "drop every node with degree < k, keep edges whose endpoints
+    * both survive". The fixed-point is the k-core (the dense
+    * community skeleton that survives when pendant/chain structure
+    * is stripped — where X190's triangles live); a bounded iteration
+    * count keeps the plan replayable (the X101 unrolled-CTE
+    * convention) and the `converged` flag reports whether one more
+    * round would still peel. Returns one summary row:
+    * (n_nodes, n_edges, converged).
+    *
+    * Scale shape: each round is a degree agg + two semi joins on
+    * node keys; `localCheckpoint` cuts lineage per round (the X1f
+    * cluster-resolution lesson — 10 chained rounds otherwise
+    * replan exponentially).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, iters: Int = 8): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    require(iters >= 1 && iters <= 32, s"bad iters $iters")
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("v"))
+      e = e
+        .join(deg.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(deg.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("__d"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(when(col("__d") < k, 1L).otherwise(0L)), lit(0L))
+        .as("__peelable"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(ne)
+      .select(col("n_nodes").cast("long").as("n_nodes"),
+        col("n_edges").cast("long").as("n_edges"),
+        (col("__peelable") === 0L).as("converged"))
+  }
 }

@@ -170,6 +170,45 @@ object TimeSeries {
         round(col("__as").cast("double") / 1e6, 6).as("s_at_alarm"))
   }
 
+  /** X203 — lead-lag cross-correlation: Pearson correlation between
+    * two daily series at every shift in [−maxLag, +maxLag] days —
+    * "do purchases follow clicks, and by how many days" — from exact
+    * integer count sums per lag (the X15 corr arithmetic, one row
+    * per lag). Input is the already-bucketed (day, x, y) table;
+    * a positive lag correlates x(day) with y(day + lag), i.e. y
+    * LAGGING x. Scale shape: (2·maxLag+1)-way bounded explode of the
+    * day table, shuffle on (day+lag) — days-bounded, never rows.
+    */
+  def leadLagCorr(daily: DataFrame, dayCol: String, xCol: String,
+      yCol: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"bad maxLag $maxLag")
+    val dec = "decimal(38,0)"
+    val x = daily.select(col(dayCol).as("__d"),
+      col(xCol).cast("long").as("__x"))
+    val y = daily.select(col(dayCol).as("__dy"),
+      col(yCol).cast("long").as("__y"))
+    val lagged = x
+      .select(col("__d"), col("__x"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+      .withColumn("__dt", date_add(col("__d"), col("lag")))
+    val j = lagged.join(y, col("__dt") === col("__dy"))
+    val m = j.groupBy(col("lag"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__x").cast(dec) * col("__y")).cast(dec)).as("__sxy"),
+        sum((col("__x").cast(dec) * col("__x")).cast(dec)).as("__sxx"),
+        sum((col("__y").cast(dec) * col("__y")).cast(dec)).as("__syy"))
+    def d(c: String) = col(c).cast("double")
+    val nd = col("n_days").cast("double")
+    val num = nd * d("__sxy") - d("__sx") * d("__sy")
+    val vx = nd * d("__sxx") - d("__sx") * d("__sx")
+    val vy = nd * d("__syy") - d("__sy") * d("__sy")
+    m.select(col("lag"), col("n_days"),
+      when(col("n_days") > 1L && vx > 0.0 && vy > 0.0,
+        round(num / sqrt(vx * vy), 6)).as("corr"))
+  }
+
   /** X201 — PAA + SAX symbolization: each key's time-ordered series
     * splits into `segments` equal-population segments (rank-range
     * assignment, no timestamps math), each segment reduces to its

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Calibrate, Dedup, DistStats, GraphStats,
-  Hypothesis, RankStats, Winnow}
+  Hypothesis, Provenance, RankStats, SetJoin, Winnow}
 import QueryDef.{events, table}
 
 /** r10 wave 1 (SURVEY §2.10 X181–X187): rank statistics (Spearman,
@@ -986,6 +986,247 @@ object StatsQueries {
             "event_type", "value", Seq($"ts", $"event_id"),
             segments = 8, alphabet = 4)
           .orderBy($"event_type", $"segment")
+      }),
+
+    // X202: exact set-similarity self-join (prefix filter) — every
+    // doc pair with trigram-shingle Jaccard >= 1/2, exactly.
+    QueryDef(
+      "q_setjoin",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $SqlToks AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 w[i] || chr(1) || w[i+1] || chr(1) || w[i+2] AS g
+          FROM toks, unnest(range(1, len(w) - 1)) AS r(i)
+        ), dfr AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS dfc FROM sh GROUP BY g
+        ), lens AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+          FROM sh GROUP BY doc_id
+        ), rk AS (
+          SELECT sh.doc_id, sh.g, l.len,
+                 CAST(row_number() OVER (PARTITION BY sh.doc_id
+                   ORDER BY dfr.dfc, sh.g) AS BIGINT) AS rk
+          FROM sh JOIN dfr USING (g)
+            JOIN lens l ON l.doc_id = sh.doc_id
+        ), pre AS (
+          SELECT doc_id, g, len FROM rk
+          WHERE rk <= len - (1 * len + 2 - 1) // 2 + 1
+        ), cands AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                 a.len AS la, b.len AS lb
+          FROM pre a JOIN pre b
+            ON a.g = b.g AND a.doc_id < b.doc_id
+        ), intr AS (
+          SELECT c.d1, c.d2, c.la, c.lb,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM cands c JOIN sh s1 ON s1.doc_id = c.d1
+            JOIN sh s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT d1, d2, inter, la + lb - inter AS union_size,
+               round(CAST(inter AS DOUBLE)
+                 / CAST(la + lb - inter AS DOUBLE), 6) AS jaccard
+        FROM intr WHERE inter * 3 >= 1 * (la + lb)
+        ORDER BY d1, d2
+      """.trim),
+      "X202 exact Jaccard>=0.5 self-join via prefix filtering")(
+      (spark, dir) =>
+        SetJoin.jaccardJoin(table(spark, dir, "documents"), "doc_id",
+            "text", shingleK = 3, tNum = 1L, tDen = 2L)
+          .orderBy("d1", "d2")),
+
+    // X203: lead-lag cross-correlation of daily click vs purchase
+    // volumes at shifts of -5..5 days.
+    QueryDef(
+      "q_leadlag",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                   ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                   ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY 1
+        ), lagged AS (
+          SELECT d, x, i AS lag, d + CAST(i AS INTEGER) AS dt
+          FROM daily, unnest(range(-5, 6)) AS r(i)
+        ), j AS (
+          SELECT l.lag, l.x, y2.y
+          FROM lagged l JOIN daily y2 ON y2.d = l.dt
+        ), m AS (
+          SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM j GROUP BY 1
+        )
+        SELECT CAST(lag AS INTEGER) AS lag, n_days,
+               CASE WHEN n_days > 1
+                 AND CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                 AND CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+               THEN
+                 round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                   6)
+               END AS corr
+        FROM m ORDER BY lag
+      """.trim),
+      "X203 click-vs-purchase lead-lag correlation (-5..5 days)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+          .agg(sum(when($"event_type" === "click", 1L).otherwise(0L))
+            .as("x"),
+            sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+              .as("y"))
+        graft.operators.TimeSeries
+          .leadLagCorr(daily, "day", "x", "y", maxLag = 5)
+          .orderBy($"lag")
+      }),
+
+    // X204: calibration metrics (Brier + 10-bin ECE) for a length-
+    // derived pseudo-probability of lang='en'.
+    QueryDef(
+      "q_calibration",
+      Some("""
+        WITH base AS (
+          SELECT CAST(round(least(n_chars / 2000.0, 1.0) * 1e6)
+                   AS BIGINT) AS p,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents
+        ), brier AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(p - y * 1000000 AS HUGEINT)
+                   * CAST(p - y * 1000000 AS HUGEINT)) AS se
+          FROM base
+        ), binned AS (
+          SELECT least((p * 10) // 1000000, 9) AS b,
+                 CAST(count(*) AS BIGINT) AS nb,
+                 CAST(sum(p) AS BIGINT) AS sp,
+                 CAST(sum(y) AS BIGINT) AS k
+          FROM base GROUP BY 1
+        ), ece AS (
+          SELECT coalesce(sum(CAST(nb AS DOUBLE)
+            * abs(CAST(sp AS DOUBLE) / (CAST(nb AS DOUBLE) * 1e6)
+                  - CAST(k AS DOUBLE) / CAST(nb AS DOUBLE))), 0.0)
+            AS enum_
+          FROM binned
+        )
+        SELECT n,
+               round(CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6)
+                 AS brier,
+               round(enum_ / CAST(n AS DOUBLE), 6) AS ece
+        FROM brier, ece
+      """.trim),
+      "X204 Brier + ECE of a length-derived en-probability")(
+      (spark, dir) => {
+        import spark.implicits._
+        Calibrate.calibrationMetrics(
+          table(spark, dir, "documents")
+            .select(least($"n_chars" / 2000.0, lit(1.0)).as("p"),
+              ($"lang" === "en").as("y")),
+          "p", "y", bins = 10)
+      }),
+
+    // X205: Merkle content roots per source + the corpus root.
+    QueryDef(
+      "q_merkle",
+      Some("""
+        WITH leaves AS (
+          SELECT source AS grp, doc_id,
+                 md5(CAST(doc_id AS VARCHAR) || ':' || md5(text))
+                   AS leaf
+          FROM documents
+        ), groups AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+                 md5(string_agg(leaf, ',' ORDER BY doc_id)) AS root
+          FROM leaves GROUP BY grp
+        ), corpus AS (
+          SELECT '(corpus)' AS grp,
+                 CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                 md5(string_agg(root, ',' ORDER BY grp)) AS root
+          FROM groups
+        )
+        SELECT * FROM groups
+        UNION ALL SELECT * FROM corpus
+        ORDER BY grp
+      """.trim),
+      "X205 Merkle content address per source + corpus root")(
+      (spark, dir) =>
+        Provenance.merkleRoots(table(spark, dir, "documents"),
+            "source", "doc_id", "text")
+          .orderBy("grp")),
+
+    // X206: 3-core of the part co-purchase graph after 8 peel
+    // rounds, with the fixed-point flag.
+    QueryDef(
+      "q_kcore",
+      Some(kcoreSql(k = 3, iters = 8)),
+      "X206 3-core peel of the part co-purchase graph (8 rounds)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val l = table(spark, dir, "lineitem")
+          .filter($"l_linenumber" <= 3)
+          .select($"l_orderkey", $"l_partkey")
+        val e = l.as("x").join(l.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("s1"),
+            col("y.l_partkey").as("s2"))
+          .distinct()
+        GraphStats.kCore(e, "s1", "s2", k = 3, iters = 8)
       })
   )
+
+  /** Unrolled k-core peel oracle: e0..eN CTE chain (the X101
+    * bounded-iteration convention) over the part co-purchase graph.
+    */
+  private def kcoreSql(k: Int, iters: Int): String = {
+    // every step reads its predecessor three times (degree count,
+    // two IN probes) — without MATERIALIZED, DuckDB inlines the CTE
+    // chain into 3^iters scans of the base table
+    val head = s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey
+          AND x.l_partkey < y.l_partkey
+        WHERE x.l_linenumber <= 3 AND y.l_linenumber <= 3
+      )"""
+    val steps = (1 to iters).map { i =>
+      s""", k$i AS MATERIALIZED (
+        SELECT v FROM (
+          SELECT v, count(*) AS c FROM (
+            SELECT a AS v FROM e${i - 1}
+            UNION ALL SELECT b FROM e${i - 1})
+          GROUP BY v)
+        WHERE c >= $k
+      ), e$i AS MATERIALIZED (
+        SELECT a, b FROM e${i - 1}
+        WHERE a IN (SELECT v FROM k$i) AND b IN (SELECT v FROM k$i)
+      )"""
+    }.mkString
+    val tail = s"""
+      , fdeg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT a AS v FROM e$iters UNION ALL SELECT b FROM e$iters)
+        GROUP BY v
+      )
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM fdeg) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM e$iters) AS n_edges,
+             (SELECT coalesce(sum(CASE WHEN c < $k THEN 1 ELSE 0 END),
+                0) FROM fdeg) = 0 AS converged"""
+    (head + steps + tail).trim
+  }
 }
