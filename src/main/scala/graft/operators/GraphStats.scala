@@ -26,11 +26,15 @@ object GraphStats {
 
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
+    // the canonical edge table feeds five subtrees (nodes, edges,
+    // degrees, and all three legs of the triangle join) — pay the
+    // upstream build once
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .persist()
     val nodes = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
       .agg(count_distinct(col("v")).as("n_nodes"))

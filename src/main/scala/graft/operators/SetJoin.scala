@@ -31,7 +31,11 @@ object SetJoin {
       shingleK: Int = 3, tNum: Long = 1L, tDen: Long = 2L): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"bad threshold $tNum/$tDen")
+    // the shingle table feeds FOUR subtrees (df, prefix ranking, and
+    // both verification sides) — materialize once instead of paying
+    // the tokenize+window scan four times
     val sh = Dedup.explodedShingles(docs, idCol, textCol, shingleK)
+      .persist()
     val df = sh.groupBy(col("g")).agg(count(lit(1)).as("__df"))
     val lens = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__len"))
     val wd = Window.partitionBy(col(idCol))
@@ -53,12 +57,21 @@ object SetJoin {
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"), col("__la"), col("__lb"))
       .distinct()
-    // exact verification: count shared shingles per candidate pair
-    val s1 = sh.select(col(idCol).as("d1"), col("g"))
-    val s2 = sh.select(col(idCol).as("d2"), col("g"))
-    val inter = cands.join(s1, Seq("d1")).join(s2, Seq("d2", "g"))
-      .groupBy(col("d1"), col("d2"), col("__la"), col("__lb"))
-      .agg(count(lit(1)).as("inter"))
+    // exact verification on per-doc sorted shingle ARRAYS: one
+    // array_intersect per candidate pair (O(la+lb) each) instead of
+    // re-exploding candidates against the shingle table — the
+    // exploded form shuffles Σ_cands la rows (~50× the pair count)
+    // before it can even start counting
+    val sets = sh.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("g"))).as("__set"))
+    val inter = cands
+      .join(sets.select(col(idCol).as("d1"), col("__set").as("__s1")),
+        Seq("d1"))
+      .join(sets.select(col(idCol).as("d2"), col("__set").as("__s2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"), col("__la"), col("__lb"),
+        size(array_intersect(col("__s1"), col("__s2"))).cast("long")
+          .as("inter"))
     inter
       .filter(col("inter") * (tNum + tDen) >=
         lit(tNum) * (col("__la") + col("__lb")))

@@ -75,8 +75,11 @@ object Winnow {
       : DataFrame = {
     require(maxDf >= 2, s"bad maxDf $maxDf")
     require(minShared >= 1, s"bad minShared $minShared")
+    // the fingerprint table feeds the df valve AND both join sides —
+    // materialize once instead of re-running the k-gram window scan
     val fp = fingerprintRows(docs, idCol, textCol, k, w)
       .select(col(idCol), col("h")).distinct()
+      .persist()
     val df = fp.groupBy(col("h")).agg(count(lit(1)).as("__m"))
       .filter(col("__m") <= maxDf)
     val keep = fp.join(df.select(col("h")), Seq("h"))
