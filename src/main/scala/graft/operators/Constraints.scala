@@ -74,4 +74,34 @@ object Constraints {
     spark.createDataFrame(report)
       .toDF("check_name", "metric", "threshold", "passed")
   }
+
+  /** X208 — functional-dependency scan: for each candidate pair
+    * (determinant → dependent), the violation rate
+    * 1 − Σ_a max_b count(a,b) / N — 0 iff the determinant uniquely
+    * fixes the dependent (the FD holds), and otherwise "how close" —
+    * the schema-semantics check beside [[check]]'s row predicates
+    * (Unique is the special case det → whole-row). Exact integer
+    * cells per pair ((\|A\|·\|B\|)-bounded), one double ratio.
+    * Output one row per pair in declaration order.
+    */
+  def fdScan(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "empty FD pair list")
+    pairs.map { case (det, dep) =>
+      val cells = df.groupBy(col(det).cast("string").as("__a"),
+          col(dep).cast("string").as("__b"))
+        .agg(count(lit(1)).as("__c"))
+      val best = cells.groupBy(col("__a"))
+        .agg(max(col("__c")).as("__m"), sum(col("__c")).as("__t"))
+      best.agg(count(lit(1)).cast("long").as("n_groups"),
+          coalesce(sum(col("__t")), lit(0L)).cast("long").as("__n"),
+          coalesce(sum(col("__m")), lit(0L)).cast("long").as("__keep"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_groups"),
+          when(col("__n") > 0L,
+            round((col("__n") - col("__keep")).cast("double") /
+              col("__n"), 6)).otherwise(lit(0.0))
+            .as("violation_rate"),
+          (col("__n") === col("__keep")).as("holds"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -154,4 +154,61 @@ object Privacy {
     counts.select(col("category"),
       round(col("__n") + noise, 6).as("noisy_count"))
   }
+
+  /** X211 — randomized response with frequency debiasing: each row
+    * keeps its true category with probability p and otherwise
+    * reports a uniform category (Warner's mechanism — per-row
+    * plausible deniability, ε = ln(1 + k·p/(1−p))), then the
+    * collector UNBIASES the observed counts with
+    * t̂_c = (obs_c − n(1−p)/k) / p. Both the coin and the
+    * replacement draw are md5-derived from (salt, id) — the same
+    * deterministic-seed caveat as [[noisyCounts]]: replayable in any
+    * engine, rotate salts when fresh draws matter.
+    *
+    * Output per category: (category, true_count, observed_count,
+    * est_count) — est_count ≈ true_count is the demonstrable
+    * round-trip. Category index space is the SORTED distinct
+    * category list (value-bounded, broadcast).
+    */
+  def rrDebias(df: DataFrame, idCol: String, categoryCol: String,
+      p: Double, salt: String): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    import org.apache.spark.sql.expressions.Window
+    val pMicro = math.round(p * 1e6)
+    val base = df.select(col(idCol).cast("string").as("__id"),
+      col(categoryCol).cast("string").as("__cat"))
+    val cats = base.select(col("__cat")).distinct()
+      .withColumn("__idx",
+        row_number().over(Window.orderBy(col("__cat"))).cast("long")
+          - 1L)
+    val k = cats.agg(count(lit(1)).cast("long").as("__k"))
+    val coin = pmod(CorpusOps.md5Band(col("__id"), salt + "keep:")
+      .cast("long"), lit(1000000L))
+    val repl = CorpusOps.md5Band(col("__id"), salt + "repl:")
+      .cast("long")
+    val perturbed = base.crossJoin(broadcast(k))
+      .withColumn("__keep", coin < pMicro)
+      .withColumn("__ridx", pmod(repl, col("__k")))
+      .join(broadcast(cats.select(col("__idx").as("__ridx"),
+        col("__cat").as("__rcat"))), Seq("__ridx"))
+      .select(col("__cat"),
+        when(col("__keep"), col("__cat")).otherwise(col("__rcat"))
+          .as("__obs"))
+    val trueC = perturbed.groupBy(col("__cat").as("category"))
+      .agg(count(lit(1)).as("true_count"))
+    val obsC = perturbed.groupBy(col("__obs").as("category"))
+      .agg(count(lit(1)).as("observed_count"))
+    val n = base.agg(count(lit(1)).cast("long").as("__n"))
+    trueC.join(obsC, Seq("category"), "full_outer")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(k))
+      .select(col("category"),
+        coalesce(col("true_count"), lit(0L)).cast("long")
+          .as("true_count"),
+        coalesce(col("observed_count"), lit(0L)).cast("long")
+          .as("observed_count"),
+        round((coalesce(col("observed_count"), lit(0L))
+          .cast("double") -
+          col("__n").cast("double") * (1.0 - p) /
+            col("__k").cast("double")) / p, 6).as("est_count"))
+  }
 }

@@ -152,4 +152,46 @@ object RankEval {
         when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6))
           .as("kappa"))
   }
+
+  /** X207 — Fleiss' kappa for m ≥ 2 raters (nominal scale): per-item
+    * category tallies n_ij, per-item agreement
+    * P_i = (Σ_j n_ij² − m)/(m(m−1)), chance agreement P_e = Σ_j p_j²
+    * from the pooled category shares — the multi-rater completion of
+    * the reliability family ([[cohensKappa]] = 2 raters,
+    * Hypothesis.krippendorffAlpha = 2 raters chance-corrected the
+    * other way). Exact integer tallies (items×categories-bounded
+    * after the melt), fixed-shape doubles, round(6).
+    */
+  def fleissKappa(df: DataFrame, itemCol: String,
+      raterCols: Seq[String]): DataFrame = {
+    val m = raterCols.length
+    require(m >= 2, s"need >= 2 raters, got $m")
+    val melted = raterCols.map(r =>
+        df.select(col(itemCol).as("__i"),
+          col(r).cast("string").as("__cat")))
+      .reduce(_ unionAll _)
+    val nij = melted.groupBy(col("__i"), col("__cat"))
+      .agg(count(lit(1)).as("__c"))
+    // Σ_i Σ_j n_ij² and the item count in one pass
+    val per = nij.groupBy(col("__i"))
+      .agg(sum(col("__c") * col("__c")).as("__sq"))
+    val agg1 = per.agg(count(lit(1)).cast("long").as("n_items"),
+      sum(col("__sq")).cast("long").as("__sumSq"))
+    val cat = nij.groupBy(col("__cat")).agg(sum(col("__c")).as("__cj"))
+    val agg2 = cat.agg(count(lit(1)).cast("long").as("n_categories"),
+      sum((col("__cj").cast("decimal(38,0)") * col("__cj"))
+        .cast("decimal(38,0)")).as("__sumCj2"))
+    val res = agg1.crossJoin(agg2)
+    val nd = col("n_items").cast("double")
+    val md = lit(m.toDouble)
+    // P̄ = (ΣΣn_ij² − n·m) / (n·m·(m−1)); P_e = Σ(c_j/(n·m))²
+    val pBar = (col("__sumSq").cast("double") - nd * md) /
+      (nd * md * (md - 1.0))
+    val pe = col("__sumCj2").cast("double") / (nd * md * nd * md)
+    res.select(col("n_items"), lit(m.toLong).as("n_raters"),
+      col("n_categories"),
+      round(pBar, 6).as("p_bar"), round(pe, 6).as("p_e"),
+      when(pe < 1.0, round((pBar - pe) / (lit(1.0) - pe), 6))
+        .as("kappa"))
+  }
 }

@@ -63,6 +63,27 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** X209 — mutual nearest neighbors: pairs where each side is the
+    * OTHER's top-1 cosine neighbor — the bidirectional-best filter
+    * that mines aligned pairs (translation pairs, caption-image
+    * pairs, near-synonym merges) with far higher precision than
+    * one-directional top-1 (a hub vector is many points' top-1 but
+    * reciprocates only one). Composes [[bruteForceTopK]] at k=1 with
+    * the reciprocity self-join; same determinism contract
+    * (cos desc, id tie-break).
+    */
+  def mutualNearest(vecs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val t = bruteForceTopK(vecs, vecs, idCol, vecCol, 1)
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"),
+        col("cos"))
+    t.as("x").join(t.as("y"),
+        col("x.a") === col("y.b") && col("x.b") === col("y.a"))
+      .filter(col("x.a") < col("x.b"))
+      .select(col("x.a").as("id1"), col("x.b").as("id2"),
+        round(col("x.cos"), 6).as("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (table t,
     * plane p, dimension d): a splitmix64-style mix folded into
     * [-1, 1). Computed ONCE at plan time (the hyperplane is a

@@ -170,6 +170,32 @@ object TimeSeries {
         round(col("__as").cast("double") / 1e6, 6).as("s_at_alarm"))
   }
 
+  /** X210 — seasonal profile: per key the hour-of-day and
+    * day-of-week activity shape — event count and mean value per
+    * bucket — the periodic fingerprint a scheduler or anomaly
+    * baseline (X112/X196 reference levels) reads. Buckets are
+    * calendar-derived in the session timezone (UTC here); day-of-
+    * week is 0=Sunday..6 (the DuckDB convention — Spark's 1-based
+    * dayofweek shifts down by one for parity). Exact micro sums;
+    * ≤ (24+7)·keys rows out.
+    */
+  def seasonalProfile(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(keyCol),
+      hour(col(tsCol)).cast("long").as("__hr"),
+      (dayofweek(col(tsCol)) - 1).cast("long").as("__dow"),
+      round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
+    def profile(bucket: org.apache.spark.sql.Column, grain: String) =
+      base.groupBy(col(keyCol), bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("__v")).as("__s"))
+        .select(col(keyCol), lit(grain).as("grain"), col("bucket"),
+          col("n").cast("long").as("n"),
+          round(col("__s").cast("double") / col("n").cast("double") /
+            1e6, 6).as("mean_value"))
+    profile(col("__hr"), "hour")
+      .unionByName(profile(col("__dow"), "dow"))
+  }
+
   /** X203 — lead-lag cross-correlation: Pearson correlation between
     * two daily series at every shift in [−maxLag, +maxLag] days —
     * "do purchases follow clicks, and by how many days" — from exact

@@ -2,8 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Calibrate, Dedup, DistStats, GraphStats,
-  Hypothesis, Provenance, RankStats, SetJoin, Winnow}
+import graft.operators.{Calibrate, Constraints, Dedup, DistStats,
+  GraphStats, Hypothesis, Privacy, Provenance, RankEval, RankStats,
+  SetJoin, Similarity, Winnow}
 import QueryDef.{events, table}
 
 /** r10 wave 1 (SURVEY §2.10 X181–X187): rank statistics (Spearman,
@@ -1186,7 +1187,249 @@ object StatsQueries {
             col("y.l_partkey").as("s2"))
           .distinct()
         GraphStats.kCore(e, "s1", "s2", k = 3, iters = 8)
-      })
+      }),
+
+    // X207: Fleiss' kappa across three deterministic raters — the
+    // multi-rater reliability completion of X148/X152.
+    QueryDef(
+      "q_fleiss",
+      Some("""
+        WITH r AS (
+          SELECT doc_id,
+                 CAST(n_chars % 3 AS VARCHAR) AS r1,
+                 CAST((n_chars + doc_id) % 3 AS VARCHAR) AS r2,
+                 CAST((doc_id * 7) % 3 AS VARCHAR) AS r3
+          FROM documents
+        ), melt AS (
+          SELECT doc_id AS i, r1 AS cat FROM r
+          UNION ALL SELECT doc_id, r2 FROM r
+          UNION ALL SELECT doc_id, r3 FROM r
+        ), nij AS (
+          SELECT i, cat, CAST(count(*) AS BIGINT) AS c
+          FROM melt GROUP BY 1, 2
+        ), per AS (
+          SELECT i, CAST(sum(c * c) AS BIGINT) AS sq FROM nij GROUP BY 1
+        ), a1 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(sq) AS BIGINT) AS ssq
+          FROM per
+        ), catc AS (
+          SELECT cat, CAST(sum(c) AS BIGINT) AS cj FROM nij GROUP BY 1
+        ), a2 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_categories,
+                 sum(CAST(cj AS HUGEINT) * cj) AS scj
+          FROM catc
+        )
+        SELECT n_items, CAST(3 AS BIGINT) AS n_raters, n_categories,
+               round((CAST(ssq AS DOUBLE)
+                      - CAST(n_items AS DOUBLE) * 3.0)
+                 / (CAST(n_items AS DOUBLE) * 3.0 * (3.0 - 1.0)), 6)
+                 AS p_bar,
+               round(CAST(scj AS DOUBLE)
+                 / (CAST(n_items AS DOUBLE) * 3.0
+                    * CAST(n_items AS DOUBLE) * 3.0), 6) AS p_e,
+               CASE WHEN CAST(scj AS DOUBLE)
+                 / (CAST(n_items AS DOUBLE) * 3.0
+                    * CAST(n_items AS DOUBLE) * 3.0) < 1.0 THEN
+                 round(((CAST(ssq AS DOUBLE)
+                         - CAST(n_items AS DOUBLE) * 3.0)
+                   / (CAST(n_items AS DOUBLE) * 3.0 * (3.0 - 1.0))
+                   - CAST(scj AS DOUBLE)
+                   / (CAST(n_items AS DOUBLE) * 3.0
+                      * CAST(n_items AS DOUBLE) * 3.0))
+                 / (1.0 - CAST(scj AS DOUBLE)
+                   / (CAST(n_items AS DOUBLE) * 3.0
+                      * CAST(n_items AS DOUBLE) * 3.0)), 6)
+               END AS kappa
+        FROM a1, a2
+      """.trim),
+      "X207 Fleiss' kappa over three deterministic raters")(
+      (spark, dir) => {
+        import spark.implicits._
+        RankEval.fleissKappa(
+          table(spark, dir, "documents")
+            .select($"doc_id",
+              ($"n_chars" % 3).cast("string").as("r1"),
+              (($"n_chars" + $"doc_id") % 3).cast("string").as("r2"),
+              (($"doc_id" * 7) % 3).cast("string").as("r3")),
+          "doc_id", Seq("r1", "r2", "r3"))
+      }),
+
+    // X208: functional-dependency scan over order columns — exact
+    // violation rates per candidate pair.
+    QueryDef(
+      "q_fd_scan",
+      Some("""
+        WITH pair1 AS (
+          SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(t) AS BIGINT) AS n,
+                 CAST(sum(m) AS BIGINT) AS keep
+          FROM (SELECT max(c) AS m, sum(c) AS t FROM (
+            SELECT CAST(o_orderkey AS VARCHAR) AS a,
+                   CAST(o_custkey AS VARCHAR) AS b,
+                   count(*) AS c
+            FROM orders GROUP BY 1, 2) GROUP BY a)
+        ), pair2 AS (
+          SELECT 'o_custkey', 'o_orderpriority',
+                 CAST(count(*) AS BIGINT),
+                 CAST(sum(t) AS BIGINT), CAST(sum(m) AS BIGINT)
+          FROM (SELECT max(c) AS m, sum(c) AS t FROM (
+            SELECT CAST(o_custkey AS VARCHAR) AS a,
+                   CAST(o_orderpriority AS VARCHAR) AS b,
+                   count(*) AS c
+            FROM orders GROUP BY 1, 2) GROUP BY a)
+        ), pair3 AS (
+          SELECT 'o_orderpriority', 'o_orderstatus',
+                 CAST(count(*) AS BIGINT),
+                 CAST(sum(t) AS BIGINT), CAST(sum(m) AS BIGINT)
+          FROM (SELECT max(c) AS m, sum(c) AS t FROM (
+            SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+                   CAST(o_orderstatus AS VARCHAR) AS b,
+                   count(*) AS c
+            FROM orders GROUP BY 1, 2) GROUP BY a)
+        ), u AS (
+          SELECT * FROM pair1 UNION ALL SELECT * FROM pair2
+          UNION ALL SELECT * FROM pair3
+        )
+        SELECT determinant, dependent, n_groups,
+               CASE WHEN n > 0 THEN
+                 round(CAST(n - keep AS DOUBLE) / n, 6)
+               ELSE 0.0 END AS violation_rate,
+               n = keep AS holds
+        FROM u
+        ORDER BY determinant, dependent
+      """.trim),
+      "X208 FD violation scan over order column pairs")(
+      (spark, dir) =>
+        Constraints.fdScan(table(spark, dir, "orders"),
+            Seq("o_orderkey" -> "o_custkey",
+              "o_custkey" -> "o_orderpriority",
+              "o_orderpriority" -> "o_orderstatus"))
+          .orderBy("determinant", "dependent")),
+
+    // X209: mutual nearest neighbors over the stride-4 embedding
+    // anchors — bidirectional top-1 cosine pairs.
+    QueryDef(
+      "q_mutual_nn",
+      Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id % 4 = 0
+        ), scored AS (
+          SELECT q.vec_id AS qa, c.vec_id AS nb,
+                 list_dot_product(q.e, c.e) /
+                 (sqrt(list_dot_product(q.e, q.e)) *
+                  sqrt(list_dot_product(c.e, c.e))) AS cos
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        ), top1 AS (
+          SELECT qa AS a, nb AS b, cos FROM (
+            SELECT qa, nb, cos,
+                   row_number() OVER (PARTITION BY qa
+                     ORDER BY cos DESC, nb) AS rk
+            FROM scored)
+          WHERE rk = 1
+        )
+        SELECT x.a AS id1, x.b AS id2, round(x.cos, 6) AS cos
+        FROM top1 x JOIN top1 y ON x.a = y.b AND x.b = y.a
+        WHERE x.a < x.b
+        ORDER BY id1
+      """.trim),
+      "X209 mutual top-1 cosine pairs over stride-4 anchors")(
+      (spark, dir) => {
+        import spark.implicits._
+        Similarity.mutualNearest(
+            table(spark, dir, "embeddings").filter($"vec_id" % 4 === 0),
+            "vec_id", "embedding")
+          .orderBy($"id1")
+      }),
+
+    // X210: hour-of-day + day-of-week seasonal profile per event
+    // type (counts and mean values).
+    QueryDef(
+      "q_seasonal",
+      Some("""
+        WITH base AS (
+          SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+                 CAST(dayofweek(ts) AS BIGINT) AS dow,
+                 CAST(round(value * 1e6) AS BIGINT) AS v
+          FROM events
+        ), h AS (
+          SELECT event_type, 'hour' AS grain, hr AS bucket,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS s
+          FROM base GROUP BY 1, 3
+        ), d AS (
+          SELECT event_type, 'dow' AS grain, dow AS bucket,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS s
+          FROM base GROUP BY 1, 3
+        )
+        SELECT event_type, grain, bucket, n,
+               round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6)
+                 AS mean_value
+        FROM (SELECT * FROM h UNION ALL SELECT * FROM d)
+        ORDER BY event_type, grain, bucket
+      """.trim),
+      "X210 hour/day-of-week seasonal profile per event type")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.TimeSeries.seasonalProfile(events(spark, dir),
+            "event_type", "ts", "value")
+          .orderBy($"event_type", $"grain", $"bucket")
+      }),
+
+    // X211: randomized-response round-trip — Warner perturbation of
+    // the lang column at p=0.75, then the unbiased count estimate.
+    QueryDef(
+      "q_rr_debias",
+      Some("""
+        WITH base AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, lang AS cat
+          FROM documents
+        ), cats AS (
+          SELECT cat,
+                 CAST(row_number() OVER (ORDER BY cat) AS BIGINT) - 1
+                   AS idx
+          FROM (SELECT DISTINCT cat FROM base)
+        ), kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM cats),
+        pert0 AS (
+          SELECT cat,
+                 (('0x' || substr(md5('rr1:keep:' || id), 1, 8))::BIGINT
+                   % 1000000) < 750000 AS keep,
+                 ('0x' || substr(md5('rr1:repl:' || id), 1, 8))::BIGINT
+                   AS rh
+          FROM base
+        ), pert AS (
+          SELECT p.cat,
+                 CASE WHEN p.keep THEN p.cat ELSE r.cat END AS obs
+          FROM pert0 p CROSS JOIN kk
+          JOIN cats r ON r.idx = p.rh % kk.k
+        ), tc AS (
+          SELECT cat AS category, CAST(count(*) AS BIGINT)
+                   AS true_count
+          FROM pert GROUP BY 1
+        ), oc AS (
+          SELECT obs AS category, CAST(count(*) AS BIGINT)
+                   AS observed_count
+          FROM pert GROUP BY 1
+        ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+        SELECT coalesce(tc.category, oc.category) AS category,
+               coalesce(true_count, 0) AS true_count,
+               coalesce(observed_count, 0) AS observed_count,
+               round((CAST(coalesce(observed_count, 0) AS DOUBLE)
+                      - CAST(n.n AS DOUBLE) * (1.0 - 0.75)
+                        / CAST(kk.k AS DOUBLE)) / 0.75, 6)
+                 AS est_count
+        FROM tc FULL OUTER JOIN oc ON tc.category = oc.category,
+             n, kk
+        ORDER BY category
+      """.trim),
+      "X211 randomized-response perturbation + unbiased counts")(
+      (spark, dir) =>
+        Privacy.rrDebias(table(spark, dir, "documents"), "doc_id",
+            "lang", p = 0.75, salt = "rr1:")
+          .orderBy("category"))
   )
 
   /** Unrolled k-core peel oracle: e0..eN CTE chain (the X101
