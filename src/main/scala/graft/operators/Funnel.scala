@@ -154,6 +154,58 @@ object Funnel {
       throw new IllegalArgumentException(s"unsupported grain: $other")
   }
 
+  /** X213 — Kaplan-Meier survival estimator: Ŝ(t) = Π_{tᵢ≤t}
+    * (1 − dᵢ/nᵢ) over the distinct observed event times, with
+    * right-censored subjects leaving the risk set without an event —
+    * time-to-conversion/-churn analysis where plain means are wrong
+    * BECAUSE of the censoring. Input: one row per subject with
+    * (duration, observed flag).
+    *
+    * Exactness: dᵢ and risk sets nᵢ are integer cumulative counts on
+    * the distinct-duration table (value-bounded window); the product
+    * folds as exp(Σ ln(1−d/n)) (ln-on-identical-doubles) with the
+    * everyone-dies boundary (d = n → S = 0 from there on) handled by
+    * a cumulative flag, not ln(0). Output per distinct EVENT time:
+    * (t, n_risk, d, censored_here, survival).
+    */
+  def kaplanMeier(subjects: DataFrame, durationCol: String,
+      observedCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = subjects
+      .select(col(durationCol).cast("long").as("__t"),
+        when(observedCol, 1L).otherwise(0L).as("__e"))
+      .groupBy(col("__t"))
+      .agg(sum(col("__e")).as("__d"),
+        sum(lit(1L) - col("__e")).as("__c"))
+    val w = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum(col("__d") + col("__c")).cast("long")
+      .as("__nn"))
+    val cum = per.crossJoin(broadcast(tot))
+      .withColumn("__left", sum(col("__d") + col("__c")).over(w))
+      // risk set at t = everyone not yet departed strictly before t
+      .withColumn("__nrisk",
+        col("__nn") - (col("__left") - col("__d") - col("__c")))
+    val terms = cum
+      .withColumn("__lnterm",
+        when(col("__d") === 0L, lit(0.0))
+          .when(col("__d") < col("__nrisk"),
+            log(lit(1.0) - col("__d").cast("double") /
+              col("__nrisk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("__dead",
+        max(when(col("__d") === col("__nrisk"), 1L).otherwise(0L))
+          .over(w))
+      .withColumn("__lnsum", sum(col("__lnterm")).over(w))
+    terms.filter(col("__d") > 0L)
+      .select(col("__t").as("t"),
+        col("__nrisk").cast("long").as("n_risk"),
+        col("__d").cast("long").as("d"),
+        col("__c").cast("long").as("censored_here"),
+        when(col("__dead") === 1L, lit(0.0))
+          .otherwise(round(exp(col("__lnsum")), 6)).as("survival"))
+  }
+
   /** X200 — transition (conditional) entropy of an event stream:
     * per current state, H(next | cur) = −Σ_n p(n|cur)·ln p(n|cur)
     * from the exact bigram transition counts of each key's

@@ -210,4 +210,45 @@ object Quantiles {
         col("med"), col("mad"),
         (col("__dev") > lit(c) * col("mad")).as("is_outlier"))
   }
+
+  /** X212 — split-conformal calibration threshold per group: the
+    * k-th smallest nonconformity score with k = ⌈(1−α)(n+1)⌉ — the
+    * FINITE-SAMPLE valid cutoff (accepting future scores ≤ it covers
+    * with probability ≥ 1−α, no distributional assumption) that a
+    * plain (1−α)-quantile does NOT give. The modern release-gate
+    * companion to X153's percentile gate; α arrives as the exact
+    * rational aNum/aDen so k is pure integer arithmetic. Groups too
+    * small for the level (k > n) report a NULL threshold — the
+    * honest "not enough calibration data" answer.
+    *
+    * Scale shape: per-group rank window (partitioned) + one filter;
+    * \|groups\| rows out.
+    */
+  def conformalThreshold(df: DataFrame, groupCol: String,
+      scoreCol: String, aNum: Long = 1L, aDen: Long = 10L)
+      : DataFrame = {
+    require(aNum > 0 && aNum < aDen, s"bad alpha $aNum/$aDen")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol),
+      round(col(scoreCol) * 1e6, 0).cast("long").as("__s"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__s"))
+    val ranked = base
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    // k = ⌈(aDen−aNum)(n+1)/aDen⌉
+    val k = expr(s"((${aDen - aNum}) * (__n + 1) + $aDen - 1)" +
+      s" div $aDen")
+    val at = ranked.withColumn("__k", k)
+      .filter(col("__r") === col("__k"))
+      .select(col(groupCol), col("__k"),
+        round(col("__s").cast("double") / 1e6, 6).as("__thr"))
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("__n")).cast("long").as("n"),
+        max(k).cast("long").as("k"))
+      .join(at, Seq(groupCol), "left")
+      .select(col(groupCol), col("n"), col("k"),
+        col("__thr").as("threshold"))
+  }
 }

@@ -170,6 +170,41 @@ object TimeSeries {
         round(col("__as").cast("double") / 1e6, 6).as("s_at_alarm"))
   }
 
+  /** X214 — temporal coverage report: per key, the active day span,
+    * how much of it actually has data, and the largest silent gap —
+    * the "is this feed healthy / is this slice complete" audit a
+    * pipeline runs before trusting a date-partitioned source. All
+    * integer day arithmetic on the distinct (key, day) table;
+    * per-key ordered lag window over PRESENT days only
+    * (days-bounded, never rows).
+    */
+  def coverageReport(df: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame = {
+    val days = df.select(col(keyCol),
+        to_date(date_trunc("day", col(tsCol))).as("__day"))
+      .distinct()
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+    val gaps = days
+      .withColumn("__prev", lag(col("__day"), 1).over(w))
+      .withColumn("__gap",
+        when(col("__prev").isNull, 0L)
+          .otherwise(datediff(col("__day"), col("__prev"))
+            .cast("long") - 1L))
+    gaps.groupBy(col(keyCol))
+      .agg(min(col("__day")).as("first_day"),
+        max(col("__day")).as("last_day"),
+        count(lit(1)).cast("long").as("days_present"),
+        max(col("__gap")).cast("long").as("max_gap_days"))
+      .select(col(keyCol), col("first_day"), col("last_day"),
+        (datediff(col("last_day"), col("first_day")).cast("long") +
+          1L).as("span_days"),
+        col("days_present"),
+        round(col("days_present").cast("double") /
+          (datediff(col("last_day"), col("first_day")).cast("double") +
+            1.0), 6).as("coverage"),
+        col("max_gap_days"))
+  }
+
   /** X210 — seasonal profile: per key the hour-of-day and
     * day-of-week activity shape — event count and mean value per
     * bucket — the periodic fingerprint a scheduler or anomaly

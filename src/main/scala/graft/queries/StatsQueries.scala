@@ -1429,7 +1429,154 @@ object StatsQueries {
       (spark, dir) =>
         Privacy.rrDebias(table(spark, dir, "documents"), "doc_id",
             "lang", p = 0.75, salt = "rr1:")
-          .orderBy("category"))
+          .orderBy("category")),
+
+    // X212: split-conformal calibration threshold per source at
+    // alpha = 0.1 — the finite-sample-valid release cutoff.
+    QueryDef(
+      "q_conformal",
+      Some("""
+        WITH base AS (
+          SELECT source, CAST(round(n_chars * 1e6) AS BIGINT) AS s
+          FROM documents
+        ), r AS (
+          SELECT source, s,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY s) AS BIGINT) AS r,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+                   AS n
+          FROM base
+        ), kk AS (
+          SELECT source, s, r, n, (9 * (n + 1) + 9) // 10 AS k FROM r
+        ), at_ AS (
+          SELECT source, round(CAST(s AS DOUBLE) / 1e6, 6) AS thr
+          FROM kk WHERE r = k
+        ), g AS (
+          SELECT source, max(n) AS n, max(k) AS k FROM kk GROUP BY 1
+        )
+        SELECT g.source, g.n, g.k, at_.thr AS threshold
+        FROM g LEFT JOIN at_ ON at_.source = g.source
+        ORDER BY g.source
+      """.trim),
+      "X212 split-conformal doc-length threshold per source")(
+      (spark, dir) =>
+        graft.operators.Quantiles.conformalThreshold(
+            table(spark, dir, "documents"), "source", "n_chars",
+            aNum = 1L, aDen = 10L)
+          .orderBy("source")),
+
+    // X213: Kaplan-Meier view→purchase conversion curve with
+    // end-of-window censoring.
+    QueryDef(
+      "q_kaplan_meier",
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view'
+                   THEN CAST(ts AS DATE) END) AS fv,
+                 min(CASE WHEN event_type = 'purchase'
+                   THEN CAST(ts AS DATE) END) AS fp
+          FROM events GROUP BY 1
+        ), mx AS (SELECT max(CAST(ts AS DATE)) AS mend FROM events),
+        subj AS (
+          SELECT CASE WHEN fp IS NOT NULL AND fp >= fv
+                   THEN CAST(date_diff('day', fv, fp) AS BIGINT)
+                   ELSE CAST(date_diff('day', fv, mend) AS BIGINT)
+                 END AS dur,
+                 (fp IS NOT NULL AND fp >= fv) AS ev
+          FROM u, mx WHERE fv IS NOT NULL
+        ), per AS (
+          SELECT dur AS t,
+                 CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d,
+                 CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c
+          FROM subj GROUP BY 1
+        ), tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS nn FROM per),
+        cum AS (
+          SELECT t, d, c, nn,
+                 CAST(sum(d + c) OVER (ORDER BY t) AS BIGINT) AS lft
+          FROM per, tot
+        ), rs AS (
+          SELECT t, d, c, nn - (lft - d - c) AS nrisk FROM cum
+        ), terms AS (
+          SELECT t, d, c, nrisk,
+                 CASE WHEN d = 0 THEN 0.0
+                      WHEN d < nrisk THEN
+                        ln(1.0 - CAST(d AS DOUBLE)
+                          / CAST(nrisk AS DOUBLE))
+                      ELSE 0.0 END AS lnterm,
+                 CASE WHEN d = nrisk THEN 1 ELSE 0 END AS deadflag
+          FROM rs
+        ), walk AS (
+          SELECT t, d, c, nrisk,
+                 sum(lnterm) OVER (ORDER BY t) AS lnsum,
+                 max(deadflag) OVER (ORDER BY t) AS dead
+          FROM terms
+        )
+        SELECT t, nrisk AS n_risk, d, c AS censored_here,
+               CASE WHEN dead = 1 THEN 0.0
+                    ELSE round(exp(lnsum), 6) END AS survival
+        FROM walk WHERE d > 0
+        ORDER BY t
+      """.trim),
+      "X213 Kaplan-Meier view-to-purchase survival curve")(
+      (spark, dir) => {
+        import spark.implicits._
+        val ev = events(spark, dir)
+        val day = to_date(date_trunc("day", $"ts"))
+        val u = ev.groupBy($"user_id").agg(
+          min(when($"event_type" === "view", day)).as("fv"),
+          min(when($"event_type" === "purchase", day)).as("fp"))
+        val mx = ev.agg(max(day).as("mend"))
+        val subj = u.crossJoin(broadcast(mx))
+          .filter($"fv".isNotNull)
+          .select(
+            when($"fp".isNotNull && $"fp" >= $"fv",
+              datediff($"fp", $"fv"))
+              .otherwise(datediff($"mend", $"fv")).cast("long")
+              .as("dur"),
+            ($"fp".isNotNull && $"fp" >= $"fv").as("ev"))
+        graft.operators.Funnel.kaplanMeier(subj, "dur", $"ev")
+          .orderBy($"t")
+      }),
+
+    // X214: temporal coverage audit per event type — span, density,
+    // and the largest silent gap.
+    QueryDef(
+      "q_coverage",
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT event_type, CAST(ts AS DATE) AS day
+          FROM events
+        ), g AS (
+          SELECT event_type, day,
+                 CASE WHEN lag(day) OVER (PARTITION BY event_type
+                     ORDER BY day) IS NULL THEN 0
+                   ELSE CAST(date_diff('day',
+                     lag(day) OVER (PARTITION BY event_type
+                       ORDER BY day), day) AS BIGINT) - 1
+                 END AS gap
+          FROM days
+        )
+        SELECT event_type, min(day) AS first_day, max(day) AS last_day,
+               CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+                 AS span_days,
+               CAST(count(*) AS BIGINT) AS days_present,
+               round(CAST(count(*) AS DOUBLE)
+                 / (CAST(date_diff('day', min(day), max(day))
+                     AS DOUBLE) + 1.0), 6) AS coverage,
+               CAST(max(gap) AS BIGINT) AS max_gap_days
+        FROM g GROUP BY 1
+        ORDER BY 1
+      """.trim),
+      "X214 per-type temporal coverage and largest gap")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.TimeSeries.coverageReport(events(spark, dir),
+            "event_type", "ts")
+          .orderBy($"event_type")
+      })
   )
 
   /** Unrolled k-core peel oracle: e0..eN CTE chain (the X101
