@@ -83,30 +83,34 @@ object Cms {
     * Depth is DERIVED from the sketches themselves (max hash_row +
     * 1 — build emits every hash row for every key, so the max is the
     * depth) and the two sides must agree; a depth-4 assumption
-    * against depth-8 sketches used to silently return 0.
+    * against depth-8 sketches used to silently return 0. The
+    * derivation stays INSIDE the one plan (two tiny broadcast aggs +
+    * a lazily-evaluated raise_error branch) — a driver-side
+    * `.head()` per sketch measured a 2× wall regression on this
+    * sub-second query.
     */
   def innerProduct(a: DataFrame, b: DataFrame): DataFrame = {
-    def depthOf(s: DataFrame): Long = {
-      val r = s.agg(max(col("hash_row"))).head()
-      if (r.isNullAt(0)) 0L else r.getAs[Number](0).longValue + 1L
-    }
-    val da = depthOf(a)
-    val db = depthOf(b)
-    if (da == 0L || db == 0L)
-      // an empty sketch joins nothing: the exact inner product is 0
-      return a.sparkSession.range(1)
-        .select(lit(0L).as("est_join_size"))
-    require(da == db, s"sketch depth mismatch: left=$da right=$db")
-    val depth = da
-    a.select(col("hash_row"), col("bucket"), col("cnt").as("__ca"))
+    val da = a.agg(max(col("hash_row")).as("__ma"))
+    val db = b.agg(max(col("hash_row")).as("__mb"))
+    val per = a
+      .select(col("hash_row"), col("bucket"), col("cnt").as("__ca"))
       .join(b.select(col("hash_row"), col("bucket"),
         col("cnt").as("__cb")), Seq("hash_row", "bucket"))
       .groupBy(col("hash_row"))
       .agg(sum(col("__ca") * col("__cb")).as("__p"))
-      // a hash row with NO overlapping cells has product 0, and it
-      // wins the min — if any of the `depth` rows is missing from the
-      // join, the estimate is 0 (the empty/disjoint-sketch case)
-      .agg(coalesce(when(count(lit(1)) === depth, min(col("__p"))),
-        lit(0L)).cast("long").as("est_join_size"))
+    // a hash row with NO overlapping cells has product 0, and it
+    // wins the min — if any of the depth rows is missing from the
+    // join, the estimate is 0 (the empty/disjoint-sketch case)
+    per.agg(count(lit(1)).as("__rows"), min(col("__p")).as("__min"))
+      .crossJoin(broadcast(da)).crossJoin(broadcast(db))
+      .select(
+        when(col("__ma").isNull || col("__mb").isNull, lit(0L))
+          .when(col("__ma") =!= col("__mb"),
+            raise_error(concat(lit("sketch depth mismatch: left="),
+              (col("__ma") + 1).cast("string"), lit(" right="),
+              (col("__mb") + 1).cast("string"))).cast("long"))
+          .when(col("__rows") === col("__ma").cast("long") + 1L,
+            col("__min"))
+          .otherwise(lit(0L)).cast("long").as("est_join_size"))
   }
 }

@@ -108,8 +108,9 @@ class LogHistogramSpec extends AnyFunSuite {
     val est = Cms.innerProduct(sk8, sk8).head().getLong(0)
     assert(est >= 10L * 10 + 5L * 5) // used to silently return 0
     val sk4 = Cms.sketch(rows, "k", depth = 4)
-    val e = intercept[IllegalArgumentException] {
-      Cms.innerProduct(sk8, sk4)
+    // raise_error fires lazily at execution time, wrapped by Spark
+    val e = intercept[Exception] {
+      Cms.innerProduct(sk8, sk4).collect()
     }
     assert(e.getMessage.contains("depth mismatch"))
   }
