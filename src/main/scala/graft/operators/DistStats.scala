@@ -162,6 +162,33 @@ object DistStats {
     * pipeline; state is bounded by the count SUPPORT, never the
     * vocabulary.
     */
+  /** X217 — index of dispersion (variance-to-mean ratio) of per-key
+    * bucket counts: VMR 1 ≈ Poisson arrivals, ≫1 = bursty, <1 =
+    * regular — the burstiness triage that decides whether a feed
+    * needs the X196 drift monitor or just a rate limit. Unbiased
+    * variance from exact integer Σc/Σc² over the (key, bucket) count
+    * table; one row per key.
+    */
+  def dispersionIndex(df: DataFrame, keyCol: String, bucketCol: String)
+      : DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(bucketCol))
+      .agg(count(lit(1)).as("__c"))
+    val m = counts.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum(col("__c")).cast("long").as("__s"),
+        sum((col("__c").cast(dec) * col("__c")).cast(dec)).as("__ss"))
+    val nd = col("n_buckets").cast("double")
+    val mean = col("__s").cast("double") / nd
+    val varU = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nd) /
+      (nd - 1.0)
+    m.select(col(keyCol), col("n_buckets"),
+      round(mean, 6).as("mean_count"),
+      when(col("n_buckets") > 1L, round(varU, 6)).as("var_count"),
+      when(col("n_buckets") > 1L && mean > 0.0,
+        round(varU / mean, 6)).as("dispersion"))
+  }
+
   def goodTuring(counts: DataFrame, countCol: String, maxR: Int = 10)
       : DataFrame = {
     require(maxR >= 1, s"bad maxR $maxR")

@@ -92,6 +92,55 @@ object Winnow {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** X215 — span anchors + diagonal vote for matched pairs: for
+    * every [[matches]] candidate pair, the shared fingerprints as
+    * (pos1, pos2) anchors and the DOMINANT DIAGONAL pos2 − pos1 —
+    * anchors of a genuinely shared span agree on one offset, while
+    * coincidental hash matches scatter, so the diagonal's vote share
+    * separates "contains a copied run at offset d" from noise, and
+    * (min,max) over the winning diagonal's anchors bound the span —
+    * the locate step after X188 detects and X199 pairs.
+    *
+    * Output per pair: (d1, d2, n_anchors, diag, diag_votes,
+    * span1_lo, span1_hi) with diag ties broken to the smallest
+    * offset. Scale shape: anchors ∝ the X199 join mass (same
+    * valves); the vote is a per-pair grouped argmax.
+    */
+  def spanAnchors(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, maxDf: Int = 20, minShared: Int = 3)
+      : DataFrame = {
+    val fp = fingerprintRows(docs, idCol, textCol, k, w).persist()
+    val keyed = fp.select(col(idCol), col("h")).distinct()
+    val hdf = keyed.groupBy(col("h")).agg(count(lit(1)).as("__m"))
+      .filter(col("__m") <= maxDf).select(col("h"))
+    val keep = fp.join(hdf, Seq("h"))
+    val a = keep.select(col("h"), col(idCol).as("d1"),
+      col("pos").as("p1"))
+    val b = keep.select(col("h"), col(idCol).as("d2"),
+      col("pos").as("p2"))
+    val anchors = a.join(b, Seq("h")).filter(col("d1") < col("d2"))
+    val diags = anchors
+      .groupBy(col("d1"), col("d2"), (col("p2") - col("p1")).as("diag"))
+      .agg(count(lit(1)).as("diag_votes"),
+        min(col("p1")).as("span1_lo"), max(col("p1")).as("span1_hi"))
+    val totals = anchors.groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_anchors"))
+      .filter(col("n_anchors") >= minShared)
+    // lexicographic struct max = most votes, then smallest offset —
+    // one grouped pass, no argmax join
+    val picked = diags.groupBy(col("d1"), col("d2"))
+      .agg(max(struct(col("diag_votes"),
+        (-col("diag")).as("__negd"), col("diag"),
+        col("span1_lo"), col("span1_hi"))).as("__b"))
+    totals.join(picked, Seq("d1", "d2"))
+      .select(col("d1"), col("d2"),
+        col("n_anchors").cast("long").as("n_anchors"),
+        col("__b.diag").cast("long").as("diag"),
+        col("__b.diag_votes").cast("long").as("diag_votes"),
+        col("__b.span1_lo").cast("long").as("span1_lo"),
+        col("__b.span1_hi").cast("long").as("span1_hi"))
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame =
     fingerprintRows(docs, idCol, textCol, k, w)

@@ -1576,6 +1576,122 @@ object StatsQueries {
         graft.operators.TimeSeries.coverageReport(events(spark, dir),
             "event_type", "ts")
           .orderBy($"event_type")
+      }),
+
+    // X215: winnow span anchors — for each matched pair, the
+    // dominant diagonal (offset) and the span it bounds.
+    QueryDef(
+      "q_winnow_spans",
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+          FROM documents
+        ), base AS (
+          SELECT doc_id, s, len(s) AS l FROM d
+          WHERE len(s) >= 8 AND len(s) <= 1048576
+        ), kg AS (
+          SELECT doc_id, l, i AS p,
+                 ('0x' || substr(md5(substr(s, i + 1, 5)), 1, 8))::BIGINT
+                   AS h
+          FROM base, unnest(range(0, l - 5 + 1)) AS r(i)
+        ), keyed AS (
+          SELECT doc_id, l, p, h * 1048576 + (1048575 - p) AS kk
+          FROM kg
+        ), wm AS (
+          SELECT doc_id, l, p,
+                 min(kk) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+          FROM keyed
+        ), sel AS (
+          SELECT DISTINCT doc_id, wmin FROM wm WHERE p <= l - 5 - 3
+        ), fp AS (
+          SELECT doc_id, wmin // 1048576 AS h,
+                 1048575 - (wmin % 1048576) AS pos
+          FROM sel
+        ), hdf AS (
+          SELECT h FROM (
+            SELECT h, count(*) AS m FROM
+              (SELECT DISTINCT doc_id, h FROM fp) GROUP BY h)
+          WHERE m <= 20
+        ), keep AS (
+          SELECT fp.doc_id, fp.h, fp.pos FROM fp JOIN hdf USING (h)
+        ), anch AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 a.pos AS p1, b.pos AS p2
+          FROM keep a JOIN keep b
+            ON a.h = b.h AND a.doc_id < b.doc_id
+        ), tot AS (
+          SELECT d1, d2, CAST(count(*) AS BIGINT) AS n_anchors
+          FROM anch GROUP BY 1, 2 HAVING count(*) >= 3
+        ), diag AS (
+          SELECT d1, d2, p2 - p1 AS dg,
+                 CAST(count(*) AS BIGINT) AS diag_votes,
+                 CAST(min(p1) AS BIGINT) AS span1_lo,
+                 CAST(max(p1) AS BIGINT) AS span1_hi
+          FROM anch GROUP BY 1, 2, 3
+        ), pick AS (
+          SELECT d1, d2, dg, diag_votes, span1_lo, span1_hi FROM (
+            SELECT *, row_number() OVER (PARTITION BY d1, d2
+              ORDER BY diag_votes DESC, dg) AS rk
+            FROM diag)
+          WHERE rk = 1
+        )
+        SELECT t.d1, t.d2, t.n_anchors, CAST(p.dg AS BIGINT) AS diag,
+               p.diag_votes, p.span1_lo, p.span1_hi
+        FROM tot t JOIN pick p ON p.d1 = t.d1 AND p.d2 = t.d2
+        ORDER BY t.d1, t.d2
+      """.trim),
+      "X215 dominant-diagonal span location for winnow-matched pairs")(
+      (spark, dir) =>
+        Winnow.spanAnchors(table(spark, dir, "documents"), "doc_id",
+            "text", k = 5, w = 4, maxDf = 20, minShared = 3)
+          .orderBy("d1", "d2")),
+
+    // X217: index of dispersion of daily event volume per type —
+    // Poisson-vs-bursty triage.
+    QueryDef(
+      "q_dispersion",
+      Some("""
+        WITH c AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ), m AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(c) AS BIGINT) AS s,
+                 sum(CAST(c AS HUGEINT) * c) AS ss
+          FROM c GROUP BY 1
+        )
+        SELECT event_type, n_buckets,
+               round(CAST(s AS DOUBLE) / CAST(n_buckets AS DOUBLE), 6)
+                 AS mean_count,
+               CASE WHEN n_buckets > 1 THEN
+                 round((CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n_buckets AS DOUBLE))
+                   / (CAST(n_buckets AS DOUBLE) - 1.0), 6)
+               END AS var_count,
+               CASE WHEN n_buckets > 1
+                 AND CAST(s AS DOUBLE) / CAST(n_buckets AS DOUBLE) > 0.0
+               THEN
+                 round(((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n_buckets AS DOUBLE))
+                    / (CAST(n_buckets AS DOUBLE) - 1.0))
+                   / (CAST(s AS DOUBLE) / CAST(n_buckets AS DOUBLE)),
+                   6)
+               END AS dispersion
+        FROM m ORDER BY event_type
+      """.trim),
+      "X217 variance-to-mean dispersion of daily volume per type")(
+      (spark, dir) => {
+        import spark.implicits._
+        DistStats.dispersionIndex(
+            events(spark, dir).select($"event_type",
+              to_date(date_trunc("day", $"ts")).as("day")),
+            "event_type", "day")
+          .orderBy($"event_type")
       })
   )
 
