@@ -404,6 +404,39 @@ object CorpusOps {
       skinny.schema.head, StructField("__start", LongType, nullable = false))))
   }
 
+  /** X218 — budget-constrained greedy selection: keep the best
+    * quality-per-token documents until a token budget is spent — the
+    * fractional-knapsack greedy (optimal up to the single boundary
+    * doc), which is THE shape of "fill a 10B-token training budget
+    * from a 10T-token pool". Ratio quantizes to nano-units
+    * (round(q·1e9/tokens) — deterministic), ranking is the two-phase
+    * [[globalRank]] (ratio desc, id tie-break), and the running
+    * token total is a second two-phase [[prefixStarts]] pass over
+    * the rank order — NO single-partition cumulative window
+    * anywhere. Output: selected rows with (sel_rank, cum_tokens),
+    * cum ≤ budget.
+    */
+  def budgetSelect(df: DataFrame, idCol: String, qualityCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"bad budget $budget")
+    val base = df.select(col(idCol), col(qualityCol),
+        col(tokensCol).cast("long").as("__tok"))
+      .filter(col("__tok") > 0L)
+      .withColumn("__ratio",
+        round(col(qualityCol).cast("double") * 1e9 /
+          col("__tok").cast("double"), 0).cast("long"))
+    val ranked = globalRank(base,
+      Seq(col("__ratio").desc, col(idCol)))
+    val starts = prefixStarts(
+      ranked.select(col("__rank"), col("__tok").as("__n")), "__rank")
+    ranked.join(starts, Seq("__rank"))
+      .withColumn("cum_tokens", col("__start") + col("__tok"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col(qualityCol),
+        col("__tok").as("tokens"),
+        (col("__rank") + 1L).as("sel_rank"), col("cum_tokens"))
+  }
+
   /** X108 — competence-based curriculum schedule (Platanios et al.
     * 2019): each document gets a RARITY difficulty — the corpus
     * negative log-likelihood of its unigrams, Σ_w (ln N − ln c_w) —

@@ -1692,6 +1692,49 @@ object StatsQueries {
               to_date(date_trunc("day", $"ts")).as("day")),
             "event_type", "day")
           .orderBy($"event_type")
+      }),
+
+    // X218: fill a 20k-token budget with the most type-rich docs —
+    // fractional-knapsack greedy over quality-per-token.
+    QueryDef(
+      "q_budget_select",
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len($SqlToks) AS BIGINT) AS tok,
+                 CAST(len(list_distinct($SqlToks)) AS BIGINT) AS q
+          FROM documents
+        ), base AS (
+          SELECT doc_id, q, tok,
+                 CAST(round(CAST(q AS DOUBLE) * 1e9
+                   / CAST(tok AS DOUBLE)) AS BIGINT) AS ratio
+          FROM t WHERE tok > 0
+        ), r AS (
+          SELECT doc_id, q, tok,
+                 CAST(row_number() OVER (ORDER BY ratio DESC, doc_id)
+                   AS BIGINT) AS rk
+          FROM base
+        ), c AS (
+          SELECT doc_id, q, tok, rk,
+                 CAST(sum(tok) OVER (ORDER BY rk) AS BIGINT) AS cum
+          FROM r
+        )
+        SELECT doc_id, q AS quality, tok AS tokens, rk AS sel_rank,
+               cum AS cum_tokens
+        FROM c WHERE cum <= 20000
+        ORDER BY sel_rank
+      """.trim),
+      "X218 greedy 20k-token budget fill by type richness per token")(
+      (spark, dir) => {
+        import spark.implicits._
+        val toks = Dedup.tokens($"text")
+        val t = table(spark, dir, "documents")
+          .select($"doc_id",
+            size(array_distinct(toks)).cast("long").as("quality"),
+            size(toks).cast("long").as("n_toks"))
+        graft.operators.CorpusOps.budgetSelect(t, "doc_id",
+            "quality", "n_toks", budget = 20000L)
+          .orderBy($"sel_rank")
       })
   )
 

@@ -51,6 +51,22 @@ class Wave9Spec extends AnyFunSuite {
     assert(out("c")._3.isEmpty)
   }
 
+  test("budgetSelect: greedy by quality-per-token, boundary doc " +
+    "excluded, budget-too-small gives empty") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L, 5L), (2L, 6L, 6L), (3L, 1L, 100L),
+      (4L, 5L, 0L)).toDF("id", "q", "tok")
+    val out = CorpusOps.budgetSelect(df, "id", "q", "tok",
+      budget = 12L).orderBy("sel_rank").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    assert(out.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(5L, 11L))
+    assert(out.map(_.getAs[Long]("sel_rank")).toSeq == Seq(1L, 2L))
+    val none = CorpusOps.budgetSelect(df, "id", "q", "tok",
+      budget = 3L)
+    assert(none.count() == 0L)
+  }
+
   test("streaming Benford tracker equals the batch operator over " +
     "concatenated batches, for any cut") {
     val s = spark
