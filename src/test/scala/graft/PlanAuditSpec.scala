@@ -902,4 +902,63 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), q)
     }
   }
+
+  // ---- r10 wave scale-claim audits -----------------------------------
+
+  test("q_budget_select: both passes are two-phase (ExistingRDD), " +
+    "no cumulative window anywhere") {
+    val p = plan("q_budget_select")
+    assert(p.contains("ExistingRDD"),
+      "two-phase rank/prefix machinery gone from budgetSelect")
+    assert(!p.contains("Window"),
+      s"a cumulative window crept into budgetSelect:\n${p.take(1500)}")
+  }
+
+  test("q_borda: three globalRank passes, no per-signal window") {
+    val p = plan("q_borda")
+    assert(p.contains("ExistingRDD"), "globalRank gone from borda")
+    // the only window allowed is the k-row final dense rank
+    val specs = "windowspecdefinition\\(".r.findAllIn(p.toLowerCase)
+      .length
+    assert(specs <= 1, s"per-signal windows crept into borda: $specs")
+  }
+
+  test("q_kendall_tau: the pair-mass joins broadcast the bounded " +
+    "contingency side — never a shuffled cross product") {
+    val p = plan("q_kendall_tau")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"cell self-join not broadcast:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"),
+      "unbroadcast cross product in kendall")
+  }
+
+  test("q_winnow and q_cusum: windows keep their per-doc/per-key " +
+    "partitioning (never a global sort)") {
+    Seq("q_winnow" -> "doc_id", "q_cusum" -> "event_type")
+      .foreach { case (q, key) =>
+        val p = plan(q).toLowerCase
+        val specs = s"windowspecdefinition\\($key".r
+          .findAllIn(p).length
+        val all = "windowspecdefinition\\(".r.findAllIn(p).length
+        assert(all > 0 && specs == all,
+          s"$q: ${all - specs} window(s) lost the $key partition")
+      }
+  }
+
+  test("q_setjoin materializes the shingle table once for its four " +
+    "consumers (InMemoryTableScan present)") {
+    val p = plan("q_setjoin")
+    assert(p.contains("InMemoryTableScan"),
+      s"shingle persist missing from setjoin:\n${p.take(1200)}")
+  }
+
+  test("q_quantile_norm: grid lookup joins broadcast the bounded " +
+    "side; the only windows are per-source rank and the " +
+    "value-bounded CDF") {
+    val p = plan("q_quantile_norm")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "grid lookup not broadcast in quantile_norm")
+    assert(!p.contains("CartesianProduct"), "cross product crept in")
+  }
 }
