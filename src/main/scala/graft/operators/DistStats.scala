@@ -162,6 +162,46 @@ object DistStats {
     * pipeline; state is bounded by the count SUPPORT, never the
     * vocabulary.
     */
+  /** X219 — Hill tail-index estimator over the top-k order
+    * statistics: α̂ = k / (Σ_{i≤k} ln xᵢ − k·ln x_{k+1}) — HOW heavy
+    * the tail is (α ≈ 1 Zipf-like, larger = thinner), the
+    * tail-shape companion to X90's full rank-frequency fit. Order
+    * statistics come from the distinct-value table with ties split
+    * exactly by rank-range overlap (integer arithmetic — no row
+    * sort, no sampling); ln on identical doubles, round(6).
+    * Requires k+1 positive values; returns an empty frame otherwise.
+    */
+  def hillTailIndex(df: DataFrame, valueCol: String, k: Int = 100)
+      : DataFrame = {
+    require(k >= 2, s"bad k $k")
+    val g = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v") > 0L)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__m"))
+    val w = Window.orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.withColumn("__cum", sum(col("__m")).over(w))
+    // rank range of value v from the top: (cum − m, cum]; its
+    // overlap with [1..k] contributes overlap·ln(v)
+    val inTop = cum.filter(col("__cum") - col("__m") < k)
+      .withColumn("__take",
+        least(col("__cum"), lit(k.toLong)) - (col("__cum") - col("__m")))
+      .agg(coalesce(sum(col("__take").cast("double") *
+        log(col("__v").cast("double"))), lit(0.0)).as("__lnsum"),
+        sum(col("__take")).cast("long").as("__kgot"))
+    val thresh = cum.filter(col("__cum") >= k + 1)
+      .agg(max(col("__v")).as("__xk1"))
+    // denominator 0 = the whole top-(k+1) is one repeated value —
+    // no tail to estimate; NULL, and kept total so ANSI predicate
+    // reordering can never evaluate a bare k/0
+    val den = col("__lnsum") -
+      lit(k.toDouble) * log(col("__xk1").cast("double"))
+    inTop.crossJoin(broadcast(thresh))
+      .filter(col("__kgot") === k && col("__xk1").isNotNull)
+      .select(lit(k.toLong).as("k"),
+        col("__xk1").cast("long").as("x_k_plus_1"),
+        when(den > 0.0, round(lit(k.toDouble) / den, 6)).as("alpha"))
+  }
+
   /** X217 — index of dispersion (variance-to-mean ratio) of per-key
     * bucket counts: VMR 1 ≈ Poisson arrivals, ≫1 = bursty, <1 =
     * regular — the burstiness triage that decides whether a feed

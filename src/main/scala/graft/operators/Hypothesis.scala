@@ -133,6 +133,34 @@ object Hypothesis {
           .as("ks_d"))
   }
 
+  /** X220 — Wilson score interval per group for a boolean rate: the
+    * finite-sample binomial CI that stays inside [0,1] and behaves
+    * at p̂ near 0/1 where the Wald ±z√(p(1−p)/n) interval collapses —
+    * the per-slice release-gate bars under X149b's two-sided test.
+    * Exact integer (n, successes) per group; center and half-width
+    * are one fixed-shape double expression with the z literal,
+    * round(6). Empty groups cannot occur (groupBy), n ≥ 1 always.
+    */
+  def wilsonInterval(df: DataFrame, groupCol: String,
+      successCol: Column, z: Double = 1.96): DataFrame = {
+    require(z > 0, s"bad z $z")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).cast("long")
+          .as("successes"))
+    val nd = col("n").cast("double")
+    val p = col("successes").cast("double") / nd
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nd
+    val center = (p + z2 / (lit(2.0) * nd)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nd +
+      z2 / (lit(4.0) * nd * nd)) / denom
+    g.select(col(groupCol), col("n"), col("successes"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("ci_lo"),
+      round(center + half, 6).as("ci_hi"))
+  }
+
   /** X189 — Wald's sequential probability ratio test (SPRT) replay:
     * per group, walk the trials in `orderCol` order accumulating the
     * log-likelihood ratio for H1: p=p1 vs H0: p=p0, and report the

@@ -1735,6 +1735,84 @@ object StatsQueries {
         graft.operators.CorpusOps.budgetSelect(t, "doc_id",
             "quality", "n_toks", budget = 20000L)
           .orderBy($"sel_rank")
+      }),
+
+    // X219: Hill tail-index of the doc-length distribution over the
+    // top-100 order statistics.
+    QueryDef(
+      "q_hill",
+      Some("""
+        WITH g AS (
+          SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS m
+          FROM documents WHERE n_chars > 0 GROUP BY 1
+        ), cum AS (
+          SELECT v, m,
+                 CAST(sum(m) OVER (ORDER BY v DESC) AS BIGINT) AS cum
+          FROM g
+        ), top_ AS (
+          SELECT coalesce(sum(CAST(least(cum, 100) - (cum - m)
+                   AS DOUBLE) * ln(CAST(v AS DOUBLE))), 0.0) AS lnsum,
+                 CAST(sum(least(cum, 100) - (cum - m)) AS BIGINT)
+                   AS kgot
+          FROM cum WHERE cum - m < 100
+        ), th AS (SELECT max(v) AS xk1 FROM cum WHERE cum >= 101)
+        SELECT CAST(100 AS BIGINT) AS k, xk1 AS x_k_plus_1,
+               CASE WHEN lnsum - 100.0 * ln(CAST(xk1 AS DOUBLE)) > 0.0
+               THEN
+                 round(100.0
+                   / (lnsum - 100.0 * ln(CAST(xk1 AS DOUBLE))), 6)
+               END AS alpha
+        FROM top_, th WHERE kgot = 100 AND xk1 IS NOT NULL
+      """.trim),
+      "X219 Hill tail index of doc length (top-100)")(
+      (spark, dir) =>
+        DistStats.hillTailIndex(table(spark, dir, "documents"),
+          "n_chars", k = 100)),
+
+    // X220: Wilson score interval for the per-source en-rate.
+    QueryDef(
+      "q_wilson",
+      Some("""
+        WITH g AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS successes
+          FROM documents GROUP BY 1
+        )
+        SELECT source, n, successes,
+               round(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS rate,
+               round((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                      + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+                   / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+                 - 1.96 * sqrt(CAST(successes AS DOUBLE)
+                       / CAST(n AS DOUBLE)
+                     * (1.0 - CAST(successes AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                     + (1.96 * 1.96)
+                       / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6)
+                 AS ci_lo,
+               round((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                      + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+                   / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+                 + 1.96 * sqrt(CAST(successes AS DOUBLE)
+                       / CAST(n AS DOUBLE)
+                     * (1.0 - CAST(successes AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                     + (1.96 * 1.96)
+                       / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6)
+                 AS ci_hi
+        FROM g
+        ORDER BY source
+      """.trim),
+      "X220 Wilson score CI of the en-rate per source")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.wilsonInterval(table(spark, dir, "documents"),
+            "source", $"lang" === "en", z = 1.96)
+          .orderBy($"source")
       })
   )
 
