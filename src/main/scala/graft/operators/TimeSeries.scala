@@ -170,6 +170,83 @@ object TimeSeries {
         round(col("__as").cast("double") / 1e6, 6).as("s_at_alarm"))
   }
 
+  /** X221 — Mann-Kendall trend test per key over an ordered series:
+    * S = Σ_{i<j} sgn(vⱼ − vᵢ), the tie-corrected variance
+    * n(n−1)(2n+5)/18 − Σₜ t(t−1)(2t+5)/18, and the continuity-
+    * corrected z — the nonparametric "is this metric drifting
+    * monotonically" gate (no distributional assumption, robust to
+    * outliers) that X196's CUSUM alarms hand over to for
+    * confirmation. Exact integer S and tie terms from the
+    * per-key pair self-join — bounded by the BUCKET count squared
+    * (daily series: ~365² pairs/key), never rows.
+    */
+  def mannKendall(daily: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val base = daily.select(col(keyCol), col(orderCol).as("__o"),
+      round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
+    val a = base.select(col(keyCol), col("__o").as("__oa"),
+      col("__v").as("__va"))
+    val b = base.select(col(keyCol), col("__o").as("__ob"),
+      col("__v").as("__vb"))
+    val pairs = a.join(b, Seq(keyCol))
+      .filter(col("__ob") > col("__oa"))
+    val sAgg = pairs.groupBy(col(keyCol))
+      .agg(sum(signum(col("__vb") - col("__va")).cast("long"))
+        .cast("long").as("__S"))
+    val nAgg = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val ties = base.groupBy(col(keyCol), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col(keyCol))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1L) *
+        (lit(2L) * col("__t") + 5L)), lit(0L)).cast("long")
+        .as("__tieTerm"))
+    val j = nAgg.join(sAgg, Seq(keyCol)).join(ties, Seq(keyCol))
+    val nd = col("n").cast("double")
+    val varS = (nd * (nd - 1.0) * (lit(2.0) * nd + 5.0) -
+      col("__tieTerm").cast("double")) / 18.0
+    val sD = col("__S").cast("double")
+    val zNum = when(col("__S") > 0L, sD - 1.0)
+      .when(col("__S") < 0L, sD + 1.0).otherwise(lit(0.0))
+    j.select(col(keyCol), col("n"), col("__S").as("s_stat"),
+      when(varS > 0.0, round(zNum / sqrt(varS), 6)).as("z"))
+  }
+
+  /** X222 — Theil-Sen slope per key: the MEDIAN of all pairwise
+    * slopes (vⱼ−vᵢ)/(oⱼ−oᵢ) — the robust trend MAGNITUDE beside
+    * [[mannKendall]]'s significance (one wild day moves an OLS fit,
+    * not the median slope). Slopes quantize to micro-units and the
+    * median is the exact LOWER order statistic at rank ⌈m/2⌉ (a
+    * deterministic convention — no two-middle averaging) via a
+    * per-key rank window over the bucket²-bounded slope multiset.
+    */
+  def theilSen(daily: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val base = daily.select(col(keyCol),
+      col(orderCol).cast("long").as("__o"),
+      round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
+    val a = base.select(col(keyCol), col("__o").as("__oa"),
+      col("__v").as("__va"))
+    val b = base.select(col(keyCol), col("__o").as("__ob"),
+      col("__v").as("__vb"))
+    val slopes = a.join(b, Seq(keyCol))
+      .filter(col("__ob") > col("__oa"))
+      .select(col(keyCol),
+        round((col("__vb") - col("__va")).cast("double") /
+          (col("__ob") - col("__oa")).cast("double"), 0).cast("long")
+          .as("__slope"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__slope"))
+    val ranked = slopes
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__m",
+        count(lit(1)).over(Window.partitionBy(col(keyCol))))
+    ranked.filter(col("__r") === expr("(__m + 1) div 2"))
+      .select(col(keyCol), col("__m").cast("long").as("n_pairs"),
+        round(col("__slope").cast("double") / 1e6, 6)
+          .as("median_slope"))
+  }
+
   /** X214 — temporal coverage report: per key, the active day span,
     * how much of it actually has data, and the largest silent gap —
     * the "is this feed healthy / is this slice complete" audit a

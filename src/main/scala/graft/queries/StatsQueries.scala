@@ -1813,6 +1813,118 @@ object StatsQueries {
         Hypothesis.wilsonInterval(table(spark, dir, "documents"),
             "source", $"lang" === "en", z = 1.96)
           .orderBy($"source")
+      }),
+
+    // X221: Mann-Kendall monotone-trend test of daily event volume
+    // per type.
+    QueryDef(
+      "q_mann_kendall",
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                   CAST(ts AS DATE)) AS BIGINT) AS o,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2
+        ), q AS (
+          SELECT event_type, o, CAST(round(v * 1e6) AS BIGINT) AS vm
+          FROM daily
+        ), p AS (
+          SELECT a.event_type,
+                 CASE WHEN b.vm > a.vm THEN 1
+                      WHEN b.vm < a.vm THEN -1 ELSE 0 END AS sg
+          FROM q a JOIN q b
+            ON a.event_type = b.event_type AND b.o > a.o
+        ), sa AS (
+          SELECT event_type, CAST(sum(CAST(sg AS BIGINT)) AS BIGINT)
+                   AS s
+          FROM p GROUP BY 1
+        ), na AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM q GROUP BY 1
+        ), ta AS (
+          SELECT event_type,
+                 CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                   AS BIGINT) AS tt
+          FROM (SELECT event_type, vm, CAST(count(*) AS BIGINT) AS t
+                FROM q GROUP BY 1, 2)
+          GROUP BY 1
+        )
+        SELECT na.event_type, na.n, sa.s AS s_stat,
+               CASE WHEN (CAST(na.n AS DOUBLE)
+                   * (CAST(na.n AS DOUBLE) - 1.0)
+                   * (2.0 * CAST(na.n AS DOUBLE) + 5.0)
+                   - CAST(tt AS DOUBLE)) / 18.0 > 0.0 THEN
+                 round((CASE WHEN sa.s > 0
+                          THEN CAST(sa.s AS DOUBLE) - 1.0
+                        WHEN sa.s < 0
+                          THEN CAST(sa.s AS DOUBLE) + 1.0
+                        ELSE 0.0 END)
+                   / sqrt((CAST(na.n AS DOUBLE)
+                       * (CAST(na.n AS DOUBLE) - 1.0)
+                       * (2.0 * CAST(na.n AS DOUBLE) + 5.0)
+                       - CAST(tt AS DOUBLE)) / 18.0), 6)
+               END AS z
+        FROM na JOIN sa USING (event_type) JOIN ta USING (event_type)
+        ORDER BY na.event_type
+      """.trim),
+      "X221 Mann-Kendall trend z of daily volume per type")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy($"event_type",
+            datediff(to_date(date_trunc("day", $"ts")),
+              lit("1970-01-01")).cast("long").as("o"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        graft.operators.TimeSeries
+          .mannKendall(daily, "event_type", "o", "v")
+          .orderBy($"event_type")
+      }),
+
+    // X222: Theil-Sen median slope of the same daily series — the
+    // robust trend magnitude beside X221's significance.
+    QueryDef(
+      "q_theil_sen",
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                   CAST(ts AS DATE)) AS BIGINT) AS o,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2
+        ), q AS (
+          SELECT event_type, o, CAST(round(v * 1e6) AS BIGINT) AS vm
+          FROM daily
+        ), sl AS (
+          SELECT a.event_type,
+                 CAST(round(CAST(b.vm - a.vm AS DOUBLE)
+                   / CAST(b.o - a.o AS DOUBLE)) AS BIGINT) AS slope
+          FROM q a JOIN q b
+            ON a.event_type = b.event_type AND b.o > a.o
+        ), r AS (
+          SELECT event_type, slope,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY slope) AS BIGINT) AS rk,
+                 CAST(count(*) OVER (PARTITION BY event_type)
+                   AS BIGINT) AS m
+          FROM sl
+        )
+        SELECT event_type, m AS n_pairs,
+               round(CAST(slope AS DOUBLE) / 1e6, 6) AS median_slope
+        FROM r WHERE rk = (m + 1) // 2
+        ORDER BY event_type
+      """.trim),
+      "X222 Theil-Sen median slope of daily volume per type")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy($"event_type",
+            datediff(to_date(date_trunc("day", $"ts")),
+              lit("1970-01-01")).cast("long").as("o"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        graft.operators.TimeSeries
+          .theilSen(daily, "event_type", "o", "v")
+          .orderBy($"event_type")
       })
   )
 

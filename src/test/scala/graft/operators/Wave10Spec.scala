@@ -28,6 +28,40 @@ class Wave10Spec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("mannKendall: monotone series hits the exact S and z; " +
+    "constant series NULLs z through the tie correction") {
+    val s = spark
+    import s.implicits._
+    // v = o over 5 points: S = 10, Var = 5*4*15/18, z = 9/sqrt(Var)
+    val up = (0 to 4).map(i => ("k", i.toLong, i.toDouble))
+      .toDF("g", "o", "v")
+    val r = TimeSeries.mannKendall(up, "g", "o", "v").head()
+    assert(r.getAs[Long]("s_stat") == 10L)
+    assert(math.abs(r.getAs[Double]("z") -
+      9.0 / math.sqrt(50.0 / 3)) < 1e-6)
+    val flat = (0 to 4).map(i => ("k", i.toLong, 7.0))
+      .toDF("g", "o", "v")
+    val rf = TimeSeries.mannKendall(flat, "g", "o", "v").head()
+    assert(rf.getAs[Long]("s_stat") == 0L)
+    assert(rf.isNullAt(rf.fieldIndex("z")))
+  }
+
+  test("theilSen: perfect line recovers its slope; a single spike " +
+    "cannot move the median slope") {
+    val s = spark
+    import s.implicits._
+    val line = (0 to 4).map(i => ("k", i.toLong, 3.0 * i))
+      .toDF("g", "o", "v")
+    val r = TimeSeries.theilSen(line, "g", "o", "v").head()
+    assert(r.getAs[Double]("median_slope") == 3.0)
+    assert(r.getAs[Long]("n_pairs") == 10L)
+    // o=[0,1,2], v=[0,10,2]: slopes {10, 1, -8} -> median 1
+    val spike = Seq(("k", 0L, 0.0), ("k", 1L, 10.0), ("k", 2L, 2.0))
+      .toDF("g", "o", "v")
+    val rs = TimeSeries.theilSen(spike, "g", "o", "v").head()
+    assert(rs.getAs[Double]("median_slope") == 1.0)
+  }
+
   test("wilsonInterval: symmetric at p=0.5 with the closed-form " +
     "half-width; p=0 pins ci_lo to exactly 0") {
     val s = spark
