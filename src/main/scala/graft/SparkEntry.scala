@@ -18,7 +18,8 @@ object SparkEntry {
       PipelineQueries.defs ++ JoinQueries.defs ++ RelationalQueries.defs ++
       CorpusQueries.defs ++ OlapQueries.defs ++ CorpusStatsQueries.defs ++
       CorpusPrepQueries.defs ++ CurationQueries.defs ++
-      ReliabilityQueries.defs ++ StatsQueries.defs
+      ReliabilityQueries.defs ++ StatsQueries.defs ++
+      MiningQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -257,4 +257,40 @@ object DistStats {
           .as("p_gt"))
     unseen.unionByName(rows)
   }
+
+  /** X229 — Chao1 species-richness estimate from a count table: how
+    * many distinct types (tokens, users, URLs) the corpus REALLY has,
+    * including the ones sampling hasn't surfaced yet. Uses only the
+    * singleton/doubleton counts: chao1 = D + f₁(f₁−1)/(2(f₂+1)) (the
+    * bias-corrected form, defined even at f₂ = 0), plus Good's sample
+    * coverage Ĉ = 1 − f₁/N — the "is this corpus slice saturated"
+    * readout that tells a crawl scheduler whether another 10 TB of
+    * the same source will add vocabulary or just repeats. Beside
+    * [[goodTuring]] (probability mass of the unseen) and X89's Heaps
+    * fit (growth-curve extrapolation): Chao1 is the nonparametric
+    * LOWER BOUND on the total.
+    *
+    * Exactness: D, f₁, f₂, N are exact integer aggregates of the
+    * count table (type-bounded, not row-bounded); the estimate and
+    * coverage are one fixed-shape double each, round(6). One row out.
+    */
+  def chao1(counts: DataFrame, countCol: String): DataFrame = {
+    val agg = counts.select(col(countCol).cast("long").as("__r"))
+      .filter(col("__r") > 0L)
+      .agg(count(lit(1)).cast("long").as("observed"),
+        sum(col("__r").cast(dec)).cast(dec).as("__n"),
+        sum(when(col("__r") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("f1"),
+        sum(when(col("__r") === 2L, 1L).otherwise(0L)).cast("long")
+          .as("f2"))
+    val f1d = col("f1").cast("double")
+    val f2d = col("f2").cast("double")
+    agg.select(col("observed"), col("__n").cast("long").as("n_tokens"),
+      col("f1"), col("f2"),
+      round(col("observed").cast("double") +
+        f1d * (f1d - 1.0) / (lit(2.0) * (f2d + 1.0)), 6).as("chao1"),
+      when(col("__n") > 0L,
+        round(lit(1.0) - f1d / col("__n").cast("double"), 6))
+        .as("coverage"))
+  }
 }

@@ -220,6 +220,45 @@ object Hypothesis {
         round(coalesce(col("__llr"), col("__fllr")), 6).as("llr"))
   }
 
+  /** X223 — Benjamini-Hochberg step-up FDR correction: given one
+    * p-value per tested slice, rank them ascending and report the
+    * adjusted value p̃_(i) = min_{j≥i} p_(j)·m/j (capped at 1) plus
+    * the reject decision at level `alpha` — the multiple-testing
+    * gate that keeps a monitoring fleet testing thousands of slices
+    * per day from drowning in false alarms (at α=0.05 a thousand
+    * null slices raise ~50 naive alerts; BH holds the FALSE DISCOVERY
+    * RATE at α instead). Rejecting iff p̃ ≤ α is exactly the classic
+    * step-up rule (reject ranks 1..k*, k* = max{i: p_(i) ≤ iα/m}).
+    *
+    * Determinism: ranks are integers with `keyCol` as the total
+    * tie-break; p̃ is a fixed-shape double from (p, rank, m) plus a
+    * running min, round(6) on output only. Scale shape: the input is
+    * the HYPOTHESIS table — one row per tested slice, never
+    * data-sized (the ksTest/rocAuc bounded-ordered-pass class), so
+    * the two ordered windows (rank, suffix-min) stay slice-bounded
+    * no matter how many rows fed each p-value.
+    */
+  def bhAdjust(df: DataFrame, keyCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"bad alpha $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val m = df.agg(count(lit(1)).as("__m"))
+    val wAsc = Window.orderBy(col(pCol).asc, col(keyCol).asc)
+    // suffix min of p*m/rank == prefix min in DESCENDING rank order
+    val wDesc = Window.orderBy(col(pCol).desc, col(keyCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), col(pCol))
+      .crossJoin(broadcast(m))
+      .withColumn("__rank", row_number().over(wAsc).cast("long"))
+      .withColumn("__raw",
+        col(pCol) * col("__m") / col("__rank"))
+      .withColumn("__adj", least(lit(1.0), min(col("__raw")).over(wDesc)))
+      .select(col(keyCol), round(col(pCol), 6).as("p_value"),
+        col("__rank").as("p_rank"),
+        round(col("__adj"), 6).as("p_adj"),
+        (col("__adj") <= alpha).as("reject"))
+  }
+
   /** X152 — Krippendorff's alpha (nominal scale, two raters, no
     * missing values): α = 1 − (n−1)·ΣoffDiag(o)/De with the
     * coincidence matrix o folded down to three exact integers —
@@ -254,5 +293,91 @@ object Hypothesis {
           round(lit(1.0) - (n - 1L).cast("double") *
             (lit(2L) * col("__dis")).cast("double") / de.cast("double"), 6))
           .as("alpha"))
+  }
+
+  /** X226 — Mann-Whitney U (Wilcoxon rank-sum) test between two
+    * groups, with midrank tie handling and the tie-corrected normal
+    * approximation — the nonparametric sibling of [[welchTTest]]:
+    * it reads only the value ORDER, so a heavy-tailed length or
+    * score column that wrecks the t-test's variance assumptions
+    * still gets a valid "did the distribution shift" answer. Also
+    * emits the rank-biserial correlation r = 2U/(n_a·n_b) − 1
+    * (= Cliff's delta), the effect size the z alone hides at scale
+    * (at 10⁹ rows everything is "significant"; r says whether it
+    * MATTERS).
+    *
+    * Exactness: ranks live on the DISTINCT-value table (the ksTest
+    * class — the one ordered pass is value-bounded, never a row
+    * sort). Doubled midranks 2m = 2·cumPrev + c + 1 are INTEGERS, so
+    * the doubled rank sum 2R_A = Σ ca·2m and the tie term Σ(c³−c)
+    * accumulate exactly in decimal(38,0); U, z, and r are fixed-shape
+    * doubles from those integers, round(6). Values quantize to
+    * micro-units — rank-invariant for ≤6-dp inputs. z is NULL when
+    * every value ties (σ = 0) or a group is empty.
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: String, isA: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+      .withColumn("__c", col("__ca") + col("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // doubled midrank of value v: 2*(ranks below) + c + 1 — integer
+    val m2 = lit(2L) * (sum(col("__c")).over(w) - col("__c")) +
+      col("__c") + lit(1L)
+    val agg = per.select(col("__ca"), col("__cb"), col("__c"),
+        m2.as("__m2"))
+      .agg(sum(col("__ca")).cast("long").as("n_a"),
+        sum(col("__cb")).cast("long").as("n_b"),
+        sum((col("__ca") * col("__m2")).cast("decimal(38,0)"))
+          .as("__r2a"),
+        sum((col("__c").cast("decimal(38,0)") * col("__c") * col("__c") -
+          col("__c")).cast("decimal(38,0)")).as("__ties"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val nn = na + nb
+    // 2U_A = 2R_A − n_a(n_a+1); U in doubles only at the end
+    val u2 = col("__r2a").cast("double") - na * (na + 1.0)
+    val sigma2 = na * nb / 12.0 *
+      ((nn + 1.0) - col("__ties").cast("double") / (nn * (nn - 1.0)))
+    val ok = col("n_a") > 0L && col("n_b") > 0L && sigma2 > 0.0
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L, round(u2 / 2.0, 6))
+        .as("u_stat"),
+      when(ok, round((u2 - na * nb) / (lit(2.0) * sqrt(sigma2)), 6))
+        .as("z_stat"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        round(u2 / (na * nb) - 1.0, 6)).as("rank_biserial"))
+  }
+
+  /** X227 — McNemar's test on two paired boolean verdicts over the
+    * SAME rows (old filter vs new filter, model A vs model B on one
+    * eval set): only the DISCORDANT cells b = A-only and c = B-only
+    * carry information about which side is stricter; the
+    * continuity-corrected χ² = (|b−c|−1)²/(b+c) tests their symmetry.
+    * The paired design cancels the shared-row variance a naive
+    * two-proportion z ([[twoProportionZ]]) would double-count — on an
+    * A/B over the same documents this is the correct test and the
+    * unpaired one is not. Four exact integer cells from one
+    * conditional aggregate; χ² NULL when b + c = 0 (no disagreement).
+    */
+  def mcnemar(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val w = df.agg(
+      sum(when(!aCol && !bCol, 1L).otherwise(0L)).cast("long").as("n00"),
+      sum(when(!aCol && bCol, 1L).otherwise(0L)).cast("long").as("n01"),
+      sum(when(aCol && !bCol, 1L).otherwise(0L)).cast("long").as("n10"),
+      sum(when(aCol && bCol, 1L).otherwise(0L)).cast("long").as("n11"))
+    val b = col("n10").cast("double")
+    val c = col("n01").cast("double")
+    val diff = abs(b - c) - 1.0
+    // |b−c| ≤ 1 → corrected numerator clamps to 0, not a sign flip
+    val num = when(diff > 0.0, diff * diff).otherwise(lit(0.0))
+    w.select(col("n00"), col("n01"), col("n10"), col("n11"),
+      when(col("n01") + col("n10") > 0L,
+        round(num / (b + c), 6)).as("chi2"),
+      when(col("n01") + col("n10") > 0L,
+        round(b / (b + c), 6)).as("share_a_only"))
   }
 }

@@ -105,6 +105,68 @@ object Privacy {
         (col("distinct_l") >= l).as("meets_l")): _*)
   }
 
+  /** X228 — t-closeness (Li et al. 2007) per quasi-identifier class
+    * over an ORDERED sensitive attribute: the Earth Mover's Distance
+    * between the class's sensitive-value distribution and the global
+    * one, EMD = Σᵢ|Σ_{j≤i}(p_j − q_j)|/(m−1) over the m global value
+    * levels — the third rung of the privacy ladder after
+    * [[anonymityLadder]] (class SIZE) and [[lDiversity]] (value
+    * VARIETY): a class can be large and varied yet still leak if its
+    * distribution skews far from background (all-high-salary bucket),
+    * which only the distance test catches.
+    *
+    * Exactness: the cumulative difference is kept as the integer
+    * cross-product cumC·N − cumG·n_class (decimal(38,0) — exact out
+    * to ~10¹⁸·10¹⁸ row products is overkill headroom for any class),
+    * divided once at the end; every class ranges over ALL m global
+    * levels (class-level zero cells included via the class×level
+    * frame), so the per-class window is m-bounded, never row-bounded.
+    * Classes × levels rows shuffle; raw rows never do. m = 1 reports
+    * EMD 0 (a single global level cannot skew).
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensitive: Column,
+      t: Double): DataFrame = {
+    require(qiCols.nonEmpty && t > 0, s"need QI cols and t > 0, got $t")
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy((qiCols.map(col) :+ sensitive.as("__s")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val global = cells.groupBy(col("__s"))
+      .agg(sum(col("__c")).as("__g"))
+    val nTot = global.agg(sum(col("__g")).as("__nn"))
+    val classes = cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__c")).as("n_rows"))
+    val mLev = global.agg(count(lit(1)).as("__m"))
+    // every class × every global level (zero cells materialized)
+    val frame = classes.crossJoin(broadcast(global))
+      .join(cells.withColumnRenamed("__c", "__cc"),
+        qiCols :+ "__s", "left")
+      .withColumn("__cc", coalesce(col("__cc"), lit(0L)))
+    val w = Window.partitionBy(qiCols.map(col): _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = frame
+      .withColumn("__cumC", sum(col("__cc")).over(w))
+      .withColumn("__cumG", sum(col("__g")).over(w))
+      .crossJoin(broadcast(nTot))
+      .withColumn("__num",
+        abs(col("__cumC").cast("decimal(38,0)") * col("__nn") -
+          col("__cumG").cast("decimal(38,0)") * col("n_rows")))
+      .groupBy((qiCols.map(col) :+ col("n_rows")): _*)
+      .agg(sum(col("__num")).as("__sn"))
+    scored.crossJoin(broadcast(mLev)).crossJoin(broadcast(nTot))
+      .select(qiCols.map(col) ++ Seq(
+        col("n_rows").cast("long").as("n_rows"),
+        when(col("__m") > 1L,
+          round(col("__sn").cast("double") /
+            (col("n_rows").cast("double") * col("__nn").cast("double") *
+              (col("__m") - 1L).cast("double")), 6))
+          .otherwise(lit(0.0)).as("emd"),
+        (when(col("__m") > 1L,
+          col("__sn").cast("double") /
+            (col("n_rows").cast("double") * col("__nn").cast("double") *
+              (col("__m") - 1L).cast("double")))
+          .otherwise(lit(0.0)) <= t).as("meets_t")): _*)
+  }
+
   /** X173 — deterministic pseudonymization: replace identifier
     * columns with salted md5 tokens — REFERENTIALLY STABLE (the same
     * id maps to the same token in every table, every run, every

@@ -194,4 +194,58 @@ object RankEval {
       when(pe < 1.0, round((pBar - pe) / (lit(1.0) - pe), 6))
         .as("kappa"))
   }
+
+  /** X224 — rank-biased overlap (Webber et al. 2010) between two
+    * top-k rankings per group: RBO = (1−p)·Σ_{d≤k} p^{d−1}·A_d with
+    * agreement A_d = |A[1..d] ∩ B[1..d]|/d, normalized by the
+    * identical-list mass (1−p^k) so two equal rankings score exactly
+    * 1 — the top-weighted DID-THE-RANKING-CHANGE metric between two
+    * scorers (old vs new relevance, revenue-rank vs volume-rank)
+    * where Kendall/Spearman treat every depth equally and demand
+    * conjoint lists.
+    *
+    * Rewrite that makes it distributed: an item at ranks (ra, rb)
+    * enters the intersection at every depth d ≥ m = max(ra, rb), so
+    * Σ_d p^{d−1}·X_d/d = Σ_items W(m_i) with W(m) = Σ_{d=m..k}
+    * p^{d−1}/d — a k-entry lookup computed ONCE on the driver and
+    * inlined as a CASE ladder. The join is (group, item) equi on two
+    * k-row-per-group rank tables; per-group state is ≤ k rows. NULL
+    * for groups present in neither ranking never occurs (groupBy of
+    * the union); disjoint lists score 0.
+    *
+    * Determinism: ranks are ints from the caller; W literals are
+    * fixed doubles; the ≤k-term sum drifts ulp-order only, absorbed
+    * by round(6).
+    */
+  def rbo(a: DataFrame, b: DataFrame, groupCol: String,
+      itemCol: String, rankCol: String, k: Int, p: Double = 0.9)
+      : DataFrame = {
+    require(k >= 1 && k <= 1000, s"bad k $k")
+    require(p > 0 && p < 1, s"bad p $p")
+    // W(m) = sum_{d=m..k} p^(d-1)/d, m = 1..k
+    val w = (1 to k).map(m =>
+      (m to k).map(d => math.pow(p, d - 1) / d).sum)
+    val norm = 1.0 - math.pow(p, k)
+    val ra = a.filter(col(rankCol) <= k)
+      .select(col(groupCol).as("__g"), col(itemCol).as("__i"),
+        col(rankCol).cast("long").as("__ra"))
+    val rb = b.filter(col(rankCol) <= k)
+      .select(col(groupCol).as("__g"), col(itemCol).as("__i"),
+        col(rankCol).cast("long").as("__rb"))
+    val joined = ra.join(rb, Seq("__g", "__i"))
+      .withColumn("__m", greatest(col("__ra"), col("__rb")))
+    val wExpr = (1 to k).foldLeft(lit(0.0)) { (acc, m) =>
+      when(col("__m") === m, lit(w(m - 1))).otherwise(acc)
+    }
+    val groups = ra.select(col("__g")).unionAll(rb.select(col("__g")))
+      .distinct()
+    val scored = joined.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("overlap_at_k"),
+        sum(wExpr).as("__mass"))
+    groups.join(scored, Seq("__g"), "left")
+      .select(col("__g").as(groupCol),
+        coalesce(col("overlap_at_k"), lit(0L)).as("overlap_at_k"),
+        round(coalesce(col("__mass"), lit(0.0)) * (1.0 - p) / norm, 6)
+          .as("rbo"))
+  }
 }
