@@ -3,14 +3,18 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Basket, Hypothesis, RankEval}
+import graft.operators.{Basket, DistStats, GraphStats, Hypothesis,
+  Privacy, RankEval}
 import QueryDef.table
 
-/** r10 wave 11 (SURVEY §2.10 X223–X225): multiple-testing control
+/** r10 waves 11–12 (SURVEY §2.10 X223–X230): multiple-testing control
   * (Benjamini-Hochberg), ranking-change measurement (rank-biased
-  * overlap), and market-basket association rules. Same determinism
-  * contract as every other query file: exact integer tallies on the
-  * hashed path, fixed-shape double formulas, round(6).
+  * overlap), market-basket association rules, the nonparametric
+  * two-sample pair (Mann-Whitney U, McNemar), the privacy ladder's
+  * distance rung (t-closeness), vocabulary saturation (Chao1), and
+  * graph link prediction (Adamic-Adar). Same determinism contract as
+  * every other query file: exact integer tallies on the hashed path,
+  * fixed-shape double formulas, round(6).
   */
 object MiningQueries {
 
@@ -237,6 +241,264 @@ object MiningQueries {
         Basket.pairRules(table(spark, dir, "lineitem"),
             "l_orderkey", "l_partkey", minSupport = 2L)
           .orderBy($"item_a", $"item_b")
+      }),
+
+    // X226: Mann-Whitney U — did English docs' length DISTRIBUTION
+    // shift vs the rest, rank-based (no normality assumption), with
+    // the rank-biserial effect size.
+    QueryDef(
+      "q_mann_whitney",
+      Some("""
+        WITH q AS (
+          SELECT CAST(round(n_chars * 1e6) AS BIGINT) AS v,
+                 (lang = 'en') AS ia
+          FROM documents
+        ), per AS (
+          SELECT v,
+                 CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT)
+                   AS cb
+          FROM q GROUP BY 1
+        ), wk AS (
+          SELECT ca, cb, ca + cb AS c,
+                 2 * (sum(ca + cb) OVER (ORDER BY v) - (ca + cb))
+                   + (ca + cb) + 1 AS m2
+          FROM per
+        ), ag AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b,
+                 sum(CAST(ca AS HUGEINT) * m2) AS r2a,
+                 sum(CAST(c AS HUGEINT) * c * c - c) AS ties
+          FROM wk
+        ), fx AS (
+          SELECT n_a, n_b,
+                 CAST(r2a AS DOUBLE)
+                   - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0)
+                   AS u2,
+                 CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+                 CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn,
+                 CAST(ties AS DOUBLE) AS td
+          FROM ag
+        ), sg AS (
+          SELECT *,
+                 na * nb / 12.0
+                   * ((nn + 1.0) - td / (nn * (nn - 1.0))) AS s2
+          FROM fx
+        )
+        SELECT n_a, n_b,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN round(u2 / 2.0, 6) END AS u_stat,
+               CASE WHEN n_a > 0 AND n_b > 0 AND s2 > 0.0
+                    THEN round((u2 - na * nb) / (2.0 * sqrt(s2)), 6)
+                    END AS z_stat,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN round(u2 / (na * nb) - 1.0, 6)
+                    END AS rank_biserial
+        FROM sg
+      """.trim),
+      "X226 Mann-Whitney U: en vs non-en doc length, rank-biserial")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.mannWhitneyU(table(spark, dir, "documents"),
+          "n_chars", $"lang" === "en")
+      }),
+
+    // X227: McNemar — two quality gates judged on the SAME docs
+    // (length >= 250 vs >= 40 space-separated words): is one
+    // systematically stricter, paired-correctly.
+    QueryDef(
+      "q_mcnemar",
+      Some("""
+        WITH v AS (
+          SELECT (n_chars >= 250) AS a,
+                 (length(text) - length(replace(text, ' ', '')) >= 40)
+                   AS b
+          FROM documents
+        ), w AS (
+          SELECT CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n00,
+                 CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n01,
+                 CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n10,
+                 CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n11
+          FROM v
+        ), f AS (
+          SELECT *,
+                 abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1.0
+                   AS dd,
+                 CAST(n10 AS DOUBLE) + CAST(n01 AS DOUBLE) AS bc
+          FROM w
+        )
+        SELECT n00, n01, n10, n11,
+               CASE WHEN n01 + n10 > 0 THEN
+                 round(CASE WHEN dd > 0.0 THEN dd * dd ELSE 0.0 END
+                   / bc, 6) END AS chi2,
+               CASE WHEN n01 + n10 > 0 THEN
+                 round(CAST(n10 AS DOUBLE) / bc, 6)
+                 END AS share_a_only
+        FROM f
+      """.trim),
+      "X227 McNemar paired gate comparison: char gate vs word gate")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.mcnemar(table(spark, dir, "documents"),
+          $"n_chars" >= 250,
+          expr("length(text) - length(replace(text, ' ', ''))") >= 40)
+      }),
+
+    // X228: t-closeness of each (lang, source) class's length-band
+    // distribution vs the global one — the distance rung of the
+    // X102/X114 privacy ladder, t = 0.15.
+    QueryDef(
+      "q_t_closeness",
+      Some("""
+        WITH d AS (
+          SELECT lang, source, n_chars // 100 AS s FROM documents
+        ), cells AS (
+          SELECT lang, source, s, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2, 3
+        ), gl AS (
+          SELECT s, CAST(sum(c) AS BIGINT) AS g FROM cells GROUP BY 1
+        ), nt AS (
+          SELECT CAST(sum(g) AS BIGINT) AS nn FROM gl
+        ), mm AS (
+          SELECT CAST(count(*) AS BIGINT) AS m FROM gl
+        ), cls AS (
+          SELECT lang, source, CAST(sum(c) AS BIGINT) AS n_rows
+          FROM cells GROUP BY 1, 2
+        ), frame AS (
+          SELECT cls.lang, cls.source, cls.n_rows, gl.s, gl.g,
+                 coalesce(cells.c, 0) AS cc
+          FROM cls CROSS JOIN gl
+          LEFT JOIN cells ON cells.lang = cls.lang
+            AND cells.source = cls.source AND cells.s = gl.s
+        ), cum AS (
+          SELECT lang, source, n_rows,
+                 sum(cc) OVER (PARTITION BY lang, source ORDER BY s)
+                   AS cumc,
+                 sum(g) OVER (PARTITION BY lang, source ORDER BY s)
+                   AS cumg
+          FROM frame
+        ), sn AS (
+          SELECT lang, source, n_rows, nn,
+                 sum(abs(CAST(cumc AS HUGEINT) * nn
+                   - CAST(cumg AS HUGEINT) * n_rows)) AS snum
+          FROM cum, nt GROUP BY 1, 2, 3, 4
+        ), fin AS (
+          SELECT lang, source, n_rows,
+                 CASE WHEN m > 1 THEN
+                   CAST(snum AS DOUBLE) / (CAST(n_rows AS DOUBLE)
+                     * CAST(nn AS DOUBLE) * CAST(m - 1 AS DOUBLE))
+                 ELSE 0.0 END AS emd
+          FROM sn, mm
+        )
+        SELECT lang, source, n_rows, round(emd, 6) AS emd,
+               emd <= 0.15 AS meets_t
+        FROM fin ORDER BY lang, source
+      """.trim),
+      "X228 t-closeness of per-(lang,source) length bands, t=0.15")(
+      (spark, dir) => {
+        import spark.implicits._
+        Privacy.tCloseness(table(spark, dir, "documents"),
+            qiCols = Seq("lang", "source"),
+            sensitive = expr("n_chars div 100"), t = 0.15)
+          .orderBy($"lang", $"source")
+      }),
+
+    // X229: Chao1 — how much vocabulary the corpus has NOT shown yet,
+    // from the singleton/doubleton counts alone.
+    QueryDef(
+      "q_chao1",
+      Some("""
+        WITH toks AS (
+          SELECT unnest(list_filter(
+                   string_split_regex(lower(text), '\s+'),
+                   x -> x <> '')) AS t
+          FROM documents
+        ), cnt AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1
+        ), ag AS (
+          SELECT CAST(count(*) AS BIGINT) AS observed,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f1,
+                 CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f2
+          FROM cnt
+        )
+        SELECT observed, n_tokens, f1, f2,
+               round(CAST(observed AS DOUBLE)
+                 + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                   / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1,
+               CASE WHEN n_tokens > 0 THEN
+                 round(1.0 - CAST(f1 AS DOUBLE)
+                   / CAST(n_tokens AS DOUBLE), 6) END AS coverage
+        FROM ag
+      """.trim),
+      "X229 Chao1 vocabulary richness + Good's coverage")(
+      (spark, dir) => {
+        import spark.implicits._
+        val counts = table(spark, dir, "documents")
+          .select(explode(graft.operators.Dedup.tokens($"text"))
+            .as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("c"))
+        DistStats.chao1(counts, "c")
+      }),
+
+    // X230: Adamic-Adar link prediction on the part co-purchase
+    // graph (the X190 edge table) — top 200 predicted/scored pairs.
+    QueryDef(
+      "q_adamic_adar",
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                 greatest(x.l_partkey, y.l_partkey) AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey
+            AND x.l_partkey < y.l_partkey
+          WHERE x.l_linenumber <= 3 AND y.l_linenumber <= 3
+        ), adj AS (
+          SELECT a AS w, b AS u FROM e UNION ALL SELECT b, a FROM e
+        ), deg AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1
+        ), mids AS (
+          SELECT w, CAST(round(1e9 / ln(CAST(d AS DOUBLE)), 0)
+                   AS BIGINT) AS nano
+          FROM deg WHERE d >= 2 AND d <= 50
+        ), wadj AS (
+          SELECT adj.w, adj.u, nano FROM adj JOIN mids USING (w)
+        ), pairs AS (
+          SELECT x.u AS node_a, y.u AS node_b,
+                 CAST(count(*) AS BIGINT) AS common_neighbors,
+                 CAST(sum(x.nano) AS BIGINT) AS s
+          FROM wadj x JOIN wadj y ON x.w = y.w AND x.u < y.u
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT node_a, node_b, common_neighbors,
+               round(CAST(s AS DOUBLE) / 1e9, 6) AS aa_score,
+               (e.a IS NOT NULL) AS is_edge
+        FROM pairs LEFT JOIN e ON e.a = node_a AND e.b = node_b
+        ORDER BY aa_score DESC, node_a, node_b
+        LIMIT 200
+      """.trim),
+      "X230 Adamic-Adar top-200 predicted links, co-purchase graph")(
+      (spark, dir) => {
+        import spark.implicits._
+        val li = table(spark, dir, "lineitem")
+          .filter($"l_linenumber" <= 3)
+          .select($"l_orderkey", $"l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("s1"),
+            col("y.l_partkey").as("s2"))
+        GraphStats.adamicAdar(e, "s1", "s2",
+            maxDegree = 50L, minCommon = 2L)
+          .orderBy($"aa_score".desc, $"node_a", $"node_b")
+          .limit(200)
       })
   )
 }
