@@ -961,4 +961,62 @@ class PlanAuditSpec extends AnyFunSuite {
       "grid lookup not broadcast in quantile_norm")
     assert(!p.contains("CartesianProduct"), "cross product crept in")
   }
+
+  // ---- waves 11-12 scale-claim audits ---------------------------------
+
+  test("q_basket_rules: the apriori prune runs as semi-joins BEFORE " +
+    "the quadratic pair join; pair gen is an equi-join on the basket") {
+    val p = plan("q_basket_rules")
+    assert(p.contains("LeftSemi"),
+      s"frequent-item/size-valve semi-joins missing:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      "pair generation went all-pairs")
+    // pair gen must be an equi-join keyed on the basket (the 1-row
+    // nBaskets broadcast is the only allowed nested-loop join)
+    assert("Join \\[__b".r.findFirstIn(p).isDefined,
+      s"basket-key equi-join missing:\n${p.take(1500)}")
+  }
+
+  test("q_adamic_adar: top-200 compiles to TakeOrderedAndProject — " +
+    "never a global sort of the pair table; wedge join stays equi") {
+    val p = plan("q_adamic_adar")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k became a global sort:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      "wedge join went all-pairs")
+  }
+
+  test("q_mann_whitney: ranks live on the distinct-value table — a " +
+    "partial+final agg pair runs before the single ordered window") {
+    val p = plan("q_mann_whitney")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "distinct-value agg lost its map-side partial")
+    assert("windowspecdefinition\\(".r.findAllIn(p.toLowerCase)
+      .length == 1,
+      s"more than the one CDF window:\n${p.take(1500)}")
+  }
+
+  test("q_t_closeness: the level frame and totals broadcast; the " +
+    "cumulative window keeps its per-class partition") {
+    val p = plan("q_t_closeness")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "global-level frame not broadcast in t_closeness")
+    val low = p.toLowerCase
+    val all = "windowspecdefinition\\(".r.findAllIn(low).length
+    val keyed = "windowspecdefinition\\(lang".r.findAllIn(low).length
+    assert(all > 0 && keyed == all,
+      s"${all - keyed} window(s) lost the class partition")
+  }
+
+  test("q_rbo: both rank windows keep the per-nation partition and " +
+    "the item join is an equi-join") {
+    val p = plan("q_rbo")
+    val low = p.toLowerCase
+    val all = "windowspecdefinition\\(".r.findAllIn(low).length
+    val keyed = "windowspecdefinition\\(n_name".r.findAllIn(low).length
+    assert(all > 0 && keyed == all,
+      s"${all - keyed} rank window(s) lost the n_name partition")
+    assert(!p.contains("CartesianProduct"), "rbo join went all-pairs")
+  }
 }
