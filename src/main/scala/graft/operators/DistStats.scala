@@ -293,4 +293,40 @@ object DistStats {
         round(lit(1.0) - f1d / col("__n").cast("double"), 6))
         .as("coverage"))
   }
+
+  /** X232 — capture-recapture population estimate (Lincoln-Petersen
+    * + the bias-corrected Chapman form): two independent detectors
+    * each "catch" a set of ids; the overlap rate estimates what
+    * fraction either one sees, hence the TRUE population size
+    * N̂ = n₁n₂/m (LP) or (n₁+1)(n₂+1)/(m+1) − 1 (Chapman, defined
+    * even at m = 0). The dedup-QA use: run two cheap duplicate
+    * detectors, and the estimate says how many duplicates the corpus
+    * REALLY has — including the ones BOTH detectors missed — which
+    * no single detector can report about itself.
+    *
+    * Exact integer n₁/n₂/m from two distinct-id aggregates and one
+    * equi-join; the estimates are fixed-shape doubles, round(2)
+    * (they are counts — 6-dp noise on a population size is not
+    * signal). LP is NULL at m = 0; independence of the detectors is
+    * the caller's modeling assumption (correlated detectors bias
+    * N̂ low), documented not enforced.
+    */
+  def captureRecapture(a: DataFrame, b: DataFrame, idCol: String)
+      : DataFrame = {
+    val ca = a.select(col(idCol).as("__id")).distinct()
+    val cb = b.select(col(idCol).as("__id")).distinct()
+    val n1 = ca.agg(count(lit(1)).cast("long").as("n_caught_a"))
+    val n2 = cb.agg(count(lit(1)).cast("long").as("n_caught_b"))
+    val m = ca.join(cb, Seq("__id"))
+      .agg(count(lit(1)).cast("long").as("n_both"))
+    val n1d = col("n_caught_a").cast("double")
+    val n2d = col("n_caught_b").cast("double")
+    val md = col("n_both").cast("double")
+    n1.crossJoin(n2).crossJoin(m)
+      .select(col("n_caught_a"), col("n_caught_b"), col("n_both"),
+        when(col("n_both") > 0L, round(n1d * n2d / md, 2))
+          .as("lincoln_petersen"),
+        round((n1d + 1.0) * (n2d + 1.0) / (md + 1.0) - 1.0, 2)
+          .as("chapman"))
+  }
 }

@@ -380,4 +380,54 @@ object Hypothesis {
       when(col("n01") + col("n10") > 0L,
         round(b / (b + c), 6)).as("share_a_only"))
   }
+
+  /** X231 — difference-in-differences: the 2×2 (treated × post) cell
+    * means and the DiD point estimate (m̄₁₁−m̄₁₀)−(m̄₀₁−m̄₀₀) — the
+    * standard "did the rollout move the metric beyond the ambient
+    * trend" readout when a change ships to a subset (the control
+    * group's pre→post delta absorbs seasonality a naive before/after
+    * on the treated group alone would book as treatment effect).
+    *
+    * One conditional aggregate: four exact integer counts + four
+    * micro-unit decimal sums (the welchTTest convention — exact for
+    * ≤6-dp inputs); means and the estimate are fixed-shape doubles,
+    * round(6). The estimate is NULL if any cell is empty (the design
+    * is not identified without all four).
+    */
+  def didEstimate(df: DataFrame, valueCol: String, isTreated: Column,
+      isPost: Column): DataFrame = {
+    val d = round(col(valueCol) * 1e6, 0).cast("decimal(19,0)")
+    def cell(t: Boolean, p: Boolean) = {
+      val m = (if (t) isTreated else !isTreated) &&
+        (if (p) isPost else !isPost)
+      (sum(when(m, 1L).otherwise(0L)).cast("long"),
+        sum(when(m, d)))
+    }
+    val (c00, s00) = cell(t = false, p = false)
+    val (c01, s01) = cell(t = false, p = true)
+    val (c10, s10) = cell(t = true, p = false)
+    val (c11, s11) = cell(t = true, p = true)
+    val w = df.agg(c00.as("n_ctrl_pre"), s00.as("__s00"),
+      c01.as("n_ctrl_post"), s01.as("__s01"),
+      c10.as("n_treat_pre"), s10.as("__s10"),
+      c11.as("n_treat_post"), s11.as("__s11"))
+    def mean(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double") / 1e6
+    val ok = col("n_ctrl_pre") > 0L && col("n_ctrl_post") > 0L &&
+      col("n_treat_pre") > 0L && col("n_treat_post") > 0L
+    w.select(col("n_ctrl_pre"), col("n_ctrl_post"),
+      col("n_treat_pre"), col("n_treat_post"),
+      when(col("n_ctrl_pre") > 0L, round(mean("__s00", "n_ctrl_pre"), 6))
+        .as("mean_ctrl_pre"),
+      when(col("n_ctrl_post") > 0L,
+        round(mean("__s01", "n_ctrl_post"), 6)).as("mean_ctrl_post"),
+      when(col("n_treat_pre") > 0L,
+        round(mean("__s10", "n_treat_pre"), 6)).as("mean_treat_pre"),
+      when(col("n_treat_post") > 0L,
+        round(mean("__s11", "n_treat_post"), 6)).as("mean_treat_post"),
+      when(ok, round(
+        (mean("__s11", "n_treat_post") - mean("__s10", "n_treat_pre")) -
+          (mean("__s01", "n_ctrl_post") - mean("__s00", "n_ctrl_pre")),
+        6)).as("did"))
+  }
 }

@@ -1232,4 +1232,48 @@ object Similarity {
         round(col("__g"), 6).as("marginal_gain"),
         round(col("__c"), 6).as("mean_coverage"))
   }
+
+  /** X235 — Johnson-Lindenstrauss random projection with a ±1 sign
+    * matrix (Achlioptas 2003: the dense Rademacher variant preserves
+    * pairwise distances within 1±ε at k = O(ln n/ε²) — no Gaussian
+    * needed): y_j = Σ_i sign(i,j)·x_i / √k. The dimensionality
+    * squeezer in front of every embedding operator here — at 100 TB,
+    * dropping d=1024 floats to k=64 cuts the X1/X32/X209 pair-join
+    * shuffle volume 16× while keeping near-dup cosine decisions
+    * intact (and unlike X116's PCA whitening it needs NO fitted
+    * model, so it runs on the first byte of a new corpus).
+    *
+    * Determinism: the sign matrix is the PARITY of
+    * md5("<salt>:" ‖ i ‖ "_" ‖ j) — derived, never stored, identical
+    * in any engine with md5; components quantize to micro-units so
+    * the per-(id, j) fold is an exact integer sum (order-free),
+    * divided back once by 1e6·√k, round(6). Scale shape: posexplode
+    * + an equi-join on the dim index against the d·k sign table
+    * (broadcast — it is built from a range, bytes not gigabytes) +
+    * one map-side-combined groupBy; fanout is k× the component
+    * count, the price of the squeeze, paid once per corpus.
+    */
+  def jlProject(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, dims: Int, salt: String = "jl"): DataFrame = {
+    require(k >= 1 && k <= 4096, s"bad k $k")
+    require(dims >= 1, s"bad dims $dims")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val signs = (0 until dims).flatMap { i =>
+      (0 until k).map(j => (i, j))
+    }.toDF("__i", "__j")
+      .withColumn("__sign", when(
+        pmod(conv(substring(md5(concat(lit(s"$salt:"), col("__i"),
+          lit("_"), col("__j"))), 1, 8), 16, 10).cast("long"),
+          lit(2L)) === 0L, 1L).otherwise(-1L))
+    val comps = vecs.select(col(idCol),
+        posexplode(toDouble(col(vecCol))).as(Seq("__i", "__x")))
+      .withColumn("__q", round(col("__x") * 1e6, 0).cast("long"))
+    comps.join(broadcast(signs), Seq("__i"))
+      .groupBy(col(idCol), col("__j").as("dim"))
+      .agg(sum(col("__sign") * col("__q")).cast("long").as("__s"))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        round(col("__s").cast("double") / 1e6 /
+          math.sqrt(k.toDouble), 6).as("component"))
+  }
 }

@@ -3,18 +3,21 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Basket, DistStats, GraphStats, Hypothesis,
-  Privacy, RankEval}
-import QueryDef.table
+import graft.operators.{Basket, Cartography, Dedup, DistStats,
+  FeatureHash, GraphStats, Hypothesis, Privacy, RankEval, Similarity}
+import QueryDef.{events, table}
 
-/** r10 waves 11–12 (SURVEY §2.10 X223–X230): multiple-testing control
+/** r10 waves 11–13 (SURVEY §2.10 X223–X235): multiple-testing control
   * (Benjamini-Hochberg), ranking-change measurement (rank-biased
   * overlap), market-basket association rules, the nonparametric
   * two-sample pair (Mann-Whitney U, McNemar), the privacy ladder's
-  * distance rung (t-closeness), vocabulary saturation (Chao1), and
-  * graph link prediction (Adamic-Adar). Same determinism contract as
-  * every other query file: exact integer tallies on the hashed path,
-  * fixed-shape double formulas, round(6).
+  * distance rung (t-closeness), vocabulary saturation (Chao1), graph
+  * link prediction (Adamic-Adar), causal-readout
+  * difference-in-differences, capture-recapture dedup QA, dataset
+  * cartography, the hashing-trick featurizer, and JL random
+  * projection. Same determinism contract as every other query file:
+  * exact integer tallies on the hashed path, fixed-shape double
+  * formulas, round(6).
   */
 object MiningQueries {
 
@@ -499,6 +502,224 @@ object MiningQueries {
             maxDegree = 50L, minCommon = 2L)
           .orderBy($"aa_score".desc, $"node_a", $"node_b")
           .limit(200)
+      }),
+
+    // X231: difference-in-differences — did the mid-month rollout
+    // (even user_ids treated) move the event value beyond the
+    // control group's ambient trend.
+    QueryDef(
+      "q_did",
+      Some("""
+        WITH v AS (
+          SELECT CAST(round(value * 1000000.0) AS BIGINT) AS q,
+                 (user_id % 2 = 0) AS tr,
+                 (ts >= TIMESTAMP '2024-01-16') AS po
+          FROM events
+        ), w AS (
+          SELECT
+            CAST(sum(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ctrl_pre,
+            sum(CASE WHEN NOT tr AND NOT po THEN q ELSE 0 END) AS s00,
+            CAST(sum(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ctrl_post,
+            sum(CASE WHEN NOT tr AND po THEN q ELSE 0 END) AS s01,
+            CAST(sum(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_treat_pre,
+            sum(CASE WHEN tr AND NOT po THEN q ELSE 0 END) AS s10,
+            CAST(sum(CASE WHEN tr AND po THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_treat_post,
+            sum(CASE WHEN tr AND po THEN q ELSE 0 END) AS s11
+          FROM v
+        ), f AS (
+          SELECT *,
+            CAST(s00 AS DOUBLE) / CAST(n_ctrl_pre AS DOUBLE)
+              / 1000000.0 AS m00,
+            CAST(s01 AS DOUBLE) / CAST(n_ctrl_post AS DOUBLE)
+              / 1000000.0 AS m01,
+            CAST(s10 AS DOUBLE) / CAST(n_treat_pre AS DOUBLE)
+              / 1000000.0 AS m10,
+            CAST(s11 AS DOUBLE) / CAST(n_treat_post AS DOUBLE)
+              / 1000000.0 AS m11
+          FROM w
+        )
+        SELECT n_ctrl_pre, n_ctrl_post, n_treat_pre, n_treat_post,
+               round(m00, 6) AS mean_ctrl_pre,
+               round(m01, 6) AS mean_ctrl_post,
+               round(m10, 6) AS mean_treat_pre,
+               round(m11, 6) AS mean_treat_post,
+               CASE WHEN n_ctrl_pre > 0 AND n_ctrl_post > 0
+                     AND n_treat_pre > 0 AND n_treat_post > 0
+                    THEN round((m11 - m10) - (m01 - m00), 6)
+                    END AS did
+        FROM f
+      """.trim),
+      "X231 diff-in-diff of event value, even-user rollout @ Jan 16")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.didEstimate(events(spark, dir), "value",
+          isTreated = $"user_id" % 2 === 0,
+          isPost = $"ts" >= lit("2024-01-16").cast("timestamp"))
+      }),
+
+    // X232: capture-recapture — two cheap duplicate detectors
+    // (length collision, 16-char prefix collision) estimate how many
+    // "suspicious" docs the corpus REALLY holds, including those
+    // both detectors missed.
+    QueryDef(
+      "q_capture_recapture",
+      Some("""
+        WITH a AS (
+          SELECT DISTINCT doc_id FROM documents x JOIN (
+            SELECT n_chars FROM documents GROUP BY 1
+            HAVING count(*) >= 2) g USING (n_chars)
+        ), b AS (
+          SELECT DISTINCT doc_id FROM documents x JOIN (
+            SELECT substr(lower(text), 1, 16) AS p FROM documents
+            GROUP BY 1 HAVING count(*) >= 2) g
+          ON substr(lower(x.text), 1, 16) = g.p
+        ), n1 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_caught_a FROM a
+        ), n2 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_caught_b FROM b
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_both
+          FROM a JOIN b USING (doc_id)
+        )
+        SELECT n_caught_a, n_caught_b, n_both,
+               CASE WHEN n_both > 0 THEN
+                 round(CAST(n_caught_a AS DOUBLE)
+                   * CAST(n_caught_b AS DOUBLE)
+                   / CAST(n_both AS DOUBLE), 2) END
+                 AS lincoln_petersen,
+               round((CAST(n_caught_a AS DOUBLE) + 1.0)
+                 * (CAST(n_caught_b AS DOUBLE) + 1.0)
+                 / (CAST(n_both AS DOUBLE) + 1.0) - 1.0, 2) AS chapman
+        FROM n1, n2, m
+      """.trim),
+      "X232 capture-recapture estimate of the true duplicate count")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents")
+        val lenKeys = docs.groupBy($"n_chars")
+          .agg(count(lit(1)).as("c")).filter($"c" >= 2)
+          .select($"n_chars")
+        val a = docs.join(lenKeys, Seq("n_chars"), "left_semi")
+          .select($"doc_id")
+        val pfx = substring(lower($"text"), 1, 16)
+        val pKeys = docs.groupBy(pfx.as("p"))
+          .agg(count(lit(1)).as("c")).filter($"c" >= 2).select($"p")
+        val b = docs.select($"doc_id", pfx.as("p"))
+          .join(pKeys, Seq("p"), "left_semi").select($"doc_id")
+        DistStats.captureRecapture(a, b, "doc_id")
+      }),
+
+    // X233: dataset cartography over per-user event scores (value
+    // normalized to ~[0,1]) — confidence/variability map with fixed
+    // region splits.
+    QueryDef(
+      "q_cartography",
+      Some("""
+        WITH s AS (
+          SELECT user_id,
+                 CAST(round(value / 500.0 * 1000000.0) AS BIGINT) AS q
+          FROM events
+        ), g AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_runs,
+                 sum(CAST(q AS HUGEINT)) AS s,
+                 sum(CAST(q AS HUGEINT) * q) AS ss
+          FROM s GROUP BY 1
+        ), f AS (
+          SELECT user_id, n_runs,
+                 CAST(s AS DOUBLE) / CAST(n_runs AS DOUBLE) AS mm,
+                 CAST(ss AS DOUBLE) / CAST(n_runs AS DOUBLE)
+                   - (CAST(s AS DOUBLE) / CAST(n_runs AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(n_runs AS DOUBLE))
+                   AS vm
+          FROM g
+        ), r AS (
+          SELECT user_id, n_runs, mm / 1000000.0 AS conf,
+                 sqrt(greatest(vm, 0.0)) / 1000000.0 AS vari
+          FROM f
+        )
+        SELECT user_id, n_runs, round(conf, 6) AS confidence,
+               round(vari, 6) AS variability,
+               CASE WHEN vari >= 0.15 THEN 'ambiguous'
+                    WHEN conf >= 0.5 THEN 'easy_to_learn'
+                    ELSE 'hard_to_learn' END AS region
+        FROM r ORDER BY user_id
+      """.trim),
+      "X233 dataset cartography: per-user confidence/variability map")(
+      (spark, dir) => {
+        import spark.implicits._
+        Cartography.dataMap(events(spark, dir), "user_id",
+            $"value" / 500.0, confSplit = 0.5, varSplit = 0.15)
+          .orderBy($"user_id")
+      }),
+
+    // X234: hashing-trick features for the src0 slice — 64 signed
+    // buckets, no vocabulary table.
+    QueryDef(
+      "q_feature_hash",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   string_split_regex(lower(text), '\s+'),
+                   x -> x <> '')) AS t
+          FROM documents WHERE source = 'src0'
+        )
+        SELECT doc_id,
+               ('0x' || substr(md5('fhb:' || t), 1, 8))::BIGINT % 64
+                 AS bucket,
+               CAST(sum(CASE WHEN ('0x' || substr(md5('fhs:' || t), 1,
+                   8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+                 AS weight,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY 1, 2
+        ORDER BY doc_id, bucket
+      """.trim),
+      "X234 hashing-trick signed features, 64 buckets, src0 slice")(
+      (spark, dir) => {
+        import spark.implicits._
+        FeatureHash.hashFeatures(
+            table(spark, dir, "documents").filter($"source" === "src0"),
+            "doc_id", Dedup.tokens($"text"), buckets = 64, salt = "fh")
+          .orderBy($"doc_id", $"bucket")
+      }),
+
+    // X235: JL random projection of the 64-dim embeddings down to 8
+    // signed-sum components per vector.
+    QueryDef(
+      "q_jl_project",
+      Some("""
+        WITH sg AS (
+          SELECT i, j,
+                 CASE WHEN ('0x' || substr(md5('jl:' || i || '_' || j),
+                     1, 8))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS sgn
+          FROM (SELECT unnest(range(0, 64)) AS i) ii
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj
+        ), e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id, i,
+                 CAST(round(x * 1000000.0) AS BIGINT) AS qx
+          FROM e
+        )
+        SELECT vec_id, CAST(j AS BIGINT) AS dim,
+               round(CAST(CAST(sum(sgn * qx) AS BIGINT) AS DOUBLE)
+                 / 1000000.0 / sqrt(8.0), 6) AS component
+        FROM q JOIN sg USING (i)
+        GROUP BY 1, 2
+        ORDER BY vec_id, dim
+      """.trim),
+      "X235 JL sign projection of embeddings to 8 components")(
+      (spark, dir) => {
+        import spark.implicits._
+        Similarity.jlProject(table(spark, dir, "embeddings"),
+            "vec_id", "embedding", k = 8, dims = 64, salt = "jl")
+          .orderBy($"vec_id", $"dim")
       })
   )
 }
