@@ -118,6 +118,65 @@ object Calibrate {
         round(col("__eceNum") / col("n").cast("double"), 6).as("ece"))
   }
 
+  /** X237 — Murphy (1973) decomposition of the Brier score over
+    * probability bins: Brier ≈ RELIABILITY − RESOLUTION +
+    * UNCERTAINTY, with REL = Σ n_k(p̄_k−ō_k)²/N (how far each bin's
+    * forecast sits from its observed rate — what [[isotonicFit]]
+    * fixes), RES = Σ n_k(ō_k−ō)²/N (how much the forecasts actually
+    * separate outcomes — what no recalibration can buy), and
+    * UNC = ō(1−ō) (the base-rate floor). [[calibrationMetrics]]
+    * reports Brier+ECE as one number each; the decomposition says
+    * WHICH lever moves it: a high-REL model needs calibration, a
+    * low-RES model needs better features. The binned identity is
+    * approximate (within-bin forecast variance is the residual, ≥ 0
+    * and shrinking with bin width); the residual is reported, not
+    * hidden.
+    *
+    * Same exactness contract as calibrationMetrics: micro-quantized
+    * p, equal-width bins on [0, 1e6] (p = 1 clamps into the top
+    * bin), every cell an exact integer, fixed-shape doubles out,
+    * round(6). One bin agg + one global fold; one row out.
+    */
+  def murphyDecomposition(df: DataFrame, probCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bad bins $bins")
+    val dec = "decimal(38,0)"
+    val base = df.select(
+      round(col(probCol) * 1e6, 0).cast("long").as("__p"),
+      when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val cells = base
+      .withColumn("__b",
+        least(expr(s"(__p * $bins) div 1000000"), lit(bins - 1L)))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nb"), sum(col("__p")).as("__sp"),
+        sum(col("__y")).as("__k"),
+        sum((((col("__p") - col("__y") * 1000000L).cast(dec)) *
+          ((col("__p") - col("__y") * 1000000L).cast(dec))).cast(dec))
+          .as("__se"))
+    val tot = cells.agg(sum(col("__nb")).cast("long").as("__n"),
+      sum(col("__k")).cast("long").as("__x"))
+    val nb = col("__nb").cast("double")
+    val pbar = col("__sp").cast("double") / (nb * 1e6)
+    val obar = col("__k").cast("double") / nb
+    val og = col("__x").cast("double") / col("__n").cast("double")
+    val w = cells.crossJoin(broadcast(tot))
+      .agg(max(col("__n")).as("n"), max(col("__x")).as("successes"),
+        sum(col("__se")).as("__seT"),
+        sum(nb * (pbar - obar) * (pbar - obar)).as("__rel"),
+        sum(nb * (obar - og) * (obar - og)).as("__res"),
+        max(og * (lit(1.0) - og)).as("__unc"))
+    val nd = col("n").cast("double")
+    val brier = col("__seT").cast("double") / (nd * 1e12)
+    val rel = col("__rel") / nd
+    val res = col("__res") / nd
+    w.select(col("n"), col("successes"),
+      round(brier, 6).as("brier"),
+      round(rel, 6).as("reliability"),
+      round(res, 6).as("resolution"),
+      round(col("__unc"), 6).as("uncertainty"),
+      round(brier - (rel - res + col("__unc")), 6).as("residual"))
+  }
+
   def isotonicFit(df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 32): DataFrame = {
     require(bins >= 2 && bins <= 256, s"bad bins $bins")

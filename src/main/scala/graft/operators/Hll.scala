@@ -35,4 +35,39 @@ object Hll {
     sketches.agg(hll_union_agg(col("sketch")).as("sketch"))
       .select(hll_sketch_estimate(col("sketch")).cast("long")
         .as("estimate"))
+
+  /** X236 — HLL set algebra over a sketch table: for every group
+    * pair, \|A∪B\| comes from the register-max union (exact HLL
+    * semantics), and \|A∩B\| / Jaccard by inclusion-exclusion
+    * est(A)+est(B)−est(A∪B) (clamped at 0 — I-E on estimates can go
+    * slightly negative for near-disjoint sets). The warehouse payoff
+    * of storing SKETCHES instead of counts: "how much do source A
+    * and source B overlap in users/URLs/doc-hashes" for ALL pairs
+    * without ever rescanning data — at 100 TB the raw pairwise
+    * distinct-intersection is a full-data self-join; this is a
+    * \|groups\|² join over constant-size registers.
+    *
+    * Intersection error grows as the true overlap shrinks relative
+    * to the union (standard I-E caveat, documented not hidden): the
+    * spec bounds it on known sets. Rows-only contract (estimates
+    * have no DuckDB twin), scalar columns only.
+    */
+  def setAlgebra(sketches: DataFrame, groupCol: String): DataFrame = {
+    val a = sketches.select(col(groupCol).as("group_a"),
+      col("sketch").as("__sa"))
+    val b = sketches.select(col(groupCol).as("group_b"),
+      col("sketch").as("__sb"))
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        hll_sketch_estimate(col("__sa")).cast("long").as("est_a"),
+        hll_sketch_estimate(col("__sb")).cast("long").as("est_b"),
+        hll_sketch_estimate(hll_union(col("__sa"), col("__sb")))
+          .cast("long").as("est_union"))
+      .withColumn("est_intersect",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .withColumn("jaccard_est",
+        when(col("est_union") > 0L,
+          round(col("est_intersect").cast("double") /
+            col("est_union").cast("double"), 6)).otherwise(lit(0.0)))
+  }
 }

@@ -430,4 +430,84 @@ object Hypothesis {
           (mean("__s01", "n_ctrl_post") - mean("__s00", "n_ctrl_pre")),
         6)).as("did"))
   }
+
+  /** X238 — paired permutation (sign-flip) test: is the mean paired
+    * difference d̄ distinguishable from zero, with the null built by
+    * flipping each pair's sign in `b` deterministic permutations —
+    * the assumption-free companion to [[welchTTest]] for PAIRED
+    * designs (metric A vs metric B on the same documents): no
+    * normality, no variance pooling, the null distribution IS the
+    * data's. p = (#{\|T_perm\| ≥ \|T_obs\|} + 1)/(b + 1), the
+    * standard add-one form that can never report p = 0.
+    *
+    * Fully engine-exact: diffs quantize to micro ints; sign s_ib is
+    * the PARITY of md5(salt ‖ b ‖ ":" ‖ id) (the X211 coin
+    * convention — derived, never stored); every T is an exact
+    * integer sum, and the \|T_b\| ≥ \|T_obs\| comparisons happen on
+    * those integers (n cancels — means never enter the compare), so
+    * the p-value is an exact rational. Scale shape: the b-way
+    * explode is the cost knob (b·rows intermediate, one groupBy(b)
+    * with map-side combine); b=200 on a slice table is cheap, b=200
+    * on raw 100 TB is the caller's informed choice.
+    */
+  def pairedPermutation(df: DataFrame, idCol: String, diffCol: Column,
+      b: Int = 200, salt: String = "perm"): DataFrame = {
+    require(b >= 19 && b <= 100000, s"bad b $b")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("__id"),
+      round(diffCol * 1e6, 0).cast("long").as("__d"))
+    val obs = base.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("__d")).cast("decimal(38,0)").as("__t0"))
+    val perms = spark.range(1, b + 1).toDF("__b")
+    val sign = when(
+      pmod(conv(substring(md5(concat(lit(s"$salt"), col("__b"),
+        lit(":"), col("__id"))), 1, 8), 16, 10).cast("long"),
+        lit(2L)) === 0L, 1L).otherwise(-1L)
+    val tb = base.crossJoin(broadcast(perms))
+      .groupBy(col("__b"))
+      .agg(sum(sign * col("__d")).cast("decimal(38,0)").as("__tb"))
+    val counted = tb.crossJoin(broadcast(obs))
+      .agg(sum(when(abs(col("__tb")) >= abs(col("__t0")), 1L)
+        .otherwise(0L)).cast("long").as("__ge"),
+        max(col("n")).as("n"), max(col("__t0")).as("__t0"))
+    counted.select(col("n"),
+      round(col("__t0").cast("double") /
+        (col("n").cast("double") * 1e6), 6).as("mean_diff"),
+      lit(b.toLong).as("n_perms"),
+      round((col("__ge") + 1L).cast("double") / (b + 1.0), 6)
+        .as("p_value"))
+  }
+
+  /** X239 — Cochran-Armitage trend test: does a boolean rate TREND
+    * across ordered bands (scores t_k = the band index), z =
+    * Σt_k(x_k − n_k p̄) / √(p̄(1−p̄)(Σn_k t_k² − (Σn_k t_k)²/N)) —
+    * the ordered-alternative test that beats an omnibus χ² (X126)
+    * exactly when the suspicion IS monotone ("do longer docs fail
+    * the gate more as length grows"). Bands-bounded cells, every
+    * input an exact integer, one fixed-shape double; z is NULL when
+    * the pooled rate is degenerate (0 or 1) or all mass sits in one
+    * band.
+    */
+  def cochranArmitage(df: DataFrame, bandCol: Column,
+      successCol: Column): DataFrame = {
+    val cells = df.groupBy(bandCol.cast("long").as("__t"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("__x"))
+    val w = cells.agg(count(lit(1)).cast("long").as("n_bands"),
+      sum(col("__n")).cast("long").as("n_total"),
+      sum(col("__x")).cast("long").as("successes"),
+      sum(col("__t") * col("__x")).cast("decimal(38,0)").as("__tx"),
+      sum(col("__t") * col("__n")).cast("decimal(38,0)").as("__tn"),
+      sum(col("__t") * col("__t") * col("__n")).cast("decimal(38,0)")
+        .as("__ttn"))
+    val nd = col("n_total").cast("double")
+    val pbar = col("successes").cast("double") / nd
+    val num = col("__tx").cast("double") - pbar * col("__tn").cast("double")
+    val v = pbar * (lit(1.0) - pbar) *
+      (col("__ttn").cast("double") -
+        col("__tn").cast("double") * col("__tn").cast("double") / nd)
+    w.select(col("n_bands"), col("n_total"), col("successes"),
+      round(pbar, 6).as("pooled_rate"),
+      when(v > 0.0, round(num / sqrt(v), 6)).as("z_trend"))
+  }
 }

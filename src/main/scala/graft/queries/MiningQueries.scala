@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Basket, Cartography, Dedup, DistStats,
-  FeatureHash, GraphStats, Hypothesis, Privacy, RankEval, Similarity}
+import graft.operators.{Apportion, Basket, Calibrate, Cartography,
+  Dedup, DistStats, FeatureHash, GraphStats, Hypothesis, Privacy,
+  RankEval, Similarity}
 import QueryDef.{events, table}
 
 /** r10 waves 11–13 (SURVEY §2.10 X223–X235): multiple-testing control
@@ -720,6 +721,219 @@ object MiningQueries {
         Similarity.jlProject(table(spark, dir, "embeddings"),
             "vec_id", "embedding", k = 8, dims = 64, salt = "jl")
           .orderBy($"vec_id", $"dim")
+      }),
+
+    // X236: HLL set algebra — pairwise audience overlap between event
+    // types from the stored sketch table, no rescan. Rows-only by
+    // SURVEY §8 (sketch estimates have no DuckDB twin); the spec
+    // bounds the estimates against exact sets.
+    QueryDef(
+      "q_hll_algebra",
+      None,
+      "X236 pairwise user-audience overlap from HLL sketches")(
+      (spark, dir) => {
+        import spark.implicits._
+        val sk = graft.operators.Hll.groupSketches(
+          events(spark, dir), "event_type", "user_id")
+        graft.operators.Hll.setAlgebra(sk, "event_type")
+          .orderBy($"group_a", $"group_b")
+      }),
+
+    // X237: Murphy decomposition — calibration (REL) vs
+    // discrimination (RES) vs base rate (UNC) of the value-derived
+    // conversion forecast.
+    QueryDef(
+      "q_murphy",
+      Some("""
+        WITH base AS (
+          SELECT CAST(round(value / 500.0 * 1000000.0) AS BIGINT) AS p,
+                 CASE WHEN event_type IN ('purchase', 'signup')
+                      THEN 1 ELSE 0 END AS y
+          FROM events
+        ), cells AS (
+          SELECT least((p * 10) // 1000000, 9) AS b,
+                 CAST(count(*) AS BIGINT) AS nb,
+                 CAST(sum(p) AS BIGINT) AS sp,
+                 CAST(sum(y) AS BIGINT) AS k,
+                 sum(CAST(p - y * 1000000 AS HUGEINT)
+                   * CAST(p - y * 1000000 AS HUGEINT)) AS se
+          FROM base GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(nb) AS BIGINT) AS n,
+                 CAST(sum(k) AS BIGINT) AS x
+          FROM cells
+        ), fold AS (
+          SELECT max(n) AS n, max(x) AS successes,
+                 sum(se) AS seT,
+                 sum(CAST(nb AS DOUBLE)
+                   * (CAST(sp AS DOUBLE) / (CAST(nb AS DOUBLE) * 1e6)
+                      - CAST(k AS DOUBLE) / CAST(nb AS DOUBLE))
+                   * (CAST(sp AS DOUBLE) / (CAST(nb AS DOUBLE) * 1e6)
+                      - CAST(k AS DOUBLE) / CAST(nb AS DOUBLE)))
+                   AS rel_s,
+                 sum(CAST(nb AS DOUBLE)
+                   * (CAST(k AS DOUBLE) / CAST(nb AS DOUBLE)
+                      - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(k AS DOUBLE) / CAST(nb AS DOUBLE)
+                      - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
+                   AS res_s,
+                 max(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
+                   AS unc
+          FROM cells, tot
+        ), fin AS (
+          SELECT n, successes,
+                 CAST(seT AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+                   AS brier,
+                 rel_s / CAST(n AS DOUBLE) AS rel,
+                 res_s / CAST(n AS DOUBLE) AS res, unc
+          FROM fold
+        )
+        SELECT n, successes, round(brier, 6) AS brier,
+               round(rel, 6) AS reliability,
+               round(res, 6) AS resolution,
+               round(unc, 6) AS uncertainty,
+               round(brier - (rel - res + unc), 6) AS residual
+        FROM fin
+      """.trim),
+      "X237 Murphy decomposition of the conversion-forecast Brier")(
+      (spark, dir) => {
+        import spark.implicits._
+        Calibrate.murphyDecomposition(
+          events(spark, dir)
+            .select(($"value" / 500.0).as("p"),
+              $"event_type".isin("purchase", "signup").as("y")),
+          "p", "y", bins = 10)
+      }),
+
+    // X238: paired permutation test — is chars-per-word 6 (d = chars
+    // - 6*words per doc), null built from 199 salted sign flips.
+    QueryDef(
+      "q_perm_test",
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(round((n_chars - 6 * len(list_filter(
+                     string_split_regex(lower(text), '\s+'),
+                     x -> x <> ''))) * 1000000.0) AS BIGINT) AS d
+          FROM documents
+        ), obs AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(d AS HUGEINT)) AS t0
+          FROM base
+        ), tb AS (
+          SELECT b,
+                 sum(CAST(CASE WHEN ('0x' || substr(md5('perm' || b
+                     || ':' || doc_id), 1, 8))::BIGINT % 2 = 0
+                   THEN d ELSE -d END AS HUGEINT)) AS t
+          FROM base CROSS JOIN (SELECT unnest(range(1, 200)) AS b) bb
+          GROUP BY 1
+        ), cnt AS (
+          SELECT CAST(sum(CASE WHEN abs(t) >= abs(t0) THEN 1 ELSE 0
+                   END) AS BIGINT) AS ge,
+                 max(n) AS n, max(t0) AS t0
+          FROM tb, obs
+        )
+        SELECT n,
+               round(CAST(t0 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * 1000000.0), 6) AS mean_diff,
+               CAST(199 AS BIGINT) AS n_perms,
+               round(CAST(ge + 1 AS DOUBLE) / 200.0, 6) AS p_value
+        FROM cnt
+      """.trim),
+      "X238 paired sign-flip permutation test on chars-per-word drift")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.pairedPermutation(
+          table(spark, dir, "documents"),
+          "doc_id",
+          ($"n_chars" - lit(6) * size(Dedup.tokens($"text")))
+            .cast("double"),
+          b = 199, salt = "perm")
+      }),
+
+    // X239: Cochran-Armitage — does the high-value rate trend across
+    // the month's weeks (ordered bands 0..4).
+    QueryDef(
+      "q_cochran_armitage",
+      Some("""
+        WITH cells AS (
+          SELECT CAST((day(ts) - 1) // 7 AS BIGINT) AS t,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN value > 250.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x
+          FROM events GROUP BY 1
+        ), w AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_bands,
+                 CAST(sum(n) AS BIGINT) AS n_total,
+                 CAST(sum(x) AS BIGINT) AS successes,
+                 sum(CAST(t AS HUGEINT) * x) AS tx,
+                 sum(CAST(t AS HUGEINT) * n) AS tn,
+                 sum(CAST(t AS HUGEINT) * t * n) AS ttn
+          FROM cells
+        ), f AS (
+          SELECT *,
+                 CAST(successes AS DOUBLE) / CAST(n_total AS DOUBLE)
+                   AS pbar
+          FROM w
+        ), g AS (
+          SELECT *,
+                 CAST(tx AS DOUBLE) - pbar * CAST(tn AS DOUBLE) AS num,
+                 pbar * (1.0 - pbar)
+                   * (CAST(ttn AS DOUBLE) - CAST(tn AS DOUBLE)
+                      * CAST(tn AS DOUBLE) / CAST(n_total AS DOUBLE))
+                   AS v
+          FROM f
+        )
+        SELECT n_bands, n_total, successes,
+               round(pbar, 6) AS pooled_rate,
+               CASE WHEN v > 0.0 THEN round(num / sqrt(v), 6)
+                    END AS z_trend
+        FROM g
+      """.trim),
+      "X239 Cochran-Armitage weekly trend of the high-value rate")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.cochranArmitage(events(spark, dir),
+          bandCol = expr("(day(ts) - 1) div 7"),
+          successCol = $"value" > 250.0)
+      }),
+
+    // X240: largest-remainder apportionment — 1000 sample slots
+    // across (lang, source) strata, Σquota = 1000 exactly.
+    QueryDef(
+      "q_apportion",
+      Some("""
+        WITH c AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows
+          FROM documents GROUP BY 1, 2
+        ), t AS (
+          SELECT CAST(sum(n_rows) AS BIGINT) AS nn FROM c
+        ), b AS (
+          SELECT lang, source, n_rows,
+                 (n_rows * 1000) // nn AS fq,
+                 (n_rows * 1000) % nn AS rem
+          FROM c, t
+        ), r AS (
+          SELECT *,
+                 CAST(row_number() OVER (ORDER BY rem DESC, lang,
+                   source) AS BIGINT) AS rk,
+                 CAST(sum(fq) OVER () AS BIGINT) AS sb
+          FROM b
+        )
+        SELECT lang, source, n_rows,
+               CAST(fq AS BIGINT) AS floor_quota,
+               rk AS remainder_rank,
+               CAST(fq + CASE WHEN rk <= 1000 - sb THEN 1 ELSE 0 END
+                 AS BIGINT) AS quota
+        FROM r ORDER BY lang, source
+      """.trim),
+      "X240 largest-remainder quotas: 1000 slots over (lang, source)")(
+      (spark, dir) => {
+        import spark.implicits._
+        Apportion.largestRemainder(table(spark, dir, "documents"),
+            Seq("lang", "source"), total = 1000L)
+          .orderBy($"lang", $"source")
       })
   )
 }
