@@ -329,4 +329,51 @@ object DistStats {
         round((n1d + 1.0) * (n2d + 1.0) / (md + 1.0) - 1.0, 2)
           .as("chapman"))
   }
+
+  /** X241 — empirical-Bayes (beta-binomial, method-of-moments)
+    * shrinkage of per-slice boolean rates: tiny slices report rates
+    * like 0/3 or 3/3 that are mostly noise; shrinking toward the
+    * cross-slice prior — strength learned FROM the slices, not
+    * picked by hand — is what makes a 10,000-slice quality dashboard
+    * (X128) rankable. Prior moments come from the UNWEIGHTED slice
+    * rates (each slice is one draw of its latent rate): m = mean,
+    * v = population variance, prior strength s = m(1−m)/v − 1,
+    * shrunk = (x + m·s)/(n + s). When the observed spread is at or
+    * beyond the binomial maximum (v ≥ m(1−m)) or zero, the moment
+    * system has no positive solution — slices report raw rates and a
+    * NULL prior strength rather than a fabricated prior.
+    *
+    * Determinism: slice rates quantize to NANO ints before the
+    * cross-slice fold, so Σr and Σr² are exact integers; m, v, s,
+    * and every shrunk rate are fixed-shape doubles, round(6). Scale
+    * shape: one slice agg + one slices-bounded fold broadcast back.
+    */
+  def ebShrink(df: DataFrame, sliceCol: String, successCol: Column)
+      : DataFrame = {
+    val cells = df.groupBy(col(sliceCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).cast("long")
+          .as("successes"))
+      .withColumn("__rn",
+        round(col("successes").cast("double") / col("n") * 1e9, 0)
+          .cast("long"))
+    val prior = cells.agg(count(lit(1)).cast("long").as("__k"),
+      sum(col("__rn").cast(dec)).cast(dec).as("__sr"),
+      sum((col("__rn").cast(dec) * col("__rn")).cast(dec)).cast(dec)
+        .as("__srr"))
+    val kd = col("__k").cast("double")
+    val m = col("__sr").cast("double") / (kd * 1e9)
+    val v = col("__srr").cast("double") / (kd * 1e18) - m * m
+    val s = m * (lit(1.0) - m) / v - 1.0
+    val ok = v > 0.0 && s > 0.0
+    val raw = col("successes").cast("double") / col("n").cast("double")
+    cells.crossJoin(broadcast(prior))
+      .select(col(sliceCol), col("n"), col("successes"),
+        round(raw, 6).as("raw_rate"),
+        when(ok, round((col("successes").cast("double") + m * s) /
+          (col("n").cast("double") + s), 6))
+          .otherwise(round(raw, 6)).as("shrunk_rate"),
+        round(m, 6).as("prior_mean"),
+        when(ok, round(s, 6)).as("prior_strength"))
+  }
 }

@@ -248,4 +248,42 @@ object RankEval {
         round(coalesce(col("__mass"), lit(0.0)) * (1.0 - p) / norm, 6)
           .as("rbo"))
   }
+
+  /** X243 — risk-coverage curve for selective prediction: accept
+    * everything scoring ≥ each threshold (DESCENDING confidence) and
+    * report coverage = accepted/N and risk = errors-among-accepted/
+    * accepted at every distinct score step — the abstention readout
+    * ([[rocAuc]] ranks pairs; this answers the operational question
+    * "if the pipeline auto-accepts the top X%, what error rate does
+    * it eat", which is how a quality classifier actually gets
+    * deployed). The curve is monotone in coverage by construction;
+    * risk is not (that non-monotonicity IS the finding — a badly
+    * calibrated band).
+    *
+    * Exact: steps live on the DISTINCT-score table (the rocAuc
+    * bounded-ordered-pass class), cumulative counts are exact ints,
+    * coverage/risk are int ratios, round(6). Quantize upstream if
+    * the score column is high-cardinality — the contract query bins
+    * to keep the step table bounded.
+    */
+  def riskCoverage(df: DataFrame, scoreCol: String, errorCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(errorCol, 1L).otherwise(0L)).as("__e"))
+    val tot = per.agg(sum(col("__n")).cast("long").as("__tot"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.withColumn("__cn", sum(col("__n")).over(w))
+      .withColumn("__ce", sum(col("__e")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("__s").as("threshold"),
+        col("__cn").cast("long").as("n_covered"),
+        col("__ce").cast("long").as("n_errors"),
+        round(col("__cn").cast("double") / col("__tot").cast("double"),
+          6).as("coverage"),
+        round(col("__ce").cast("double") / col("__cn").cast("double"), 6)
+          .as("risk"))
+  }
 }

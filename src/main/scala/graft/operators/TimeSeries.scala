@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -391,5 +391,80 @@ object TimeSeries {
           6).as("seg_mean"),
         expr(s"char(97 + ($alphabet * (__s - n * __lo))" +
           s" div (n * (__hi - __lo + 1)))").as("symbol"))
+  }
+  /** X242 — interrupted time series (segmented regression at a KNOWN
+    * breakpoint): per key, fit OLS level+slope on the daily series
+    * separately before and after `breakAt`, and report the LEVEL
+    * CHANGE (both fits evaluated AT the breakpoint) and SLOPE CHANGE
+    * — the no-control-group sibling of X231's diff-in-diff: when
+    * everything got the treatment at once, the pre-trend extrapolated
+    * to the break is the counterfactual. One wild day still moves an
+    * OLS fit (that is X222's robust lane); this one answers the
+    * level-shift question OLS is right for.
+    *
+    * Determinism: input is the already-bucketed daily table (the
+    * mannKendall convention); values quantize to micro ints, and all
+    * five per-segment sums (n, Σt, Σt², Σv, Σtv) accumulate in exact
+    * decimals, so slope/intercept are fixed-shape doubles, round(6).
+    * A segment with < 2 days (or a degenerate Σt² after centering)
+    * voids its fit and the changes, not the other segment's fit.
+    * Scale shape: one (key, segment) agg — days-bounded, never rows.
+    */
+  def interruptedSeries(daily: DataFrame, keyCol: String,
+      orderCol: String, valueCol: String, breakAt: Long): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = daily.select(col(keyCol),
+      col(orderCol).cast("long").as("__t"),
+      round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
+    val seg = base
+      .groupBy(col(keyCol), (col("__t") >= breakAt).as("__post"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("__t").cast(dec)).cast(dec).as("__st"),
+        sum((col("__t").cast(dec) * col("__t")).cast(dec)).cast(dec)
+          .as("__stt"),
+        sum(col("__v").cast(dec)).cast(dec).as("__sv"),
+        sum((col("__t").cast(dec) * col("__v")).cast(dec)).cast(dec)
+          .as("__stv"))
+    def side(p: Boolean, c: String, out: String) =
+      max(when(col("__post") === p, col(c))).as(out)
+    val w = seg.groupBy(col(keyCol)).agg(
+      coalesce(max(when(!col("__post"), col("__n"))), lit(0L))
+        .as("n_pre"),
+      side(p = false, "__st", "__stPre"),
+      side(p = false, "__stt", "__sttPre"),
+      side(p = false, "__sv", "__svPre"),
+      side(p = false, "__stv", "__stvPre"),
+      coalesce(max(when(col("__post"), col("__n"))), lit(0L))
+        .as("n_post"),
+      side(p = true, "__st", "__stPost"),
+      side(p = true, "__stt", "__sttPost"),
+      side(p = true, "__sv", "__svPost"),
+      side(p = true, "__stv", "__stvPost"))
+    def dd(c: String) = col(c).cast("double")
+    def fit(n: Column, st: String, stt: String, sv: String,
+        stv: String): (Column, Column, Column) = {
+      val nd = n.cast("double")
+      val den = nd * dd(stt) - dd(st) * dd(st)
+      val slope = (nd * dd(stv) - dd(st) * dd(sv)) / den
+      val icept = (dd(sv) - slope * dd(st)) / nd
+      val ok = n >= 2L && den > 0.0
+      (slope, icept, ok)
+    }
+    val (sPre, iPre, okPre) =
+      fit(col("n_pre"), "__stPre", "__sttPre", "__svPre", "__stvPre")
+    val (sPost, iPost, okPost) =
+      fit(col("n_post"), "__stPost", "__sttPost", "__svPost",
+        "__stvPost")
+    val bd = lit(breakAt.toDouble)
+    w.select(col(keyCol), col("n_pre"), col("n_post"),
+      when(okPre, round(sPre / 1e6, 6)).as("slope_pre"),
+      when(okPre, round(iPre / 1e6, 6)).as("intercept_pre"),
+      when(okPost, round(sPost / 1e6, 6)).as("slope_post"),
+      when(okPost, round(iPost / 1e6, 6)).as("intercept_post"),
+      when(okPre && okPost, round(
+        ((iPost + sPost * bd) - (iPre + sPre * bd)) / 1e6, 6))
+        .as("level_change"),
+      when(okPre && okPost, round((sPost - sPre) / 1e6, 6))
+        .as("slope_change"))
   }
 }

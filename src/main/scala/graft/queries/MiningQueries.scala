@@ -4,8 +4,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Apportion, Basket, Calibrate, Cartography,
-  Dedup, DistStats, FeatureHash, GraphStats, Hypothesis, Privacy,
-  RankEval, Similarity}
+  Dedup, DistStats, FeatureHash, GraphStats, Hypothesis, Kmv, Privacy,
+  RankEval, Similarity, TimeSeries}
 import QueryDef.{events, table}
 
 /** r10 waves 11–13 (SURVEY §2.10 X223–X235): multiple-testing control
@@ -934,6 +934,252 @@ object MiningQueries {
         Apportion.largestRemainder(table(spark, dir, "documents"),
             Seq("lang", "source"), total = 1000L)
           .orderBy($"lang", $"source")
+      }),
+
+    // X241: empirical-Bayes shrinkage of per-source long-doc rates —
+    // tiny sources stop screaming 0% / 100%.
+    QueryDef(
+      "q_eb_shrink",
+      Some("""
+        WITH cells AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS successes
+          FROM documents GROUP BY 1
+        ), q AS (
+          SELECT *, CAST(round(CAST(successes AS DOUBLE)
+                   / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS rn
+          FROM cells
+        ), pr AS (
+          SELECT CAST(count(*) AS BIGINT) AS kk,
+                 sum(CAST(rn AS HUGEINT)) AS sr,
+                 sum(CAST(rn AS HUGEINT) * rn) AS srr
+          FROM q
+        ), mo AS (
+          SELECT kk,
+                 CAST(sr AS DOUBLE) / (CAST(kk AS DOUBLE) * 1e9) AS m,
+                 CAST(srr AS DOUBLE) / (CAST(kk AS DOUBLE) * 1e18)
+                   - (CAST(sr AS DOUBLE) / (CAST(kk AS DOUBLE) * 1e9))
+                   * (CAST(sr AS DOUBLE) / (CAST(kk AS DOUBLE) * 1e9))
+                   AS v
+          FROM pr
+        ), st AS (
+          SELECT m, v, m * (1.0 - m) / v - 1.0 AS s,
+                 (v > 0.0 AND m * (1.0 - m) / v - 1.0 > 0.0) AS ok
+          FROM mo
+        )
+        SELECT source, n, successes,
+               round(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS raw_rate,
+               CASE WHEN ok THEN
+                 round((CAST(successes AS DOUBLE) + m * s)
+                   / (CAST(n AS DOUBLE) + s), 6)
+               ELSE round(CAST(successes AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) END AS shrunk_rate,
+               round(m, 6) AS prior_mean,
+               CASE WHEN ok THEN round(s, 6) END AS prior_strength
+        FROM q, st ORDER BY source
+      """.trim),
+      "X241 EB-shrunk per-source long-doc rates (beta-binomial MoM)")(
+      (spark, dir) => {
+        import spark.implicits._
+        DistStats.ebShrink(table(spark, dir, "documents"),
+            "source", $"n_chars" >= 250)
+          .orderBy($"source")
+      }),
+
+    // X242: interrupted time series — level/slope change of the
+    // daily mean event value at the day-16 break, per event type.
+    QueryDef(
+      "q_its",
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(day(ts) AS BIGINT) AS t,
+                 CAST(sum(CAST(round(value * 1000000.0) AS BIGINT))
+                     AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
+                   AS y
+          FROM events GROUP BY 1, 2
+        ), q AS (
+          SELECT event_type, t,
+                 CAST(round(y * 1000000.0) AS BIGINT) AS v,
+                 (t >= 16) AS post
+          FROM daily
+        ), seg AS (
+          SELECT event_type, post, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(t AS HUGEINT)) AS st,
+                 sum(CAST(t AS HUGEINT) * t) AS stt,
+                 sum(CAST(v AS HUGEINT)) AS sv,
+                 sum(CAST(t AS HUGEINT) * v) AS stv
+          FROM q GROUP BY 1, 2
+        ), w AS (
+          SELECT event_type,
+                 coalesce(max(CASE WHEN NOT post THEN n END), 0)
+                   AS n_pre,
+                 max(CASE WHEN NOT post THEN st END) AS st0,
+                 max(CASE WHEN NOT post THEN stt END) AS stt0,
+                 max(CASE WHEN NOT post THEN sv END) AS sv0,
+                 max(CASE WHEN NOT post THEN stv END) AS stv0,
+                 coalesce(max(CASE WHEN post THEN n END), 0) AS n_post,
+                 max(CASE WHEN post THEN st END) AS st1,
+                 max(CASE WHEN post THEN stt END) AS stt1,
+                 max(CASE WHEN post THEN sv END) AS sv1,
+                 max(CASE WHEN post THEN stv END) AS stv1
+          FROM seg GROUP BY 1
+        ), f AS (
+          SELECT event_type, n_pre, n_post,
+            CAST(n_pre AS DOUBLE) * CAST(stt0 AS DOUBLE)
+              - CAST(st0 AS DOUBLE) * CAST(st0 AS DOUBLE) AS den0,
+            (CAST(n_pre AS DOUBLE) * CAST(stv0 AS DOUBLE)
+              - CAST(st0 AS DOUBLE) * CAST(sv0 AS DOUBLE))
+              / (CAST(n_pre AS DOUBLE) * CAST(stt0 AS DOUBLE)
+                 - CAST(st0 AS DOUBLE) * CAST(st0 AS DOUBLE)) AS sl0,
+            CAST(n_post AS DOUBLE) * CAST(stt1 AS DOUBLE)
+              - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE) AS den1,
+            (CAST(n_post AS DOUBLE) * CAST(stv1 AS DOUBLE)
+              - CAST(st1 AS DOUBLE) * CAST(sv1 AS DOUBLE))
+              / (CAST(n_post AS DOUBLE) * CAST(stt1 AS DOUBLE)
+                 - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE)) AS sl1,
+            CAST(sv0 AS DOUBLE) AS sv0d, CAST(st0 AS DOUBLE) AS st0d,
+            CAST(sv1 AS DOUBLE) AS sv1d, CAST(st1 AS DOUBLE) AS st1d
+          FROM w
+        ), g AS (
+          SELECT event_type, n_pre, n_post,
+                 (n_pre >= 2 AND den0 > 0.0) AS ok0,
+                 (n_post >= 2 AND den1 > 0.0) AS ok1,
+                 sl0, (sv0d - sl0 * st0d) / CAST(n_pre AS DOUBLE)
+                   AS ic0,
+                 sl1, (sv1d - sl1 * st1d) / CAST(n_post AS DOUBLE)
+                   AS ic1
+          FROM f
+        )
+        SELECT event_type, n_pre, n_post,
+               CASE WHEN ok0 THEN round(sl0 / 1e6, 6) END AS slope_pre,
+               CASE WHEN ok0 THEN round(ic0 / 1e6, 6) END
+                 AS intercept_pre,
+               CASE WHEN ok1 THEN round(sl1 / 1e6, 6) END
+                 AS slope_post,
+               CASE WHEN ok1 THEN round(ic1 / 1e6, 6) END
+                 AS intercept_post,
+               CASE WHEN ok0 AND ok1 THEN
+                 round(((ic1 + sl1 * 16.0) - (ic0 + sl0 * 16.0))
+                   / 1e6, 6) END AS level_change,
+               CASE WHEN ok0 AND ok1 THEN round((sl1 - sl0) / 1e6, 6)
+                 END AS slope_change
+        FROM g ORDER BY event_type
+      """.trim),
+      "X242 interrupted time series at day 16, per event type")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy($"event_type", dayofmonth($"ts").cast("long").as("t"))
+          .agg((sum(round($"value" * 1e6, 0).cast("long")).cast("double")
+            / count(lit(1)).cast("double") / 1e6).as("y"))
+        TimeSeries.interruptedSeries(daily, "event_type", "t", "y",
+            breakAt = 16L)
+          .orderBy($"event_type")
+      }),
+
+    // X243: risk-coverage curve — auto-accept events from the top
+    // value decile down; what error-event rate does each cut eat.
+    QueryDef(
+      "q_risk_coverage",
+      Some("""
+        WITH base AS (
+          SELECT CAST(floor(value / 10.0) AS BIGINT) AS s,
+                 (event_type = 'error') AS err
+          FROM events
+        ), per AS (
+          SELECT s, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN err THEN 1 ELSE 0 END) AS BIGINT)
+                   AS e
+          FROM base GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS nn FROM per
+        ), cum AS (
+          SELECT s,
+                 CAST(sum(n) OVER (ORDER BY s DESC) AS BIGINT) AS cn,
+                 CAST(sum(e) OVER (ORDER BY s DESC) AS BIGINT) AS ce
+          FROM per
+        )
+        SELECT s AS threshold, cn AS n_covered, ce AS n_errors,
+               round(CAST(cn AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+                 AS coverage,
+               round(CAST(ce AS DOUBLE) / CAST(cn AS DOUBLE), 6)
+                 AS risk
+        FROM cum, tot ORDER BY threshold DESC
+      """.trim),
+      "X243 risk-coverage curve over value-decile thresholds")(
+      (spark, dir) => {
+        import spark.implicits._
+        RankEval.riskCoverage(
+            events(spark, dir)
+              .select(floor($"value" / 10.0).cast("long").as("s"),
+                ($"event_type" === "error").as("err")),
+            "s", $"err")
+          .orderBy($"threshold".desc)
+      }),
+
+    // X244: KMV bottom-k set algebra — audience overlap between
+    // event types from a sketch ANY SQL engine can re-derive
+    // bit-for-bit (the oracle-checkable sibling of X236).
+    QueryDef(
+      "q_kmv",
+      Some("""
+        WITH hashes AS (
+          SELECT DISTINCT event_type AS g,
+                 ('0x' || substr(md5('kmv:' || CAST(user_id
+                   AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM events
+        ), sk AS (
+          SELECT g, h, CAST(row_number() OVER (PARTITION BY g
+                   ORDER BY h) AS BIGINT) AS rk
+          FROM hashes QUALIFY rk <= 32
+        ), pairs AS (
+          SELECT a.g AS group_a, b.g AS group_b
+          FROM (SELECT DISTINCT g FROM sk) a
+          JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g
+        ), merged AS (
+          SELECT group_a, group_b, h,
+                 max(ina) AS ia, max(inb) AS ib
+          FROM (
+            SELECT p.group_a, p.group_b, s.h, 1 AS ina, 0 AS inb
+            FROM pairs p JOIN sk s ON s.g = p.group_a
+            UNION ALL
+            SELECT p.group_a, p.group_b, s.h, 0 AS ina, 1 AS inb
+            FROM pairs p JOIN sk s ON s.g = p.group_b)
+          GROUP BY 1, 2, 3
+        ), bk AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY group_a,
+                   group_b ORDER BY h) AS BIGINT) AS rk
+          FROM merged QUALIFY rk <= 32
+        ), agg AS (
+          SELECT group_a, group_b,
+                 CAST(count(*) AS BIGINT) AS m,
+                 max(CASE WHEN rk = 32 THEN h END) AS hk,
+                 CAST(sum(ia * ib) AS BIGINT) AS shared
+          FROM bk GROUP BY 1, 2
+        ), eu AS (
+          SELECT *,
+                 CASE WHEN m < 32 THEN CAST(m AS DOUBLE)
+                      ELSE 31.0 * 4294967296.0 / CAST(hk AS DOUBLE)
+                      END AS est_u
+          FROM agg
+        )
+        SELECT group_a, group_b, shared AS shared_in_bottomk,
+               round(est_u, 2) AS est_union,
+               round(CAST(shared AS DOUBLE) / CAST(m AS DOUBLE), 6)
+                 AS jaccard_est,
+               round(est_u * CAST(shared AS DOUBLE)
+                 / CAST(m AS DOUBLE), 2) AS est_intersect
+        FROM eu ORDER BY group_a, group_b
+      """.trim),
+      "X244 KMV bottom-32 audience overlap between event types")(
+      (spark, dir) => {
+        import spark.implicits._
+        val sk = Kmv.sketch(events(spark, dir), "event_type",
+          "user_id", k = 32, salt = "kmv")
+        Kmv.setOps(sk, "event_type", k = 32)
+          .orderBy($"group_a", $"group_b")
       })
   )
 }
