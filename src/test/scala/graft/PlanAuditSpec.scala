@@ -1019,4 +1019,58 @@ class PlanAuditSpec extends AnyFunSuite {
       s"${all - keyed} rank window(s) lost the n_name partition")
     assert(!p.contains("CartesianProduct"), "rbo join went all-pairs")
   }
+
+  // ---- waves 13-15 scale-claim audits ---------------------------------
+
+  test("q_jl_project: the d*k sign table broadcasts; the component " +
+    "fold has a map-side partial agg") {
+    val p = plan("q_jl_project")
+    assert(p.contains("BroadcastHashJoin"),
+      s"sign table not broadcast in jl_project:\n${p.take(1200)}")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "component fold lost its partial agg")
+  }
+
+  test("q_feature_hash: scan pruned to (doc_id, text) + the source " +
+    "filter pushed; one partial+final agg pair, no joins") {
+    val p = plan("q_feature_hash")
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("n_chars"), s"unpruned scan: $read")
+    assert(p.contains("PushedFilters: [IsNotNull(source)") ||
+      "PushedFilters: \\[[^\\]]*EqualTo\\(source".r.findFirstIn(p)
+        .isDefined, "source filter not pushed to the scan")
+    assert("HashJoin|SortMergeJoin".r.findFirstIn(p).isEmpty,
+      "unexpected join in the hashing-trick featurizer")
+  }
+
+  test("q_kmv: every rank window keeps its group partition (never a " +
+    "global hash sort)") {
+    val p = plan("q_kmv").toLowerCase
+    val all = "windowspecdefinition\\(".r.findAllIn(p).length
+    val keyed = ("windowspecdefinition\\((__g|group_a)".r
+      .findAllIn(p).length)
+    assert(all > 0 && keyed == all,
+      s"${all - keyed} KMV window(s) lost their group partition")
+  }
+
+  test("q_eb_shrink: the slices-bounded prior broadcasts back; " +
+    "cells agg keeps its map-side partial") {
+    val p = plan("q_eb_shrink")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"prior not broadcast in eb_shrink:\n${p.take(1200)}")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "slice agg lost its partial")
+  }
+
+  test("q_risk_coverage: exactly one ordered window, on the " +
+    "distinct-score table after a partial+final agg pair") {
+    val p = plan("q_risk_coverage")
+    // one Window NODE (its two running sums share the one spec)
+    assert("Window \\[".r.findAllIn(p).length == 1,
+      s"more than the one cumulative window:\n${p.take(1200)}")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "distinct-score agg lost its partial")
+  }
 }
