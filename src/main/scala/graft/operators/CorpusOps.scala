@@ -2491,4 +2491,67 @@ object CorpusOps {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
+
+  /** X250 — exact-k weighted sampling WITHOUT replacement
+    * (Efraimidis-Spirakis A-ES, 2006): each row gets the key
+    * ln(u)/w with u = (hash+1)/2³² ∈ (0,1] from the salted md5, and
+    * the k LARGEST keys are the sample — provably equivalent to
+    * sequential weighted draws without replacement. The exact-k
+    * companion to [[weightedSample]] (Bernoulli, random SIZE): "give
+    * me exactly 10,000 docs, quality-weighted" is this, not that.
+    *
+    * Scale shape: one scan computes the key, TakeOrdered picks k —
+    * per-partition heaps, never a global sort. Determinism: u is an
+    * exact integer-derived double, the key one fixed-shape double;
+    * ties broken by the id. Zero/negative weights are excluded
+    * (their key is −∞ conceptually; filtered explicitly).
+    */
+  def weightedTopK(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String = "aes"): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val u = (md5Band(col(keyCol).cast("string"), s"$salt:")
+      .cast("double") + 1.0) / 4294967296.0
+    df.filter(col(weightCol) > 0.0)
+      .withColumn("__key", log(u) / col(weightCol))
+      .orderBy(col("__key").desc, col(keyCol))
+      .limit(k)
+      .select(col(keyCol), col(weightCol).as("weight"),
+        round(col("__key"), 6).as("sample_key"))
+  }
+
+  /** X249 — hierarchical URL-path rollup: every path prefix up to
+    * `maxDepth` becomes one row with its doc count and distinct-host
+    * count — the crawl-budget view ("/videos eats 40% of the
+    * corpus, /videos/live 90% of that") that a flat [[domainRollup]]
+    * cannot see. Prefix explode is ≤ maxDepth rows per doc; the agg
+    * is prefix-bounded. Extraction is the urlParts host convention
+    * (lowercase, port stripped); paths normalize to no trailing
+    * slash; docs whose path is "/" roll up only into depth 0 (the
+    * host row).
+    */
+  def pathRollup(docs: DataFrame, urlCol: String, maxDepth: Int = 3)
+      : DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 10, s"bad maxDepth $maxDepth")
+    val lower0 = lower(col(urlCol))
+    val host = regexp_replace(
+      regexp_extract(lower0, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+      ":[0-9]+$", "")
+    val path = regexp_extract(lower0, "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1)
+    val segs = expr("filter(split(__path, '/'), s -> s <> '')")
+    val base = docs.select(host.as("__host"), path.as("__path"))
+      .filter(col("__host") =!= "")
+      .withColumn("__segs", segs)
+      .withColumn("__d",
+        explode(sequence(lit(0),
+          least(size(col("__segs")), lit(maxDepth)))))
+      .withColumn("prefix",
+        concat(col("__host"),
+          when(col("__d") === 0, lit(""))
+            .otherwise(concat(lit("/"),
+              array_join(slice(col("__segs"), lit(1), col("__d")),
+                "/")))))
+    base.groupBy(col("prefix"), col("__d").cast("long").as("depth"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("__host")).cast("long").as("n_hosts"))
+  }
 }

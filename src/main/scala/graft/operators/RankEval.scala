@@ -266,6 +266,49 @@ object RankEval {
     * the score column is high-cardinality — the contract query bins
     * to keep the step table bounded.
     */
+  /** X248 — blocking-quality evaluation (the record-linkage
+    * literature's standard pair): REDUCTION RATIO = 1 − \|C\|/(n(n−1)/2)
+    * (how much of the quadratic pair space the blocker pruned) and
+    * PAIR COMPLETENESS = \|C∩T\|/\|T\| (how many true pairs survived the
+    * pruning), plus pair quality (precision) and the PC·RR harmonic
+    * mean — the missing half of [[pairSetEval]]: precision/recall
+    * score the MATCHER, these score the BLOCKER, and a pipeline that
+    * tunes LSH bands (X197) or sorted-neighborhood windows (X133)
+    * without PC/RR is flying blind on exactly the recall-vs-cost
+    * trade it exists to make. Pairs canonicalize to (min, max) and
+    * dedupe; n(n−1)/2 computed in exact decimal (n² overflows a long
+    * past 3e9 records). One row out.
+    */
+  def blockingQuality(candidates: DataFrame, truth: DataFrame,
+      nRecords: Long): DataFrame = {
+    require(nRecords >= 2, s"bad nRecords $nRecords")
+    def canon(df: DataFrame): DataFrame = {
+      val c = df.columns
+      df.select(least(col(c(0)), col(c(1))).as("__p1"),
+        greatest(col(c(0)), col(c(1))).as("__p2"))
+        .filter(col("__p1") =!= col("__p2")).distinct()
+    }
+    val c = canon(candidates)
+    val t = canon(truth)
+    val nC = c.agg(count(lit(1)).cast("long").as("n_candidates"))
+    val nT = t.agg(count(lit(1)).cast("long").as("n_truth"))
+    val hit = c.join(t, Seq("__p1", "__p2"))
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+    val allPairs = BigDecimal(nRecords) * BigDecimal(nRecords - 1) / 2
+    val rr = lit(1.0) - col("n_candidates").cast("double") /
+      lit(allPairs.toDouble)
+    val pc = col("n_hits").cast("double") / col("n_truth").cast("double")
+    nC.crossJoin(nT).crossJoin(hit)
+      .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+        round(rr, 6).as("reduction_ratio"),
+        when(col("n_truth") > 0L, round(pc, 6)).as("pair_completeness"),
+        when(col("n_candidates") > 0L,
+          round(col("n_hits").cast("double") /
+            col("n_candidates").cast("double"), 6)).as("pair_quality"),
+        when(col("n_truth") > 0L && (rr + pc) > 0.0,
+          round(lit(2.0) * rr * pc / (rr + pc), 6)).as("f_pc_rr"))
+  }
+
   def riskCoverage(df: DataFrame, scoreCol: String, errorCol: Column)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window

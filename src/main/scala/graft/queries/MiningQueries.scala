@@ -4,8 +4,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Apportion, Basket, Calibrate, Cartography,
-  Dedup, DistStats, FeatureHash, GraphStats, Hypothesis, Kmv, Privacy,
-  RankEval, Similarity, TimeSeries}
+  CorpusOps, Dedup, DistStats, FeatureHash, GraphStats, Hypothesis,
+  Kmv, Privacy, RankEval, Similarity, Stylometry, TimeSeries}
 import QueryDef.{events, table}
 
 /** r10 waves 11–13 (SURVEY §2.10 X223–X235): multiple-testing control
@@ -1180,6 +1180,213 @@ object MiningQueries {
           "user_id", k = 32, salt = "kmv")
         Kmv.setOps(sk, "event_type", k = 32)
           .orderBy($"group_a", $"group_b")
+      }),
+
+    // X247: Burrows' Delta between languages over the corpus's top-20
+    // words — provenance forensics in function-word space.
+    QueryDef(
+      "q_burrows_delta",
+      Some("""
+        WITH toks AS (
+          SELECT lang AS g, unnest(list_filter(
+                   string_split_regex(lower(text), '\s+'),
+                   x -> x <> '')) AS w
+          FROM documents
+        ), top AS (
+          SELECT w FROM (
+            SELECT w, count(*) AS c FROM toks GROUP BY 1
+            ORDER BY c DESC, w LIMIT 20)
+        ), tot AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS t FROM toks GROUP BY 1
+        ), cells AS (
+          SELECT g, w, CAST(count(*) AS BIGINT) AS n
+          FROM toks JOIN top USING (w) GROUP BY 1, 2
+        ), frame AS (
+          SELECT tot.g, top.w, tot.t, coalesce(cells.n, 0) AS n
+          FROM tot CROSS JOIN top
+          LEFT JOIN cells ON cells.g = tot.g AND cells.w = top.w
+        ), fr AS (
+          SELECT g, w,
+                 CAST(round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+                   * 1e9) AS BIGINT) AS fn
+          FROM frame
+        ), st AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS k,
+                 sum(CAST(fn AS HUGEINT)) AS sf,
+                 sum(CAST(fn AS HUGEINT) * fn) AS sff
+          FROM fr GROUP BY 1
+        ), z AS (
+          SELECT fr.g, fr.w,
+                 CASE WHEN CAST(sff AS DOUBLE) / CAST(k AS DOUBLE)
+                        - (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))
+                        * (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))
+                        > 0.0
+                 THEN CAST(round((CAST(fn AS DOUBLE)
+                        - CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))
+                      / sqrt(CAST(sff AS DOUBLE) / CAST(k AS DOUBLE)
+                        - (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))
+                        * (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE)))
+                      * 1e9) AS BIGINT)
+                 ELSE 0 END AS zn
+          FROM fr JOIN st USING (w)
+        )
+        SELECT a.g AS group_a, b.g AS group_b,
+               CAST(count(*) AS BIGINT) AS n_words,
+               round(CAST(sum(abs(a.zn - b.zn)) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1e9), 6) AS delta
+        FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+        GROUP BY 1, 2
+        ORDER BY group_a, group_b
+      """.trim),
+      "X247 Burrows' Delta between languages, top-20 words")(
+      (spark, dir) => {
+        import spark.implicits._
+        Stylometry.burrowsDelta(table(spark, dir, "documents"),
+            "lang", "text", topM = 20)
+          .orderBy($"group_a", $"group_b")
+      }),
+
+    // X248: blocking quality — the 50-char length-band blocker
+    // scored against strict (lang, 100-band) truth pairs: reduction
+    // ratio vs pair completeness.
+    QueryDef(
+      "q_blocking_quality",
+      Some("""
+        WITH cand AS (
+          SELECT DISTINCT least(x.doc_id, y.doc_id) AS p1,
+                 greatest(x.doc_id, y.doc_id) AS p2
+          FROM documents x JOIN documents y
+            ON x.n_chars // 50 = y.n_chars // 50
+            AND x.doc_id < y.doc_id
+        ), truth AS (
+          SELECT DISTINCT least(x.doc_id, y.doc_id) AS p1,
+                 greatest(x.doc_id, y.doc_id) AS p2
+          FROM documents x JOIN documents y
+            ON x.lang = y.lang
+            AND x.n_chars // 100 = y.n_chars // 100
+            AND x.doc_id < y.doc_id
+        ), nn AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        ), c AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand
+        ), t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth
+        ), h AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_hits
+          FROM cand JOIN truth USING (p1, p2)
+        ), f AS (
+          SELECT n_candidates, n_truth, n_hits,
+                 1.0 - CAST(n_candidates AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0)
+                   AS rr,
+                 CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE)
+                   AS pc
+          FROM c, t, h, nn
+        )
+        SELECT n_candidates, n_truth, n_hits,
+               round(rr, 6) AS reduction_ratio,
+               CASE WHEN n_truth > 0 THEN round(pc, 6) END
+                 AS pair_completeness,
+               CASE WHEN n_candidates > 0 THEN
+                 round(CAST(n_hits AS DOUBLE)
+                   / CAST(n_candidates AS DOUBLE), 6) END
+                 AS pair_quality,
+               CASE WHEN n_truth > 0 AND rr + pc > 0.0 THEN
+                 round(2.0 * rr * pc / (rr + pc), 6) END AS f_pc_rr
+        FROM f
+      """.trim),
+      "X248 blocking quality: 50-band blocker vs (lang,100-band) truth")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents")
+        val cand = docs.as("x").join(docs.as("y"),
+            expr("x.n_chars div 50") === expr("y.n_chars div 50") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("p1"), col("y.doc_id").as("p2"))
+        val truth = docs.as("x").join(docs.as("y"),
+            col("x.lang") === col("y.lang") &&
+              expr("x.n_chars div 100") === expr("y.n_chars div 100") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("p1"), col("y.doc_id").as("p2"))
+        RankEval.blockingQuality(cand, truth, nRecords = docs.count())
+      }),
+
+    // X249: hierarchical path rollup of deterministically constructed
+    // crawl URLs — the crawl-budget view by prefix depth.
+    QueryDef(
+      "q_path_rollup",
+      Some("""
+        WITH urls AS (
+          SELECT doc_id,
+                 'https://www.' || source || '.com/s'
+                 || CAST(doc_id % 3 AS VARCHAR) || '/t'
+                 || CAST(doc_id % 5 AS VARCHAR) || '/p'
+                 || CAST(doc_id AS VARCHAR) AS url
+          FROM documents
+        ), parts AS (
+          SELECT regexp_replace(regexp_extract(lower(url),
+                   '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                   ':[0-9]+$', '') AS host,
+                 regexp_extract(lower(url),
+                   '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS path
+          FROM urls
+        ), segs AS (
+          SELECT host,
+                 list_filter(string_split(path, '/'), s -> s <> '')
+                   AS sg
+          FROM parts WHERE host <> ''
+        ), lv AS (
+          SELECT host, sg,
+                 unnest(range(0, least(len(sg), 2) + 1)) AS d
+          FROM segs
+        ), pre AS (
+          SELECT host, d,
+                 CASE WHEN d = 0 THEN host
+                      ELSE host || '/' || array_to_string(sg[1:d], '/')
+                      END AS prefix
+          FROM lv
+        )
+        SELECT prefix, CAST(d AS BIGINT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM pre GROUP BY 1, 2
+        ORDER BY prefix, depth
+      """.trim),
+      "X249 path-prefix rollup to depth 2 over crawl URLs")(
+      (spark, dir) => {
+        import spark.implicits._
+        val urls = table(spark, dir, "documents")
+          .select(concat(lit("https://www."), $"source", lit(".com/s"),
+            ($"doc_id" % 3).cast("string"), lit("/t"),
+            ($"doc_id" % 5).cast("string"), lit("/p"),
+            $"doc_id".cast("string")).as("url"))
+        CorpusOps.pathRollup(urls, "url", maxDepth = 2)
+          .orderBy($"prefix", $"depth")
+      }),
+
+    // X250: exact-k weighted sample without replacement (A-ES) — 50
+    // docs drawn proportional to length, reproducible cross-engine.
+    QueryDef(
+      "q_weighted_topk",
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id, CAST(n_chars AS DOUBLE) / 500.0 AS w,
+                 ln((('0x' || substr(md5('aes:' || CAST(doc_id
+                     AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+                   / 4294967296.0)
+                 / (CAST(n_chars AS DOUBLE) / 500.0) AS k
+          FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, w AS weight, round(k, 6) AS sample_key
+        FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+      """.trim),
+      "X250 A-ES exact-50 length-weighted sample without replacement")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.weightedTopK(
+          table(spark, dir, "documents")
+            .withColumn("w", $"n_chars".cast("double") / 500.0),
+          "doc_id", "w", k = 50, salt = "aes")
       })
   )
 }
