@@ -2506,6 +2506,33 @@ object CorpusOps {
     * ties broken by the id. Zero/negative weights are excluded
     * (their key is −∞ conceptually; filtered explicitly).
     */
+  /** X253 — markdown structure profile: per doc, exact counts of
+    * ATX headings, fenced code blocks (``` pairs — the count is
+    * FENCES/2 so an unterminated fence shows up as a half), inline
+    * links, and list items, plus a coarse doc class (code /
+    * structured / prose) — the router a mixed crawl needs BEFORE
+    * text cleaning (X29's pipeline destroys code blocks; X172's
+    * sentence splitter is wrong for lists; both need this routing
+    * signal first). Pure regexp-count scan stage: RE2-safe patterns
+    * (inline (?m), no lookaround), exact integers, no shuffle.
+    */
+  def markdownProfile(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    def cnt(pattern: String) =
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0)))
+        .cast("long")
+    docs.select(col(idCol),
+      cnt("(?m)^#{1,6} ").as("n_headings"),
+      cnt("```").as("n_fences"),
+      cnt("\\[[^\\]]*\\]\\([^)]*\\)").as("n_links"),
+      cnt("(?m)^[-*] ").as("n_list_items"))
+      .withColumn("doc_class",
+        when(col("n_fences") >= 2L, "code")
+          .when(col("n_headings") + col("n_list_items") > 0L,
+            "structured")
+          .otherwise("prose"))
+  }
+
   def weightedTopK(df: DataFrame, keyCol: String, weightCol: String,
       k: Int, salt: String = "aes"): DataFrame = {
     require(k >= 1, s"bad k $k")

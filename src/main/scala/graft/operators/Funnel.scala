@@ -284,4 +284,54 @@ object Funnel {
       (col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
         .as("rfm_code"))
   }
+
+  /** X252 — growth accounting (the SaaS "quick ratio" ledger): per
+    * period, how many active users are NEW (first period ever),
+    * RETAINED (active in the immediately previous period),
+    * RESURRECTED (returning after a gap), and how many CHURNED INTO
+    * this period (active last period, silent this one) — the
+    * decomposition that says whether an X130-flat active curve is
+    * healthy (retained) or a leaky bucket refilled by acquisition
+    * (new ≈ churned). Identity: active(w) = new + retained +
+    * resurrected, and churned_into(w) = active(w−1) − retained(w)
+    * (both spec-asserted).
+    *
+    * Exact integers throughout: classification reads lag/lead over
+    * the DISTINCT (user, period) table (per-user windows — activity-
+    * bounded, never event-bounded); churn into period w+1 needs the
+    * w+1 horizon, so the max period reports only its arrivals. One
+    * row per period plus the quick ratio (new+resurrected)/churned
+    * (NULL when nothing churned).
+    */
+  def growthAccounting(events: DataFrame, userCol: String,
+      periodCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val active = events.select(col(userCol).as("__u"),
+      periodCol.cast("long").as("__w")).distinct()
+    val wu = Window.partitionBy(col("__u")).orderBy(col("__w"))
+    val tagged = active
+      .withColumn("__prev", lag(col("__w"), 1).over(wu))
+      .withColumn("__next", lead(col("__w"), 1).over(wu))
+    val classes = tagged.groupBy(col("__w"))
+      .agg(count(lit(1)).cast("long").as("n_active"),
+        sum(when(col("__prev").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_new"),
+        sum(when(col("__prev") === col("__w") - 1L, 1L).otherwise(0L))
+          .cast("long").as("n_retained"),
+        sum(when(col("__prev").isNotNull &&
+          col("__prev") < col("__w") - 1L, 1L).otherwise(0L))
+          .cast("long").as("n_resurrected"))
+    // a user active at w with no activity at w+1 churns INTO w+1
+    val churn = tagged
+      .filter(col("__next").isNull || col("__next") > col("__w") + 1L)
+      .groupBy((col("__w") + 1L).as("__w"))
+      .agg(count(lit(1)).cast("long").as("__ch"))
+    classes.join(churn, Seq("__w"), "left")
+      .withColumn("n_churned_in", coalesce(col("__ch"), lit(0L)))
+      .select(col("__w").as("period"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churned_in"),
+        when(col("n_churned_in") > 0L,
+          round((col("n_new") + col("n_resurrected")).cast("double") /
+            col("n_churned_in").cast("double"), 6)).as("quick_ratio"))
+  }
 }

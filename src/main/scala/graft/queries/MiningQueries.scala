@@ -4,8 +4,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Apportion, Basket, Calibrate, Cartography,
-  CorpusOps, Dedup, DistStats, FeatureHash, GraphStats, Hypothesis,
-  Kmv, Privacy, RankEval, Similarity, Stylometry, TimeSeries}
+  CorpusOps, Dedup, DistStats, FeatureHash, Funnel, GraphStats,
+  Hypothesis, Kmv, Privacy, RankEval, Similarity, Stylometry,
+  TimeSeries}
 import QueryDef.{events, table}
 
 /** r10 waves 11–13 (SURVEY §2.10 X223–X235): multiple-testing control
@@ -1387,6 +1388,157 @@ object MiningQueries {
           table(spark, dir, "documents")
             .withColumn("w", $"n_chars".cast("double") / 500.0),
           "doc_id", "w", k = 50, salt = "aes")
+      }),
+
+    // X251: DEFLATE compression-ratio quality signal. Rows-only by
+    // SURVEY §8 (the zlib byte count has no DuckDB twin); the spec
+    // pins repetitive-vs-prose behavior and boundary cases.
+    QueryDef(
+      "q_compression",
+      None,
+      "X251 deflate compression-ratio quality probe per doc")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Compression.compressionSignals(
+            table(spark, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      }),
+
+    // X252: growth accounting of weekly active users — new /
+    // retained / resurrected / churned-in per week + quick ratio.
+    QueryDef(
+      "q_growth_accounting",
+      Some("""
+        WITH active AS (
+          SELECT DISTINCT user_id AS u,
+                 CAST((day(ts) - 1) // 7 AS BIGINT) AS w
+          FROM events
+        ), tagged AS (
+          SELECT u, w,
+                 lag(w) OVER (PARTITION BY u ORDER BY w) AS prev,
+                 lead(w) OVER (PARTITION BY u ORDER BY w) AS nxt
+          FROM active
+        ), classes AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS n_active,
+                 CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_new,
+                 CAST(sum(CASE WHEN prev = w - 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_retained,
+                 CAST(sum(CASE WHEN prev IS NOT NULL AND prev < w - 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+          FROM tagged GROUP BY 1
+        ), churn AS (
+          SELECT w + 1 AS w, CAST(count(*) AS BIGINT) AS ch
+          FROM tagged
+          WHERE nxt IS NULL OR nxt > w + 1
+          GROUP BY 1
+        )
+        SELECT classes.w AS period, n_active, n_new, n_retained,
+               n_resurrected, coalesce(ch, 0) AS n_churned_in,
+               CASE WHEN coalesce(ch, 0) > 0 THEN
+                 round(CAST(n_new + n_resurrected AS DOUBLE)
+                   / CAST(ch AS DOUBLE), 6) END AS quick_ratio
+        FROM classes LEFT JOIN churn ON churn.w = classes.w
+        ORDER BY period
+      """.trim),
+      "X252 weekly growth accounting: new/retained/resurrected/churn")(
+      (spark, dir) => {
+        import spark.implicits._
+        Funnel.growthAccounting(events(spark, dir), "user_id",
+            expr("(day(ts) - 1) div 7"))
+          .orderBy($"period")
+      }),
+
+    // X253: markdown structure profile over deterministically
+    // decorated docs — the cleaning-router signal.
+    QueryDef(
+      "q_markdown_profile",
+      Some("""
+        WITH md AS (
+          SELECT doc_id,
+                 '# Title' || chr(10) || text || chr(10) || '- item'
+                 || CASE WHEN doc_id % 4 = 0
+                    THEN chr(10) || '```code```' ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                    THEN chr(10) || '[a](b)' ELSE '' END AS t
+          FROM documents
+        ), prof AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t, '(?m)^#{1,6} '))
+                   AS BIGINT) AS n_headings,
+                 CAST(len(regexp_extract_all(t, '```')) AS BIGINT)
+                   AS n_fences,
+                 CAST(len(regexp_extract_all(t,
+                   '\[[^\]]*\]\([^)]*\)')) AS BIGINT) AS n_links,
+                 CAST(len(regexp_extract_all(t, '(?m)^[-*] '))
+                   AS BIGINT) AS n_list_items
+          FROM md
+        )
+        SELECT doc_id, n_headings, n_fences, n_links, n_list_items,
+               CASE WHEN n_fences >= 2 THEN 'code'
+                    WHEN n_headings + n_list_items > 0
+                      THEN 'structured'
+                    ELSE 'prose' END AS doc_class
+        FROM prof ORDER BY doc_id
+      """.trim),
+      "X253 markdown structure profile + doc-class routing")(
+      (spark, dir) => {
+        import spark.implicits._
+        val md = table(spark, dir, "documents")
+          .select($"doc_id", concat(lit("# Title\n"), $"text",
+            lit("\n- item"),
+            when($"doc_id" % 4 === 0, lit("\n```code```"))
+              .otherwise(lit("")),
+            when($"doc_id" % 5 === 0, lit("\n[a](b)"))
+              .otherwise(lit(""))).as("t"))
+        CorpusOps.markdownProfile(md, "doc_id", "t")
+          .orderBy($"doc_id")
+      }),
+
+    // X254: weight of evidence + information value of the value
+    // 50-band feature against conversion — scorecard feature eval.
+    QueryDef(
+      "q_woe",
+      Some("""
+        WITH base AS (
+          SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+                 (event_type IN ('purchase', 'signup')) AS y
+          FROM events
+        ), cells AS (
+          SELECT bin,
+                 CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS goods,
+                 CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT)
+                   AS bads
+          FROM base GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(goods) AS BIGINT) AS gg,
+                 CAST(sum(bads) AS BIGINT) AS bb
+          FROM cells
+        ), f AS (
+          SELECT bin, goods + bads AS n, goods, bads,
+                 CASE WHEN goods > 0 AND bads > 0 AND gg > 0
+                       AND bb > 0 THEN
+                   CAST(CAST(round(ln(goods) * 1e9) AS BIGINT)
+                     - CAST(round(ln(gg) * 1e9) AS BIGINT)
+                     - CAST(round(ln(bads) * 1e9) AS BIGINT)
+                     + CAST(round(ln(bb) * 1e9) AS BIGINT) AS DOUBLE)
+                     / 1e9 END AS woe,
+                 CAST(goods AS DOUBLE) / CAST(gg AS DOUBLE)
+                   - CAST(bads AS DOUBLE) / CAST(bb AS DOUBLE) AS df
+          FROM cells, tot
+        )
+        SELECT bin, n, goods, bads, round(woe, 6) AS woe,
+               round(df * woe, 6) AS iv_term
+        FROM f ORDER BY bin
+      """.trim),
+      "X254 WoE + IV of the value 50-band feature vs conversion")(
+      (spark, dir) => {
+        import spark.implicits._
+        Calibrate.weightOfEvidence(events(spark, dir),
+            binCol = floor($"value" / 50.0).cast("long"),
+            labelCol = $"event_type".isin("purchase", "signup"))
+          .orderBy($"bin")
       })
   )
 }
