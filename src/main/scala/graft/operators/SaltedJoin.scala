@@ -65,4 +65,25 @@ object SaltedJoin {
             col("n_rows"))
           .cast("long").as("suggested_salts"))
   }
+
+  /** X256 — per-key salting plan: the actionable sequel to
+    * [[skewProfile]] (one summary row) — a PLAN TABLE listing every
+    * key whose row count exceeds `targetPerTask` with its salt
+    * factor ⌈count/target⌉, ready to broadcast into [[join]]'s
+    * salted path (salt only the listed keys; everything else joins
+    * un-exploded, so the build-side blow-up is paid exactly where
+    * skew exists and nowhere else). Pure integer arithmetic
+    * ((c + t − 1) div t — no ceil-on-double edge), key-count-bounded
+    * output, one map-side-combined count agg underneath.
+    */
+  def saltPlan(df: DataFrame, keyCol: String, targetPerTask: Long)
+      : DataFrame = {
+    require(targetPerTask >= 1, s"bad targetPerTask $targetPerTask")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+      .filter(col("n_rows") > targetPerTask)
+      .select(col(keyCol), col("n_rows"),
+        expr(s"(n_rows + ${targetPerTask}L - 1) div ${targetPerTask}L")
+          .as("salt_factor"))
+  }
 }

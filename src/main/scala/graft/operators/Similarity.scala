@@ -1253,6 +1253,74 @@ object Similarity {
     * one map-side-combined groupBy; fanout is k× the component
     * count, the price of the squeeze, paid once per corpus.
     */
+  /** X257 — maximal marginal relevance (Carbonell & Goldstein 1998):
+    * pick k results balancing RELEVANCE to a query vector against
+    * REDUNDANCY with what's already picked — score(c) = λ·cos(c, q)
+    * − (1−λ)·max_{s∈picked} cos(c, s). The query-relative diversity
+    * selector beside [[coresetSelect]] (global coverage, no query):
+    * retrieval feeds dedup'd-looking near-identical top hits without
+    * it.
+    *
+    * Two stages: (1) DISTRIBUTED relevance top-`poolSize`
+    * (TakeOrdered — per-partition heaps, never a global sort) — the
+    * only stage that touches the corpus; (2) exact greedy MMR over
+    * the pool on the driver — poolSize·dim doubles of bounded, loud
+    * state, the lshPlan/planner-class compute (k·poolSize² dots on
+    * ≤10³ rows). Deterministic: cosine ties break by id at both
+    * stages. Rows-only contract (the greedy loop has no SQL twin).
+    */
+  def mmrSelect(vecs: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int, lambda: Double = 0.7,
+      poolSize: Int = 100): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"bad k=$k poolSize=$poolSize")
+    require(lambda >= 0 && lambda <= 1, s"bad lambda $lambda")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val qn = math.sqrt(queryVec.map(x => x * x).sum)
+    require(qn > 0, "zero query vector")
+    val pool = vecs.select(col(idCol).cast("long").as("id"),
+        toDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", l2norm(col("__v")))
+      .filter(col("__n") > 0.0)
+      .withColumn("__rel",
+        dot(col("__v"), typedlit(queryVec.toSeq)) / (col("__n") * qn))
+      .orderBy(col("__rel").desc, col("id"))
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2), r.getDouble(3)))
+    def cos(a: Array[Double], na: Double, b: Array[Double],
+        nb: Double): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s / (na * nb)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double)]
+    val chosen = scala.collection.mutable.ArrayBuffer
+      .empty[(Array[Double], Double)]
+    var rnd = 1L
+    while (rnd <= k && picked.length < pool.length) {
+      val best = pool.iterator
+        .filter(c => !picked.exists(_._2 == c._1))
+        .map { case (id, v, n, rel) =>
+          val red = if (chosen.isEmpty) 0.0
+            else chosen.map { case (sv, sn) => cos(v, n, sv, sn) }.max
+          (id, v, n, rel, lambda * rel - (1 - lambda) * red)
+        }
+        .reduceLeft { (a, b) =>
+          if (b._5 > a._5 || (b._5 == a._5 && b._1 < a._1)) b else a
+        }
+      picked += ((rnd, best._1, best._4, best._5))
+      chosen += ((best._2, best._3))
+      rnd += 1L
+    }
+    picked.toSeq.toDF("selection_rank", "vec_id", "__r", "__m")
+      .select(col("selection_rank"), col("vec_id"),
+        round(col("__r"), 6).as("relevance"),
+        round(col("__m"), 6).as("mmr_score"))
+  }
+
   def jlProject(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, dims: Int, salt: String = "jl"): DataFrame = {
     require(k >= 1 && k <= 4096, s"bad k $k")

@@ -4,9 +4,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Apportion, Basket, Calibrate, Cartography,
-  CorpusOps, Dedup, DistStats, FeatureHash, Funnel, GraphStats,
-  Hypothesis, Kmv, Privacy, RankEval, Similarity, Stylometry,
-  TimeSeries}
+  Compaction, CorpusOps, Dedup, DistStats, FeatureHash, Funnel,
+  GraphStats, Hypothesis, Kmv, Privacy, RankEval, Similarity,
+  Stylometry, TimeSeries}
 import QueryDef.{events, table}
 
 /** r10 waves 11–13 (SURVEY §2.10 X223–X235): multiple-testing control
@@ -1539,6 +1539,73 @@ object MiningQueries {
             binCol = floor($"value" / 50.0).cast("long"),
             labelCol = $"event_type".isin("purchase", "signup"))
           .orderBy($"bin")
+      }),
+
+    // X255: compaction plan — pack the synthetic file inventory into
+    // ~5000-byte output groups, two-phase prefix sums (no
+    // single-partition window).
+    QueryDef(
+      "q_compaction_plan",
+      Some("""
+        WITH files AS (
+          SELECT 'part-' || CAST(doc_id AS VARCHAR) AS path,
+                 CAST(n_chars AS BIGINT) AS bytes
+          FROM documents
+        ), ranked AS (
+          SELECT path, bytes,
+                 CAST(row_number() OVER (ORDER BY bytes DESC, path)
+                   AS BIGINT) AS size_rank,
+                 CAST(coalesce(sum(bytes) OVER (ORDER BY bytes DESC,
+                     path ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                     PRECEDING), 0) AS BIGINT) AS strt
+          FROM files
+        )
+        SELECT path, bytes, size_rank,
+               CAST(strt // 5000 AS BIGINT) AS output_group
+        FROM ranked ORDER BY path
+      """.trim),
+      "X255 compaction plan: pack files into ~5000-byte groups")(
+      (spark, dir) => {
+        import spark.implicits._
+        val files = table(spark, dir, "documents")
+          .select(concat(lit("part-"), $"doc_id".cast("string"))
+            .as("path"), $"n_chars".as("bytes"))
+        Compaction.plan(files, "path", "bytes", targetBytes = 5000L)
+          .orderBy($"path")
+      }),
+
+    // X256: per-key salting plan — users generating more than 50
+    // rows get a salt factor for the skewed join path.
+    QueryDef(
+      "q_salt_plan",
+      Some("""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST((count(*) + 49) // 50 AS BIGINT) AS salt_factor
+        FROM events GROUP BY 1 HAVING count(*) > 50
+        ORDER BY user_id
+      """.trim),
+      "X256 per-key salt plan: events users above 50 rows/task")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.SaltedJoin.saltPlan(events(spark, dir),
+            "user_id", targetPerTask = 50L)
+          .orderBy($"user_id")
+      }),
+
+    // X257: MMR diverse top-10 against the e0 probe direction.
+    // Rows-only (the greedy loop has no SQL twin); spec covers the
+    // redundancy-suppression law.
+    QueryDef(
+      "q_mmr",
+      None,
+      "X257 MMR diverse top-10, e0 probe, lambda 0.7")(
+      (spark, dir) => {
+        import spark.implicits._
+        val q = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+        Similarity.mmrSelect(table(spark, dir, "embeddings"),
+            "vec_id", "embedding", q, k = 10, lambda = 0.7,
+            poolSize = 50)
+          .orderBy($"selection_rank")
       })
   )
 }
