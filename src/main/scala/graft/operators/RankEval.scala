@@ -309,6 +309,50 @@ object RankEval {
           round(lit(2.0) * rr * pc / (rr + pc), 6)).as("f_pc_rr"))
   }
 
+  /** X260 — Qini (uplift) curve: targeting eval for a TREATMENT
+    * score — accept everything above each score cut and report the
+    * INCREMENTAL successes vs a scaled control,
+    * qini = X_t − X_c·(N_t/N_c) among the accepted — the curve that
+    * separates "model finds persuadables" from "model finds people
+    * who convert anyway", which outcome-only metrics ([[rocAuc]],
+    * [[riskCoverage]]) cannot distinguish by construction. Reads the
+    * X231 experiment layout (treated flag + outcome) plus a score.
+    *
+    * Exact: distinct-score steps (the bounded-ordered-pass class),
+    * four cumulative integer counts, the qini double one fixed
+    * shape; cuts with no control yet report NULL (unscaled, not
+    * fabricated). The curve endpoint is the overall experiment
+    * uplift; a random score walks a straight line to it.
+    */
+  def qiniCurve(df: DataFrame, scoreCol: String, isTreated: Column,
+      outcomeCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(isTreated, 1L).otherwise(0L)).as("__nt"),
+        sum(when(!isTreated, 1L).otherwise(0L)).as("__nc"),
+        sum(when(isTreated && outcomeCol, 1L).otherwise(0L))
+          .as("__xt"),
+        sum(when(!isTreated && outcomeCol, 1L).otherwise(0L))
+          .as("__xc"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("__cnt", sum(col("__nt")).over(w))
+      .withColumn("__cnc", sum(col("__nc")).over(w))
+      .withColumn("__cxt", sum(col("__xt")).over(w))
+      .withColumn("__cxc", sum(col("__xc")).over(w))
+      .select(col("__s").as("threshold"),
+        col("__cnt").cast("long").as("n_treated"),
+        col("__cnc").cast("long").as("n_control"),
+        col("__cxt").cast("long").as("x_treated"),
+        col("__cxc").cast("long").as("x_control"),
+        when(col("__cnc") > 0L, round(
+          col("__cxt").cast("double") -
+            col("__cxc").cast("double") *
+              (col("__cnt").cast("double") /
+                col("__cnc").cast("double")), 6)).as("qini"))
+  }
+
   def riskCoverage(df: DataFrame, scoreCol: String, errorCol: Column)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window

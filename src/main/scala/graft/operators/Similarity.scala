@@ -1321,6 +1321,140 @@ object Similarity {
         round(col("__m"), 6).as("mmr_score"))
   }
 
+  /** X258 — effective rank (participation ratio) of the embedding
+    * covariance: PR = tr(C)²/tr(C²) — "how many dimensions does this
+    * embedding REALLY use" without an eigendecomposition (tr(C²) =
+    * ΣᵢⱼCᵢⱼ² needs only the covariance cells). An anisotropy-collapsed
+    * encoder (effective rank ≪ d) wrecks every cosine operator here
+    * (X1/X2/X209 — everything looks similar to everything); this is
+    * the one-row diagnostic that says so BEFORE the dedup pass runs,
+    * and the before/after check for X116's whitening (which should
+    * push PR toward d).
+    *
+    * Exactness: components micro-quantize; all d² covariance cells
+    * come from exact decimal (n, Σqᵢ, Σqᵢqⱼ); each cell Cᵢⱼ is one
+    * fixed-shape double, quantized to nano BEFORE the trace/Frobenius
+    * folds so those sums are exact integers. Scale shape: the (i, j)
+    * component self-join is a d²-cell aggregate over an n·d explode —
+    * the d² blow-up is the documented cost knob (at d = 1024 run it
+    * AFTER [[jlProject]], which is the point of having both).
+    */
+  /** X259 — Hopkins statistic: clusterability BEFORE clustering.
+    * Compare nearest-neighbor distances of m uniform PROBE points
+    * (synthetic, drawn in the data's bounding box) against m real
+    * points' NN distances: H = Σu/(Σu + Σw) on squared euclidean NN
+    * distances — ≈0.5 for structureless data, →1 for clustered. The
+    * "should I even run KMeans/SemDeDup here" gate in front of
+    * X80/X91/X96 (whose scores all assume clusters exist).
+    *
+    * Determinism: probe coordinates come from md5 uniforms scaled
+    * into per-dim [min, max] (exact micro bounds); the probe/sample
+    * choice is content-stable; each NN distance quantizes to nano
+    * before the two m-term folds. Scale shape: bounds are a d-cell
+    * agg; the NN pass is a (2m)×n broadcast-probe sweep — m is the
+    * knob, the corpus is never self-joined. Rows-only contract (the
+    * probe construction has no tractable SQL twin); the spec pins
+    * clustered ≫ 0.5 ≈ uniform behavior.
+    */
+  def hopkins(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int = 20, salt: String = "hop"): DataFrame = {
+    require(m >= 2 && m <= 1000, s"bad m $m")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = vecs.select(col(idCol).cast("long").as("__id"),
+      toDouble(col(vecCol)).as("__v"))
+    // per-dim bounds (d-bounded collect)
+    val bounds = base
+      .select(col("__id"), posexplode(col("__v")).as(Seq("__i", "__x")))
+      .groupBy(col("__i"))
+      .agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+      .collect().map(r => (r.getAs[Int]("__i"),
+        r.getAs[Double]("__lo"), r.getAs[Double]("__hi")))
+      .sortBy(_._1)
+    val d = bounds.length
+    def u01(tag: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$tag".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
+    }
+    val probes = (1 to m).map { p =>
+      (p.toLong, bounds.map { case (i, lo, hi) =>
+        lo + u01(s"${p}_$i") * (hi - lo)
+      }.toSeq)
+    }
+    // m real sample points by md5 order (content-stable)
+    val sampleIds = base.select(col("__id"),
+        CorpusOps.md5Band(col("__id").cast("string"), s"$salt-s:")
+          .as("__r"))
+      .orderBy(col("__r"), col("__id")).limit(m)
+      .collect().map(_.getLong(0)).toSet
+    val samples = base.filter(col("__id").isin(sampleIds.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // one probe table: synthetic probes exclude nothing; data probes
+    // exclude themselves
+    val probeDf = (probes.map { case (p, v) => (p, -1L, v) } ++
+      samples.map { case (id, v) => (id, id, v.toSeq) })
+      .toDF("__p", "__self", "__q")
+    val nn = base.join(broadcast(probeDf), col("__id") =!= col("__self"))
+      .withColumn("__d2",
+        dot(col("__v"), col("__q")) * -2.0 +
+          dot(col("__v"), col("__v")) + dot(col("__q"), col("__q")))
+      .groupBy(col("__p"), col("__self"))
+      .agg(min(col("__d2")).as("__nn"))
+      .withColumn("__nano", round(col("__nn") * 1e9, 0).cast("long"))
+    nn.agg(
+        sum(when(col("__self") === -1L, col("__nano")).otherwise(0L))
+          .cast("long").as("__u"),
+        sum(when(col("__self") =!= -1L, col("__nano")).otherwise(0L))
+          .cast("long").as("__w"),
+        sum(when(col("__self") === -1L, 1L).otherwise(0L)).cast("long")
+          .as("n_probes"))
+      .select(col("n_probes"), lit(d.toLong).as("dim"),
+        round(col("__u").cast("double") / 1e9, 6).as("u_sum"),
+        round(col("__w").cast("double") / 1e9, 6).as("w_sum"),
+        when(col("__u") + col("__w") > 0L,
+          round(col("__u").cast("double") /
+            (col("__u") + col("__w")).cast("double"), 6))
+          .as("hopkins"))
+  }
+
+  def effectiveRank(vecs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val comps = vecs.select(col(idCol).as("__id"),
+        posexplode(toDouble(col(vecCol))).as(Seq("__i", "__x")))
+      .withColumn("__q", round(col("__x") * 1e6, 0).cast("long"))
+    val pairs = comps.as("a").join(comps.as("b"),
+        col("a.__id") === col("b.__id"))
+      .groupBy(col("a.__i").as("__i"), col("b.__i").as("__j"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("a.__q").cast(dec)).cast(dec).as("__si"),
+        sum(col("b.__q").cast(dec)).cast(dec).as("__sj"),
+        sum((col("a.__q").cast(dec) * col("b.__q")).cast(dec))
+          .cast(dec).as("__sij"))
+    val nd = col("__n").cast("double")
+    // covariance cell in unit scale: E[xy] - E[x]E[y], micro^2 / 1e12
+    val cij = (col("__sij").cast("double") / nd -
+      (col("__si").cast("double") / nd) *
+        (col("__sj").cast("double") / nd)) / 1e12
+    val cells = pairs.select(col("__i"), col("__j"),
+      round(cij * 1e9, 0).cast("long").as("__cn"))
+    cells.agg(
+        sum(when(col("__i") === col("__j"), col("__cn"))
+          .otherwise(0L)).cast("long").as("__tr"),
+        sum((col("__cn").cast(dec) * col("__cn")).cast(dec)).cast(dec)
+          .as("__fr"),
+        (count(lit(1))).cast("long").as("__d2"))
+      .select(
+        expr("cast(sqrt(cast(__d2 as double)) as bigint)").as("dim"),
+        round(col("__tr").cast("double") / 1e9, 6).as("trace"),
+        round(col("__fr").cast("double") / 1e18, 6).as("frobenius_sq"),
+        when(col("__fr") > 0L, round(
+          col("__tr").cast("double") * col("__tr").cast("double") /
+            col("__fr").cast("double"), 6)).as("effective_rank"))
+  }
+
   def jlProject(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, dims: Int, salt: String = "jl"): DataFrame = {
     require(k >= 1 && k <= 4096, s"bad k $k")

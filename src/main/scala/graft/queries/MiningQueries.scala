@@ -1606,6 +1606,116 @@ object MiningQueries {
             "vec_id", "embedding", q, k = 10, lambda = 0.7,
             poolSize = 50)
           .orderBy($"selection_rank")
+      }),
+
+    // X258: effective rank of the embedding covariance — how many
+    // dimensions the encoder really uses, no eigendecomposition.
+    QueryDef(
+      "q_effective_rank",
+      Some("""
+        WITH e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id, i, CAST(round(x * 1000000.0) AS BIGINT) AS qv
+          FROM e
+        ), pairs AS (
+          SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(a.qv AS HUGEINT)) AS si,
+                 sum(CAST(b.qv AS HUGEINT)) AS sj,
+                 sum(CAST(a.qv AS HUGEINT) * b.qv) AS sij
+          FROM q a JOIN q b ON a.vec_id = b.vec_id
+          GROUP BY 1, 2
+        ), cells AS (
+          SELECT i, j,
+                 CAST(round((CAST(sij AS DOUBLE) / n
+                   - (CAST(si AS DOUBLE) / n)
+                   * (CAST(sj AS DOUBLE) / n)) / 1e12 * 1e9)
+                   AS BIGINT) AS cn
+          FROM pairs
+        ), f AS (
+          SELECT CAST(sum(CASE WHEN i = j THEN cn ELSE 0 END)
+                   AS BIGINT) AS tr,
+                 sum(CAST(cn AS HUGEINT) * cn) AS fr,
+                 CAST(count(*) AS BIGINT) AS d2
+          FROM cells
+        )
+        SELECT CAST(sqrt(CAST(d2 AS DOUBLE)) AS BIGINT) AS dim,
+               round(CAST(tr AS DOUBLE) / 1e9, 6) AS trace,
+               round(CAST(fr AS DOUBLE) / 1e18, 6) AS frobenius_sq,
+               CASE WHEN fr > 0 THEN
+                 round(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)
+                   / CAST(fr AS DOUBLE), 6) END AS effective_rank
+        FROM f
+      """.trim),
+      "X258 effective rank (participation ratio) of the embeddings")(
+      (spark, dir) => {
+        import spark.implicits._
+        Similarity.effectiveRank(table(spark, dir, "embeddings"),
+          "vec_id", "embedding")
+      }),
+
+    // X259: Hopkins clusterability statistic — should SemDeDup/KMeans
+    // even run here. Rows-only (the md5-uniform probe construction
+    // has no tractable SQL twin); spec pins clustered vs uniform.
+    QueryDef(
+      "q_hopkins",
+      None,
+      "X259 Hopkins clusterability of the embedding corpus, m=20")(
+      (spark, dir) => {
+        import spark.implicits._
+        Similarity.hopkins(table(spark, dir, "embeddings"),
+          "vec_id", "embedding", m = 20, salt = "hop")
+      }),
+
+    // X260: Qini uplift curve — does targeting by the value score
+    // find incremental purchases, against the X231 treatment layout.
+    QueryDef(
+      "q_qini",
+      Some("""
+        WITH base AS (
+          SELECT CAST(floor(value / 50.0) AS BIGINT) AS s,
+                 (user_id % 2 = 0) AS tr,
+                 (event_type = 'purchase') AS y
+          FROM events
+        ), per AS (
+          SELECT s,
+                 CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nt,
+                 CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT)
+                   AS nc,
+                 CAST(sum(CASE WHEN tr AND y THEN 1 ELSE 0 END)
+                   AS BIGINT) AS xt,
+                 CAST(sum(CASE WHEN NOT tr AND y THEN 1 ELSE 0 END)
+                   AS BIGINT) AS xc
+          FROM base GROUP BY 1
+        ), cum AS (
+          SELECT s,
+                 CAST(sum(nt) OVER (ORDER BY s DESC) AS BIGINT) AS cnt,
+                 CAST(sum(nc) OVER (ORDER BY s DESC) AS BIGINT) AS cnc,
+                 CAST(sum(xt) OVER (ORDER BY s DESC) AS BIGINT) AS cxt,
+                 CAST(sum(xc) OVER (ORDER BY s DESC) AS BIGINT) AS cxc
+          FROM per
+        )
+        SELECT s AS threshold, cnt AS n_treated, cnc AS n_control,
+               cxt AS x_treated, cxc AS x_control,
+               CASE WHEN cnc > 0 THEN
+                 round(CAST(cxt AS DOUBLE) - CAST(cxc AS DOUBLE)
+                   * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)), 6)
+                 END AS qini
+        FROM cum ORDER BY threshold DESC
+      """.trim),
+      "X260 Qini uplift curve over value-score cuts")(
+      (spark, dir) => {
+        import spark.implicits._
+        RankEval.qiniCurve(
+            events(spark, dir)
+              .select(floor($"value" / 50.0).cast("long").as("s"),
+                ($"user_id" % 2 === 0).as("tr"),
+                ($"event_type" === "purchase").as("y")),
+            "s", col("tr"), col("y"))
+          .orderBy($"threshold".desc)
       })
   )
 }
