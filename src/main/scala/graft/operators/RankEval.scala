@@ -279,6 +279,48 @@ object RankEval {
     * dedupe; n(n−1)/2 computed in exact decimal (n² overflows a long
     * past 3e9 records). One row out.
     */
+  /** Closed-form [[blockingQuality]] for EQUI-KEY blockers (both the
+    * candidate blocker and the truth relation defined as "same key"):
+    * every count is a sum of C(n, 2) over group sizes — \|C\| over
+    * the blocker key, \|T\| over the truth key, \|C∩T\| over the JOINT
+    * key (two docs are in both iff they share both keys) — so the
+    * evaluation NEVER ENUMERATES A PAIR: three map-side-combined
+    * aggregates over the record table, linear where the pair-table
+    * form is quadratic (at sf1 the pair form measured 177 s; this
+    * form is a scan — same outputs bit-for-bit). Requires one row
+    * per record (pair identity comes from group sizes). Use the
+    * pair-table overload for irregular blockers (LSH unions,
+    * sorted-neighborhood windows).
+    */
+  def blockingQualityFromKeys(records: DataFrame,
+      candKeys: Seq[Column], truthKeys: Seq[Column]): DataFrame = {
+    val dec = "decimal(38,0)"
+    def pairMass(keys: Seq[Column], out: String): DataFrame =
+      records.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+        .agg(coalesce(sum((col("__n").cast(dec) * (col("__n") - 1L))
+          .cast(dec)), lit(0).cast(dec)).as(out))
+    val c = pairMass(candKeys, "__c2")
+    val t = pairMass(truthKeys, "__t2")
+    val h = pairMass(candKeys ++ truthKeys, "__h2")
+    val n = records.agg(count(lit(1)).cast("long").as("__nr"))
+    val nd = col("__nr").cast("double")
+    val all2 = nd * (nd - 1.0) // doubled all-pairs, like __c2 etc.
+    val rr = lit(1.0) - col("__c2").cast("double") / all2
+    val pc = col("__h2").cast("double") / col("__t2").cast("double")
+    c.crossJoin(t).crossJoin(h).crossJoin(n)
+      .select(
+        expr("cast((__c2 / 2) as bigint)").as("n_candidates"),
+        expr("cast((__t2 / 2) as bigint)").as("n_truth"),
+        expr("cast((__h2 / 2) as bigint)").as("n_hits"),
+        round(rr, 6).as("reduction_ratio"),
+        when(col("__t2") > 0, round(pc, 6)).as("pair_completeness"),
+        when(col("__c2") > 0,
+          round(col("__h2").cast("double") /
+            col("__c2").cast("double"), 6)).as("pair_quality"),
+        when(col("__t2") > 0 && (rr + pc) > 0.0,
+          round(lit(2.0) * rr * pc / (rr + pc), 6)).as("f_pc_rr"))
+  }
+
   def blockingQuality(candidates: DataFrame, truth: DataFrame,
       nRecords: Long): DataFrame = {
     require(nRecords >= 2, s"bad nRecords $nRecords")

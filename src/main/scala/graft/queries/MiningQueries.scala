@@ -1253,63 +1253,47 @@ object MiningQueries {
     QueryDef(
       "q_blocking_quality",
       Some("""
-        WITH cand AS (
-          SELECT DISTINCT least(x.doc_id, y.doc_id) AS p1,
-                 greatest(x.doc_id, y.doc_id) AS p2
-          FROM documents x JOIN documents y
-            ON x.n_chars // 50 = y.n_chars // 50
-            AND x.doc_id < y.doc_id
-        ), truth AS (
-          SELECT DISTINCT least(x.doc_id, y.doc_id) AS p1,
-                 greatest(x.doc_id, y.doc_id) AS p2
-          FROM documents x JOIN documents y
-            ON x.lang = y.lang
-            AND x.n_chars // 100 = y.n_chars // 100
-            AND x.doc_id < y.doc_id
+        WITH c2 AS (
+          SELECT coalesce(sum(CAST(n AS HUGEINT) * (n - 1)), 0) AS v
+          FROM (SELECT count(*) AS n FROM documents
+                GROUP BY n_chars // 50)
+        ), t2 AS (
+          SELECT coalesce(sum(CAST(n AS HUGEINT) * (n - 1)), 0) AS v
+          FROM (SELECT count(*) AS n FROM documents
+                GROUP BY lang, n_chars // 100)
+        ), h2 AS (
+          SELECT coalesce(sum(CAST(n AS HUGEINT) * (n - 1)), 0) AS v
+          FROM (SELECT count(*) AS n FROM documents
+                GROUP BY n_chars // 50, lang, n_chars // 100)
         ), nn AS (
           SELECT CAST(count(*) AS BIGINT) AS n FROM documents
-        ), c AS (
-          SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand
-        ), t AS (
-          SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth
-        ), h AS (
-          SELECT CAST(count(*) AS BIGINT) AS n_hits
-          FROM cand JOIN truth USING (p1, p2)
         ), f AS (
-          SELECT n_candidates, n_truth, n_hits,
-                 1.0 - CAST(n_candidates AS DOUBLE)
-                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0)
+          SELECT c2.v AS c2, t2.v AS t2, h2.v AS h2,
+                 1.0 - CAST(c2.v AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
                    AS rr,
-                 CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE)
-                   AS pc
-          FROM c, t, h, nn
+                 CAST(h2.v AS DOUBLE) / CAST(t2.v AS DOUBLE) AS pc
+          FROM c2, t2, h2, nn
         )
-        SELECT n_candidates, n_truth, n_hits,
+        SELECT CAST(c2 // 2 AS BIGINT) AS n_candidates,
+               CAST(t2 // 2 AS BIGINT) AS n_truth,
+               CAST(h2 // 2 AS BIGINT) AS n_hits,
                round(rr, 6) AS reduction_ratio,
-               CASE WHEN n_truth > 0 THEN round(pc, 6) END
+               CASE WHEN t2 > 0 THEN round(pc, 6) END
                  AS pair_completeness,
-               CASE WHEN n_candidates > 0 THEN
-                 round(CAST(n_hits AS DOUBLE)
-                   / CAST(n_candidates AS DOUBLE), 6) END
+               CASE WHEN c2 > 0 THEN
+                 round(CAST(h2 AS DOUBLE) / CAST(c2 AS DOUBLE), 6) END
                  AS pair_quality,
-               CASE WHEN n_truth > 0 AND rr + pc > 0.0 THEN
+               CASE WHEN t2 > 0 AND rr + pc > 0.0 THEN
                  round(2.0 * rr * pc / (rr + pc), 6) END AS f_pc_rr
         FROM f
       """.trim),
       "X248 blocking quality: 50-band blocker vs (lang,100-band) truth")(
       (spark, dir) => {
         import spark.implicits._
-        val docs = table(spark, dir, "documents")
-        val cand = docs.as("x").join(docs.as("y"),
-            expr("x.n_chars div 50") === expr("y.n_chars div 50") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("p1"), col("y.doc_id").as("p2"))
-        val truth = docs.as("x").join(docs.as("y"),
-            col("x.lang") === col("y.lang") &&
-              expr("x.n_chars div 100") === expr("y.n_chars div 100") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("p1"), col("y.doc_id").as("p2"))
-        RankEval.blockingQuality(cand, truth, nRecords = docs.count())
+        RankEval.blockingQualityFromKeys(table(spark, dir, "documents"),
+          candKeys = Seq(expr("n_chars div 50")),
+          truthKeys = Seq($"lang", expr("n_chars div 100")))
       }),
 
     // X249: hierarchical path rollup of deterministically constructed

@@ -40,6 +40,29 @@ class Wave16Spec extends AnyFunSuite {
     assert(r.getAs[Double]("pair_completeness") == 0.5)
     assert(r.getAs[Double]("pair_quality") == 0.5)
     assert(r.getAs[Double]("f_pc_rr") == 0.571429) // 4/7
+    // closed-form equi-key variant == pair-table variant, without
+    // ever enumerating a pair
+    val recs = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"),
+      (4L, "b", "y"), (5L, "b", "y")).toDF("id", "ck", "tk")
+    val fromKeys = RankEval.blockingQualityFromKeys(recs,
+      Seq(col("ck")), Seq(col("tk"))).head()
+    val cand2 = recs.as("x").join(recs.as("y"),
+        col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("p1"), col("y.id").as("p2"))
+    val truth2 = recs.as("x").join(recs.as("y"),
+        col("x.tk") === col("y.tk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("p1"), col("y.id").as("p2"))
+    val fromPairs = RankEval.blockingQuality(cand2, truth2, 5L).head()
+    assert(fromKeys.getAs[Long]("n_candidates") ==
+      fromPairs.getAs[Long]("n_candidates"))
+    assert(fromKeys.getAs[Long]("n_truth") ==
+      fromPairs.getAs[Long]("n_truth"))
+    assert(fromKeys.getAs[Long]("n_hits") ==
+      fromPairs.getAs[Long]("n_hits"))
+    assert(fromKeys.getAs[Double]("reduction_ratio") ==
+      fromPairs.getAs[Double]("reduction_ratio"))
+    assert(fromKeys.getAs[Double]("pair_completeness") ==
+      fromPairs.getAs[Double]("pair_completeness"))
   }
 
   test("pathRollup: host + prefix counts by hand; ports strip, " +
