@@ -285,6 +285,44 @@ object Funnel {
         .as("rfm_code"))
   }
 
+  /** X264 — Nelson-Aalen cumulative hazard: Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ
+    * over the distinct-duration table — the hazard-scale companion
+    * to [[kaplanMeier]]'s survival curve: additive (hazards of
+    * disjoint periods sum), so it's the right object for comparing
+    * cohorts or reading the INSTANTANEOUS conversion pressure where
+    * Ŝ multiplies. Same censoring-correct risk sets (integer suffix
+    * counts), same distinct-duration-bounded ordered pass; each d/n
+    * term nano-quantizes before the cumulative fold so the running
+    * sum is an exact integer.
+    */
+  def nelsonAalen(subjects: DataFrame, durationCol: String,
+      observedCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = subjects.select(col(durationCol).cast("long").as("__t"),
+      when(observedCol, 1L).otherwise(0L).as("__d"))
+    val per = base.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__m"), sum(col("__d")).as("__dd"))
+    val wAll = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = per
+      .withColumn("__before", coalesce(sum(col("__m"))
+        .over(Window.orderBy(col("__t"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = per.agg(sum(col("__m")).cast("long").as("__nTot"))
+    val risked = withRisk.crossJoin(broadcast(tot))
+      .withColumn("__n", col("__nTot") - col("__before"))
+      .filter(col("__dd") > 0L)
+      .withColumn("__hn",
+        round(col("__dd").cast("double") / col("__n").cast("double")
+          * 1e9, 0).cast("long"))
+    risked.withColumn("__H", sum(col("__hn")).over(wAll))
+      .select(col("__t").as("duration"),
+        col("__n").cast("long").as("n_at_risk"),
+        col("__dd").cast("long").as("n_events"),
+        round(col("__H").cast("double") / 1e9, 6)
+          .as("cumulative_hazard"))
+  }
+
   /** X252 — growth accounting (the SaaS "quick ratio" ledger): per
     * period, how many active users are NEW (first period ever),
     * RETAINED (active in the immediately previous period),

@@ -366,6 +366,144 @@ object RankEval {
     * fabricated). The curve endpoint is the overall experiment
     * uplift; a random score walks a straight line to it.
     */
+  /** X261 — precision-recall curve + average precision: P/R at every
+    * descending-score cut plus AP = Σ ΔR·P (the step-integral
+    * convention, reported on every row as the running value so the
+    * final row IS the AP) — the imbalanced-data eval [[rocAuc]]
+    * flatters by construction (AUC stays high when negatives swamp
+    * positives because FPR's denominator is huge; precision's is
+    * not). The standard curve for dedup/quality classifiers where
+    * positives are 1-in-10⁴.
+    *
+    * Exact: distinct-score steps, cumulative integer (tp, fp);
+    * precision/recall are int ratios; the AP running sum folds
+    * nano-quantized ΔR·P terms (exact integers) in score order.
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("__p"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("__q"))
+    val tot = per.agg(sum(col("__p")).cast("long").as("__pos"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per
+      .withColumn("__tp", sum(col("__p")).over(w))
+      .withColumn("__fp", sum(col("__q")).over(w))
+      .crossJoin(broadcast(tot))
+    val prec = col("__tp").cast("double") /
+      (col("__tp") + col("__fp")).cast("double")
+    val dR = col("__p").cast("double") / col("__pos").cast("double")
+    val apTerm = round(dR * prec * 1e9, 0).cast("long")
+    cum.withColumn("__apn", sum(apTerm).over(w))
+      .select(col("__s").as("threshold"),
+        col("__tp").cast("long").as("tp"),
+        col("__fp").cast("long").as("fp"),
+        round(prec, 6).as("precision"),
+        when(col("__pos") > 0L,
+          round(col("__tp").cast("double") /
+            col("__pos").cast("double"), 6)).as("recall"),
+        when(col("__pos") > 0L,
+          round(col("__apn").cast("double") / 1e9, 6))
+          .as("avg_precision_running"))
+  }
+
+  /** X262 — expected-cost threshold picker: given per-error costs,
+    * walk every score cut and report cost(t) = cFP·FP(t) + cFN·FN(t),
+    * flagging the argmin — turns X243's curve into a DECISION (the
+    * operating point is where a classifier meets the business, and
+    * picking it by eyeballing a curve is how pipelines ship 2×-cost
+    * thresholds). Exact integer error counts per cut; the argmin
+    * compares exact decimal cost numerators (costs taken as micro
+    * ints), ties broken toward the higher threshold (accept less).
+    */
+  def costThreshold(df: DataFrame, scoreCol: String, labelCol: Column,
+      fpCost: Double, fnCost: Double): DataFrame = {
+    require(fpCost >= 0 && fnCost >= 0 && fpCost + fnCost > 0,
+      s"bad costs $fpCost/$fnCost")
+    import org.apache.spark.sql.expressions.Window
+    val cfp = math.round(fpCost * 1e6)
+    val cfn = math.round(fnCost * 1e6)
+    val per = df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("__p"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("__q"))
+    val tot = per.agg(sum(col("__p")).cast("long").as("__pos"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per
+      .withColumn("__tp", sum(col("__p")).over(w))
+      .withColumn("__fp", sum(col("__q")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("__fn", col("__pos") - col("__tp"))
+      .withColumn("__cost",
+        (col("__fp").cast("decimal(38,0)") * cfp +
+          col("__fn").cast("decimal(38,0)") * cfn).cast("decimal(38,0)"))
+    val best = cum.agg(min(struct(col("__cost"), (-col("__s"))
+      .as("__negs"))).as("__b"))
+    cum.crossJoin(broadcast(best))
+      .select(col("__s").as("threshold"),
+        col("__fp").cast("long").as("n_false_pos"),
+        col("__fn").cast("long").as("n_false_neg"),
+        round(col("__cost").cast("double") / 1e6, 6).as("expected_cost"),
+        (col("__cost") === col("__b.__cost") &&
+          (-col("__s")) === col("__b.__negs")).as("is_optimal"))
+  }
+
+  /** X263 — multi-class classification report from (actual,
+    * predicted) pairs: per-class exact (tp, fp, fn), precision /
+    * recall / F1, plus the MACRO averages (every class votes
+    * equally — the imbalance-honest summary) and the MICRO average
+    * (= accuracy in single-label classification) carried on each row
+    * for one-table consumption. Classes present only in predictions
+    * still get a row (P = 0-ish, R NULL: no actual instances —
+    * reported, not dropped). One \|A∪P\|-bounded cell aggregate.
+    */
+  def classificationReport(df: DataFrame, actualCol: Column,
+      predictedCol: Column): DataFrame = {
+    val cells = df.groupBy(actualCol.as("__a"),
+      predictedCol.as("__p")).agg(count(lit(1)).as("__c"))
+    val byActual = cells.groupBy(col("__a").as("label"))
+      .agg(sum(col("__c")).as("__actual"),
+        sum(when(col("__a") === col("__p"), col("__c")).otherwise(0L))
+          .as("__tp"))
+    val byPred = cells.groupBy(col("__p").as("label"))
+      .agg(sum(col("__c")).as("__pred"))
+    val per = byActual.join(byPred, Seq("label"), "full")
+      .select(col("label"),
+        coalesce(col("__tp"), lit(0L)).cast("long").as("tp"),
+        (coalesce(col("__pred"), lit(0L)) -
+          coalesce(col("__tp"), lit(0L))).cast("long").as("fp"),
+        (coalesce(col("__actual"), lit(0L)) -
+          coalesce(col("__tp"), lit(0L))).cast("long").as("fn"))
+    val prec = when(col("tp") + col("fp") > 0L,
+      col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+    val rec = when(col("tp") + col("fn") > 0L,
+      col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+    val f1 = when(prec.isNotNull && rec.isNotNull && prec + rec > 0.0,
+      lit(2.0) * prec * rec / (prec + rec))
+    val scored = per
+      .withColumn("__prec", prec).withColumn("__rec", rec)
+      .withColumn("__f1", f1)
+    // nano-quantized macro folds (order-free exact sums)
+    val macroAgg = scored.agg(
+      count(lit(1)).cast("long").as("__k"),
+      sum(coalesce(round(col("__f1") * 1e9, 0).cast("long"), lit(0L)))
+        .cast("long").as("__f1n"),
+      sum(col("tp")).cast("long").as("__tpT"),
+      sum(col("fp")).cast("long").as("__fpT"))
+    scored.crossJoin(broadcast(macroAgg))
+      .select(col("label"), col("tp"), col("fp"), col("fn"),
+        round(col("__prec"), 6).as("precision"),
+        round(col("__rec"), 6).as("recall"),
+        round(col("__f1"), 6).as("f1"),
+        round(col("__f1n").cast("double") /
+          (col("__k").cast("double") * 1e9), 6).as("macro_f1"),
+        round(col("__tpT").cast("double") /
+          (col("__tpT") + col("__fpT")).cast("double"), 6)
+          .as("micro_f1"))
+  }
+
   def qiniCurve(df: DataFrame, scoreCol: String, isTreated: Column,
       outcomeCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1700,6 +1700,239 @@ object MiningQueries {
                 ($"event_type" === "purchase").as("y")),
             "s", col("tr"), col("y"))
           .orderBy($"threshold".desc)
+      }),
+
+    // X261: precision-recall curve + running average precision over
+    // value-decile cuts — the imbalance-honest eval beside X147.
+    QueryDef(
+      "q_pr_curve",
+      Some("""
+        WITH base AS (
+          SELECT CAST(floor(value / 10.0) AS BIGINT) AS s,
+                 (event_type IN ('purchase', 'signup')) AS y
+          FROM events
+        ), per AS (
+          SELECT s,
+                 CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS p,
+                 CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT)
+                   AS q
+          FROM base GROUP BY 1
+        ), tot AS (SELECT CAST(sum(p) AS BIGINT) AS pos FROM per),
+        cum AS (
+          SELECT s, p, q, pos,
+                 CAST(sum(p) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+                 CAST(sum(q) OVER (ORDER BY s DESC) AS BIGINT) AS fp
+          FROM per, tot
+        ), terms AS (
+          SELECT *,
+                 CAST(round(CAST(p AS DOUBLE) / CAST(pos AS DOUBLE)
+                   * (CAST(tp AS DOUBLE)
+                      / CAST(tp + fp AS DOUBLE)) * 1e9) AS BIGINT)
+                   AS apn
+          FROM cum
+        )
+        SELECT s AS threshold, tp, fp,
+               round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+                 AS precision,
+               CASE WHEN pos > 0 THEN
+                 round(CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE), 6)
+                 END AS recall,
+               CASE WHEN pos > 0 THEN
+                 round(CAST(sum(apn) OVER (ORDER BY s DESC) AS DOUBLE)
+                   / 1e9, 6) END AS avg_precision_running
+        FROM terms ORDER BY threshold DESC
+      """.trim),
+      "X261 PR curve + running AP over value-decile cuts")(
+      (spark, dir) => {
+        import spark.implicits._
+        RankEval.prCurve(
+            events(spark, dir)
+              .select(floor($"value" / 10.0).cast("long").as("s"),
+                $"event_type".isin("purchase", "signup").as("y")),
+            "s", col("y"))
+          .orderBy($"threshold".desc)
+      }),
+
+    // X262: expected-cost threshold — a false accept costs 1, a
+    // missed conversion 5; which cut minimizes the bill.
+    QueryDef(
+      "q_cost_threshold",
+      Some("""
+        WITH base AS (
+          SELECT CAST(floor(value / 10.0) AS BIGINT) AS s,
+                 (event_type IN ('purchase', 'signup')) AS y
+          FROM events
+        ), per AS (
+          SELECT s,
+                 CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS p,
+                 CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT)
+                   AS q
+          FROM base GROUP BY 1
+        ), tot AS (SELECT CAST(sum(p) AS BIGINT) AS pos FROM per),
+        cum AS (
+          SELECT s,
+                 CAST(sum(q) OVER (ORDER BY s DESC) AS BIGINT) AS fp,
+                 pos - CAST(sum(p) OVER (ORDER BY s DESC) AS BIGINT)
+                   AS fn
+          FROM per, tot
+        ), costed AS (
+          SELECT s, fp, fn,
+                 CAST(fp AS HUGEINT) * 1000000
+                   + CAST(fn AS HUGEINT) * 5000000 AS cost
+          FROM cum
+        ), best AS (
+          SELECT cost AS bc, s AS bs FROM costed
+          ORDER BY cost, s DESC LIMIT 1
+        )
+        SELECT s AS threshold, fp AS n_false_pos, fn AS n_false_neg,
+               round(CAST(cost AS DOUBLE) / 1e6, 6) AS expected_cost,
+               (cost = bc AND s = bs) AS is_optimal
+        FROM costed, best ORDER BY threshold DESC
+      """.trim),
+      "X262 expected-cost threshold pick, cFP=1 cFN=5")(
+      (spark, dir) => {
+        import spark.implicits._
+        RankEval.costThreshold(
+            events(spark, dir)
+              .select(floor($"value" / 10.0).cast("long").as("s"),
+                $"event_type".isin("purchase", "signup").as("y")),
+            "s", col("y"), fpCost = 1.0, fnCost = 5.0)
+          .orderBy($"threshold".desc)
+      }),
+
+    // X263: multi-class classification report — a classifier that
+    // mislabels every 5th doc as 'en', scored per language plus
+    // macro/micro F1.
+    QueryDef(
+      "q_class_report",
+      Some("""
+        WITH pairs AS (
+          SELECT lang AS a,
+                 CASE WHEN doc_id % 5 = 0 THEN 'en' ELSE lang END AS p
+          FROM documents
+        ), cells AS (
+          SELECT a, p, CAST(count(*) AS BIGINT) AS c
+          FROM pairs GROUP BY 1, 2
+        ), byA AS (
+          SELECT a AS label, CAST(sum(c) AS BIGINT) AS actual,
+                 CAST(sum(CASE WHEN a = p THEN c ELSE 0 END) AS BIGINT)
+                   AS tp
+          FROM cells GROUP BY 1
+        ), byP AS (
+          SELECT p AS label, CAST(sum(c) AS BIGINT) AS pred
+          FROM cells GROUP BY 1
+        ), per AS (
+          SELECT coalesce(byA.label, byP.label) AS label,
+                 coalesce(tp, 0) AS tp,
+                 coalesce(pred, 0) - coalesce(tp, 0) AS fp,
+                 coalesce(actual, 0) - coalesce(tp, 0) AS fn
+          FROM byA FULL JOIN byP ON byA.label = byP.label
+        ), scored AS (
+          SELECT label, tp, fp, fn,
+                 CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)
+                   / CAST(tp + fp AS DOUBLE) END AS prec,
+                 CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)
+                   / CAST(tp + fn AS DOUBLE) END AS rec
+          FROM per
+        ), f1d AS (
+          SELECT *,
+                 CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+                       AND prec + rec > 0.0
+                      THEN 2.0 * prec * rec / (prec + rec) END AS f1
+          FROM scored
+        ), mac AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(coalesce(CAST(round(f1 * 1e9) AS BIGINT),
+                   0)) AS BIGINT) AS f1n,
+                 CAST(sum(tp) AS BIGINT) AS tpT,
+                 CAST(sum(fp) AS BIGINT) AS fpT
+          FROM f1d
+        )
+        SELECT label, CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+               round(prec, 6) AS precision, round(rec, 6) AS recall,
+               round(f1, 6) AS f1,
+               round(CAST(f1n AS DOUBLE)
+                 / (CAST(k AS DOUBLE) * 1e9), 6) AS macro_f1,
+               round(CAST(tpT AS DOUBLE)
+                 / CAST(tpT + fpT AS DOUBLE), 6) AS micro_f1
+        FROM f1d, mac ORDER BY label
+      """.trim),
+      "X263 per-language classification report + macro/micro F1")(
+      (spark, dir) => {
+        import spark.implicits._
+        RankEval.classificationReport(
+            table(spark, dir, "documents"),
+            actualCol = $"lang",
+            predictedCol = when($"doc_id" % 5 === 0, "en")
+              .otherwise($"lang"))
+          .orderBy($"label")
+      }),
+
+    // X264: Nelson-Aalen cumulative hazard of view-to-purchase — the
+    // additive hazard face of q_kaplan_meier's survival curve, same
+    // subjects table.
+    QueryDef(
+      "q_nelson_aalen",
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view'
+                   THEN CAST(ts AS DATE) END) AS fv,
+                 min(CASE WHEN event_type = 'purchase'
+                   THEN CAST(ts AS DATE) END) AS fp
+          FROM events GROUP BY 1
+        ), mx AS (SELECT max(CAST(ts AS DATE)) AS mend FROM events),
+        subj AS (
+          SELECT CASE WHEN fp IS NOT NULL AND fp >= fv
+                   THEN CAST(date_diff('day', fv, fp) AS BIGINT)
+                   ELSE CAST(date_diff('day', fv, mend) AS BIGINT)
+                 END AS dur,
+                 (fp IS NOT NULL AND fp >= fv) AS ev
+          FROM u, mx WHERE fv IS NOT NULL
+        ), per AS (
+          SELECT dur AS t, CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d
+          FROM subj GROUP BY 1
+        ), tot AS (SELECT CAST(sum(m) AS BIGINT) AS nn FROM per),
+        rs AS (
+          SELECT t, m, d, nn,
+                 nn - (CAST(sum(m) OVER (ORDER BY t) AS BIGINT) - m)
+                   AS nrisk
+          FROM per, tot
+        ), terms AS (
+          SELECT t, d, nrisk,
+                 CAST(round(CAST(d AS DOUBLE)
+                   / CAST(nrisk AS DOUBLE) * 1e9) AS BIGINT) AS hn
+          FROM rs WHERE d > 0
+        )
+        SELECT t AS duration, nrisk AS n_at_risk, d AS n_events,
+               round(CAST(sum(hn) OVER (ORDER BY t) AS DOUBLE) / 1e9,
+                 6) AS cumulative_hazard
+        FROM terms ORDER BY duration
+      """.trim),
+      "X264 Nelson-Aalen view-to-purchase cumulative hazard")(
+      (spark, dir) => {
+        import spark.implicits._
+        val ev = events(spark, dir)
+        val day = to_date(date_trunc("day", $"ts"))
+        val u = ev.groupBy($"user_id").agg(
+          min(when($"event_type" === "view", day)).as("fv"),
+          min(when($"event_type" === "purchase", day)).as("fp"))
+        val mx = ev.agg(max(day).as("mend"))
+        val subj = u.crossJoin(broadcast(mx))
+          .filter($"fv".isNotNull)
+          .select(
+            when($"fp".isNotNull && $"fp" >= $"fv",
+              datediff($"fp", $"fv"))
+              .otherwise(datediff($"mend", $"fv")).cast("long")
+              .as("dur"),
+            ($"fp".isNotNull && $"fp" >= $"fv").as("ev"))
+        Funnel.nelsonAalen(subj, "dur", $"ev")
+          .orderBy($"duration")
       })
   )
 }
