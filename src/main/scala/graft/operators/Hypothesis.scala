@@ -488,6 +488,142 @@ object Hypothesis {
     * the pooled rate is degenerate (0 or 1) or all mass sits in one
     * band.
     */
+  /** X265 — Cronbach's alpha: internal consistency of k item scores
+    * measured on the same rows — α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total) —
+    * "do these k quality sub-scores measure ONE underlying thing",
+    * the check to run before X109 sums sub-scores into a composite
+    * (α < 0.7 means the composite is averaging apples and engine
+    * noise). Completes the reliability family: X148/X152/X207 score
+    * RATERS, this scores ITEMS.
+    *
+    * One aggregate: per-item (Σq, Σq²) micro-unit decimal sums plus
+    * the row-total's (Σs, Σs²) — sample variances (n−1), fixed-shape
+    * doubles, round(6). NULL when the total variance is 0 (constant
+    * composite) or n < 2.
+    */
+  def cronbachAlpha(df: DataFrame, items: Seq[Column]): DataFrame = {
+    val k = items.length
+    require(k >= 2, s"need >= 2 items, got $k")
+    val dec = "decimal(38,0)"
+    val qs = items.zipWithIndex.map { case (c, i) =>
+      round(c * 1e6, 0).cast("long").as(s"__q$i")
+    }
+    val base = df.select(qs: _*)
+      .withColumn("__s", (0 until k).map(i => col(s"__q$i"))
+        .reduce(_ + _))
+    val aggs = (0 until k).flatMap { i =>
+      Seq(sum(col(s"__q$i").cast(dec)).cast(dec).as(s"__a$i"),
+        sum((col(s"__q$i").cast(dec) * col(s"__q$i")).cast(dec))
+          .cast(dec).as(s"__b$i"))
+    } ++ Seq(sum(col("__s").cast(dec)).cast(dec).as("__st"),
+      sum((col("__s").cast(dec) * col("__s")).cast(dec)).cast(dec)
+        .as("__stt"),
+      count(lit(1)).cast("long").as("n"))
+    val w = base.agg(aggs.head, aggs.tail: _*)
+    val nd = col("n").cast("double")
+    def sVar(s: Column, ss: Column): Column =
+      (ss.cast("double") - s.cast("double") * s.cast("double") / nd) /
+        (nd - 1.0)
+    val itemVarSum = (0 until k).map(i =>
+      sVar(col(s"__a$i"), col(s"__b$i"))).reduce(_ + _)
+    val totVar = sVar(col("__st"), col("__stt"))
+    val ok = col("n") > 1L && totVar > 0.0
+    w.select(col("n"), lit(k.toLong).as("n_items"),
+      round(itemVarSum / 1e12, 6).as("item_var_sum"),
+      round(totVar / 1e12, 6).as("total_var"),
+      when(ok, round(lit(k.toDouble / (k - 1.0)) *
+        (lit(1.0) - itemVarSum / totVar), 6)).as("alpha"))
+  }
+
+  /** X266 — one-way ANOVA: does the value MEAN differ across k
+    * groups — F = (SSB/(k−1))/(SSW/(N−k)) from exact per-group
+    * micro-unit (n, Σq, Σq²), plus η² = SSB/SST (the effect size the
+    * F alone hides at scale, the [[mannWhitneyU]] rank-biserial
+    * lesson again). The k-group generalization of [[welchTTest]]'s
+    * pooled-variance cousin; [[kruskalWallis]] is its rank-based
+    * sibling when normality is indefensible. NULL F on degenerate
+    * designs (N ≤ k, or zero within-group variance).
+    */
+  def oneWayAnova(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = round(col(valueCol) * 1e6, 0).cast("long")
+    val cells = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(d.cast(dec)).cast(dec).as("__s"),
+        sum((d.cast(dec) * d).cast(dec)).cast(dec).as("__ss"))
+    val w = cells.agg(count(lit(1)).cast("long").as("n_groups"),
+      sum(col("__n")).cast("long").as("n_total"),
+      sum(col("__s")).cast(dec).as("__sT"),
+      sum(col("__ss")).cast(dec).as("__ssT"),
+      // Σ (group sum)^2 / n_g — exact decimal numerators, the double
+      // division is the one fixed-shape step
+      sum(col("__s").cast("double") * col("__s").cast("double") /
+        col("__n").cast("double")).as("__sb"))
+    val nd = col("n_total").cast("double")
+    val kd = col("n_groups").cast("double")
+    val grand = col("__sT").cast("double") * col("__sT").cast("double") / nd
+    val ssb = col("__sb") - grand
+    val sst = col("__ssT").cast("double") - grand
+    val ssw = sst - ssb
+    val f = (ssb / (kd - 1.0)) / (ssw / (nd - kd))
+    val ok = col("n_total") > col("n_groups") &&
+      col("n_groups") > 1L && ssw > 0.0
+    w.select(col("n_groups"), col("n_total"),
+      (col("n_groups") - 1L).as("df_between"),
+      (col("n_total") - col("n_groups")).as("df_within"),
+      when(ok, round(f, 6)).as("f_stat"),
+      when(sst > 0.0, round(ssb / sst, 6)).as("eta_sq"))
+  }
+
+  /** X267 — Kruskal-Wallis H: the rank-based k-group test — does ANY
+    * group's value DISTRIBUTION sit higher, no normality assumed.
+    * Same midrank machinery as [[mannWhitneyU]] generalized: the
+    * (value, group) cell table carries doubled midranks 2m =
+    * 2·cumPrev + c + 1 (integers on the DISTINCT-value ordered
+    * pass), doubled rank sums 2R_g fold exactly in decimal, and
+    * H = 3/(N(N+1))·Σ(2R_g)²/n_g − 3(N+1), divided by the tie
+    * correction 1 − Σ(t³−t)/(N³−N). NULL when every value ties.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val cells = df.groupBy(
+        round(col(valueCol) * 1e6, 0).cast("long").as("__v"),
+        col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val perV = cells.groupBy(col("__v"))
+      .agg(sum(col("__c")).as("__cv"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perV
+      .withColumn("__m2", lit(2L) * (sum(col("__cv")).over(w) -
+        col("__cv")) + col("__cv") + lit(1L))
+    val gs = cells.join(ranked.select(col("__v"), col("__m2")),
+        Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("long").as("__ng"),
+        sum((col("__c").cast(dec) * col("__m2")).cast(dec)).cast(dec)
+          .as("__r2"))
+    val ties = perV.agg(
+      sum(col("__cv")).cast("long").as("__nT"),
+      sum((col("__cv").cast(dec) * col("__cv") * col("__cv") -
+        col("__cv")).cast(dec)).cast(dec).as("__tt"))
+    val fold = gs.agg(count(lit(1)).cast("long").as("n_groups"),
+      sum(col("__r2").cast("double") * col("__r2").cast("double") /
+        col("__ng").cast("double")).as("__sr"))
+    val out = fold.crossJoin(broadcast(ties))
+    val nd = col("__nT").cast("double")
+    val h = lit(3.0) / (nd * (nd + 1.0)) * col("__sr") -
+      lit(3.0) * (nd + 1.0)
+    val corr = lit(1.0) - col("__tt").cast("double") /
+      (nd * nd * nd - nd)
+    out.select(col("n_groups"), col("__nT").as("n_total"),
+      (col("n_groups") - 1L).as("df"),
+      when(corr > 0.0 && col("n_groups") > 1L, round(h / corr, 6))
+        .as("h_stat"))
+  }
+
   def cochranArmitage(df: DataFrame, bandCol: Column,
       successCol: Column): DataFrame = {
     val cells = df.groupBy(bandCol.cast("long").as("__t"))

@@ -1933,6 +1933,166 @@ object MiningQueries {
             ($"fp".isNotNull && $"fp" >= $"fv").as("ev"))
         Funnel.nelsonAalen(subj, "dur", $"ev")
           .orderBy($"duration")
+      }),
+
+    // X265: Cronbach's alpha of three length-flavored doc sub-scores
+    // — do they measure one underlying thing.
+    QueryDef(
+      "q_cronbach",
+      Some("""
+        WITH q AS (
+          SELECT CAST(round(n_chars / 500.0 * 1000000.0) AS BIGINT)
+                   AS q0,
+                 CAST(round(len(list_filter(string_split_regex(
+                     lower(text), '\s+'), x -> x <> '')) / 100.0
+                   * 1000000.0) AS BIGINT) AS q1,
+                 CAST(round((length(text) - length(replace(text, ' ',
+                     ''))) / 400.0 * 1000000.0) AS BIGINT) AS q2
+          FROM documents
+        ), s AS (
+          SELECT q0, q1, q2, q0 + q1 + q2 AS st FROM q
+        ), w AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(q0 AS HUGEINT)) AS a0,
+                 sum(CAST(q0 AS HUGEINT) * q0) AS b0,
+                 sum(CAST(q1 AS HUGEINT)) AS a1,
+                 sum(CAST(q1 AS HUGEINT) * q1) AS b1,
+                 sum(CAST(q2 AS HUGEINT)) AS a2,
+                 sum(CAST(q2 AS HUGEINT) * q2) AS b2,
+                 sum(CAST(st AS HUGEINT)) AS at_,
+                 sum(CAST(st AS HUGEINT) * st) AS bt
+          FROM s
+        ), v AS (
+          SELECT n,
+            (CAST(b0 AS DOUBLE) - CAST(a0 AS DOUBLE)
+              * CAST(a0 AS DOUBLE) / n) / (n - 1.0)
+            + (CAST(b1 AS DOUBLE) - CAST(a1 AS DOUBLE)
+              * CAST(a1 AS DOUBLE) / n) / (n - 1.0)
+            + (CAST(b2 AS DOUBLE) - CAST(a2 AS DOUBLE)
+              * CAST(a2 AS DOUBLE) / n) / (n - 1.0) AS ivs,
+            (CAST(bt AS DOUBLE) - CAST(at_ AS DOUBLE)
+              * CAST(at_ AS DOUBLE) / n) / (n - 1.0) AS tv
+          FROM w
+        )
+        SELECT n, CAST(3 AS BIGINT) AS n_items,
+               round(ivs / 1e12, 6) AS item_var_sum,
+               round(tv / 1e12, 6) AS total_var,
+               CASE WHEN n > 1 AND tv > 0.0 THEN
+                 round(1.5 * (1.0 - ivs / tv), 6) END AS alpha
+        FROM v
+      """.trim),
+      "X265 Cronbach's alpha of three doc length sub-scores")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.cronbachAlpha(table(spark, dir, "documents"),
+          Seq($"n_chars" / 500.0,
+            size(Dedup.tokens($"text")).cast("double") / 100.0,
+            expr("length(text) - length(replace(text, ' ', ''))")
+              .cast("double") / 400.0))
+      }),
+
+    // X266: one-way ANOVA of event value across event types —
+    // F, dof, and the eta-squared effect size.
+    QueryDef(
+      "q_anova",
+      Some("""
+        WITH q AS (
+          SELECT event_type AS g,
+                 CAST(round(value * 1000000.0) AS BIGINT) AS v
+          FROM events
+        ), cells AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(v AS HUGEINT)) AS s,
+                 sum(CAST(v AS HUGEINT) * v) AS ss
+          FROM q GROUP BY 1
+        ), w AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(n) AS BIGINT) AS n_total,
+                 sum(s) AS sT, sum(ss) AS ssT,
+                 sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) AS sb
+          FROM cells
+        ), f AS (
+          SELECT n_groups, n_total,
+                 sb - CAST(sT AS DOUBLE) * CAST(sT AS DOUBLE)
+                   / CAST(n_total AS DOUBLE) AS ssb,
+                 CAST(ssT AS DOUBLE) - CAST(sT AS DOUBLE)
+                   * CAST(sT AS DOUBLE) / CAST(n_total AS DOUBLE)
+                   AS sst
+          FROM w
+        )
+        SELECT n_groups, n_total,
+               CAST(n_groups - 1 AS BIGINT) AS df_between,
+               CAST(n_total - n_groups AS BIGINT) AS df_within,
+               CASE WHEN n_total > n_groups AND n_groups > 1
+                     AND sst - ssb > 0.0 THEN
+                 round((ssb / (CAST(n_groups AS DOUBLE) - 1.0))
+                   / ((sst - ssb)
+                      / (CAST(n_total AS DOUBLE)
+                         - CAST(n_groups AS DOUBLE))), 6)
+                 END AS f_stat,
+               CASE WHEN sst > 0.0 THEN round(ssb / sst, 6) END
+                 AS eta_sq
+        FROM f
+      """.trim),
+      "X266 one-way ANOVA of event value across event types")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.oneWayAnova(events(spark, dir), "event_type",
+          "value")
+      }),
+
+    // X267: Kruskal-Wallis — the rank-based sibling of q_anova, no
+    // normality assumed.
+    QueryDef(
+      "q_kruskal",
+      Some("""
+        WITH cells AS (
+          SELECT CAST(round(value * 1000000.0) AS BIGINT) AS v,
+                 event_type AS g, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ), perv AS (
+          SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY 1
+        ), ranked AS (
+          SELECT v,
+                 2 * (CAST(sum(cv) OVER (ORDER BY v) AS BIGINT) - cv)
+                   + cv + 1 AS m2
+          FROM perv
+        ), gs AS (
+          SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                 sum(CAST(c AS HUGEINT) * m2) AS r2
+          FROM cells JOIN ranked USING (v) GROUP BY 1
+        ), ties AS (
+          SELECT CAST(sum(cv) AS BIGINT) AS nT,
+                 sum(CAST(cv AS HUGEINT) * cv * cv - cv) AS tt
+          FROM perv
+        ), fold AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                 sum(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                   / CAST(ng AS DOUBLE)) AS sr
+          FROM gs
+        ), fin AS (
+          SELECT n_groups, nT,
+                 3.0 / (CAST(nT AS DOUBLE) * (CAST(nT AS DOUBLE)
+                   + 1.0)) * sr - 3.0 * (CAST(nT AS DOUBLE) + 1.0)
+                   AS h,
+                 1.0 - CAST(tt AS DOUBLE)
+                   / (CAST(nT AS DOUBLE) * CAST(nT AS DOUBLE)
+                      * CAST(nT AS DOUBLE) - CAST(nT AS DOUBLE))
+                   AS corr
+          FROM fold, ties
+        )
+        SELECT n_groups, nT AS n_total,
+               CAST(n_groups - 1 AS BIGINT) AS df,
+               CASE WHEN corr > 0.0 AND n_groups > 1 THEN
+                 round(h / corr, 6) END AS h_stat
+        FROM fin
+      """.trim),
+      "X267 Kruskal-Wallis of event value across event types")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.kruskalWallis(events(spark, dir), "event_type",
+          "value")
       })
   )
 }
