@@ -285,6 +285,77 @@ object Funnel {
         .as("rfm_code"))
   }
 
+  /** X269 — multi-touch conversion attribution: for every conversion
+    * event, find the touch events (same key, earlier, within the
+    * lookback) and split the credit three ways at once — FIRST touch,
+    * LAST touch, and LINEAR (1/n each) — per touch channel. The
+    * marketing-analytics staple that is really a provenance op: the
+    * same shape answers "which SOURCE corpus earned credit for this
+    * eval win". Conversions with no touch in the window land in the
+    * '(none)' channel so credit is conserved (Σ = conversions,
+    * spec-asserted).
+    *
+    * Scale shape: one range join (key equi + time band — the as-of
+    * family, touch volume per conversion bounded by the lookback),
+    * ordered windows PER CONVERSION (touch-bounded), one channel
+    * rollup. Linear credit folds as exact micro ints (1e6/n per
+    * touch, remainder assigned to the first touch so conservation is
+    * exact, not ulp-approximate).
+    */
+  def attribution(touches: DataFrame, conversions: DataFrame,
+      keyCol: String, tsCol: String, channelCol: String,
+      convIdCol: String, lookbackDays: Int = 7): DataFrame = {
+    require(lookbackDays >= 1, s"bad lookbackDays $lookbackDays")
+    import org.apache.spark.sql.expressions.Window
+    val t = touches.select(col(keyCol).as("__k"),
+      col(tsCol).as("__tt"), col(channelCol).as("__ch"))
+    val c = conversions.select(col(keyCol).as("__k"),
+      col(tsCol).as("__ct"), col(convIdCol).as("__cid"))
+    val joined = c.join(t, Seq("__k"), "left")
+      .withColumn("__ok", col("__tt").isNotNull &&
+        col("__tt") <= col("__ct") &&
+        col("__tt") >= col("__ct") - expr(s"INTERVAL $lookbackDays DAYS"))
+      .withColumn("__ch",
+        when(col("__ok"), col("__ch")).otherwise(lit(null)))
+      // out-of-window touches must not win the first/last ranks:
+      // null their ts for ranking so in-window rows sort first
+      .withColumn("__tt", when(col("__ok"), col("__tt")))
+    val w = Window.partitionBy(col("__cid"))
+    val wAsc = w.orderBy(col("__tt").asc_nulls_last, col("__ch"))
+    val wDesc = w.orderBy(col("__tt").desc_nulls_last, col("__ch"))
+    val scored = joined
+      .withColumn("__nT",
+        sum(when(col("__ok"), 1L).otherwise(0L)).over(w))
+      .withColumn("__rkA", row_number().over(wAsc))
+      .withColumn("__rkD", row_number().over(wDesc))
+      // keep one row per (conversion, touch); untouched conversions
+      // keep their single null-channel row
+      .filter(col("__ok") || col("__nT") === 0L)
+      .withColumn("__chan", coalesce(col("__ch"), lit("(none)")))
+      .withColumn("__first",
+        when(col("__nT") === 0L || col("__rkA") === 1, 1L)
+          .otherwise(0L))
+      .withColumn("__last",
+        when(col("__nT") === 0L || col("__rkD") === 1, 1L)
+          .otherwise(0L))
+      // linear micro-credit: 1e6 div n, remainder to the first touch
+      .withColumn("__lin",
+        when(col("__nT") === 0L, 1000000L).otherwise(
+          expr("1000000 div __nT") +
+            when(col("__rkA") === 1, pmod(lit(1000000L), col("__nT")))
+              .otherwise(0L)))
+    scored.groupBy(col("__chan").as("channel"))
+      .agg(sum(col("__first")).cast("long").as("first_touch"),
+        sum(col("__last")).cast("long").as("last_touch"),
+        sum(col("__lin")).cast("long").as("__linMicro"),
+        countDistinct(col("__cid")).cast("long")
+          .as("conversions_touched"))
+      .select(col("channel"), col("first_touch"), col("last_touch"),
+        round(col("__linMicro").cast("double") / 1e6, 6)
+          .as("linear_credit"),
+        col("conversions_touched"))
+  }
+
   /** X264 — Nelson-Aalen cumulative hazard: Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ
     * over the distinct-duration table — the hazard-scale companion
     * to [[kaplanMeier]]'s survival curve: additive (hazards of

@@ -410,6 +410,47 @@ object TimeSeries {
     * voids its fit and the changes, not the other segment's fit.
     * Scale shape: one (key, segment) agg — days-bounded, never rows.
     */
+  /** X268 — exponential time-decay aggregates: per key, the
+    * recency-weighted count Σe^(−λ·age) and value sum Σv·e^(−λ·age)
+    * as of the table's horizon — the "what's hot NOW" score that a
+    * plain count can't give (a doc clicked 1000× last year loses to
+    * one clicked 50× this week) and the standard freshness feature
+    * for X55/X250's samplers. Half-life parameterization: λ =
+    * ln 2 / halfLifeDays.
+    *
+    * Determinism: age is an exact integer day difference from the
+    * table's max day; each decay term e^(−λ·age) is one fixed-shape
+    * double from that integer, nano-quantized BEFORE the per-key
+    * fold (value terms micro·nano folded in decimal) — so the sums
+    * are exact integers in any aggregation order. One map-side-
+    * combined groupBy; the horizon is a broadcast one-row agg.
+    */
+  def decayAggregate(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0, s"bad halfLifeDays $halfLifeDays")
+    val dec = "decimal(38,0)"
+    val lam = math.log(2.0) / halfLifeDays
+    val day = to_date(col(tsCol))
+    val horizon = events.agg(max(day).as("__h"))
+    val aged = events.select(col(keyCol), day.as("__d"),
+        round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("__age", datediff(col("__h"), col("__d")))
+      .withColumn("__wn",
+        round(exp(col("__age").cast("double") * -lam) * 1e9, 0)
+          .cast("long"))
+    aged.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("__wn").cast(dec)).cast(dec).as("__cw"),
+        sum((col("__v").cast(dec) * col("__wn")).cast(dec)).cast(dec)
+          .as("__vw"))
+      .select(col(keyCol), col("n_events"),
+        round(col("__cw").cast("double") / 1e9, 6)
+          .as("decayed_count"),
+        round(col("__vw").cast("double") / 1e15, 6)
+          .as("decayed_value_sum"))
+  }
+
   def interruptedSeries(daily: DataFrame, keyCol: String,
       orderCol: String, valueCol: String, breakAt: Long): DataFrame = {
     val dec = "decimal(38,0)"

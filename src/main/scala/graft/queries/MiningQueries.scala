@@ -2093,6 +2093,106 @@ object MiningQueries {
         import spark.implicits._
         Hypothesis.kruskalWallis(events(spark, dir), "event_type",
           "value")
+      }),
+
+    // X268: exponential time-decay aggregates per event type — the
+    // "what's hot NOW" freshness score, half-life 7 days. The decay
+    // constant is inlined VERBATIM into both engines so the exp()
+    // inputs are bit-identical.
+    QueryDef(
+      "q_decay_agg", {
+        val lam = math.log(2.0) / 7.0
+        Some(s"""
+        WITH h AS (
+          SELECT max(CAST(ts AS DATE)) AS hz FROM events
+        ), aged AS (
+          SELECT event_type,
+                 CAST(round(value * 1000000.0) AS BIGINT) AS v,
+                 CAST(round(exp(CAST(date_diff('day',
+                     CAST(ts AS DATE), hz) AS DOUBLE) * -$lam)
+                   * 1e9) AS BIGINT) AS wn
+          FROM events, h
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(CAST(wn AS HUGEINT)) AS DOUBLE) / 1e9,
+                 6) AS decayed_count,
+               round(CAST(sum(CAST(v AS HUGEINT) * wn) AS DOUBLE)
+                 / 1e15, 6) AS decayed_value_sum
+        FROM aged GROUP BY 1 ORDER BY event_type
+        """.trim)
+      },
+      "X268 7-day half-life decay aggregates per event type")(
+      (spark, dir) => {
+        import spark.implicits._
+        TimeSeries.decayAggregate(events(spark, dir), "event_type",
+            "ts", "value", halfLifeDays = 7.0)
+          .orderBy($"event_type")
+      }),
+
+    // X269: multi-touch attribution — which channel (view/click)
+    // earns first/last/linear credit for purchases, 7-day lookback;
+    // untouched purchases land in '(none)' so credit conserves.
+    QueryDef(
+      "q_attribution",
+      Some("""
+        WITH t AS (
+          SELECT user_id AS k, ts AS tt, event_type AS ch
+          FROM events WHERE event_type IN ('view', 'click')
+        ), c AS (
+          SELECT user_id AS k, ts AS ct, event_id AS cid
+          FROM events WHERE event_type = 'purchase'
+        ), j AS (
+          SELECT c.cid, t.ch,
+                 (t.tt IS NOT NULL AND t.tt <= c.ct
+                  AND t.tt >= c.ct - INTERVAL 7 DAY) AS ok,
+                 t.tt
+          FROM c LEFT JOIN t ON c.k = t.k
+        ), j2 AS (
+          SELECT cid, CASE WHEN ok THEN ch END AS ch, ok,
+                 CASE WHEN ok THEN tt END AS tt2
+          FROM j
+        ), sc AS (
+          SELECT *,
+                 CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY cid) AS BIGINT) AS nt,
+                 row_number() OVER (PARTITION BY cid
+                   ORDER BY tt2 ASC NULLS LAST, ch) AS rka,
+                 row_number() OVER (PARTITION BY cid
+                   ORDER BY tt2 DESC NULLS LAST, ch) AS rkd
+          FROM j2
+        ), kept AS (
+          SELECT * FROM sc WHERE ok OR nt = 0
+        ), cr AS (
+          SELECT coalesce(ch, '(none)') AS chan, cid,
+                 CASE WHEN nt = 0 OR rka = 1 THEN 1 ELSE 0 END AS fst,
+                 CASE WHEN nt = 0 OR rkd = 1 THEN 1 ELSE 0 END AS lst,
+                 CASE WHEN nt = 0 THEN 1000000
+                      ELSE 1000000 // nt
+                        + CASE WHEN rka = 1 THEN 1000000 % nt
+                               ELSE 0 END END AS lin
+          FROM kept
+        )
+        SELECT chan AS channel,
+               CAST(sum(fst) AS BIGINT) AS first_touch,
+               CAST(sum(lst) AS BIGINT) AS last_touch,
+               round(CAST(sum(lin) AS DOUBLE) / 1e6, 6)
+                 AS linear_credit,
+               CAST(count(DISTINCT cid) AS BIGINT)
+                 AS conversions_touched
+        FROM cr GROUP BY 1 ORDER BY channel
+      """.trim),
+      "X269 first/last/linear purchase attribution, 7-day lookback")(
+      (spark, dir) => {
+        import spark.implicits._
+        val ev = events(spark, dir)
+        Funnel.attribution(
+            touches = ev.filter($"event_type".isin("view", "click")),
+            conversions = ev.filter($"event_type" === "purchase"),
+            keyCol = "user_id", tsCol = "ts",
+            channelCol = "event_type", convIdCol = "event_id",
+            lookbackDays = 7)
+          .orderBy($"channel")
       })
   )
 }
