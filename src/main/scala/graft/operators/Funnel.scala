@@ -295,23 +295,35 @@ object Funnel {
     * '(none)' channel so credit is conserved (Σ = conversions,
     * spec-asserted).
     *
-    * Scale shape: one range join (key equi + time band — the as-of
-    * family, touch volume per conversion bounded by the lookback),
-    * ordered windows PER CONVERSION (touch-bounded), one channel
-    * rollup. Linear credit folds as exact micro ints (1e6/n per
-    * touch, remainder assigned to the first touch so conservation is
-    * exact, not ulp-approximate).
+    * Scale shape: the range join is BUCKETIZED (the X16 hot-key
+    * as-of lesson): touches key by their lookback-width time bucket
+    * and each conversion explodes to the TWO buckets its window can
+    * span, so the equi-join is (key, bucket) and a user's ancient
+    * history never meets a new conversion — per-pair candidates are
+    * bounded by two windows of touches, not the full per-user
+    * product (which measured 25× on 10× data before this). Ordered
+    * windows run PER CONVERSION (touch-bounded); one channel rollup.
+    * Linear credit folds as exact micro ints (1e6/n per touch,
+    * remainder assigned to the first touch so conservation is exact,
+    * not ulp-approximate).
     */
   def attribution(touches: DataFrame, conversions: DataFrame,
       keyCol: String, tsCol: String, channelCol: String,
       convIdCol: String, lookbackDays: Int = 7): DataFrame = {
     require(lookbackDays >= 1, s"bad lookbackDays $lookbackDays")
     import org.apache.spark.sql.expressions.Window
+    val bucketSecs = lookbackDays.toLong * 86400L
     val t = touches.select(col(keyCol).as("__k"),
       col(tsCol).as("__tt"), col(channelCol).as("__ch"))
+      .withColumn("__b",
+        expr(s"unix_timestamp(__tt) div ${bucketSecs}L"))
     val c = conversions.select(col(keyCol).as("__k"),
       col(tsCol).as("__ct"), col(convIdCol).as("__cid"))
-    val joined = c.join(t, Seq("__k"), "left")
+      .withColumn("__b0",
+        expr(s"unix_timestamp(__ct) div ${bucketSecs}L"))
+      .withColumn("__b",
+        explode(array(col("__b0") - 1L, col("__b0"))))
+    val joined = c.join(t, Seq("__k", "__b"), "left")
       .withColumn("__ok", col("__tt").isNotNull &&
         col("__tt") <= col("__ct") &&
         col("__tt") >= col("__ct") - expr(s"INTERVAL $lookbackDays DAYS"))
@@ -328,9 +340,10 @@ object Funnel {
         sum(when(col("__ok"), 1L).otherwise(0L)).over(w))
       .withColumn("__rkA", row_number().over(wAsc))
       .withColumn("__rkD", row_number().over(wDesc))
-      // keep one row per (conversion, touch); untouched conversions
-      // keep their single null-channel row
-      .filter(col("__ok") || col("__nT") === 0L)
+      // keep one row per (conversion, touch); an untouched conversion
+      // keeps exactly ONE of its (two bucket-explode) null rows
+      .filter(col("__ok") ||
+        (col("__nT") === 0L && col("__rkA") === 1))
       .withColumn("__chan", coalesce(col("__ch"), lit("(none)")))
       .withColumn("__first",
         when(col("__nT") === 0L || col("__rkA") === 1, 1L)

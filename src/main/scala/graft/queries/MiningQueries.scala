@@ -2162,7 +2162,9 @@ object MiningQueries {
                    ORDER BY tt2 DESC NULLS LAST, ch) AS rkd
           FROM j2
         ), kept AS (
-          SELECT * FROM sc WHERE ok OR nt = 0
+          -- an untouched conversion keeps exactly ONE row: a second
+          -- out-of-window touch must not double its '(none)' credit
+          SELECT * FROM sc WHERE ok OR (nt = 0 AND rka = 1)
         ), cr AS (
           SELECT coalesce(ch, '(none)') AS chan, cid,
                  CASE WHEN nt = 0 OR rka = 1 THEN 1 ELSE 0 END AS fst,
