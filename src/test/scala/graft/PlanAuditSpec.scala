@@ -1073,4 +1073,61 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       "distinct-score agg lost its partial")
   }
+
+  // ---- waves 16-22 scale-claim audits ---------------------------------
+
+  test("q_weighted_topk: the A-ES pick compiles to " +
+    "TakeOrderedAndProject — never a global key sort") {
+    val p = plan("q_weighted_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted top-k became a global sort:\n${p.take(1200)}")
+  }
+
+  test("q_burrows_delta: the top-m vocabulary broadcasts into the " +
+    "z-table joins; no cartesian anywhere") {
+    val p = plan("q_burrows_delta")
+    assert(p.contains("BroadcastHashJoin"),
+      s"top-m words not broadcast:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_attribution: the range join is the bucketized equi-join " +
+    "(join keys include the time bucket) and credit windows keep " +
+    "their per-conversion partition") {
+    val p = plan("q_attribution")
+    assert("Join \\[__k[^\\]]*__b".r.findFirstIn(p).isDefined ||
+      "join [^\\n]*__b".r.findFirstIn(p.toLowerCase).isDefined,
+      s"time bucket missing from the join keys:\n${p.take(1500)}")
+    val low = p.toLowerCase
+    val all = "windowspecdefinition\\(".r.findAllIn(low).length
+    val keyed = "windowspecdefinition\\(__cid".r.findAllIn(low).length
+    assert(all > 0 && keyed == all,
+      s"${all - keyed} window(s) lost the per-conversion partition")
+  }
+
+  test("q_blocking_quality (closed form): three scans, no joins " +
+    "except the 1-row broadcasts — never a pair enumerated") {
+    val p = plan("q_blocking_quality")
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"),
+      s"pair enumeration crept back:\n${p.take(1200)}")
+  }
+
+  test("q_decay_agg and q_class_report: map-side partial agg pairs") {
+    Seq("q_decay_agg", "q_class_report").foreach { q =>
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q lost its partial agg")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q_compaction_plan: two-phase prefix machinery (ExistingRDD)," +
+    " no cumulative window") {
+    val p = plan("q_compaction_plan")
+    assert(p.contains("ExistingRDD"),
+      "two-phase rank/prefix machinery gone from the compaction plan")
+    assert(!p.contains("Window"),
+      s"a cumulative window crept in:\n${p.take(1200)}")
+  }
 }
