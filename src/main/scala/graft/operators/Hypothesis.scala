@@ -133,6 +133,50 @@ object Hypothesis {
           .as("ks_d"))
   }
 
+  /** X271 — 1-D Wasserstein-1 (earth mover's) distance between two
+    * groups: W₁ = ∫\|F_A − F_B\|dv over the value axis — the drift
+    * metric with UNITS (it reads in the value's own scale: "the
+    * length distribution moved 37 characters"), where [[ksTest]]
+    * reads only the worst vertical gap and X150's JS is unitless.
+    * The t-closeness EMD (X228) generalized from level grids to the
+    * continuous value axis.
+    *
+    * Exact: on the DISTINCT micro-value table, each segment
+    * contributes \|cumA·n_B − cumB·n_A\|·Δv — an exact decimal
+    * product — and the one division by n_A·n_B·1e6 happens at the
+    * end, so the integral is an exact integer fold. One
+    * value-bounded ordered pass (the ksTest class).
+    */
+  def wasserstein1(df: DataFrame, valueCol: String, isA: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val per = df.groupBy(round(col(valueCol) * 1e6, 0).cast("long")
+        .as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy(col("__v"))
+    val tot = per.agg(sum(col("__ca")).cast("long").as("__na"),
+      sum(col("__cb")).cast("long").as("__nb"))
+    per
+      .withColumn("__cumA", sum(col("__ca")).over(w))
+      .withColumn("__cumB", sum(col("__cb")).over(w))
+      .withColumn("__gap", lead(col("__v"), 1).over(wNext) - col("__v"))
+      .filter(col("__gap").isNotNull)
+      .crossJoin(broadcast(tot))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum((abs(col("__cumA").cast(dec) * col("__nb") -
+          col("__cumB").cast(dec) * col("__na")) *
+          col("__gap").cast(dec)).cast(dec)).cast(dec).as("__num"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          round(coalesce(col("__num").cast("double"), lit(0.0)) /
+            (col("n_a").cast("double") * col("n_b").cast("double") *
+              1e6), 6)).as("wasserstein1"))
+  }
+
   /** X220 — Wilson score interval per group for a boolean rate: the
     * finite-sample binomial CI that stays inside [0,1] and behaves
     * at p̂ near 0/1 where the Wald ±z√(p(1−p)/n) interval collapses —

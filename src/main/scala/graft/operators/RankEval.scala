@@ -366,6 +366,47 @@ object RankEval {
     * fabricated). The curve endpoint is the overall experiment
     * uplift; a random score walks a straight line to it.
     */
+  /** X270 — Gwet's AC1: chance-corrected agreement that fixes the
+    * KAPPA PARADOX — on skewed label distributions (99% "keep",
+    * 1% "drop" — every corpus-QA audit ever) two raters agreeing
+    * 99% of the time can score κ ≈ 0 because kappa's chance term
+    * inflates with prevalence; AC1's chance term
+    * e = Σ_c π_c(1−π_c)/(K−1) with π_c the MEAN category prevalence
+    * stays calibrated. Report it beside [[cohensKappa]], not instead
+    * — divergence between the two IS the prevalence warning. Exact
+    * integer cells (same contingency table as kappa), one fixed-
+    * shape double, NULL when e = 1.
+    */
+  def gwetAc1(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val n = cells.agg(sum(col("__c")).cast("long").as("__n"))
+    val agree = cells.filter(col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).cast("long").as("__ag"))
+    // per-category marginal over BOTH raters: m_c; π_c = m_c/(2n).
+    // Σπ(1−π) = 1 − Σm²/(4n²) because Σm = 2n — so one exact decimal
+    // Σm² is the whole chance term.
+    val marg = cells.select(col("__a").as("__v"), col("__c"))
+      .unionAll(cells.select(col("__b").as("__v"), col("__c")))
+      .groupBy(col("__v")).agg(sum(col("__c")).as("__m"))
+    val kCats = marg.agg(count(lit(1)).cast("long").as("__k"),
+      sum((col("__m").cast("decimal(38,0)") * col("__m"))
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as("__mm"))
+    val w = n.crossJoin(agree).crossJoin(kCats)
+    val nd = col("__n").cast("double")
+    val po = col("__ag").cast("double") / nd
+    val sumPi = lit(1.0) - col("__mm").cast("double") /
+      (lit(4.0) * nd * nd)
+    val e = when(col("__k") > 1L,
+      sumPi / (col("__k").cast("double") - 1.0)).otherwise(lit(0.0))
+    w.select(col("__n").as("n_items"),
+      col("__k").as("n_categories"),
+      round(po, 6).as("observed_agreement"),
+      round(e, 6).as("chance_agreement"),
+      when(e < 1.0, round((po - e) / (lit(1.0) - e), 6)).as("ac1"))
+  }
+
   /** X261 — precision-recall curve + average precision: P/R at every
     * descending-score cut plus AP = Σ ΔR·P (the step-integral
     * convention, reported on every row as the running value so the

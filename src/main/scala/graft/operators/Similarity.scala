@@ -1321,6 +1321,75 @@ object Similarity {
         round(col("__m"), 6).as("mmr_score"))
   }
 
+  /** X272 — geometric median (Weiszfeld, bounded iterations): the
+    * point minimizing Σ‖x − y‖ — the ROBUST corpus centroid (one
+    * adversarial or corrupt embedding moves the mean by ε·outlier
+    * but the geometric median by at most ε·diameter), the anchor
+    * X138's drift and X167's centroid store should use when the feed
+    * can contain garbage. Each round is one distributed weighted
+    * mean with weights 1/‖x − y‖ against the BROADCAST current point
+    * (zero-exchange, the coreset trick); `iters` bounded rounds keep
+    * it replayable.
+    *
+    * Determinism: per-point weights and weighted components quantize
+    * to nano/micro ints before the folds (exact decimal sums in any
+    * order); the ε floor on distances makes coincident points finite
+    * (standard Weiszfeld). Rows-only contract (the iteration has no
+    * SQL twin); the spec pins outlier immunity against the mean.
+    */
+  def geometricMedian(vecs: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"bad iters $iters")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val base = vecs.select(col(idCol).as("__id"),
+        toDouble(col(vecCol)).as("__v"))
+      .withColumn("__vv", dot(col("__v"), col("__v")))
+      .localCheckpoint(true)
+    val d = base.select(size(col("__v"))).head().getInt(0)
+    val nPts = base.count()
+    // init: component-wise mean from exact micro sums
+    var cur: Array[Double] = {
+      val sums = base
+        .select(posexplode(col("__v")).as(Seq("__i", "__x")))
+        .groupBy(col("__i"))
+        .agg(sum(round(col("__x") * 1e6, 0).cast(dec)).cast(dec)
+          .as("__s"))
+        .collect().map(r => r.getAs[Int]("__i") ->
+          r.getDecimal(1).doubleValue()).toMap
+      Array.tabulate(d)(i => sums(i) / nPts / 1e6)
+    }
+    var it = 0
+    while (it < iters) {
+      val c = cur
+      val cNorm2 = c.map(x => x * x).sum
+      val dist = sqrt(greatest(
+        col("__vv") - lit(2.0) * dot(col("__v"), typedlit(c.toSeq)) +
+          lit(cNorm2), lit(0.0)))
+      val wq = round(lit(1e9) / greatest(dist, lit(1e-9)), 0)
+        .cast("long")
+      val folded = base
+        .withColumn("__w", wq)
+        .select(col("__w"), posexplode(col("__v")).as(Seq("__i", "__x")))
+        .withColumn("__wx",
+          (round(col("__x") * 1e6, 0).cast(dec) * col("__w")).cast(dec))
+        .groupBy(col("__i"))
+        .agg(sum(col("__wx")).cast(dec).as("__swx"),
+          sum(col("__w").cast(dec)).cast(dec).as("__sw"))
+        .collect().map(r => r.getAs[Int]("__i") ->
+          (r.getDecimal(1).doubleValue(), r.getDecimal(2).doubleValue()))
+        .toMap
+      cur = Array.tabulate(d)(i =>
+        folded(i)._1 / folded(i)._2 / 1e6)
+      it += 1
+    }
+    cur.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+      .toDF("dim", "__m")
+      .select(col("dim"), round(col("__m"), 6).as("median_component"),
+        lit(nPts).as("n_points"), lit(iters.toLong).as("iters"))
+  }
+
   /** X258 — effective rank (participation ratio) of the embedding
     * covariance: PR = tr(C)²/tr(C²) — "how many dimensions does this
     * embedding REALLY use" without an eigendecomposition (tr(C²) =

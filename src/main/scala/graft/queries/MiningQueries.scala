@@ -2195,6 +2195,116 @@ object MiningQueries {
             channelCol = "event_type", convIdCol = "event_id",
             lookbackDays = 7)
           .orderBy($"channel")
+      }),
+
+    // X270: Gwet's AC1 on the two document quality gates — the
+    // kappa-paradox-proof agreement beside q_mcnemar's symmetry test.
+    QueryDef(
+      "q_gwet_ac1",
+      Some("""
+        WITH verdicts AS (
+          SELECT CASE WHEN n_chars >= 250 THEN 'keep' ELSE 'drop' END
+                   AS a,
+                 CASE WHEN length(text) - length(replace(text, ' ',
+                     '')) >= 40 THEN 'keep' ELSE 'drop' END AS b
+          FROM documents
+        ), cells AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS c
+          FROM verdicts GROUP BY 1, 2
+        ), nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        ag AS (
+          SELECT CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0)
+            AS BIGINT) AS agree
+          FROM cells
+        ), marg AS (
+          SELECT v, CAST(sum(c) AS BIGINT) AS m FROM (
+            SELECT a AS v, c FROM cells
+            UNION ALL SELECT b AS v, c FROM cells)
+          GROUP BY 1
+        ), kc AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 sum(CAST(m AS HUGEINT) * m) AS mm
+          FROM marg
+        ), f AS (
+          SELECT n, k, CAST(agree AS DOUBLE) / n AS po,
+                 CASE WHEN k > 1 THEN
+                   (1.0 - CAST(mm AS DOUBLE)
+                     / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   / (CAST(k AS DOUBLE) - 1.0)
+                 ELSE 0.0 END AS e
+          FROM nn, ag, kc
+        )
+        SELECT n AS n_items, k AS n_categories,
+               round(po, 6) AS observed_agreement,
+               round(e, 6) AS chance_agreement,
+               CASE WHEN e < 1.0 THEN round((po - e) / (1.0 - e), 6)
+                    END AS ac1
+        FROM f
+      """.trim),
+      "X270 Gwet's AC1 between the char and word quality gates")(
+      (spark, dir) => {
+        import spark.implicits._
+        RankEval.gwetAc1(
+          table(spark, dir, "documents")
+            .select(when($"n_chars" >= 250, "keep").otherwise("drop")
+              .as("a"),
+              when(expr("length(text) - length(replace(text, ' ', ''))")
+                >= 40, "keep").otherwise("drop").as("b")),
+          "a", "b")
+      }),
+
+    // X271: Wasserstein-1 drift of doc length, en vs the rest — the
+    // drift metric with UNITS (characters).
+    QueryDef(
+      "q_wasserstein",
+      Some("""
+        WITH per AS (
+          SELECT CAST(round(n_chars * 1e6) AS BIGINT) AS v,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                   AS BIGINT) AS cb
+          FROM documents GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb
+          FROM per
+        ), cum AS (
+          SELECT v,
+                 CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+                 CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb,
+                 lead(v) OVER (ORDER BY v) - v AS gap
+          FROM per
+        )
+        SELECT na AS n_a, nb AS n_b,
+               CASE WHEN na > 0 AND nb > 0 THEN
+                 round(coalesce(CAST(sum(abs(CAST(cuma AS HUGEINT)
+                     * nb - CAST(cumb AS HUGEINT) * na)
+                   * gap) AS DOUBLE), 0.0)
+                   / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 1e6),
+                   6) END AS wasserstein1
+        FROM cum, tot WHERE gap IS NOT NULL
+        GROUP BY na, nb
+      """.trim),
+      "X271 Wasserstein-1 length drift, en vs rest (character units)")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.wasserstein1(table(spark, dir, "documents"),
+          "n_chars", $"lang" === "en")
+      }),
+
+    // X272: geometric median of the embedding corpus — the robust
+    // centroid. Rows-only (bounded Weiszfeld iteration, no SQL
+    // twin); the spec pins outlier immunity.
+    QueryDef(
+      "q_geo_median",
+      None,
+      "X272 geometric median of the embeddings (Weiszfeld, 8 iters)")(
+      (spark, dir) => {
+        import spark.implicits._
+        Similarity.geometricMedian(table(spark, dir, "embeddings"),
+            "vec_id", "embedding", iters = 8)
+          .orderBy($"dim")
       })
   )
 }
