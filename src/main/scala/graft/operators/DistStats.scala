@@ -348,6 +348,84 @@ object DistStats {
     * and every shrunk rate are fixed-shape doubles, round(6). Scale
     * shape: one slice agg + one slices-bounded fold broadcast back.
     */
+  /** X273 — direct standardization: compare a rate between groups
+    * AFTER removing their composition difference — each group's
+    * per-stratum rates are re-weighted by ONE reference mix (the
+    * pooled stratum shares), so "source A passes 80%, source B 60%"
+    * stops being an artifact of A having easier strata (Simpson's
+    * trap — the X126/X149 release gates read raw rates and walk
+    * straight into it). Output per group: raw rate, standardized
+    * rate, and the composition gap between them.
+    *
+    * Exact: all cells integers; the standardized rate folds
+    * nano-quantized w_ref·rate_s terms (exact integer sum per
+    * group); strata with no observations for a group contribute
+    * that group's raw rate as the imputation — REPORTED via
+    * n_missing_strata, not hidden. Groups×strata-bounded.
+    */
+  def standardizedRates(df: DataFrame, groupCol: String,
+      strataCol: Column, successCol: Column): DataFrame = {
+    val cells = df.groupBy(col(groupCol), strataCol.as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("__x"))
+    val ref = cells.groupBy(col("__s"))
+      .agg(sum(col("__n")).as("__ns"))
+    val refTot = ref.agg(sum(col("__ns")).cast("long").as("__rt"))
+    val groups = cells.groupBy(col(groupCol))
+      .agg(sum(col("__n")).cast("long").as("n_rows"),
+        sum(col("__x")).cast("long").as("successes"))
+    // group x stratum frame with zero cells visible
+    val frame = groups.select(col(groupCol), col("n_rows"),
+        col("successes"))
+      .crossJoin(broadcast(ref))
+      .join(cells, Seq(groupCol, "__s"), "left")
+    val rawRate = col("successes").cast("double") /
+      col("n_rows").cast("double")
+    val cellRate = when(col("__n").isNotNull,
+      col("__x").cast("double") / col("__n").cast("double"))
+      .otherwise(rawRate) // imputed, counted below
+    val folded = frame.crossJoin(broadcast(refTot))
+      .withColumn("__term",
+        round(col("__ns").cast("double") / col("__rt").cast("double") *
+          cellRate * 1e9, 0).cast("long"))
+      .groupBy(col(groupCol), col("n_rows"), col("successes"))
+      .agg(sum(col("__term")).cast("long").as("__std"),
+        sum(when(col("__n").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_missing_strata"))
+    folded.select(col(groupCol), col("n_rows"), col("successes"),
+      round(col("successes").cast("double") /
+        col("n_rows").cast("double"), 6).as("raw_rate"),
+      round(col("__std").cast("double") / 1e9, 6).as("std_rate"),
+      round(col("__std").cast("double") / 1e9 -
+        col("successes").cast("double") / col("n_rows").cast("double"),
+        6).as("composition_gap"),
+      col("n_missing_strata"))
+  }
+
+  /** X274 — Kish effective sample size: n_eff = (Σw)²/Σw² — how much
+    * statistical power a WEIGHTED sample actually has (equal weights
+    * → n; one dominant weight → ~1): the price tag on X55/X250's
+    * importance weighting and X93's DSIR weights, and the n to plug
+    * into X220's intervals when rows carry weights. Micro-quantized
+    * weights, exact decimal (Σw, Σw²), one row out.
+    */
+  def kishEffectiveSize(df: DataFrame, weightCol: Column): DataFrame = {
+    val q = round(weightCol * 1e6, 0).cast("long")
+    val w = df.select(q.as("__w")).filter(col("__w") > 0L)
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__w").cast(dec)).cast(dec).as("__s"),
+        sum((col("__w").cast(dec) * col("__w")).cast(dec)).cast(dec)
+          .as("__ss"))
+    w.select(col("n"),
+      when(col("__ss").isNotNull && col("__ss") > 0,
+        round(col("__s").cast("double") * col("__s").cast("double") /
+          col("__ss").cast("double"), 6)).as("n_effective"),
+      when(col("n") > 0L && col("__ss") > 0,
+        round(col("__s").cast("double") * col("__s").cast("double") /
+          (col("__ss").cast("double") * col("n").cast("double")), 6))
+        .as("efficiency"))
+  }
+
   def ebShrink(df: DataFrame, sliceCol: String, successCol: Column)
       : DataFrame = {
     val cells = df.groupBy(col(sliceCol))

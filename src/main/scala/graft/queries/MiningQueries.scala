@@ -2305,6 +2305,95 @@ object MiningQueries {
         Similarity.geometricMedian(table(spark, dir, "embeddings"),
             "vec_id", "embedding", iters = 8)
           .orderBy($"dim")
+      }),
+
+    // X273: mix-adjusted long-doc rates per source — the Simpson's
+    // trap remover: re-weight each source's per-language rates by
+    // the pooled language mix.
+    QueryDef(
+      "q_std_rates",
+      Some("""
+        WITH cells AS (
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x
+          FROM documents GROUP BY 1, 2
+        ), ref AS (
+          SELECT lang, CAST(sum(n) AS BIGINT) AS ns
+          FROM cells GROUP BY 1
+        ), rt AS (SELECT CAST(sum(ns) AS BIGINT) AS nn FROM ref),
+        groups AS (
+          SELECT source, CAST(sum(n) AS BIGINT) AS n_rows,
+                 CAST(sum(x) AS BIGINT) AS successes
+          FROM cells GROUP BY 1
+        ), frame AS (
+          SELECT g.source, g.n_rows, g.successes, ref.lang, ref.ns,
+                 cells.n AS cn, cells.x AS cx
+          FROM groups g CROSS JOIN ref
+          LEFT JOIN cells ON cells.source = g.source
+            AND cells.lang = ref.lang
+        ), folded AS (
+          SELECT source, n_rows, successes,
+                 CAST(sum(CAST(round(CAST(ns AS DOUBLE)
+                     / CAST(nn AS DOUBLE)
+                   * (CASE WHEN cn IS NOT NULL
+                      THEN CAST(cx AS DOUBLE) / CAST(cn AS DOUBLE)
+                      ELSE CAST(successes AS DOUBLE)
+                        / CAST(n_rows AS DOUBLE) END)
+                   * 1e9) AS BIGINT)) AS BIGINT) AS std,
+                 CAST(sum(CASE WHEN cn IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_missing_strata
+          FROM frame, rt GROUP BY 1, 2, 3
+        )
+        SELECT source, n_rows, successes,
+               round(CAST(successes AS DOUBLE)
+                 / CAST(n_rows AS DOUBLE), 6) AS raw_rate,
+               round(CAST(std AS DOUBLE) / 1e9, 6) AS std_rate,
+               round(CAST(std AS DOUBLE) / 1e9
+                 - CAST(successes AS DOUBLE) / CAST(n_rows AS DOUBLE),
+                 6) AS composition_gap,
+               n_missing_strata
+        FROM folded ORDER BY source
+      """.trim),
+      "X273 language-mix-standardized long-doc rates per source")(
+      (spark, dir) => {
+        import spark.implicits._
+        DistStats.standardizedRates(table(spark, dir, "documents"),
+            "source", strataCol = $"lang",
+            successCol = $"n_chars" >= 250)
+          .orderBy($"source")
+      }),
+
+    // X274: Kish effective sample size of the length-weighted corpus
+    // — what the X250 weighting costs in statistical power.
+    QueryDef(
+      "q_kish",
+      Some("""
+        WITH w AS (
+          SELECT CAST(round(n_chars / 500.0 * 1000000.0) AS BIGINT)
+                   AS q
+          FROM documents
+        ), f AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(q AS HUGEINT)) AS s,
+                 sum(CAST(q AS HUGEINT) * q) AS ss
+          FROM w WHERE q > 0
+        )
+        SELECT n,
+               CASE WHEN ss > 0 THEN
+                 round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(ss AS DOUBLE), 6) END AS n_effective,
+               CASE WHEN n > 0 AND ss > 0 THEN
+                 round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / (CAST(ss AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+                 END AS efficiency
+        FROM f
+      """.trim),
+      "X274 Kish effective sample size of length weights")(
+      (spark, dir) => {
+        import spark.implicits._
+        DistStats.kishEffectiveSize(table(spark, dir, "documents"),
+          $"n_chars" / 500.0)
       })
   )
 }
