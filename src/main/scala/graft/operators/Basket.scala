@@ -31,9 +31,9 @@ import org.apache.spark.sql.functions._
   *    itemA < itemB, so the blow-up is Σ_b s_b(s_b−1)/2 over
   *    per-basket FREQUENT-item counts s_b — bounded by basket size,
   *    never by catalog size; a pathological mega-basket is the one
-  *    skew risk, capped by `maxBasketItems` (baskets larger than the
-  *    cap are dropped loudly into the `oversized_baskets` count a
-  *    caller can read from the Spark UI; the default 1000 bounds
+  *    skew risk, capped by `maxBasketItems` (baskets above the cap
+  *    are excluded from pair generation — but still count in every
+  *    support denominator, spec-asserted; the default 1000 bounds
   *    per-basket work at ~half a million pairs).
   *
   * Determinism: every count is an exact integer; support/confidence/
