@@ -160,20 +160,24 @@ object Hypothesis {
     val wNext = Window.orderBy(col("__v"))
     val tot = per.agg(sum(col("__ca")).cast("long").as("__na"),
       sum(col("__cb")).cast("long").as("__nb"))
-    per
+    // the numerator aggregates over the GAP rows (possibly zero of
+    // them — a single distinct value has no segments and W1 = 0);
+    // counts come from the separate totals so they survive that case
+    val num = per
       .withColumn("__cumA", sum(col("__ca")).over(w))
       .withColumn("__cumB", sum(col("__cb")).over(w))
       .withColumn("__gap", lead(col("__v"), 1).over(wNext) - col("__v"))
       .filter(col("__gap").isNotNull)
       .crossJoin(broadcast(tot))
-      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
-        sum((abs(col("__cumA").cast(dec) * col("__nb") -
-          col("__cumB").cast(dec) * col("__na")) *
-          col("__gap").cast(dec)).cast(dec)).cast(dec).as("__num"))
-      .select(col("n_a"), col("n_b"),
-        when(col("n_a") > 0L && col("n_b") > 0L,
-          round(coalesce(col("__num").cast("double"), lit(0.0)) /
-            (col("n_a").cast("double") * col("n_b").cast("double") *
+      .agg(coalesce(sum((abs(col("__cumA").cast(dec) * col("__nb") -
+        col("__cumB").cast(dec) * col("__na")) *
+        col("__gap").cast(dec)).cast(dec)), lit(0).cast(dec))
+        .as("__num"))
+    tot.crossJoin(num)
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        when(col("__na") > 0L && col("__nb") > 0L,
+          round(col("__num").cast("double") /
+            (col("__na").cast("double") * col("__nb").cast("double") *
               1e6), 6)).as("wasserstein1"))
   }
 

@@ -48,6 +48,12 @@ class Wave23Spec extends AnyFunSuite {
       Seq(4.5, 5.5, 6.5).map((_, false))).toDF("v", "ia")
     assert(Hypothesis.wasserstein1(shift, "v", col("ia")).head()
       .getAs[Double]("wasserstein1") == 3.5)
+    // single distinct value: no segments, W1 = 0 with counts intact
+    val one = Seq((4.0, true), (4.0, false), (4.0, false))
+      .toDF("v", "ia")
+    val o = Hypothesis.wasserstein1(one, "v", col("ia")).head()
+    assert(o.getAs[Long]("n_a") == 1L && o.getAs[Long]("n_b") == 2L)
+    assert(o.getAs[Double]("wasserstein1") == 0.0)
   }
 
   test("geometricMedian: one far outlier drags the mean but not the " +
