@@ -307,6 +307,36 @@ object Hypothesis {
         (col("__adj") <= alpha).as("reject"))
   }
 
+  /** X275 — Holm-Bonferroni step-down: the FAMILY-WISE error
+    * companion to [[bhAdjust]]'s FDR — adjusted p̃_(i) =
+    * max_{j≤i} p_(j)·(m−j+1) capped at 1 (a prefix-max where BH is a
+    * suffix-min), reject while p̃ ≤ α. Use it instead of BH when ONE
+    * false alarm is expensive (a release-blocking gate), BH when
+    * alarms are triaged in bulk; uniformly more powerful than plain
+    * Bonferroni with the identical guarantee. Same scale shape as
+    * bhAdjust: two slice-bounded ordered windows on the HYPOTHESIS
+    * table, never data-sized.
+    */
+  def holmAdjust(df: DataFrame, keyCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"bad alpha $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val m = df.agg(count(lit(1)).as("__m"))
+    val wAsc = Window.orderBy(col(pCol).asc, col(keyCol).asc)
+    val wRun = Window.orderBy(col(pCol).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), col(pCol))
+      .crossJoin(broadcast(m))
+      .withColumn("__rank", row_number().over(wAsc).cast("long"))
+      .withColumn("__raw",
+        col(pCol) * (col("__m") - col("__rank") + 1L))
+      .withColumn("__adj", least(lit(1.0), max(col("__raw")).over(wRun)))
+      .select(col(keyCol), round(col(pCol), 6).as("p_value"),
+        col("__rank").as("p_rank"),
+        round(col("__adj"), 6).as("p_adj"),
+        (col("__adj") <= alpha).as("reject"))
+  }
+
   /** X152 — Krippendorff's alpha (nominal scale, two raters, no
     * missing values): α = 1 − (n−1)·ΣoffDiag(o)/De with the
     * coincidence matrix o folded down to three exact integers —

@@ -2394,6 +2394,100 @@ object MiningQueries {
         import spark.implicits._
         DistStats.kishEffectiveSize(table(spark, dir, "documents"),
           $"n_chars" / 500.0)
+      }),
+
+    // X275: Holm step-down over the same per-source GOF p-values as
+    // q_bh_fdr — the FWER gate beside the FDR one; running both on
+    // one alert table is exactly how they are used.
+    QueryDef(
+      "q_holm",
+      Some("""
+        WITH b AS (
+          SELECT source,
+                 CASE WHEN n_chars < 150 THEN 0
+                      WHEN n_chars < 350 THEN 1 ELSE 2 END AS band
+          FROM documents
+        ), c AS (
+          SELECT source,
+                 CAST(sum(CASE WHEN band = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS o0,
+                 CAST(sum(CASE WHEN band = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS o1,
+                 CAST(sum(CASE WHEN band = 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS o2
+          FROM b GROUP BY 1
+        ), g AS (
+          SELECT CAST(sum(o0) AS BIGINT) AS g0,
+                 CAST(sum(o1) AS BIGINT) AS g1,
+                 CAST(sum(o2) AS BIGINT) AS g2,
+                 CAST(sum(o0 + o1 + o2) AS BIGINT) AS n
+          FROM c
+        ), x AS (
+          SELECT source,
+            (CAST(o0 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g0 / n)
+            * (CAST(o0 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g0 / n)
+            / (CAST(o0 + o1 + o2 AS DOUBLE) * g0 / n)
+            + (CAST(o1 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g1 / n)
+            * (CAST(o1 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g1 / n)
+            / (CAST(o0 + o1 + o2 AS DOUBLE) * g1 / n)
+            + (CAST(o2 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g2 / n)
+            * (CAST(o2 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g2 / n)
+            / (CAST(o0 + o1 + o2 AS DOUBLE) * g2 / n) AS chi2
+          FROM c, g
+        ), p AS (
+          SELECT source, round(exp(-chi2 / 2.0), 9) AS pv FROM x
+        ), r AS (
+          SELECT source, pv,
+                 CAST(row_number() OVER (ORDER BY pv, source)
+                   AS BIGINT) AS rk,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+          FROM p
+        ), a AS (
+          SELECT source, pv, rk,
+                 least(1.0, max(pv * (m - rk + 1)) OVER (
+                   ORDER BY pv ASC, source ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS adj
+          FROM r
+        )
+        SELECT source, round(pv, 6) AS p_value, rk AS p_rank,
+               round(adj, 6) AS p_adj, adj <= 0.05 AS reject
+        FROM a ORDER BY source
+      """.trim),
+      "X275 Holm-adjusted length-band drift p-values per source")(
+      (spark, dir) => {
+        import spark.implicits._
+        val band = when($"n_chars" < 150, 0)
+          .when($"n_chars" < 350, 1).otherwise(2)
+        val cells = table(spark, dir, "documents")
+          .select($"source", band.as("band"))
+          .groupBy($"source")
+          .agg(
+            sum(when($"band" === 0, 1L).otherwise(0L)).as("o0"),
+            sum(when($"band" === 1, 1L).otherwise(0L)).as("o1"),
+            sum(when($"band" === 2, 1L).otherwise(0L)).as("o2"))
+        val glob = cells.agg(
+          sum($"o0").cast("long").as("g0"),
+          sum($"o1").cast("long").as("g1"),
+          sum($"o2").cast("long").as("g2"),
+          sum($"o0" + $"o1" + $"o2").cast("long").as("n"))
+        val tot = ($"o0" + $"o1" + $"o2").cast("double")
+        def term(o: String, g: String) = {
+          val e = tot * col(g) / $"n"
+          (col(o).cast("double") - e) * (col(o).cast("double") - e) / e
+        }
+        val chi2 = term("o0", "g0") + term("o1", "g1") + term("o2", "g2")
+        val pv = cells.crossJoin(broadcast(glob))
+          .select($"source", round(exp(-chi2 / 2.0), 9).as("pv"))
+        Hypothesis.holmAdjust(pv, "source", "pv", alpha = 0.05)
+          .select($"source", $"p_value", $"p_rank", $"p_adj", $"reject")
+          .orderBy($"source")
       })
   )
 }

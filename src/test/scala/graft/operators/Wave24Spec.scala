@@ -39,6 +39,27 @@ class Wave24Spec extends AnyFunSuite {
     assert(c("C").getAs[Double]("std_rate") == 1.0) // imputed raw
   }
 
+  test("holmAdjust: textbook step-down — prefix-max adjusted values " +
+    "and the reject prefix; Holm is never more permissive than BH") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 0.005), ("b", 0.009), ("c", 0.05),
+      ("d", 0.1), ("e", 0.2)).toDF("k", "p")
+    val r = Hypothesis.holmAdjust(df, "k", "p", alpha = 0.05)
+      .orderBy("p_rank").collect()
+    // raw p*(m-i+1) = [.025, .036, .15, .2, .2]; prefix-max keeps them
+    assert(r.map(_.getAs[Double]("p_adj")).toSeq ==
+      Seq(0.025, 0.036, 0.15, 0.2, 0.2))
+    assert(r.map(_.getAs[Boolean]("reject")).toSeq ==
+      Seq(true, true, false, false, false))
+    // FWER <= FDR permissiveness: every Holm adj >= the BH adj
+    val bh = Hypothesis.bhAdjust(df, "k", "p", alpha = 0.05)
+      .orderBy("p_rank").collect().map(_.getAs[Double]("p_adj"))
+    r.map(_.getAs[Double]("p_adj")).zip(bh).foreach { case (h, b) =>
+      assert(h >= b - 1e-9, s"Holm $h more permissive than BH $b")
+    }
+  }
+
   test("kishEffectiveSize: equal weights keep full power; one " +
     "dominant weight collapses n_eff toward 1") {
     val s = spark
