@@ -2585,4 +2585,50 @@ object CorpusOps {
       .agg(count(lit(1)).cast("long").as("n_docs"),
         countDistinct(col("__host")).cast("long").as("n_hosts"))
   }
+
+  /** X278 — Unicode script/character-class profile: per group, what
+    * share of the corpus's characters are Latin, Cyrillic, or Han
+    * script, ASCII digits, whitespace, ASCII punctuation, or other —
+    * the mixed-script/mojibake detector that catches what X3's
+    * n-gram language ID can't (lang-ID says "russian", the script
+    * profile says "40% of the bytes are Latin — this is transliterated
+    * or corrupted"), and the first gate against script-mixing spam.
+    *
+    * Every count is length-difference arithmetic (`length(s) −
+    * length(regexp_replace(s, class, ''))` — the X83 gopher-counting
+    * convention, one regex pass per class, no explode); the script
+    * classes are single-char Unicode property patterns that exist in
+    * BOTH regex engines (Java `\p{IsLatin}` ≡ RE2 `\p{Latin}`), so
+    * the oracle runs the same counts natively. Exact integer sums per
+    * group; shares are one double division, round(6). Scale shape:
+    * map-side-combined single aggregate over the scan — no shuffle
+    * beyond |groups| rows.
+    */
+  def scriptProfile(docs: DataFrame, textCol: String, groupCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String): Column =
+      length(t) - length(regexp_replace(t, pattern, ""))
+    val classes = Seq(
+      "latin" -> "\\p{IsLatin}",
+      "cyrillic" -> "\\p{IsCyrillic}",
+      "han" -> "\\p{IsHan}",
+      "digit" -> "[0-9]",
+      "space" -> "[ \\t\\n\\r]",
+      "punct" -> "[!-/:-@\\[-`{-~]")
+    val perDoc = docs.select(Seq(col(groupCol), length(t).as("__chars")) ++
+      classes.map { case (n, p) => cnt(p).as(s"__$n") }: _*)
+    val aggs = count(lit(1)).cast("long").as("n_docs") +:
+      sum(col("__chars")).cast("long").as("n_chars") +:
+      classes.map { case (n, _) =>
+        sum(col(s"__$n")).cast("long").as(s"__s$n") }
+    val agg = perDoc.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val known = classes.map { case (n, _) => col(s"__s$n") }.reduce(_ + _)
+    agg.select(Seq(col(groupCol), col("n_docs"), col("n_chars")) ++
+      classes.map { case (n, _) =>
+        round(col(s"__s$n").cast("double") / col("n_chars"), 6)
+          .as(s"${n}_share") } :+
+      round((col("n_chars") - known).cast("double") / col("n_chars"), 6)
+        .as("other_share"): _*)
+  }
 }

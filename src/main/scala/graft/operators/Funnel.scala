@@ -456,4 +456,43 @@ object Funnel {
           round((col("n_new") + col("n_resurrected")).cast("double") /
             col("n_churned_in").cast("double"), 6)).as("quick_ratio"))
   }
+
+  /** X279 — sequential-pattern support: for every ordered pair of
+    * event types (a, b), how many keys exhibit "a THEN b" — an a
+    * event strictly before some b event — and that count as a share
+    * of all keys. The length-2 sequence-mining core (the GSP/
+    * PrefixSpan support table), and the direction signal X200's
+    * transition entropy aggregates away (transitions see only
+    * ADJACENT steps; this sees "signup eventually precedes purchase"
+    * across any gap).
+    *
+    * The whole computation rides one EXISTS identity: key k has
+    * a-then-b  ⟺  min_ts_k(a) < max_ts_k(b) — so the per-key state
+    * is the (key, type, first, last) table (|keys|·|types| rows, a
+    * map-side-combined groupBy), and pair generation is a per-key
+    * equi-self-join with |types|² bounded fanout — never an
+    * event×event join, never a window over the raw stream. Exact
+    * integer supports; the share is one double division, round(6).
+    */
+  def sequencePairs(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val per = events.groupBy(col(keyCol).as("__k"),
+        col(typeCol).as("__t"))
+      .agg(min(col(tsCol)).as("__first"), max(col(tsCol)).as("__last"))
+    val tot = events.agg(
+      countDistinct(col(keyCol)).cast("long").as("__nk"))
+    val a = per.select(col("__k"), col("__t").as("type_first"),
+      col("__first"))
+    val b = per.select(col("__k"), col("__t").as("type_then"),
+      col("__last"))
+    a.join(b, Seq("__k"))
+      .filter(col("type_first") =!= col("type_then") &&
+        col("__first") < col("__last"))
+      .groupBy(col("type_first"), col("type_then"))
+      .agg(count(lit(1)).cast("long").as("n_keys"))
+      .crossJoin(broadcast(tot))
+      .select(col("type_first"), col("type_then"), col("n_keys"),
+        round(col("n_keys").cast("double") / col("__nk"), 6)
+          .as("support"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Apportion, Basket, Calibrate, Cartography,
   Compaction, CorpusOps, Dedup, DistStats, FeatureHash, Funnel,
-  GraphStats, Hypothesis, Kmv, Privacy, RankEval, Similarity,
+  GraphStats, Hypothesis, Kmv, Linkage, Privacy, RankEval, Similarity,
   Stylometry, TimeSeries}
 import QueryDef.{events, table}
 
@@ -2488,6 +2488,164 @@ object MiningQueries {
         Hypothesis.holmAdjust(pv, "source", "pv", alpha = 0.05)
           .select($"source", $"p_value", $"p_rank", $"p_adj", $"reject")
           .orderBy($"source")
+      }),
+
+    // X276: Jaro-Winkler near-match pairs over part names — the
+    // oracle is DuckDB's NATIVE jaro_winkler_similarity (rapidfuzz
+    // semantics: floored transposition halving, 0.7 boost threshold),
+    // which the engine's loop reproduces bit-for-bit.
+    QueryDef(
+      "q_jaro_pairs",
+      Some("""
+        WITH n AS (
+          SELECT p_name, CAST(count(*) AS BIGINT) AS rows_n,
+                 substr(p_name, 1, 1) AS blk
+          FROM part GROUP BY 1
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               a.rows_n AS rows_a, b.rows_n AS rows_b,
+               round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+                 AS sim
+        FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+          >= 0.8
+        ORDER BY name_a, name_b
+      """.trim),
+      "X276 Jaro-Winkler part-name match pairs (first-char blocked)")(
+      (spark, dir) => {
+        import spark.implicits._
+        Linkage.nameMatchPairs(table(spark, dir, "part"), "p_name",
+            minSim = 0.8)
+          .orderBy($"name_a", $"name_b")
+      }),
+
+    // X277: soundex blocking profile of the corpus vocabulary — the
+    // oracle transliterates the identical translate/collapse chain
+    // (validated against the classic NARA codes: ASHCRAFT=A261,
+    // TYMCZAK=T522, PFISTER=P236, HONEYMAN=H555).
+    QueryDef(
+      "q_soundex_blocks",
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT word FROM (
+            SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents)
+          WHERE regexp_matches(word, '^[A-Za-z]+$')
+        ), s AS (
+          SELECT word, upper(word) AS u,
+            translate(translate(upper(word), 'AEIOUYHW', '......'),
+              'BFPVCGJKQSXZDTLMNR', '111122222222334556') AS d
+          FROM w
+        ), c AS (
+          SELECT word, u,
+            regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(
+                d, '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'),
+              '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g') AS cd
+          FROM s
+        ), f AS (
+          SELECT word, u, replace(cd, '.', '') AS st,
+                 translate(substr(u, 1, 1), 'AEIOUYHW', '') <> ''
+                   AS coded
+          FROM c
+        ), codes AS (
+          SELECT word,
+                 substr(u, 1, 1) || rpad(CASE WHEN coded
+                   THEN substr(st, 2, 3) ELSE substr(st, 1, 3) END,
+                   3, '0') AS code
+          FROM f
+        )
+        SELECT code, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(count(*) * (count(*) - 1) / 2 AS BIGINT)
+                 AS n_pairs,
+               string_agg(word, ',' ORDER BY word) AS members
+        FROM codes GROUP BY 1 ORDER BY code
+      """.trim),
+      "X277 soundex blocking profile of the document vocabulary")(
+      (spark, dir) => {
+        import spark.implicits._
+        val words = table(spark, dir, "documents")
+          .select(explode(split($"text", " ")).as("word"))
+          .filter($"word".rlike("^[A-Za-z]+$"))
+        Linkage.soundexBlocks(words, "word").orderBy($"code")
+      }),
+
+    // X278: Unicode script profile per language — length-difference
+    // counting with script classes both regex engines ship
+    // (Java \p{IsLatin} == RE2 \p{Latin}).
+    QueryDef(
+      "q_script_profile",
+      Some("""
+        WITH per AS (
+          SELECT lang, length(text) AS chars,
+            length(text) - length(regexp_replace(text,
+              '\p{Latin}', '', 'g')) AS latin,
+            length(text) - length(regexp_replace(text,
+              '\p{Cyrillic}', '', 'g')) AS cyr,
+            length(text) - length(regexp_replace(text,
+              '\p{Han}', '', 'g')) AS han,
+            length(text) - length(regexp_replace(text,
+              '[0-9]', '', 'g')) AS dig,
+            length(text) - length(regexp_replace(text,
+              '[ \t\n\r]', '', 'g')) AS spc,
+            length(text) - length(regexp_replace(text,
+              '[!-/:-@\[-`{-~]', '', 'g')) AS pun
+          FROM documents
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(chars) AS BIGINT) AS n_chars,
+               round(CAST(sum(latin) AS DOUBLE) / sum(chars), 6)
+                 AS latin_share,
+               round(CAST(sum(cyr) AS DOUBLE) / sum(chars), 6)
+                 AS cyrillic_share,
+               round(CAST(sum(han) AS DOUBLE) / sum(chars), 6)
+                 AS han_share,
+               round(CAST(sum(dig) AS DOUBLE) / sum(chars), 6)
+                 AS digit_share,
+               round(CAST(sum(spc) AS DOUBLE) / sum(chars), 6)
+                 AS space_share,
+               round(CAST(sum(pun) AS DOUBLE) / sum(chars), 6)
+                 AS punct_share,
+               round(CAST(sum(chars) - sum(latin) - sum(cyr) - sum(han)
+                 - sum(dig) - sum(spc) - sum(pun) AS DOUBLE)
+                 / sum(chars), 6) AS other_share
+        FROM per GROUP BY 1 ORDER BY lang
+      """.trim),
+      "X278 per-language Unicode script/char-class profile")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.scriptProfile(table(spark, dir, "documents"),
+            "text", "lang")
+          .orderBy($"lang")
+      }),
+
+    // X279: sequential-pattern (a-then-b) support over the event
+    // stream — the min(first_a) < max(last_b) EXISTS identity.
+    QueryDef(
+      "q_seq_pairs",
+      Some("""
+        WITH per AS (
+          SELECT user_id, event_type, min(ts) AS f, max(ts) AS l
+          FROM events GROUP BY 1, 2
+        ), tot AS (
+          SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nk
+          FROM events
+        )
+        SELECT a.event_type AS type_first, b.event_type AS type_then,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               round(CAST(count(*) AS DOUBLE) / max(tot.nk), 6)
+                 AS support
+        FROM per a JOIN per b ON a.user_id = b.user_id
+          AND a.event_type <> b.event_type AND a.f < b.l
+        CROSS JOIN tot
+        GROUP BY 1, 2 ORDER BY type_first, type_then
+      """.trim),
+      "X279 a-then-b sequential pattern support per type pair")(
+      (spark, dir) => {
+        import spark.implicits._
+        Funnel.sequencePairs(events(spark, dir), "user_id", "ts",
+            "event_type")
+          .orderBy($"type_first", $"type_then")
       })
   )
 }
