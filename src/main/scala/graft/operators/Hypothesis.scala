@@ -702,6 +702,101 @@ object Hypothesis {
         .as("h_stat"))
   }
 
+  /** X282 — two-sample Cramér-von Mises statistic:
+    * T = (n_a·n_b/N²)·Σ_k (F_A(z_k) − F_B(z_k))² over ALL N
+    * observations z_k — the whole-CDF drift test that weights every
+    * quantile, where [[ksTest]] reads only the single worst gap (a
+    * distribution that drifts a little EVERYWHERE trips CvM first;
+    * one that tears at a single point trips KS first — run both).
+    *
+    * Same distinct-value machinery as ksTest/[[wasserstein1]]: counts
+    * per micro-quantized value, cumulative integer CDFs, and each
+    * value's contribution c_v·(cumA·n_b − cumB·n_a)² folds as an
+    * exact decimal before the ONE division by n_a·n_b·N². Exact
+    * while n_a·n_b·√c_v ≲ 10¹⁸ (decimal(38,0) headroom — same bound
+    * class as wasserstein1's documented g2 note); the value-bounded
+    * ordered pass is the only window.
+    */
+  def cramerVonMises(df: DataFrame, valueCol: String, isA: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val per = df.groupBy(round(col(valueCol) * 1e6, 0).cast("long")
+        .as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum(col("__ca")).cast("long").as("__na"),
+      sum(col("__cb")).cast("long").as("__nb"))
+    val folded = per
+      .withColumn("__cumA", sum(col("__ca")).over(w))
+      .withColumn("__cumB", sum(col("__cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        sum((((col("__cumA").cast(dec) * col("__nb") -
+          col("__cumB").cast(dec) * col("__na")) *
+          (col("__cumA").cast(dec) * col("__nb") -
+            col("__cumB").cast(dec) * col("__na"))).cast(dec) *
+          (col("__ca") + col("__cb"))).cast(dec)).as("__num"))
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val nn = na + nb
+    folded.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      when(col("__na") > 0L && col("__nb") > 0L,
+        round(col("__num").cast("double") / (na * nb * nn * nn), 6))
+        .as("cvm_t"))
+  }
+
+  /** X283 — Jarque-Bera normality test from exact moment sums:
+    * skewness g₁ = m₃/m₂^1.5, EXCESS kurtosis g₂ = m₄/m₂² − 3, and
+    * JB = n/6·(g₁² + g₂²/4) — the closed-form is-it-Gaussian gate in
+    * front of every test here that assumes normal-ish inputs
+    * ([[welchTTest]], X149b, the z-approximations): JB large means
+    * reach for [[mannWhitneyU]]/[[kruskalWallis]] instead.
+    *
+    * The value column quantizes by `unit` (default 1 — integral
+    * inputs like lengths and counts pass through exactly; pass 1e6
+    * for ≤6-dp fractional scores); S₁..S₄ accumulate in
+    * decimal(38,0), so exactness needs q⁴·n < 10³⁸ — at |q| ≤ 10⁴
+    * that is 10²² rows of headroom, at |q| ≤ 10⁶ still 10¹⁴ (g₁/g₂
+    * are scale-invariant, so choosing the smallest sufficient unit
+    * costs nothing). Central moments and JB are one fixed-shape
+    * double expression, round(6); NULL on zero variance or n < 2.
+    */
+  def jarqueBera(df: DataFrame, valueCol: String, unit: Double = 1.0)
+      : DataFrame = {
+    require(unit > 0, s"bad unit $unit")
+    val dec = "decimal(38,0)"
+    val q = round(col(valueCol) * unit, 0).cast("long")
+    val base = df.select(q.as("__q"))
+    val sums = base.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("__q")).cast(dec).as("__s1"),
+      sum((col("__q").cast(dec) * col("__q")).cast(dec)).cast(dec)
+        .as("__s2"),
+      sum((col("__q").cast(dec) * col("__q") * col("__q")).cast(dec))
+        .cast(dec).as("__s3"),
+      sum((col("__q").cast(dec) * col("__q") * col("__q") *
+        col("__q")).cast(dec)).cast(dec).as("__s4"))
+    def d(c: Column) = c.cast("double")
+    val nd = d(col("n"))
+    val m1 = d(col("__s1")) / nd
+    val m2 = d(col("__s2")) / nd - m1 * m1
+    val m3 = d(col("__s3")) / nd - lit(3.0) * m1 * (d(col("__s2")) / nd) +
+      lit(2.0) * m1 * m1 * m1
+    val m4 = d(col("__s4")) / nd - lit(4.0) * m1 * (d(col("__s3")) / nd) +
+      lit(6.0) * m1 * m1 * (d(col("__s2")) / nd) -
+      lit(3.0) * m1 * m1 * m1 * m1
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val exkurt = m4 / (m2 * m2) - 3.0
+    val ok = col("n") > 1L && m2 > 0.0
+    sums.select(col("n"),
+      when(ok, round(skew, 6)).as("skewness"),
+      when(ok, round(exkurt, 6)).as("ex_kurtosis"),
+      when(ok, round(nd / 6.0 *
+        (skew * skew + exkurt * exkurt / 4.0), 6)).as("jb_stat"))
+  }
+
   def cochranArmitage(df: DataFrame, bandCol: Column,
       successCol: Column): DataFrame = {
     val cells = df.groupBy(bandCol.cast("long").as("__t"))

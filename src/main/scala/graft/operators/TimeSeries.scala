@@ -508,4 +508,128 @@ object TimeSeries {
       when(okPre && okPost, round((sPost - sPre) / 1e6, 6))
         .as("slope_change"))
   }
+
+  /** X280 — autocorrelation function + Ljung-Box portmanteau over an
+    * INTEGER period series (the daily-counts table): per lag
+    * k = 1..maxLag,
+    *
+    *   r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²
+    *
+    * plus the cumulative Q_k = n(n+2)·Σ_{j≤k} r_j²/(n−j) — the
+    * is-this-series-white-noise gate to run before trusting X112's
+    * rolling z-scores or X221's trend call (autocorrelated residuals
+    * inflate both).
+    *
+    * Exactness: multiplying the mean-centered sums through by n²
+    * turns every numerator into integers — n²Σx_t·x_{t−k} −
+    * n·S·(ΣheadX + ΣtailX) + (n−k)·S² — folded in decimal; r_k is
+    * ONE double division, and each Ljung-Box term pico-quantizes
+    * (round(r²/(n−j)·1e12)) before the cumulative integer fold, so
+    * the running Q is engine-exact. Scale shape: the series is
+    * PERIOD-bounded (the coverageReport class) — the lag windows and
+    * the ordered Q fold run on a table with one row per period,
+    * never per event.
+    */
+  def acfLjungBox(series: DataFrame, orderCol: String,
+      valueCol: String, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 48, s"bad maxLag $maxLag")
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col("__o"))
+    val base = series.select(col(valueCol).cast("long").as("__v"),
+      col(orderCol).as("__o"))
+    val lagged = (1 to maxLag).foldLeft(base) { (d, k) =>
+      d.withColumn(s"__l$k", lag(col("__v"), k).over(w))
+    }
+    val perLag = (1 to maxLag).flatMap { k =>
+      Seq(
+        sum((col("__v").cast(dec) * col(s"__l$k")).cast(dec)).cast(dec)
+          .as(s"__p$k"),
+        sum(when(col(s"__l$k").isNotNull, col("__v"))).cast(dec)
+          .as(s"__a$k"),
+        sum(col(s"__l$k")).cast(dec).as(s"__b$k"))
+    }
+    val aggs = Seq(count(lit(1)).cast("long").as("n"),
+      sum(col("__v")).cast(dec).as("__s"),
+      sum((col("__v").cast(dec) * col("__v")).cast(dec)).cast(dec)
+        .as("__q")) ++ perLag
+    val one = lagged.agg(aggs.head, aggs.tail: _*)
+    val rows = one.select(col("n"), col("__s"), col("__q"),
+      posexplode(array((1 to maxLag).map(k =>
+        struct(col(s"__p$k").as("p"), col(s"__a$k").as("a"),
+          col(s"__b$k").as("b"))): _*)).as(Seq("__k0", "__t")))
+      .select(col("n"), col("__s"), col("__q"),
+        (col("__k0") + 1).cast("long").as("lag"),
+        col("__t.p").as("__p"), col("__t.a").as("__a"),
+        col("__t.b").as("__b"))
+    val nD = col("n").cast(dec)
+    val num = (nD * nD * col("__p") -
+      nD * col("__s") * (col("__a") + col("__b")) +
+      (nD - col("lag")) * col("__s") * col("__s")).cast("double")
+    val den = (nD * nD * col("__q") - nD * col("__s") * col("__s"))
+      .cast("double")
+    // null-den (constant series) propagates NULL instead of tripping
+    // the ANSI divide-by-zero guard in the unguarded term column
+    val r = num / when(den > 0.0, den)
+    val term = round(r * r / (col("n") - col("lag")) * 1e12, 0)
+      .cast("long")
+    val wq = Window.orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.withColumn("__term", term)
+      .withColumn("__qsum", sum(col("__term")).over(wq))
+      .select(col("lag"), col("n"),
+        when(den > 0.0, round(r, 6)).as("acf"),
+        when(den > 0.0, round(col("n").cast("double") *
+          (col("n") + 2L) * col("__qsum") / 1e12, 6)).as("lb_q"))
+  }
+
+  /** X281 — Durbin-Watson first-order autocorrelation test on the
+    * residuals of the series' own OLS time trend: detrend x_t against
+    * the period index with the closed-form slope/intercept (exact
+    * integer sums, one fixed-shape double pair — the X241/X269
+    * convention), micro-quantize each residual, then
+    * DW = Σ(e_t−e_{t−1})²/Σe_t² from exact integer folds. DW ≈ 2
+    * means independent residuals; DW → 0 positive autocorrelation
+    * (the trend-call killer), → 4 negative. Also reports the implied
+    * ρ̂₁ = 1 − DW/2. Period-bounded end to end.
+    */
+  def durbinWatson(series: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col("__o"))
+    val idx = series.select(col(valueCol).cast("long").as("__v"),
+        col(orderCol).as("__o"))
+      .withColumn("__t", row_number().over(w).cast("long"))
+    val sums = idx.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("__v")).cast(dec).as("__sv"),
+      sum(col("__t")).cast(dec).as("__st"),
+      sum((col("__t").cast(dec) * col("__t")).cast(dec)).cast(dec)
+        .as("__stt"),
+      sum((col("__t").cast(dec) * col("__v")).cast(dec)).cast(dec)
+        .as("__stv"))
+    def d(c: Column) = c.cast("double")
+    val slope = (d(col("n")) * d(col("__stv")) -
+      d(col("__st")) * d(col("__sv"))) /
+      (d(col("n")) * d(col("__stt")) - d(col("__st")) * d(col("__st")))
+    val icept = (d(col("__sv")) - slope * d(col("__st"))) / d(col("n"))
+    val fitted = idx.crossJoin(broadcast(
+      sums.select(col("n"), round(slope, 12).as("__b"),
+        round(icept, 12).as("__a"))))
+    val resid = fitted.withColumn("__e",
+      round((d(col("__v")) - col("__a") - col("__b") * col("__t"))
+        * 1e6, 0).cast("long"))
+    val diffed = resid.withColumn("__ep", lag(col("__e"), 1).over(w))
+    diffed.agg(max(col("n")).as("n"),
+        max(round(col("__b"), 6)).as("slope"),
+        sum((col("__e").cast(dec) * col("__e")).cast(dec)).cast(dec)
+          .as("__see"),
+        sum(((col("__e") - col("__ep")).cast(dec) *
+          (col("__e") - col("__ep"))).cast(dec)).cast(dec).as("__sd"))
+      .select(col("n"), col("slope"),
+        when(col("__see") > 0,
+          round(col("__sd").cast("double") /
+            col("__see").cast("double"), 6)).as("dw"),
+        when(col("__see") > 0,
+          round(lit(1.0) - col("__sd").cast("double") /
+            col("__see").cast("double") / 2.0, 6)).as("rho1"))
+  }
 }

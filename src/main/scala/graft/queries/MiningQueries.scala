@@ -2646,6 +2646,247 @@ object MiningQueries {
         Funnel.sequencePairs(events(spark, dir), "user_id", "ts",
             "event_type")
           .orderBy($"type_first", $"type_then")
+      }),
+
+    // X280: ACF + Ljung-Box on the daily event-count series — the
+    // n²-multiplied integer numerators make r_k a single double
+    // division; LB terms pico-quantize before the ordered fold.
+    QueryDef(
+      "q_acf",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1
+        ), lagged AS (
+          SELECT v,
+                 lag(v, 1) OVER (ORDER BY d) AS l1,
+                 lag(v, 2) OVER (ORDER BY d) AS l2,
+                 lag(v, 3) OVER (ORDER BY d) AS l3,
+                 lag(v, 4) OVER (ORDER BY d) AS l4,
+                 lag(v, 5) OVER (ORDER BY d) AS l5
+          FROM daily
+        ), agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(v AS HUGEINT)) AS s,
+                 sum(CAST(v AS HUGEINT) * v) AS q,
+                 sum(CAST(v AS HUGEINT) * l1) AS p1,
+                 sum(CASE WHEN l1 IS NOT NULL
+                   THEN CAST(v AS HUGEINT) END) AS a1,
+                 sum(CAST(l1 AS HUGEINT)) AS b1,
+                 sum(CAST(v AS HUGEINT) * l2) AS p2,
+                 sum(CASE WHEN l2 IS NOT NULL
+                   THEN CAST(v AS HUGEINT) END) AS a2,
+                 sum(CAST(l2 AS HUGEINT)) AS b2,
+                 sum(CAST(v AS HUGEINT) * l3) AS p3,
+                 sum(CASE WHEN l3 IS NOT NULL
+                   THEN CAST(v AS HUGEINT) END) AS a3,
+                 sum(CAST(l3 AS HUGEINT)) AS b3,
+                 sum(CAST(v AS HUGEINT) * l4) AS p4,
+                 sum(CASE WHEN l4 IS NOT NULL
+                   THEN CAST(v AS HUGEINT) END) AS a4,
+                 sum(CAST(l4 AS HUGEINT)) AS b4,
+                 sum(CAST(v AS HUGEINT) * l5) AS p5,
+                 sum(CASE WHEN l5 IS NOT NULL
+                   THEN CAST(v AS HUGEINT) END) AS a5,
+                 sum(CAST(l5 AS HUGEINT)) AS b5
+          FROM lagged
+        ), rows_ AS (
+          SELECT n, s, q, CAST(1 AS BIGINT) AS lag, p1 AS p, a1 AS a,
+                 b1 AS b FROM agg
+          UNION ALL SELECT n, s, q, 2, p2, a2, b2 FROM agg
+          UNION ALL SELECT n, s, q, 3, p3, a3, b3 FROM agg
+          UNION ALL SELECT n, s, q, 4, p4, a4, b4 FROM agg
+          UNION ALL SELECT n, s, q, 5, p5, a5, b5 FROM agg
+        ), rk AS (
+          SELECT lag, n,
+                 CAST(CAST(n AS HUGEINT) * n * p - CAST(n AS HUGEINT)
+                   * s * (a + b) + (CAST(n AS HUGEINT) - lag) * s * s
+                   AS DOUBLE) AS num,
+                 CAST(CAST(n AS HUGEINT) * n * q
+                   - CAST(n AS HUGEINT) * s * s AS DOUBLE) AS den
+          FROM rows_
+        ), terms AS (
+          SELECT lag, n, num, den,
+                 CAST(round(num / den * (num / den) / (n - lag) * 1e12)
+                   AS BIGINT) AS term
+          FROM rk
+        )
+        SELECT lag, n,
+               CASE WHEN den > 0 THEN round(num / den, 6) END AS acf,
+               CASE WHEN den > 0 THEN round(CAST(n AS DOUBLE) * (n + 2)
+                 * (sum(term) OVER (ORDER BY lag
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 / 1e12, 6) END AS lb_q
+        FROM terms ORDER BY lag
+      """.trim),
+      "X280 ACF lags 1-5 + cumulative Ljung-Box on daily counts")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.acfLjungBox(daily, "d", "v", maxLag = 5)
+          .orderBy($"lag")
+      }),
+
+    // X281: Durbin-Watson on the daily series' own OLS-trend
+    // residuals — slope/intercept round(12) then micro-quantized
+    // residuals, integer folds.
+    QueryDef(
+      "q_durbin_watson",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1
+        ), idx AS (
+          SELECT v, d,
+                 CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+          FROM daily
+        ), s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(v AS HUGEINT)) AS sv,
+                 sum(CAST(t AS HUGEINT)) AS st,
+                 sum(CAST(t AS HUGEINT) * t) AS stt,
+                 sum(CAST(t AS HUGEINT) * v) AS stv
+          FROM idx
+        ), braw AS (
+          SELECT n, sv, st,
+                 (CAST(n AS DOUBLE) * CAST(stv AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b0
+          FROM s
+        ), ab AS (
+          SELECT n, round(b0, 12) AS b,
+                 round((CAST(sv AS DOUBLE) - b0 * CAST(st AS DOUBLE))
+                   / CAST(n AS DOUBLE), 12) AS a
+          FROM braw
+        ), resid AS (
+          SELECT idx.d, ab.n, ab.b,
+                 CAST(round((CAST(v AS DOUBLE) - a - b * t) * 1e6)
+                   AS BIGINT) AS e
+          FROM idx CROSS JOIN ab
+        ), diffed AS (
+          SELECT n, b, e, lag(e, 1) OVER (ORDER BY d) AS ep
+          FROM resid
+        ), fold AS (
+          SELECT max(n) AS n, max(round(b, 6)) AS slope,
+                 sum(CAST(e AS HUGEINT) * e) AS see,
+                 sum(CAST(e - ep AS HUGEINT) * (e - ep)) AS sd
+          FROM diffed
+        )
+        SELECT n, slope,
+               CASE WHEN see > 0 THEN
+                 round(CAST(sd AS DOUBLE) / CAST(see AS DOUBLE), 6)
+                 END AS dw,
+               CASE WHEN see > 0 THEN
+                 round(1.0 - CAST(sd AS DOUBLE) / CAST(see AS DOUBLE)
+                   / 2.0, 6) END AS rho1
+        FROM fold
+      """.trim),
+      "X281 Durbin-Watson on detrended daily counts")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.durbinWatson(daily, "d", "v")
+      }),
+
+    // X282: Cramér-von Mises whole-CDF drift between English and
+    // non-English length distributions — beside q_ks's worst gap.
+    QueryDef(
+      "q_cvm",
+      Some("""
+        WITH per AS (
+          SELECT CAST(round(n_chars * 1000000.0) AS BIGINT) AS v,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                   AS BIGINT) AS cb
+          FROM documents GROUP BY 1
+        ), cum AS (
+          SELECT v, ca, cb,
+                 sum(ca) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cuma,
+                 sum(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumb
+          FROM per
+        ), tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb
+          FROM per
+        )
+        SELECT na AS n_a, nb AS n_b,
+               CASE WHEN na > 0 AND nb > 0 THEN
+                 round(CAST(sum((CAST(cuma AS HUGEINT) * nb
+                     - CAST(cumb AS HUGEINT) * na)
+                   * (CAST(cuma AS HUGEINT) * nb
+                     - CAST(cumb AS HUGEINT) * na)
+                   * (ca + cb)) AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * nb * (na + nb) * (na + nb)),
+                 6) END AS cvm_t
+        FROM cum, tot GROUP BY na, nb
+      """.trim),
+      "X282 two-sample Cramér-von Mises on en-vs-rest doc lengths")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.cramerVonMises(table(spark, dir, "documents"),
+          "n_chars", $"lang" === "en")
+      }),
+
+    // X283: Jarque-Bera normality of the doc-length distribution —
+    // the gate in front of every mean-based test on it.
+    QueryDef(
+      "q_jarque_bera",
+      Some("""
+        WITH s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(n_chars AS HUGEINT)) AS s1,
+                 sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+                 sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars)
+                   AS s3,
+                 sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars
+                   * n_chars) AS s4
+          FROM documents
+        ), m AS (
+          SELECT n,
+                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                 CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                 CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                 CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+          FROM s
+        ), c AS (
+          SELECT n,
+                 r2 - m1 * m1 AS m2,
+                 r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+                 r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+                   - 3.0 * m1 * m1 * m1 * m1 AS m4
+          FROM m
+        ), g AS (
+          SELECT n, m2,
+                 m3 / sqrt(m2 * m2 * m2) AS skew,
+                 m4 / (m2 * m2) - 3.0 AS exkurt
+          FROM c
+        )
+        SELECT n,
+               CASE WHEN n > 1 AND m2 > 0 THEN round(skew, 6) END
+                 AS skewness,
+               CASE WHEN n > 1 AND m2 > 0 THEN round(exkurt, 6) END
+                 AS ex_kurtosis,
+               CASE WHEN n > 1 AND m2 > 0 THEN
+                 round(CAST(n AS DOUBLE) / 6.0
+                   * (skew * skew + exkurt * exkurt / 4.0), 6) END
+                 AS jb_stat
+        FROM g
+      """.trim),
+      "X283 Jarque-Bera normality test on doc lengths")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.jarqueBera(table(spark, dir, "documents"),
+          "n_chars", unit = 1.0)
       })
   )
 }
