@@ -797,6 +797,212 @@ object Hypothesis {
         (skew * skew + exkurt * exkurt / 4.0), 6)).as("jb_stat"))
   }
 
+  /** X284 — Levene's test (mean-centered variant): are the k groups'
+    * VARIANCES equal — the assumption [[oneWayAnova]] and pooled-SD
+    * effect sizes lean on, and a release signal in its own right (a
+    * filter that preserves the mean length but doubles its spread
+    * trips Levene and nothing mean-based). W is the one-way ANOVA F
+    * recomputed on the absolute deviations z_ij = \|x_ij − x̄_g\|.
+    *
+    * Two passes: exact per-group (n, Σq) micro sums, then each row's
+    * deviation \|q·n_g − S_g\|/n_g rounds back to a micro-unit
+    * integer (one fixed-shape rational→double→round step — both
+    * engines see identical operands) and the ANOVA fold runs on
+    * those integers. Group table broadcasts (groups-bounded); W NULL
+    * on degenerate designs.
+    */
+  def levene(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = round(col(valueCol) * 1e6, 0).cast("long")
+    val base = df.select(col(groupCol).as("__g"), q.as("__q"))
+    val means = base.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("__ng"),
+        sum(col("__q")).cast(dec).as("__sg"))
+    val z = base.join(broadcast(means), Seq("__g"))
+      .withColumn("__z",
+        round(abs(col("__q").cast(dec) * col("__ng") - col("__sg"))
+          .cast("double") / col("__ng").cast("double"), 0)
+          .cast("long"))
+    val cells = z.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__z").cast(dec)).cast(dec)
+          .as("__s"),
+        sum((col("__z").cast(dec) * col("__z")).cast(dec)).cast(dec)
+          .as("__ss"))
+    val w = cells.agg(count(lit(1)).cast("long").as("n_groups"),
+      sum(col("__n")).cast("long").as("n_total"),
+      sum(col("__s")).cast(dec).as("__sT"),
+      sum(col("__ss")).cast(dec).as("__ssT"),
+      sum(col("__s").cast("double") * col("__s").cast("double") /
+        col("__n").cast("double")).as("__sb"))
+    val nd = col("n_total").cast("double")
+    val kd = col("n_groups").cast("double")
+    val grand = col("__sT").cast("double") * col("__sT").cast("double") / nd
+    val ssb = col("__sb") - grand
+    val ssw = col("__ssT").cast("double") - col("__sb")
+    val f = (ssb / (kd - 1.0)) / (ssw / (nd - kd))
+    val ok = col("n_total") > col("n_groups") &&
+      col("n_groups") > 1L && ssw > 0.0
+    w.select(col("n_groups"), col("n_total"),
+      (col("n_groups") - 1L).as("df_between"),
+      (col("n_total") - col("n_groups")).as("df_within"),
+      when(ok, round(f, 6)).as("w_stat"))
+  }
+
+  /** X285 — Friedman test (tie-corrected, Conover form): k related
+    * treatments measured once per block, ranked WITHIN each block —
+    * "does any event type consistently out-count the others per
+    * user", the repeated-measures sibling of [[kruskalWallis]]
+    * (whose groups are independent; Friedman's share the block).
+    * Only COMPLETE blocks (all k treatments present) enter — partial
+    * blocks are dropped and counted.
+    *
+    * Doubled midranks ρ = 2·(rank−1) + c + 1 are integers from a
+    * per-block window (block-bounded: k rows each); with column sums
+    * R2_j and ΣΣρ², the tie-corrected statistic is the exact integer
+    * ratio χ² = (k−1)·Σ_j(R2_j − n(k+1))² / (Σρ² − n·k(k+1)²) — one
+    * double division, round(6); NULL when every block is all ties.
+    */
+  def friedman(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val q = round(col(valueCol) * 1e6, 0).cast("long")
+    val base = df.select(col(blockCol).as("__b"),
+      col(treatmentCol).as("__t"), q.as("__q"))
+    val kTot = base.agg(countDistinct(col("__t")).as("__k"))
+    val complete = base
+      .withColumn("__bk",
+        count(lit(1)).over(Window.partitionBy(col("__b"))))
+      .crossJoin(broadcast(kTot))
+      .filter(col("__bk") === col("__k"))
+    val wRank = Window.partitionBy(col("__b")).orderBy(col("__q"))
+    val wTie = Window.partitionBy(col("__b"), col("__q"))
+    val rho = complete
+      .withColumn("__rho",
+        lit(2L) * (rank().over(wRank) - 1L) +
+          count(lit(1)).over(wTie) + lit(1L))
+    val perT = rho.groupBy(col("__t"))
+      .agg(count(lit(1)).cast("long").as("__nb"),
+        sum(col("__rho").cast(dec)).cast(dec).as("__r2"),
+        sum((col("__rho").cast(dec) * col("__rho")).cast(dec))
+          .cast(dec).as("__rr"))
+    val dropped = base.select(col("__b")).distinct()
+      .agg(count(lit(1)).cast("long").as("__blocksAll"))
+    val fold = perT.agg(count(lit(1)).cast("long").as("k"),
+      max(col("__nb")).cast("long").as("n_blocks"),
+      sum(col("__rr")).cast(dec).as("__rrsum"))
+    // Σ_j (R2_j − n(k+1))² needs n and k first — second tiny pass
+    val withTarget = perT.crossJoin(broadcast(fold))
+      .agg(max(col("k")).as("k"), max(col("n_blocks")).as("n_blocks"),
+        max(col("__rrsum")).as("__rrsum"),
+        sum(((col("__r2") - col("n_blocks") * (col("k") + 1L))
+          * (col("__r2") - col("n_blocks") * (col("k") + 1L)))
+          .cast(dec)).cast(dec).as("__dev2"))
+    val num = (col("k") - 1L).cast("double") *
+      col("__dev2").cast("double")
+    val den = col("__rrsum").cast("double") -
+      col("n_blocks").cast("double") * col("k").cast("double") *
+        ((col("k") + 1L) * (col("k") + 1L)).cast("double")
+    withTarget.crossJoin(broadcast(dropped))
+      .select(col("n_blocks"), col("k"),
+        (col("__blocksAll") - col("n_blocks")).cast("long")
+          .as("n_dropped_blocks"),
+        (col("k") - 1L).as("df"),
+        when(den > 0.0 && col("k") > 1L, round(num / den, 6))
+          .as("chi2"))
+  }
+
+  /** X286 — Cochran's Q: k paired BINARY treatments over shared
+    * blocks — "did each of these k filter versions pass this same
+    * document" — the k-treatment generalization of [[mcnemar]] (and
+    * exactly McNemar at k = 2). The design grid completes itself:
+    * every (block, treatment) cell missing from the input counts as
+    * a failure, so event-style inputs (only successes recorded) are
+    * usable directly. Q = (k−1)(k·ΣC_j² − N²)/(k·N − ΣR_i²) — exact
+    * integer column/row-total folds, one double division; NULL when
+    * every block is all-success or all-failure (denominator 0).
+    */
+  def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
+      successCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(col(blockCol).as("__b"),
+      col(treatmentCol).as("__t"),
+      when(successCol, 1L).otherwise(0L).as("__x"))
+    // one cell per observed (block, treatment): success = any success
+    val cells = base.groupBy(col("__b"), col("__t"))
+      .agg(max(col("__x")).as("__x"))
+    val rows = cells.groupBy(col("__b"))
+      .agg(sum(col("__x")).as("__r"))
+    val colsT = cells.groupBy(col("__t"))
+      .agg(sum(col("__x")).as("__c"))
+    val k = colsT.agg(count(lit(1)).cast("long").as("k"),
+      sum((col("__c").cast(dec) * col("__c")).cast(dec)).cast(dec)
+        .as("__cc"),
+      sum(col("__c")).cast("long").as("__nTot"))
+    val r = rows.agg(count(lit(1)).cast("long").as("n_blocks"),
+      sum((col("__r").cast(dec) * col("__r")).cast(dec)).cast(dec)
+        .as("__rr"))
+    val w = k.crossJoin(broadcast(r))
+    val num = (col("k") - 1L).cast("double") *
+      (col("k").cast("double") * col("__cc").cast("double") -
+        col("__nTot").cast("double") * col("__nTot").cast("double"))
+    val den = col("k").cast("double") * col("__nTot").cast("double") -
+      col("__rr").cast("double")
+    w.select(col("n_blocks"), col("k"), (col("k") - 1L).as("df"),
+      col("__nTot").as("n_successes"),
+      when(den > 0.0 && col("k") > 1L, round(num / den, 6))
+        .as("q_stat"))
+  }
+
+  /** X287 — intraclass correlation ICC(1), one-way random effects
+    * with the unbalanced-design correction k₀ = (N − Σn_g²/N)/(g−1):
+    * what share of a metric's variance lives BETWEEN groups — "are
+    * a user's event values more alike than strangers'" — the
+    * clustering-awareness number that says whether rows can be
+    * treated as independent (ICC ≈ 0) or effective sample size
+    * collapses toward the group count (ICC → 1, the X274 lesson in
+    * grouped form). ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW) from the
+    * same exact per-group (n, Σq, Σq²) micro sums as
+    * [[oneWayAnova]]; MS values report in value² units (÷10¹²).
+    */
+  def icc1(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = round(col(valueCol) * 1e6, 0).cast("long")
+    val cells = df.select(col(groupCol).as("__g"), q.as("__q"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__q").cast(dec)).cast(dec)
+          .as("__s"),
+        sum((col("__q").cast(dec) * col("__q")).cast(dec)).cast(dec)
+          .as("__ss"))
+    val w = cells.agg(count(lit(1)).cast("long").as("n_groups"),
+      sum(col("__n")).cast("long").as("n_total"),
+      sum(col("__s")).cast(dec).as("__sT"),
+      sum(col("__ss")).cast(dec).as("__ssT"),
+      sum(col("__s").cast("double") * col("__s").cast("double") /
+        col("__n").cast("double")).as("__sb"),
+      sum((col("__n").cast(dec) * col("__n")).cast(dec)).cast(dec)
+        .as("__nn"))
+    val nd = col("n_total").cast("double")
+    val gd = col("n_groups").cast("double")
+    val grand = col("__sT").cast("double") * col("__sT").cast("double") / nd
+    val ssb = col("__sb") - grand
+    val ssw = col("__ssT").cast("double") - col("__sb")
+    val msb = ssb / (gd - 1.0)
+    val msw = ssw / (nd - gd)
+    val k0 = (nd - col("__nn").cast("double") / nd) / (gd - 1.0)
+    val icc = (msb - msw) / (msb + (k0 - 1.0) * msw)
+    val ok = col("n_groups") > 1L && col("n_total") > col("n_groups") &&
+      (msb + (k0 - 1.0) * msw) > 0.0
+    w.select(col("n_groups"), col("n_total"),
+      when(col("n_groups") > 1L, round(k0, 6)).as("k0"),
+      when(col("n_groups") > 1L, round(msb / 1e12, 6)).as("ms_between"),
+      when(col("n_total") > col("n_groups"), round(msw / 1e12, 6))
+        .as("ms_within"),
+      when(ok, round(icc, 6)).as("icc"))
+  }
+
   def cochranArmitage(df: DataFrame, bandCol: Column,
       successCol: Column): DataFrame = {
     val cells = df.groupBy(bandCol.cast("long").as("__t"))

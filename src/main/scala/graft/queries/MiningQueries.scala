@@ -2887,6 +2887,216 @@ object MiningQueries {
         import spark.implicits._
         Hypothesis.jarqueBera(table(spark, dir, "documents"),
           "n_chars", unit = 1.0)
+      }),
+
+    // X284: Levene's equal-variance test across sources — the
+    // assumption gate in front of q_anova's pooled variance.
+    QueryDef(
+      "q_levene",
+      Some("""
+        WITH base AS (
+          SELECT source AS g,
+                 CAST(round(n_chars * 1000000.0) AS BIGINT) AS q
+          FROM documents
+        ), means AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS ng,
+                 sum(CAST(q AS HUGEINT)) AS sg
+          FROM base GROUP BY 1
+        ), z AS (
+          SELECT base.g,
+                 CAST(round(CAST(abs(CAST(q AS HUGEINT) * ng - sg)
+                   AS DOUBLE) / CAST(ng AS DOUBLE)) AS BIGINT) AS z
+          FROM base JOIN means ON base.g = means.g
+        ), cells AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(z AS HUGEINT)) AS s,
+                 sum(CAST(z AS HUGEINT) * z) AS ss
+          FROM z GROUP BY 1
+        ), w AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(n) AS BIGINT) AS n_total,
+                 sum(s) AS sT, sum(ss) AS ssT,
+                 sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) AS sb
+          FROM cells
+        )
+        SELECT n_groups, n_total,
+               n_groups - 1 AS df_between,
+               n_total - n_groups AS df_within,
+               CASE WHEN n_total > n_groups AND n_groups > 1
+                 AND CAST(ssT AS DOUBLE) - sb > 0 THEN
+                 round(((sb - CAST(sT AS DOUBLE) * CAST(sT AS DOUBLE)
+                     / CAST(n_total AS DOUBLE))
+                   / (CAST(n_groups AS DOUBLE) - 1.0))
+                 / ((CAST(ssT AS DOUBLE) - sb)
+                   / (CAST(n_total AS DOUBLE)
+                     - CAST(n_groups AS DOUBLE))), 6) END AS w_stat
+        FROM w
+      """.trim),
+      "X284 Levene equal-variance test of doc length across sources")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.levene(table(spark, dir, "documents"), "source",
+          "n_chars")
+      }),
+
+    // X285: Friedman test — do event types out-count each other
+    // consistently WITHIN users (complete blocks only).
+    QueryDef(
+      "q_friedman",
+      Some("""
+        WITH cells AS (
+          SELECT user_id AS b, event_type AS t,
+                 CAST(round(count(*) * 1000000.0) AS BIGINT) AS q
+          FROM events GROUP BY 1, 2
+        ), kk AS (
+          SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cells
+        ), ba AS (
+          SELECT CAST(count(DISTINCT b) AS BIGINT) AS blocks_all
+          FROM cells
+        ), marked AS (
+          SELECT b, t, q, count(*) OVER (PARTITION BY b) AS bk
+          FROM cells
+        ), complete AS (
+          SELECT b, t, q FROM marked, kk WHERE bk = kk.k
+        ), rho AS (
+          SELECT b, t,
+                 2 * (rank() OVER (PARTITION BY b ORDER BY q) - 1)
+                   + count(*) OVER (PARTITION BY b, q) + 1 AS rho
+          FROM complete
+        ), pert AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS nb,
+                 sum(CAST(rho AS HUGEINT)) AS r2,
+                 sum(CAST(rho AS HUGEINT) * rho) AS rr
+          FROM rho GROUP BY 1
+        ), fold AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(max(nb) AS BIGINT) AS n_blocks,
+                 sum(rr) AS rrsum
+          FROM pert
+        ), dev AS (
+          SELECT k, n_blocks, rrsum,
+                 sum((r2 - n_blocks * (k + 1))
+                   * (r2 - n_blocks * (k + 1))) AS dev2
+          FROM pert, fold GROUP BY 1, 2, 3
+        )
+        SELECT n_blocks, k, blocks_all - n_blocks AS n_dropped_blocks,
+               k - 1 AS df,
+               CASE WHEN k > 1 AND CAST(rrsum AS DOUBLE)
+                   - CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                   * CAST((k + 1) * (k + 1) AS DOUBLE) > 0 THEN
+                 round(CAST(k - 1 AS DOUBLE) * CAST(dev2 AS DOUBLE)
+                   / (CAST(rrsum AS DOUBLE)
+                     - CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                     * CAST((k + 1) * (k + 1) AS DOUBLE)), 6)
+                 END AS chi2
+        FROM dev, ba
+      """.trim),
+      "X285 Friedman test of per-user event-type count ranks")(
+      (spark, dir) => {
+        import spark.implicits._
+        val cells = events(spark, dir)
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        Hypothesis.friedman(cells, "user_id", "event_type", "cnt")
+      }),
+
+    // X286: Cochran's Q — do the k per-user "engaged with type >= 2
+    // times" verdicts differ across types (missing cells = failure).
+    QueryDef(
+      "q_cochran_q",
+      Some("""
+        WITH percell AS (
+          SELECT user_id AS b, event_type AS t,
+                 CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS succ
+          FROM events GROUP BY 1, 2
+        ), cells AS (
+          SELECT b, t, CAST(max(succ) AS BIGINT) AS x
+          FROM percell GROUP BY 1, 2
+        ), rows_ AS (
+          SELECT b, sum(x) AS r FROM cells GROUP BY 1
+        ), colst AS (
+          SELECT t, sum(x) AS c FROM cells GROUP BY 1
+        ), kk AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 sum(CAST(c AS HUGEINT) * c) AS cc,
+                 CAST(sum(c) AS BIGINT) AS ntot
+          FROM colst
+        ), rr AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                 sum(CAST(r AS HUGEINT) * r) AS rrsum
+          FROM rows_
+        )
+        SELECT n_blocks, k, k - 1 AS df, ntot AS n_successes,
+               CASE WHEN k > 1 AND CAST(k AS DOUBLE)
+                   * CAST(ntot AS DOUBLE) - CAST(rrsum AS DOUBLE) > 0
+                 THEN round(CAST(k - 1 AS DOUBLE)
+                   * (CAST(k AS DOUBLE) * CAST(cc AS DOUBLE)
+                     - CAST(ntot AS DOUBLE) * CAST(ntot AS DOUBLE))
+                   / (CAST(k AS DOUBLE) * CAST(ntot AS DOUBLE)
+                     - CAST(rrsum AS DOUBLE)), 6) END AS q_stat
+        FROM kk, rr
+      """.trim),
+      "X286 Cochran's Q over per-user engagement verdicts per type")(
+      (spark, dir) => {
+        import spark.implicits._
+        val perCell = events(spark, dir)
+          .groupBy($"user_id", $"event_type")
+          .agg((count(lit(1)) >= 2).as("succ"))
+        Hypothesis.cochranQ(perCell, "user_id", "event_type", $"succ")
+      }),
+
+    // X287: ICC(1) of event values within users — the effective-
+    // sample-size clustering check (k0-corrected for unbalance).
+    QueryDef(
+      "q_icc",
+      Some("""
+        WITH base AS (
+          SELECT user_id AS g,
+                 CAST(round(value * 1000000.0) AS BIGINT) AS q
+          FROM events
+        ), cells AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(q AS HUGEINT)) AS s,
+                 sum(CAST(q AS HUGEINT) * q) AS ss
+          FROM base GROUP BY 1
+        ), w AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(n) AS BIGINT) AS n_total,
+                 sum(s) AS sT, sum(ss) AS ssT,
+                 sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) AS sb,
+                 sum(CAST(n AS HUGEINT) * n) AS nn
+          FROM cells
+        ), m AS (
+          SELECT n_groups, n_total,
+                 (sb - CAST(sT AS DOUBLE) * CAST(sT AS DOUBLE)
+                   / CAST(n_total AS DOUBLE))
+                 / (CAST(n_groups AS DOUBLE) - 1.0) AS msb,
+                 (CAST(ssT AS DOUBLE) - sb)
+                 / (CAST(n_total AS DOUBLE)
+                   - CAST(n_groups AS DOUBLE)) AS msw,
+                 (CAST(n_total AS DOUBLE) - CAST(nn AS DOUBLE)
+                   / CAST(n_total AS DOUBLE))
+                 / (CAST(n_groups AS DOUBLE) - 1.0) AS k0
+          FROM w
+        )
+        SELECT n_groups, n_total,
+               CASE WHEN n_groups > 1 THEN round(k0, 6) END AS k0,
+               CASE WHEN n_groups > 1 THEN round(msb / 1e12, 6) END
+                 AS ms_between,
+               CASE WHEN n_total > n_groups THEN round(msw / 1e12, 6)
+                 END AS ms_within,
+               CASE WHEN n_groups > 1 AND n_total > n_groups
+                 AND msb + (k0 - 1.0) * msw > 0 THEN
+                 round((msb - msw) / (msb + (k0 - 1.0) * msw), 6) END
+                 AS icc
+        FROM m
+      """.trim),
+      "X287 ICC(1) of event values within users (k0-corrected)")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.icc1(events(spark, dir), "user_id", "value")
       })
   )
 }
