@@ -454,4 +454,45 @@ object DistStats {
         round(m, 6).as("prior_mean"),
         when(ok, round(s, 6)).as("prior_strength"))
   }
+
+  /** X291 — Neyman optimal allocation: split a labeling/eval budget
+    * across strata proportional to N_h·S_h (stratum size × stratum
+    * SD) — the allocation that minimizes the stratified estimator's
+    * variance, vs the proportional split X5 uses; the high-variance
+    * strata EARN extra samples. Completes the sampling family
+    * (X5 stratified, X50 n-per-stratum, X55 weighted, X250 A-ES).
+    *
+    * Per-stratum SD from exact micro-unit (n, Σq, Σq²); the share is
+    * scale-invariant so the 10⁶ cancels. Singleton/zero-variance
+    * strata carry weight 0 (their mean is already exact) but stay
+    * visible with their floor of round(share·budget). Strata-bounded
+    * fold; NULL share only when EVERY stratum is degenerate.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"bad budget $budget")
+    val q = round(col(valueCol) * 1e6, 0).cast("long")
+    val cells = df.select(col(stratumCol), q.as("__q"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("__q").cast(dec)).cast(dec).as("__s"),
+        sum((col("__q").cast(dec) * col("__q")).cast(dec)).cast(dec)
+          .as("__ss"))
+    val nd = col("n_rows").cast("double")
+    val varS = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nd) /
+      (nd - 1.0)
+    val sd = when(col("n_rows") > 1L && varS > 0.0, sqrt(varS))
+      .otherwise(lit(0.0))
+    val weighted = cells.withColumn("__w", nd * sd)
+    val tot = weighted.agg(sum(col("__w")).as("__wTot"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_rows"),
+        round(sd / 1e6, 6).as("stratum_sd"),
+        when(col("__wTot") > 0.0, round(col("__w") / col("__wTot"), 6))
+          .as("alloc_share"),
+        when(col("__wTot") > 0.0,
+          round(col("__w") / col("__wTot") * budget, 0).cast("long"))
+          .as("n_alloc"))
+  }
 }

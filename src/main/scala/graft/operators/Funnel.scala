@@ -457,6 +457,73 @@ object Funnel {
             col("n_churned_in").cast("double"), 6)).as("quick_ratio"))
   }
 
+  /** X288 — two-group log-rank test: does survival differ between
+    * cohorts A and B — the censoring-correct comparison that a mean
+    * or t-test on durations gets WRONG whenever observation windows
+    * truncate (the exact reason [[kaplanMeier]] exists). At each
+    * distinct event time: observed A-events d_Aj vs expected
+    * e_j = d_j·n_Aj/n_j under the shared-hazard null, variance
+    * v_j = d_j·(n_Aj/n_j)(1−n_Aj/n_j)(n_j−d_j)/(n_j−1);
+    * z = (O−E)/√V.
+    *
+    * Same distinct-duration machinery as kaplanMeier (risk sets are
+    * integer suffix counts per group; the ordered pass is
+    * duration-bounded); each e_j and v_j term is a fixed-shape
+    * double from exact integers, nano-quantized BEFORE the fold (the
+    * nelsonAalen convention) so O, E, V are engine-exact integers.
+    * Single-subject times (n_j = 1) contribute zero variance by the
+    * (n_j−d_j)/(n_j−1) factor's guard. z NULL when V = 0.
+    */
+  def logRank(subjects: DataFrame, durationCol: String,
+      observedCol: Column, isA: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = subjects.select(col(durationCol).cast("long").as("__t"),
+      when(observedCol, 1L).otherwise(0L).as("__e"),
+      when(isA, 1L).otherwise(0L).as("__a"))
+    val per = base.groupBy(col("__t"))
+      .agg(sum(when(col("__a") === 1L, 1L).otherwise(0L)).as("__ma"),
+        sum(when(col("__a") === 0L, 1L).otherwise(0L)).as("__mb"),
+        sum(when(col("__a") === 1L, col("__e")).otherwise(0L))
+          .as("__da"),
+        sum(when(col("__a") === 0L, col("__e")).otherwise(0L))
+          .as("__db"))
+    val tot = per.agg(sum(col("__ma")).cast("long").as("__na"),
+      sum(col("__mb")).cast("long").as("__nb"))
+    val wBefore = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risked = per
+      .withColumn("__beforeA",
+        coalesce(sum(col("__ma")).over(wBefore), lit(0L)))
+      .withColumn("__beforeB",
+        coalesce(sum(col("__mb")).over(wBefore), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__rA", col("__na") - col("__beforeA"))
+      .withColumn("__rB", col("__nb") - col("__beforeB"))
+      .withColumn("__d", col("__da") + col("__db"))
+      .withColumn("__r", col("__rA") + col("__rB"))
+      .filter(col("__d") > 0L)
+    val dd = col("__d").cast("double")
+    val rr = col("__r").cast("double")
+    val ra = col("__rA").cast("double")
+    val eTerm = round(dd * ra / rr * 1e9, 0).cast("long")
+    val vTerm = when(col("__r") > 1L,
+      round(dd * (ra / rr) * (lit(1.0) - ra / rr) *
+        (rr - dd) / (rr - 1.0) * 1e9, 0).cast("long"))
+      .otherwise(lit(0L))
+    val fold = risked.agg(max(col("__na")).as("n_a"),
+      max(col("__nb")).as("n_b"),
+      sum(col("__da")).cast("long").as("observed_a"),
+      sum(eTerm).cast("long").as("__en"),
+      sum(vTerm).cast("long").as("__vn"))
+    val e = col("__en").cast("double") / 1e9
+    val v = col("__vn").cast("double") / 1e9
+    fold.select(col("n_a"), col("n_b"), col("observed_a"),
+      round(e, 6).as("expected_a"),
+      when(col("__vn") > 0L,
+        round((col("observed_a").cast("double") - e) / sqrt(v), 6))
+        .as("z_stat"))
+  }
+
   /** X279 — sequential-pattern support: for every ordered pair of
     * event types (a, b), how many keys exhibit "a THEN b" — an a
     * event strictly before some b event — and that count as a share

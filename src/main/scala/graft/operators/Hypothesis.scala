@@ -1003,6 +1003,76 @@ object Hypothesis {
       when(ok, round(icc, 6)).as("icc"))
   }
 
+  /** X289 — standardized effect sizes for a two-group mean
+    * comparison: Cohen's d (pooled SD), Hedges' g (the small-sample
+    * bias correction d·(1 − 3/(4N−9))), and Glass's Δ (control-side
+    * SD — use when the treatment changes the spread too, the
+    * [[levene]]-trips case). The magnitude companion [[welchTTest]]'s
+    * t cannot provide at scale (at 10⁹ rows everything is
+    * "significant"; d says whether it MATTERS — same lesson as
+    * mannWhitneyU's rank-biserial). Exact micro-unit (n, Σq, Σq²)
+    * per side; every output is a fixed-shape double, round(6); NULL
+    * when either side has < 2 rows or the relevant SD is 0.
+    */
+  def effectSizes(df: DataFrame, valueCol: String, isA: Column)
+      : DataFrame = {
+    val d6 = round(col(valueCol) * 1e6, 0).cast("decimal(19,0)")
+    val w = df.agg(
+      sum(when(isA, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(!isA, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(isA, d6)).as("__sa"),
+      sum(when(!isA, d6)).as("__sb"),
+      sum(when(isA, (d6 * d6).cast("decimal(38,0)"))).as("__ssa"),
+      sum(when(!isA, (d6 * d6).cast("decimal(38,0)"))).as("__ssb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = col("__sa").cast("double") / na
+    val mb = col("__sb").cast("double") / nb
+    val va = (col("__ssa").cast("double") - ma * col("__sa")
+      .cast("double")) / (na - 1.0)
+    val vb = (col("__ssb").cast("double") - mb * col("__sb")
+      .cast("double")) / (nb - 1.0)
+    val sp = sqrt(((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0))
+    val dEff = (ma - mb) / sp
+    val g = dEff * (lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - 9.0))
+    val glass = (ma - mb) / sqrt(vb)
+    val okBase = col("n_a") > 1L && col("n_b") > 1L
+    w.select(col("n_a"), col("n_b"),
+      round(ma / 1e6, 6).as("mean_a"), round(mb / 1e6, 6).as("mean_b"),
+      when(okBase && sp > 0.0, round(dEff, 6)).as("cohens_d"),
+      when(okBase && sp > 0.0, round(g, 6)).as("hedges_g"),
+      when(okBase && vb > 0.0, round(glass, 6)).as("glass_delta"))
+  }
+
+  /** X290 — minimum detectable effect at the CURRENT sample size:
+    * per slice, with per-arm n = the slice's row count and baseline
+    * rate p̂, the two-proportion MDE = (z_{α/2} + z_β)·√(2p̂(1−p̂)/n)
+    * — the honest "this dashboard cell could not have seen less than
+    * a 4-point move" label that stops under-powered slice readings
+    * from being narrated as "no effect" (the power companion to
+    * X220's interval and X149b's test). z quantiles are caller
+    * literals (defaults: two-sided α = 0.05, power = 0.8) — no erf
+    * on either engine. Exact integer (n, successes) per slice; MDE
+    * is one fixed-shape double, round(6); NULL on degenerate rates.
+    */
+  def mdePower(df: DataFrame, groupCol: String, successCol: Column,
+      zAlpha: Double = 1.959964, zBeta: Double = 0.841621)
+      : DataFrame = {
+    require(zAlpha > 0 && zBeta >= 0, s"bad z $zAlpha/$zBeta")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).cast("long")
+          .as("successes"))
+    val nd = col("n").cast("double")
+    val p = col("successes").cast("double") / nd
+    val mde = lit(zAlpha + zBeta) *
+      sqrt(lit(2.0) * p * (lit(1.0) - p) / nd)
+    val ok = p > 0.0 && p < 1.0
+    g.select(col(groupCol), col("n"), round(p, 6).as("rate"),
+      when(ok, round(mde, 6)).as("mde_abs"),
+      when(ok, round(mde / p, 6)).as("mde_rel"))
+  }
+
   def cochranArmitage(df: DataFrame, bandCol: Column,
       successCol: Column): DataFrame = {
     val cells = df.groupBy(bandCol.cast("long").as("__t"))

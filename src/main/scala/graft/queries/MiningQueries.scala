@@ -3097,6 +3097,239 @@ object MiningQueries {
       (spark, dir) => {
         import spark.implicits._
         Hypothesis.icc1(events(spark, dir), "user_id", "value")
+      }),
+
+    // X288: log-rank — time-to-first-error survival, even vs odd
+    // user cohorts; users without an error censor at their last
+    // event. Durations in whole hours via exact micro integer div.
+    QueryDef(
+      "q_log_rank",
+      Some("""
+        WITH subj AS (
+          SELECT user_id,
+                 (epoch_us(coalesce(min(CASE WHEN event_type = 'error'
+                     THEN ts END), max(ts)))
+                  - epoch_us(min(ts))) // 3600000000 AS t,
+                 min(CASE WHEN event_type = 'error' THEN ts END)
+                   IS NOT NULL AS ev,
+                 user_id % 2 = 0 AS isa
+          FROM events GROUP BY 1
+        ), per AS (
+          SELECT t,
+                 CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ma,
+                 CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT)
+                   AS mb,
+                 CAST(sum(CASE WHEN isa AND ev THEN 1 ELSE 0 END)
+                   AS BIGINT) AS da,
+                 CAST(sum(CASE WHEN NOT isa AND ev THEN 1 ELSE 0 END)
+                   AS BIGINT) AS db
+          FROM subj GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(ma) AS BIGINT) AS na,
+                 CAST(sum(mb) AS BIGINT) AS nb
+          FROM per
+        ), risked AS (
+          SELECT t, da, db, da + db AS d,
+                 na - coalesce(sum(ma) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS rA,
+                 na + nb
+                 - coalesce(sum(ma + mb) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS r,
+                 na, nb
+          FROM per, tot
+        ), terms AS (
+          SELECT na, nb, da, d, r,
+                 CAST(round(CAST(d AS DOUBLE) * CAST(rA AS DOUBLE)
+                   / CAST(r AS DOUBLE) * 1e9) AS BIGINT) AS et,
+                 CASE WHEN r > 1 THEN
+                   CAST(round(CAST(d AS DOUBLE)
+                     * (CAST(rA AS DOUBLE) / CAST(r AS DOUBLE))
+                     * (1.0 - CAST(rA AS DOUBLE) / CAST(r AS DOUBLE))
+                     * (CAST(r AS DOUBLE) - CAST(d AS DOUBLE))
+                     / (CAST(r AS DOUBLE) - 1.0) * 1e9) AS BIGINT)
+                   ELSE 0 END AS vt
+          FROM risked WHERE d > 0
+        ), fold AS (
+          SELECT CAST(max(na) AS BIGINT) AS n_a,
+                 CAST(max(nb) AS BIGINT) AS n_b,
+                 CAST(sum(da) AS BIGINT) AS observed_a,
+                 CAST(sum(et) AS BIGINT) AS en,
+                 CAST(sum(vt) AS BIGINT) AS vn
+          FROM terms
+        )
+        SELECT n_a, n_b, observed_a,
+               round(CAST(en AS DOUBLE) / 1e9, 6) AS expected_a,
+               CASE WHEN vn > 0 THEN
+                 round((CAST(observed_a AS DOUBLE)
+                   - CAST(en AS DOUBLE) / 1e9)
+                 / sqrt(CAST(vn AS DOUBLE) / 1e9), 6) END AS z_stat
+        FROM fold
+      """.trim),
+      "X288 log-rank: time-to-first-error, even vs odd user cohorts")(
+      (spark, dir) => {
+        import spark.implicits._
+        val subj = events(spark, dir)
+          .groupBy($"user_id")
+          .agg(min($"ts").as("first"), max($"ts").as("last"),
+            min(when($"event_type" === "error", $"ts")).as("err"))
+          .withColumn("dur_us",
+            unix_micros(coalesce($"err", $"last")) -
+              unix_micros($"first"))
+          .withColumn("t", expr("dur_us div 3600000000"))
+        Funnel.logRank(subj, "t", $"err".isNotNull,
+          $"user_id" % 2 === 0)
+      }),
+
+    // X289: effect sizes for the en-vs-rest length gap — the
+    // magnitude readout beside q_welch_t's significance.
+    QueryDef(
+      "q_effect_sizes",
+      Some("""
+        WITH w AS (
+          SELECT
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b,
+            sum(CASE WHEN lang = 'en'
+              THEN CAST(round(n_chars * 1000000.0) AS HUGEINT) END)
+              AS sa,
+            sum(CASE WHEN lang <> 'en'
+              THEN CAST(round(n_chars * 1000000.0) AS HUGEINT) END)
+              AS sb,
+            sum(CASE WHEN lang = 'en'
+              THEN CAST(round(n_chars * 1000000.0) AS HUGEINT)
+                * CAST(round(n_chars * 1000000.0) AS HUGEINT) END)
+              AS ssa,
+            sum(CASE WHEN lang <> 'en'
+              THEN CAST(round(n_chars * 1000000.0) AS HUGEINT)
+                * CAST(round(n_chars * 1000000.0) AS HUGEINT) END)
+              AS ssb
+          FROM documents
+        ), m AS (
+          SELECT n_a, n_b,
+                 CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+                 CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+                 (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE)
+                   / CAST(n_a AS DOUBLE) * CAST(sa AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+                 (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE)
+                   / CAST(n_b AS DOUBLE) * CAST(sb AS DOUBLE))
+                   / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+          FROM w
+        ), g AS (
+          SELECT n_a, n_b, ma, mb, vb,
+                 sqrt(((CAST(n_a AS DOUBLE) - 1.0) * va
+                     + (CAST(n_b AS DOUBLE) - 1.0) * vb)
+                   / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                     - 2.0)) AS sp
+          FROM m
+        )
+        SELECT n_a, n_b,
+               round(ma / 1e6, 6) AS mean_a,
+               round(mb / 1e6, 6) AS mean_b,
+               CASE WHEN n_a > 1 AND n_b > 1 AND sp > 0 THEN
+                 round((ma - mb) / sp, 6) END AS cohens_d,
+               CASE WHEN n_a > 1 AND n_b > 1 AND sp > 0 THEN
+                 round((ma - mb) / sp * (1.0 - 3.0
+                   / (4.0 * (CAST(n_a AS DOUBLE)
+                     + CAST(n_b AS DOUBLE)) - 9.0)), 6) END
+                 AS hedges_g,
+               CASE WHEN n_a > 1 AND n_b > 1 AND vb > 0 THEN
+                 round((ma - mb) / sqrt(vb), 6) END AS glass_delta
+        FROM g
+      """.trim),
+      "X289 Cohen's d / Hedges' g / Glass delta, en vs rest lengths")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.effectSizes(table(spark, dir, "documents"),
+          "n_chars", $"lang" === "en")
+      }),
+
+    // X290: per-source minimum detectable effect at current n for
+    // the long-doc rate — the power label on every slice readout.
+    QueryDef(
+      "q_mde",
+      Some("""
+        WITH g AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS successes
+          FROM documents GROUP BY 1
+        )
+        SELECT source, n, round(CAST(successes AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS rate,
+               CASE WHEN successes > 0 AND successes < n THEN
+                 round(2.801585 * sqrt(2.0
+                   * (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (1.0 - CAST(successes AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE)), 6) END AS mde_abs,
+               CASE WHEN successes > 0 AND successes < n THEN
+                 round(2.801585 * sqrt(2.0
+                   * (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (1.0 - CAST(successes AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE))
+                 / (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                 END AS mde_rel
+        FROM g ORDER BY source
+      """.trim),
+      "X290 per-source MDE at current n for the long-doc rate")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.mdePower(table(spark, dir, "documents"), "source",
+            $"n_chars" >= 250)
+          .orderBy($"source")
+      }),
+
+    // X291: Neyman allocation of a 1000-doc labeling budget across
+    // sources by N_h * S_h of doc length.
+    QueryDef(
+      "q_neyman",
+      Some("""
+        WITH cells AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                 sum(CAST(round(n_chars * 1000000.0) AS HUGEINT))
+                   AS s,
+                 sum(CAST(round(n_chars * 1000000.0) AS HUGEINT)
+                   * CAST(round(n_chars * 1000000.0) AS HUGEINT))
+                   AS ss
+          FROM documents GROUP BY 1
+        ), sded AS (
+          SELECT source, n_rows,
+                 CASE WHEN n_rows > 1 AND
+                   (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                     * CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                   / (CAST(n_rows AS DOUBLE) - 1.0) > 0
+                 THEN sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                     * CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                   / (CAST(n_rows AS DOUBLE) - 1.0))
+                 ELSE 0.0 END AS sd
+          FROM cells
+        ), wtd AS (
+          SELECT source, n_rows, sd,
+                 CAST(n_rows AS DOUBLE) * sd AS w
+          FROM sded
+        ), tot AS (SELECT sum(w) AS wtot FROM wtd)
+        SELECT source, n_rows,
+               round(sd / 1e6, 6) AS stratum_sd,
+               CASE WHEN wtot > 0 THEN round(w / wtot, 6) END
+                 AS alloc_share,
+               CASE WHEN wtot > 0 THEN
+                 CAST(round(w / wtot * 1000) AS BIGINT) END
+                 AS n_alloc
+        FROM wtd, tot ORDER BY source
+      """.trim),
+      "X291 Neyman allocation of a 1000-doc budget across sources")(
+      (spark, dir) => {
+        import spark.implicits._
+        DistStats.neymanAllocation(table(spark, dir, "documents"),
+            "source", "n_chars", budget = 1000L)
+          .orderBy($"source")
       })
   )
 }
