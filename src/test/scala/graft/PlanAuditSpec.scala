@@ -1130,4 +1130,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       s"a cumulative window crept in:\n${p.take(1200)}")
   }
+
+  test("q_jaro_pairs and q_seq_pairs: candidate generation is an " +
+    "equi-join, never a cartesian/nested-loop pair sweep") {
+    Seq("q_jaro_pairs", "q_seq_pairs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q enumerates all pairs:\n${p.take(1200)}")
+      // the only nested-loop allowed is the 1-row totals broadcast
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnl <= 1, s"$q has $bnl nested-loop joins")
+    }
+  }
+
+  test("q_script_profile: scan pruned to (lang, text), map-side " +
+    "partial agg pair") {
+    val p = plan("q_script_profile")
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("lang") && read.contains("text"), read)
+    assert(!read.contains("doc_id") && !read.contains("n_chars"),
+      s"unpruned scan: $read")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "char-class counting lost its partial agg")
+  }
+
+  test("q_levene: the groups-bounded means table comes back as a " +
+    "broadcast join, not a shuffle of the scan") {
+    val p = plan("q_levene")
+    assert(p.contains("BroadcastHashJoin"),
+      s"means joined without broadcast:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the deviation pass shuffled the full scan against the means")
+  }
 }
