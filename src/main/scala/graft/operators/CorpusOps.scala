@@ -2460,6 +2460,168 @@ object CorpusOps {
           .as("nmi"))
   }
 
+  /** X292 — Dunning log-likelihood collocations: for each adjacent
+    * word pair, the 2×2 G² = 2Σ O·ln(O/E) of (bigram vs margins) —
+    * the corpus-linguistics standard for "these words travel
+    * together beyond chance" (raw bigram counts just echo frequent
+    * words; PMI overweights hapaxes; Dunning's likelihood ratio is
+    * the calibrated middle). Feeds tokenizer vocab curation (X73's
+    * merge candidates that are REAL collocations) and boilerplate
+    * discovery.
+    *
+    * Scale shape: bigram extraction is a per-row zip_with (no
+    * window, no join); the count table is map-side combined and
+    * vocabulary²-bounded above / corpus-bounded below; margins
+    * re-aggregate from it and broadcast back. Exact integer cells;
+    * G² is a fixed-shape 4-term double expression per bigram (no
+    * data-ordered fold), round(6). Ordering: (g2 desc, w1, w2) on
+    * the ROUNDED value so the top-k cut is engine-stable.
+    */
+  def collocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad $minCount/$topK")
+    val pairs = docs
+      .select(split(col(textCol), " ").as("__ws"))
+      .select(explode(expr(
+        "zip_with(slice(__ws, 1, size(__ws) - 1), " +
+          "slice(__ws, 2, size(__ws) - 1), " +
+          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("__p"))
+      .select(col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    val cells = pairs.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c"))
+    val first = cells.groupBy(col("__w1")).agg(sum(col("__c")).as("__c1"))
+    val second = cells.groupBy(col("__w2")).agg(sum(col("__c")).as("__c2"))
+    val tot = cells.agg(sum(col("__c")).as("__n"))
+    val j = cells.join(broadcast(first), Seq("__w1"))
+      .join(broadcast(second), Seq("__w2"))
+      .crossJoin(broadcast(tot))
+      .filter(col("__c") >= minCount)
+    def d(c: Column) = c.cast("double")
+    val (o11, o12, o21, o22) = (d(col("__c")),
+      d(col("__c1") - col("__c")), d(col("__c2") - col("__c")),
+      d(col("__n") - col("__c1") - col("__c2") + col("__c")))
+    val nD = d(col("__n"))
+    val (e11, e12, e21, e22) = (
+      d(col("__c1")) * d(col("__c2")) / nD,
+      d(col("__c1")) * (nD - d(col("__c2"))) / nD,
+      (nD - d(col("__c1"))) * d(col("__c2")) / nD,
+      (nD - d(col("__c1"))) * (nD - d(col("__c2"))) / nD)
+    def t(o: Column, e: Column) =
+      when(o > 0.0, o * log(o / e)).otherwise(lit(0.0))
+    val g2 = lit(2.0) *
+      (t(o11, e11) + t(o12, e12) + t(o21, e21) + t(o22, e22))
+    j.select(col("__w1").as("w1"), col("__w2").as("w2"),
+        col("__c").cast("long").as("n_pair"),
+        col("__c1").cast("long").as("n_w1"),
+        col("__c2").cast("long").as("n_w2"),
+        round(g2, 6).as("g2"))
+      .orderBy(col("g2").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** X293 — G-test of independence (likelihood-ratio χ²):
+    * G = 2Σ_cells O·ln(O·N/(r_x·c_y)) over the exact contingency
+    * table — the test X126's Pearson approximates; preferred when
+    * any cell is small or the table is sparse (zero cells contribute
+    * 0 exactly instead of wrecking the quadratic form). Same
+    * \|X\|·\|Y\|-bounded cell/margin machinery as
+    * [[mutualInformation]] (G = 2N·MI_nats identically — the spec
+    * asserts that law); ln-on-identical-doubles, round(6).
+    */
+  def gTest(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).cast("string").as("__x"),
+        col(yCol).cast("string").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val mx = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__cx"))
+    val my = cells.groupBy(col("__y")).agg(sum(col("__c")).as("__cy"))
+    val tot = cells.agg(sum(col("__c")).as("__n"))
+    val nx = mx.agg(count(lit(1)).cast("long").as("n_x"))
+    val ny = my.agg(count(lit(1)).cast("long").as("n_y"))
+    val term = col("__c").cast("double") *
+      log(col("__c").cast("double") * col("__n") /
+        (col("__cx").cast("double") * col("__cy")))
+    cells.join(broadcast(mx), Seq("__x"))
+      .join(broadcast(my), Seq("__y"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("__n")).cast("long").as("n"),
+        sum(term).as("__g"))
+      .crossJoin(broadcast(nx)).crossJoin(broadcast(ny))
+      .select(col("n"), col("n_x"), col("n_y"),
+        ((col("n_x") - 1L) * (col("n_y") - 1L)).as("dof"),
+        round(lit(2.0) * col("__g"), 6).as("g_stat"))
+  }
+
+  /** X294 — Theil's uncertainty coefficient, both directions:
+    * U(x\|y) = (H(X) − H(X\|Y))/H(X) ∈ [0,1] — the ASYMMETRIC
+    * association readout ("knowing source pins down lang 40%, but
+    * knowing lang says little about source") that symmetric NMI
+    * (X176) and Cramér's V (X150 kin) can't express. All three
+    * entropies come from the c·ln c identity on the same exact cell/
+    * margin counts: H(X\|Y) = (Σ_y c_y·ln c_y − Σ_cells O·ln O)/N,
+    * H(X) = ln N − (Σ_x r_x·ln r_x)/N — no per-cell probabilities,
+    * so the fold is over margin-bounded tables only.
+    */
+  def theilU(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).cast("string").as("__x"),
+        col(yCol).cast("string").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    def nlogn(c: Column) = c.cast("double") * log(c.cast("double"))
+    val a = cells.agg(sum(col("__c")).cast("long").as("n"),
+      sum(nlogn(col("__c"))).as("__a"))
+    val b = cells.groupBy(col("__y")).agg(sum(col("__c")).as("__cy"))
+      .agg(sum(nlogn(col("__cy"))).as("__b"))
+    val cc = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__cx"))
+      .agg(sum(nlogn(col("__cx"))).as("__cc"))
+    val w = a.crossJoin(broadcast(b)).crossJoin(broadcast(cc))
+    val nD = col("n").cast("double")
+    val hx = log(nD) - col("__cc") / nD
+    val hy = log(nD) - col("__b") / nD
+    val hxGy = (col("__b") - col("__a")) / nD
+    val hyGx = (col("__cc") - col("__a")) / nD
+    w.select(col("n"),
+      round(hx, 6).as("h_x"), round(hy, 6).as("h_y"),
+      when(hx > 0.0, round((hx - hxGy) / hx, 6)).as("u_x_given_y"),
+      when(hy > 0.0, round((hy - hyGx) / hy, 6)).as("u_y_given_x"))
+  }
+
+  /** X295 — Goodman-Kruskal gamma between two ORDINAL band columns:
+    * γ = (C − D)/(C + D) from concordant/discordant pair mass — the
+    * monotone-association readout for banded data where Kendall/
+    * Spearman (X147) want numeric values and ties dominate (γ
+    * ignores ties entirely, so coarse 3-band × 3-band tables still
+    * read cleanly). Pair mass via the cells×cells join (bands² ×
+    * bands² — bands-bounded, never row pairs); products fold in
+    * decimal, so C/D are exact while n² < 10¹⁸ (documented bound,
+    * same class as X226's U). One double division, round(6); NULL
+    * when no untied pairs exist.
+    */
+  def gkGamma(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.groupBy(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val a = cells.select(col("__x").as("__xa"), col("__y").as("__ya"),
+      col("__c").as("__ca"))
+    val b = cells.select(col("__x").as("__xb"), col("__y").as("__yb"),
+      col("__c").as("__cb"))
+    val pairs = a.crossJoin(b).filter(col("__xa") < col("__xb"))
+    val mass = (col("__ca").cast(dec) * col("__cb")).cast(dec)
+    val folded = pairs.agg(
+      coalesce(sum(when(col("__ya") < col("__yb"), mass)), lit(0)
+        .cast(dec)).cast(dec).as("__conc"),
+      coalesce(sum(when(col("__ya") > col("__yb"), mass)), lit(0)
+        .cast(dec)).cast(dec).as("__disc"))
+    val tot = cells.agg(sum(col("__c")).cast("long").as("n"))
+    folded.crossJoin(broadcast(tot))
+      .select(col("n"),
+        col("__conc").cast("long").as("concordant"),
+        col("__disc").cast("long").as("discordant"),
+        when(col("__conc") + col("__disc") > 0,
+          round((col("__conc") - col("__disc")).cast("double") /
+            (col("__conc") + col("__disc")).cast("double"), 6))
+          .as("gamma"))
+  }
+
   /** X179 — exact per-group trimmed mean: drop each group's values
     * outside its own exact [q_lo, q_hi] order statistics (the X61
     * multi-pass bisection — skew-proof, no per-group sort) and

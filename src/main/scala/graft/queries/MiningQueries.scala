@@ -3330,6 +3330,179 @@ object MiningQueries {
         DistStats.neymanAllocation(table(spark, dir, "documents"),
             "source", "n_chars", budget = 1000L)
           .orderBy($"source")
+      }),
+
+    // X292: Dunning log-likelihood collocations over the corpus
+    // bigrams — top 50 by G² (rounded, tie-broken by words).
+    QueryDef(
+      "q_collocations",
+      Some("""
+        WITH pairs AS (
+          SELECT unnest(ws[1:len(ws) - 1]) AS w1,
+                 unnest(ws[2:len(ws)]) AS w2
+          FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+        ), cells AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+          FROM pairs GROUP BY 1, 2
+        ), f AS (
+          SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM cells GROUP BY 1
+        ), s AS (
+          SELECT w2, CAST(sum(c) AS BIGINT) AS c2 FROM cells GROUP BY 1
+        ), t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        j AS (
+          SELECT cells.w1, cells.w2, c, c1, c2, n
+          FROM cells JOIN f USING (w1) JOIN s USING (w2) CROSS JOIN t
+          WHERE c >= 5
+        ), g AS (
+          SELECT w1, w2, c, c1, c2,
+            2.0 * (
+              (CASE WHEN CAST(c AS DOUBLE) > 0 THEN CAST(c AS DOUBLE)
+                * ln(CAST(c AS DOUBLE) / (CAST(c1 AS DOUBLE)
+                  * CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE)))
+                ELSE 0.0 END)
+            + (CASE WHEN CAST(c1 - c AS DOUBLE) > 0 THEN
+                CAST(c1 - c AS DOUBLE)
+                * ln(CAST(c1 - c AS DOUBLE) / (CAST(c1 AS DOUBLE)
+                  * (CAST(n AS DOUBLE) - CAST(c2 AS DOUBLE))
+                  / CAST(n AS DOUBLE))) ELSE 0.0 END)
+            + (CASE WHEN CAST(c2 - c AS DOUBLE) > 0 THEN
+                CAST(c2 - c AS DOUBLE)
+                * ln(CAST(c2 - c AS DOUBLE)
+                  / ((CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE))
+                    * CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE)))
+                ELSE 0.0 END)
+            + (CASE WHEN CAST(n - c1 - c2 + c AS DOUBLE) > 0 THEN
+                CAST(n - c1 - c2 + c AS DOUBLE)
+                * ln(CAST(n - c1 - c2 + c AS DOUBLE)
+                  / ((CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE))
+                    * (CAST(n AS DOUBLE) - CAST(c2 AS DOUBLE))
+                    / CAST(n AS DOUBLE))) ELSE 0.0 END)
+            ) AS g2
+          FROM j
+        )
+        SELECT w1, w2, c AS n_pair, c1 AS n_w1, c2 AS n_w2,
+               round(g2, 6) AS g2
+        FROM g ORDER BY round(g2, 6) DESC, w1, w2 LIMIT 50
+      """.trim),
+      "X292 Dunning G2 collocations, top 50 bigrams")(
+      (spark, dir) => {
+        CorpusOps.collocations(table(spark, dir, "documents"), "text",
+          minCount = 5L, topK = 50)
+      }),
+
+    // X293: G-test of lang x source independence — the likelihood-
+    // ratio sibling of the Pearson gate; G = 2N*MI by identity.
+    QueryDef(
+      "q_g_test",
+      Some("""
+        WITH cells AS (
+          SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2
+        ), mx AS (
+          SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1
+        ), my AS (
+          SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1
+        ), t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        fold AS (
+          SELECT max(n) AS n,
+                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE) * n
+                   / (CAST(cx AS DOUBLE) * cy))) AS g
+          FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+        ), nx AS (SELECT CAST(count(*) AS BIGINT) AS n_x FROM mx),
+        ny AS (SELECT CAST(count(*) AS BIGINT) AS n_y FROM my)
+        SELECT n, n_x, n_y, (n_x - 1) * (n_y - 1) AS dof,
+               round(2.0 * g, 6) AS g_stat
+        FROM fold, nx, ny
+      """.trim),
+      "X293 G-test of lang x source independence")(
+      (spark, dir) => {
+        CorpusOps.gTest(table(spark, dir, "documents"), "lang",
+          "source")
+      }),
+
+    // X294: Theil's U both ways for lang vs source — the asymmetric
+    // association the symmetric NMI can't express.
+    QueryDef(
+      "q_theil_u",
+      Some("""
+        WITH cells AS (
+          SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2
+        ), a AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n,
+                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS av
+          FROM cells
+        ), b AS (
+          SELECT sum(CAST(cy AS DOUBLE) * ln(CAST(cy AS DOUBLE)))
+            AS bv
+          FROM (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells
+                GROUP BY 1)
+        ), cc AS (
+          SELECT sum(CAST(cx AS DOUBLE) * ln(CAST(cx AS DOUBLE)))
+            AS cv
+          FROM (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells
+                GROUP BY 1)
+        ), m AS (
+          SELECT n,
+                 ln(CAST(n AS DOUBLE)) - cv / CAST(n AS DOUBLE) AS hx,
+                 ln(CAST(n AS DOUBLE)) - bv / CAST(n AS DOUBLE) AS hy,
+                 (bv - av) / CAST(n AS DOUBLE) AS hxgy,
+                 (cv - av) / CAST(n AS DOUBLE) AS hygx
+          FROM a, b, cc
+        )
+        SELECT n, round(hx, 6) AS h_x, round(hy, 6) AS h_y,
+               CASE WHEN hx > 0 THEN round((hx - hxgy) / hx, 6) END
+                 AS u_x_given_y,
+               CASE WHEN hy > 0 THEN round((hy - hygx) / hy, 6) END
+                 AS u_y_given_x
+        FROM m
+      """.trim),
+      "X294 Theil's U (lang|source and source|lang)")(
+      (spark, dir) => {
+        CorpusOps.theilU(table(spark, dir, "documents"), "lang",
+          "source")
+      }),
+
+    // X295: Goodman-Kruskal gamma between length bands and word-
+    // count bands — monotone association on coarse ordinals.
+    QueryDef(
+      "q_gk_gamma",
+      Some("""
+        WITH banded AS (
+          SELECT CASE WHEN n_chars < 150 THEN 0
+                      WHEN n_chars < 350 THEN 1 ELSE 2 END AS x,
+                 CASE WHEN len(string_split(text, ' ')) < 30 THEN 0
+                      WHEN len(string_split(text, ' ')) < 70 THEN 1
+                      ELSE 2 END AS y
+          FROM documents
+        ), cells AS (
+          SELECT x, y, CAST(count(*) AS BIGINT) AS c
+          FROM banded GROUP BY 1, 2
+        ), folded AS (
+          SELECT
+            coalesce(sum(CASE WHEN a.y < b.y
+              THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS conc,
+            coalesce(sum(CASE WHEN a.y > b.y
+              THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS disc
+          FROM cells a JOIN cells b ON a.x < b.x
+        ), t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+        SELECT n, CAST(conc AS BIGINT) AS concordant,
+               CAST(disc AS BIGINT) AS discordant,
+               CASE WHEN conc + disc > 0 THEN
+                 round(CAST(conc - disc AS DOUBLE)
+                   / CAST(conc + disc AS DOUBLE), 6) END AS gamma
+        FROM folded, t
+      """.trim),
+      "X295 Goodman-Kruskal gamma, length vs word-count bands")(
+      (spark, dir) => {
+        import spark.implicits._
+        val banded = table(spark, dir, "documents").select(
+          when($"n_chars" < 150, 0).when($"n_chars" < 350, 1)
+            .otherwise(2).as("xb"),
+          when(size(split($"text", " ")) < 30, 0)
+            .when(size(split($"text", " ")) < 70, 1).otherwise(2)
+            .as("yb"))
+        CorpusOps.gkGamma(banded, "xb", "yb")
       })
   )
 }
