@@ -1073,6 +1073,144 @@ object Hypothesis {
       when(ok, round(mde / p, 6)).as("mde_rel"))
   }
 
+  /** X296 — Wilcoxon signed-rank test on a PAIRED difference column:
+    * rank the nonzero \|d\| with midranks, W⁺ = rank sum of the
+    * positive side, tie-corrected normal z — the paired sibling of
+    * [[mannWhitneyU]] (which compares independent groups) and the
+    * rank-based alternative to a paired t: only the SIGN PATTERN
+    * along the magnitude order matters, so one huge outlier pair
+    * can't buy the verdict. Zero differences drop (and are counted).
+    *
+    * Exactness: doubled midranks on the distinct-\|d\| table (the
+    * ksTest value-bounded pass); 2W⁺ = Σ pos_v·ρ_v and the tie term
+    * Σ(t³−t) fold as exact decimals; μ, σ², z are one fixed-shape
+    * double expression from (n, 2W⁺, ties), round(6). z NULL when
+    * all pairs tie to zero or σ = 0.
+    */
+  def wilcoxonSignedRank(df: DataFrame, diffCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = df.select(round(diffCol * 1e6, 0).cast("long").as("__d"))
+    val zeros = base.agg(
+      sum(when(col("__d") === 0L, 1L).otherwise(0L)).cast("long")
+        .as("n_zero"))
+    val per = base.filter(col("__d") =!= 0L)
+      .groupBy(abs(col("__d")).as("__v"))
+      .agg(sum(when(col("__d") > 0L, 1L).otherwise(0L)).as("__pv"),
+        count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rho = lit(2L) * (sum(col("__c")).over(w) - col("__c")) +
+      col("__c") + lit(1L)
+    val agg = per.select(col("__pv"), col("__c"), rho.as("__rho"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).cast("long").as("n"),
+        coalesce(sum((col("__pv").cast(dec) * col("__rho")).cast(dec)),
+          lit(0).cast(dec)).cast(dec).as("__w2"),
+        coalesce(sum((col("__c").cast(dec) * col("__c") * col("__c") -
+          col("__c")).cast(dec)), lit(0).cast(dec)).cast(dec)
+          .as("__ties"))
+    val nd = col("n").cast("double")
+    val w2 = col("__w2").cast("double")
+    val mu2 = nd * (nd + 1.0) / 2.0 // doubled mean: 2·n(n+1)/4
+    val sigma2x4 = nd * (nd + 1.0) * (lit(2.0) * nd + 1.0) / 6.0 -
+      col("__ties").cast("double") / 12.0 // doubled-scale variance
+    agg.crossJoin(broadcast(zeros))
+      .select(col("n").as("n_nonzero"), col("n_zero"),
+        round(w2 / 2.0, 6).as("w_plus"),
+        when(col("n") > 0L && sigma2x4 > 0.0,
+          round((w2 - mu2) / (lit(2.0) * sqrt(sigma2x4 / 4.0)), 6))
+          .as("z_stat"))
+  }
+
+  /** X297 — Bartlett's test of variance homogeneity across k groups:
+    * T = ((N−k)·ln s_p² − Σ(n_i−1)·ln s_i²)/C with the standard
+    * correction C = 1 + (Σ1/(n_i−1) − 1/(N−k))/(3(k−1)) — the
+    * PARAMETRIC sibling of [[levene]]: more powerful when the data
+    * really are normal-ish (run [[jarqueBera]] first), fragile when
+    * they aren't — report both and let divergence flag
+    * non-normality. Per-group exact micro (n, Σq, Σq²); variances
+    * and the log fold are fixed-shape doubles over the
+    * groups-bounded table (the mutualInformation precedent),
+    * round(6). NULL when any group has n < 2 or zero variance.
+    */
+  def bartlett(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = round(col(valueCol) * 1e6, 0).cast("long")
+    val cells = df.select(col(groupCol).as("__g"), q.as("__q"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__q").cast(dec)).cast(dec)
+          .as("__s"),
+        sum((col("__q").cast(dec) * col("__q")).cast(dec)).cast(dec)
+          .as("__ss"))
+    val ndG = col("__n").cast("double")
+    // null-den (singleton group) propagates NULL instead of tripping
+    // the ANSI divide-by-zero guard inside the conditional aggregates
+    val vi = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / ndG) /
+      when(ndG > 1.0, ndG - 1.0)
+    val w = cells.agg(count(lit(1)).cast("long").as("n_groups"),
+      sum(col("__n")).cast("long").as("n_total"),
+      sum(when(col("__n") > 1L && vi > 0.0,
+        (ndG - 1.0) * vi)).as("__pooledNum"),
+      sum(when(col("__n") > 1L && vi > 0.0,
+        (ndG - 1.0) * log(vi))).as("__lnSum"),
+      sum(when(col("__n") > 1L, lit(1.0) / (ndG - 1.0))).as("__invSum"),
+      sum(when(col("__n") < 2L || !(vi > 0.0), 1L).otherwise(0L))
+        .cast("long").as("__bad"))
+    val nd = col("n_total").cast("double")
+    val kd = col("n_groups").cast("double")
+    val spooled = col("__pooledNum") / (nd - kd)
+    val t = ((nd - kd) * log(spooled) - col("__lnSum")) /
+      (lit(1.0) + (col("__invSum") - lit(1.0) / (nd - kd)) /
+        (lit(3.0) * (kd - 1.0)))
+    val ok = col("n_groups") > 1L && col("__bad") === 0L &&
+      col("n_total") > col("n_groups")
+    w.select(col("n_groups"), col("n_total"),
+      (col("n_groups") - 1L).as("df"),
+      when(ok, round(t, 6)).as("t_stat"))
+  }
+
+  /** X298 — Grubbs' extreme-outlier statistic G = max\|x − x̄\|/s
+    * plus the value that achieves it — the single-point "is the
+    * worst row an outlier" readout beside X70's population-level MAD
+    * banding (MAD flags a tail; Grubbs names ONE suspect with a
+    * testable statistic). The max deviation is EXACT (max\|q·n − S\|
+    * is an integer — no mean subtraction in floating point); ties on
+    * the deviation break to the smaller value. Two aggregates, one
+    * broadcast back; G is one double expression, round(6).
+    */
+  def grubbs(df: DataFrame, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = round(col(valueCol) * 1e6, 0).cast("long")
+    val base = df.select(q.as("__q"))
+    val sums = base.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("__q").cast(dec)).cast(dec).as("__s"),
+      sum((col("__q").cast(dec) * col("__q")).cast(dec)).cast(dec)
+        .as("__ss"))
+    val devs = base.crossJoin(broadcast(sums))
+      .withColumn("__dev",
+        abs(col("__q").cast(dec) * col("n") - col("__s")).cast(dec))
+    val maxDev = devs.agg(max(col("__dev")).as("__md"))
+    val arg = devs.crossJoin(broadcast(maxDev))
+      .filter(col("__dev") === col("__md"))
+      .agg(min(col("__q")).as("__argq"), max(col("n")).as("n"),
+        max(col("__s")).as("__s"), max(col("__ss")).as("__ss"),
+        max(col("__md")).as("__md"))
+    val nd = col("n").cast("double")
+    val mean = col("__s").cast("double") / nd
+    val varS = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nd) /
+      (nd - 1.0)
+    val g = col("__md").cast("double") / nd / sqrt(varS)
+    val ok = col("n") > 2L && varS > 0.0
+    arg.select(col("n"), round(mean / 1e6, 6).as("mean"),
+      when(col("n") > 1L && varS > 0.0, round(sqrt(varS) / 1e6, 6))
+        .as("sd"),
+      when(ok, round(g, 6)).as("g_stat"),
+      round(col("__argq").cast("double") / 1e6, 6).as("outlier_value"))
+  }
+
   def cochranArmitage(df: DataFrame, bandCol: Column,
       successCol: Column): DataFrame = {
     val cells = df.groupBy(bandCol.cast("long").as("__t"))

@@ -582,6 +582,40 @@ object TimeSeries {
           (col("n") + 2L) * col("__qsum") / 1e12, 6)).as("lb_q"))
   }
 
+  /** X299 — Wald-Wolfowitz runs test on a boolean PERIOD series
+    * (e.g. "day above the mean"): R = observed runs vs the
+    * μ = 2n₁n₀/N + 1, σ² = 2n₁n₀(2n₁n₀−N)/(N²(N−1)) expected under
+    * randomness — the cheap is-the-sequence-random gate that catches
+    * regime stretches [[acfLjungBox]] sees only in aggregate (ten
+    * hot days in a row is two runs; ACF needs the lag to line up).
+    * Runs count via one lag window on the PERIOD-bounded series (the
+    * durbinWatson class — never the raw stream); every input to μ/σ
+    * is an exact integer, z is one fixed-shape double, round(6);
+    * NULL when either side is empty (σ = 0).
+    */
+  def runsTest(series: DataFrame, orderCol: String, boolCol: Column)
+      : DataFrame = {
+    val w = Window.orderBy(col("__o"))
+    val base = series.select(col(orderCol).as("__o"),
+        when(boolCol, 1L).otherwise(0L).as("__x"))
+      .withColumn("__prev", lag(col("__x"), 1).over(w))
+    val agg = base.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("__x")).cast("long").as("n_true"),
+      (count(lit(1)) - sum(col("__x"))).cast("long").as("n_false"),
+      (lit(1L) + sum(when(col("__prev").isNotNull &&
+        col("__prev") =!= col("__x"), 1L).otherwise(0L)))
+        .cast("long").as("runs"))
+    val nd = col("n").cast("double")
+    val prod2 = lit(2.0) * col("n_true").cast("double") *
+      col("n_false").cast("double")
+    val mu = prod2 / nd + 1.0
+    val sigma2 = prod2 * (prod2 - nd) / (nd * nd * (nd - 1.0))
+    agg.select(col("n"), col("n_true"), col("n_false"), col("runs"),
+      when(col("n_true") > 0L && col("n_false") > 0L && sigma2 > 0.0,
+        round((col("runs").cast("double") - mu) / sqrt(sigma2), 6))
+        .as("z_stat"))
+  }
+
   /** X281 — Durbin-Watson first-order autocorrelation test on the
     * residuals of the series' own OLS time trend: detrend x_t against
     * the period index with the closed-form slope/intercept (exact

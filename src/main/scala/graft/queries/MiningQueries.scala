@@ -3503,6 +3503,219 @@ object MiningQueries {
             .when(size(split($"text", " ")) < 70, 1).otherwise(2)
             .as("yb"))
         CorpusOps.gkGamma(banded, "xb", "yb")
+      }),
+
+    // X296: Wilcoxon signed-rank on the paired per-doc difference
+    // n_chars - 5*word_count (chars vs the 5-chars-per-word prior).
+    QueryDef(
+      "q_wilcoxon",
+      Some("""
+        WITH base AS (
+          SELECT CAST(round((n_chars - 5 * len(string_split(text, ' ')))
+            * 1000000.0) AS BIGINT) AS d
+          FROM documents
+        ), zeros AS (
+          SELECT CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero
+          FROM base
+        ), per AS (
+          SELECT abs(d) AS v,
+                 CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS pv,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM base WHERE d <> 0 GROUP BY 1
+        ), rho AS (
+          SELECT pv, c,
+                 2 * (sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - c) + c + 1 AS rho
+          FROM per
+        ), agg AS (
+          SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS n,
+                 coalesce(sum(CAST(pv AS HUGEINT) * rho), 0) AS w2,
+                 coalesce(sum(CAST(c AS HUGEINT) * c * c - c), 0)
+                   AS ties
+          FROM rho
+        )
+        SELECT n AS n_nonzero, n_zero,
+               round(CAST(w2 AS DOUBLE) / 2.0, 6) AS w_plus,
+               CASE WHEN n > 0 AND CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) + 1.0)
+                   * (2.0 * CAST(n AS DOUBLE) + 1.0) / 6.0
+                   - CAST(ties AS DOUBLE) / 12.0 > 0 THEN
+                 round((CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE)
+                     * (CAST(n AS DOUBLE) + 1.0) / 2.0)
+                   / (2.0 * sqrt((CAST(n AS DOUBLE)
+                     * (CAST(n AS DOUBLE) + 1.0)
+                     * (2.0 * CAST(n AS DOUBLE) + 1.0) / 6.0
+                     - CAST(ties AS DOUBLE) / 12.0) / 4.0)), 6) END
+                 AS z_stat
+        FROM agg, zeros
+      """.trim),
+      "X296 Wilcoxon signed-rank: chars vs 5-per-word prior")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.wilcoxonSignedRank(table(spark, dir, "documents"),
+          $"n_chars" - lit(5) * size(split($"text", " ")))
+      }),
+
+    // X297: Bartlett's variance homogeneity across sources — the
+    // parametric sibling reported beside q_levene.
+    QueryDef(
+      "q_bartlett",
+      Some("""
+        WITH cells AS (
+          SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(round(n_chars * 1000000.0) AS HUGEINT))
+                   AS s,
+                 sum(CAST(round(n_chars * 1000000.0) AS HUGEINT)
+                   * CAST(round(n_chars * 1000000.0) AS HUGEINT))
+                   AS ss
+          FROM documents GROUP BY 1
+        ), cv AS (
+          SELECT g, n,
+                 (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                   * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) AS vi
+          FROM cells
+        ), w AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(n) AS BIGINT) AS n_total,
+                 sum(CASE WHEN n > 1 AND vi > 0
+                   THEN (CAST(n AS DOUBLE) - 1.0) * vi END)
+                   AS poolednum,
+                 sum(CASE WHEN n > 1 AND vi > 0
+                   THEN (CAST(n AS DOUBLE) - 1.0) * ln(vi) END)
+                   AS lnsum,
+                 sum(CASE WHEN n > 1
+                   THEN 1.0 / (CAST(n AS DOUBLE) - 1.0) END)
+                   AS invsum,
+                 CAST(sum(CASE WHEN n < 2 OR NOT (vi > 0)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS bad
+          FROM cv
+        )
+        SELECT n_groups, n_total, n_groups - 1 AS df,
+               CASE WHEN n_groups > 1 AND bad = 0
+                 AND n_total > n_groups THEN
+                 round(((CAST(n_total AS DOUBLE)
+                     - CAST(n_groups AS DOUBLE))
+                   * ln(poolednum / (CAST(n_total AS DOUBLE)
+                     - CAST(n_groups AS DOUBLE))) - lnsum)
+                 / (1.0 + (invsum - 1.0 / (CAST(n_total AS DOUBLE)
+                     - CAST(n_groups AS DOUBLE)))
+                   / (3.0 * (CAST(n_groups AS DOUBLE) - 1.0))), 6)
+                 END AS t_stat
+        FROM w
+      """.trim),
+      "X297 Bartlett variance homogeneity across sources")(
+      (spark, dir) => {
+        Hypothesis.bartlett(table(spark, dir, "documents"), "source",
+          "n_chars")
+      }),
+
+    // X298: Grubbs' extreme outlier on doc length — names the single
+    // worst row with a testable statistic.
+    QueryDef(
+      "q_grubbs",
+      Some("""
+        WITH base AS (
+          SELECT CAST(round(n_chars * 1000000.0) AS BIGINT) AS q
+          FROM documents
+        ), sums AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(q AS HUGEINT)) AS s,
+                 sum(CAST(q AS HUGEINT) * q) AS ss
+          FROM base
+        ), devs AS (
+          SELECT q, abs(CAST(q AS HUGEINT) * n - s) AS dev, n, s, ss
+          FROM base, sums
+        ), md AS (SELECT max(dev) AS mdv FROM devs),
+        arg AS (
+          SELECT min(q) AS argq, max(n) AS n, max(s) AS s,
+                 max(ss) AS ss, max(mdv) AS mdv
+          FROM devs, md WHERE dev = mdv
+        )
+        SELECT n,
+               round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6)
+                 AS mean,
+               CASE WHEN n > 1 AND (CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+                   > 0 THEN
+                 round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                     * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0)) / 1e6, 6) END AS sd,
+               CASE WHEN n > 2 AND (CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+                   > 0 THEN
+                 round(CAST(mdv AS DOUBLE) / CAST(n AS DOUBLE)
+                   / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                     * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0)), 6) END AS g_stat,
+               round(CAST(argq AS DOUBLE) / 1e6, 6) AS outlier_value
+        FROM arg
+      """.trim),
+      "X298 Grubbs extreme-outlier statistic on doc length")(
+      (spark, dir) => {
+        Hypothesis.grubbs(table(spark, dir, "documents"), "n_chars")
+      }),
+
+    // X299: runs test on the above-mean daily flag — regime
+    // stretches the ACF only sees in aggregate.
+    QueryDef(
+      "q_runs_test",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS nn,
+                 CAST(sum(v) AS BIGINT) AS s
+          FROM daily
+        ), base AS (
+          SELECT d, CASE WHEN v * nn > s THEN 1 ELSE 0 END AS x
+          FROM daily, tot
+        ), lagged AS (
+          SELECT x, lag(x, 1) OVER (ORDER BY d) AS prev FROM base
+        ), agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS n_true,
+                 CAST(count(*) - sum(x) AS BIGINT) AS n_false,
+                 CAST(1 + sum(CASE WHEN prev IS NOT NULL
+                   AND prev <> x THEN 1 ELSE 0 END) AS BIGINT) AS runs
+          FROM lagged
+        )
+        SELECT n, n_true, n_false, runs,
+               CASE WHEN n_true > 0 AND n_false > 0 AND
+                 2.0 * CAST(n_true AS DOUBLE)
+                   * CAST(n_false AS DOUBLE)
+                 * (2.0 * CAST(n_true AS DOUBLE)
+                   * CAST(n_false AS DOUBLE) - CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) - 1.0)) > 0 THEN
+                 round((CAST(runs AS DOUBLE)
+                   - (2.0 * CAST(n_true AS DOUBLE)
+                     * CAST(n_false AS DOUBLE) / CAST(n AS DOUBLE)
+                     + 1.0))
+                 / sqrt(2.0 * CAST(n_true AS DOUBLE)
+                   * CAST(n_false AS DOUBLE)
+                 * (2.0 * CAST(n_true AS DOUBLE)
+                   * CAST(n_false AS DOUBLE) - CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) - 1.0))), 6) END AS z_stat
+        FROM agg
+      """.trim),
+      "X299 runs test on the above-mean daily-count flag")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        val tot = daily.agg(count(lit(1)).cast("long").as("nn"),
+          sum($"v").cast("long").as("s"))
+        val flagged = daily.crossJoin(broadcast(tot))
+        TimeSeries.runsTest(flagged, "d", $"v" * $"nn" > $"s")
       })
   )
 }
