@@ -616,6 +616,171 @@ object TimeSeries {
         .as("z_stat"))
   }
 
+  /** X300 — Dickey-Fuller unit-root t statistic (constant, no trend,
+    * lag 0): regress Δx_t on x_{t−1}, report ρ̂ and t = ρ̂/se(ρ̂) —
+    * "is this series mean-reverting or a random walk", the question
+    * under every [[mannKendall]] trend call and X112 z-score (both
+    * assume SOME stationarity; a unit root makes their thresholds
+    * fiction). t ≪ 0 rejects the unit root; compare to the
+    * Dickey-Fuller (not normal) critical values, e.g. −2.86 at 5%.
+    *
+    * Everything is closed-form from ONE pass of exact integer sums —
+    * x and y = Δx are integers, so Sxx/Sxy/Syy fold exactly in
+    * decimal and RSS = Syy − ρ̂·Sxy needs no residual pass (the
+    * interruptedSeries OLS machinery, minus the second scan).
+    * Period-bounded lag window only. NULL on n < 3 or zero Sxx.
+    */
+  def dickeyFuller(series: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col("__o"))
+    val base = series.select(col(valueCol).cast("long").as("__v"),
+        col(orderCol).as("__o"))
+      .withColumn("__prev", lag(col("__v"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("__prev").as("__x"),
+        (col("__v") - col("__prev")).as("__y"))
+    val sums = base.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("__x").cast(dec)).cast(dec).as("__sx"),
+      sum(col("__y").cast(dec)).cast(dec).as("__sy"),
+      sum((col("__x").cast(dec) * col("__x")).cast(dec)).cast(dec)
+        .as("__sxx"),
+      sum((col("__x").cast(dec) * col("__y")).cast(dec)).cast(dec)
+        .as("__sxy"),
+      sum((col("__y").cast(dec) * col("__y")).cast(dec)).cast(dec)
+        .as("__syy"))
+    def d(c: Column) = c.cast("double")
+    val nd = d(col("n"))
+    val sxx = d(col("__sxx")) - d(col("__sx")) * d(col("__sx")) / nd
+    val sxy = d(col("__sxy")) - d(col("__sx")) * d(col("__sy")) / nd
+    val syy = d(col("__syy")) - d(col("__sy")) * d(col("__sy")) / nd
+    val rho = sxy / when(sxx > 0.0, sxx)
+    val rss = syy - rho * sxy
+    val se = sqrt(rss / (nd - 2.0) / sxx)
+    val ok = col("n") > 2L && sxx > 0.0 && rss > 0.0
+    sums.select(col("n"),
+      when(sxx > 0.0, round(rho, 6)).as("rho"),
+      when(ok, round(rho / se, 6)).as("df_t"))
+  }
+
+  /** X301 — retrospective single-changepoint locator (binary
+    * segmentation, step one): the split t maximizing \|C_t\| where
+    * C_t = prefixSum_t − (t/n)·total — the "WHEN did the level
+    * shift" answer to go with [[cusum]]'s online "has it shifted"
+    * alarm. n·C_t = n·P_t − t·S is an EXACT integer, so the argmax
+    * (ties → earliest period) is engine-exact; means before/after
+    * the split are exact rationals, round(6). Two period-bounded
+    * ordered passes (prefix sums + the argmax pick).
+    */
+  def changepoint(series: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col("__o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = series.select(col(valueCol).cast("long").as("__v"),
+        col(orderCol).as("__o"))
+      .withColumn("__t",
+        count(lit(1)).over(w).cast("long"))
+      .withColumn("__p", sum(col("__v")).over(w).cast(dec))
+    val tot = base.agg(max(col("__t")).as("__n"),
+      sum(col("__v")).cast(dec).as("__s"))
+    val scored = base.crossJoin(broadcast(tot))
+      .filter(col("__t") < col("__n")) // a split needs both sides
+      .withColumn("__g",
+        abs(col("__p") * col("__n") - col("__s") * col("__t"))
+          .cast(dec))
+    val best = scored.agg(max(col("__g")).as("__gmax"))
+    scored.crossJoin(broadcast(best))
+      .filter(col("__g") === col("__gmax"))
+      .groupBy(col("__n"), col("__s"), col("__gmax"))
+      .agg(min(col("__t")).as("__tbest"))
+      .join(scored.select(col("__t").as("__tbest"), col("__o"),
+        col("__p")), Seq("__tbest"))
+      .select(col("__o").as("changepoint_at"),
+        col("__tbest").as("split_index"),
+        col("__n").cast("long").as("n"),
+        round(col("__gmax").cast("double") /
+          col("__n").cast("double"), 6).as("cusum_max"),
+        round(col("__p").cast("double") /
+          col("__tbest").cast("double"), 6).as("mean_before"),
+        round((col("__s") - col("__p")).cast("double") /
+          (col("__n") - col("__tbest")).cast("double"), 6)
+          .as("mean_after"))
+  }
+
+  /** X302 — EWMA smoothing with a bounded lookback: s_t =
+    * Σ_{j<w} (1−λ)^j·x_{t−j} / Σ_{j<w} (1−λ)^j over the ordered
+    * period series — the control-chart level line whose deviations
+    * X112's rolling z reads, with the truncated-window normalization
+    * making early rows proper weighted means instead of biased-low
+    * warmup. The frame is collect_list over a BOUNDED window (w
+    * rows, frame order = period order), folded by a fixed-shape
+    * weight expression; with λ = 0.5 (the query's choice) every
+    * weight is an exact power of two, so both engines fold identical
+    * doubles. Period-bounded; round(6).
+    */
+  def ewma(series: DataFrame, orderCol: String, valueCol: String,
+      lambda: Double = 0.5, lookback: Int = 8): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"bad lambda $lambda")
+    require(lookback >= 1 && lookback <= 64, s"bad lookback $lookback")
+    val w = Window.orderBy(col("__o"))
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    val r = 1.0 - lambda
+    series.select(col(orderCol).as("__o"), col(valueCol).as("__raw"),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__frame", collect_list(col("__v")).over(w))
+      .select(col("__o").as(orderCol), col("__raw").as("value"),
+        round(expr(
+          s"""aggregate(zip_with(__frame,
+                sequence(size(__frame) - 1, 0, -1),
+                (x, j) -> x * power($r, j)),
+              CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""") /
+          expr(s"""aggregate(sequence(0, size(__frame) - 1),
+              CAST(0.0 AS DOUBLE), (acc, j) -> acc + power($r, j))"""),
+          6).as("ewma"))
+  }
+
+  /** X303 — one-step-ahead forecast backtest: naive (ŷ = x_{t−1})
+    * vs seasonal-naive (ŷ = x_{t−season}) on the same series, each
+    * scored with MAE, RMSE, and SMAPE — the baseline table every
+    * "should we build a forecaster" conversation starts from (if
+    * seasonal-naive already hits 5% SMAPE, don't). Errors are exact
+    * integers from the lag windows; MAE/RMSE are one division each;
+    * SMAPE's per-row rational quantizes to nano before the fold (the
+    * nelsonAalen convention). Period-bounded lag windows only.
+    */
+  def forecastBacktest(series: DataFrame, orderCol: String,
+      valueCol: String, season: Int = 7): DataFrame = {
+    require(season >= 2, s"bad season $season")
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col("__o"))
+    val base = series.select(col(valueCol).cast("long").as("__v"),
+        col(orderCol).as("__o"))
+      .withColumn("__naive", lag(col("__v"), 1).over(w))
+      .withColumn("__seasonal", lag(col("__v"), season).over(w))
+    def score(predCol: String, label: String): DataFrame = {
+      val e = col("__v") - col(predCol)
+      val smapeTerm = round(
+        lit(2.0) * abs(e).cast("double") /
+          (abs(col("__v")) + abs(col(predCol))).cast("double") * 1e9,
+        0).cast("long")
+      base.filter(col(predCol).isNotNull &&
+          (abs(col("__v")) + abs(col(predCol))) > 0L)
+        .agg(count(lit(1)).cast("long").as("n_forecasts"),
+          sum(abs(e).cast(dec)).cast(dec).as("__sae"),
+          sum((e.cast(dec) * e).cast(dec)).cast(dec).as("__sse"),
+          sum(smapeTerm).cast("long").as("__ssm"))
+        .select(lit(label).as("method"), col("n_forecasts"),
+          round(col("__sae").cast("double") / col("n_forecasts"), 6)
+            .as("mae"),
+          round(sqrt(col("__sse").cast("double") /
+            col("n_forecasts")), 6).as("rmse"),
+          round(col("__ssm").cast("double") / 1e9 /
+            col("n_forecasts"), 6).as("smape"))
+    }
+    score("__naive", "naive").unionAll(score("__seasonal", "seasonal"))
+  }
+
   /** X281 — Durbin-Watson first-order autocorrelation test on the
     * residuals of the series' own OLS time trend: detrend x_t against
     * the period index with the closed-form slope/intercept (exact

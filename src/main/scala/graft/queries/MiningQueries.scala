@@ -3716,6 +3716,187 @@ object MiningQueries {
           sum($"v").cast("long").as("s"))
         val flagged = daily.crossJoin(broadcast(tot))
         TimeSeries.runsTest(flagged, "d", $"v" * $"nn" > $"s")
+      }),
+
+    // X300: Dickey-Fuller unit root on the daily series — is there
+    // mean reversion for the trend/z machinery to lean on.
+    QueryDef(
+      "q_dickey_fuller",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1
+        ), lagged AS (
+          SELECT v, lag(v, 1) OVER (ORDER BY d) AS prev FROM daily
+        ), base AS (
+          SELECT prev AS x, v - prev AS y FROM lagged
+          WHERE prev IS NOT NULL
+        ), sums AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM base
+        ), m AS (
+          SELECT n,
+                 CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cxx,
+                 CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cxy,
+                 CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy
+          FROM sums
+        )
+        SELECT n,
+               CASE WHEN cxx > 0 THEN round(cxy / cxx, 6) END AS rho,
+               CASE WHEN n > 2 AND cxx > 0
+                 AND cyy - cxy / cxx * cxy > 0 THEN
+                 round((cxy / cxx) / sqrt((cyy - cxy / cxx * cxy)
+                   / (CAST(n AS DOUBLE) - 2.0) / cxx), 6) END AS df_t
+        FROM m
+      """.trim),
+      "X300 Dickey-Fuller unit-root t on daily counts")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.dickeyFuller(daily, "d", "v")
+      }),
+
+    // X301: the single most likely level-shift day in the daily
+    // series — binary segmentation step one, integer-exact argmax.
+    QueryDef(
+      "q_changepoint",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1
+        ), pre AS (
+          SELECT d, v,
+                 CAST(count(*) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS t,
+                 sum(CAST(v AS HUGEINT)) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS p
+          FROM daily
+        ), tot AS (
+          SELECT CAST(max(t) AS BIGINT) AS n,
+                 sum(CAST(v AS HUGEINT)) AS s
+          FROM pre
+        ), scored AS (
+          SELECT d, t, p, n, s, abs(p * n - s * t) AS g
+          FROM pre, tot WHERE t < n
+        ), best AS (SELECT max(g) AS gmax FROM scored),
+        pick AS (
+          SELECT min(t) AS tbest FROM scored, best WHERE g = gmax
+        )
+        SELECT d AS changepoint_at, t AS split_index, n,
+               round(CAST(gmax AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS cusum_max,
+               round(CAST(p AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                 AS mean_before,
+               round(CAST(s - p AS DOUBLE) / CAST(n - t AS DOUBLE), 6)
+                 AS mean_after
+        FROM scored, best, pick WHERE t = tbest
+      """.trim),
+      "X301 single changepoint locator on daily counts")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.changepoint(daily, "d", "v")
+      }),
+
+    // X302: EWMA level line (lambda = 0.5, 8-row lookback — every
+    // weight an exact power of two, so both engines fold identical
+    // doubles regardless of order).
+    QueryDef(
+      "q_ewma",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1
+        ), idx AS (
+          SELECT d, v,
+                 CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+          FROM daily
+        ), joined AS (
+          SELECT a.d, a.v,
+                 sum(CAST(b.v AS DOUBLE) * power(0.5, a.t - b.t))
+                   AS num,
+                 sum(power(0.5, a.t - b.t)) AS den
+          FROM idx a JOIN idx b ON b.t BETWEEN a.t - 7 AND a.t
+          GROUP BY a.d, a.v
+        )
+        SELECT d, v AS value, round(num / den, 6) AS ewma
+        FROM joined ORDER BY d
+      """.trim),
+      "X302 EWMA level line on daily counts (lambda 0.5, w 8)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.ewma(daily, "d", "v", lambda = 0.5, lookback = 8)
+          .orderBy($"d")
+      }),
+
+    // X303: naive vs seasonal-naive backtest — the baseline table a
+    // forecasting conversation starts from.
+    QueryDef(
+      "q_forecast_backtest",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1
+        ), lagged AS (
+          SELECT v, lag(v, 1) OVER (ORDER BY d) AS nv,
+                 lag(v, 7) OVER (ORDER BY d) AS sv
+          FROM daily
+        ), n1 AS (
+          SELECT 'naive' AS method,
+                 CAST(count(*) AS BIGINT) AS n_forecasts,
+                 sum(CAST(abs(v - nv) AS HUGEINT)) AS sae,
+                 sum(CAST(v - nv AS HUGEINT) * (v - nv)) AS sse,
+                 CAST(sum(CAST(round(2.0
+                   * CAST(abs(v - nv) AS DOUBLE)
+                   / CAST(abs(v) + abs(nv) AS DOUBLE) * 1e9)
+                   AS BIGINT)) AS BIGINT) AS ssm
+          FROM lagged
+          WHERE nv IS NOT NULL AND abs(v) + abs(nv) > 0
+        ), n7 AS (
+          SELECT 'seasonal' AS method,
+                 CAST(count(*) AS BIGINT) AS n_forecasts,
+                 sum(CAST(abs(v - sv) AS HUGEINT)) AS sae,
+                 sum(CAST(v - sv AS HUGEINT) * (v - sv)) AS sse,
+                 CAST(sum(CAST(round(2.0
+                   * CAST(abs(v - sv) AS DOUBLE)
+                   / CAST(abs(v) + abs(sv) AS DOUBLE) * 1e9)
+                   AS BIGINT)) AS BIGINT) AS ssm
+          FROM lagged
+          WHERE sv IS NOT NULL AND abs(v) + abs(sv) > 0
+        ), u AS (SELECT * FROM n1 UNION ALL SELECT * FROM n7)
+        SELECT method, n_forecasts,
+               round(CAST(sae AS DOUBLE) / n_forecasts, 6) AS mae,
+               round(sqrt(CAST(sse AS DOUBLE) / n_forecasts), 6)
+                 AS rmse,
+               round(CAST(ssm AS DOUBLE) / 1e9 / n_forecasts, 6)
+                 AS smape
+        FROM u ORDER BY method
+      """.trim),
+      "X303 naive vs seasonal-naive one-step backtest on daily counts")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.forecastBacktest(daily, "d", "v", season = 7)
+          .orderBy($"method")
       })
   )
 }
