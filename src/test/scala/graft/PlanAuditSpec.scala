@@ -1162,4 +1162,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "the deviation pass shuffled the full scan against the means")
   }
+
+  test("q_collocations: margins come back as broadcast joins onto " +
+    "the vocabulary-bounded count table; bigram extraction is " +
+    "join-free (no shuffle before the first aggregate)") {
+    val p = plan("q_collocations")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"margins joined without broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"),
+      "a shuffle/pair join crept into collocation counting")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "bigram counting lost its partial agg")
+  }
+
+  test("q_grubbs and q_neyman: scan-side stats broadcast back; " +
+    "never a shuffle join of the data against its own aggregate") {
+    Seq("q_grubbs", "q_neyman").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q shuffled the scan against its stats:\n${p.take(1200)}")
+    }
+  }
 }
