@@ -337,6 +337,127 @@ object Hypothesis {
         (col("__adj") <= alpha).as("reject"))
   }
 
+  /** X306 — Benjamini-Yekutieli step-up FDR under ARBITRARY
+    * dependence: BH ([[bhAdjust]]) scaled by the harmonic number
+    * H(m) = Σ1/k — the correction to reach for when the per-slice
+    * p-values share machinery (overlapping windows, nested slices,
+    * one model scoring all of them) and BH's independence-ish
+    * assumption is indefensible; costs a log(m) factor of power for
+    * a guarantee that survives any correlation. H(m) folds
+    * left-to-right over sequence(1..m) — the IDENTICAL fold exists
+    * in both engines (aggregate ≡ list_reduce), so the doubles
+    * match bit-for-bit. Same slice-bounded window shape as BH.
+    */
+  def byAdjust(df: DataFrame, keyCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"bad alpha $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val m = df.agg(count(lit(1)).as("__m"))
+      .withColumn("__hm", expr(
+        "aggregate(sequence(1, __m), cast(0.0 as double), " +
+          "(acc, k) -> acc + 1.0 / k)"))
+    val wAsc = Window.orderBy(col(pCol).asc, col(keyCol).asc)
+    val wDesc = Window.orderBy(col(pCol).desc, col(keyCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), col(pCol))
+      .crossJoin(broadcast(m))
+      .withColumn("__rank", row_number().over(wAsc).cast("long"))
+      .withColumn("__raw",
+        col(pCol) * col("__m") * col("__hm") / col("__rank"))
+      .withColumn("__adj", least(lit(1.0), min(col("__raw")).over(wDesc)))
+      .select(col(keyCol), round(col(pCol), 6).as("p_value"),
+        col("__rank").as("p_rank"), round(col("__hm"), 6).as("h_m"),
+        round(col("__adj"), 6).as("p_adj"),
+        (col("__adj") <= alpha).as("reject"))
+  }
+
+  /** X304 — post-hoc pairwise contrasts after [[oneWayAnova]]: for
+    * every group pair, the mean difference, its pooled-MSW standard
+    * error se = √(MSW·(1/n_a + 1/n_b)), and t = diff/se — the table
+    * that answers "WHICH groups differ" after the omnibus F says
+    * "some do" (compare \|t\|·√2 against studentized-range critical
+    * values for Tukey HSD, or feed the implied p's to
+    * [[holmAdjust]]). Groups-bounded pair join (k² rows); means and
+    * MSW from the X266 exact micro sums; NULL se on degenerate
+    * designs.
+    */
+  def pairwiseContrasts(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = round(col(valueCol) * 1e6, 0).cast("long")
+    val cells = df.select(col(groupCol).as("__g"), q.as("__q"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("__q").cast(dec)).cast(dec).as("__s"),
+        sum((col("__q").cast(dec) * col("__q")).cast(dec)).cast(dec)
+          .as("__ss"))
+    val msw = cells.agg(count(lit(1)).cast("long").as("__k"),
+        sum(col("__n")).cast("long").as("__nT"),
+        sum(col("__ss").cast("double") -
+          col("__s").cast("double") * col("__s").cast("double") /
+            col("__n").cast("double")).as("__ssw"))
+      .select(col("__k"), col("__nT"),
+        (col("__ssw") / (col("__nT") - col("__k")).cast("double"))
+          .as("__msw"))
+    val a = cells.select(col("__g").as("group_a"),
+      col("__n").as("n_a"), col("__s").as("__sa"))
+    val b = cells.select(col("__g").as("group_b"),
+      col("__n").as("n_b"), col("__s").as("__sb"))
+    val pairs = a.crossJoin(b).filter(col("group_a") < col("group_b"))
+      .crossJoin(broadcast(msw))
+    val ma = col("__sa").cast("double") / col("n_a")
+    val mb = col("__sb").cast("double") / col("n_b")
+    val se = sqrt(col("__msw") * (lit(1.0) / col("n_a") +
+      lit(1.0) / col("n_b")))
+    val ok = col("__nT") > col("__k") && col("__msw") > 0.0
+    pairs.select(col("group_a"), col("group_b"), col("n_a"),
+      col("n_b"),
+      round((ma - mb) / 1e6, 6).as("mean_diff"),
+      when(ok, round(se / 1e6, 6)).as("se"),
+      when(ok, round((ma - mb) / se, 6)).as("t_stat"))
+  }
+
+  /** X307 — Mood's median test: per group, counts above vs at-or-
+    * below the GLOBAL exact median (the X60 sort-free bisection
+    * median — never a value sort), then the k×2 Pearson χ² — the
+    * crudest-but-bulletproof k-group location test: immune to any
+    * outlier magnitude, defensible when even rank machinery
+    * ([[kruskalWallis]]) is suspect (e.g. wild censoring). Exact
+    * integer cells; χ² is a fixed-shape per-group expression folded
+    * cells-bounded (the mutualInformation precedent), round(6).
+    */
+  def moodMedianTest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val vals = df.select(col(groupCol).as("__g"),
+      round(col(valueCol) * 1e6, 0).cast("long").as("__q"))
+    val med = Quantiles.exactQuantile(
+      vals.select(col("__q").as("v")), "v", 0.5)
+    val cells = vals.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(when(col("__q") > med, 1L).otherwise(0L)).cast("long")
+          .as("__a"))
+    val tot = cells.agg(sum(col("__n")).cast("long").as("__nT"),
+      sum(col("__a")).cast("long").as("__aT"))
+    val j = cells.crossJoin(broadcast(tot))
+    val ea = col("__n").cast("double") * col("__aT") / col("__nT")
+    val eb = col("__n").cast("double") * (col("__nT") - col("__aT")) /
+      col("__nT")
+    val term =
+      (col("__a").cast("double") - ea) * (col("__a").cast("double") - ea) /
+        when(ea > 0.0, ea) +
+      ((col("__n") - col("__a")).cast("double") - eb) *
+        ((col("__n") - col("__a")).cast("double") - eb) /
+        when(eb > 0.0, eb)
+    val agg = j.agg(count(lit(1)).cast("long").as("n_groups"),
+      max(col("__nT")).as("n_total"), max(col("__aT")).as("__aT"),
+      sum(term).as("__chi2"))
+    agg.select(col("n_groups"), col("n_total"),
+      round(lit(med.toDouble) / 1e6, 6).as("median"),
+      (col("n_groups") - 1L).as("df"),
+      when(col("__aT") > 0L && col("__aT") < col("n_total"),
+        round(col("__chi2"), 6)).as("chi2"))
+  }
+
   /** X152 — Krippendorff's alpha (nominal scale, two raters, no
     * missing values): α = 1 − (n−1)·ΣoffDiag(o)/De with the
     * coincidence matrix o folded down to three exact integers —

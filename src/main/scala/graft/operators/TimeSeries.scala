@@ -740,6 +740,52 @@ object TimeSeries {
           6).as("ewma"))
   }
 
+  /** X305 — classical seasonal decomposition, the per-phase table:
+    * detrend with a centered moving average of length `period` (odd;
+    * rows lacking the full window drop), then each phase's seasonal
+    * effect is the mean detrended value, CENTERED so effects sum to
+    * ~0 — "Mondays run +1.8k events above trend", the calendar prior
+    * under [[seasonalProfile]]'s raw buckets and the input X303's
+    * seasonal-naive implicitly assumes. Detrended values are exact
+    * rationals ((x·p − windowSum)/p — integer numerators from the
+    * bounded window); per-phase means are one double division each,
+    * nano-quantized before the across-phase centering fold so the
+    * grand mean is engine-exact. Period-bounded end to end.
+    */
+  def seasonalDecompose(series: DataFrame, orderCol: String,
+      valueCol: String, period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1, s"period must be odd >= 3")
+    val half = period / 2
+    val w = Window.orderBy(col("__o"))
+    val wMa = Window.orderBy(col("__o")).rowsBetween(-half, half)
+    val dec = "decimal(38,0)"
+    val base = series.select(col(valueCol).cast("long").as("__v"),
+        col(orderCol).as("__o"))
+      .withColumn("__t", row_number().over(w).cast("long"))
+      .withColumn("__wsum", sum(col("__v")).over(wMa).cast(dec))
+      .withColumn("__wc", count(lit(1)).over(wMa))
+      .filter(col("__wc") === period)
+      // detrended numerator: x·period − windowSum (exact integer)
+      .withColumn("__dn",
+        (col("__v").cast(dec) * period - col("__wsum")).cast(dec))
+      .withColumn("__phase", pmod(col("__t") - 1L, lit(period.toLong)))
+    val perPhase = base.groupBy(col("__phase").as("phase"))
+      .agg(count(lit(1)).cast("long").as("n_obs"),
+        sum(col("__dn")).cast(dec).as("__sdn"))
+      .withColumn("__eff",
+        col("__sdn").cast("double") /
+          (lit(period.toDouble) * col("n_obs")))
+      .withColumn("__effn", round(col("__eff") * 1e9, 0).cast("long"))
+    val grand = perPhase.agg(
+      (sum(col("__effn")).cast("double") / count(lit(1)))
+        .as("__gm")) // exact long sum, one double division
+    perPhase.crossJoin(broadcast(grand))
+      .select(col("phase").cast("long").as("phase"), col("n_obs"),
+        round(col("__eff"), 6).as("raw_effect"),
+        round((col("__effn").cast("double") - col("__gm")) / 1e9, 6)
+          .as("seasonal"))
+  }
+
   /** X303 — one-step-ahead forecast backtest: naive (ŷ = x_{t−1})
     * vs seasonal-naive (ŷ = x_{t−season}) on the same series, each
     * scored with MAE, RMSE, and SMAPE — the baseline table every

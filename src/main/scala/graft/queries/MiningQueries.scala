@@ -3897,6 +3897,248 @@ object MiningQueries {
           .agg(count(lit(1)).cast("long").as("v"))
         TimeSeries.forecastBacktest(daily, "d", "v", season = 7)
           .orderBy($"method")
+      }),
+
+    // X304: post-hoc pairwise language contrasts after q_anova —
+    // WHICH language pairs differ in mean length.
+    QueryDef(
+      "q_pairwise_contrasts",
+      Some("""
+        WITH cells AS (
+          SELECT lang AS g, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(round(n_chars * 1000000.0) AS HUGEINT))
+                   AS s,
+                 sum(CAST(round(n_chars * 1000000.0) AS HUGEINT)
+                   * CAST(round(n_chars * 1000000.0) AS HUGEINT))
+                   AS ss
+          FROM documents GROUP BY 1
+        ), msw0 AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS nt,
+                 sum(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                   * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS ssw
+          FROM cells
+        ), m2 AS (
+          SELECT k, nt, ssw / CAST(nt - k AS DOUBLE) AS msw FROM msw0
+        )
+        SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+               round((CAST(a.s AS DOUBLE) / a.n
+                 - CAST(b.s AS DOUBLE) / b.n) / 1e6, 6) AS mean_diff,
+               CASE WHEN nt > k AND msw > 0 THEN
+                 round(sqrt(msw * (1.0 / a.n + 1.0 / b.n)) / 1e6, 6)
+                 END AS se,
+               CASE WHEN nt > k AND msw > 0 THEN
+                 round((CAST(a.s AS DOUBLE) / a.n
+                   - CAST(b.s AS DOUBLE) / b.n)
+                 / sqrt(msw * (1.0 / a.n + 1.0 / b.n)), 6) END
+                 AS t_stat
+        FROM cells a JOIN cells b ON a.g < b.g CROSS JOIN m2
+        ORDER BY group_a, group_b
+      """.trim),
+      "X304 pairwise mean-length contrasts across languages")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.pairwiseContrasts(table(spark, dir, "documents"),
+            "lang", "n_chars")
+          .orderBy($"group_a", $"group_b")
+      }),
+
+    // X305: weekly seasonal decomposition of the daily counts — the
+    // per-phase effect table under the seasonal-naive baseline.
+    QueryDef(
+      "q_seasonal_decompose",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1
+        ), idx AS (
+          SELECT d, v,
+                 CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+                 sum(CAST(v AS HUGEINT)) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum,
+                 count(*) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wc
+          FROM daily
+        ), det AS (
+          SELECT (t - 1) % 7 AS phase,
+                 CAST(v AS HUGEINT) * 7 - wsum AS dn
+          FROM idx WHERE wc = 7
+        ), per AS (
+          SELECT phase, CAST(count(*) AS BIGINT) AS n_obs,
+                 sum(dn) AS sdn
+          FROM det GROUP BY 1
+        ), eff AS (
+          SELECT phase, n_obs,
+                 CAST(sdn AS DOUBLE) / (7.0 * n_obs) AS eff,
+                 CAST(round(CAST(sdn AS DOUBLE) / (7.0 * n_obs) * 1e9)
+                   AS BIGINT) AS effn
+          FROM per
+        ), g AS (
+          SELECT CAST(sum(effn) AS DOUBLE) / count(*) AS gm FROM eff
+        )
+        SELECT phase, n_obs, round(eff, 6) AS raw_effect,
+               round((CAST(effn AS DOUBLE) - gm) / 1e9, 6) AS seasonal
+        FROM eff, g ORDER BY phase
+      """.trim),
+      "X305 weekly seasonal effects of the daily count series")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.seasonalDecompose(daily, "d", "v", period = 7)
+          .orderBy($"phase")
+      }),
+
+    // X306: Benjamini-Yekutieli over the same per-source GOF
+    // p-values as q_bh_fdr/q_holm — the dependence-proof FDR gate.
+    QueryDef(
+      "q_by_fdr",
+      Some("""
+        WITH b AS (
+          SELECT source,
+                 CASE WHEN n_chars < 150 THEN 0
+                      WHEN n_chars < 350 THEN 1 ELSE 2 END AS band
+          FROM documents
+        ), c AS (
+          SELECT source,
+                 CAST(sum(CASE WHEN band = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS o0,
+                 CAST(sum(CASE WHEN band = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS o1,
+                 CAST(sum(CASE WHEN band = 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS o2
+          FROM b GROUP BY 1
+        ), g AS (
+          SELECT CAST(sum(o0) AS BIGINT) AS g0,
+                 CAST(sum(o1) AS BIGINT) AS g1,
+                 CAST(sum(o2) AS BIGINT) AS g2,
+                 CAST(sum(o0 + o1 + o2) AS BIGINT) AS n
+          FROM c
+        ), x AS (
+          SELECT source,
+            (CAST(o0 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g0 / n)
+            * (CAST(o0 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g0 / n)
+            / (CAST(o0 + o1 + o2 AS DOUBLE) * g0 / n)
+            + (CAST(o1 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g1 / n)
+            * (CAST(o1 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g1 / n)
+            / (CAST(o0 + o1 + o2 AS DOUBLE) * g1 / n)
+            + (CAST(o2 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g2 / n)
+            * (CAST(o2 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g2 / n)
+            / (CAST(o0 + o1 + o2 AS DOUBLE) * g2 / n) AS chi2
+          FROM c, g
+        ), p AS (
+          SELECT source, round(exp(-chi2 / 2.0), 9) AS pv FROM x
+        ), r AS (
+          SELECT source, pv,
+                 CAST(row_number() OVER (ORDER BY pv, source)
+                   AS BIGINT) AS rk,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+          FROM p
+        ), h AS (
+          SELECT *, list_reduce(list_transform(range(1, m + 1),
+            k -> 1.0 / k), (a2, b2) -> a2 + b2) AS hm
+          FROM r
+        ), adj AS (
+          SELECT source, pv, rk, hm,
+                 least(1.0, min(pv * m * hm / rk) OVER (
+                   ORDER BY pv DESC, source DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS a
+          FROM h
+        )
+        SELECT source, round(pv, 6) AS p_value, rk AS p_rank,
+               round(hm, 6) AS h_m, round(a, 6) AS p_adj,
+               a <= 0.05 AS reject
+        FROM adj ORDER BY source
+      """.trim),
+      "X306 Benjamini-Yekutieli over the per-source GOF p-table")(
+      (spark, dir) => {
+        import spark.implicits._
+        val band = when($"n_chars" < 150, 0)
+          .when($"n_chars" < 350, 1).otherwise(2)
+        val cells = table(spark, dir, "documents")
+          .select($"source", band.as("band"))
+          .groupBy($"source")
+          .agg(
+            sum(when($"band" === 0, 1L).otherwise(0L)).as("o0"),
+            sum(when($"band" === 1, 1L).otherwise(0L)).as("o1"),
+            sum(when($"band" === 2, 1L).otherwise(0L)).as("o2"))
+        val glob = cells.agg(
+          sum($"o0").cast("long").as("g0"),
+          sum($"o1").cast("long").as("g1"),
+          sum($"o2").cast("long").as("g2"),
+          sum($"o0" + $"o1" + $"o2").cast("long").as("n"))
+        val tot = ($"o0" + $"o1" + $"o2").cast("double")
+        def term(o: String, gc: String) = {
+          val e = tot * col(gc) / $"n"
+          (col(o).cast("double") - e) * (col(o).cast("double") - e) / e
+        }
+        val chi2 = term("o0", "g0") + term("o1", "g1") + term("o2", "g2")
+        val pv = cells.crossJoin(broadcast(glob))
+          .select($"source", round(exp(-chi2 / 2.0), 9).as("pv"))
+        Hypothesis.byAdjust(pv, "source", "pv", alpha = 0.05)
+          .select($"source", $"p_value", $"p_rank", $"h_m", $"p_adj",
+            $"reject")
+          .orderBy($"source")
+      }),
+
+    // X307: Mood's median test — language medians vs the global
+    // exact (bisection) median of doc length.
+    QueryDef(
+      "q_mood_median",
+      Some("""
+        WITH vals AS (
+          SELECT lang AS g,
+                 CAST(round(n_chars * 1000000.0) AS BIGINT) AS q
+          FROM documents
+        ), tot0 AS (SELECT count(*) AS total FROM vals),
+        o AS (
+          SELECT q, sum(cnt) OVER (ORDER BY q) AS cum
+          FROM (SELECT q, count(*) AS cnt FROM vals GROUP BY q)
+        ), med AS (
+          SELECT min(q) AS m FROM o, tot0
+          WHERE cum >= ceil(0.5 * total)
+        ), cells AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN q > (SELECT m FROM med)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS a
+          FROM vals GROUP BY 1
+        ), t AS (
+          SELECT CAST(sum(n) AS BIGINT) AS nt,
+                 CAST(sum(a) AS BIGINT) AS at
+          FROM cells
+        ), terms AS (
+          SELECT g, n, a, nt, at,
+            (CAST(a AS DOUBLE) - CAST(n AS DOUBLE) * at / nt)
+              * (CAST(a AS DOUBLE) - CAST(n AS DOUBLE) * at / nt)
+              / (CAST(n AS DOUBLE) * at / nt)
+            + (CAST(n - a AS DOUBLE)
+                - CAST(n AS DOUBLE) * (nt - at) / nt)
+              * (CAST(n - a AS DOUBLE)
+                - CAST(n AS DOUBLE) * (nt - at) / nt)
+              / (CAST(n AS DOUBLE) * (nt - at) / nt) AS term
+          FROM cells, t
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               max(nt) AS n_total,
+               round(CAST((SELECT m FROM med) AS DOUBLE) / 1e6, 6)
+                 AS median,
+               CAST(count(*) - 1 AS BIGINT) AS df,
+               CASE WHEN max(at) > 0 AND max(at) < max(nt) THEN
+                 round(sum(term), 6) END AS chi2
+        FROM terms
+      """.trim),
+      "X307 Mood's median test of doc length across languages")(
+      (spark, dir) => {
+        Hypothesis.moodMedianTest(table(spark, dir, "documents"),
+          "lang", "n_chars")
       })
   )
 }
