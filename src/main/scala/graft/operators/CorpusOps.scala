@@ -2622,6 +2622,61 @@ object CorpusOps {
           .as("gamma"))
   }
 
+  /** X309 — Gries' DP (deviation of proportions): per term,
+    * DP = ½·Σ_parts \|v_p/f − s_p\| where s_p is part p's share of
+    * ALL corpus tokens — 0 means the term spreads exactly like the
+    * corpus, →1 means it clumps in one part. The dispersion lens a
+    * frequency list lies about: a term can be frequent yet live in
+    * ONE source (boilerplate, a single crawled site), and X217's
+    * burstiness reads per-key arrivals, not corpus balance.
+    *
+    * Exact end to end: \|v_p/f − tok_p/T\| = \|v_p·T − tok_p·f\| /
+    * (f·T) has an INTEGER numerator, parts the term never reaches
+    * contribute their Σ tok_p·f without materializing a grid
+    * (absent-mass identity: Σ_absent tok_p = T − Σ_present tok_p),
+    * and the ONE division by 2fT happens at the end. Headroom:
+    * v·T < 10³⁸ (decimal(38,0)) — at T = 10¹⁴ tokens that allows
+    * per-part term counts to 10²⁴. Vocabulary×parts-bounded; the
+    * top-k cut orders by the ROUNDED DP.
+    */
+  def termDispersion(docs: DataFrame, textCol: String,
+      partCol: String, minCount: Long = 50L, topK: Int = 30)
+      : DataFrame = {
+    require(minCount >= 1 && topK >= 1, "bad params")
+    val dec = "decimal(38,0)"
+    val words = docs.select(col(partCol).as("__p"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+    val cells = words.groupBy(col("__w"), col("__p"))
+      .agg(count(lit(1)).as("__v"))
+    val parts = cells.groupBy(col("__p"))
+      .agg(sum(col("__v")).cast("long").as("__tok"))
+    val tot = parts.agg(sum(col("__tok")).cast("long").as("__T"))
+    // f (the term's total) must exist BEFORE the deviation fold —
+    // one pre-pass over the vocabulary-bounded cell table
+    val f = cells.groupBy(col("__w"))
+      .agg(sum(col("__v")).cast("long").as("__f"))
+    val dev = cells.join(broadcast(parts), Seq("__p"))
+      .join(f, Seq("__w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("__w"), col("__f"), col("__T"))
+      .agg(count(lit(1)).cast("long").as("n_parts"),
+        sum(col("__tok")).cast("long").as("__tokPresent"),
+        sum(abs(col("__v").cast(dec) * col("__T") -
+          col("__tok").cast(dec) * col("__f")).cast(dec)).cast(dec)
+          .as("__dev"))
+      .filter(col("__f") >= minCount)
+    val absent = (col("__T") - col("__tokPresent")).cast(dec) *
+      col("__f")
+    dev.select(col("__w").as("term"), col("__f").as("n_occurrences"),
+        col("n_parts"),
+        round((col("__dev") + absent).cast("double") /
+          (lit(2.0) * col("__f").cast("double") *
+            col("__T").cast("double")), 6).as("dp"))
+      .orderBy(col("dp").desc, col("term"))
+      .limit(topK)
+  }
+
   /** X179 — exact per-group trimmed mean: drop each group's values
     * outside its own exact [q_lo, q_hi] order statistics (the X61
     * multi-pass bisection — skew-proof, no per-group sort) and

@@ -458,6 +458,86 @@ object Hypothesis {
         round(col("__chi2"), 6)).as("chi2"))
   }
 
+  /** X310 — Ansari-Bradley two-sample SCALE test: score each rank
+    * from both ends (a(r) = min(r, N+1−r) — extremes score low,
+    * center scores high), AB = the A-side score sum; if A's values
+    * fan out wider than B's at the same center, A's scores run low —
+    * the NONPARAMETRIC dispersion test beside [[levene]] (means) and
+    * [[bartlett]] (normality-fragile): detects variance drift in
+    * heavy-tailed score/length columns where both parametric tests
+    * mislead.
+    *
+    * Exactness: rank ranges live on the distinct-value pass; each
+    * value's total score S_v = Σ_{r∈[lo,hi]} min(r, N+1−r) is CLOSED
+    * FORM triangular arithmetic (exact decimals — no per-rank
+    * explode); per-value A-share and square terms nano-quantize
+    * before their folds; z uses the finite-population tie-general
+    * moments μ = n₁·S̄, V = n₁n₂(N·ΣA² − S²)/(N²(N−1)), one
+    * fixed-shape double each, round(6).
+    */
+  def ansariBradley(df: DataFrame, valueCol: String, isA: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val per = df.groupBy(round(col(valueCol) * 1e6, 0).cast("long")
+        .as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+      .withColumn("__c", col("__ca") + col("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum(col("__ca")).cast("long").as("__na"),
+      sum(col("__cb")).cast("long").as("__nb"))
+    val ranked = per
+      .withColumn("__hi", sum(col("__c")).over(w))
+      .withColumn("__lo", col("__hi") - col("__c") + 1L)
+      .crossJoin(broadcast(tot))
+      .withColumn("__N", col("__na") + col("__nb"))
+    // DOUBLED score sums keep everything integral: 2·tri(k) = k(k+1)
+    // exactly, so S2_v = 2·Σ_{r=lo..hi} min(r, N+1−r) folds in
+    // decimal with no division until the quantized per-value terms
+    def tri2(c: Column) = (c.cast(dec) * (c + 1L)).cast(dec)
+    val rT = expr("(__N + 1) div 2") // integral div — `/` is double
+    val hiAsc = least(col("__hi"), rT)
+    val ascCnt = greatest(hiAsc - col("__lo") + 1L, lit(0L))
+    val ascSum2 = when(ascCnt > 0L,
+      (tri2(hiAsc) - tri2(col("__lo") - 1L)).cast(dec))
+      .otherwise(lit(0).cast(dec))
+    val loDesc = greatest(col("__lo"), rT + 1L)
+    val descCnt = greatest(col("__hi") - loDesc + 1L, lit(0L))
+    val descSum2 = when(descCnt > 0L,
+      (lit(2L) * (col("__N") + 1L).cast(dec) * descCnt -
+        (tri2(col("__hi")) - tri2(loDesc - 1L))).cast(dec))
+      .otherwise(lit(0).cast(dec))
+    val sv2 = (ascSum2 + descSum2).cast(dec)
+    val scored = ranked.withColumn("__sv2", sv2)
+      .withColumn("__abTerm",
+        round(col("__ca").cast("double") * col("__sv2").cast("double") /
+          (lit(2.0) * col("__c").cast("double")) * 1e9, 0).cast("long"))
+      .withColumn("__qTerm",
+        round(col("__sv2").cast("double") * col("__sv2").cast("double") /
+          (lit(4.0) * col("__c").cast("double")) * 1e9, 0).cast("long"))
+    val agg = scored.agg(max(col("__na")).as("n_a"),
+      max(col("__nb")).as("n_b"),
+      sum(col("__sv2")).cast(dec).as("__st2"),
+      sum(col("__abTerm")).cast("long").as("__abn"),
+      sum(col("__qTerm")).cast("long").as("__qn"))
+    def d(c: Column) = c.cast("double")
+    val nN = d(col("n_a")) + d(col("n_b"))
+    val ab = d(col("__abn")) / 1e9
+    val q = d(col("__qn")) / 1e9
+    val st = d(col("__st2")) / 2.0
+    val mu = d(col("n_a")) * st / nN
+    val v = d(col("n_a")) * d(col("n_b")) * (nN * q - st * st) /
+      (nN * nN * (nN - 1.0))
+    val ok = col("n_a") > 0L && col("n_b") > 0L && v > 0.0
+    agg.select(col("n_a"), col("n_b"),
+      round(ab, 6).as("ab_stat"),
+      when(col("n_a") > 0L && col("n_b") > 0L, round(mu, 6))
+        .as("expected"),
+      when(ok, round((ab - mu) / sqrt(v), 6)).as("z_stat"))
+  }
+
   /** X152 — Krippendorff's alpha (nominal scale, two raters, no
     * missing values): α = 1 − (n−1)·ΣoffDiag(o)/De with the
     * coincidence matrix o folded down to three exact integers —

@@ -594,4 +594,60 @@ object RankEval {
         round(col("__ce").cast("double") / col("__cn").cast("double"), 6)
           .as("risk"))
   }
+
+  /** X311 — Kendall's W (coefficient of concordance): do m rankers
+    * agree on the ordering of n items — the MANY-rater completion of
+    * the reliability family ([[cohensKappa]]/[[gwetAc1]] score two
+    * raters on LABELS; W scores m rankers on an ORDER), tie-corrected
+    * via per-ranker midranks: W = 3·S₄/(m²(n³−n) − m·T) with
+    * S₄ = Σ_items (2R_i − m(n+1))² and T = ΣΣ(t³−t). Items not
+    * ranked by every ranker drop (and are counted) — W is undefined
+    * on holes. Doubled midranks keep every input an exact integer
+    * (the X267 machinery per ranker); one double division, round(6);
+    * NULL when every ranking is fully tied.
+    */
+  def kendallW(df: DataFrame, rankerCol: String, itemCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = round(col(valueCol) * 1e6, 0).cast("long")
+    val base = df.select(col(rankerCol).as("__r"),
+      col(itemCol).as("__i"), q.as("__q"))
+    val m = base.agg(countDistinct(col("__r")).cast("long").as("__m"))
+    val itemCount = base.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__cnt"))
+    val allItems = itemCount.agg(count(lit(1)).cast("long")
+      .as("__itemsAll"))
+    val complete = base.join(itemCount, Seq("__i"))
+      .crossJoin(broadcast(m))
+      .filter(col("__cnt") === col("__m"))
+    val wRank = Window.partitionBy(col("__r")).orderBy(col("__q"))
+    val wTie = Window.partitionBy(col("__r"), col("__q"))
+    val rho = complete.withColumn("__rho",
+      lit(2L) * (rank().over(wRank) - 1L) +
+        count(lit(1)).over(wTie) + lit(1L))
+    val perItem = rho.groupBy(col("__i"))
+      .agg(sum(col("__rho")).cast(dec).as("__r2"),
+        max(col("__m")).as("__m"))
+    val nItems = perItem.agg(count(lit(1)).cast("long").as("__n"),
+      max(col("__m")).as("__m"))
+    val s4 = perItem.crossJoin(broadcast(nItems.select(col("__n"))))
+      .agg(sum(((col("__r2") - col("__m") * (col("__n") + 1L)) *
+        (col("__r2") - col("__m") * (col("__n") + 1L))).cast(dec))
+        .cast(dec).as("__s4"))
+    val ties = rho.groupBy(col("__r"), col("__q"))
+      .agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum((col("__t").cast(dec) * col("__t") *
+        col("__t") - col("__t")).cast(dec)), lit(0).cast(dec))
+        .cast(dec).as("__T"))
+    val out = nItems.crossJoin(broadcast(s4))
+      .crossJoin(broadcast(ties)).crossJoin(broadcast(allItems))
+    val md = col("__m").cast("double")
+    val nd = col("__n").cast("double")
+    val den = md * md * (nd * nd * nd - nd) -
+      md * col("__T").cast("double")
+    out.select(col("__m").as("n_rankers"), col("__n").as("n_items"),
+      (col("__itemsAll") - col("__n")).as("n_dropped_items"),
+      when(den > 0.0, round(lit(3.0) * col("__s4").cast("double") /
+        den, 6)).as("w"))
+  }
 }

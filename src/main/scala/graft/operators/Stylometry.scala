@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** X247 — Burrows' Delta (Burrows 2002, the stylometry standard):
@@ -80,5 +80,60 @@ object Stylometry {
       .select(col("group_a"), col("group_b"), col("n_words"),
         round(col("__s").cast("double") /
           (col("n_words").cast("double") * 1e9), 6).as("delta"))
+  }
+
+  /** X308 — "Fightin' Words" keyness (Monroe, Colaresi & Quinn
+    * 2008): per word, the informative-Dirichlet-prior log-odds
+    * difference between two sub-corpora,
+    *
+    *   δ_w = ln((y₁w+α_w)/(n₁+α₀−y₁w−α_w))
+    *       − ln((y₂w+α_w)/(n₂+α₀−y₂w−α_w)),
+    *   z_w = δ_w/√(1/(y₁w+α_w) + 1/(y₂w+α_w))
+    *
+    * with α_w = α₀·(y₁w+y₂w)/(n₁+n₂) — the source-fingerprinting
+    * readout ("which words does THIS slice over-use beyond chance")
+    * that plain tf-idf (X8) and Dunning G² (X292 — which flags
+    * association, not direction) don't give. The prior shrinks
+    * hapax z's to ~0, fixing PMI's rare-word explosion. The top-k
+    * from each tail ship with a side label.
+    *
+    * Determinism: y's are exact integer counts; α_w, δ_w, z_w are a
+    * fixed-shape per-word double expression (no cross-word fold);
+    * the two tail cuts order by the ROUNDED z with the word as
+    * tie-break. Vocabulary-bounded after one token-count aggregate.
+    */
+  def keyness(docs: DataFrame, textCol: String, isA: Column,
+      alpha0: Double = 100.0, minCount: Long = 5L, topK: Int = 15)
+      : DataFrame = {
+    require(alpha0 > 0 && minCount >= 1 && topK >= 1, "bad params")
+    val words = docs.select(isA.as("__a"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+    val counts = words.groupBy(col("__w"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__y1"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__y2"))
+    val tot = counts.agg(sum(col("__y1")).cast("long").as("__n1"),
+      sum(col("__y2")).cast("long").as("__n2"))
+    val j = counts.crossJoin(broadcast(tot))
+      .filter(col("__y1") + col("__y2") >= minCount)
+    def d(c: Column) = c.cast("double")
+    val aw = lit(alpha0) * d(col("__y1") + col("__y2")) /
+      d(col("__n1") + col("__n2"))
+    val delta =
+      log((d(col("__y1")) + aw) /
+        (d(col("__n1")) + alpha0 - d(col("__y1")) - aw)) -
+      log((d(col("__y2")) + aw) /
+        (d(col("__n2")) + alpha0 - d(col("__y2")) - aw))
+    val z = delta / sqrt(lit(1.0) / (d(col("__y1")) + aw) +
+      lit(1.0) / (d(col("__y2")) + aw))
+    val scored = j.select(col("__w").as("term"),
+      col("__y1").cast("long").as("count_a"),
+      col("__y2").cast("long").as("count_b"),
+      round(z, 6).as("z_score"))
+    val topA = scored.orderBy(col("z_score").desc, col("term"))
+      .limit(topK).withColumn("side", lit("a"))
+    val topB = scored.orderBy(col("z_score").asc, col("term"))
+      .limit(topK).withColumn("side", lit("b"))
+    topA.unionAll(topB)
   }
 }

@@ -4139,6 +4139,256 @@ object MiningQueries {
       (spark, dir) => {
         Hypothesis.moodMedianTest(table(spark, dir, "documents"),
           "lang", "n_chars")
+      }),
+
+    // X308: Fightin' Words keyness — which words English docs
+    // over/under-use vs the rest, Dirichlet-prior shrunk.
+    QueryDef(
+      "q_keyness",
+      Some("""
+        WITH words AS (
+          SELECT lang = 'en' AS a,
+                 unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ), w2 AS (SELECT a, w FROM words WHERE w <> ''),
+        counts AS (
+          SELECT w,
+                 CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS y1,
+                 CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT)
+                   AS y2
+          FROM w2 GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(y1) AS BIGINT) AS n1,
+                 CAST(sum(y2) AS BIGINT) AS n2
+          FROM counts
+        ), j AS (
+          SELECT w, y1, y2, n1, n2,
+                 100.0 * CAST(y1 + y2 AS DOUBLE)
+                   / CAST(n1 + n2 AS DOUBLE) AS aw
+          FROM counts, tot WHERE y1 + y2 >= 5
+        ), scored AS (
+          SELECT w AS term, y1 AS count_a, y2 AS count_b,
+                 round((ln((CAST(y1 AS DOUBLE) + aw)
+                     / (CAST(n1 AS DOUBLE) + 100.0
+                       - CAST(y1 AS DOUBLE) - aw))
+                   - ln((CAST(y2 AS DOUBLE) + aw)
+                     / (CAST(n2 AS DOUBLE) + 100.0
+                       - CAST(y2 AS DOUBLE) - aw)))
+                 / sqrt(1.0 / (CAST(y1 AS DOUBLE) + aw)
+                   + 1.0 / (CAST(y2 AS DOUBLE) + aw)), 6) AS z_score
+          FROM j
+        ), ta AS (
+          SELECT term, count_a, count_b, z_score, 'a' AS side
+          FROM scored ORDER BY z_score DESC, term LIMIT 15
+        ), tb AS (
+          SELECT term, count_a, count_b, z_score, 'b' AS side
+          FROM scored ORDER BY z_score ASC, term LIMIT 15
+        ), u AS (SELECT * FROM ta UNION ALL SELECT * FROM tb)
+        SELECT * FROM u ORDER BY side, z_score DESC, term
+      """.trim),
+      "X308 Monroe log-odds keyness, en vs rest, both tails")(
+      (spark, dir) => {
+        import spark.implicits._
+        Stylometry.keyness(table(spark, dir, "documents"), "text",
+            $"lang" === "en", alpha0 = 100.0, minCount = 5L,
+            topK = 15)
+          .orderBy($"side", $"z_score".desc, $"term")
+      }),
+
+    // X309: Gries' DP — the clumpiest terms across sources (frequent
+    // yet single-source boilerplate shows up here first).
+    QueryDef(
+      "q_term_dispersion",
+      Some("""
+        WITH words AS (
+          SELECT source AS p, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ), w2 AS (SELECT p, w FROM words WHERE w <> ''),
+        cells AS (
+          SELECT w, p, CAST(count(*) AS BIGINT) AS v
+          FROM w2 GROUP BY 1, 2
+        ), parts AS (
+          SELECT p, CAST(sum(v) AS BIGINT) AS tok
+          FROM cells GROUP BY 1
+        ), tot AS (SELECT CAST(sum(tok) AS BIGINT) AS tt FROM parts),
+        f AS (
+          SELECT w, CAST(sum(v) AS BIGINT) AS fw FROM cells GROUP BY 1
+        ), dev AS (
+          SELECT cells.w, fw, tt,
+                 CAST(count(*) AS BIGINT) AS n_parts,
+                 CAST(sum(tok) AS BIGINT) AS tokpresent,
+                 sum(abs(CAST(v AS HUGEINT) * tt
+                   - CAST(tok AS HUGEINT) * fw)) AS dv
+          FROM cells JOIN parts USING (p) JOIN f USING (w) CROSS JOIN tot
+          GROUP BY 1, 2, 3 HAVING fw >= 50
+        )
+        SELECT w AS term, fw AS n_occurrences, n_parts,
+               round(CAST(dv + CAST(tt - tokpresent AS HUGEINT) * fw
+                 AS DOUBLE) / (2.0 * CAST(fw AS DOUBLE)
+                 * CAST(tt AS DOUBLE)), 6) AS dp
+        FROM dev ORDER BY dp DESC, term LIMIT 30
+      """.trim),
+      "X309 Gries' DP term dispersion across sources, top 30")(
+      (spark, dir) => {
+        CorpusOps.termDispersion(table(spark, dir, "documents"),
+          "text", "source", minCount = 50L, topK = 30)
+      }),
+
+    // X310: Ansari-Bradley — do English doc lengths FAN OUT more
+    // than the rest at the same center (nonparametric scale drift).
+    QueryDef(
+      "q_ansari_bradley",
+      Some("""
+        WITH per AS (
+          SELECT CAST(round(n_chars * 1000000.0) AS BIGINT) AS v,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                   AS BIGINT) AS cb
+          FROM documents GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb
+          FROM per
+        ), ranked AS (
+          SELECT v, ca, cb, ca + cb AS c,
+                 sum(ca + cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS hi,
+                 na, nb, na + nb AS nn
+          FROM per, tot
+        ), legs AS (
+          SELECT *, hi - c + 1 AS lo, (nn + 1) // 2 AS rt FROM ranked
+        ), sv AS (
+          SELECT ca, cb, c, na, nb, nn,
+                 (CASE WHEN least(hi, rt) - lo + 1 > 0 THEN
+                   CAST(least(hi, rt) AS HUGEINT)
+                     * (least(hi, rt) + 1)
+                   - CAST(lo - 1 AS HUGEINT) * lo
+                  ELSE 0 END)
+                 + (CASE WHEN hi - greatest(lo, rt + 1) + 1 > 0 THEN
+                   2 * CAST(nn + 1 AS HUGEINT)
+                     * (hi - greatest(lo, rt + 1) + 1)
+                   - (CAST(hi AS HUGEINT) * (hi + 1)
+                     - CAST(greatest(lo, rt + 1) - 1 AS HUGEINT)
+                       * greatest(lo, rt + 1))
+                  ELSE 0 END) AS sv2
+          FROM legs
+        ), terms AS (
+          SELECT na, nb, nn, sv2,
+                 CAST(round(CAST(ca AS DOUBLE) * CAST(sv2 AS DOUBLE)
+                   / (2.0 * CAST(c AS DOUBLE)) * 1e9) AS BIGINT)
+                   AS abterm,
+                 CAST(round(CAST(sv2 AS DOUBLE) * CAST(sv2 AS DOUBLE)
+                   / (4.0 * CAST(c AS DOUBLE)) * 1e9) AS BIGINT)
+                   AS qterm
+          FROM sv
+        ), agg AS (
+          SELECT max(na) AS n_a, max(nb) AS n_b,
+                 sum(sv2) AS st2,
+                 CAST(sum(abterm) AS BIGINT) AS abn,
+                 CAST(sum(qterm) AS BIGINT) AS qn
+          FROM terms
+        )
+        SELECT n_a, n_b,
+               round(CAST(abn AS DOUBLE) / 1e9, 6) AS ab_stat,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 round(CAST(n_a AS DOUBLE) * (CAST(st2 AS DOUBLE)
+                   / 2.0) / (CAST(n_a AS DOUBLE)
+                   + CAST(n_b AS DOUBLE)), 6) END AS expected,
+               CASE WHEN n_a > 0 AND n_b > 0 AND
+                 CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                 * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                     * (CAST(qn AS DOUBLE) / 1e9)
+                   - (CAST(st2 AS DOUBLE) / 2.0)
+                     * (CAST(st2 AS DOUBLE) / 2.0))
+                 / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                     - 1.0)) > 0 THEN
+                 round((CAST(abn AS DOUBLE) / 1e9
+                   - CAST(n_a AS DOUBLE) * (CAST(st2 AS DOUBLE) / 2.0)
+                     / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                   * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                       * (CAST(qn AS DOUBLE) / 1e9)
+                     - (CAST(st2 AS DOUBLE) / 2.0)
+                       * (CAST(st2 AS DOUBLE) / 2.0))
+                   / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                     * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                     * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                       - 1.0))), 6) END AS z_stat
+        FROM agg
+      """.trim),
+      "X310 Ansari-Bradley scale test, en vs rest doc lengths")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.ansariBradley(table(spark, dir, "documents"),
+          "n_chars", $"lang" === "en")
+      }),
+
+    // X311: Kendall's W — do the 150 users agree on the ranking of
+    // the 5 event types (grid-completed with zero counts).
+    QueryDef(
+      "q_kendall_w",
+      Some("""
+        WITH counts AS (
+          SELECT user_id AS u, event_type AS t,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ), grid AS (
+          SELECT uu.u, ty.t,
+                 CAST(round(coalesce(c.c, 0) * 1000000.0) AS BIGINT)
+                   AS q
+          FROM (SELECT DISTINCT u FROM counts) uu
+          CROSS JOIN (SELECT DISTINCT t FROM counts) ty
+          LEFT JOIN counts c ON c.u = uu.u AND c.t = ty.t
+        ), m AS (
+          SELECT CAST(count(DISTINCT u) AS BIGINT) AS m FROM grid
+        ), rho AS (
+          SELECT u, t, q,
+                 2 * (rank() OVER (PARTITION BY u ORDER BY q) - 1)
+                   + count(*) OVER (PARTITION BY u, q) + 1 AS rho
+          FROM grid
+        ), peritem AS (
+          SELECT t, sum(CAST(rho AS HUGEINT)) AS r2 FROM rho
+          GROUP BY 1
+        ), nitems AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM peritem
+        ), s4 AS (
+          SELECT sum((r2 - m.m * (n + 1)) * (r2 - m.m * (n + 1)))
+            AS s4
+          FROM peritem, m, nitems
+        ), ties AS (
+          SELECT coalesce(sum(CAST(tt AS HUGEINT) * tt * tt - tt), 0)
+            AS t2
+          FROM (SELECT u, q, CAST(count(*) AS BIGINT) AS tt
+                FROM rho GROUP BY 1, 2)
+        )
+        SELECT m.m AS n_rankers, n AS n_items,
+               CAST(0 AS BIGINT) AS n_dropped_items,
+               CASE WHEN CAST(m.m AS DOUBLE) * m.m
+                   * (CAST(n AS DOUBLE) * n * n - n)
+                   - CAST(m.m AS DOUBLE) * CAST(t2 AS DOUBLE) > 0
+                 THEN round(3.0 * CAST(s4 AS DOUBLE)
+                   / (CAST(m.m AS DOUBLE) * m.m
+                     * (CAST(n AS DOUBLE) * n * n - n)
+                   - CAST(m.m AS DOUBLE) * CAST(t2 AS DOUBLE)), 6)
+                 END AS w
+        FROM m, nitems, s4, ties
+      """.trim),
+      "X311 Kendall's W: user agreement on event-type ranking")(
+      (spark, dir) => {
+        import spark.implicits._
+        val counts = events(spark, dir)
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        val grid = counts.select($"user_id").distinct()
+          .crossJoin(counts.select($"event_type").distinct())
+          .join(counts, Seq("user_id", "event_type"), "left")
+          .withColumn("cnt", coalesce($"cnt", lit(0L)))
+        RankEval.kendallW(grid, "user_id", "event_type", "cnt")
       })
   )
 }
