@@ -1315,6 +1315,64 @@ object CorpusOps {
         round(col("__lo"), 6).as("ci_lo"), round(col("__hi"), 6).as("ci_hi"))
   }
 
+  /** X313 — Poisson-bootstrap CI for a DIFFERENCE of group means:
+    * the same md5 inverse-CDF Poisson(1) weights as [[bootstrapCI]]
+    * (derived per (key, replicate) — never stored, replayable in any
+    * engine), but each replicate reports mean_A − mean_B — the
+    * uncertainty band to print BESIDE X289's point effect size and
+    * X149's t (the t assumes near-normal sampling; the bootstrap
+    * band doesn't). Exact long weight·value sums per (replicate,
+    * side); one double division each; percentile band over the
+    * replicate diffs. Replicates with an empty side yield NULL and
+    * drop from the band (both engines' percentile skips NULLs).
+    */
+  def diffBootstrapCI(df: DataFrame, keyCol: String, valueCol: String,
+      isA: Column, replicates: Int = 64, salt: String = "dboot")
+      : DataFrame = {
+    require(replicates >= 4, s"need replicates >= 4, got $replicates")
+    val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+      4213413783L, 4279248373L, 4292415291L, 4294609777L)
+    val spine = df.select(col(keyCol).as("__k"),
+      round(col(valueCol) * 1e6, 0).cast("long").as("__v"),
+      isA.as("__a"),
+      explode(sequence(lit(0), lit(replicates - 1))).as("__r"))
+    val u = md5Band(concat(col("__k").cast("string"), lit(":"),
+      col("__r").cast("string")), salt)
+    val w = thresholds.zipWithIndex
+      .foldRight(lit(thresholds.size): Column) { case ((t, i), rest) =>
+        when(u < t, lit(i)).otherwise(rest)
+      }.cast("long")
+    val perRep = spine.withColumn("__w", w)
+      .groupBy(col("__r"))
+      .agg(sum(when(col("__a"), col("__w") * col("__v"))).as("__sva"),
+        sum(when(col("__a"), col("__w"))).as("__swa"),
+        sum(when(!col("__a"), col("__w") * col("__v"))).as("__svb"),
+        sum(when(!col("__a"), col("__w"))).as("__swb"))
+      .select(col("__r"),
+        (when(col("__swa") > 0L,
+          col("__sva").cast("double") / col("__swa") / lit(1e6)) -
+          when(col("__swb") > 0L,
+            col("__svb").cast("double") / col("__swb") / lit(1e6)))
+          .as("__d"))
+    val full = df.agg(
+      sum(when(isA, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(!isA, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(isA, round(col(valueCol) * 1e6, 0).cast("long")))
+        .as("__sa"),
+      sum(when(!isA, round(col(valueCol) * 1e6, 0).cast("long")))
+        .as("__sb"))
+    full.crossJoin(perRep.agg(
+        count(col("__d")).cast("long").as("n_replicates"),
+        percentile(col("__d"), lit(0.025)).as("__lo"),
+        percentile(col("__d"), lit(0.975)).as("__hi")))
+      .select(col("n_a"), col("n_b"), col("n_replicates"),
+        round(col("__sa").cast("double") / col("n_a") / lit(1e6) -
+          col("__sb").cast("double") / col("n_b") / lit(1e6), 6)
+          .as("point_diff"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"))
+  }
+
   /** X113 — contrastive span-pair prep (the DeCLUTR recipe, Giorgi
     * et al. 2021): two overlapping-or-adjacent token crops of the
     * same document form a positive pair for contrastive pretraining

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** EXACT quantiles over a distributed long column without sorting
@@ -250,5 +250,31 @@ object Quantiles {
       .join(at, Seq(groupCol), "left")
       .select(col(groupCol), col("n"), col("k"),
         col("__thr").as("threshold"))
+  }
+
+  /** X314 — quantile treatment effects: the A−B gap at each
+    * requested quantile — the DISTRIBUTIONAL effect readout where a
+    * mean difference (X289's d) hides tail action ("the median moved
+    * 2 chars but the p90 moved 400" is a different intervention than
+    * a uniform shift). Each quantile comes from the X61 sort-free
+    * grouped bisection, so the whole table costs
+    * \|qs\|·⌈log(range)⌉ pushed-down count passes, never a sort;
+    * every output is an exact order statistic (longs).
+    */
+  def quantileTreatmentEffect(df: DataFrame, valueCol: String,
+      isA: Column, qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9))
+      : DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grouped = df.select(
+      when(isA, "a").otherwise("b").as("__grp"),
+      col(valueCol).cast("long").as("__v"))
+    val perQ = qs.map { q =>
+      val t = exactQuantileByGroup(grouped, "__grp", "__v", q)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (q, t("a"), t("b"), t("a") - t("b"))
+    }
+    perQ.toDF("q", "quantile_a", "quantile_b", "qte")
   }
 }

@@ -786,6 +786,50 @@ object TimeSeries {
           .as("seasonal"))
   }
 
+  /** X315 — Page-Hinkley increase detector (retrospective): the
+    * excursion PH_T = m_T − min_{t≤T} m_t of the cumulative
+    * mean-adjusted deviations m_t = Σ_{i≤t}(x_i − x̄_i − δ), with the
+    * alarm at PH > λ — the classic sequential drift test between
+    * X196's CUSUM (known target mean) and X301's retrospective
+    * argmax (no running-mean adaptation): PH self-centers on the
+    * RUNNING mean, so slow level creep still trips it. Per-step
+    * terms are exact rationals (x_i·i − P_i)/i, nano-quantized
+    * before the prefix fold; the running min and the argmax pick are
+    * integer-exact. Period-bounded ordered passes only.
+    */
+  def pageHinkley(series: DataFrame, orderCol: String,
+      valueCol: String, delta: Double = 0.0, lambda: Double)
+      : DataFrame = {
+    require(lambda > 0, s"bad lambda $lambda")
+    val w = Window.orderBy(col("__o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = series.select(col(valueCol).cast("long").as("__v"),
+        col(orderCol).as("__o"))
+      .withColumn("__t", count(lit(1)).over(w).cast("long"))
+      .withColumn("__p", sum(col("__v")).over(w).cast("long"))
+      // (x_i − P_i/i − δ) in nano units, from the exact integer
+      // numerator x_i·i − P_i
+      .withColumn("__term",
+        round(((col("__v") * col("__t") - col("__p")).cast("double") /
+          col("__t").cast("double") - lit(delta)) * 1e9, 0)
+          .cast("long"))
+      .withColumn("__m", sum(col("__term")).over(w))
+      .withColumn("__runMin", min(col("__m")).over(w))
+      .withColumn("__ph", col("__m") - col("__runMin"))
+    val best = base.agg(max(col("__ph")).as("__phMax"),
+      max(col("__t")).as("n"))
+    base.crossJoin(broadcast(best))
+      .filter(col("__ph") === col("__phMax"))
+      .groupBy(col("__phMax"), col("n"))
+      .agg(min(col("__t")).as("__tb"))
+      .join(base.select(col("__t").as("__tb"), col("__o")),
+        Seq("__tb"))
+      .select(col("n").cast("long").as("n"),
+        col("__o").as("ph_max_at"),
+        round(col("__phMax").cast("double") / 1e9, 6).as("ph_max"),
+        (col("__phMax").cast("double") / 1e9 > lambda).as("alarm"))
+  }
+
   /** X303 — one-step-ahead forecast backtest: naive (ŷ = x_{t−1})
     * vs seasonal-naive (ŷ = x_{t−season}) on the same series, each
     * scored with MAE, RMSE, and SMAPE — the baseline table every

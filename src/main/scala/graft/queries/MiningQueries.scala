@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Apportion, Basket, Calibrate, Cartography,
   Compaction, CorpusOps, Dedup, DistStats, FeatureHash, Funnel,
-  GraphStats, Hypothesis, Kmv, Linkage, Privacy, RankEval, Similarity,
-  Stylometry, TimeSeries}
+  GraphStats, Hypothesis, Kll, Kmv, Linkage, Privacy, Quantiles,
+  RankEval, Similarity, Stylometry, TimeSeries}
 import QueryDef.{events, table}
 
 /** r10 waves 11–13 (SURVEY §2.10 X223–X235): multiple-testing control
@@ -4389,6 +4389,181 @@ object MiningQueries {
           .join(counts, Seq("user_id", "event_type"), "left")
           .withColumn("cnt", coalesce($"cnt", lit(0L)))
         RankEval.kendallW(grid, "user_id", "event_type", "cnt")
+      }),
+
+    // X312: KLL quantile sketches per event type — randomized sketch
+    // accuracy, so rows-only by contract (the HLL/KMV class); the
+    // spec bounds rank error and exercises the merge path.
+    QueryDef(
+      "q_kll_quantiles",
+      None,
+      "X312 KLL quantile sketch estimates per event type (rows-only)")(
+      (spark, dir) => {
+        import spark.implicits._
+        Kll.groupQuantiles(events(spark, dir), "event_type", "value",
+            k = 200, qs = Seq(0.5, 0.9, 0.99))
+          .orderBy($"group")
+      }),
+
+    // X313: bootstrap CI for the en-minus-rest mean-length gap — the
+    // band beside q_effect_sizes' point estimate.
+    QueryDef(
+      "q_diff_bootstrap",
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang = 'en' AS a,
+                 CAST(round(n_chars * 1000000.0) AS BIGINT) AS v
+          FROM documents
+        ), sp AS (
+          SELECT doc_id, v, a, r,
+                 CAST(('0x' || substr(md5('dboot'
+                   || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+          FROM t, unnest(range(0, 64)) AS u(r)
+        ), wts AS (
+          SELECT v, a, r,
+                 CAST(CASE WHEN b < 1580030168 THEN 0
+                      WHEN b < 3160060337 THEN 1
+                      WHEN b < 3950075421 THEN 2
+                      WHEN b < 4213413783 THEN 3
+                      WHEN b < 4279248373 THEN 4
+                      WHEN b < 4292415291 THEN 5
+                      WHEN b < 4294609777 THEN 6
+                      ELSE 7 END AS BIGINT) AS w
+          FROM sp
+        ), rep AS (
+          SELECT r,
+                 (CASE WHEN sum(CASE WHEN a THEN w ELSE 0 END) > 0
+                   THEN CAST(CAST(sum(CASE WHEN a THEN w * v END)
+                     AS BIGINT) AS DOUBLE)
+                   / CAST(sum(CASE WHEN a THEN w ELSE 0 END)
+                     AS BIGINT) / 1000000.0 END)
+                 - (CASE WHEN sum(CASE WHEN NOT a THEN w ELSE 0 END)
+                     > 0
+                   THEN CAST(CAST(sum(CASE WHEN NOT a THEN w * v END)
+                     AS BIGINT) AS DOUBLE)
+                   / CAST(sum(CASE WHEN NOT a THEN w ELSE 0 END)
+                     AS BIGINT) / 1000000.0 END) AS d
+          FROM wts GROUP BY r
+        ), tot AS (
+          SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN a THEN v END) AS BIGINT) AS sa,
+                 CAST(sum(CASE WHEN NOT a THEN v END) AS BIGINT)
+                   AS sb
+          FROM t
+        )
+        SELECT n_a, n_b,
+               (SELECT CAST(count(d) AS BIGINT) FROM rep)
+                 AS n_replicates,
+               round(CAST(sa AS DOUBLE) / n_a / 1000000.0
+                 - CAST(sb AS DOUBLE) / n_b / 1000000.0, 6)
+                 AS point_diff,
+               round((SELECT quantile_cont(d, 0.025) FROM rep), 6)
+                 AS ci_lo,
+               round((SELECT quantile_cont(d, 0.975) FROM rep), 6)
+                 AS ci_hi
+        FROM tot
+      """.trim),
+      "X313 Poisson-bootstrap CI for the en-vs-rest mean-length gap")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.diffBootstrapCI(table(spark, dir, "documents"),
+          "doc_id", "n_chars", $"lang" === "en", replicates = 64,
+          salt = "dboot")
+      }),
+
+    // X314: quantile treatment effects — the en-vs-rest length gap
+    // at each quartile and the p90 (distributional, not just mean).
+    QueryDef(
+      "q_qte",
+      Some("""
+        WITH vals AS (
+          SELECT lang = 'en' AS a, CAST(n_chars AS BIGINT) AS v
+          FROM documents
+        ), tot AS (SELECT a, count(*) AS total FROM vals GROUP BY 1),
+        o AS (
+          SELECT a, v, sum(cnt) OVER (PARTITION BY a ORDER BY v)
+            AS cum
+          FROM (SELECT a, v, count(*) AS cnt FROM vals GROUP BY 1, 2)
+        ), qk(q) AS (VALUES (0.25), (0.5), (0.75), (0.9)),
+        picks AS (
+          SELECT qk.q, o.a, min(v) AS qv
+          FROM qk, o JOIN tot USING (a)
+          WHERE cum >= ceil(qk.q * total)
+          GROUP BY 1, 2
+        )
+        SELECT q,
+               max(CASE WHEN a THEN qv END) AS quantile_a,
+               max(CASE WHEN NOT a THEN qv END) AS quantile_b,
+               max(CASE WHEN a THEN qv END)
+                 - max(CASE WHEN NOT a THEN qv END) AS qte
+        FROM picks GROUP BY 1 ORDER BY q
+      """.trim),
+      "X314 quantile treatment effects, en vs rest doc length")(
+      (spark, dir) => {
+        import spark.implicits._
+        Quantiles.quantileTreatmentEffect(
+            table(spark, dir, "documents"), "n_chars",
+            $"lang" === "en", qs = Seq(0.25, 0.5, 0.75, 0.9))
+          .orderBy($"q")
+      }),
+
+    // X315: Page-Hinkley excursion of the daily count series — the
+    // running-mean-adaptive drift alarm.
+    QueryDef(
+      "q_page_hinkley",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1
+        ), pre AS (
+          SELECT d, v,
+                 CAST(count(*) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS t,
+                 CAST(sum(v) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS p
+          FROM daily
+        ), terms AS (
+          SELECT d, t,
+                 CAST(round((CAST(v * t - p AS DOUBLE)
+                   / CAST(t AS DOUBLE) - 0.0) * 1e9) AS BIGINT)
+                   AS term
+          FROM pre
+        ), walk AS (
+          SELECT d, t,
+                 sum(term) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS m
+          FROM terms
+        ), ph AS (
+          SELECT d, t, m,
+                 m - min(m) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ph
+          FROM walk
+        ), best AS (
+          SELECT max(ph) AS phmax, max(t) AS n FROM ph
+        ), pick AS (
+          SELECT min(t) AS tb FROM ph, best WHERE ph = phmax
+        )
+        SELECT n, d AS ph_max_at,
+               round(CAST(phmax AS DOUBLE) / 1e9, 6) AS ph_max,
+               CAST(phmax AS DOUBLE) / 1e9 > 500.0 AS alarm
+        FROM ph, best, pick WHERE t = tb
+      """.trim),
+      "X315 Page-Hinkley excursion on daily counts (lambda 500)")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.pageHinkley(daily, "d", "v", delta = 0.0,
+          lambda = 500.0)
       })
   )
 }
