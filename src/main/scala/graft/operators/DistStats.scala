@@ -455,6 +455,36 @@ object DistStats {
         when(ok, round(s, 6)).as("prior_strength"))
   }
 
+  /** X318 — negative-binomial method-of-moments fit of a count
+    * column: r̂ = m²/(s² − m), p̂ = m/s² — the overdispersion MODEL
+    * on top of X217's raw VMR diagnosis (VMR says "bursty", the NB
+    * fit says HOW bursty in resampling-usable parameters: simulate
+    * per-user event counts, set rate-limit envelopes, size X55
+    * sampling strata). Poisson-or-thinner data (s² ≤ m) reports NULL
+    * parameters with the VMR still shown — the fit doesn't exist
+    * there, visibly. Exact micro (n, Σq, Σq²); three fixed-shape
+    * doubles, round(6).
+    */
+  def negBinomialFit(df: DataFrame, valueCol: String): DataFrame = {
+    val q = round(col(valueCol) * 1e6, 0).cast("long")
+    val sums = df.select(q.as("__q"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__q").cast(dec)).cast(dec).as("__s"),
+        sum((col("__q").cast(dec) * col("__q")).cast(dec)).cast(dec)
+          .as("__ss"))
+    val nd = col("n").cast("double")
+    val m = col("__s").cast("double") / nd / 1e6
+    val v = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nd) /
+      (nd - 1.0) / 1e12
+    val overdispersed = col("n") > 1L && v > m && m > 0.0
+    sums.select(col("n"), round(m, 6).as("mean"),
+      when(col("n") > 1L, round(v, 6)).as("variance"),
+      when(col("n") > 1L && m > 0.0, round(v / m, 6)).as("vmr"),
+      when(overdispersed, round(m * m / (v - m), 6)).as("nb_r"),
+      when(overdispersed, round(m / v, 6)).as("nb_p"))
+  }
+
   /** X291 — Neyman optimal allocation: split a labeling/eval budget
     * across strata proportional to N_h·S_h (stratum size × stratum
     * SD) — the allocation that minimizes the stratified estimator's

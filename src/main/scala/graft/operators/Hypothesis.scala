@@ -538,6 +538,107 @@ object Hypothesis {
       when(ok, round((ab - mu) / sqrt(v), 6)).as("z_stat"))
   }
 
+  /** X316 — winsorized Welch t: clamp each group's values to its own
+    * exact [loQ, hiQ] order statistics (the X60 bisection — never a
+    * sort), then run the [[welchTTest]] machinery on the clamped
+    * micro integers — the robust location test for heavy-tailed
+    * score/length columns where a single spam blob buys the plain t
+    * (clamping caps any row's leverage at the decile boundary;
+    * deterministic under ties because clamping never drops rows).
+    * Two bisection searches per group + one exact-sum aggregate.
+    */
+  def winsorizedWelchT(df: DataFrame, valueCol: String, isA: Column,
+      loQ: Double = 0.1, hiQ: Double = 0.9): DataFrame = {
+    require(loQ > 0 && hiQ < 1 && loQ < hiQ, s"bad trim ($loQ, $hiQ)")
+    val base = df.select(when(isA, "a").otherwise("b").as("__g"),
+      round(col(valueCol) * 1e6, 0).cast("long").as("__q"))
+    def bounds(q: Double, name: String): DataFrame =
+      Quantiles.exactQuantileByGroup(base, "__g", "__q", q)
+        .withColumnRenamed("quantile", name)
+    val clamped = base
+      .join(broadcast(bounds(loQ, "__lo")), Seq("__g"))
+      .join(broadcast(bounds(hiQ, "__hi")), Seq("__g"))
+      .withColumn("__w",
+        least(greatest(col("__q"), col("__lo")), col("__hi")))
+    val agg = clamped.agg(
+      sum(when(col("__g") === "a", 1L).otherwise(0L)).cast("long")
+        .as("n_a"),
+      sum(when(col("__g") === "b", 1L).otherwise(0L)).cast("long")
+        .as("n_b"),
+      sum(when(col("__g") === "a", col("__w"))).cast("decimal(38,0)")
+        .as("__sa"),
+      sum(when(col("__g") === "b", col("__w"))).cast("decimal(38,0)")
+        .as("__sb"),
+      sum(when(col("__g") === "a",
+        (col("__w").cast("decimal(38,0)") * col("__w"))
+          .cast("decimal(38,0)"))).cast("decimal(38,0)").as("__ssa"),
+      sum(when(col("__g") === "b",
+        (col("__w").cast("decimal(38,0)") * col("__w"))
+          .cast("decimal(38,0)"))).cast("decimal(38,0)").as("__ssb"))
+    val ma = col("__sa").cast("double") / col("n_a")
+    val mb = col("__sb").cast("double") / col("n_b")
+    val va = (col("__ssa").cast("double") -
+      col("__sa").cast("double") * col("__sa").cast("double") /
+        col("n_a")) / (col("n_a") - 1)
+    val vb = (col("__ssb").cast("double") -
+      col("__sb").cast("double") * col("__sb").cast("double") /
+        col("n_b")) / (col("n_b") - 1)
+    val se2 = va / col("n_a") + vb / col("n_b")
+    val t = (ma - mb) / sqrt(se2)
+    val dof = (se2 * se2) /
+      (va / col("n_a") * (va / col("n_a")) / (col("n_a") - 1) +
+        vb / col("n_b") * (vb / col("n_b")) / (col("n_b") - 1))
+    val ok = col("n_a") > 1L && col("n_b") > 1L && se2 > 0.0
+    agg.select(col("n_a"), col("n_b"),
+      round(ma / 1e6, 6).as("wins_mean_a"),
+      round(mb / 1e6, 6).as("wins_mean_b"),
+      when(ok, round(t, 6)).as("t_stat"),
+      when(ok, round(dof, 6)).as("dof"))
+  }
+
+  /** X317 — the proportion effect panel for a 2×2 outcome: Cohen's h
+    * (the arcsine-stabilized difference — the effect size behind
+    * [[mdePower]]'s detectability math), relative risk, odds ratio,
+    * and the log-OR standard error √(Σ1/cell) (Woolf) — the four
+    * numbers a rate comparison actually needs beside X149b's z
+    * (which only says "different"). Exact integer cells; each output
+    * is one fixed-shape double (asin/ln on identical doubles),
+    * round(6); ratio outputs NULL on zero denominators/cells.
+    */
+  def proportionEffects(df: DataFrame, successCol: Column,
+      isA: Column): DataFrame = {
+    val w = df.agg(
+      sum(when(isA && successCol, 1L).otherwise(0L)).cast("long")
+        .as("x_a"),
+      sum(when(isA && !successCol, 1L).otherwise(0L)).cast("long")
+        .as("f_a"),
+      sum(when(!isA && successCol, 1L).otherwise(0L)).cast("long")
+        .as("x_b"),
+      sum(when(!isA && !successCol, 1L).otherwise(0L)).cast("long")
+        .as("f_b"))
+    val na = (col("x_a") + col("f_a")).cast("double")
+    val nb = (col("x_b") + col("f_b")).cast("double")
+    val pa = col("x_a").cast("double") / na
+    val pb = col("x_b").cast("double") / nb
+    val h = lit(2.0) * asin(sqrt(pa)) - lit(2.0) * asin(sqrt(pb))
+    val rr = pa / pb
+    val or = (col("x_a").cast("double") * col("f_b")) /
+      (col("f_a").cast("double") * col("x_b"))
+    val seLogOr = sqrt(lit(1.0) / col("x_a") + lit(1.0) / col("f_a") +
+      lit(1.0) / col("x_b") + lit(1.0) / col("f_b"))
+    val allPos = col("x_a") > 0L && col("f_a") > 0L &&
+      col("x_b") > 0L && col("f_b") > 0L
+    w.select(col("x_a"), col("f_a"), col("x_b"), col("f_b"),
+      when(na > 0.0, round(pa, 6)).as("rate_a"),
+      when(nb > 0.0, round(pb, 6)).as("rate_b"),
+      when(na > 0.0 && nb > 0.0, round(h, 6)).as("cohens_h"),
+      when(nb > 0.0 && pb > 0.0 && na > 0.0, round(rr, 6))
+        .as("risk_ratio"),
+      when(allPos, round(or, 6)).as("odds_ratio"),
+      when(allPos, round(log(or), 6)).as("log_odds_ratio"),
+      when(allPos, round(seLogOr, 6)).as("se_log_or"))
+  }
+
   /** X152 — Krippendorff's alpha (nominal scale, two raters, no
     * missing values): α = 1 − (n−1)·ΣoffDiag(o)/De with the
     * coincidence matrix o folded down to three exact integers —
