@@ -786,6 +786,88 @@ object TimeSeries {
           .as("seasonal"))
   }
 
+  /** X319 — Hurst exponent by rescaled-range (R/S) analysis over a
+    * fixed ladder of block sizes: partition the period series into
+    * full blocks of each size, compute each block's range-of-
+    * cumulative-deviations over its std, average per size, and fit
+    * ln(R/S) against ln(size) — H ≈ 0.5 is memoryless, H → 1 means
+    * long-range persistence (trends feed on themselves: X280's ACF
+    * sees short lags, Hurst sees the SCALING of memory). Detects the
+    * "slow burn" regime drift that per-lag tools under-read.
+    *
+    * Determinism: block ids are integer (t−1) div size; per-block
+    * sums are exact; each block's R/S is a fixed-shape double
+    * nano-quantized before the per-size mean; the 3-point log-log
+    * slope is closed-form least squares on identical doubles.
+    * Everything is block-partitioned windows — period-bounded, never
+    * a global pass beyond the series itself.
+    */
+  def hurstExponent(series: DataFrame, orderCol: String,
+      valueCol: String, sizes: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(sizes.size >= 2 && sizes.forall(_ >= 4), s"bad $sizes")
+    val dec = "decimal(38,0)"
+    val wOrd = Window.orderBy(col("__o"))
+    val idx = series.select(col(valueCol).cast("long").as("__v"),
+        col(orderCol).as("__o"))
+      .withColumn("__t", row_number().over(wOrd).cast("long"))
+    val perSize = sizes.map { sz =>
+      val blocked = idx
+        .withColumn("__b", expr(s"(__t - 1) div $sz"))
+        .withColumn("__i", expr(s"(__t - 1) % $sz") + 1L)
+      val wBlk = Window.partitionBy(col("__b")).orderBy(col("__i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val stats = blocked
+        .withColumn("__cnt",
+          count(lit(1)).over(Window.partitionBy(col("__b"))))
+        .filter(col("__cnt") === sz)
+        .withColumn("__bs",
+          sum(col("__v")).over(Window.partitionBy(col("__b")))
+            .cast("long"))
+        // cumulative deviation numerator: sz·P_i − i·S_block (int)
+        .withColumn("__p", sum(col("__v")).over(wBlk).cast("long"))
+        .withColumn("__zn",
+          (col("__p").cast(dec) * sz - col("__i").cast(dec) *
+            col("__bs")).cast(dec))
+      val perBlock = stats.groupBy(col("__b"))
+        .agg((max(col("__zn")) - min(least(col("__zn"), lit(0)
+            .cast(dec)))).cast(dec).as("__rn"),
+          max(col("__bs")).as("__bs"),
+          sum((col("__v").cast(dec) * col("__v")).cast(dec)).cast(dec)
+            .as("__ss"))
+      // R = (max Z − min(Z, 0 incl.))/sz in value units; S =
+      // population std; both fixed-shape doubles from exact ints
+      val r = col("__rn").cast("double") / sz
+      val meanB = col("__bs").cast("double") / sz
+      val varP = col("__ss").cast("double") / sz - meanB * meanB
+      val rs = r / sqrt(when(varP > 0.0, varP))
+      perBlock
+        .select(round(rs * 1e9, 0).cast("long").as("__rsn"))
+        .filter(col("__rsn").isNotNull)
+        .agg(count(lit(1)).cast("long").as("n_blocks"),
+          (sum(col("__rsn")).cast("double") / count(lit(1)) / 1e9)
+            .as("__meanRs"))
+        .select(lit(sz).cast("long").as("block_size"),
+          col("n_blocks"), round(col("__meanRs"), 6).as("mean_rs"))
+    }.reduce(_ unionAll _)
+    // closed-form slope of ln(mean_rs) on ln(size) over the ladder
+    val pts = perSize.filter(col("mean_rs") > 0.0)
+      .select(col("block_size"), col("n_blocks"), col("mean_rs"),
+        log(col("block_size").cast("double")).as("__x"),
+        log(col("mean_rs")).as("__y"))
+    val fit = pts.agg(count(lit(1)).cast("long").as("__k"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val kd = col("__k").cast("double")
+    val slope = (kd * col("__sxy") - col("__sx") * col("__sy")) /
+      (kd * col("__sxx") - col("__sx") * col("__sx"))
+    pts.crossJoin(broadcast(fit.select(col("__k"),
+        when(col("__k") > 1L, round(slope, 6)).as("hurst"))))
+      .select(col("block_size"), col("n_blocks"), col("mean_rs"),
+        col("hurst"))
+      .orderBy(col("block_size"))
+  }
+
   /** X315 — Page-Hinkley increase detector (retrospective): the
     * excursion PH_T = m_T − min_{t≤T} m_t of the cumulative
     * mean-adjusted deviations m_t = Σ_{i≤t}(x_i − x̄_i − δ), with the

@@ -4564,6 +4564,297 @@ object MiningQueries {
           .agg(count(lit(1)).cast("long").as("v"))
         TimeSeries.pageHinkley(daily, "d", "v", delta = 0.0,
           lambda = 500.0)
+      }),
+
+    // X316: winsorized Welch t — en vs rest mean length with each
+    // group clamped to its own exact [p10, p90].
+    QueryDef(
+      "q_winsorized_t",
+      Some("""
+        WITH base AS (
+          SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS g,
+                 CAST(round(n_chars * 1000000.0) AS BIGINT) AS q
+          FROM documents
+        ), tot AS (SELECT g, count(*) AS total FROM base GROUP BY 1),
+        o AS (
+          SELECT g, q, sum(cnt) OVER (PARTITION BY g ORDER BY q)
+            AS cum
+          FROM (SELECT g, q, count(*) AS cnt FROM base GROUP BY 1, 2)
+        ), lo AS (
+          SELECT o.g, min(q) AS lo FROM o JOIN tot USING (g)
+          WHERE cum >= ceil(0.1 * total) GROUP BY o.g
+        ), hi AS (
+          SELECT o.g, min(q) AS hi FROM o JOIN tot USING (g)
+          WHERE cum >= ceil(0.9 * total) GROUP BY o.g
+        ), clamped AS (
+          SELECT base.g, least(greatest(q, lo), hi) AS w
+          FROM base JOIN lo USING (g) JOIN hi USING (g)
+        ), agg AS (
+          SELECT
+            CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_a,
+            CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_b,
+            sum(CASE WHEN g = 'a'
+              THEN CAST(w AS HUGEINT) END) AS sa,
+            sum(CASE WHEN g = 'b'
+              THEN CAST(w AS HUGEINT) END) AS sb,
+            sum(CASE WHEN g = 'a'
+              THEN CAST(w AS HUGEINT) * w END) AS ssa,
+            sum(CASE WHEN g = 'b'
+              THEN CAST(w AS HUGEINT) * w END) AS ssb
+          FROM clamped
+        ), m AS (
+          SELECT n_a, n_b,
+                 CAST(sa AS DOUBLE) / n_a AS ma,
+                 CAST(sb AS DOUBLE) / n_b AS mb,
+                 (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE)
+                   * CAST(sa AS DOUBLE) / n_a) / (n_a - 1) AS va,
+                 (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE)
+                   * CAST(sb AS DOUBLE) / n_b) / (n_b - 1) AS vb
+          FROM agg
+        ), se AS (
+          SELECT n_a, n_b, ma, mb, va, vb,
+                 va / n_a + vb / n_b AS se2
+          FROM m
+        )
+        SELECT n_a, n_b,
+               round(ma / 1e6, 6) AS wins_mean_a,
+               round(mb / 1e6, 6) AS wins_mean_b,
+               CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN
+                 round((ma - mb) / sqrt(se2), 6) END AS t_stat,
+               CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN
+                 round((se2 * se2)
+                   / (va / n_a * (va / n_a) / (n_a - 1)
+                     + vb / n_b * (vb / n_b) / (n_b - 1)), 6) END
+                 AS dof
+        FROM se
+      """.trim),
+      "X316 winsorized Welch t, en vs rest doc length (p10-p90)")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.winsorizedWelchT(table(spark, dir, "documents"),
+          "n_chars", $"lang" === "en", loQ = 0.1, hiQ = 0.9)
+      }),
+
+    // X317: proportion effect panel — Cohen's h, RR, OR for the
+    // long-doc rate, en vs rest.
+    QueryDef(
+      "q_proportion_effects",
+      Some("""
+        WITH w AS (
+          SELECT
+            CAST(sum(CASE WHEN lang = 'en' AND n_chars >= 250
+              THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+            CAST(sum(CASE WHEN lang = 'en' AND n_chars < 250
+              THEN 1 ELSE 0 END) AS BIGINT) AS f_a,
+            CAST(sum(CASE WHEN lang <> 'en' AND n_chars >= 250
+              THEN 1 ELSE 0 END) AS BIGINT) AS x_b,
+            CAST(sum(CASE WHEN lang <> 'en' AND n_chars < 250
+              THEN 1 ELSE 0 END) AS BIGINT) AS f_b
+          FROM documents
+        ), m AS (
+          SELECT x_a, f_a, x_b, f_b,
+                 CAST(x_a + f_a AS DOUBLE) AS na,
+                 CAST(x_b + f_b AS DOUBLE) AS nb,
+                 CAST(x_a AS DOUBLE) / CAST(x_a + f_a AS DOUBLE)
+                   AS pa,
+                 CAST(x_b AS DOUBLE) / CAST(x_b + f_b AS DOUBLE)
+                   AS pb
+          FROM w
+        )
+        SELECT x_a, f_a, x_b, f_b,
+               CASE WHEN na > 0 THEN round(pa, 6) END AS rate_a,
+               CASE WHEN nb > 0 THEN round(pb, 6) END AS rate_b,
+               CASE WHEN na > 0 AND nb > 0 THEN
+                 round(2.0 * asin(sqrt(pa)) - 2.0 * asin(sqrt(pb)),
+                   6) END AS cohens_h,
+               CASE WHEN nb > 0 AND pb > 0 AND na > 0 THEN
+                 round(pa / pb, 6) END AS risk_ratio,
+               CASE WHEN x_a > 0 AND f_a > 0 AND x_b > 0 AND f_b > 0
+                 THEN round(CAST(x_a AS DOUBLE) * f_b
+                   / (CAST(f_a AS DOUBLE) * x_b), 6) END
+                 AS odds_ratio,
+               CASE WHEN x_a > 0 AND f_a > 0 AND x_b > 0 AND f_b > 0
+                 THEN round(ln(CAST(x_a AS DOUBLE) * f_b
+                   / (CAST(f_a AS DOUBLE) * x_b)), 6) END
+                 AS log_odds_ratio,
+               CASE WHEN x_a > 0 AND f_a > 0 AND x_b > 0 AND f_b > 0
+                 THEN round(sqrt(1.0 / x_a + 1.0 / f_a + 1.0 / x_b
+                   + 1.0 / f_b), 6) END AS se_log_or
+        FROM m
+      """.trim),
+      "X317 Cohen's h / RR / OR panel for the long-doc rate")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.proportionEffects(table(spark, dir, "documents"),
+          $"n_chars" >= 250, $"lang" === "en")
+      }),
+
+    // X318: negative-binomial fit of per-user event counts — the
+    // overdispersion model on top of the raw VMR.
+    QueryDef(
+      "q_negbin_fit",
+      Some("""
+        WITH counted AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1
+        ), base AS (
+          SELECT CAST(round(cnt * 1000000.0) AS BIGINT) AS q
+          FROM counted
+        ), sums AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(q AS HUGEINT)) AS s,
+                 sum(CAST(q AS HUGEINT) * q) AS ss
+          FROM base
+        ), m AS (
+          SELECT n,
+                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mn,
+                 (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                   * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) / 1e12 AS vr
+          FROM sums
+        )
+        SELECT n, round(mn, 6) AS mean,
+               CASE WHEN n > 1 THEN round(vr, 6) END AS variance,
+               CASE WHEN n > 1 AND mn > 0 THEN round(vr / mn, 6) END
+                 AS vmr,
+               CASE WHEN n > 1 AND vr > mn AND mn > 0 THEN
+                 round(mn * mn / (vr - mn), 6) END AS nb_r,
+               CASE WHEN n > 1 AND vr > mn AND mn > 0 THEN
+                 round(mn / vr, 6) END AS nb_p
+        FROM m
+      """.trim),
+      "X318 negative-binomial MoM fit of per-user event counts")(
+      (spark, dir) => {
+        import spark.implicits._
+        val counted = events(spark, dir).groupBy($"user_id")
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        DistStats.negBinomialFit(counted, "cnt")
+      }),
+
+    // X319: Hurst exponent of the daily count series (R/S ladder
+    // 5/10/15 — sized so sf0.01's 30-day span keeps >= 2 blocks).
+    QueryDef(
+      "q_hurst",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1
+        ), idx AS (
+          SELECT v,
+                 CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+          FROM daily
+        ),
+        b5 AS (SELECT (t - 1) // 5 AS b, (t - 1) % 5 + 1 AS i, v
+               FROM idx),
+        f5 AS (SELECT b FROM b5 GROUP BY b HAVING count(*) = 5),
+        s5 AS (SELECT b5.b, i, v,
+                 sum(v) OVER (PARTITION BY b5.b) AS bs,
+                 sum(v) OVER (PARTITION BY b5.b ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS p
+               FROM b5 JOIN f5 USING (b)),
+        z5 AS (SELECT b, CAST(p AS HUGEINT) * 5
+                 - CAST(i AS HUGEINT) * bs AS zn, v, bs FROM s5),
+        pb5 AS (SELECT b, max(zn) - min(least(zn, 0)) AS rn,
+                 max(bs) AS bs, sum(CAST(v AS HUGEINT) * v) AS ss
+               FROM z5 GROUP BY b),
+        rs5 AS (SELECT CAST(round(CAST(rn AS DOUBLE) / 5
+                 / sqrt(CASE WHEN CAST(ss AS DOUBLE) / 5
+                     - (CAST(bs AS DOUBLE) / 5)
+                     * (CAST(bs AS DOUBLE) / 5) > 0
+                   THEN CAST(ss AS DOUBLE) / 5
+                     - (CAST(bs AS DOUBLE) / 5)
+                     * (CAST(bs AS DOUBLE) / 5) END) * 1e9)
+                 AS BIGINT) AS rsn FROM pb5),
+        m5 AS (SELECT CAST(5 AS BIGINT) AS block_size,
+                 CAST(count(*) AS BIGINT) AS n_blocks,
+                 round(CAST(sum(rsn) AS DOUBLE) / count(*) / 1e9, 6)
+                   AS mean_rs
+               FROM rs5 WHERE rsn IS NOT NULL),
+        b10 AS (SELECT (t - 1) // 10 AS b, (t - 1) % 10 + 1 AS i, v
+               FROM idx),
+        f10 AS (SELECT b FROM b10 GROUP BY b HAVING count(*) = 10),
+        s10 AS (SELECT b10.b, i, v,
+                 sum(v) OVER (PARTITION BY b10.b) AS bs,
+                 sum(v) OVER (PARTITION BY b10.b ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS p
+               FROM b10 JOIN f10 USING (b)),
+        z10 AS (SELECT b, CAST(p AS HUGEINT) * 10
+                 - CAST(i AS HUGEINT) * bs AS zn, v, bs FROM s10),
+        pb10 AS (SELECT b, max(zn) - min(least(zn, 0)) AS rn,
+                 max(bs) AS bs, sum(CAST(v AS HUGEINT) * v) AS ss
+               FROM z10 GROUP BY b),
+        rs10 AS (SELECT CAST(round(CAST(rn AS DOUBLE) / 10
+                 / sqrt(CASE WHEN CAST(ss AS DOUBLE) / 10
+                     - (CAST(bs AS DOUBLE) / 10)
+                     * (CAST(bs AS DOUBLE) / 10) > 0
+                   THEN CAST(ss AS DOUBLE) / 10
+                     - (CAST(bs AS DOUBLE) / 10)
+                     * (CAST(bs AS DOUBLE) / 10) END) * 1e9)
+                 AS BIGINT) AS rsn FROM pb10),
+        m10 AS (SELECT CAST(10 AS BIGINT) AS block_size,
+                 CAST(count(*) AS BIGINT) AS n_blocks,
+                 round(CAST(sum(rsn) AS DOUBLE) / count(*) / 1e9, 6)
+                   AS mean_rs
+               FROM rs10 WHERE rsn IS NOT NULL),
+        b15 AS (SELECT (t - 1) // 15 AS b, (t - 1) % 15 + 1 AS i, v
+               FROM idx),
+        f15 AS (SELECT b FROM b15 GROUP BY b HAVING count(*) = 15),
+        s15 AS (SELECT b15.b, i, v,
+                 sum(v) OVER (PARTITION BY b15.b) AS bs,
+                 sum(v) OVER (PARTITION BY b15.b ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS p
+               FROM b15 JOIN f15 USING (b)),
+        z15 AS (SELECT b, CAST(p AS HUGEINT) * 15
+                 - CAST(i AS HUGEINT) * bs AS zn, v, bs FROM s15),
+        pb15 AS (SELECT b, max(zn) - min(least(zn, 0)) AS rn,
+                 max(bs) AS bs, sum(CAST(v AS HUGEINT) * v) AS ss
+               FROM z15 GROUP BY b),
+        rs15 AS (SELECT CAST(round(CAST(rn AS DOUBLE) / 15
+                 / sqrt(CASE WHEN CAST(ss AS DOUBLE) / 15
+                     - (CAST(bs AS DOUBLE) / 15)
+                     * (CAST(bs AS DOUBLE) / 15) > 0
+                   THEN CAST(ss AS DOUBLE) / 15
+                     - (CAST(bs AS DOUBLE) / 15)
+                     * (CAST(bs AS DOUBLE) / 15) END) * 1e9)
+                 AS BIGINT) AS rsn FROM pb15),
+        m15 AS (SELECT CAST(15 AS BIGINT) AS block_size,
+                 CAST(count(*) AS BIGINT) AS n_blocks,
+                 round(CAST(sum(rsn) AS DOUBLE) / count(*) / 1e9, 6)
+                   AS mean_rs
+               FROM rs15 WHERE rsn IS NOT NULL),
+        pts AS (
+          SELECT block_size, n_blocks, mean_rs,
+                 ln(CAST(block_size AS DOUBLE)) AS x,
+                 ln(mean_rs) AS y
+          FROM (SELECT * FROM m5 UNION ALL SELECT * FROM m10
+                UNION ALL SELECT * FROM m15)
+          WHERE mean_rs > 0
+        ), fit AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM pts
+        )
+        SELECT block_size, n_blocks, mean_rs,
+               CASE WHEN k > 1 THEN
+                 round((CAST(k AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) END
+                 AS hurst
+        FROM pts, fit ORDER BY block_size
+      """.trim),
+      "X319 Hurst R/S exponent of the daily count series")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.hurstExponent(daily, "d", "v",
+          sizes = Seq(5, 10, 15))
       })
   )
 }
