@@ -2735,6 +2735,51 @@ object CorpusOps {
       .limit(topK)
   }
 
+  /** X321 — character-coverage vocabulary selection (the
+    * SentencePiece `character_coverage` step): order the corpus's
+    * characters by frequency and keep the smallest prefix reaching
+    * the target coverage — the charset every byte/char-level
+    * tokenizer (X73/X121/X118) should be trained against, with the
+    * long tail (mojibake, stray scripts — X278's "other" bucket)
+    * consciously cut, not silently learned. Exact integer char
+    * counts; the crossing rank against target = ⌈coverage·total⌉ is
+    * integer-exact; the one ordered pass is CHARSET-bounded (the
+    * vocabulary class, never rows). Output: one row — totals, kept
+    * count, achieved coverage, and the kept charset as a sorted
+    * string (scalar columns only).
+    */
+  def charCoverage(docs: DataFrame, textCol: String,
+      coverage: Double = 0.9995): DataFrame = {
+    require(coverage > 0 && coverage <= 1, s"bad coverage $coverage")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(split(col(textCol), "")).as("__ch"))
+      .filter(col("__ch") =!= "")
+      .groupBy(col("__ch")).agg(count(lit(1)).as("__c"))
+    val tot = counts.agg(sum(col("__c")).cast("long").as("__T"),
+      count(lit(1)).cast("long").as("n_distinct_chars"))
+    val w = Window.orderBy(col("__c").desc, col("__ch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("__target",
+        ceil(lit(coverage) * col("__T")).cast("long"))
+      .withColumn("__keep", col("__cum") - col("__c") < col("__target"))
+    ranked.filter(col("__keep"))
+      .agg(max(col("n_distinct_chars")).as("n_distinct_chars"),
+        max(col("__T")).as("total_chars"),
+        count(lit(1)).cast("long").as("n_kept"),
+        sum(col("__c")).cast("long").as("__keptChars"),
+        concat_ws("", sort_array(collect_list(col("__ch"))))
+          .as("kept_charset"))
+      .select(col("n_distinct_chars"), col("total_chars"),
+        col("n_kept"),
+        round(col("__keptChars").cast("double") / col("total_chars"),
+          6).as("coverage_achieved"),
+        col("kept_charset"))
+  }
+
   /** X179 — exact per-group trimmed mean: drop each group's values
     * outside its own exact [q_lo, q_hi] order statistics (the X61
     * multi-pass bisection — skew-proof, no per-group sort) and

@@ -457,6 +457,47 @@ object Funnel {
             col("n_churned_in").cast("double"), 6)).as("quick_ratio"))
   }
 
+  /** X320 — restricted mean survival time: RMST(τ) = ∫₀^τ Ŝ(t)dt,
+    * the area under the [[kaplanMeier]] curve up to the horizon —
+    * the EFFECT-SIZE face of survival analysis ("even-cohort users
+    * take 2.3 fewer days to convert within the 30-day window") where
+    * [[logRank]] only says "different" and a mean of durations is
+    * censoring-broken. Computed from the KM table itself: each
+    * inter-event segment contributes S_prev·Δt (micro-quantized
+    * before the fold — S is already the curve's round(6) value), the
+    * tail contributes S_last·(τ − t_last); no events by τ means
+    * RMST = τ exactly. Event-time-bounded windows only.
+    */
+  def rmst(subjects: DataFrame, durationCol: String,
+      observedCol: Column, tau: Long): DataFrame = {
+    require(tau > 0, s"bad tau $tau")
+    import org.apache.spark.sql.expressions.Window
+    val km = kaplanMeier(subjects, durationCol, observedCol)
+      .filter(col("t") <= tau)
+    val w = Window.orderBy(col("t"))
+    val seg = km
+      .withColumn("__prevT", coalesce(lag(col("t"), 1).over(w), lit(0L)))
+      .withColumn("__prevS",
+        coalesce(lag(col("survival"), 1).over(w), lit(1.0)))
+      .withColumn("__term",
+        round(col("__prevS") * (col("t") - col("__prevT")) * 1e6, 0)
+          .cast("long"))
+    val folded = seg.agg(
+      coalesce(sum(col("__term")), lit(0L)).cast("long").as("__area"),
+      max(struct(col("t"), col("survival"))).as("__last"),
+      coalesce(sum(col("d")), lit(0L)).cast("long").as("n_events"))
+    val base = subjects.agg(count(lit(1)).cast("long").as("n_subjects"))
+    val tailTerm = when(col("__last").isNull,
+      lit(tau).cast("double") * 1e6)
+      .otherwise(round(col("__last.survival") *
+        (lit(tau) - col("__last.t")) * 1e6, 0))
+    base.crossJoin(broadcast(folded))
+      .select(col("n_subjects"), col("n_events"),
+        lit(tau).as("tau"),
+        round((col("__area").cast("double") + tailTerm) / 1e6, 6)
+          .as("rmst"))
+  }
+
   /** X288 — two-group log-rank test: does survival differ between
     * cohorts A and B — the censoring-correct comparison that a mean
     * or t-test on durations gets WRONG whenever observation windows

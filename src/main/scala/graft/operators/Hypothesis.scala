@@ -639,6 +639,67 @@ object Hypothesis {
       when(allPos, round(seLogOr, 6)).as("se_log_or"))
   }
 
+  /** X322 — Jonckheere-Terpstra ordered-alternative test: with
+    * groups carrying an a-priori ORDER (length bands, quality
+    * deciles, dose-like buckets), 2J = Σ_{i<j} (2·#{x_a < x_b} +
+    * #{ties}) over ordered group pairs — beats the omnibus
+    * [[kruskalWallis]] exactly when the suspicion IS monotone, and
+    * is [[cochranArmitage]]'s sibling for CONTINUOUS outcomes. Per
+    * value on the distinct-value pass: each group's strictly-below
+    * cumulative and the tie cross-products fold as exact decimals,
+    * so 2J is an integer; the no-tie-corrected normal moments
+    * μ = (N² − Σn_g²)/4, σ² = (N²(2N+3) − Σn_g²(2n_g+3))/72 are
+    * documented approximations under heavy ties. Bands ≤ 16.
+    */
+  def jonckheereTerpstra(df: DataFrame, bandCol: Column,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = df.select(bandCol.cast("int").as("__g"),
+      round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
+    val bands = base.select(col("__g")).distinct()
+      .orderBy(col("__g")).collect().map(_.getInt(0)).toSeq
+    require(bands.size >= 2 && bands.size <= 16,
+      s"need 2..16 bands, got ${bands.size}")
+    val cellAggs = bands.map(g => sum(when(col("__g") === g, 1L)
+      .otherwise(0L)).as(s"__c$g"))
+    val cells = base.groupBy(col("__v"))
+      .agg(cellAggs.head, cellAggs.tail: _*)
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bands.foldLeft(cells) { (d, g) =>
+      d.withColumn(s"__b$g",
+        coalesce(sum(col(s"__c$g")).over(w), lit(0L)))
+    }
+    // 2J contribution at value v: Σ_{i<j} 2·c_j·cumBelow_i + c_i·c_j
+    val pairTerms = for {
+      i <- bands; j <- bands if i < j
+    } yield (lit(2L) * col(s"__c$j").cast(dec) * col(s"__b$i") +
+      col(s"__c$i").cast(dec) * col(s"__c$j")).cast(dec)
+    val j2 = pairTerms.reduce(_ + _)
+    val perBand = bands.map(g =>
+      sum(col(s"__c$g")).cast("long").as(s"__n$g"))
+    val aggs = Seq(sum(j2.cast(dec)).cast(dec).as("__j2")) ++ perBand
+    val folded = cum.agg(aggs.head, aggs.tail: _*)
+    val nTot = bands.map(g => col(s"__n$g")).reduce(_ + _)
+    val sumSq = bands.map(g =>
+      (col(s"__n$g").cast(dec) * col(s"__n$g")).cast(dec))
+      .reduce(_ + _)
+    val sumCube = bands.map(g =>
+      ((col(s"__n$g").cast(dec) * col(s"__n$g")).cast(dec) *
+        (lit(2L) * col(s"__n$g") + 3L)).cast(dec)).reduce(_ + _)
+    def d(c: Column) = c.cast("double")
+    val nD = d(nTot)
+    val mu = (nD * nD - d(sumSq)) / 4.0
+    val v = (nD * nD * (lit(2.0) * nD + 3.0) - d(sumCube)) / 72.0
+    val jStat = d(col("__j2")) / 2.0
+    folded.select(nTot.cast("long").as("n_total"),
+      lit(bands.size.toLong).as("n_bands"),
+      round(jStat, 6).as("j_stat"),
+      round(mu, 6).as("expected"),
+      when(v > 0.0, round((jStat - mu) / sqrt(v), 6)).as("z_stat"))
+  }
+
   /** X152 — Krippendorff's alpha (nominal scale, two raters, no
     * missing values): α = 1 − (n−1)·ΣoffDiag(o)/De with the
     * coincidence matrix o folded down to three exact integers —

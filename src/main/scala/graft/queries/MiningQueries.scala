@@ -4855,6 +4855,225 @@ object MiningQueries {
           .agg(count(lit(1)).cast("long").as("v"))
         TimeSeries.hurstExponent(daily, "d", "v",
           sizes = Seq(5, 10, 15))
+      }),
+
+    // X320: RMST at a 240-hour horizon for the even/odd user
+    // cohorts — the survival effect size beside q_log_rank.
+    QueryDef(
+      "q_rmst",
+      Some("""
+        WITH subj AS (
+          SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+                   AS cohort,
+                 (epoch_us(coalesce(min(CASE WHEN event_type = 'error'
+                     THEN ts END), max(ts)))
+                  - epoch_us(min(ts))) // 3600000000 AS dur,
+                 min(CASE WHEN event_type = 'error' THEN ts END)
+                   IS NOT NULL AS ev
+          FROM events GROUP BY user_id
+        ), per AS (
+          SELECT cohort, dur AS t,
+                 CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d,
+                 CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c
+          FROM subj GROUP BY 1, 2
+        ), tot AS (
+          SELECT cohort, CAST(sum(d + c) AS BIGINT) AS nn
+          FROM per GROUP BY 1
+        ), cum AS (
+          SELECT per.cohort, t, d, c, nn,
+                 CAST(sum(d + c) OVER (PARTITION BY per.cohort
+                   ORDER BY t) AS BIGINT) AS lft
+          FROM per JOIN tot ON per.cohort = tot.cohort
+        ), rs AS (
+          SELECT cohort, t, d, c, nn - (lft - d - c) AS nrisk
+          FROM cum
+        ), terms AS (
+          SELECT cohort, t, d, nrisk,
+                 CASE WHEN d = 0 THEN 0.0
+                      WHEN d < nrisk THEN
+                        ln(1.0 - CAST(d AS DOUBLE)
+                          / CAST(nrisk AS DOUBLE))
+                      ELSE 0.0 END AS lnterm,
+                 CASE WHEN d = nrisk THEN 1 ELSE 0 END AS deadflag
+          FROM rs
+        ), walk AS (
+          SELECT cohort, t, d,
+                 sum(lnterm) OVER (PARTITION BY cohort ORDER BY t)
+                   AS lnsum,
+                 max(deadflag) OVER (PARTITION BY cohort ORDER BY t)
+                   AS dead
+          FROM terms
+        ), km AS (
+          SELECT cohort, t, d,
+                 CASE WHEN dead = 1 THEN 0.0
+                      ELSE round(exp(lnsum), 6) END AS survival
+          FROM walk WHERE d > 0 AND t <= 240
+        ), seg AS (
+          SELECT cohort, t, d, survival,
+                 coalesce(lag(t) OVER (PARTITION BY cohort
+                   ORDER BY t), 0) AS prevt,
+                 coalesce(lag(survival) OVER (PARTITION BY cohort
+                   ORDER BY t), 1.0) AS prevs
+          FROM km
+        ), folded AS (
+          SELECT cohort,
+                 coalesce(CAST(sum(CAST(round(prevs * (t - prevt)
+                   * 1e6) AS BIGINT)) AS BIGINT), 0) AS area,
+                 max(t) AS lastt,
+                 arg_max(survival, t) AS lasts,
+                 coalesce(CAST(sum(d) AS BIGINT), 0) AS n_events
+          FROM seg GROUP BY 1
+        ), base AS (
+          SELECT cohort, CAST(count(*) AS BIGINT) AS n_subjects
+          FROM subj GROUP BY 1
+        )
+        SELECT b.cohort, n_subjects,
+               coalesce(n_events, 0) AS n_events,
+               CAST(240 AS BIGINT) AS tau,
+               round((CAST(coalesce(area, 0) AS DOUBLE)
+                 + CASE WHEN lastt IS NULL THEN 240.0 * 1e6
+                   ELSE round(lasts * (240 - lastt) * 1e6) END)
+                 / 1e6, 6) AS rmst
+        FROM base b LEFT JOIN folded USING (cohort)
+        ORDER BY cohort
+      """.trim),
+      "X320 240h restricted mean time-to-first-error per cohort")(
+      (spark, dir) => {
+        import spark.implicits._
+        val subj = events(spark, dir)
+          .groupBy($"user_id")
+          .agg(min($"ts").as("first"), max($"ts").as("last"),
+            min(when($"event_type" === "error", $"ts")).as("err"))
+          .withColumn("dur_us",
+            unix_micros(coalesce($"err", $"last")) -
+              unix_micros($"first"))
+          .withColumn("dur", expr("dur_us div 3600000000"))
+          .withColumn("cohort",
+            when($"user_id" % 2 === 0, "even").otherwise("odd"))
+        def side(c: String) =
+          Funnel.rmst(subj.filter($"cohort" === c), "dur",
+              $"err".isNotNull, tau = 240L)
+            .select(lit(c).as("cohort"), $"n_subjects", $"n_events",
+              $"tau", $"rmst")
+        side("even").unionAll(side("odd")).orderBy($"cohort")
+      }),
+
+    // X321: SentencePiece-style character coverage at 95% — the
+    // charset a char-level tokenizer should train against.
+    QueryDef(
+      "q_char_coverage",
+      Some("""
+        WITH chars AS (
+          SELECT unnest(string_split(text, '')) AS ch FROM documents
+        ), counts AS (
+          SELECT ch, CAST(count(*) AS BIGINT) AS c
+          FROM chars WHERE ch <> '' GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(c) AS BIGINT) AS t,
+                 CAST(count(*) AS BIGINT) AS n_distinct_chars
+          FROM counts
+        ), ranked AS (
+          SELECT ch, c, t, n_distinct_chars,
+                 sum(c) OVER (ORDER BY c DESC, ch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 CAST(ceil(0.95 * t) AS BIGINT) AS target
+          FROM counts, tot
+        )
+        SELECT max(n_distinct_chars) AS n_distinct_chars,
+               max(t) AS total_chars,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               round(CAST(sum(c) AS DOUBLE) / max(t), 6)
+                 AS coverage_achieved,
+               string_agg(ch, '' ORDER BY ch) AS kept_charset
+        FROM ranked WHERE cum - c < target
+      """.trim),
+      "X321 95% character-coverage charset of the corpus")(
+      (spark, dir) => {
+        CorpusOps.charCoverage(table(spark, dir, "documents"),
+          "text", coverage = 0.95)
+      }),
+
+    // X322: Jonckheere-Terpstra — do doc lengths rise monotonically
+    // across word-count bands (the ordered alternative).
+    QueryDef(
+      "q_jonckheere",
+      Some("""
+        WITH base AS (
+          SELECT CASE WHEN len(string_split(text, ' ')) < 30 THEN 0
+                      WHEN len(string_split(text, ' ')) < 70 THEN 1
+                      ELSE 2 END AS g,
+                 CAST(round(n_chars * 1000000.0) AS BIGINT) AS v
+          FROM documents
+        ), cells AS (
+          SELECT v,
+                 CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c0,
+                 CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c2
+          FROM base GROUP BY 1
+        ), cum AS (
+          SELECT v, c0, c1, c2,
+                 coalesce(sum(c0) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS b0,
+                 coalesce(sum(c1) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS b1
+          FROM cells
+        ), folded AS (
+          SELECT sum(2 * CAST(c1 AS HUGEINT) * b0
+                   + CAST(c0 AS HUGEINT) * c1
+                   + 2 * CAST(c2 AS HUGEINT) * b0
+                   + CAST(c0 AS HUGEINT) * c2
+                   + 2 * CAST(c2 AS HUGEINT) * b1
+                   + CAST(c1 AS HUGEINT) * c2) AS j2,
+                 CAST(sum(c0) AS BIGINT) AS n0,
+                 CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2
+          FROM cum
+        )
+        SELECT n0 + n1 + n2 AS n_total, CAST(3 AS BIGINT) AS n_bands,
+               round(CAST(j2 AS DOUBLE) / 2.0, 6) AS j_stat,
+               round((CAST(n0 + n1 + n2 AS DOUBLE)
+                   * (n0 + n1 + n2)
+                 - CAST(CAST(n0 AS HUGEINT) * n0
+                   + CAST(n1 AS HUGEINT) * n1
+                   + CAST(n2 AS HUGEINT) * n2 AS DOUBLE)) / 4.0, 6)
+                 AS expected,
+               CASE WHEN (CAST(n0 + n1 + n2 AS DOUBLE)
+                   * (n0 + n1 + n2)
+                   * (2.0 * (n0 + n1 + n2) + 3.0)
+                 - CAST(CAST(n0 AS HUGEINT) * n0 * (2 * n0 + 3)
+                   + CAST(n1 AS HUGEINT) * n1 * (2 * n1 + 3)
+                   + CAST(n2 AS HUGEINT) * n2 * (2 * n2 + 3)
+                   AS DOUBLE)) / 72.0 > 0 THEN
+                 round((CAST(j2 AS DOUBLE) / 2.0
+                   - (CAST(n0 + n1 + n2 AS DOUBLE) * (n0 + n1 + n2)
+                     - CAST(CAST(n0 AS HUGEINT) * n0
+                       + CAST(n1 AS HUGEINT) * n1
+                       + CAST(n2 AS HUGEINT) * n2 AS DOUBLE)) / 4.0)
+                 / sqrt((CAST(n0 + n1 + n2 AS DOUBLE)
+                     * (n0 + n1 + n2)
+                     * (2.0 * (n0 + n1 + n2) + 3.0)
+                   - CAST(CAST(n0 AS HUGEINT) * n0 * (2 * n0 + 3)
+                     + CAST(n1 AS HUGEINT) * n1 * (2 * n1 + 3)
+                     + CAST(n2 AS HUGEINT) * n2 * (2 * n2 + 3)
+                     AS DOUBLE)) / 72.0), 6) END AS z_stat
+        FROM folded
+      """.trim),
+      "X322 Jonckheere-Terpstra: length rises across word bands")(
+      (spark, dir) => {
+        import spark.implicits._
+        val band = when(size(split($"text", " ")) < 30, 0)
+          .when(size(split($"text", " ")) < 70, 1).otherwise(2)
+        Hypothesis.jonckheereTerpstra(
+          table(spark, dir, "documents").select(band.as("band"),
+            $"n_chars"), $"band", "n_chars")
       })
   )
 }
