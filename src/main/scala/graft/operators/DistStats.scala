@@ -485,6 +485,40 @@ object DistStats {
       when(overdispersed, round(m / v, 6)).as("nb_p"))
   }
 
+  /** X324 — leave-one-group-out valuation: for each group, the
+    * corpus metric (mean of `valueCol`) recomputed WITHOUT that
+    * group, and the delta the group's removal causes — the zero-
+    * retraining data-valuation readout ("source F drags mean quality
+    * down 0.8 points; source A props it up") that approximates the
+    * leave-one-out influence a full ablation run would measure, from
+    * ONE pass of per-group exact sums: loso_mean = (S − S_g)/(N −
+    * n_g) is closed form. Group-bounded fold; deltas are one double
+    * subtraction each, round(6); a group that IS the corpus reports
+    * NULL loso.
+    */
+  def leaveOneOut(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val q = round(col(valueCol) * 1e6, 0).cast("long")
+    val cells = df.select(col(groupCol), q.as("__q"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("__q").cast(dec)).cast(dec).as("__s"))
+    val tot = cells.agg(sum(col("n_rows")).cast("long").as("__N"),
+      sum(col("__s")).cast(dec).as("__S"))
+    val j = cells.crossJoin(broadcast(tot))
+    val full = col("__S").cast("double") / col("__N") / 1e6
+    val loso = (col("__S") - col("__s")).cast("double") /
+      (col("__N") - col("n_rows")) / 1e6
+    j.select(col(groupCol), col("n_rows"),
+      round(col("n_rows").cast("double") / col("__N"), 6)
+        .as("row_share"),
+      round(full, 6).as("mean_full"),
+      when(col("__N") > col("n_rows"), round(loso, 6))
+        .as("mean_without"),
+      when(col("__N") > col("n_rows"), round(full - loso, 6))
+        .as("delta"))
+  }
+
   /** X291 — Neyman optimal allocation: split a labeling/eval budget
     * across strata proportional to N_h·S_h (stratum size × stratum
     * SD) — the allocation that minimizes the stratified estimator's
