@@ -2780,6 +2780,43 @@ object CorpusOps {
         col("kept_charset"))
   }
 
+  /** X326 — token-budget epoch allocation: given a training budget B
+    * and a temperature exponent α, each source targets
+    * w_s·B = T_s^α/ΣT^α·B tokens, which its own size converts to an
+    * EPOCH COUNT (repetitions) capped at `maxEpochs` — the
+    * D4/DoReMi-shaped repetition plan that turns X85's mixture
+    * weights into the number every dataloader actually needs
+    * ("source C runs 3.2 epochs; source A is capped at 4 and
+    * under-delivers its target by 1.2M tokens"). Closed form, one
+    * group-bounded fold; the capped shortfall is REPORTED per
+    * source, not silently redistributed.
+    */
+  def epochAllocation(docs: DataFrame, groupCol: String,
+      tokensCol: String, budget: Long, alpha: Double = 0.5,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(budget > 0 && alpha > 0 && alpha <= 1 && maxEpochs > 0,
+      s"bad params budget=$budget alpha=$alpha maxEpochs=$maxEpochs")
+    val cells = docs.groupBy(col(groupCol))
+      .agg(sum(col(tokensCol)).cast("long").as("tokens"))
+    val powed = cells.withColumn("__w",
+      pow(col("tokens").cast("double"), lit(alpha)))
+    val tot = powed.agg(sum(col("__w")).as("__wTot"))
+    val j = powed.crossJoin(broadcast(tot))
+    val share = col("__w") / col("__wTot")
+    val target = share * budget
+    val epochsRaw = target / col("tokens")
+    val epochs = least(epochsRaw, lit(maxEpochs))
+    val realized = least(target, lit(maxEpochs) * col("tokens"))
+    j.select(col(groupCol), col("tokens"),
+      round(share, 6).as("weight"),
+      round(target, 0).cast("long").as("target_tokens"),
+      round(epochs, 6).as("epochs"),
+      round(realized, 0).cast("long").as("realized_tokens"),
+      (epochsRaw > maxEpochs).as("capped"),
+      round(greatest(target - realized, lit(0.0)), 0).cast("long")
+        .as("shortfall_tokens"))
+  }
+
   /** X179 — exact per-group trimmed mean: drop each group's values
     * outside its own exact [q_lo, q_hi] order statistics (the X61
     * multi-pass bisection — skew-proof, no per-group sort) and

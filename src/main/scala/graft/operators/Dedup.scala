@@ -788,4 +788,35 @@ object Dedup {
         round(exp(log(lit(1.0) / col("b").cast("double")) /
           col("r").cast("double")), 6).as("s_threshold"))
   }
+
+  /** X325 — per-group dedup impact report: for each group (source,
+    * snapshot, crawl), the document and character mass exact dedup
+    * would remove — docs, distinct contents, dup ratio, chars total
+    * vs chars surviving the keep-min-id policy — the triage table
+    * that says WHERE the X1 pass will pay off before running the
+    * full pipeline (a 40%-dup source is a crawler bug; 2% is
+    * ambient). One groupBy over (group, content hash) with exact
+    * integer masses; keeper chars follow the X54 min-id policy so
+    * the report matches what the dedup pass would actually keep.
+    */
+  def dedupImpact(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, charsCol: String): DataFrame = {
+    val perContent = docs
+      .groupBy(col(groupCol), xxhash64(lower(col(textCol))).as("__h"))
+      .agg(count(lit(1)).as("__copies"),
+        sum(col(charsCol)).cast("long").as("__chars"),
+        min(struct(col(idCol), col(charsCol))).as("__keep"))
+    perContent.groupBy(col(groupCol))
+      .agg(sum(col("__copies")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_unique"),
+        sum(col("__chars")).cast("long").as("chars_total"),
+        sum(col("__keep").getField(charsCol)).cast("long")
+          .as("chars_kept"))
+      .select(col(groupCol), col("n_docs"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") /
+          col("n_docs"), 6).as("dup_ratio"),
+        col("chars_total"), col("chars_kept"),
+        round(lit(1.0) - col("chars_kept").cast("double") /
+          col("chars_total"), 6).as("chars_saved_ratio"))
+  }
 }

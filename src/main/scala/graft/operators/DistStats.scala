@@ -503,19 +503,19 @@ object DistStats {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).cast("long").as("n_rows"),
         sum(col("__q").cast(dec)).cast(dec).as("__s"))
-    val tot = cells.agg(sum(col("n_rows")).cast("long").as("__N"),
-      sum(col("__s")).cast(dec).as("__S"))
+    val tot = cells.agg(sum(col("n_rows")).cast("long").as("__totN"),
+      sum(col("__s")).cast(dec).as("__totS"))
     val j = cells.crossJoin(broadcast(tot))
-    val full = col("__S").cast("double") / col("__N") / 1e6
-    val loso = (col("__S") - col("__s")).cast("double") /
-      (col("__N") - col("n_rows")) / 1e6
+    val full = col("__totS").cast("double") / col("__totN") / 1e6
+    val loso = (col("__totS") - col("__s")).cast("double") /
+      (col("__totN") - col("n_rows")) / 1e6
     j.select(col(groupCol), col("n_rows"),
-      round(col("n_rows").cast("double") / col("__N"), 6)
+      round(col("n_rows").cast("double") / col("__totN"), 6)
         .as("row_share"),
       round(full, 6).as("mean_full"),
-      when(col("__N") > col("n_rows"), round(loso, 6))
+      when(col("__totN") > col("n_rows"), round(loso, 6))
         .as("mean_without"),
-      when(col("__N") > col("n_rows"), round(full - loso, 6))
+      when(col("__totN") > col("n_rows"), round(full - loso, 6))
         .as("delta"))
   }
 

@@ -5074,6 +5074,110 @@ object MiningQueries {
         Hypothesis.jonckheereTerpstra(
           table(spark, dir, "documents").select(band.as("band"),
             $"n_chars"), $"band", "n_chars")
+      }),
+
+    // X324: leave-one-language-out valuation of mean doc length —
+    // which slice props the corpus metric up or drags it down.
+    QueryDef(
+      "q_loso",
+      Some("""
+        WITH cells AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+                 sum(CAST(round(n_chars * 1000000.0) AS HUGEINT))
+                   AS s
+          FROM documents GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n_rows) AS BIGINT) AS nn, sum(s) AS ss
+          FROM cells
+        )
+        SELECT lang, n_rows,
+               round(CAST(n_rows AS DOUBLE) / nn, 6) AS row_share,
+               round(CAST(ss AS DOUBLE) / nn / 1e6, 6) AS mean_full,
+               CASE WHEN nn > n_rows THEN
+                 round(CAST(ss - s AS DOUBLE) / (nn - n_rows) / 1e6,
+                   6) END AS mean_without,
+               CASE WHEN nn > n_rows THEN
+                 round(CAST(ss AS DOUBLE) / nn / 1e6
+                   - CAST(ss - s AS DOUBLE) / (nn - n_rows) / 1e6, 6)
+                 END AS delta
+        FROM cells, tot ORDER BY lang
+      """.trim),
+      "X324 leave-one-language-out mean-length valuation")(
+      (spark, dir) => {
+        import spark.implicits._
+        DistStats.leaveOneOut(table(spark, dir, "documents"), "lang",
+            "n_chars")
+          .orderBy($"lang")
+      }),
+
+    // X325: per-source exact-dedup impact triage — where the X1 pass
+    // will pay off, in docs and character mass.
+    QueryDef(
+      "q_dedup_impact",
+      Some("""
+        WITH pc AS (
+          SELECT source, md5(lower(text)) AS h,
+                 CAST(count(*) AS BIGINT) AS copies,
+                 CAST(sum(n_chars) AS BIGINT) AS chars,
+                 arg_min(n_chars, doc_id) AS keepchars
+          FROM documents GROUP BY 1, 2
+        )
+        SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_unique,
+               round(1.0 - CAST(count(*) AS DOUBLE) / sum(copies), 6)
+                 AS dup_ratio,
+               CAST(sum(chars) AS BIGINT) AS chars_total,
+               CAST(sum(keepchars) AS BIGINT) AS chars_kept,
+               round(1.0 - CAST(sum(keepchars) AS DOUBLE)
+                 / sum(chars), 6) AS chars_saved_ratio
+        FROM pc GROUP BY 1 ORDER BY source
+      """.trim),
+      "X325 per-source exact-dedup impact report")(
+      (spark, dir) => {
+        import spark.implicits._
+        Dedup.dedupImpact(table(spark, dir, "documents"), "source",
+            "doc_id", "text", "n_chars")
+          .orderBy($"source")
+      }),
+
+    // X326: token-budget epoch plan per source (alpha 0.5, cap 4
+    // epochs, 100k-token budget) — X85's weights as a dataloader
+    // repetition table.
+    QueryDef(
+      "q_epoch_alloc",
+      Some("""
+        WITH cells AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS tokens
+          FROM documents GROUP BY 1
+        ), powed AS (
+          SELECT source, tokens,
+                 power(CAST(tokens AS DOUBLE), 0.5) AS w
+          FROM cells
+        ), tot AS (SELECT sum(w) AS wtot FROM powed)
+        SELECT source, tokens,
+               round(w / wtot, 6) AS weight,
+               CAST(round(w / wtot * 100000) AS BIGINT)
+                 AS target_tokens,
+               round(least(w / wtot * 100000 / tokens, 4.0), 6)
+                 AS epochs,
+               CAST(round(least(w / wtot * 100000, 4.0 * tokens))
+                 AS BIGINT) AS realized_tokens,
+               w / wtot * 100000 / tokens > 4.0 AS capped,
+               CAST(round(greatest(w / wtot * 100000
+                 - least(w / wtot * 100000, 4.0 * tokens), 0.0))
+                 AS BIGINT) AS shortfall_tokens
+        FROM powed, tot ORDER BY source
+      """.trim),
+      "X326 epoch allocation under a 100k-token budget, alpha 0.5")(
+      (spark, dir) => {
+        import spark.implicits._
+        val toks = table(spark, dir, "documents")
+          .select($"source", size(split($"text", " ")).as("tok"))
+        CorpusOps.epochAllocation(toks, "source", "tok",
+            budget = 100000L, alpha = 0.5, maxEpochs = 4.0)
+          .orderBy($"source")
       })
   )
 }
