@@ -1547,4 +1547,167 @@ object Similarity {
         round(col("__s").cast("double") / 1e6 /
           math.sqrt(k.toDouble), 6).as("component"))
   }
+
+  /** X328 — embedding anisotropy (Ethayarajh 2019): the expected
+    * cosine between two RANDOM vectors of the set, via the one-pass
+    * identity E_{i≠j}[cos] = (‖Σu‖² − n)/(n(n−1)) over the
+    * normalized vectors u — near 0 is an isotropic (healthy) space,
+    * near 1 is the collapsed cone where every cosine looks high and
+    * X2/X67's thresholds stop meaning anything. THE cheap health
+    * gate to run before trusting any cosine-based dedup/ANN pass.
+    *
+    * Exactness: components micro-quantize, each row's ‖q‖² is an
+    * exact integer fold IN ARRAY ORDER (order-independent — integer
+    * adds), u_d = q_d/√‖q‖² is one fixed-shape double, nano-quantized
+    * per (row, dim) before the per-dim sums, and ‖Σu‖² folds the
+    * DIM-bounded sum table in decimal. One scan + a dim-bounded agg.
+    */
+  def anisotropy(vecs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = expr(
+      s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1e6)" +
+        " AS BIGINT))")
+    val base = vecs.select(col(idCol).as("__id"), q.as("__q"))
+      .withColumn("__n2", expr(
+        "aggregate(__q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+      .filter(col("__n2") > 0L)
+    val comps = base
+      .select(col("__id"), col("__n2"),
+        posexplode(col("__q")).as(Seq("__d", "__qd")))
+      .withColumn("__un",
+        round(col("__qd").cast("double") /
+          sqrt(col("__n2").cast("double")) * 1e9, 0).cast("long"))
+    val dims = comps.groupBy(col("__d"))
+      .agg(sum(col("__un").cast(dec)).cast(dec).as("__sd"))
+    val folded = dims.agg(count(lit(1)).cast("long").as("dim"),
+      sum((col("__sd") * col("__sd")).cast(dec)).cast(dec).as("__ss"))
+    val n = base.agg(count(lit(1)).cast("long").as("n"))
+    n.crossJoin(broadcast(folded))
+      .select(col("n"), col("dim"),
+        when(col("n") > 1L,
+          round((col("__ss").cast("double") / 1e18 -
+            col("n").cast("double")) /
+            (col("n").cast("double") * (col("n") - 1L)), 6))
+          .as("mean_cosine"))
+  }
+
+  /** X327 — linear CKA between two embedding VIEWS of the same rows
+    * (two models' vectors, or two halves of one vector):
+    * CKA = ‖C_xy‖²_F / (‖C_xx‖_F·‖C_yy‖_F) over the centered
+    * cross-covariance blocks — the representation-similarity
+    * standard (Kornblith et al. 2019): "did the new embedding model
+    * actually change the geometry, or just rotate it" (CKA is
+    * invariant to rotation/scale — a plain per-dim correlation
+    * isn't). Covariance cells come from the X258 pair machinery on
+    * TAGGED dims — (d₁+d₂)²-bounded, never row pairs; cells
+    * nano-quantize before the three Frobenius folds.
+    */
+  def ckaLinear(vecs: DataFrame, idCol: String, aCol: Column,
+      bCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    def side(c: Column, tag: Int) = vecs.select(col(idCol).as("__id"),
+        posexplode(toDouble(c)).as(Seq("__i", "__x")))
+      .select(col("__id"), (lit(tag) * 100000 + col("__i")).as("__d"),
+        lit(tag).as("__t"),
+        round(col("__x") * 1e6, 0).cast("long").as("__q"))
+    val comps = side(aCol, 0).unionAll(side(bCol, 1))
+    val pairs = comps.as("a").join(comps.as("b"),
+        col("a.__id") === col("b.__id"))
+      .groupBy(col("a.__d").as("__di"), col("b.__d").as("__dj"),
+        col("a.__t").as("__ti"), col("b.__t").as("__tj"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("a.__q").cast(dec)).cast(dec).as("__si"),
+        sum(col("b.__q").cast(dec)).cast(dec).as("__sj"),
+        sum((col("a.__q").cast(dec) * col("b.__q")).cast(dec))
+          .cast(dec).as("__sij"))
+    val nd = col("__n").cast("double")
+    val cij = (col("__sij").cast("double") / nd -
+      (col("__si").cast("double") / nd) *
+        (col("__sj").cast("double") / nd)) / 1e12
+    val cells = pairs.select(col("__ti"), col("__tj"),
+      round(cij * 1e9, 0).cast("long").as("__cn"))
+    val blocks = cells.groupBy(col("__ti"), col("__tj"))
+      .agg(sum((col("__cn").cast(dec) * col("__cn")).cast(dec))
+        .cast(dec).as("__f2"))
+    val folded = blocks.agg(
+      sum(when(col("__ti") === 0 && col("__tj") === 1, col("__f2")))
+        .cast(dec).as("__cxy2"),
+      sum(when(col("__ti") === 0 && col("__tj") === 0, col("__f2")))
+        .cast(dec).as("__cxx2"),
+      sum(when(col("__ti") === 1 && col("__tj") === 1, col("__f2")))
+        .cast(dec).as("__cyy2"))
+    def d(c: Column) = c.cast("double")
+    val denom = sqrt(d(col("__cxx2")) * d(col("__cyy2")))
+    folded.select(
+      round(d(col("__cxy2")) / 1e18, 6).as("cross_frob2"),
+      when(denom > 0.0, round(d(col("__cxy2")) / denom, 6)).as("cka"))
+  }
+
+  /** X329 — hubness of the kNN graph (Radovanović 2010): in high
+    * dimensions a few "hub" vectors appear in EVERYONE's top-k while
+    * antihubs appear in no one's — the in-degree skew that silently
+    * wrecks kNN-based dedup (X67) and retrieval evaluation. Reports
+    * the in-degree distribution's moments (skewness via the X283
+    * machinery), max, hub count (≥ 2k) and antihub count (0).
+    *
+    * The kNN join here uses a QUANTIZED integer dot product (exact
+    * decimal folds → one fixed-shape cosine double), so ranks —
+    * unlike the float-path `q_knn_brute` — replay exactly in any
+    * engine; the n² candidate sweep is the declared brute-force cost
+    * (the ANN family is the scale path). Zero-in-degree vectors are
+    * completed from the id table, never dropped.
+    */
+  def hubness(vecs: DataFrame, idCol: String, vecCol: String, k: Int)
+      : DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val dec = "decimal(38,0)"
+    val q = expr(
+      s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1e6)" +
+        " AS BIGINT))")
+    val base = vecs.select(col(idCol).as("__id"), q.as("__q"))
+      .withColumn("__n2", expr(
+        "aggregate(__q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+    val a = base.select(col("__id").as("__qa"), col("__q").as("__va"),
+      col("__n2").as("__na"))
+    val b = base.select(col("__id").as("__qb"), col("__q").as("__vb"),
+      col("__n2").as("__nb"))
+    val dotQ = expr("aggregate(zip_with(__va, __vb, (x, y) -> x * y)," +
+      " CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    val w = Window.partitionBy(col("__qa"))
+      .orderBy(col("__cos").desc, col("__qb"))
+    val top = broadcast(a).join(b, col("__qa") =!= col("__qb"))
+      .withColumn("__cos", dotQ.cast("double") /
+        (sqrt(col("__na").cast("double")) *
+          sqrt(col("__nb").cast("double"))))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+    val indeg = base.select(col("__id"))
+      .join(top.groupBy(col("__qb").as("__id"))
+        .agg(count(lit(1)).as("__in")), Seq("__id"), "left")
+      .withColumn("__in", coalesce(col("__in"), lit(0L)))
+    val sums = indeg.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("__in").cast(dec)).cast(dec).as("__s1"),
+      sum((col("__in").cast(dec) * col("__in")).cast(dec)).cast(dec)
+        .as("__s2"),
+      sum((col("__in").cast(dec) * col("__in") * col("__in"))
+        .cast(dec)).cast(dec).as("__s3"),
+      max(col("__in")).cast("long").as("max_indegree"),
+      sum(when(col("__in") >= 2L * k, 1L).otherwise(0L)).cast("long")
+        .as("n_hubs"),
+      sum(when(col("__in") === 0L, 1L).otherwise(0L)).cast("long")
+        .as("n_antihubs"))
+    def d(c: Column) = c.cast("double")
+    val nd = d(col("n"))
+    val m1 = d(col("__s1")) / nd
+    val m2 = d(col("__s2")) / nd - m1 * m1
+    val m3 = d(col("__s3")) / nd - lit(3.0) * m1 * (d(col("__s2")) / nd) +
+      lit(2.0) * m1 * m1 * m1
+    sums.select(col("n"), lit(k.toLong).as("k"),
+      round(m1, 6).as("mean_indegree"),
+      when(m2 > 0.0, round(sqrt(m2), 6)).as("sd_indegree"),
+      when(m2 > 0.0, round(m3 / sqrt(m2 * m2 * m2), 6))
+        .as("skewness"),
+      col("max_indegree"), col("n_hubs"), col("n_antihubs"))
+  }
 }

@@ -5178,6 +5178,180 @@ object MiningQueries {
         CorpusOps.epochAllocation(toks, "source", "tok",
             budget = 100000L, alpha = 0.5, maxEpochs = 4.0)
           .orderBy($"source")
+      }),
+
+    // X328: embedding anisotropy — the expected random-pair cosine
+    // via the one-pass ||sum(u)||^2 identity.
+    QueryDef(
+      "q_anisotropy",
+      Some("""
+        WITH base AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))
+                   AS q
+          FROM embeddings
+        ), n2t AS (
+          SELECT vec_id, q,
+                 list_aggregate(list_transform(q, v -> v * v), 'sum')
+                   AS n2
+          FROM base
+        ), comps AS (
+          SELECT n2,
+                 unnest(range(1, len(q) + 1)) AS d, unnest(q) AS qd
+          FROM n2t WHERE n2 > 0
+        ), un AS (
+          SELECT d, CAST(round(CAST(qd AS DOUBLE)
+            / sqrt(CAST(n2 AS DOUBLE)) * 1e9) AS BIGINT) AS u
+          FROM comps
+        ), dims AS (
+          SELECT d, sum(CAST(u AS HUGEINT)) AS sd FROM un GROUP BY 1
+        ), folded AS (
+          SELECT CAST(count(*) AS BIGINT) AS dim, sum(sd * sd) AS ss
+          FROM dims
+        ), nn AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM n2t WHERE n2 > 0
+        )
+        SELECT n, dim,
+               CASE WHEN n > 1 THEN
+                 round((CAST(ss AS DOUBLE) / 1e18 - CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (n - 1)), 6) END
+                 AS mean_cosine
+        FROM nn, folded
+      """.trim),
+      "X328 embedding anisotropy (expected random-pair cosine)")(
+      (spark, dir) => {
+        Similarity.anisotropy(table(spark, dir, "embeddings"),
+          "vec_id", "embedding")
+      }),
+
+    // X327: linear CKA between the two halves of the embedding — the
+    // rotation-invariant "same geometry?" readout.
+    QueryDef(
+      "q_cka",
+      Some("""
+        WITH comps AS (
+          SELECT vec_id AS id, i - 1 AS d, 0 AS t,
+                 CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS q
+          FROM (SELECT vec_id, unnest(embedding[1:32]) AS x,
+                       unnest(range(1, 33)) AS i FROM embeddings)
+          UNION ALL
+          SELECT vec_id, 100000 + i - 1, 1,
+                 CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+          FROM (SELECT vec_id, unnest(embedding[33:64]) AS x,
+                       unnest(range(1, 33)) AS i FROM embeddings)
+        ), pairs AS (
+          SELECT a.d AS di, b.d AS dj, a.t AS ti, b.t AS tj,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(a.q AS HUGEINT)) AS si,
+                 sum(CAST(b.q AS HUGEINT)) AS sj,
+                 sum(CAST(a.q AS HUGEINT) * b.q) AS sij
+          FROM comps a JOIN comps b ON a.id = b.id
+          GROUP BY 1, 2, 3, 4
+        ), cells AS (
+          SELECT ti, tj,
+                 CAST(round((CAST(sij AS DOUBLE) / n
+                   - (CAST(si AS DOUBLE) / n)
+                     * (CAST(sj AS DOUBLE) / n)) / 1e12 * 1e9)
+                   AS BIGINT) AS cn
+          FROM pairs
+        ), blocks AS (
+          SELECT ti, tj, sum(CAST(cn AS HUGEINT) * cn) AS f2
+          FROM cells GROUP BY 1, 2
+        ), folded AS (
+          SELECT sum(CASE WHEN ti = 0 AND tj = 1 THEN f2 END)
+                   AS cxy2,
+                 sum(CASE WHEN ti = 0 AND tj = 0 THEN f2 END)
+                   AS cxx2,
+                 sum(CASE WHEN ti = 1 AND tj = 1 THEN f2 END)
+                   AS cyy2
+          FROM blocks
+        )
+        SELECT round(CAST(cxy2 AS DOUBLE) / 1e18, 6) AS cross_frob2,
+               CASE WHEN sqrt(CAST(cxx2 AS DOUBLE)
+                   * CAST(cyy2 AS DOUBLE)) > 0 THEN
+                 round(CAST(cxy2 AS DOUBLE)
+                   / sqrt(CAST(cxx2 AS DOUBLE)
+                     * CAST(cyy2 AS DOUBLE)), 6) END AS cka
+        FROM folded
+      """.trim),
+      "X327 linear CKA between the two embedding halves")(
+      (spark, dir) => {
+        Similarity.ckaLinear(table(spark, dir, "embeddings"),
+          "vec_id", expr("slice(embedding, 1, 32)"),
+          expr("slice(embedding, 33, 32)"))
+      }),
+
+    // X329: kNN-graph hubness (k=5) — quantized-integer dot products
+    // make the brute ranks engine-exact, unlike the float knn path.
+    QueryDef(
+      "q_hubness",
+      Some("""
+        WITH base AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))
+                   AS q
+          FROM embeddings
+        ), n2t AS (
+          SELECT vec_id, q,
+                 list_aggregate(list_transform(q, v -> v * v), 'sum')
+                   AS n2
+          FROM base
+        ), pairs AS (
+          SELECT a.vec_id AS qa, b.vec_id AS qb,
+                 CAST(list_aggregate(list_transform(
+                     list_zip(a.q, b.q), p -> p[1] * p[2]), 'sum')
+                   AS DOUBLE)
+                 / (sqrt(CAST(a.n2 AS DOUBLE))
+                   * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+          FROM n2t a JOIN n2t b ON a.vec_id <> b.vec_id
+        ), ranked AS (
+          SELECT qa, qb, row_number() OVER (PARTITION BY qa
+            ORDER BY cos DESC, qb) AS rk
+          FROM pairs
+        ), indeg AS (
+          SELECT n2t.vec_id,
+                 CAST(coalesce(cnt, 0) AS BIGINT) AS ind
+          FROM n2t LEFT JOIN (
+            SELECT qb, count(*) AS cnt FROM ranked WHERE rk <= 5
+            GROUP BY 1) t ON t.qb = n2t.vec_id
+        ), sums AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(ind AS HUGEINT)) AS s1,
+                 sum(CAST(ind AS HUGEINT) * ind) AS s2,
+                 sum(CAST(ind AS HUGEINT) * ind * ind) AS s3,
+                 CAST(max(ind) AS BIGINT) AS max_indegree,
+                 CAST(sum(CASE WHEN ind >= 10 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hubs,
+                 CAST(sum(CASE WHEN ind = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_antihubs
+          FROM indeg
+        ), m AS (
+          SELECT n, max_indegree, n_hubs, n_antihubs,
+                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                 CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                 CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3
+          FROM sums
+        ), c AS (
+          SELECT n, max_indegree, n_hubs, n_antihubs, m1,
+                 r2 - m1 * m1 AS m2,
+                 r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3
+          FROM m
+        )
+        SELECT n, CAST(5 AS BIGINT) AS k,
+               round(m1, 6) AS mean_indegree,
+               CASE WHEN m2 > 0 THEN round(sqrt(m2), 6) END
+                 AS sd_indegree,
+               CASE WHEN m2 > 0 THEN
+                 round(m3 / sqrt(m2 * m2 * m2), 6) END AS skewness,
+               max_indegree, n_hubs, n_antihubs
+        FROM c
+      """.trim),
+      "X329 kNN-graph hubness of the embeddings (k=5)")(
+      (spark, dir) => {
+        Similarity.hubness(table(spark, dir, "embeddings"), "vec_id",
+          "embedding", k = 5)
       })
   )
 }
