@@ -47,13 +47,23 @@ object Bench {
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
     require(timedRuns >= 1,
       s"SPARK_GRAFT_RUNS must be >= 1, got $timedRuns")
+    // Dataset.count() is NOT a safe work-forcer: Catalyst's
+    // OptimizeOneRowPlan knows a plan ending in a bare global
+    // aggregate returns exactly one row, so count() constant-folds
+    // to a literal and the plan NEVER EXECUTES — every one-row
+    // statistic query was benching plan-compile time only (caught
+    // r10: q_hubness "0.26 s" vs 45 s of real execution at sf0.1).
+    // toRdd.count() counts the physical plan's own output rows, so
+    // the executed plan always runs in full.
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     val results = selected.map { case (name, fn) =>
       val t = try {
-        fn(spark, sfDir).count() // warmup: codegen + JIT
+        force(fn(spark, sfDir)) // warmup: codegen + JIT
         (1 to timedRuns).map { _ =>
           dropCaches() // each timed run must recompute
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          force(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         }.min
       } catch { case _: Throwable => -1.0 }

@@ -2817,6 +2817,64 @@ object CorpusOps {
         .as("shortfall_tokens"))
   }
 
+  /** X330 — standardized Pearson residuals of a contingency table:
+    * per cell, r = (O − E)/√(E(1 − row/N)(1 − col/N)) — the
+    * DRILL-DOWN after X126/X293 say "not independent": which cells
+    * drove it, in ±z units (\|r\| > 2 is the classic callout). Exact
+    * integer cells/margins; each residual is one fixed-shape double,
+    * round(6); cells-bounded join of margins back.
+    */
+  def stdResiduals(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+      .agg(count(lit(1)).cast("long").as("observed"))
+    val mx = cells.groupBy(col("x")).agg(sum(col("observed")).as("__rx"))
+    val my = cells.groupBy(col("y")).agg(sum(col("observed")).as("__cy"))
+    val tot = cells.agg(sum(col("observed")).as("__n"))
+    val j = cells.join(broadcast(mx), Seq("x"))
+      .join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(tot))
+    def d(c: Column) = c.cast("double")
+    val e = d(col("__rx")) * d(col("__cy")) / d(col("__n"))
+    val denom = sqrt(e * (lit(1.0) - d(col("__rx")) / d(col("__n"))) *
+      (lit(1.0) - d(col("__cy")) / d(col("__n"))))
+    j.select(col("x"), col("y"), col("observed"),
+      round(e, 6).as("expected"),
+      when(denom > 0.0, round((d(col("observed")) - e) / denom, 6))
+        .as("std_residual"))
+  }
+
+  /** X331 — per-group unseen-vocabulary mass (the Good-Turing
+    * missing-mass estimator N₁/N per slice): what probability a
+    * source's NEXT token is a word never seen from it — the
+    * vocabulary-saturation ranking that says which sources still pay
+    * to crawl deeper (X229's Chao1 asks "how many types are
+    * missing"; this asks "how often will they show up"). Exact
+    * integer (tokens, types, hapaxes) per group from the
+    * vocabulary-bounded (group, term) count table; one division,
+    * round(6).
+    */
+  def unseenMass(docs: DataFrame, textCol: String, groupCol: String)
+      : DataFrame = {
+    val terms = docs.select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__g"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    terms.groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_hapaxes"))
+      .select(col("__g").as(groupCol), col("n_tokens"),
+        col("n_types"), col("n_hapaxes"),
+        round(col("n_hapaxes").cast("double") / col("n_tokens"), 6)
+          .as("p_unseen"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"))
+  }
+
   /** X179 — exact per-group trimmed mean: drop each group's values
     * outside its own exact [q_lo, q_hi] order statistics (the X61
     * multi-pass bisection — skew-proof, no per-group sort) and

@@ -1668,16 +1668,22 @@ object Similarity {
     val base = vecs.select(col(idCol).as("__id"), q.as("__q"))
       .withColumn("__n2", expr(
         "aggregate(__q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
-    val a = base.select(col("__id").as("__qa"), col("__q").as("__va"),
+      // the hot-path dot runs through the NATIVE vec_dot codegen
+      // expression on the quantized values as doubles: every product
+      // (≤ ~9e12) and the 64-term sum (≤ ~6e14) sit far inside
+      // double's 2^53 exact-integer range, so the value is the exact
+      // integer dot in ANY summation order — same result as a
+      // zip_with integer fold, ~100× faster per pair
+      .withColumn("__qd", expr(
+        "transform(__q, v -> CAST(v AS DOUBLE))"))
+    val a = base.select(col("__id").as("__qa"), col("__qd").as("__va"),
       col("__n2").as("__na"))
-    val b = base.select(col("__id").as("__qb"), col("__q").as("__vb"),
+    val b = base.select(col("__id").as("__qb"), col("__qd").as("__vb"),
       col("__n2").as("__nb"))
-    val dotQ = expr("aggregate(zip_with(__va, __vb, (x, y) -> x * y)," +
-      " CAST(0 AS BIGINT), (acc, v) -> acc + v)")
     val w = Window.partitionBy(col("__qa"))
       .orderBy(col("__cos").desc, col("__qb"))
     val top = broadcast(a).join(b, col("__qa") =!= col("__qb"))
-      .withColumn("__cos", dotQ.cast("double") /
+      .withColumn("__cos", dot(col("__va"), col("__vb")) /
         (sqrt(col("__na").cast("double")) *
           sqrt(col("__nb").cast("double"))))
       .withColumn("__rk", row_number().over(w))

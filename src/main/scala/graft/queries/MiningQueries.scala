@@ -5352,6 +5352,80 @@ object MiningQueries {
       (spark, dir) => {
         Similarity.hubness(table(spark, dir, "embeddings"), "vec_id",
           "embedding", k = 5)
+      }),
+
+    // X330: standardized Pearson residuals of lang x source — WHICH
+    // cells drove the q_g_test verdict, in +-z units.
+    QueryDef(
+      "q_std_residuals",
+      Some("""
+        WITH cells AS (
+          SELECT lang AS x, source AS y,
+                 CAST(count(*) AS BIGINT) AS observed
+          FROM documents GROUP BY 1, 2
+        ), mx AS (
+          SELECT x, CAST(sum(observed) AS BIGINT) AS rx
+          FROM cells GROUP BY 1
+        ), my AS (
+          SELECT y, CAST(sum(observed) AS BIGINT) AS cy
+          FROM cells GROUP BY 1
+        ), t AS (
+          SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells
+        )
+        SELECT x, y, observed,
+               round(CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS expected,
+               CASE WHEN sqrt(CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)
+                   / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(rx AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (1.0 - CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)))
+                   > 0 THEN
+                 round((CAST(observed AS DOUBLE)
+                   - CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                 / sqrt(CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)
+                   / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(rx AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (1.0 - CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))),
+                 6) END AS std_residual
+        FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+        ORDER BY x, y
+      """.trim),
+      "X330 standardized residuals of the lang x source table")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.stdResiduals(table(spark, dir, "documents"),
+            "lang", "source")
+          .orderBy($"x", $"y")
+      }),
+
+    // X331: per-source Good-Turing unseen-vocabulary mass — which
+    // sources still pay to crawl deeper.
+    QueryDef(
+      "q_unseen_mass",
+      Some("""
+        WITH terms AS (
+          SELECT source AS g, w, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          WHERE w <> '' GROUP BY 1, 2
+        )
+        SELECT g AS source, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapaxes,
+               round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / sum(c), 6) AS p_unseen,
+               round(CAST(count(*) AS DOUBLE) / sum(c), 6)
+                 AS type_token_ratio
+        FROM terms GROUP BY 1 ORDER BY source
+      """.trim),
+      "X331 per-source Good-Turing unseen mass + TTR")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.unseenMass(table(spark, dir, "documents"), "text",
+            "source")
+          .orderBy($"source")
       })
   )
 }
