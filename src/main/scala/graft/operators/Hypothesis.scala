@@ -510,18 +510,21 @@ object Hypothesis {
         (tri2(col("__hi")) - tri2(loDesc - 1L))).cast(dec))
       .otherwise(lit(0).cast(dec))
     val sv2 = (ascSum2 + descSum2).cast(dec)
+    // terms grow as N² — nano-quantized magnitudes pass 2^63 around
+    // N ≈ 5·10³, so they accumulate in decimal(38,0), not long (the
+    // rounded doubles are exact integer values either way)
     val scored = ranked.withColumn("__sv2", sv2)
       .withColumn("__abTerm",
         round(col("__ca").cast("double") * col("__sv2").cast("double") /
-          (lit(2.0) * col("__c").cast("double")) * 1e9, 0).cast("long"))
+          (lit(2.0) * col("__c").cast("double")) * 1e9, 0).cast(dec))
       .withColumn("__qTerm",
         round(col("__sv2").cast("double") * col("__sv2").cast("double") /
-          (lit(4.0) * col("__c").cast("double")) * 1e9, 0).cast("long"))
+          (lit(4.0) * col("__c").cast("double")) * 1e9, 0).cast(dec))
     val agg = scored.agg(max(col("__na")).as("n_a"),
       max(col("__nb")).as("n_b"),
       sum(col("__sv2")).cast(dec).as("__st2"),
-      sum(col("__abTerm")).cast("long").as("__abn"),
-      sum(col("__qTerm")).cast("long").as("__qn"))
+      sum(col("__abTerm")).cast(dec).as("__abn"),
+      sum(col("__qTerm")).cast(dec).as("__qn"))
     def d(c: Column) = c.cast("double")
     val nN = d(col("n_a")) + d(col("n_b"))
     val ab = d(col("__abn")) / 1e9

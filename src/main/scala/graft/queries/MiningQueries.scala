@@ -4278,17 +4278,17 @@ object MiningQueries {
         ), terms AS (
           SELECT na, nb, nn, sv2,
                  CAST(round(CAST(ca AS DOUBLE) * CAST(sv2 AS DOUBLE)
-                   / (2.0 * CAST(c AS DOUBLE)) * 1e9) AS BIGINT)
+                   / (2.0 * CAST(c AS DOUBLE)) * 1e9) AS HUGEINT)
                    AS abterm,
                  CAST(round(CAST(sv2 AS DOUBLE) * CAST(sv2 AS DOUBLE)
-                   / (4.0 * CAST(c AS DOUBLE)) * 1e9) AS BIGINT)
+                   / (4.0 * CAST(c AS DOUBLE)) * 1e9) AS HUGEINT)
                    AS qterm
           FROM sv
         ), agg AS (
           SELECT max(na) AS n_a, max(nb) AS n_b,
                  sum(sv2) AS st2,
-                 CAST(sum(abterm) AS BIGINT) AS abn,
-                 CAST(sum(qterm) AS BIGINT) AS qn
+                 sum(abterm) AS abn,
+                 sum(qterm) AS qn
           FROM terms
         )
         SELECT n_a, n_b,
