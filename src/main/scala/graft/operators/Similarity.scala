@@ -1680,16 +1680,29 @@ object Similarity {
       col("__n2").as("__na"))
     val b = base.select(col("__id").as("__qb"), col("__qd").as("__vb"),
       col("__n2").as("__nb"))
-    val w = Window.partitionBy(col("__qa"))
-      .orderBy(col("__cos").desc, col("__qb"))
+    // per-query top-k via the X49 bounded Aggregator, NOT a window:
+    // the window form shuffle-sorts all n² candidate rows (measured:
+    // a single spilling TimSort task at sf1); the Aggregator forwards
+    // at most k pairs per query per map task, so the exchange is
+    // k·n·partitions — the n² work stays in the scan stage where it
+    // parallelizes. Ordering (cos desc, id asc) matches the window
+    // form exactly, so ranks — and the oracle — are unchanged.
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
     val top = broadcast(a).join(b, col("__qa") =!= col("__qb"))
       .withColumn("__cos", dot(col("__va"), col("__vb")) /
         (sqrt(col("__na").cast("double")) *
           sqrt(col("__nb").cast("double"))))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
+      .groupBy(col("__qa"))
+      .agg(topk(col("__cos"), col("__qb").cast("long")).as("__tk"))
+      .select(explode(col("__tk")).as("__pair"))
+      .select(col("__pair._2").as("__qb"))
     val indeg = base.select(col("__id"))
-      .join(top.groupBy(col("__qb").as("__id"))
+      .join(top.groupBy(col("__qb").cast(base.schema("__id").dataType)
+          .as("__id"))
         .agg(count(lit(1)).as("__in")), Seq("__id"), "left")
       .withColumn("__in", coalesce(col("__in"), lit(0L)))
     val sums = indeg.agg(count(lit(1)).cast("long").as("n"),
