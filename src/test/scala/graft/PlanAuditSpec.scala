@@ -1184,4 +1184,22 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q shuffled the scan against its stats:\n${p.take(1200)}")
     }
   }
+
+  test("q_hubness: the top-k runs as a partial-aggregating " +
+    "Aggregator — NO window sort of the n^2 candidate rows") {
+    val p = plan("q_hubness")
+    assert(!p.contains("Window"),
+      s"the n^2 candidate sweep regained a window sort:\n${p.take(1500)}")
+    assert("ObjectHashAggregate|SortAggregate|HashAggregate".r
+      .findFirstIn(p).isDefined, "no aggregate in the top-k path")
+  }
+
+  test("q_keyness and q_term_dispersion: the top-k cut compiles to " +
+    "TakeOrdered, never a global sort of the scored table") {
+    Seq("q_keyness", "q_term_dispersion").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q lost its TakeOrdered cut:\n${p.take(1200)}")
+    }
+  }
 }
