@@ -118,6 +118,38 @@ object Calibrate {
         round(col("__eceNum") / col("n").cast("double"), 6).as("ece"))
   }
 
+  /** X332 — the reliability diagram TABLE under [[calibrationMetrics]]'
+    * summary: per probability bin, the count, mean stated confidence,
+    * observed accuracy, and the signed gap — the artifact a
+    * calibration dashboard actually plots (ECE is its weighted fold;
+    * the table says WHERE the model lies: over-confident at the top,
+    * under at the bottom). Same exact micro binning (p = 1 clamps
+    * into the top bin); bins-bounded; one division pair per bin,
+    * round(6).
+    */
+  def reliabilityTable(df: DataFrame, probCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bad bins $bins")
+    val base = df.select(
+      round(col(probCol) * 1e6, 0).cast("long").as("__p"),
+      when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    base
+      .withColumn("__b",
+        least(expr(s"(__p * $bins) div 1000000"), lit(bins - 1L)))
+      .groupBy(col("__b").as("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__p")).as("__sp"), sum(col("__y")).cast("long")
+          .as("n_positive"))
+      .select(col("bin"), col("n"), col("n_positive"),
+        round(col("__sp").cast("double") /
+          (col("n").cast("double") * 1e6), 6).as("mean_confidence"),
+        round(col("n_positive").cast("double") / col("n"), 6)
+          .as("accuracy"),
+        round(col("__sp").cast("double") /
+          (col("n").cast("double") * 1e6) -
+          col("n_positive").cast("double") / col("n"), 6).as("gap"))
+  }
+
   /** X237 — Murphy (1973) decomposition of the Brier score over
     * probability bins: Brier ≈ RELIABILITY − RESOLUTION +
     * UNCERTAINTY, with REL = Σ n_k(p̄_k−ō_k)²/N (how far each bin's

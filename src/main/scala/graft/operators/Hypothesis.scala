@@ -1577,6 +1577,62 @@ object Hypothesis {
       round(col("__argq").cast("double") / 1e6, 6).as("outlier_value"))
   }
 
+  /** X333 — Dunn's post-hoc pairwise rank test: after
+    * [[kruskalWallis]] rejects, WHICH group pairs differ — per pair,
+    * z = (r̄_i − r̄_j)/√(σ²·(1/n_i + 1/n_j)) with the tie-corrected
+    * σ² = (N(N+1) − Σ(t³−t)/(N−1))/12 — the rank-based sibling of
+    * [[pairwiseContrasts]] (feed the \|z\|'s to [[holmAdjust]], the
+    * standard Dunn-Holm recipe). Doubled midranks on the
+    * distinct-value pass (the X267 machinery); per-group doubled
+    * rank sums fold in decimal; each pair's z is one fixed-shape
+    * double from exact integers. k²-bounded pair join.
+    */
+  def dunnTest(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val cells = df.groupBy(
+        round(col(valueCol) * 1e6, 0).cast("long").as("__v"),
+        col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val perV = cells.groupBy(col("__v"))
+      .agg(sum(col("__c")).as("__cv"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perV.withColumn("__m2",
+      lit(2L) * (sum(col("__cv")).over(w) - col("__cv")) +
+        col("__cv") + lit(1L))
+    val gs = cells.join(ranked.select(col("__v"), col("__m2")),
+        Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("long").as("__ng"),
+        sum((col("__c").cast(dec) * col("__m2")).cast(dec)).cast(dec)
+          .as("__r2"))
+    val ties = perV.agg(sum(col("__cv")).cast("long").as("__nT"),
+      sum((col("__cv").cast(dec) * col("__cv") * col("__cv") -
+        col("__cv")).cast(dec)).cast(dec).as("__tt"))
+    val a = gs.select(col("__g").as("group_a"), col("__ng").as("n_a"),
+      col("__r2").as("__r2a"))
+    val b = gs.select(col("__g").as("group_b"), col("__ng").as("n_b"),
+      col("__r2").as("__r2b"))
+    val pairs = a.crossJoin(b).filter(col("group_a") < col("group_b"))
+      .crossJoin(broadcast(ties))
+    def d(c: Column) = c.cast("double")
+    val nd = d(col("__nT"))
+    // mean plain rank = (doubled rank sum / n) / 2
+    val ma = d(col("__r2a")) / d(col("n_a")) / 2.0
+    val mb = d(col("__r2b")) / d(col("n_b")) / 2.0
+    val sigma2 = (nd * (nd + 1.0) -
+      d(col("__tt")) / (nd - 1.0)) / 12.0
+    val se = sqrt(sigma2 * (lit(1.0) / col("n_a") +
+      lit(1.0) / col("n_b")))
+    val ok = col("__nT") > 1L && sigma2 > 0.0
+    pairs.select(col("group_a"), col("group_b"), col("n_a"),
+      col("n_b"),
+      round(ma, 6).as("mean_rank_a"), round(mb, 6).as("mean_rank_b"),
+      when(ok, round((ma - mb) / se, 6)).as("z_stat"))
+  }
+
   def cochranArmitage(df: DataFrame, bandCol: Column,
       successCol: Column): DataFrame = {
     val cells = df.groupBy(bandCol.cast("long").as("__t"))

@@ -912,6 +912,73 @@ object TimeSeries {
         (col("__phMax").cast("double") / 1e9 > lambda).as("alarm"))
   }
 
+  /** X334 — seasonal strength (the STL diagnostic): F_s = max(0,
+    * 1 − Var(remainder)/Var(detrended)) — how much of the detrended
+    * variation the [[seasonalDecompose]] phase effects actually
+    * explain: F_s near 0 says the "weekly pattern" is noise and
+    * X303's seasonal-naive will not beat naive; near 1 says the
+    * calendar owns the series. Composes X305's exact machinery: the
+    * detrended values and the centered phase effects both live on
+    * nano-integer grids (the phase effect re-derives from the SAME
+    * quantized folds), so the two variances come from exact integer
+    * moment sums and F_s is one fixed-shape double, round(6).
+    */
+  def seasonalStrength(series: DataFrame, orderCol: String,
+      valueCol: String, period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1, s"period must be odd >= 3")
+    val half = period / 2
+    val w = Window.orderBy(col("__o"))
+    val wMa = Window.orderBy(col("__o")).rowsBetween(-half, half)
+    val dec = "decimal(38,0)"
+    val base = series.select(col(valueCol).cast("long").as("__v"),
+        col(orderCol).as("__o"))
+      .withColumn("__t", row_number().over(w).cast("long"))
+      .withColumn("__wsum", sum(col("__v")).over(wMa).cast(dec))
+      .withColumn("__wc", count(lit(1)).over(wMa))
+      .filter(col("__wc") === period)
+      .withColumn("__dn",
+        (col("__v").cast(dec) * period - col("__wsum")).cast(dec))
+      .withColumn("__phase", pmod(col("__t") - 1L, lit(period.toLong)))
+      // detrended value on the nano grid: (x·p − wsum)/p · 1e9
+      .withColumn("__detn",
+        round(col("__dn").cast("double") / period * 1e9, 0)
+          .cast("long"))
+    val perPhase = base.groupBy(col("__phase"))
+      .agg(count(lit(1)).cast("long").as("__nObs"),
+        sum(col("__dn")).cast(dec).as("__sdn"))
+      .withColumn("__effn",
+        round(col("__sdn").cast("double") /
+          (lit(period.toDouble) * col("__nObs")) * 1e9, 0)
+          .cast("long"))
+    val gm = perPhase.agg(
+      (sum(col("__effn")).cast("double") / count(lit(1))).as("__gm"))
+    val seas = perPhase.crossJoin(broadcast(gm))
+      .select(col("__phase"),
+        round(col("__effn").cast("double") - col("__gm"), 0)
+          .cast("long").as("__seasN"))
+    val joined = base.join(broadcast(seas), Seq("__phase"))
+      .withColumn("__resN", col("__detn") - col("__seasN"))
+    val sums = joined.agg(count(lit(1)).cast("long").as("n_obs"),
+      sum(col("__detn").cast(dec)).cast(dec).as("__sd"),
+      sum((col("__detn").cast(dec) * col("__detn")).cast(dec))
+        .cast(dec).as("__sdd"),
+      sum(col("__resN").cast(dec)).cast(dec).as("__sr"),
+      sum((col("__resN").cast(dec) * col("__resN")).cast(dec))
+        .cast(dec).as("__srr"))
+    def d(c: Column) = c.cast("double")
+    val nd = d(col("n_obs"))
+    val varD = (d(col("__sdd")) - d(col("__sd")) * d(col("__sd")) / nd) /
+      nd / 1e18
+    val varR = (d(col("__srr")) - d(col("__sr")) * d(col("__sr")) / nd) /
+      nd / 1e18
+    sums.select(col("n_obs"), lit(period.toLong).as("period"),
+      round(varD, 6).as("var_detrended"),
+      round(varR, 6).as("var_remainder"),
+      when(varD > 0.0,
+        round(greatest(lit(0.0), lit(1.0) - varR / varD), 6))
+        .as("seasonal_strength"))
+  }
+
   /** X303 — one-step-ahead forecast backtest: naive (ŷ = x_{t−1})
     * vs seasonal-naive (ŷ = x_{t−season}) on the same series, each
     * scored with MAE, RMSE, and SMAPE — the baseline table every

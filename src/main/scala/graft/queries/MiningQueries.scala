@@ -5426,6 +5426,170 @@ object MiningQueries {
         CorpusOps.unseenMass(table(spark, dir, "documents"), "text",
             "source")
           .orderBy($"source")
+      }),
+
+    // X332: reliability diagram table — does length-as-confidence
+    // predict wordiness, bin by bin (the plot under the ECE).
+    QueryDef(
+      "q_reliability_table",
+      Some("""
+        WITH base AS (
+          SELECT CAST(round(least(n_chars / 500.0, 1.0) * 1000000.0)
+                   AS BIGINT) AS p,
+                 CASE WHEN len(string_split(text, ' ')) >= 50
+                   THEN 1 ELSE 0 END AS y
+          FROM documents
+        ), binned AS (
+          SELECT least((p * 10) // 1000000, 9) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(p AS HUGEINT)) AS sp,
+                 CAST(sum(y) AS BIGINT) AS n_positive
+          FROM base GROUP BY 1
+        )
+        SELECT bin, n, n_positive,
+               round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6),
+                 6) AS mean_confidence,
+               round(CAST(n_positive AS DOUBLE) / n, 6) AS accuracy,
+               round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)
+                 - CAST(n_positive AS DOUBLE) / n, 6) AS gap
+        FROM binned ORDER BY bin
+      """.trim),
+      "X332 reliability table: length-confidence vs wordiness")(
+      (spark, dir) => {
+        import spark.implicits._
+        val scored = table(spark, dir, "documents").select(
+          least($"n_chars" / 500.0, lit(1.0)).as("p"),
+          (size(split($"text", " ")) >= 50).as("y"))
+        Calibrate.reliabilityTable(scored, "p", "y", bins = 10)
+          .orderBy($"bin")
+      }),
+
+    // X333: Dunn's post-hoc — which language pairs differ in length
+    // rank after the q_kruskal omnibus.
+    QueryDef(
+      "q_dunn",
+      Some("""
+        WITH cells AS (
+          SELECT CAST(round(n_chars * 1000000.0) AS BIGINT) AS v,
+                 lang AS g, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2
+        ), perv AS (
+          SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY 1
+        ), ranked AS (
+          SELECT v, 2 * (sum(cv) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cv)
+              + cv + 1 AS m2
+          FROM perv
+        ), gs AS (
+          SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                 sum(CAST(c AS HUGEINT) * m2) AS r2
+          FROM cells JOIN ranked USING (v) GROUP BY 1
+        ), ties AS (
+          SELECT CAST(sum(cv) AS BIGINT) AS nt,
+                 sum(CAST(cv AS HUGEINT) * cv * cv - cv) AS tt
+          FROM perv
+        )
+        SELECT a.g AS group_a, b.g AS group_b,
+               a.ng AS n_a, b.ng AS n_b,
+               round(CAST(a.r2 AS DOUBLE) / a.ng / 2.0, 6)
+                 AS mean_rank_a,
+               round(CAST(b.r2 AS DOUBLE) / b.ng / 2.0, 6)
+                 AS mean_rank_b,
+               CASE WHEN nt > 1 AND (CAST(nt AS DOUBLE)
+                   * (CAST(nt AS DOUBLE) + 1.0)
+                   - CAST(tt AS DOUBLE) / (CAST(nt AS DOUBLE) - 1.0))
+                   / 12.0 > 0 THEN
+                 round((CAST(a.r2 AS DOUBLE) / a.ng / 2.0
+                   - CAST(b.r2 AS DOUBLE) / b.ng / 2.0)
+                 / sqrt((CAST(nt AS DOUBLE)
+                     * (CAST(nt AS DOUBLE) + 1.0)
+                   - CAST(tt AS DOUBLE) / (CAST(nt AS DOUBLE) - 1.0))
+                   / 12.0 * (1.0 / a.ng + 1.0 / b.ng)), 6) END
+                 AS z_stat
+        FROM gs a JOIN gs b ON a.g < b.g CROSS JOIN ties
+        ORDER BY group_a, group_b
+      """.trim),
+      "X333 Dunn pairwise rank z per language pair")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.dunnTest(table(spark, dir, "documents"), "lang",
+            "n_chars")
+          .orderBy($"group_a", $"group_b")
+      }),
+
+    // X334: weekly seasonal strength of the daily series — is the
+    // calendar pattern real before trusting seasonal-naive.
+    QueryDef(
+      "q_seasonal_strength",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1
+        ), idx AS (
+          SELECT d, v,
+                 CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+                 sum(CAST(v AS HUGEINT)) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum,
+                 count(*) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wc
+          FROM daily
+        ), det AS (
+          SELECT (t - 1) % 7 AS phase,
+                 CAST(v AS HUGEINT) * 7 - wsum AS dn,
+                 CAST(round(CAST(CAST(v AS HUGEINT) * 7 - wsum
+                   AS DOUBLE) / 7 * 1e9) AS BIGINT) AS detn
+          FROM idx WHERE wc = 7
+        ), per AS (
+          SELECT phase, CAST(count(*) AS BIGINT) AS nobs,
+                 sum(dn) AS sdn
+          FROM det GROUP BY 1
+        ), eff AS (
+          SELECT phase,
+                 CAST(round(CAST(sdn AS DOUBLE) / (7.0 * nobs) * 1e9)
+                   AS BIGINT) AS effn
+          FROM per
+        ), g AS (
+          SELECT CAST(sum(effn) AS DOUBLE) / count(*) AS gm FROM eff
+        ), seas AS (
+          SELECT phase,
+                 CAST(round(CAST(effn AS DOUBLE) - gm) AS BIGINT)
+                   AS seasn
+          FROM eff, g
+        ), joined AS (
+          SELECT det.detn, det.detn - seas.seasn AS resn
+          FROM det JOIN seas USING (phase)
+        ), sums AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_obs,
+                 sum(CAST(detn AS HUGEINT)) AS sd,
+                 sum(CAST(detn AS HUGEINT) * detn) AS sdd,
+                 sum(CAST(resn AS HUGEINT)) AS sr,
+                 sum(CAST(resn AS HUGEINT) * resn) AS srr
+          FROM joined
+        ), m AS (
+          SELECT n_obs,
+                 (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)
+                   * CAST(sd AS DOUBLE) / CAST(n_obs AS DOUBLE))
+                 / CAST(n_obs AS DOUBLE) / 1e18 AS vard,
+                 (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+                   * CAST(sr AS DOUBLE) / CAST(n_obs AS DOUBLE))
+                 / CAST(n_obs AS DOUBLE) / 1e18 AS varr
+          FROM sums
+        )
+        SELECT n_obs, CAST(7 AS BIGINT) AS period,
+               round(vard, 6) AS var_detrended,
+               round(varr, 6) AS var_remainder,
+               CASE WHEN vard > 0 THEN
+                 round(greatest(0.0, 1.0 - varr / vard), 6) END
+                 AS seasonal_strength
+        FROM m
+      """.trim),
+      "X334 weekly seasonal strength of the daily count series")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.seasonalStrength(daily, "d", "v", period = 7)
       })
   )
 }
