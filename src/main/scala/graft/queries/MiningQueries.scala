@@ -5590,6 +5590,74 @@ object MiningQueries {
           .groupBy(to_date($"ts").as("d"))
           .agg(count(lit(1)).cast("long").as("v"))
         TimeSeries.seasonalStrength(daily, "d", "v", period = 7)
+      }),
+
+    // X335: Hodges-Lehmann shift — the robust en-vs-rest length gap
+    // in the value's own units, beside q_mwu's verdict.
+    QueryDef(
+      "q_hl_shift",
+      Some("""
+        WITH per AS (
+          SELECT CAST(round(n_chars * 1000000.0) AS BIGINT) AS v,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                   AS BIGINT) AS cb
+          FROM documents GROUP BY 1
+        ), a AS (SELECT v AS va, ca FROM per WHERE ca > 0),
+        b AS (SELECT v AS vb, cb FROM per WHERE cb > 0),
+        diffs AS (
+          SELECT va - vb AS d, sum(CAST(ca AS HUGEINT) * cb) AS m
+          FROM a, b GROUP BY 1
+        ), tot AS (SELECT sum(m) AS nm FROM diffs),
+        ranked AS (
+          SELECT d, sum(m) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM diffs
+        ), pick AS (
+          SELECT min(d) AS hl FROM ranked, tot WHERE cum * 2 >= nm
+        )
+        SELECT CAST((SELECT nm FROM tot) AS BIGINT) AS n_cross_pairs,
+               round(CAST(hl AS DOUBLE) / 1e6, 6) AS hl_shift
+        FROM pick
+      """.trim),
+      "X335 Hodges-Lehmann shift of en-vs-rest doc lengths")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.hodgesLehmannShift(table(spark, dir, "documents"),
+          "n_chars", $"lang" === "en")
+      }),
+
+    // X336: paired sign test on the same chars-vs-5-per-word diff as
+    // q_wilcoxon — the signs-only fallback verdict.
+    QueryDef(
+      "q_sign_test",
+      Some("""
+        WITH base AS (
+          SELECT CAST(round((n_chars - 5 * len(string_split(text, ' ')))
+            * 1000000.0) AS BIGINT) AS d
+          FROM documents
+        ), w AS (
+          SELECT CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pos,
+                 CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_neg,
+                 CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_zero
+          FROM base
+        )
+        SELECT n_pos, n_neg, n_zero,
+               CASE WHEN n_pos + n_neg > 0 THEN
+                 round(CAST(n_pos - n_neg AS DOUBLE)
+                   / sqrt(CAST(n_pos + n_neg AS DOUBLE)), 6) END
+                 AS z_stat
+        FROM w
+      """.trim),
+      "X336 paired sign test: chars vs the 5-per-word prior")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.signTest(table(spark, dir, "documents"),
+          $"n_chars" - lit(5) * size(split($"text", " ")))
       })
   )
 }
