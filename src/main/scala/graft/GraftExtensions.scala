@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{DotProduct, NumToWordsExpression, ShingleHashExpression}
+import graft.plans.{DotProduct, GramHashExpression, NumToWordsExpression, ShingleHashExpression}
 
 /** Engine SQL surface: registers graft-native functions so
   * `spark.sql("SELECT num_to_words(n) ...")` works in any session
@@ -29,5 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "shingle_hash64"),
       (children: Seq[Expression]) =>
         ShingleHashExpression(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hash64_all"),
+      new ExpressionInfo(classOf[GramHashExpression].getName,
+        "shingle_hash64_all"),
+      (children: Seq[Expression]) =>
+        GramHashExpression(children(0), children(1))))
   }
 }

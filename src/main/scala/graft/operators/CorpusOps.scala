@@ -2029,7 +2029,15 @@ object CorpusOps {
     *
     * Scale shape: phrases ship as plan LITERALS — per doc the n-gram
     * membership test is a pure array expression in the scan (no join,
-    * no shuffle, whole-stage codegen); one output row per doc.
+    * no shuffle, whole-stage codegen); one output row per doc. The
+    * grams are matched as 64-bit chained-XXH64 hashes (the
+    * `shingle_hash64_all` occurrence-preserving kernel — one pass
+    * over the raw token bytes, zero joined-string allocation; the r10
+    * `array_join`+string-`isin` shape was the board's #1 bench cost
+    * on allocation alone), with the phrase side hashed to matching
+    * long literals on the driver. 64-bit hash equality vs a
+    * dozens-sized literal set makes a spurious count a ~n·|P|/2⁶⁴
+    * event — vanishing at any corpus size.
     */
   def blocklistFilter(docs: DataFrame, docCol: String, textCol: String,
       phrases: Seq[String], maxRatio: Double = 0.1): DataFrame = {
@@ -2040,15 +2048,10 @@ object CorpusOps {
     val w = coalesce(Dedup.tokens(col(textCol)),
       array().cast("array<string>"))
     val byLen = parsed.groupBy(_.length)
-    def gramsOf(n: Int): Column =
-      if (n == 1) w
-      else when(size(w) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(w) - n),
-          i => array_join(slice(w, i + 1, lit(n)), " ")))
     val matchCounts = byLen.toSeq.sortBy(_._1).map { case (n, ps) =>
-      val lits = ps.map(p => p.mkString(" "))
-      size(filter(gramsOf(n), g => g.isin(lits.map(lit): _*)))
-        .cast("long")
+      val lits = ps.map(p => graft.plans.GramMath.hashTokens(p)).distinct
+      val grams = call_function("shingle_hash64_all", w, lit(n))
+      size(filter(grams, g => g.isin(lits.map(lit): _*))).cast("long")
     }
     val total = matchCounts.reduce(_ + _)
     docs.select(col(docCol), size(w).cast("long").as("n_tokens"),
