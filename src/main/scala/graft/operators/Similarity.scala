@@ -1488,40 +1488,23 @@ object Similarity {
           .as("hopkins"))
   }
 
+  /** Spectral-shape summary of the component covariance matrix in ONE
+    * pass: `graft.functions.GramAgg` holds the d² exact integer sums
+    * (micro-quantized components; Σqᵢqⱼ in 128-bit limbs — the same
+    * ≥38-digit headroom the former decimal(38,0) sums had) and replays
+    * the old cells pipeline's IEEE op order at finish, so the output
+    * is hash-identical to the exploded-self-join form it replaces.
+    * That form shuffled N·d rows twice and emitted N·d² join rows;
+    * this is a map-side-combinable aggregate whose exchange carries
+    * one d²-cell buffer per partition.
+    */
   def effectiveRank(vecs: DataFrame, idCol: String, vecCol: String)
       : DataFrame = {
-    val dec = "decimal(38,0)"
-    val comps = vecs.select(col(idCol).as("__id"),
-        posexplode(toDouble(col(vecCol))).as(Seq("__i", "__x")))
-      .withColumn("__q", round(col("__x") * 1e6, 0).cast("long"))
-    val pairs = comps.as("a").join(comps.as("b"),
-        col("a.__id") === col("b.__id"))
-      .groupBy(col("a.__i").as("__i"), col("b.__i").as("__j"))
-      .agg(count(lit(1)).cast("long").as("__n"),
-        sum(col("a.__q").cast(dec)).cast(dec).as("__si"),
-        sum(col("b.__q").cast(dec)).cast(dec).as("__sj"),
-        sum((col("a.__q").cast(dec) * col("b.__q")).cast(dec))
-          .cast(dec).as("__sij"))
-    val nd = col("__n").cast("double")
-    // covariance cell in unit scale: E[xy] - E[x]E[y], micro^2 / 1e12
-    val cij = (col("__sij").cast("double") / nd -
-      (col("__si").cast("double") / nd) *
-        (col("__sj").cast("double") / nd)) / 1e12
-    val cells = pairs.select(col("__i"), col("__j"),
-      round(cij * 1e9, 0).cast("long").as("__cn"))
-    cells.agg(
-        sum(when(col("__i") === col("__j"), col("__cn"))
-          .otherwise(0L)).cast("long").as("__tr"),
-        sum((col("__cn").cast(dec) * col("__cn")).cast(dec)).cast(dec)
-          .as("__fr"),
-        (count(lit(1))).cast("long").as("__d2"))
-      .select(
-        expr("cast(sqrt(cast(__d2 as double)) as bigint)").as("dim"),
-        round(col("__tr").cast("double") / 1e9, 6).as("trace"),
-        round(col("__fr").cast("double") / 1e18, 6).as("frobenius_sq"),
-        when(col("__fr") > 0L, round(
-          col("__tr").cast("double") * col("__tr").cast("double") /
-            col("__fr").cast("double"), 6)).as("effective_rank"))
+    val gram = udaf(new graft.functions.GramAgg)
+    vecs.agg(gram(toDouble(col(vecCol))).as("__g"))
+      .select(col("__g.dim").as("dim"), col("__g.trace").as("trace"),
+        col("__g.frobenius_sq").as("frobenius_sq"),
+        col("__g.effective_rank").as("effective_rank"))
   }
 
   def jlProject(vecs: DataFrame, idCol: String, vecCol: String,
