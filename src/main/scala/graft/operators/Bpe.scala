@@ -234,13 +234,28 @@ object Bpe {
       unk: String = "[UNK]"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = docs
+    // Vocab derivation runs DISTRIBUTED: the merge replay over the
+    // distinct-word table happens inside mapPartitions on executors,
+    // and the driver collects only per-partition distinct PIECE sets
+    // (bounded by the trained vocabulary, not by the word count —
+    // the r10 shape collected up to maxVocab raw words and replayed
+    // every merge on the driver). The word-count guard rides the
+    // same single job.
+    val mergesBc = spark.sparkContext.broadcast(merges.toIndexedSeq)
+    val partSets = docs
       .select(explode(Dedup.tokens(col(textCol))).as("w"))
-      .distinct().limit(maxVocab + 1).as[String].collect()
-    require(words.length <= maxVocab,
+      .distinct().limit(maxVocab + 1).as[String]
+      .mapPartitions { it =>
+        val pieces = mutable.Set.empty[String]
+        var n = 0L
+        it.foreach { w => n += 1; pieces ++= encodeWord(w, mergesBc.value) }
+        Iterator((n, pieces.toArray))
+      }.collect()
+    val nWords = partSets.iterator.map(_._1).sum
+    require(nWords <= maxVocab,
       s"word vocabulary exceeds maxVocab=$maxVocab")
     val vocab: Set[String] =
-      words.iterator.flatMap(w => encodeWord(w, merges)).toSet
+      partSets.iterator.flatMap(_._2).toSet
     val maxLen = if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).max
     val vb = vocab; val ml = maxLen; val u = unk
     val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()

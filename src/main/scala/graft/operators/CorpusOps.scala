@@ -534,6 +534,76 @@ object CorpusOps {
       df.schema.fields :+ StructField("__rank", LongType, nullable = false)))
   }
 
+  /** Distributed inclusive prefix sums over `sortCols` order — the
+    * [[globalRank]] two-phase scan generalized from a unit count to
+    * arbitrary long/decimal mass columns: range-partition +
+    * in-partition sort, one per-partition subtotal collect (≤
+    * numShufflePartitions × \|sumCols\| values), re-read of the SAME
+    * shuffle output with broadcast offsets. Replaces the single-task
+    * `sum(c).over(Window.orderBy(v))` shape in the rank-statistics
+    * family (every caller feeds a DISTINCT-value grid, so sort-key
+    * ties — whose intra-order range partitioning doesn't preserve —
+    * cannot occur). NULL masses count as 0 (callers pass non-null
+    * aggregate counts). Appends `__cum<name>` per sum column;
+    * integer/decimal accumulation is exact, so values are identical
+    * to the window form's.
+    */
+  private[graft] def cumSums(df: DataFrame, sortCols: Seq[Column],
+      sumCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DecimalType, StructField, StructType}
+    val spark = df.sparkSession
+    val schema = df.schema
+    val idxs = sumCols.map(schema.fieldIndex).toArray
+    val isDec = idxs.map(i =>
+      schema.fields(i).dataType.isInstanceOf[DecimalType])
+    val k = idxs.length
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val rdd = ranged.rdd // one RDD object -> the shuffle is reused below
+    val subtotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = Array.fill[java.math.BigDecimal](k)(
+        java.math.BigDecimal.ZERO)
+      it.foreach { r =>
+        var c = 0
+        while (c < k) {
+          if (!r.isNullAt(idxs(c))) {
+            val v = if (isDec(c)) r.getDecimal(idxs(c))
+              else java.math.BigDecimal.valueOf(r.getLong(idxs(c)))
+            acc(c) = acc(c).add(v)
+          }
+          c += 1
+        }
+      }
+      Iterator.single((pid, acc))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(
+      subtotals.scanLeft(Array.fill[java.math.BigDecimal](k)(
+        java.math.BigDecimal.ZERO)) { (a, b) =>
+        Array.tabulate(k)(c => a(c).add(b(c)))
+      })
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = offsets.value(pid).clone()
+      it.map { r =>
+        var c = 0
+        val extra = new Array[Any](k)
+        while (c < k) {
+          if (!r.isNullAt(idxs(c))) {
+            val v = if (isDec(c)) r.getDecimal(idxs(c))
+              else java.math.BigDecimal.valueOf(r.getLong(idxs(c)))
+            acc(c) = acc(c).add(v)
+          }
+          extra(c) = if (isDec(c)) acc(c) else acc(c).longValueExact()
+          c += 1
+        }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }
+    spark.createDataFrame(out, StructType(schema.fields ++
+      idxs.indices.map(c => StructField("__cum" + sumCols(c),
+        schema.fields(idxs(c)).dataType, nullable = false))))
+  }
+
   /** Length-bucketed batch assembly: group rows into `numBuckets`
     * quantile buckets of `countCol` (equal-population boundaries),
     * then pack each bucket into batches of `batchSize` in

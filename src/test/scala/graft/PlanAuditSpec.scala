@@ -1202,4 +1202,26 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q lost its TakeOrdered cut:\n${p.take(1200)}")
     }
   }
+
+  test("migrated rank statistics: no single-partition window anywhere " +
+    "(r11 — ks/cvm/ansari/jonckheere/mann-whitney/kruskal/wilcoxon/" +
+    "dunn/hl-shift now rank through the distributed cumSums kernel)") {
+    Seq("q_ks_test", "q_cvm", "q_ansari_bradley", "q_jonckheere",
+      "q_mann_whitney", "q_kruskal", "q_wilcoxon", "q_dunn",
+      "q_hl_shift").foreach { q =>
+      val lines = plan(q).linesIterator.toVector
+      lines.zipWithIndex
+        .filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          val above = lines.slice(math.max(0, i - 3), i).mkString("\n")
+          assert(!above.contains("Window"),
+            s"$q: window over SinglePartition:\n$above")
+        }
+      // the migration removes the Window operator outright (the
+      // range exchange itself lives in the cumSums RDD lineage,
+      // below the SQL plan string)
+      assert(!plan(q).contains("Window"),
+        s"$q: a window survived the cumSums migration")
+    }
+  }
 }
