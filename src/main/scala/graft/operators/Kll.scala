@@ -55,11 +55,23 @@ object Kll {
       val quantiles = qs.map(q => u.getQuantile(q))
       Row.fromSeq(g +: u.getN +: quantiles)
     }
+    // integral percents keep their p50-style names; fractional ones
+    // spell out the decimals (p0_5, p99_4) so two requested quantiles
+    // can never collide into one column name (r10 ADVICE: 0.005 and
+    // 0.009 both rounded to 'p1')
+    def pName(q: Double): String = {
+      val pct = q * 100
+      if (pct == pct.floor) s"p${pct.toInt}"
+      else "p" + BigDecimal(pct).underlying.stripTrailingZeros
+        .toPlainString.replace('.', '_')
+    }
+    val names = qs.map(pName)
+    require(names.distinct.size == names.size,
+      s"duplicate quantile columns from qs=$qs")
     val schema = StructType(
       StructField("group", StringType) +:
         StructField("n", LongType) +:
-        qs.map(q => StructField(
-          s"p${(q * 100).round.toInt}", DoubleType)))
+        names.map(StructField(_, DoubleType)))
     spark.createDataFrame(merged, schema)
   }
 }

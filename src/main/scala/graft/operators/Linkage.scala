@@ -137,7 +137,11 @@ object Linkage {
     val jw = udf((a: String, b: String) => jaroWinkler(a, b))
     val names = df.groupBy(col(nameCol).as("__n"))
       .agg(count(lit(1)).as("__rows"))
-      .withColumn("__blk", substring(col("__n"), 1, 1))
+      // case-folded block key: 'Catherine' and 'catherine' must land
+      // in one block (exact-case blocking silently split case
+      // variants — r10 ADVICE); cross-letter variants ('K'/'C')
+      // remain the declared blocking recall trade-off
+      .withColumn("__blk", lower(substring(col("__n"), 1, 1)))
     val a = names.select(col("__blk"), col("__n").as("name_a"),
       col("__rows").as("rows_a"))
     val b = names.select(col("__blk"), col("__n").as("name_b"),

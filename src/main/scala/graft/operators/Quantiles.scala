@@ -273,6 +273,12 @@ object Quantiles {
     val perQ = qs.map { q =>
       val t = exactQuantileByGroup(grouped, "__grp", "__v", q)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // a one-sided split (or empty input) yields no row for the
+      // missing group — fail with the actual problem, not an opaque
+      // driver NoSuchElementException (r10 ADVICE)
+      require(t.contains("a") && t.contains("b"),
+        s"quantileTreatmentEffect needs both treatment groups " +
+          s"non-empty; got only ${t.keys.mkString("{", ",", "}")}")
       (q, t("a"), t("b"), t("a") - t("b"))
     }
     perQ.toDF("q", "quantile_a", "quantile_b", "qte")

@@ -2499,7 +2499,7 @@ object MiningQueries {
       Some("""
         WITH n AS (
           SELECT p_name, CAST(count(*) AS BIGINT) AS rows_n,
-                 substr(p_name, 1, 1) AS blk
+                 lower(substr(p_name, 1, 1)) AS blk
           FROM part GROUP BY 1
         )
         SELECT a.p_name AS name_a, b.p_name AS name_b,
