@@ -2777,6 +2777,110 @@ object CorpusOps {
           .as("gamma"))
   }
 
+  /** X339 — Somers' D, both directions: the ASYMMETRIC sibling of
+    * [[gkGamma]] — gamma throws away every tied pair, which makes it
+    * read inflated on coarse bands; Somers' d keeps pairs tied on the
+    * INDEPENDENT variable in the denominator, so d_{Y\|X} answers
+    * "how much does knowing X's order pin down Y's order" (for a
+    * binary X it is exactly 2·AUC − 1, the Gini of the ranking).
+    *
+    * Exactness: concordant/discordant masses fold on the cells grid
+    * (cells² join, band-bounded); the one-variable tie masses are
+    * closed-form margin arithmetic (S² − Σc²)/2 per level — all
+    * decimal-exact; the two ratios are fixed-shape doubles, round(6),
+    * NULL when their denominator is 0.
+    */
+  def somersD(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.groupBy(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val a = cells.select(col("__x").as("__xa"), col("__y").as("__ya"),
+      col("__c").as("__ca"))
+    val b = cells.select(col("__x").as("__xb"), col("__y").as("__yb"),
+      col("__c").as("__cb"))
+    val pairs = a.crossJoin(b).filter(col("__xa") < col("__xb"))
+    val mass = (col("__ca").cast(dec) * col("__cb")).cast(dec)
+    val cd = pairs.agg(
+      coalesce(sum(when(col("__ya") < col("__yb"), mass)), lit(0)
+        .cast(dec)).cast(dec).as("__conc"),
+      coalesce(sum(when(col("__ya") > col("__yb"), mass)), lit(0)
+        .cast(dec)).cast(dec).as("__disc"))
+    // pairs tied on one variable only: per level L of that variable,
+    // (S_L² − Σ_cells c²) / 2 — margin closed form, cells-bounded
+    def tiesOn(margin: String): DataFrame = {
+      val m = cells.groupBy(col(margin))
+        .agg(sum(col("__c")).cast(dec).as("__s"),
+          sum((col("__c").cast(dec) * col("__c")).cast(dec)).cast(dec)
+            .as("__ss"))
+      m.agg((sum(((col("__s") * col("__s")).cast(dec) - col("__ss"))
+        .cast(dec)).cast(dec) / 2).cast(dec).as(s"__t$margin"))
+    }
+    val tot = cells.agg(sum(col("__c")).cast("long").as("n"))
+    val j = cd.crossJoin(broadcast(tiesOn("__x")))
+      .crossJoin(broadcast(tiesOn("__y")))
+      .crossJoin(broadcast(tot))
+    val num = (col("__conc") - col("__disc")).cast("double")
+    val denYX = col("__conc") + col("__disc") + col("__t__y")
+    val denXY = col("__conc") + col("__disc") + col("__t__x")
+    j.select(col("n"),
+      col("__conc").cast("long").as("concordant"),
+      col("__disc").cast("long").as("discordant"),
+      col("__t__x").cast("long").as("ties_x_only"),
+      col("__t__y").cast("long").as("ties_y_only"),
+      when(denYX > 0, round(num / denYX.cast("double"), 6))
+        .as("d_yx"),
+      when(denXY > 0, round(num / denXY.cast("double"), 6))
+        .as("d_xy"))
+  }
+
+  /** X340 — Cramér's V and Tschuprow's T: the BOUNDED strength
+    * companions to the raw χ² drift tests (X126/X293 report "is there
+    * association"; V answers "how much", on [0, 1], comparable across
+    * tables of different size and shape — the number a quality
+    * dashboard can threshold). T additionally penalizes non-square
+    * tables.
+    *
+    * Exactness: observed cells and margins are exact longs; expected
+    * counts and χ² terms are fixed-shape doubles summed over the FULL
+    * r×c grid (zero-observed cells contribute their expected mass —
+    * the margin cross-join materializes them), round(6). NULL when
+    * either dimension has < 2 levels.
+    */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__o"))
+    val rx = cells.groupBy(col("__x"))
+      .agg(sum(col("__o")).as("__rx"))
+    val cy = cells.groupBy(col("__y"))
+      .agg(sum(col("__o")).as("__cy"))
+    val tot = cells.agg(sum(col("__o")).cast("long").as("n"),
+      countDistinct(col("__x")).cast("long").as("n_rows"),
+      countDistinct(col("__y")).cast("long").as("n_cols"))
+    val grid = rx.crossJoin(cy)
+      .join(cells, Seq("__x", "__y"), "left")
+      .withColumn("__obs", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val e = col("__rx").cast("double") * col("__cy").cast("double") /
+      col("n").cast("double")
+    val term = (col("__obs").cast("double") - e) *
+      (col("__obs").cast("double") - e) / e
+    val w = grid.agg(max(col("n")).as("n"),
+      max(col("n_rows")).as("n_rows"), max(col("n_cols")).as("n_cols"),
+      sum(term).as("__chi2"))
+    val nd = col("n").cast("double")
+    val rD = col("n_rows").cast("double")
+    val cD = col("n_cols").cast("double")
+    val kMin = least(col("n_rows"), col("n_cols")).cast("double")
+    val ok = col("n_rows") > 1L && col("n_cols") > 1L && col("n") > 0L
+    w.select(col("n"), col("n_rows"), col("n_cols"),
+      when(ok, round(col("__chi2"), 6)).as("chi2"),
+      when(ok, round(sqrt(col("__chi2") / (nd * (kMin - 1.0))), 6))
+        .as("cramers_v"),
+      when(ok, round(sqrt(col("__chi2") /
+        (nd * sqrt((rD - 1.0) * (cD - 1.0)))), 6)).as("tschuprow_t"))
+  }
+
   /** X309 — Gries' DP (deviation of proportions): per term,
     * DP = ½·Σ_parts \|v_p/f − s_p\| where s_p is part p's share of
     * ALL corpus tokens — 0 means the term spreads exactly like the

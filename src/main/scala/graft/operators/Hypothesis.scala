@@ -1706,4 +1706,179 @@ object Hypothesis {
       round(pbar, 6).as("pooled_rate"),
       when(v > 0.0, round(num / sqrt(v), 6)).as("z_trend"))
   }
+
+  /** X337 — Brunner-Munzel test: the modern replacement for
+    * [[mannWhitneyU]] when the two groups may differ in SPREAD as
+    * well as location (MW's variance assumes exchangeability; under
+    * unequal variances its z is anti-conservative — the exact
+    * situation of comparing a curated slice against a raw corpus).
+    * Tests P(X_a < X_b) + ½P(X_a = X_b) = ½ with a studentized
+    * statistic whose group variances come from the gap between each
+    * observation's COMBINED midrank and its WITHIN-GROUP midrank
+    * (Brunner & Munzel 2000, the scipy.stats.brunnermunzel form).
+    *
+    * Exactness: combined and within-group doubled midranks come from
+    * one distributed cumulative pass over the distinct micro-value
+    * grid ([[graft.operators.CorpusOps.cumSums]] with three mass
+    * columns — no single-task window); the deviation sum folds as
+    * Σ c·(n_g·2dev)² which is an exact decimal because n_g·2dev =
+    * n_g·(m2 − g2 + n_g + 1) − R2_g is integral (headroom: needs
+    * n_g²·(2N)²·N < 10³⁸ — fine to ~10⁸ rows; past that the
+    * deviation fold moves to doubles, noted here for the 100 TB
+    * configuration). p̂ and W are fixed-shape doubles, round(6); W
+    * NULL when either group has n < 2 or the variance sum is 0.
+    */
+  def brunnerMunzel(df: DataFrame, valueCol: String, isA: Column)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = df.groupBy(round(col(valueCol) * 1e6, 0).cast("long")
+        .as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+      .withColumn("__c", col("__ca") + col("__cb"))
+    val cum = CorpusOps.cumSums(per, Seq(col("__v")),
+      Seq("__ca", "__cb", "__c"))
+    // doubled midranks: combined and within each group
+    val m2 = lit(2L) * (col("__cum__c") - col("__c")) + col("__c") + 1L
+    val a2 = lit(2L) * (col("__cum__ca") - col("__ca")) + col("__ca") + 1L
+    val b2 = lit(2L) * (col("__cum__cb") - col("__cb")) + col("__cb") + 1L
+    val g = cum.select(col("__ca"), col("__cb"),
+      m2.as("__m2"), a2.as("__a2"), b2.as("__b2"))
+    val tot = g.agg(sum(col("__ca")).cast("long").as("n_a"),
+      sum(col("__cb")).cast("long").as("n_b"),
+      sum((col("__ca").cast(dec) * col("__m2")).cast(dec)).cast(dec)
+        .as("__ra2"),
+      sum((col("__cb").cast(dec) * col("__m2")).cast(dec)).cast(dec)
+        .as("__rb2"))
+    // n_g·2dev(v) = n_g·(m2 − g2 + n_g + 1) − R2_g: exact integers
+    val devA = (col("n_a").cast(dec) *
+      (col("__m2") - col("__a2") + col("n_a") + lit(1L)).cast(dec))
+      .cast(dec) - col("__ra2")
+    val devB = (col("n_b").cast(dec) *
+      (col("__m2") - col("__b2") + col("n_b") + lit(1L)).cast(dec))
+      .cast(dec) - col("__rb2")
+    val folded = g.crossJoin(broadcast(tot)).agg(
+      max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+      max(col("__ra2")).as("__ra2"), max(col("__rb2")).as("__rb2"),
+      sum((col("__ca").cast(dec) * devA * devA).cast(dec)).cast(dec)
+        .as("__sa"),
+      sum((col("__cb").cast(dec) * devB * devB).cast(dec)).cast(dec)
+        .as("__sb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    // S_g² = Σ c·(n_g·2dev)² / (4·n_g²·(n_g−1))
+    val sa2 = col("__sa").cast("double") / (lit(4.0) * na * na * (na - 1.0))
+    val sb2 = col("__sb").cast("double") / (lit(4.0) * nb * nb * (nb - 1.0))
+    val vsum = na * sa2 + nb * sb2
+    val meanGap = (col("__rb2").cast("double") / nb -
+      col("__ra2").cast("double") / na) / 2.0
+    val ok = col("n_a") > 1L && col("n_b") > 1L && vsum > 0.0
+    folded.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        round((col("__rb2").cast("double") / nb - (nb + 1.0)) /
+          (lit(2.0) * na), 6)).as("p_hat"),
+      when(ok, round(na * nb * meanGap / ((na + nb) * sqrt(vsum)), 6))
+        .as("w_stat"))
+  }
+
+  /** X341 — two-sample Poisson rate test: are events arriving faster
+    * per unit of exposure in arm A than arm B (error rates per
+    * machine-day, rejects per thousand clips — the release gate where
+    * [[proportionEffects]]'s per-trial denominator doesn't exist)?
+    * Reports the Wald z on the rate difference AND the conditional
+    * binomial z (given k = k_a+k_b, k_a ~ Bin(k, e_a/(e_a+e_b)) — the
+    * exact-conditional classic, robust at small counts).
+    *
+    * Input is pre-bucketed exposure rows (e.g. one row per day with
+    * that day's event count and exposure amount); counts and
+    * exposures fold as exact longs; both z's are one fixed-shape
+    * double each, round(6). Walds NULL when either exposure is 0 or
+    * a rate sum is 0; conditional NULL when k = 0.
+    */
+  def poissonRateTest(df: DataFrame, isA: Column, countCol: String,
+      exposureCol: String): DataFrame = {
+    val w = df.agg(
+      sum(when(isA, col(countCol)).otherwise(0L)).cast("long").as("k_a"),
+      sum(when(isA, 0L).otherwise(col(countCol))).cast("long").as("k_b"),
+      sum(when(isA, col(exposureCol)).otherwise(0L)).cast("long")
+        .as("e_a"),
+      sum(when(isA, 0L).otherwise(col(exposureCol))).cast("long")
+        .as("e_b"))
+    val (ka, kb) = (col("k_a").cast("double"), col("k_b").cast("double"))
+    val (ea, eb) = (col("e_a").cast("double"), col("e_b").cast("double"))
+    val ra = ka / ea
+    val rb = kb / eb
+    val vWald = ka / (ea * ea) + kb / (eb * eb)
+    val p = ea / (ea + eb)
+    val k = ka + kb
+    val okW = col("e_a") > 0L && col("e_b") > 0L
+    folded(w, ra, rb, vWald, p, k, okW)
+  }
+
+  private def folded(w: DataFrame, ra: Column, rb: Column,
+      vWald: Column, p: Column, k: Column, okW: Column): DataFrame =
+    w.select(col("k_a"), col("k_b"), col("e_a"), col("e_b"),
+      when(col("e_a") > 0L, round(ra, 6)).as("rate_a"),
+      when(col("e_b") > 0L, round(rb, 6)).as("rate_b"),
+      when(okW && rb > 0.0, round(ra / rb, 6)).as("rate_ratio"),
+      when(okW && vWald > 0.0, round((ra - rb) / sqrt(vWald), 6))
+        .as("z_wald"),
+      when(okW && k > 0.0 && p > 0.0 && p < 1.0,
+        round((col("k_a").cast("double") - k * p) /
+          sqrt(k * p * (lit(1.0) - p)), 6)).as("z_cond"))
+
+  /** X342 — CUPED adjustment (controlled experiments using pre-
+    * experiment data; Deng et al. 2013): shrink each unit's metric by
+    * θ·(covariate − mean) with θ = cov(X,Y)/var(X) fitted POOLED, so
+    * the A−B gap keeps its expectation while its variance drops by
+    * the squared correlation — the standard online-experimentation
+    * variance-reduction step before [[welchTTest]]. Reports θ, the
+    * raw and adjusted gaps, and the variance-reduction ratio ρ².
+    *
+    * Exactness: metric and covariate micro-quantize; every moment
+    * (Σx, Σy, Σxy, Σx², Σy², per-group n/Σ) folds in decimal(38,0);
+    * θ, gaps and ρ² are fixed-shape doubles, round(6). NULL θ/adj
+    * when var(X) = 0; ρ² NULL when either variance is 0.
+    */
+  def cuped(df: DataFrame, metricCol: String, covCol: String,
+      isA: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(
+      round(col(metricCol) * 1e6, 0).cast("long").as("__y"),
+      round(col(covCol) * 1e6, 0).cast("long").as("__x"),
+      when(isA, 1L).otherwise(0L).as("__a"))
+    val w = base.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("__a")).cast("long").as("n_a"),
+      sum(col("__x").cast(dec)).cast(dec).as("__sx"),
+      sum(col("__y").cast(dec)).cast(dec).as("__sy"),
+      sum((col("__x").cast(dec) * col("__y")).cast(dec)).cast(dec)
+        .as("__sxy"),
+      sum((col("__x").cast(dec) * col("__x")).cast(dec)).cast(dec)
+        .as("__sxx"),
+      sum((col("__y").cast(dec) * col("__y")).cast(dec)).cast(dec)
+        .as("__syy"),
+      sum(when(col("__a") === 1L, col("__x").cast(dec))
+        .otherwise(lit(0).cast(dec))).cast(dec).as("__sxa"),
+      sum(when(col("__a") === 1L, col("__y").cast(dec))
+        .otherwise(lit(0).cast(dec))).cast(dec).as("__sya"))
+    val nd = col("n").cast("double")
+    val nad = col("n_a").cast("double")
+    val nbd = nd - nad
+    def d(c: String) = col(c).cast("double")
+    val covxy = d("__sxy") - d("__sx") * d("__sy") / nd
+    val varx = d("__sxx") - d("__sx") * d("__sx") / nd
+    val vary = d("__syy") - d("__sy") * d("__sy") / nd
+    val theta = covxy / varx
+    val diffRaw = (d("__sya") / nad - (d("__sy") - d("__sya")) / nbd) / 1e6
+    val diffX = (d("__sxa") / nad - (d("__sx") - d("__sxa")) / nbd) / 1e6
+    val okG = col("n_a") > 0L && col("n") > col("n_a")
+    w.select(col("n_a"), (col("n") - col("n_a")).as("n_b"),
+      when(varx > 0.0, round(theta, 6)).as("theta"),
+      when(okG, round(diffRaw, 6)).as("diff_raw"),
+      when(okG && varx > 0.0, round(diffRaw - theta * diffX, 6))
+        .as("diff_adj"),
+      when(varx > 0.0 && vary > 0.0,
+        round(covxy * covxy / (varx * vary), 6)).as("var_reduction"))
+  }
 }

@@ -167,4 +167,48 @@ object RankStats {
     top.withColumn("borda_rank", row_number().over(
       Window.orderBy(col("borda_score").desc, col(idCol))))
   }
+
+  /** X338 — Cliff's delta and Vargha-Delaney A: the rank effect sizes
+    * that belong next to [[Hypothesis.mannWhitneyU]]'s verdict —
+    * δ = (#(a>b) − #(a<b))/(n_a·n_b) reads in [−1, 1] ("how often
+    * does a curated doc beat a raw one"), A = P(a>b) + ½P(a=b) is the
+    * same quantity on [0, 1] (the common-language effect size). Both
+    * are pure pair counts — no distributional assumption at all.
+    *
+    * Exactness: the three pair classes fold as exact integers on the
+    * distinct micro-value grid — #(a>b) = Σ_v c_a(v)·cumBelow_b(v)
+    * via one distributed cumulative pass ([[CorpusOps.cumSums]], no
+    * single-task window), #(a=b) = Σ c_a·c_b, #(a<b) by complement;
+    * δ and A are one fixed-shape double each, round(6), NULL when
+    * either group is empty.
+    */
+  def cliffsDelta(df: DataFrame, valueCol: String, isA: Column)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = df.groupBy(round(col(valueCol) * 1e6, 0).cast("long")
+        .as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+    val cum = CorpusOps.cumSums(per, Seq(col("__v")), Seq("__cb"))
+      .withColumn("__bBelow", col("__cum__cb") - col("__cb"))
+    val w = cum.agg(
+      sum(col("__ca")).cast("long").as("n_a"),
+      sum(col("__cb")).cast("long").as("n_b"),
+      coalesce(sum((col("__ca").cast(dec) * col("__bBelow")).cast(dec)),
+        lit(0).cast(dec)).cast(dec).as("__gt"),
+      coalesce(sum((col("__ca").cast(dec) * col("__cb")).cast(dec)),
+        lit(0).cast(dec)).cast(dec).as("__eq"))
+    val pairs = (col("n_a").cast(dec) * col("n_b")).cast(dec)
+    val lt = (pairs - col("__gt") - col("__eq")).cast(dec)
+    val pd = pairs.cast("double")
+    val ok = col("n_a") > 0L && col("n_b") > 0L
+    w.select(col("n_a"), col("n_b"),
+      col("__gt").cast("long").as("n_gt"),
+      col("__eq").cast("long").as("n_eq"),
+      lt.cast("long").as("n_lt"),
+      when(ok, round((col("__gt") - lt).cast("double") / pd, 6))
+        .as("cliffs_delta"),
+      when(ok, round((lit(2.0) * col("__gt").cast("double") +
+        col("__eq").cast("double")) / (lit(2.0) * pd), 6)).as("vd_a"))
+  }
 }

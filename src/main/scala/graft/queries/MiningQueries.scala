@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Apportion, Basket, Calibrate, Cartography,
   Compaction, CorpusOps, Dedup, DistStats, FeatureHash, Funnel,
   GraphStats, Hypothesis, Kll, Kmv, Linkage, Privacy, Quantiles,
-  RankEval, Similarity, Stylometry, TimeSeries}
+  RankEval, RankStats, Similarity, Stylometry, TimeSeries}
 import QueryDef.{events, table}
 
 /** r10 waves 11–13 (SURVEY §2.10 X223–X235): multiple-testing control
@@ -5658,6 +5658,356 @@ object MiningQueries {
         import spark.implicits._
         Hypothesis.signTest(table(spark, dir, "documents"),
           $"n_chars" - lit(5) * size(split($"text", " ")))
+      }),
+
+    // X337: Brunner-Munzel — q_mann_whitney's grid, studentized for
+    // unequal spreads (the curated-vs-raw comparison MW mis-sizes).
+    QueryDef(
+      "q_brunner_munzel",
+      Some("""
+        WITH per AS (
+          SELECT CAST(round(n_chars * 1000000.0) AS BIGINT) AS v,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                   AS BIGINT) AS cb
+          FROM documents GROUP BY 1
+        ), cum AS (
+          SELECT ca, cb, ca + cb AS c,
+                 sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+                 sum(ca + cb) OVER w AS cumc
+          FROM per WINDOW w AS (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), g AS (
+          SELECT ca, cb,
+                 2 * (cumc - c) + c + 1 AS m2,
+                 2 * (cuma - ca) + ca + 1 AS a2,
+                 2 * (cumb - cb) + cb + 1 AS b2
+          FROM cum
+        ), tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b,
+                 sum(CAST(ca AS HUGEINT) * m2) AS ra2,
+                 sum(CAST(cb AS HUGEINT) * m2) AS rb2
+          FROM g
+        ), folded AS (
+          SELECT n_a, n_b, ra2, rb2,
+                 sum(CAST(ca AS HUGEINT)
+                   * (CAST(n_a AS HUGEINT) * (m2 - a2 + n_a + 1) - ra2)
+                   * (CAST(n_a AS HUGEINT) * (m2 - a2 + n_a + 1) - ra2))
+                   AS sa,
+                 sum(CAST(cb AS HUGEINT)
+                   * (CAST(n_b AS HUGEINT) * (m2 - b2 + n_b + 1) - rb2)
+                   * (CAST(n_b AS HUGEINT) * (m2 - b2 + n_b + 1) - rb2))
+                   AS sb
+          FROM g, tot GROUP BY 1, 2, 3, 4
+        ), d AS (
+          SELECT n_a, n_b,
+                 CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+                 CAST(ra2 AS DOUBLE) AS ra2d, CAST(rb2 AS DOUBLE) AS rb2d,
+                 CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd
+          FROM folded
+        ), s AS (
+          SELECT n_a, n_b, nad, nbd, ra2d, rb2d,
+                 sad / (4.0 * nad * nad * (nad - 1.0)) AS sa2,
+                 sbd / (4.0 * nbd * nbd * (nbd - 1.0)) AS sb2
+          FROM d
+        )
+        SELECT n_a, n_b,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 round((rb2d / nbd - (nbd + 1.0)) / (2.0 * nad), 6) END
+                 AS p_hat,
+               CASE WHEN n_a > 1 AND n_b > 1
+                      AND nad * sa2 + nbd * sb2 > 0.0 THEN
+                 round(nad * nbd * ((rb2d / nbd - ra2d / nad) / 2.0)
+                   / ((nad + nbd) * sqrt(nad * sa2 + nbd * sb2)), 6) END
+                 AS w_stat
+        FROM s
+      """.trim),
+      "X337 Brunner-Munzel: en vs non-en doc length, unequal spreads")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.brunnerMunzel(table(spark, dir, "documents"),
+          "n_chars", $"lang" === "en")
+      }),
+
+    // X338: Cliff's delta + Vargha-Delaney A — the effect sizes for
+    // the same en-vs-rest comparison, pure pair counts.
+    QueryDef(
+      "q_cliffs_delta",
+      Some("""
+        WITH per AS (
+          SELECT CAST(round(n_chars * 1000000.0) AS BIGINT) AS v,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                   AS BIGINT) AS cb
+          FROM documents GROUP BY 1
+        ), cum AS (
+          SELECT ca, cb,
+                 sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) - cb AS bbelow
+          FROM per
+        ), w AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b,
+                 coalesce(sum(CAST(ca AS HUGEINT) * bbelow),
+                   CAST(0 AS HUGEINT)) AS gt,
+                 coalesce(sum(CAST(ca AS HUGEINT) * cb),
+                   CAST(0 AS HUGEINT)) AS eq
+          FROM cum
+        )
+        SELECT n_a, n_b,
+               CAST(gt AS BIGINT) AS n_gt, CAST(eq AS BIGINT) AS n_eq,
+               CAST(CAST(n_a AS HUGEINT) * n_b - gt - eq AS BIGINT)
+                 AS n_lt,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 round(CAST(gt - (CAST(n_a AS HUGEINT) * n_b - gt - eq)
+                     AS DOUBLE)
+                   / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE), 6) END
+                 AS cliffs_delta,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 round((2.0 * CAST(gt AS DOUBLE) + CAST(eq AS DOUBLE))
+                   / (2.0 * CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)),
+                   6) END AS vd_a
+        FROM w
+      """.trim),
+      "X338 Cliff's delta + VD-A: en vs non-en doc length")(
+      (spark, dir) => {
+        import spark.implicits._
+        RankStats.cliffsDelta(table(spark, dir, "documents"),
+          "n_chars", $"lang" === "en")
+      }),
+
+    // X339: Somers' D on the gk_gamma bands — the tie-aware
+    // asymmetric association (gamma inflates on coarse bands).
+    QueryDef(
+      "q_somers_d",
+      Some("""
+        WITH banded AS (
+          SELECT CASE WHEN n_chars < 150 THEN 0
+                      WHEN n_chars < 350 THEN 1 ELSE 2 END AS x,
+                 CASE WHEN len(string_split(text, ' ')) < 30 THEN 0
+                      WHEN len(string_split(text, ' ')) < 70 THEN 1
+                      ELSE 2 END AS y
+          FROM documents
+        ), cells AS (
+          SELECT x, y, CAST(count(*) AS BIGINT) AS c
+          FROM banded GROUP BY 1, 2
+        ), folded AS (
+          SELECT coalesce(sum(CASE WHEN a.y < b.y
+              THEN CAST(a.c AS HUGEINT) * b.c END),
+              CAST(0 AS HUGEINT)) AS conc,
+            coalesce(sum(CASE WHEN a.y > b.y
+              THEN CAST(a.c AS HUGEINT) * b.c END),
+              CAST(0 AS HUGEINT)) AS disc
+          FROM cells a JOIN cells b ON a.x < b.x
+        ), tx AS (
+          SELECT sum((CAST(s AS HUGEINT) * s - ss) / 2) AS t FROM (
+            SELECT sum(c) AS s, sum(CAST(c AS HUGEINT) * c) AS ss
+            FROM cells GROUP BY x)
+        ), ty AS (
+          SELECT sum((CAST(s AS HUGEINT) * s - ss) / 2) AS t FROM (
+            SELECT sum(c) AS s, sum(CAST(c AS HUGEINT) * c) AS ss
+            FROM cells GROUP BY y)
+        ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+        SELECT n, CAST(conc AS BIGINT) AS concordant,
+               CAST(disc AS BIGINT) AS discordant,
+               CAST(tx.t AS BIGINT) AS ties_x_only,
+               CAST(ty.t AS BIGINT) AS ties_y_only,
+               CASE WHEN conc + disc + ty.t > 0 THEN
+                 round(CAST(conc - disc AS DOUBLE)
+                   / CAST(conc + disc + ty.t AS DOUBLE), 6) END AS d_yx,
+               CASE WHEN conc + disc + tx.t > 0 THEN
+                 round(CAST(conc - disc AS DOUBLE)
+                   / CAST(conc + disc + tx.t AS DOUBLE), 6) END AS d_xy
+        FROM folded, tx, ty, tot
+      """.trim),
+      "X339 Somers' D, length vs word-count bands, both directions")(
+      (spark, dir) => {
+        import spark.implicits._
+        val banded = table(spark, dir, "documents").select(
+          when($"n_chars" < 150, 0).when($"n_chars" < 350, 1)
+            .otherwise(2).as("xb"),
+          when(size(split($"text", " ")) < 30, 0)
+            .when(size(split($"text", " ")) < 70, 1).otherwise(2)
+            .as("yb"))
+        CorpusOps.somersD(banded, "xb", "yb")
+      }),
+
+    // X340: Cramér's V / Tschuprow's T of lang × source — bounded
+    // association strength for the drift dashboards.
+    QueryDef(
+      "q_cramers_v",
+      Some("""
+        WITH cells AS (
+          SELECT lang AS x, source AS y,
+                 CAST(count(*) AS BIGINT) AS o
+          FROM documents GROUP BY 1, 2
+        ), rx AS (SELECT x, sum(o) AS rxs FROM cells GROUP BY 1),
+        cy AS (SELECT y, sum(o) AS cys FROM cells GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(o) AS BIGINT) AS n,
+                 CAST(count(DISTINCT x) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT y) AS BIGINT) AS n_cols
+          FROM cells
+        ), grid AS (
+          SELECT rx.rxs, cy.cys, coalesce(cells.o, 0) AS obs
+          FROM rx CROSS JOIN cy
+          LEFT JOIN cells ON cells.x = rx.x AND cells.y = cy.y
+        ), chi AS (
+          SELECT sum((CAST(obs AS DOUBLE)
+              - CAST(rxs AS DOUBLE) * CAST(cys AS DOUBLE)
+                / CAST(n AS DOUBLE))
+            * (CAST(obs AS DOUBLE)
+              - CAST(rxs AS DOUBLE) * CAST(cys AS DOUBLE)
+                / CAST(n AS DOUBLE))
+            / (CAST(rxs AS DOUBLE) * CAST(cys AS DOUBLE)
+                / CAST(n AS DOUBLE))) AS chi2
+          FROM grid, tot
+        )
+        SELECT n, n_rows, n_cols,
+               CASE WHEN n_rows > 1 AND n_cols > 1 AND n > 0 THEN
+                 round(chi2, 6) END AS chi2,
+               CASE WHEN n_rows > 1 AND n_cols > 1 AND n > 0 THEN
+                 round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                   * (CAST(least(n_rows, n_cols) AS DOUBLE) - 1.0))), 6)
+                 END AS cramers_v,
+               CASE WHEN n_rows > 1 AND n_cols > 1 AND n > 0 THEN
+                 round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                   * sqrt((CAST(n_rows AS DOUBLE) - 1.0)
+                     * (CAST(n_cols AS DOUBLE) - 1.0)))), 6)
+                 END AS tschuprow_t
+        FROM chi, tot
+      """.trim),
+      "X340 Cramér's V + Tschuprow's T of lang × source")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.cramersV(table(spark, dir, "documents"),
+          "lang", "source")
+      }),
+
+    // X341: two-sample Poisson rate gate — purchases per active day,
+    // first half of the month vs the rest.
+    QueryDef(
+      "q_poisson_rate",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS k,
+                 date_part('day', CAST(ts AS DATE)) <= 15 AS isa
+          FROM events GROUP BY 1, 3
+        ), w AS (
+          SELECT CAST(sum(CASE WHEN isa THEN k ELSE 0 END) AS BIGINT)
+                   AS k_a,
+                 CAST(sum(CASE WHEN isa THEN 0 ELSE k END) AS BIGINT)
+                   AS k_b,
+                 CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+                   AS e_a,
+                 CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT)
+                   AS e_b
+          FROM daily
+        ), d AS (
+          SELECT k_a, k_b, e_a, e_b,
+                 CAST(k_a AS DOUBLE) AS kad, CAST(k_b AS DOUBLE) AS kbd,
+                 CAST(e_a AS DOUBLE) AS ead, CAST(e_b AS DOUBLE) AS ebd
+          FROM w
+        )
+        SELECT k_a, k_b, e_a, e_b,
+               CASE WHEN e_a > 0 THEN round(kad / ead, 6) END AS rate_a,
+               CASE WHEN e_b > 0 THEN round(kbd / ebd, 6) END AS rate_b,
+               CASE WHEN e_a > 0 AND e_b > 0 AND kbd / ebd > 0.0 THEN
+                 round((kad / ead) / (kbd / ebd), 6) END AS rate_ratio,
+               CASE WHEN e_a > 0 AND e_b > 0
+                      AND kad / (ead * ead) + kbd / (ebd * ebd) > 0.0
+                 THEN round((kad / ead - kbd / ebd)
+                   / sqrt(kad / (ead * ead) + kbd / (ebd * ebd)), 6) END
+                 AS z_wald,
+               CASE WHEN e_a > 0 AND e_b > 0 AND kad + kbd > 0.0
+                      AND ead / (ead + ebd) > 0.0
+                      AND ead / (ead + ebd) < 1.0
+                 THEN round((kad - (kad + kbd) * (ead / (ead + ebd)))
+                   / sqrt((kad + kbd) * (ead / (ead + ebd))
+                     * (1.0 - ead / (ead + ebd))), 6) END AS z_cond
+        FROM d
+      """.trim),
+      "X341 Poisson rate gate: purchases/day, days 1-15 vs rest")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"),
+            (dayofmonth(to_date($"ts")) <= 15).as("isa"))
+          .agg(sum(when($"event_type" === "purchase", 1L)
+            .otherwise(0L)).cast("long").as("k"))
+          .withColumn("e", lit(1L))
+        Hypothesis.poissonRateTest(daily, $"isa", "k", "e")
+      }),
+
+    // X342: CUPED — doc length adjusted by word count as the
+    // covariate, en vs rest; the A/B variance-reduction staple.
+    QueryDef(
+      "q_cuped",
+      Some("""
+        WITH base AS (
+          SELECT CAST(round(n_chars * 1000000.0) AS BIGINT) AS y,
+                 CAST(round(len(string_split(text, ' ')) * 1000000.0)
+                   AS BIGINT) AS x,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a
+          FROM documents
+        ), w AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(a) AS BIGINT) AS n_a,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy,
+                 sum(CASE WHEN a = 1 THEN CAST(x AS HUGEINT)
+                   ELSE CAST(0 AS HUGEINT) END) AS sxa,
+                 sum(CASE WHEN a = 1 THEN CAST(y AS HUGEINT)
+                   ELSE CAST(0 AS HUGEINT) END) AS sya
+          FROM base
+        ), d AS (
+          SELECT n, n_a,
+                 CAST(n AS DOUBLE) AS nd, CAST(n_a AS DOUBLE) AS nad,
+                 CAST(n AS DOUBLE) - CAST(n_a AS DOUBLE) AS nbd,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                 CAST(sxy AS DOUBLE) AS sxyd,
+                 CAST(sxx AS DOUBLE) AS sxxd,
+                 CAST(syy AS DOUBLE) AS syyd,
+                 CAST(sxa AS DOUBLE) AS sxad,
+                 CAST(sya AS DOUBLE) AS syad
+          FROM w
+        ), m AS (
+          SELECT n, n_a, nad, nbd,
+                 sxyd - sxd * syd / nd AS covxy,
+                 sxxd - sxd * sxd / nd AS varx,
+                 syyd - syd * syd / nd AS vary,
+                 (syad / nad - (syd - syad) / nbd) / 1e6 AS diffraw,
+                 (sxad / nad - (sxd - sxad) / nbd) / 1e6 AS diffx
+          FROM d
+        )
+        SELECT n_a, CAST(n - n_a AS BIGINT) AS n_b,
+               CASE WHEN varx > 0.0 THEN round(covxy / varx, 6) END
+                 AS theta,
+               CASE WHEN n_a > 0 AND n > n_a THEN round(diffraw, 6) END
+                 AS diff_raw,
+               CASE WHEN n_a > 0 AND n > n_a AND varx > 0.0 THEN
+                 round(diffraw - (covxy / varx) * diffx, 6) END
+                 AS diff_adj,
+               CASE WHEN varx > 0.0 AND vary > 0.0 THEN
+                 round(covxy * covxy / (varx * vary), 6) END
+                 AS var_reduction
+        FROM m
+      """.trim),
+      "X342 CUPED: en-vs-rest length gap, word count as covariate")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents")
+        Hypothesis.cuped(docs.withColumn("wc",
+            size(split($"text", " ")).cast("long")),
+          "n_chars", "wc", $"lang" === "en")
       })
   )
 }
