@@ -2847,6 +2847,88 @@ object CorpusOps {
     * the margin cross-join materializes them), round(6). NULL when
     * either dimension has < 2 levels.
     */
+  /** X343 — MATTR (moving-average type-token ratio, Covington &
+    * McFall 2010): lexical diversity that, unlike the raw TTR the
+    * quality score uses, does NOT shrink with document length (TTR of
+    * a long document is low merely because vocabulary saturates) —
+    * the average distinct-fraction over every `window`-token sliding
+    * window. The per-doc diversity gate that composes with X155's
+    * corpus-level indices.
+    *
+    * Exactness: the window distinct-counts are exact integers (one
+    * in-row pass, `transform(sequence)` + `array_distinct` over
+    * slices — O(len·window) per doc, scan-stage, no shuffle); their
+    * SUM divides once by (winSize·nWindows), so the double is one
+    * division, round(6). Docs shorter than the window use one
+    * whole-doc window (= plain TTR).
+    */
+  def mattr(docs: DataFrame, docCol: String, textCol: String,
+      window: Int = 50): DataFrame = {
+    require(window >= 2, s"bad window $window")
+    val toks = coalesce(Dedup.tokens(col(textCol)),
+      array().cast("array<string>"))
+    val d = docs.select(col(docCol), toks.as("__w"))
+      .withColumn("__n", size(col("__w")))
+      .withColumn("__win", least(col("__n"), lit(window)))
+      .withColumn("__nwin", col("__n") - col("__win") + 1)
+    val distinctSum = expr(
+      s"""aggregate(
+            transform(sequence(0, __n - __win),
+              i -> size(array_distinct(slice(__w, i + 1, __win)))),
+            0L, (acc, x) -> acc + x)""")
+    d.select(col(docCol), col("__n").cast("long").as("n_tokens"),
+      when(col("__n") > 0, col("__nwin").cast("long"))
+        .otherwise(lit(0L)).as("n_windows"),
+      when(col("__n") > 0,
+        round(distinctSum.cast("double") /
+          (col("__win") * col("__nwin")).cast("double"), 6))
+        .as("mattr"))
+  }
+
+  /** X344 — term burstiness (Church & Gale 1995): per term, how
+    * CLUMPED are its occurrences across documents — E[tf \| tf>0]
+    * (once a term appears, how many times) and the variance-to-mean
+    * ratio over ALL docs (VMR 1 = Poisson scatter, ≫1 = bursty).
+    * Content words burst, function words don't — the signal that
+    * separates topical terms from glue for stopword lists and
+    * keyword weighting, orthogonal to X309's positional dispersion.
+    *
+    * Exactness: tf/df/Σtf² fold as exact integers from one
+    * tokenize-explode pass (vocabulary-bounded shuffle, map-side
+    * combine); zeros enter VMR through the closed form var =
+    * (Σtf² − (Σtf)²/N)/N, never materialized. Top-`topK` by total tf
+    * (term tiebreak) via TakeOrderedAndProject.
+    */
+  def termBurstiness(docs: DataFrame, docCol: String, textCol: String,
+      minDf: Int = 2, topK: Int = 50): DataFrame = {
+    require(minDf >= 1 && topK >= 1, s"bad minDf=$minDf topK=$topK")
+    val dec = "decimal(38,0)"
+    val nDocs = docs.agg(count(lit(1)).cast("long").as("__nd"))
+    val tf = docs
+      .select(col(docCol).as("__doc"),
+        explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy(col("__doc"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val per = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"),
+        sum(col("__tf")).cast("long").as("tf_total"),
+        sum((col("__tf").cast(dec) * col("__tf")).cast(dec)).cast(dec)
+          .as("__tf2"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+    val nd = col("__nd").cast("double")
+    val mean = col("tf_total").cast("double") / nd
+    val vr = (col("__tf2").cast("double") -
+      col("tf_total").cast("double") * col("tf_total").cast("double")
+        / nd) / nd
+    per.select(col("term"), col("df"), col("tf_total"),
+        round(col("tf_total").cast("double") /
+          col("df").cast("double"), 6).as("burstiness"),
+        when(mean > 0.0, round(vr / mean, 6)).as("vmr"))
+      .orderBy(col("tf_total").desc, col("term"))
+      .limit(topK)
+  }
+
   def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val cells = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
       .agg(count(lit(1)).as("__o"))

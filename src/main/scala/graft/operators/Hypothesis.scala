@@ -1881,4 +1881,213 @@ object Hypothesis {
       when(varx > 0.0 && vary > 0.0,
         round(covxy * covxy / (varx * vary), 6)).as("var_reduction"))
   }
+
+  /** X345 — first-order partial correlation: r_xy·z = (r_xy −
+    * r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — "does quality still correlate
+    * with length once token count is held fixed", the confounder
+    * check X15's raw correlation can't answer. All three pairwise r's
+    * come from one pass of exact decimal micro-moment sums; the
+    * partial is one fixed-shape double, round(6); NULL when any
+    * variance is 0 or either control correlation is ±1.
+    */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(
+      round(col(xCol) * 1e6, 0).cast("long").as("__x"),
+      round(col(yCol) * 1e6, 0).cast("long").as("__y"),
+      round(col(zCol) * 1e6, 0).cast("long").as("__z"))
+    def s(a: String) = sum(col(a).cast(dec)).cast(dec)
+    def ss(a: String, b: String) =
+      sum((col(a).cast(dec) * col(b)).cast(dec)).cast(dec)
+    val w = base.agg(count(lit(1)).cast("long").as("n"),
+      s("__x").as("__sx"), s("__y").as("__sy"), s("__z").as("__sz"),
+      ss("__x", "__x").as("__sxx"), ss("__y", "__y").as("__syy"),
+      ss("__z", "__z").as("__szz"), ss("__x", "__y").as("__sxy"),
+      ss("__x", "__z").as("__sxz"), ss("__y", "__z").as("__syz"))
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    def cov(sab: String, sa: String, sb: String) =
+      d(sab) - d(sa) * d(sb) / nd
+    val vx = cov("__sxx", "__sx", "__sx")
+    val vy = cov("__syy", "__sy", "__sy")
+    val vz = cov("__szz", "__sz", "__sz")
+    val rxy = cov("__sxy", "__sx", "__sy") / sqrt(vx * vy)
+    val rxz = cov("__sxz", "__sx", "__sz") / sqrt(vx * vz)
+    val ryz = cov("__syz", "__sy", "__sz") / sqrt(vy * vz)
+    val den = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    val okV = vx > 0.0 && vy > 0.0 && vz > 0.0
+    w.select(col("n"),
+      when(okV, round(rxy, 6)).as("r_xy"),
+      when(okV, round(rxz, 6)).as("r_xz"),
+      when(okV, round(ryz, 6)).as("r_yz"),
+      when(okV && den > 0.0,
+        round((rxy - rxz * ryz) / sqrt(den), 6)).as("r_partial"))
+  }
+
+  /** X346 — Lin's concordance correlation coefficient (Lin 1989):
+    * agreement between two continuous raters — ρc = 2s_xy/(s_x² +
+    * s_y² + (x̄−ȳ)²) punishes location AND scale shifts that Pearson
+    * forgives (two quality scorers can correlate 0.99 while one runs
+    * a point high; ρc says so) — the continuous sibling of X148's
+    * kappa and X287's ICC. Population (1/n) moments per Lin's
+    * original; C_b = ρc/r isolates the bias component. Exact decimal
+    * micro sums; round(6); NULL when both variances are 0.
+    */
+  def linsCcc(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(
+      round(col(xCol) * 1e6, 0).cast("long").as("__x"),
+      round(col(yCol) * 1e6, 0).cast("long").as("__y"))
+    val w = base.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("__x").cast(dec)).cast(dec).as("__sx"),
+      sum(col("__y").cast(dec)).cast(dec).as("__sy"),
+      sum((col("__x").cast(dec) * col("__x")).cast(dec)).cast(dec)
+        .as("__sxx"),
+      sum((col("__y").cast(dec) * col("__y")).cast(dec)).cast(dec)
+        .as("__syy"),
+      sum((col("__x").cast(dec) * col("__y")).cast(dec)).cast(dec)
+        .as("__sxy"))
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val mx = d("__sx") / nd
+    val my = d("__sy") / nd
+    val vx = (d("__sxx") - d("__sx") * d("__sx") / nd) / nd
+    val vy = (d("__syy") - d("__sy") * d("__sy") / nd) / nd
+    val cxy = (d("__sxy") - d("__sx") * d("__sy") / nd) / nd
+    val gap = (mx - my) / 1e6
+    val ccc = lit(2.0) * cxy / (vx + vy + (mx - my) * (mx - my))
+    val r = cxy / sqrt(vx * vy)
+    w.select(col("n"),
+      round(mx / 1e6, 6).as("mean_x"), round(my / 1e6, 6).as("mean_y"),
+      when(vx > 0.0 && vy > 0.0, round(r, 6)).as("pearson_r"),
+      when(vx + vy > 0.0 || gap =!= 0.0, round(ccc, 6)).as("ccc"),
+      when(vx > 0.0 && vy > 0.0 && cxy =!= 0.0, round(ccc / r, 6))
+        .as("bias_correction"))
+  }
+
+  /** X347 — odds ratio and relative risk with Wald CIs: the 2×2
+    * release-gate panel ("flagged docs are 3.4× likelier to be
+    * near-dups, CI [2.9, 4.0]") — effect DIRECTION AND UNCERTAINTY
+    * where X149's z gives only a verdict. Exact integer cells; OR,
+    * RR and their log-scale 95% CIs are fixed-shape doubles,
+    * round(6); all NULL when any margin needed is 0 (the standard
+    * continuity-correction-free convention — callers add 0.5 cells
+    * upstream if they want Haldane).
+    */
+  def oddsRatio(df: DataFrame, exposed: Column, outcome: Column)
+      : DataFrame = {
+    val w = df.agg(
+      sum(when(exposed && outcome, 1L).otherwise(0L)).cast("long")
+        .as("n_exp_pos"),
+      sum(when(exposed && !outcome, 1L).otherwise(0L)).cast("long")
+        .as("n_exp_neg"),
+      sum(when(!exposed && outcome, 1L).otherwise(0L)).cast("long")
+        .as("n_unexp_pos"),
+      sum(when(!exposed && !outcome, 1L).otherwise(0L)).cast("long")
+        .as("n_unexp_neg"))
+    val a = col("n_exp_pos").cast("double")
+    val b = col("n_exp_neg").cast("double")
+    val c = col("n_unexp_pos").cast("double")
+    val dd = col("n_unexp_neg").cast("double")
+    val or = a * dd / (b * c)
+    val seLogOr = sqrt(lit(1.0) / a + lit(1.0) / b + lit(1.0) / c +
+      lit(1.0) / dd)
+    val rr = (a / (a + b)) / (c / (c + dd))
+    val seLogRr = sqrt(lit(1.0) / a - lit(1.0) / (a + b) +
+      lit(1.0) / c - lit(1.0) / (c + dd))
+    val okOr = col("n_exp_pos") > 0L && col("n_exp_neg") > 0L &&
+      col("n_unexp_pos") > 0L && col("n_unexp_neg") > 0L
+    val okRr = col("n_exp_pos") > 0L && col("n_unexp_pos") > 0L &&
+      col("n_exp_neg") >= 0L && col("n_unexp_neg") >= 0L
+    w.select(col("n_exp_pos"), col("n_exp_neg"), col("n_unexp_pos"),
+      col("n_unexp_neg"),
+      when(okOr, round(or, 6)).as("odds_ratio"),
+      when(okOr, round(exp(log(or) - lit(1.959964) * seLogOr), 6))
+        .as("or_lo"),
+      when(okOr, round(exp(log(or) + lit(1.959964) * seLogOr), 6))
+        .as("or_hi"),
+      when(okRr, round(rr, 6)).as("rel_risk"),
+      when(okOr, round(exp(log(rr) - lit(1.959964) * seLogRr), 6))
+        .as("rr_lo"),
+      when(okOr, round(exp(log(rr) + lit(1.959964) * seLogRr), 6))
+        .as("rr_hi"))
+  }
+
+  /** X348 — Quade test: the block-weighted sibling of [[friedman]] —
+    * blocks with a wider raw RANGE carry proportionally more weight
+    * (Friedman throws that information away; for small k Quade is
+    * uniformly more powerful). Within-block midranks reuse the
+    * friedman machinery; block weights are midranks of the block
+    * ranges computed by the distributed cumulative pass
+    * ([[CorpusOps.cumSums]] on the distinct-range grid — no
+    * single-task window anywhere).
+    *
+    * Exactness: with doubled midranks ρ = 2R and doubled range
+    * midranks q2 = 2Q, the score 4S_ij = q2·(ρ − (k+1)) is an exact
+    * integer; 16A = Σ(4S)² and n·16B = Σ_j (Σ_i 4S)² fold in decimal,
+    * so F = (n−1)·ΣS_j²·?/(n·A − ΣS_j²) is one double division,
+    * round(6). Incomplete blocks drop (reported); NULL when A = B
+    * (perfect block agreement — F degenerates).
+    */
+  def quadeTest(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val q = round(col(valueCol) * 1e6, 0).cast("long")
+    val base = df.select(col(blockCol).as("__b"),
+      col(treatmentCol).as("__t"), q.as("__q"))
+    val kTot = base.agg(countDistinct(col("__t")).as("__k"))
+    val complete = base
+      .withColumn("__bk",
+        count(lit(1)).over(Window.partitionBy(col("__b"))))
+      .crossJoin(broadcast(kTot))
+      .filter(col("__bk") === col("__k"))
+    // within-block doubled midranks (keyed window — scales by block)
+    val wRank = Window.partitionBy(col("__b")).orderBy(col("__q"))
+    val wTie = Window.partitionBy(col("__b"), col("__q"))
+    val rho = complete.withColumn("__rho",
+      lit(2L) * (rank().over(wRank) - 1L) +
+        count(lit(1)).over(wTie) + lit(1L))
+    // block weights: doubled midranks of the block RANGES across
+    // blocks, via the distributed cumulative pass
+    val ranges = rho.groupBy(col("__b"))
+      .agg((max(col("__q")) - min(col("__q"))).as("__rng"),
+        max(col("__k")).as("__k"))
+    val perRange = ranges.groupBy(col("__rng"))
+      .agg(count(lit(1)).as("__c"))
+    val ranked = CorpusOps.cumSums(perRange, Seq(col("__rng")),
+        Seq("__c"))
+      .select(col("__rng"),
+        (lit(2L) * (col("__cum__c") - col("__c")) + col("__c") + 1L)
+          .as("__q2"))
+    val weighted = rho.join(ranges.join(ranked, Seq("__rng"))
+      .select(col("__b"), col("__q2")), Seq("__b"))
+    // 4·S_ij = q2·(rho − (k+1)): exact integers
+    val s4 = (col("__q2").cast(dec) *
+      (col("__rho") - col("__k") - lit(1L)).cast(dec)).cast(dec)
+    val perT = weighted.groupBy(col("__t"))
+      .agg(count(lit(1)).cast("long").as("__nb"),
+        sum(s4).cast(dec).as("__s4"),
+        sum((s4 * s4).cast(dec)).cast(dec).as("__a16"))
+    val dropped = base.select(col("__b")).distinct()
+      .agg(count(lit(1)).cast("long").as("__blocksAll"))
+    val fold = perT.agg(count(lit(1)).cast("long").as("k"),
+      max(col("__nb")).cast("long").as("n_blocks"),
+      sum(col("__a16")).cast(dec).as("__A"),
+      sum((col("__s4") * col("__s4")).cast(dec)).cast(dec).as("__B"))
+    // F = (n−1)·B/(A−B) with B = Σ S_j²/n: all integer until the end
+    val nA = col("n_blocks").cast("double") * col("__A").cast("double")
+    val sB = col("__B").cast("double")
+    val fStat = (col("n_blocks").cast("double") - 1.0) * sB /
+      (nA - sB)
+    fold.crossJoin(broadcast(dropped))
+      .select(col("n_blocks"), col("k"),
+        (col("__blocksAll") - col("n_blocks")).cast("long")
+          .as("n_dropped_blocks"),
+        (col("k") - 1L).as("df1"),
+        ((col("n_blocks") - 1L) * (col("k") - 1L)).as("df2"),
+        when(col("k") > 1L && col("n_blocks") > 1L && nA - sB > 0.0,
+          round(fStat, 6)).as("f_stat"))
+  }
 }

@@ -6008,6 +6008,330 @@ object MiningQueries {
         Hypothesis.cuped(docs.withColumn("wc",
             size(split($"text", " ")).cast("long")),
           "n_chars", "wc", $"lang" === "en")
+      }),
+
+    // X343: MATTR — length-independent lexical diversity per doc.
+    QueryDef(
+      "q_mattr",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                   x -> x <> '') AS w
+          FROM documents
+        ), m AS (
+          SELECT doc_id, len(w) AS n, least(len(w), 50) AS win,
+                 len(w) - least(len(w), 50) + 1 AS nwin, w
+          FROM toks
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CASE WHEN n > 0 THEN CAST(nwin AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS n_windows,
+               CASE WHEN n > 0 THEN
+                 round(CAST(CAST(list_sum(list_transform(
+                     generate_series(0, n - win),
+                     i -> len(list_distinct(w[i + 1 : i + win]))))
+                   AS BIGINT) AS DOUBLE)
+                   / CAST(win * nwin AS DOUBLE), 6) END AS mattr
+        FROM m ORDER BY doc_id
+      """.trim),
+      "X343 MATTR window-50 lexical diversity per document")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.mattr(table(spark, dir, "documents"), "doc_id",
+            "text", window = 50)
+          .orderBy($"doc_id")
+      }),
+
+    // X344: Church-Gale term burstiness — clumped vs Poisson terms.
+    QueryDef(
+      "q_burstiness",
+      Some("""
+        WITH tf AS (
+          SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id,
+                  unnest(list_filter(
+                    string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS t
+                FROM documents)
+          GROUP BY 1, 2
+        ), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        per AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(tf) AS BIGINT) AS tf_total,
+                 sum(CAST(tf AS HUGEINT) * tf) AS tf2
+          FROM tf GROUP BY 1 HAVING count(*) >= 2
+        )
+        SELECT term, df, tf_total,
+               round(CAST(tf_total AS DOUBLE) / CAST(df AS DOUBLE), 6)
+                 AS burstiness,
+               CASE WHEN CAST(tf_total AS DOUBLE) / CAST(n AS DOUBLE)
+                      > 0.0 THEN
+                 round(((CAST(tf2 AS DOUBLE)
+                     - CAST(tf_total AS DOUBLE)
+                       * CAST(tf_total AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE))
+                   / (CAST(tf_total AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                 END AS vmr
+        FROM per, nd
+        ORDER BY tf_total DESC, term LIMIT 50
+      """.trim),
+      "X344 term burstiness: top-50 terms by total tf")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.termBurstiness(table(spark, dir, "documents"),
+          "doc_id", "text", minDf = 2, topK = 50)
+      }),
+
+    // X345: partial correlation — chars vs distinct tokens with token
+    // count held fixed (the confounder every length pair shares).
+    QueryDef(
+      "q_partial_corr",
+      Some("""
+        WITH base AS (
+          SELECT CAST(round(n_chars * 1000000.0) AS BIGINT) AS x,
+                 CAST(round(len(list_distinct(list_filter(
+                     string_split_regex(lower(text), '\s+'),
+                     t -> t <> ''))) * 1000000.0) AS BIGINT) AS y,
+                 CAST(round(len(list_filter(
+                     string_split_regex(lower(text), '\s+'),
+                     t -> t <> '')) * 1000000.0) AS BIGINT) AS z
+          FROM documents
+        ), w AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(z AS HUGEINT)) AS sz,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy,
+                 sum(CAST(z AS HUGEINT) * z) AS szz,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * z) AS sxz,
+                 sum(CAST(y AS HUGEINT) * z) AS syz
+          FROM base
+        ), d AS (
+          SELECT n, CAST(n AS DOUBLE) AS nd,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                 CAST(sz AS DOUBLE) AS szd,
+                 CAST(sxx AS DOUBLE) AS sxxd,
+                 CAST(syy AS DOUBLE) AS syyd,
+                 CAST(szz AS DOUBLE) AS szzd,
+                 CAST(sxy AS DOUBLE) AS sxyd,
+                 CAST(sxz AS DOUBLE) AS sxzd,
+                 CAST(syz AS DOUBLE) AS syzd
+          FROM w
+        ), v AS (
+          SELECT n,
+                 sxxd - sxd * sxd / nd AS vx,
+                 syyd - syd * syd / nd AS vy,
+                 szzd - szd * szd / nd AS vz,
+                 sxyd - sxd * syd / nd AS cxy,
+                 sxzd - sxd * szd / nd AS cxz,
+                 syzd - syd * szd / nd AS cyz
+          FROM d
+        ), r AS (
+          SELECT n, vx > 0.0 AND vy > 0.0 AND vz > 0.0 AS okv,
+                 cxy / sqrt(vx * vy) AS rxy,
+                 cxz / sqrt(vx * vz) AS rxz,
+                 cyz / sqrt(vy * vz) AS ryz
+          FROM v
+        )
+        SELECT n,
+               CASE WHEN okv THEN round(rxy, 6) END AS r_xy,
+               CASE WHEN okv THEN round(rxz, 6) END AS r_xz,
+               CASE WHEN okv THEN round(ryz, 6) END AS r_yz,
+               CASE WHEN okv AND (1.0 - rxz * rxz)
+                      * (1.0 - ryz * ryz) > 0.0 THEN
+                 round((rxy - rxz * ryz)
+                   / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+                 END AS r_partial
+        FROM r
+      """.trim),
+      "X345 partial correlation: chars~distinct tokens | token count")(
+      (spark, dir) => {
+        import spark.implicits._
+        val toks = graft.operators.Dedup.tokens($"text")
+        val base = table(spark, dir, "documents").select(
+          $"n_chars".as("x"),
+          size(array_distinct(toks)).cast("long").as("y"),
+          size(toks).cast("long").as("z"))
+        Hypothesis.partialCorrelation(base, "x", "y", "z")
+      }),
+
+    // X346: Lin's CCC — agreement between actual chars and the
+    // 5-per-word predictor (Pearson forgives the scale shift; ρc
+    // doesn't).
+    QueryDef(
+      "q_lins_ccc",
+      Some("""
+        WITH base AS (
+          SELECT CAST(round(n_chars * 1000000.0) AS BIGINT) AS x,
+                 CAST(round(5 * len(string_split(text, ' '))
+                   * 1000000.0) AS BIGINT) AS y
+          FROM documents
+        ), w AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy
+          FROM base
+        ), d AS (
+          SELECT n, CAST(n AS DOUBLE) AS nd,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                 CAST(sxx AS DOUBLE) AS sxxd,
+                 CAST(syy AS DOUBLE) AS syyd,
+                 CAST(sxy AS DOUBLE) AS sxyd
+          FROM w
+        ), m AS (
+          SELECT n, sxd / nd AS mx, syd / nd AS my,
+                 (sxxd - sxd * sxd / nd) / nd AS vx,
+                 (syyd - syd * syd / nd) / nd AS vy,
+                 (sxyd - sxd * syd / nd) / nd AS cxy
+          FROM d
+        )
+        SELECT n, round(mx / 1e6, 6) AS mean_x,
+               round(my / 1e6, 6) AS mean_y,
+               CASE WHEN vx > 0.0 AND vy > 0.0 THEN
+                 round(cxy / sqrt(vx * vy), 6) END AS pearson_r,
+               CASE WHEN vx + vy > 0.0 OR (mx - my) / 1e6 <> 0.0 THEN
+                 round(2.0 * cxy / (vx + vy + (mx - my) * (mx - my)),
+                   6) END AS ccc,
+               CASE WHEN vx > 0.0 AND vy > 0.0 AND cxy <> 0.0 THEN
+                 round((2.0 * cxy / (vx + vy + (mx - my) * (mx - my)))
+                   / (cxy / sqrt(vx * vy)), 6) END AS bias_correction
+        FROM m
+      """.trim),
+      "X346 Lin's CCC: chars vs the 5-per-word predictor")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents").withColumn("y5",
+          (lit(5) * size(split($"text", " "))).cast("long"))
+        Hypothesis.linsCcc(docs, "n_chars", "y5")
+      }),
+
+    // X347: odds ratio / relative risk panel — weekend exposure vs
+    // purchase outcome, with Wald CIs.
+    QueryDef(
+      "q_odds_ratio",
+      Some("""
+        WITH w AS (
+          SELECT CAST(sum(CASE WHEN dayofweek(CAST(ts AS DATE))
+                   IN (0, 6) AND event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_exp_pos,
+                 CAST(sum(CASE WHEN dayofweek(CAST(ts AS DATE))
+                   IN (0, 6) AND event_type <> 'purchase'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_exp_neg,
+                 CAST(sum(CASE WHEN dayofweek(CAST(ts AS DATE))
+                   NOT IN (0, 6) AND event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_unexp_pos,
+                 CAST(sum(CASE WHEN dayofweek(CAST(ts AS DATE))
+                   NOT IN (0, 6) AND event_type <> 'purchase'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_unexp_neg
+          FROM events
+        ), d AS (
+          SELECT n_exp_pos, n_exp_neg, n_unexp_pos, n_unexp_neg,
+                 CAST(n_exp_pos AS DOUBLE) AS a,
+                 CAST(n_exp_neg AS DOUBLE) AS b,
+                 CAST(n_unexp_pos AS DOUBLE) AS c,
+                 CAST(n_unexp_neg AS DOUBLE) AS dd,
+                 n_exp_pos > 0 AND n_exp_neg > 0 AND n_unexp_pos > 0
+                   AND n_unexp_neg > 0 AS okor
+          FROM w
+        )
+        SELECT n_exp_pos, n_exp_neg, n_unexp_pos, n_unexp_neg,
+               CASE WHEN okor THEN round(a * dd / (b * c), 6) END
+                 AS odds_ratio,
+               CASE WHEN okor THEN round(exp(ln(a * dd / (b * c))
+                 - 1.959964 * sqrt(1.0 / a + 1.0 / b + 1.0 / c
+                   + 1.0 / dd)), 6) END AS or_lo,
+               CASE WHEN okor THEN round(exp(ln(a * dd / (b * c))
+                 + 1.959964 * sqrt(1.0 / a + 1.0 / b + 1.0 / c
+                   + 1.0 / dd)), 6) END AS or_hi,
+               CASE WHEN n_exp_pos > 0 AND n_unexp_pos > 0 THEN
+                 round((a / (a + b)) / (c / (c + dd)), 6) END
+                 AS rel_risk,
+               CASE WHEN okor THEN
+                 round(exp(ln((a / (a + b)) / (c / (c + dd)))
+                   - 1.959964 * sqrt(1.0 / a - 1.0 / (a + b)
+                     + 1.0 / c - 1.0 / (c + dd))), 6) END AS rr_lo,
+               CASE WHEN okor THEN
+                 round(exp(ln((a / (a + b)) / (c / (c + dd)))
+                   + 1.959964 * sqrt(1.0 / a - 1.0 / (a + b)
+                     + 1.0 / c - 1.0 / (c + dd))), 6) END AS rr_hi
+        FROM d
+      """.trim),
+      "X347 odds ratio + relative risk: weekend vs purchase")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.oddsRatio(events(spark, dir),
+          dayofweek($"ts").isin(1, 7), $"event_type" === "purchase")
+      }),
+
+    // X348: Quade test on q_friedman's per-user event-type counts —
+    // range-weighted blocks, more power at small k.
+    QueryDef(
+      "q_quade",
+      Some("""
+        WITH cells AS (
+          SELECT user_id AS b, event_type AS t,
+                 CAST(round(count(*) * 1000000.0) AS BIGINT) AS q
+          FROM events GROUP BY 1, 2
+        ), ktot AS (SELECT count(DISTINCT t) AS k FROM cells),
+        complete AS (
+          SELECT b, t, q FROM (
+            SELECT b, t, q, count(*) OVER (PARTITION BY b) AS bk
+            FROM cells), ktot
+          WHERE bk = k
+        ), rho AS (
+          SELECT b, t, q,
+            2 * (rank() OVER (PARTITION BY b ORDER BY q) - 1)
+              + count(*) OVER (PARTITION BY b, q) + 1 AS rho
+          FROM complete
+        ), ranges AS (
+          SELECT b, max(q) - min(q) AS rng FROM rho GROUP BY 1
+        ), perrng AS (
+          SELECT rng, CAST(count(*) AS BIGINT) AS c
+          FROM ranges GROUP BY 1
+        ), rnk AS (
+          SELECT rng, 2 * (sum(c) OVER (ORDER BY rng ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1 AS q2
+          FROM perrng
+        ), weighted AS (
+          SELECT rho.t,
+                 CAST(rnk.q2 AS HUGEINT) * (rho.rho - k - 1) AS s4
+          FROM rho JOIN ranges USING (b) JOIN rnk USING (rng), ktot
+        ), pert AS (
+          SELECT t, count(*) AS nb, sum(s4) AS s4sum,
+                 sum(s4 * s4) AS a16
+          FROM weighted GROUP BY 1
+        ), blocksall AS (
+          SELECT CAST(count(DISTINCT b) AS BIGINT) AS ball FROM cells
+        ), fold AS (
+          SELECT CAST(count(*) AS BIGINT) AS k2,
+                 CAST(max(nb) AS BIGINT) AS n_blocks,
+                 sum(a16) AS aa, sum(s4sum * s4sum) AS bb
+          FROM pert
+        )
+        SELECT n_blocks, k2 AS k, ball - n_blocks AS n_dropped_blocks,
+               k2 - 1 AS df1, (n_blocks - 1) * (k2 - 1) AS df2,
+               CASE WHEN k2 > 1 AND n_blocks > 1
+                      AND CAST(n_blocks AS DOUBLE) * CAST(aa AS DOUBLE)
+                        - CAST(bb AS DOUBLE) > 0.0 THEN
+                 round((CAST(n_blocks AS DOUBLE) - 1.0)
+                     * CAST(bb AS DOUBLE)
+                   / (CAST(n_blocks AS DOUBLE) * CAST(aa AS DOUBLE)
+                     - CAST(bb AS DOUBLE)), 6) END AS f_stat
+        FROM fold, blocksall
+      """.trim),
+      "X348 Quade test of per-user event-type count ranks")(
+      (spark, dir) => {
+        import spark.implicits._
+        val cells = events(spark, dir)
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        Hypothesis.quadeTest(cells, "user_id", "event_type", "cnt")
       })
   )
 }
