@@ -603,4 +603,50 @@ object Funnel {
         round(col("n_keys").cast("double") / col("__nk"), 6)
           .as("support"))
   }
+
+  /** X352 — top-k churn: day-over-day Jaccard of each period's top-k
+    * key set — "is today's hot-content list the same list as
+    * yesterday's" (Jaccard near 1 = stable ranking; a dip flags a
+    * traffic regime change the X130 volume trend can't see, because
+    * volume can hold while the MEMBERS rotate). The set-level
+    * complement of X224's rank-weighted RBO.
+    *
+    * Scale shape: per-period top-k via a rank window PARTITIONED BY
+    * period (keyed — each day sorts independently, no global funnel;
+    * ties break by key for determinism); consecutive periods meet in
+    * one k-bounded self-join on period = period+1, so the churn table
+    * is (periods × k)-sized regardless of row count.
+    */
+  def topkChurn(events: DataFrame, tsCol: String, keyCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.groupBy(to_date(col(tsCol)).as("__d"),
+        col(keyCol).as("__key"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("__d"))
+      .orderBy(col("__n").desc, col("__key"))
+    val top = daily.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("__d"), col("__key"))
+    val prev = top.select(date_add(col("__d"), 1).as("__d"),
+      col("__key").as("__keyPrev"))
+    val inter = top.join(prev,
+        top("__d") === prev("__d") && col("__key") === col("__keyPrev"))
+      .groupBy(top("__d").as("__d"))
+      .agg(count(lit(1)).cast("long").as("__both"))
+    val sizes = top.groupBy(col("__d"))
+      .agg(count(lit(1)).cast("long").as("__sz"))
+    val prevSizes = sizes.select(date_add(col("__d"), 1).as("__d"),
+      col("__sz").as("__szPrev"))
+    sizes.join(prevSizes, Seq("__d"))
+      .join(inter, Seq("__d"), "left")
+      .withColumn("__b", coalesce(col("__both"), lit(0L)))
+      .select(col("__d").as("day"), col("__sz").as("k_today"),
+        col("__szPrev").as("k_prev"), col("__b").as("n_shared"),
+        round(col("__b").cast("double") /
+          (col("__sz") + col("__szPrev") - col("__b")).cast("double"),
+          6).as("jaccard"))
+      .orderBy(col("day"))
+  }
 }

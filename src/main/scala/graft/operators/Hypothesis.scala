@@ -2090,4 +2090,59 @@ object Hypothesis {
         when(col("k") > 1L && col("n_blocks") > 1L && nA - sB > 0.0,
           round(fStat, 6)).as("f_stat"))
   }
+
+  /** X349 — Page's L trend test: [[friedman]] with a PRE-SPECIFIED
+    * treatment ORDER — "does the metric rise monotonically across
+    * snapshot versions / size tiers", which the omnibus Friedman
+    * can't say (it only detects SOME difference; Page earns its power
+    * by betting on the ordering). L = Σ_j j·R_j over within-block
+    * midranks, ordinal j = the natural order of the treatment values;
+    * z = (12L − 3nk(k+1)²)/(k(k+1)·√(n(k−1))) — exact in the no-tie
+    * design, midranks keep E[L] exact under ties (variance then
+    * slightly conservative, the standard treatment).
+    *
+    * Doubled midranks make 12L = 6·ΣL2 an exact integer fold;
+    * completeness filtering reuses the friedman machinery; ≤ 64
+    * treatments ship as a literal ordinal map (the jonckheere
+    * convention). NULL z when k < 2 or n < 1.
+    */
+  def pageTrendTest(df: DataFrame, blockCol: String,
+      treatmentCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val q = round(col(valueCol) * 1e6, 0).cast("long")
+    val base = df.select(col(blockCol).as("__b"),
+      col(treatmentCol).as("__t"), q.as("__q"))
+    val ts = base.select(col("__t")).distinct()
+      .orderBy(col("__t")).collect().map(_.get(0))
+    require(ts.length >= 2 && ts.length <= 64,
+      s"need 2..64 ordered treatments, got ${ts.length}")
+    val ordinal = ts.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (t, i)) =>
+        when(col("__t") === lit(t), lit(i + 1L)).otherwise(acc)
+    }
+    val k = ts.length
+    val complete = base
+      .withColumn("__bk",
+        count(lit(1)).over(Window.partitionBy(col("__b"))))
+      .filter(col("__bk") === k)
+    val wRank = Window.partitionBy(col("__b")).orderBy(col("__q"))
+    val wTie = Window.partitionBy(col("__b"), col("__q"))
+    val rho = complete.withColumn("__rho",
+      lit(2L) * (rank().over(wRank) - 1L) +
+        count(lit(1)).over(wTie) + lit(1L))
+      .withColumn("__j", ordinal)
+    val fold = rho.agg(
+      (count(lit(1)) / k).cast("long").as("n_blocks"),
+      sum((col("__j").cast(dec) * col("__rho")).cast(dec)).cast(dec)
+        .as("__l2"))
+    val n = col("n_blocks").cast("double")
+    val kd = lit(k.toDouble)
+    val l12 = lit(6.0) * col("__l2").cast("double")
+    val z = (l12 - lit(3.0) * n * kd * (kd + 1.0) * (kd + 1.0)) /
+      (kd * (kd + 1.0) * sqrt(n * (kd - 1.0)))
+    fold.select(col("n_blocks"), lit(k.toLong).as("k"),
+      round(col("__l2").cast("double") / 2.0, 6).as("l_stat"),
+      when(col("n_blocks") > 0L, round(z, 6)).as("z_stat"))
+  }
 }

@@ -6332,6 +6332,239 @@ object MiningQueries {
           .groupBy($"user_id", $"event_type")
           .agg(count(lit(1)).cast("long").as("cnt"))
         Hypothesis.quadeTest(cells, "user_id", "event_type", "cnt")
+      }),
+
+    // X349: Page's L — does per-user weekly activity TREND across the
+    // month's ISO weeks (Friedman only says "differs somewhere").
+    QueryDef(
+      "q_page_trend",
+      Some("""
+        WITH cells AS (
+          SELECT user_id AS b, CAST(week(ts) AS BIGINT) AS t,
+                 CAST(round(count(*) * 1000000.0) AS BIGINT) AS q
+          FROM events GROUP BY 1, 2
+        ), ktot AS (SELECT count(DISTINCT t) AS k FROM cells),
+        complete AS (
+          SELECT b, t, q FROM (
+            SELECT b, t, q, count(*) OVER (PARTITION BY b) AS bk
+            FROM cells), ktot
+          WHERE bk = k
+        ), ord AS (
+          SELECT t, CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS j
+          FROM (SELECT DISTINCT t FROM cells)
+        ), rho AS (
+          SELECT b, t,
+            2 * (rank() OVER (PARTITION BY b ORDER BY q) - 1)
+              + count(*) OVER (PARTITION BY b, q) + 1 AS rho
+          FROM complete
+        ), fold AS (
+          SELECT CAST(count(*) / k AS BIGINT) AS n_blocks,
+                 CAST(k AS BIGINT) AS k,
+                 sum(CAST(j AS HUGEINT) * rho) AS l2
+          FROM rho JOIN ord USING (t), ktot GROUP BY ktot.k
+        ), d AS (
+          SELECT n_blocks, k, CAST(l2 AS DOUBLE) AS l2d,
+                 CAST(n_blocks AS DOUBLE) AS nd,
+                 CAST(k AS DOUBLE) AS kd
+          FROM fold
+        )
+        SELECT n_blocks, k, round(l2d / 2.0, 6) AS l_stat,
+               CASE WHEN n_blocks > 0 THEN
+                 round((6.0 * l2d - 3.0 * nd * kd * (kd + 1.0)
+                     * (kd + 1.0))
+                   / (kd * (kd + 1.0) * sqrt(nd * (kd - 1.0))), 6) END
+                 AS z_stat
+        FROM d
+      """.trim),
+      "X349 Page trend test: per-user event counts across ISO weeks")(
+      (spark, dir) => {
+        import spark.implicits._
+        val cells = events(spark, dir)
+          .groupBy($"user_id", weekofyear($"ts").cast("long").as("wk"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        Hypothesis.pageTrendTest(cells, "user_id", "wk", "cnt")
+      }),
+
+    // X350: Luhn-validated PII gate over deterministic card-like
+    // numbers synthesized from order keys (~10% pass, like real digit
+    // noise; every true card number would).
+    QueryDef(
+      "q_luhn_gate",
+      Some("""
+        WITH docs AS (
+          SELECT o_orderkey,
+                 'card ' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0')
+                   || lpad(CAST(o_custkey AS VARCHAR), 8, '0') AS text
+          FROM orders
+        ), scanned AS (
+          SELECT o_orderkey,
+                 regexp_extract_all(text, '[0-9]{13,19}') AS cands
+          FROM docs
+        )
+        SELECT o_orderkey,
+               CAST(len(cands) AS BIGINT) AS n_candidates,
+               CAST(len(list_filter(cands, c ->
+                 CAST(list_sum(list_transform(
+                   generate_series(1, length(c)), i ->
+                   CASE WHEN i % 2 = 0 THEN
+                     CASE WHEN (ascii(substr(c, length(c) - i + 1, 1))
+                         - 48) * 2 > 9
+                       THEN (ascii(substr(c, length(c) - i + 1, 1))
+                         - 48) * 2 - 9
+                       ELSE (ascii(substr(c, length(c) - i + 1, 1))
+                         - 48) * 2 END
+                   ELSE ascii(substr(c, length(c) - i + 1, 1)) - 48
+                   END)) AS INTEGER) % 10 = 0)) AS BIGINT)
+                 AS n_luhn_valid
+        FROM scanned ORDER BY o_orderkey
+      """.trim),
+      "X350 Luhn checksum gate over synthesized card-like numbers")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "orders").select($"o_orderkey",
+          concat(lit("card "),
+            lpad($"o_orderkey".cast("string"), 8, "0"),
+            lpad($"o_custkey".cast("string"), 8, "0")).as("text"))
+        graft.operators.Privacy.luhnScan(docs, "o_orderkey", "text")
+          .orderBy($"o_orderkey")
+      }),
+
+    // X351a: TPC-H Q4 shape — EXISTS semi-join feeding a grouped
+    // count (the plan must compile to a LeftSemi, not a join+distinct).
+    QueryDef(
+      "q_order_priority_check",
+      Some("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY 1 ORDER BY 1
+      """.trim),
+      "TPC-H Q4 shape: EXISTS order-priority counts")(
+      (spark, dir) => {
+        import spark.implicits._
+        val o = table(spark, dir, "orders")
+          .filter($"o_orderdate" >= "1996-07-01" &&
+            $"o_orderdate" < "1996-10-01")
+        val l = table(spark, dir, "lineitem")
+          .filter($"l_returnflag" === "R").select($"l_orderkey")
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("order_count"))
+          .orderBy($"o_orderpriority")
+      }),
+
+    // X351b: TPC-H Q13 shape — conditional LEFT OUTER join feeding a
+    // two-level distribution (customers keep their zero rows).
+    QueryDef(
+      "q_cust_order_distribution",
+      Some("""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (SELECT c.c_custkey,
+                     CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey
+                  AND o.o_orderstatus <> 'F'
+              GROUP BY 1)
+        GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+      """.trim),
+      "TPC-H Q13 shape: customer order-count distribution")(
+      (spark, dir) => {
+        import spark.implicits._
+        val c = table(spark, dir, "customer").as("c")
+        val o = table(spark, dir, "orders").as("o")
+        c.join(o, $"c.c_custkey" === $"o.o_custkey" &&
+            $"o.o_orderstatus" =!= "F", "left")
+          .groupBy($"c.c_custkey")
+          .agg(count($"o.o_orderkey").cast("long").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).cast("long").as("custdist"))
+          .orderBy($"custdist".desc, $"c_count".desc)
+      }),
+
+    // X351c: TPC-H Q22 shape — scalar-subquery threshold + anti join
+    // (rich customers with no orders at all).
+    QueryDef(
+      "q_dormant_rich_customers",
+      Some("""
+        WITH stats AS (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,6)))
+                   AS DECIMAL(38,6)) AS tot,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(20,6)))
+                 AS DOUBLE), 2) AS totacctbal
+        FROM customer, stats
+        WHERE CAST(c_acctbal AS DECIMAL(20,6)) * n > tot
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY 1 ORDER BY 1
+      """.trim),
+      "TPC-H Q22 shape: rich customers dormant since 1999")(
+      (spark, dir) => {
+        import spark.implicits._
+        val cust = table(spark, dir, "customer")
+        val stats = cust.filter($"c_acctbal" > 0.0).agg(
+          sum($"c_acctbal".cast("decimal(20,6)"))
+            .cast("decimal(38,6)").as("__tot"),
+          count(lit(1)).cast("long").as("__n"))
+        cust.crossJoin(broadcast(stats))
+          .filter($"c_acctbal".cast("decimal(20,6)") * $"__n" >
+            $"__tot")
+          .join(table(spark, dir, "orders")
+              .filter($"o_orderdate" >= "1999-01-01")
+              .select($"o_custkey"),
+            $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).cast("long").as("numcust"),
+            round(sum($"c_acctbal".cast("decimal(20,6)"))
+              .cast("double"), 2).as("totacctbal"))
+          .orderBy($"c_mktsegment")
+      }),
+
+    // X352: top-k churn — day-over-day Jaccard of the top-20 user
+    // set; the member-rotation signal volume trends can't see.
+    QueryDef(
+      "q_topk_churn",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, user_id AS key,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ), top AS (
+          SELECT d, key FROM (
+            SELECT d, key,
+                   row_number() OVER (PARTITION BY d
+                     ORDER BY n DESC, key) AS r
+            FROM daily)
+          WHERE r <= 20
+        ), sizes AS (
+          SELECT d, CAST(count(*) AS BIGINT) AS sz FROM top GROUP BY 1
+        ), inter AS (
+          SELECT t.d, CAST(count(*) AS BIGINT) AS boths
+          FROM top t JOIN top p ON t.d = p.d + 1 AND t.key = p.key
+          GROUP BY 1
+        )
+        SELECT s.d AS day, s.sz AS k_today, ps.sz AS k_prev,
+               coalesce(i.boths, 0) AS n_shared,
+               round(CAST(coalesce(i.boths, 0) AS DOUBLE)
+                 / CAST(s.sz + ps.sz - coalesce(i.boths, 0)
+                   AS DOUBLE), 6) AS jaccard
+        FROM sizes s JOIN sizes ps ON s.d = ps.d + 1
+        LEFT JOIN inter i ON i.d = s.d
+        ORDER BY day
+      """.trim),
+      "X352 day-over-day Jaccard churn of the top-20 user set")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Funnel.topkChurn(events(spark, dir), "ts",
+          "user_id", k = 20)
       })
   )
 }

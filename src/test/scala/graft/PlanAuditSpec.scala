@@ -1224,4 +1224,18 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q: a window survived the cumSums migration")
     }
   }
+
+  test("TPC-H boundary shapes compile to the right physical joins: " +
+    "Q4 EXISTS -> LeftSemi, Q22 NOT EXISTS -> LeftAnti (broadcast), " +
+    "Q13 conditional outer stays LeftOuter") {
+    val q4 = plan("q_order_priority_check")
+    assert(q4.contains("LeftSemi"), q4.take(1500))
+    assert(!q4.contains("Distinct"), "semi join degraded to join+distinct")
+    val q22 = plan("q_dormant_rich_customers")
+    assert(q22.contains("LeftAnti"), q22.take(1500))
+    assert(q22.contains("BroadcastHashJoin") ||
+      q22.contains("BroadcastNestedLoopJoin"), "anti side not broadcast")
+    val q13 = plan("q_cust_order_distribution")
+    assert(q13.contains("LeftOuter"), q13.take(1500))
+  }
 }
