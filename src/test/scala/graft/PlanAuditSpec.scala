@@ -987,13 +987,13 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q_mann_whitney: ranks live on the distinct-value table — a " +
-    "partial+final agg pair runs before the single ordered window") {
+    "partial+final agg pair runs and NO window remains (the r11 " +
+    "cumSums migration replaced the single ordered CDF window)") {
     val p = plan("q_mann_whitney")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       "distinct-value agg lost its map-side partial")
-    assert("windowspecdefinition\\(".r.findAllIn(p.toLowerCase)
-      .length == 1,
-      s"more than the one CDF window:\n${p.take(1500)}")
+    assert(!p.toLowerCase.contains("windowspecdefinition("),
+      s"a window came back:\n${p.take(1500)}")
   }
 
   test("q_t_closeness: the level frame and totals broadcast; the " +
