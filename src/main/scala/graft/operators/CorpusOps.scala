@@ -2929,6 +2929,160 @@ object CorpusOps {
       .limit(topK)
   }
 
+  /** X353 — quality-filter ablation matrix: for every pair of gates,
+    * how many docs do BOTH kill — the overlap audit run before adding
+    * a filter to the stack ("the new toxicity gate kills 2% of the
+    * corpus, but 90% of that was already dead to the length gate").
+    * Reports per-gate kill counts, the pairwise intersection, and its
+    * Jaccard. Gates are plan literals, so the whole matrix is ONE
+    * scan-stage aggregate — \|gates\|² conditional counters inside one
+    * map-side-combinable agg, no shuffle of doc rows, no second pass
+    * per gate.
+    */
+  def filterAblation(docs: DataFrame, gates: Seq[(String, Column)])
+      : DataFrame = {
+    require(gates.size >= 2 && gates.size <= 32,
+      s"need 2..32 gates, got ${gates.size}")
+    require(gates.map(_._1).distinct.size == gates.size,
+      "duplicate gate names")
+    require(gates.forall(_._1.matches("[A-Za-z0-9_]+")),
+      "gate names must be [A-Za-z0-9_]+ (they become column names)")
+    val aggs = (for {
+      (na, ga) <- gates; (nb, gb) <- gates
+      if na <= nb
+    } yield sum(when(ga && gb, 1L).otherwise(0L)).cast("long")
+      .as(s"__k_${na}__$nb")) :+
+      count(lit(1)).cast("long").as("__n")
+    val w = docs.agg(aggs.head, aggs.tail: _*)
+    val pairs = for {
+      (na, _) <- gates; (nb, _) <- gates
+      if na < nb
+    } yield struct(lit(na).as("gate_a"), lit(nb).as("gate_b"),
+      col(s"__k_${na}__$na").as("n_a"),
+      col(s"__k_${nb}__$nb").as("n_b"),
+      col(s"__k_${na}__$nb").as("n_both"))
+    w.select(col("__n").as("n_docs"),
+        explode(array(pairs: _*)).as("__p"))
+      .select(col("n_docs"), col("__p.gate_a").as("gate_a"),
+        col("__p.gate_b").as("gate_b"), col("__p.n_a").as("n_killed_a"),
+        col("__p.n_b").as("n_killed_b"),
+        col("__p.n_both").as("n_killed_both"),
+        when(col("__p.n_a") + col("__p.n_b") - col("__p.n_both") > 0L,
+          round(col("__p.n_both").cast("double") /
+            (col("__p.n_a") + col("__p.n_b") - col("__p.n_both"))
+              .cast("double"), 6)).as("kill_jaccard"))
+      .orderBy(col("gate_a"), col("gate_b"))
+  }
+
+  /** X354 — boilerplate prefix templates: the most common first-`k`-
+    * token prefixes across the corpus — headers, navigation chrome
+    * and licence blurbs anchor at the DOC START, which X136's
+    * line-level dedup only catches when the whole line matches; a
+    * shared prefix template is the "remove this crawler artifact"
+    * signal. One tokenize + slice per doc (docs shorter than k
+    * contribute their whole text), vocabulary-of-prefixes-bounded
+    * shuffle with map-side combine, top-`topN` by (count desc,
+    * prefix).
+    */
+  def prefixTemplates(docs: DataFrame, textCol: String, k: Int = 5,
+      topN: Int = 20): DataFrame = {
+    require(k >= 1 && topN >= 1, s"bad k=$k topN=$topN")
+    val toks = Dedup.tokens(col(textCol))
+    val nDocs = docs.agg(count(lit(1)).cast("long").as("__nd"))
+    docs.select(array_join(slice(toks, 1, k), " ").as("prefix"))
+      .filter(col("prefix") =!= "")
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("prefix"), col("n_docs"),
+        round(col("n_docs").cast("double") /
+          col("__nd").cast("double"), 6).as("doc_share"))
+      .orderBy(col("n_docs").desc, col("prefix"))
+      .limit(topN)
+  }
+
+  /** X355 — Unicode NFC normalization audit: per source, how many
+    * docs are NOT in NFC form (decomposed accents, compatibility
+    * glyphs) — un-normalized text silently splits token/dedup keys
+    * ("café" ≠ "café" when one é is e+U+0301), so every ingest
+    * pipeline normalizes first and this measures whether a source
+    * already did. The check is one JVM `java.text.Normalizer` pass
+    * per row (UDF — there is no built-in; same taxonomy as the
+    * WordPiece walk), scan-stage, no shuffle before the tiny
+    * per-source agg.
+    */
+  def nfcAudit(docs: DataFrame, sourceCol: String, textCol: String)
+      : DataFrame = {
+    val isNfc = udf { s: String =>
+      s == null ||
+        java.text.Normalizer.isNormalized(s,
+          java.text.Normalizer.Form.NFC)
+    }
+    docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(isNfc(col(textCol)), 0L).otherwise(1L)).cast("long")
+          .as("n_non_nfc"))
+      .withColumn("non_nfc_rate",
+        round(col("n_non_nfc").cast("double") /
+          col("n_docs").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** X356 — source style cosine: pairwise cosine similarity of
+    * per-source character-trigram count vectors on the corpus-global
+    * top-`m` trigram basis — "which sources WRITE alike" (same
+    * scripts, same markup habits, same tokenization quirks),
+    * independent of vocabulary overlap (X94 compares shingle SETS;
+    * two translations of the same site share style here but nothing
+    * there).
+    *
+    * Scale shape: trigram counts are one explode + count with
+    * map-side combine (alphabet³-bounded keys); the global top-m
+    * basis is a TakeOrderedAndProject; the cosine join is
+    * (sources × m) ⋈ basis then sources² pairs — all bounded by
+    * source count and m, never by corpus rows. Integer dot products,
+    * one double division, round(6).
+    */
+  def sourceStyleCosine(docs: DataFrame, sourceCol: String,
+      textCol: String, m: Int = 100): DataFrame = {
+    require(m >= 1, s"bad m $m")
+    val dec = "decimal(38,0)"
+    val grams = docs.select(col(sourceCol).as("__src"),
+        explode(expr(
+          s"transform(sequence(1, greatest(length($textCol) - 2, 0))," +
+            s" i -> substring($textCol, i, 3))")).as("__g"))
+      .groupBy(col("__src"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val basis = grams.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__tot"))
+      .orderBy(col("__tot").desc, col("__g"))
+      .limit(m)
+      .select(col("__g"))
+    val vecs = grams.join(broadcast(basis), Seq("__g"))
+    val norms = vecs.groupBy(col("__src"))
+      .agg(sum((col("__c").cast(dec) * col("__c")).cast(dec)).cast(dec)
+        .as("__nn"))
+    val a = vecs.select(col("__g"), col("__src").as("source_a"),
+      col("__c").as("__ca"))
+    val b = vecs.select(col("__g"), col("__src").as("source_b"),
+      col("__c").as("__cb"))
+    val dots = a.join(b, Seq("__g"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum((col("__ca").cast(dec) * col("__cb")).cast(dec))
+        .cast(dec).as("__dot"))
+    dots
+      .join(norms.select(col("__src").as("source_a"),
+        col("__nn").as("__na")), Seq("source_a"))
+      .join(norms.select(col("__src").as("source_b"),
+        col("__nn").as("__nb")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(col("__dot").cast("double") /
+          (sqrt(col("__na").cast("double")) *
+            sqrt(col("__nb").cast("double"))), 6).as("style_cosine"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val cells = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
       .agg(count(lit(1)).as("__o"))

@@ -6565,6 +6565,167 @@ object MiningQueries {
         import spark.implicits._
         graft.operators.Funnel.topkChurn(events(spark, dir), "ts",
           "user_id", k = 20)
+      }),
+
+    // X353: filter ablation matrix — pairwise kill overlap of four
+    // quality gates, one scan-stage aggregate.
+    QueryDef(
+      "q_filter_ablation",
+      Some("""
+        WITH g AS (
+          SELECT n_chars < 100 AS g1, n_chars > 450 AS g2,
+                 lang <> 'en' AS g3,
+                 len(list_filter(string_split_regex(lower(text),
+                   '\s+'), x -> x <> '')) < 30 AS g4
+          FROM documents
+        ), w AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS k11,
+            CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS k22,
+            CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS k33,
+            CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS k44,
+            CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS k12,
+            CAST(sum(CASE WHEN g1 AND g3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS k13,
+            CAST(sum(CASE WHEN g1 AND g4 THEN 1 ELSE 0 END) AS BIGINT)
+              AS k14,
+            CAST(sum(CASE WHEN g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS k23,
+            CAST(sum(CASE WHEN g2 AND g4 THEN 1 ELSE 0 END) AS BIGINT)
+              AS k24,
+            CAST(sum(CASE WHEN g3 AND g4 THEN 1 ELSE 0 END) AS BIGINT)
+              AS k34
+          FROM g
+        ), pairs AS (
+          SELECT n_docs, 'g1_short' AS gate_a, 'g2_long' AS gate_b,
+                 k11 AS n_killed_a, k22 AS n_killed_b,
+                 k12 AS n_killed_both FROM w
+          UNION ALL SELECT n_docs, 'g1_short', 'g3_nonen', k11, k33,
+            k13 FROM w
+          UNION ALL SELECT n_docs, 'g1_short', 'g4_fewwords', k11,
+            k44, k14 FROM w
+          UNION ALL SELECT n_docs, 'g2_long', 'g3_nonen', k22, k33,
+            k23 FROM w
+          UNION ALL SELECT n_docs, 'g2_long', 'g4_fewwords', k22, k44,
+            k24 FROM w
+          UNION ALL SELECT n_docs, 'g3_nonen', 'g4_fewwords', k33,
+            k44, k34 FROM w
+        )
+        SELECT n_docs, gate_a, gate_b, n_killed_a, n_killed_b,
+               n_killed_both,
+               CASE WHEN n_killed_a + n_killed_b - n_killed_both > 0
+                 THEN round(CAST(n_killed_both AS DOUBLE)
+                   / CAST(n_killed_a + n_killed_b - n_killed_both
+                     AS DOUBLE), 6) END AS kill_jaccard
+        FROM pairs ORDER BY gate_a, gate_b
+      """.trim),
+      "X353 quality-gate kill-overlap matrix over documents")(
+      (spark, dir) => {
+        import spark.implicits._
+        val toks = graft.operators.Dedup.tokens($"text")
+        CorpusOps.filterAblation(table(spark, dir, "documents"), Seq(
+          "g1_short" -> ($"n_chars" < 100),
+          "g2_long" -> ($"n_chars" > 450),
+          "g3_nonen" -> ($"lang" =!= "en"),
+          "g4_fewwords" -> (size(toks) < 30)))
+      }),
+
+    // X354: boilerplate prefix templates — top first-3-token
+    // prefixes with corpus share.
+    QueryDef(
+      "q_prefix_templates",
+      Some("""
+        WITH p AS (
+          SELECT array_to_string(list_filter(string_split_regex(
+            lower(text), '\s+'), x -> x <> '')[1:3], ' ') AS prefix
+          FROM documents
+        ), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+               round(CAST(count(*) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS doc_share
+        FROM p, nd WHERE prefix <> ''
+        GROUP BY prefix, n
+        ORDER BY n_docs DESC, prefix LIMIT 20
+      """.trim),
+      "X354 top-20 first-3-token boilerplate prefixes")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.prefixTemplates(table(spark, dir, "documents"),
+          "text", k = 3, topN = 20)
+      }),
+
+    // X355: NFC normalization audit — every third doc gets a
+    // deterministically appended decomposed accent, so the rate is a
+    // real per-source aggregate, not a constant zero.
+    QueryDef(
+      "q_nfc_audit",
+      Some("""
+        WITH d AS (
+          SELECT source,
+                 CASE WHEN doc_id % 3 = 0
+                   THEN text || 'e' || chr(769) ELSE text END AS text
+          FROM documents
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN text <> nfc_normalize(text)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_non_nfc,
+               round(CAST(sum(CASE WHEN text <> nfc_normalize(text)
+                   THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS non_nfc_rate
+        FROM d GROUP BY source ORDER BY source
+      """.trim),
+      "X355 per-source NFC normalization audit")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents").withColumn("text",
+          when($"doc_id" % 3 === 0, concat($"text", lit("e\u0301")))
+            .otherwise($"text"))
+        CorpusOps.nfcAudit(docs, "source", "text")
+      }),
+
+    // X356: source style cosine — char-trigram signature similarity
+    // between sources on the global top-100 trigram basis.
+    QueryDef(
+      "q_source_style",
+      Some("""
+        WITH grams AS (
+          SELECT source AS src, g,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT source,
+                  unnest(list_transform(generate_series(1,
+                    greatest(length(text) - 2, 0)),
+                    i -> substr(text, i, 3))) AS g
+                FROM documents)
+          GROUP BY 1, 2
+        ), basis AS (
+          SELECT g FROM (
+            SELECT g, sum(c) AS tot FROM grams GROUP BY 1)
+          ORDER BY tot DESC, g LIMIT 100
+        ), vecs AS (SELECT src, grams.g, c FROM grams JOIN basis USING (g)),
+        norms AS (
+          SELECT src, sum(CAST(c AS HUGEINT) * c) AS nn
+          FROM vecs GROUP BY 1
+        ), dots AS (
+          SELECT a.src AS source_a, b.src AS source_b,
+                 sum(CAST(a.c AS HUGEINT) * b.c) AS dot
+          FROM vecs a JOIN vecs b ON a.g = b.g AND a.src < b.src
+          GROUP BY 1, 2
+        )
+        SELECT source_a, source_b,
+               round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.nn AS DOUBLE))
+                   * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS style_cosine
+        FROM dots
+        JOIN norms na ON na.src = source_a
+        JOIN norms nb ON nb.src = source_b
+        ORDER BY source_a, source_b
+      """.trim),
+      "X356 pairwise source style cosine on char-trigram signatures")(
+      (spark, dir) => {
+        import spark.implicits._
+        CorpusOps.sourceStyleCosine(table(spark, dir, "documents"),
+          "source", "text", m = 100)
       })
   )
 }
