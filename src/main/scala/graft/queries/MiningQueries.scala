@@ -6726,6 +6726,186 @@ object MiningQueries {
         import spark.implicits._
         CorpusOps.sourceStyleCosine(table(spark, dir, "documents"),
           "source", "text", m = 100)
+      }),
+
+    // X357: clipping gate — n clipped samples + longest clipped run
+    // per clip, over the deterministic synth stream (i%50<3 injects
+    // 3-sample full-scale runs; the real AudioQa kernel counts them).
+    QueryDef(
+      "q_audio_clipping",
+      Some("""
+        WITH s AS (
+          SELECT doc_id, greatest(n_chars, 1) AS n FROM documents
+        ), e AS (
+          SELECT doc_id, n, unnest(range(n)) AS i FROM s
+        ), v AS (
+          SELECT doc_id, n, i,
+                 CASE WHEN i % 50 < 3 THEN 32767
+                   ELSE ((i * 31 + 7) % 201 - 100) * 300 END AS v
+          FROM e
+        ), clipped AS (
+          SELECT doc_id, n, i,
+                 i - row_number() OVER (PARTITION BY doc_id
+                   ORDER BY i) AS grp
+          FROM v WHERE abs(v) >= 32767
+        ), runs AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+          FROM clipped GROUP BY doc_id, grp
+        ), agg AS (
+          SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS n_clipped,
+                 CAST(max(run_len) AS BIGINT) AS max_clip_run
+          FROM runs GROUP BY doc_id
+        )
+        SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_samples,
+               coalesce(a.n_clipped, 0) AS n_clipped,
+               coalesce(a.max_clip_run, 0) AS max_clip_run,
+               round(CAST(coalesce(a.n_clipped, 0) AS DOUBLE)
+                 / CAST(s.n AS DOUBLE), 6) AS clip_ratio
+        FROM s LEFT JOIN agg a ON a.doc_id = s.doc_id
+        ORDER BY s.doc_id
+      """.trim),
+      "X357 clipping gate: count + longest full-scale run per clip")(
+      (spark, dir) => {
+        import spark.implicits._
+        val kernel = udf { nChars: Long =>
+          val n = math.max(nChars, 1L).toInt
+          val s = Array.tabulate(n)(i =>
+            if (i % 50 < 3) 32767 else ((i * 31 + 7) % 201 - 100) * 300)
+          val (c, r) = graft.audio.AudioQa.clipping(
+            graft.audio.Pcm.fromSamples(s, 16000))
+          (n.toLong, c, r)
+        }
+        table(spark, dir, "documents")
+          .select($"doc_id", kernel(greatest($"n_chars", lit(1L)))
+            .as("r"))
+          .select($"doc_id", $"r._1".as("n_samples"),
+            $"r._2".as("n_clipped"), $"r._3".as("max_clip_run"))
+          .withColumn("clip_ratio", round($"n_clipped".cast("double") /
+            $"n_samples".cast("double"), 6))
+          .orderBy($"doc_id")
+      }),
+
+    // X358: loudness panel — peak/RMS dBFS + DC offset from exact
+    // kernel moments, dB math in Column space so the oracle replays it.
+    QueryDef(
+      "q_audio_loudness",
+      Some("""
+        WITH s AS (
+          SELECT doc_id, greatest(n_chars, 1) AS n FROM documents
+        ), e AS (
+          SELECT doc_id, n, unnest(range(n)) AS i FROM s
+        ), v AS (
+          SELECT doc_id, n,
+                 CASE WHEN i % 50 < 3 THEN 32767
+                   ELSE ((i * 31 + 7) % 201 - 100) * 300 END AS v
+          FROM e
+        ), m AS (
+          SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+                 CAST(max(abs(v)) AS BIGINT) AS peak,
+                 CAST(sum(v) AS BIGINT) AS sumv,
+                 CAST(sum(CAST(v AS HUGEINT) * v) AS BIGINT) AS sumsq
+          FROM v GROUP BY doc_id
+        )
+        SELECT doc_id, n_samples,
+               CASE WHEN peak > 0 THEN
+                 round(20.0 * log10(CAST(peak AS DOUBLE) / 32768.0), 6)
+                 END AS peak_dbfs,
+               CASE WHEN sumsq > 0 THEN
+                 round(20.0 * log10(sqrt(CAST(sumsq AS DOUBLE)
+                   / CAST(n_samples AS DOUBLE)) / 32768.0), 6)
+                 END AS rms_dbfs,
+               round(CAST(sumv AS DOUBLE)
+                 / CAST(n_samples AS DOUBLE), 6) AS dc_offset
+        FROM m ORDER BY doc_id
+      """.trim),
+      "X358 loudness panel: peak/RMS dBFS + DC offset per clip")(
+      (spark, dir) => {
+        import spark.implicits._
+        val kernel = udf { nChars: Long =>
+          val n = math.max(nChars, 1L).toInt
+          val s = Array.tabulate(n)(i =>
+            if (i % 50 < 3) 32767 else ((i * 31 + 7) % 201 - 100) * 300)
+          graft.audio.AudioQa.moments(
+            graft.audio.Pcm.fromSamples(s, 16000))
+        }
+        table(spark, dir, "documents")
+          .select($"doc_id", kernel(greatest($"n_chars", lit(1L)))
+            .as("r"))
+          .select($"doc_id", $"r._1".as("n_samples"),
+            $"r._2".as("__peak"), $"r._3".as("__sum"),
+            $"r._4".as("__sumsq"))
+          .select($"doc_id", $"n_samples",
+            when($"__peak" > 0L, round(lit(20.0) *
+              log10($"__peak".cast("double") / 32768.0), 6))
+              .as("peak_dbfs"),
+            when($"__sumsq" > 0L, round(lit(20.0) *
+              log10(sqrt($"__sumsq".cast("double") /
+                $"n_samples".cast("double")) / 32768.0), 6))
+              .as("rms_dbfs"),
+            round($"__sum".cast("double") /
+              $"n_samples".cast("double"), 6).as("dc_offset"))
+          .orderBy($"doc_id")
+      }),
+
+    // X359: threshold SNR — loud-vs-quiet energy ratio in dB, the
+    // zero-model speech-over-noise proxy gate.
+    QueryDef(
+      "q_audio_snr",
+      Some("""
+        WITH s AS (
+          SELECT doc_id, greatest(n_chars, 1) AS n FROM documents
+        ), e AS (
+          SELECT doc_id, unnest(range(n)) AS i FROM s
+        ), v AS (
+          SELECT doc_id,
+                 CASE WHEN i % 50 < 3 THEN 32767
+                   ELSE ((i * 31 + 7) % 201 - 100) * 300 END AS v
+          FROM e
+        ), m AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN abs(v) > 15000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_loud,
+                 CAST(sum(CASE WHEN abs(v) > 15000
+                   THEN CAST(v AS HUGEINT) * v ELSE
+                   CAST(0 AS HUGEINT) END) AS BIGINT) AS sq_loud,
+                 CAST(sum(CASE WHEN abs(v) <= 15000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_quiet,
+                 CAST(sum(CASE WHEN abs(v) <= 15000
+                   THEN CAST(v AS HUGEINT) * v ELSE
+                   CAST(0 AS HUGEINT) END) AS BIGINT) AS sq_quiet
+          FROM v GROUP BY doc_id
+        )
+        SELECT doc_id, n_loud, n_quiet,
+               CASE WHEN n_loud > 0 AND n_quiet > 0 AND sq_quiet > 0
+                 THEN round(10.0 * log10(
+                   (CAST(sq_loud AS DOUBLE) / CAST(n_loud AS DOUBLE))
+                   / (CAST(sq_quiet AS DOUBLE)
+                     / CAST(n_quiet AS DOUBLE))), 6) END AS snr_db
+        FROM m ORDER BY doc_id
+      """.trim),
+      "X359 threshold SNR: loud-vs-quiet energy ratio per clip")(
+      (spark, dir) => {
+        import spark.implicits._
+        val kernel = udf { nChars: Long =>
+          val n = math.max(nChars, 1L).toInt
+          val s = Array.tabulate(n)(i =>
+            if (i % 50 < 3) 32767 else ((i * 31 + 7) % 201 - 100) * 300)
+          graft.audio.AudioQa.energySplit(
+            graft.audio.Pcm.fromSamples(s, 16000), 15000)
+        }
+        table(spark, dir, "documents")
+          .select($"doc_id", kernel(greatest($"n_chars", lit(1L)))
+            .as("r"))
+          .select($"doc_id", $"r._1".as("n_loud"),
+            $"r._2".as("__sqLoud"), $"r._3".as("n_quiet"),
+            $"r._4".as("__sqQuiet"))
+          .select($"doc_id", $"n_loud", $"n_quiet",
+            when($"n_loud" > 0L && $"n_quiet" > 0L && $"__sqQuiet" > 0L,
+              round(lit(10.0) * log10(
+                ($"__sqLoud".cast("double") / $"n_loud".cast("double"))
+                  / ($"__sqQuiet".cast("double") /
+                    $"n_quiet".cast("double"))), 6)).as("snr_db"))
+          .orderBy($"doc_id")
       })
   )
 }
