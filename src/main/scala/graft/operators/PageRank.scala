@@ -182,4 +182,64 @@ object PageRank {
     e.unpersist(); nodes.unpersist(); sd.unpersist()
     labels.select($"node", $"lab".as("label"))
   }
+
+  /** X363 — HITS hubs & authorities (Kleinberg 1999) on a DIRECTED
+    * edge list: authority = Σ hub over in-edges, hub = Σ authority
+    * over out-edges, L1-renormalized to `scale` each half-step — on
+    * the customer→supplier purchase graph, hub = "buys from the
+    * well-bought", authority = "bought by the big buyers", the
+    * two-sided importance [[run]]'s single PageRank score conflates.
+    *
+    * Determinism contract (the [[run]] fixed-point convention): all
+    * scores are longs; each half-step is one equi-join + sum, then an
+    * in-plan renormalization `(score·scale) div total` (decimal
+    * product — indeg·scale² exceeds a long) against a one-row
+    * broadcast total; localCheckpoint per iteration truncates
+    * lineage. Nodes with no in-edges hold authority 0, no out-edges
+    * hub 0; the oracle replays the identical integer chain unrolled.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters=$iters out of [1,100]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val e = edges.select(col(srcCol).as("__src"),
+      col(dstCol).as("__dst")).distinct().persist()
+    require(e.limit(1).count() > 0, "empty graph")
+    val nodes = e.select($"__src".as("node"))
+      .union(e.select($"__dst".as("node"))).distinct().persist()
+
+    def renorm(raw: DataFrame, c: String): DataFrame = {
+      val tot = raw.agg(sum(col(c)).cast(dec).as("__tot"))
+      raw.crossJoin(broadcast(tot))
+        .select($"node", expr(
+          s"cast((cast($c as $dec) * $scale) div __tot as bigint)")
+          .as(c))
+    }
+
+    var hubs = nodes.select($"node", lit(scale).as("hub"))
+      .localCheckpoint(true)
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = nodes.join(
+        e.join(hubs, $"__src" === $"node")
+          .groupBy($"__dst").agg(sum($"hub").as("__a"))
+          .select($"__dst".as("node"), $"__a"),
+        Seq("node"), "left")
+        .select($"node", coalesce($"__a", lit(0L)).as("auth"))
+      auths = renorm(aRaw, "auth").localCheckpoint(true)
+      val hRaw = nodes.join(
+        e.join(auths, $"__dst" === $"node")
+          .groupBy($"__src").agg(sum($"auth").as("__h"))
+          .select($"__src".as("node"), $"__h"),
+        Seq("node"), "left")
+        .select($"node", coalesce($"__h", lit(0L)).as("hub"))
+      hubs = renorm(hRaw, "hub").localCheckpoint(true)
+    }
+    val out = hubs.join(auths, Seq("node"))
+      .select($"node", $"hub", $"auth".as("authority"))
+    e.unpersist(); nodes.unpersist()
+    out
+  }
 }

@@ -650,4 +650,45 @@ object RankEval {
       when(den > 0.0, round(lit(3.0) * col("__s4").cast("double") /
         den, 6)).as("w"))
   }
+
+  /** X362 — token-level F1 (the SQuAD/extractive-QA answer metric,
+    * Rajpurkar 2016): bag-of-tokens overlap WITH multiplicity between
+    * a prediction and its reference — common = Σ_t min(tf_pred,
+    * tf_ref), P = common/\|pred\|, R = common/\|ref\|, F1 harmonic.
+    * The order-free middle ground between X74's edit-distance WER
+    * (order-strict) and X86's n-gram BLEU — the right score when a
+    * generation may legitimately reorder.
+    *
+    * Scale shape: pure per-row expression — the overlap folds over
+    * the prediction's DISTINCT tokens inside the row (no explode, no
+    * shuffle); exact integer counts, three fixed-shape doubles,
+    * round(6). Empty sides: P NULL when \|pred\| = 0, R NULL when
+    * \|ref\| = 0, F1 NULL unless P + R > 0.
+    */
+  def tokenF1(pairs: DataFrame, idCol: String, predCol: String,
+      refCol: String): DataFrame = {
+    val p = Dedup.tokens(col(predCol))
+    val r = Dedup.tokens(col(refCol))
+    val d = pairs.select(col(idCol), p.as("__p"), r.as("__r"))
+    val common = expr(
+      """aggregate(array_distinct(__p), 0L, (acc, t) ->
+           acc + least(size(filter(__p, x -> x = t)),
+                       size(filter(__r, x -> x = t))))""")
+    val g = d.select(col(idCol),
+      coalesce(size(col("__p")), lit(0)).cast("long").as("n_pred"),
+      coalesce(size(col("__r")), lit(0)).cast("long").as("n_ref"),
+      coalesce(common, lit(0L)).cast("long").as("n_common"))
+    val prec = col("n_common").cast("double") /
+      col("n_pred").cast("double")
+    val rec = col("n_common").cast("double") /
+      col("n_ref").cast("double")
+    g.select(col(idCol), col("n_pred"), col("n_ref"), col("n_common"),
+      when(col("n_pred") > 0L, round(prec, 6)).as("precision"),
+      when(col("n_ref") > 0L, round(rec, 6)).as("recall"),
+      when(col("n_pred") > 0L && col("n_ref") > 0L &&
+        col("n_common") > 0L,
+        round(lit(2.0) * prec * rec / (prec + rec), 6))
+        .otherwise(when(col("n_pred") > 0L && col("n_ref") > 0L,
+          lit(0.0))).as("f1"))
+  }
 }

@@ -6906,6 +6906,170 @@ object MiningQueries {
                   / ($"__sqQuiet".cast("double") /
                     $"n_quiet".cast("double"))), 6)).as("snr_db"))
           .orderBy($"doc_id")
+      }),
+
+    // X361: GPT-2 byte-level codec — round-trip law + shifted-byte
+    // pressure per doc (the byte-fallback layer under X73/X121).
+    QueryDef(
+      "q_byte_codec",
+      Some("""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(length(text)
+                 - length(regexp_replace(text, '[^!-~]', '', 'g'))
+                 AS BIGINT) AS n_shifted,
+               true AS roundtrip_ok
+        FROM documents ORDER BY doc_id
+      """.trim),
+      "X361 GPT-2 byte codec: byte length, shifted bytes, round-trip")(
+      (spark, dir) => {
+        import spark.implicits._
+        // ASCII corpus: every byte is a char, so the oracle's
+        // shifted-byte count is "chars outside the printable keep
+        // range" — which for ASCII is exactly the codec's shift set.
+        // roundtrip_ok is COMPUTED through the real encode∘decode; the
+        // oracle asserting literal true makes the law hash-checked.
+        val k = udf { text: String =>
+          val enc = graft.functions.ByteCodec.encode(text)
+          (text.getBytes("UTF-8").length.toLong,
+            graft.functions.ByteCodec.shiftedBytes(text),
+            graft.functions.ByteCodec.decode(enc) == text)
+        }
+        table(spark, dir, "documents")
+          .select($"doc_id", k($"text").as("r"))
+          .select($"doc_id", $"r._1".as("n_bytes"),
+            $"r._2".as("n_shifted"), $"r._3".as("roundtrip_ok"))
+          .orderBy($"doc_id")
+      }),
+
+    // X362: token-level F1 on q_wer's deterministic corruption —
+    // the order-free eval between WER and BLEU.
+    QueryDef(
+      "q_token_f1",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), hyp AS (
+          SELECT doc_id,
+                 list_filter(list_transform(
+                   generate_series(1, len(w)),
+                   i -> CASE WHEN i % 7 = 0 THEN NULL
+                        WHEN i % 11 = 0 THEN 'zzz' ELSE w[i] END),
+                   x -> x IS NOT NULL) AS p,
+                 w AS r
+          FROM toks
+        ), counts AS (
+          SELECT doc_id, CAST(len(p) AS BIGINT) AS n_pred,
+                 CAST(len(r) AS BIGINT) AS n_ref,
+                 CAST(coalesce(list_sum(list_transform(
+                   list_distinct(p), t -> least(
+                     len(list_filter(p, x -> x = t)),
+                     len(list_filter(r, x -> x = t))))), 0)
+                   AS BIGINT) AS n_common
+          FROM hyp
+        )
+        SELECT doc_id, n_pred, n_ref, n_common,
+               CASE WHEN n_pred > 0 THEN
+                 round(CAST(n_common AS DOUBLE)
+                   / CAST(n_pred AS DOUBLE), 6) END AS precision,
+               CASE WHEN n_ref > 0 THEN
+                 round(CAST(n_common AS DOUBLE)
+                   / CAST(n_ref AS DOUBLE), 6) END AS recall,
+               CASE WHEN n_pred > 0 AND n_ref > 0 AND n_common > 0
+                 THEN round(2.0 * (CAST(n_common AS DOUBLE)
+                     / CAST(n_pred AS DOUBLE))
+                   * (CAST(n_common AS DOUBLE) / CAST(n_ref AS DOUBLE))
+                   / ((CAST(n_common AS DOUBLE)
+                     / CAST(n_pred AS DOUBLE))
+                     + (CAST(n_common AS DOUBLE)
+                       / CAST(n_ref AS DOUBLE))), 6)
+                 WHEN n_pred > 0 AND n_ref > 0 THEN 0.0 END AS f1
+        FROM counts ORDER BY doc_id
+      """.trim),
+      "X362 token-level F1 vs the drop-7th/sub-11th corruption")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents")
+        val toks = docs.select($"doc_id",
+          graft.operators.Dedup.tokens($"text").as("w"))
+        val pairs = toks.select($"doc_id",
+          array_join(filter(transform(
+            sequence(lit(1), size($"w")),
+            i => when(i % 7 === 0, lit(null))
+              .when(i % 11 === 0, lit("zzz"))
+              .otherwise(element_at($"w", i))),
+            x => x.isNotNull), " ").as("pred"),
+          array_join($"w", " ").as("ref"))
+        graft.operators.RankEval.tokenF1(pairs, "doc_id",
+            "pred", "ref")
+          .orderBy($"doc_id")
+      }),
+
+    // X363: HITS hubs & authorities on the directed customer→supplier
+    // purchase graph — integer fixed-point, unrolled oracle (the
+    // pagerankSql convention).
+    QueryDef(
+      "q_hits",
+      Some(hitsSql(3)),
+      "X363 HITS: 3 iterations on the customer->supplier graph")(
+      (spark, dir) => {
+        import spark.implicits._
+        val e = table(spark, dir, "orders").as("o")
+          .join(table(spark, dir, "lineitem").as("l"),
+            $"o.o_orderkey" === $"l.l_orderkey")
+          .select(concat(lit("c"), $"o.o_custkey").as("src"),
+            concat(lit("s"), $"l.l_suppkey").as("dst"))
+        graft.operators.PageRank.hits(e, "src", "dst", iters = 3)
+          .orderBy($"node")
       })
   )
+
+  /** Unrolled HITS oracle (X363): aN/hN CTE chain with in-query L1
+    * renormalization — DuckDB recursive CTEs disallow the aggregate
+    * in the recursive term, so the fixed iteration count is spelled
+    * out (the [[CurationQueries]] pagerankSql convention).
+    */
+  private def hitsSql(iters: Int): String = {
+    val head = s"""
+      WITH e AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      ), nodes AS (
+        SELECT src AS node FROM e UNION SELECT dst FROM e
+      ), h0 AS (
+        SELECT node, CAST(1000000000 AS BIGINT) AS hub FROM nodes
+      )"""
+    val steps = (1 to iters).map { i =>
+      s""", a${i}r AS (
+        SELECT n.node, coalesce(s.a, 0) AS auth
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, sum(h.hub) AS a
+          FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1) s
+          USING (node)
+      ), a$i AS (
+        SELECT node, CAST((CAST(auth AS HUGEINT) * 1000000000)
+          // (SELECT sum(auth) FROM a${i}r) AS BIGINT) AS auth
+        FROM a${i}r
+      ), h${i}r AS (
+        SELECT n.node, coalesce(s.h, 0) AS hub
+        FROM nodes n LEFT JOIN (
+          SELECT e.src AS node, sum(a.auth) AS h
+          FROM e JOIN a$i a ON a.node = e.dst GROUP BY 1) s
+          USING (node)
+      ), h$i AS (
+        SELECT node, CAST((CAST(hub AS HUGEINT) * 1000000000)
+          // (SELECT sum(hub) FROM h${i}r) AS BIGINT) AS hub
+        FROM h${i}r
+      )"""
+    }.mkString
+    val tail = s"""
+      SELECT h$iters.node AS node, h$iters.hub,
+             a$iters.auth AS authority
+      FROM h$iters JOIN a$iters ON h$iters.node = a$iters.node
+      ORDER BY h$iters.node"""
+    (head + steps + tail).trim
+  }
 }
