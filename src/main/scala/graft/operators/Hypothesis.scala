@@ -2145,4 +2145,150 @@ object Hypothesis {
       round(col("__l2").cast("double") / 2.0, 6).as("l_stat"),
       when(col("n_blocks") > 0L, round(z, 6)).as("z_stat"))
   }
+
+  /** X364 — inverse-propensity-weighted treatment-effect estimate,
+    * plain (IPW/Horvitz-Thompson) and self-normalized (SNIPS): the
+    * off-policy answer when treatment was NOT randomized but the
+    * assignment probability is known (which curation policy scored
+    * this doc, which ranker served this result) — the observational
+    * sibling of X231's DiD and X342's CUPED. SNIPS trades a little
+    * bias for much smaller variance; report both and distrust large
+    * gaps.
+    *
+    * Exactness: each row's weighted term nano-quantizes
+    * (round(·1e9) → long — the ansari convention) before the fold,
+    * so sums are order-exact; the estimates are fixed-shape doubles,
+    * round(6). Rows need 0 < e < 1; a clamped propensity is the
+    * caller's policy decision.
+    */
+  def ipwEstimate(df: DataFrame, treated: Column, outcomeCol: String,
+      propensityCol: String): DataFrame = {
+    val y = col(outcomeCol).cast("double")
+    val e = col(propensityCol).cast("double")
+    val tTerm = when(treated, y / e).otherwise(0.0)
+    val cTerm = when(treated, 0.0).otherwise(y / (lit(1.0) - e))
+    val tW = when(treated, lit(1.0) / e).otherwise(0.0)
+    val cW = when(treated, 0.0).otherwise(lit(1.0) / (lit(1.0) - e))
+    def nano(c: Column) = round(c * 1e9, 0).cast("long")
+    val w = df.agg(count(lit(1)).cast("long").as("n"),
+      sum(when(treated, 1L).otherwise(0L)).cast("long").as("n_treated"),
+      sum(nano(tTerm)).cast("long").as("__ty"),
+      sum(nano(cTerm)).cast("long").as("__cy"),
+      sum(nano(tW)).cast("long").as("__tw"),
+      sum(nano(cW)).cast("long").as("__cw"))
+    val nd = col("n").cast("double")
+    val ipw = (col("__ty").cast("double") - col("__cy").cast("double")) /
+      (nd * 1e9)
+    val snips = col("__ty").cast("double") / col("__tw").cast("double") -
+      col("__cy").cast("double") / col("__cw").cast("double")
+    val ok = col("n_treated") > 0L && col("n") > col("n_treated")
+    w.select(col("n"), col("n_treated"),
+      when(ok, round(ipw, 6)).as("ate_ipw"),
+      when(ok && col("__tw") > 0L && col("__cw") > 0L,
+        round(snips, 6)).as("ate_snips"))
+  }
+
+  /** X365 — sharp regression-discontinuity estimate: local linear
+    * fits with a rectangular kernel on each side of the cutoff within
+    * `bandwidth`, jump = right-intercept-at-cutoff minus left — "did
+    * crossing the quality threshold CAUSE the retention change" when
+    * the threshold is mechanical (score cutoffs, length gates).
+    *
+    * Exactness: both sides' OLS terms come from exact decimal micro
+    * moments of the RECENTERED running variable (x − c); the slope/
+    * intercept algebra is fixed-shape doubles, round(6). NULL when a
+    * side has < 2 points or zero variance.
+    */
+  def regressionDiscontinuity(df: DataFrame, runningCol: String,
+      outcomeCol: String, cutoff: Double, bandwidth: Double)
+      : DataFrame = {
+    require(bandwidth > 0, s"bad bandwidth $bandwidth")
+    val dec = "decimal(38,0)"
+    val x = round((col(runningCol) - cutoff) * 1e6, 0).cast("long")
+    val y = round(col(outcomeCol) * 1e6, 0).cast("long")
+    val base = df
+      .filter(abs(col(runningCol) - cutoff) <= bandwidth)
+      .select(x.as("__x"), y.as("__y"),
+        (col(runningCol) >= cutoff).as("__r"))
+    def side(flag: Boolean, tag: String) = {
+      val s = base.filter(col("__r") === flag)
+      s.agg(count(lit(1)).cast("long").as(s"n_$tag"),
+        sum(col("__x").cast(dec)).cast(dec).as(s"__sx_$tag"),
+        sum(col("__y").cast(dec)).cast(dec).as(s"__sy_$tag"),
+        sum((col("__x").cast(dec) * col("__y")).cast(dec)).cast(dec)
+          .as(s"__sxy_$tag"),
+        sum((col("__x").cast(dec) * col("__x")).cast(dec)).cast(dec)
+          .as(s"__sxx_$tag"))
+    }
+    val j = side(false, "left").crossJoin(broadcast(side(true, "right")))
+    def fit(tag: String): (Column, Column, Column) = {
+      val nd = col(s"n_$tag").cast("double")
+      val sx = col(s"__sx_$tag").cast("double")
+      val sy = col(s"__sy_$tag").cast("double")
+      val sxy = col(s"__sxy_$tag").cast("double")
+      val sxx = col(s"__sxx_$tag").cast("double")
+      val varx = sxx - sx * sx / nd
+      val slope = (sxy - sx * sy / nd) / varx
+      // intercept AT THE CUTOFF (x recentered): (Σy − b·Σx)/n, /1e6
+      val atCut = (sy - slope * sx) / nd / 1e6
+      (slope, atCut, varx)
+    }
+    val (bl, al, vl) = fit("left")
+    val (br, ar, vr) = fit("right")
+    val okL = col("n_left") > 1L && vl > 0.0
+    val okR = col("n_right") > 1L && vr > 0.0
+    j.select(col("n_left"), col("n_right"),
+      when(okL, round(al, 6)).as("left_at_cutoff"),
+      when(okR, round(ar, 6)).as("right_at_cutoff"),
+      when(okL, round(bl, 6)).as("slope_left"),
+      when(okR, round(br, 6)).as("slope_right"),
+      when(okL && okR, round(ar - al, 6)).as("rd_jump"))
+  }
+
+  /** X366 — Simpson's-paradox detector: the sign of the x–y
+    * association overall vs within every stratum — when most strata
+    * DISAGREE with the pooled sign, the pooled number is a
+    * confounding artifact and every dashboard reading it is wrong
+    * (the classic corpus case: quality "rises" with length overall
+    * because long-doc sources are cleaner, while inside every source
+    * it falls). Covariances from exact decimal micro moments, one
+    * row out; strata-bounded.
+    */
+  def simpsonCheck(df: DataFrame, stratumCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(col(stratumCol).as("__s"),
+      round(col(xCol) * 1e6, 0).cast("long").as("__x"),
+      round(col(yCol) * 1e6, 0).cast("long").as("__y"))
+    def moments(g: org.apache.spark.sql.RelationalGroupedDataset) =
+      g.agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("__x").cast(dec)).cast(dec).as("__sx"),
+        sum(col("__y").cast(dec)).cast(dec).as("__sy"),
+        sum((col("__x").cast(dec) * col("__y")).cast(dec)).cast(dec)
+          .as("__sxy"))
+    // cov sign is scale-free: sign(n·Σxy − Σx·Σy), exact decimal
+    val covN = (col("__n").cast(dec) * col("__sxy")).cast(dec) -
+      (col("__sx") * col("__sy")).cast(dec)
+    val per = moments(base.groupBy(col("__s")))
+      .select(signum(covN.cast("double")).cast("int").as("__sig"))
+    val strata = per.agg(count(lit(1)).cast("long").as("n_strata"),
+      sum(when(col("__sig") === 1, 1L).otherwise(0L)).cast("long")
+        .as("n_positive"),
+      sum(when(col("__sig") === -1, 1L).otherwise(0L)).cast("long")
+        .as("n_negative"))
+    val overall = moments(base.groupBy())
+      .select(signum(covN.cast("double")).cast("int")
+        .as("overall_sign"))
+    strata.crossJoin(broadcast(overall))
+      .select(col("n_strata"), col("n_positive"), col("n_negative"),
+        col("overall_sign").cast("long").as("overall_sign"),
+        (when(col("overall_sign") === 1, col("n_negative"))
+          .when(col("overall_sign") === -1, col("n_positive"))
+          .otherwise(lit(0L))).cast("long").as("n_reversed"),
+        ((col("overall_sign") === 1 &&
+          col("n_negative") > col("n_positive")) ||
+          (col("overall_sign") === -1 &&
+            col("n_positive") > col("n_negative")))
+          .as("simpson_flag"))
+  }
 }

@@ -7024,6 +7024,182 @@ object MiningQueries {
             concat(lit("s"), $"l.l_suppkey").as("dst"))
         graft.operators.PageRank.hits(e, "src", "dst", iters = 3)
           .orderBy($"node")
+      }),
+
+    // X364: IPW / SNIPS — off-policy length effect of the en
+    // "policy" under a deterministic banded propensity.
+    QueryDef(
+      "q_ipw",
+      Some("""
+        WITH b AS (
+          SELECT lang = 'en' AS t,
+                 CAST(n_chars AS DOUBLE) AS y,
+                 0.2 + 0.15 * (doc_id % 4) AS e
+          FROM documents
+        ), w AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treated,
+                 CAST(sum(CAST(round((CASE WHEN t THEN y / e
+                   ELSE 0.0 END) * 1e9) AS BIGINT)) AS BIGINT) AS ty,
+                 CAST(sum(CAST(round((CASE WHEN t THEN 0.0
+                   ELSE y / (1.0 - e) END) * 1e9) AS BIGINT))
+                   AS BIGINT) AS cy,
+                 CAST(sum(CAST(round((CASE WHEN t THEN 1.0 / e
+                   ELSE 0.0 END) * 1e9) AS BIGINT)) AS BIGINT) AS tw,
+                 CAST(sum(CAST(round((CASE WHEN t THEN 0.0
+                   ELSE 1.0 / (1.0 - e) END) * 1e9) AS BIGINT))
+                   AS BIGINT) AS cw
+          FROM b
+        )
+        SELECT n, n_treated,
+               CASE WHEN n_treated > 0 AND n > n_treated THEN
+                 round((CAST(ty AS DOUBLE) - CAST(cy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * 1e9), 6) END AS ate_ipw,
+               CASE WHEN n_treated > 0 AND n > n_treated
+                      AND tw > 0 AND cw > 0 THEN
+                 round(CAST(ty AS DOUBLE) / CAST(tw AS DOUBLE)
+                   - CAST(cy AS DOUBLE) / CAST(cw AS DOUBLE), 6) END
+                 AS ate_snips
+        FROM w
+      """.trim),
+      "X364 IPW + SNIPS effect of 'en' on doc length, banded e")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents")
+          .withColumn("e", lit(0.2) + lit(0.15) * ($"doc_id" % 4))
+        Hypothesis.ipwEstimate(docs, $"lang" === "en", "n_chars", "e")
+      }),
+
+    // X365: regression discontinuity — token count across the
+    // 250-char threshold, bandwidth 150.
+    QueryDef(
+      "q_rd_jump",
+      Some("""
+        WITH b AS (
+          SELECT CAST(round((n_chars - 250.0) * 1000000.0) AS BIGINT)
+                   AS x,
+                 CAST(round(len(list_filter(string_split_regex(
+                   lower(text), '\s+'), t -> t <> ''))
+                   * 1000000.0) AS BIGINT) AS y,
+                 n_chars >= 250.0 AS r
+          FROM documents WHERE abs(n_chars - 250.0) <= 150.0
+        ), l AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_left,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx
+          FROM b WHERE NOT r
+        ), rr AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_right,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx
+          FROM b WHERE r
+        ), f AS (
+          SELECT n_left, n_right,
+            (CAST(l.sxy AS DOUBLE) - CAST(l.sx AS DOUBLE)
+              * CAST(l.sy AS DOUBLE) / CAST(n_left AS DOUBLE))
+              / (CAST(l.sxx AS DOUBLE) - CAST(l.sx AS DOUBLE)
+                * CAST(l.sx AS DOUBLE) / CAST(n_left AS DOUBLE))
+              AS bl,
+            (CAST(rr.sxy AS DOUBLE) - CAST(rr.sx AS DOUBLE)
+              * CAST(rr.sy AS DOUBLE) / CAST(n_right AS DOUBLE))
+              / (CAST(rr.sxx AS DOUBLE) - CAST(rr.sx AS DOUBLE)
+                * CAST(rr.sx AS DOUBLE) / CAST(n_right AS DOUBLE))
+              AS br,
+            CAST(l.sx AS DOUBLE) AS lsx, CAST(l.sy AS DOUBLE) AS lsy,
+            CAST(rr.sx AS DOUBLE) AS rsx, CAST(rr.sy AS DOUBLE) AS rsy,
+            CAST(l.sxx AS DOUBLE) - CAST(l.sx AS DOUBLE)
+              * CAST(l.sx AS DOUBLE) / CAST(n_left AS DOUBLE) AS vl,
+            CAST(rr.sxx AS DOUBLE) - CAST(rr.sx AS DOUBLE)
+              * CAST(rr.sx AS DOUBLE) / CAST(n_right AS DOUBLE) AS vr
+          FROM l, rr
+        ), g AS (
+          SELECT n_left, n_right, bl, br, vl, vr,
+                 (lsy - bl * lsx) / CAST(n_left AS DOUBLE) / 1e6 AS al,
+                 (rsy - br * rsx) / CAST(n_right AS DOUBLE) / 1e6 AS ar
+          FROM f
+        )
+        SELECT n_left, n_right,
+               CASE WHEN n_left > 1 AND vl > 0.0 THEN round(al, 6) END
+                 AS left_at_cutoff,
+               CASE WHEN n_right > 1 AND vr > 0.0 THEN round(ar, 6)
+                 END AS right_at_cutoff,
+               CASE WHEN n_left > 1 AND vl > 0.0 THEN round(bl, 6) END
+                 AS slope_left,
+               CASE WHEN n_right > 1 AND vr > 0.0 THEN round(br, 6)
+                 END AS slope_right,
+               CASE WHEN n_left > 1 AND vl > 0.0 AND n_right > 1
+                 AND vr > 0.0 THEN round(ar - al, 6) END AS rd_jump
+        FROM g
+      """.trim),
+      "X365 RD jump of token count at the 250-char threshold")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents").withColumn("wc",
+          size(graft.operators.Dedup.tokens($"text")).cast("long"))
+        Hypothesis.regressionDiscontinuity(docs, "n_chars", "wc",
+          cutoff = 250.0, bandwidth = 150.0)
+      }),
+
+    // X366: Simpson's-paradox check — chars~tokens association,
+    // pooled vs within-source.
+    QueryDef(
+      "q_simpson",
+      Some("""
+        WITH b AS (
+          SELECT source AS s,
+                 CAST(round(n_chars * 1000000.0) AS BIGINT) AS x,
+                 CAST(round(len(list_filter(string_split_regex(
+                   lower(text), '\s+'), t -> t <> ''))
+                   * 1000000.0) AS BIGINT) AS y
+          FROM documents
+        ), per AS (
+          SELECT CASE WHEN CAST(count(*) AS HUGEINT)
+                   * sum(CAST(x AS HUGEINT) * y)
+                   - sum(CAST(x AS HUGEINT)) * sum(CAST(y AS HUGEINT))
+                   > 0 THEN 1
+                 WHEN CAST(count(*) AS HUGEINT)
+                   * sum(CAST(x AS HUGEINT) * y)
+                   - sum(CAST(x AS HUGEINT)) * sum(CAST(y AS HUGEINT))
+                   < 0 THEN -1 ELSE 0 END AS sig
+          FROM b GROUP BY s
+        ), strata AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                 CAST(sum(CASE WHEN sig = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_positive,
+                 CAST(sum(CASE WHEN sig = -1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_negative
+          FROM per
+        ), overall AS (
+          SELECT CAST(CASE WHEN CAST(count(*) AS HUGEINT)
+                   * sum(CAST(x AS HUGEINT) * y)
+                   - sum(CAST(x AS HUGEINT)) * sum(CAST(y AS HUGEINT))
+                   > 0 THEN 1
+                 WHEN CAST(count(*) AS HUGEINT)
+                   * sum(CAST(x AS HUGEINT) * y)
+                   - sum(CAST(x AS HUGEINT)) * sum(CAST(y AS HUGEINT))
+                   < 0 THEN -1 ELSE 0 END AS BIGINT) AS overall_sign
+          FROM b
+        )
+        SELECT n_strata, n_positive, n_negative, overall_sign,
+               CAST(CASE WHEN overall_sign = 1 THEN n_negative
+                 WHEN overall_sign = -1 THEN n_positive
+                 ELSE 0 END AS BIGINT) AS n_reversed,
+               (overall_sign = 1 AND n_negative > n_positive)
+                 OR (overall_sign = -1 AND n_positive > n_negative)
+                 AS simpson_flag
+        FROM strata, overall
+      """.trim),
+      "X366 Simpson check: chars~tokens pooled vs within-source")(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = table(spark, dir, "documents").withColumn("wc",
+          size(graft.operators.Dedup.tokens($"text")).cast("long"))
+        Hypothesis.simpsonCheck(docs, "source", "n_chars", "wc")
       })
   )
 
