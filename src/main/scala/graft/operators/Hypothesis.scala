@@ -2254,6 +2254,35 @@ object Hypothesis {
     * it falls). Covariances from exact decimal micro moments, one
     * row out; strata-bounded.
     */
+  /** X367 — one-sample Kolmogorov-Smirnov against the Uniform[lo,hi]
+    * reference: D = sup\|F_n − T\| evaluated at BOTH sides of every
+    * empirical jump (the sup of a step-vs-continuous gap lives at a
+    * jump's top or bottom) — the "is this score actually calibrated /
+    * is this hash actually uniform" gate beside [[ksTest]]'s
+    * two-sample form. Empirical CDF heights come from the distributed
+    * cumulative pass ([[CorpusOps.cumSums]] — no single-task window);
+    * the theoretical CDF is one clamped linear expression; round(6).
+    */
+  def ksUniformTest(df: DataFrame, valueCol: String, lo: Double,
+      hi: Double): DataFrame = {
+    require(hi > lo, s"bad range [$lo, $hi]")
+    val per = df.groupBy(round(col(valueCol) * 1e6, 0).cast("long")
+        .as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = CorpusOps.cumSums(per, Seq(col("__v")), Seq("__c"))
+    val tot = per.agg(sum(col("__c")).cast("long").as("__n"))
+    val j = cum.crossJoin(broadcast(tot))
+    val nd = col("__n").cast("double")
+    val t = least(lit(1.0), greatest(lit(0.0),
+      (col("__v").cast("double") / 1e6 - lo) / (hi - lo)))
+    val fHi = col("__cum__c").cast("double") / nd
+    val fLo = (col("__cum__c") - col("__c")).cast("double") / nd
+    j.agg(max(col("__n")).as("n"),
+        max(greatest(abs(fHi - t), abs(fLo - t))).as("__d"))
+      .select(col("n"),
+        when(col("n") > 0L, round(col("__d"), 6)).as("ks_d"))
+  }
+
   def simpsonCheck(df: DataFrame, stratumCol: String, xCol: String,
       yCol: String): DataFrame = {
     val dec = "decimal(38,0)"

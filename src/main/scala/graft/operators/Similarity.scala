@@ -1507,6 +1507,57 @@ object Similarity {
         col("__g.effective_rank").as("effective_rank"))
   }
 
+  /** X368 — pair-cosine histogram: the distribution of cosine
+    * similarity over a deterministic half-shift pairing (rank i with
+    * rank i + n/2 by id order — a fixed, content-independent sample
+    * of n/2 "random" pairs) — the corpus semantic-DIVERSITY
+    * fingerprint: a mass near 1 says the corpus is semantically
+    * collapsed (upstream near-dup leakage X67 missed), a wide spread
+    * says healthy coverage; track it per snapshot next to X138's
+    * centroid drift.
+    *
+    * Exactness: components micro-quantize to longs; per-pair dot and
+    * norms are in-row integer folds (no shuffle beyond the one
+    * rank-pairing join); cosine is one double expression, binned on
+    * [−1, 1] into `bins` equal cells (top edge closed). The pairing
+    * rank comes from [[CorpusOps.globalRank]] — no single-task sort.
+    * An odd corpus leaves the last vector unpaired by construction.
+    */
+  def pairCosineHistogram(vecs: DataFrame, idCol: String,
+      vecCol: String, bins: Int = 20): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bad bins $bins")
+    val q = transform(toDouble(col(vecCol)),
+      x => round(x * 1e6, 0).cast("long"))
+    val ranked = CorpusOps.globalRank(
+      vecs.select(col(idCol).as("__id"), q.as("__q")),
+      Seq(col(idCol))).select(col("__rank"), col("__q"))
+    val tot = ranked.agg((count(lit(1)) / 2).cast("long").as("__half"))
+    val a = ranked.crossJoin(broadcast(tot))
+      .filter(col("__rank") < col("__half"))
+      .select(col("__rank").as("__r"), col("__q").as("__qa"),
+        col("__half"))
+    val b = ranked.select(col("__rank").as("__rb"),
+      col("__q").as("__qb"))
+    val pairs = a.join(b, col("__rb") === col("__r") + col("__half"))
+    def fold(c: Column) = aggregate(c, lit(0L), (acc, v) => acc + v)
+    val dot = fold(zip_with(col("__qa"), col("__qb"), (x, y) => x * y))
+    val na = fold(transform(col("__qa"), x => x * x))
+    val nb = fold(transform(col("__qb"), x => x * x))
+    val cosv = dot.cast("double") /
+      (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+    val bin = least(lit(bins - 1),
+      floor((cosv + 1.0) / 2.0 * bins)).cast("int")
+    pairs.select(bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .select(col("bin").cast("long").as("bin"),
+        round(lit(-1.0) + col("bin") * (2.0 / bins), 6).as("cos_lo"),
+        round(lit(-1.0) + (col("bin") + 1) * (2.0 / bins), 6)
+          .as("cos_hi"),
+        col("n_pairs"))
+      .orderBy(col("bin"))
+  }
+
   def jlProject(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, dims: Int, salt: String = "jl"): DataFrame = {
     require(k >= 1 && k <= 4096, s"bad k $k")

@@ -7200,6 +7200,82 @@ object MiningQueries {
         val docs = table(spark, dir, "documents").withColumn("wc",
           size(graft.operators.Dedup.tokens($"text")).cast("long"))
         Hypothesis.simpsonCheck(docs, "source", "n_chars", "wc")
+      }),
+
+    // X367: one-sample KS of doc length vs Uniform[0, 500] — the
+    // calibration/uniformity gate beside the two-sample q_ks_test.
+    QueryDef(
+      "q_ks_uniform",
+      Some("""
+        WITH per AS (
+          SELECT CAST(round(n_chars * 1000000.0) AS BIGINT) AS v,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1
+        ), cum AS (
+          SELECT v, c, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS cc
+          FROM per
+        ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per)
+        SELECT n,
+               CASE WHEN n > 0 THEN round(max(greatest(
+                 abs(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)
+                   - least(1.0, greatest(0.0,
+                     (CAST(v AS DOUBLE) / 1e6 - 0.0) / 500.0))),
+                 abs(CAST(cc - c AS DOUBLE) / CAST(n AS DOUBLE)
+                   - least(1.0, greatest(0.0,
+                     (CAST(v AS DOUBLE) / 1e6 - 0.0) / 500.0))))), 6)
+               END AS ks_d
+        FROM cum, tot GROUP BY n
+      """.trim),
+      "X367 one-sample KS: doc length vs Uniform[0,500]")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.ksUniformTest(table(spark, dir, "documents"),
+          "n_chars", lo = 0.0, hi = 500.0)
+      }),
+
+    // X368: pair-cosine histogram — the corpus semantic-diversity
+    // fingerprint over the deterministic half-shift pairing.
+    QueryDef(
+      "q_pair_cosine_hist",
+      Some("""
+        WITH ranked AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS r,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+                     AS BIGINT)) AS q
+          FROM embeddings
+        ), tot AS (
+          SELECT CAST(count(*) / 2 AS BIGINT) AS half FROM ranked
+        ), pairs AS (
+          SELECT a.q AS qa, b.q AS qb
+          FROM ranked a, ranked b, tot
+          WHERE a.r < half AND b.r = a.r + half
+        ), scored AS (
+          SELECT CAST(list_sum(list_transform(
+                   generate_series(1, len(qa)),
+                   i -> qa[i] * qb[i])) AS DOUBLE)
+                 / (sqrt(CAST(list_sum(list_transform(qa, x -> x * x))
+                     AS DOUBLE))
+                   * sqrt(CAST(list_sum(list_transform(qb, x -> x * x))
+                     AS DOUBLE))) AS cosv
+          FROM pairs
+        ), binned AS (
+          SELECT CAST(least(19, floor((cosv + 1.0) / 2.0 * 20))
+            AS BIGINT) AS bin
+          FROM scored
+        )
+        SELECT bin, round(-1.0 + bin * (2.0 / 20), 6) AS cos_lo,
+               round(-1.0 + (bin + 1) * (2.0 / 20), 6) AS cos_hi,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM binned GROUP BY bin ORDER BY bin
+      """.trim),
+      "X368 pair-cosine histogram over the half-shift pairing")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.Similarity.pairCosineHistogram(
+          table(spark, dir, "embeddings"), "vec_id", "embedding",
+          bins = 20)
       })
   )
 
