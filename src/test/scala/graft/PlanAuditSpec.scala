@@ -1238,4 +1238,31 @@ class PlanAuditSpec extends AnyFunSuite {
     val q13 = plan("q_cust_order_distribution")
     assert(q13.contains("LeftOuter"), q13.take(1500))
   }
+
+  test("r11 wave shapes: ablation is one scan-stage agg (no join, " +
+    "no window); burstiness aggregates with map-side partials; " +
+    "style cosine broadcasts the basis; churn windows stay keyed") {
+    val abl = plan("q_filter_ablation")
+    assert(!abl.contains("Join"), "ablation grew a join")
+    assert(!abl.contains("Window"), "ablation grew a window")
+    assert(abl.contains("partial_"), "ablation lost map-side combine")
+    val bur = plan("q_burstiness")
+    assert(bur.contains("partial_count") || bur.contains("partial_sum"),
+      "burstiness tf agg lost its partial")
+    assert(bur.contains("TakeOrderedAndProject"),
+      "top-k degraded to a global sort")
+    val sty = plan("q_source_style")
+    assert(sty.contains("BroadcastHashJoin"),
+      "basis restriction is not broadcast")
+    assert(!sty.contains("CartesianProduct"), "style cosine all-pairs")
+    val churn = plan("q_topk_churn")
+    val lines = churn.linesIterator.toVector
+    lines.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val above = lines.slice(math.max(0, i - 3), i).mkString("\n")
+        assert(!above.contains("Window"),
+          s"churn window funneled to one task:\n$above")
+      }
+  }
 }
