@@ -36,12 +36,17 @@ def cell(v):
     return str(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        # subset mode for per-change iteration: check only the named
+        # queries (a subset graft.Verify run leaves the other output
+        # dirs unwritten, which full mode would flood as FAILs)
+        oracle_sql = {k: v for k, v in oracle_sql.items() if k in only}
     failures = 0
     for name, sql in sorted(oracle_sql.items()):
         try:
@@ -102,6 +107,8 @@ def main(sf_dir, out_dir):
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path) or name in declared:
             continue
+        if only is not None and name not in only:
+            continue
         try:
             desc = con.sql(
                 f"DESCRIBE SELECT * FROM read_parquet('{path}/*.parquet')"
@@ -125,4 +132,7 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    names = None
+    if len(sys.argv) > 4 and sys.argv[3] == "--only":
+        names = set(sys.argv[4].split(","))
+    sys.exit(main(sys.argv[1], sys.argv[2], names))

@@ -40,13 +40,20 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
-    // 5 timed passes by default: the host VM's bimodal noise windows
-    // (see scaladoc) produced phantom >=2x per-query excursions in
-    // min-of-3 driver snapshots; min-of-5 makes a clean sample near
-    // certain while adding ~25% wall to the recorded run.
-    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
-    require(timedRuns >= 1,
-      s"SPARK_GRAFT_RUNS must be >= 1, got $timedRuns")
+    // 5 timed passes by default, CLAMPED to a floor of 3: the host
+    // VM's bimodal noise windows (see scaladoc) produced phantom
+    // >=2x per-query excursions in every single-shot board (27 false
+    // flags in the r11 driver run alone, all contradicted by a
+    // same-HEAD min-of-5 board) — a single sample is never
+    // floor-comparable, so min-of-N is the only mode this harness
+    // emits. Every pass time is also emitted (stderr + the JSON
+    // artifact's "passes" field) so any future flag self-adjudicates.
+    val requestedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
+    val timedRuns = math.max(3, requestedRuns)
+    if (timedRuns != requestedRuns)
+      System.err.println(s"[bench] SPARK_GRAFT_RUNS=$requestedRuns " +
+        s"clamped to $timedRuns: single-shot timings are not " +
+        "floor-comparable on this host (bimodal noise)")
     // Dataset.count() is NOT a safe work-forcer: Catalyst's
     // OptimizeOneRowPlan knows a plan ending in a bare global
     // aggregate returns exactly one row, so count() constant-folds
@@ -57,34 +64,45 @@ object Bench {
     // the executed plan always runs in full.
     def force(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
+    // 4 decimals (0.1 ms) keeps the summary line ~3× shorter than raw
+    // double repr — the r3 driver tail truncated the full-width line
+    def fmt(v: Double): String = f"$v%.4f"
     val results = selected.map { case (name, fn) =>
-      val t = try {
+      val passes: Seq[Double] = try {
         force(fn(spark, sfDir)) // warmup: codegen + JIT
         (1 to timedRuns).map { _ =>
           dropCaches() // each timed run must recompute
           val t0 = System.nanoTime()
           force(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
-        }.min
-      } catch { case _: Throwable => -1.0 }
+        }
+      } catch { case _: Throwable => Seq(-1.0) }
       dropCaches()
+      val t = passes.min
       // per-query progress on stderr: even if the driver's stdout tail
-      // truncates the summary line, every timing already exists here
-      System.err.println(f"[bench] $name%-28s $t%.4f s")
-      name -> t
+      // truncates the summary line, every timing already exists here —
+      // including the full pass list, so excursions self-adjudicate
+      System.err.println(f"[bench] $name%-28s $t%.4f s  passes=[" +
+        passes.map(fmt).mkString(",") + "]")
+      name -> passes
     }
-    // 4 decimals (0.1 ms) keeps the summary line ~3× shorter than raw
-    // double repr — the r3 driver tail truncated the full-width line
-    def fmt(v: Double): String = f"$v%.4f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val mins = results.map { case (k, ps) => k -> ps.min }
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = mins.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$timedRuns,"queries":$qs,"sf":"$sfDir"}"""
+    // the persisted artifact additionally carries every pass time —
+    // stdout keeps the compact driver-contract line (long lines have
+    // been tail-truncated by the driver before)
+    val passesJson = results.map { case (k, ps) =>
+      "\"" + k + "\":[" + ps.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fileLine = line.stripSuffix("}") + s""","passes":$passesJson}"""
     // belt and braces vs stdout-tail truncation: persist the line too
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
+      (fileLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     println(line)

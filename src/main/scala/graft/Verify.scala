@@ -17,6 +17,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // CI-visible gate status: the two capabilities that stay dormant
+    // in a binary-less sandbox. An environment that DOES carry ffmpeg
+    // or an ASR worker automatically runs their parity specs in
+    // `sbt test`; this line makes the gate state auditable per run.
+    System.err.println("[verify] gate ffmpeg_decoder=" +
+      (if (graft.sources.FfmpegDecoder.ifAvailable().isDefined)
+        "present (compressed-audio parity spec active)"
+      else "absent (mp3/m4a decode gated off; magic-byte rejection " +
+        "taxonomy still verified)") +
+      " asr_worker=" +
+      (if (graft.asr.ProcessWordRecognizer.locate().isDefined)
+        "present" else "absent (GRAFT_ASR_CMD unset)"))
     // Optional comma-separated subset for local iteration (same knob
     // as Bench); the driver never sets it → full dump.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

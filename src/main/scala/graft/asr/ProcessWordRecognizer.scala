@@ -47,8 +47,21 @@ final class ProcessWordRecognizer(cmd: Seq[String])
   def transcribe(key: String, audio: Pcm): Seq[RecWord] = {
     val h = ProcessWordRecognizer.handle(cmd)
     // one in-flight request per worker: the worker is stateful
-    // (model context) and the protocol is strictly sequential
-    h.synchronized {
+    // (model context) and the protocol is strictly sequential.
+    // Any failure mid-request (broken pipe, closed stdout, malformed
+    // reply) leaves the stream desynchronized — evict the handle so
+    // the NEXT call relaunches a fresh worker instead of failing
+    // forever against a dead process.
+    try h.synchronized { request(h, key, audio) }
+    catch { case e: Throwable =>
+      ProcessWordRecognizer.evict(cmd, h)
+      throw e
+    }
+  }
+
+  private def request(h: ProcessWordRecognizer.Handle, key: String,
+      audio: Pcm): Seq[RecWord] = {
+    {
       val wav = Sinks.wavBytes(audio)
       val header = ProcessWordRecognizer.mapper.writeValueAsString(
         java.util.Map.of("key", key, "bytes",
@@ -97,6 +110,15 @@ object ProcessWordRecognizer {
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       new Handle(pb.start())
     })
+
+  /** Drop a dead/desynchronized worker so the next call relaunches.
+    * Guarded remove: only evicts if the map still holds THIS handle
+    * (a racing transcribe may already have installed a fresh one).
+    */
+  private def evict(cmd: Seq[String], h: Handle): Unit = {
+    handles.remove(cmd, h)
+    try h.proc.destroy() catch { case _: Throwable => () }
+  }
 
   /** Tear down cached workers (tests; executor shutdown hooks). */
   def shutdownAll(): Unit = {

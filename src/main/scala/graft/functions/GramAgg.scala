@@ -81,6 +81,12 @@ class GramAgg extends Aggregator[Seq[Double], GramBuf, GramStats] {
     Array.emptyLongArray, Array.emptyLongArray)
 
   def reduce(b: GramBuf, vec: Seq[Double]): GramBuf = {
+    // a NULL vector row contributes nothing (the pre-GramAgg
+    // posexplode form silently dropped it; keep that contract).
+    // NaN/Inf components still throw via quantize's require — an
+    // intentional loud contract: a non-finite embedding is corrupt
+    // input, not a droppable row.
+    if (vec == null) return b
     val len = vec.length
     if (len == 0) {
       // a zero-length vector contributes no components and no cells —

@@ -292,7 +292,10 @@ object Privacy {
       : DataFrame = {
     val cands = regexp_extract_all(col(textCol),
       lit("[0-9]{13,19}"), lit(0))
-    val d = docs.select(col(docCol), cands.as("__cands"))
+    // coalesce the ARRAY (not its size): under legacy sizeOfNull
+    // size(NULL) is -1, so a NULL doc would report n_candidates=-1
+    val d = docs.select(col(docCol),
+      coalesce(cands, array()).as("__cands"))
     val validCount = expr(
       """size(filter(__cands, c ->
            aggregate(sequence(1, length(c)), 0, (acc, i) ->

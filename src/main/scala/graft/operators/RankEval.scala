@@ -669,7 +669,10 @@ object RankEval {
       refCol: String): DataFrame = {
     val p = Dedup.tokens(col(predCol))
     val r = Dedup.tokens(col(refCol))
-    val d = pairs.select(col(idCol), p.as("__p"), r.as("__r"))
+    // coalesce the ARRAYS (not their sizes): under legacy sizeOfNull
+    // size(NULL) is -1, so a NULL side would report n_pred/n_ref=-1
+    val d = pairs.select(col(idCol),
+      coalesce(p, array()).as("__p"), coalesce(r, array()).as("__r"))
     val common = expr(
       """aggregate(array_distinct(__p), 0L, (acc, t) ->
            acc + least(size(filter(__p, x -> x = t)),

@@ -1543,11 +1543,18 @@ object Similarity {
     val dot = fold(zip_with(col("__qa"), col("__qb"), (x, y) => x * y))
     val na = fold(transform(col("__qa"), x => x * x))
     val nb = fold(transform(col("__qb"), x => x * x))
-    val cosv = dot.cast("double") /
-      (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+    val cosv = col("__dot").cast("double") /
+      (sqrt(col("__na").cast("double")) *
+        sqrt(col("__nb").cast("double")))
     val bin = least(lit(bins - 1),
       floor((cosv + 1.0) / 2.0 * bins)).cast("int")
-    pairs.select(bin.as("bin"))
+    // a zero-norm quantized vector yields NaN cosine; Spark's
+    // floor(NaN).cast bins it at 0 while DuckDB's least(19, NaN)
+    // bins it at 19 — exclude undefined-cosine pairs on BOTH sides
+    // (oracle carries the matching na > 0 AND nb > 0 predicate)
+    pairs.select(dot.as("__dot"), na.as("__na"), nb.as("__nb"))
+      .filter(col("__na") > 0L && col("__nb") > 0L)
+      .select(bin.as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).cast("long").as("n_pairs"))
       .select(col("bin").cast("long").as("bin"),

@@ -7034,7 +7034,7 @@ object MiningQueries {
         WITH b AS (
           SELECT lang = 'en' AS t,
                  CAST(n_chars AS DOUBLE) AS y,
-                 0.2 + 0.15 * (doc_id % 4) AS e
+                 CAST(4 + 3 * (doc_id % 4) AS DOUBLE) / 20.0 AS e
           FROM documents
         ), w AS (
           SELECT CAST(count(*) AS BIGINT) AS n,
@@ -7066,8 +7066,13 @@ object MiningQueries {
       "X364 IPW + SNIPS effect of 'en' on doc length, banded e")(
       (spark, dir) => {
         import spark.implicits._
+        // e derived from INTEGER arithmetic then one division, so
+        // Spark and the oracle compute the identical double (the
+        // 0.2 + 0.15*k form differs by one ulp at k=1 — enough to
+        // flip the nano quantization of y/e on unlucky y)
         val docs = table(spark, dir, "documents")
-          .withColumn("e", lit(0.2) + lit(0.15) * ($"doc_id" % 4))
+          .withColumn("e",
+            (lit(4) + lit(3) * ($"doc_id" % 4)).cast("double") / 20.0)
         Hypothesis.ipwEstimate(docs, $"lang" === "en", "n_chars", "e")
       }),
 
@@ -7251,15 +7256,18 @@ object MiningQueries {
           SELECT a.q AS qa, b.q AS qb
           FROM ranked a, ranked b, tot
           WHERE a.r < half AND b.r = a.r + half
+        ), norms AS (
+          SELECT qa, qb,
+                 list_sum(list_transform(qa, x -> x * x)) AS na,
+                 list_sum(list_transform(qb, x -> x * x)) AS nb
+          FROM pairs
         ), scored AS (
           SELECT CAST(list_sum(list_transform(
                    generate_series(1, len(qa)),
                    i -> qa[i] * qb[i])) AS DOUBLE)
-                 / (sqrt(CAST(list_sum(list_transform(qa, x -> x * x))
-                     AS DOUBLE))
-                   * sqrt(CAST(list_sum(list_transform(qb, x -> x * x))
-                     AS DOUBLE))) AS cosv
-          FROM pairs
+                 / (sqrt(CAST(na AS DOUBLE))
+                   * sqrt(CAST(nb AS DOUBLE))) AS cosv
+          FROM norms WHERE na > 0 AND nb > 0
         ), binned AS (
           SELECT CAST(least(19, floor((cosv + 1.0) / 2.0 * 20))
             AS BIGINT) AS bin
