@@ -2419,10 +2419,14 @@ object CorpusOps {
     */
   def robustScale(df: DataFrame, groupCol: String, valueCol: String)
       : DataFrame = {
+    // all three order statistics refine in the SAME grouped
+    // histogram passes — one bisection ladder, not three
+    val stats = Quantiles.exactQuantilesByGroup(
+      df.select(col(groupCol), col(valueCol)), groupCol, valueCol,
+      Seq(0.5, 0.25, 0.75))
     def qt(q: Double, name: String): DataFrame =
-      Quantiles.exactQuantileByGroup(
-        df.select(col(groupCol), col(valueCol)), groupCol, valueCol, q)
-        .withColumnRenamed("quantile", name)
+      stats.filter(col("q") === q)
+        .select(col(groupCol), col("quantile").as(name))
     df.join(broadcast(qt(0.5, "median")), Seq(groupCol))
       .join(broadcast(qt(0.25, "__q1")), Seq(groupCol))
       .join(broadcast(qt(0.75, "__q3")), Seq(groupCol))
@@ -3324,10 +3328,13 @@ object CorpusOps {
   def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
       loQ: Double = 0.1, hiQ: Double = 0.9): DataFrame = {
     require(loQ > 0 && hiQ <= 1 && loQ < hiQ, s"bad trim ($loQ, $hiQ)")
+    // both trim bounds refine in the SAME grouped histogram passes
+    val stats = Quantiles.exactQuantilesByGroup(
+      df.select(col(groupCol), col(valueCol)), groupCol, valueCol,
+      Seq(loQ, hiQ))
     def qt(q: Double, name: String): DataFrame =
-      Quantiles.exactQuantileByGroup(
-        df.select(col(groupCol), col(valueCol)), groupCol, valueCol, q)
-        .withColumnRenamed("quantile", name)
+      stats.filter(col("q") === q)
+        .select(col(groupCol), col("quantile").as(name))
     df.join(broadcast(qt(loQ, "trim_lo")), Seq(groupCol))
       .join(broadcast(qt(hiQ, "trim_hi")), Seq(groupCol))
       .filter(col(valueCol) >= col("trim_lo") &&

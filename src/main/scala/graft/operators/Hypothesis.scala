@@ -551,12 +551,18 @@ object Hypothesis {
     require(loQ > 0 && hiQ < 1 && loQ < hiQ, s"bad trim ($loQ, $hiQ)")
     val base = df.select(when(isA, "a").otherwise("b").as("__g"),
       round(col(valueCol) * 1e6, 0).cast("long").as("__q"))
-    def bounds(q: Double, name: String): DataFrame =
-      Quantiles.exactQuantileByGroup(base, "__g", "__q", q)
-        .withColumnRenamed("quantile", name)
+    // BOTH trim quantiles of BOTH groups refine in the SAME grouped
+    // histogram passes (one bisection ladder, not two) — the scan
+    // count of a single median
+    val both = Quantiles.exactQuantilesByGroup(base, "__g", "__q",
+      Seq(loQ, hiQ))
+    val lo = both.filter(col("q") === loQ)
+      .select(col("__g"), col("quantile").as("__lo"))
+    val hi = both.filter(col("q") === hiQ)
+      .select(col("__g"), col("quantile").as("__hi"))
     val clamped = base
-      .join(broadcast(bounds(loQ, "__lo")), Seq("__g"))
-      .join(broadcast(bounds(hiQ, "__hi")), Seq("__g"))
+      .join(broadcast(lo), Seq("__g"))
+      .join(broadcast(hi), Seq("__g"))
       .withColumn("__w",
         least(greatest(col("__q"), col("__lo")), col("__hi")))
     val agg = clamped.agg(

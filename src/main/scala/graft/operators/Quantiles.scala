@@ -77,50 +77,74 @@ object Quantiles {
   }
 
   /** Per-group exact lower q-quantile — ALL groups refine in the
-    * same histogram passes: each pass joins the rows against a tiny
-    * broadcast bounds table (one (lo, width) per unconverged group),
-    * buckets per group, and narrows every group's window at once.
-    * Pass count = that of the WIDEST group (⌈log_fanout(range)⌉),
-    * not Σ groups — per-language/per-source percentiles over 100 TB
-    * in a handful of scans. Driver state is three longs per group
-    * (the per-group bounds map), so group cardinality should be
-    * "dimension-sized" (languages, sources), not "key-sized".
+    * same histogram passes; see [[exactQuantilesByGroup]] for the
+    * multi-q form this delegates to.
     *
     * Output: (groupCol, quantile) one row per group with ≥1
     * non-null value.
     */
   def exactQuantileByGroup(df: DataFrame, groupCol: String,
-      valueCol: String, q: Double, fanout: Int = 256): DataFrame = {
-    require(q > 0.0 && q <= 1.0, s"q must be in (0, 1], got $q")
+      valueCol: String, q: Double, fanout: Int = 256): DataFrame =
+    exactQuantilesByGroup(df, groupCol, valueCol, Seq(q), fanout)
+      .drop("q")
+
+  /** Per-group exact lower q-quantiles, SEVERAL q at once — every
+    * (group, q) window refines in the same histogram passes: each
+    * pass joins the rows against a tiny broadcast bounds table (one
+    * (lo, width) per unconverged (group, q) window), buckets per
+    * window, and narrows them all at once. Pass count = that of the
+    * WIDEST window (⌈log_fanout(range)⌉), not Σ groups and not
+    * Σ quantiles — a winsorize (p05 AND p95 per group) or a QTE grid
+    * (4 quantiles × 2 arms) costs the same number of scans as one
+    * median. Driver state is three longs per (group, q), so
+    * (groups × qs) should be "dimension-sized", not "key-sized".
+    *
+    * Output: (groupCol, q, quantile) one row per requested q per
+    * group with ≥1 non-null value.
+    */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double], fanout: Int = 256)
+      : DataFrame = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    require(qs.distinct.size == qs.size, s"duplicate q in $qs")
+    qs.foreach(q =>
+      require(q > 0.0 && q <= 1.0, s"q must be in (0, 1], got $q"))
     require(fanout >= 2, s"fanout must be >= 2, got $fanout")
     val spark = df.sparkSession
-    import spark.implicits._
-    val init = df.filter(col(valueCol).isNotNull)
+    val groupStats = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol).as("g"))
       .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
         count(lit(1)).as("n"))
       .collect()
-      .map(r => r.get(0) -> (r.getLong(1), r.getLong(2),
-        math.max(math.ceil(q * r.getLong(3)).toLong, 1L)))
-      .toMap
-    init.foreach { case (g, (lo, hi, _)) =>
+      .map(r => r.get(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    groupStats.foreach { case (g, (lo, hi, _)) =>
       require(BigInt(hi) - BigInt(lo) <= Long.MaxValue,
         s"group $g spans more than 2^63 — rescale first")
     }
-    // state: group -> (lo, hi, remaining target rank inside [lo, hi])
+    // state: (group, q index) -> (lo, hi, remaining target rank)
+    val init: Map[(Any, Int), (Long, Long, Long)] =
+      groupStats.flatMap { case (g, (lo, hi, n)) =>
+        qs.zipWithIndex.map { case (q, qi) =>
+          (g, qi) -> (lo, hi,
+            math.max(math.ceil(q * n).toLong, 1L))
+        }
+      }.toMap
     var state = init
     while (state.exists { case (_, (lo, hi, _)) => lo < hi }) {
       val open = state.filter { case (_, (lo, hi, _)) => lo < hi }
-      val bounds = open.toSeq.map { case (g, (lo, hi, _)) =>
+      val bounds = open.toSeq.map { case ((g, qi), (lo, hi, _)) =>
         val width = math.max(
           ((BigInt(hi) - BigInt(lo) + fanout) / fanout).toLong, 1L)
-        (g, lo, hi, width)
+        (g, qi, lo, hi, width)
       }
       val boundsDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(bounds.map { case (g, lo, hi, w) =>
-          org.apache.spark.sql.Row(g, lo, hi, w) }, 1),
+        spark.sparkContext.parallelize(
+          bounds.map { case (g, qi, lo, hi, w) =>
+            org.apache.spark.sql.Row(g, qi, lo, hi, w) }, 1),
         org.apache.spark.sql.types.StructType(Seq(
           df.schema(groupCol).copy(name = "__qg"),
+          org.apache.spark.sql.types.StructField("__qi",
+            org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("__lo",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("__hi",
@@ -133,37 +157,42 @@ object Quantiles {
         .join(broadcast(boundsDf), col(groupCol) <=> col("__qg"))
         .filter(col(valueCol) >= col("__lo") &&
           col(valueCol) <= col("__hi"))
-        .groupBy(col("__qg"),
+        .groupBy(col("__qg"), col("__qi"),
           expr(s"CAST((`$valueCol` - __lo) div __w AS BIGINT)").as("b"))
         .agg(count(lit(1)).as("c"))
         .collect()
-        .groupBy(_.get(0))
-        .map { case (g, rows) =>
-          g -> rows.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)
+        .groupBy(r => (r.get(0), r.getInt(1)))
+        .map { case (k, rows) =>
+          k -> rows.map(r => r.getLong(2) -> r.getLong(3)).sortBy(_._1)
         }
-      val widths = bounds.map { case (g, _, _, w) => g -> w }.toMap
+      val widths = bounds.map { case (g, qi, _, _, w) => (g, qi) -> w }
+        .toMap
       state = state.map {
-        case (g, st @ (lo, hi, _)) if lo >= hi => g -> st
-        case (g, (lo, hi, target)) =>
-          val width = widths(g)
+        case (k, st @ (lo, hi, _)) if lo >= hi => k -> st
+        case (k, (lo, hi, target)) =>
+          val width = widths(k)
           var acc = 0L; var chosen = -1L; var newTarget = target
-          for ((b, c) <- counts(g) if chosen < 0) {
+          for ((b, c) <- counts(k) if chosen < 0) {
             if (acc + c >= target) { chosen = b; newTarget = target - acc }
             else acc += c
           }
           val newLo = lo + chosen * width
           // same BigInt clamp as exactQuantile: newLo + width − 1 can
           // wrap for windows ending near Long.MaxValue
-          g -> (newLo, (BigInt(newLo) + width - 1).min(BigInt(hi)).toLong,
+          k -> (newLo, (BigInt(newLo) + width - 1).min(BigInt(hi)).toLong,
             newTarget)
       }
     }
-    val out = state.toSeq.map { case (g, (lo, _, _)) => (g, lo) }
+    val out = state.toSeq.map { case ((g, qi), (lo, _, _)) =>
+      (g, qs(qi), lo)
+    }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(out.map { case (g, v) =>
-        org.apache.spark.sql.Row(g, v) }, 1),
+      spark.sparkContext.parallelize(out.map { case (g, q, v) =>
+        org.apache.spark.sql.Row(g, q, v) }, 1),
       org.apache.spark.sql.types.StructType(Seq(
         df.schema(groupCol),
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("quantile",
           org.apache.spark.sql.types.LongType))))
   }
@@ -270,16 +299,22 @@ object Quantiles {
     val grouped = df.select(
       when(isA, "a").otherwise("b").as("__grp"),
       col(valueCol).cast("long").as("__v"))
+    // ALL requested quantiles of BOTH arms refine in the same
+    // histogram passes — the table costs ⌈log(range)⌉ pushed-down
+    // count passes total, not |qs|·⌈log(range)⌉
+    val t = exactQuantilesByGroup(grouped, "__grp", "__v", qs)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
     val perQ = qs.map { q =>
-      val t = exactQuantileByGroup(grouped, "__grp", "__v", q)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // a one-sided split (or empty input) yields no row for the
       // missing group — fail with the actual problem, not an opaque
       // driver NoSuchElementException (r10 ADVICE)
-      require(t.contains("a") && t.contains("b"),
+      require(t.contains(("a", q)) && t.contains(("b", q)),
         s"quantileTreatmentEffect needs both treatment groups " +
-          s"non-empty; got only ${t.keys.mkString("{", ",", "}")}")
-      (q, t("a"), t("b"), t("a") - t("b"))
+          s"non-empty; got only ${t.keys.map(_._1).toSet
+            .mkString("{", ",", "}")}")
+      (q, t(("a", q)), t(("b", q)), t(("a", q)) - t(("b", q)))
     }
     perQ.toDF("q", "quantile_a", "quantile_b", "qte")
   }
