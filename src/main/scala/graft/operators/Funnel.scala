@@ -73,19 +73,28 @@ object Funnel {
     * cohort's size. Offsets are exact integer epoch-bucket
     * differences; rates round at 6 dp — hash-exact.
     *
-    * Scale shape: one per-user min agg (map-side combined), one
-    * distinct (user, bucket) activity table, an equi-join back on
-    * user (shuffle by user — the natural key), one (cohort, offset)
-    * count-distinct agg, and the cohort-size join is vocabulary-sized
-    * and broadcast. Nothing wider than the activity table moves.
+    * Scale shape: ONE events scan → per-user `collect_set` of
+    * activity buckets (ONE shuffle by user, map-side combined down
+    * to the distinct (user, bucket) volume; the per-user set is
+    * bounded by the calendar — ≤ one entry per bucket of history) →
+    * `array_min` is the cohort and an explode recovers the activity
+    * rows → one (cohort, offset) count agg. The per-cell key sets
+    * are distinct by construction (the set explode emits each
+    * (user, bucket) once and bucket ↔ offset is injective given the
+    * cohort), so a plain count replaces count_distinct — no dedup
+    * exchange; and every user is active in their OWN first bucket,
+    * so cohort_size ≡ the offset-0 cell — no separate sizes agg,
+    * just a vocabulary-sized broadcast join of the offset-0 slice.
+    * Nothing wider than the activity table moves, and nothing sorts.
     */
   def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
       grain: String = "day"): DataFrame = {
-    val firstSeen = events.groupBy(col(keyCol))
-      .agg(date_trunc(grain, min(col(tsCol))).as("cohort"))
     val active = events
-      .select(col(keyCol), date_trunc(grain, col(tsCol)).as("__b"))
-      .distinct()
+      .select(col(keyCol), date_trunc(grain, col(tsCol)).as("__v"))
+      .groupBy(col(keyCol))
+      .agg(collect_set(col("__v")).as("__bs"))
+      .select(array_min(col("__bs")).as("cohort"),
+        explode(col("__bs")).as("__b"))
     // day/week offsets use CALENDAR date arithmetic (datediff over
     // to_date), not epoch-second division: under a DST session
     // timezone a 23-hour day would truncate to the previous offset
@@ -101,13 +110,18 @@ object Funnel {
         ((unix_timestamp(col("__b")) - unix_timestamp(col("cohort"))) /
           lit(grainSeconds(grain))).cast("long")
     }
-    val cells = active.join(firstSeen, Seq(keyCol))
+    val cells = active
       .withColumn("offset", off)
       .groupBy(col("cohort"), col("offset"))
-      .agg(count_distinct(col(keyCol)).as("n_active"))
-    val sizes = firstSeen.groupBy(col("cohort"))
-      .agg(count(lit(1)).as("cohort_size"))
-    cells.join(broadcast(sizes), Seq("cohort"))
+      .agg(count(lit(1)).as("n_active"))
+    // attach cohort_size with a window over the TINY cells table
+    // (≤ cohorts × offsets rows — calendar-bounded), not a self-join:
+    // a join would execute the whole upstream subtree twice
+    import org.apache.spark.sql.expressions.Window
+    cells
+      .withColumn("cohort_size",
+        max(when(col("offset") === 0L, col("n_active")))
+          .over(Window.partitionBy(col("cohort"))))
       .select(col("cohort"), col("offset"), col("cohort_size"),
         col("n_active"),
         round(col("n_active").cast("double") / col("cohort_size"), 6)
