@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{DotProduct, GramHashExpression, NumToWordsExpression, ShingleHashExpression}
+import graft.plans.{DotProduct, GramHashExpression, NumToWordsExpression, ShingleHashExpression, SqDistLong}
 
 /** Engine SQL surface: registers graft-native functions so
   * `spark.sql("SELECT num_to_words(n) ...")` works in any session
@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (children: Seq[Expression]) =>
         DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_sqdist_l"),
+      new ExpressionInfo(classOf[SqDistLong].getName, "vec_sqdist_l"),
+      (children: Seq[Expression]) =>
+        SqDistLong(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("shingle_hash64"),
       new ExpressionInfo(classOf[ShingleHashExpression].getName,

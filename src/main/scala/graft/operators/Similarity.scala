@@ -40,6 +40,13 @@ object Similarity {
     */
   def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
+  /** Exact integer Σ(aᵢ−bᵢ)² on micro-quantized long components.
+    * Resolves to the native codegen `vec_sqdist_l` expression —
+    * identical in any engine (integer adds commute).
+    */
+  def sqDistL(a: Column, b: Column): Column =
+    call_function("vec_sqdist_l", a, b)
+
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
@@ -1331,11 +1338,17 @@ object Similarity {
     * (zero-exchange, the coreset trick); `iters` bounded rounds keep
     * it replayable.
     *
-    * Determinism: per-point weights and weighted components quantize
-    * to nano/micro ints before the folds (exact decimal sums in any
-    * order); the ε floor on distances makes coincident points finite
-    * (standard Weiszfeld). Rows-only contract (the iteration has no
-    * SQL twin); the spec pins outlier immunity against the mean.
+    * Determinism — EXACT integer state end to end (r12, which is
+    * what buys the SQL hash oracle): components micro-quantize to
+    * longs; the CENTER itself lives in micro longs, re-rounded after
+    * every iteration by the sign-aware half-away integer division
+    * `(2a ± b) quot 2b`; per-point distances are exact integer
+    * Σ(qᵢ−cᵢ)² folds, so the weight `round(10¹⁵/√D)` is one
+    * correctly-rounded sqrt + one division on an exact integer —
+    * identical in any IEEE engine (D = 0, a point ON the center,
+    * takes the 10¹⁸ cap — the old ε-floor's exact value). Weighted
+    * sums fold in decimal (order-free). The whole iteration is
+    * replayable as an unrolled SQL CTE chain.
     */
   def geometricMedian(vecs: DataFrame, idCol: String, vecCol: String,
       iters: Int = 8): DataFrame = {
@@ -1344,49 +1357,57 @@ object Similarity {
     import spark.implicits._
     val dec = "decimal(38,0)"
     val base = vecs.select(col(idCol).as("__id"),
-        toDouble(col(vecCol)).as("__v"))
-      .withColumn("__vv", dot(col("__v"), col("__v")))
+        transform(toDouble(col(vecCol)),
+          x => round(x * 1e6, 0).cast("long")).as("__q"))
       .localCheckpoint(true)
-    val d = base.select(size(col("__v"))).head().getInt(0)
+    val d = base.select(size(col("__q"))).head().getInt(0)
     val nPts = base.count()
-    // init: component-wise mean from exact micro sums
-    var cur: Array[Double] = {
+    // sign-aware round-half-away integer division — BigInt `/`
+    // truncates toward zero, exactly like DuckDB's `//`
+    def roundDiv(a: BigInt, b: BigInt): Long = {
+      val num = 2 * a + (if (a.signum < 0) -b else b)
+      (num / (2 * b)).toLong
+    }
+    // init: component-wise mean, rounded INTO micro longs
+    var cur: Array[Long] = {
       val sums = base
-        .select(posexplode(col("__v")).as(Seq("__i", "__x")))
+        .select(posexplode(col("__q")).as(Seq("__i", "__x")))
         .groupBy(col("__i"))
-        .agg(sum(round(col("__x") * 1e6, 0).cast(dec)).cast(dec)
-          .as("__s"))
+        .agg(sum(col("__x").cast(dec)).cast(dec).as("__s"))
         .collect().map(r => r.getAs[Int]("__i") ->
-          r.getDecimal(1).doubleValue()).toMap
-      Array.tabulate(d)(i => sums(i) / nPts / 1e6)
+          r.getDecimal(1).toBigInteger).toMap
+      Array.tabulate(d)(i => roundDiv(BigInt(sums(i)), BigInt(nPts)))
     }
     var it = 0
     while (it < iters) {
       val c = cur
-      val cNorm2 = c.map(x => x * x).sum
-      val dist = sqrt(greatest(
-        col("__vv") - lit(2.0) * dot(col("__v"), typedlit(c.toSeq)) +
-          lit(cNorm2), lit(0.0)))
-      val wq = round(lit(1e9) / greatest(dist, lit(1e-9)), 0)
-        .cast("long")
+      // exact integer squared distance to the current center
+      val dist2 = sqDistL(col("__q"), typedlit(c.toSeq))
+      // w = round(10⁹ / max(dist, 10⁻⁹)) with dist = √D/10⁶:
+      // D ≥ 1 ⇒ dist ≥ 10⁻⁶ ⇒ w = round(10¹⁵/√D); D = 0 hits the
+      // ε floor exactly ⇒ w = 10¹⁸
+      val wq = when(col("__d2") === 0L, lit(1000000000000000000L))
+        .otherwise(round(lit(1e15) / sqrt(col("__d2").cast("double")),
+          0).cast("long"))
       val folded = base
+        .withColumn("__d2", dist2)
         .withColumn("__w", wq)
-        .select(col("__w"), posexplode(col("__v")).as(Seq("__i", "__x")))
-        .withColumn("__wx",
-          (round(col("__x") * 1e6, 0).cast(dec) * col("__w")).cast(dec))
+        .select(col("__w"), posexplode(col("__q")).as(Seq("__i", "__x")))
         .groupBy(col("__i"))
-        .agg(sum(col("__wx")).cast(dec).as("__swx"),
+        .agg(sum((col("__w").cast(dec) * col("__x")).cast(dec))
+          .cast(dec).as("__swx"),
           sum(col("__w").cast(dec)).cast(dec).as("__sw"))
         .collect().map(r => r.getAs[Int]("__i") ->
-          (r.getDecimal(1).doubleValue(), r.getDecimal(2).doubleValue()))
+          (r.getDecimal(1).toBigInteger, r.getDecimal(2).toBigInteger))
         .toMap
       cur = Array.tabulate(d)(i =>
-        folded(i)._1 / folded(i)._2 / 1e6)
+        roundDiv(BigInt(folded(i)._1), BigInt(folded(i)._2)))
       it += 1
     }
-    cur.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+    cur.zipWithIndex.map { case (q, i) => (i.toLong, q) }.toSeq
       .toDF("dim", "__m")
-      .select(col("dim"), round(col("__m"), 6).as("median_component"),
+      .select(col("dim"),
+        round(col("__m").cast("double") / 1e6, 6).as("median_component"),
         lit(nPts).as("n_points"), lit(iters.toLong).as("iters"))
   }
 
@@ -1416,14 +1437,18 @@ object Similarity {
     * "should I even run KMeans/SemDeDup here" gate in front of
     * X80/X91/X96 (whose scores all assume clusters exist).
     *
-    * Determinism: probe coordinates come from md5 uniforms scaled
-    * into per-dim [min, max] (exact micro bounds); the probe/sample
-    * choice is content-stable; each NN distance quantizes to nano
-    * before the two m-term folds. Scale shape: bounds are a d-cell
-    * agg; the NN pass is a (2m)×n broadcast-probe sweep — m is the
-    * knob, the corpus is never self-joined. Rows-only contract (the
-    * probe construction has no tractable SQL twin); the spec pins
-    * clustered ≫ 0.5 ≈ uniform behavior.
+    * Determinism — EXACT integer arithmetic end to end (r12, which
+    * is what buys the SQL hash oracle): components micro-quantize to
+    * longs; per-dim bounds are integer min/max; each probe
+    * coordinate is `lo + (h+1)·(hi−lo) ≫round 2³²` where h is the
+    * 32-bit md5 head of `salt:p_i` — a pure integer rounded
+    * division, no double in sight; the probe/sample choice is
+    * content-stable md5 order; NN distances are exact integer
+    * Σ(qᵢ−pᵢ)² folds in micro² units. Only the three OUTPUT columns
+    * touch doubles (one division + round(6) on exact integers —
+    * identical in any engine). Scale shape: bounds are a d-cell agg;
+    * the NN pass is a (2m)×n broadcast-probe sweep — m is the knob,
+    * the corpus is never self-joined.
     */
   def hopkins(vecs: DataFrame, idCol: String, vecCol: String,
       m: Int = 20, salt: String = "hop"): DataFrame = {
@@ -1431,25 +1456,33 @@ object Similarity {
     val spark = vecs.sparkSession
     import spark.implicits._
     val base = vecs.select(col(idCol).cast("long").as("__id"),
-      toDouble(col(vecCol)).as("__v"))
-    // per-dim bounds (d-bounded collect)
+      transform(toDouble(col(vecCol)),
+        x => round(x * 1e6, 0).cast("long")).as("__q"))
+    // per-dim integer bounds (d-bounded collect)
     val bounds = base
-      .select(col("__id"), posexplode(col("__v")).as(Seq("__i", "__x")))
+      .select(posexplode(col("__q")).as(Seq("__i", "__x")))
       .groupBy(col("__i"))
       .agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
       .collect().map(r => (r.getAs[Int]("__i"),
-        r.getAs[Double]("__lo"), r.getAs[Double]("__hi")))
+        r.getAs[Long]("__lo"), r.getAs[Long]("__hi")))
       .sortBy(_._1)
     val d = bounds.length
-    def u01(tag: String): Double = {
+    // 32-bit md5 head of salt:tag — the uniform driving each probe
+    // coordinate (h+1 ∈ [1, 2³²], the u01 numerator)
+    def h32(tag: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$salt:$tag".getBytes("UTF-8"))
         .take(4).map("%02x".format(_)).mkString
-      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
+      java.lang.Long.parseLong(hex, 16)
     }
     val probes = (1 to m).map { p =>
       (p.toLong, bounds.map { case (i, lo, hi) =>
-        lo + u01(s"${p}_$i") * (hi - lo)
+        // lo + round((h+1)·(hi−lo) / 2³²): numerator ≤ 2³²·(hi−lo)
+        // stays far under 2⁶³; non-negative, so truncating division
+        // after the +2³¹ offset IS round-half-up — the same integer
+        // every engine computes
+        lo + ((h32(s"${p}_$i") + 1L) * (hi - lo) + 2147483648L) /
+          4294967296L
       }.toSeq)
     }
     // m real sample points by md5 order (content-stable)
@@ -1459,29 +1492,27 @@ object Similarity {
       .orderBy(col("__r"), col("__id")).limit(m)
       .collect().map(_.getLong(0)).toSet
     val samples = base.filter(col("__id").isin(sampleIds.toSeq: _*))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
     // one probe table: synthetic probes exclude nothing; data probes
     // exclude themselves
     val probeDf = (probes.map { case (p, v) => (p, -1L, v) } ++
       samples.map { case (id, v) => (id, id, v.toSeq) })
-      .toDF("__p", "__self", "__q")
+      .toDF("__p", "__self", "__pq")
+    val d2 = sqDistL(col("__q"), col("__pq"))
     val nn = base.join(broadcast(probeDf), col("__id") =!= col("__self"))
-      .withColumn("__d2",
-        dot(col("__v"), col("__q")) * -2.0 +
-          dot(col("__v"), col("__v")) + dot(col("__q"), col("__q")))
+      .select(col("__p"), col("__self"), d2.as("__d2"))
       .groupBy(col("__p"), col("__self"))
       .agg(min(col("__d2")).as("__nn"))
-      .withColumn("__nano", round(col("__nn") * 1e9, 0).cast("long"))
     nn.agg(
-        sum(when(col("__self") === -1L, col("__nano")).otherwise(0L))
+        sum(when(col("__self") === -1L, col("__nn")).otherwise(0L))
           .cast("long").as("__u"),
-        sum(when(col("__self") =!= -1L, col("__nano")).otherwise(0L))
+        sum(when(col("__self") =!= -1L, col("__nn")).otherwise(0L))
           .cast("long").as("__w"),
         sum(when(col("__self") === -1L, 1L).otherwise(0L)).cast("long")
           .as("n_probes"))
       .select(col("n_probes"), lit(d.toLong).as("dim"),
-        round(col("__u").cast("double") / 1e9, 6).as("u_sum"),
-        round(col("__w").cast("double") / 1e9, 6).as("w_sum"),
+        round(col("__u").cast("double") / 1e12, 6).as("u_sum"),
+        round(col("__w").cast("double") / 1e12, 6).as("w_sum"),
         when(col("__u") + col("__w") > 0L,
           round(col("__u").cast("double") /
             (col("__u") + col("__w")).cast("double"), 6))

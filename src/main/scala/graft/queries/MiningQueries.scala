@@ -1641,11 +1641,68 @@ object MiningQueries {
       }),
 
     // X259: Hopkins clusterability statistic — should SemDeDup/KMeans
-    // even run here. Rows-only (the md5-uniform probe construction
-    // has no tractable SQL twin); spec pins clustered vs uniform.
+    // even run here. r12: the probe construction moved to pure
+    // integer arithmetic (micro bounds, md5-head rounded division),
+    // so the whole statistic replays as SQL — full hash oracle.
     QueryDef(
       "q_hopkins",
-      None,
+      Some("""
+        WITH q AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+            AS v
+          FROM embeddings
+        ), dims AS (
+          SELECT unnest(generate_series(1,
+            (SELECT min(len(v)) FROM q))) AS i
+        ), b AS (
+          SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+          FROM q, dims GROUP BY i
+        ), pr AS (
+          SELECT p, list(lo +
+            ((CAST(('0x' || substr(md5('hop:' || CAST(p AS VARCHAR)
+                || '_' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT)
+              + 1) * (hi - lo) + 2147483648) // 4294967296
+            ORDER BY i) AS pv
+          FROM b, (SELECT unnest(generate_series(1, 20)) AS p)
+          GROUP BY p
+        ), s AS (
+          SELECT vec_id, v FROM q
+          ORDER BY CAST(('0x' || substr(md5('hop-s:'
+            || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
+          LIMIT 20
+        ), probes AS (
+          SELECT CAST(p AS BIGINT) AS pid, CAST(-1 AS BIGINT) AS self,
+                 pv
+          FROM pr
+          UNION ALL SELECT vec_id, vec_id, v FROM s
+        ), nn AS (
+          SELECT t.pid, t.self,
+                 min(list_sum(list_transform(
+                   generate_series(1, len(q.v)),
+                   k -> (q.v[k] - t.pv[k]) * (q.v[k] - t.pv[k]))))
+                   AS d2
+          FROM probes t, q
+          WHERE q.vec_id <> t.self
+          GROUP BY t.pid, t.self
+        ), agg AS (
+          SELECT CAST(sum(CASE WHEN self = -1 THEN d2 ELSE 0 END)
+                   AS BIGINT) AS u,
+                 CAST(sum(CASE WHEN self <> -1 THEN d2 ELSE 0 END)
+                   AS BIGINT) AS w,
+                 CAST(sum(CASE WHEN self = -1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_probes
+          FROM nn
+        )
+        SELECT n_probes,
+               (SELECT CAST(count(*) AS BIGINT) FROM dims) AS dim,
+               round(CAST(u AS DOUBLE) / 1e12, 6) AS u_sum,
+               round(CAST(w AS DOUBLE) / 1e12, 6) AS w_sum,
+               CASE WHEN u + w > 0 THEN
+                 round(CAST(u AS DOUBLE) / CAST(u + w AS DOUBLE), 6)
+               END AS hopkins
+        FROM agg
+      """.trim),
       "X259 Hopkins clusterability of the embedding corpus, m=20")(
       (spark, dir) => {
         import spark.implicits._
@@ -2294,11 +2351,15 @@ object MiningQueries {
       }),
 
     // X272: geometric median of the embedding corpus — the robust
-    // centroid. Rows-only (bounded Weiszfeld iteration, no SQL
-    // twin); the spec pins outlier immunity.
+    // centroid. r12: the center state moved to exact micro integers
+    // (sign-aware half-away rounded division each round, integer
+    // distance folds, weight = round(1e15/sqrt(D)) on an exact
+    // integer), so the 8 Weiszfeld rounds replay as an unrolled CTE
+    // chain — full hash oracle (the X101/X132 iterative-replay
+    // convention).
     QueryDef(
       "q_geo_median",
-      None,
+      Some(geoMedianSql(8)),
       "X272 geometric median of the embeddings (Weiszfeld, 8 iters)")(
       (spark, dir) => {
         import spark.implicits._
@@ -7286,6 +7347,67 @@ object MiningQueries {
           bins = 20)
       })
   )
+
+  /** Unrolled Weiszfeld oracle (X272): cN CTE chain over the exact
+    * integer center state — each round recomputes the integer
+    * squared distances against the previous center list, derives the
+    * weight `round(10¹⁵/√D)` (10¹⁸ cap at D = 0), folds HUGEINT
+    * weighted sums per dim, and re-rounds the center with the same
+    * sign-aware half-away division `(2a ± b) // (2b)` the engine
+    * uses (DuckDB `//` and BigInt `/` both truncate toward zero).
+    */
+  private def geoMedianSql(iters: Int): String = {
+    val head = """
+      WITH q AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+          AS v
+        FROM embeddings
+      ), dims AS (
+        SELECT unnest(generate_series(1,
+          (SELECT min(len(v)) FROM q))) AS i
+      ), n AS (SELECT CAST(count(*) AS HUGEINT) AS np FROM q
+      ), c0 AS (
+        SELECT list(cq ORDER BY i) AS c FROM (
+          SELECT i, CAST((2 * s + CASE WHEN s < 0 THEN -np ELSE np
+            END) // (2 * np) AS BIGINT) AS cq
+          FROM (SELECT i, CAST(sum(v[i]) AS HUGEINT) AS s
+                FROM q, dims GROUP BY i), n
+        )
+      )"""
+    val steps = (1 to iters).map { k =>
+      s""", w$k AS (
+        SELECT q.vec_id, q.v,
+               list_sum(list_transform(generate_series(1, len(q.v)),
+                 t -> (q.v[t] - cc.c[t]) * (q.v[t] - cc.c[t]))) AS d2
+        FROM q, c${k - 1} cc
+      ), x$k AS (
+        SELECT v, CASE WHEN d2 = 0
+            THEN CAST(1000000000000000000 AS HUGEINT)
+            ELSE CAST(round(1e15 / sqrt(CAST(d2 AS DOUBLE)))
+              AS HUGEINT) END AS w
+        FROM w$k
+      ), c$k AS (
+        SELECT list(cq ORDER BY i) AS c FROM (
+          SELECT i, CAST((2 * swx + CASE WHEN swx < 0 THEN -sw
+            ELSE sw END) // (2 * sw) AS BIGINT) AS cq
+          FROM (
+            SELECT i, CAST(sum(w * v[i]) AS HUGEINT) AS swx,
+                   CAST(sum(w) AS HUGEINT) AS sw
+            FROM x$k, dims GROUP BY i
+          )
+        )
+      )"""
+    }.mkString
+    val tail = s"""
+      SELECT CAST(i - 1 AS BIGINT) AS dim,
+             round(CAST(c[i] AS DOUBLE) / 1e6, 6) AS median_component,
+             (SELECT CAST(np AS BIGINT) FROM n) AS n_points,
+             CAST($iters AS BIGINT) AS iters
+      FROM c$iters, dims
+      ORDER BY dim"""
+    (head + steps + tail).trim
+  }
 
   /** Unrolled HITS oracle (X363): aN/hN CTE chain with in-query L1
     * renormalization — DuckDB recursive CTEs disallow the aggregate

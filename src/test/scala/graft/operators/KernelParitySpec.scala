@@ -120,4 +120,24 @@ class KernelParitySpec extends AnyFunSuite {
     }
     assert(runGram(vecs) == joinFormReplay(vecs))
   }
+
+  test("vec_sqdist_l == aggregate(zip_with(...)) integer fold, " +
+    "incl. negative components and length mismatch (min-length)") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      (Seq.fill(16)(rng.nextLong() % 2000000L),
+        Seq.fill(if (i % 7 == 0) 12 else 16)(rng.nextLong() % 2000000L))
+    }
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(
+      zip_with(
+        slice(col("a"), lit(1), least(size(col("a")), size(col("b")))),
+        slice(col("b"), lit(1), least(size(col("a")), size(col("b")))),
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val got = df.select(
+      Similarity.sqDistL(col("a"), col("b")).as("k"), hof.as("h"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }
