@@ -20,7 +20,11 @@ class ProcessWordRecognizerSpec extends AnyFunSuite {
       .find(p => new java.io.File(p).canExecute)
 
   // replies derive from the request (key echoed, byte count read in
-  // full) so the assertions prove framing, not canned output
+  // full) so the assertions prove framing, not canned output. Keys
+  // starting "bad"/"die" trigger the two failure modes the adapter
+  // must survive: a malformed reply line and a worker that dies
+  // mid-service. The served counter exposes WHICH process replied —
+  // a relaunched worker restarts at 1.
   private val stub =
     """import sys, json
       |stdin = sys.stdin.buffer
@@ -33,6 +37,12 @@ class ProcessWordRecognizerSpec extends AnyFunSuite {
       |    d = json.loads(h)
       |    b = stdin.read(d["bytes"])
       |    served += 1
+      |    if d["key"].startswith("bad"):
+      |        stdout.write(b"this is not json\n")
+      |        stdout.flush()
+      |        continue
+      |    if d["key"].startswith("die"):
+      |        sys.exit(1)
       |    words = [
       |        {"word": d["key"], "start": 0.0, "end": 0.5, "score": 0.9},
       |        {"word": "%d:%d" % (len(b), served), "start": 0.5, "end": 1.0},
@@ -57,6 +67,49 @@ class ProcessWordRecognizerSpec extends AnyFunSuite {
       // second request rides the SAME worker (served counter is 2)
       val w2 = rec.transcribe("clip_b", pcm)
       assert(w2.map(_.text) == Seq("clip_b", s"$wavLen:2"))
+    } finally {
+      ProcessWordRecognizer.shutdownAll()
+      Files.deleteIfExists(f)
+    }
+  }
+
+  test("malformed reply evicts the worker; the next call rides a " +
+    "FRESH process") {
+    assume(python3.isDefined, "no python3 in this environment")
+    val f = Files.createTempFile("asr_stub_bad", ".py")
+    Files.write(f, stub.getBytes("UTF-8"))
+    try {
+      val rec = new ProcessWordRecognizer(Seq(python3.get, f.toString))
+      val pcm = Pcm.fromSamples(Array(1, 2, 3), 8000)
+      val wavLen = graft.Sinks.wavBytes(pcm).length
+      // a garbage reply line must surface as a loud failure...
+      intercept[Exception] { rec.transcribe("bad_clip", pcm) }
+      // ...and evict the (desynchronized) worker: without eviction
+      // the old process would still be alive and reply served=2;
+      // the relaunched worker's counter restarts at 1
+      val w = rec.transcribe("clip_ok", pcm)
+      assert(w.map(_.text) == Seq("clip_ok", s"$wavLen:1"))
+    } finally {
+      ProcessWordRecognizer.shutdownAll()
+      Files.deleteIfExists(f)
+    }
+  }
+
+  test("worker death mid-service evicts the handle; the next call " +
+    "relaunches instead of failing forever") {
+    assume(python3.isDefined, "no python3 in this environment")
+    val f = Files.createTempFile("asr_stub_die", ".py")
+    Files.write(f, stub.getBytes("UTF-8"))
+    try {
+      val rec = new ProcessWordRecognizer(Seq(python3.get, f.toString))
+      val pcm = Pcm.fromSamples(Array(4, 5, 6), 8000)
+      val wavLen = graft.Sinks.wavBytes(pcm).length
+      // worker exits with status 1 WITHOUT replying -> closed pipe
+      intercept[Exception] { rec.transcribe("die_now", pcm) }
+      // pre-eviction behavior was permanent failure on this executor
+      // (every later call hit the dead process); now it relaunches
+      val w = rec.transcribe("clip_after_death", pcm)
+      assert(w.map(_.text) == Seq("clip_after_death", s"$wavLen:1"))
     } finally {
       ProcessWordRecognizer.shutdownAll()
       Files.deleteIfExists(f)
