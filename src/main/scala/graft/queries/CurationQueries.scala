@@ -21,7 +21,7 @@ object CurationQueries {
 
   private val AnonK = 5
 
-  private val ManifestBudget = 300L
+  private[queries] val ManifestBudget = 300L
 
   /** Unrolled integer-PageRank oracle: pr0..prN CTE chain, one per
     * iteration — DuckDB recursive CTEs disallow the aggregate in the

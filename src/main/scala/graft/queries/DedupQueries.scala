@@ -56,6 +56,176 @@ object DedupQueries {
     )"""
   }
 
+  /** DuckDB twin of the composed X369 release DAG — every stage CTE
+    * is the (already hash-green) single-stage oracle re-targeted at
+    * the previous stage's survivors: clean (q_corpus_clean's t/m) →
+    * keeper dedup (q_prep_pipeline's pairs/reach/keeper over s1) →
+    * decontamination (q_decontaminate's grams over s2, benchmark
+    * from the FULL corpus) → temperature mix (q_temperature_mix's
+    * sizes/rates derived from s3's own counts) → packing
+    * (q_pack_sequences' global prefix over s4) → manifest
+    * (q_export_manifest over the packed sequences, source
+    * 'release').
+    */
+  private lazy val releaseDagSql: String = {
+    val scores = TextAnalysisQueries.Stopwords.map { case (l, ws) =>
+      s"${TextAnalysisQueries.hitsSql(ws)} AS s_$l"
+    }.mkString(",\n            ")
+    val shingle = (1 to ShingleK).map(j => s"w[i+$j]")
+      .mkString(" || chr(1) || ")
+    val k = CorpusPrepQueries.ContamK
+    val gramK = (1 to k).map(j => s"w[i+$j]").mkString(" || chr(1) || ")
+    val bm = CorpusPrepQueries.BenchMod
+    val seqLen = CorpusPrepQueries.PackSeqLen
+    s"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, source, text,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+          x -> x <> '') AS w,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+          AS n_alnum,
+        $scores
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source, w,
+        len(w) AS n_tokens,
+        0.4 * least(len(w) / 100.0, 1.0)
+          + 0.3 * (n_alnum * 1.0 / n_chars)
+          + 0.3 * least(3 * s_en * 1.0 / len(w), 1.0) AS quality,
+        CASE
+          WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+            AND s_en >= s_zh THEN 'en'
+          WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+          WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+          WHEN s_es >= s_zh THEN 'es'
+          ELSE 'zh'
+        END AS predicted,
+        doc_id = min(doc_id) OVER (PARTITION BY md5(lower(text)))
+          AS is_canonical
+      FROM t
+    ), s1 AS (
+      SELECT doc_id, source, w FROM m
+      WHERE is_canonical AND n_tokens >= 25 AND quality >= 0.5
+        AND predicted IN ('en', 'de', 'fr', 'es')
+    ), shs AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(w) < $ShingleK THEN []
+             ELSE list_transform(range(len(w) - ${ShingleK - 1}),
+                    i -> $shingle)
+        END) AS shingles
+      FROM s1
+    ), prs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+            (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles)))
+            >= $JaccardThreshold
+    ), edges AS (
+      SELECT d1 AS src, d2 AS dst FROM prs
+      UNION SELECT d2, d1 FROM prs
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), clustered AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ), keeper AS (
+      SELECT c.doc_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, c.doc_id) = 1 AS is_kept
+      FROM clustered c JOIN documents d USING (doc_id)
+    ), s2 AS (
+      SELECT * FROM s1
+      WHERE doc_id NOT IN
+        (SELECT doc_id FROM keeper WHERE NOT is_kept)
+    ), bgrams AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(list_distinct(
+          CASE WHEN len(w) < $k THEN []
+               ELSE list_transform(range(len(w) - ${k - 1}),
+                      i -> $gramK)
+          END)) AS g
+        FROM t WHERE doc_id % $bm = 0)
+    ), cgrams AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) < $k THEN []
+             ELSE list_transform(range(len(w) - ${k - 1}),
+                    i -> $gramK)
+        END)) AS g
+      FROM s2 WHERE doc_id % $bm <> 0
+    ), contam AS (
+      SELECT c.doc_id, count(*) AS n_grams, count(b.g) AS n_hit
+      FROM cgrams c LEFT JOIN bgrams b USING (g)
+      GROUP BY 1
+    ), s3 AS (
+      SELECT s2.doc_id, s2.source, s2.w
+      FROM s2 LEFT JOIN contam USING (doc_id)
+      WHERE s2.doc_id % $bm <> 0
+        AND coalesce(n_hit * 1.0 / n_grams, 0.0)
+            < ${CorpusPrepQueries.ContamThreshold}
+    ), sizes AS (
+      SELECT source, count(*) AS n,
+             CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS wgt
+      FROM s3 GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tn,
+             CAST(sum(wgt) AS BIGINT) AS tw
+      FROM sizes
+    ), rates AS (
+      SELECT s.source,
+             least(1.0, ${CorpusPrepQueries.TempTargetFraction}
+                   * CAST(t.tn AS DOUBLE) * s.wgt
+                   / (CAST(t.tw AS DOUBLE) * s.n)) AS rate
+      FROM sizes s, tot t
+    ), s4 AS (
+      SELECT d.doc_id, d.w
+      FROM s3 d JOIN rates r USING (source)
+      WHERE CAST(('0x' || substr(md5('${CorpusPrepQueries.MixSalt}'
+              || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            < CAST(round(r.rate * 4294967296.0) AS BIGINT)
+    ), offs AS (
+      SELECT doc_id, w, len(w) AS n,
+        coalesce(sum(len(w)) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+      FROM s4
+    ), tok AS (
+      SELECT st + i - 1 AS gpos, w[i] AS tk
+      FROM offs, unnest(range(1, n + 1)) AS u(i)
+    ), seqs AS (
+      SELECT CAST(gpos // $seqLen AS BIGINT) AS seq_id,
+             string_agg(tk, ' ' ORDER BY gpos) AS seq_text
+      FROM tok GROUP BY 1
+    ), counted AS (
+      SELECT 'release' AS source, seq_id,
+             len(list_filter(string_split_regex(lower(seq_text),
+               '\\s+'), x -> x <> '')) AS nt,
+             ('0x' || substr(md5(seq_text), 1, 8))::BIGINT AS h
+      FROM seqs
+    ), sharded AS (
+      SELECT source, seq_id, nt, h,
+             CAST(coalesce(sum(nt) OVER (PARTITION BY source
+               ORDER BY seq_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0)
+               // ${CurationQueries.ManifestBudget} AS BIGINT)
+               AS shard_id
+      FROM counted
+    )
+    SELECT source, shard_id,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           min(seq_id) AS first_id,
+           max(seq_id) AS last_id,
+           CAST(sum(h) AS BIGINT) AS checksum
+    FROM sharded
+    GROUP BY 1, 2
+    ORDER BY source, shard_id
+    """.trim
+  }
+
   /** DuckDB twin of md5Hash64 + simhashWith + simhashPairs. The hash
     * is read as four 16-bit limbs (c3 = hex chars 1–4, most
     * significant) because DuckDB's BIGINT `<<` overflow-checks — bits
@@ -392,6 +562,70 @@ object DedupQueries {
         CorpusOps.chunkDocs(survivors, "doc_id", "text",
             CorpusPrepQueries.ChunkSize, CorpusPrepQueries.ChunkStride)
           .orderBy($"doc_id", $"chunk_id")
+      }),
+
+    // X369: the composed nightly RELEASE DAG as ONE oracled query —
+    // cleanCorpus (X3) → keeper near-dup dedup (X1/X54) →
+    // benchmark decontamination (X33) → temperature mix (X85) →
+    // concat-and-split packing (X81) → shard manifest (X105). Every
+    // stage is independently hash-oracled elsewhere; this proves the
+    // full export path's WIRING (survivor anti-joins, stage
+    // boundaries, the re-derived mix rates over the post-dedup
+    // corpus) is exact end to end — the query a release owner runs
+    // before shipping a training corpus.
+    QueryDef(
+      "q_release_dag",
+      Some(releaseDagSql),
+      "composed release DAG: clean -> dedup -> decontam -> mix -> " +
+        "pack -> manifest")(
+      (spark, dir) => {
+        import spark.implicits._
+        import graft.operators.{Contamination, CorpusOps}
+        val docs = table(spark, dir, "documents")
+        val cleaned = CorpusOps.cleanCorpus(docs, "doc_id", "text",
+          TextAnalysisQueries.Stopwords,
+          keepLangs = Seq("en", "de", "fr", "es"),
+          minTokens = 25, minQuality = 0.5)
+        // stage boundaries MATERIALIZE (localCheckpoint): each
+        // survivor frame feeds ≥2 downstream branches (the shingle
+        // self-join + the anti-join; temperatureMix reads its input
+        // twice for sizes + join), so an unmaterialized DAG re-runs
+        // the clean stage ~6×. In production these boundaries are
+        // the stage parquet writes; solo min-of-5 10.5 s → 5.0 s.
+        val s1 = docs.join(
+            cleaned.filter($"kept").select($"doc_id"), Seq("doc_id"))
+          .localCheckpoint(true)
+        val pairs = Dedup.jaccardPairsExact(
+          s1.select($"doc_id",
+            Dedup.hashedShingles($"text", ShingleK).as("shingles")),
+          "doc_id", JaccardThreshold)
+        val dropped = Dedup.selectKeepers(Dedup.resolveClusters(pairs),
+            docs.select($"doc_id", $"n_chars".as("score")),
+            "doc_id", "score")
+          .filter(!$"is_kept").select($"doc_id")
+        val s2 = s1.join(dropped, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        val bench = docs.filter(
+          $"doc_id" % CorpusPrepQueries.BenchMod === 0)
+        val cands = s2.filter(
+          $"doc_id" % CorpusPrepQueries.BenchMod =!= 0)
+        val flagged = Contamination.flagContaminated(cands, bench,
+            "doc_id", "text", CorpusPrepQueries.ContamK,
+            CorpusPrepQueries.ContamThreshold)
+          .filter($"flagged").select($"doc_id")
+        val s3 = cands.join(flagged, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        val s4 = CorpusOps.temperatureMix(s3, "doc_id", "source",
+          alpha = 0.5,
+          targetFraction = CorpusPrepQueries.TempTargetFraction,
+          salt = CorpusPrepQueries.MixSalt)
+        val packed = CorpusOps.packSequences(s4, "doc_id", "text",
+          CorpusPrepQueries.PackSeqLen)
+        CorpusOps.exportManifest(
+            packed.withColumn("source", lit("release")),
+            "source", "seq_id", "seq_text",
+            CurationQueries.ManifestBudget)
+          .orderBy($"source", $"shard_id")
       }),
 
     // X1f over X1e: connected components of the exact cosine pair

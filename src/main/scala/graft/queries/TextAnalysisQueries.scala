@@ -35,7 +35,7 @@ object TextAnalysisQueries {
   private def hits(text: Column, words: Seq[String]): Column =
     size(filter(toks(text), t => t.isin(words.map(lit): _*)))
 
-  private def hitsSql(words: Seq[String]): String = {
+  private[queries] def hitsSql(words: Seq[String]): String = {
     val set = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''), t -> t IN ($set)))"
   }
