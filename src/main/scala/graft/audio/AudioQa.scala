@@ -49,6 +49,28 @@ object AudioQa {
     (s.length.toLong, peak, sum, sumSq)
   }
 
+  /** X378 — (zero crossings, Σv² energy): the classic voiced/
+    * unvoiced/noise discriminator pair — high ZCR + low energy is
+    * fricative or hiss, low ZCR + high energy is voiced speech or
+    * tone; together with [[moments]] they make the zero-model
+    * speechiness gate. A crossing is a sign-bit flip between
+    * adjacent samples with zero counted as non-negative (the
+    * `v < 0` convention — exact, no epsilon).
+    */
+  def zcrEnergy(p: Pcm): (Long, Long) = {
+    val s = p.samples
+    var z = 0L
+    var sq = 0L
+    var i = 0
+    while (i < s.length) {
+      val v = s(i).toLong
+      sq += v * v
+      if (i > 0 && ((s(i) < 0) != (s(i - 1) < 0))) z += 1
+      i += 1
+    }
+    (z, sq)
+  }
+
   /** Energy split at \|v\| > thresh: (n_loud, Σv²_loud, n_quiet,
     * Σv²_quiet) — the SNR numerator/denominator sums.
     */

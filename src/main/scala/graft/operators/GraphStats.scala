@@ -166,4 +166,61 @@ object GraphStats {
         round(col("__s").cast("double") / 1e9, 6).as("aa_score"),
         col("a").isNotNull.as("is_edge"))
   }
+
+  /** X377 — the classical link-prediction score PANEL beside
+    * [[adamicAdar]]'s single score: common neighbors (the raw
+    * count), neighborhood Jaccard cn/(d_u + d_v − cn), and
+    * preferential attachment d_u·d_v — the three baselines every
+    * link-prediction eval reports (Liben-Nowell & Kleinberg 2003),
+    * from ONE wedge pass plus two degree joins. Same `maxDegree` hub
+    * valve and `is_edge` backtest flag as Adamic-Adar; candidate
+    * generation identical (pairs sharing ≥ minCommon sub-cap
+    * neighbors), so the panels align row-for-row.
+    *
+    * Exactness: cn/degrees/PA are exact integers; Jaccard is one
+    * division, round(6).
+    */
+  def linkScores(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Long = 1000L, minCommon: Long = 2L): DataFrame = {
+    require(maxDegree >= 2, s"bad maxDegree $maxDegree")
+    require(minCommon >= 1, s"bad minCommon $minCommon")
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    val adj = e.select(col("a").as("__w"), col("b").as("__u"))
+      .unionAll(e.select(col("b").as("__w"), col("a").as("__u")))
+    val deg = adj.groupBy(col("__w"))
+      .agg(count(lit(1)).cast("long").as("__d"))
+    val mids = deg.filter(col("__d") <= maxDegree && col("__d") >= 2L)
+      .select(col("__w"))
+    val wadj = adj.join(mids, Seq("__w"))
+    val pairs = wadj.as("x").join(wadj.as("y"),
+        col("x.__w") === col("y.__w") && col("x.__u") < col("y.__u"))
+      .groupBy(col("x.__u").as("node_a"), col("y.__u").as("node_b"))
+      .agg(count(lit(1)).cast("long").as("common_neighbors"))
+      .filter(col("common_neighbors") >= minCommon)
+    // endpoint degrees are the FULL degrees (the valve only removes
+    // hub MIDDLES from the wedge step, not hub endpoints)
+    val da = deg.select(col("__w").as("node_a"), col("__d").as("deg_a"))
+    val db = deg.select(col("__w").as("node_b"), col("__d").as("deg_b"))
+    // plain equi-joins (no forced broadcast): the degree table is
+    // node-sized — AQE broadcasts it when it fits, shuffles when not
+    val scored = pairs
+      .join(da, Seq("node_a"))
+      .join(db, Seq("node_b"))
+    scored.join(e,
+        scored("node_a") === e("a") && scored("node_b") === e("b"),
+        "left")
+      .select(col("node_a"), col("node_b"), col("common_neighbors"),
+        col("deg_a"), col("deg_b"),
+        round(col("common_neighbors").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common_neighbors"))
+            .cast("double"), 6).as("jaccard"),
+        (col("deg_a") * col("deg_b")).cast("long")
+          .as("pref_attachment"),
+        col("a").isNotNull.as("is_edge"))
+  }
 }

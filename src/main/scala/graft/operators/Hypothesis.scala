@@ -2326,4 +2326,70 @@ object Hypothesis {
             col("n_positive") > col("n_negative")))
           .as("simpson_flag"))
   }
+
+  /** X374 — Mantel-Haenszel pooled odds ratio + Woolf homogeneity
+    * across strata: the confounder-adjusted effect for stratified
+    * 2×2 tables — the companion X366's Simpson detector calls for
+    * (Simpson says "the strata disagree with the pool"; MH answers
+    * "so what IS the adjusted effect"). OR_MH = Σ(aᵢdᵢ/nᵢ) /
+    * Σ(bᵢcᵢ/nᵢ); Woolf's Q = Σ wᵢ(lnORᵢ − lnOR̄)² on
+    * Haldane-corrected (+0.5) cells tests whether pooling is even
+    * licensed (Q ≫ χ²_{k−1} → effects differ per stratum — report
+    * per-stratum, don't pool).
+    *
+    * Exactness: cells are exact integer counts; each stratum's
+    * aᵢdᵢ/nᵢ and bᵢcᵢ/nᵢ terms nano-quantize before the pooled
+    * sums (exact integer folds, order-free); Woolf weights and
+    * w·lnOR micro-quantize per stratum, the weighted mean is one
+    * ratio of exact integers, and the Q terms micro-quantize again
+    * against that mean — every double is fixed-shape per stratum,
+    * every cross-stratum sum an integer. Strata-bounded throughout:
+    * one cells agg, two tiny passes over the \|strata\|-row table.
+    */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+      exposed: Column, outcome: Column): DataFrame = {
+    val cells = df.groupBy(col(stratumCol))
+      .agg(
+        sum(when(exposed && outcome, 1L).otherwise(0L)).cast("long")
+          .as("a"),
+        sum(when(exposed && !outcome, 1L).otherwise(0L)).cast("long")
+          .as("b"),
+        sum(when(!exposed && outcome, 1L).otherwise(0L)).cast("long")
+          .as("c"),
+        sum(when(!exposed && !outcome, 1L).otherwise(0L)).cast("long")
+          .as("d"))
+      .localCheckpoint(true)
+    val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    val ah = col("a") + lit(0.5); val bh = col("b") + lit(0.5)
+    val ch = col("c") + lit(0.5); val dh = col("d") + lit(0.5)
+    val lnOr = log((ah * dh) / (bh * ch))
+    val w = lit(1.0) /
+      (lit(1.0) / ah + lit(1.0) / bh + lit(1.0) / ch + lit(1.0) / dh)
+    val terms = cells.select(
+      round(col("a").cast("double") * col("d") / n * 1e9, 0)
+        .cast("long").as("__adn"),
+      round(col("b").cast("double") * col("c") / n * 1e9, 0)
+        .cast("long").as("__bcn"),
+      round(w * 1e6, 0).cast("long").as("__w"),
+      round(w * lnOr * 1e6, 0).cast("long").as("__wl"))
+    val pooled = terms.agg(
+      count(lit(1)).cast("long").as("n_strata"),
+      sum(col("__adn")).cast("long").as("__sad"),
+      sum(col("__bcn")).cast("long").as("__sbc"),
+      sum(col("__w")).cast("long").as("__sw"),
+      sum(col("__wl")).cast("long").as("__swl"))
+    val lnBar = col("__swl").cast("double") / col("__sw").cast("double")
+    val q = cells.crossJoin(broadcast(pooled))
+      .select(col("n_strata"), col("__sad"), col("__sbc"),
+        round(w * (lnOr - lnBar) * (lnOr - lnBar) * 1e6, 0)
+          .cast("long").as("__q"))
+      .groupBy(col("n_strata"), col("__sad"), col("__sbc"))
+      .agg(sum(col("__q")).cast("long").as("__sq"))
+    q.select(col("n_strata"),
+      when(col("__sbc") > 0L,
+        round(col("__sad").cast("double") / col("__sbc").cast("double"),
+          6)).as("or_mh"),
+      round(col("__sq").cast("double") / 1e6, 6).as("woolf_q"),
+      (col("n_strata") - 1L).as("woolf_df"))
+  }
 }

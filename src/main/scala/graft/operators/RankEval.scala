@@ -694,4 +694,47 @@ object RankEval {
         .otherwise(when(col("n_pred") > 0L && col("n_ref") > 0L,
           lit(0.0))).as("f1"))
   }
+
+  /** X376 — expected calibration error over fixed equal-width bins:
+    * does a [0, 1] confidence score MEAN its number — ECE =
+    * Σ_b (n_b/N)·|acc_b − conf̄_b|, plus the max-bin gap (MCE) and
+    * the per-bin reliability gap is recoverable from the counts.
+    * The quality-classifier (X109) and calibration (X115) shelf's
+    * missing summary number: X115 rescales scores, this SCORES the
+    * scores.
+    *
+    * Exactness: confidence arrives MICRO-QUANTIZED (a long in
+    * [0, 10⁶]), so bins are pure integer arithmetic
+    * (min(bins−1, c·bins div 10⁶)), per-bin sums are exact longs,
+    * and the ECE numerator telescopes to the exact integer
+    * Σ_b\|out_b·10⁶ − Σconf_b\| — the statistic is ONE division.
+    * MCE is a per-bin fixed-shape ratio, max over ≤bins values.
+    * One hash agg on the bin key; nothing wider than \|bins\| moves
+    * after the scan.
+    */
+  def expectedCalibrationError(df: DataFrame, confMicro: Column,
+      outcome: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bad bins $bins")
+    val perBin = df.select(confMicro.as("__c"), outcome.as("__y"))
+      .select(least(lit(bins - 1L),
+        expr(s"(__c * $bins) div 1000000")).as("__b"),
+        col("__c"), col("__y"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).cast("long").as("__o"),
+        sum(col("__c")).cast("long").as("__cs"))
+    val gapNum = abs(col("__o") * lit(1000000L) - col("__cs"))
+    perBin
+      .select(col("__n"), gapNum.as("__g"),
+        (gapNum.cast("double") / (col("__n").cast("double") * 1e6))
+          .as("__gap"))
+      .agg(sum(col("__n")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_bins_used"),
+        sum(col("__g")).cast("long").as("__sg"),
+        max(col("__gap")).as("__mce"))
+      .select(col("n"), col("n_bins_used"),
+        when(col("n") > 0L, round(col("__sg").cast("double") /
+          (col("n").cast("double") * 1e6), 6)).as("ece"),
+        round(col("__mce"), 6).as("mce"))
+  }
 }

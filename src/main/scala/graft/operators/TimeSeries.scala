@@ -1070,4 +1070,55 @@ object TimeSeries {
           round(lit(1.0) - col("__sd").cast("double") /
             col("__see").cast("double") / 2.0, 6)).as("rho1"))
   }
+
+  /** X375 — KPSS level-stationarity statistic (Kwiatkowski et al.
+    * 1992), lag-`lags` Bartlett window: η̂ = n⁻²ΣS_t² over the
+    * cumulative demeaned series against the long-run variance — the
+    * COMPLEMENT of [[dickeyFuller]] (DF's null is the unit root,
+    * KPSS's null is stationarity; run both and the four quadrants
+    * are diagnostic: both reject → neither model fits). Large KPSS
+    * (> 0.463 at 5%) rejects level stationarity.
+    *
+    * Exactness: residuals scale to integers E_t = n·x_t − Σx (never
+    * a double mean), so the cumulative S_t, η = ΣS², and every
+    * autocovariance γ_j = ΣE_tE_{t−j} fold exactly in decimal; the
+    * Bartlett combination multiplies through by (l+1) —
+    * s2l = (l+1)γ₀ + 2Σ(l+1−j)γ_j stays an exact integer — and the
+    * statistic collapses to (l+1)·η / (n·s2l): ONE double division.
+    * NULL on a constant series (s2l = 0). Period-bounded single-task
+    * windows on the calendar-sized series (the dickeyFuller class).
+    */
+  def kpssTest(series: DataFrame, orderCol: String, valueCol: String,
+      lags: Int = 4): DataFrame = {
+    require(lags >= 0 && lags <= 48, s"bad lags $lags")
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col("__o"))
+    val base = series.select(col(valueCol).cast("long").as("__v"),
+      col(orderCol).as("__o"))
+    val tot = base.agg(count(lit(1)).cast("long").as("__n"),
+      sum(col("__v")).cast(dec).as("__t"))
+    val e = base.crossJoin(broadcast(tot))
+      .withColumn("__e",
+        (col("__n").cast(dec) * col("__v") - col("__t")).cast(dec))
+    val cum = e.withColumn("__s", sum(col("__e")).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val lagged = (1 to lags).foldLeft(cum) { (d, j) =>
+      d.withColumn(s"__l$j", lag(col("__e"), j).over(w))
+    }
+    val aggs = Seq(max(col("__n")).as("n"),
+      sum((col("__s") * col("__s")).cast(dec)).cast(dec).as("__eta"),
+      sum((col("__e") * col("__e")).cast(dec)).cast(dec).as("__g0")) ++
+      (1 to lags).map(j =>
+        sum((col("__e") * col(s"__l$j")).cast(dec)).cast(dec)
+          .as(s"__g$j"))
+    val agg = lagged.agg(aggs.head, aggs.tail: _*)
+    val s2l = ((col("__g0") * (lags + 1)) +
+      (1 to lags).map(j => col(s"__g$j") * (2 * (lags + 1 - j)))
+        .reduceOption[Column](_ + _).getOrElse(lit(0))).cast(dec)
+    agg.select(col("n"), lit(lags.toLong).as("lags"),
+      when(s2l > 0,
+        round(lit((lags + 1).toDouble) * col("__eta").cast("double") /
+          (col("n").cast("double") * s2l.cast("double")), 6))
+        .as("kpss_stat"))
+  }
 }

@@ -192,6 +192,74 @@ object CorpusPrepQueries {
           .orderBy($"doc_id")
       }),
 
+    // X379: padding-waste report over the X38 batch assembly — per
+    // bucket: how many pad tokens the fixed right-pad-to-batch-max
+    // layout burns (waste = 1 − Σtokens/Σ(rows·batch_max)) — the
+    // number that justifies length bucketing in the first place and
+    // the regression gate on any change to the batching policy.
+    QueryDef(
+      "q_padding_waste",
+      Some(s"""
+        WITH $toksCte, t AS (
+          SELECT doc_id, len(w) AS n_tokens FROM toks
+        ), b AS (
+          SELECT quantile_cont(n_tokens, 0.25) AS b0,
+                 quantile_cont(n_tokens, 0.5) AS b1,
+                 quantile_cont(n_tokens, 0.75) AS b2
+          FROM t
+        ), r AS (
+          SELECT doc_id, n_tokens,
+            1 + (n_tokens > b0)::INT + (n_tokens > b1)::INT
+              + (n_tokens > b2)::INT AS bucket
+          FROM t, b
+        ), rn AS (
+          SELECT doc_id, n_tokens, bucket,
+            row_number() OVER (PARTITION BY bucket
+                               ORDER BY n_tokens, doc_id) AS k
+          FROM r
+        ), batches AS (
+          SELECT bucket, (k - 1) // $BatchSize AS batch_id,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+                 CAST(max(n_tokens) AS BIGINT) AS max_len
+          FROM rn GROUP BY 1, 2
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_batches,
+               CAST(sum(n_rows) AS BIGINT) AS n_docs,
+               CAST(sum(token_sum) AS BIGINT) AS token_sum,
+               CAST(sum(n_rows * max_len) AS BIGINT) AS padded_sum,
+               CASE WHEN sum(n_rows * max_len) > 0 THEN
+                 round(1.0 - CAST(sum(token_sum) AS DOUBLE)
+                   / CAST(sum(n_rows * max_len) AS DOUBLE), 6)
+               END AS padding_waste
+        FROM batches GROUP BY bucket ORDER BY bucket
+      """.trim),
+      "X379 per-bucket padding waste of the batch assembly")(
+      (spark, dir) => {
+        import spark.implicits._
+        val counted = table(spark, dir, "documents")
+          .select($"doc_id",
+            size(graft.operators.Dedup.tokens($"text")).as("n_tokens"))
+        CorpusOps.assembleBatches(counted, "doc_id", "n_tokens",
+            BatchBuckets, BatchSize)
+          .groupBy($"bucket", $"batch_id")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum($"n_tokens").cast("long").as("token_sum"),
+            max($"n_tokens").cast("long").as("max_len"))
+          .groupBy($"bucket".cast("long").as("bucket"))
+          .agg(count(lit(1)).cast("long").as("n_batches"),
+            sum($"n_rows").cast("long").as("n_docs"),
+            sum($"token_sum").cast("long").as("token_sum"),
+            sum($"n_rows" * $"max_len").cast("long").as("padded_sum"))
+          .select($"bucket", $"n_batches", $"n_docs", $"token_sum",
+            $"padded_sum",
+            when($"padded_sum" > 0L,
+              round(lit(1.0) - $"token_sum".cast("double") /
+                $"padded_sum".cast("double"), 6)).as("padding_waste"))
+          .orderBy($"bucket")
+      }),
+
     // X39: token-budget corpus mixing — per-source deterministic
     // down-sampling to target token shares.
     QueryDef(

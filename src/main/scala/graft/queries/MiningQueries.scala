@@ -6846,6 +6846,67 @@ object MiningQueries {
           .orderBy($"doc_id")
       }),
 
+    // X378: ZCR + energy speechiness gate — the voiced/unvoiced/
+    // noise discriminator pair beside X357-X359: the fixture
+    // alternates 40-sample "tone" segments (slow ramp — few
+    // crossings, high energy) with 40-sample "hiss" segments (fast
+    // small oscillation — many crossings, low energy), and the
+    // kernel's exact integer (crossings, Σv²) replays as a lag
+    // window + sum in SQL.
+    QueryDef(
+      "q_audio_zcr",
+      Some("""
+        WITH s AS (
+          SELECT doc_id, greatest(n_chars, 1) AS n FROM documents
+        ), e AS (
+          SELECT doc_id, n, unnest(range(n)) AS i FROM s
+        ), v AS (
+          SELECT doc_id, n, i,
+                 CASE WHEN (i // 40) % 2 = 0
+                   THEN ((i % 20) - 10) * 2500
+                   ELSE (((i * 31 + 7) % 7) - 3) * 150 END AS v
+          FROM e
+        ), l AS (
+          SELECT doc_id, n, i, v,
+                 lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+          FROM v
+        ), a AS (
+          SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+                 CAST(sum(CASE WHEN pv IS NOT NULL
+                   AND ((v < 0) <> (pv < 0)) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS zcr,
+                 CAST(sum(v * v) AS BIGINT) AS energy
+          FROM l GROUP BY doc_id
+        )
+        SELECT doc_id, n_samples, zcr, energy,
+               CASE WHEN n_samples > 1 THEN
+                 round(CAST(zcr AS DOUBLE)
+                   / CAST(n_samples - 1 AS DOUBLE), 6) END AS zcr_rate
+        FROM a ORDER BY doc_id
+      """.trim),
+      "X378 zero-crossing + energy gate per clip")(
+      (spark, dir) => {
+        import spark.implicits._
+        val kernel = udf { nChars: Long =>
+          val n = math.max(nChars, 1L).toInt
+          val s = Array.tabulate(n)(i =>
+            if ((i / 40) % 2 == 0) ((i % 20) - 10) * 2500
+            else (((i * 31 + 7) % 7) - 3) * 150)
+          val (z, sq) = graft.audio.AudioQa.zcrEnergy(
+            graft.audio.Pcm.fromSamples(s, 16000))
+          (n.toLong, z, sq)
+        }
+        table(spark, dir, "documents")
+          .select($"doc_id", kernel(greatest($"n_chars", lit(1L)))
+            .as("r"))
+          .select($"doc_id", $"r._1".as("n_samples"),
+            $"r._2".as("zcr"), $"r._3".as("energy"))
+          .withColumn("zcr_rate",
+            when($"n_samples" > 1L, round($"zcr".cast("double") /
+              ($"n_samples" - 1L).cast("double"), 6)))
+          .orderBy($"doc_id")
+      }),
+
     // X358: loudness panel — peak/RMS dBFS + DC offset from exact
     // kernel moments, dB math in Column space so the oracle replays it.
     QueryDef(
@@ -7345,6 +7406,219 @@ object MiningQueries {
         graft.operators.Similarity.pairCosineHistogram(
           table(spark, dir, "embeddings"), "vec_id", "embedding",
           bins = 20)
+      }),
+
+    // X374: Mantel-Haenszel pooled OR + Woolf homogeneity — the
+    // confounder-adjusted effect the X366 Simpson detector calls
+    // for (strata = source, exposure = en, outcome = long doc).
+    QueryDef(
+      "q_mantel_haenszel",
+      Some("""
+        WITH cells AS (
+          SELECT source,
+            CAST(sum(CASE WHEN lang = 'en' AND n_chars >= 250
+              THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(sum(CASE WHEN lang = 'en' AND n_chars < 250
+              THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(sum(CASE WHEN lang <> 'en' AND n_chars >= 250
+              THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(sum(CASE WHEN lang <> 'en' AND n_chars < 250
+              THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM documents GROUP BY source
+        ), t AS (
+          SELECT a, b, c, d,
+            CAST(a + b + c + d AS DOUBLE) AS n,
+            ln(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5)))
+              AS lnor,
+            1.0 / (1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+              + 1.0 / (c + 0.5) + 1.0 / (d + 0.5)) AS w
+          FROM cells
+        ), terms AS (
+          SELECT lnor, w,
+            CAST(round(CAST(a AS DOUBLE) * d / n * 1e9) AS BIGINT)
+              AS adn,
+            CAST(round(CAST(b AS DOUBLE) * c / n * 1e9) AS BIGINT)
+              AS bcn,
+            CAST(round(w * 1e6) AS BIGINT) AS wq,
+            CAST(round(w * lnor * 1e6) AS BIGINT) AS wl
+          FROM t
+        ), pooled AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                 CAST(sum(adn) AS BIGINT) AS sad,
+                 CAST(sum(bcn) AS BIGINT) AS sbc,
+                 CAST(sum(wq) AS BIGINT) AS sw,
+                 CAST(sum(wl) AS BIGINT) AS swl
+          FROM terms
+        ), qsum AS (
+          SELECT n_strata, sad, sbc,
+            CAST(sum(CAST(round(t.w
+              * (t.lnor - CAST(swl AS DOUBLE) / CAST(sw AS DOUBLE))
+              * (t.lnor - CAST(swl AS DOUBLE) / CAST(sw AS DOUBLE))
+              * 1e6) AS BIGINT)) AS BIGINT) AS sq
+          FROM terms t, pooled
+          GROUP BY 1, 2, 3
+        )
+        SELECT n_strata,
+               CASE WHEN sbc > 0 THEN
+                 round(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE), 6)
+               END AS or_mh,
+               round(CAST(sq AS DOUBLE) / 1e6, 6) AS woolf_q,
+               n_strata - 1 AS woolf_df
+        FROM qsum
+      """.trim),
+      "X374 Mantel-Haenszel pooled OR across sources + Woolf Q")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.mantelHaenszel(table(spark, dir, "documents"),
+          "source", $"lang" === "en", $"n_chars" >= 250)
+      }),
+
+    // X375: KPSS level-stationarity on the daily event counts — the
+    // null-reversed complement of q_dickey_fuller.
+    QueryDef(
+      "q_kpss",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1
+        ), tot AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(v AS HUGEINT)) AS tt
+          FROM daily
+        ), e AS (
+          SELECT d, n * v - tt AS ev FROM daily, tot
+        ), s AS (
+          SELECT d, ev,
+                 sum(ev) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS sv,
+                 lag(ev, 1) OVER (ORDER BY d) AS l1,
+                 lag(ev, 2) OVER (ORDER BY d) AS l2,
+                 lag(ev, 3) OVER (ORDER BY d) AS l3,
+                 lag(ev, 4) OVER (ORDER BY d) AS l4
+          FROM e
+        ), agg AS (
+          SELECT sum(sv * sv) AS eta, sum(ev * ev) AS g0,
+                 sum(ev * l1) AS g1, sum(ev * l2) AS g2,
+                 sum(ev * l3) AS g3, sum(ev * l4) AS g4
+          FROM s
+        )
+        SELECT CAST(n AS BIGINT) AS n, CAST(4 AS BIGINT) AS lags,
+               CASE WHEN 5 * g0 + 2 * (4 * g1 + 3 * g2 + 2 * g3 + g4)
+                      > 0 THEN
+                 round(5.0 * CAST(eta AS DOUBLE)
+                   / (CAST(n AS DOUBLE)
+                     * CAST(5 * g0 + 2 * (4 * g1 + 3 * g2 + 2 * g3
+                       + g4) AS DOUBLE)), 6)
+               END AS kpss_stat
+        FROM agg, tot
+      """.trim),
+      "X375 KPSS level-stationarity of daily event counts, 4 lags")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.kpssTest(daily, "d", "v", lags = 4)
+      }),
+
+    // X376: expected calibration error — length-as-confidence
+    // (min(n_chars,500)/500, an exact micro integer) predicting
+    // lang = en, 10 fixed bins.
+    QueryDef(
+      "q_ece",
+      Some("""
+        WITH b AS (
+          SELECT least(CAST(n_chars AS BIGINT), 500) * 2000 AS c,
+                 lang = 'en' AS y
+          FROM documents
+        ), pb AS (
+          SELECT least(9, (c * 10) // 1000000) AS bin,
+                 CAST(count(*) AS BIGINT) AS nb,
+                 CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ob,
+                 CAST(sum(c) AS BIGINT) AS cs
+          FROM b GROUP BY 1
+        ), g AS (
+          SELECT nb, abs(ob * 1000000 - cs) AS gn,
+                 CAST(abs(ob * 1000000 - cs) AS DOUBLE)
+                   / (CAST(nb AS DOUBLE) * 1e6) AS gap
+          FROM pb
+        )
+        SELECT CAST(sum(nb) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_bins_used,
+               CASE WHEN sum(nb) > 0 THEN
+                 round(CAST(sum(gn) AS DOUBLE)
+                   / (CAST(sum(nb) AS DOUBLE) * 1e6), 6) END AS ece,
+               round(max(gap), 6) AS mce
+        FROM g
+      """.trim),
+      "X376 ECE/MCE: doc length as confidence for lang=en, 10 bins")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.RankEval.expectedCalibrationError(
+          table(spark, dir, "documents"),
+          least($"n_chars".cast("long"), lit(500L)) * 2000L,
+          $"lang" === "en", bins = 10)
+      }),
+
+    // X377: link-prediction panel (common neighbors / Jaccard /
+    // preferential attachment) on the X230 co-purchase graph —
+    // aligned candidate set, top-200 by common neighbors.
+    QueryDef(
+      "q_link_panel",
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                 greatest(x.l_partkey, y.l_partkey) AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey
+            AND x.l_partkey < y.l_partkey
+          WHERE x.l_linenumber <= 3 AND y.l_linenumber <= 3
+        ), adj AS (
+          SELECT a AS w, b AS u FROM e UNION ALL SELECT b, a FROM e
+        ), deg AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1
+        ), mids AS (
+          SELECT w FROM deg WHERE d >= 2 AND d <= 50
+        ), wadj AS (
+          SELECT adj.w, adj.u FROM adj JOIN mids USING (w)
+        ), pairs AS (
+          SELECT x.u AS node_a, y.u AS node_b,
+                 CAST(count(*) AS BIGINT) AS common_neighbors
+          FROM wadj x JOIN wadj y ON x.w = y.w AND x.u < y.u
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ), scored AS (
+          SELECT node_a, node_b, common_neighbors,
+                 da.d AS deg_a, db.d AS deg_b
+          FROM pairs
+          JOIN deg da ON da.w = node_a
+          JOIN deg db ON db.w = node_b
+        )
+        SELECT node_a, node_b, common_neighbors, deg_a, deg_b,
+               round(CAST(common_neighbors AS DOUBLE)
+                 / CAST(deg_a + deg_b - common_neighbors AS DOUBLE),
+                 6) AS jaccard,
+               CAST(deg_a * deg_b AS BIGINT) AS pref_attachment,
+               (e.a IS NOT NULL) AS is_edge
+        FROM scored LEFT JOIN e ON e.a = node_a AND e.b = node_b
+        ORDER BY common_neighbors DESC, node_a, node_b
+        LIMIT 200
+      """.trim),
+      "X377 link-prediction panel: CN/Jaccard/PA top-200, co-purchase")(
+      (spark, dir) => {
+        import spark.implicits._
+        val li = table(spark, dir, "lineitem")
+          .filter($"l_linenumber" <= 3)
+          .select($"l_orderkey", $"l_partkey")
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("s1"),
+            col("y.l_partkey").as("s2"))
+        GraphStats.linkScores(e, "s1", "s2",
+            maxDegree = 50L, minCommon = 2L)
+          .orderBy($"common_neighbors".desc, $"node_a", $"node_b")
+          .limit(200)
       })
   )
 

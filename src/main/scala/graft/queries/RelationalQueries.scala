@@ -243,5 +243,159 @@ object RelationalQueries {
             round(sum($"volume").cast("double"), 2).as("total_volume"))
           .orderBy($"o_year")
       }),
+
+    // X370 — TPC-H Q10 shape: returned-item reporting — top-20
+    // customers by revenue lost to returns in a quarter; the classic
+    // fact-fact join + broadcast-dimension rollup + bounded top-k.
+    QueryDef(
+      "q_returned_items",
+      Some("""
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= DATE '1997-01-01'
+          AND o.o_orderdate < DATE '1997-07-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+      """.trim),
+      "TPC-H Q10 top-20 customers by returned revenue, 1997 H1")(
+      (spark, dir) => {
+        import spark.implicits._
+        val o = table(spark, dir, "orders").filter(
+          $"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-07-01").cast("timestamp"))
+        val l = table(spark, dir, "lineitem")
+          .filter($"l_returnflag" === "R")
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(table(spark, dir, "customer")),
+            $"o_custkey" === $"c_custkey")
+          .join(broadcast(table(spark, dir, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"n_name".as("nation"))
+          .agg(round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+            .cast("decimal(20,6)")).cast("double"), 2).as("revenue"))
+          .select($"c_custkey", $"c_name", $"nation", $"revenue")
+          .orderBy($"revenue".desc, $"c_custkey")
+          .limit(20)
+      }),
+
+    // X371 — TPC-H Q12 shape: late-shipment priority split. The
+    // fixture has no l_shipmode/commitdate, so the Q12 semantics
+    // (group lines by a category, split counts by order priority,
+    // gate on a date-arithmetic lateness predicate) run on
+    // l_linestatus with lateness = shipped > 90 days after the
+    // order date — same join + conditional-agg + calendar-diff plan.
+    QueryDef(
+      "q_late_lines",
+      Some("""
+        SELECT l.l_linestatus AS linestatus,
+               CAST(sum(CASE WHEN o.o_orderpriority IN
+                 ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority IN
+                 ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+                 AS low_line_count
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                CAST(l.l_shipdate AS DATE)) > 90
+        GROUP BY 1
+        ORDER BY 1
+      """.trim),
+      "TPC-H Q12 shape: late-line priority split by linestatus")(
+      (spark, dir) => {
+        import spark.implicits._
+        val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+        table(spark, dir, "orders").as("o")
+          .join(table(spark, dir, "lineitem").as("l"),
+            $"l.l_orderkey" === $"o.o_orderkey")
+          .filter(datediff(to_date($"l.l_shipdate"),
+            to_date($"o.o_orderdate")) > 90)
+          .groupBy($"l.l_linestatus".as("linestatus"))
+          .agg(sum(when(hi, 1L).otherwise(0L)).cast("long")
+              .as("high_line_count"),
+            sum(when(hi, 0L).otherwise(1L)).cast("long")
+              .as("low_line_count"))
+          .orderBy($"linestatus")
+      }),
+
+    // X372 — TPC-H Q14 shape: promo revenue share for one ship
+    // month — selective date-range scan + broadcast part join + a
+    // conditional-over-total ratio on exact decimal sums.
+    QueryDef(
+      "q_promo_share",
+      Some("""
+        SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(20,6))
+                 ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+               / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(20,6))) AS DOUBLE), 6) AS promo_share,
+               round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(20,6))) AS DOUBLE), 2) AS total_revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= DATE '1997-09-01'
+          AND l.l_shipdate < DATE '1997-10-01'
+      """.trim),
+      "TPC-H Q14 promo revenue share, September 1997")(
+      (spark, dir) => {
+        import spark.implicits._
+        val rev = ($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(20,6)")
+        table(spark, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1997-09-01").cast("timestamp")
+            && $"l_shipdate" < lit("1997-10-01").cast("timestamp"))
+          .join(broadcast(table(spark, dir, "part")),
+            $"l_partkey" === $"p_partkey")
+          .agg(
+            round(sum(when($"p_type" === "PROMO", rev)
+                .otherwise(lit(0).cast("decimal(20,6)"))).cast("double")
+              * 100.0 / sum(rev).cast("double"), 6).as("promo_share"),
+            round(sum(rev).cast("double"), 2).as("total_revenue"),
+            count(lit(1)).cast("long").as("n_lines"))
+      }),
+
+    // X373 — TPC-H Q19 shape: disjunctive bracket predicates
+    // (brand × size-band × quantity-band triples OR'd together) —
+    // the planner-stressing filter that must stay INSIDE the
+    // broadcast-join scan, not become three unioned scans.
+    QueryDef(
+      "q_bracket_revenue",
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+           OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity >= 20 AND l.l_quantity <= 45)
+      """.trim),
+      "TPC-H Q19 disjunctive bracket revenue")(
+      (spark, dir) => {
+        import spark.implicits._
+        def bracket(brand: String, szLo: Int, szHi: Int,
+            qLo: Double, qHi: Double) =
+          $"p_brand" === brand &&
+            $"p_size".between(szLo, szHi) &&
+            $"l_quantity" >= qLo && $"l_quantity" <= qHi
+        table(spark, dir, "lineitem")
+          .join(broadcast(table(spark, dir, "part")),
+            $"l_partkey" === $"p_partkey")
+          .filter(bracket("Brand#1", 1, 15, 1, 20) ||
+            bracket("Brand#2", 10, 30, 10, 30) ||
+            bracket("Brand#9", 20, 50, 20, 45))
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+              .cast("decimal(20,6)")).cast("double"), 2).as("revenue"))
+      }),
   )
 }
