@@ -312,4 +312,33 @@ object Privacy {
         .as("n_candidates"),
       coalesce(validCount, lit(0)).cast("long").as("n_luhn_valid"))
   }
+
+  /** X384 — multi-category PII scan: per-doc counts of email,
+    * NANP-dashed phone, IPv4, and SSN-shaped substrings — the
+    * breadth companion to [[luhnScan]]'s depth (Luhn validates ONE
+    * category; release gates need the panel). Patterns stick to
+    * char classes + bounded quantifiers, the regex subset Java and
+    * RE2 engines agree on exactly, so the counts hash-match any
+    * oracle. Pure per-row `regexp_extract_all` counts in the scan
+    * stage — codegen, no shuffle; arrays coalesced before size()
+    * (the legacy sizeOfNull convention).
+    */
+  def piiScan(docs: DataFrame, docCol: String, textCol: String)
+      : DataFrame = {
+    def cnt(pat: String) =
+      size(coalesce(regexp_extract_all(col(textCol), lit(pat), lit(0)),
+        array())).cast("long")
+    val d = docs.select(col(docCol),
+      cnt("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+        .as("n_emails"),
+      cnt("[0-9]{3}-[0-9]{3}-[0-9]{4}").as("n_phones"),
+      cnt("([0-9]{1,3}\\.){3}[0-9]{1,3}").as("n_ipv4"),
+      cnt("[0-9]{3}-[0-9]{2}-[0-9]{4}").as("n_ssn"))
+    d.select(col(docCol), col("n_emails"), col("n_phones"),
+      col("n_ipv4"), col("n_ssn"),
+      (col("n_emails") + col("n_phones") + col("n_ipv4") +
+        col("n_ssn")).as("n_pii"),
+      (col("n_emails") + col("n_phones") + col("n_ipv4") +
+        col("n_ssn") > 0L).as("has_pii"))
+  }
 }

@@ -7619,6 +7619,64 @@ object MiningQueries {
             maxDegree = 50L, minCommon = 2L)
           .orderBy($"common_neighbors".desc, $"node_a", $"node_b")
           .limit(200)
+      }),
+
+    // X384: multi-category PII panel — emails/phones/IPv4/SSN-shaped
+    // per doc, over text deterministically decorated from doc_id
+    // (the corpus itself is PII-free — the decoration is the fixture,
+    // the scan machinery is the contract; the q_token_f1 convention).
+    QueryDef(
+      "q_pii_scan",
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                 || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309'
+               ELSE '' END
+            || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.0.'
+                 || CAST(doc_id % 256 AS VARCHAR)
+               ELSE '' END
+            || CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-6789'
+               ELSE '' END AS text
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(text,
+              '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+            CAST(len(regexp_extract_all(text,
+              '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+            CAST(len(regexp_extract_all(text,
+              '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn
+          FROM d
+        )
+        SELECT doc_id, n_emails, n_phones, n_ipv4, n_ssn,
+               n_emails + n_phones + n_ipv4 + n_ssn AS n_pii,
+               n_emails + n_phones + n_ipv4 + n_ssn > 0 AS has_pii
+        FROM c ORDER BY doc_id
+      """.trim),
+      "X384 multi-category PII scan over decorated docs")(
+      (spark, dir) => {
+        import spark.implicits._
+        val deco = concat($"text",
+          when($"doc_id" % 7 === 0, concat(lit(" contact user"),
+            $"doc_id".cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when($"doc_id" % 11 === 0, lit(" call 555-867-5309"))
+            .otherwise(lit("")),
+          when($"doc_id" % 13 === 0, concat(lit(" host 10.0.0."),
+            ($"doc_id" % 256).cast("string"))).otherwise(lit("")),
+          when($"doc_id" % 17 === 0, lit(" ssn 123-45-6789"))
+            .otherwise(lit("")))
+        graft.operators.Privacy.piiScan(
+            table(spark, dir, "documents")
+              .select($"doc_id", deco.as("text")),
+            "doc_id", "text")
+          .orderBy($"doc_id")
       })
   )
 

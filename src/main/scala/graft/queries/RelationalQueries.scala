@@ -397,5 +397,177 @@ object RelationalQueries {
             round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
               .cast("decimal(20,6)")).cast("double"), 2).as("revenue"))
       }),
+
+    // X380 — TPC-H Q7 shape: volume shipping between two nations —
+    // the two-sided symmetric join predicate ((s=N1 ∧ c=N2) ∨
+    // (s=N2 ∧ c=N1)) across a five-table snowflake, by ship year.
+    QueryDef(
+      "q_volume_shipping",
+      Some("""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+          AND l.l_shipdate >= DATE '1996-01-01'
+          AND l.l_shipdate < DATE '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+      """.trim),
+      "TPC-H Q7 volume shipping NATION_1<->NATION_2 by year")(
+      (spark, dir) => {
+        import spark.implicits._
+        val j = table(spark, dir, "lineitem").as("l")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+            && $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+          .join(table(spark, dir, "orders").as("o"),
+            $"l.l_orderkey" === $"o.o_orderkey")
+          .join(broadcast(table(spark, dir, "customer")).as("c"),
+            $"o.o_custkey" === $"c.c_custkey")
+          .join(broadcast(table(spark, dir, "nation")).as("cn"),
+            $"c.c_nationkey" === $"cn.n_nationkey")
+          .join(broadcast(table(spark, dir, "supplier")).as("s"),
+            $"l.l_suppkey" === $"s.s_suppkey")
+          .join(broadcast(table(spark, dir, "nation")).as("sn"),
+            $"s.s_nationkey" === $"sn.n_nationkey")
+        j.filter(($"sn.n_name" === "NATION_1" &&
+            $"cn.n_name" === "NATION_2") ||
+            ($"sn.n_name" === "NATION_2" && $"cn.n_name" === "NATION_1"))
+          .groupBy($"sn.n_name".as("supp_nation"),
+            $"cn.n_name".as("cust_nation"),
+            year($"l.l_shipdate").cast("long").as("l_year"))
+          .agg(round(sum(($"l.l_extendedprice" * (lit(1) - $"l.l_discount"))
+            .cast("decimal(20,6)")).cast("double"), 2).as("revenue"))
+          .orderBy($"supp_nation", $"cust_nation", $"l_year")
+      }),
+
+    // X381 — TPC-H Q15 shape: top supplier by quarterly revenue —
+    // the aggregate-then-argmax-by-subquery pattern (revenue CTE
+    // reused as both the join side and the max lookup; exact decimal
+    // makes the max-equality safe in any engine).
+    QueryDef(
+      "q_top_supplier",
+      Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(20,6))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1998-01-01'
+            AND l_shipdate < DATE '1998-04-01'
+          GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name,
+               round(CAST(r.total_rev AS DOUBLE), 2) AS total_rev
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+        ORDER BY s.s_suppkey
+      """.trim),
+      "TPC-H Q15 top supplier by 1998Q1 revenue")(
+      (spark, dir) => {
+        import spark.implicits._
+        val rev = table(spark, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp")
+            && $"l_shipdate" < lit("1998-04-01").cast("timestamp"))
+          .groupBy($"l_suppkey")
+          .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+            .cast("decimal(20,6)")).as("total_rev"))
+        val best = rev.agg(max($"total_rev").as("__best"))
+        rev.crossJoin(broadcast(best))
+          .filter($"total_rev" === $"__best")
+          .join(broadcast(table(spark, dir, "supplier")),
+            $"l_suppkey" === $"s_suppkey")
+          .select($"s_suppkey", $"s_name",
+            round($"total_rev".cast("double"), 2).as("total_rev"))
+          .orderBy($"s_suppkey")
+      }),
+
+    // X382 — TPC-H Q16 shape: supplier counts per part attribute
+    // triple with a NOT IN anti-join blocklist; the partsupp stand-in
+    // is the distinct (part, supplier) pairs observed in lineitem.
+    QueryDef(
+      "q_part_supplier_counts",
+      Some("""
+        WITH ps AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT ps.l_suppkey) AS BIGINT)
+                 AS supplier_cnt
+        FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+        WHERE p.p_brand <> 'Brand#5'
+          AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND ps.l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+      """.trim),
+      "TPC-H Q16 supplier counts per attribute triple, blocklisted")(
+      (spark, dir) => {
+        import spark.implicits._
+        val ps = table(spark, dir, "lineitem")
+          .select($"l_partkey", $"l_suppkey").distinct()
+        val blocked = table(spark, dir, "supplier")
+          .filter($"s_name".endsWith("7")).select($"s_suppkey")
+        ps.join(broadcast(blocked),
+            $"l_suppkey" === $"s_suppkey", "left_anti")
+          .join(broadcast(table(spark, dir, "part")
+              .filter($"p_brand" =!= "Brand#5" &&
+                $"p_size".isin(1, 9, 14, 19, 23, 36, 45, 49))),
+            $"p_partkey" === $"l_partkey")
+          .groupBy($"p_brand", $"p_type",
+            $"p_size".cast("long").as("p_size"))
+          .agg(countDistinct($"l_suppkey").cast("long")
+            .as("supplier_cnt"))
+          .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type",
+            $"p_size")
+      }),
+
+    // X383 — TPC-H Q17 shape: small-quantity-order revenue — the
+    // correlated per-part average subquery, decorrelated into a
+    // grouped aggregate + join-back; the 0.2·avg comparison runs in
+    // pure integers (5·q·count < sum) so no engine's avg() order
+    // matters.
+    QueryDef(
+      "q_small_qty_revenue",
+      Some("""
+        WITH pq AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               round(CAST(sum(CAST(l.l_extendedprice
+                 AS DECIMAL(20,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN pq ON pq.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#9' AND p.p_type = 'PROMO'
+          AND 5 * CAST(l.l_quantity AS BIGINT) * pq.c < pq.s
+      """.trim),
+      "TPC-H Q17 small-quantity revenue, Brand#9/PROMO")(
+      (spark, dir) => {
+        import spark.implicits._
+        val li = table(spark, dir, "lineitem")
+        val pq = li.groupBy($"l_partkey".as("__pk"))
+          .agg(sum($"l_quantity".cast("long")).cast("long").as("__s"),
+            count(lit(1)).cast("long").as("__c"))
+        li.join(broadcast(table(spark, dir, "part")
+              .filter($"p_brand" === "Brand#9" && $"p_type" === "PROMO")),
+            $"p_partkey" === $"l_partkey")
+          .join(pq, $"__pk" === $"l_partkey")
+          .filter(lit(5L) * $"l_quantity".cast("long") * $"__c" < $"__s")
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            round(sum($"l_extendedprice".cast("decimal(20,6)"))
+              .cast("double") / 7.0, 2).as("avg_yearly"))
+      }),
   )
 }
