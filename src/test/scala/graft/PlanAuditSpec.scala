@@ -1265,4 +1265,59 @@ class PlanAuditSpec extends AnyFunSuite {
           s"churn window funneled to one task:\n$above")
       }
   }
+
+  test("r12 TPC-H shapes: brackets stay in ONE broadcast join, " +
+    "returns push the flag filter, dims broadcast") {
+    // Q19: the OR-of-brackets must not explode into unioned scans or
+    // a cartesian — one part join, predicate evaluated inside it
+    val br = plan("q_bracket_revenue")
+    assert(br.contains("BroadcastHashJoin"), br.take(800))
+    assert(!br.contains("CartesianProduct") && !br.contains("Union"),
+      "bracket disjunction split the plan")
+    assert("FileScan parquet".r.findAllIn(br).length == 2,
+      "extra scans for the bracket arms")
+    // Q10: the returnflag filter reaches the lineitem scan
+    val ret = plan("q_returned_items")
+    assert("PushedFilters: \\[[^\\]]*l_returnflag[^\\]]*\\]".r
+      .findFirstIn(ret).isDefined, "returnflag not pushed")
+    assert(ret.contains("BroadcastHashJoin"), "dims not broadcast")
+    // Q17: the per-part avg decorrelation keeps partial aggs and the
+    // tiny part dimension broadcast
+    val sq = plan("q_small_qty_revenue")
+    assert(sq.contains("partial_sum") || sq.contains("partial_count"),
+      "per-part agg lost its partial")
+    assert(sq.contains("BroadcastHashJoin"), "part filter not broadcast")
+  }
+
+  test("r12 graph/retention shapes: no cartesian in the link panel; " +
+    "retention reads events ONCE with no join") {
+    val lp = plan("q_link_panel")
+    assert(!lp.contains("CartesianProduct") &&
+      !lp.contains("BroadcastNestedLoopJoin"),
+      "link panel fell into an all-pairs join")
+    assert(lp.contains("TakeOrderedAndProject"),
+      "top-200 degraded to a global sort")
+    val rc = plan("q_retention_cohorts")
+    assert("FileScan parquet".r.findAllIn(rc).length == 1,
+      s"retention scans events more than once:\n${rc.take(1200)}")
+    assert(!rc.contains("SortMergeJoin") &&
+      !rc.contains("BroadcastHashJoin"),
+      "retention re-grew a join")
+    assert(rc.contains("partial_count"), "cells agg lost its partial")
+  }
+
+  test("r12 PII scan: decorated-text scan stays pruned and codegen'd") {
+    val p = plan("q_pii_scan")
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("source"),
+      s"unpruned scan: $read")
+    assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined,
+      "regex counters not codegen'd")
+    // the ONLY exchange allowed is the contract ORDER BY's range
+    // partition — the counters themselves must not shuffle
+    val ex = "Exchange \\w+".r.findAllIn(p).toVector
+    assert(ex.forall(_.contains("rangepartitioning")),
+      s"a per-row scan op shuffled: $ex")
+  }
 }
