@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{DotProduct, GramHashExpression, NumToWordsExpression, ShingleHashExpression, SqDistLong}
+import graft.plans.{DotLong, DotProduct, GramHashExpression, NumToWordsExpression, ShingleHashExpression, SqDistLong}
 
 /** Engine SQL surface: registers graft-native functions so
   * `spark.sql("SELECT num_to_words(n) ...")` works in any session
@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (children: Seq[Expression]) =>
         DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot_l"),
+      new ExpressionInfo(classOf[DotLong].getName, "vec_dot_l"),
+      (children: Seq[Expression]) =>
+        DotLong(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("vec_sqdist_l"),
       new ExpressionInfo(classOf[SqDistLong].getName, "vec_sqdist_l"),

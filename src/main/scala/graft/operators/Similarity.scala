@@ -47,6 +47,12 @@ object Similarity {
   def sqDistL(a: Column, b: Column): Column =
     call_function("vec_sqdist_l", a, b)
 
+  /** Exact integer Σaᵢbᵢ on micro-quantized long components (native
+    * codegen `vec_dot_l`) — identical in any engine.
+    */
+  def dotL(a: Column, b: Column): Column =
+    call_function("vec_dot_l", a, b)
+
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
@@ -1182,16 +1188,26 @@ object Similarity {
     require(candidatesPerRound >= 1, s"bad candidatesPerRound")
     val spark = vecs.sparkSession
     import spark.implicits._
+    // r12: the greedy state is EXACT integer end to end — components
+    // micro-quantize, each point↔candidate cosine NANO-quantizes
+    // (one fixed-shape double from exact integer dot and norms, then
+    // round to a long), coverage is a max of longs and every round's
+    // gain a sum of longs — so the whole selection replays as an
+    // unrolled SQL CTE chain (the geoMedianSql convention) and the
+    // query carries a full hash oracle.
     var state = vecs.select(col(idCol).cast("long").as("id"),
-        toDouble(col(vecCol)).as("__v"))
-      .withColumn("__n", l2norm(col("__v")))
-      .filter(col("__n") > 0.0)
-      .withColumn("__cov", lit(0.0))
+        transform(toDouble(col(vecCol)),
+          x => round(x * 1e6, 0).cast("long")).as("__q"))
+      .withColumn("__n2", dotL(col("__q"), col("__q")))
+      .filter(col("__n2") > 0L)
+      .withColumn("__cov", lit(0L))
       .localCheckpoint(true)
-    def cosTo(vec: Array[Double], norm: Double): Column =
-      dot(col("__v"), typedlit(vec)) / (col("__n") * norm)
+    def cosqTo(vec: Seq[Long], n2c: Long): Column =
+      round(lit(1e9) * dotL(col("__q"), typedlit(vec)).cast("double") /
+        (sqrt(col("__n2").cast("double")) *
+          sqrt(lit(n2c).cast("double"))), 0).cast("long")
     val picks = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Double, Double)]
+      .empty[(Long, Long, Long, Double)]
     var rnd = 1
     while (rnd <= k) {
       val chosen = picks.map(_._2)
@@ -1208,35 +1224,35 @@ object Similarity {
       else {
         val candVecs = state
           .filter(col("id").isin(candIds.toSeq: _*))
-          .select(col("id"), col("__v"), col("__n"))
+          .select(col("id"), col("__q"), col("__n2"))
           .collect()
-          .map(r => (r.getLong(0),
-            r.getSeq[Double](1).toArray, r.getDouble(2)))
+          .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
           .sortBy(_._1)
-        val gainAggs = candVecs.map { case (cid, vec, norm) =>
-          sum(greatest(cosTo(vec, norm) - col("__cov"), lit(0.0)))
-            .as(s"g_$cid")
+        val gainAggs = candVecs.map { case (cid, vec, n2) =>
+          sum(greatest(cosqTo(vec, n2) - col("__cov"), lit(0L)))
+            .cast("long").as(s"g_$cid")
         }
-        val extras = Seq(sum(col("__cov")).as("__covsum"),
+        val extras = Seq(sum(col("__cov")).cast("long").as("__covsum"),
           count(lit(1)).as("__cnt"))
         val row = state.agg((gainAggs ++ extras).head,
           (gainAggs ++ extras).tail: _*).head()
         val (bestId, bestGain) = candVecs.map { case (cid, _, _) =>
-          cid -> row.getAs[Double](s"g_$cid")
+          cid -> row.getAs[Long](s"g_$cid")
         }.maxBy { case (cid, g) => (g, -cid) } // tie -> smaller id
         val n = row.getAs[Long]("__cnt").toDouble
-        val covAfter = (row.getAs[Double]("__covsum") + bestGain) / n
+        val covAfter =
+          (row.getAs[Long]("__covsum") + bestGain).toDouble / (n * 1e9)
         picks += ((rnd.toLong, bestId, bestGain, covAfter))
-        val (_, bv, bn) = candVecs.find(_._1 == bestId).get
+        val (_, bv, bn2) = candVecs.find(_._1 == bestId).get
         state = state.withColumn("__cov",
-            greatest(col("__cov"), cosTo(bv, bn)))
+            greatest(col("__cov"), cosqTo(bv, bn2)))
           .localCheckpoint(true)
         rnd += 1
       }
     }
     picks.toSeq.toDF("selection_rank", "vec_id", "__g", "__c")
       .select(col("selection_rank"), col("vec_id"),
-        round(col("__g"), 6).as("marginal_gain"),
+        round(col("__g").cast("double") / 1e9, 6).as("marginal_gain"),
         round(col("__c"), 6).as("mean_coverage"))
   }
 

@@ -19,6 +19,17 @@ object VectorMath {
     acc
   }
 
+  /** Exact integer Σaᵢbᵢ on micro-quantized components (longs) —
+    * order-independent, so any engine's fold matches exactly.
+    */
+  def dotL(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
   /** Exact integer Σ(aᵢ−bᵢ)² — the squared euclidean distance on
     * micro-quantized components (longs). Integer adds are
     * order-independent, so any engine's fold matches exactly.
@@ -72,6 +83,42 @@ final case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): DotProduct = copy(newLeft, newRight)
 
   override def prettyName: String = "vec_dot"
+}
+
+/** `vec_dot_l(array<bigint>, array<bigint>) -> bigint`: exact
+  * integer dot product as a native expression — same rationale as
+  * [[SqDistLong]]: codegen-hot AND drift-free in any engine.
+  */
+final case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_dot_l requires two ARRAY<BIGINT>, got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.dotL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.VectorMath.dotL($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotLong = copy(newLeft, newRight)
+
+  override def prettyName: String = "vec_dot_l"
 }
 
 /** `vec_sqdist_l(array<bigint>, array<bigint>) -> bigint`: exact

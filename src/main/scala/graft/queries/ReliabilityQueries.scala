@@ -30,6 +30,78 @@ object ReliabilityQueries {
     s"""(('0x' || substr(md5('bloom' || h.h::VARCHAR || ':' || $valueExpr), 1, 8))::BIGINT
        | % $BloomBits)""".stripMargin.replace("\n", "")
 
+  /** Unrolled stochastic-greedy coreset oracle (X159): per round r —
+    * candidate draw by md5 order over the not-yet-picked set, every
+    * candidate's marginal gain as an exact long sum of
+    * nano-quantized cosine improvements, argmax pick (tie → smaller
+    * id), coverage column update as a long max. The p{r} CTE chain
+    * is the SQL twin of the operator's localCheckpoint loop.
+    */
+  private def coresetSql(k: Int, cands: Int, salt: String): String = {
+    def cosq(pv: String, pn2: String, cv: String, cn2: String) =
+      s"""CAST(round(1e9 * CAST(list_sum(list_transform(
+           generate_series(1, len($pv)), t -> $pv[t] * $cv[t]))
+           AS DOUBLE) / (sqrt(CAST($pn2 AS DOUBLE))
+           * sqrt(CAST($cn2 AS DOUBLE)))) AS BIGINT)"""
+    val head = """
+      WITH q AS (
+        SELECT vec_id AS id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+          AS v
+        FROM embeddings
+      ), p0 AS MATERIALIZED (
+        SELECT id, v, n2, CAST(0 AS BIGINT) AS cov FROM (
+          SELECT id, v,
+                 CAST(list_sum(list_transform(v, x -> x * x))
+                   AS BIGINT) AS n2
+          FROM q) WHERE n2 > 0
+      )"""
+    val steps = (1 to k).map { r =>
+      val notPicked = if (r == 1) ""
+        else "WHERE p.id NOT IN (" +
+          (1 until r).map(i => s"SELECT id FROM pick$i")
+            .mkString(" UNION ALL ") + ")"
+      s""", cand$r AS MATERIALIZED (
+        SELECT p.id, p.v, p.n2 FROM p${r - 1} p
+        $notPicked
+        ORDER BY CAST(('0x' || substr(md5('$salt' || '$r' || ':'
+          || CAST(p.id AS VARCHAR)), 1, 8)) AS BIGINT), p.id
+        LIMIT $cands
+      ), g$r AS MATERIALIZED (
+        SELECT c.id AS cand,
+               CAST(sum(greatest(
+                 ${cosq("p.v", "p.n2", "c.v", "c.n2")} - p.cov, 0))
+                 AS BIGINT) AS gain
+        FROM cand$r c, p${r - 1} p
+        GROUP BY 1
+      ), pick$r AS MATERIALIZED (
+        SELECT cand AS id, gain FROM g$r ORDER BY gain DESC, cand
+        LIMIT 1
+      ), p$r AS MATERIALIZED (
+        SELECT p.id, p.v, p.n2,
+               greatest(p.cov,
+                 ${cosq("p.v", "p.n2", "c.v", "c.n2")}) AS cov
+        FROM p${r - 1} p,
+             (SELECT c.* FROM cand$r c JOIN pick$r kk ON c.id = kk.id) c
+      ), cov$r AS MATERIALIZED (
+        SELECT CAST(sum(cov) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM p$r
+      )"""
+    }.mkString
+    val rows = (1 to k).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS selection_rank, kk.id AS vec_id,
+             round(CAST(kk.gain AS DOUBLE) / 1e9, 6) AS marginal_gain,
+             round(CAST(c.s AS DOUBLE) / (CAST(c.n AS DOUBLE) * 1e9),
+               6) AS mean_coverage
+      FROM pick$r kk, cov$r c"""
+    }.mkString("\n      UNION ALL\n      ")
+    (head + steps + s"""
+      SELECT * FROM (
+      $rows
+      ) ORDER BY selection_rank""").trim
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // X153: top-30%-per-source length gate — exact two-phase rank,
@@ -1262,13 +1334,15 @@ object ReliabilityQueries {
       }),
 
     // X159: stochastic-greedy facility-location coreset — pick the 8
-    // embeddings that best cover the corpus by max-cosine. Greedy
-    // over cosine doubles is not SQL-expressible → rows-only by
-    // SURVEY §8 contract (scalar columns); exact-greedy parity and
-    // coverage monotonicity are spec-asserted (CoresetSpec).
+    // embeddings that best cover the corpus by max-cosine. r12: the
+    // greedy state moved to exact integers (nano-quantized cosines,
+    // long coverage maxima, long gain sums), so the selection replays
+    // as an unrolled CTE chain — full hash oracle (the X272/X132
+    // iterative-replay convention); exact-greedy parity and coverage
+    // monotonicity stay spec-asserted (CoresetSpec).
     QueryDef(
       "q_coreset_select",
-      None,
+      Some(coresetSql(k = 8, cands = 16, salt = "coreset")),
       "X159 facility-location coreset selection (k=8, md5-candidates)")(
       (spark, dir) =>
         graft.operators.Similarity.coresetSelect(
