@@ -1299,37 +1299,53 @@ object Similarity {
     require(lambda >= 0 && lambda <= 1, s"bad lambda $lambda")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val qn = math.sqrt(queryVec.map(x => x * x).sum)
-    require(qn > 0, "zero query vector")
+    // r12: relevance and redundancy NANO-quantize to longs (one
+    // fixed-shape double each from exact integer dots/norms, rounded
+    // half-away like every engine's round()), so the greedy replays
+    // as an unrolled SQL CTE chain and the query carries a full hash
+    // oracle. The λ-mix stays a fixed-shape double on the two longs
+    // — spelled identically in the oracle.
+    def halfAway(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+    val qv: Seq[Long] = queryVec.map(x => halfAway(x * 1e6)).toSeq
+    val n2q = qv.map(x => x * x).sum
+    require(n2q > 0, "zero query vector")
     val pool = vecs.select(col(idCol).cast("long").as("id"),
-        toDouble(col(vecCol)).as("__v"))
-      .withColumn("__n", l2norm(col("__v")))
-      .filter(col("__n") > 0.0)
+        transform(toDouble(col(vecCol)),
+          x => round(x * 1e6, 0).cast("long")).as("__q"))
+      .withColumn("__n2", dotL(col("__q"), col("__q")))
+      .filter(col("__n2") > 0L)
       .withColumn("__rel",
-        dot(col("__v"), typedlit(queryVec.toSeq)) / (col("__n") * qn))
+        round(lit(1e9) * dotL(col("__q"), typedlit(qv)).cast("double") /
+          (sqrt(col("__n2").cast("double")) *
+            sqrt(lit(n2q).cast("double"))), 0).cast("long"))
       .orderBy(col("__rel").desc, col("id"))
       .limit(poolSize)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
-        r.getDouble(2), r.getDouble(3)))
-    def cos(a: Array[Double], na: Double, b: Array[Double],
-        nb: Double): Double = {
-      var s = 0.0; var i = 0
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray,
+        r.getLong(2), r.getLong(3)))
+    def cosq(a: Array[Long], n2a: Long, b: Array[Long],
+        n2b: Long): Long = {
+      var s = 0L; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s / (na * nb)
+      halfAway(1e9 * s.toDouble /
+        (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble)))
     }
     val picked = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Double, Double)]
+      .empty[(Long, Long, Long, Double)]
     val chosen = scala.collection.mutable.ArrayBuffer
-      .empty[(Array[Double], Double)]
+      .empty[(Array[Long], Long)]
     var rnd = 1L
     while (rnd <= k && picked.length < pool.length) {
       val best = pool.iterator
         .filter(c => !picked.exists(_._2 == c._1))
-        .map { case (id, v, n, rel) =>
-          val red = if (chosen.isEmpty) 0.0
-            else chosen.map { case (sv, sn) => cos(v, n, sv, sn) }.max
-          (id, v, n, rel, lambda * rel - (1 - lambda) * red)
+        .map { case (id, v, n2, rel) =>
+          val red = if (chosen.isEmpty) 0L
+            else chosen.map { case (sv, sn2) => cosq(v, n2, sv, sn2) }
+              .max
+          (id, v, n2, rel,
+            lambda * rel.toDouble - (1 - lambda) * red.toDouble)
         }
         .reduceLeft { (a, b) =>
           if (b._5 > a._5 || (b._5 == a._5 && b._1 < a._1)) b else a
@@ -1340,8 +1356,8 @@ object Similarity {
     }
     picked.toSeq.toDF("selection_rank", "vec_id", "__r", "__m")
       .select(col("selection_rank"), col("vec_id"),
-        round(col("__r"), 6).as("relevance"),
-        round(col("__m"), 6).as("mmr_score"))
+        round(col("__r").cast("double") / 1e9, 6).as("relevance"),
+        round(col("__m") / 1e9, 6).as("mmr_score"))
   }
 
   /** X272 — geometric median (Weiszfeld, bounded iterations): the

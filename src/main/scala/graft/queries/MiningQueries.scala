@@ -1577,11 +1577,12 @@ object MiningQueries {
       }),
 
     // X257: MMR diverse top-10 against the e0 probe direction.
-    // Rows-only (the greedy loop has no SQL twin); spec covers the
-    // redundancy-suppression law.
+    // r12: relevance/redundancy nano-quantize to longs, so the
+    // greedy replays as an unrolled MATERIALIZED-CTE chain — full
+    // hash oracle; the spec keeps the redundancy-suppression law.
     QueryDef(
       "q_mmr",
-      None,
+      Some(mmrSql(k = 10, poolSize = 50, lambda = 0.7)),
       "X257 MMR diverse top-10, e0 probe, lambda 0.7")(
       (spark, dir) => {
         import spark.implicits._
@@ -7679,6 +7680,73 @@ object MiningQueries {
           .orderBy($"doc_id")
       })
   )
+
+  /** Unrolled MMR oracle (X257): pool = top-`poolSize` by the
+    * nano-quantized e0-probe relevance; each round's redundancy is
+    * the max nano cosine to the picked set and the λ-mix is the
+    * identical fixed-shape double the operator computes. MATERIALIZED
+    * (the coresetSql lesson: inlined CTEs re-expand the round chain
+    * exponentially).
+    */
+  private def mmrSql(k: Int, poolSize: Int, lambda: Double): String = {
+    def cosq(pv: String, pn2: String, sv: String, sn2: String) =
+      s"""CAST(round(1e9 * CAST(list_sum(list_transform(
+           generate_series(1, len($pv)), t -> $pv[t] * $sv[t]))
+           AS DOUBLE) / (sqrt(CAST($pn2 AS DOUBLE))
+           * sqrt(CAST($sn2 AS DOUBLE)))) AS BIGINT)"""
+    val head = s"""
+      WITH q AS (
+        SELECT vec_id AS id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+          AS v
+        FROM embeddings
+      ), pool AS MATERIALIZED (
+        SELECT id, v, n2,
+               CAST(round(1e9 * CAST(v[1] * 1000000 AS DOUBLE)
+                 / (sqrt(CAST(n2 AS DOUBLE))
+                   * sqrt(CAST(1000000000000 AS DOUBLE))))
+                 AS BIGINT) AS relq
+        FROM (SELECT id, v,
+                CAST(list_sum(list_transform(v, x -> x * x))
+                  AS BIGINT) AS n2
+              FROM q)
+        WHERE n2 > 0
+        ORDER BY relq DESC, id LIMIT $poolSize
+      ), pick1 AS MATERIALIZED (
+        SELECT id, relq, CAST(0 AS BIGINT) AS red,
+               $lambda * CAST(relq AS DOUBLE)
+                 - (1 - $lambda) * CAST(0 AS DOUBLE) AS score
+        FROM pool ORDER BY score DESC, id LIMIT 1
+      )"""
+    val steps = (2 to k).map { r =>
+      val pickedUnion = (1 until r).map(i => s"SELECT id FROM pick$i")
+        .mkString(" UNION ALL ")
+      s""", red$r AS MATERIALIZED (
+        SELECT p.id, p.relq,
+               max(${cosq("p.v", "p.n2", "s.v", "s.n2")}) AS red
+        FROM pool p,
+             (SELECT pp.* FROM pool pp
+              WHERE pp.id IN ($pickedUnion)) s
+        WHERE p.id NOT IN ($pickedUnion)
+        GROUP BY p.id, p.relq
+      ), pick$r AS MATERIALIZED (
+        SELECT id, relq, red,
+               $lambda * CAST(relq AS DOUBLE)
+                 - (1 - $lambda) * CAST(red AS DOUBLE) AS score
+        FROM red$r ORDER BY score DESC, id LIMIT 1
+      )"""
+    }.mkString
+    val rows = (1 to k).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS selection_rank, id AS vec_id,
+             round(CAST(relq AS DOUBLE) / 1e9, 6) AS relevance,
+             round(score / 1e9, 6) AS mmr_score
+      FROM pick$r"""
+    }.mkString("\n      UNION ALL\n      ")
+    (head + steps + s"""
+      SELECT * FROM (
+      $rows
+      ) ORDER BY selection_rank""").trim
+  }
 
   /** Unrolled Weiszfeld oracle (X272): cN CTE chain over the exact
     * integer center state — each round recomputes the integer
