@@ -102,6 +102,52 @@ object ReliabilityQueries {
       ) ORDER BY selection_rank""").trim
   }
 
+  /** Recursive-CTE replay of Lamping-Veach jump hash (X178): the
+    * walk state (b, j, k) advances exactly like `ZOrder.jumpHash` —
+    * k wraps mod 2⁶⁴ (HUGEINT % 18446744073709551616 = Java's
+    * overflowing multiply on the unsigned view), k ⋙ 33 is integer
+    * division, and j = trunc((b+1)·2³¹/((k⋙33)+1)) is one
+    * fixed-shape double on exact ≤2³¹ integers. A row leaves the
+    * recursion the moment j ≥ n; its b is the shard.
+    */
+  private def jumpShardsSql(n1: Int, n2: Int): String = {
+    def walk(name: String, n: Int) =
+      s"""$name AS (
+        SELECT id, b, j, k FROM seed
+        UNION ALL
+        SELECT id, j AS b,
+          CAST(trunc((j + 1) * 2147483648.0 /
+            CAST(k2 // 8589934592 + 1 AS DOUBLE)) AS BIGINT) AS j,
+          k2 AS k
+        FROM (SELECT id, j,
+                (k * 2862933555777941757 + 1)
+                  % 18446744073709551616 AS k2
+              FROM $name WHERE j < $n)
+      )"""
+    s"""
+    WITH RECURSIVE u AS (
+      SELECT DISTINCT user_id AS id FROM events
+    ), seed AS (
+      SELECT id, CAST(-1 AS BIGINT) AS b, CAST(0 AS BIGINT) AS j,
+        CAST(CASE WHEN id < 0
+          THEN CAST(id AS HUGEINT) + 18446744073709551616
+          ELSE CAST(id AS HUGEINT) END AS HUGEINT) AS k
+      FROM u
+    ), ${walk("walk1", n1)},
+    f1 AS (SELECT id, b AS s FROM walk1 WHERE j >= $n1),
+    ${walk("walk2", n2)},
+    f2 AS (SELECT id, b AS s FROM walk2 WHERE j >= $n2)
+    SELECT CAST(a.s AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN b.s <> a.s THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_moved_to_new,
+           CAST(sum(CASE WHEN b.s <> a.s AND b.s <> $n1 THEN 1
+             ELSE 0 END) AS BIGINT) AS n_moved_elsewhere
+    FROM f1 a JOIN f2 b USING (id)
+    GROUP BY 1 ORDER BY shard
+    """.trim
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // X153: top-30%-per-source length gate — exact two-phase rank,
@@ -1240,10 +1286,15 @@ object ReliabilityQueries {
     // 32 shards plus the 32→33 growth movement; moved_elsewhere is 0
     // BY THE ALGORITHM (minimal movement: leavers go only to the new
     // shard), so the column doubles as an in-output cross-check.
-    // Data-dependent loop → rows-only by SURVEY §8 (scalar columns).
+    // r12: the data-dependent LCG loop REPLAYS as a recursive CTE —
+    // the wrapping 64-bit multiply becomes HUGEINT arithmetic mod
+    // 2⁶⁴ (Java's overflow semantics made explicit), k >>> 33 is
+    // integer division on the unsigned value, and the double mix
+    // (b+1)·2³¹/(rand+1) is fixed-shape on exact small integers —
+    // so the census is now a full hash oracle.
     QueryDef(
       "q_jump_shards",
-      None,
+      Some(jumpShardsSql(32, 33)),
       "X178 jump-hash shard census + minimal-movement growth check")(
       (spark, dir) => {
         import spark.implicits._
@@ -1252,7 +1303,7 @@ object ReliabilityQueries {
         QueryDef.events(spark, dir).select($"user_id").distinct()
           .select($"user_id", j32($"user_id").as("s32"),
             j33($"user_id").as("s33"))
-          .groupBy($"s32".as("shard"))
+          .groupBy($"s32".cast("long").as("shard"))
           .agg(count(lit(1)).as("n_users"),
             sum(when($"s33" =!= $"s32", 1L).otherwise(0L))
               .as("n_moved_to_new"),
