@@ -220,6 +220,73 @@ object Funnel {
           .otherwise(round(exp(col("__lnsum")), 6)).as("survival"))
   }
 
+  /** X386 — Aalen-Johansen cumulative incidence for two COMPETING
+    * risks: CIF_k(t) = Σ_{tᵢ≤t} Ŝ(tᵢ−)·d_{k,i}/nᵢ with Ŝ the
+    * all-cause Kaplan-Meier — the correct "probability cause k has
+    * happened by t" when another event can preempt it (1 − KM_k
+    * overstates every cause; the textbook competing-risks error).
+    * Completes the survival shelf beside [[kaplanMeier]] (single
+    * cause) and `nelsonAalen` (hazard). Input: one row per subject
+    * with (duration, cause) — cause 0 = censored, 1, 2.
+    *
+    * Exactness: d/c/risk sets are exact integer cumulative counts on
+    * the distinct-duration table (value-bounded windows, the KM
+    * class); Ŝ(t−) folds as exp of the ORDERED lnterm prefix
+    * (sequential in both engines); each CIF increment is one
+    * fixed-shape double PICO-quantized before the cumulative sum, so
+    * the running CIFs fold exactly. Output per distinct EVENT time.
+    */
+  def aalenJohansen(subjects: DataFrame, durationCol: String,
+      causeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = subjects
+      .select(col(durationCol).cast("long").as("__t"),
+        col(causeCol).cast("int").as("__k"))
+      .groupBy(col("__t"))
+      .agg(sum(when(col("__k") === 1, 1L).otherwise(0L)).as("__d1"),
+        sum(when(col("__k") === 2, 1L).otherwise(0L)).as("__d2"),
+        sum(when(col("__k") === 0, 1L).otherwise(0L)).as("__c"))
+    val w = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = col("__d1") + col("__d2") + col("__c")
+    val tot = per.agg(sum(all).cast("long").as("__nn"))
+    val d = col("__d1") + col("__d2")
+    val rs = per.crossJoin(broadcast(tot))
+      .withColumn("__left", sum(all).over(w))
+      .withColumn("__nrisk", col("__nn") - (col("__left") - all))
+    val lnterm =
+      when(d === 0L, lit(0.0))
+        .when(d < col("__nrisk"),
+          log(lit(1.0) - d.cast("double") /
+            col("__nrisk").cast("double")))
+        .otherwise(lit(0.0))
+    val cum = rs
+      .withColumn("__lnprev",
+        coalesce(sum(lnterm).over(wPrev), lit(0.0)))
+      .withColumn("__deadprev",
+        coalesce(max(when(d === col("__nrisk"), 1L).otherwise(0L))
+          .over(wPrev), lit(0L)))
+    val sPrev = when(col("__deadprev") === 1L, lit(0.0))
+      .otherwise(exp(col("__lnprev")))
+    def inc(dk: Column) = round(sPrev * dk.cast("double") /
+      col("__nrisk").cast("double") * 1e12, 0).cast("long")
+    cum
+      .withColumn("__i1", inc(col("__d1")))
+      .withColumn("__i2", inc(col("__d2")))
+      .withColumn("__ci1", sum(col("__i1")).over(w))
+      .withColumn("__ci2", sum(col("__i2")).over(w))
+      .filter(d > 0L)
+      .select(col("__t").as("t"),
+        col("__nrisk").cast("long").as("n_risk"),
+        col("__d1").cast("long").as("d1"),
+        col("__d2").cast("long").as("d2"),
+        col("__c").cast("long").as("censored_here"),
+        round(col("__ci1").cast("double") / 1e12, 6).as("cif1"),
+        round(col("__ci2").cast("double") / 1e12, 6).as("cif2"))
+  }
+
   /** X200 — transition (conditional) entropy of an event stream:
     * per current state, H(next | cur) = −Σ_n p(n|cur)·ln p(n|cur)
     * from the exact bigram transition counts of each key's

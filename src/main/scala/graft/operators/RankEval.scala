@@ -712,6 +712,64 @@ object RankEval {
     * One hash agg on the bin key; nothing wider than \|bins\| moves
     * after the scan.
     */
+  /** X385 — Brier score with the Murphy (1973) three-way
+    * decomposition over fixed bins: BS = REL − RES + UNC (up to the
+    * within-bin variance the binning absorbs) — REL is what X376's
+    * ECE measures (miscalibration), RES is the score's actual
+    * DISCRIMINATION, UNC the outcome's inherent entropy. The pair
+    * (q_ece, q_brier) separates "lying about confidence" from
+    * "not knowing anything".
+    *
+    * Exactness: the raw Brier numerator Σ(c − y·10⁶)² is an exact
+    * long (micro confidences); REL/RES terms are one fixed-shape
+    * double per bin, pico-quantized BEFORE the cross-bin sums so
+    * those fold exactly; UNC is one expression on exact counts.
+    */
+  def brierDecomposition(df: DataFrame, confMicro: Column,
+      outcome: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bad bins $bins")
+    val perBin = df.select(confMicro.as("__c"),
+        when(outcome, 1L).otherwise(0L).as("__y"))
+      .select(least(lit(bins - 1L),
+        expr(s"(__c * $bins) div 1000000")).as("__b"),
+        col("__c"), col("__y"),
+        ((col("__c") - col("__y") * 1000000L) *
+          (col("__c") - col("__y") * 1000000L)).as("__sq"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("__y")).cast("long").as("__o"),
+        sum(col("__c")).cast("long").as("__cs"),
+        sum(col("__sq")).cast("long").as("__sqs"))
+    val tot = perBin.agg(sum(col("__n")).cast("long").as("__nn"),
+      sum(col("__o")).cast("long").as("__oo"),
+      sum(col("__sqs")).cast("long").as("__bn"))
+    val acc = col("__o").cast("double") / col("__n").cast("double")
+    val confBar = col("__cs").cast("double") /
+      (col("__n").cast("double") * 1e6)
+    val yBar = col("__oo").cast("double") / col("__nn").cast("double")
+    val relT = round(col("__n").cast("double") *
+      (confBar - acc) * (confBar - acc) * 1e12, 0).cast("long")
+    val resT = round(col("__n").cast("double") *
+      (acc - yBar) * (acc - yBar) * 1e12, 0).cast("long")
+    perBin.crossJoin(broadcast(tot))
+      .select(col("__nn"), col("__oo"), col("__bn"),
+        relT.as("__rel"), resT.as("__res"))
+      .groupBy(col("__nn"), col("__oo"), col("__bn"))
+      .agg(count(lit(1)).cast("long").as("n_bins_used"),
+        sum(col("__rel")).cast("long").as("__sr"),
+        sum(col("__res")).cast("long").as("__ss"))
+      .select(col("__nn").as("n"), col("n_bins_used"),
+        round(col("__bn").cast("double") /
+          (col("__nn").cast("double") * 1e12), 6).as("brier"),
+        round(col("__sr").cast("double") /
+          (col("__nn").cast("double") * 1e12), 6).as("reliability"),
+        round(col("__ss").cast("double") /
+          (col("__nn").cast("double") * 1e12), 6).as("resolution"),
+        round((col("__oo").cast("double") / col("__nn").cast("double"))
+          * (lit(1.0) - col("__oo").cast("double") /
+            col("__nn").cast("double")), 6).as("uncertainty"))
+  }
+
   def expectedCalibrationError(df: DataFrame, confMicro: Column,
       outcome: Column, bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 1000, s"bad bins $bins")

@@ -7562,6 +7562,68 @@ object MiningQueries {
           $"lang" === "en", bins = 10)
       }),
 
+    // X385: Brier + Murphy decomposition on the same
+    // length-as-confidence contract as q_ece — REL (what ECE sees)
+    // vs RES (discrimination) vs UNC (inherent entropy).
+    QueryDef(
+      "q_brier",
+      Some("""
+        WITH b AS (
+          SELECT least(CAST(n_chars AS BIGINT), 500) * 2000 AS c,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents
+        ), pb AS (
+          SELECT least(9, (c * 10) // 1000000) AS bin,
+                 CAST(count(*) AS BIGINT) AS nb,
+                 CAST(sum(y) AS BIGINT) AS ob,
+                 CAST(sum(c) AS BIGINT) AS cs,
+                 CAST(sum((c - y * 1000000) * (c - y * 1000000))
+                   AS BIGINT) AS sqs
+          FROM b GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(nb) AS BIGINT) AS nn,
+                 CAST(sum(ob) AS BIGINT) AS oo,
+                 CAST(sum(sqs) AS BIGINT) AS bn
+          FROM pb
+        ), terms AS (
+          SELECT
+            CAST(round(CAST(nb AS DOUBLE)
+              * (CAST(cs AS DOUBLE) / (CAST(nb AS DOUBLE) * 1e6)
+                 - CAST(ob AS DOUBLE) / CAST(nb AS DOUBLE))
+              * (CAST(cs AS DOUBLE) / (CAST(nb AS DOUBLE) * 1e6)
+                 - CAST(ob AS DOUBLE) / CAST(nb AS DOUBLE))
+              * 1e12) AS BIGINT) AS rel,
+            CAST(round(CAST(nb AS DOUBLE)
+              * (CAST(ob AS DOUBLE) / CAST(nb AS DOUBLE)
+                 - CAST(oo AS DOUBLE) / CAST(nn AS DOUBLE))
+              * (CAST(ob AS DOUBLE) / CAST(nb AS DOUBLE)
+                 - CAST(oo AS DOUBLE) / CAST(nn AS DOUBLE))
+              * 1e12) AS BIGINT) AS res
+          FROM pb, tot
+        )
+        SELECT t.nn AS n,
+               (SELECT CAST(count(*) AS BIGINT) FROM pb)
+                 AS n_bins_used,
+               round(CAST(t.bn AS DOUBLE)
+                 / (CAST(t.nn AS DOUBLE) * 1e12), 6) AS brier,
+               round(CAST((SELECT sum(rel) FROM terms) AS DOUBLE)
+                 / (CAST(t.nn AS DOUBLE) * 1e12), 6) AS reliability,
+               round(CAST((SELECT sum(res) FROM terms) AS DOUBLE)
+                 / (CAST(t.nn AS DOUBLE) * 1e12), 6) AS resolution,
+               round(CAST(t.oo AS DOUBLE) / CAST(t.nn AS DOUBLE)
+                 * (1.0 - CAST(t.oo AS DOUBLE)
+                   / CAST(t.nn AS DOUBLE)), 6) AS uncertainty
+        FROM tot t
+      """.trim),
+      "X385 Brier + Murphy decomposition, length-conf for lang=en")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.RankEval.brierDecomposition(
+          table(spark, dir, "documents"),
+          least($"n_chars".cast("long"), lit(500L)) * 2000L,
+          $"lang" === "en", bins = 10)
+      }),
+
     // X377: link-prediction panel (common neighbors / Jaccard /
     // preferential attachment) on the X230 co-purchase graph —
     // aligned candidate set, top-200 by common neighbors.

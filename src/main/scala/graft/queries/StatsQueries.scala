@@ -1541,6 +1541,131 @@ object StatsQueries {
           .orderBy($"t")
       }),
 
+    // X386: Aalen-Johansen cumulative incidence — view→purchase vs
+    // view→error as COMPETING risks (1 − KM per cause overstates
+    // both; this is the correct split). Same fixture family as
+    // q_kaplan_meier; ties purchase-first.
+    QueryDef(
+      "q_cum_incidence",
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view'
+                   THEN CAST(ts AS DATE) END) AS fv,
+                 min(CASE WHEN event_type = 'purchase'
+                   THEN CAST(ts AS DATE) END) AS fp0,
+                 min(CASE WHEN event_type = 'error'
+                   THEN CAST(ts AS DATE) END) AS fe0
+          FROM events GROUP BY 1
+        ), mx AS (SELECT max(CAST(ts AS DATE)) AS mend FROM events),
+        subj AS (
+          SELECT CASE WHEN k = 1
+                   THEN CAST(date_diff('day', fv, fp) AS BIGINT)
+                 WHEN k = 2
+                   THEN CAST(date_diff('day', fv, fe) AS BIGINT)
+                 ELSE CAST(date_diff('day', fv, mend) AS BIGINT)
+                 END AS dur, k
+          FROM (
+            SELECT fv, fp, fe, mend,
+              CASE WHEN fp IS NOT NULL AND (fe IS NULL OR fp <= fe)
+                     THEN 1
+                   WHEN fe IS NOT NULL THEN 2 ELSE 0 END AS k
+            FROM (SELECT fv,
+                    CASE WHEN fp0 IS NOT NULL AND fp0 >= fv
+                      THEN fp0 END AS fp,
+                    CASE WHEN fe0 IS NOT NULL AND fe0 >= fv
+                      THEN fe0 END AS fe,
+                    mend
+                  FROM u, mx WHERE fv IS NOT NULL)
+          )
+        ), per AS (
+          SELECT dur AS t,
+            CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS d1,
+            CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS d2,
+            CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS c
+          FROM subj GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(d1 + d2 + c) AS BIGINT) AS nn FROM per
+        ), cumt AS (
+          SELECT t, d1, d2, c, nn,
+                 CAST(sum(d1 + d2 + c) OVER (ORDER BY t) AS BIGINT)
+                   AS lft
+          FROM per, tot
+        ), rs AS (
+          SELECT t, d1, d2, c,
+                 nn - (lft - d1 - d2 - c) AS nrisk
+          FROM cumt
+        ), terms AS (
+          SELECT t, d1, d2, c, nrisk,
+            CASE WHEN d1 + d2 = 0 THEN 0.0
+                 WHEN d1 + d2 < nrisk THEN
+                   ln(1.0 - CAST(d1 + d2 AS DOUBLE)
+                     / CAST(nrisk AS DOUBLE))
+                 ELSE 0.0 END AS lnterm,
+            CASE WHEN d1 + d2 = nrisk THEN 1 ELSE 0 END AS deadflag
+          FROM rs
+        ), walk AS (
+          SELECT t, d1, d2, c, nrisk,
+            coalesce(sum(lnterm) OVER (ORDER BY t ROWS BETWEEN
+              UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS lnprev,
+            coalesce(max(deadflag) OVER (ORDER BY t ROWS BETWEEN
+              UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS deadprev
+          FROM terms
+        ), incs AS (
+          SELECT t, d1, d2, c, nrisk,
+            CAST(round((CASE WHEN deadprev = 1 THEN 0.0
+                ELSE exp(lnprev) END)
+              * CAST(d1 AS DOUBLE) / CAST(nrisk AS DOUBLE) * 1e12)
+              AS BIGINT) AS i1,
+            CAST(round((CASE WHEN deadprev = 1 THEN 0.0
+                ELSE exp(lnprev) END)
+              * CAST(d2 AS DOUBLE) / CAST(nrisk AS DOUBLE) * 1e12)
+              AS BIGINT) AS i2
+          FROM walk
+        ), fin AS (
+          SELECT t, d1, d2, c, nrisk,
+            CAST(sum(i1) OVER (ORDER BY t) AS BIGINT) AS ci1,
+            CAST(sum(i2) OVER (ORDER BY t) AS BIGINT) AS ci2
+          FROM incs
+        )
+        SELECT t, nrisk AS n_risk, d1, d2, c AS censored_here,
+               round(CAST(ci1 AS DOUBLE) / 1e12, 6) AS cif1,
+               round(CAST(ci2 AS DOUBLE) / 1e12, 6) AS cif2
+        FROM fin WHERE d1 + d2 > 0
+        ORDER BY t
+      """.trim),
+      "X386 Aalen-Johansen CIF: purchase vs error competing risks")(
+      (spark, dir) => {
+        import spark.implicits._
+        val ev = events(spark, dir)
+        val day = to_date(date_trunc("day", $"ts"))
+        val u = ev.groupBy($"user_id").agg(
+          min(when($"event_type" === "view", day)).as("fv"),
+          min(when($"event_type" === "purchase", day)).as("fp0"),
+          min(when($"event_type" === "error", day)).as("fe0"))
+        val mx = ev.agg(max(day).as("mend"))
+        val subj = u.crossJoin(broadcast(mx))
+          .filter($"fv".isNotNull)
+          .withColumn("fp",
+            when($"fp0".isNotNull && $"fp0" >= $"fv", $"fp0"))
+          .withColumn("fe",
+            when($"fe0".isNotNull && $"fe0" >= $"fv", $"fe0"))
+          .withColumn("k",
+            when($"fp".isNotNull && ($"fe".isNull || $"fp" <= $"fe"),
+              1).when($"fe".isNotNull, 2).otherwise(0))
+          .select(
+            when($"k" === 1, datediff($"fp", $"fv"))
+              .when($"k" === 2, datediff($"fe", $"fv"))
+              .otherwise(datediff($"mend", $"fv")).cast("long")
+              .as("dur"),
+            $"k")
+        graft.operators.Funnel.aalenJohansen(subj, "dur", "k")
+          .orderBy($"t")
+      }),
+
     // X214: temporal coverage audit per event type — span, density,
     // and the largest silent gap.
     QueryDef(

@@ -133,6 +133,46 @@ class Wave50Spec extends AnyFunSuite {
     assert(kept.getAs[Long]("pref_attachment") == 4L)
   }
 
+  // ---- X385 brierDecomposition ---------------------------------------------
+
+  test("brierDecomposition: hand bins — BS = REL − RES + UNC when " +
+    "confidence is constant within bins") {
+    val rows = Seq((200000L, true), (200000L, false), (200000L, false),
+      (200000L, false), (900000L, true), (900000L, true))
+    val r = RankEval.brierDecomposition(rows.toDF("c", "y"),
+      col("c"), col("y"), bins = 10).collect()(0)
+    assert(r.getAs[Long]("n") == 6)
+    assert(r.getAs[Long]("n_bins_used") == 2)
+    assert(r.getAs[Double]("brier") == 0.13)
+    assert(r.getAs[Double]("reliability") == 0.005)
+    assert(r.getAs[Double]("resolution") == 0.125)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    // Murphy identity holds exactly here (zero within-bin variance)
+    assert(math.abs(0.005 - 0.125 + 0.25 - 0.13) < 1e-12)
+  }
+
+  // ---- X386 aalenJohansen ----------------------------------------------------
+
+  test("aalenJohansen: hand competing risks — CIFs split the " +
+    "all-cause KM mass and sum to the failure probability") {
+    // (dur, cause): two events at t=1 (one per cause), censor at 2,
+    // cause-1 event at 3
+    val subj = Seq((1L, 1), (1L, 2), (2L, 0), (3L, 1)).toDF("dur", "k")
+    val got = Funnel.aalenJohansen(subj, "dur", "k")
+      .orderBy("t").collect()
+    assert(got.length == 2) // censored-only t=2 emits no row
+    val t1 = got(0)
+    assert(t1.getAs[Long]("t") == 1L && t1.getAs[Long]("n_risk") == 4L)
+    assert(t1.getAs[Long]("d1") == 1L && t1.getAs[Long]("d2") == 1L)
+    assert(t1.getAs[Double]("cif1") == 0.25)
+    assert(t1.getAs[Double]("cif2") == 0.25)
+    val t3 = got(1)
+    assert(t3.getAs[Long]("t") == 3L && t3.getAs[Long]("n_risk") == 1L)
+    // S(3−) = 0.5, so the last cause-1 event adds 0.5
+    assert(t3.getAs[Double]("cif1") == 0.75)
+    assert(t3.getAs[Double]("cif2") == 0.25)
+  }
+
   // ---- X378 zcrEnergy --------------------------------------------------------
 
   test("zcrEnergy: sign-flip count with zero as non-negative; exact " +
