@@ -19,7 +19,7 @@ object SparkEntry {
       CorpusQueries.defs ++ OlapQueries.defs ++ CorpusStatsQueries.defs ++
       CorpusPrepQueries.defs ++ CurationQueries.defs ++
       ReliabilityQueries.defs ++ StatsQueries.defs ++
-      MiningQueries.defs
+      MiningQueries.defs ++ InferenceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -223,4 +223,61 @@ object GraphStats {
           .as("pref_attachment"),
         col("a").isNotNull.as("is_edge"))
   }
+
+  /** X392 — Newman modularity of a node partition on an undirected
+    * graph: Q = Σ_c [e_c/m − (d_c/2m)²] — the single number that
+    * says whether a community assignment (label-prop, dedup
+    * clusters) actually concentrates edges inside communities
+    * (Q > 0) or is no better than a degree-random shuffle (Q ≈ 0);
+    * the acceptance gate on any clustering the pipeline ships.
+    *
+    * Exact integers throughout: Q·4m² = Σ_c [4m·e_c − d_c²] where
+    * e_c = intra-community edge count and d_c = community degree
+    * mass — emitted alongside the rounded double so the hash check
+    * is integer-exact. Unlabeled nodes become singleton communities
+    * ('u'‖node — they contribute −d² only, the standard convention).
+    * Two node-keyed equi-joins (edges→labels on both endpoints) +
+    * skinny aggs; nothing data-sized on the driver.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String)
+      : DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    val comm = labels.select(col(nodeCol).as("__node"),
+      coalesce(col(labelCol).cast("string"),
+        concat(lit("u"), col(nodeCol).cast("string"))).as("__c"))
+    val m = e.agg(count(lit(1)).cast("long").as("__m"))
+    val ca = comm.select(col("__node").as("a"), col("__c").as("__ca"))
+    val cb = comm.select(col("__node").as("b"), col("__c").as("__cb"))
+    val intra = e.join(ca, Seq("a")).join(cb, Seq("b"))
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("__c"))
+      .agg(count(lit(1)).cast("long").as("__e"))
+    val adj = e.select(col("a").as("__node"))
+      .unionAll(e.select(col("b").as("__node")))
+    val degMass = adj.join(comm, Seq("__node"))
+      .groupBy(col("__c"))
+      .agg(count(lit(1)).cast("long").as("__d"))
+    val perComm = degMass.join(intra, Seq("__c"), "left")
+      .na.fill(0L, Seq("__e"))
+    val agg = perComm.crossJoin(broadcast(m))
+      .select(col("__c"),
+        (lit(4L) * col("__m") * col("__e") -
+          col("__d") * col("__d")).as("__q"))
+      .agg(count(lit(1)).cast("long").as("n_communities"),
+        sum(col("__q")).cast("long").as("q_num"))
+    // e stays persisted through execution (it feeds m, intra and the
+    // degree scan) — the triangleStats/linkScores lifetime convention
+    agg.crossJoin(broadcast(m))
+      .select(col("n_communities"), col("__m").as("n_edges"),
+        col("q_num"),
+        when(col("__m") > 0L, round(col("q_num").cast("double") /
+          (lit(4.0) * col("__m").cast("double") *
+            col("__m").cast("double")), 6)).as("modularity"))
+  }
 }

@@ -2392,4 +2392,243 @@ object Hypothesis {
       round(col("__sq").cast("double") / 1e6, 6).as("woolf_q"),
       (col("n_strata") - 1L).as("woolf_df"))
   }
+
+  /** X387 — Hochberg step-up FWER adjustment (+ the Šidák
+    * single-step column): adjusted p̃_(i) = min_{j≥i} p_(j)·(m−j+1)
+    * capped at 1 — [[holmAdjust]]'s raw sequence read as a SUFFIX
+    * min instead of a prefix max. Hochberg dominates Holm (p̃_H ≤
+    * p̃_Holm always, so it rejects everything Holm rejects and more)
+    * but needs non-negative dependence among the p-values; run Holm
+    * when the tests are adversarially correlated, Hochberg when they
+    * are independent-ish GOF scans over disjoint slices. The Šidák
+    * column 1−(1−p)^m is the exact-independence single-step
+    * reference point between Bonferroni and the step procedures.
+    * Same slice-bounded two-window shape as [[bhAdjust]].
+    */
+  def hochbergAdjust(df: DataFrame, keyCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"bad alpha $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val m = df.agg(count(lit(1)).as("__m"))
+    val wAsc = Window.orderBy(col(pCol).asc, col(keyCol).asc)
+    // suffix min over ascending rank == running min in DESC order
+    val wDesc = Window.orderBy(col(pCol).desc, col(keyCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), col(pCol))
+      .crossJoin(broadcast(m))
+      .withColumn("__rank", row_number().over(wAsc).cast("long"))
+      .withColumn("__raw",
+        col(pCol) * (col("__m") - col("__rank") + 1L))
+      .withColumn("__adj", least(lit(1.0), min(col("__raw")).over(wDesc)))
+      .select(col(keyCol), round(col(pCol), 6).as("p_value"),
+        col("__rank").as("p_rank"),
+        round(col("__adj"), 6).as("p_adj"),
+        round(lit(1.0) - pow(lit(1.0) - col(pCol), col("__m")), 6)
+          .as("p_sidak"),
+        (col("__adj") <= alpha).as("reject"))
+  }
+
+  /** X388 — Fisher's exact test on a 2×2 per group: the two-sided
+    * p-value Σ{k: P(k) ≤ P(a)} P(k) under the hypergeometric null,
+    * where P(k) = C(r1,k)·C(r2,c1−k)/C(n,c1) — the SMALL-CELL gate
+    * the χ²-approximation queries (q_g_test, q_odds_ratio) are wrong
+    * for (expected cell < 5), which is exactly where per-slice
+    * release gates live. Cells aggregate distributedly to one row
+    * per group; the enumeration then runs in exact BigInt arithmetic
+    * on that groups-bounded frame (the q_hilbert_key bounded-kernel
+    * class — never data-sized), and the p-value nano-quantizes via
+    * one exact integer division (num·2e9 + den) / (2·den), so both
+    * engines emit the identical 9-dp decimal.
+    */
+  def fisherExact(df: DataFrame, groupCol: String, exposure: Column,
+      outcome: Column): DataFrame = {
+    val cells = df.groupBy(col(groupCol))
+      .agg(
+        sum(when(exposure && outcome, 1L).otherwise(0L)).cast("long")
+          .as("a"),
+        sum(when(exposure && !outcome, 1L).otherwise(0L)).cast("long")
+          .as("b"),
+        sum(when(!exposure && outcome, 1L).otherwise(0L)).cast("long")
+          .as("c"),
+        sum(when(!exposure && !outcome, 1L).otherwise(0L)).cast("long")
+          .as("d"))
+    val pNano = udf { (a: Long, b: Long, c: Long, d: Long) =>
+      val (r1, r2, c1, n) = (a + b, c + d, a + c, a + b + c + d)
+      if (n == 0L) None
+      else Some {
+        def choose(nn: Long, kk: Long): BigInt = {
+          if (kk < 0 || kk > nn) BigInt(0)
+          else {
+            val k = math.min(kk, nn - kk)
+            var acc = BigInt(1)
+            var i = 0L
+            while (i < k) {
+              acc = acc * BigInt(nn - i) / BigInt(i + 1)
+              i += 1
+            }
+            acc
+          }
+        }
+        val wObs = choose(r1, a) * choose(r2, c1 - a)
+        val kLo = math.max(0L, c1 - r2)
+        val kHi = math.min(r1, c1)
+        var num = BigInt(0)
+        var k = kLo
+        while (k <= kHi) {
+          val w = choose(r1, k) * choose(r2, c1 - k)
+          if (w <= wObs) num += w
+          k += 1L
+        }
+        val den = choose(n, c1)
+        // round-half-up nano quantization in exact integers
+        ((num * BigInt(2000000000L) + den) / (den * 2)).toLong
+      }
+    }
+    cells.select(col(groupCol), col("a"), col("b"), col("c"), col("d"),
+      round(pNano(col("a"), col("b"), col("c"), col("d"))
+        .cast("double") / 1e9, 9).as("p_two_sided"))
+  }
+
+  /** X389 — Siegel-Tukey scale test: relabel the combined sample's
+    * order positions with alternating-extreme ranks (1,4,5,8,… from
+    * the low end; 2,3,6,7,… from the high end) so DISPERSION maps to
+    * rank mass, then run the Wilcoxon rank-sum on the relabeled
+    * ranks — same null table as [[mannWhitneyU]], but sensitive to
+    * scale where MW is sensitive to shift. Order positions come from
+    * the distributed globalRank two-phase scan on (micro-value,
+    * tiebreak id) — the tie-broken order is part of the contract
+    * (both engines sort identically), the statistic is an exact
+    * integer, and z uses the tie-free U moments.
+    */
+  def siegelTukey(df: DataFrame, valueCol: String, isA: Column,
+      tieCol: Column): DataFrame = {
+    val base = df.select(
+      round(col(valueCol) * 1e6, 0).cast("long").as("__v"),
+      tieCol.cast("long").as("__t"),
+      when(isA, 1L).otherwise(0L).as("__a"))
+    val ranked = CorpusOps.globalRank(base,
+      Seq(col("__v"), col("__t")))
+    val tot = ranked.agg(count(lit(1)).cast("long").as("__n"))
+    // 1-based position i; distance from nearer end d = min(i, N+1-i);
+    // low end takes 1,4,5,8,… (odd d -> 2d-1), high end 2,3,6,7,…
+    val i = col("__rank") + 1L
+    val dLow = i
+    val dHigh = col("__n") + 1L - i
+    val isLow = dLow <= dHigh
+    val d = when(isLow, dLow).otherwise(dHigh)
+    val st = when(isLow,
+        when(d % 2L === 1L, lit(2L) * d - 1L).otherwise(lit(2L) * d))
+      .otherwise(
+        when(d % 2L === 1L, lit(2L) * d).otherwise(lit(2L) * d - 1L))
+    val agg = ranked.crossJoin(broadcast(tot))
+      .select(col("__a"), st.as("__st"))
+      .agg(sum(col("__a")).cast("long").as("n_a"),
+        sum(lit(1L) - col("__a")).cast("long").as("n_b"),
+        sum(when(col("__a") === 1L, col("__st")).otherwise(0L))
+          .cast("long").as("w_a"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val u = col("w_a").cast("double") - na * (na + 1.0) / 2.0
+    val sigma = sqrt(na * nb * (na + nb + 1.0) / 12.0)
+    agg.select(col("n_a"), col("n_b"), col("w_a"),
+      when(col("n_a") > 0L && col("n_b") > 0L, round(u, 6)).as("u_stat"),
+      when(col("n_a") > 0L && col("n_b") > 0L && sigma > 0.0,
+        round((u - na * nb / 2.0) / sigma, 6)).as("z_stat"))
+  }
+
+  /** X390 — two-sample Anderson-Darling (Scholz-Stephens A²akN, the
+    * tie-aware midrank form): weights the CDF discrepancy by
+    * 1/(F(1−F)) so the TAILS count — the complement to [[ksTest]]
+    * (worst single gap, middle-sensitive) on the same release-gate
+    * table; a filter that only fattens the length tails trips AD
+    * first. On the distinct micro-value grid with per-value counts
+    * (a_j, h_j) and cumulative (A_j, H_j) from the distributed
+    * cumSums pass, each term is the exact integer rational
+    *   h·[n(Np−mr)² + m(Nq−nr)²] / (mn·(r(2N−r)−Nh))
+    * with p = 2A−a, q = r−p, r = 2H−h (doubled midranks), computed
+    * in decimal(38,0), nano-quantized per term so the cross-term sum
+    * folds exactly; A² = (N−1)/N² · Σ. Degenerate grid terms
+    * (denominator 0: the all-one-value case) are excluded on both
+    * sides; NULL when either group is empty.
+    */
+  def ad2Sample(df: DataFrame, valueCol: String, isA: Column)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = df.groupBy(round(col(valueCol) * 1e6, 0).cast("long")
+        .as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+      .withColumn("__h", col("__ca") + col("__cb"))
+    val tot = per.agg(sum(col("__ca")).cast("long").as("__m"),
+      sum(col("__cb")).cast("long").as("__nb"),
+      sum(col("__h")).cast("long").as("__nn"),
+      count(lit(1)).cast("long").as("__l"))
+    val cum = CorpusOps.cumSums(per, Seq(col("__v")),
+      Seq("__ca", "__h"))
+    val p = (lit(2L) * col("__cum__ca") - col("__ca")).cast(dec)
+    val r = (lit(2L) * col("__cum__h") - col("__h")).cast(dec)
+    val q = r - p
+    val bigN = col("__nn").cast(dec)
+    val bigM = col("__m").cast(dec)
+    val bigNb = col("__nb").cast(dec)
+    val x = bigN * p - bigM * r
+    val y = bigN * q - bigNb * r
+    val den = bigM * bigNb *
+      (r * (lit(2L).cast(dec) * bigN - r) - bigN * col("__h").cast(dec))
+    val num = col("__h").cast(dec) * (bigNb * x * x + bigM * y * y)
+    val terms = cum.crossJoin(broadcast(tot))
+      .select(when(den > 0L,
+        round(num.cast("double") / den.cast("double") * 1e9, 0)
+          .cast("long")).otherwise(0L).as("__t"))
+      .agg(sum(col("__t")).cast("long").as("__sum"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("__m").as("n_a"), col("__nb").as("n_b"),
+        col("__l").as("n_distinct"),
+        when(col("__m") > 0L && col("__nb") > 0L && col("__l") > 1L,
+          round((col("__nn").cast("double") - 1.0) /
+            (col("__nn").cast("double") * col("__nn").cast("double")) *
+            col("__sum").cast("double") / 1e9, 6)).as("ad_stat"))
+  }
+
+  /** X391 — Moses test of extreme reactions: the SPAN of the control
+    * group's combined-sample order positions after trimming the h
+    * most extreme positions from each side — a scale/extremes test
+    * that stays valid when the treatment pushes BOTH tails outward
+    * (where [[siegelTukey]]'s alternating ranks cancel). Positions
+    * from the same tie-broken globalRank contract as siegelTukey;
+    * the (h+1)-th and (n_a−h)-th order statistics of the control
+    * positions come from a second bounded globalRank over the
+    * control subset, so the statistic is an exact integer with no
+    * data-sized sort. NULL span when n_a ≤ 2h.
+    */
+  def mosesSpan(df: DataFrame, valueCol: String, isA: Column,
+      tieCol: Column, trim: Int = 2): DataFrame = {
+    require(trim >= 0 && trim <= 1000, s"bad trim $trim")
+    val base = df.select(
+      round(col(valueCol) * 1e6, 0).cast("long").as("__v"),
+      tieCol.cast("long").as("__t"),
+      when(isA, 1L).otherwise(0L).as("__a"))
+    val ranked = CorpusOps.globalRank(base,
+      Seq(col("__v"), col("__t")))
+    val counts = ranked.agg(
+      sum(col("__a")).cast("long").as("n_a"),
+      sum(lit(1L) - col("__a")).cast("long").as("n_b"))
+    val aRanked = CorpusOps.globalRank(
+      ranked.filter(col("__a") === 1L)
+        .select(col("__rank").as("__pos")), Seq(col("__pos")))
+    // one conditional agg → always exactly one row (NULL ends when
+    // the trim eats the whole group), so the output row survives
+    val ends = aRanked.crossJoin(broadcast(counts))
+      .agg(min(when(col("__rank") === lit(trim.toLong), col("__pos")))
+          .as("__lo"),
+        min(when(col("__rank") === col("n_a") - 1L - lit(trim.toLong),
+          col("__pos"))).as("__hi"))
+    counts.crossJoin(broadcast(ends))
+      .select(col("n_a"), col("n_b"), lit(trim.toLong).as("trim"),
+        when(col("n_a") > 2L * trim,
+          col("__hi") - col("__lo") + 1L).as("span"),
+        when(col("n_a") > 2L * trim,
+          col("__hi") - col("__lo") + 1L -
+            (col("n_a") - 2L * trim)).as("excess"))
+  }
 }

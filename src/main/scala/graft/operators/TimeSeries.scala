@@ -1121,4 +1121,65 @@ object TimeSeries {
           (col("n").cast("double") * s2l.cast("double")), 6))
         .as("kpss_stat"))
   }
+
+  /** X393 — Holt's linear-trend double exponential smoothing with
+    * α = β = 1/2 on an INTEGER-QUANTIZED state: level and trend live
+    * on the micro grid and every update is one floor-halving of an
+    * exact integer sum (l_t = ⌊(v_t·10⁶ + l_{t−1} + b_{t−1})/2⌋,
+    * b_t = ⌊(b_{t−1} + l_t − l_{t−1})/2⌋, seeded l₁ = v₁·10⁶,
+    * b₁ = (v₂ − v₁)·10⁶), so the inherently sequential recursion
+    * replays bit-exactly in a recursive CTE — the q_jump_shards
+    * convention. The one-step-ahead forecast l + b is the capacity
+    * trend line the anomaly shelf (EWMA/CUSUM) baselines against.
+    *
+    * Scale shape: the per-bucket aggregate is distributed; the
+    * recursion runs on the CALENDAR-bounded bucket frame (days of
+    * the stream — never event-sized) in one bounded task, the
+    * Kaplan-Meier value-bounded class.
+    */
+  def holtLinear(series: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = series.select(col(orderCol).cast("string").as("__o"),
+      round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
+    val outSchema = StructType(Seq(
+      StructField("bucket", StringType, nullable = true),
+      StructField("value", DoubleType, nullable = true),
+      StructField("level", DoubleType, nullable = true),
+      StructField("trend", DoubleType, nullable = true),
+      StructField("forecast", DoubleType, nullable = true)))
+    val rows = base.repartition(1).sortWithinPartitions(col("__o"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val buf = it.map(r => (r.getUTF8String(0).toString, r.getLong(1)))
+          .toArray
+        if (buf.length < 2) {
+          buf.iterator.map { case (o, v) =>
+            Row(o, v / 1e6, v / 1e6, null, null)
+          }
+        } else {
+          var l = buf(0)._2
+          var b = buf(1)._2 - buf(0)._2
+          val out = new Array[Row](buf.length)
+          out(0) = Row(buf(0)._1, buf(0)._2 / 1e6, l / 1e6, b / 1e6,
+            null)
+          var i = 1
+          while (i < buf.length) {
+            val v = buf(i)._2
+            val f = l + b
+            val l2 = Math.floorDiv(v + l + b, 2L)
+            b = Math.floorDiv(b + (l2 - l), 2L)
+            l = l2
+            out(i) = Row(buf(i)._1, v / 1e6, l / 1e6, b / 1e6, f / 1e6)
+            i += 1
+          }
+          out.iterator
+        }
+      }
+    base.sparkSession.createDataFrame(rows, outSchema)
+      .select(col("bucket"), round(col("value"), 6).as("value"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("forecast"), 6).as("forecast"))
+  }
 }

@@ -139,6 +139,89 @@ object CorpusQueries {
           .orderBy($"doc_id")
       }),
 
+    // X402: crest factor + peak per clip — the dynamics gate beside
+    // q_audio_zcr (a clipped-but-quiet clip shows low RMS with a
+    // pinned peak; a compressed/limited one shows crest near 1).
+    // Same synthesized-container convention as q_audio_rms: 16-bit
+    // mono, deterministic signal v(i) = (i·53+29) mod 4001 − 2000
+    // through the production decoder; peak and sum-of-squares are
+    // exact integers on both sides.
+    QueryDef(
+      "q_audio_crest",
+      Some("""
+        WITH s AS (
+          SELECT doc_id, greatest(n_chars, 1) AS n FROM documents
+        ), e AS (
+          SELECT doc_id, n,
+                 (unnest(range(n)) * 53 + 29) % 4001 - 2000 AS v
+          FROM s
+        ), agg AS (
+          SELECT doc_id, n AS n_samples,
+                 CAST(max(abs(v)) AS BIGINT) AS peak,
+                 CAST(sum(CAST(v * v AS BIGINT)) AS BIGINT) AS sum_sq
+          FROM e GROUP BY doc_id, n
+        )
+        SELECT doc_id, n_samples, peak, sum_sq,
+               CASE WHEN sum_sq > 0 THEN
+                 round(CAST(peak AS DOUBLE)
+                   / sqrt(CAST(sum_sq AS DOUBLE) / n_samples), 6)
+               END AS crest,
+               CASE WHEN sum_sq > 0 AND peak > 0 THEN
+                 round(20.0 * log10(CAST(peak AS DOUBLE)
+                   / sqrt(CAST(sum_sq AS DOUBLE) / n_samples)), 6)
+               END AS crest_db
+        FROM agg ORDER BY doc_id
+      """.trim),
+      "X402 crest factor per clip (16-bit mono wav round-trip)")(
+      (spark, dir) => {
+        import spark.implicits._
+        import java.nio.{ByteBuffer, ByteOrder}
+        val roundTrip = udf { nChars: Long =>
+          val n = math.max(nChars, 1L).toInt
+          val data = ByteBuffer.allocate(n * 2)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < n) {
+            val v = (i * 53 + 29) % 4001 - 2000
+            data.putShort(v.toShort)
+            i += 1
+          }
+          val header = ByteBuffer.allocate(44)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          header.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1).putInt(8000).putInt(8000 * 2)
+            .putShort(2).putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(n * 2)
+          val wav = header.array() ++ data.array()
+          val pcm = Sources.decodeWav(wav).toOption.get
+          var peak = 0L
+          var ss = 0L
+          pcm.samples.foreach { v =>
+            if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+            ss += v.toLong * v
+          }
+          (pcm.nSamples.toLong, peak, ss)
+        }
+        table(spark, dir, "documents")
+          .select($"doc_id",
+            roundTrip(greatest($"n_chars", lit(1L))).as("r"))
+          .select($"doc_id", $"r._1".as("n_samples"),
+            $"r._2".as("peak"), $"r._3".as("sum_sq"))
+          .select($"doc_id", $"n_samples", $"peak", $"sum_sq",
+            when($"sum_sq" > 0L,
+              round($"peak".cast("double") /
+                sqrt($"sum_sq".cast("double") / $"n_samples"), 6))
+              .as("crest"),
+            when($"sum_sq" > 0L && $"peak" > 0L,
+              round(lit(20.0) * log10(
+                $"peak".cast("double") /
+                  sqrt($"sum_sq".cast("double") / $"n_samples")), 6))
+              .as("crest_db"))
+          .orderBy($"doc_id")
+      }),
+
     // X135: the pure-JVM COMPRESSED-audio leg under an exact oracle —
     // G.711 mu-law and A-law (wave fmt 7/6, telephony 2:1 log
     // compression) decode with no external binary, and the ITU bit

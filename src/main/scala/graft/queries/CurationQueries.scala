@@ -71,6 +71,16 @@ object CurationQueries {
     * recursive term. Tie-break: count desc, then smallest label.
     */
   private def labelPropSql(iters: Int): String = {
+    val tail = s"""
+      SELECT node, lab AS label FROM lp$iters
+      ORDER BY node"""
+    (labelPropChain(iters) + tail).trim
+  }
+
+  /** The label-prop WITH-chain without a final SELECT, so other
+    * oracles (q_modularity) can append their own readout CTEs.
+    */
+  private def labelPropChain(iters: Int): String = {
     val head = s"""
       WITH e0 AS (
         SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
@@ -104,10 +114,7 @@ object CurationQueries {
           WHERE rk = 1) v USING (node)
       )"""
     }.mkString
-    val tail = s"""
-      SELECT node, lab AS label FROM lp$iters
-      ORDER BY node"""
-    (head + steps + tail).trim
+    head + steps
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -451,6 +458,64 @@ object CurationQueries {
               .as("node"),
             $"label")
           .orderBy($"node")
+      }),
+
+    // X392: Newman modularity of the q_label_prop communities on the
+    // same customer-supplier graph — the acceptance gate on the
+    // clustering; Q·4m² is an exact integer (unlabeled nodes become
+    // singleton communities), the oracle appends the modularity
+    // readout CTEs to the identical unrolled label-prop chain.
+    QueryDef(
+      "q_modularity",
+      Some((labelPropChain(5) + s"""
+        , comm AS (
+          SELECT node, coalesce(CAST(lab AS VARCHAR), 'u' || node)
+            AS c
+          FROM lp5
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS m FROM e0
+        ), intra AS (
+          SELECT ca.c, CAST(count(*) AS BIGINT) AS e_c
+          FROM e0
+          JOIN comm ca ON ca.node = e0.src
+          JOIN comm cb ON cb.node = e0.dst
+          WHERE ca.c = cb.c
+          GROUP BY 1
+        ), dmass AS (
+          SELECT comm.c, CAST(count(*) AS BIGINT) AS d_c
+          FROM edges JOIN comm ON comm.node = edges.src
+          GROUP BY 1
+        ), per AS (
+          SELECT d.c, 4 * m.m * coalesce(i.e_c, 0) - d.d_c * d.d_c
+            AS q
+          FROM dmass d LEFT JOIN intra i ON i.c = d.c, m
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_communities,
+               m.m AS n_edges,
+               CAST(sum(q) AS BIGINT) AS q_num,
+               round(CAST(sum(q) AS DOUBLE)
+                 / (4.0 * m.m * m.m), 6) AS modularity
+        FROM per, m GROUP BY m.m
+      """).trim),
+      "X392 modularity of the 5-iteration label-prop communities")(
+      (spark, dir) => {
+        import spark.implicits._
+        val o = table(spark, dir, "orders")
+          .select($"o_orderkey", $"o_custkey")
+        val l = table(spark, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey")
+        val e = o.join(l, $"o_orderkey" === $"l_orderkey")
+          .select(($"o_custkey" * 2).as("src"),
+            ($"l_suppkey" * 2 + 1).as("dst"))
+          .distinct()
+        val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+        val seeds = e.select($"src".as("node")).distinct()
+          .filter(expr("(node div 2) % 7") === 0)
+          .select($"node", (expr("node div 2") % 4).as("seed"))
+        val labels = graft.operators.PageRank.labelPropagation(
+          sym, "src", "dst", seeds, "node", "seed", iters = 5)
+        graft.operators.GraphStats.modularity(e, "src", "dst",
+          labels, "node", "label")
       }),
 
     // X146: readability metrics — vowel-group syllables, punctuation

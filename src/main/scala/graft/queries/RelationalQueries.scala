@@ -569,5 +569,264 @@ object RelationalQueries {
             round(sum($"l_extendedprice".cast("decimal(20,6)"))
               .cast("double") / 7.0, 2).as("avg_yearly"))
       }),
+
+    // X397 — TPC-H Q2 shape: min-cost supplier per part — the
+    // argmin-by-group join-back over the partsupp stand-in (distinct
+    // (part, supplier) pairs from lineitem), cost stand-in
+    // s_acctbal, region-filtered through the nation snowflake. Ties
+    // on the min keep every minimal supplier (Q2 semantics).
+    QueryDef(
+      "q_min_cost_supplier",
+      Some("""
+        WITH ps AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ), eu AS (
+          SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+          FROM supplier s
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'EUROPE'
+        ), cand AS (
+          SELECT p.p_partkey, p.p_name, eu.s_suppkey, eu.s_name,
+                 eu.s_acctbal, eu.n_name
+          FROM ps
+          JOIN part p ON p.p_partkey = ps.l_partkey
+          JOIN eu ON eu.s_suppkey = ps.l_suppkey
+          WHERE p.p_size = 9 AND p.p_type = 'SMALL'
+        ), best AS (
+          SELECT p_partkey, min(s_acctbal) AS min_bal
+          FROM cand GROUP BY 1
+        )
+        SELECT round(c.s_acctbal, 2) AS s_acctbal, c.s_name,
+               c.n_name AS nation, c.p_partkey, c.p_name
+        FROM cand c JOIN best b
+          ON c.p_partkey = b.p_partkey AND c.s_acctbal = b.min_bal
+        ORDER BY s_acctbal DESC, c.n_name, c.s_name, c.p_partkey
+        LIMIT 100
+      """.trim),
+      "TPC-H Q2 min-cost EUROPE supplier per SMALL size-9 part")(
+      (spark, dir) => {
+        import spark.implicits._
+        val ps = table(spark, dir, "lineitem")
+          .select($"l_partkey", $"l_suppkey").distinct()
+        val eu = table(spark, dir, "supplier")
+          .join(broadcast(table(spark, dir, "nation")),
+            $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(table(spark, dir, "region")
+              .filter($"r_name" === "EUROPE")),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+        val cand = ps
+          .join(broadcast(table(spark, dir, "part")
+              .filter($"p_size" === 9 && $"p_type" === "SMALL")),
+            $"p_partkey" === $"l_partkey")
+          .join(broadcast(eu), $"s_suppkey" === $"l_suppkey")
+          .select($"p_partkey", $"p_name", $"s_suppkey", $"s_name",
+            $"s_acctbal", $"n_name")
+        val best = cand.groupBy($"p_partkey".as("__pk"))
+          .agg(min($"s_acctbal").as("__min_bal"))
+        cand.join(best, $"p_partkey" === $"__pk" &&
+            $"s_acctbal" === $"__min_bal")
+          .select(round($"s_acctbal", 2).as("s_acctbal"), $"s_name",
+            $"n_name".as("nation"), $"p_partkey", $"p_name")
+          .orderBy($"s_acctbal".desc, $"nation", $"s_name",
+            $"p_partkey")
+          .limit(100)
+      }),
+
+    // X398 — TPC-H Q9 shape: product-type profit by supplier nation
+    // and order year; cost stand-in 0.1·p_retailprice·l_quantity in
+    // exact decimal so the profit sums hash across engines.
+    QueryDef(
+      "q_profit_by_nation",
+      Some("""
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               round(CAST(sum(
+                 CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(20,6))
+                 - CAST(p.p_retailprice AS DECIMAL(20,6))
+                   * CAST(l.l_quantity AS DECIMAL(20,6))
+                   * CAST(0.1 AS DECIMAL(2,1))) AS DOUBLE), 2)
+                 AS profit
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2 DESC
+      """.trim),
+      "TPC-H Q9 profit on red parts by supplier nation and year")(
+      (spark, dir) => {
+        import spark.implicits._
+        val profit =
+          ($"l_extendedprice" * (lit(1) - $"l_discount"))
+            .cast("decimal(20,6)") -
+          $"p_retailprice".cast("decimal(20,6)") *
+            $"l_quantity".cast("decimal(20,6)") *
+            lit(0.1).cast("decimal(2,1)")
+        table(spark, dir, "lineitem")
+          .join(table(spark, dir, "orders"),
+            $"o_orderkey" === $"l_orderkey")
+          .join(broadcast(table(spark, dir, "part")
+              .filter($"p_name".contains("red"))),
+            $"p_partkey" === $"l_partkey")
+          .join(broadcast(table(spark, dir, "supplier")),
+            $"s_suppkey" === $"l_suppkey")
+          .join(broadcast(table(spark, dir, "nation")),
+            $"n_nationkey" === $"s_nationkey")
+          .groupBy($"n_name".as("nation"),
+            year($"o_orderdate").cast("long").as("o_year"))
+          .agg(round(sum(profit).cast("double"), 2).as("profit"))
+          .orderBy($"nation", $"o_year".desc)
+      }),
+
+    // X399 — TPC-H Q11 shape: per-part revenue share against a
+    // scalar-subquery total with the fraction compare run in exact
+    // decimal cross-multiplication (2000·value > total ⇔ share >
+    // 0.05%), so no engine's division order matters.
+    QueryDef(
+      "q_partsupp_value",
+      Some("""
+        WITH v AS (
+          SELECT l_partkey,
+                 sum(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(20,6))) AS value
+          FROM lineitem GROUP BY 1
+        ), t AS (
+          SELECT sum(value) AS total FROM v
+        )
+        SELECT v.l_partkey AS p_partkey,
+               round(CAST(v.value AS DOUBLE), 2) AS value
+        FROM v, t
+        WHERE v.value * 2000 > t.total
+        ORDER BY value DESC, p_partkey
+      """.trim),
+      "TPC-H Q11 parts above 0.05% of total revenue")(
+      (spark, dir) => {
+        import spark.implicits._
+        val v = table(spark, dir, "lineitem")
+          .groupBy($"l_partkey")
+          .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+            .cast("decimal(20,6)")).as("value"))
+        val t = v.agg(sum($"value").as("__total"))
+        v.crossJoin(broadcast(t))
+          .filter($"value" * 2000 > $"__total")
+          .select($"l_partkey".as("p_partkey"),
+            round($"value".cast("double"), 2).as("value"))
+          .orderBy($"value".desc, $"p_partkey")
+      }),
+
+    // X400 — TPC-H Q20 shape: suppliers with excess share of a
+    // filtered part's volume — the semi-join chain with the
+    // correlated half-sum comparison decorrelated to pure integers
+    // (5·own > total ⇔ own share > 20%).
+    QueryDef(
+      "q_excess_stock",
+      Some("""
+        WITH pq AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                   AS own
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_name LIKE 'small%'
+          GROUP BY 1, 2
+        ), tot AS (
+          SELECT l_partkey, CAST(sum(own) AS BIGINT) AS total
+          FROM pq GROUP BY 1
+        ), excess AS (
+          SELECT DISTINCT pq.l_suppkey
+          FROM pq JOIN tot ON tot.l_partkey = pq.l_partkey
+          WHERE 5 * pq.own > tot.total
+        )
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN excess e ON e.l_suppkey = s.s_suppkey
+        WHERE n.n_name = 'NATION_3'
+        ORDER BY s.s_suppkey
+      """.trim),
+      "TPC-H Q20 NATION_3 suppliers with >20% of a small part's volume")(
+      (spark, dir) => {
+        import spark.implicits._
+        val pq = table(spark, dir, "lineitem")
+          .join(broadcast(table(spark, dir, "part")
+              .filter($"p_name".startsWith("small"))),
+            $"p_partkey" === $"l_partkey")
+          .groupBy($"l_partkey", $"l_suppkey")
+          .agg(sum($"l_quantity".cast("long")).cast("long").as("own"))
+        val tot = pq.groupBy($"l_partkey".as("__pk"))
+          .agg(sum($"own").cast("long").as("total"))
+        val excess = pq.join(tot, $"l_partkey" === $"__pk")
+          .filter(lit(5L) * $"own" > $"total")
+          .select($"l_suppkey").distinct()
+        table(spark, dir, "supplier")
+          .join(broadcast(table(spark, dir, "nation")
+              .filter($"n_name" === "NATION_3")),
+            $"n_nationkey" === $"s_nationkey")
+          .join(broadcast(excess), $"l_suppkey" === $"s_suppkey",
+            "left_semi")
+          .select($"s_suppkey", $"s_name")
+          .orderBy($"s_suppkey")
+      }),
+
+    // X401 — TPC-H Q21 shape: suppliers who alone held up a
+    // multi-supplier order — the exists + not-exists double
+    // correlation decorrelated into per-order supplier/late-supplier
+    // counts; lateness is the Q12-shape calendar predicate.
+    QueryDef(
+      "q_waiting_suppliers",
+      Some("""
+        WITH sl AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 max(CASE WHEN date_diff('day',
+                   CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) > 90
+                   THEN 1 ELSE 0 END) AS late
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          GROUP BY 1, 2
+        ), per_order AS (
+          SELECT l_orderkey,
+                 CAST(count(*) AS BIGINT) AS n_supp,
+                 CAST(sum(late) AS BIGINT) AS n_late
+          FROM sl GROUP BY 1
+        ), culprit AS (
+          SELECT sl.l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+          FROM sl JOIN per_order p ON p.l_orderkey = sl.l_orderkey
+          WHERE sl.late = 1 AND p.n_supp >= 2 AND p.n_late = 1
+          GROUP BY 1
+        )
+        SELECT s.s_name, c.numwait
+        FROM culprit c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        ORDER BY c.numwait DESC, s.s_name
+        LIMIT 100
+      """.trim),
+      "TPC-H Q21 suppliers who alone delayed multi-supplier orders")(
+      (spark, dir) => {
+        import spark.implicits._
+        val late = when(datediff(to_date($"l_shipdate"),
+          to_date($"o_orderdate")) > 90, 1).otherwise(0)
+        val sl = table(spark, dir, "lineitem")
+          .join(table(spark, dir, "orders"),
+            $"o_orderkey" === $"l_orderkey")
+          .groupBy($"l_orderkey", $"l_suppkey")
+          .agg(max(late).as("late"))
+        val perOrder = sl.groupBy($"l_orderkey".as("__ok"))
+          .agg(count(lit(1)).cast("long").as("n_supp"),
+            sum($"late").cast("long").as("n_late"))
+        val culprit = sl.join(perOrder, $"l_orderkey" === $"__ok")
+          .filter($"late" === 1 && $"n_supp" >= 2L && $"n_late" === 1L)
+          .groupBy($"l_suppkey")
+          .agg(count(lit(1)).cast("long").as("numwait"))
+        culprit.join(broadcast(table(spark, dir, "supplier")),
+            $"s_suppkey" === $"l_suppkey")
+          .select($"s_name", $"numwait")
+          .orderBy($"numwait".desc, $"s_name")
+          .limit(100)
+      }),
   )
 }
