@@ -2472,11 +2472,20 @@ object Hypothesis {
         val wObs = choose(r1, a) * choose(r2, c1 - a)
         val kLo = math.max(0L, c1 - r2)
         val kHi = math.min(r1, c1)
+        // walk the support with the hypergeometric ratio recurrence
+        // w(k+1) = w(k)·(r1−k)(c1−k) / ((k+1)(r2−c1+k+1)) — exact at
+        // every step (each w is an integer), and O(support) big-int
+        // multiplies instead of re-deriving both binomials per k
+        // (the from-scratch form went super-linear at 10× group size)
+        var w = choose(r1, kLo) * choose(r2, c1 - kLo)
         var num = BigInt(0)
         var k = kLo
         while (k <= kHi) {
-          val w = choose(r1, k) * choose(r2, c1 - k)
           if (w <= wObs) num += w
+          if (k < kHi) {
+            w = w * BigInt((r1 - k) * (c1 - k)) /
+              BigInt((k + 1) * (r2 - c1 + k + 1))
+          }
           k += 1L
         }
         val den = choose(n, c1)

@@ -795,4 +795,53 @@ object RankEval {
           (col("n").cast("double") * 1e6), 6)).as("ece"),
         round(col("__mce"), 6).as("mce"))
   }
+
+  /** X405 — expected reciprocal rank at k (Chapelle 2009): the
+    * cascade-model retrieval metric ERR = Σ_i (R_i/i)·Π_{j<i}(1−R_j)
+    * with R = (2^g − 1)/2^G — unlike NDCG's position discount, a
+    * satisfying early result SHADOWS everything below it, which is
+    * how users actually read a result list.
+    *
+    * EXACT: with dyadic gains (g ≤ maxGrade = G), every term is a
+    * rational over 2^{G·k}·lcm(1..k) — the per-query fold runs
+    * entirely in integer Columns (numerators n_i = 2^g−1, prefix
+    * products of (2^G − n_j), the lcm/i factors), so ERR is one
+    * double division of exact longs, hash-identical in any engine.
+    * One groups-bounded conditional-pivot aggregate; ranks beyond k
+    * or missing ranks contribute gain 0. Requires G·k ≤ 40-ish to
+    * stay in long range (enforced).
+    */
+  def errAtK(df: DataFrame, queryCol: String, rankCol: String,
+      gradeCol: String, k: Int, maxGrade: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 8, s"bad k $k")
+    require(maxGrade >= 1 && maxGrade <= 5, s"bad maxGrade $maxGrade")
+    val base = 1L << maxGrade
+    def lcm(a: Long, b: Long): Long = a / gcd(a, b) * b
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val l = (1L to k.toLong).reduce(lcm)
+    // per-query pivot: n_i = 2^grade − 1 at rank i (0 when absent);
+    // the 2^g ladder stays a fixed-shape integer expression
+    val gain = (0 to maxGrade).foldLeft(lit(0L): Column) { (acc, g) =>
+      when(col(gradeCol) === g, lit((1L << g) - 1L)).otherwise(acc)
+    }
+    val piv = df.filter(col(rankCol) <= k)
+      .groupBy(col(queryCol).as("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_ranked"),
+        (1 to k).map(i =>
+          coalesce(max(when(col(rankCol) === i, gain)), lit(0L))
+            .as(s"__n$i")): _*)
+    // numerator Σ n_i · Π_{j<i}(base − n_j) · base^(k−i) · (lcm/i)
+    val num = (1 to k).map { i =>
+      val pref = (1 until i).foldLeft(lit(1L): Column) { (acc, j) =>
+        acc * (lit(base) - col(s"__n$j"))
+      }
+      col(s"__n$i") * pref *
+        lit((0 until (k - i)).foldLeft(1L)((a, _) => a * base)) *
+        lit(l / i)
+    }.reduce(_ + _)
+    val den = (0 until k).foldLeft(1L)((a, _) => a * base) * l
+    piv.select(col("query_id"), col("n_ranked"), num.as("err_num"),
+        lit(den).as("err_den"),
+        round(num.cast("double") / lit(den.toDouble), 6).as("err"))
+  }
 }

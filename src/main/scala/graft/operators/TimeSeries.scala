@@ -582,6 +582,177 @@ object TimeSeries {
           (col("n") + 2L) * col("__qsum") / 1e12, 6)).as("lb_q"))
   }
 
+  /** X403 — partial autocorrelation via Durbin-Levinson on the
+    * [[acfLjungBox]] autocorrelations: φ_{k,k} is the lag-k
+    * correlation with lags 1..k−1 regressed OUT — the AR-order
+    * readout (an AR(p) series cuts off after lag p where the raw
+    * ACF tails forever); the model-identification companion the ACF
+    * shelf was missing.
+    *
+    * Determinism: each r_k comes from the exact integer-moment form
+    * pico-quantized (round(num/den·1e12)/1e12), and every
+    * Durbin-Levinson quantity is re-quantized to the pico grid after
+    * each assignment, so the recursion — spelled in the identical
+    * fixed order on both engines — is grid-exact. The whole
+    * computation lives on the PERIOD-bounded one-row moment
+    * aggregate (the acfLjungBox class).
+    */
+  def pacf(series: DataFrame, orderCol: String, valueCol: String,
+      maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 12, s"bad maxLag $maxLag")
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col("__o"))
+    val base = series.select(col(valueCol).cast("long").as("__v"),
+      col(orderCol).as("__o"))
+    val lagged = (1 to maxLag).foldLeft(base) { (d, k) =>
+      d.withColumn(s"__l$k", lag(col("__v"), k).over(w))
+    }
+    val perLag = (1 to maxLag).flatMap { k =>
+      Seq(
+        sum((col("__v").cast(dec) * col(s"__l$k")).cast(dec)).cast(dec)
+          .as(s"__p$k"),
+        sum(when(col(s"__l$k").isNotNull, col("__v"))).cast(dec)
+          .as(s"__a$k"),
+        sum(col(s"__l$k")).cast(dec).as(s"__b$k"))
+    }
+    val aggs = Seq(count(lit(1)).cast("long").as("n"),
+      sum(col("__v")).cast(dec).as("__s"),
+      sum((col("__v").cast(dec) * col("__v")).cast(dec)).cast(dec)
+        .as("__q")) ++ perLag
+    val one = lagged.agg(aggs.head, aggs.tail: _*)
+    def quant(c: Column): Column =
+      round(c * 1e12, 0).cast("long").cast("double") / 1e12
+    val nD = col("n").cast(dec)
+    val den = (nD * nD * col("__q") - nD * col("__s") * col("__s"))
+      .cast("double")
+    val safeDen = when(den > 0.0, den)
+    // pico-quantized autocorrelations (identical form to acfLjungBox)
+    val rCols = (1 to maxLag).map { k =>
+      val num = (nD * nD * col(s"__p$k") -
+        nD * col("__s") * (col(s"__a$k") + col(s"__b$k")) +
+        (nD - lit(k.toLong)) * col("__s") * col("__s")).cast("double")
+      quant(num / safeDen).as(s"__r$k")
+    }
+    // Durbin-Levinson with one MATERIALIZED level per k (the one-row
+    // frame localCheckpoints between levels): referencing prior phis
+    // by column name keeps every expression tree level-sized — the
+    // fully inlined form blows past Janino's method limit at lag 5
+    var cur = one.select((col("n") +: rCols): _*)
+      .withColumn("__f1_1", col("__r1"))
+      .localCheckpoint(true)
+    for (k <- 2 to maxLag) {
+      val num = (1 until k).foldLeft(col(s"__r$k")) { (acc, j) =>
+        acc - col(s"__f${k - 1}_$j") * col(s"__r${k - j}")
+      }
+      val dlDen = (1 until k).foldLeft(lit(1.0): Column) { (acc, j) =>
+        acc - col(s"__f${k - 1}_$j") * col(s"__r$j")
+      }
+      val withDiag = cur.withColumn(s"__f${k}_$k",
+        quant(num / when(dlDen =!= 0.0, dlDen)))
+      cur = (1 until k).foldLeft(withDiag) { (d, j) =>
+        d.withColumn(s"__f${k}_$j", quant(col(s"__f${k - 1}_$j") -
+          col(s"__f${k}_$k") * col(s"__f${k - 1}_${k - j}")))
+      }.localCheckpoint(true)
+    }
+    val rows = (1 to maxLag).map(k => struct(lit(k.toLong).as("lag"),
+      round(col(s"__r$k"), 6).as("acf"),
+      round(col(s"__f${k}_$k"), 6).as("pacf")))
+    cur.select(col("n"), explode(array(rows: _*)).as("__t"))
+      .select(col("__t.lag").as("lag"), col("n"),
+        col("__t.acf").as("acf"), col("__t.pacf").as("pacf"))
+      .orderBy(col("lag"))
+  }
+
+  /** X404 — lag-1 Granger causality on two PERIOD series: does
+    * adding x_{t−1} to an AR(1) model of y improve the fit? The
+    * F-statistic compares the restricted regression y ~ [1, y_{t−1}]
+    * against the unrestricted y ~ [1, y_{t−1}, x_{t−1}] — the
+    * standard "does signal A lead signal B" gate run in BOTH
+    * directions before wiring one stream's anomaly alerts to
+    * another's.
+    *
+    * Determinism: all normal-equation moments are exact integer
+    * aggregates folded in decimal(38,0); coefficients come from
+    * Cramer determinants (exact integers, one double division
+    * each); each squared residual is then a fixed-shape double per
+    * period row, micro-quantized before the RSS fold, so both
+    * engines sum the identical integers. The series frame is
+    * PERIOD-bounded (the acfLjungBox class).
+    */
+  def grangerLag1(series: DataFrame, orderCol: String, yCol: String,
+      xCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col("__o"))
+    val rows = series.select(col(orderCol).as("__o"),
+        col(yCol).cast("long").as("__y"),
+        col(xCol).cast("long").as("__x"))
+      .withColumn("__yl", lag(col("__y"), 1).over(w))
+      .withColumn("__xl", lag(col("__x"), 1).over(w))
+      .filter(col("__yl").isNotNull && col("__xl").isNotNull)
+    def d(c: Column) = c.cast(dec)
+    val m = rows.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("__y")).cast(dec).as("sy"),
+      sum(col("__yl")).cast(dec).as("sa"),
+      sum(col("__xl")).cast(dec).as("sb"),
+      sum((d(col("__yl")) * col("__yl")).cast(dec)).cast(dec).as("saa"),
+      sum((d(col("__xl")) * col("__xl")).cast(dec)).cast(dec).as("sbb"),
+      sum((d(col("__yl")) * col("__xl")).cast(dec)).cast(dec).as("sab"),
+      sum((d(col("__y")) * col("__yl")).cast(dec)).cast(dec).as("sya"),
+      sum((d(col("__y")) * col("__xl")).cast(dec)).cast(dec).as("syb"))
+    // unrestricted y ~ [1, yl, xl]: Cramer on the 3x3 integer matrix
+    //   [ n  sa  sb ] [b0]   [ sy ]
+    //   [ sa saa sab ] [b1] = [ sya ]
+    //   [ sb sab sbb ] [b2]   [ syb ]
+    val n3 = col("n").cast(dec)
+    def det3(a11: Column, a12: Column, a13: Column, a21: Column,
+        a22: Column, a23: Column, a31: Column, a32: Column,
+        a33: Column): Column =
+      (a11 * (a22 * a33 - a23 * a32) -
+        a12 * (a21 * a33 - a23 * a31) +
+        a13 * (a21 * a32 - a22 * a31)).cast(dec)
+    val dU = det3(n3, col("sa"), col("sb"), col("sa"), col("saa"),
+      col("sab"), col("sb"), col("sab"), col("sbb"))
+    val d0 = det3(col("sy"), col("sa"), col("sb"), col("sya"),
+      col("saa"), col("sab"), col("syb"), col("sab"), col("sbb"))
+    val d1 = det3(n3, col("sy"), col("sb"), col("sa"), col("sya"),
+      col("sab"), col("sb"), col("syb"), col("sbb"))
+    val d2 = det3(n3, col("sa"), col("sy"), col("sa"), col("saa"),
+      col("sya"), col("sb"), col("sab"), col("syb"))
+    // restricted y ~ [1, yl]: 2x2 Cramer
+    val dR = (n3 * col("saa") - col("sa") * col("sa")).cast(dec)
+    val r0 = (col("sy") * col("saa") - col("sa") * col("sya")).cast(dec)
+    val r1 = (n3 * col("sya") - col("sa") * col("sy")).cast(dec)
+    val coef = m.select(col("n"),
+      (d0.cast("double") / when(dU.cast("double") =!= 0.0,
+        dU.cast("double"))).as("__b0"),
+      (d1.cast("double") / when(dU.cast("double") =!= 0.0,
+        dU.cast("double"))).as("__b1"),
+      (d2.cast("double") / when(dU.cast("double") =!= 0.0,
+        dU.cast("double"))).as("__b2"),
+      (r0.cast("double") / when(dR.cast("double") =!= 0.0,
+        dR.cast("double"))).as("__c0"),
+      (r1.cast("double") / when(dR.cast("double") =!= 0.0,
+        dR.cast("double"))).as("__c1"))
+    val res = rows.crossJoin(broadcast(coef))
+    val ru = col("__y").cast("double") - col("__b0") -
+      col("__b1") * col("__yl") - col("__b2") * col("__xl")
+    val rr = col("__y").cast("double") - col("__c0") -
+      col("__c1") * col("__yl")
+    val rss = res.select(col("n"),
+        round(ru * ru * 1e6, 0).cast("long").as("__ru2"),
+        round(rr * rr * 1e6, 0).cast("long").as("__rr2"))
+      .groupBy(col("n"))
+      .agg(sum(col("__ru2")).cast("long").as("__su"),
+        sum(col("__rr2")).cast("long").as("__sr"))
+    rss.select(col("n"),
+      round(col("__sr").cast("double") / 1e6, 6).as("rss_r"),
+      round(col("__su").cast("double") / 1e6, 6).as("rss_u"),
+      when(col("__su") > 0L && col("n") > 3L,
+        round((col("__sr") - col("__su")).cast("double") /
+          (col("__su").cast("double") / (col("n") - 3L)), 6))
+        .as("f_stat"))
+  }
+
   /** X299 — Wald-Wolfowitz runs test on a boolean PERIOD series
     * (e.g. "day above the mean"): R = observed runs vs the
     * μ = 2n₁n₀/N + 1, σ² = 2n₁n₀(2n₁n₀−N)/(N²(N−1)) expected under

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Hypothesis, TimeSeries}
+import graft.operators.{Hypothesis, RankEval, TimeSeries}
 import graft.queries.QueryDef.{events, table}
 
 /** Wave 53 — the exact-inference completions of the classical shelf:
@@ -15,6 +15,141 @@ import graft.queries.QueryDef.{events, table}
   * DuckDB hash oracle (exact integer / quantized-fold constructions).
   */
 object InferenceQueries {
+
+  /** Pico quantization in DuckDB SQL — the [[TimeSeries.pacf]] grid. */
+  private def q12(e: String): String =
+    s"CAST(CAST(round(($e) * 1e12) AS BIGINT) AS DOUBLE) / 1e12"
+
+  /** X403 oracle: the q_acf moment CTEs, pico-quantized r_k scalars,
+    * then the Durbin-Levinson chain unrolled one CTE per level with
+    * every φ re-quantized — the identical fixed shapes the Spark
+    * side folds.
+    */
+  private def pacfSql(maxLag: Int): String = {
+    val lagCols = (1 to maxLag).map(k =>
+      s"lag(v, $k) OVER (ORDER BY d) AS l$k").mkString(",\n                 ")
+    val moments = (1 to maxLag).map(k => s"""
+                 sum(CAST(v AS HUGEINT) * l$k) AS p$k,
+                 sum(CASE WHEN l$k IS NOT NULL
+                   THEN CAST(v AS HUGEINT) END) AS a$k,
+                 sum(CAST(l$k AS HUGEINT)) AS b$k""").mkString(",")
+    val den = "CAST(CAST(n AS HUGEINT) * n * q - CAST(n AS HUGEINT)" +
+      " * s * s AS DOUBLE)"
+    val rks = (1 to maxLag).map { k =>
+      val num = s"CAST(CAST(n AS HUGEINT) * n * p$k - " +
+        s"CAST(n AS HUGEINT) * s * (a$k + b$k) + " +
+        s"(CAST(n AS HUGEINT) - $k) * s * s AS DOUBLE)"
+      q12(s"$num / (CASE WHEN $den > 0 THEN $den END)") + s" AS r$k"
+    }.mkString(",\n                 ")
+    val head = s"""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1
+        ), lagged AS (
+          SELECT v,
+                 $lagCols
+          FROM daily
+        ), agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(v AS HUGEINT)) AS s,
+                 sum(CAST(v AS HUGEINT) * v) AS q,$moments
+          FROM lagged
+        ), rk AS (
+          SELECT n,
+                 $rks
+          FROM agg
+        ), lvl1 AS (SELECT *, r1 AS f1_1 FROM rk)"""
+    val steps = (2 to maxLag).map { k =>
+      val num = (1 until k).foldLeft(s"r$k") { (acc, j) =>
+        s"$acc - f${k - 1}_$j * r${k - j}"
+      }
+      val dd = (1 until k).foldLeft("1.0") { (acc, j) =>
+        s"$acc - f${k - 1}_$j * r$j"
+      }
+      val diag = s""", diag$k AS (
+          SELECT *, ${q12(s"($num) / (CASE WHEN ($dd) <> 0 " +
+            s"THEN ($dd) END)")} AS f${k}_$k FROM lvl${k - 1})"""
+      val offs = (1 until k).map(j =>
+        q12(s"f${k - 1}_$j - f${k}_$k * f${k - 1}_${k - j}") +
+          s" AS f${k}_$j").mkString(", ")
+      diag + s""", lvl$k AS (
+          SELECT *, $offs FROM diag$k)"""
+    }.mkString
+    val rows = (1 to maxLag).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS lag, n, round(r$k, 6) AS acf, " +
+        s"round(f${k}_$k, 6) AS pacf FROM lvl$maxLag")
+      .mkString("\n          UNION ALL ")
+    (head + steps + s"""
+        SELECT lag, n, acf, pacf FROM (
+          $rows
+        ) ORDER BY lag""").trim
+  }
+
+  /** X404 oracle: one Granger direction's CTE block (suffix `$s`,
+    * target `$y`, candidate driver `$x`) — integer moments, Cramer
+    * determinants, fixed-shape residual doubles micro-quantized
+    * before the RSS fold.
+    */
+  private def grangerDirSql(s: String, y: String, x: String): String = {
+    val ru = s"(CAST(r.y AS DOUBLE) - c.b0 - c.b1 * r.yl - c.b2 * r.xl)"
+    val rr = s"(CAST(r.y AS DOUBLE) - c.c0 - c.c1 * r.yl)"
+    s""", r_$s AS (
+          SELECT $y AS y,
+                 lag($y, 1) OVER (ORDER BY d) AS yl,
+                 lag($x, 1) OVER (ORDER BY d) AS xl
+          FROM daily
+        ), rr_$s AS (
+          SELECT y, yl, xl FROM r_$s
+          WHERE yl IS NOT NULL AND xl IS NOT NULL
+        ), m_$s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(yl AS HUGEINT)) AS sa,
+                 sum(CAST(xl AS HUGEINT)) AS sb,
+                 sum(CAST(yl AS HUGEINT) * yl) AS saa,
+                 sum(CAST(xl AS HUGEINT) * xl) AS sbb,
+                 sum(CAST(yl AS HUGEINT) * xl) AS sab,
+                 sum(CAST(y AS HUGEINT) * yl) AS sya,
+                 sum(CAST(y AS HUGEINT) * xl) AS syb
+          FROM rr_$s
+        ), c_$s AS (
+          SELECT n,
+            CAST(d0 AS DOUBLE) / (CASE WHEN CAST(du AS DOUBLE) <> 0
+              THEN CAST(du AS DOUBLE) END) AS b0,
+            CAST(d1 AS DOUBLE) / (CASE WHEN CAST(du AS DOUBLE) <> 0
+              THEN CAST(du AS DOUBLE) END) AS b1,
+            CAST(d2 AS DOUBLE) / (CASE WHEN CAST(du AS DOUBLE) <> 0
+              THEN CAST(du AS DOUBLE) END) AS b2,
+            CAST(r0 AS DOUBLE) / (CASE WHEN CAST(dr AS DOUBLE) <> 0
+              THEN CAST(dr AS DOUBLE) END) AS c0,
+            CAST(r1c AS DOUBLE) / (CASE WHEN CAST(dr AS DOUBLE) <> 0
+              THEN CAST(dr AS DOUBLE) END) AS c1
+          FROM (
+            SELECT n,
+              n * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb)
+                + sb * (sa * sab - saa * sb) AS du,
+              sy * (saa * sbb - sab * sab)
+                - sa * (sya * sbb - sab * syb)
+                + sb * (sya * sab - saa * syb) AS d0,
+              n * (sya * sbb - sab * syb) - sy * (sa * sbb - sab * sb)
+                + sb * (sa * syb - sya * sb) AS d1,
+              n * (saa * syb - sya * sab) - sa * (sa * syb - sya * sb)
+                + sy * (sa * sab - saa * sb) AS d2,
+              n * saa - sa * sa AS dr,
+              sy * saa - sa * sya AS r0,
+              n * sya - sa * sy AS r1c
+            FROM m_$s)
+        ), res_$s AS (
+          SELECT m.n,
+            CAST(round(($ru * $ru) * 1e6) AS BIGINT) AS ru2,
+            CAST(round(($rr * $rr) * 1e6) AS BIGINT) AS rr2
+          FROM rr_$s r, c_$s c, m_$s m
+        ), rss_$s AS (
+          SELECT n, CAST(sum(ru2) AS BIGINT) AS su,
+                 CAST(sum(rr2) AS BIGINT) AS sr
+          FROM res_$s GROUP BY n
+        )"""
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -616,6 +751,277 @@ object InferenceQueries {
           .groupBy(to_date($"ts").cast("string").as("d"))
           .agg(count(lit(1)).cast("long").as("v"))
         TimeSeries.holtLinear(daily, "d", "v")
+      }),
+
+    // X403: PACF beside q_acf's ACF — Durbin-Levinson on the
+    // pico-quantized autocorrelations, every φ re-quantized to the
+    // grid so the recursion replays identically in the unrolled CTE.
+    QueryDef(
+      "q_pacf",
+      Some(pacfSql(5)),
+      "X403 partial autocorrelation (Durbin-Levinson), lags 1-5")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.pacf(daily, "d", "v", maxLag = 5)
+      }),
+
+    // X404: lag-1 Granger causality BOTH ways between the daily
+    // purchase and view count series — integer-moment OLS via Cramer
+    // determinants, residuals micro-quantized before the RSS fold.
+    QueryDef(
+      "q_granger",
+      Some(("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS vp,
+                 CAST(sum(CASE WHEN event_type = 'view'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS vv
+          FROM events GROUP BY 1
+        )""" +
+        grangerDirSql("pv", "vv", "vp") +
+        grangerDirSql("vp", "vp", "vv") + """
+        SELECT direction, n, rss_r, rss_u, f_stat FROM (
+          SELECT 'purchase->view' AS direction, n,
+                 round(CAST(sr AS DOUBLE) / 1e6, 6) AS rss_r,
+                 round(CAST(su AS DOUBLE) / 1e6, 6) AS rss_u,
+                 CASE WHEN su > 0 AND n > 3 THEN
+                   round(CAST(sr - su AS DOUBLE)
+                     / (CAST(su AS DOUBLE) / (n - 3)), 6) END AS f_stat
+          FROM rss_pv
+          UNION ALL
+          SELECT 'view->purchase', n,
+                 round(CAST(sr AS DOUBLE) / 1e6, 6),
+                 round(CAST(su AS DOUBLE) / 1e6, 6),
+                 CASE WHEN su > 0 AND n > 3 THEN
+                   round(CAST(sr - su AS DOUBLE)
+                     / (CAST(su AS DOUBLE) / (n - 3)), 6) END
+          FROM rss_vp
+        ) ORDER BY direction
+      """).trim),
+      "X404 lag-1 Granger F both ways, purchase vs view dailies")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(sum(when($"event_type" === "purchase", 1L)
+              .otherwise(0L)).cast("long").as("vp"),
+            sum(when($"event_type" === "view", 1L).otherwise(0L))
+              .cast("long").as("vv"))
+        val pv = TimeSeries.grangerLag1(daily, "d", "vv", "vp")
+          .select(lit("purchase->view").as("direction"), $"n",
+            $"rss_r", $"rss_u", $"f_stat")
+        val vp = TimeSeries.grangerLag1(daily, "d", "vp", "vv")
+          .select(lit("view->purchase").as("direction"), $"n",
+            $"rss_r", $"rss_u", $"f_stat")
+        pv.unionAll(vp).orderBy($"direction")
+      }),
+
+    // X405: ERR@5 of the brute-force cosine ranking under graded
+    // label-distance relevance — the cascade-model companion to
+    // q_ndcg; dyadic gains keep the whole metric an exact rational.
+    QueryDef(
+      "q_err",
+      Some {
+        val k = 5
+        val base = 16L
+        val l = 60L
+        val num = (1 to k).map { i =>
+          val pref = (1 until i).map(j => s"(16 - n$j)")
+            .foldLeft("1")((a, b) => s"$a * $b")
+          val scale = (0 until (k - i)).foldLeft(1L)((a, _) => a * base)
+          s"n$i * $pref * $scale * ${l / i}"
+        }.mkString(" + ")
+        val den = (0 until k).foldLeft(1L)((a, _) => a * base) * l
+        s"""
+        WITH v AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+        ), q AS (SELECT * FROM v WHERE vec_id % 25 = 0),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 q.label AS ql, c.label AS nl,
+                 list_dot_product(q.e, c.e) /
+                 (sqrt(list_dot_product(q.e, q.e)) *
+                  sqrt(list_dot_product(c.e, c.e))) AS cos
+          FROM q JOIN v c ON q.vec_id <> c.vec_id
+        ), topk AS (
+          SELECT query_id, rank,
+                 CAST(power(2, 4 - least(abs(ql - nl), 3)) AS BIGINT)
+                   - 1 AS n
+          FROM (
+            SELECT query_id, ql, nl, cos,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+          )
+          WHERE rank <= $k
+        ), piv AS (
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_ranked,
+                 ${(1 to k).map(i =>
+                   s"coalesce(max(CASE WHEN rank = $i THEN n END), 0)" +
+                   s" AS n$i").mkString(",\n                 ")}
+          FROM topk GROUP BY query_id
+        )
+        SELECT query_id, n_ranked,
+               CAST($num AS BIGINT) AS err_num,
+               CAST($den AS BIGINT) AS err_den,
+               round(CAST($num AS DOUBLE) / $den.0, 6) AS err
+        FROM piv ORDER BY query_id
+        """.trim
+      },
+      "X405 ERR@5 of cosine retrieval, graded label-distance gains")(
+      (spark, dir) => {
+        import spark.implicits._
+        val emb = table(spark, dir, "embeddings")
+        val lab = emb.select($"vec_id", $"label")
+        val ranked = graft.operators.Similarity.bruteForceTopK(
+          emb.filter($"vec_id" % 25 === 0), emb,
+          "vec_id", "embedding", 5)
+        val graded = ranked
+          .join(lab.select($"vec_id".as("query_id"),
+            $"label".as("__ql")), "query_id")
+          .join(lab.select($"vec_id".as("neighbor_id"),
+            $"label".as("__nl")), "neighbor_id")
+          .withColumn("grade",
+            lit(4) - least(abs($"__ql" - $"__nl"), lit(3)))
+        RankEval.errAtK(graded, "query_id", "rank", "grade",
+            k = 5, maxGrade = 4)
+          .orderBy($"query_id")
+      }),
+
+    // X406: Yule's characteristic K per source — the repeated-vocab
+    // concentration number (10⁴·(Σc²−N)/N², scale-invariant where
+    // raw TTR is length-biased); exact integers end to end.
+    QueryDef(
+      "q_yule_k",
+      Some("""
+        WITH toks AS (
+          SELECT source, unnest(list_filter(string_split_regex(
+            lower(text), '\s+'), t -> t <> '')) AS tok
+          FROM documents
+        ), counts AS (
+          SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2
+        ), agg AS (
+          SELECT source,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(c * c) AS BIGINT) AS m2
+          FROM counts GROUP BY 1
+        )
+        SELECT source, n_tokens, n_types,
+               CASE WHEN n_tokens > 0 THEN
+                 round(10000.0 * CAST(m2 - n_tokens AS DOUBLE)
+                   / (CAST(n_tokens AS DOUBLE)
+                     * CAST(n_tokens AS DOUBLE)), 6) END AS yule_k
+        FROM agg ORDER BY source
+      """.trim),
+      "X406 Yule's K vocabulary concentration per source")(
+      (spark, dir) => {
+        import spark.implicits._
+        val toks = table(spark, dir, "documents")
+          .select($"source",
+            explode(filter(split(lower($"text"), "\\s+"),
+              t => t =!= "")).as("tok"))
+        val counts = toks.groupBy($"source", $"tok")
+          .agg(count(lit(1)).cast("long").as("c"))
+        counts.groupBy($"source")
+          .agg(sum($"c").cast("long").as("n_tokens"),
+            count(lit(1)).cast("long").as("n_types"),
+            sum($"c" * $"c").cast("long").as("m2"))
+          .select($"source", $"n_tokens", $"n_types",
+            when($"n_tokens" > 0L,
+              round(lit(10000.0) *
+                ($"m2" - $"n_tokens").cast("double") /
+                ($"n_tokens".cast("double") *
+                  $"n_tokens".cast("double")), 6)).as("yule_k"))
+          .orderBy($"source")
+      }),
+
+    // X407: 3-hop harmonic centrality of each supplier on the
+    // customer-supplier bipartite graph of ONE quarter — H·6 =
+    // 6n₁+3n₂+2n₃ is an exact integer (distances on a bipartite walk
+    // alternate sides, so n₂ is suppliers-sharing-a-customer and n₃
+    // is their other customers). The quarter filter keeps the graph
+    // SPARSE: on the full history every supplier saturates to every
+    // customer within 2 hops and the 3-hop candidate join goes
+    // |S|·|C|-dense — the same reason one computes centrality on a
+    // windowed interaction graph, not the all-time one.
+    QueryDef(
+      "q_harmonic",
+      Some("""
+        WITH adj AS (
+          SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate >= DATE '1997-01-01'
+            AND l.l_shipdate < DATE '1997-04-01'
+        ), n1 AS (
+          SELECT s, CAST(count(*) AS BIGINT) AS n1 FROM adj GROUP BY 1
+        ), d2 AS (
+          SELECT DISTINCT a.s AS s, b.s AS s2
+          FROM adj a JOIN adj b ON a.c = b.c AND a.s <> b.s
+        ), n2 AS (
+          SELECT s, CAST(count(*) AS BIGINT) AS n2 FROM d2 GROUP BY 1
+        ), cand3 AS (
+          SELECT DISTINCT d2.s, a2.c
+          FROM d2 JOIN adj a2 ON a2.s = d2.s2
+        ), d3 AS (
+          SELECT c3.s, c3.c FROM cand3 c3
+          LEFT JOIN adj a ON a.s = c3.s AND a.c = c3.c
+          WHERE a.s IS NULL
+        ), n3 AS (
+          SELECT s, CAST(count(*) AS BIGINT) AS n3 FROM d3 GROUP BY 1
+        )
+        SELECT n1.s AS s_suppkey, n1.n1,
+               coalesce(n2.n2, 0) AS n2, coalesce(n3.n3, 0) AS n3,
+               CAST(6 * n1.n1 + 3 * coalesce(n2.n2, 0)
+                 + 2 * coalesce(n3.n3, 0) AS BIGINT) AS harmonic6,
+               round(CAST(6 * n1.n1 + 3 * coalesce(n2.n2, 0)
+                 + 2 * coalesce(n3.n3, 0) AS DOUBLE) / 6.0, 6)
+                 AS harmonic
+        FROM n1
+        LEFT JOIN n2 ON n2.s = n1.s
+        LEFT JOIN n3 ON n3.s = n1.s
+        ORDER BY s_suppkey
+      """.trim),
+      "X407 3-hop harmonic centrality per supplier, bipartite graph")(
+      (spark, dir) => {
+        import spark.implicits._
+        val adj = table(spark, dir, "orders")
+          .join(table(spark, dir, "lineitem")
+              .filter($"l_shipdate" >= lit("1997-01-01")
+                .cast("timestamp") &&
+                $"l_shipdate" < lit("1997-04-01").cast("timestamp")),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"l_suppkey".as("s"), $"o_custkey".as("c"))
+          .distinct()
+          .persist()
+        val n1 = adj.groupBy($"s")
+          .agg(count(lit(1)).cast("long").as("n1"))
+        val d2 = adj.as("a").join(adj.as("b"),
+            col("a.c") === col("b.c") && col("a.s") =!= col("b.s"))
+          .select(col("a.s").as("s"), col("b.s").as("s2"))
+          .distinct()
+        val n2 = d2.groupBy($"s")
+          .agg(count(lit(1)).cast("long").as("n2"))
+        val cand3 = d2.join(adj.select($"s".as("s2"), $"c"), Seq("s2"))
+          .select($"s", $"c").distinct()
+        val d3 = cand3.join(adj, Seq("s", "c"), "left_anti")
+        val n3 = d3.groupBy($"s")
+          .agg(count(lit(1)).cast("long").as("n3"))
+        val h6 = lit(6L) * $"n1" + lit(3L) * coalesce($"n2", lit(0L)) +
+          lit(2L) * coalesce($"n3", lit(0L))
+        n1.join(n2, Seq("s"), "left").join(n3, Seq("s"), "left")
+          .select($"s".as("s_suppkey"), $"n1",
+            coalesce($"n2", lit(0L)).as("n2"),
+            coalesce($"n3", lit(0L)).as("n3"),
+            h6.cast("long").as("harmonic6"),
+            round(h6.cast("double") / 6.0, 6).as("harmonic"))
+          .orderBy($"s_suppkey")
       }),
   )
 }
