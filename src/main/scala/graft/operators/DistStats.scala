@@ -559,4 +559,60 @@ object DistStats {
           round(col("__w") / col("__wTot") * budget, 0).cast("long"))
           .as("n_alloc"))
   }
+
+  /** X408 — raking (iterative proportional fitting) of a two-way
+    * cell table to UNIFORM row and column margins: the survey-
+    * weighting step that rebalances a corpus to target language ×
+    * source shares without per-cell targets — each iteration scales
+    * every cell weight by targetMargin/currentMargin, rows then
+    * columns, and converges to the max-entropy weighting consistent
+    * with both margins.
+    *
+    * Deterministic integer state (the Holt/PageRank fixed-point
+    * convention): weights live on the micro grid; targets and every
+    * scale step are round-half-up integer divisions
+    * ((2·w·T + M) div (2·M)) on exact cell masses, so the whole
+    * 2·iters-step recursion replays verbatim in unrolled CTEs. The
+    * cell table is category-bounded (|rows|·|cols|), never
+    * data-sized; per-step localCheckpoint truncates the loop plan.
+    */
+  def rakeWeights(df: DataFrame, rowCol: String, colCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"bad iters $iters")
+    val dec = "decimal(38,0)"
+    val cells0 = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("w", lit(1000000L))
+    val tot = cells0.agg(sum(col("n")).cast("long").as("__N"),
+      countDistinct(col("r")).cast("long").as("__R"),
+      countDistinct(col("c")).cast("long").as("__C"))
+    // uniform margin targets in micro mass, round-half-up
+    val tR = ((lit(2L).cast(dec) * col("__N") * 1000000L + col("__R"))
+      / (lit(2L).cast(dec) * col("__R"))).cast("long")
+    val tC = ((lit(2L).cast(dec) * col("__N") * 1000000L + col("__C"))
+      / (lit(2L).cast(dec) * col("__C"))).cast("long")
+    val targets = tot.select(tR.as("__tr"), tC.as("__tc"))
+    var cells = cells0.crossJoin(broadcast(targets))
+      .localCheckpoint(true)
+    def rescale(marginCol: String, target: Column): DataFrame = {
+      val m = cells.groupBy(col(marginCol).as("__k"))
+        .agg(sum((col("n").cast(dec) * col("w")).cast(dec)).cast(dec)
+          .as("__m"))
+      cells.join(broadcast(m), cells(marginCol) === m("__k"))
+        .select(col("r"), col("c"), col("n"), col("__tr"), col("__tc"),
+          when(col("__m") > 0L,
+            ((lit(2L).cast(dec) * col("w") * target + col("__m")) /
+              (lit(2L).cast(dec) * col("__m"))).cast("long"))
+            .otherwise(col("w")).as("w"))
+    }
+    for (_ <- 1 to iters) {
+      cells = rescale("r", col("__tr")).localCheckpoint(true)
+      cells = rescale("c", col("__tc")).localCheckpoint(true)
+    }
+    cells.select(col("r"), col("c"), col("n"),
+      col("w").as("w_micro"),
+      round(col("w").cast("double") / 1e6, 6).as("weight"),
+      round(col("n").cast("double") * col("w").cast("double") / 1e6,
+        6).as("weighted_n"))
+  }
 }

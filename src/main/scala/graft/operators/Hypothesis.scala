@@ -131,6 +131,37 @@ object Hypothesis {
           .as("ks_d"))
   }
 
+  /** X409 — two-sample Kuiper test: V = D⁺ + D⁻, the sum of the
+    * largest CDF excursions in EACH direction — equally sensitive
+    * across the whole support (and rotation-invariant on circular
+    * data like hour-of-day), where [[ksTest]]'s single max goes
+    * numb in the tails and at wrap-around. Same distinct-value
+    * cumSums grid, exact integer counts, one double max-pair.
+    */
+  def kuiperTest(df: DataFrame, valueCol: String, isA: Column)
+      : DataFrame = {
+    val per = df.groupBy(round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+    val tot = per.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val gap = col("__cum__ca").cast("double") / col("__na") -
+      col("__cum__cb").cast("double") / col("__nb")
+    CorpusOps.cumSums(per, Seq(col("__v")), Seq("__ca", "__cb"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("__na")).cast("long").as("n_a"),
+        max(col("__nb")).cast("long").as("n_b"),
+        greatest(max(gap), lit(0.0)).as("__dp"),
+        greatest(max(-gap), lit(0.0)).as("__dm"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("__dp"), 6)).as("d_plus"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("__dm"), 6)).as("d_minus"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("__dp") + col("__dm"), 6)).as("kuiper_v"))
+  }
+
   /** X271 — 1-D Wasserstein-1 (earth mover's) distance between two
     * groups: W₁ = ∫\|F_A − F_B\|dv over the value axis — the drift
     * metric with UNITS (it reads in the value's own scale: "the

@@ -151,7 +151,205 @@ object InferenceQueries {
         )"""
   }
 
+  /** X408 oracle: the raking recursion unrolled — integer micro
+    * weights, round-half-up scale steps ((2wT+M)//(2M)), one CTE
+    * pair (row step, column step) per iteration.
+    */
+  private def rakingSql(iters: Int): String = {
+    val head = """
+        WITH cells0 AS (
+          SELECT lang AS r, source AS c,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(1000000 AS BIGINT) AS w
+          FROM documents GROUP BY 1, 2
+        ), tot AS (
+          SELECT CAST(sum(n) AS HUGEINT) AS nn,
+                 CAST(count(DISTINCT r) AS HUGEINT) AS rr,
+                 CAST(count(DISTINCT c) AS HUGEINT) AS cc
+          FROM cells0
+        ), targets AS (
+          SELECT CAST((2 * nn * 1000000 + rr) // (2 * rr) AS BIGINT)
+                   AS tr,
+                 CAST((2 * nn * 1000000 + cc) // (2 * cc) AS BIGINT)
+                   AS tc
+          FROM tot
+        ), it0 AS (
+          SELECT r, c, n, w, tr, tc FROM cells0, targets
+        )"""
+    val steps = (1 to iters).map { i =>
+      s""", it${i}a AS (
+          SELECT r, c, n,
+                 CASE WHEN m > 0 THEN CAST((2 * CAST(w AS HUGEINT)
+                   * tr + m) // (2 * m) AS BIGINT) ELSE w END AS w,
+                 tr, tc
+          FROM it${i - 1}${if (i == 1) "" else "b"}
+          JOIN (SELECT r AS k, sum(CAST(n AS HUGEINT) * w) AS m
+                FROM it${i - 1}${if (i == 1) "" else "b"}
+                GROUP BY 1) mr ON mr.k = r
+        ), it${i}b AS (
+          SELECT r, c, n,
+                 CASE WHEN m > 0 THEN CAST((2 * CAST(w AS HUGEINT)
+                   * tc + m) // (2 * m) AS BIGINT) ELSE w END AS w,
+                 tr, tc
+          FROM it${i}a
+          JOIN (SELECT c AS k, sum(CAST(n AS HUGEINT) * w) AS m
+                FROM it${i}a GROUP BY 1) mc ON mc.k = c
+        )"""
+    }.mkString
+    head + steps + s"""
+        SELECT r AS lang, c AS source, n, w AS w_micro,
+               round(CAST(w AS DOUBLE) / 1e6, 6) AS weight,
+               round(CAST(n AS DOUBLE) * CAST(w AS DOUBLE) / 1e6, 6)
+                 AS weighted_n
+        FROM it${iters}b ORDER BY lang, source"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // X408: raking / iterative proportional fitting of the
+    // (lang × source) cell table to uniform margins — 5 iterations
+    // of integer-state row/column rescaling, the survey-weighting
+    // companion to q_kish/q_neyman and the principled version of
+    // X85's one-margin temperature mix.
+    QueryDef(
+      "q_raking",
+      Some(rakingSql(5).trim),
+      "X408 IPF raking of lang x source cells to uniform margins")(
+      (spark, dir) => {
+        import spark.implicits._
+        graft.operators.DistStats.rakeWeights(
+            table(spark, dir, "documents"), "lang", "source",
+            iters = 5)
+          .select($"r".as("lang"), $"c".as("source"), $"n",
+            $"w_micro", $"weight", $"weighted_n")
+          .orderBy($"lang", $"source")
+      }),
+
+    // X409: two-sample Kuiper V — the whole-support/circular-safe
+    // complement to q_ks_test on the same purchase-vs-view gate.
+    QueryDef(
+      "q_kuiper",
+      Some("""
+        WITH b AS (
+          SELECT CAST(round(value * 1000000.0) AS BIGINT) AS v,
+                 event_type = 'purchase' AS is_a
+          FROM events WHERE event_type IN ('purchase', 'view')
+        ), per AS (
+          SELECT v,
+                 CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+                   AS cb
+          FROM b GROUP BY v
+        ), tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb
+          FROM per
+        ), cum AS (
+          SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cca,
+                 sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS ccb
+          FROM per
+        ), gaps AS (
+          SELECT greatest(max(CAST(cca AS DOUBLE) / na
+                   - CAST(ccb AS DOUBLE) / nb), 0.0) AS dp,
+                 greatest(max(-(CAST(cca AS DOUBLE) / na
+                   - CAST(ccb AS DOUBLE) / nb)), 0.0) AS dm
+          FROM cum, tot
+        )
+        SELECT na AS n_a, nb AS n_b,
+               CASE WHEN na > 0 AND nb > 0 THEN round(dp, 6) END
+                 AS d_plus,
+               CASE WHEN na > 0 AND nb > 0 THEN round(dm, 6) END
+                 AS d_minus,
+               CASE WHEN na > 0 AND nb > 0 THEN round(dp + dm, 6) END
+                 AS kuiper_v
+        FROM gaps, tot
+      """.trim),
+      "X409 two-sample Kuiper V, purchase vs view values")(
+      (spark, dir) => {
+        import spark.implicits._
+        Hypothesis.kuiperTest(
+          events(spark, dir)
+            .filter($"event_type".isin("purchase", "view")),
+          "value", $"event_type" === "purchase")
+      }),
+
+    // X410: Bland-Altman agreement between two length measures
+    // (declared n_chars vs 5·token count) — mean bias, limits of
+    // agreement, and the share of docs outside them; the
+    // method-comparison readout beside q_lins_ccc's single number.
+    QueryDef(
+      "q_bland_altman",
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(n_chars AS BIGINT)
+                 - 5 * CAST(len(list_filter(string_split_regex(
+                     lower(text), '\s+'), t -> t <> '')) AS BIGINT)
+                   AS diff
+          FROM documents
+        ), s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(diff AS HUGEINT)) AS sd1,
+                 sum(CAST(diff AS HUGEINT) * diff) AS sd2
+          FROM d
+        ), f AS (
+          SELECT n,
+                 CAST(sd1 AS DOUBLE) / n AS mean_d,
+                 sqrt((CAST(sd2 AS DOUBLE) - CAST(sd1 AS DOUBLE)
+                   * CAST(sd1 AS DOUBLE) / n) / (n - 1)) AS sd_d
+          FROM s
+        )
+        SELECT f.n, round(mean_d, 6) AS mean_diff,
+               round(sd_d, 6) AS sd_diff,
+               round(mean_d - 1.96 * sd_d, 6) AS loa_lo,
+               round(mean_d + 1.96 * sd_d, 6) AS loa_hi,
+               CAST((SELECT count(*) FROM d, f
+                 WHERE CAST(diff AS DOUBLE) < mean_d - 1.96 * sd_d
+                    OR CAST(diff AS DOUBLE) > mean_d + 1.96 * sd_d)
+                 AS BIGINT) AS n_outside,
+               round(CAST((SELECT count(*) FROM d, f
+                 WHERE CAST(diff AS DOUBLE) < mean_d - 1.96 * sd_d
+                    OR CAST(diff AS DOUBLE) > mean_d + 1.96 * sd_d)
+                 AS DOUBLE) / f.n, 6) AS pct_outside
+        FROM f
+      """.trim),
+      "X410 Bland-Altman limits of agreement, chars vs 5x tokens")(
+      (spark, dir) => {
+        import spark.implicits._
+        val d = table(spark, dir, "documents")
+          .select($"doc_id",
+            ($"n_chars".cast("long") - lit(5L) *
+              size(filter(split(lower($"text"), "\\s+"),
+                t => t =!= "")).cast("long")).as("diff"))
+        val dec = "decimal(38,0)"
+        val s = d.agg(count(lit(1)).cast("long").as("n"),
+          sum($"diff").cast(dec).as("sd1"),
+          sum(($"diff".cast(dec) * $"diff").cast(dec)).cast(dec)
+            .as("sd2"))
+        val meanD = $"sd1".cast("double") / $"n"
+        val sdD = sqrt(($"sd2".cast("double") -
+          $"sd1".cast("double") * $"sd1".cast("double") / $"n") /
+          ($"n" - 1L))
+        val f = s.select($"n", meanD.as("__mean"), sdD.as("__sd"))
+        val outside = $"diff".cast("double") <
+          $"__mean" - lit(1.96) * $"__sd" ||
+          $"diff".cast("double") > $"__mean" + lit(1.96) * $"__sd"
+        d.crossJoin(broadcast(f))
+          .agg(max($"n").as("n"),
+            max($"__mean").as("__m"), max($"__sd").as("__s"),
+            sum(when(outside, 1L).otherwise(0L)).cast("long")
+              .as("n_outside"))
+          .select($"n", round($"__m", 6).as("mean_diff"),
+            round($"__s", 6).as("sd_diff"),
+            round($"__m" - lit(1.96) * $"__s", 6).as("loa_lo"),
+            round($"__m" + lit(1.96) * $"__s", 6).as("loa_hi"),
+            $"n_outside",
+            round($"n_outside".cast("double") / $"n", 6)
+              .as("pct_outside"))
+      }),
 
     // X387: Hochberg step-up + Šidák over the SAME per-source
     // length-band GOF p-value family as q_holm/q_bh_fdr — the three
