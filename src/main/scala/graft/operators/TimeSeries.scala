@@ -753,6 +753,195 @@ object TimeSeries {
         .as("f_stat"))
   }
 
+  /** X411 — Chow test for a structural break at a KNOWN date: fit
+    * y = a + b·t by OLS on the pooled series and on each segment,
+    * F = ((RSS_p − RSS₁ − RSS₂)/2) / ((RSS₁+RSS₂)/(n−4)) — the
+    * "did the trend actually change when we shipped" gate beside
+    * X365's regression discontinuity (RD reads a level jump at the
+    * cutoff; Chow reads whole-line slope+intercept change).
+    *
+    * Determinism: t is the 1-based order index; all OLS moments are
+    * exact integers folded in decimal(38,0), slopes/intercepts one
+    * double division from Cramer pairs, squared residuals
+    * micro-quantized before the three RSS folds (the grangerLag1
+    * convention). PERIOD-bounded frame.
+    */
+  def chowTest(series: DataFrame, orderCol: String, valueCol: String,
+      inSegment2: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col("__o"))
+    val rows = series.select(col(orderCol).as("__o"),
+        col(valueCol).cast("long").as("__y"),
+        when(inSegment2, 1L).otherwise(0L).as("__s2"))
+      .withColumn("__t", row_number().over(w).cast("long"))
+    def d(c: Column) = c.cast(dec)
+    def moments(flag: Column) = Seq(
+      sum(when(flag, 1L).otherwise(0L)).cast("long"),
+      sum(when(flag, col("__t")).otherwise(0L)).cast(dec),
+      sum(when(flag, col("__y")).otherwise(0L)).cast(dec),
+      sum(when(flag, (d(col("__t")) * col("__t")).cast(dec))
+        .otherwise(lit(0).cast(dec))).cast(dec),
+      sum(when(flag, (d(col("__t")) * col("__y")).cast(dec))
+        .otherwise(lit(0).cast(dec))).cast(dec))
+    val all = lit(true)
+    val seg1 = col("__s2") === 0L
+    val seg2 = col("__s2") === 1L
+    val names = for (s <- Seq("p", "a", "b"); m <- Seq("n", "st", "sy",
+      "stt", "sty")) yield s + m
+    val aggCols = (moments(all) ++ moments(seg1) ++ moments(seg2))
+      .zip(names).map { case (c, n) => c.as(n) }
+    val m = rows.agg(aggCols.head, aggCols.tail: _*)
+    def fit(p: String) = {
+      val n = col(p + "n").cast(dec)
+      val den = (n * col(p + "stt") - col(p + "st") * col(p + "st"))
+        .cast(dec)
+      val bNum = (n * col(p + "sty") - col(p + "st") * col(p + "sy"))
+        .cast(dec)
+      val aNum = (col(p + "sy") * col(p + "stt") -
+        col(p + "st") * col(p + "sty")).cast(dec)
+      val dd = when(den.cast("double") =!= 0.0, den.cast("double"))
+      (aNum.cast("double") / dd, bNum.cast("double") / dd)
+    }
+    val (pa, pb) = fit("p")
+    val (aa, ab) = fit("a")
+    val (ba, bb) = fit("b")
+    val coef = m.select(col("pn"), col("an").as("n1"),
+      col("bn").as("n2"), pa.as("__pa"), pb.as("__pb"),
+      aa.as("__aa"), ab.as("__ab"), ba.as("__ba"), bb.as("__bb"))
+    val res = rows.crossJoin(broadcast(coef))
+    val y = col("__y").cast("double")
+    val t = col("__t").cast("double")
+    def rq(a: Column, b: Column) = {
+      val e = y - a - b * t
+      round((e * e) * 1e6, 0).cast("long")
+    }
+    val rss = res.select(col("n1"), col("n2"),
+        rq(col("__pa"), col("__pb")).as("__rp"),
+        when(col("__s2") === 0L, rq(col("__aa"), col("__ab")))
+          .otherwise(rq(col("__ba"), col("__bb"))).as("__rs"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(col("__rp")).cast("long").as("__sp"),
+        sum(col("__rs")).cast("long").as("__ss"))
+    val n = col("n1") + col("n2")
+    rss.select(col("n1"), col("n2"),
+      round(col("__sp").cast("double") / 1e6, 6).as("rss_pooled"),
+      round(col("__ss").cast("double") / 1e6, 6).as("rss_split"),
+      when(col("__ss") > 0L && n > 4L && col("n1") > 1L &&
+          col("n2") > 1L,
+        round(((col("__sp") - col("__ss")).cast("double") / 2.0) /
+          (col("__ss").cast("double") / (n - 4L)), 6)).as("f_stat"))
+  }
+
+  /** X412 — per-point regression influence on a PERIOD series: OLS
+    * fit y = a + b·t, then for every point the residual, the exact
+    * leverage h_t = 1/n + (nt−Σt)²/(n·Sxx), and Cook's distance
+    * D = e²h/(2s²(1−h)²) with s² = RSS/(n−2) — "which single day is
+    * dragging the trend line", the diagnostic to run before trusting
+    * X221's slope. Same integer-moment/Cramer/micro-quantized-RSS
+    * contract as [[chowTest]]; leverage is an exact rational.
+    */
+  def regressionInfluence(series: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col("__o"))
+    val rows = series.select(col(orderCol).as("__o"),
+        col(valueCol).cast("long").as("__y"))
+      .withColumn("__t", row_number().over(w).cast("long"))
+    def d(c: Column) = c.cast(dec)
+    val m = rows.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("__t")).cast(dec).as("st"),
+      sum(col("__y")).cast(dec).as("sy"),
+      sum((d(col("__t")) * col("__t")).cast(dec)).cast(dec).as("stt"),
+      sum((d(col("__t")) * col("__y")).cast(dec)).cast(dec).as("sty"))
+    val nD = col("n").cast(dec)
+    val sxx = (nD * col("stt") - col("st") * col("st")).cast(dec)
+    val dd = when(sxx.cast("double") =!= 0.0, sxx.cast("double"))
+    val coef = m.select(col("n"), col("st"),
+      sxx.as("__sxx"),
+      ((col("sy") * col("stt") - col("st") * col("sty"))
+        .cast("double") / dd).as("__a"),
+      ((nD * col("sty") - col("st") * col("sy")).cast("double") / dd)
+        .as("__b"))
+    val joined = rows.crossJoin(broadcast(coef))
+    val y = col("__y").cast("double")
+    val t = col("__t").cast("double")
+    val e = y - col("__a") - col("__b") * t
+    val e2q = round((e * e) * 1e6, 0).cast("long")
+    val withE = joined.select(col("__o"), col("__y"), col("__t"),
+      col("n"), col("st"), col("__sxx"), col("__a"), col("__b"),
+      e.as("__e"), e2q.as("__e2"))
+    val rssF = withE.groupBy(lit(1).as("__g"))
+      .agg(sum(col("__e2")).cast("long").as("__rss"))
+    val out = withE.crossJoin(broadcast(rssF))
+    // exact-rational leverage: 1/n + (n·t − Σt)² / (n·Sxx)
+    val hv = lit(1.0) / col("n") +
+      ((col("n").cast(dec) * col("__t") - col("st")).cast(dec) *
+        (col("n").cast(dec) * col("__t") - col("st")).cast(dec))
+        .cast("double") /
+      (col("n").cast("double") * col("__sxx").cast("double"))
+    val s2 = (col("__rss").cast("double") / 1e6) / (col("n") - 2L)
+    val cooks = (col("__e") * col("__e")) * hv /
+      (lit(2.0) * s2 * (lit(1.0) - hv) * (lit(1.0) - hv))
+    out.filter(col("n") > 2L)
+      .select(col("__o").as("bucket"), col("__y").as("value"),
+        col("__t").as("t"),
+        round(col("__a") + col("__b") * t, 6).as("fitted"),
+        round(col("__e"), 6).as("residual"),
+        round(hv, 6).as("leverage"),
+        when(s2 > 0.0, round(cooks, 6)).as("cooks_d"),
+        when(s2 > 0.0, cooks > lit(4.0) / col("n"))
+          .as("influential"))
+      .orderBy(col("t"))
+  }
+
+  /** X413 — Western Electric control-chart rules on a PERIOD series:
+    * rule 1 = one point beyond 3σ, rule 2 = 2 of 3 consecutive
+    * beyond 2σ on the SAME side, rule 3 = 4 of 5 beyond 1σ same
+    * side, rule 4 = 8 consecutive on one side of the mean — the
+    * classical alarm ladder that catches drifts CUSUM sees late and
+    * single-point z-scores never see. μ and σ from exact integer
+    * moments (sample variance); every rule is a windowed integer
+    * count over fixed-shape boolean comparisons, so the flags are
+    * engine-exact.
+    */
+  def westernElectric(series: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = series.select(col(orderCol).as("__o"),
+      col(valueCol).cast("long").as("__y"))
+    val m = rows.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("__y")).cast(dec).as("s"),
+      sum((col("__y").cast(dec) * col("__y")).cast(dec)).cast(dec)
+        .as("ss"))
+    val nd = col("n").cast("double")
+    val mu = col("s").cast("double") / nd
+    val varS = (col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / nd) /
+      (nd - 1.0)
+    val coef = m.select(col("n"), mu.as("__mu"),
+      when(col("n") > 1L && varS > 0.0, sqrt(varS)).as("__sd"))
+    val j = rows.crossJoin(broadcast(coef))
+    val y = col("__y").cast("double")
+    val hi = (k: Int) => y > col("__mu") + lit(k.toDouble) * col("__sd")
+    val lo = (k: Int) => y < col("__mu") - lit(k.toDouble) * col("__sd")
+    val w3 = Window.orderBy(col("__o")).rowsBetween(-2, 0)
+    val w5 = Window.orderBy(col("__o")).rowsBetween(-4, 0)
+    val w8 = Window.orderBy(col("__o")).rowsBetween(-7, 0)
+    def cnt(c: Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(when(c, 1L).otherwise(0L)).over(w)
+    val nRows = count(lit(1)).over(w8)
+    j.select(col("__o").as("bucket"), col("__y").as("value"),
+        round((y - col("__mu")) / col("__sd"), 6).as("z"),
+        (hi(3) || lo(3)).as("r1"),
+        (cnt(hi(2), w3) >= 2L || cnt(lo(2), w3) >= 2L).as("r2"),
+        (cnt(hi(1), w5) >= 4L || cnt(lo(1), w5) >= 4L).as("r3"),
+        (nRows === 8L && (cnt(y > col("__mu"), w8) === 8L ||
+          cnt(y < col("__mu"), w8) === 8L)).as("r4"))
+      .withColumn("any_signal",
+        col("r1") || col("r2") || col("r3") || col("r4"))
+      .orderBy(col("bucket"))
+  }
+
   /** X299 — Wald-Wolfowitz runs test on a boolean PERIOD series
     * (e.g. "day above the mean"): R = observed runs vs the
     * μ = 2n₁n₀/N + 1, σ² = 2n₁n₀(2n₁n₀−N)/(N²(N−1)) expected under

@@ -951,6 +951,265 @@ object InferenceQueries {
         TimeSeries.holtLinear(daily, "d", "v")
       }),
 
+    // X411: Chow structural-break test on the daily event counts at
+    // the mid-month date — pooled vs per-segment OLS on the time
+    // index, integer moments, micro-quantized residuals.
+    QueryDef(
+      "q_chow",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v,
+                 CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                   THEN 1 ELSE 0 END AS s2
+          FROM events GROUP BY 1, 3
+        ), rows_ AS (
+          SELECT v AS y, s2,
+                 CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+          FROM daily
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS pn,
+                 sum(CAST(t AS HUGEINT)) AS pst,
+                 sum(CAST(y AS HUGEINT)) AS psy,
+                 sum(CAST(t AS HUGEINT) * t) AS pstt,
+                 sum(CAST(t AS HUGEINT) * y) AS psty,
+                 CAST(sum(CASE WHEN s2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS an,
+                 sum(CASE WHEN s2 = 0 THEN CAST(t AS HUGEINT)
+                   ELSE 0 END) AS ast,
+                 sum(CASE WHEN s2 = 0 THEN CAST(y AS HUGEINT)
+                   ELSE 0 END) AS asy,
+                 sum(CASE WHEN s2 = 0 THEN CAST(t AS HUGEINT) * t
+                   ELSE 0 END) AS astt,
+                 sum(CASE WHEN s2 = 0 THEN CAST(t AS HUGEINT) * y
+                   ELSE 0 END) AS asty,
+                 CAST(sum(CASE WHEN s2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS bn,
+                 sum(CASE WHEN s2 = 1 THEN CAST(t AS HUGEINT)
+                   ELSE 0 END) AS bst,
+                 sum(CASE WHEN s2 = 1 THEN CAST(y AS HUGEINT)
+                   ELSE 0 END) AS bsy,
+                 sum(CASE WHEN s2 = 1 THEN CAST(t AS HUGEINT) * t
+                   ELSE 0 END) AS bstt,
+                 sum(CASE WHEN s2 = 1 THEN CAST(t AS HUGEINT) * y
+                   ELSE 0 END) AS bsty
+          FROM rows_
+        ), coef AS (
+          SELECT pn, an AS n1, bn AS n2,
+            CAST(psy * pstt - pst * psty AS DOUBLE)
+              / (CASE WHEN CAST(pn * pstt - pst * pst AS DOUBLE) <> 0
+                 THEN CAST(pn * pstt - pst * pst AS DOUBLE) END)
+              AS pa,
+            CAST(pn * psty - pst * psy AS DOUBLE)
+              / (CASE WHEN CAST(pn * pstt - pst * pst AS DOUBLE) <> 0
+                 THEN CAST(pn * pstt - pst * pst AS DOUBLE) END)
+              AS pb,
+            CAST(asy * astt - ast * asty AS DOUBLE)
+              / (CASE WHEN CAST(an * astt - ast * ast AS DOUBLE) <> 0
+                 THEN CAST(an * astt - ast * ast AS DOUBLE) END)
+              AS aa,
+            CAST(an * asty - ast * asy AS DOUBLE)
+              / (CASE WHEN CAST(an * astt - ast * ast AS DOUBLE) <> 0
+                 THEN CAST(an * astt - ast * ast AS DOUBLE) END)
+              AS ab,
+            CAST(bsy * bstt - bst * bsty AS DOUBLE)
+              / (CASE WHEN CAST(bn * bstt - bst * bst AS DOUBLE) <> 0
+                 THEN CAST(bn * bstt - bst * bst AS DOUBLE) END)
+              AS ba,
+            CAST(bn * bsty - bst * bsy AS DOUBLE)
+              / (CASE WHEN CAST(bn * bstt - bst * bst AS DOUBLE) <> 0
+                 THEN CAST(bn * bstt - bst * bst AS DOUBLE) END)
+              AS bb
+          FROM m
+        ), res AS (
+          SELECT c.n1, c.n2,
+            CAST(round(((CAST(r.y AS DOUBLE) - c.pa - c.pb * r.t)
+              * (CAST(r.y AS DOUBLE) - c.pa - c.pb * r.t)) * 1e6)
+              AS BIGINT) AS rp,
+            CASE WHEN r.s2 = 0 THEN
+              CAST(round(((CAST(r.y AS DOUBLE) - c.aa - c.ab * r.t)
+                * (CAST(r.y AS DOUBLE) - c.aa - c.ab * r.t)) * 1e6)
+                AS BIGINT)
+            ELSE
+              CAST(round(((CAST(r.y AS DOUBLE) - c.ba - c.bb * r.t)
+                * (CAST(r.y AS DOUBLE) - c.ba - c.bb * r.t)) * 1e6)
+                AS BIGINT)
+            END AS rs
+          FROM rows_ r, coef c
+        ), rss AS (
+          SELECT n1, n2, CAST(sum(rp) AS BIGINT) AS sp,
+                 CAST(sum(rs) AS BIGINT) AS ss
+          FROM res GROUP BY 1, 2
+        )
+        SELECT n1, n2,
+               round(CAST(sp AS DOUBLE) / 1e6, 6) AS rss_pooled,
+               round(CAST(ss AS DOUBLE) / 1e6, 6) AS rss_split,
+               CASE WHEN ss > 0 AND n1 + n2 > 4 AND n1 > 1 AND n2 > 1
+               THEN round((CAST(sp - ss AS DOUBLE) / 2.0)
+                 / (CAST(ss AS DOUBLE) / (n1 + n2 - 4)), 6) END
+                 AS f_stat
+        FROM rss
+      """.trim),
+      "X411 Chow break test on daily counts at 2024-01-16")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.chowTest(daily, "d", "v",
+          $"d" >= lit("2024-01-16").cast("date"))
+      }),
+
+    // X412: per-day regression influence — residual, exact-rational
+    // leverage, Cook's distance, 4/n flag on the daily trend fit.
+    QueryDef(
+      "q_influence",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1
+        ), rows_ AS (
+          SELECT d, v AS y,
+                 CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+          FROM daily
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(t AS HUGEINT)) AS st,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(t AS HUGEINT) * t) AS stt,
+                 sum(CAST(t AS HUGEINT) * y) AS sty
+          FROM rows_
+        ), coef AS (
+          SELECT n, st, n * stt - st * st AS sxx,
+            CAST(sy * stt - st * sty AS DOUBLE)
+              / (CASE WHEN CAST(n * stt - st * st AS DOUBLE) <> 0
+                 THEN CAST(n * stt - st * st AS DOUBLE) END) AS a,
+            CAST(n * sty - st * sy AS DOUBLE)
+              / (CASE WHEN CAST(n * stt - st * st AS DOUBLE) <> 0
+                 THEN CAST(n * stt - st * st AS DOUBLE) END) AS b
+          FROM m
+        ), wr AS (
+          SELECT r.d, r.y, r.t, c.n, c.st, c.sxx, c.a, c.b,
+                 CAST(r.y AS DOUBLE) - c.a - c.b * r.t AS e,
+                 CAST(round(((CAST(r.y AS DOUBLE) - c.a - c.b * r.t)
+                   * (CAST(r.y AS DOUBLE) - c.a - c.b * r.t)) * 1e6)
+                   AS BIGINT) AS e2
+          FROM rows_ r, coef c
+        ), rssf AS (
+          SELECT CAST(sum(e2) AS BIGINT) AS rss FROM wr
+        )
+        SELECT d AS bucket, y AS value, t,
+               round(a + b * t, 6) AS fitted,
+               round(e, 6) AS residual,
+               round(1.0 / n + CAST((n * t - st) * (n * t - st)
+                   AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)), 6)
+                 AS leverage,
+               CASE WHEN (CAST(rss AS DOUBLE) / 1e6) / (n - 2) > 0
+               THEN round((e * e) * (1.0 / n
+                   + CAST((n * t - st) * (n * t - st) AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)))
+                 / (2.0 * ((CAST(rss AS DOUBLE) / 1e6) / (n - 2))
+                   * (1.0 - (1.0 / n
+                     + CAST((n * t - st) * (n * t - st) AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE))))
+                   * (1.0 - (1.0 / n
+                     + CAST((n * t - st) * (n * t - st) AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE))))),
+                 6) END AS cooks_d,
+               CASE WHEN (CAST(rss AS DOUBLE) / 1e6) / (n - 2) > 0
+               THEN ((e * e) * (1.0 / n
+                   + CAST((n * t - st) * (n * t - st) AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)))
+                 / (2.0 * ((CAST(rss AS DOUBLE) / 1e6) / (n - 2))
+                   * (1.0 - (1.0 / n
+                     + CAST((n * t - st) * (n * t - st) AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE))))
+                   * (1.0 - (1.0 / n
+                     + CAST((n * t - st) * (n * t - st) AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)))))
+                 > 4.0 / n) END AS influential
+        FROM wr, rssf
+        WHERE n > 2
+        ORDER BY t
+      """.trim),
+      "X412 regression influence per day: leverage + Cook's D")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").cast("string").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.regressionInfluence(daily, "d", "v")
+      }),
+
+    // X413: Western Electric rules on the daily counts — the control-
+    // chart alarm ladder beside q_cusum/q_page_hinkley.
+    QueryDef(
+      "q_we_rules",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(v AS HUGEINT)) AS s,
+                 sum(CAST(v AS HUGEINT) * v) AS ss
+          FROM daily
+        ), coef AS (
+          SELECT n, CAST(s AS DOUBLE) / n AS mu,
+            CASE WHEN n > 1 AND (CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)
+                > 0
+            THEN sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+              * CAST(s AS DOUBLE) / n) / (n - 1)) END AS sd
+          FROM m
+        ), j AS (
+          SELECT d.d, d.v, c.mu, c.sd,
+                 CAST(d.v AS DOUBLE) > c.mu + 3 * c.sd
+                   OR CAST(d.v AS DOUBLE) < c.mu - 3 * c.sd AS b3,
+                 CAST(d.v AS DOUBLE) > c.mu + 2 * c.sd AS h2,
+                 CAST(d.v AS DOUBLE) < c.mu - 2 * c.sd AS l2,
+                 CAST(d.v AS DOUBLE) > c.mu + 1 * c.sd AS h1,
+                 CAST(d.v AS DOUBLE) < c.mu - 1 * c.sd AS l1,
+                 CAST(d.v AS DOUBLE) > c.mu AS hm,
+                 CAST(d.v AS DOUBLE) < c.mu AS lm
+          FROM daily d, coef c
+        ), wdw AS (
+          SELECT d, v, mu, sd, b3,
+            sum(CASE WHEN h2 THEN 1 ELSE 0 END) OVER w3 >= 2
+              OR sum(CASE WHEN l2 THEN 1 ELSE 0 END) OVER w3 >= 2
+              AS r2,
+            sum(CASE WHEN h1 THEN 1 ELSE 0 END) OVER w5 >= 4
+              OR sum(CASE WHEN l1 THEN 1 ELSE 0 END) OVER w5 >= 4
+              AS r3,
+            count(*) OVER w8 = 8 AND
+              (sum(CASE WHEN hm THEN 1 ELSE 0 END) OVER w8 = 8
+               OR sum(CASE WHEN lm THEN 1 ELSE 0 END) OVER w8 = 8)
+              AS r4
+          FROM j
+          WINDOW w3 AS (ORDER BY d ROWS BETWEEN 2 PRECEDING
+                        AND CURRENT ROW),
+                 w5 AS (ORDER BY d ROWS BETWEEN 4 PRECEDING
+                        AND CURRENT ROW),
+                 w8 AS (ORDER BY d ROWS BETWEEN 7 PRECEDING
+                        AND CURRENT ROW)
+        )
+        SELECT d AS bucket, v AS value,
+               round((CAST(v AS DOUBLE) - mu) / sd, 6) AS z,
+               b3 AS r1, r2, r3, r4,
+               b3 OR r2 OR r3 OR r4 AS any_signal
+        FROM wdw ORDER BY bucket
+      """.trim),
+      "X413 Western Electric rules on daily counts")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").cast("string").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.westernElectric(daily, "d", "v")
+      }),
+
     // X403: PACF beside q_acf's ACF — Durbin-Levinson on the
     // pico-quantized autocorrelations, every φ re-quantized to the
     // grid so the recursion replays identically in the unrolled CTE.
