@@ -212,6 +212,120 @@ object TimeSeries {
       when(varS > 0.0, round(zNum / sqrt(varS), 6)).as("z"))
   }
 
+  /** X414 — seasonal Mann-Kendall: [[mannKendall]] computed WITHIN
+    * each season stratum (weekday, month) and combined — S = Σ S_w,
+    * Var·18 = Σ[n_w(n_w−1)(2n_w+5) − tieTerm_w] (exact integers),
+    * z = (S∓1)/√Var — the trend gate that is immune to the weekly
+    * cycle itself (a pure seasonal pattern has S_w = 0 in every
+    * stratum where plain MK reads phantom trend from the phase).
+    * Pair joins are stratum-bounded (Σ n_w² ≤ n²/|seasons|).
+    */
+  def seasonalMannKendall(daily: DataFrame, orderCol: String,
+      valueCol: String, seasonCol: Column): DataFrame = {
+    val base = daily.select(seasonCol.as("__w"),
+      col(orderCol).as("__o"),
+      round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
+    val a = base.select(col("__w"), col("__o").as("__oa"),
+      col("__v").as("__va"))
+    val b = base.select(col("__w"), col("__o").as("__ob"),
+      col("__v").as("__vb"))
+    val sAgg = a.join(b, Seq("__w"))
+      .filter(col("__ob") > col("__oa"))
+      .agg(sum(signum(col("__vb") - col("__va")).cast("long"))
+        .cast("long").as("s_stat"))
+    val perW = base.groupBy(col("__w"))
+      .agg(count(lit(1)).cast("long").as("__n"))
+    val ties = base.groupBy(col("__w"), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__w"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1L) *
+        (lit(2L) * col("__t") + 5L)), lit(0L)).cast("long")
+        .as("__tie"))
+    val var18 = perW.join(ties, Seq("__w"))
+      .agg(sum(col("__n") * (col("__n") - 1L) *
+          (lit(2L) * col("__n") + 5L) - col("__tie")).cast("long")
+          .as("__v18"),
+        count(lit(1)).cast("long").as("n_seasons"),
+        sum(col("__n")).cast("long").as("n"))
+    val j = var18.crossJoin(broadcast(sAgg))
+    val varS = col("__v18").cast("double") / 18.0
+    val sD = col("s_stat").cast("double")
+    val zNum = when(col("s_stat") > 0L, sD - 1.0)
+      .when(col("s_stat") < 0L, sD + 1.0).otherwise(lit(0.0))
+    j.select(col("n"), col("n_seasons"), col("s_stat"),
+      when(varS > 0.0, round(zNum / sqrt(varS), 6)).as("z"))
+  }
+
+  /** X415 — additive Holt-Winters (triple exponential smoothing,
+    * α=β=γ=½) with INTEGER micro state and weekly season: the
+    * [[holtLinear]] recursion plus a rotating p-slot seasonal
+    * register — l' = ⌊(v−s_old+l+b)/2⌋, b' = ⌊(b+l'−l)/2⌋,
+    * s' = ⌊(v−l'+s_old)/2⌋, seeded l = ⌊Σ₁..p v/p⌋, b = 0,
+    * s_i = v_i − l. Every update is a floor-halving of exact
+    * integers, so the p+2-column state replays verbatim in a
+    * recursive CTE. The one-step forecast l+b+s_old is the
+    * seasonality-aware baseline X196/X413 alarm against.
+    */
+  def holtWintersAdditive(series: DataFrame, orderCol: String,
+      valueCol: String, period: Int = 7): DataFrame = {
+    require(period >= 2 && period <= 24, s"bad period $period")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = series.select(col(orderCol).cast("string").as("__o"),
+      round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
+    val outSchema = StructType(Seq(
+      StructField("bucket", StringType, nullable = true),
+      StructField("value", DoubleType, nullable = true),
+      StructField("level", DoubleType, nullable = true),
+      StructField("trend", DoubleType, nullable = true),
+      StructField("seasonal", DoubleType, nullable = true),
+      StructField("forecast", DoubleType, nullable = true)))
+    val p = period
+    val rows = base.repartition(1).sortWithinPartitions(col("__o"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val buf = it.map(r => (r.getUTF8String(0).toString, r.getLong(1)))
+          .toArray
+        if (buf.length <= p) {
+          buf.iterator.map { case (o, v) =>
+            Row(o, v / 1e6, null, null, null, null)
+          }
+        } else {
+          var l = Math.floorDiv(buf.take(p).map(_._2).sum, p.toLong)
+          var bb = 0L
+          val s = Array.tabulate(p)(i => buf(i)._2 - l)
+          val out = new Array[Row](buf.length)
+          var i = 0
+          while (i < p) {
+            out(i) = Row(buf(i)._1, buf(i)._2 / 1e6, null, null,
+              s(i) / 1e6, null)
+            i += 1
+          }
+          var slot = 0
+          while (i < buf.length) {
+            val v = buf(i)._2
+            val sOld = s(slot)
+            val f = l + bb + sOld
+            val l2 = Math.floorDiv(v - sOld + l + bb, 2L)
+            bb = Math.floorDiv(bb + (l2 - l), 2L)
+            val sNew = Math.floorDiv(v - l2 + sOld, 2L)
+            s(slot) = sNew
+            l = l2
+            out(i) = Row(buf(i)._1, v / 1e6, l / 1e6, bb / 1e6,
+              sNew / 1e6, f / 1e6)
+            i += 1
+            slot = (slot + 1) % p
+          }
+          out.iterator
+        }
+      }
+    base.sparkSession.createDataFrame(rows, outSchema)
+      .select(col("bucket"), round(col("value"), 6).as("value"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("forecast"), 6).as("forecast"))
+  }
+
   /** X222 — Theil-Sen slope per key: the MEDIAN of all pairwise
     * slopes (vⱼ−vᵢ)/(oⱼ−oᵢ) — the robust trend MAGNITUDE beside
     * [[mannKendall]]'s significance (one wild day moves an OLS fit,

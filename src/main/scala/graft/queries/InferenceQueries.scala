@@ -951,6 +951,190 @@ object InferenceQueries {
         TimeSeries.holtLinear(daily, "d", "v")
       }),
 
+    // X414: seasonal Mann-Kendall — the weekday-stratified trend
+    // gate; a pure weekly cycle reads S_w = 0 in every stratum where
+    // plain MK books phantom trend from the phase.
+    QueryDef(
+      "q_seasonal_mk",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(count(*) AS BIGINT) * 1000000 AS v
+          FROM events GROUP BY 1
+        ), base AS (
+          SELECT dayofweek(d) AS w, d, v FROM daily
+        ), s AS (
+          SELECT CAST(coalesce(sum(CASE WHEN b.v > a.v THEN 1
+                   WHEN b.v < a.v THEN -1 ELSE 0 END), 0) AS BIGINT)
+                 AS s_stat
+          FROM base a JOIN base b ON a.w = b.w AND b.d > a.d
+        ), perw AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1
+        ), ties AS (
+          SELECT w, CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                   AS BIGINT) AS tie
+          FROM (SELECT w, v, CAST(count(*) AS BIGINT) AS t
+                FROM base GROUP BY 1, 2)
+          GROUP BY 1
+        ), v18 AS (
+          SELECT CAST(sum(p.n * (p.n - 1) * (2 * p.n + 5) - t.tie)
+                   AS BIGINT) AS v18,
+                 CAST(count(*) AS BIGINT) AS n_seasons,
+                 CAST(sum(p.n) AS BIGINT) AS n
+          FROM perw p JOIN ties t ON t.w = p.w
+        )
+        SELECT n, n_seasons, s_stat,
+               CASE WHEN CAST(v18 AS DOUBLE) / 18.0 > 0 THEN
+                 round((CASE WHEN s_stat > 0
+                          THEN CAST(s_stat AS DOUBLE) - 1.0
+                        WHEN s_stat < 0
+                          THEN CAST(s_stat AS DOUBLE) + 1.0
+                        ELSE 0.0 END)
+                   / sqrt(CAST(v18 AS DOUBLE) / 18.0), 6) END AS z
+        FROM v18, s
+      """.trim),
+      "X414 seasonal Mann-Kendall on daily counts, weekday strata")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.seasonalMannKendall(daily, "d", "v",
+          dayofweek($"d"))
+      }),
+
+    // X415: additive Holt-Winters, weekly season, integer micro
+    // state — replayed by a recursive CTE carrying the rotating
+    // 7-slot seasonal register.
+    QueryDef(
+      "q_holt_winters",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+                 CAST(count(*) AS BIGINT) * 1000000 AS v,
+                 CAST(row_number() OVER (ORDER BY CAST(ts AS DATE))
+                   AS BIGINT) AS i
+          FROM events GROUP BY CAST(ts AS DATE)
+        ), seed AS (
+          SELECT CAST(floor(CAST(sum(v) AS DOUBLE) / 7.0) AS BIGINT)
+            AS l
+          FROM daily WHERE i <= 7
+        ), s0 AS (
+          SELECT max(CASE WHEN i = 1 THEN v - l END) AS s1,
+                 max(CASE WHEN i = 2 THEN v - l END) AS s2,
+                 max(CASE WHEN i = 3 THEN v - l END) AS s3,
+                 max(CASE WHEN i = 4 THEN v - l END) AS s4,
+                 max(CASE WHEN i = 5 THEN v - l END) AS s5,
+                 max(CASE WHEN i = 6 THEN v - l END) AS s6,
+                 max(CASE WHEN i = 7 THEN v - l END) AS s7
+          FROM daily, seed WHERE i <= 7
+        ), rec AS (
+          WITH RECURSIVE h(i, d, v, l, b, sn, f,
+                           s1, s2, s3, s4, s5, s6, s7) AS (
+            SELECT CAST(7 AS BIGINT), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), seed.l, CAST(0 AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   s0.s1, s0.s2, s0.s3, s0.s4, s0.s5, s0.s6, s0.s7
+            FROM seed, s0
+            UNION ALL
+            SELECT d.i, d.d, d.v,
+                   CAST(floor((d.v - h.s1 + h.l + h.b) / 2.0)
+                     AS BIGINT),
+                   CAST(floor((h.b
+                     + CAST(floor((d.v - h.s1 + h.l + h.b) / 2.0)
+                         AS BIGINT) - h.l) / 2.0) AS BIGINT),
+                   CAST(floor((d.v
+                     - CAST(floor((d.v - h.s1 + h.l + h.b) / 2.0)
+                         AS BIGINT) + h.s1) / 2.0) AS BIGINT),
+                   h.l + h.b + h.s1,
+                   h.s2, h.s3, h.s4, h.s5, h.s6, h.s7,
+                   CAST(floor((d.v
+                     - CAST(floor((d.v - h.s1 + h.l + h.b) / 2.0)
+                         AS BIGINT) + h.s1) / 2.0) AS BIGINT)
+            FROM h JOIN daily d ON d.i = h.i + 1
+          )
+          SELECT * FROM h WHERE i >= 8
+        )
+        SELECT d AS bucket, round(v / 1e6, 6) AS value,
+               CAST(NULL AS DOUBLE) AS level,
+               CAST(NULL AS DOUBLE) AS trend,
+               round((v - l) / 1e6, 6) AS seasonal,
+               CAST(NULL AS DOUBLE) AS forecast
+        FROM daily, seed WHERE i <= 7
+        UNION ALL
+        SELECT d, round(v / 1e6, 6), round(l / 1e6, 6),
+               round(b / 1e6, 6), round(sn / 1e6, 6),
+               round(f / 1e6, 6)
+        FROM rec
+        ORDER BY bucket
+      """.trim),
+      "X415 additive Holt-Winters, weekly season, integer state")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").cast("string").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.holtWintersAdditive(daily, "d", "v", period = 7)
+      }),
+
+    // X416: ABC / Pareto analysis of parts by revenue — cumulative-
+    // share classes with the 80/95% cuts decided by exact decimal
+    // cross-multiplication; the inventory-policy rollup on top of
+    // the X399 value table.
+    QueryDef(
+      "q_abc_analysis",
+      Some("""
+        WITH rev AS (
+          SELECT l_partkey,
+                 sum(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(20,6))) AS r
+          FROM lineitem GROUP BY 1
+        ), tot AS (
+          SELECT sum(r) AS t FROM rev
+        ), ranked AS (
+          SELECT l_partkey, r,
+                 sum(r) OVER (ORDER BY r DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM rev
+        ), classed AS (
+          SELECT CASE WHEN cum * 5 <= t * 4 THEN 'A'
+                      WHEN cum * 20 <= t * 19 THEN 'B'
+                      ELSE 'C' END AS abc_class, r
+          FROM ranked, tot
+        )
+        SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+               round(CAST(sum(r) AS DOUBLE), 2) AS revenue,
+               round(CAST(sum(r) AS DOUBLE)
+                 / CAST(max(t) AS DOUBLE), 6) AS share
+        FROM classed, tot
+        GROUP BY 1 ORDER BY 1
+      """.trim),
+      "X416 ABC/Pareto revenue classes over parts (80/95 cuts)")(
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val rev = table(spark, dir, "lineitem")
+          .groupBy($"l_partkey")
+          .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+            .cast("decimal(20,6)")).as("r"))
+        val tot = rev.agg(sum($"r").as("t"))
+        val w = Window.orderBy($"r".desc, $"l_partkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val classed = rev.withColumn("cum", sum($"r").over(w))
+          .crossJoin(broadcast(tot))
+          .withColumn("abc_class",
+            when($"cum" * 5 <= $"t" * 4, "A")
+              .when($"cum" * 20 <= $"t" * 19, "B")
+              .otherwise("C"))
+        classed.groupBy($"abc_class")
+          .agg(count(lit(1)).cast("long").as("n_parts"),
+            round(sum($"r").cast("double"), 2).as("revenue"),
+            round(sum($"r").cast("double") /
+              max($"t").cast("double"), 6).as("share"))
+          .orderBy($"abc_class")
+      }),
+
     // X411: Chow structural-break test on the daily event counts at
     // the mid-month date — pooled vs per-segment OLS on the time
     // index, integer moments, micro-quantized residuals.

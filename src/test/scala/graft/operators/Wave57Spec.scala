@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkHarness
+
+/** Wave 57 (X414–X416): seasonal Mann-Kendall, additive
+  * Holt-Winters, ABC analysis (the last is an inline query verified
+  * by its hash oracle).
+  */
+class Wave57Spec extends AnyFunSuite {
+  private lazy val spark = SparkHarness.spark
+  import spark.implicits._
+
+  private def key(i: Int) = f"t$i%03d"
+
+  // ---- X414 seasonalMannKendall ----------------------------------------------
+
+  test("seasonalMannKendall: a pure weekly cycle reads zero trend; " +
+    "a ramp reads strongly positive") {
+    val cycle = (1 to 28).map(i => (key(i), ((i - 1) % 7 + 1) * 10L))
+    val rc = TimeSeries.seasonalMannKendall(cycle.toDF("o", "v"),
+      "o", "v", (expr("CAST(substr(o, 2) AS INT)") - 1) % 7)
+      .collect()(0)
+    assert(rc.getAs[Long]("s_stat") == 0)
+    assert(rc.getAs[Long]("n_seasons") == 7)
+    val ramp = (1 to 28).map(i => (key(i), i.toLong))
+    val rr = TimeSeries.seasonalMannKendall(ramp.toDF("o", "v"),
+      "o", "v", (expr("CAST(substr(o, 2) AS INT)") - 1) % 7)
+      .collect()(0)
+    // each of the 7 strata has 4 strictly increasing points: S = 7*6
+    assert(rr.getAs[Long]("s_stat") == 42)
+    assert(rr.getAs[Double]("z") > 3.0)
+  }
+
+  // ---- X415 holtWintersAdditive ----------------------------------------------
+
+  test("holtWintersAdditive: hand recursion at period 2 — rotating " +
+    "seasonal register, floor-halved integer state") {
+    val df = Seq((key(1), 10.0), (key(2), 20.0), (key(3), 14.0),
+      (key(4), 24.0), (key(5), 18.0)).toDF("o", "v")
+    val rows = TimeSeries.holtWintersAdditive(df, "o", "v", period = 2)
+      .collect().map(r => r.getAs[String]("bucket") -> r).toMap
+    // seeds: l = 15, s = (-5, +5)
+    assert(rows(key(1)).getAs[Double]("seasonal") == -5.0)
+    assert(rows(key(2)).getAs[Double]("seasonal") == 5.0)
+    assert(rows(key(1)).isNullAt(rows(key(1)).fieldIndex("level")))
+    // t=3: f=10, l=17, b=1, s=-4
+    assert(rows(key(3)).getAs[Double]("forecast") == 10.0)
+    assert(rows(key(3)).getAs[Double]("level") == 17.0)
+    assert(rows(key(3)).getAs[Double]("trend") == 1.0)
+    assert(rows(key(3)).getAs[Double]("seasonal") == -4.0)
+    // t=4: f=23, l=18.5, b=1.25, s=5.25
+    assert(rows(key(4)).getAs[Double]("forecast") == 23.0)
+    assert(rows(key(4)).getAs[Double]("level") == 18.5)
+    assert(rows(key(4)).getAs[Double]("trend") == 1.25)
+    assert(rows(key(4)).getAs[Double]("seasonal") == 5.25)
+    // t=5: f=15.75, l=20.875, b=1.8125, s=-3.4375
+    assert(rows(key(5)).getAs[Double]("forecast") == 15.75)
+    assert(rows(key(5)).getAs[Double]("level") == 20.875)
+    assert(rows(key(5)).getAs[Double]("trend") == 1.8125)
+    assert(rows(key(5)).getAs[Double]("seasonal") == -3.4375)
+  }
+
+  test("holtWintersAdditive: a clean weekly cycle forecasts itself " +
+    "once the register settles") {
+    val vals = (1 to 35).map(i =>
+      (key(i), 100.0 + Seq(0, 20, -10, 5, -15, 10, -10)((i - 1) % 7)))
+    val rows = TimeSeries.holtWintersAdditive(vals.toDF("o", "v"),
+      "o", "v", period = 7).collect()
+    val tail = rows.drop(28) // final week
+    tail.foreach { r =>
+      assert(math.abs(r.getAs[Double]("forecast") -
+        r.getAs[Double]("value")) < 2.0,
+        s"${r.getAs[String]("bucket")}: forecast should track the cycle")
+    }
+  }
+}
