@@ -231,8 +231,8 @@ object TimeSeries {
       col("__v").as("__vb"))
     val sAgg = a.join(b, Seq("__w"))
       .filter(col("__ob") > col("__oa"))
-      .agg(sum(signum(col("__vb") - col("__va")).cast("long"))
-        .cast("long").as("s_stat"))
+      .agg(coalesce(sum(signum(col("__vb") - col("__va")).cast("long")),
+        lit(0L)).cast("long").as("s_stat"))
     val perW = base.groupBy(col("__w"))
       .agg(count(lit(1)).cast("long").as("__n"))
     val ties = base.groupBy(col("__w"), col("__v"))
@@ -324,6 +324,50 @@ object TimeSeries {
         round(col("trend"), 6).as("trend"),
         round(col("seasonal"), 6).as("seasonal"),
         round(col("forecast"), 6).as("forecast"))
+  }
+
+  /** X417 — Pettitt change-point test: U_t = Σ_{i≤t<j} sgn(x_j−x_i)
+    * over every cut t, K = max|U_t| at the most probable break
+    * position — the UNKNOWN-date complement to [[chowTest]] (which
+    * needs the break named) and the location [[mannKendall]]'s
+    * global S can't give. Exact integers: the cut × pair join is
+    * period²-bounded (a 365-day year is ~48k pair rows × cuts — the
+    * mannKendall class, never event-sized); the significance
+    * approximation 2·exp(−6K²/(n³+n²)) is one fixed-shape double.
+    * Ties contribute sgn = 0 (the standard convention); the earliest
+    * maximizing cut wins (deterministic tiebreak).
+    */
+  def pettitt(series: DataFrame, orderCol: String, valueCol: String)
+      : DataFrame = {
+    val base = series.select(col(orderCol).cast("string").as("__o"),
+      round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
+    val w = Window.orderBy(col("__o"))
+    val idx = base.withColumn("__t", row_number().over(w).cast("long"))
+    val n1 = idx.agg(count(lit(1)).cast("long").as("__n"))
+    val a = idx.select(col("__t").as("__i"), col("__v").as("__vi"))
+    val b = idx.select(col("__t").as("__j"), col("__v").as("__vj"))
+    val pairs = a.join(b, col("__j") > col("__i"))
+    val cuts = idx.select(col("__t").as("__cut"), col("__o"))
+      .crossJoin(broadcast(n1)).filter(col("__cut") < col("__n"))
+    val u = cuts.join(pairs,
+        col("__i") <= col("__cut") && col("__j") > col("__cut"))
+      .groupBy(col("__cut"), col("__o"), col("__n"))
+      .agg(coalesce(sum(signum(col("__vj") - col("__vi"))
+        .cast("long")), lit(0L)).cast("long").as("__u"))
+    val best = u.agg(max(abs(col("__u"))).cast("long").as("__k"))
+    u.crossJoin(broadcast(best))
+      .filter(abs(col("__u")) === col("__k"))
+      .orderBy(col("__cut"))
+      .limit(1)
+      .select(col("__n").as("n"), col("__k").as("k_stat"),
+        col("__o").as("break_after"),
+        col("__cut").as("break_pos"),
+        round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) *
+          col("__k").cast("double") * col("__k").cast("double") /
+          (col("__n").cast("double") * col("__n").cast("double") *
+            col("__n").cast("double") +
+            col("__n").cast("double") * col("__n").cast("double")))),
+          6).as("p_approx"))
   }
 
   /** X222 — Theil-Sen slope per key: the MEDIAN of all pairwise

@@ -951,6 +951,244 @@ object InferenceQueries {
         TimeSeries.holtLinear(daily, "d", "v")
       }),
 
+    // X417: Pettitt change-point — the unknown-date break locator
+    // beside q_chow's known-date F; exact integer U over every cut.
+    QueryDef(
+      "q_pettitt",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+                 CAST(count(*) AS BIGINT) * 1000000 AS v
+          FROM events GROUP BY 1
+        ), idx AS (
+          SELECT d, v,
+                 CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+          FROM daily
+        ), n1 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM idx
+        ), u AS (
+          SELECT c.t AS cut, c.d,
+                 CAST(coalesce(sum(CASE WHEN p2.v > p1.v THEN 1
+                   WHEN p2.v < p1.v THEN -1 ELSE 0 END), 0) AS BIGINT)
+                   AS uu
+          FROM idx c
+          JOIN idx p1 ON p1.t <= c.t
+          JOIN idx p2 ON p2.t > c.t
+          , n1
+          WHERE c.t < n1.n
+          GROUP BY 1, 2
+        ), best AS (
+          SELECT CAST(max(abs(uu)) AS BIGINT) AS k FROM u
+        )
+        SELECT n1.n, best.k AS k_stat, u.d AS break_after,
+               u.cut AS break_pos,
+               round(least(1.0, 2.0 * exp(-6.0 * CAST(best.k AS DOUBLE)
+                 * CAST(best.k AS DOUBLE)
+                 / (CAST(n1.n AS DOUBLE) * n1.n * n1.n
+                   + CAST(n1.n AS DOUBLE) * n1.n))), 6) AS p_approx
+        FROM u, best, n1
+        WHERE abs(u.uu) = best.k
+        ORDER BY u.cut LIMIT 1
+      """.trim),
+      "X417 Pettitt change-point on daily counts")(
+      (spark, dir) => {
+        import spark.implicits._
+        val daily = events(spark, dir)
+          .groupBy(to_date($"ts").cast("string").as("d"))
+          .agg(count(lit(1)).cast("long").as("v"))
+        TimeSeries.pettitt(daily, "d", "v")
+      }),
+
+    // X418: decile lift/gains table for the length-as-en scorer —
+    // the campaign-targeting readout beside q_pr_curve's threshold
+    // sweep; exact integer decile masses, tie-broken globalRank.
+    QueryDef(
+      "q_decile_lift",
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, n_chars, lang = 'en' AS pos,
+                 CAST(row_number() OVER (ORDER BY n_chars DESC,
+                   doc_id) AS BIGINT) - 1 AS rk,
+                 CAST(count(*) OVER () AS BIGINT) AS n
+          FROM documents
+        ), dec AS (
+          SELECT CAST(rk * 10 // n AS BIGINT) AS decile,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos
+          FROM scored GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+                 CAST(sum(n_pos) AS BIGINT) AS tp
+          FROM dec
+        ), cum AS (
+          SELECT decile, n_docs, n_pos,
+                 sum(n_docs) OVER (ORDER BY decile ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+                 sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+          FROM dec
+        )
+        SELECT decile, n_docs, n_pos,
+               CAST(cp AS BIGINT) AS cum_pos,
+               CASE WHEN tp > 0 THEN
+                 round((CAST(cp AS DOUBLE) / cn)
+                   / (CAST(tp AS DOUBLE) / tn), 6) END AS cum_lift,
+               CASE WHEN tp > 0 THEN
+                 round(CAST(cp AS DOUBLE) / tp, 6) END AS cum_capture
+        FROM cum, tot ORDER BY decile
+      """.trim),
+      "X418 decile lift/gains for length-as-en scoring")(
+      (spark, dir) => {
+        import spark.implicits._
+        val ranked = graft.operators.CorpusOps.globalRank(
+          table(spark, dir, "documents")
+            .select($"doc_id", $"n_chars", ($"lang" === "en").as("pos")),
+          Seq($"n_chars".desc, $"doc_id"))
+        val n1 = ranked.agg(count(lit(1)).cast("long").as("__n"))
+        val dec = ranked.crossJoin(broadcast(n1))
+          .groupBy(expr("__rank * 10 div __n").cast("long")
+            .as("decile"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when($"pos", 1L).otherwise(0L)).cast("long")
+              .as("n_pos"))
+        val tot = dec.agg(sum($"n_docs").cast("long").as("__tn"),
+          sum($"n_pos").cast("long").as("__tp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"decile")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions
+            .Window.currentRow)
+        dec.withColumn("__cn", sum($"n_docs").over(w))
+          .withColumn("__cp", sum($"n_pos").over(w))
+          .crossJoin(broadcast(tot))
+          .select($"decile", $"n_docs", $"n_pos",
+            $"__cp".cast("long").as("cum_pos"),
+            when($"__tp" > 0L, round(($"__cp".cast("double") /
+              $"__cn") / ($"__tp".cast("double") / $"__tn"), 6))
+              .as("cum_lift"),
+            when($"__tp" > 0L,
+              round($"__cp".cast("double") / $"__tp", 6))
+              .as("cum_capture"))
+          .orderBy($"decile")
+      }),
+
+    // X419: Storey q-values over the shared per-source GOF p family
+    // — π₀ estimated at λ=0.5, BH suffix-min scaled by it; the
+    // plug-in FDR completion beside q_bh_fdr/q_by_fdr/q_hochberg.
+    QueryDef(
+      "q_qvalue",
+      Some("""
+        WITH b AS (
+          SELECT source,
+                 CASE WHEN n_chars < 150 THEN 0
+                      WHEN n_chars < 350 THEN 1 ELSE 2 END AS band
+          FROM documents
+        ), c AS (
+          SELECT source,
+                 CAST(sum(CASE WHEN band = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS o0,
+                 CAST(sum(CASE WHEN band = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS o1,
+                 CAST(sum(CASE WHEN band = 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS o2
+          FROM b GROUP BY 1
+        ), g AS (
+          SELECT CAST(sum(o0) AS BIGINT) AS g0,
+                 CAST(sum(o1) AS BIGINT) AS g1,
+                 CAST(sum(o2) AS BIGINT) AS g2,
+                 CAST(sum(o0 + o1 + o2) AS BIGINT) AS n
+          FROM c
+        ), x AS (
+          SELECT source,
+            (CAST(o0 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g0 / n)
+            * (CAST(o0 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g0 / n)
+            / (CAST(o0 + o1 + o2 AS DOUBLE) * g0 / n)
+            + (CAST(o1 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g1 / n)
+            * (CAST(o1 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g1 / n)
+            / (CAST(o0 + o1 + o2 AS DOUBLE) * g1 / n)
+            + (CAST(o2 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g2 / n)
+            * (CAST(o2 AS DOUBLE)
+              - CAST(o0 + o1 + o2 AS DOUBLE) * g2 / n)
+            / (CAST(o0 + o1 + o2 AS DOUBLE) * g2 / n) AS chi2
+          FROM c, g
+        ), p AS (
+          SELECT source, round(exp(-chi2 / 2.0), 9) AS pv FROM x
+        ), r AS (
+          SELECT source, pv,
+                 CAST(row_number() OVER (ORDER BY pv, source)
+                   AS BIGINT) AS rk,
+                 CAST(count(*) OVER () AS BIGINT) AS m,
+                 CAST(sum(CASE WHEN pv > 0.5 THEN 1 ELSE 0 END)
+                   OVER () AS BIGINT) AS n_hi
+          FROM p
+        ), a AS (
+          SELECT source, pv, rk, m,
+                 least(1.0, CAST(n_hi AS DOUBLE) / (0.5 * m)) AS pi0,
+                 min(pv * m / rk) OVER (
+                   ORDER BY pv DESC, source DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS bh
+          FROM r
+        )
+        SELECT source, round(pv, 6) AS p_value, rk AS p_rank,
+               round(pi0, 6) AS pi0,
+               round(least(1.0, pi0 * bh), 6) AS q_value,
+               least(1.0, pi0 * bh) <= 0.05 AS significant
+        FROM a ORDER BY source
+      """.trim),
+      "X419 Storey q-values over per-source GOF p-values")(
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val band = when($"n_chars" < 150, 0)
+          .when($"n_chars" < 350, 1).otherwise(2)
+        val cells = table(spark, dir, "documents")
+          .select($"source", band.as("band"))
+          .groupBy($"source")
+          .agg(
+            sum(when($"band" === 0, 1L).otherwise(0L)).as("o0"),
+            sum(when($"band" === 1, 1L).otherwise(0L)).as("o1"),
+            sum(when($"band" === 2, 1L).otherwise(0L)).as("o2"))
+        val glob = cells.agg(
+          sum($"o0").cast("long").as("g0"),
+          sum($"o1").cast("long").as("g1"),
+          sum($"o2").cast("long").as("g2"),
+          sum($"o0" + $"o1" + $"o2").cast("long").as("n"))
+        val tot = ($"o0" + $"o1" + $"o2").cast("double")
+        def term(o: String, g: String) = {
+          val e = tot * col(g) / $"n"
+          (col(o).cast("double") - e) * (col(o).cast("double") - e) / e
+        }
+        val pv = cells.crossJoin(broadcast(glob))
+          .select($"source",
+            round(exp(-(term("o0", "g0") + term("o1", "g1") +
+              term("o2", "g2")) / 2.0), 9).as("pv"))
+        val m = pv.agg(count(lit(1)).cast("long").as("__m"),
+          sum(when($"pv" > 0.5, 1L).otherwise(0L)).cast("long")
+            .as("__nhi"))
+        val wAsc = Window.orderBy($"pv".asc, $"source".asc)
+        val wDesc = Window.orderBy($"pv".desc, $"source".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pi0 = least(lit(1.0),
+          $"__nhi".cast("double") / (lit(0.5) * $"__m"))
+        pv.crossJoin(broadcast(m))
+          .withColumn("__rank", row_number().over(wAsc).cast("long"))
+          .withColumn("__bh",
+            min($"pv" * $"__m" / $"__rank").over(wDesc))
+          .select($"source", round($"pv", 6).as("p_value"),
+            $"__rank".as("p_rank"), round(pi0, 6).as("pi0"),
+            round(least(lit(1.0), pi0 * $"__bh"), 6).as("q_value"),
+            (least(lit(1.0), pi0 * $"__bh") <= 0.05)
+              .as("significant"))
+          .orderBy($"source")
+      }),
+
     // X414: seasonal Mann-Kendall — the weekday-stratified trend
     // gate; a pure weekly cycle reads S_w = 0 in every stratum where
     // plain MK books phantom trend from the phase.
