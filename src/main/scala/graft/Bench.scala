@@ -67,7 +67,30 @@ object Bench {
     // 4 decimals (0.1 ms) keeps the summary line ~3× shorter than raw
     // double repr — the r3 driver tail truncated the full-width line
     def fmt(v: Double): String = f"$v%.4f"
-    val results = selected.map { case (name, fn) =>
+    // Host-drift calibration: a FIXED data-independent CPU probe
+    // (integer fold over spark.range — no IO, no shuffle variance)
+    // timed min-of-3 at board start, middle and end. A contended or
+    // in-session-degrading host shows mid/end ratios >> 1 vs start,
+    // so a slow board SELF-LABELS as environmental instead of
+    // manufacturing per-query >=2x flags (29 such flags in the r12
+    // driver run, all contradicted by a same-HEAD idle-host board).
+    def calibrate(): Double = {
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 64000000L, 1L, cpus.toInt)
+          .selectExpr("sum(id * 2654435761 % 1000003)")
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    calibrate() // warmup: the probe's own codegen+JIT would otherwise
+                // inflate the start sample and UNDERSTATE drift
+    val calStart = calibrate()
+    val querySeq = selected.toSeq
+    val midAt = querySeq.length / 2
+    var calMid = calStart // overwritten at the halfway mark below
+    val results = querySeq.zipWithIndex.map { case ((name, fn), qi) =>
+      if (querySeq.length > 1 && qi == midAt) calMid = calibrate()
       val passes: Seq[Double] = try {
         force(fn(spark, sfDir)) // warmup: codegen + JIT
         (1 to timedRuns).map { _ =>
@@ -86,12 +109,18 @@ object Bench {
         passes.map(fmt).mkString(",") + "]")
       name -> passes
     }
-    val mins = results.map { case (k, ps) => k -> ps.min }
+    val calEnd = calibrate()
+    val drift =
+      s""""host_drift":{"start":${fmt(calStart)},"mid":${fmt(calMid)},""" +
+      s""""end":${fmt(calEnd)},"ratio":${
+        fmt(math.max(calMid, calEnd) / math.max(calStart, 1e-9))}}"""
+    System.err.println(s"[bench] $drift")
+    val mins = results.map { case (k, ps) => k -> ps.min }.toMap
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = mins.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$timedRuns,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$timedRuns,$drift,"queries":$qs,"sf":"$sfDir"}"""
     // the persisted artifact additionally carries every pass time —
     // stdout keeps the compact driver-contract line (long lines have
     // been tail-truncated by the driver before)

@@ -536,39 +536,60 @@ object Multimodal {
     }
   }
 
+  /** The pHash DCT basis, quantized to exact integers:
+    * C(u,x) = round(cos(π(2x+1)u/64)·2¹⁴). 2¹⁴ keeps the two-pass
+    * fold inside a Long (luma ≤ 255000 → pass-1 ≤ 1.4e11 → pass-2 ≤
+    * 7e16 < 2⁶³) while quantization error (~6e-5 relative) is far
+    * below the median-threshold decision margins. The 256 integers
+    * are the CONTRACT — [[phashCosSqlValues]] inlines them into the
+    * DuckDB oracle as literals so no libm enters either engine's
+    * hash path.
+    */
+  val PhashCosScale = 16384L
+  lazy val phashCos: Array[Array[Long]] = Array.tabulate(8, 32)((u, x) =>
+    Math.round(math.cos(math.Pi * (2 * x + 1) * u / 64.0) * 16384.0))
+
+  /** `(u, x, c)` VALUES rows for the oracle's cos-table CTE. */
+  def phashCosSqlValues: String =
+    (for (u <- 0 until 8; x <- 0 until 32)
+      yield s"($u,$x,${phashCos(u)(x)})").mkString(",")
+
   /** X157 — DCT perceptual hash (pHash): luma → 32×32 resample →
     * separable 2D DCT-II → 8×8 low-frequency block → 64-bit signature
     * (bit i set iff coefficient i exceeds the median of the 63 non-DC
     * coefficients — 63 is odd, so the median is an exact element, no
     * averaging). Near-identical images — recompressed, lightly
     * cropped, brightness-tweaked — land within a few Hamming bits;
-    * content-different images land ~32 apart. Pure deterministic JVM
-    * double math; the double→bit threshold makes the HASH stable even
-    * though intermediates are doubles.
+    * content-different images land ~32 apart. EXACT-INTEGER
+    * arithmetic end to end (r13): luma on the ×1000 grid
+    * (299R+587G+114B), DCT via the pinned [[phashCos]] integer
+    * basis, integer median — so the hash is a pure integer function
+    * of the pixels and the q_phash oracles replay it verbatim in
+    * SQL (the q_hopkins/q_geo_median integer-construction
+    * precedent).
     */
   def phash(img: RawImage): Long = {
     val n = 32
     val small = resize(img, n, n)
-    val g = new Array[Double](n * n)
+    val g = new Array[Long](n * n)
     var i = 0
     while (i < n * n) {
-      g(i) = 0.299 * (small.pixels(i * small.channels) & 0xFF) +
-        0.587 * (small.pixels(i * small.channels +
+      g(i) = 299L * (small.pixels(i * small.channels) & 0xFF) +
+        587L * (small.pixels(i * small.channels +
           math.min(1, small.channels - 1)) & 0xFF) +
-        0.114 * (small.pixels(i * small.channels +
+        114L * (small.pixels(i * small.channels +
           math.min(2, small.channels - 1)) & 0xFF)
       i += 1
     }
     // separable DCT-II, only the first 8 output frequencies per axis
     val k = 8
-    val cosTab = Array.tabulate(k, n)((u, x) =>
-      math.cos(math.Pi * (2 * x + 1) * u / (2.0 * n)))
-    val rows = Array.ofDim[Double](n, k) // DCT along x, per row y
+    val cosTab = phashCos
+    val rows = Array.ofDim[Long](n, k) // DCT along x, per row y
     var y = 0
     while (y < n) {
       var u = 0
       while (u < k) {
-        var s = 0.0
+        var s = 0L
         var x = 0
         while (x < n) { s += g(y * n + x) * cosTab(u)(x); x += 1 }
         rows(y)(u) = s
@@ -576,12 +597,12 @@ object Multimodal {
       }
       y += 1
     }
-    val coef = new Array[Double](k * k) // then DCT along y
+    val coef = new Array[Long](k * k) // then DCT along y
     var v = 0
     while (v < k) {
       var u = 0
       while (u < k) {
-        var s = 0.0
+        var s = 0L
         var yy = 0
         while (yy < n) { s += rows(yy)(u) * cosTab(v)(yy); yy += 1 }
         coef(v * k + u) = s

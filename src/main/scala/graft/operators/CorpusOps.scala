@@ -2682,32 +2682,34 @@ object CorpusOps {
     * G = 2Σ_cells O·ln(O·N/(r_x·c_y)) over the exact contingency
     * table — the test X126's Pearson approximates; preferred when
     * any cell is small or the table is sparse (zero cells contribute
-    * 0 exactly instead of wrecking the quadratic form). Same
-    * \|X\|·\|Y\|-bounded cell/margin machinery as
-    * [[mutualInformation]] (G = 2N·MI_nats identically — the spec
-    * asserts that law); ln-on-identical-doubles, round(6).
+    * 0 exactly instead of wrecking the quadratic form; absent cells
+    * never enter the fold). Computed via the c·ln c identity
+    * G = 2·(Σ O·lnO − Σ r_x·ln r_x − Σ c_y·ln c_y + N·lnN) — the
+    * same margin-bounded three-aggregate shape as [[theilU]], which
+    * replaces the old 5-broadcast per-cell join plan (each broadcast
+    * was a scheduled job; the fixed cost dominated the sub-second
+    * query — r13 q_g_test adjudication). G = 2N·MI_nats identically
+    * (the spec asserts that law); ln-on-identical-doubles, round(6).
     */
   def gTest(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val cells = df.groupBy(col(xCol).cast("string").as("__x"),
         col(yCol).cast("string").as("__y"))
       .agg(count(lit(1)).as("__c"))
-    val mx = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__cx"))
-    val my = cells.groupBy(col("__y")).agg(sum(col("__c")).as("__cy"))
-    val tot = cells.agg(sum(col("__c")).as("__n"))
-    val nx = mx.agg(count(lit(1)).cast("long").as("n_x"))
-    val ny = my.agg(count(lit(1)).cast("long").as("n_y"))
-    val term = col("__c").cast("double") *
-      log(col("__c").cast("double") * col("__n") /
-        (col("__cx").cast("double") * col("__cy")))
-    cells.join(broadcast(mx), Seq("__x"))
-      .join(broadcast(my), Seq("__y"))
-      .crossJoin(broadcast(tot))
-      .agg(max(col("__n")).cast("long").as("n"),
-        sum(term).as("__g"))
-      .crossJoin(broadcast(nx)).crossJoin(broadcast(ny))
+    def nlogn(c: Column) = c.cast("double") * log(c.cast("double"))
+    val a = cells.agg(sum(col("__c")).cast("long").as("n"),
+      sum(nlogn(col("__c"))).as("__a"))
+    val b = cells.groupBy(col("__y")).agg(sum(col("__c")).as("__cy"))
+      .agg(count(lit(1)).cast("long").as("n_y"),
+        sum(nlogn(col("__cy"))).as("__b"))
+    val cc = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__cx"))
+      .agg(count(lit(1)).cast("long").as("n_x"),
+        sum(nlogn(col("__cx"))).as("__cc"))
+    val nD = col("n").cast("double")
+    a.crossJoin(broadcast(cc)).crossJoin(broadcast(b))
       .select(col("n"), col("n_x"), col("n_y"),
         ((col("n_x") - 1L) * (col("n_y") - 1L)).as("dof"),
-        round(lit(2.0) * col("__g"), 6).as("g_stat"))
+        round(lit(2.0) * (col("__a") - col("__cc") - col("__b") +
+          nD * log(nD)), 6).as("g_stat"))
   }
 
   /** X294 — Theil's uncertainty coefficient, both directions:

@@ -586,28 +586,32 @@ object DistStats {
     val tot = cells0.agg(sum(col("n")).cast("long").as("__N"),
       countDistinct(col("r")).cast("long").as("__R"),
       countDistinct(col("c")).cast("long").as("__C"))
-    // uniform margin targets in micro mass, round-half-up
-    val tR = ((lit(2L).cast(dec) * col("__N") * 1000000L + col("__R"))
-      / (lit(2L).cast(dec) * col("__R"))).cast("long")
-    val tC = ((lit(2L).cast(dec) * col("__N") * 1000000L + col("__C"))
-      / (lit(2L).cast(dec) * col("__C"))).cast("long")
+    // uniform margin targets in micro mass, round-half-up via exact
+    // integral `div` (the PageRank/Calibrate convention) — decimal
+    // `/` rounds HALF_UP at scale 6 BEFORE the cast truncates, so a
+    // quotient within ~5e-7 below an integer would land one
+    // micro-unit above the oracle's exact `//` floor
+    val tR = expr(s"cast((2 * cast(__N as $dec) * 1000000 + __R)" +
+      s" div (2 * cast(__R as $dec)) as long)")
+    val tC = expr(s"cast((2 * cast(__N as $dec) * 1000000 + __C)" +
+      s" div (2 * cast(__C as $dec)) as long)")
     val targets = tot.select(tR.as("__tr"), tC.as("__tc"))
     var cells = cells0.crossJoin(broadcast(targets))
       .localCheckpoint(true)
-    def rescale(marginCol: String, target: Column): DataFrame = {
+    def rescale(marginCol: String, targetCol: String): DataFrame = {
       val m = cells.groupBy(col(marginCol).as("__k"))
         .agg(sum((col("n").cast(dec) * col("w")).cast(dec)).cast(dec)
           .as("__m"))
       cells.join(broadcast(m), cells(marginCol) === m("__k"))
         .select(col("r"), col("c"), col("n"), col("__tr"), col("__tc"),
           when(col("__m") > 0L,
-            ((lit(2L).cast(dec) * col("w") * target + col("__m")) /
-              (lit(2L).cast(dec) * col("__m"))).cast("long"))
+            expr(s"cast((2 * cast(w as $dec) * $targetCol + __m)" +
+              s" div (2 * cast(__m as $dec)) as long)"))
             .otherwise(col("w")).as("w"))
     }
     for (_ <- 1 to iters) {
-      cells = rescale("r", col("__tr")).localCheckpoint(true)
-      cells = rescale("c", col("__tc")).localCheckpoint(true)
+      cells = rescale("r", "__tr").localCheckpoint(true)
+      cells = rescale("c", "__tc").localCheckpoint(true)
     }
     cells.select(col("r"), col("c"), col("n"),
       col("w").as("w_micro"),

@@ -254,14 +254,24 @@ object GraphStats {
     val m = e.agg(count(lit(1)).cast("long").as("__m"))
     val ca = comm.select(col("__node").as("a"), col("__c").as("__ca"))
     val cb = comm.select(col("__node").as("b"), col("__c").as("__cb"))
-    val intra = e.join(ca, Seq("a")).join(cb, Seq("b"))
+    // LEFT joins + per-endpoint singleton fallback: a node ABSENT
+    // from the labels frame (not just null-labeled) must still
+    // become its own 'u'‖node community, or the inner join would
+    // silently drop its edges and skew Q
+    val intra = e.join(ca, Seq("a"), "left").join(cb, Seq("b"), "left")
+      .select(
+        coalesce(col("__ca"),
+          concat(lit("u"), col("a").cast("string"))).as("__ca"),
+        coalesce(col("__cb"),
+          concat(lit("u"), col("b").cast("string"))).as("__cb"))
       .filter(col("__ca") === col("__cb"))
       .groupBy(col("__ca").as("__c"))
       .agg(count(lit(1)).cast("long").as("__e"))
     val adj = e.select(col("a").as("__node"))
       .unionAll(e.select(col("b").as("__node")))
-    val degMass = adj.join(comm, Seq("__node"))
-      .groupBy(col("__c"))
+    val degMass = adj.join(comm, Seq("__node"), "left")
+      .groupBy(coalesce(col("__c"),
+        concat(lit("u"), col("__node").cast("string"))).as("__c"))
       .agg(count(lit(1)).cast("long").as("__d"))
     val perComm = degMass.join(intra, Seq("__c"), "left")
       .na.fill(0L, Seq("__e"))

@@ -2514,8 +2514,10 @@ object Hypothesis {
         while (k <= kHi) {
           if (w <= wObs) num += w
           if (k < kHi) {
-            w = w * BigInt((r1 - k) * (c1 - k)) /
-              BigInt((k + 1) * (r2 - c1 + k + 1))
+            // multiply inside BigInt: margins above ~3e9 overflow a
+            // Long product like (r1-k)*(c1-k)
+            w = w * BigInt(r1 - k) * BigInt(c1 - k) /
+              (BigInt(k + 1) * BigInt(r2 - c1 + k + 1))
           }
           k += 1L
         }

@@ -308,7 +308,10 @@ object Privacy {
                ascii(substring(c, length(c) - i + 1, 1)) - 48))
            % 10 = 0))""")
     d.select(col(docCol),
-      coalesce(size(col("__cands")), lit(0)).cast("long")
+      // size(coalesce(..)) not coalesce(size(..)): under
+      // spark.sql.legacy.sizeOfNull=true size(null) is -1, which the
+      // outer coalesce would pass through silently
+      size(coalesce(col("__cands"), array())).cast("long")
         .as("n_candidates"),
       coalesce(validCount, lit(0)).cast("long").as("n_luhn_valid"))
   }

@@ -678,8 +678,11 @@ object RankEval {
            acc + least(size(filter(__p, x -> x = t)),
                        size(filter(__r, x -> x = t))))""")
     val g = d.select(col(idCol),
-      coalesce(size(col("__p")), lit(0)).cast("long").as("n_pred"),
-      coalesce(size(col("__r")), lit(0)).cast("long").as("n_ref"),
+      // __p/__r are already null-coalesced to array() upstream;
+      // size(coalesce(..)) keeps the count config-proof vs
+      // legacy.sizeOfNull (size(null) = -1 there) all the same
+      size(coalesce(col("__p"), array())).cast("long").as("n_pred"),
+      size(coalesce(col("__r"), array())).cast("long").as("n_ref"),
       coalesce(common, lit(0L)).cast("long").as("n_common"))
     val prec = col("n_common").cast("double") /
       col("n_pred").cast("double")

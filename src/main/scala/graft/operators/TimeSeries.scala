@@ -286,8 +286,15 @@ object TimeSeries {
         val buf = it.map(r => (r.getUTF8String(0).toString, r.getLong(1)))
           .toArray
         if (buf.length <= p) {
+          // short series: every row is a seed row — emit the same
+          // v − l seasonal the oracle's seed SELECT produces, with
+          // l = ⌊Σ available v / p⌋ (the partial-sum seed; the
+          // oracle divides by the FULL period even when fewer rows
+          // exist). level/trend/forecast stay NULL: the recursion
+          // never starts.
+          val l0 = Math.floorDiv(buf.map(_._2).sum, p.toLong)
           buf.iterator.map { case (o, v) =>
-            Row(o, v / 1e6, null, null, null, null)
+            Row(o, v / 1e6, null, null, (v - l0) / 1e6, null)
           }
         } else {
           var l = Math.floorDiv(buf.take(p).map(_._2).sum, p.toLong)
@@ -330,30 +337,40 @@ object TimeSeries {
     * over every cut t, K = max|U_t| at the most probable break
     * position — the UNKNOWN-date complement to [[chowTest]] (which
     * needs the break named) and the location [[mannKendall]]'s
-    * global S can't give. Exact integers: the cut × pair join is
-    * period²-bounded (a 365-day year is ~48k pair rows × cuts — the
-    * mannKendall class, never event-sized); the significance
-    * approximation 2·exp(−6K²/(n³+n²)) is one fixed-shape double.
-    * Ties contribute sgn = 0 (the standard convention); the earliest
-    * maximizing cut wins (deterministic tiebreak).
+    * global S can't give. Exact integers via the standard
+    * rank-count recurrence instead of a cut × pair join (which is
+    * O(n³) in period count — the r12 verdict's scale-killer): with
+    * le(v)/eq(v) from the distinct-value grid's inclusive prefix
+    * sums, W_t = Σ_j sgn(x_j − x_t) = n − 2·le(x_t) + eq(x_t) and
+    * U_t = Σ_{s≤t} W_s — one value-grid cumSums pass plus one
+    * period-bounded ordered prefix window, identical integers to
+    * the pair-join form at any n. The significance approximation
+    * 2·exp(−6K²/(n³+n²)) is one fixed-shape double. Ties contribute
+    * sgn = 0 (the standard convention); the earliest maximizing cut
+    * wins (deterministic tiebreak).
     */
   def pettitt(series: DataFrame, orderCol: String, valueCol: String)
       : DataFrame = {
     val base = series.select(col(orderCol).cast("string").as("__o"),
       round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
+    val grid = base.groupBy(col("__v"))
+      .agg(count(lit(1)).cast("long").as("__eq"))
+    val cum = CorpusOps.cumSums(grid, Seq(col("__v")), Seq("__eq"))
+    val n1 = base.agg(count(lit(1)).cast("long").as("__n"))
     val w = Window.orderBy(col("__o"))
-    val idx = base.withColumn("__t", row_number().over(w).cast("long"))
-    val n1 = idx.agg(count(lit(1)).cast("long").as("__n"))
-    val a = idx.select(col("__t").as("__i"), col("__v").as("__vi"))
-    val b = idx.select(col("__t").as("__j"), col("__v").as("__vj"))
-    val pairs = a.join(b, col("__j") > col("__i"))
-    val cuts = idx.select(col("__t").as("__cut"), col("__o"))
-      .crossJoin(broadcast(n1)).filter(col("__cut") < col("__n"))
-    val u = cuts.join(pairs,
-        col("__i") <= col("__cut") && col("__j") > col("__cut"))
-      .groupBy(col("__cut"), col("__o"), col("__n"))
-      .agg(coalesce(sum(signum(col("__vj") - col("__vi"))
-        .cast("long")), lit(0L)).cast("long").as("__u"))
+    val uw = Window.orderBy(col("__o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // __cum__eq is the INCLUSIVE count ≤ v, so lt = le − eq and
+    // W = gt − lt = (n − le) − (le − eq) = n − 2·le + eq
+    val u = base.join(broadcast(cum), Seq("__v"))
+      .crossJoin(broadcast(n1))
+      .select(col("__o"), col("__n"),
+        (col("__n") - lit(2L) * col("__cum__eq") + col("__eq"))
+          .as("__w"))
+      .select(col("__o"), col("__n"),
+        row_number().over(w).cast("long").as("__cut"),
+        sum(col("__w")).over(uw).cast("long").as("__u"))
+      .filter(col("__cut") < col("__n"))
     val best = u.agg(max(abs(col("__u"))).cast("long").as("__k"))
     u.crossJoin(broadcast(best))
       .filter(abs(col("__u")) === col("__k"))

@@ -446,6 +446,7 @@ object CurationQueries {
           .select(($"o_custkey" * 2).as("src"),
             ($"l_suppkey" * 2 + 1).as("dst"))
           .distinct()
+          .localCheckpoint(true) // sym + seeds reuse one edge build
         val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
         val seeds = e.select($"src".as("node")).distinct()
           .filter(expr("(node div 2) % 7") === 0)
@@ -504,10 +505,15 @@ object CurationQueries {
           .select($"o_orderkey", $"o_custkey")
         val l = table(spark, dir, "lineitem")
           .select($"l_orderkey", $"l_suppkey")
+        // checkpoint the distinct edge list ONCE: sym, seeds and the
+        // modularity readout all reuse it (the q_release_dag stage-
+        // boundary lesson — without this the orders ⋈ lineitem
+        // distinct join re-executed for every downstream reference)
         val e = o.join(l, $"o_orderkey" === $"l_orderkey")
           .select(($"o_custkey" * 2).as("src"),
             ($"l_suppkey" * 2 + 1).as("dst"))
           .distinct()
+          .localCheckpoint(true)
         val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
         val seeds = e.select($"src".as("node")).distinct()
           .filter(expr("(node div 2) % 7") === 0)

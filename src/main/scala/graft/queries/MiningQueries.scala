@@ -3453,28 +3453,34 @@ object MiningQueries {
       }),
 
     // X293: G-test of lang x source independence — the likelihood-
-    // ratio sibling of the Pearson gate; G = 2N*MI by identity.
+    // ratio sibling of the Pearson gate; G = 2N*MI by identity,
+    // folded via the c*ln c identity (same three-aggregate shape as
+    // q_theil_u) so the plan carries two broadcasts, not five.
     QueryDef(
       "q_g_test",
       Some("""
         WITH cells AS (
           SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS c
           FROM documents GROUP BY 1, 2
-        ), mx AS (
-          SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1
-        ), my AS (
-          SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1
-        ), t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
-        fold AS (
-          SELECT max(n) AS n,
-                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE) * n
-                   / (CAST(cx AS DOUBLE) * cy))) AS g
-          FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
-        ), nx AS (SELECT CAST(count(*) AS BIGINT) AS n_x FROM mx),
-        ny AS (SELECT CAST(count(*) AS BIGINT) AS n_y FROM my)
+        ), a AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n,
+                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS av
+          FROM cells
+        ), cx AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_x,
+                 sum(CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE))) AS cv
+          FROM (SELECT x, CAST(sum(c) AS BIGINT) AS m FROM cells
+                GROUP BY 1)
+        ), cy AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_y,
+                 sum(CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE))) AS bv
+          FROM (SELECT y, CAST(sum(c) AS BIGINT) AS m FROM cells
+                GROUP BY 1)
+        )
         SELECT n, n_x, n_y, (n_x - 1) * (n_y - 1) AS dof,
-               round(2.0 * g, 6) AS g_stat
-        FROM fold, nx, ny
+               round(2.0 * (av - cv - bv + CAST(n AS DOUBLE)
+                 * ln(CAST(n AS DOUBLE))), 6) AS g_stat
+        FROM a, cx, cy
       """.trim),
       "X293 G-test of lang x source independence")(
       (spark, dir) => {

@@ -30,6 +30,62 @@ object ReliabilityQueries {
     s"""(('0x' || substr(md5('bloom' || h.h::VARCHAR || ':' || $valueExpr), 1, 8))::BIGINT
        | % $BloomBits)""".stripMargin.replace("\n", "")
 
+  /** DuckDB twin of the X157 pHash pipeline (r13 integer-DCT form):
+    * re-derives each doc's synthetic image PIXELS from the q_phash
+    * generator formula (the BMP container round-trip is pinned by
+    * the codec specs, so the oracle skips it), nearest-neighbor
+    * 32×32 resize by the same floor index math, integer luma
+    * (299R+587G+114B), two DCT passes against the inlined
+    * [[graft.multimodal.Multimodal.phashCos]] integer literals, and
+    * the exact 63-coefficient median → a `bits(doc_id, i, bit)`
+    * table. Hamming distances then fold per-bit (DuckDB raises on
+    * 1<<63, so the 64-bit pack stays engine-side).
+    */
+  private def phashSql: String = s"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+                 doc_id - doc_id % 2 AS base,
+                 doc_id % 2 AS odd,
+                 (doc_id - doc_id % 2) % 13 + 4 AS w,
+                 (doc_id - doc_id % 2) % 7 + 3 AS h
+          FROM documents
+        ), ct(u, x, c) AS (
+          SELECT * FROM (VALUES
+            ${graft.multimodal.Multimodal.phashCosSqlValues}) t(u, x, c)
+        ), px AS (
+          SELECT doc_id, y, x,
+                 299 * ((o * 17 + base * 31 + 3
+                   + CASE WHEN odd = 1 AND o = 0 THEN 1 ELSE 0 END)
+                   % 256)
+               + 587 * (((o + 1) * 17 + base * 31 + 3) % 256)
+               + 114 * (((o + 2) * 17 + base * 31 + 3) % 256) AS luma
+          FROM (
+            SELECT d.doc_id, gy.y AS y, gx.x AS x, d.base, d.odd,
+                   ((gy.y * d.h) // 32 * d.w + (gx.x * d.w) // 32) * 3
+                     AS o
+            FROM d, range(32) gy(y), range(32) gx(x)
+          )
+        ), rowdct AS (
+          SELECT px.doc_id, px.y, ct.u, sum(px.luma * ct.c) AS s
+          FROM px JOIN ct ON ct.x = px.x
+          GROUP BY 1, 2, 3
+        ), coef AS (
+          SELECT r.doc_id, CAST(ct.u * 8 + r.u AS BIGINT) AS i,
+                 sum(r.s * ct.c) AS cf
+          FROM rowdct r JOIN ct ON ct.x = r.y
+          GROUP BY 1, 2
+        ), med AS (
+          SELECT doc_id, cf AS m
+          FROM (SELECT doc_id, cf,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY cf) AS rn
+                FROM coef WHERE i > 0)
+          WHERE rn = 32
+        ), bits AS (
+          SELECT coef.doc_id, coef.i, coef.cf > med.m AS bit
+          FROM coef JOIN med USING (doc_id)
+        )"""
+
   /** Unrolled stochastic-greedy coreset oracle (X159): per round r —
     * candidate draw by md5 order over the not-yet-picked set, every
     * candidate's marginal gain as an exact long sum of
@@ -375,13 +431,27 @@ object ReliabilityQueries {
     // containers through the production decoder (the q_image_features
     // assembly), planted near-dup pairs (docs 2k / 2k+1 share a base
     // pattern, the odd twin perturbs one pixel), pHash + pigeonhole-
-    // banded Hamming join. DCT doubles are not SQL-expressible →
-    // rows-only by SURVEY §8 contract (scalar columns only); the
-    // operator pair is spec-verified (golden invariants + exact-
-    // recall banding proof).
+    // banded Hamming join. r13: pHash is now EXACT-INTEGER (pinned
+    // quantized-cos DCT basis, integer luma/median) so the oracle
+    // replays the whole hash in SQL: pixel formula (skipping the BMP
+    // container — decode∘encode = id is codec-spec-pinned), nearest-
+    // neighbor resize, two integer DCT passes against the inlined
+    // cos literals, exact median, then per-BIT Hamming distance on
+    // all pairs (the banded join's pigeonhole-exact superset form).
     QueryDef(
       "q_phash_pairs",
-      None,
+      Some(phashSql + """
+        SELECT d1, d2, dist FROM (
+          SELECT x.doc_id AS d1, y.doc_id AS d2,
+                 CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+                   AS BIGINT) AS dist
+          FROM bits x JOIN bits y
+            ON x.i = y.i AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        )
+        WHERE dist <= 3
+        ORDER BY d1, d2
+      """.trim),
       "X157 pHash near-dup image pairs (banded Hamming join)")(
       (spark, dir) => {
         import spark.implicits._
@@ -804,11 +874,37 @@ object ReliabilityQueries {
 
     // X165: perceptual near-dup image CLUSTERS — the X157 banded
     // Hamming pairs resolved into connected components with the X1f
-    // pointer-jumping machinery (composition contract; rows-only by
-    // SURVEY §8, DCT doubles upstream).
+    // pointer-jumping machinery. r13: hash-oracled end to end — the
+    // integer pHash CTEs feed the q_dedup_clusters recursive-
+    // reachability pattern (tractable: near-dup components are tiny).
     QueryDef(
       "q_phash_clusters",
-      None,
+      Some(phashSql + """
+        , pairs AS (
+          SELECT d1, d2 FROM (
+            SELECT x.doc_id AS d1, y.doc_id AS d2,
+                   sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+                     AS dist
+            FROM bits x JOIN bits y
+              ON x.i = y.i AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+          ) WHERE dist <= 3
+        ), edges AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION SELECT d2, d1 FROM pairs
+        ), reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), comp AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src
+        )
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+               min(doc_id) AS min_doc_id
+        FROM comp GROUP BY 1 HAVING count(*) >= 2
+        ORDER BY cluster_id
+      """.trim),
       "X165 pHash near-dup image clusters (pairs -> components)")(
       (spark, dir) => {
         import spark.implicits._
