@@ -342,8 +342,11 @@ object TimeSeries {
     * O(n³) in period count — the r12 verdict's scale-killer): with
     * le(v)/eq(v) from the distinct-value grid's inclusive prefix
     * sums, W_t = Σ_j sgn(x_j − x_t) = n − 2·le(x_t) + eq(x_t) and
-    * U_t = Σ_{s≤t} W_s — one value-grid cumSums pass plus one
-    * period-bounded ordered prefix window, identical integers to
+    * U_t = Σ_{s≤t} W_s — one value-grid prefix window plus one
+    * period-bounded ordered prefix window (both frames ride the
+    * period/value-grid-bounded class this operator's run-sort
+    * already uses — a cumSums two-phase pass here only added
+    * driver-barrier jobs to a bounded table), identical integers to
     * the pair-join form at any n. The significance approximation
     * 2·exp(−6K²/(n³+n²)) is one fixed-shape double. Ties contribute
     * sgn = 0 (the standard convention); the earliest maximizing cut
@@ -353,9 +356,11 @@ object TimeSeries {
       : DataFrame = {
     val base = series.select(col(orderCol).cast("string").as("__o"),
       round(col(valueCol) * 1e6, 0).cast("long").as("__v"))
-    val grid = base.groupBy(col("__v"))
+    val vw = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base.groupBy(col("__v"))
       .agg(count(lit(1)).cast("long").as("__eq"))
-    val cum = CorpusOps.cumSums(grid, Seq(col("__v")), Seq("__eq"))
+      .withColumn("__cum__eq", sum(col("__eq")).over(vw).cast("long"))
     val n1 = base.agg(count(lit(1)).cast("long").as("__n"))
     val w = Window.orderBy(col("__o"))
     val uw = Window.orderBy(col("__o"))

@@ -21,7 +21,7 @@ object CurationQueries {
 
   private val AnonK = 5
 
-  private[queries] val ManifestBudget = 300L
+  val ManifestBudget = 300L  // shared with the sharded-writer E2E spec
 
   /** Unrolled integer-PageRank oracle: pr0..prN CTE chain, one per
     * iteration — DuckDB recursive CTEs disallow the aggregate in the

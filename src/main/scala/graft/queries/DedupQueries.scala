@@ -28,6 +28,64 @@ object DedupQueries {
   val Bands = 16
   val RowsPerBand = 4
 
+  /** The X369 release DAG through the PACKING stage — clean →
+    * keeper near-dup dedup → benchmark decontamination → temperature
+    * mix → concat-and-split pack. Shared by the `q_release_dag`
+    * contract query (which exports this frame's manifest and checks
+    * it against the 6-stage chained oracle) and the r13 sharded-
+    * writer E2E spec (which physically writes the SAME survivors
+    * with [[graft.Sinks.writeShardedCorpus]] and re-derives the
+    * manifest from the files on disk) — so the bytes a release
+    * would ship and the numbers the oracle certifies come from one
+    * DAG by construction.
+    *
+    * Stage boundaries MATERIALIZE (localCheckpoint): each survivor
+    * frame feeds ≥2 downstream branches (the shingle self-join +
+    * the anti-join; temperatureMix reads its input twice for sizes
+    * + join), so an unmaterialized DAG re-runs the clean stage ~6×.
+    * In production these boundaries are the stage parquet writes;
+    * solo min-of-5 10.5 s → 5.0 s.
+    */
+  def releaseDagPacked(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Contamination, CorpusOps}
+    val docs = table(spark, dir, "documents")
+    val cleaned = CorpusOps.cleanCorpus(docs, "doc_id", "text",
+      TextAnalysisQueries.Stopwords,
+      keepLangs = Seq("en", "de", "fr", "es"),
+      minTokens = 25, minQuality = 0.5)
+    val s1 = docs.join(
+        cleaned.filter($"kept").select($"doc_id"), Seq("doc_id"))
+      .localCheckpoint(true)
+    val pairs = Dedup.jaccardPairsExact(
+      s1.select($"doc_id",
+        Dedup.hashedShingles($"text", ShingleK).as("shingles")),
+      "doc_id", JaccardThreshold)
+    val dropped = Dedup.selectKeepers(Dedup.resolveClusters(pairs),
+        docs.select($"doc_id", $"n_chars".as("score")),
+        "doc_id", "score")
+      .filter(!$"is_kept").select($"doc_id")
+    val s2 = s1.join(dropped, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val bench = docs.filter(
+      $"doc_id" % CorpusPrepQueries.BenchMod === 0)
+    val cands = s2.filter(
+      $"doc_id" % CorpusPrepQueries.BenchMod =!= 0)
+    val flagged = Contamination.flagContaminated(cands, bench,
+        "doc_id", "text", CorpusPrepQueries.ContamK,
+        CorpusPrepQueries.ContamThreshold)
+      .filter($"flagged").select($"doc_id")
+    val s3 = cands.join(flagged, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val s4 = CorpusOps.temperatureMix(s3, "doc_id", "source",
+      alpha = 0.5,
+      targetFraction = CorpusPrepQueries.TempTargetFraction,
+      salt = CorpusPrepQueries.MixSalt)
+    CorpusOps.packSequences(s4, "doc_id", "text",
+      CorpusPrepQueries.PackSeqLen)
+  }
+
   /** Cached: the scan+shingle subtree is shared by all four dedup
     * queries (Spark's CacheManager matches by analyzed plan, so each
     * query's fresh build of this DataFrame hits the same cache).
@@ -580,49 +638,10 @@ object DedupQueries {
         "pack -> manifest")(
       (spark, dir) => {
         import spark.implicits._
-        import graft.operators.{Contamination, CorpusOps}
-        val docs = table(spark, dir, "documents")
-        val cleaned = CorpusOps.cleanCorpus(docs, "doc_id", "text",
-          TextAnalysisQueries.Stopwords,
-          keepLangs = Seq("en", "de", "fr", "es"),
-          minTokens = 25, minQuality = 0.5)
-        // stage boundaries MATERIALIZE (localCheckpoint): each
-        // survivor frame feeds ≥2 downstream branches (the shingle
-        // self-join + the anti-join; temperatureMix reads its input
-        // twice for sizes + join), so an unmaterialized DAG re-runs
-        // the clean stage ~6×. In production these boundaries are
-        // the stage parquet writes; solo min-of-5 10.5 s → 5.0 s.
-        val s1 = docs.join(
-            cleaned.filter($"kept").select($"doc_id"), Seq("doc_id"))
-          .localCheckpoint(true)
-        val pairs = Dedup.jaccardPairsExact(
-          s1.select($"doc_id",
-            Dedup.hashedShingles($"text", ShingleK).as("shingles")),
-          "doc_id", JaccardThreshold)
-        val dropped = Dedup.selectKeepers(Dedup.resolveClusters(pairs),
-            docs.select($"doc_id", $"n_chars".as("score")),
-            "doc_id", "score")
-          .filter(!$"is_kept").select($"doc_id")
-        val s2 = s1.join(dropped, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
-        val bench = docs.filter(
-          $"doc_id" % CorpusPrepQueries.BenchMod === 0)
-        val cands = s2.filter(
-          $"doc_id" % CorpusPrepQueries.BenchMod =!= 0)
-        val flagged = Contamination.flagContaminated(cands, bench,
-            "doc_id", "text", CorpusPrepQueries.ContamK,
-            CorpusPrepQueries.ContamThreshold)
-          .filter($"flagged").select($"doc_id")
-        val s3 = cands.join(flagged, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
-        val s4 = CorpusOps.temperatureMix(s3, "doc_id", "source",
-          alpha = 0.5,
-          targetFraction = CorpusPrepQueries.TempTargetFraction,
-          salt = CorpusPrepQueries.MixSalt)
-        val packed = CorpusOps.packSequences(s4, "doc_id", "text",
-          CorpusPrepQueries.PackSeqLen)
+        import graft.operators.CorpusOps
         CorpusOps.exportManifest(
-            packed.withColumn("source", lit("release")),
+            releaseDagPacked(spark, dir)
+              .withColumn("source", lit("release")),
             "source", "seq_id", "seq_text",
             CurationQueries.ManifestBudget)
           .orderBy($"source", $"shard_id")

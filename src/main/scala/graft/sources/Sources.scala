@@ -82,6 +82,45 @@ object Sources {
       .filter(col("reject_reason").isNotNull)
       .select(col("path"), col("reject_reason"))
 
+  /** [[rejectedAudio]] enriched through the pure-JVM
+    * [[Mp3Frames]] frame-header parser: rows whose bytes sniff as
+    * mp3 carry the full stream geometry (frames, sample rate,
+    * duration, CBR/VBR) or a structural parse error — so the
+    * "unsupported_codec:mp3" branch is exercised against REAL mp3
+    * frame arithmetic even in a decoder-less environment, and an
+    * operator triaging a 100 TB ingest can split "valid mp3s worth
+    * routing to a decode fleet" from sync-colliding garbage without
+    * ffmpeg. Non-mp3 rejects pass through with null mp3 columns.
+    */
+  def rejectedAudioDetailed(spark: SparkSession, glob: String)
+      : DataFrame = {
+    import spark.implicits._
+    val probe = udf { bytes: Array[Byte] =>
+      decodeWav(bytes) match {
+        case Right(_) => null
+        case Left(reason) =>
+          if (Mp3Frames.sniff(bytes)) Mp3Frames.parse(bytes) match {
+            case Right(i) => (reason, null: String, i.version,
+              i.frames, i.sampleRate, i.channels, i.durationMs,
+              i.bitrateKbpsMin, i.bitrateKbpsMax, i.vbr)
+            case Left(err) => (reason, err, null: String, 0, 0, 0, 0L,
+              0, 0, false)
+          }
+          else (reason, null: String, null: String, 0, 0, 0, 0L, 0, 0,
+            false)
+      }
+    }
+    spark.read.format("binaryFile").load(glob)
+      .select($"path", probe($"content").as("r"))
+      .filter($"r".isNotNull)
+      .select($"path", $"r._1".as("reject_reason"),
+        $"r._2".as("mp3_parse_error"), $"r._3".as("mp3_version"),
+        $"r._4".as("mp3_frames"), $"r._5".as("mp3_sample_rate"),
+        $"r._6".as("mp3_channels"), $"r._7".as("mp3_duration_ms"),
+        $"r._8".as("mp3_kbps_min"), $"r._9".as("mp3_kbps_max"),
+        $"r._10".as("mp3_vbr"))
+  }
+
   /** Backwards-compatible Option form. */
   def parseWav(bytes: Array[Byte]): Option[Pcm] =
     decodeWav(bytes).toOption
