@@ -292,25 +292,22 @@ object CorpusOps {
     val cnts = tok.groupBy(col(docCol)).agg(count(lit(1)).as("__n"))
     val news = tok.groupBy(col("__t")).agg(min(col(docCol)).as("__d0"))
       .groupBy(col("__d0").as(docCol)).agg(count(lit(1)).as("__nv"))
-    // base feeds THREE consumers (two prefix passes + the final
-    // join); without the persist each one re-runs the token explode
-    // and both aggregations upstream — measured 1.8x the floor
     val base = docs.select(col(docCol)).distinct()
       .join(cnts, Seq(docCol), "left")
       .join(news, Seq(docCol), "left")
       .select(col(docCol), coalesce(col("__n"), lit(0L)).as("__n"),
         coalesce(col("__nv"), lit(0L)).as("__nv"))
-      .persist()
-    val pn = prefixStarts(base.select(col(docCol), col("__n")), docCol)
-      .withColumnRenamed("__start", "__sn")
-    val pv = prefixStarts(
-      base.select(col(docCol), col("__nv").as("__n")), docCol)
-      .withColumnRenamed("__start", "__sv")
-    base.join(pn, Seq(docCol)).join(pv, Seq(docCol))
+    // ONE two-phase pass for both masses: the inclusive prefix IS
+    // cum_tokens/vocab_size directly, so the old layout's second
+    // prefixStarts scan, the persist, and both start+mass join-backs
+    // (r13: measured ~2× the job count of this form — per-job
+    // scheduler latency is the whole cost at sub-second scale) all
+    // collapse into this single cumSums call.
+    cumSums(base, Seq(col(docCol)), Seq("__n", "__nv"))
       .select(col(docCol), col("__n").as("n_tokens"),
         col("__nv").as("new_types"),
-        (col("__sn") + col("__n")).as("cum_tokens"),
-        (col("__sv") + col("__nv")).as("vocab_size"))
+        col("__cum__n").cast("long").as("cum_tokens"),
+        col("__cum__nv").cast("long").as("vocab_size"))
   }
 
   /** X89b — Heaps-law fit V = k·nᵝ by exact least squares on the
