@@ -129,9 +129,11 @@ object ScaleBench {
       "q_typo_pairs",
       // X128: dashboard (X109 gram pass + skinny aggs)
       "q_quality_dashboard",
-      // X129-X130: HLL snapshots (constant sketch agg), DAU/WAU
-      // (skinny coverage explode)
-      "q_hll_snapshots", "q_active_trend",
+      // X129-X130: HLL snapshots (register agg: (group, reg) partial
+      // agg + |groups|-row rebuild since r13), DAU/WAU (skinny
+      // coverage explode); X236 HLL algebra (|groups|²-pair register
+      // union over the same sketch table)
+      "q_hll_snapshots", "q_hll_algebra", "q_active_trend",
       // X131: PSI (tiny boundary agg + buckets-sized counts)
       "q_psi_drift",
       // X132: Hilbert key (pure scan UDF + output sort)

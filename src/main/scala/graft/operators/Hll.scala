@@ -1,40 +1,206 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** X129 — persistable, MERGEABLE distinct-count sketches via Spark's
-  * native Apache DataSketches HLL functions (`hll_sketch_agg` /
-  * `hll_union_agg` / `hll_sketch_estimate`, Spark ≥ 3.5): X4's
-  * `approx_count_distinct` answers one query and evaporates; a
-  * SKETCH TABLE is what cross-snapshot monitoring actually stores —
-  * per-partition binary sketches written with each release, unioned
-  * later to answer "distinct users across any subset of snapshots /
-  * sources" without rescanning data (the Theta/HLL warehouse
-  * pattern). Merge-of-parts equals sketch-of-whole exactly (same
-  * lgK — the HLL register merge is associative), spec-asserted.
+/** X129 — persistable, MERGEABLE distinct-count sketches as PORTABLE
+  * dense register arrays (classic Flajolet HyperLogLog), in the
+  * repo's exact-integer convention: the 60-bit hash is the md5 head
+  * (`conv(substr(md5(key),1,15),16,10)` — the [[graft.queries]]
+  * sampling idiom), the register index is `hash mod m`, ρ is the
+  * leading-zero count of the remaining `60−p` bits via
+  * `length(bin(w))` (minimal binary in Spark AND DuckDB), and the
+  * estimator is pure integer arithmetic — the harmonic denominator
+  * Σ2^{−M_j} is the exact integer Σ2^{K−M_j} at K = 60−p+1, the
+  * α_m·m² factor is the pinned rational 7213·m³/(10000·m+10790),
+  * and the linear-counting branch reads a pinned
+  * `(m·round(2²⁰·ln(m/V))) >> 20` lookup shared with the oracle as
+  * literals (the pHash pinned-basis convention). Every step is
+  * engine-independent, so `q_hll_snapshots`/`q_hll_algebra` carry
+  * FULL hash oracles (r13; previously DataSketches binary sketches,
+  * rows-only).
   *
-  * Scale shape: one map-side-combinable sketch agg per group (state
-  * = 2^lgK registers, constant); merges touch only the
-  * \|groups\|-row sketch table. Rows-only contract (estimates have
-  * no DuckDB twin); the spec bounds error vs the exact count and
-  * asserts part-vs-whole merge equality.
+  * Why registers instead of an opaque binary sketch: a sketch
+  * WAREHOUSE is read by whatever engine queries it next — a plain
+  * `array<int>` column merges with `zip_with(_, _, greatest)` and
+  * estimates with one `aggregate()` in ANY SQL engine, no JVM
+  * library at read time. Merge-of-parts equals sketch-of-whole
+  * EXACTLY (elementwise max is associative and idempotent — no
+  * sparse-promotion jitter), spec-asserted.
+  *
+  * Scale shape: one (group, reg) partial agg — map-side combine caps
+  * each partition's contribution at m rows per group — then a
+  * |groups|-row dense rebuild. Merges touch only the sketch table.
   */
 object Hll {
 
-  /** Per-group binary HLL sketch + its estimate. */
-  def groupSketches(df: DataFrame, groupCol: String, keyCol: String,
-      lgK: Int = 12): DataFrame =
-    df.groupBy(col(groupCol))
-      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("sketch"))
-      .select(col(groupCol), col("sketch"),
-        hll_sketch_estimate(col("sketch")).cast("long").as("estimate"))
+  /** Register-index bits: m = 2^p registers, σ ≈ 1.04/√m (3.3% at
+    * the default p=10). The md5 head supplies 60 hash bits.
+    */
+  val DefaultP = 10
+  val HashBits = 60
 
-  /** Union a sketch table to one total-estimate row. */
-  def mergedEstimate(sketches: DataFrame): DataFrame =
-    sketches.agg(hll_union_agg(col("sketch")).as("sketch"))
-      .select(hll_sketch_estimate(col("sketch")).cast("long")
-        .as("estimate"))
+  /** ρ ∈ [1, K] where K = HashBits − p + 1 (w = 0 ⇒ all remaining
+    * bits zero ⇒ ρ = K).
+    */
+  def rhoMax(p: Int): Int = HashBits - p + 1
+
+  /** Pinned linear-counting table: lcTab(V) = (m·round(2²⁰·ln(m/V)))
+    * >> 20 for V = 1..m — the SAME longs ship as engine literals and
+    * oracle SQL literals, so the branch is integer-exact everywhere.
+    */
+  def lcTab(p: Int): IndexedSeq[Long] = {
+    val m = 1 << p
+    (1 to m).map { v =>
+      (m.toLong * Math.round((1L << 20) * math.log(m.toDouble / v))) >> 20
+    }
+  }
+
+  /** α_m·m²·2^K as an exact integer (α_m = 0.7213/(1+1.079/m) pinned
+    * as the rational 7213·m/(10000·m+10790)).
+    */
+  private def rawNum(p: Int): BigInt =
+    BigInt(7213) * BigInt(1L << p).pow(3) * (BigInt(1) << rhoMax(p))
+
+  private def rawDen0(p: Int): Long = 10000L * (1L << p) + 10790L
+
+  /** Append `outCol` = the integer HLL estimate of the dense register
+    * array in `skCol`. The Σ2^{K−M_j} power table and the
+    * linear-counting table ride as SINGLE-NODE `typedlit` array
+    * literals and the (S, V) readouts land in named temp columns —
+    * a ~20-node expression tree, where the first cut's inline
+    * 1024-literal SQL arrays cost ~0.6 s of Catalyst ANALYSIS per
+    * query build (caught by the r13 floor probes: Bench rebuilds the
+    * frame every pass, so plan-build cost is part of the honest
+    * per-query price). Identical math (same pinned constants) in
+    * [[duckEstimateSql]] and [[estimateFromRegisters]].
+    */
+  def withEstimate(df: DataFrame, skCol: String, outCol: String,
+      p: Int = DefaultP): DataFrame = {
+    val m = 1 << p
+    val k = rhoMax(p)
+    val powTab = typedlit((0 to k).map(r => 1L << (k - r)))
+    val lcLit = typedlit(lcTab(p))
+    val s = s"__${outCol}_s"
+    val v = s"__${outCol}_v"
+    val raw = s"cast(cast('${rawNum(p)}' as decimal(38,0)) div " +
+      s"(${rawDen0(p)} * cast($s as decimal(38,0))) as bigint)"
+    df.withColumn(s, aggregate(col(skCol), lit(0L),
+        (acc, r) => acc + element_at(powTab, r + lit(1))))
+      .withColumn(v, size(filter(col(skCol), _ === 0)))
+      .withColumn(outCol,
+        when(expr(raw) <= 5L * m / 2 && col(v) > 0,
+          element_at(lcLit, col(v))).otherwise(expr(raw)))
+      .drop(s, v)
+  }
+
+  /** DuckDB twin of [[estimateSql]] over per-group (S, V) columns —
+    * S = Σ2^{K−M_j} (zero registers included), V = zero-register
+    * count. Interpolated into the q_hll_snapshots / q_hll_algebra
+    * oracles.
+    */
+  def duckEstimateSql(sCol: String, vCol: String, p: Int = DefaultP): String = {
+    val m = 1 << p
+    s"CASE WHEN CAST(${rawNum(p)}::HUGEINT // (${rawDen0(p)}::HUGEINT * $sCol) AS BIGINT) <= ${5L * m / 2} AND $vCol > 0 " +
+      s"THEN ([${lcTab(p).mkString(", ")}])[$vCol] " +
+      s"ELSE CAST(${rawNum(p)}::HUGEINT // (${rawDen0(p)}::HUGEINT * $sCol) AS BIGINT) END"
+  }
+
+  /** DuckDB CTE text shared by both oracles: per-(group, reg) max-ρ
+    * over `table`, given the group expression and key expression.
+    * Emits columns (g, reg, mr).
+    */
+  def duckRegistersSql(tableName: String, groupExpr: String,
+      keyExpr: String, p: Int = DefaultP): String = {
+    val m = 1 << p
+    val k = rhoMax(p)
+    s"""
+      SELECT g, reg, max(rho) AS mr FROM (
+        SELECT $groupExpr AS g, h % $m AS reg,
+               CASE WHEN h // $m = 0 THEN $k
+                    ELSE $k - length(bin(h // $m)) END AS rho
+        FROM (
+          SELECT $groupExpr,
+                 CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS h
+          FROM $tableName
+        )
+      ) GROUP BY g, reg"""
+  }
+
+  /** DuckDB aggregation from (…, mr) register rows to (S, V) — used
+    * with a surrounding GROUP BY on the caller's group columns.
+    */
+  def duckSvSql(p: Int = DefaultP): (String, String) = {
+    val m = 1 << p
+    val k = rhoMax(p)
+    (s"sum(1::BIGINT << ($k - mr)) + ($m - count(*)) * (1::BIGINT << $k)",
+      s"CAST($m - count(*) AS BIGINT)")
+  }
+
+  /** Driver-side integer replica (StreamingHll's estimator): register
+    * array → estimate, the same pinned constants.
+    */
+  def estimateFromRegisters(regs: Array[Int], p: Int = DefaultP): Long = {
+    val m = 1 << p
+    val k = rhoMax(p)
+    require(regs.length == m, s"expected $m registers, got ${regs.length}")
+    var s = 0L
+    var v = 0L
+    regs.foreach { r =>
+      s += 1L << (k - r)
+      if (r == 0) v += 1
+    }
+    val raw = (rawNum(p) / (BigInt(rawDen0(p)) * s)).toLong
+    if (raw <= 5L * m / 2 && v > 0) lcTab(p)(v.toInt - 1) else raw
+  }
+
+  /** The 60-bit md5-head hash (the sampling-idiom hash, so any SQL
+    * engine reproduces it).
+    */
+  private def hash60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Dense per-group register arrays: (groupCol, sketch array<int>,
+    * estimate).
+    */
+  def groupSketches(df: DataFrame, groupCol: String, keyCol: String,
+      p: Int = DefaultP): DataFrame = {
+    val m = 1 << p
+    val k = rhoMax(p)
+    df.select(col(groupCol), hash60(col(keyCol)).as("__h"))
+      .select(col(groupCol), (col("__h") % m).cast("int").as("__reg"),
+        expr(s"__h div $m").as("__w"))
+      .select(col(groupCol), col("__reg"),
+        when(col("__w") === 0, k)
+          .otherwise(lit(k) - length(bin(col("__w")))).cast("int")
+          .as("__rho"))
+      .groupBy(col(groupCol), col("__reg"))
+      .agg(max(col("__rho")).as("__mr"))
+      .groupBy(col(groupCol))
+      .agg(map_from_arrays(collect_list(col("__reg")),
+        collect_list(col("__mr"))).as("__mp"))
+      .select(col(groupCol),
+        expr(s"transform(sequence(0, ${m - 1}), " +
+          "i -> coalesce(element_at(__mp, i), 0))").as("sketch"))
+      .transform(withEstimate(_, "sketch", "estimate", p))
+  }
+
+  /** Union a sketch table to one total-estimate row (register-wise
+    * max — associative, exact).
+    */
+  def mergedEstimate(sketches: DataFrame, p: Int = DefaultP): DataFrame = {
+    val m = 1 << p
+    sketches
+      .select(posexplode(col("sketch")).as(Seq("__reg", "__rho")))
+      .groupBy(col("__reg")).agg(max(col("__rho")).as("__mr"))
+      .agg(map_from_arrays(collect_list(col("__reg")),
+        collect_list(col("__mr"))).as("__mp"))
+      .select(expr(s"transform(sequence(0, ${m - 1}), " +
+        "i -> coalesce(element_at(__mp, i), 0))").as("sketch"))
+      .transform(withEstimate(_, "sketch", "estimate", p))
+      .select(col("estimate"))
+  }
 
   /** X236 — HLL set algebra over a sketch table: for every group
     * pair, \|A∪B\| comes from the register-max union (exact HLL
@@ -49,20 +215,23 @@ object Hll {
     *
     * Intersection error grows as the true overlap shrinks relative
     * to the union (standard I-E caveat, documented not hidden): the
-    * spec bounds it on known sets. Rows-only contract (estimates
-    * have no DuckDB twin), scalar columns only.
+    * spec bounds it on known sets. Every estimate is the integer
+    * [[estimateSql]], so the whole readout hash-matches the oracle.
     */
-  def setAlgebra(sketches: DataFrame, groupCol: String): DataFrame = {
+  def setAlgebra(sketches: DataFrame, groupCol: String,
+      p: Int = DefaultP): DataFrame = {
     val a = sketches.select(col(groupCol).as("group_a"),
       col("sketch").as("__sa"))
     val b = sketches.select(col(groupCol).as("group_b"),
       col("sketch").as("__sb"))
     a.join(b, col("group_a") < col("group_b"))
+      .withColumn("__su",
+        expr("zip_with(__sa, __sb, (x, y) -> greatest(x, y))"))
+      .transform(withEstimate(_, "__sa", "est_a", p))
+      .transform(withEstimate(_, "__sb", "est_b", p))
+      .transform(withEstimate(_, "__su", "est_union", p))
       .select(col("group_a"), col("group_b"),
-        hll_sketch_estimate(col("__sa")).cast("long").as("est_a"),
-        hll_sketch_estimate(col("__sb")).cast("long").as("est_b"),
-        hll_sketch_estimate(hll_union(col("__sa"), col("__sb")))
-          .cast("long").as("est_union"))
+        col("est_a"), col("est_b"), col("est_union"))
       .withColumn("est_intersect",
         greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
       .withColumn("jaccard_est",

@@ -24,40 +24,27 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  import Similarity.{cosine, dot, toDouble}
+  import Similarity.{cosine, dot, quantizeL, rankedCidsL, toDouble}
 
-  private def rankKey(v: Column, c: Seq[Double]): Column =
-    lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, typedlit(c))
-
-  private def rankedCids(v: Column, centroids: Seq[Seq[Double]]): Column =
-    transform(array_sort(array(centroids.zipWithIndex.map {
-      case (c, i) => struct(rankKey(v, c).as("d"), lit(i).as("cid"))
-    }: _*)), s => s.getField("cid"))
-
-  /** Fit the coarse quantizer and write the index under `dir`:
-    * `dir/centroids` (cid, centroid) and `dir/lists` (id, vec, nrm)
-    * partitioned by cid.
+  /** Fit the coarse quantizer (the r13 integer-state [[Similarity
+    * .fitCentersL]] — deterministic AND oracle-replayable) and write
+    * the index under `dir`: `dir/centroids` (cid, centroid as
+    * quantized longs) and `dir/lists` (id, vec, nrm) partitioned by
+    * cid.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, dir: String, fitFraction: Double = 1.0): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      nlist: Int, dir: String, maxFitSample: Int = 10000): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sampled =
-      if (fitFraction >= 1.0) corpus else corpus.sample(fitFraction, 42L)
-    val feats = sampled.select(
-      array_to_vector(toDouble(col(vecCol))).as("features")).coalesce(4)
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setInitMode("random").setTol(1e-2).fit(feats)
-    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val centroids = Similarity.fitCentersL(corpus, idCol, vecCol,
+      nlist, iters = 5, Similarity.KmFitSalt, maxFitSample)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cid", "centroid")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
     corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
       .withColumn("nrm", Similarity.l2norm(col("vec")))
       .withColumn("cid",
-        element_at(rankedCids(col("vec"), centroids), 1))
+        element_at(rankedCidsL(quantizeL(col("vec")), centroids), 1))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
   }
 
@@ -69,14 +56,14 @@ object IvfIndex {
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
       .collect().sortBy(_.getAs[Int]("cid"))
-      .map(_.getSeq[Double](1).toSeq).toSeq
+      .map(_.getSeq[Long](1).toSeq).toSeq
     require(centroids.nonEmpty, s"no centroids under $dir")
     val lists = spark.read.parquet(s"$dir/lists")
     val q = queries.select(col(idCol).as("query_id"),
         toDouble(col(vecCol)).as("query_v"))
       .select(col("query_id"), col("query_v"),
-        explode(slice(rankedCids(col("query_v"), centroids), 1, nprobe))
-          .as("cid"))
+        explode(slice(rankedCidsL(quantizeL(col("query_v")), centroids),
+          1, nprobe)).as("cid"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(q).join(lists, Seq("cid"))

@@ -112,6 +112,17 @@ object Similarity {
     z.toDouble / Long.MaxValue.toDouble
   }
 
+  /** The full hyperplane for (table t, plane p) as plain doubles —
+    * public so the q_knn_lsh oracle can pin the IDENTICAL constants
+    * as SQL literals (the pHash pinned-basis convention): the
+    * projection is a sequential double fold in both engines
+    * (`vec_dot` == DuckDB `list_dot_product`), so with shared plane
+    * literals the sign bits — and hence the candidate set — replay
+    * bit-exactly.
+    */
+  def lshPlane(t: Int, p: Int, dims: Int = 64): Seq[Double] =
+    (0 until dims).map(d => planeComponent(t, p, d))
+
   /** Sign-LSH bucket id of a vector for hash table `t`: `planes` sign
     * bits of dot(v, hyperplane) packed into a long. `dims` fixes the
     * hyperplane literals' length (vectors beyond it are truncated).
@@ -135,61 +146,138 @@ object Similarity {
     * candidate join is an equi-join on centroid id (shuffle ∝
     * corpus/nlist per probe, never all-pairs).
     */
+  /** Quantize a float/double vector column to the micro-integer grid
+    * (round(x·10⁶) longs) — the repo's micro-quant convention, the
+    * same `CAST(round(x*1000000.0) AS BIGINT)` both engines compute.
+    */
+  def quantizeL(v: Column, scale: Long = 1000000L): Column =
+    transform(toDouble(v), x => round(x * scale).cast("long"))
+
+  /** Deterministic INTEGER-state KMeans fit (r13, replacing the MLlib
+    * float fit): the fit sample is the lowest `maxFitSample` rows by
+    * `md5(salt‖id)` (a content-independent pseudo-random, fully
+    * SQL-replayable SET — a distributed TakeOrdered, never a count
+    * pass), seeds are farthest-first (Gonzalez 1985) from the hash
+    * head with exact integer distances, and Lloyd updates are
+    * integer: assignment by the exact ‖c‖²−2·q·c key (ties → lowest
+    * centroid id), centroid update by truncated integer division
+    * (Long `/` == DuckDB `//`). Every step is order-free integer
+    * arithmetic, so ANY engine — and the DuckDB oracle's unrolled
+    * CTE chain — reproduces the centroids bit-exactly; this is what
+    * flips q_knn_ivf / q_semdedup_auto / q_ann_index from rows-only
+    * to full hash oracles.
+    *
+    * Scale shape: one narrow TakeOrdered job collects ≤ maxFitSample
+    * quantized vectors (the FAISS recipe — quantizer quality needs
+    * ~1e4–1e5 points, not the corpus); the fit runs driver-local;
+    * trained centroids ship as plan literals, so encode/search stay
+    * fully distributed with zero fit-time shuffles.
+    */
+  private[graft] def fitCentersL(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int, salt: String,
+      maxFitSample: Int): IndexedSeq[Seq[Long]] = {
+    val pts = corpus
+      .select(col(idCol).cast("string").as("__id"),
+        quantizeL(col(vecCol)).as("__q"))
+      .withColumn("__h", md5(concat(lit(salt), col("__id"))))
+      .orderBy(col("__h"), col("__id"))
+      .limit(maxFitSample)
+      .select(col("__q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(pts.nonEmpty, "empty corpus — nothing to fit")
+    lloydFitL(pts, math.min(k, pts.length), iters)
+  }
+
+  /** Integer Lloyd on the hash-ordered point set: farthest-first
+    * seeding from index 0, `iters` synchronous updates, empty
+    * clusters keep their previous center. Deterministic by
+    * construction — all state is Long.
+    */
+  private def lloydFitL(points: Array[Array[Long]], k: Int,
+      iters: Int): IndexedSeq[Seq[Long]] = {
+    val n = points.length
+    val dim = points.head.length
+    def sq(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var t = 0
+      while (t < dim) { val d = a(t) - b(t); s += d * d; t += 1 }
+      s
+    }
+    // farthest-first traversal; ties resolve to the lowest hash-order
+    // index (strict > keeps the first maximum)
+    val seedIdx = scala.collection.mutable.ArrayBuffer(0)
+    val minD = Array.fill(n)(Long.MaxValue)
+    while (seedIdx.size < k) {
+      val last = points(seedIdx.last)
+      var best = 0; var bestD = -1L
+      var i = 0
+      while (i < n) {
+        val d = sq(points(i), last)
+        if (d < minD(i)) minD(i) = d
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      seedIdx += best
+    }
+    var centers: Array[Array[Long]] = seedIdx.map(points(_).clone).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var bestJ = 0; var bestKey = Long.MaxValue
+        var j = 0
+        while (j < k) {
+          var key = 0L; var t = 0
+          while (t < dim) {
+            val c = centers(j)(t); key += c * c - 2L * p(t) * c; t += 1
+          }
+          if (key < bestKey) { bestKey = key; bestJ = j }
+          j += 1
+        }
+        var t = 0
+        while (t < dim) { sums(bestJ)(t) += p(t); t += 1 }
+        counts(bestJ) += 1
+      }
+      centers = centers.zipWithIndex.map { case (c, j) =>
+        if (counts(j) == 0) c
+        else sums(j).map(_ / counts(j))
+      }
+    }
+    centers.map(_.toSeq).toIndexedSeq
+  }
+
+  /** Centroid ids of an integer codebook ordered by the exact
+    * ‖c‖²−2·q·c key (ties → lowest cid), built from ONE array of
+    * (key, cid) structs — `qv` must be the [[quantizeL]] form. NB: an
+    * argmin via reduce(when(a<=b,a,b)) would duplicate the whole
+    * distance subtree at every step — exponential expression blowup.
+    */
+  private[graft] def rankedCidsL(qv: Column, centroids: Seq[Seq[Long]]): Column =
+    transform(array_sort(array(centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct((lit(c.map(x => x * x).sum) - lit(2L) * dotL(qv, typedlit(c)))
+          .as("d"), lit(i).as("cid"))
+    }: _*)), s => s.getField("cid"))
+
+  private[graft] def argminCodeL(qv: Column, book: Seq[Seq[Long]]): Column =
+    element_at(rankedCidsL(qv, book), 1)
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      fitFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    // Centroid quality needs only a sample of the corpus: at 100 TB
-    // pass fitFraction ≪ 1 so each Lloyd iteration scans a sliver.
-    // The sample is coalesced to a few partitions — every KMeans
-    // iteration is a separate job, and 10 jobs × hundreds of near-empty
-    // tasks is pure scheduler overhead on a small fit input.
-    val sampled =
-      if (fitFraction >= 1.0) corpus else corpus.sample(fitFraction, 42L)
-    val feats = sampled.select(col(idCol),
-      array_to_vector(toDouble(col(vecCol))).as("features"))
-      .coalesce(4)
-    // Random init, not kmeans|| — kmeans|| runs ~2·initSteps extra
-    // distributed passes to seed centers; for an ANN inverted file the
-    // partition quality difference is noise against nprobe re-ranking.
-    // 5 Lloyd iterations: inverted-file partition quality plateaus in a
-    // handful of iterations (each is a separate distributed job); the
-    // recall spec vs brute force is the guard on this choice.
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setInitMode("random").setTol(1e-2)
-      .fit(feats)
-    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
-
-    // Centroid-ranking key: ‖v−c‖² = ‖v‖² − 2·v·c + ‖c‖², and ‖v‖² is
-    // constant across centroids, so ranking needs only ‖c‖² − 2·v·c —
-    // with ‖c‖² folded at plan time and v·c a single codegen vec_dot
-    // call (the HOF zip_with/aggregate form is interpreted per element).
-    def centroidRankKey(v: Column, c: Seq[Double]): Column =
-      lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, typedlit(c))
-
-    // centroid ids ordered by distance, built from ONE array of
-    // (dist, cid) structs. NB: an argmin via reduce(when(a<=b,a,b))
-    // would duplicate the whole distance subtree at every step —
-    // exponential expression blowup at nlist=16.
-    def rankedCids(v: Column): Column =
-      transform(array_sort(array(centroids.zipWithIndex.map {
-        case (c, i) =>
-          struct(centroidRankKey(v, c).as("d"), lit(i).as("cid"))
-      }: _*)), s => s.getField("cid"))
-
-    def nearest(v: Column): Column = element_at(rankedCids(v), 1)
-
-    def probes(v: Column): Column = slice(rankedCids(v), 1, nprobe)
-
+      iters: Int = 5, maxFitSample: Int = 10000): DataFrame = {
+    // 5 Lloyd iterations by default: inverted-file partition quality
+    // plateaus in a handful of iterations; the recall spec vs brute
+    // force is the guard on this choice.
+    val centroids = fitCentersL(corpus, idCol, vecCol, nlist, iters,
+      KmFitSalt, maxFitSample)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("neighbor_v"))
-      .withColumn("cid", nearest(col("neighbor_v")))
+      .withColumn("cid",
+        argminCodeL(quantizeL(col("neighbor_v")), centroids))
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("query_v"))
       .select(col("query_id"), col("query_v"),
-        explode(probes(col("query_v"))).as("cid"))
+        explode(slice(rankedCidsL(quantizeL(col("query_v")), centroids),
+          1, nprobe)).as("cid"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     // Broadcast the exploded probe side (|Q|·nprobe rows): the corpus
@@ -202,6 +290,11 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
+
+  /** The shared coarse-quantizer fit salt: seed 42, the convention
+    * every IVF-family operator and its oracle interpolate.
+    */
+  val KmFitSalt = "kmfit:42:"
 
   /** EXACT all-pairs cosine join at `threshold`, block-partitioned:
     * each side is hash-assigned to one of `numBlocks` blocks, both
@@ -608,26 +701,27 @@ object Similarity {
     */
   /** Distributed KMeans ASSIGNMENT — the step that makes [[semDedup]]
     * (and IVF-style indexing) self-contained when no cluster column
-    * exists: centroids train on the bounded driver-side fit sample
-    * (the FAISS recipe — quantizer quality needs ~1e4–1e5 points, not
-    * the corpus), then ship as PLAN LITERALS into a scan-stage argmin
-    * projection. Assignment is therefore a pure map over the corpus:
-    * no shuffle, no join, no broadcast variable — the same
-    * ‖c‖²−2·v·c single-array argmin as the PQ/IVF encoders
-    * ([[argminCode]]), whole-stage-codegen'd.
+    * exists: integer centroids train on the bounded driver-side fit
+    * sample ([[fitCentersL]]), then ship as PLAN LITERALS into a
+    * scan-stage argmin projection. Assignment is therefore a pure
+    * map over the corpus: no shuffle, no join, no broadcast variable
+    * — the exact-integer ‖c‖²−2·q·c single-array argmin
+    * ([[argminCodeL]]).
     *
-    * Deterministic for a (seed, corpus-prefix) pair; ties in the
+    * Deterministic by CONSTRUCTION (r13): the whole fit is integer
+    * arithmetic over an md5-selected sample, so the assignment — not
+    * just "deterministic for a seed" but engine-independent — replays
+    * in the DuckDB oracle as an unrolled CTE chain. Ties in the
     * argmin resolve to the lowest center id. k caps at the sample
     * size (degenerate corpora).
     */
-  def assignClusters(vecs: DataFrame, vecCol: String, k: Int,
-      iters: Int = 10, seed: Long = 42L, maxFitSample: Int = 10000,
+  def assignClusters(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 10, seed: Long = 42L, maxFitSample: Int = 10000,
       outCol: String = "cluster_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val pts = fitSample(vecs, vecCol, maxFitSample)
-    require(pts.nonEmpty, "empty corpus — nothing to cluster")
-    val centers = lloydFit(pts, math.min(k, pts.length), iters, seed)
-    vecs.withColumn(outCol, argminCode(toDouble(col(vecCol)), centers))
+    val centers = fitCentersL(vecs, idCol, vecCol, k, iters,
+      s"kmfit:$seed:", maxFitSample)
+    vecs.withColumn(outCol, argminCodeL(quantizeL(col(vecCol)), centers))
   }
 
   /** [[semDedup]] with its OWN cluster assignment ([[assignClusters]])
@@ -643,7 +737,7 @@ object Similarity {
       tau: Double, k: Int, iters: Int = 10, seed: Long = 42L,
       maxFitSample: Int = 10000, numBlocks: Int = 8): DataFrame =
     semDedup(
-      assignClusters(vecs, vecCol, k, iters, seed, maxFitSample,
+      assignClusters(vecs, idCol, vecCol, k, iters, seed, maxFitSample,
         "cluster_id"),
       idCol, vecCol, "cluster_id", tau, numBlocks)
 

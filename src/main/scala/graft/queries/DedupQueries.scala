@@ -965,12 +965,48 @@ object DedupQueries {
     // full pipeline for an unlabeled corpus: bounded-sample Lloyd
     // fit, centroids as plan literals, scan-stage argmin assignment
     // (zero shuffles before the pair join — plan-audited), then X67's
-    // cluster-scoped components. Rows-only: trained centroids are
-    // seed-dependent; SimilaritySpec bounds pair recall vs the
-    // label-clustered oracle run.
+    // cluster-scoped components. Full hash oracle (r13): the fit is
+    // the integer-state Lloyd (Similarity.fitCentersL), so the oracle
+    // chains the unrolled KMeans CTEs in front of q_semdedup's
+    // pair/component SQL with the computed clusters in place of the
+    // label column. SimilaritySpec additionally bounds pair recall
+    // vs the label-clustered run.
     QueryDef(
       "q_semdedup_auto",
-      None,
+      Some {
+        val km = graft.queries.SimilarityQueries
+          .duckKmeansCtes(k = 10, iters = 10)
+        s"""
+        WITH RECURSIVE $km,
+        v AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), vc AS MATERIALIZED (
+          SELECT v.vec_id, a.cid, v.e FROM v JOIN afin a USING (vec_id)
+        ), pairs AS (
+          SELECT a.vec_id AS d1, b.vec_id AS d2
+          FROM vc a JOIN vc b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e)) *
+                 sqrt(list_dot_product(b.e, b.e))) >= 0.3
+        ), edges AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION SELECT d2, d1 FROM pairs
+        ), reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), comp AS (
+          SELECT src AS vec_id, least(src, min(dst)) AS component_id
+          FROM reach GROUP BY src
+        )
+        SELECT vc.vec_id, vc.cid AS cluster_id,
+               coalesce(c.component_id, vc.vec_id) AS component_id,
+               coalesce(c.component_id, vc.vec_id) = vc.vec_id AS is_kept
+        FROM vc LEFT JOIN comp c USING (vec_id)
+        ORDER BY vec_id
+        """.trim
+      },
       "X80 SemDeDup over self-computed KMeans clusters (k=10)")(
       (spark, dir) => {
         import spark.implicits._

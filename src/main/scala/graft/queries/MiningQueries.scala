@@ -725,12 +725,52 @@ object MiningQueries {
       }),
 
     // X236: HLL set algebra — pairwise audience overlap between event
-    // types from the stored sketch table, no rescan. Rows-only by
-    // SURVEY §8 (sketch estimates have no DuckDB twin); the spec
-    // bounds the estimates against exact sets.
+    // types from the stored sketch table, no rescan. Full hash oracle
+    // (r13, the portable register HLL): the oracle rebuilds each
+    // group's registers, takes the pairwise register-max union, and
+    // replays the pinned integer estimator for est_a/est_b/est_union;
+    // intersection and Jaccard are integer I-E + one double division
+    // of identical longs. The spec additionally bounds the estimates
+    // against exact sets.
     QueryDef(
       "q_hll_algebra",
-      None,
+      Some {
+        val (sSql, vSql) = graft.operators.Hll.duckSvSql()
+        val est = graft.operators.Hll.duckEstimateSql("s", "v")
+        s"""
+        WITH mx AS (${graft.operators.Hll.duckRegistersSql(
+          "events", "event_type", "user_id")}
+        ), ga AS (
+          SELECT g, $sSql AS s, $vSql AS v FROM mx GROUP BY g
+        ), ge AS (
+          SELECT g, $est AS est FROM ga
+        ), pairs AS (
+          SELECT a.g AS ea, b.g AS eb
+          FROM (SELECT DISTINCT g FROM mx) a
+          JOIN (SELECT DISTINCT g FROM mx) b ON a.g < b.g
+        ), ur AS (
+          SELECT p.ea, p.eb, m.reg, max(m.mr) AS mr
+          FROM pairs p JOIN mx m ON m.g IN (p.ea, p.eb)
+          GROUP BY 1, 2, 3
+        ), ua AS (
+          SELECT ea, eb, $sSql AS s, $vSql AS v
+          FROM ur GROUP BY ea, eb
+        ), ue AS (
+          SELECT ea, eb, $est AS est_u FROM ua
+        )
+        SELECT ue.ea AS group_a, ue.eb AS group_b,
+               gea.est AS est_a, geb.est AS est_b, ue.est_u AS est_union,
+               greatest(0, gea.est + geb.est - ue.est_u) AS est_intersect,
+               CASE WHEN ue.est_u > 0
+                    THEN round(CAST(greatest(0, gea.est + geb.est - ue.est_u)
+                      AS DOUBLE) / ue.est_u, 6)
+                    ELSE 0.0 END AS jaccard_est
+        FROM ue
+        JOIN ge gea ON gea.g = ue.ea
+        JOIN ge geb ON geb.g = ue.eb
+        ORDER BY group_a, group_b
+        """.trim
+      },
       "X236 pairwise user-audience overlap from HLL sketches")(
       (spark, dir) => {
         import spark.implicits._

@@ -550,13 +550,29 @@ object OlapQueries {
           .orderBy($"day")
       }),
 
-    // X129: persistable mergeable HLL sketch table — rows-only
-    // (DataSketches estimates have no DuckDB twin); the error bound
-    // and part-vs-whole merge equality are spec-asserted in
-    // ChunkingWaveSpec.
+    // X129: persistable mergeable HLL sketch table — full hash oracle
+    // (r13): the portable register HLL hashes with the md5-head
+    // sampling idiom, takes per-(group, register) max-ρ, and
+    // estimates in pure integer arithmetic with pinned constants
+    // (see Hll.scala), so DuckDB replays registers AND estimates
+    // bit-exactly. Error bound and part-vs-whole merge equality are
+    // spec-asserted in ChunkingWaveSpec.
     QueryDef(
       "q_hll_snapshots",
-      None,
+      Some {
+        val (sSql, vSql) = graft.operators.Hll.duckSvSql()
+        s"""
+        WITH mx AS (${graft.operators.Hll.duckRegistersSql(
+          "events", "event_type", "user_id")}
+        ), agg AS (
+          SELECT g AS event_type, $sSql AS s, $vSql AS v
+          FROM mx GROUP BY g
+        )
+        SELECT event_type,
+               ${graft.operators.Hll.duckEstimateSql("s", "v")} AS estimate
+        FROM agg ORDER BY event_type
+        """.trim
+      },
       "X129 per-event-type HLL sketch estimates (mergeable snapshots)")(
       (spark, dir) => {
         import spark.implicits._

@@ -16,6 +16,186 @@ object SimilarityQueries {
     */
   val QueryStride = 25
 
+  /** q_knn_lsh oracle, generated: the 24×4 hyperplanes are pinned as
+    * 64-double SQL list literals (identical constants to the engine
+    * plan — Scala's shortest-roundtrip `Double.toString` re-parses to
+    * the same bit pattern in DuckDB), each table's bucket is the
+    * packed sign of 4 sequential-fold projections, candidates come
+    * from the same (table, bucket) equi-join, and the exact-cosine
+    * re-rank replays q_knn_brute's oracle shape.
+    */
+  private val LshTables = 24
+  private val LshPlanes = 4
+
+  /** DuckDB CTE chain replaying [[Similarity.fitCentersL]] + the
+    * final whole-corpus argmin assignment over the `embeddings`
+    * table — the integer-KMeans oracle kernel shared by q_knn_ivf,
+    * q_ann_index and q_semdedup_auto. Emits CTEs `quant` (vec_id, q
+    * micro-quantized, h = md5 fit hash), `fit` (the hash-ordered fit
+    * sample), `ch1..chK` (farthest-first seeding), `cent0..centN`
+    * (Lloyd rounds — assignment by the exact ‖c‖²−2·q·c key with
+    * ties to the lowest cid, update by truncated integer division,
+    * empty clusters keep their center), and `afin` (vec_id → cid).
+    * All quantities are integers below 2⁵³, so DuckDB's double
+    * `list_dot_product` reproduces the engine's Long arithmetic
+    * bit-exactly.
+    */
+  def duckKmeansCtes(k: Int, iters: Int, salt: String = "kmfit:42:",
+      maxFitSample: Int = 10000): String = {
+    require(k >= 2 && iters >= 1)
+    def sqd(q: String, c: String) =
+      s"list_dot_product($q, $q) - 2*list_dot_product($q, $c) " +
+        s"+ list_dot_product($c, $c)"
+    def key(q: String, c: String) =
+      s"list_dot_product($c, $c) - 2*list_dot_product($q, $c)"
+    val seeds = (2 to k).map { i =>
+      s"""ch$i AS MATERIALIZED (
+        SELECT * FROM ch${i - 1}
+        UNION ALL
+        SELECT * FROM (
+          SELECT ${i - 1} AS cid, mm.vec_id, f2.q
+          FROM (
+            SELECT f.vec_id, f.h, min(${sqd("f.q", "c.q")}) AS mind
+            FROM fit f CROSS JOIN ch${i - 1} c
+            GROUP BY f.vec_id, f.h
+          ) mm JOIN fit f2 ON f2.vec_id = mm.vec_id
+          ORDER BY mm.mind DESC, mm.h, CAST(mm.vec_id AS VARCHAR)
+          LIMIT 1
+        )
+      )"""
+    }.mkString(", ")
+    val rounds = (1 to iters).map { i =>
+      s"""asg$i AS MATERIALIZED (
+        SELECT vec_id, q, cid FROM (
+          SELECT f.vec_id, f.q, c.cid,
+                 row_number() OVER (PARTITION BY f.vec_id ORDER BY
+                   ${key("f.q", "c.c")}, c.cid) AS rk
+          FROM fit f CROSS JOIN cent${i - 1} c
+        ) WHERE rk = 1
+      ), upd$i AS MATERIALIZED (
+        SELECT cid, dim, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+        FROM (SELECT cid, generate_subscripts(q, 1) AS dim, unnest(q) AS x
+              FROM asg$i)
+        GROUP BY cid, dim
+      ), cent$i AS MATERIALIZED (
+        SELECT p.cid, coalesce(u.c, p.c) AS c
+        FROM cent${i - 1} p LEFT JOIN (
+          SELECT cid, list(sx // n ORDER BY dim) AS c
+          FROM upd$i GROUP BY cid
+        ) u USING (cid)
+      )"""
+    }.mkString(", ")
+    s"""quant AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q,
+             md5('$salt' || CAST(vec_id AS VARCHAR)) AS h
+      FROM embeddings
+    ), fit AS MATERIALIZED (
+      SELECT vec_id, h, q FROM quant
+      ORDER BY h, CAST(vec_id AS VARCHAR) LIMIT $maxFitSample
+    ), ch1 AS MATERIALIZED (
+      SELECT 0 AS cid, vec_id, q FROM fit
+      ORDER BY h, CAST(vec_id AS VARCHAR) LIMIT 1
+    ), $seeds, cent0 AS MATERIALIZED (
+      SELECT cid, q AS c FROM ch$k
+    ), $rounds, afin AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT t.vec_id, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 ${key("t.q", "c.c")}, c.cid) AS rk
+        FROM quant t CROSS JOIN cent$iters c
+      ) WHERE rk = 1
+    )"""
+  }
+
+  /** q_knn_ivf / q_ann_index oracle: the integer-KMeans chain, nprobe
+    * probed lists per query, exact-cosine re-rank (the q_knn_brute
+    * shape). q_ann_index's parquet round trip stores exact doubles
+    * and quantized-long centroids, so build+serve returns the
+    * IDENTICAL rows — one oracle text serves both.
+    */
+  private def knnIvfSql: String =
+    s"""
+      WITH ${duckKmeansCtes(k = 16, iters = 5)},
+      v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      probes AS (
+        SELECT query_id, cid FROM (
+          SELECT t.vec_id AS query_id, c.cid,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   list_dot_product(c.c, c.c) - 2*list_dot_product(t.q, c.c),
+                   c.cid) AS rk
+          FROM quant t CROSS JOIN cent5 c
+          WHERE t.vec_id % $QueryStride = 0
+        ) WHERE rk <= 4
+      ),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN afin a USING (cid)
+        WHERE a.vec_id <> p.query_id
+      ),
+      scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_dot_product(qv.e, cv.e) /
+               (sqrt(list_dot_product(qv.e, qv.e)) *
+                sqrt(list_dot_product(cv.e, cv.e))) AS cos
+        FROM cand
+        JOIN v qv ON qv.vec_id = cand.query_id
+        JOIN v cv ON cv.vec_id = cand.neighbor_id
+      )
+      SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+      FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+      )
+      WHERE rank <= $K
+      ORDER BY query_id, rank
+    """.trim
+  private def knnLshSql: String = {
+    val buckets = (0 until LshTables).map { t =>
+      (0 until LshPlanes).map { p =>
+        val plane = Similarity.lshPlane(t, p, 64).mkString(", ")
+        s"(CASE WHEN list_dot_product(e, [$plane]) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+    }.mkString(",\n            ")
+    s"""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), b AS (
+        SELECT vec_id,
+          [$buckets] AS bs
+        FROM v
+      ), bt AS (
+        SELECT vec_id, generate_subscripts(bs, 1) AS t,
+               unnest(bs) AS bucket
+        FROM b
+      ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bt q JOIN bt c ON q.t = c.t AND q.bucket = c.bucket
+        WHERE q.vec_id % $QueryStride = 0 AND q.vec_id <> c.vec_id
+      ), scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_dot_product(qv.e, cv.e) /
+               (sqrt(list_dot_product(qv.e, qv.e)) *
+                sqrt(list_dot_product(cv.e, cv.e))) AS cos
+        FROM cand
+        JOIN v qv ON qv.vec_id = cand.query_id
+        JOIN v cv ON cv.vec_id = cand.neighbor_id
+      )
+      SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+      FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+      )
+      WHERE rank <= $K
+      ORDER BY query_id, rank
+    """.trim
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // X2a: exact brute-force top-k cosine — the correctness baseline.
@@ -152,12 +332,17 @@ object SimilarityQueries {
 
     // X2b: sign-LSH bucketed ANN — the scale path. Candidates come
     // from an equi-join on (table_id, bucket); exact cosine re-ranks
-    // candidates only. Hyperplanes are deterministic (xxhash64) but
-    // not SQL-reproducible → rows-only driver check; recall vs
-    // q_knn_brute is asserted in SimilaritySpec.
+    // candidates only. Full hash oracle (r13): the hyperplanes are
+    // PLAN-TIME CONSTANTS, so the oracle pins the identical doubles
+    // as SQL list literals (the pHash pinned-basis convention) and
+    // replays projection → sign bits → bucket equi-join → exact
+    // cosine re-rank; `vec_dot` and DuckDB's `list_dot_product` are
+    // the same sequential fold, so every sign bit — and hence the
+    // candidate set and ranking — reproduces bit-exactly. Recall vs
+    // q_knn_brute additionally asserted in SimilaritySpec.
     QueryDef(
       "q_knn_lsh",
-      None,
+      Some(knnLshSql),
       "X2 LSH-bucketed approximate top-k cosine neighbors")(
       (spark, dir) => {
         import spark.implicits._
@@ -171,12 +356,16 @@ object SimilarityQueries {
       }),
 
     // X2c: IVF ANN — KMeans-bucketed inverted file, nprobe=4 of 16
-    // lists probed per query, exact cosine re-rank. Rows-only
-    // (KMeans isn't DuckDB-reproducible); SimilaritySpec bounds
-    // recall vs the brute-force twin.
+    // lists probed per query, exact cosine re-rank. Full hash oracle
+    // (r13): the coarse quantizer is the INTEGER-state Lloyd fit
+    // (Similarity.fitCentersL — md5-ordered sample, farthest-first
+    // seeding, exact ‖c‖²−2·q·c assignment, truncated-integer-mean
+    // update), so the oracle replays the whole fit as an unrolled
+    // CTE chain and the probe/re-rank as the q_knn_brute shape.
+    // SimilaritySpec additionally bounds recall vs the brute twin.
     QueryDef(
       "q_knn_ivf",
-      None,
+      Some(knnIvfSql),
       "X2 IVF (KMeans inverted-file) approximate top-k cosine")(
       (spark, dir) => {
         import spark.implicits._
@@ -445,12 +634,15 @@ object SimilarityQueries {
 
     // X120: persisted IVF index — build-once/serve-many (the FAISS
     // write_index lifecycle); the serve join rides dynamic partition
-    // pruning over the cid-partitioned list store. Rows-only (KMeans
-    // centroids aren't DuckDB-reproducible, the q_knn_ivf contract);
-    // recall + DPP plan are spec-asserted in IvfIndexSpec.
+    // pruning over the cid-partitioned list store. Full hash oracle
+    // (r13): build and serve share q_knn_ivf's integer-KMeans fit
+    // (same salt/iterations), the parquet round trip stores exact
+    // doubles and quantized-long centroids, so the served top-k is
+    // bit-identical to the in-memory IVF — ONE oracle text covers
+    // both. Recall + the DPP plan are spec-asserted in IvfIndexSpec.
     QueryDef(
       "q_ann_index",
-      None,
+      Some(knnIvfSql),
       "X120 persisted IVF index: build + DPP-pruned top-k serve")(
       (spark, dir) => {
         import spark.implicits._

@@ -382,7 +382,8 @@ class PlanAuditSpec extends AnyFunSuite {
   test("assignClusters is a pure scan: centroids are plan literals, " +
     "zero exchanges before assignment") {
     val df = operators.Similarity.assignClusters(
-      spark.read.parquet(s"$dir/embeddings.parquet"), "embedding", k = 4)
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      k = 4)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)

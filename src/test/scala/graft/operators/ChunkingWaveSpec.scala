@@ -297,8 +297,8 @@ class ChunkingWaveSpec extends AnyFunSuite {
       assert(math.abs(est - ex) / ex < 0.05, s"estimate $est vs $ex")
     }
     // persist the sketch table, reload, union — must equal the
-    // single-pass whole-corpus sketch estimate exactly (register
-    // merge is associative at fixed lgK)
+    // single-pass whole-corpus sketch estimate exactly (register-max
+    // merge is associative and idempotent at fixed p)
     val dir = java.nio.file.Files.createTempDirectory("hll").toString
     parts.select("grp", "sketch").write.mode("overwrite").parquet(dir)
     val mergedFromDisk = Hll.mergedEstimate(s.read.parquet(dir))
@@ -306,6 +306,23 @@ class ChunkingWaveSpec extends AnyFunSuite {
     val whole = Hll.groupSketches(df.withColumn("grp", lit("all")),
       "grp", "uid").collect().head.getAs[Long]("estimate")
     assert(mergedFromDisk == whole)
+  }
+
+  test("hll: raw-regime branch (n >> 2.5m at p=6) stays within HLL " +
+    "error; driver-side integer replica equals the Column estimator") {
+    val s = spark
+    import s.implicits._
+    // 700 distinct keys over m=64 registers: raw > 2.5m = 160, so the
+    // harmonic-mean branch (not linear counting) produces the
+    // estimate. σ ≈ 1.04/√64 = 13% — bound at 3σ.
+    val df = (0 until 700).map(i => ("g", s"k$i")).toDF("grp", "uid")
+    val row = Hll.groupSketches(df, "grp", "uid", p = 6).collect().head
+    val est = row.getAs[Long]("estimate")
+    assert(est > 160L, s"expected raw-branch estimate, got $est")
+    assert(math.abs(est - 700.0) / 700.0 < 0.39, s"estimate $est vs 700")
+    // the driver replica (StreamingHll's estimator) is bit-identical
+    val regs = row.getSeq[Int](row.fieldIndex("sketch")).toArray
+    assert(Hll.estimateFromRegisters(regs, p = 6) == est)
   }
 
   // ---- X130 active-user trend ---------------------------------------

@@ -212,7 +212,7 @@ class SimilaritySpec extends AnyFunSuite {
         base(1) + (i / 3) * 0.01f), blob)
     }.toDF("vec_id", "embedding", "blob")
     val got = Similarity
-      .assignClusters(vecs, "embedding", k = 3, seed = 7L)
+      .assignClusters(vecs, "vec_id", "embedding", k = 3, seed = 7L)
       .select($"vec_id", $"blob", $"cluster_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     // same blob → same cluster, different blobs → different clusters
@@ -221,7 +221,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byBlob.values.flatten.toSet.size == 3, byBlob.toMap.toString)
     // deterministic: a second run reproduces the assignment exactly
     val again = Similarity
-      .assignClusters(vecs, "embedding", k = 3, seed = 7L)
+      .assignClusters(vecs, "vec_id", "embedding", k = 3, seed = 7L)
       .select($"vec_id", $"cluster_id").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(again == got.map(t => (t._1, t._3)).toSeq)

@@ -12,25 +12,34 @@ import graft.SparkHarness
 class Wave14Spec extends AnyFunSuite {
   private lazy val spark = SparkHarness.spark
 
-  test("Hll.setAlgebra: small exact sets — union/intersect/jaccard " +
-    "recover the true overlap and the I-E identity holds") {
+  test("Hll.setAlgebra: small known sets — union/intersect/jaccard " +
+    "recover the true overlap within HLL error and the I-E identity " +
+    "holds") {
     val s = spark
     import s.implicits._
-    // A = 1..100, B = 51..150: HLL is exact at this cardinality
+    // A = 1..100, B = 51..150 — true union 150, intersect 50. The
+    // portable register HLL (m=1024, linear-counting branch at this
+    // cardinality) estimates within a few % — unlike DataSketches'
+    // sparse-exact mode there is no exact small-set regime, which is
+    // the price of the engine-independent integer estimator.
     val df = ((1 to 100).map(i => ("a", i.toLong)) ++
       (51 to 150).map(i => ("b", i.toLong))).toDF("g", "k")
     val sk = Hll.groupSketches(df, "g", "k")
     val r = Hll.setAlgebra(sk, "g").head()
     assert(r.getAs[String]("group_a") == "a")
-    assert(r.getAs[Long]("est_a") == 100L)
-    assert(r.getAs[Long]("est_b") == 100L)
-    assert(r.getAs[Long]("est_union") == 150L)
-    assert(r.getAs[Long]("est_intersect") == 50L)
-    assert(r.getAs[Double]("jaccard_est") == 0.333333)
+    assert(math.abs(r.getAs[Long]("est_a") - 100L) <= 8L)
+    assert(math.abs(r.getAs[Long]("est_b") - 100L) <= 8L)
+    assert(math.abs(r.getAs[Long]("est_union") - 150L) <= 12L)
+    assert(math.abs(r.getAs[Long]("est_intersect") - 50L) <= 20L)
     // I-E identity by construction (clamped at 0)
-    assert(r.getAs[Long]("est_intersect") ==
+    val inter = r.getAs[Long]("est_intersect")
+    val union = r.getAs[Long]("est_union")
+    assert(inter ==
       math.max(0L, r.getAs[Long]("est_a") + r.getAs[Long]("est_b") -
-        r.getAs[Long]("est_union")))
+        union))
+    // jaccard is exactly the reported intersection over union
+    assert(r.getAs[Double]("jaccard_est") ==
+      math.rint(inter.toDouble / union * 1e6) / 1e6)
   }
 
   test("murphyDecomposition: perfect forecasts have zero Brier and " +
