@@ -43,8 +43,10 @@ object IvfIndex {
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
     corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
       .withColumn("nrm", Similarity.l2norm(col("vec")))
+      .withColumn("__qv", quantizeL(col("vec")))
       .withColumn("cid",
-        element_at(rankedCidsL(quantizeL(col("vec")), centroids), 1))
+        element_at(rankedCidsL(col("__qv"), centroids), 1))
+      .drop("__qv")
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
   }
 
@@ -61,8 +63,9 @@ object IvfIndex {
     val lists = spark.read.parquet(s"$dir/lists")
     val q = queries.select(col(idCol).as("query_id"),
         toDouble(col(vecCol)).as("query_v"))
+      .withColumn("__qv", quantizeL(col("query_v")))
       .select(col("query_id"), col("query_v"),
-        explode(slice(rankedCidsL(quantizeL(col("query_v")), centroids),
+        explode(slice(rankedCidsL(col("__qv"), centroids),
           1, nprobe)).as("cid"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

@@ -176,6 +176,17 @@ object Similarity {
   private[graft] def fitCentersL(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, iters: Int, salt: String,
       maxFitSample: Int): IndexedSeq[Seq[Long]] = {
+    val pts = fitSampleL(corpus, idCol, vecCol, salt, maxFitSample)
+    lloydFitL(pts, math.min(k, pts.length), iters)
+  }
+
+  /** The hash-ordered quantized fit sample (one TakeOrdered job) —
+    * shared by the coarse quantizer and the PQ codebooks so their
+    * oracles replay ONE `fit` CTE.
+    */
+  private def fitSampleL(corpus: DataFrame, idCol: String,
+      vecCol: String, salt: String,
+      maxFitSample: Int): Array[Array[Long]] = {
     val pts = corpus
       .select(col(idCol).cast("string").as("__id"),
         quantizeL(col(vecCol)).as("__q"))
@@ -185,7 +196,7 @@ object Similarity {
       .select(col("__q")).collect()
       .map(_.getSeq[Long](0).toArray)
     require(pts.nonEmpty, "empty corpus — nothing to fit")
-    lloydFitL(pts, math.min(k, pts.length), iters)
+    pts
   }
 
   /** Integer Lloyd on the hash-ordered point set: farthest-first
@@ -271,12 +282,14 @@ object Similarity {
       KmFitSalt, maxFitSample)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("neighbor_v"))
-      .withColumn("cid",
-        argminCodeL(quantizeL(col("neighbor_v")), centroids))
+      .withColumn("__qnv", quantizeL(col("neighbor_v")))
+      .withColumn("cid", argminCodeL(col("__qnv"), centroids))
+      .drop("__qnv")
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("query_v"))
+      .withColumn("__qqv", quantizeL(col("query_v")))
       .select(col("query_id"), col("query_v"),
-        explode(slice(rankedCidsL(quantizeL(col("query_v")), centroids),
+        explode(slice(rankedCidsL(col("__qqv"), centroids),
           1, nprobe)).as("cid"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -403,83 +416,36 @@ object Similarity {
     * corpus sample like [[ivfTopK]]; approximate like it, so the
     * contract is rows-only + the recall spec.
     */
-  /** Plain Lloyd iterations on an in-memory point set — codebook
-    * training for [[pqTopK]]. Empty clusters keep their previous
-    * center (standard small-k fallback). Deterministic for a seed.
+  /** Per-subspace INTEGER codebooks off the shared hash-ordered fit
+    * sample (r13 — the same [[lloydFitL]] kernel as the coarse
+    * quantizer, run on each subspace's slices): deterministic,
+    * engine-independent, and oracle-replayable — what flips
+    * q_knn_pq / q_knn_ivfpq to full hash oracles.
     */
-  private def lloydFit(points: Array[Array[Double]], k: Int,
-      iters: Int, seed: Long): Seq[Seq[Double]] = {
-    val dim = points.head.length
-    val rnd = new scala.util.Random(seed)
-    val centers = rnd.shuffle(points.indices.toList).take(k)
-      .map(i => points(i).clone()).toArray
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
-      points.foreach { p =>
-        var best = 0; var bestD = Double.MaxValue
-        var j = 0
-        while (j < centers.length) {
-          var d = 0.0; var t = 0
-          while (t < dim) {
-            val diff = p(t) - centers(j)(t); d += diff * diff; t += 1
-          }
-          if (d < bestD) { bestD = d; best = j }
-          j += 1
-        }
-        var t = 0
-        while (t < dim) { sums(best)(t) += p(t); t += 1 }
-        counts(best) += 1
-      }
-      for (j <- centers.indices if counts(j) > 0; t <- 0 until dim)
-        centers(j)(t) = sums(j)(t) / counts(j)
+  private def pqCodebooksL(sample: Array[Array[Long]], m: Int,
+      sub: Int, ksub: Int, iters: Int): IndexedSeq[Seq[Seq[Long]]] =
+    (0 until m).map { j =>
+      lloydFitL(sample.map(_.slice(j * sub, (j + 1) * sub)),
+        math.min(ksub, sample.length), iters)
     }
-    centers.map(_.toSeq).toSeq
-  }
 
-  /** Bounded driver-side fit sample (the FAISS recipe — quantizer
-    * quality needs ~1e4–1e5 points, not the corpus): one narrow job
-    * collects ≤ maxFitSample vectors; all quantizers then train
-    * locally — versus per-quantizer distributed KMeans runs whose
-    * job scheduling would dominate. Encode and search remain fully
-    * distributed; trained codebooks ship as plan literals.
+  /** (codes, lut) column builders over `m` integer sub-space
+    * codebooks — `v` must be the [[quantizeL]] form: codes is the
+    * per-row array of nearest codeword ids (exact integer argmin);
+    * lut is the per-query m×ksub table of INTEGER sub-space dot
+    * products, computed once per query row BEFORE any join so
+    * per-pair ADC cost is m array lookups. Every lut value is below
+    * 2⁵³, so the oracle's double arithmetic replays the Long sums
+    * bit-exactly.
     */
-  private def fitSample(corpus: DataFrame, vecCol: String,
-      maxFitSample: Int): Array[Array[Double]] =
-    // limit(), not sample(): deterministic without a count pass. For
-    // a corpus whose leading partitions are unrepresentative (e.g.
-    // z-clustered by topic), pre-shuffle the fit input or pass a
-    // hashSample'd frame in — the recall specs are the guard.
-    corpus.select(toDouble(col(vecCol)).as("v"))
-      .limit(maxFitSample)
-      .collect().map(_.getSeq[Double](0).toArray)
-
-  /** Nearest entry of a literal codebook by the ‖c‖² − 2·v·c rank
-    * key — single-array argmin, no duplicated subtrees (see
-    * [[ivfTopK]]'s rankedCids note).
-    */
-  private def argminCode(v: Column, book: Seq[Seq[Double]]): Column =
-    element_at(transform(array_sort(array(
-      book.zipWithIndex.map { case (c, i) =>
-        struct((lit(c.map(x => x * x).sum) -
-          lit(2.0) * dot(v, typedlit(c))).as("d"),
-          lit(i).as("cid"))
-      }: _*)), s => s.getField("cid")), 1)
-
-  /** (codes, lut) column builders over `m` sub-space codebooks:
-    * codes is the per-row array of nearest codeword ids; lut is the
-    * per-query m×ksub table of sub-space dot products, computed once
-    * per query row BEFORE any join so per-pair ADC cost is m array
-    * lookups.
-    */
-  private def pqColumns(codebooks: IndexedSeq[Seq[Seq[Double]]],
+  private def pqColumns(codebooks: IndexedSeq[Seq[Seq[Long]]],
       sub: Int): (Column => Column, Column => Column) = {
     def subvec(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
     val codes = (v: Column) => array(codebooks.indices.map(j =>
-      argminCode(subvec(v, j), codebooks(j))): _*)
+      argminCodeL(subvec(v, j), codebooks(j))): _*)
     val lut = (v: Column) => array(codebooks.indices.map { j =>
       array(codebooks(j).map(c =>
-        dot(subvec(v, j), typedlit(c))): _*)
+        dotL(subvec(v, j), typedlit(c))): _*)
     }: _*)
     (codes, lut)
   }
@@ -513,24 +479,26 @@ object Similarity {
     val dims = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val sub = dims / m
-    val sample = fitSample(corpus, vecCol, maxFitSample)
+    val sample = fitSampleL(corpus, idCol, vecCol, KmFitSalt, maxFitSample)
     require(sample.length >= ksub,
       s"need >= ksub=$ksub vectors to train codebooks, got ${sample.length}")
-    val codebooks: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      lloydFit(sample.map(_.slice(j * sub, (j + 1) * sub)), ksub,
-        iters = 8, seed = 42L + j)
-    }
+    val codebooks = pqCodebooksL(sample, m, sub, ksub, iters = 8)
     val (codesOf, lutOf) = pqColumns(codebooks, sub)
 
     // the compressed corpus: codes + norm — all a 100 TB ADC scan reads
+    // quantize ONCE into a named column: projection boundaries stop
+    // CollapseProject from inlining the interpreted transform into
+    // all m*ksub argmin subtrees (measured 6x on the corpus encode)
     val codes = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("cv"))
-      .select(col("neighbor_id"), codesOf(col("cv")).as("codes"),
+      .withColumn("qcv", quantizeL(col("cv")))
+      .select(col("neighbor_id"), codesOf(col("qcv")).as("codes"),
         l2norm(col("cv")).as("nrm"))
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"))
+      .withColumn("qqv", quantizeL(col("qv")))
       .select(col("query_id"), col("qv"), l2norm(col("qv")).as("qnrm"),
-        lutOf(col("qv")).as("lut"))
+        lutOf(col("qqv")).as("lut"))
 
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
@@ -562,34 +530,28 @@ object Similarity {
     val dims = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val sub = dims / m
-    val sample = fitSample(corpus, vecCol, maxFitSample)
+    val sample = fitSampleL(corpus, idCol, vecCol, KmFitSalt, maxFitSample)
     require(sample.length >= math.max(ksub, nlist),
       s"need >= ${math.max(ksub, nlist)} vectors to train, " +
         s"got ${sample.length}")
-    val coarse = lloydFit(sample, nlist, iters = 8, seed = 7L)
-    val codebooks: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      lloydFit(sample.map(_.slice(j * sub, (j + 1) * sub)), ksub,
-        iters = 8, seed = 42L + j)
-    }
+    val coarse = lloydFitL(sample, math.min(nlist, sample.length),
+      iters = 8)
+    val codebooks = pqCodebooksL(sample, m, sub, ksub, iters = 8)
     val (codesOf, lutOf) = pqColumns(codebooks, sub)
-
-    def rankedLists(v: Column): Column =
-      transform(array_sort(array(coarse.zipWithIndex.map {
-        case (c, i) =>
-          struct((lit(c.map(x => x * x).sum) -
-            lit(2.0) * dot(v, typedlit(c))).as("d"), lit(i).as("cid"))
-      }: _*)), s => s.getField("cid"))
 
     val codes = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("cv"))
+      .withColumn("qcv", quantizeL(col("cv")))
       .select(col("neighbor_id"),
-        element_at(rankedLists(col("cv")), 1).as("list_id"),
-        codesOf(col("cv")).as("codes"), l2norm(col("cv")).as("nrm"))
+        element_at(rankedCidsL(col("qcv"), coarse), 1).as("list_id"),
+        codesOf(col("qcv")).as("codes"), l2norm(col("cv")).as("nrm"))
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"))
+      .withColumn("qqv", quantizeL(col("qv")))
       .select(col("query_id"), col("qv"), l2norm(col("qv")).as("qnrm"),
-        lutOf(col("qv")).as("lut"),
-        explode(slice(rankedLists(col("qv")), 1, nprobe)).as("list_id"))
+        lutOf(col("qqv")).as("lut"),
+        explode(slice(rankedCidsL(col("qqv"), coarse), 1, nprobe))
+          .as("list_id"))
 
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
@@ -721,7 +683,9 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     val centers = fitCentersL(vecs, idCol, vecCol, k, iters,
       s"kmfit:$seed:", maxFitSample)
-    vecs.withColumn(outCol, argminCodeL(quantizeL(col(vecCol)), centers))
+    vecs.withColumn("__qv", quantizeL(col(vecCol)))
+      .withColumn(outCol, argminCodeL(col("__qv"), centers))
+      .drop("__qv")
   }
 
   /** [[semDedup]] with its OWN cluster assignment ([[assignClusters]])

@@ -40,14 +40,115 @@ object SimilarityQueries {
     * `list_dot_product` reproduces the engine's Long arithmetic
     * bit-exactly.
     */
+  private def sqdSql(q: String, c: String) =
+    s"list_dot_product($q, $q) - 2*list_dot_product($q, $c) " +
+      s"+ list_dot_product($c, $c)"
+  private def keySql(q: String, c: String) =
+    s"list_dot_product($c, $c) - 2*list_dot_product($q, $c)"
+
+  /** The shared fit-sample CTEs (`quant`, `fit`) — the md5-ordered
+    * quantized sample both the coarse quantizer and the PQ codebooks
+    * train on.
+    */
+  def duckFitCtes(salt: String = "kmfit:42:",
+      maxFitSample: Int = 10000): String =
+    s"""quant AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q,
+             md5('$salt' || CAST(vec_id AS VARCHAR)) AS h
+      FROM embeddings
+    ), fit AS MATERIALIZED (
+      SELECT vec_id, h, q FROM quant
+      ORDER BY h, CAST(vec_id AS VARCHAR) LIMIT $maxFitSample
+    )"""
+
+  /** PQ codebook chain over `fit`/`quant` (requires [[duckFitCtes]]):
+    * per-subspace farthest-first seeding + `iters` integer Lloyd
+    * rounds, all subspaces in one relational chain keyed by `j`.
+    * Emits `allsq` (per-(vector, subspace) quantized slices over the
+    * WHOLE corpus), `pcent<iters>` (j, cid, codeword) and `codes`
+    * (vec_id, j, code).
+    */
+  def duckPqCtes(m: Int, sub: Int, ksub: Int, iters: Int): String = {
+    require(ksub >= 2 && iters >= 1)
+    val seeds = (2 to ksub).map { i =>
+      s"""pch$i AS MATERIALIZED (
+        SELECT * FROM pch${i - 1}
+        UNION ALL
+        SELECT j, ${i - 1} AS cid, vec_id, p FROM (
+          SELECT mm.j, mm.vec_id, f2.p,
+                 row_number() OVER (PARTITION BY mm.j
+                   ORDER BY mm.mind DESC, mm.h, CAST(mm.vec_id AS VARCHAR))
+                   AS rn
+          FROM (
+            SELECT f.j, f.vec_id, f.h, min(${sqdSql("f.p", "c.p")}) AS mind
+            FROM sq f JOIN pch${i - 1} c ON c.j = f.j
+            GROUP BY f.j, f.vec_id, f.h
+          ) mm JOIN sq f2 ON f2.j = mm.j AND f2.vec_id = mm.vec_id
+        ) WHERE rn = 1
+      )"""
+    }.mkString(", ")
+    val rounds = (1 to iters).map { i =>
+      s"""pasg$i AS MATERIALIZED (
+        SELECT j, vec_id, p, cid FROM (
+          SELECT s.j, s.vec_id, s.p, c.cid,
+                 row_number() OVER (PARTITION BY s.j, s.vec_id ORDER BY
+                   ${keySql("s.p", "c.c")}, c.cid) AS rk
+          FROM sq s JOIN pcent${i - 1} c ON c.j = s.j
+        ) WHERE rk = 1
+      ), pupd$i AS MATERIALIZED (
+        SELECT j, cid, dim, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+        FROM (SELECT j, cid, generate_subscripts(p, 1) AS dim,
+                     unnest(p) AS x
+              FROM pasg$i)
+        GROUP BY j, cid, dim
+      ), pcent$i AS MATERIALIZED (
+        SELECT p0.j, p0.cid, coalesce(u.c, p0.c) AS c
+        FROM pcent${i - 1} p0 LEFT JOIN (
+          SELECT j, cid, list(sx // n ORDER BY dim) AS c
+          FROM pupd$i GROUP BY j, cid
+        ) u USING (j, cid)
+      )"""
+    }.mkString(", ")
+    s"""js AS (SELECT unnest(range(0, $m)) AS j),
+    sq AS MATERIALIZED (
+      SELECT f.vec_id, f.h, js.j,
+             list_slice(f.q, js.j * $sub + 1, js.j * $sub + $sub) AS p
+      FROM fit f CROSS JOIN js
+    ), pch1 AS MATERIALIZED (
+      SELECT j, 0 AS cid, vec_id, p FROM (
+        SELECT j, vec_id, p,
+               row_number() OVER (PARTITION BY j
+                 ORDER BY h, CAST(vec_id AS VARCHAR)) AS rn
+        FROM sq
+      ) WHERE rn = 1
+    ), $seeds, pcent0 AS MATERIALIZED (
+      SELECT j, cid, p AS c FROM pch$ksub
+    ), $rounds, allsq AS MATERIALIZED (
+      SELECT t.vec_id, js.j,
+             list_slice(t.q, js.j * $sub + 1, js.j * $sub + $sub) AS p
+      FROM quant t CROSS JOIN js
+    ), codes AS MATERIALIZED (
+      SELECT vec_id, j, cid AS code FROM (
+        SELECT s.vec_id, s.j, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                 ${keySql("s.p", "c.c")}, c.cid) AS rk
+        FROM allsq s JOIN pcent$iters c ON c.j = s.j
+      ) WHERE rk = 1
+    )"""
+  }
+
   def duckKmeansCtes(k: Int, iters: Int, salt: String = "kmfit:42:",
-      maxFitSample: Int = 10000): String = {
+      maxFitSample: Int = 10000): String =
+    duckFitCtes(salt, maxFitSample) + ", " + duckCoarseCtes(k, iters)
+
+  /** Coarse-quantizer chain over `fit`/`quant` (requires
+    * [[duckFitCtes]]): farthest-first seeding, `iters` Lloyd rounds,
+    * `afin` = whole-corpus assignment.
+    */
+  def duckCoarseCtes(k: Int, iters: Int): String = {
     require(k >= 2 && iters >= 1)
-    def sqd(q: String, c: String) =
-      s"list_dot_product($q, $q) - 2*list_dot_product($q, $c) " +
-        s"+ list_dot_product($c, $c)"
-    def key(q: String, c: String) =
-      s"list_dot_product($c, $c) - 2*list_dot_product($q, $c)"
     val seeds = (2 to k).map { i =>
       s"""ch$i AS MATERIALIZED (
         SELECT * FROM ch${i - 1}
@@ -55,7 +156,7 @@ object SimilarityQueries {
         SELECT * FROM (
           SELECT ${i - 1} AS cid, mm.vec_id, f2.q
           FROM (
-            SELECT f.vec_id, f.h, min(${sqd("f.q", "c.q")}) AS mind
+            SELECT f.vec_id, f.h, min(${sqdSql("f.q", "c.q")}) AS mind
             FROM fit f CROSS JOIN ch${i - 1} c
             GROUP BY f.vec_id, f.h
           ) mm JOIN fit f2 ON f2.vec_id = mm.vec_id
@@ -69,7 +170,7 @@ object SimilarityQueries {
         SELECT vec_id, q, cid FROM (
           SELECT f.vec_id, f.q, c.cid,
                  row_number() OVER (PARTITION BY f.vec_id ORDER BY
-                   ${key("f.q", "c.c")}, c.cid) AS rk
+                   ${keySql("f.q", "c.c")}, c.cid) AS rk
           FROM fit f CROSS JOIN cent${i - 1} c
         ) WHERE rk = 1
       ), upd$i AS MATERIALIZED (
@@ -85,16 +186,7 @@ object SimilarityQueries {
         ) u USING (cid)
       )"""
     }.mkString(", ")
-    s"""quant AS MATERIALIZED (
-      SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-                            x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q,
-             md5('$salt' || CAST(vec_id AS VARCHAR)) AS h
-      FROM embeddings
-    ), fit AS MATERIALIZED (
-      SELECT vec_id, h, q FROM quant
-      ORDER BY h, CAST(vec_id AS VARCHAR) LIMIT $maxFitSample
-    ), ch1 AS MATERIALIZED (
+    s"""ch1 AS MATERIALIZED (
       SELECT 0 AS cid, vec_id, q FROM fit
       ORDER BY h, CAST(vec_id AS VARCHAR) LIMIT 1
     ), $seeds, cent0 AS MATERIALIZED (
@@ -103,7 +195,7 @@ object SimilarityQueries {
       SELECT vec_id, cid FROM (
         SELECT t.vec_id, c.cid,
                row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                 ${key("t.q", "c.c")}, c.cid) AS rk
+                 ${keySql("t.q", "c.c")}, c.cid) AS rk
         FROM quant t CROSS JOIN cent$iters c
       ) WHERE rk = 1
     )"""
@@ -153,6 +245,141 @@ object SimilarityQueries {
       WHERE rank <= $K
       ORDER BY query_id, rank
     """.trim
+  /** q_knn_pq oracle: the per-subspace integer codebooks, ADC
+    * shortlist (integer lut sums over identical doubles), exact
+    * cosine re-rank — the engine's pqTopK replayed end to end.
+    */
+  private def knnPqSql: String = {
+    val (m, sub, ksub, iters, refine) = (16, 4, 16, 8, 8)
+    s"""
+      WITH ${duckFitCtes(maxFitSample = 16384)},
+      ${duckPqCtes(m, sub, ksub, iters)},
+      v AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ),
+      nrm AS MATERIALIZED (
+        SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v
+      ),
+      qlut AS MATERIALIZED (
+        SELECT s.vec_id AS query_id, s.j, c.cid,
+               list_dot_product(s.p, c.c) AS val
+        FROM allsq s JOIN pcent$iters c ON c.j = s.j
+        WHERE s.vec_id % $QueryStride = 0
+      ),
+      adc AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.val) AS s
+        FROM qlut l JOIN codes cd ON cd.j = l.j AND cd.code = l.cid
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY 1, 2
+      ),
+      sl AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT a.query_id, a.neighbor_id,
+                 row_number() OVER (PARTITION BY a.query_id
+                   ORDER BY (CAST(a.s AS DOUBLE) / (qn.nrm * cn.nrm)) DESC,
+                            a.neighbor_id) AS rk
+          FROM adc a
+          JOIN nrm qn ON qn.vec_id = a.query_id
+          JOIN nrm cn ON cn.vec_id = a.neighbor_id
+        ) WHERE rk <= ${K * refine}
+      ),
+      scored AS (
+        SELECT sl.query_id, sl.neighbor_id,
+               list_dot_product(qv.e, cv.e) /
+               (sqrt(list_dot_product(qv.e, qv.e)) *
+                sqrt(list_dot_product(cv.e, cv.e))) AS cos
+        FROM sl
+        JOIN v qv ON qv.vec_id = sl.query_id
+        JOIN v cv ON cv.vec_id = sl.neighbor_id
+      )
+      SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+      FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+      )
+      WHERE rank <= $K
+      ORDER BY query_id, rank
+    """.trim
+  }
+
+  /** q_knn_ivfpq oracle: coarse probes restrict the ADC scan to
+    * nprobe lists per query; otherwise the q_knn_pq chain.
+    */
+  private def knnIvfPqSql: String = {
+    val (nlist, nprobe, m, sub, ksub, iters, refine) =
+      (8, 4, 16, 4, 16, 8, 8)
+    s"""
+      WITH ${duckFitCtes(maxFitSample = 16384)},
+      ${duckCoarseCtes(nlist, iters)},
+      ${duckPqCtes(m, sub, ksub, iters)},
+      v AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ),
+      nrm AS MATERIALIZED (
+        SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v
+      ),
+      probes AS (
+        SELECT query_id, cid FROM (
+          SELECT t.vec_id AS query_id, c.cid,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   ${keySql("t.q", "c.c")}, c.cid) AS rk
+          FROM quant t CROSS JOIN cent$iters c
+          WHERE t.vec_id % $QueryStride = 0
+        ) WHERE rk <= $nprobe
+      ),
+      cand0 AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN afin a USING (cid)
+        WHERE a.vec_id <> p.query_id
+      ),
+      qlut AS MATERIALIZED (
+        SELECT s.vec_id AS query_id, s.j, c.cid,
+               list_dot_product(s.p, c.c) AS val
+        FROM allsq s JOIN pcent$iters c ON c.j = s.j
+        WHERE s.vec_id % $QueryStride = 0
+      ),
+      adc AS (
+        SELECT c0.query_id, c0.neighbor_id, sum(l.val) AS s
+        FROM cand0 c0
+        JOIN codes cd ON cd.vec_id = c0.neighbor_id
+        JOIN qlut l ON l.query_id = c0.query_id AND l.j = cd.j
+                   AND l.cid = cd.code
+        GROUP BY 1, 2
+      ),
+      sl AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT a.query_id, a.neighbor_id,
+                 row_number() OVER (PARTITION BY a.query_id
+                   ORDER BY (CAST(a.s AS DOUBLE) / (qn.nrm * cn.nrm)) DESC,
+                            a.neighbor_id) AS rk
+          FROM adc a
+          JOIN nrm qn ON qn.vec_id = a.query_id
+          JOIN nrm cn ON cn.vec_id = a.neighbor_id
+        ) WHERE rk <= ${K * refine}
+      ),
+      scored AS (
+        SELECT sl.query_id, sl.neighbor_id,
+               list_dot_product(qv.e, cv.e) /
+               (sqrt(list_dot_product(qv.e, qv.e)) *
+                sqrt(list_dot_product(cv.e, cv.e))) AS cos
+        FROM sl
+        JOIN v qv ON qv.vec_id = sl.query_id
+        JOIN v cv ON cv.vec_id = sl.neighbor_id
+      )
+      SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+      FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+      )
+      WHERE rank <= $K
+      ORDER BY query_id, rank
+    """.trim
+  }
+
   private def knnLshSql: String = {
     val buckets = (0 until LshTables).map { t =>
       (0 until LshPlanes).map { p =>
@@ -380,12 +607,16 @@ object SimilarityQueries {
 
     // X2e: product-quantized ANN — the compressed-corpus scale path
     // (codes + norm instead of full vectors; ADC lookup scoring;
-    // exact re-rank of the shortlist). Approximate + KMeans-seeded,
-    // so rows-only; SimilaritySpec bounds recall vs brute force and
-    // asserts reported cosines are exact.
+    // exact re-rank of the shortlist). Full hash oracle (r13): the
+    // per-subspace codebooks are the integer-state Lloyd fit on the
+    // shared md5-ordered sample, lut values are exact integer
+    // sub-space dots, and the ADC ordering divides identical longs
+    // by identical double norms — the oracle replays fit, codes,
+    // shortlist and exact re-rank end to end. SimilaritySpec
+    // additionally bounds recall vs brute force.
     QueryDef(
       "q_knn_pq",
-      None,
+      Some(knnPqSql),
       "X2 product-quantized (ADC + exact refine) approximate top-k")(
       (spark, dir) => {
         import spark.implicits._
@@ -399,11 +630,13 @@ object SimilarityQueries {
       }),
 
     // X2f: IVF-PQ — coarse-list pruning over the compressed scan,
-    // the standard 1e9-vector serving layout. Rows-only (approximate
-    // + trained quantizers); SimilaritySpec bounds composed recall.
+    // the standard 1e9-vector serving layout. Full hash oracle (r13):
+    // coarse quantizer AND subspace codebooks are both integer-state
+    // Lloyd fits on the shared sample, so probes, codes, ADC
+    // shortlist and exact re-rank all replay in DuckDB.
     QueryDef(
       "q_knn_ivfpq",
-      None,
+      Some(knnIvfPqSql),
       "X2 IVF-PQ (probed lists + ADC + exact refine) top-k")(
       (spark, dir) => {
         import spark.implicits._
