@@ -124,6 +124,7 @@ object Hll {
                  CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15))
                    AS BIGINT) AS h
           FROM $tableName
+          WHERE $keyExpr IS NOT NULL
         )
       ) GROUP BY g, reg"""
   }
@@ -168,7 +169,10 @@ object Hll {
       p: Int = DefaultP): DataFrame = {
     val m = 1 << p
     val k = rhoMax(p)
-    df.select(col(groupCol), hash60(col(keyCol)).as("__h"))
+    // null keys don't count (count-distinct semantics; a null would
+    // otherwise reach map_from_arrays as a null map key)
+    df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol), hash60(col(keyCol)).as("__h"))
       .select(col(groupCol), (col("__h") % m).cast("int").as("__reg"),
         expr(s"__h div $m").as("__w"))
       .select(col(groupCol), col("__reg"),
