@@ -27,19 +27,6 @@ object SimilarityQueries {
   private val LshTables = 24
   private val LshPlanes = 4
 
-  /** DuckDB CTE chain replaying [[Similarity.fitCentersL]] + the
-    * final whole-corpus argmin assignment over the `embeddings`
-    * table — the integer-KMeans oracle kernel shared by q_knn_ivf,
-    * q_ann_index and q_semdedup_auto. Emits CTEs `quant` (vec_id, q
-    * micro-quantized, h = md5 fit hash), `fit` (the hash-ordered fit
-    * sample), `ch1..chK` (farthest-first seeding), `cent0..centN`
-    * (Lloyd rounds — assignment by the exact ‖c‖²−2·q·c key with
-    * ties to the lowest cid, update by truncated integer division,
-    * empty clusters keep their center), and `afin` (vec_id → cid).
-    * All quantities are integers below 2⁵³, so DuckDB's double
-    * `list_dot_product` reproduces the engine's Long arithmetic
-    * bit-exactly.
-    */
   private def sqdSql(q: String, c: String) =
     s"list_dot_product($q, $q) - 2*list_dot_product($q, $c) " +
       s"+ list_dot_product($c, $c)"
@@ -139,6 +126,21 @@ object SimilarityQueries {
     )"""
   }
 
+  /** DuckDB CTE chain replaying [[Similarity.fitCentersL]] + the
+    * final whole-corpus argmin assignment over the `embeddings`
+    * table — the integer-KMeans oracle kernel shared by q_knn_ivf,
+    * q_ann_index and q_semdedup_auto. Emits CTEs `quant` (vec_id, q
+    * micro-quantized, h = md5 fit hash), `fit` (the hash-ordered fit
+    * sample), `ch1..chK` (farthest-first seeding), `cent0..centN`
+    * (Lloyd rounds — assignment by the exact ‖c‖²−2·q·c key with
+    * ties to the lowest cid, update by truncated integer division,
+    * empty clusters keep their center), and `afin` (vec_id → cid).
+    * All quantities are integers below 2⁵³, so DuckDB's double
+    * `list_dot_product` reproduces the engine's Long arithmetic
+    * bit-exactly. Every CTE is MATERIALIZED: DuckDB inlines plain
+    * CTEs, and the seeding chain references its predecessor twice —
+    * exponential expansion (and a file-handle blowup) without it.
+    */
   def duckKmeansCtes(k: Int, iters: Int, salt: String = "kmfit:42:",
       maxFitSample: Int = 10000): String =
     duckFitCtes(salt, maxFitSample) + ", " + duckCoarseCtes(k, iters)
