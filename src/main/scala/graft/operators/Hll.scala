@@ -85,8 +85,22 @@ object Hll {
     val v = s"__${outCol}_v"
     val raw = s"cast(cast('${rawNum(p)}' as decimal(38,0)) div " +
       s"(${rawDen0(p)} * cast($s as decimal(38,0))) as bigint)"
-    df.withColumn(s, aggregate(col(skCol), lit(0L),
+    // Sketch-shape guard (the [[estimateFromRegisters]] require, in
+    // plan form): a register array written at a DIFFERENT p — or with
+    // out-of-range ρ — would otherwise flow through element_at's
+    // null-on-out-of-bounds into a null/silently-wrong estimate. The
+    // check lives INSIDE the S fold's expression so Catalyst cannot
+    // prune it; a null-element array makes the condition null, which
+    // also routes to raise_error.
+    val okSk = size(col(skCol)) === m &&
+      forall(col(skCol), r => r >= 0 && r <= k)
+    df.withColumn(s, when(okSk, aggregate(col(skCol), lit(0L),
         (acc, r) => acc + element_at(powTab, r + lit(1))))
+        .otherwise(raise_error(concat(
+          lit(s"HLL sketch in '$skCol' is not a p=$p register array " +
+            s"(need $m registers with rho in [0,$k]); it was likely " +
+            "written at a different p — re-sketch or pass that p: size="),
+          size(col(skCol)).cast("string")))))
       .withColumn(v, size(filter(col(skCol), _ === 0)))
       .withColumn(outCol,
         when(expr(raw) <= 5L * m / 2 && col(v) > 0,
@@ -94,7 +108,7 @@ object Hll {
       .drop(s, v)
   }
 
-  /** DuckDB twin of [[estimateSql]] over per-group (S, V) columns —
+  /** DuckDB twin of [[withEstimate]]'s estimator over per-group (S, V) columns —
     * S = Σ2^{K−M_j} (zero registers included), V = zero-register
     * count. Interpolated into the q_hll_snapshots / q_hll_algebra
     * oracles.
@@ -196,6 +210,15 @@ object Hll {
   def mergedEstimate(sketches: DataFrame, p: Int = DefaultP): DataFrame = {
     val m = 1 << p
     sketches
+      // posexplode would silently CLAMP a wrong-p sketch into a
+      // well-formed merged array (indices ≥ m drop in the dense
+      // rebuild) — reject mismatched inputs before they blend in
+      .select(when(size(col("sketch")) === m, col("sketch"))
+        .otherwise(raise_error(concat(
+          lit(s"HLL sketch is not a p=$p register array (need $m " +
+            "registers, got "),
+          size(col("sketch")).cast("string"),
+          lit(") — it was likely written at a different p")))).as("sketch"))
       .select(posexplode(col("sketch")).as(Seq("__reg", "__rho")))
       .groupBy(col("__reg")).agg(max(col("__rho")).as("__mr"))
       .agg(map_from_arrays(collect_list(col("__reg")),
@@ -220,7 +243,8 @@ object Hll {
     * Intersection error grows as the true overlap shrinks relative
     * to the union (standard I-E caveat, documented not hidden): the
     * spec bounds it on known sets. Every estimate is the integer
-    * [[estimateSql]], so the whole readout hash-matches the oracle.
+    * [[withEstimate]] estimator (DuckDB twin: [[duckEstimateSql]]),
+    * so the whole readout hash-matches the oracle.
     */
   def setAlgebra(sketches: DataFrame, groupCol: String,
       p: Int = DefaultP): DataFrame = {

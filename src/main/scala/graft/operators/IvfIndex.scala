@@ -56,7 +56,21 @@ object IvfIndex {
     */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val centroids = spark.read.parquet(s"$dir/centroids")
+    val centroidDf = spark.read.parquet(s"$dir/centroids")
+    // On-disk format check: r13 moved centroids from float to
+    // quantized array<long> (a different fit). An index persisted by
+    // a pre-r13 build would otherwise surface as an opaque
+    // ClassCastException here — fail with the actionable message.
+    centroidDf.schema("centroid").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => ()
+      case other => throw new IllegalStateException(
+        s"$dir/centroids stores centroid as $other, not the " +
+          "array<bigint> the r13+ integer-state format writes — " +
+          "this index predates the format change; rebuild it with " +
+          "IvfIndex.build")
+    }
+    val centroids = centroidDf
       .collect().sortBy(_.getAs[Int]("cid"))
       .map(_.getSeq[Long](1).toSeq).toSeq
     require(centroids.nonEmpty, s"no centroids under $dir")

@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   * Determinism: seed selection and pruning order break ties
   * lexicographically on the piece; EM is a fixed number of sweeps in
   * a fixed order — the fitted vocabulary reproduces bit-for-bit
-  * across runs. (Cross-ENGINE float replay is not claimed — EM is
-  * doubles — so the contract queries are rows-only with the
-  * guarantees spec-asserted, like the ANN family.)
+  * across runs. Cross-ENGINE float replay is not claimed for the
+  * soft-EM [[train]] (it is doubles); the contract queries run the
+  * integer-state [[trainL]]/[[encodeDocsL]] below, whose fit is
+  * exact integer arithmetic end to end and carries a full DuckDB
+  * hash oracle (r14, the integer-Lloyd precedent applied to EM).
   */
 object Unigram {
 
@@ -207,6 +209,236 @@ object Unigram {
     var i = L
     while (i > 0) { out += word.substring(i - bestLen(i), i); i -= bestLen(i) }
     out.reverse.toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // Integer-state variant (r14) — the contract-oracled form.
+  //
+  // The float-EM `train` above is the faithful Kudo soft-EM reference
+  // implementation, but its doubles (logAdd/exp) have no cross-engine
+  // replay, so its queries were rows-only. This variant re-expresses
+  // the fit in EXACT integer state, following the integer-Lloyd
+  // precedent ([[Similarity]] `fitCentersL`): hard-EM (Viterbi
+  // training, the max-approximation of Kudo §3.2's E-step), piece
+  // probabilities on the Q12 integer grid (p12 = probability·10¹²,
+  // M-step by truncated integer division of exact Long counts), and
+  // Viterbi scored by an exact FIXED-POINT INTEGER base-2 log
+  // ([[ilog2fp]]: msb + 16 fractional bits by repeated squaring —
+  // pure shifts/multiplies, no libm anywhere). Every step is
+  // order-free integer arithmetic, so the DuckDB oracle replays the
+  // ENTIRE fit — seeding, every sweep's Viterbi DP, every prune —
+  // as recursive CTEs and hash-matches bit-exactly.
+  // ------------------------------------------------------------------
+
+  /** One fitted piece on the integer grid: pQ12 = probability·10¹². */
+  final case class PieceL(piece: String, pQ12: Long)
+
+  /** The probability grid: 1.0 == 10¹² (the repo's micro-quant
+    * convention squared — sketch/ANN state uses 10⁶; probabilities
+    * need the finer grid so a 10⁻⁶-mass piece keeps 6 digits).
+    */
+  val Q12: Long = 1000000000000L
+
+  /** Exact fixed-point base-2 log of a positive Long: returns
+    * `msb(x)·2¹⁶ + frac` where `frac` holds 16 fractional bits
+    * computed by the classical repeated-squaring recurrence on a Q30
+    * mantissa (normalize x to y ∈ [2³⁰, 2³¹); 16×: y ← y²≫30, emit a
+    * 1-bit and halve iff y ≥ 2³¹). Pure integer shifts and
+    * multiplies — no floating point, no libm — so ANY engine
+    * reproduces it bit-exactly; the DuckDB oracle runs the identical
+    * recurrence as a 16-step recursive CTE. Domain: 1 ≤ x < 2⁶². The
+    * max error vs true log2 is 2⁻¹⁶ ≈ 1.5e-5 — far below what the
+    * prune/Viterbi rankings resolve, and in any case BOTH engines
+    * compute the same function, so the fit is exact by construction.
+    */
+  def ilog2fp(x: Long): Long = {
+    require(x >= 1 && x < (1L << 62), s"ilog2fp domain is [1, 2^62): $x")
+    val m = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var y = if (m <= 30) x << (30 - m) else x >> (m - 30)
+    var frac = 0L
+    var k = 0
+    while (k < 16) {
+      y = (y * y) >> 30
+      if (y >= (1L << 31)) { frac = (frac << 1) | 1L; y >>= 1 }
+      else frac <<= 1
+      k += 1
+    }
+    (m.toLong << 16) | frac
+  }
+
+  /** log2fp of probability 1.0 on the Q12 grid — the normalizer that
+    * turns [[ilog2fp]] of a p12 into a (non-positive) log-prob score.
+    */
+  val ScoreOne: Long = ilog2fp(Q12)
+
+  /** Piece → integer Viterbi score under a fitted p12 table. */
+  def scoresL(pieces: Seq[PieceL]): Map[String, Long] =
+    pieces.iterator.map(p => p.piece -> (ilog2fp(p.pQ12) - ScoreOne)).toMap
+
+  /** Integer Viterbi segmentation: maximize the summed integer
+    * log2-scores; ties → fewer pieces, then the shortest final piece
+    * (scanning lengths ascending with strict improvement — the rule
+    * the oracle's `(−score, count, len)` key sort reproduces).
+    */
+  def viterbiL(word: String, scores: Map[String, Long],
+      maxPieceLen: Int = 4): Seq[String] = {
+    val L = word.length
+    if (L == 0) return Seq.empty
+    val best = Array.fill(L + 1)(Long.MinValue)
+    val bestLen = new Array[Int](L + 1)
+    val bestCnt = Array.fill(L + 1)(Int.MaxValue)
+    best(0) = 0L; bestCnt(0) = 0
+    var i = 1
+    while (i <= L) {
+      var len = 1
+      val lim = math.min(maxPieceLen, i)
+      while (len <= lim) {
+        if (best(i - len) != Long.MinValue) {
+          scores.get(word.substring(i - len, i)).foreach { s =>
+            val cand = best(i - len) + s
+            val cnt = bestCnt(i - len) + 1
+            if (cand > best(i) || (cand == best(i) && cnt < bestCnt(i))) {
+              best(i) = cand; bestLen(i) = len; bestCnt(i) = cnt
+            }
+          }
+        }
+        len += 1
+      }
+      i += 1
+    }
+    require(best(L) != Long.MinValue,
+      s"word '$word' not segmentable — vocabulary lost a character?")
+    val out = mutable.ArrayBuffer.empty[String]
+    var j = L
+    while (j > 0) { out += word.substring(j - bestLen(j), j); j -= bestLen(j) }
+    out.reverse.toSeq
+  }
+
+  /** Integer-state unigram fit (hard-EM / Viterbi training). Same
+    * architecture as [[train]] — ONE distributed word-frequency
+    * aggregate, the sequential fit driver-side over that compacted
+    * table — but with a FIXED schedule so the oracle unrolls
+    * statically: `rounds` rounds of (`emIters` Viterbi sweeps + a
+    * geometric prune keeping max(keepMulti, ⌊3m/4⌋) multi-char
+    * pieces by (p12 desc, piece asc)), then one final cut to exactly
+    * keepMulti, then `emIters` final sweeps. Chars are never pruned
+    * and keep a 1-ulp grid floor; a multi-char piece whose M-step
+    * probability truncates to 0 drops out (both engines apply the
+    * identical rule).
+    */
+  def trainL(docs: DataFrame, textCol: String, vocabSize: Int,
+      seedSize: Int = 256, maxPieceLen: Int = 4, emIters: Int = 1,
+      rounds: Int = 4, maxVocab: Int = 1000000,
+      minCount: Long = 1L): Seq[PieceL] = {
+    require(vocabSize >= 1 && seedSize >= vocabSize,
+      s"need 1 <= vocabSize <= seedSize, got $vocabSize/$seedSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordCounts = docs
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .filter($"n" >= minCount)
+    val rows = wordCounts.limit(maxVocab + 1).as[(String, Long)].collect()
+    require(rows.length <= maxVocab,
+      s"word vocabulary exceeds maxVocab=$maxVocab — raise the cap, " +
+        "or set minCount (>= 2 prunes the Zipf tail distributed-side)")
+    trainOnWordTableL(rows, vocabSize, seedSize, maxPieceLen, emIters,
+      rounds)
+  }
+
+  /** The sequential integer fit over an in-memory word table. */
+  private[operators] def trainOnWordTableL(words: Array[(String, Long)],
+      vocabSize: Int, seedSize: Int, maxPieceLen: Int, emIters: Int,
+      rounds: Int): Seq[PieceL] = {
+    require(words.nonEmpty, "empty corpus — nothing to fit")
+    // ---- seed: identical to the float trainer (exact integers)
+    val subCounts = mutable.HashMap.empty[String, Long]
+    val charSet = mutable.TreeSet.empty[String]
+    words.foreach { case (w, n) =>
+      var i = 0
+      while (i < w.length) {
+        charSet += w.substring(i, i + 1)
+        var len = 2
+        while (len <= maxPieceLen && i + len <= w.length) {
+          val s = w.substring(i, i + len)
+          subCounts.update(s, subCounts.getOrElse(s, 0L) + n)
+          len += 1
+        }
+        i += 1
+      }
+    }
+    val chars = charSet.toIndexedSeq
+    var multi: Seq[String] = subCounts.toSeq
+      .sortBy { case (s, c) => (-c * s.length, s) }
+      .take(math.max(0, seedSize - chars.size))
+      .map(_._1)
+    val keepMulti = math.max(vocabSize - chars.size, 0)
+    val v0 = chars.size + multi.size
+    var p12: Map[String, Long] =
+      (chars ++ multi).map(p => p -> Q12 / v0).toMap
+
+    def sweep(): Unit = {
+      val sc = p12.map { case (p, v) => p -> (ilog2fp(v) - ScoreOne) }
+      val counts = mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, n) =>
+        viterbiL(w, sc, maxPieceLen).foreach { p =>
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+        }
+      }
+      val total = counts.valuesIterator.foldLeft(BigInt(0))(_ + _)
+      val next = mutable.HashMap.empty[String, Long]
+      chars.foreach { p =>
+        val q = (BigInt(counts.getOrElse(p, 0L)) * Q12 / total).toLong
+        next(p) = math.max(1L, q)
+      }
+      multi.foreach { p =>
+        val q = (BigInt(counts.getOrElse(p, 0L)) * Q12 / total).toLong
+        if (q > 0) next(p) = q
+      }
+      p12 = next.toMap
+      multi = multi.filter(next.contains)
+    }
+    def prune(target: Int): Unit =
+      multi = multi.sortBy(p => (-p12(p), p)).take(target)
+
+    var r = 0
+    while (r < rounds) {
+      var it = 0
+      while (it < emIters) { sweep(); it += 1 }
+      prune(math.max(keepMulti, multi.size * 3 / 4))
+      r += 1
+    }
+    prune(keepMulti)
+    var it = 0
+    while (it < emIters) { sweep(); it += 1 }
+    (chars ++ multi).sorted.map(p => PieceL(p, p12(p)))
+  }
+
+  /** Corpus-scale integer Viterbi encode — [[encodeDocs]] with the
+    * integer score table; identical plan shape (vocabulary in the
+    * task closure, zero shuffles, bounded per-executor memo).
+    */
+  def encodeDocsL(docs: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[PieceL], maxPieceLen: Int = 4): DataFrame = {
+    val table = scoresL(pieces)
+    val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    val enc = udf { toks: Seq[String] =>
+      val words = if (toks == null) Seq.empty[String] else toks
+      val parts = words.map { w =>
+        var got = memo.get(w)
+        if (got == null) {
+          got = viterbiL(w, table, maxPieceLen).toArray
+          if (memo.size < (1 << 20)) memo.put(w, got)
+        }
+        got
+      }
+      (parts.iterator.map(_.length.toLong).sum,
+        parts.iterator.map(_.mkString(" ")).mkString(" "))
+    }
+    docs
+      .select(col(idCol), enc(Dedup.tokens(col(textCol))).as("__e"))
+      .select(col(idCol), col("__e._1").as("n_pieces"),
+        col("__e._2").as("enc_text"))
   }
 
   /** Corpus-scale Viterbi encode — the [[Bpe.encodeDocs]] shape: the

@@ -38,6 +38,228 @@ object CorpusPrepQueries {
   private def gramExpr(k: Int, sep: String): String =
     (1 to k).map(j => s"w[i+$j]").mkString(s" || $sep || ")
 
+  // ------------------------------------------------------------------
+  // X118 integer-unigram oracle (r14): the DuckDB CTE chain replaying
+  // [[graft.operators.Unigram.trainOnWordTableL]] bit-exactly — the
+  // duckKmeansCtes convention applied to EM. The fit's only non-
+  // rational step, log2, is the exact FIXED-POINT INTEGER recurrence
+  // [[Unigram.ilog2fp]], which unrolls here as a 16-step recursive
+  // CTE per sweep (squaring a Q30 mantissa — pure BIGINT shifts, no
+  // libm). Each Viterbi sweep is a recursive DP over word positions
+  // carrying (best, count, back-len) lists, candidates packed into
+  // ONE BIGINT key ((−score)·2¹⁰+count)·2⁶+len so `least()` picks
+  // the (score desc, count asc, len asc) winner — valid for words
+  // up to 1023 chars / pieces up to 63 long, far past the fixture's
+  // max-8-char tokens. M-step = HUGEINT count·10¹² // total (the
+  // integer-Lloyd truncated-mean convention); prunes rank by
+  // (p12 desc, piece asc). Every multi-referenced CTE is MATERIALIZED
+  // (DuckDB inlines plain CTEs — exponential expansion otherwise).
+  // ------------------------------------------------------------------
+
+  private val UniV = 64      // vocabSize
+  private val UniSeed = 256  // seedSize
+  private val UniMpl = 4     // maxPieceLen
+  private val UniEmi = 1     // emIters
+  private val UniR = 4       // rounds
+
+  /** msb(x) for x ≤ 10¹² < 2⁴⁰ as a threshold CASE chain (a double
+    * log2 could mis-floor at powers of two; this cannot).
+    */
+  private def uniMsbCase(col: String): String = {
+    val whens = (39 to 1 by -1)
+      .map(k => s"WHEN $col >= ${1L << k} THEN $k").mkString(" ")
+    s"(CASE $whens ELSE 0 END)"
+  }
+
+  /** sc{t}(piece, p12, s): integer log2 scores of vocab `vin` via the
+    * 16-step Q30 repeated-squaring recursion.
+    */
+  private def uniIlogCtes(t: Int, vin: String): String =
+    s"""il$t AS (
+      SELECT piece, p12, m,
+             CAST(CASE WHEN m <= 30 THEN p12 * (1::BIGINT << CAST(30 - m AS INT))
+                       ELSE p12 // (1::BIGINT << CAST(m - 30 AS INT)) END AS BIGINT) AS y,
+             0 AS k, CAST(0 AS BIGINT) AS frac
+      FROM (SELECT piece, p12, CAST(${uniMsbCase("p12")} AS BIGINT) AS m FROM $vin)
+      UNION ALL
+      SELECT piece, p12, m,
+             CASE WHEN ((y*y) >> 30) >= 2147483648 THEN ((y*y) >> 30) >> 1 ELSE (y*y) >> 30 END,
+             k + 1,
+             CASE WHEN ((y*y) >> 30) >= 2147483648 THEN frac * 2 + 1 ELSE frac * 2 END
+      FROM il$t WHERE k < 16
+    ), sc$t AS MATERIALIZED (
+      SELECT piece, p12, (m * 65536 + frac) - ${graft.operators.Unigram.ScoreOne} AS s
+      FROM il$t WHERE k = 16
+    )"""
+
+  /** One packed Viterbi candidate (piece length `ln` ending at
+    * position i+1); NULL when out of range or the piece is unknown.
+    */
+  private def uniCand(ln: Int): String = {
+    val start = s"v.i + 2 - $ln"
+    s"""CASE WHEN v.i + 1 >= $ln AND s$ln.s IS NOT NULL THEN
+       (((-(v.bs[$start] + s$ln.s)) * 1024 + v.bc[$start] + 1) * 64 + $ln) END"""
+  }
+
+  /** vt{t}: the per-word Viterbi DP (recursive over positions) under
+    * sc{t}; bk{t}: the backtrack emitting one row per piece instance
+    * with its 0-based start `pos` (word order = pos ascending).
+    */
+  private def uniVitCtes(t: Int): String = {
+    val joins = (1 to UniMpl).map(ln =>
+      s"LEFT JOIN sc$t s$ln ON v.i + 1 >= $ln AND s$ln.piece = substring(v.w, v.i + 2 - $ln, $ln)")
+      .mkString("\n        ")
+    val cands = (1 to UniMpl).map(uniCand).mkString(", ")
+    s"""vt$t AS (
+      SELECT w, n, len, 0 AS i,
+             [CAST(0 AS BIGINT)] AS bs, [CAST(0 AS BIGINT)] AS bc, [CAST(0 AS BIGINT)] AS bl
+      FROM wl
+      UNION ALL
+      SELECT w, n, len, i + 1,
+             list_append(bs, -(win // 65536)),
+             list_append(bc, (win // 64) % 1024),
+             list_append(bl, win % 64)
+      FROM (
+        SELECT v.w, v.n, v.len, v.i, v.bs, v.bc, v.bl,
+               least($cands) AS win
+        FROM vt$t v
+        $joins
+        WHERE v.i < v.len
+      )
+    ), bk$t AS (
+      SELECT w, n, len AS pos, bl, CAST(NULL AS VARCHAR) AS piece
+      FROM vt$t WHERE i = len
+      UNION ALL
+      SELECT w, n, pos - CAST(bl[pos + 1] AS INT), bl,
+             substring(w, pos - CAST(bl[pos + 1] AS INT) + 1, CAST(bl[pos + 1] AS INT))
+      FROM bk$t WHERE pos > 0
+    )"""
+  }
+
+  /** ct{t}/u{t}: exact integer counts from bk{t} and the truncated-
+    * division M-step (chars floored at 1 grid ulp; multi with a
+    * zero-truncated probability drop out).
+    */
+  private def uniMstepCtes(t: Int, vin: String): String =
+    s"""ct$t AS MATERIALIZED (
+      SELECT piece, CAST(sum(n) AS HUGEINT) AS c FROM bk$t WHERE piece IS NOT NULL GROUP BY piece
+    ), tt$t AS (SELECT sum(c) AS tot FROM ct$t),
+    u$t AS MATERIALIZED (
+      SELECT piece, p12 FROM (
+        SELECT v.piece,
+               CAST(CASE WHEN length(v.piece) = 1
+                    THEN greatest(1, COALESCE(c.c, 0) * 1000000000000 // t.tot)
+                    ELSE COALESCE(c.c, 0) * 1000000000000 // t.tot END AS BIGINT) AS p12,
+               length(v.piece) AS pl
+        FROM $vin v LEFT JOIN ct$t c USING (piece) CROSS JOIN tt$t t
+      ) WHERE pl = 1 OR p12 > 0
+    )"""
+
+  /** Prune `ut` to max(keepMulti, ⌊3m/4⌋) multi pieces by
+    * (p12 desc, piece asc) — or to exactly keepMulti for the final
+    * cut. Chars always survive.
+    */
+  private def uniPruneCte(name: String, ut: String, finalCut: Boolean): String = {
+    val km = s"greatest($UniV - (SELECT count(*) FROM chs), 0)"
+    val tgt =
+      if (finalCut) km
+      else s"greatest($km, (SELECT count(*) FROM $ut WHERE length(piece) > 1) * 3 // 4)"
+    s"""$name AS MATERIALIZED (
+      SELECT piece, p12 FROM $ut WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, p12 FROM (
+        SELECT piece, p12, row_number() OVER (ORDER BY p12 DESC, piece) AS rn
+        FROM $ut WHERE length(piece) > 1
+      ) WHERE rn <= $tgt
+    )"""
+  }
+
+  /** The full fit chain: seed CTEs + UniR rounds of (sweep, prune) +
+    * final cut + final sweep. Returns (ctes, finalVocabCte, sweeps).
+    */
+  private def uniChain(): (String, String, Int) = {
+    val head = s"""wt AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+        FROM documents) GROUP BY w
+    ), wl AS MATERIALIZED (SELECT w, n, CAST(length(w) AS INT) AS len FROM wt),
+    chs AS MATERIALIZED (
+      SELECT DISTINCT substring(w, CAST(i AS INT), 1) AS piece
+      FROM wl, unnest(range(1, len + 1)) AS r(i)
+    ), sub AS MATERIALIZED (
+      SELECT substring(w, CAST(i AS INT), CAST(l AS INT)) AS piece, CAST(sum(n) AS BIGINT) AS c
+      FROM wl, unnest(range(1, len + 1)) AS r(i), unnest(range(2, $UniMpl + 1)) AS q(l)
+      WHERE i + l - 1 <= len
+      GROUP BY 1
+    ), mseed AS MATERIALIZED (
+      SELECT piece FROM (
+        SELECT piece, row_number() OVER (ORDER BY c * length(piece) DESC, piece) AS rn
+        FROM sub
+      ) WHERE rn <= $UniSeed - (SELECT count(*) FROM chs)
+    ), seed AS MATERIALIZED (
+      SELECT piece FROM chs UNION ALL SELECT piece FROM mseed
+    ), v0 AS MATERIALIZED (
+      SELECT piece, CAST(1000000000000 // (SELECT count(*) FROM seed) AS BIGINT) AS p12 FROM seed
+    )"""
+    val parts = scala.collection.mutable.ArrayBuffer(head)
+    var vin = "v0"
+    var t = 0
+    (1 to UniR).foreach { r =>
+      (1 to UniEmi).foreach { _ =>
+        t += 1
+        parts += uniIlogCtes(t, vin); parts += uniVitCtes(t)
+        parts += uniMstepCtes(t, vin)
+        vin = s"u$t"
+      }
+      parts += uniPruneCte(s"p$r", vin, finalCut = false)
+      vin = s"p$r"
+    }
+    parts += uniPruneCte("fcut", vin, finalCut = true)
+    vin = "fcut"
+    (1 to UniEmi).foreach { _ =>
+      t += 1
+      parts += uniIlogCtes(t, vin); parts += uniVitCtes(t)
+      parts += uniMstepCtes(t, vin)
+      vin = s"u$t"
+    }
+    (parts.mkString(",\n    "), vin, t)
+  }
+
+  private def unigramVocabSql: String = {
+    val (ctes, vfin, _) = uniChain()
+    s"WITH RECURSIVE $ctes\n  SELECT piece, p12 AS p_q12 FROM $vfin ORDER BY piece"
+  }
+
+  private def unigramEncodeSql: String = {
+    val (ctes, vfin, tfin) = uniChain()
+    val te = tfin + 1
+    s"""WITH RECURSIVE $ctes,
+    ${uniIlogCtes(te, vfin)},
+    ${uniVitCtes(te)},
+    wenc AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS np,
+             string_agg(piece, ' ' ORDER BY pos) AS enc
+      FROM bk$te WHERE piece IS NOT NULL GROUP BY w
+    ),
+    toks2 AS (
+      SELECT doc_id, i, wlist[CAST(i AS INT)] AS w
+      FROM (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS wlist
+            FROM documents),
+           unnest(range(1, len(wlist) + 1)) AS u(i)
+    ),
+    agg AS (
+      SELECT t.doc_id, CAST(sum(e.np) AS BIGINT) AS n_pieces,
+             string_agg(e.enc, ' ' ORDER BY i) AS enc_text
+      FROM toks2 t JOIN wenc e USING (w)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, coalesce(a.n_pieces, 0) AS n_pieces,
+           coalesce(a.enc_text, '') AS enc_text
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id"""
+  }
+
   private val toksCte = """
     toks AS (
       SELECT doc_id,
@@ -1013,34 +1235,39 @@ object CorpusPrepQueries {
           .orderBy($"doc_id")
       }),
 
-    // X118: unigram-LM tokenizer (SentencePiece model). Rows-only by
-    // contract — EM is doubles, so there is no cross-engine float
-    // replay (the ANN convention); the algorithmic guarantees
-    // (char completeness, EM concentration, Viterbi round-trip,
-    // determinism) are spec-asserted in UnigramSpec.
+    // X118: unigram-LM tokenizer (SentencePiece model), r14: the
+    // INTEGER-STATE fit (hard-EM / Viterbi training on the Q12
+    // probability grid, scored by the exact fixed-point integer
+    // log2) — every step order-free integer arithmetic, so the
+    // DuckDB oracle replays the ENTIRE fit (seeding, each sweep's
+    // Viterbi DP, every prune) and the queries carry full hash
+    // oracles. The soft-EM float trainer remains as Unigram.train
+    // (spec-asserted); algorithmic guarantees for both live in
+    // UnigramSpec.
     QueryDef(
       "q_unigram_vocab",
-      None,
-      "X118 unigram-LM (SentencePiece) fitted piece vocabulary")(
+      Some(unigramVocabSql),
+      "X118 unigram-LM fitted piece vocabulary (integer hard-EM)")(
       (spark, dir) => {
         import spark.implicits._
-        Unigram.train(table(spark, dir, "documents"), "text",
-            vocabSize = 64, seedSize = 1024, maxPieceLen = 4)
+        Unigram.trainL(table(spark, dir, "documents"), "text",
+            vocabSize = 64, seedSize = 256, maxPieceLen = 4,
+            emIters = 1, rounds = 4)
           .toDF()
-          .select($"piece", round($"logProb", 6).as("log_prob"))
+          .select($"piece", $"pQ12".as("p_q12"))
           .orderBy($"piece")
       }),
 
     QueryDef(
       "q_unigram_encode",
-      None,
+      Some(unigramEncodeSql),
       "X118 corpus Viterbi encode under the fitted unigram vocabulary")(
       (spark, dir) => {
         import spark.implicits._
         val docs = table(spark, dir, "documents")
-        val vocab = Unigram.train(docs, "text", vocabSize = 64,
-          seedSize = 1024, maxPieceLen = 4)
-        Unigram.encodeDocs(docs, "doc_id", "text", vocab, 4)
+        val vocab = Unigram.trainL(docs, "text", vocabSize = 64,
+          seedSize = 256, maxPieceLen = 4, emIters = 1, rounds = 4)
+        Unigram.encodeDocsL(docs, "doc_id", "text", vocab, 4)
           .orderBy($"doc_id")
       }),
 

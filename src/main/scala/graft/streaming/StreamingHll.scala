@@ -45,7 +45,7 @@ object StreamingHll {
     }
 
     /** Current per-group estimates (the batch operator's integer
-      * estimator, bit-identical to [[Hll.estimateSql]]).
+      * estimator, bit-identical to [[Hll.estimateFromRegisters]]).
       */
     def estimates(): Map[String, Long] =
       regs.map { case (g, r) =>

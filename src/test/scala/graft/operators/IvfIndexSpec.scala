@@ -54,6 +54,23 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(lists.select("id").distinct().count() == n)
   }
 
+  test("search rejects a pre-r13 float-centroid index with an " +
+    "actionable message, not a ClassCastException") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("ivfidx_old").toString
+    // the pre-r13 on-disk shape: centroid as array<double>
+    Seq((0, Seq(0.1, 0.2)), (1, Seq(0.9, 0.8)))
+      .toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(s"$d/centroids")
+    val queries = s.read.parquet(s"$dir/embeddings.parquet").limit(1)
+    val e = intercept[IllegalStateException] {
+      IvfIndex.search(s, d, queries, "vec_id", "embedding",
+        k = 1, nprobe = 1)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("serving plan prunes unprobed lists via dynamic partition " +
     "pruning on the cid join") {
     val s = spark

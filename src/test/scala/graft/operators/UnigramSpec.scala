@@ -83,4 +83,84 @@ class UnigramSpec extends AnyFunSuite {
     assert(out(2L).getAs[Long]("n_pieces") == 0L)
     assert(out(2L).getAs[String]("enc_text") == "")
   }
+
+  // ---- integer-state variant (r14, the contract-oracled form) ----
+
+  test("ilog2fp: exact at powers of two, monotone, within 2^-16 of log2") {
+    // 2^m -> mantissa 1.0 -> all fractional bits 0
+    (0 to 39).foreach(m =>
+      assert(Unigram.ilog2fp(1L << m) == (m.toLong << 16)))
+    val xs = Seq(1L, 2L, 3L, 7L, 100L, 976562500L, 21578676344L,
+      999999999999L, Unigram.Q12)
+    // non-decreasing (the 16-bit grid merges values closer than 2^-16:
+    // 999999999999 and 10^12 share a fixed-point log)
+    xs.sliding(2).foreach { case Seq(a, b) =>
+      assert(Unigram.ilog2fp(a) <= Unigram.ilog2fp(b))
+    }
+    xs.foreach { x =>
+      val got = Unigram.ilog2fp(x).toDouble / 65536.0
+      val want = math.log(x.toDouble) / math.log(2.0)
+      // truncating fixed point: always <= true log2, within one ulp
+      // of the 16-bit grid (plus mantissa truncation)
+      assert(got <= want + 1e-9 && want - got < 3e-4, s"x=$x $got vs $want")
+    }
+  }
+
+  test("trainL: integer grid, char completeness, budget, concentration") {
+    val vocab = Unigram.trainL(corpus, "text", vocabSize = 12,
+      seedSize = 64, maxPieceLen = 4, emIters = 1, rounds = 4)
+    val m = vocab.map(p => p.piece -> p.pQ12).toMap
+    Seq("a", "b", "c", "d", "x", "y").foreach(c =>
+      assert(m.contains(c), s"char $c pruned"))
+    assert(vocab.size <= 12)
+    // probabilities live on the Q12 grid and total at most 1 + floors
+    assert(vocab.forall(p => p.pQ12 >= 1 && p.pQ12 <= Unigram.Q12))
+    assert(vocab.map(p => BigInt(p.pQ12)).sum <=
+      BigInt(Unigram.Q12) + vocab.size)
+    // hard-EM concentrates mass on the dominant repeated unit
+    assert(m.contains("ab"), s"vocab: ${vocab.map(_.piece)}")
+    assert(m("ab") > m("c") && m("ab") > m("d"))
+  }
+
+  test("trainL: deterministic across runs and repartitionings") {
+    val a = Unigram.trainL(corpus, "text", vocabSize = 10, seedSize = 64,
+      maxPieceLen = 4)
+    val b = Unigram.trainL(
+      docs((1L, "abab abab ababab cd cd"), (2L, "abab cdcd abab xy"),
+        (3L, "ababab abab cd")).repartition(5),
+      "text", vocabSize = 10, seedSize = 64, maxPieceLen = 4)
+    assert(a == b)
+  }
+
+  test("viterbiL: round trip, char fallback, fewer-pieces tie rule") {
+    val vocab = Unigram.trainL(corpus, "text", vocabSize = 12,
+      seedSize = 64, maxPieceLen = 4)
+    val table = Unigram.scoresL(vocab)
+    Seq("abab", "ababab", "cd", "xy", "cdcd", "yx").foreach { w =>
+      val segs = Unigram.viterbiL(w, table, 4)
+      assert(segs.mkString("") == w, s"round trip of $w: $segs")
+      assert(segs.forall(table.contains))
+    }
+    assert(Unigram.viterbiL("yx", table, 4) == Seq("y", "x"))
+    assert(Unigram.viterbiL("ababab", table, 4).length < 6)
+    // equal-score candidates resolve to the FEWER-pieces path: with
+    // uniform scores over {aa, a}, "aaaa" must be 2 pieces, not 4
+    val uni = Map("a" -> -100L, "aa" -> -200L)
+    assert(Unigram.viterbiL("aaaa", uni, 4) == Seq("aa", "aa"))
+  }
+
+  test("encodeDocsL: per-doc counts and text; empty doc -> (0, '')") {
+    val s = spark
+    import s.implicits._
+    val vocab = Unigram.trainL(corpus, "text", vocabSize = 12,
+      seedSize = 64, maxPieceLen = 4)
+    val d = docs((1L, "abab cd"), (2L, ""))
+    val out = Unigram.encodeDocsL(d, "doc_id", "text", vocab, 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val enc = out(1L).getAs[String]("enc_text")
+    assert(enc.split(" ").mkString("") == "ababcd")
+    assert(out(1L).getAs[Long]("n_pieces") == enc.split(" ").length.toLong)
+    assert(out(2L).getAs[Long]("n_pieces") == 0L)
+    assert(out(2L).getAs[String]("enc_text") == "")
+  }
 }

@@ -37,9 +37,12 @@ class Wave14Spec extends AnyFunSuite {
     assert(inter ==
       math.max(0L, r.getAs[Long]("est_a") + r.getAs[Long]("est_b") -
         union))
-    // jaccard is exactly the reported intersection over union
+    // jaccard is exactly the reported intersection over union —
+    // mirror Spark round()'s HALF_UP, not math.rint's half-even (an
+    // exact .5 tie at the 6th decimal would fail spuriously)
     assert(r.getAs[Double]("jaccard_est") ==
-      math.rint(inter.toDouble / union * 1e6) / 1e6)
+      BigDecimal(inter.toDouble / union)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   test("murphyDecomposition: perfect forecasts have zero Brier and " +
