@@ -264,7 +264,10 @@ object TimeSeries {
     * s_i = v_i − l. Every update is a floor-halving of exact
     * integers, so the p+2-column state replays verbatim in a
     * recursive CTE. The one-step forecast l+b+s_old is the
-    * seasonality-aware baseline X196/X413 alarm against.
+    * seasonality-aware baseline X196/X413 alarm against. This form
+    * runs the recursion in ONE partition (correct and period-bounded
+    * for the single-series contract); fitting thousands of series at
+    * once is [[holtWintersByKey]], which distributes per key.
     */
   def holtWintersAdditive(series: DataFrame, orderCol: String,
       valueCol: String, period: Int = 7): DataFrame = {
@@ -285,48 +288,102 @@ object TimeSeries {
       .queryExecution.toRdd.mapPartitions { it =>
         val buf = it.map(r => (r.getUTF8String(0).toString, r.getLong(1)))
           .toArray
-        if (buf.length <= p) {
-          // short series: every row is a seed row — emit the same
-          // v − l seasonal the oracle's seed SELECT produces, with
-          // l = ⌊Σ available v / p⌋ (the partial-sum seed; the
-          // oracle divides by the FULL period even when fewer rows
-          // exist). level/trend/forecast stay NULL: the recursion
-          // never starts.
-          val l0 = Math.floorDiv(buf.map(_._2).sum, p.toLong)
-          buf.iterator.map { case (o, v) =>
-            Row(o, v / 1e6, null, null, (v - l0) / 1e6, null)
-          }
-        } else {
-          var l = Math.floorDiv(buf.take(p).map(_._2).sum, p.toLong)
-          var bb = 0L
-          val s = Array.tabulate(p)(i => buf(i)._2 - l)
-          val out = new Array[Row](buf.length)
-          var i = 0
-          while (i < p) {
-            out(i) = Row(buf(i)._1, buf(i)._2 / 1e6, null, null,
-              s(i) / 1e6, null)
-            i += 1
-          }
-          var slot = 0
-          while (i < buf.length) {
-            val v = buf(i)._2
-            val sOld = s(slot)
-            val f = l + bb + sOld
-            val l2 = Math.floorDiv(v - sOld + l + bb, 2L)
-            bb = Math.floorDiv(bb + (l2 - l), 2L)
-            val sNew = Math.floorDiv(v - l2 + sOld, 2L)
-            s(slot) = sNew
-            l = l2
-            out(i) = Row(buf(i)._1, v / 1e6, l / 1e6, bb / 1e6,
-              sNew / 1e6, f / 1e6)
-            i += 1
-            slot = (slot + 1) % p
-          }
-          out.iterator
+        hwFoldL(buf, p).map { case (o, v, l, b, s, f) =>
+          Row(o, v / 1e6, l.map(_ / 1e6).orNull, b.map(_ / 1e6).orNull,
+            s / 1e6, f.map(_ / 1e6).orNull)
         }
       }
     base.sparkSession.createDataFrame(rows, outSchema)
       .select(col("bucket"), round(col("value"), 6).as("value"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("forecast"), 6).as("forecast"))
+  }
+
+  /** The Holt-Winters recursion over one already-ordered micro-scaled
+    * series — shared by the single-series plan above and the grouped
+    * [[holtWintersByKey]]. Input (bucket, v·10⁶) SORTED by bucket;
+    * output (bucket, v, level?, trend?, seasonal, forecast?) in micro
+    * longs (None = the seed rows' NULLs). Short series (≤ p rows)
+    * emit only partial-sum seed seasonals, recursion never starts.
+    */
+  private[operators] def hwFoldL(buf: Array[(String, Long)], p: Int)
+      : Iterator[(String, Long, Option[Long], Option[Long], Long, Option[Long])] = {
+    if (buf.length <= p) {
+      // short series: every row is a seed row — emit the same
+      // v − l seasonal the oracle's seed SELECT produces, with
+      // l = ⌊Σ available v / p⌋ (the partial-sum seed; the
+      // oracle divides by the FULL period even when fewer rows
+      // exist). level/trend/forecast stay NULL: the recursion
+      // never starts.
+      val l0 = Math.floorDiv(buf.map(_._2).sum, p.toLong)
+      buf.iterator.map { case (o, v) =>
+        (o, v, None, None, v - l0, None)
+      }
+    } else {
+      var l = Math.floorDiv(buf.take(p).map(_._2).sum, p.toLong)
+      var bb = 0L
+      val s = Array.tabulate(p)(i => buf(i)._2 - l)
+      val out =
+        new Array[(String, Long, Option[Long], Option[Long], Long, Option[Long])](
+          buf.length)
+      var i = 0
+      while (i < p) {
+        out(i) = (buf(i)._1, buf(i)._2, None, None, s(i), None)
+        i += 1
+      }
+      var slot = 0
+      while (i < buf.length) {
+        val v = buf(i)._2
+        val sOld = s(slot)
+        val f = l + bb + sOld
+        val l2 = Math.floorDiv(v - sOld + l + bb, 2L)
+        bb = Math.floorDiv(bb + (l2 - l), 2L)
+        val sNew = Math.floorDiv(v - l2 + sOld, 2L)
+        s(slot) = sNew
+        l = l2
+        out(i) = (buf(i)._1, v, Some(l), Some(bb), sNew, Some(f))
+        i += 1
+        slot = (slot + 1) % p
+      }
+      out.iterator
+    }
+  }
+
+  /** Grouped Holt-Winters — the form a production pipeline calls on
+    * THOUSANDS of series at once (per-tenant, per-metric, per-shard):
+    * the identical integer recursion runs per key inside
+    * `groupByKey.flatMapGroups`, so the work distributes across
+    * executors with ONE shuffle on the key and no single-partition
+    * bottleneck (the single-series [[holtWintersAdditive]] is the
+    * repartition(1) special case, kept for its oracle). Each key's
+    * series is buffered and sorted in memory — bounded by the series
+    * length (time-bucketed data: years of daily points ≈ thousands
+    * of rows), not the corpus. Grouped(single key) == single-series
+    * output, spec-asserted.
+    */
+  def holtWintersByKey(series: DataFrame, keyCol: String,
+      orderCol: String, valueCol: String, period: Int = 7): DataFrame = {
+    require(period >= 2 && period <= 24, s"bad period $period")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val p = period
+    val base = series.select(col(keyCol).cast("string"),
+        col(orderCol).cast("string"),
+        round(col(valueCol) * 1e6, 0).cast("long"))
+      .as[(String, String, Long)]
+    base.groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val buf = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        hwFoldL(buf, p).map { case (o, v, l, b, s, f) =>
+          (k, o, v / 1e6, l.map(_ / 1e6), b.map(_ / 1e6), s / 1e6,
+            f.map(_ / 1e6))
+        }
+      }
+      .toDF("key", "bucket", "value", "level", "trend", "seasonal",
+        "forecast")
+      .select(col("key"), col("bucket"), round(col("value"), 6).as("value"),
         round(col("level"), 6).as("level"),
         round(col("trend"), 6).as("trend"),
         round(col("seasonal"), 6).as("seasonal"),

@@ -77,4 +77,29 @@ class Wave57Spec extends AnyFunSuite {
         s"${r.getAs[String]("bucket")}: forecast should track the cycle")
     }
   }
+
+  test("holtWintersByKey: each key's rows equal the single-series " +
+    "recursion on that key alone (incl. the short-series seed branch)") {
+    val a = Seq((key(1), 10.0), (key(2), 20.0), (key(3), 14.0),
+      (key(4), 24.0), (key(5), 18.0))
+    val b = (1 to 20).map(i => (key(i), 50.0 + (if (i % 2 == 0) 7.0 else -7.0)))
+    val short = Seq((key(1), 3.0)) // 1 row <= period: seed-only branch
+    val grouped = Seq("a" -> a, "b" -> b, "s" -> short)
+      .flatMap { case (k, rs) => rs.map { case (o, v) => (k, o, v) } }
+      .toDF("g", "o", "v")
+    val got = TimeSeries.holtWintersByKey(grouped, "g", "o", "v", period = 2)
+      .collect()
+      .groupBy(_.getAs[String]("key"))
+      .map { case (k, rows) =>
+        k -> rows.sortBy(_.getAs[String]("bucket"))
+          .map(r => (1 to 6).map(i => Option(r.get(i))).toSeq).toSeq
+      }
+    Seq("a" -> a, "b" -> b, "s" -> short).foreach { case (k, rs) =>
+      val solo = TimeSeries.holtWintersAdditive(rs.toDF("o", "v"), "o", "v",
+          period = 2)
+        .collect().sortBy(_.getAs[String]("bucket"))
+        .map(r => (0 to 5).map(i => Option(r.get(i))).toSeq).toSeq
+      assert(got(k) == solo, s"key $k diverges from the solo recursion")
+    }
+  }
 }
