@@ -144,6 +144,9 @@ object ScaleBench {
       "q_vocab_sweep")
 
     import graft.operators.Similarity
+    // one persisted IVF index per scale dir, built on the warmup pass
+    val annIndexDirs =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
     // probe set pinned to replica-0 ids (< 2000 at every scale)
     def fixedProbes(emb: DataFrame): DataFrame =
       emb.filter(col("vec_id") < 2000 &&
@@ -168,6 +171,30 @@ object ScaleBench {
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         Similarity.pqTopK(fixedProbes(emb), emb, "vec_id", "embedding",
           5, m = 16, ksub = 16, refine = 8)
+      }),
+      "fixed_knn_ivfpq" -> ((s: SparkSession, dir: String) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.ivfPqTopK(fixedProbes(emb), emb, "vec_id", "embedding",
+          5, nlist = 8, nprobe = 4, m = 16, ksub = 16, refine = 8)
+      }),
+      // persisted-index SERVE with a fixed probe batch: build once
+      // per (scale, JVM) on first call — the warmup pass — so the
+      // timed passes measure the production shape (constant query
+      // batch against the on-disk DPP-pruned list store); q_ann_index
+      // itself rebuilds per pass, conflating build ∝ corpus with
+      // serve ∝ probed lists
+      "fixed_ann_serve" -> ((s: SparkSession, dir: String) => {
+        val idx = annIndexDirs.computeIfAbsent(dir, { d =>
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_scale_ivfidx").toString
+          graft.operators.IvfIndex.build(
+            s.read.parquet(s"$d/embeddings.parquet"),
+            "vec_id", "embedding", nlist = 16, dir = tmp)
+          tmp
+        })
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        graft.operators.IvfIndex.search(s, idx, fixedProbes(emb),
+          "vec_id", "embedding", k = 5, nprobe = 4)
       }),
       // negativeSample with buckets ∝ corpus (pool held at ~80 rows
       // per probed bucket) — the operator's documented sizing rule.
