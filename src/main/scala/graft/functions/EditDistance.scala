@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Bit-parallel Levenshtein distance — Myers' algorithm (G. Myers,
+  * "A fast bit-vector algorithm for approximate string matching
+  * based on dynamic programming", JACM 46(3), 1999) in Hyyrö's
+  * multi-word formulation (H. Hyyrö, "A bit-vector algorithm for
+  * computing Levenshtein and Damerau edit distances", 2003; the
+  * same block recurrence public aligners like edlib use).
+  *
+  * Computes EXACTLY the classic unit-cost DP distance — the same
+  * integer as Spark's built-in `levenshtein` and DuckDB's
+  * `levenshtein` on ASCII input — but runs the m·n cell grid 64
+  * columns per machine word: one Long of carry logic per (block,
+  * text char) instead of 64 DP cells. On the q_cer shape (~350-char
+  * documents) that is a ~5-block × n walk, ~50× less work than the
+  * built-in's per-cell loop. Pure rule-3 optimization: `q_cer`'s
+  * output hash and floor are unchanged, only the kernel is faster.
+  *
+  * Unicode: operands are compared per CODE POINT (`codePoints()`),
+  * matching Spark's built-in exactly even for astral-plane input;
+  * the oracle-facing queries stay ASCII where DuckDB's byte-based
+  * levenshtein agrees (the q_cer scaladoc's documented caveat).
+  */
+object EditDistance {
+
+  /** Exact Levenshtein over code-point arrays, Myers multi-word. */
+  private[graft] def myers(a: Array[Int], b: Array[Int]): Int = {
+    val m = a.length
+    val n = b.length
+    if (m == 0) return n
+    if (n == 0) return m
+    val k = (m + 63) >> 6 // blocks of 64 pattern positions
+    // Peq: per-block match masks; ASCII fast path + overflow map
+    val peqAscii = Array.ofDim[Long](k, 128)
+    var overflow: java.util.HashMap[Integer, Array[Long]] = null
+    var i = 0
+    while (i < m) {
+      val c = a(i)
+      val blk = i >> 6
+      val bit = 1L << (i & 63)
+      if (c < 128) peqAscii(blk)(c) |= bit
+      else {
+        if (overflow == null)
+          overflow = new java.util.HashMap[Integer, Array[Long]]()
+        var arr = overflow.get(c)
+        if (arr == null) { arr = new Array[Long](k); overflow.put(c, arr) }
+        arr(blk) |= bit
+      }
+      i += 1
+    }
+    val pv = Array.fill(k)(-1L)
+    val mv = new Array[Long](k)
+    var score = m
+    val lastBlock = k - 1
+    val lastBit = (m - 1) & 63
+    var j = 0
+    while (j < n) {
+      val c = b(j)
+      val eqArr: Array[Long] =
+        if (c < 128) null // read from peqAscii per block
+        else if (overflow != null) overflow.get(c)
+        else null
+      var hin = 1 // global distance: the boundary row D(0,j) = j
+      var blk = 0
+      while (blk < k) {
+        var eq =
+          if (c < 128) peqAscii(blk)(c)
+          else if (eqArr != null) eqArr(blk)
+          else 0L
+        if (hin < 0) eq |= 1L
+        val pvb = pv(blk)
+        val mvb = mv(blk)
+        val xv = eq | mvb
+        val xh = (((eq & pvb) + pvb) ^ pvb) | eq
+        var ph = mvb | ~(xh | pvb)
+        var mh = pvb & xh
+        val houtBit = if (blk == lastBlock) lastBit else 63
+        val hout =
+          if (((ph >>> houtBit) & 1L) != 0L) 1
+          else if (((mh >>> houtBit) & 1L) != 0L) -1
+          else 0
+        ph <<= 1
+        mh <<= 1
+        if (hin > 0) ph |= 1L
+        if (hin < 0) mh |= 1L
+        pv(blk) = mh | ~(xv | ph)
+        mv(blk) = ph & xv
+        if (blk == lastBlock) score += hout
+        hin = hout
+        blk += 1
+      }
+      j += 1
+    }
+    score
+  }
+
+  /** Classic two-row DP — the reference kernel the property spec
+    * checks [[myers]] against (and the tiny-input fallback is not
+    * needed: Myers is exact at every size).
+    */
+  private[graft] def classic(a: Array[Int], b: Array[Int]): Int = {
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  private def cps(s: String): Array[Int] =
+    if (s == null) Array.emptyIntArray else s.codePoints().toArray
+
+  /** String form (code-point semantics, as Spark's built-in). */
+  def levenshteinFast(a: String, b: String): Int = myers(cps(a), cps(b))
+
+  /** Column form: drop-in for `functions.levenshtein` where the
+    * kernel cost dominates (long texts). Null in → null out, like
+    * the built-in.
+    */
+  def levenshteinFastCol(a: Column, b: Column): Column = {
+    val u = udf { (x: String, y: String) =>
+      if (x == null || y == null) null.asInstanceOf[Integer]
+      else Integer.valueOf(levenshteinFast(x, y))
+    }
+    u(a, b)
+  }
+}

@@ -144,10 +144,16 @@ object PipelineQueries {
           .groupBy($"doc_id")
           .agg(concat_ws(" ", array_sort(collect_list(
             struct($"pos", $"word"))).getField("word")).as("h"))
+        // r14: the kernel is Myers bit-parallel (EditDistance) — the
+        // identical integer as the built-in levenshtein (property-
+        // spec'd), ~64 DP columns per machine word on these
+        // hundreds-of-chars documents; hash and floor unchanged
+        // (rule 3)
         toks.join(hyp, Seq("doc_id"), "left")
           .select($"doc_id",
             length(array_join($"w", " ")).cast("long").as("n_ref_chars"),
-            levenshtein(array_join($"w", " "), coalesce($"h", lit("")))
+            graft.functions.EditDistance.levenshteinFastCol(
+              array_join($"w", " "), coalesce($"h", lit("")))
               .cast("long").as("dist"))
           .withColumn("cer",
             round($"dist" / greatest($"n_ref_chars", lit(1L)), 6))
