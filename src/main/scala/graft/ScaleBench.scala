@@ -249,6 +249,16 @@ object ScaleBench {
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
       s"""{"metric":"scale_total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // fixed_ann_serve's per-scale index is corpus-sized — delete it,
+    // or repeated scale sweeps fill /tmp
+    annIndexDirs.values.forEach { d =>
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      val root = Path.of(d)
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+    }
     spark.stop()
   }
 }

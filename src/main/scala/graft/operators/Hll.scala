@@ -100,7 +100,10 @@ object Hll {
           lit(s"HLL sketch in '$skCol' is not a p=$p register array " +
             s"(need $m registers with rho in [0,$k]); it was likely " +
             "written at a different p — re-sketch or pass that p: size="),
-          size(col(skCol)).cast("string")))))
+          // coalesce: a NULL sketch (or null registers) must still
+          // produce THIS message, not a message-less RuntimeException
+          // from concat(NULL)
+          coalesce(size(col(skCol)).cast("string"), lit("NULL"))))))
       .withColumn(v, size(filter(col(skCol), _ === 0)))
       .withColumn(outCol,
         when(expr(raw) <= 5L * m / 2 && col(v) > 0,
@@ -217,7 +220,7 @@ object Hll {
         .otherwise(raise_error(concat(
           lit(s"HLL sketch is not a p=$p register array (need $m " +
             "registers, got "),
-          size(col("sketch")).cast("string"),
+          coalesce(size(col("sketch")).cast("string"), lit("NULL")),
           lit(") — it was likely written at a different p")))).as("sketch"))
       .select(posexplode(col("sketch")).as(Seq("__reg", "__rho")))
       .groupBy(col("__reg")).agg(max(col("__rho")).as("__mr"))

@@ -351,6 +351,17 @@ object Unigram {
       vocabSize: Int, seedSize: Int, maxPieceLen: Int, emIters: Int,
       rounds: Int): Seq[PieceL] = {
     require(words.nonEmpty, "empty corpus — nothing to fit")
+    // the oracle's packed Viterbi key allots 10 bits to the piece
+    // count and 6 to the length — enforce the bound loudly on BOTH
+    // sides instead of silently corrupting the SQL comparison
+    require(maxPieceLen >= 1 && maxPieceLen <= 63,
+      s"maxPieceLen=$maxPieceLen outside the oracle key's 6-bit range")
+    words.find(_._1.length > 1023).foreach { case (w, _) =>
+      throw new IllegalArgumentException(
+        s"word of length ${w.length} exceeds the oracle Viterbi key's " +
+          "10-bit piece-count range (1023) — pre-split or drop tokens " +
+          s"this long: '${w.take(40)}…'")
+    }
     // ---- seed: identical to the float trainer (exact integers)
     val subCounts = mutable.HashMap.empty[String, Long]
     val charSet = mutable.TreeSet.empty[String]
@@ -398,8 +409,17 @@ object Unigram {
       p12 = next.toMap
       multi = multi.filter(next.contains)
     }
-    def prune(target: Int): Unit =
+    // prune must also drop the pieces from the PROBABILITY TABLE —
+    // the next sweep's scores come from p12, and the oracle builds
+    // each sweep's scores from the pruned CTE only; a stale p12
+    // would let Viterbi keep segmenting with pruned pieces and
+    // silently diverge from the SQL replay (caught by the r14
+    // review's synthetic-corpus replay: 20/60 rows differed)
+    def prune(target: Int): Unit = {
       multi = multi.sortBy(p => (-p12(p), p)).take(target)
+      val keep = multi.toSet
+      p12 = p12.filter { case (p, _) => p.length == 1 || keep(p) }
+    }
 
     var r = 0
     while (r < rounds) {

@@ -56,7 +56,10 @@ object CorpusPrepQueries {
   // (DuckDB inlines plain CTEs — exponential expansion otherwise).
   // ------------------------------------------------------------------
 
-  private val UniV = 64      // vocabSize
+  private val UniV = 44      // vocabSize — chosen so the FIXTURE exercises
+  // a real final cut (24 chars + 36 surviving multi -> keepMulti = 20):
+  // the oracle's post-cut sweep then proves the pruned-scores semantics
+  // on every driver round, not just on synthetic spec corpora
   private val UniSeed = 256  // seedSize
   private val UniMpl = 4     // maxPieceLen
   private val UniEmi = 1     // emIters
@@ -1251,7 +1254,7 @@ object CorpusPrepQueries {
       (spark, dir) => {
         import spark.implicits._
         Unigram.trainL(table(spark, dir, "documents"), "text",
-            vocabSize = 64, seedSize = 256, maxPieceLen = 4,
+            vocabSize = 44, seedSize = 256, maxPieceLen = 4,
             emIters = 1, rounds = 4)
           .toDF()
           .select($"piece", $"pQ12".as("p_q12"))
@@ -1265,7 +1268,7 @@ object CorpusPrepQueries {
       (spark, dir) => {
         import spark.implicits._
         val docs = table(spark, dir, "documents")
-        val vocab = Unigram.trainL(docs, "text", vocabSize = 64,
+        val vocab = Unigram.trainL(docs, "text", vocabSize = 44,
           seedSize = 256, maxPieceLen = 4, emIters = 1, rounds = 4)
         Unigram.encodeDocsL(docs, "doc_id", "text", vocab, 4)
           .orderBy($"doc_id")

@@ -122,6 +122,32 @@ class UnigramSpec extends AnyFunSuite {
     assert(m("ab") > m("c") && m("ab") > m("d"))
   }
 
+  test("trainL: pruned pieces never leak into later sweeps (the r14 " +
+    "stale-p12 regression) and the budget holds under real prunes") {
+    // 400 pseudo-random words over a 6-char alphabet force REAL
+    // geometric prunes (survivors >> keepMulti), the path where a
+    // stale probability table would let Viterbi keep using pruned
+    // pieces and diverge from the SQL oracle's pruned-CTE scores
+    val rng = new scala.util.Random(7)
+    val words = Array.tabulate(400) { i =>
+      val len = 3 + rng.nextInt(6)
+      (Seq.fill(len)(('a' + rng.nextInt(6)).toChar).mkString, (i % 9 + 1).toLong)
+    }.distinct
+    val vocab = Unigram.trainOnWordTableL(words, vocabSize = 20,
+      seedSize = 128, maxPieceLen = 4, emIters = 1, rounds = 4)
+    val chars = vocab.count(_.piece.length == 1)
+    assert(chars == 6)
+    assert(vocab.size <= 20)
+    // every multi-char survivor carries positive grid mass and is
+    // reachable by the final scores (a leaked pruned piece would
+    // surface here as a vocab entry missing from p12 — the exact
+    // crash shape of the pre-fix code on prune-heavy corpora)
+    assert(vocab.forall(_.pQ12 >= 1))
+    // determinism under the same table
+    val again = Unigram.trainOnWordTableL(words, 20, 128, 4, 1, 4)
+    assert(vocab == again)
+  }
+
   test("trainL: deterministic across runs and repartitionings") {
     val a = Unigram.trainL(corpus, "text", vocabSize = 10, seedSize = 64,
       maxPieceLen = 4)
