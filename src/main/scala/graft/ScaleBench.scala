@@ -184,14 +184,17 @@ object ScaleBench {
       // itself rebuilds per pass, conflating build ∝ corpus with
       // serve ∝ probed lists
       "fixed_ann_serve" -> ((s: SparkSession, dir: String) => {
-        val idx = annIndexDirs.computeIfAbsent(dir, { d =>
+        // register the dir BEFORE building: if build throws mid-way
+        // the end-of-run cleanup still sees (and deletes) the orphan
+        val idx = Option(annIndexDirs.get(dir)).getOrElse {
           val tmp = java.nio.file.Files
             .createTempDirectory("graft_scale_ivfidx").toString
+          annIndexDirs.put(dir, tmp)
           graft.operators.IvfIndex.build(
-            s.read.parquet(s"$d/embeddings.parquet"),
+            s.read.parquet(s"$dir/embeddings.parquet"),
             "vec_id", "embedding", nlist = 16, dir = tmp)
           tmp
-        })
+        }
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         graft.operators.IvfIndex.search(s, idx, fixedProbes(emb),
           "vec_id", "embedding", k = 5, nprobe = 4)
@@ -255,9 +258,12 @@ object ScaleBench {
       import java.nio.file.{Files, Path}
       import scala.jdk.CollectionConverters._
       val root = Path.of(d)
-      if (Files.exists(root))
-        Files.walk(root).iterator().asScala.toSeq.reverse
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
     }
     spark.stop()
   }

@@ -301,23 +301,6 @@ object TimeSeries {
         round(col("forecast"), 6).as("forecast"))
   }
 
-  /** UTF-8 byte-order comparison — UTF8String.binaryCompare's order,
-    * i.e. code-point order, NOT Java String's UTF-16 code-unit order
-    * (they disagree on supplementary-plane characters).
-    */
-  private def utf8Less(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c < 0
-      i += 1
-    }
-    x.length < y.length
-  }
-
   /** The Holt-Winters recursion over one already-ordered micro-scaled
     * series — shared by the single-series plan above and the grouped
     * [[holtWintersByKey]]. Input (bucket, v·10⁶) SORTED by bucket;
@@ -395,13 +378,17 @@ object TimeSeries {
       .as[(String, String, Long)]
     base.groupByKey(_._1)
       .flatMapGroups { (k, it) =>
-        // sort by UTF-8 byte order — UTF8String's binary comparator,
-        // the order sortWithinPartitions gives the single-series
-        // path. Java String's UTF-16 code-unit order differs for
-        // supplementary-plane bucket labels and would break the
-        // spec-asserted grouped==solo equivalence.
-        val buf = it.map(t => (t._2, t._3)).toArray
-          .sortWith((x, y) => utf8Less(x._1, y._1))
+        // sort in UTF8String binary order — the exact comparator
+        // sortWithinPartitions gives the single-series path. Java
+        // String's UTF-16 code-unit order differs for supplementary-
+        // plane bucket labels and would break the spec-asserted
+        // grouped==solo equivalence. Encode each key ONCE (sortBy
+        // would re-derive it per comparison).
+        val buf = it.map(t =>
+            (org.apache.spark.unsafe.types.UTF8String.fromString(t._2),
+              t._2, t._3)).toArray
+          .sortWith((x, y) => x._1.compareTo(y._1) < 0)
+          .map(t => (t._2, t._3))
         hwFoldL(buf, p).map { case (o, v, l, b, s, f) =>
           (k, o, v / 1e6, l.map(_ / 1e6), b.map(_ / 1e6), s / 1e6,
             f.map(_ / 1e6))

@@ -447,6 +447,12 @@ object Unigram {
       val parts = words.map { w =>
         var got = memo.get(w)
         if (got == null) {
+          // same packing bound as trainOnWordTableL — the encode
+          // oracle replays this Viterbi with the 10-bit-count key,
+          // so an over-long token must fail loud on THIS side too
+          require(w.length <= 1023,
+            s"token of length ${w.length} exceeds the oracle Viterbi " +
+              s"key's 10-bit piece-count range (1023): '${w.take(40)}…'")
           got = viterbiL(w, table, maxPieceLen).toArray
           if (memo.size < (1 << 20)) memo.put(w, got)
         }

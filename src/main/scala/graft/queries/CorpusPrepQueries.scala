@@ -1254,8 +1254,8 @@ object CorpusPrepQueries {
       (spark, dir) => {
         import spark.implicits._
         Unigram.trainL(table(spark, dir, "documents"), "text",
-            vocabSize = 44, seedSize = 256, maxPieceLen = 4,
-            emIters = 1, rounds = 4)
+            vocabSize = UniV, seedSize = UniSeed, maxPieceLen = UniMpl,
+            emIters = UniEmi, rounds = UniR)
           .toDF()
           .select($"piece", $"pQ12".as("p_q12"))
           .orderBy($"piece")
@@ -1268,9 +1268,10 @@ object CorpusPrepQueries {
       (spark, dir) => {
         import spark.implicits._
         val docs = table(spark, dir, "documents")
-        val vocab = Unigram.trainL(docs, "text", vocabSize = 44,
-          seedSize = 256, maxPieceLen = 4, emIters = 1, rounds = 4)
-        Unigram.encodeDocsL(docs, "doc_id", "text", vocab, 4)
+        val vocab = Unigram.trainL(docs, "text", vocabSize = UniV,
+          seedSize = UniSeed, maxPieceLen = UniMpl, emIters = UniEmi,
+          rounds = UniR)
+        Unigram.encodeDocsL(docs, "doc_id", "text", vocab, UniMpl)
           .orderBy($"doc_id")
       }),
 

@@ -123,29 +123,45 @@ class UnigramSpec extends AnyFunSuite {
   }
 
   test("trainL: pruned pieces never leak into later sweeps (the r14 " +
-    "stale-p12 regression) and the budget holds under real prunes") {
-    // 400 pseudo-random words over a 6-char alphabet force REAL
-    // geometric prunes (survivors >> keepMulti), the path where a
-    // stale probability table would let Viterbi keep using pruned
-    // pieces and diverge from the SQL oracle's pruned-CTE scores
-    val rng = new scala.util.Random(7)
-    val words = Array.tabulate(400) { i =>
-      val len = 3 + rng.nextInt(6)
-      (Seq.fill(len)(('a' + rng.nextInt(6)).toChar).mkString, (i % 9 + 1).toLong)
-    }.distinct
+    "stale-p12 regression) — golden fit on a prune-heavy table") {
+    // Deterministic word table (base-6 digits of i·2654435761 mod 6^L,
+    // L = 3 + i%6, count i%9+1, deduped by word keeping the first) —
+    // 150 distinct words over a 6-char alphabet force REAL geometric
+    // prunes (survivors >> keepMulti = 14). The expected vocabulary
+    // below was computed by the ORACLE-SEMANTICS mirror that was
+    // validated bit-equal to the DuckDB CTE replay on this class of
+    // corpus; under the pre-fix stale-p12 semantics (prune shrinking
+    // `multi` but not the probability table the next sweep scores
+    // from) ALL 20 rows differ, so this golden fails on a revert.
+    val words = {
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      (0 until 150).foreach { i =>
+        val len = 3 + i % 6
+        var x = (i.toLong * 2654435761L) % math.pow(6, len).toLong
+        val sb = new StringBuilder
+        (0 until len).foreach { _ =>
+          sb += ('a' + (x % 6).toInt).toChar; x /= 6
+        }
+        val w = sb.toString
+        if (!seen.contains(w)) seen(w) = (i % 9 + 1).toLong
+      }
+      seen.toArray
+    }
+    assert(words.length == 150)
     val vocab = Unigram.trainOnWordTableL(words, vocabSize = 20,
       seedSize = 128, maxPieceLen = 4, emIters = 1, rounds = 4)
-    val chars = vocab.count(_.piece.length == 1)
-    assert(chars == 6)
-    assert(vocab.size <= 20)
-    // every multi-char survivor carries positive grid mass and is
-    // reachable by the final scores (a leaked pruned piece would
-    // surface here as a vocab entry missing from p12 — the exact
-    // crash shape of the pre-fix code on prune-heavy corpora)
-    assert(vocab.forall(_.pQ12 >= 1))
+    val expected = Seq(
+      ("a", 122259136212L), ("ab", 20598006644L), ("b", 53156146179L),
+      ("ba", 41860465116L), ("bc", 18936877076L), ("bd", 22259136212L),
+      ("be", 30564784053L), ("bf", 37541528239L), ("c", 145182724252L),
+      ("cd", 47840531561L), ("ce", 21594684385L), ("d", 102325581395L),
+      ("df", 17607973421L), ("e", 48837209302L), ("ea", 25913621262L),
+      ("eb", 21262458471L), ("ee", 29235880398L), ("ef", 29568106312L),
+      ("f", 136544850498L), ("fd", 26910299003L))
+      .map { case (p, q) => Unigram.PieceL(p, q) }
+    assert(vocab == expected)
     // determinism under the same table
-    val again = Unigram.trainOnWordTableL(words, 20, 128, 4, 1, 4)
-    assert(vocab == again)
+    assert(Unigram.trainOnWordTableL(words, 20, 128, 4, 1, 4) == vocab)
   }
 
   test("trainL: deterministic across runs and repartitionings") {
