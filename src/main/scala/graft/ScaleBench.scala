@@ -185,14 +185,33 @@ object ScaleBench {
       // serve ∝ probed lists
       "fixed_ann_serve" -> ((s: SparkSession, dir: String) => {
         // register the dir BEFORE building: if build throws mid-way
-        // the end-of-run cleanup still sees (and deletes) the orphan
+        // the end-of-run cleanup still sees (and deletes) the orphan.
+        // On failure the entry is REMOVED again — a registered-but-
+        // broken dir would make every later timed pass serve from a
+        // partial index instead of rebuilding (and read as a bogusly
+        // fast serve); the failed warmup must force a rebuild
         val idx = Option(annIndexDirs.get(dir)).getOrElse {
           val tmp = java.nio.file.Files
             .createTempDirectory("graft_scale_ivfidx").toString
           annIndexDirs.put(dir, tmp)
-          graft.operators.IvfIndex.build(
-            s.read.parquet(s"$dir/embeddings.parquet"),
-            "vec_id", "embedding", nlist = 16, dir = tmp)
+          try {
+            graft.operators.IvfIndex.build(
+              s.read.parquet(s"$dir/embeddings.parquet"),
+              "vec_id", "embedding", nlist = 16, dir = tmp)
+          } catch {
+            case e: Throwable =>
+              annIndexDirs.remove(dir)
+              try {
+                import java.nio.file.{Files, Path}
+                import scala.jdk.CollectionConverters._
+                val root = Path.of(tmp)
+                val walk = Files.walk(root)
+                try walk.iterator().asScala.toSeq.reverse
+                  .foreach(Files.deleteIfExists(_))
+                finally walk.close()
+              } catch { case _: Throwable => () }
+              throw e
+          }
           tmp
         }
         val emb = s.read.parquet(s"$dir/embeddings.parquet")

@@ -124,7 +124,13 @@ object EditDistance {
   private def cps(s: String): Array[Int] =
     if (s == null) Array.emptyIntArray else s.codePoints().toArray
 
-  /** String form (code-point semantics, as Spark's built-in). */
+  /** String form (code-point semantics, as Spark's built-in — for
+    * NON-NULL operands). Null contract differs: a null operand is
+    * treated as the EMPTY string (distance = other side's length),
+    * because an Int-returning function has no null to give. Callers
+    * needing the built-in's null→null behavior use
+    * [[levenshteinFastCol]], which checks before invoking this.
+    */
   def levenshteinFast(a: String, b: String): Int = myers(cps(a), cps(b))
 
   /** Column form: drop-in for `functions.levenshtein` where the

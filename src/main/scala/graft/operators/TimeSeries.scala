@@ -1745,7 +1745,8 @@ object TimeSeries {
     * Scale shape: the per-bucket aggregate is distributed; the
     * recursion runs on the CALENDAR-bounded bucket frame (days of
     * the stream — never event-sized) in one bounded task, the
-    * Kaplan-Meier value-bounded class.
+    * Kaplan-Meier value-bounded class. Fitting thousands of series
+    * at once is [[holtLinearByKey]], which distributes per key.
     */
   def holtLinear(series: DataFrame, orderCol: String,
       valueCol: String): DataFrame = {
@@ -1763,31 +1764,87 @@ object TimeSeries {
       .queryExecution.toRdd.mapPartitions { it =>
         val buf = it.map(r => (r.getUTF8String(0).toString, r.getLong(1)))
           .toArray
-        if (buf.length < 2) {
-          buf.iterator.map { case (o, v) =>
-            Row(o, v / 1e6, v / 1e6, null, null)
-          }
-        } else {
-          var l = buf(0)._2
-          var b = buf(1)._2 - buf(0)._2
-          val out = new Array[Row](buf.length)
-          out(0) = Row(buf(0)._1, buf(0)._2 / 1e6, l / 1e6, b / 1e6,
-            null)
-          var i = 1
-          while (i < buf.length) {
-            val v = buf(i)._2
-            val f = l + b
-            val l2 = Math.floorDiv(v + l + b, 2L)
-            b = Math.floorDiv(b + (l2 - l), 2L)
-            l = l2
-            out(i) = Row(buf(i)._1, v / 1e6, l / 1e6, b / 1e6, f / 1e6)
-            i += 1
-          }
-          out.iterator
+        hlFoldL(buf).map { case (o, v, l, b, f) =>
+          Row(o, v / 1e6, l / 1e6, b.map(_ / 1e6).orNull,
+            f.map(_ / 1e6).orNull)
         }
       }
     base.sparkSession.createDataFrame(rows, outSchema)
       .select(col("bucket"), round(col("value"), 6).as("value"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("forecast"), 6).as("forecast"))
+  }
+
+  /** The Holt linear recursion over one already-ordered micro-scaled
+    * series — shared by the single-series plan above and the grouped
+    * [[holtLinearByKey]], the same split [[hwFoldL]] gives
+    * Holt-Winters. Input (bucket, v·10⁶) SORTED by bucket; output
+    * (bucket, v, level, trend?, forecast?) in micro longs (None =
+    * the seed rows' NULLs). A <2-row series is all seed: level = v,
+    * trend/forecast NULL, the recursion never starts.
+    */
+  private[operators] def hlFoldL(buf: Array[(String, Long)])
+      : Iterator[(String, Long, Long, Option[Long], Option[Long])] = {
+    if (buf.length < 2) {
+      buf.iterator.map { case (o, v) => (o, v, v, None, None) }
+    } else {
+      var l = buf(0)._2
+      var b = buf(1)._2 - buf(0)._2
+      val out =
+        new Array[(String, Long, Long, Option[Long], Option[Long])](
+          buf.length)
+      out(0) = (buf(0)._1, buf(0)._2, l, Some(b), None)
+      var i = 1
+      while (i < buf.length) {
+        val v = buf(i)._2
+        val f = l + b
+        val l2 = Math.floorDiv(v + l + b, 2L)
+        b = Math.floorDiv(b + (l2 - l), 2L)
+        l = l2
+        out(i) = (buf(i)._1, v, l, Some(b), Some(f))
+        i += 1
+      }
+      out.iterator
+    }
+  }
+
+  /** Grouped Holt linear trend — [[holtLinear]]'s recursion run per
+    * key inside `groupByKey.flatMapGroups`, the form a production
+    * pipeline calls on THOUSANDS of series (per-tenant, per-metric):
+    * one shuffle on the key, no single-partition bottleneck, each
+    * key's buffer bounded by its own calendar-bucketed length. Same
+    * shape as [[holtWintersByKey]]; grouped(single key) ==
+    * single-series output, spec-asserted.
+    */
+  def holtLinearByKey(series: DataFrame, keyCol: String,
+      orderCol: String, valueCol: String): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val base = series.select(col(keyCol).cast("string"),
+        col(orderCol).cast("string"),
+        // explicit 0 for null values — the single-series path's
+        // toRdd read yields 0 for a null slot; the tuple encoder
+        // here would throw instead, so parity needs the coalesce
+        coalesce(round(col(valueCol) * 1e6, 0).cast("long"), lit(0L)))
+      .as[(String, String, Long)]
+    base.groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        // sort in UTF8String binary order — the exact comparator
+        // sortWithinPartitions gives the single-series path (Java
+        // String UTF-16 order diverges for supplementary-plane
+        // labels). Encode each key ONCE.
+        val buf = it.map(t =>
+            (org.apache.spark.unsafe.types.UTF8String.fromString(t._2),
+              t._2, t._3)).toArray
+          .sortWith((x, y) => x._1.compareTo(y._1) < 0)
+          .map(t => (t._2, t._3))
+        hlFoldL(buf).map { case (o, v, l, b, f) =>
+          (k, o, v / 1e6, l / 1e6, b.map(_ / 1e6), f.map(_ / 1e6))
+        }
+      }
+      .toDF("key", "bucket", "value", "level", "trend", "forecast")
+      .select(col("key"), col("bucket"), round(col("value"), 6).as("value"),
         round(col("level"), 6).as("level"),
         round(col("trend"), 6).as("trend"),
         round(col("forecast"), 6).as("forecast"))

@@ -54,6 +54,14 @@ object CorpusPrepQueries {
   // integer-Lloyd truncated-mean convention); prunes rank by
   // (p12 desc, piece asc). Every multi-referenced CTE is MATERIALIZED
   // (DuckDB inlines plain CTEs — exponential expansion otherwise).
+  // Scope caveat (same class as q_cer's documented ASCII assumption):
+  // the hash equivalence holds for BMP text only. The engine
+  // enumerates pieces over UTF-16 code units (String.substring/
+  // length) and tie-breaks pieces in code-unit order, while DuckDB's
+  // substr/length count CODE POINTS and ORDER BY compares UTF-8
+  // bytes — identical on the BMP (and on the fixture's ASCII
+  // tokens), divergent for supplementary-plane characters, where
+  // piece windows and prune/keep tie-break order both shift.
   // ------------------------------------------------------------------
 
   private val UniV = 44      // vocabSize — chosen so the FIXTURE exercises

@@ -102,4 +102,29 @@ class Wave57Spec extends AnyFunSuite {
       assert(got(k) == solo, s"key $k diverges from the solo recursion")
     }
   }
+
+  test("holtLinearByKey: each key's rows equal the single-series " +
+    "recursion on that key alone (incl. the <2-row seed branch)") {
+    val a = Seq((key(1), 10.0), (key(2), 20.0), (key(3), 14.0),
+      (key(4), 24.0), (key(5), 18.0))
+    val b = (1 to 20).map(i => (key(i), 50.0 + 3.0 * i +
+      (if (i % 2 == 0) 7.0 else -7.0)))
+    val short = Seq((key(1), 3.0)) // 1 row: seed-only branch
+    val grouped = Seq("a" -> a, "b" -> b, "s" -> short)
+      .flatMap { case (k, rs) => rs.map { case (o, v) => (k, o, v) } }
+      .toDF("g", "o", "v")
+    val got = TimeSeries.holtLinearByKey(grouped, "g", "o", "v")
+      .collect()
+      .groupBy(_.getAs[String]("key"))
+      .map { case (k, rows) =>
+        k -> rows.sortBy(_.getAs[String]("bucket"))
+          .map(r => (1 to 5).map(i => Option(r.get(i))).toSeq).toSeq
+      }
+    Seq("a" -> a, "b" -> b, "s" -> short).foreach { case (k, rs) =>
+      val solo = TimeSeries.holtLinear(rs.toDF("o", "v"), "o", "v")
+        .collect().sortBy(_.getAs[String]("bucket"))
+        .map(r => (0 to 4).map(i => Option(r.get(i))).toSeq).toSeq
+      assert(got(k) == solo, s"key $k diverges from the solo recursion")
+    }
+  }
 }
