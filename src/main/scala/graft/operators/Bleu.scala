@@ -37,8 +37,52 @@ object Bleu {
       .otherwise(transform(sequence(lit(1), size(toks) - n + 1),
         i => array_join(slice(toks, i, lit(n)), Dedup.Sep)))
 
-  /** Per-pair (id, n) clipped-match and hyp-total counts plus the
-    * token-length base — shared by the sentence and corpus forms.
+  /** All-order (n, g) gram ROWS for both sides of every pair — the
+    * shared single-pass feed of [[stats]] and [[selfBleu]]. Gram
+    * assembly is the lead-window + codegen concat_ws layout (the
+    * [[Dedup.explodedShingles]] lesson: the interpreted
+    * transform/slice/array_join HOF pass costs ~5× in the scan
+    * stage, re-measured this round — an all-order HOF build pushed
+    * q_bleu from 2.6 s to 4.9 s before this form brought it under
+    * the r14 time). One posexplode + (maxN−1) leads over one window
+    * + one bounded posexplode per row; grams are identical strings
+    * to the old per-order `grams` (concat_ws == slice + Sep-join).
+    */
+  private[operators] def gramRowsOf(sided: DataFrame, idCol: String,
+      sideCol: String, toksCol: String, maxN: Int): DataFrame = {
+    val base = sided.select(col(idCol), col(sideCol),
+      posexplode(col(toksCol)).as(Seq("__pos", "t0")))
+    val w = Window.partitionBy(col(idCol), col(sideCol))
+      .orderBy(col("__pos"))
+    val withNext = (1 until maxN).foldLeft(base) { (df, i) =>
+      df.withColumn(s"t$i", lead(col("t0"), i).over(w))
+    }
+    // per position: one struct per order whose last token exists;
+    // concat_ws never sees an interior null (tokens are non-null),
+    // and the isNotNull guard nulls incomplete tails for the filter
+    withNext
+      .select(col(idCol), col(sideCol),
+        explode(array((1 to maxN).map(n =>
+          struct(lit(n).as("n"),
+            when(col(s"t${n - 1}").isNotNull,
+              concat_ws(Dedup.Sep, (0 until n).map(i => col(s"t$i")): _*))
+              .as("g"))): _*)).as("__ng"))
+      .filter(col("__ng.g").isNotNull)
+      .select(col(idCol), col(sideCol),
+        col("__ng.n").as("__n"), col("__ng.g").as("__g"))
+  }
+
+  /** Per-pair clipped-match counts (one row per id: __m1..__mN) plus
+    * the token-length base — shared by the sentence and corpus forms.
+    *
+    * r15 single-pass layout (guide §2.3/§2.4): both sides' grams of
+    * every order assemble in ONE windowed pass ([[gramRowsOf]]) into
+    * (id, n, g, side) rows; one map-side-combined groupBy(id, n, g)
+    * counts the two sides together (grams present on only one side
+    * contribute least(c, 0) = 0, exactly the rows the old per-order
+    * inner join dropped); one groupBy(id) pivots the per-order
+    * clipped sums. 3 shuffles total vs the r14 2·maxN groupBys +
+    * maxN joins + union; every count is the same exact integer.
     */
   private def stats(pairs: DataFrame, idCol: String, refCol: String,
       hypCol: String, maxN: Int): (DataFrame, DataFrame) = {
@@ -51,16 +95,19 @@ object Bleu {
     val base = toks.select(col(idCol),
       size(col("__r")).cast("long").as("ref_len"),
       size(col("__h")).cast("long").as("hyp_len"))
-    def counts(side: String, n: Int) = toks
-      .select(col(idCol), explode(grams(col(side), n)).as("__g"))
-      .groupBy(col(idCol), col("__g"))
-      .agg(count(lit(1)).as(s"__c$side"))
-    val matches = (1 to maxN).map { n =>
-      counts("__h", n).join(counts("__r", n), Seq(idCol, "__g"))
-        .groupBy(col(idCol))
-        .agg(sum(least(col("__c__h"), col("__c__r"))).as("__m"))
-        .select(col(idCol), lit(n).as("__n"), col("__m"))
-    }.reduce(_ union _)
+    val sided = toks.select(col(idCol), explode(array(
+        struct(lit(true).as("hy"), col("__h").as("tk")),
+        struct(lit(false).as("hy"), col("__r").as("tk")))).as("__sd"))
+      .select(col(idCol), col("__sd.hy").as("__hy"),
+        col("__sd.tk").as("__tk"))
+    val cnt = gramRowsOf(sided, idCol, "__hy", "__tk", maxN)
+      .groupBy(col(idCol), col("__n"), col("__g"))
+      .agg(count(when(col("__hy"), 1)).as("__ch"),
+        count(when(!col("__hy"), 1)).as("__cr"))
+    val mCols = (1 to maxN).map(n =>
+      coalesce(sum(when(col("__n") === n,
+        least(col("__ch"), col("__cr")))), lit(0L)).as(s"__m$n"))
+    val matches = cnt.groupBy(col(idCol)).agg(mCols.head, mCols.tail: _*)
     (base, matches)
   }
 
@@ -70,12 +117,7 @@ object Bleu {
   def sentenceBleu(pairs: DataFrame, idCol: String, refCol: String,
       hypCol: String, maxN: Int = 4): DataFrame = {
     val (base, matches) = stats(pairs, idCol, refCol, hypCol, maxN)
-    val mCols = (1 to maxN).map(n =>
-      coalesce(sum(when(col("__n") === n, col("__m"))), lit(0L))
-        .as(s"__m$n"))
-    val joined = base.join(
-      matches.groupBy(col(idCol)).agg(mCols.head, mCols.tail: _*),
-      Seq(idCol), "left")
+    val joined = base.join(matches, Seq(idCol), "left")
     assemble(joined, Seq(col(idCol), col("ref_len"), col("hyp_len")),
       col("ref_len"), col("hyp_len"), maxN)
   }
@@ -88,9 +130,8 @@ object Bleu {
   def corpusBleu(pairs: DataFrame, idCol: String, refCol: String,
       hypCol: String, maxN: Int = 4): DataFrame = {
     val (base, matches) = stats(pairs, idCol, refCol, hypCol, maxN)
-    val mCols = (1 to maxN).map(n =>
-      coalesce(sum(when(col("__n") === n, col("__m"))), lit(0L))
-        .as(s"__m$n"))
+    val mTot = (1 to maxN).map(n =>
+      coalesce(sum(col(s"__m$n")), lit(0L)).as(s"__m$n"))
     val totals = base.agg(count(lit(1)).as("n_pairs"),
       sum(col("ref_len")).as("ref_len"), sum(col("hyp_len")).as("hyp_len"))
     // per-n hyp totals need Σ max(hyp_len − n + 1, 0) per doc, so the
@@ -100,7 +141,7 @@ object Bleu {
     val totals2 = base.agg(totN.head, totN.tail: _*)
     val joined = totals
       .crossJoin(totals2)
-      .crossJoin(matches.agg(mCols.head, mCols.tail: _*))
+      .crossJoin(matches.agg(mTot.head, mTot.tail: _*))
     assembleWithTotals(joined,
       Seq(col("n_pairs"), col("ref_len"), col("hyp_len")),
       col("ref_len"), col("hyp_len"), maxN,
@@ -132,50 +173,77 @@ object Bleu {
       regexp_replace(lower(coalesce(c, lit(""))), "\\s+", "")
     val stripped = pairs.select(col(idCol), strip(col(refCol)).as("__r"),
       strip(col(hypCol)).as("__h"))
-    def cgrams(c: Column, n: Int): Column =
-      when(length(c) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), length(c) - n + 1),
-          i => c.substr(i, lit(n))))
-    def counts(side: String, n: Int) = stripped
-      .select(col(idCol), explode(cgrams(col(side), n)).as("__g"))
-      .groupBy(col(idCol), col("__g"))
-      .agg(count(lit(1)).as(s"__c$side"))
-    val overlaps = (1 to maxN).map { n =>
-      counts("__h", n).join(counts("__r", n), Seq(idCol, "__g"))
-        .groupBy(col(idCol))
-        .agg(sum(least(col("__c__h"), col("__c__r"))).as("__m"))
-        .select(col(idCol), lit(n).as("__n"), col("__m"))
-    }.reduce(_ union _)
-    val spine = stripped.select(col(idCol),
+    // r15 single-pass layout (guide §2.3/§2.4): both sides of every
+    // order assemble in ONE windowed character pass — the
+    // [[gramRowsOf]] lead-window + codegen concat layout on
+    // characters (two slower variants measured first: chained
+    // generators re-materialized the FULL document string per gram
+    // row, 16 s; a per-row interpreted-HOF struct array per gram,
+    // 30 s; this form runs entirely in whole-stage codegen). One
+    // groupBy(id, n, g) counts the two sides together (one-sided
+    // grams contribute least(c, 0) = 0, the rows the old inner join
+    // dropped), one groupBy(id) pivots per-order overlaps, and the
+    // per-order F/effective-order mean becomes a fixed-shape per-row
+    // projection over the closed-form totals. Every count is the
+    // same exact integer (char concat == the old cgrams substr);
+    // P/R/F evaluate the identical expression shapes.
+    val sides = stripped.select(col(idCol), explode(array(
+        struct(lit(true).as("hy"), col("__h").as("s")),
+        struct(lit(false).as("hy"), col("__r").as("s")))).as("__sd"))
+      // split("", "") yields [""], which would fabricate a 1-gram of
+      // the empty string — an empty side has NO grams (old cgrams
+      // guard), so drop it before the char explode
+      .filter(length(col("__sd.s")) > 0)
+      .select(col(idCol), col("__sd.hy").as("__hy"),
+        posexplode(split(col("__sd.s"), "")).as(Seq("__pos", "t0")))
+    val w = Window.partitionBy(col(idCol), col("__hy"))
+      .orderBy(col("__pos"))
+    val withNext = (1 until maxN).foldLeft(sides) { (df, i) =>
+      df.withColumn(s"t$i", lead(col("t0"), i).over(w))
+    }
+    // concat is null iff any char is null (an incomplete tail), so
+    // the isNotNull filter keeps exactly the complete grams
+    val gramRows = withNext
+      .select(col(idCol), col("__hy"),
+        explode(array((1 to maxN).map(n =>
+          struct(lit(n).as("n"),
+            concat((0 until n).map(i => col(s"t$i")): _*).as("g"))): _*))
+          .as("__ng"))
+      .filter(col("__ng.g").isNotNull)
+      .select(col(idCol), col("__hy"),
+        col("__ng.n").as("__n"), col("__ng.g").as("__g"))
+    val cnt = gramRows.groupBy(col(idCol), col("__n"), col("__g"))
+      .agg(count(when(col("__hy"), 1)).as("__ch"),
+        count(when(!col("__hy"), 1)).as("__cr"))
+    val mCols = (1 to maxN).map(n =>
+      coalesce(sum(when(col("__n") === n,
+        least(col("__ch"), col("__cr")))), lit(0L)).as(s"__m$n"))
+    val matches = cnt.groupBy(col(idCol)).agg(mCols.head, mCols.tail: _*)
+    val joined = stripped.select(col(idCol),
         length(col("__r")).cast("long").as("ref_chars"),
-        length(col("__h")).cast("long").as("hyp_chars"),
-        explode(sequence(lit(1), lit(maxN))).as("__n"))
-    val joined = spine.join(overlaps, Seq(idCol, "__n"), "left")
-      .withColumn("__m", coalesce(col("__m"), lit(0L)))
-      .withColumn("__th",
-        greatest(col("hyp_chars") - col("__n") + 1, lit(0L)))
-      .withColumn("__tr",
-        greatest(col("ref_chars") - col("__n") + 1, lit(0L)))
-    val p = when(col("__th") > 0,
-      col("__m").cast("double") / col("__th")).otherwise(lit(0.0))
-    val r = when(col("__tr") > 0,
-      col("__m").cast("double") / col("__tr")).otherwise(lit(0.0))
+        length(col("__h")).cast("long").as("hyp_chars"))
+      .join(matches, Seq(idCol), "left")
     val b2 = beta * beta
-    val f = when(p + r > lit(0.0),
-      lit(1.0 + b2) * p * r / (lit(b2) * p + r)).otherwise(lit(0.0))
+    def fOf(n: Int): Column = {
+      val m = coalesce(col(s"__m$n"), lit(0L))
+      val th = greatest(col("hyp_chars") - (n - 1), lit(0L))
+      val tr = greatest(col("ref_chars") - (n - 1), lit(0L))
+      val p = when(th > 0, m.cast("double") / th).otherwise(lit(0.0))
+      val r = when(tr > 0, m.cast("double") / tr).otherwise(lit(0.0))
+      when(p + r > lit(0.0),
+        lit(1.0 + b2) * p * r / (lit(b2) * p + r)).otherwise(lit(0.0))
+    }
     // sacrebleu's effective-order rule: F averages only over orders
     // where the hypothesis OR reference has at least one gram (an
     // identical pair shorter than maxN chars scores 1.0, not
     // len/maxN); both sides empty at every order → 0.
-    joined.withColumn("__f", f)
-      .groupBy(col(idCol))
-      .agg(max(col("ref_chars")).as("ref_chars"),
-        max(col("hyp_chars")).as("hyp_chars"),
-        sum(col("__f")).as("__sf"),
-        sum(when(col("__th") > 0 || col("__tr") > 0, 1L).otherwise(0L))
-          .as("__eff"))
-      .select(col(idCol), col("ref_chars"), col("hyp_chars"),
-        round(col("__sf") / greatest(col("__eff"), lit(1L)), 6).as("chrf"))
+    val sf = (1 to maxN).map(fOf).reduce(_ + _)
+    val eff = (1 to maxN).map(n =>
+      when(greatest(col("hyp_chars") - (n - 1), lit(0L)) > 0 ||
+        greatest(col("ref_chars") - (n - 1), lit(0L)) > 0, 1L)
+        .otherwise(0L)).reduce(_ + _)
+    joined.select(col(idCol), col("ref_chars"), col("hyp_chars"),
+      round(sf / greatest(eff, lit(1L)), 6).as("chrf"))
   }
 
   /** X88 — Self-BLEU (Zhu et al. 2018, Texygen): each doc scored as
@@ -228,6 +296,9 @@ object Bleu {
       .select(col("hyp_len"), col("ref_len"))
     val closest = lens.join(broadcast(lenInfo), Seq("hyp_len"))
       .select(col(idCol), col("hyp_len"), col("ref_len"))
+    // (r15: measured — the all-order windowed pass regressed this
+    // one ~35% at maxN=2: two small per-order subtrees beat one
+    // window shuffle here, so the per-order fan stays)
     val gramCnt = (1 to maxN).map { n =>
       toks.select(col(idCol), explode(grams(col("__w"), n)).as("__g"))
         .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))

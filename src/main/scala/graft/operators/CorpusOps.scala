@@ -2207,52 +2207,42 @@ object CorpusOps {
     * and repeated-padding spam (near-zero entropy) that word-level
     * quality scores miss.
     *
-    * Scale shape: pure per-row expression — ONE sorted-run sweep per
-    * doc: sort the chars, then a single fold that closes a run (and
-    * adds its -p·log2 p term) each time the char changes, O(len·log
-    * len) per doc. (The r10 shape re-scanned the char array once per
-    * DISTINCT char — O(|Σ|·len), worst-case O(len²) on
-    * alphabet-diverse text — and was the board's #2 bench cost.) The
-    * entropy terms still accumulate in sorted-char order starting
-    * from 0.0, so the double sum is bit-identical to the oracle's
-    * sorted-distinct fold; round(6). Rides the scan — no shuffle, no
-    * UDF.
+    * Scale shape (r15): character counts come from a codegen'd
+    * explode + map-side-combined groupBy(doc, char) — the per-char
+    * work leaves the interpreted HOF path entirely (the r14 shape
+    * folded a named_struct accumulator per CHARACTER, allocating a
+    * 4-field struct per char of corpus; guide §1.2 "per-task work").
+    * Only the final -p·log2 p sum stays a fold, now over the
+    * per-doc DISTINCT characters (dozens) instead of every char.
+    * The fold runs over the count list sorted by char ascending —
+    * the same additions in the same order as the r14 sorted-run
+    * sweep and the oracle's sorted-distinct fold, so the double is
+    * bit-identical; round(6).
     */
   def charEntropy(docs: DataFrame, docCol: String, textCol: String)
       : DataFrame = {
-    val d = docs
-      .withColumn("__n", length(col(textCol)))
-      .withColumn("__sorted", array_sort(split(col(textCol), "")))
-    // struct acc: running entropy, previous char, current run length,
-    // distinct-char (= closed-run) count; finish closes the last run
-    val fold = expr(
-      """if(__n is null or __n <= 0,
-         named_struct('ent', cast(0 as double), 'uniq', cast(0 as long)),
-         aggregate(
-           __sorted,
-           struct(cast(0 as double) as ent, cast(null as string) as prev,
-                  cast(0 as double) as run, cast(0 as long) as uniq),
-           (acc, ch) -> if(acc.prev is null,
-               named_struct('ent', acc.ent, 'prev', ch,
-                            'run', cast(1 as double), 'uniq', cast(1 as long)),
-               if(ch = acc.prev,
-                  named_struct('ent', acc.ent, 'prev', ch,
-                               'run', acc.run + 1d, 'uniq', acc.uniq),
-                  named_struct(
-                    'ent', acc.ent - (acc.run / __n) * log2(acc.run / __n),
-                    'prev', ch, 'run', cast(1 as double),
-                    'uniq', acc.uniq + 1L))),
-           acc -> named_struct(
-               'ent', if(acc.run > 0d,
-                         acc.ent - (acc.run / __n) * log2(acc.run / __n),
-                         acc.ent),
-               'uniq', acc.uniq)))""")
-    d.withColumn("__f", fold)
+    val d = docs.select(col(docCol),
+      length(col(textCol)).as("__n"),
+      split(col(textCol), "").as("__chars"))
+    val per = d.filter(col("__n") > 0)
+      .select(col(docCol), col("__n"), explode(col("__chars")).as("__ch"))
+      .groupBy(col(docCol), col("__n"), col("__ch"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .groupBy(col(docCol), col("__n"))
+      .agg(sort_array(collect_list(struct(col("__ch"), col("__c"))))
+        .as("__rc"))
+      .select(col(docCol),
+        size(col("__rc")).cast("long").as("__uniq"),
+        expr("""aggregate(__rc, cast(0 as double),
+           (acc, x) -> acc - (x.__c / __n) * log2(x.__c / __n))""")
+          .as("__ent"))
+    d.select(col(docCol), col("__n"))
+      .join(per, Seq(docCol), "left")
       .select(col(docCol), col("__n").cast("long").as("text_len"),
-        when(col("__n") > 0, col("__f.uniq"))
+        when(col("__n") > 0, coalesce(col("__uniq"), lit(0L)))
           .otherwise(lit(0L)).as("n_distinct_chars"),
-        when(col("__n") > 0, round(col("__f.ent"), 6)).otherwise(lit(0.0))
-          .as("char_entropy_bits"))
+        when(col("__n") > 0, round(coalesce(col("__ent"), lit(0.0)), 6))
+          .otherwise(lit(0.0)).as("char_entropy_bits"))
   }
 
   /** X153 — per-group percentile gate: keep the top `keepFrac` of

@@ -340,14 +340,22 @@ object Dedup {
       .withColumn("label", col("id")).localCheckpoint()
     var i = 0
     var converged = false
+    // the frame actually holding this round's checkpoint blocks (the
+    // public `labels` view projects the __old column away)
+    var labelsCk = labels
     while (i < maxIters && !converged) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nmin"))
-      val stepped = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label")))
+      // r15: carry the round's OLD label through the step so the
+      // convergence test becomes a filter over the already-
+      // checkpointed frame instead of a join back to the previous
+      // round's table that re-ran per round (guide §2.4)
+      val stepped = labels.select(col("id"), col("label").as("__old"))
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("__old"),
+          least(col("__old"), coalesce(col("nmin"), col("__old")))
             .as("label"))
       // pointer jump: label := min(label, label(label)) — halves the
       // remaining propagation distance every round
@@ -356,14 +364,13 @@ object Dedup {
           col("label").as("parent")), Seq("label"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("parent"), col("label")))
-            .as("label"))
+            .as("label"), col("__old"))
         .localCheckpoint()
-      converged = updated.as("u")
-        .join(labels.as("l"), Seq("id"))
-        .filter(col("u.label") =!= col("l.label"))
-        .isEmpty
-      labels.unpersist(blocking = false)
-      labels = updated
+      converged = updated
+        .filter(col("label") =!= col("__old")).isEmpty
+      labelsCk.unpersist(blocking = false)
+      labelsCk = updated
+      labels = updated.select(col("id"), col("label"))
       i += 1
     }
     // partially-propagated labels LOOK valid downstream (every doc
@@ -668,8 +675,30 @@ object Dedup {
       slots: Int = 32, shingleK: Int = 3, salt: String = "mhs")
       : DataFrame = {
     require(slots >= 1 && slots <= 512, s"bad slots $slots")
-    val sh = docs.select(col(keyCol).as("key"),
-        explode(shingles(tokens(col(textCol)), shingleK)).as("__g"))
+    // r15: shingle strings assemble via the [[explodedShingles]]
+    // lead-window + codegen concat_ws layout instead of the
+    // interpreted transform/slice/array_join HOF (the documented ~5×
+    // scan tax). The window key must be ONE DOCUMENT (shingles never
+    // cross rows), but this operator's key is the STORE key (e.g.
+    // source) shared by many rows — so each input row gets a
+    // synthetic partition id. monotonically_increasing_id is
+    // partitioning-dependent, but it never reaches the output: it
+    // only scopes the window, and the distinct (key, shingle) set is
+    // identical for any row numbering.
+    val rid = docs.select(col(keyCol).as("key"),
+        monotonically_increasing_id().as("__rid"),
+        col(textCol).as("__text"))
+      .select(col("key"), col("__rid"),
+        posexplode(tokens(col("__text"))).as(Seq("__pos", "t0")))
+    val wd0 = Window.partitionBy(col("__rid")).orderBy(col("__pos"))
+    val withNext = (1 until shingleK).foldLeft(rid) { (df, i) =>
+      df.withColumn(s"t$i", lead(col("t0"), i).over(wd0))
+    }
+    val sh = withNext
+      .filter(col(s"t${shingleK - 1}").isNotNull)
+      .select(col("key"),
+        concat_ws(Sep, (0 until shingleK).map(i => col(s"t$i")): _*)
+          .as("__g"))
       .distinct()
     // per-(row, slot) md5 through codegen'd primitives — two denser
     // layouts measured SLOWER at sf0.1: a 32-column min aggregate

@@ -85,17 +85,33 @@ object GraphStats {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    // r15: stop peeling at the fixed point instead of always running
+    // all `iters` rounds — a round that drops no EDGE also dropped no
+    // node (a node in the table has ≥1 edge), so the survivor set is
+    // already the answer and the remaining rounds were pure no-op
+    // jobs. count() on the just-checkpointed frame reads in-memory
+    // blocks. Output (n_nodes/n_edges/converged) is computed from the
+    // same fixed-point edge set either way — values unchanged.
+    var prevCount = e.count()
+    var it = 0
+    var fixed = false
+    while (it < iters && !fixed) {
       val deg = e.select(col("a").as("v"))
         .unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k)
         .select(col("v"))
-      e = e
+      val next = e
         .join(deg.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(deg.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
         .localCheckpoint()
+      val c = next.count()
+      fixed = c == prevCount
+      prevCount = c
+      e.unpersist(blocking = false)
+      e = next
+      it += 1
     }
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))

@@ -97,16 +97,22 @@ object PageRank {
     val base = ((dampDen - dampNum) * scale) / (dampDen * n)
     val bcastShares = n <= broadcastNodeLimit
 
+    // r15: attach the out-degree to the cached edge list ONCE, so
+    // each iteration needs a single broadcast (the |V|-row rank
+    // table) instead of two (degrees into ranks, then shares into
+    // edges) — the per-iteration broadcast-build jobs were half the
+    // iteration cost at sf0.1. share(u) = rank div deg now evaluates
+    // per EDGE instead of per node: the identical integer division
+    // on the identical operands, so every partial sum is unchanged.
+    val degSide0 = if (bcastShares) broadcast(deg) else deg
+    val e2 = e.join(degSide0, Seq("__src")).persist()
     var ranks = nodes.select($"node", lit(scale / n).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      // share per NODE (|V| divisions; deg is |V| rows and cached)
-      val degSide = if (bcastShares) broadcast(deg) else deg
-      val sharesRaw = ranks.join(degSide, $"node" === $"__src")
-        .select($"node".as("__sn"), expr("rank div __deg").as("__share"))
-      val shares = if (bcastShares) broadcast(sharesRaw) else sharesRaw
-      val sums = e.join(shares, $"__src" === $"__sn")
-        .groupBy($"__dst".as("node")).agg(sum($"__share").as("__s"))
+      val rSide = if (bcastShares) broadcast(ranks) else ranks
+      val sums = e2.join(rSide, $"node" === $"__src")
+        .groupBy($"__dst".as("node"))
+        .agg(sum(expr("rank div __deg")).as("__s"))
       val next =
         if (symmetric)
           // every node has in-edges: sums covers the full node set
@@ -122,6 +128,7 @@ object PageRank {
     }
     if (!symmetric) nodes.unpersist()
     e.unpersist()
+    e2.unpersist()
     deg.unpersist()
     ranks
   }
@@ -161,8 +168,14 @@ object PageRank {
     val n = nodes.count()
     require(n > 0, "empty graph")
     val bcast = n <= broadcastNodeLimit
-    var labels = nodes.join(sd, Seq("node"), "left")
-      .select($"node", $"__seed".as("lab")).localCheckpoint(true)
+    // r15: the (node ⋈ seed) left join is loop-invariant — it was
+    // rebuilt (join + broadcast build) inside every iteration; hoist
+    // it into one checkpointed |V|-row frame that doubles as the
+    // round-0 labels (guide §2.4). Clamp/vote semantics unchanged.
+    val nodeSeed = nodes
+      .join(if (bcast) broadcast(sd) else sd, Seq("node"), "left")
+      .select($"node", $"__seed").localCheckpoint(true)
+    var labels = nodeSeed.select($"node", $"__seed".as("lab"))
     for (_ <- 1 to iters) {
       val labeled = labels.filter($"lab".isNotNull)
         .select($"node".as("__vn"), $"lab".as("__vl"))
@@ -173,12 +186,12 @@ object PageRank {
         .groupBy($"node")
         .agg(max(struct($"__c", (-$"__vl").as("__nl"))).as("__best"))
         .select($"node", (-$"__best.__nl").as("__vote"))
-      val next = nodes
-        .join(if (bcast) broadcast(sd) else sd, Seq("node"), "left")
+      val next = nodeSeed
         .join(votes, Seq("node"), "left")
         .select($"node", coalesce($"__seed", $"__vote").as("lab"))
       labels = next.localCheckpoint(true)
     }
+    nodeSeed.unpersist(blocking = false)
     e.unpersist(); nodes.unpersist(); sd.unpersist()
     labels.select($"node", $"lab".as("label"))
   }
@@ -221,6 +234,15 @@ object PageRank {
     var hubs = nodes.select($"node", lit(scale).as("hub"))
       .localCheckpoint(true)
     var auths: DataFrame = null
+    // r15 (guide §2.4): checkpoint the RAW half-step scores and keep
+    // the renormalization LAZY over the checkpointed frame. The r14
+    // layout checkpointed renorm(raw), whose plan contains raw twice
+    // (once under the broadcast total, once as the probe side), so
+    // every half-step executed its |E|-join + aggregate TWICE; now the
+    // heavy join/agg runs once per half-step and downstream passes pay
+    // only a narrow projection + a one-row total over in-memory
+    // checkpoint blocks. Integer chain unchanged — same sums, same
+    // totals, same div — so ranks stay bit-identical to the oracle.
     for (_ <- 1 to iters) {
       val aRaw = nodes.join(
         e.join(hubs, $"__src" === $"node")
@@ -228,14 +250,16 @@ object PageRank {
           .select($"__dst".as("node"), $"__a"),
         Seq("node"), "left")
         .select($"node", coalesce($"__a", lit(0L)).as("auth"))
-      auths = renorm(aRaw, "auth").localCheckpoint(true)
+        .localCheckpoint(true)
+      auths = renorm(aRaw, "auth")
       val hRaw = nodes.join(
         e.join(auths, $"__dst" === $"node")
           .groupBy($"__src").agg(sum($"auth").as("__h"))
           .select($"__src".as("node"), $"__h"),
         Seq("node"), "left")
         .select($"node", coalesce($"__h", lit(0L)).as("hub"))
-      hubs = renorm(hRaw, "hub").localCheckpoint(true)
+        .localCheckpoint(true)
+      hubs = renorm(hRaw, "hub")
     }
     val out = hubs.join(auths, Seq("node"))
       .select($"node", $"hub", $"auth".as("authority"))

@@ -41,12 +41,28 @@ object Winnow {
         regexp_replace(lower(col(textCol)), "[^a-z0-9]", "").as("__s"))
       .select(col(idCol), col("__s"), length(col("__s")).as("__len"))
       .filter(col("__len") >= k + w - 1 && col("__len") <= cap)
-    val kg = base
-      .select(col(idCol), col("__len"),
-        explode(sequence(lit(0), col("__len") - k)).as("p"), col("__s"))
+    // r15: k-grams assemble from a char posexplode + (k−1) leads +
+    // codegen concat over the SAME per-doc window the w-min pass
+    // already needs (one shuffle+sort serves both). The r14 layout
+    // exploded positions with the FULL normalized string carried on
+    // every row and took substring(__s, p+1, k) per position — an
+    // O(p) UTF8String walk per call, O(len²) per doc, and a len×|doc|
+    // duplication of the string through the generator (the same
+    // pathology measured at 16 s in the chrF rework; guide §1.2
+    // per-task work, §2.3 project before the exchange). Gram bytes,
+    // md5, the rightmost-min key and the selection are unchanged —
+    // identical fingerprints.
+    val chars = base.select(col(idCol), col("__len"),
+      posexplode(split(col("__s"), "")).as(Seq("p", "c0")))
+    val wd0 = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    val withNext = (1 until k).foldLeft(chars) { (df, i) =>
+      df.withColumn(s"c$i", lead(col("c0"), i).over(wd0))
+    }
+    val kg = withNext
+      .filter(col(s"c${k - 1}").isNotNull)
       .select(col(idCol), col("__len"), col("p"),
-        conv(substring(md5(expr(s"substring(__s, p + 1, $k)")), 1, 8),
-          16, 10).cast("long").as("h"))
+        conv(substring(md5(concat((0 until k).map(i => col(s"c$i")): _*)),
+          1, 8), 16, 10).cast("long").as("h"))
     val keyed = kg.withColumn("kk",
       col("h") * cap + (lit(cap - 1) - col("p")))
     val wdw = Window.partitionBy(col(idCol)).orderBy(col("p"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.AsrPipeline
@@ -16,6 +17,25 @@ import graft.queries.QueryDef.table
   * session_window queries carry exact oracles.
   */
 object PipelineQueries {
+
+  /** The q_wer-family deterministic corruption of a token array —
+    * drop every 7th word, substitute every 11th (both 1-based,
+    * ORIGINAL positions) with "zzz" — rebuilt PER ROW with an
+    * index-aware transform/filter instead of the old posexplode →
+    * groupBy → collect_list → join round trip, so each of the five
+    * eval queries sharing it loses one shuffle plus one join
+    * (optimization guide §2.4: remove shuffles outright). Values are
+    * identical to the old path: the %7 drop is checked FIRST (so
+    * positions divisible by both 7 and 11 drop, exactly like the old
+    * filter-before-substitute order), substitution keys on the
+    * ORIGINAL position, element order is preserved, and null/empty
+    * token arrays yield "" (the old left-join + coalesce('') result).
+    */
+  private[queries] def corruptedHyp(toks: Column): Column =
+    coalesce(array_join(filter(transform(toks, (t, i0) =>
+      when((i0 + 1) % 7 === 0, lit(null))
+        .when((i0 + 1) % 11 === 0, lit("zzz"))
+        .otherwise(t)), x => x.isNotNull), " "), lit(""))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -77,19 +97,10 @@ object PipelineQueries {
         import spark.implicits._
         import graft.operators.{Dedup, Wer}
         val docs = table(spark, dir, "documents")
-        val toks = docs.select($"doc_id", Dedup.tokens($"text").as("w"))
-        val hyp = toks
-          .select($"doc_id", posexplode($"w").as(Seq("pos", "word")))
-          .filter(($"pos" + 1) % 7 =!= 0)
-          .select($"doc_id", $"pos",
-            when(($"pos" + 1) % 11 === 0, "zzz").otherwise($"word")
-              .as("word"))
-          .groupBy($"doc_id")
-          .agg(concat_ws(" ", array_sort(collect_list(
-            struct($"pos", $"word"))).getField("word")).as("hyp"))
-        val pairs = docs.select($"doc_id", $"text".as("ref"))
-          .join(hyp, Seq("doc_id"), "left")
-          .select($"doc_id", $"ref", coalesce($"hyp", lit("")).as("hyp"))
+        // r15: hyp rebuilt per row (see corruptedHyp) — no shuffle,
+        // no join; identical values
+        val pairs = docs.select($"doc_id", $"text".as("ref"),
+          corruptedHyp(Dedup.tokens($"text")).as("hyp"))
         Wer.wordErrorRate(pairs, "doc_id", "ref", "hyp")
           .orderBy($"doc_id")
       }),
@@ -134,26 +145,17 @@ object PipelineQueries {
         import spark.implicits._
         import graft.operators.Dedup
         val docs = table(spark, dir, "documents")
-        val toks = docs.select($"doc_id", Dedup.tokens($"text").as("w"))
-        val hyp = toks
-          .select($"doc_id", posexplode($"w").as(Seq("pos", "word")))
-          .filter(($"pos" + 1) % 7 =!= 0)
-          .select($"doc_id", $"pos",
-            when(($"pos" + 1) % 11 === 0, "zzz").otherwise($"word")
-              .as("word"))
-          .groupBy($"doc_id")
-          .agg(concat_ws(" ", array_sort(collect_list(
-            struct($"pos", $"word"))).getField("word")).as("h"))
         // r14: the kernel is Myers bit-parallel (EditDistance) — the
         // identical integer as the built-in levenshtein (property-
         // spec'd), ~64 DP columns per machine word on these
         // hundreds-of-chars documents; hash and floor unchanged
-        // (rule 3)
-        toks.join(hyp, Seq("doc_id"), "left")
+        // (rule 3). r15: hyp rebuilt per row (corruptedHyp) — no
+        // shuffle, no join; identical values
+        docs.select($"doc_id", Dedup.tokens($"text").as("w"))
           .select($"doc_id",
             length(array_join($"w", " ")).cast("long").as("n_ref_chars"),
             graft.functions.EditDistance.levenshteinFastCol(
-              array_join($"w", " "), coalesce($"h", lit("")))
+              array_join($"w", " "), corruptedHyp($"w"))
               .cast("long").as("dist"))
           .withColumn("cer",
             round($"dist" / greatest($"n_ref_chars", lit(1L)), 6))
@@ -210,19 +212,11 @@ object PipelineQueries {
         import spark.implicits._
         import graft.operators.{Dedup, Rouge}
         val docs = table(spark, dir, "documents")
-        val toks = docs.select($"doc_id", Dedup.tokens($"text").as("w"))
-        val hyp = toks
-          .select($"doc_id", posexplode($"w").as(Seq("pos", "word")))
-          .filter(($"pos" + 1) % 7 =!= 0)
-          .select($"doc_id", $"pos",
-            when(($"pos" + 1) % 11 === 0, "zzz").otherwise($"word")
-              .as("word"))
-          .groupBy($"doc_id")
-          .agg(concat_ws(" ", array_sort(collect_list(
-            struct($"pos", $"word"))).getField("word")).as("h"))
-        val pairs = toks.join(hyp, Seq("doc_id"), "left")
+        // r15: hyp rebuilt per row (corruptedHyp) — no shuffle, no
+        // join; identical values
+        val pairs = docs.select($"doc_id", Dedup.tokens($"text").as("w"))
           .select($"doc_id", array_join($"w", " ").as("ref_text"),
-            coalesce($"h", lit("")).as("hyp_text"))
+            corruptedHyp($"w").as("hyp_text"))
         Rouge.rougeL(pairs, "doc_id", "ref_text", "hyp_text")
           .orderBy($"doc_id")
       }),
@@ -301,19 +295,11 @@ object PipelineQueries {
         import spark.implicits._
         import graft.operators.{Bleu, Dedup}
         val docs = table(spark, dir, "documents")
-        val toks = docs.select($"doc_id", Dedup.tokens($"text").as("w"))
-        val hyp = toks
-          .select($"doc_id", posexplode($"w").as(Seq("pos", "word")))
-          .filter(($"pos" + 1) % 7 =!= 0)
-          .select($"doc_id", $"pos",
-            when(($"pos" + 1) % 11 === 0, "zzz").otherwise($"word")
-              .as("word"))
-          .groupBy($"doc_id")
-          .agg(concat_ws(" ", array_sort(collect_list(
-            struct($"pos", $"word"))).getField("word")).as("h"))
-        val pairs = toks.join(hyp, Seq("doc_id"), "left")
+        // r15: hyp rebuilt per row (corruptedHyp) — no shuffle, no
+        // join; identical values
+        val pairs = docs.select($"doc_id", Dedup.tokens($"text").as("w"))
           .select($"doc_id", array_join($"w", " ").as("ref_text"),
-            coalesce($"h", lit("")).as("hyp_text"))
+            corruptedHyp($"w").as("hyp_text"))
         Bleu.chrF(pairs, "doc_id", "ref_text", "hyp_text")
           .orderBy($"doc_id")
       }),
@@ -405,19 +391,11 @@ object PipelineQueries {
         import spark.implicits._
         import graft.operators.Dedup
         val docs = table(spark, dir, "documents")
-        val toks = docs.select($"doc_id", Dedup.tokens($"text").as("w"))
-        val hyp = toks
-          .select($"doc_id", posexplode($"w").as(Seq("pos", "word")))
-          .filter(($"pos" + 1) % 7 =!= 0)
-          .select($"doc_id", $"pos",
-            when(($"pos" + 1) % 11 === 0, "zzz").otherwise($"word")
-              .as("word"))
-          .groupBy($"doc_id")
-          .agg(concat_ws(" ", array_sort(collect_list(
-            struct($"pos", $"word"))).getField("word")).as("h"))
-        val pairs = toks.join(hyp, Seq("doc_id"), "left")
+        // r15: hyp rebuilt per row (corruptedHyp) — no shuffle, no
+        // join; identical values
+        val pairs = docs.select($"doc_id", Dedup.tokens($"text").as("w"))
           .select($"doc_id", array_join($"w", " ").as("ref_text"),
-            coalesce($"h", lit("")).as("hyp_text"))
+            corruptedHyp($"w").as("hyp_text"))
         graft.operators.Bleu.sentenceBleu(pairs, "doc_id",
             "ref_text", "hyp_text", maxN = 4)
           .orderBy($"doc_id")

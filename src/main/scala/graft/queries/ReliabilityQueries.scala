@@ -275,10 +275,27 @@ object ReliabilityQueries {
         val c = table(spark, dir, "customer")
         val a = c.select($"c_custkey".as("k1"), $"c_nationkey".as("__n"),
           $"c_mktsegment".as("__seg1"), $"c_acctbal".as("__bal1"))
-        val b = c.select($"c_custkey".as("k2"), $"c_nationkey".as("__n"),
+        val b = c.select($"c_custkey".as("k2"), $"c_nationkey".as("__n2"),
           $"c_mktsegment".as("__seg2"), $"c_acctbal".as("__bal2"))
-        val pairs = a.join(b, Seq("__n"))
-          .filter($"k1" < $"k2")
+        // r15 (guide §3.2: reduce the pair stream before scoring).
+        // The kept band is decision = 'match', i.e. score >= 5.0; with
+        // these m/u weights (log2 units) seg t/f = +1.848/−2.907,
+        // bal t/f = +5.475/−2.296, sign t/f = +0.766/−1.737, so
+        //   max score without seg_agree = 5.475+0.766−2.907 = 3.33 < 5
+        //   max score without bal_agree = 1.848+0.766−2.296 = 0.32 < 5
+        //   min score with seg ∧ bal    = 5.475+1.848−1.737 = 5.59 ≥ 5
+        // ⇒ 'match' ⟺ seg_agree ∧ bal_agree, sign free. Blocking the
+        // self-join on (nation, segment) and pre-filtering the ±100
+        // balance window therefore produces EXACTLY the match band
+        // (oracle re-proved at all three SFs) while generating ~5×
+        // fewer join rows and filtering them before the score
+        // projection instead of after. The score expression itself is
+        // unchanged (same when() shape on the same booleans → the
+        // same doubles).
+        val pairs = a.join(b,
+            $"__n" === $"__n2" && $"__seg1" === $"__seg2" &&
+              $"k1" < $"k2")
+          .filter(abs($"__bal1" - $"__bal2") < 100.0)
           .select($"k1", $"k2",
             ($"__seg1" === $"__seg2").as("seg_agree"),
             (abs($"__bal1" - $"__bal2") < 100.0).as("bal_agree"),

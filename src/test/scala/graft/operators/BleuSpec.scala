@@ -149,6 +149,33 @@ class BleuSpec extends AnyFunSuite {
     assert(out.getAs[Double]("chrf") == 1.0)
   }
 
+  test("gramRowsOf (r15 single-pass kernel): all orders, with " +
+      "multiplicity, empty/short arrays safe") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq("the cat the cat on the mat", "a", "", "x y z w v")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val maxN = 4
+    val got = Bleu.gramRowsOf(
+        df.select($"id", lit(true).as("sd"),
+          Dedup.tokens($"text").as("tk")),
+        "id", "sd", "tk", maxN)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+      .groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).sorted.toSeq).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val w = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val expect = (for {
+        n <- 1 to maxN
+        j <- 0 to w.length - n
+      } yield (n, w.slice(j, j + n).mkString(Dedup.Sep))).sorted
+      assert(got.getOrElse(i.toLong, Seq.empty) == expect,
+        s"doc $i ('$t')")
+    }
+  }
+
   test("chrF: empty hypothesis scores 0 with zero hyp_chars") {
     val s = spark
     import s.implicits._
