@@ -296,16 +296,20 @@ object Privacy {
     // size(NULL) is -1, so a NULL doc would report n_candidates=-1
     val d = docs.select(col(docCol),
       coalesce(cands, array()).as("__cands"))
+    // r15: fold over the reversed char array with an index lambda —
+    // the old form called substring(c, length(c)−i+1, 1) per digit
+    // (three times on the doubled branch), a per-call UTF8String
+    // walk; reverse+split extracts each digit once. Same digits,
+    // same parity (1-based from the right), same integer sum.
     val validCount = expr(
       """size(filter(__cands, c ->
-           aggregate(sequence(1, length(c)), 0, (acc, i) ->
-             acc + if(i % 2 = 0,
-               if((ascii(substring(c, length(c) - i + 1, 1)) - 48) * 2
-                    > 9,
-                  (ascii(substring(c, length(c) - i + 1, 1)) - 48) * 2
-                    - 9,
-                  (ascii(substring(c, length(c) - i + 1, 1)) - 48) * 2),
-               ascii(substring(c, length(c) - i + 1, 1)) - 48))
+           aggregate(transform(split(reverse(c), ''), (ch, i0) ->
+             if((i0 + 1) % 2 = 0,
+               if((ascii(ch) - 48) * 2 > 9,
+                  (ascii(ch) - 48) * 2 - 9,
+                  (ascii(ch) - 48) * 2),
+               ascii(ch) - 48)),
+             0, (acc, x) -> acc + x)
            % 10 = 0))""")
     d.select(col(docCol),
       // size(coalesce(..)) not coalesce(size(..)): under
